@@ -76,6 +76,13 @@ object SparkEntry {
   // Shared SQL fragments for the DuckDB oracles
   private val toks = "string_split_regex(trim(text), '\\s+')"
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+  // All-decimal product sums — mirror graft.analytics.dsumDisc/dsumCharge
+  // exactly (cast inputs first, multiply in decimal, exact at every step).
+  private def dsumDiscSql(p: String, r: String) =
+    s"CAST(SUM(CAST($p AS DECIMAL(12,4)) * (1 - CAST($r AS DECIMAL(8,4)))) AS DOUBLE)"
+  private def dsumChargeSql(p: String, r: String, t: String) =
+    s"CAST(SUM(CAST($p AS DECIMAL(12,4)) * (1 - CAST($r AS DECIMAL(8,4))) * " +
+      s"(1 + CAST($t AS DECIMAL(8,4)))) AS DOUBLE)"
 
   def oracleSql: Map[String, String] = Map(
     "q_domain_stats" ->
@@ -118,8 +125,8 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, " +
         dsumSql("l_quantity") + " AS sum_qty, " +
         dsumSql("l_extendedprice") + " AS sum_base_price, " +
-        dsumSql("l_extendedprice * (1 - l_discount)") + " AS sum_disc_price, " +
-        dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)") + " AS sum_charge, " +
+        dsumDiscSql("l_extendedprice", "l_discount") + " AS sum_disc_price, " +
+        dsumChargeSql("l_extendedprice", "l_discount", "l_tax") + " AS sum_charge, " +
         dsumSql("l_quantity") + " / COUNT(l_quantity) AS avg_qty, " +
         dsumSql("l_extendedprice") + " / COUNT(l_extendedprice) AS avg_price, " +
         dsumSql("l_discount") + " / COUNT(l_discount) AS avg_disc, " +
@@ -151,13 +158,13 @@ object SparkEntry {
         "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     "q3_shipping" ->
       ("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
-        dsumSql("l_extendedprice * (1 - l_discount)") + " AS revenue " +
+        dsumDiscSql("l_extendedprice", "l_discount") + " AS revenue " +
         "FROM orders JOIN customer ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
         "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00' " +
         "AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00' " +
         "GROUP BY l_orderkey, o_orderdate, o_orderpriority ORDER BY revenue DESC, l_orderkey LIMIT 10"),
     "q5_local_supplier" ->
-      ("SELECT n_name, " + dsumSql("l_extendedprice * (1 - l_discount)") + " AS revenue " +
+      ("SELECT n_name, " + dsumDiscSql("l_extendedprice", "l_discount") + " AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
@@ -213,6 +220,24 @@ object SparkEntry {
     "q_set_except" ->
       ("SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer EXCEPT " +
         "SELECT CAST(s_nationkey AS BIGINT) FROM supplier ORDER BY nationkey"),
+    "q_extract_metadata" ->
+      // Mirrors graft.extract.TextExtract exactly: same regexes, same
+      // priority logic, same null semantics (DuckDB list lambdas express
+      // the T5/T6 line scans directly).
+      ("WITH x AS (SELECT doc_id, text, " +
+        "regexp_extract_all(text, '\\d{1,4}/(?:\\d{4}/)?[A-ZĐ]{1,5}(?:-[A-Z0-9]{1,5})*') AS codes, " +
+        "string_split(text, chr(10)) AS lines FROM documents), " +
+        "y AS (SELECT *, list_filter(lines, l -> contains(l, 'Số:') AND contains(l, 'ngày'))[1] AS cand FROM x) " +
+        "SELECT doc_id, " +
+        "CASE WHEN len(codes) > 0 THEN codes[1] END AS main_code, " +
+        // COALESCE: DuckDB's array_to_string of an empty list is NULL,
+        // Spark's array_join of an empty array is ''
+        "COALESCE(array_to_string(list_filter(codes[2:], c -> c <> codes[1]), ';'), '') AS related_codes, " +
+        "CASE WHEN contains(text, '|') THEN trim(string_split(text, '|')[2]) END AS agency, " +
+        "CASE WHEN cand IS NOT NULL THEN trim(list_filter(string_split(cand, '|'), p -> contains(p, 'ngày'))[1]) " +
+        "ELSE trim(list_filter(lines, l -> regexp_matches(l, 'ngày\\s+\\d{1,2}\\s+tháng'))[1]) END AS issue_date, " +
+        "trim(list_filter(list_reverse(lines), l -> regexp_matches(l, '\\b(KT\\.|TL\\.|THỨ TRƯỞNG|BỘ TRƯỞNG)\\b'))[1]) AS signer " +
+        "FROM y ORDER BY doc_id"),
     "q_normalized_preview" ->
       ("SELECT doc_id, substr(regexp_replace(trim(text), '\\s+', ' ', 'g'), 1, 60) AS norm_prefix, " +
         "regexp_extract(text, '^(\\w+)', 1) AS first_token FROM documents ORDER BY doc_id"),
@@ -248,7 +273,7 @@ object SparkEntry {
       ("WITH g AS (SELECT doc_id, list_distinct(list_transform(" +
         "generate_series(1, greatest(len(" + toks + ") - 2, 1)), " +
         "i -> array_to_string((" + toks + ")[i:i+2], ' '))) AS sh " +
-        "FROM documents WHERE doc_id < 40) " +
+        "FROM documents WHERE doc_id < 200) " +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
         "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard " +
         "FROM g a JOIN g b ON a.doc_id < b.doc_id " +
@@ -264,19 +289,19 @@ object SparkEntry {
         "ORDER BY cos_sim_r DESC, neighbor_id) AS INTEGER) AS rk, neighbor_id, cos_sim_r FROM s) " +
         "SELECT query_id, rk, neighbor_id, cos_sim_r FROM r WHERE rk <= 5 ORDER BY query_id, rk"),
     "q_embedding_near_dups" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 200) " +
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 500) " +
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         "round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim_r " +
         "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
-        "WHERE round(list_cosine_similarity(a.emb, b.emb), 6) > 0.95 ORDER BY id_a, id_b"),
+        "WHERE round(list_cosine_similarity(a.emb, b.emb), 6) > 0.4 ORDER BY id_a, id_b"),
     "q_embedding_norm_stats" ->
       ("SELECT label, COUNT(*) AS n_vecs, " +
         "round(MIN(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 6) AS min_norm, " +
         "round(MAX(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 6) AS max_norm " +
         "FROM embeddings GROUP BY label ORDER BY label")
-    // no oracle (rows-only checks): q_extract_metadata (priority line-scan
-    // semantics not ANSI-expressible), q_fingerprints / q_minhash_pairs /
+    // no oracle (rows-only checks): q_fingerprints / q_minhash_pairs /
     // q_simhash_near_dups (xxhash64 is Spark-specific), q_lsh_ann_topk
-    // (hyperplane hashes Spark-specific).
+    // (hyperplane hashes Spark-specific). Those four are covered instead by
+    // ScalaTest ground-truth assertions (see src/test/scala/graft).
   )
 }

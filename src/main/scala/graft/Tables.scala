@@ -20,16 +20,16 @@ object Tables {
   def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
   /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects. Read nanos as long (legacy conf) and convert
-    * to a proper TimestampType column — lossless here (the generator emits
-    * microsecond-resolution values; verified no sub-µs components).
+    * parquet reader rejects unless `spark.sql.legacy.parquet.nanosAsLong`
+    * is set — sessions must set it at build time (Verify/Bench/test
+    * sessions do; this loader no longer mutates session conf as a side
+    * effect). The long nanos convert to TimestampType losslessly here
+    * (the generator emits microsecond-resolution values).
     */
-  def events(spark: SparkSession, d: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, d: String): DataFrame =
     table(spark, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 }

@@ -18,4 +18,30 @@ package object analytics {
 
   /** Deterministic avg: exact decimal sum, then one double division. */
   def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** A price-ish double as an exact decimal (≤ 1e8 magnitude, 4 dp). */
+  def decPrice(c: Column): Column = c.cast(DecimalType(12, 4))
+
+  /** A rate-ish double (discount/tax, |x| < 10) as an exact decimal. */
+  def decRate(c: Column): Column = c.cast(DecimalType(8, 4))
+
+  /** Deterministic sum of price × (1 − rate).
+    *
+    * The whole product stays in decimal: inputs are cast to narrow decimals
+    * FIRST, so every intermediate is exact in both Spark and DuckDB —
+    * DECIMAL(12,4) × DECIMAL(9,4) → DECIMAL(22,8) in Spark (no scale
+    * reduction) and width 21 in DuckDB (< 38, exact). Computing the product
+    * in double and casting after (the old form) let Spark and DuckDB round
+    * near-tie 4th decimals differently and drift the sum. Oracle mirror:
+    * `SUM(CAST(p AS DECIMAL(12,4)) * (1 - CAST(r AS DECIMAL(8,4))))`.
+    */
+  def dsumDisc(price: Column, discount: Column): Column =
+    sum(decPrice(price) * (lit(1) - decRate(discount))).cast("double")
+
+  /** Deterministic sum of price × (1 − discount) × (1 + tax); all-decimal,
+    * exact at every step (final scale 12, well inside precision 38).
+    */
+  def dsumCharge(price: Column, discount: Column, tax: Column): Column =
+    sum(decPrice(price) * (lit(1) - decRate(discount)) * (lit(1) + decRate(tax)))
+      .cast("double")
 }

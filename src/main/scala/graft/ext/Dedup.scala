@@ -37,35 +37,60 @@ object Dedup {
 
   // ------------------------------------------------------- MinHash + LSH
 
-  /** Word 3-shingles of a text column. */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val toks = split(trim(c), "\\s+")
+  /** Word n-shingles over an ALREADY-MATERIALIZED token-array column.
+    *
+    * The token column must be a bound attribute, not the `split(...)`
+    * expression itself: interpreted higher-order-function eval re-evaluates
+    * every expression inside the lambda per element, so an inlined split
+    * would re-run the regex tokenizer O(tokens) times per doc (measured
+    * 3–8× slowdown at sf0.1). Callers do
+    * `.select(..., tokens(text).as("toks"))` first.
+    */
+  def shinglesOfTokens(toks: Column, n: Int = 3): Column = {
     val idxs = sequence(lit(1), greatest(size(toks) - (n - 1), lit(1)))
     transform(idxs, i => concat_ws(" ", slice(toks, i, lit(n))))
   }
 
-  /** MinHash signature: for seed s, min over shingles of xxhash64(shingle, s).
-    * Deterministic (xxhash64 is a pure function of its inputs) and fully
-    * codegen'd — computed in the scan stage, no shuffle.
+  /** Word 3-shingles of a text column (convenience; see shinglesOfTokens
+    * for why hot paths materialize the token array first).
     */
-  def minhashSignature(c: Column, numHashes: Int = 32): Column = {
-    val sh = shingles(c)
-    array((0 until numHashes).map { s =>
-      array_min(transform(sh, g => xxhash64(g, lit(s))))
-    }: _*)
+  def shingles(c: Column, n: Int = 3): Column =
+    shinglesOfTokens(split(trim(c), "\\s+"), n)
+
+  /** MinHash signatures for the whole corpus: one row per doc with a
+    * `numHashes`-element array `sig` where sig[s] = min over shingles of
+    * xxhash64(shingle, s).
+    *
+    * Shape matters at scale: shingles are materialized ONCE (explode), and
+    * all `numHashes` min-hashes are computed in a single hash aggregate
+    * with map-side partial combine — so the shuffle carries one
+    * `numHashes × 8B` partial state per doc per mapper, never the shingle
+    * text. (The previous form inlined the shingle pipeline 32× into one
+    * projection; the resulting expression tree blew up optimizer/codegen
+    * time ~100×.)
+    */
+  def minhashSignatures(spark: SparkSession, d: String,
+                        numHashes: Int = 32): DataFrame = {
+    val exploded = Tables.documents(spark, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), explode(shinglesOfTokens(col("toks"))).as("sh"))
+    val aggs = (0 until numHashes).map(s => min(xxhash64(col("sh"), lit(s))).as(s"m$s"))
+    exploded.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** LSH candidate pairs: band the signature (bands × rows = numHashes),
     * hash each band, bucket-join docs sharing any band hash. Self-join is
-    * keyed on (band_idx, band_hash) — the only shuffle, and its fan-out is
-    * the number of true near-duplicate candidates.
+    * keyed on (band_idx, band_hash) — the only extra shuffle, and its
+    * fan-out is the number of true near-duplicate candidates, never O(n²).
     */
   def minhashCandidatePairs(
       spark: SparkSession, d: String,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
-    val docs = Tables.documents(spark, d)
-      .select(col("doc_id"), minhashSignature(col("text"), numHashes).as("sig"))
+    val docs = minhashSignatures(spark, d, numHashes)
     val banded = docs.select(
       col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band")
@@ -75,16 +100,17 @@ object Dedup {
     )
     val a = banded.as("a")
     val b = banded.as("b")
+    // est_jaccard is a pure function of the pair, so compute it inside the
+    // bucket join and dedup on the narrow (id_a, id_b, est) rows — the
+    // signature arrays never enter the distinct's shuffle.
     a.join(b,
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), b => b))
           .cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -138,10 +164,11 @@ object Dedup {
     * (doc_id < limit) — the verification kernel that LSH candidates feed at
     * scale; bounded here so the all-pairs form is oracle-checkable.
     */
-  def ngramJaccardPairs(spark: SparkSession, d: String, idLimit: Int = 40): DataFrame = {
+  def ngramJaccardPairs(spark: SparkSession, d: String, idLimit: Int = 200): DataFrame = {
     val docs = Tables.documents(spark, d)
       .filter(col("doc_id") < idLimit)
-      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), array_distinct(shinglesOfTokens(col("toks"))).as("sh"))
     val a = docs.as("a")
     val b = docs.as("b")
     val inter = size(array_intersect(col("a.sh"), col("b.sh")))

