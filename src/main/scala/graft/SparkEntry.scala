@@ -1,9 +1,11 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{CoreQueries, RelationalQueries}
+import org.apache.spark.sql.functions._
+import graft.analytics.{CoreQueries, ExtraQueries, RelationalQueries}
 import graft.extract.TextExtract
 import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ingest.CorpusSource
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -57,6 +59,16 @@ object SparkEntry {
     // ---- text extraction (SURVEY §2.8 T3–T9)
     "q_extract_metadata"  -> (TextExtract.extractDocMetadata _),
     "q_normalized_preview" -> (TextExtract.normalizedPreview _),
+    // ---- SURVEY §2 closers: S2/S3, T9, T10, O5, parse_vn_date
+    "q_sql_over_view"     -> (ExtraQueries.sqlOverView _),
+    "q_log_line_parse"    -> (ExtraQueries.logLineParse _),
+    "q_offset_slice"      -> ((s: SparkSession, d: String) => ExtraQueries.offsetSlice(s, d)),
+    "q_html_to_markdown"  -> (ExtraQueries.htmlToMarkdownDocs _),
+    "q_vn_dates"          -> ((s: SparkSession, d: String) => ExtraQueries.vnDates(s, d)),
+    "q_wholetext_corpus"  -> ((s: SparkSession, _: String) =>
+      CorpusSource.wholeTextCorpus(s, "/root/repo/src/test/resources/corpus")
+        .select(col("domain"), col("filename"), length(col("content")).cast("long").as("n_chars"))
+        .orderBy(col("filename"))),
     // ---- training-data-pipeline extensions
     "q_token_stats"       -> (TextAnalysis.tokenStats _),
     "q_quality_scores"    -> (TextAnalysis.qualityScores _),
@@ -241,6 +253,39 @@ object SparkEntry {
     "q_normalized_preview" ->
       ("SELECT doc_id, substr(regexp_replace(trim(text), '\\s+', ' ', 'g'), 1, 60) AS norm_prefix, " +
         "regexp_extract(text, '^(\\w+)', 1) AS first_token FROM documents ORDER BY doc_id"),
+    "q_sql_over_view" ->
+      ("SELECT source, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS total_chars " +
+        "FROM documents GROUP BY source ORDER BY n_docs DESC, source"),
+    "q_log_line_parse" ->
+      ("WITH l AS (SELECT printf('[batch %d] domain=%s count=%d', event_id % 50, event_type, " +
+        "user_id % 10 + 1) AS line FROM events) " +
+        "SELECT regexp_extract(line, 'domain=(\\w+)', 1) AS domain, COUNT(*) AS n_lines, " +
+        "CAST(SUM(CAST(regexp_extract(line, 'count=(\\d+)', 1) AS BIGINT)) AS BIGINT) AS total_count, " +
+        "COUNT(DISTINCT regexp_extract(line, '\\[batch (\\d+)\\]', 1)) AS n_batches " +
+        "FROM l GROUP BY domain ORDER BY domain"),
+    "q_offset_slice" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "ORDER BY o_orderkey LIMIT 50 OFFSET 1000"),
+    "q_html_to_markdown" ->
+      ("SELECT doc_id, '## DOC ' || doc_id || " +
+        "CASE WHEN regexp_replace(trim(text), '\\s+', ' ', 'g') = '' THEN '' " +
+        "ELSE chr(10) || chr(10) || regexp_replace(trim(text), '\\s+', ' ', 'g') END AS md " +
+        "FROM documents ORDER BY doc_id"),
+    "q_vn_dates" ->
+      // independent derivation: the oracle recomputes the expected date from
+      // o_orderdate instead of re-parsing the constructed string
+      ("SELECT o_orderkey, " +
+        "'Số: ' || o_orderkey || '/QĐ-BTC  Hà Nội, ngày ' || day(o_orderdate) || " +
+        "' tháng ' || month(o_orderdate) || ' năm ' || year(o_orderdate) AS clean_text, " +
+        "make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), " +
+        "CAST(day(o_orderdate) AS INT)) AS issue_date " +
+        "FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey"),
+    "q_wholetext_corpus" ->
+      ("WITH f AS (SELECT filename AS path, content " +
+        "FROM read_text('/root/repo/src/test/resources/corpus/*/*.txt')) " +
+        "SELECT regexp_extract(path, '([^/]+)/[^/]+$', 1) AS domain, " +
+        "regexp_extract(path, '([^/]+)$', 1) AS filename, " +
+        "CAST(length(content) AS BIGINT) AS n_chars FROM f ORDER BY filename"),
     "q_token_stats" ->
       (s"SELECT doc_id, CAST(len($toks) AS INTEGER) AS n_tokens, " +
         s"CAST(len(list_distinct($toks)) AS INTEGER) AS n_uniq_tokens, " +

@@ -1,0 +1,92 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.extract.{HtmlToMarkdown, TextExtract}
+
+/** Operators closing out the SURVEY §2 inventory: the ad-hoc SQL entry
+  * point (S3), log-line regex parsing (T9), offset/limit slicing (O5),
+  * html→markdown over a column (T10), and the Vietnamese-date pipeline
+  * (parse_vn_date + dash-run stripping) — each as an oracle-checkable
+  * query.
+  */
+object ExtraQueries {
+
+  /** S3: the reference's declared ad-hoc SQL surface
+    * (`spark/visualize.py:27` — which never worked there, §2.12): register
+    * the corpus as a temp view and run SQL text against it.
+    */
+  def sqlOverView(spark: SparkSession, d: String): DataFrame = {
+    Tables.documents(spark, d).createOrReplaceTempView("documents_view")
+    spark.sql(
+      """SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        |FROM documents_view
+        |GROUP BY source
+        |ORDER BY n_docs DESC, source""".stripMargin)
+  }
+
+  /** T9: regex parse over a lines DataFrame (reference
+    * `spark/export_stats.py:21-62` re-parsed its own console logs; the
+    * operator itself is regexp_extract per field). Lines are synthesized
+    * deterministically from `events` so the parse is oracle-checkable,
+    * then parsed back and aggregated.
+    */
+  def logLineParse(spark: SparkSession, d: String): DataFrame = {
+    val lines = Tables.events(spark, d).select(
+      format_string("[batch %d] domain=%s count=%d",
+        col("event_id") % 50, col("event_type"), col("user_id") % 10 + 1
+      ).as("line"))
+    lines.select(
+        regexp_extract(col("line"), "\\[batch (\\d+)\\]", 1).cast("long").as("batch_id"),
+        regexp_extract(col("line"), "domain=(\\w+)", 1).as("domain"),
+        regexp_extract(col("line"), "count=(\\d+)", 1).cast("long").as("cnt"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("cnt")).as("total_count"),
+        countDistinct(col("batch_id")).as("n_batches"))
+      .orderBy(col("domain"))
+  }
+
+  /** O5: offset/limit range slice (reference `crawl/crawl.py:120-124`
+    * batch windowing) — deterministic order, then `data[start:end]`.
+    */
+  def offsetSlice(spark: SparkSession, d: String,
+                  start: Int = 1000, count: Int = 50): DataFrame =
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      .offset(start)
+      .limit(count)
+
+  /** T10 as a query: synthesize a small HTML document per row (the corpus
+    * text is HTML-safe: no &/</> in the generated data) and convert it.
+    */
+  def htmlToMarkdownDocs(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        concat(lit("<h2>DOC "), col("doc_id").cast("string"), lit("</h2><p>"),
+          col("text"), lit("</p>")).as("html"))
+      .select(col("doc_id"), HtmlToMarkdown.htmlToMarkdownCol(col("html")).as("md"))
+      .orderBy(col("doc_id"))
+
+  /** parse_vn_date + stripDashRuns wired to a query: construct Vietnamese
+    * legal-date strings from order dates (with a dash-run artifact),
+    * normalize, parse back to DateType.
+    */
+  def vnDates(spark: SparkSession, d: String, limit: Int = 200): DataFrame = {
+    val raw = Tables.orders(spark, d)
+      .filter(col("o_orderkey") < limit)
+      .select(col("o_orderkey"),
+        concat(
+          lit("Số: "), col("o_orderkey").cast("string"),
+          lit("/QĐ-BTC ----- Hà Nội, ngày "), dayofmonth(col("o_orderdate")).cast("string"),
+          lit(" tháng "), month(col("o_orderdate")).cast("string"),
+          lit(" năm "), year(col("o_orderdate")).cast("string")).as("vn_text"))
+    raw.select(
+        col("o_orderkey"),
+        TextExtract.stripDashRuns(col("vn_text")).as("clean_text"),
+        TextExtract.parseVnDate(col("vn_text")).as("issue_date"))
+      .orderBy(col("o_orderkey"))
+  }
+}
