@@ -251,7 +251,7 @@ object SparkEntry {
         "trim(list_filter(list_reverse(lines), l -> regexp_matches(l, '\\b(KT\\.|TL\\.|THỨ TRƯỞNG|BỘ TRƯỞNG)\\b'))[1]) AS signer " +
         "FROM y ORDER BY doc_id"),
     "q_normalized_preview" ->
-      ("SELECT doc_id, substr(regexp_replace(trim(text), '\\s+', ' ', 'g'), 1, 60) AS norm_prefix, " +
+      ("SELECT doc_id, substr(trim(regexp_replace(text, '\\s+', ' ', 'g')), 1, 60) AS norm_prefix, " +
         "regexp_extract(text, '^(\\w+)', 1) AS first_token FROM documents ORDER BY doc_id"),
     "q_sql_over_view" ->
       ("SELECT source, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS total_chars " +

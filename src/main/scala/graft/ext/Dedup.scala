@@ -70,8 +70,12 @@ object Dedup {
     * time ~100×.)
     */
   def minhashSignatures(spark: SparkSession, d: String,
-                        numHashes: Int = 32): DataFrame = {
-    val exploded = Tables.documents(spark, d)
+                        numHashes: Int = 32): DataFrame =
+    minhashSignaturesDf(Tables.documents(spark, d), numHashes)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def minhashSignaturesDf(docs: DataFrame, numHashes: Int = 32): DataFrame = {
+    val exploded = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"), explode(shinglesOfTokens(col("toks"))).as("sh"))
     val aggs = (0 until numHashes).map(s => min(xxhash64(col("sh"), lit(s))).as(s"m$s"))
@@ -88,9 +92,15 @@ object Dedup {
     */
   def minhashCandidatePairs(
       spark: SparkSession, d: String,
+      numHashes: Int = 32, bands: Int = 8): DataFrame =
+    minhashCandidatePairsDf(Tables.documents(spark, d), numHashes, bands)
+
+  /** DataFrame form of the LSH candidate-pair pipeline. */
+  def minhashCandidatePairsDf(
+      docsIn: DataFrame,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
-    val docs = minhashSignatures(spark, d, numHashes)
+    val docs = minhashSignaturesDf(docsIn, numHashes)
     val banded = docs.select(
       col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band")

@@ -69,10 +69,12 @@ object TextExtract {
   }
 
   /** Whitespace normalize (T7): `' '.join(text.split())`.
-    * Reference: `crawl/crawl.py:198-199`.
+    * Reference: `crawl/crawl.py:198-199`. Collapse FIRST, then trim —
+    * Spark's trim strips only spaces, so leading tabs/newlines would
+    * otherwise survive as a leading space.
     */
   def normalizeWhitespace(c: Column): Column =
-    regexp_replace(trim(c), "\\s+", " ")
+    trim(regexp_replace(c, "\\s+", " "))
 
   /** Dash-run removal (T8). Reference: `crawl/crawl.py:226`. */
   def stripDashRuns(c: Column): Column = regexp_replace(c, "-{2,}", "")

@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Ground-truth assertions for the no-oracle dedup/similarity operators:
+  * minhash estimates vs exact Jaccard, LSH ANN recall vs brute force,
+  * simhash invariants.
+  */
+class DedupSimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Exact shingle-set Jaccard computed independently in Scala. */
+  private def exactJaccard(a: String, b: String): Double = {
+    def sh(s: String) = s.trim.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val (sa, sb) = (sh(a), sh(b))
+    sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  private val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+  private val nearDup = (1 to 60).map(i => if (i % 20 == 0) s"CHANGED$i" else s"tok$i").mkString(" ")
+  private val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
+
+  test("minhash est_jaccard approximates exact Jaccard for a true near-dup") {
+    val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairsDf(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = exactJaccard(base, nearDup)
+    assert(exact > 0.6, s"fixture should be a near-dup, was $exact")
+    assert(pairs.contains((0L, 1L)), "LSH banding must surface the near-dup pair")
+    val est = pairs((0L, 1L))
+    assert(math.abs(est - exact) < 0.3, s"est $est vs exact $exact")
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)),
+      "unrelated doc must not collide in any band")
+  }
+
+  test("identical docs: est_jaccard exactly 1.0") {
+    val docs = Seq((0L, base), (1L, base)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairsDf(docs).collect()
+    assert(pairs.length == 1 && pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("exact dedup keep-list keeps min doc_id per content and counts copies") {
+    Seq((5L, "dup"), (2L, "dup"), (9L, "uniq"))
+      .toDF("doc_id", "text").createOrReplaceTempView("t")
+    val keep = spark.table("t")
+      .groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(keep == Set((2L, 2L), (9L, 1L)))
+  }
+
+  test("simhash: exact dups share a signature and near-dups are within distance") {
+    val df = Seq((0L, base), (1L, base), (2L, unrelated)).toDF("doc_id", "text")
+    df.createOrReplaceTempView("documents_simhash_test")
+    // signatures via the same token pipeline, inline (path API reads tables)
+    val toks = df.select($"doc_id", explode(TextAnalysis.tokens($"text")).as("tok"))
+      .select($"doc_id", xxhash64($"tok").as("h"))
+    val bitCols = (0 until 64).map { b =>
+      sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val agg = toks.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    val sigs = agg.select($"doc_id", sig.as("simhash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L), "identical docs must have identical simhash")
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) > 3,
+      "unrelated docs must be far in Hamming space")
+  }
+
+  test("LSH ANN recall vs brute-force cosine ground truth at sf0.001") {
+    val brute = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = Similarity.lshAnnTopK(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ann.nonEmpty, "ANN must return candidates")
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    assert(recall >= 0.05, s"bucketed ANN recall collapsed: $recall")
+    // scores for shared pairs must be identical (same cosine expression)
+    val bScores = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos_sim_r")).toMap
+    val aScores = Similarity.lshAnnTopK(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos_sim_r")).toMap
+    brute.intersect(ann).foreach(p => assert(bScores(p) == aScores(p)))
+  }
+
+  test("cosine matches a hand-computed value") {
+    val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(1.0f, 1.0f, 0.0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine($"a", $"b")).collect().head.getDouble(0)
+    assert(math.abs(c - 0.5) < 1e-12) // dot=1, norms sqrt(2)*sqrt(2)=2
+  }
+}

@@ -1,0 +1,112 @@
+package graft.ingest
+
+import java.nio.file.Files
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.sinks.FileSinks
+import graft.ext.Multimodal
+
+/** S2/P7/A7 corpus ingest, K3–K5 file sinks, and the multimodal plumbing. */
+class CorpusAndSinksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpusDir = "/root/repo/src/test/resources/corpus"
+
+  test("S2: wholetext scan yields one row per .txt with path-derived metadata") {
+    val df = CorpusSource.wholeTextCorpus(spark, corpusDir)
+    val rows = df.orderBy($"filename").collect()
+    assert(rows.map(_.getAs[String]("filename")).toSeq ==
+      Seq("doc1.txt", "doc2.txt", "doc3.txt"))
+    assert(rows.map(_.getAs[String]("domain")).toSeq ==
+      Seq("vanban", "vanban", "thongtu"))
+    assert(rows.forall(_.getAs[String]("content").nonEmpty))
+    // P7: the .md file in the corpus dir is excluded
+    assert(!rows.exists(_.getAs[String]("filename").endsWith(".md")))
+  }
+
+  test("S2 content feeds the T3-T6 extractors (Vietnamese fixtures)") {
+    val df = CorpusSource.wholeTextCorpus(spark, corpusDir)
+    val meta = df.select(
+        $"filename",
+        graft.extract.TextExtract.mainCode($"content").as("main_code"),
+        graft.extract.TextExtract.signer($"content").as("signer"))
+      .orderBy($"filename").collect()
+    assert(meta(0).getString(1) == "123/2023/QĐ-BCT")
+    assert(meta(0).getString(2) == "KT. BỘ TRƯỞNG")
+    assert(meta(1).isNullAt(1)) // doc2 has no code
+    assert(meta(2).isNullAt(1) && meta(2).isNullAt(2)) // doc3 unstructured
+  }
+
+  test("A7: observe() ingest counters match the corpus") {
+    val obs = Observation("ingest_test")
+    val df = CorpusSource.withIngestCounters(
+      CorpusSource.wholeTextCorpus(spark, corpusDir), obs)
+    df.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("total_files") == 3L)
+    assert(m("success_count") == 3L)
+    assert(m("error_count") == 0L)
+    assert(m("total_chars").asInstanceOf[Long] > 100L)
+  }
+
+  test("K4: links JSON sink round-trips") {
+    val path = Files.createTempDirectory("links").toString + "/links"
+    val links = Seq(("Doc A", "https://example.vn/a"), ("Doc B", "https://example.vn/b"))
+      .toDF("name", "link")
+    FileSinks.writeLinksJson(links, path)
+    val back = spark.read.json(path).orderBy($"name").collect()
+    assert(back.map(r => (r.getAs[String]("name"), r.getAs[String]("link"))).toSeq ==
+      Seq(("Doc A", "https://example.vn/a"), ("Doc B", "https://example.vn/b")))
+  }
+
+  test("K5: per-doc text sink partitions by domain and preserves content") {
+    val path = Files.createTempDirectory("docs").toString + "/docs"
+    val docs = Seq(("a", "nội dung một"), ("a", "nội dung hai"), ("b", "ba"))
+      .toDF("domain", "content")
+    FileSinks.writeDocsText(docs, path)
+    val back = spark.read.text(s"$path/domain=a").collect().map(_.getString(0)).toSet
+    assert(back == Set("nội dung một", "nội dung hai"))
+    assert(spark.read.text(s"$path/domain=b").count() == 1)
+  }
+
+  test("K3/J3: stats JSON sink round-trips nested map columns") {
+    val path = Files.createTempDirectory("stats").toString + "/stats"
+    val docs = Seq(("a", "aaaa"), ("b", "bb")).toDF("domain", "content")
+    val stats = graft.streaming.StreamingStats.batchStats(docs, 1L)
+    FileSinks.writeStatsJson(stats, path)
+    val back = spark.read.json(path).collect().head
+    assert(back.getAs[Long]("total_documents") == 2L)
+    // map round-trips as a struct in JSON; both domain keys survive
+    val domains = back.getAs[org.apache.spark.sql.Row]("domains")
+    assert(domains.getAs[Long]("a") == 1L && domains.getAs[Long]("b") == 1L)
+  }
+
+  test("multimodal: fake codec features are deterministic, computed per partition") {
+    import spark.implicits._
+    val records = Seq(
+      Multimodal.MediaRecord(1L, "image", Array[Byte](10, 20, 30), Some(2), Some(2), None),
+      Multimodal.MediaRecord(2L, "audio", Array[Byte](-1, -1), None, None, Some(2000L)),
+      Multimodal.MediaRecord(3L, "image", null, None, None, None)
+    ).toDS().repartition(2)
+    val feats = Multimodal.extractFeatures(records, dim = 4).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_bytes == 3L)
+    assert(feats(1L).feature.toSeq == Seq(10 / 255.0f, 20 / 255.0f, 30 / 255.0f, 0.0f))
+    assert(feats(2L).feature.toSeq == Seq(255 / 255.0f, 255 / 255.0f, 0.0f, 0.0f))
+    assert(feats(3L).n_bytes == 0L && feats(3L).feature.forall(_ == 0.0f))
+  }
+
+  test("multimodal: frame sampling explodes every nth frame for videos only") {
+    val df = Seq(
+      (1L, "video", 3500L), (2L, "image", 0L), (3L, "video", 999L)
+    ).toDF("media_id", "kind", "duration_ms")
+      .withColumn("duration_ms", when($"kind" === "video", $"duration_ms"))
+    val frames = Multimodal.sampleFrames(df, everyMs = 1000L)
+      .groupBy($"media_id").agg(count(lit(1)).as("n"), max($"frame_idx").as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(frames(1L) == ((4L, 3L))) // frames 0..3 for 3.5s at 1s sampling
+    assert(frames(3L) == ((1L, 0L)))
+    assert(!frames.contains(2L)) // images produce no frames
+  }
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.ingest.ConsumerPlan
+
+/** SURVEY §2.11: the reference consumer pipeline (J1→P1–P4→foreachBatch
+  * stats) driven through a MemoryStream with FIXTURES-shaped JSON — the
+  * hermetic stand-in for the Kafka source (same downstream plan).
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docJson(domain: String, filename: String, content: String): String =
+    s"""{"domain":"$domain","filename":"$filename","content":"$content","file_path":"/$domain/$filename"}"""
+
+  private def envelopeOf(rows: Seq[(String, String)]) = {
+    // (key, value) -> Kafka-envelope shape: binary key/value + timestamp
+    rows.toDF("k", "v").select(
+      $"k".cast("binary").as("key"),
+      $"v".cast("binary").as("value"),
+      lit(Timestamp.valueOf("2024-01-01 00:00:10")).as("timestamp"))
+  }
+
+  test("consumer plan: decode, flatten, null-reject malformed JSON") {
+    val envelope = envelopeOf(Seq(
+      ("a_d1", docJson("a", "d1.txt", "xxxx")),
+      ("a_d2", docJson("a", "d2.txt", "yyyyyy")),
+      ("b_d3", docJson("b", "d3.txt", "zz")),
+      ("bad", "{not valid json")))
+    val docs = ConsumerPlan(envelope)
+    val rows = docs.orderBy($"kafka_key").collect()
+    assert(rows.length == 3) // malformed row filtered (P4)
+    assert(rows.map(_.getAs[String]("domain")).toSeq == Seq("a", "a", "b"))
+    assert(rows.head.getAs[String]("content") == "xxxx")
+    assert(rows.head.getAs[Timestamp]("kafka_timestamp") != null)
+  }
+
+  test("producer encode round-trips through the consumer decode") {
+    val docs = Seq(("a", "f1.txt", "nội dung tiếng Việt", "/a/f1.txt"))
+      .toDF("domain", "filename", "content", "file_path")
+    val env = ConsumerPlan.encodeEnvelope(docs)
+      .select($"key".cast("binary"), $"value".cast("binary"),
+        lit(Timestamp.valueOf("2024-01-01 00:00:00")).as("timestamp"))
+    val back = ConsumerPlan(env).collect().head
+    assert(back.getAs[String]("kafka_key") == "a_f1.txt")
+    assert(back.getAs[String]("content") == "nội dung tiếng Việt")
+    assert(back.getAs[String]("file_path") == "/a/f1.txt")
+  }
+
+  test("batchStats: one-pass totals, domain map, size stats") {
+    val docs = Seq(
+      ("a", "aaaa"), ("a", "bb"), ("b", "cccccc")
+    ).toDF("domain", "content")
+    val stats = StreamingStats.batchStats(docs, batchId = 7L).collect().head
+    assert(stats.getAs[Long]("batch_id") == 7L)
+    assert(stats.getAs[Long]("total_documents") == 3L)
+    assert(stats.getAs[Map[String, Long]]("domains") == Map("a" -> 2L, "b" -> 1L))
+    val size = stats.getAs[Map[String, Long]]("size_stats")
+    assert(size("nhỏ nhất") == 2L && size("lớn nhất") == 6L &&
+      size("tổng") == 12L && size("trung bình") == 4L)
+  }
+
+  test("streaming foreachBatch stats sink: per-batch rows, empty batch short-circuits") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val envelope = input.toDF().toDF("k", "v").select(
+      $"k".cast("binary").as("key"),
+      $"v".cast("binary").as("value"),
+      lit(Timestamp.valueOf("2024-01-01 00:00:10")).as("timestamp"))
+    val docs = ConsumerPlan(envelope)
+    val statsPath = Files.createTempDirectory("stats").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val query = StreamingStats.statsSink(docs, statsPath, ckpt, triggerMs = 50L).start()
+    try {
+      input.addData(("a_1", docJson("a", "1.txt", "aaaa")), ("b_2", docJson("b", "2.txt", "bb")))
+      query.processAllAvailable()
+      input.addData(("bad", "{malformed")) // all rows filtered -> empty batch
+      query.processAllAvailable()
+      input.addData(("c_3", docJson("c", "3.txt", "cccccc")))
+      query.processAllAvailable()
+    } finally query.stop()
+    val stats = spark.read.parquet(statsPath).orderBy($"batch_id")
+    val rows = stats.collect()
+    assert(rows.length == 2, "empty batch must not write a stats row")
+    assert(rows(0).getAs[Long]("total_documents") == 2L)
+    assert(rows(1).getAs[Long]("total_documents") == 1L)
+    // A5/A6 rollups over the persisted stats table
+    val roll = StreamingStats.rollupStats(stats).collect()
+    assert(roll.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 1L), ("c", 1L)))
+    assert(StreamingStats.topDomains(stats, 2).count() == 2)
+  }
+
+  test("watermarked tumbling-window counts over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val docs = input.toDF().toDF("domain", "kafka_timestamp")
+    val windowed = StreamingStats.windowedDomainCounts(docs, "10 seconds", "1 minute")
+    val query = windowed.writeStream.format("memory")
+      .queryName("wc_test").outputMode("complete").start()
+    try {
+      input.addData(
+        ("a", Timestamp.valueOf("2024-01-01 00:00:01")),
+        ("a", Timestamp.valueOf("2024-01-01 00:00:09")),
+        ("a", Timestamp.valueOf("2024-01-01 00:00:11")),
+        ("b", Timestamp.valueOf("2024-01-01 00:00:03")))
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("wc_test")
+      .orderBy($"win_start", $"domain").collect()
+      .map(r => (r.getAs[Timestamp]("win_start").toString, r.getString(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", "a", 2L),
+      ("2024-01-01 00:00:00.0", "b", 1L),
+      ("2024-01-01 00:00:10.0", "a", 1L)))
+  }
+}
