@@ -73,17 +73,49 @@ object Dedup {
                         numHashes: Int = 32): DataFrame =
     minhashSignaturesDf(Tables.documents(spark, d), numHashes)
 
+  /** One-pass signature kernel: per doc, build each 3-shingle once, hash
+    * the shingle string once (seed 42), then derive the `numHashes`
+    * seeded variants as cheap int-mixes — the exact value chain of the
+    * SQL `xxhash64(shingle, seed)` expression (hash(seed, hash(sh, 42))),
+    * so results are bit-identical to the expression form it replaces.
+    *
+    * Scale shape: the signature stage is now a NARROW MAP over the scan —
+    * no explode, no shuffle; the only shuffle left in the dedup pipeline
+    * is the band-bucket self-join. (The previous explode+groupBy form
+    * shuffled one row per shingle and burned ~9 s of codegen JIT on a
+    * 32-aggregate hash-agg plan.)
+    */
+  private def minhashSigUdf(numHashes: Int) =
+    udf { toks: scala.collection.Seq[String] =>
+      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      import org.apache.spark.sql.types.{IntegerType, StringType}
+      import org.apache.spark.unsafe.types.UTF8String
+      val sigs = Array.fill(numHashes)(Long.MaxValue)
+      val n = toks.length
+      val m = math.max(n - 2, 1)
+      var i = 0
+      while (i < m) {
+        val end = math.min(i + 3, n)
+        val sb = new java.lang.StringBuilder
+        var j = i
+        while (j < end) { if (j > i) sb.append(' '); sb.append(toks(j)); j += 1 }
+        val h1 = XxHash64Function.hash(UTF8String.fromString(sb.toString), StringType, 42L)
+        var s = 0
+        while (s < numHashes) {
+          val h = XxHash64Function.hash(s, IntegerType, h1)
+          if (h < sigs(s)) sigs(s) = h
+          s += 1
+        }
+        i += 1
+      }
+      sigs
+    }
+
   /** DataFrame form (docs must have doc_id + text). */
-  def minhashSignaturesDf(docs: DataFrame, numHashes: Int = 32): DataFrame = {
-    val exploded = docs
+  def minhashSignaturesDf(docs: DataFrame, numHashes: Int = 32): DataFrame =
+    docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
-      .select(col("doc_id"), explode(shinglesOfTokens(col("toks"))).as("sh"))
-    val aggs = (0 until numHashes).map(s => min(xxhash64(col("sh"), lit(s))).as(s"m$s"))
-    exploded.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-  }
+      .select(col("doc_id"), minhashSigUdf(numHashes)(col("toks")).as("sig"))
 
   /** LSH candidate pairs: band the signature (bands × rows = numHashes),
     * hash each band, bucket-join docs sharing any band hash. Self-join is

@@ -92,18 +92,35 @@ object TextAnalysis {
 
   /** Document fingerprint: rolling 8-gram (character) hashes, keep the
     * min — a winnowing-style content fingerprint that is stable under
-    * document reordering within a corpus. xxhash64 is Spark-native and
-    * codegen'd; `sequence` + `transform` keeps it all in Tungsten.
+    * document reordering within a corpus.
+    *
+    * Tight-loop kernel over UTF8String windows (one JIT'd pass per doc)
+    * replacing the interpreted `transform(sequence(...), xxhash64(substr))`
+    * form, which allocated + hashed per character position at interpreter
+    * speed. Values are identical: same substring windows (code-point
+    * semantics), same single-arg xxhash64 seed (42).
     */
-  def fingerprints(spark: SparkSession, d: String): DataFrame = {
-    val n = lit(8)
-    val text = col("text")
-    val idxs = sequence(lit(1), greatest(length(text) - n + 1, lit(1)))
-    Tables.documents(spark, d)
-      .select(
-        col("doc_id"),
-        array_min(transform(idxs, i => xxhash64(text.substr(i, n)))).as("fingerprint")
-      )
-      .orderBy(col("doc_id"))
+  private val fingerprintUdf = udf { text: String =>
+    if (text == null) Option.empty[Long]
+    else {
+      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      import org.apache.spark.sql.types.StringType
+      import org.apache.spark.unsafe.types.UTF8String
+      val u = UTF8String.fromString(text)
+      val m = math.max(u.numChars() - 7, 1)
+      var best = Long.MaxValue
+      var i = 1
+      while (i <= m) {
+        val h = XxHash64Function.hash(u.substringSQL(i, 8), StringType, 42L)
+        if (h < best) best = h
+        i += 1
+      }
+      Some(best)
+    }
   }
+
+  def fingerprints(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), fingerprintUdf(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
 }

@@ -64,4 +64,22 @@ object ConsumerPlan {
       .option("failOnDataLoss", "false")
       .option("maxOffsetsPerTrigger", 1000L) // working form of the reference's no-op rate cap
       .load()
+
+  /** Kafka producer sink (K1): documents → encoded envelope → topic, with
+    * the reference's durability knobs (`push_data_to_kafka.py:44-46`:
+    * acks=all, bounded retries, in-flight=1 for strict per-key ordering).
+    * Batch form; the streaming form is `encodeEnvelope(df).writeStream
+    * .format("kafka")` with the same options. Untested here (no broker);
+    * the encode half is covered by the round-trip test.
+    */
+  def kafkaSink(docs: DataFrame, bootstrap: String, topic: String): Unit =
+    encodeEnvelope(docs)
+      .write
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("kafka.acks", "all")
+      .option("kafka.retries", "3")
+      .option("kafka.max.in.flight.requests.per.connection", "1")
+      .save()
 }
