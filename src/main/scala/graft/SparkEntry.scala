@@ -69,6 +69,7 @@ object SparkEntry {
       CorpusSource.wholeTextCorpus(s, "/root/repo/src/test/resources/corpus")
         .select(col("domain"), col("filename"), length(col("content")).cast("long").as("n_chars"))
         .orderBy(col("filename"))),
+    "q_media_features"    -> (ExtraQueries.mediaFeatures _),
     // ---- training-data-pipeline extensions
     "q_token_stats"       -> (TextAnalysis.tokenStats _),
     "q_quality_scores"    -> (TextAnalysis.qualityScores _),

@@ -70,6 +70,28 @@ object ExtraQueries {
       .select(col("doc_id"), HtmlToMarkdown.htmlToMarkdownCol(col("html")).as("md"))
       .orderBy(col("doc_id"))
 
+  /** Multimodal plumbing as a query (rows-only check): documents become
+    * opaque binary payloads (as real media would be), features extracted
+    * per-partition through the codec seam (deterministic fake codec — no
+    * media libs in the sandbox; the Spark-side schema/batching/output
+    * contract is the real thing).
+    */
+  def mediaFeatures(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    val records = Tables.documents(spark, d)
+      .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"))
+      .as[Multimodal.MediaRecord]
+    Multimodal.extractFeatures(records, dim = 16).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        round(aggregate(col("feature"), lit(0.0), (a, v) => a + v.cast("double")), 4)
+          .as("feature_sum"))
+      .orderBy(col("media_id"))
+  }
+
   /** parse_vn_date + stripDashRuns wired to a query: construct Vietnamese
     * legal-date strings from order dates (with a dash-run artifact),
     * normalize, parse back to DateType.
