@@ -20,28 +20,16 @@ object Similarity {
   /** Sum of element-wise products in index order — deterministic FP
     * (sequential accumulation, same order and the same double arithmetic
     * as the DuckDB oracle's list functions, so results hash-match).
-    * Tight-loop UDFs: the interpreted `aggregate(zip_with(...))` fold ran
-    * one closure call per element per pair; the JIT'd loop is ~10× faster
-    * and bit-identical.
+    * Implemented as native codegen'd Catalyst expressions
+    * ([[graft.functions.FloatVecDot]]): the kernels stay inside
+    * whole-stage codegen over Tungsten array memory — no per-pair boxing,
+    * no codegen fence in the pair-scoring joins.
     */
-  private val dotUdf = udf { (a: scala.collection.Seq[Float], b: scala.collection.Seq[Float]) =>
-    val n = math.min(a.length, b.length)
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  }
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vecDot(a, b)
 
-  private val normUdf = udf { a: scala.collection.Seq[Float] =>
-    var s = 0.0
-    var i = 0
-    while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
-    math.sqrt(s)
-  }
-
-  def dot(a: Column, b: Column): Column = dotUdf(a, b)
-
-  def norm(a: Column): Column = normUdf(a)
+  def norm(a: Column): Column =
+    graft.functions.VectorExpressions.vecNorm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
