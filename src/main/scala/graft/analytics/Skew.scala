@@ -1,0 +1,45 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation: salting for hot keys. AQE's skew-join handling (left
+  * on) covers sort-merge joins at runtime; explicit salting is the
+  * static tool for the cases AQE cannot rewrite — broadcast-ineligible
+  * skewed joins and single-hot-key aggregations where one reducer would
+  * own the key.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: spread each key over `salts` partial
+    * groups (deterministic spread via a row hash, not rand(), so replays
+    * and retries agree), combine partials, then finalize per key. The
+    * hot key's map-side work fans out over `salts` reducers; the final
+    * combine handles `salts` rows per key.
+    */
+  def saltedSum(df: DataFrame, key: Column, value: Column,
+                salts: Int = 16): DataFrame = {
+    val salted = df.select(key.as("k"), value.as("v"))
+      .withColumn("_salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    salted
+      .groupBy(col("k"), col("_salt"))
+      .agg(sum(col("v")).as("partial"))
+      .groupBy(col("k"))
+      .agg(sum(col("partial")).as("total"))
+  }
+
+  /** Salted equi-join for a skewed LEFT side: each left row gets one of
+    * `salts` deterministic salt values; the (small, broadcast-ineligible)
+    * right side is replicated across all salt values, so a hot key's
+    * rows land on `salts` different reducers instead of one. Result is
+    * row-identical to the unsalted join (SkewSpec asserts this).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 16): DataFrame = {
+    val bigS = big.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val smallS = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.storage
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+import graft.analytics.Skew
+import graft.streaming.StatefulStreams
+
+/** The 100 TB toolbox: bucketed co-located joins (no shuffle), salted
+  * skew handling (identical results), and custom streaming state.
+  */
+class ScaleToolsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bucketed tables join without any Exchange in the plan") {
+    val orders = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_totalprice")
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey".as("o_orderkey"), $"l_quantity")
+    Bucketing.writeBucketed(orders, "orders_b", "o_orderkey", buckets = 8)
+    Bucketing.writeBucketed(li, "lineitem_b", "o_orderkey", buckets = 8)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = Bucketing.colocatedJoin(spark, "orders_b", "lineitem_b", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      // and it computes the same thing as the plain join
+      val expected = Tables.orders(spark, sfDir).join(
+        Tables.lineitem(spark, sfDir),
+        $"o_orderkey" === $"l_orderkey").count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("salted sum equals direct aggregation (skewed key distribution)") {
+    val skewed = (1 to 5000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i.toLong))
+      .toDF("k", "v")
+    val direct = skewed.groupBy($"k").agg(sum($"v").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedSum(skewed, $"k", $"v", salts = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+    assert(direct("HOT") == (1 to 5000).filter(_ % 10 != 0).map(_.toLong).sum)
+  }
+
+  test("salted join is row-identical to the plain join") {
+    val big = (1 to 2000).map(i => (if (i % 3 == 0) "k1" else "k" + i, i.toLong))
+      .toDF("key", "payload")
+    val small = Seq(("k1", "dim1"), ("k5", "dim5"), ("k100", "dim100"))
+      .toDF("key", "attr")
+    val plain = big.join(small, "key")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val salted = Skew.saltedJoin(big, small, "key", salts = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("flatMapGroupsWithState: running domain totals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val docs = input.toDF().toDF("domain", "content")
+    val updates = StatefulStreams.runningDomainTotals(docs)
+    val query = updates.writeStream.format("memory")
+      .queryName("state_test").outputMode("append").start()
+    try {
+      input.addData(("a", "xxxx"), ("a", "yy"), ("b", "zzz"))
+      query.processAllAvailable()
+      input.addData(("a", "w"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("state_test")
+      .orderBy($"cumDocs", $"domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows.contains(("a", 2L, 2L, 6L)), s"batch-1 a update missing in $rows")
+    assert(rows.contains(("b", 1L, 1L, 3L)))
+    assert(rows.contains(("a", 1L, 3L, 7L)), "state must carry across batches")
+  }
+}
