@@ -103,15 +103,27 @@ object TextAnalysis {
   private val fingerprintUdf = udf { text: String =>
     if (text == null) Option.empty[Long]
     else {
-      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-      import org.apache.spark.sql.types.StringType
-      import org.apache.spark.unsafe.types.UTF8String
-      val u = UTF8String.fromString(text)
-      val m = math.max(u.numChars() - 7, 1)
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      import org.apache.spark.unsafe.Platform
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      // code-point start offsets in one pass (substringSQL would rescan
+      // from byte 0 per window — O(n²) per doc, measured ~10× slower)
+      val starts = new Array[Int](bytes.length + 1)
+      var ncp = 0
+      var b = 0
+      while (b < bytes.length) {
+        if ((bytes(b) & 0xC0) != 0x80) { starts(ncp) = b; ncp += 1 }
+        b += 1
+      }
+      starts(ncp) = bytes.length
+      val m = math.max(ncp - 7, 1)
       var best = Long.MaxValue
-      var i = 1
-      while (i <= m) {
-        val h = XxHash64Function.hash(u.substringSQL(i, 8), StringType, 42L)
+      var i = 0
+      while (i < m) {
+        val s = starts(i)
+        val e = if (i + 8 <= ncp) starts(i + 8) else bytes.length
+        // same bytes + seed as xxhash64(substring): identical values
+        val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + s, e - s, 42L)
         if (h < best) best = h
         i += 1
       }

@@ -14,6 +14,15 @@ class ScaleToolsSpec extends SparkTestBase {
   import spark.implicits._
 
   test("bucketed tables join without any Exchange in the plan") {
+    // idempotent across JVMs: drop catalog entries AND stale locations
+    for (t <- Seq("orders_b", "lineitem_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"/tmp/graft-test-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     val orders = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_totalprice")
     val li = Tables.lineitem(spark, sfDir)
       .select($"l_orderkey".as("o_orderkey"), $"l_quantity")
