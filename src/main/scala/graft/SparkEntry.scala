@@ -82,6 +82,7 @@ object SparkEntry {
     "q_ngram_jaccard"     -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "q_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "q_lsh_ann_topk"      -> ((s: SparkSession, d: String) => Similarity.lshAnnTopK(s, d)),
+    "q_ivf_ann_topk"      -> ((s: SparkSession, d: String) => Similarity.ivfAnnTopK(s, d)),
     "q_embedding_near_dups" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d)),
     "q_embedding_norm_stats" -> (Similarity.embeddingNormStats _)
   )

@@ -207,18 +207,20 @@ object Dedup {
     * scale; bounded here so the all-pairs form is oracle-checkable.
     */
   def ngramJaccardPairs(spark: SparkSession, d: String, idLimit: Int = 200): DataFrame = {
+    // shingle sets are sorted+distinct ONCE per doc below the join, so the
+    // per-pair cost is a single allocation-free codegen'd merge walk
+    // (graft.functions.JaccardSortedArrays) instead of two hash sets and
+    // two materialized arrays per pair.
     val docs = Tables.documents(spark, d)
       .filter(col("doc_id") < idLimit)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
-      .select(col("doc_id"), array_distinct(shinglesOfTokens(col("toks"))).as("sh"))
+      .select(col("doc_id"), array_sort(array_distinct(shinglesOfTokens(col("toks")))).as("sh"))
     val a = docs.as("a")
     val b = docs.as("b")
-    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
-    val union = size(array_union(col("a.sh"), col("b.sh")))
     a.join(broadcast(b), col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        (inter.cast("double") / union).as("jaccard"))
+        graft.functions.JaccardExpression.jaccardSorted(col("a.sh"), col("b.sh")).as("jaccard"))
       .filter(col("jaccard") > 0.1)
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -127,6 +127,112 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // ------------------------------------------------------------- IVF ANN
+
+  /** Deterministic IVF coarse quantizer: nlist centroids, a few Lloyd
+    * iterations, trained on a BOUNDED deterministic sample (the first
+    * maxTrain vectors) collected to the driver — the standard IVF design
+    * (FAISS trains its quantizer on a sample too): the model is
+    * nlist×dim doubles regardless of corpus size, training is one small
+    * collect + local loops instead of one distributed job per Lloyd
+    * iteration, and corpus ASSIGNMENT stays a distributed narrow map.
+    * No RNG anywhere, so runs/replays agree.
+    */
+  def trainIvfCentroids(emb: DataFrame, nlist: Int = 16, iters: Int = 3,
+                        maxTrain: Int = 4096): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = emb.orderBy(col("vec_id"))
+      .limit(maxTrain).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= nlist, s"need >= $nlist training vectors")
+    var cents = sample.take(nlist).map(_.clone())
+    for (_ <- 0 until iters) {
+      val dim = cents(0).length
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < nlist) {
+          var dd = 0.0
+          var i = 0
+          while (i < dim) { val x = v(i) - cents(c)(i); dd += x * x; i += 1 }
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(nlist) { c =>
+        if (counts(c) == 0) cents(c) // empty cells keep their centroid
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    cents
+  }
+
+  /** Nearest-centroid cell id (squared-L2 argmin, ties to lower cell). */
+  private def ivfCellUdf(cents: Array[Array[Double]]) =
+    udf { v: scala.collection.Seq[Float] =>
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val ctr = cents(c)
+        var d = 0.0
+        var i = 0
+        val n = math.min(ctr.length, v.length)
+        while (i < n) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+  /** The query's nprobe nearest cells (sorted by distance, ties by id). */
+  private def ivfProbeUdf(cents: Array[Array[Double]], nprobe: Int) =
+    udf { v: scala.collection.Seq[Float] =>
+      cents.indices.map { c =>
+        val ctr = cents(c)
+        var d = 0.0
+        var i = 0
+        val n = math.min(ctr.length, v.length)
+        while (i < n) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+        (d, c)
+      }.sorted.take(nprobe).map(_._2).toArray
+    }
+
+  /** IVF-bucketed ANN: corpus vectors carry their cell id (narrow map);
+    * each query probes its nprobe nearest cells only, so the scan
+    * fraction is ~nprobe/nlist of brute force. Exact re-rank inside the
+    * probed cells. Recall vs brute force is asserted in tests.
+    */
+  def ivfAnnTopK(spark: SparkSession, d: String,
+                 nQueries: Int = 8, k: Int = 5,
+                 nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    val embRaw = Tables.embeddings(spark, d)
+    val cents = trainIvfCentroids(embRaw, nlist)
+    val emb = embRaw.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"), ivfCellUdf(cents)(col("embedding")).as("cell"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        explode(ivfProbeUdf(cents, nprobe)(col("embedding"))).as("probe_cell"))
+    val scored = emb.as("c")
+      .join(broadcast(queries),
+        col("probe_cell") === col("c.cell") && col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(dot(col("q_emb"), col("c.embedding")) / (col("q_nrm") * col("c.nrm")), 6)
+          .as("cos_sim_r"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim_r").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim_r"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, within a
     * bounded id range (oracle-checkable verification kernel; at scale the
     * LSH bucket join above generates the candidates instead).

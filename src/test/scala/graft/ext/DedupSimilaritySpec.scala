@@ -86,6 +86,22 @@ class DedupSimilaritySpec extends SparkTestBase {
     brute.intersect(ann).foreach(p => assert(bScores(p) == aScores(p)))
   }
 
+  test("IVF ANN: deterministic centroids, bounded results, recall vs brute force") {
+    val brute = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfAnnTopK(spark, sfDir)
+    val rows = ivf.collect()
+    val perQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(perQuery.values.forall(_.length <= 5), "at most k rows per query")
+    val pairs = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.intersect(pairs).size.toDouble / brute.size
+    assert(recall >= 0.1, s"IVF recall collapsed: $recall")
+    // determinism: two runs produce identical output
+    val again = Similarity.ivfAnnTopK(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(again == pairs)
+  }
+
   test("cosine matches a hand-computed value") {
     val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(1.0f, 1.0f, 0.0f))).toDF("a", "b")
     val c = df.select(Similarity.cosine($"a", $"b")).collect().head.getDouble(0)
