@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{GraftSql, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{FloatVecDot, FloatVecNorm, JaccardSortedArrays}
+import graft.extract.HtmlToMarkdown
+
+/** SQL surface for graft's custom operators: the native expressions and
+  * the html_to_markdown UDF become callable from `spark.sql(...)` text —
+  * completing the ad-hoc SQL entry point (SURVEY §2.1 S3) for the
+  * operators that aren't Spark built-ins.
+  *
+  * Two registration paths:
+  *  - at session build: `.config("spark.sql.extensions",
+  *    "graft.GraftExtensions")` (standard extensions hook);
+  *  - on a running session: [[GraftExtensions.registerAll]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.expressions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", name, usage, "", "", "", "", "", "", "", "")
+
+  val expressions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("float_vec_dot"),
+      info("float_vec_dot", "float_vec_dot(a, b) - dot product of two float vectors"),
+      (args: Seq[Expression]) => FloatVecDot(args(0), args(1))),
+    (FunctionIdentifier("float_vec_norm"),
+      info("float_vec_norm", "float_vec_norm(a) - L2 norm of a float vector"),
+      (args: Seq[Expression]) => FloatVecNorm(args(0))),
+    (FunctionIdentifier("jaccard_sorted_arrays"),
+      info("jaccard_sorted_arrays",
+        "jaccard_sorted_arrays(a, b) - Jaccard similarity of sorted distinct string arrays"),
+      (args: Seq[Expression]) => JaccardSortedArrays(args(0), args(1)))
+  )
+
+  /** Register everything into an already-running session. */
+  def registerAll(spark: SparkSession): Unit = {
+    expressions.foreach { case (id, inf, builder) =>
+      GraftSql.registerFunction(spark, id, inf, builder)
+    }
+    spark.udf.register("html_to_markdown", HtmlToMarkdown.htmlToMarkdown)
+  }
+}

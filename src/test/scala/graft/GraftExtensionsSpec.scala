@@ -1,0 +1,36 @@
+package graft
+
+/** The ad-hoc SQL surface for custom operators: after registration, the
+  * native expressions and UDFs are callable from SQL text.
+  */
+class GraftExtensionsSpec extends SparkTestBase {
+
+  test("custom functions callable from spark.sql after registerAll") {
+    GraftExtensions.registerAll(spark)
+    val dot = spark.sql(
+      "SELECT float_vec_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
+        "array(cast(3.0 as float), cast(4.0 as float))) AS d").collect().head.getDouble(0)
+    assert(dot == 11.0)
+    val nrm = spark.sql(
+      "SELECT float_vec_norm(array(cast(3.0 as float), cast(4.0 as float))) AS n")
+      .collect().head.getDouble(0)
+    assert(nrm == 5.0)
+    val jac = spark.sql(
+      "SELECT jaccard_sorted_arrays(array('a','b','c'), array('b','c','d')) AS j")
+      .collect().head.getDouble(0)
+    assert(math.abs(jac - 0.5) < 1e-12) // |{b,c}| / |{a,b,c,d}|
+    val md = spark.sql(
+      "SELECT html_to_markdown('<h1>Tiêu đề</h1><p>nội  dung</p>') AS md")
+      .collect().head.getString(0)
+    assert(md == "# Tiêu đề\n\nnội dung")
+  }
+
+  test("SQL-registered expression appears in a real query plan (codegen path)") {
+    GraftExtensions.registerAll(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb_sql")
+    val rows = spark.sql(
+      """SELECT vec_id, round(float_vec_norm(embedding), 6) AS nrm
+        |FROM emb_sql WHERE vec_id < 3 ORDER BY vec_id""".stripMargin).collect()
+    assert(rows.length == 3 && rows.forall(_.getDouble(1) > 0.0))
+  }
+}
