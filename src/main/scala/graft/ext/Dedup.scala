@@ -51,12 +51,6 @@ object Dedup {
     transform(idxs, i => concat_ws(" ", slice(toks, i, lit(n))))
   }
 
-  /** Word 3-shingles of a text column (convenience; see shinglesOfTokens
-    * for why hot paths materialize the token array first).
-    */
-  def shingles(c: Column, n: Int = 3): Column =
-    shinglesOfTokens(split(trim(c), "\\s+"), n)
-
   /** MinHash signatures for the whole corpus: one row per doc with a
     * `numHashes`-element array `sig` where sig[s] = min over shingles of
     * xxhash64(shingle, s).
