@@ -78,6 +78,7 @@ object SparkEntry {
     "q_dedup_exact_stats" -> (Dedup.exactDedupStats _),
     "q_dedup_keep_list"   -> (Dedup.exactDedupKeepList _),
     "q_minhash_pairs"     -> ((s: SparkSession, d: String) => Dedup.minhashCandidatePairs(s, d)),
+    "q_neardup_clusters"  -> ((s: SparkSession, d: String) => Dedup.nearDupKeepList(s, d)),
     "q_simhash_near_dups" -> ((s: SparkSession, d: String) => Dedup.simhashNearDups(s, d)),
     "q_ngram_jaccard"     -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "q_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),

@@ -150,6 +150,60 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ------------------------------------------- near-dup cluster resolution
+
+  /** Connected components over candidate pairs (id_a, id_b) by iterative
+    * min-label propagation: every node repeatedly adopts the smallest
+    * doc_id reachable through its edges; after convergence each near-dup
+    * cluster is labeled by its minimum member, which becomes the
+    * canonical document to keep.
+    *
+    * Scale shape: one shuffle per iteration, converging in O(cluster
+    * diameter) iterations — near-dup clusters are shallow (pairs come
+    * from LSH bands), so a handful of rounds suffices. Each round
+    * persists its labels and unpersists the previous round, keeping
+    * lineage flat (at very large scale, swap persist for periodic
+    * checkpoints).
+    */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // persist the edge list: every propagation round joins against it,
+    // and without the persist each round would re-run the whole upstream
+    // candidate-generation pipeline
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      // each node proposes its label to neighbors; adopt the minimum
+      val proposals = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(proposals)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
+  /** The full near-dup keep-list: LSH candidates above an estimated-
+    * Jaccard threshold → clusters → (doc_id, canonical_id) where
+    * doc_id != canonical_id marks a document to drop.
+    */
+  def nearDupKeepList(spark: SparkSession, d: String,
+                      threshold: Double = 0.7): DataFrame =
+    dedupClusters(
+      minhashCandidatePairs(spark, d).filter(col("est_jaccard") >= threshold))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------ SimHash
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by

@@ -40,6 +40,30 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(pairs.length == 1 && pairs.head.getDouble(2) == 1.0)
   }
 
+  test("dedup clusters: chains, triangles, and isolated pairs resolve to min-id canonicals") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (pair)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val clusters = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("near-dup keep-list finds the planted near-dup clusters at sf0.001") {
+    val keep = Dedup.nearDupKeepList(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(keep.nonEmpty, "sf0.001 has planted near-dups")
+    val toDrop = keep.filter { case (id, canon) => id != canon }
+    assert(toDrop.nonEmpty, "every cluster has at least one non-canonical member")
+    keep.foreach { case (id, canon) => assert(canon <= id) }
+  }
+
   test("exact dedup keep-list keeps min doc_id per content and counts copies") {
     Seq((5L, "dup"), (2L, "dup"), (9L, "uniq"))
       .toDF("doc_id", "text").createOrReplaceTempView("t")

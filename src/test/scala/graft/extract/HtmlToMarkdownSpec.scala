@@ -76,6 +76,21 @@ class HtmlToMarkdownSpec extends SparkTestBase {
     assert(md == "one\n\ntwo")
   }
 
+  test("robustness: never throws on random tag soup; grid invariant holds") {
+    // crawl data is arbitrary — the operator must be total
+    val rng = new scala.util.Random(7)
+    val frags = Array("<p>", "</p>", "<h1>", "</h2>", "<table>", "<tr>", "<td>",
+      "</table>", "<ul>", "<li>", "<br>", "text ", "Việt ", "&amp;", "&bogus;",
+      "< ", ">", "<!-- c ", "-->", "<div x=\">\">", "</nope>", "&#65;", "\n")
+    for (_ <- 0 until 300) {
+      val soup = (0 until rng.nextInt(40)).map(_ => frags(rng.nextInt(frags.length))).mkString
+      val md = HtmlToMarkdown.convert(soup) // must not throw
+      assert(md != null)
+      // no blank entries survive the filter (the reference drops them)
+      assert(md.split("\n\n").forall(l => l.isEmpty == (md.isEmpty)))
+    }
+  }
+
   test("null input stays null; UDF runs in a query") {
     assert(HtmlToMarkdown.convert(null) == null)
     import spark.implicits._
