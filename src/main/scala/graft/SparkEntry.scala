@@ -70,6 +70,9 @@ object SparkEntry {
         .select(col("domain"), col("filename"), length(col("content")).cast("long").as("n_chars"))
         .orderBy(col("filename"))),
     "q_media_features"    -> (ExtraQueries.mediaFeatures _),
+    "q_session_stats"     -> (ExtraQueries.sessionStats _),
+    "q_grouping_sets"     -> (ExtraQueries.orderGroupingSets _),
+    "q_percentiles"       -> (ExtraQueries.quantityPercentiles _),
     // ---- training-data-pipeline extensions
     "q_token_stats"       -> (TextAnalysis.tokenStats _),
     "q_quality_scores"    -> (TextAnalysis.qualityScores _),
@@ -283,6 +286,26 @@ object SparkEntry {
         "make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), " +
         "CAST(day(o_orderdate) AS INT)) AS issue_date " +
         "FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey"),
+    "q_session_stats" ->
+      ("WITH o AS (SELECT user_id, ts, " +
+        "CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "s AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM o), " +
+        "g AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY user_id, sid) " +
+        "SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events, " +
+        "CAST(MAX(n) AS BIGINT) AS max_session_events FROM g GROUP BY user_id ORDER BY user_id"),
+    "q_grouping_sets" ->
+      ("SELECT COALESCE(o_orderstatus, '(all)') AS status, " +
+        "COALESCE(o_orderpriority, '(all)') AS priority, COUNT(*) AS n_orders " +
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), " +
+        "(o_orderpriority), ()) ORDER BY status, priority"),
+    "q_percentiles" ->
+      ("SELECT l_returnflag, " +
+        "round(quantile_cont(l_quantity, 0.5), 6) AS median_qty, " +
+        "round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty, " +
+        "round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_wholetext_corpus" ->
       ("WITH f AS (SELECT filename AS path, content " +
         "FROM read_text('/root/repo/src/test/resources/corpus/*/*.txt')) " +

@@ -70,6 +70,47 @@ object ExtraQueries {
       .select(col("doc_id"), HtmlToMarkdown.htmlToMarkdownCol(col("html")).as("md"))
       .orderBy(col("doc_id"))
 
+  /** Sessionization: gap-based session windows per user (session extends
+    * while each event arrives within the gap of the previous one), then
+    * per-user session stats. The DuckDB oracle derives identical sessions
+    * with the gaps-and-islands formulation (new session when the gap to
+    * the previous event is >= the threshold — session_window's end bound
+    * is exclusive).
+    */
+  def sessionStats(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
+        max(col("n")).as("max_session_events"))
+      .orderBy(col("user_id"))
+
+  /** Arbitrary GROUPING SETS (beyond rollup/cube) through the SQL surface. */
+  def orderGroupingSets(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        |       COALESCE(o_orderpriority, '(all)') AS priority,
+        |       COUNT(*) AS n_orders
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  /** Exact interpolated percentiles per group (both engines use the
+    * linear-interpolation definition: Spark `percentile`, DuckDB
+    * `quantile_cont`).
+    */
+  def quantityPercentiles(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
+      .orderBy(col("l_returnflag"))
+
   /** Multimodal plumbing as a query (rows-only check): documents become
     * opaque binary payloads (as real media would be), features extracted
     * per-partition through the codec seam (deterministic fake codec — no
