@@ -80,6 +80,36 @@ object StreamingStats {
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("domain"), col("doc_count"))
 
+  /** Streaming exact dedup on ingest: drop re-deliveries of the same
+    * content within the watermark horizon. State is keyed by content
+    * hash and expired by the watermark — bounded, unlike an unbounded
+    * `dropDuplicates` — which is exactly the shape a training-data
+    * ingest needs (the same crawled page re-pushed within a window must
+    * not enter the corpus twice).
+    */
+  def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("content")))
+      .withWatermark("kafka_timestamp", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .drop("content_hash")
+
+  /** Stream-stream join with event-time bounds: enrich each document
+    * with the matching-domain control event that precedes it by at most
+    * `joinWindow`. Both sides are watermarked so join state is bounded —
+    * the canonical Structured Streaming two-stream pattern.
+    */
+  def joinWithControlStream(docs: DataFrame, controls: DataFrame,
+                            watermark: String = "1 minute",
+                            joinWindow: String = "30 seconds"): DataFrame = {
+    val d = docs.withWatermark("kafka_timestamp", watermark)
+    val c = controls.withWatermark("control_ts", watermark)
+    d.join(c,
+      col("domain") === col("control_domain") &&
+        col("control_ts") <= col("kafka_timestamp") &&
+        col("control_ts") >= col("kafka_timestamp") - expr(s"INTERVAL $joinWindow"))
+  }
+
   /** Cross-batch roll-ups over the persisted stats table (A5/A6 —
     * reference `export_stats.py:81,89-92`): total documents across batches
     * and per-domain totals from the map column.

@@ -71,6 +71,64 @@ class ScaleToolsSpec extends SparkTestBase {
     assert(salted == plain && plain.nonEmpty)
   }
 
+  test("date-partitioned store prunes partitions at listing time") {
+    val path = java.nio.file.Files.createTempDirectory("events_part").toString + "/events"
+    PartitionedStore.writeEventsByDay(Tables.events(spark, sfDir), path)
+    val day = Tables.events(spark, sfDir)
+      .agg(min(to_date($"ts")).cast("string")).collect().head.getString(0)
+    val df = PartitionedStore.readDay(spark, path, day)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("event_date"), s"no partition pruning in:\n$scan")
+    // pruned read returns exactly that day's rows
+    val expected = Tables.events(spark, sfDir).filter(to_date($"ts") === lit(day)).count()
+    assert(df.count() == expected && expected > 0)
+  }
+
+  test("streaming dedup within watermark drops re-delivered content") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, Timestamp)]
+    val docs = input.toDF().toDF("domain", "content", "kafka_timestamp")
+    val query = graft.streaming.StreamingStats.streamingDedup(docs)
+      .writeStream.format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      input.addData(
+        ("a", "same text", Timestamp.valueOf("2024-01-01 00:00:01")),
+        ("a", "same text", Timestamp.valueOf("2024-01-01 00:00:02")),
+        ("b", "other", Timestamp.valueOf("2024-01-01 00:00:03")))
+      query.processAllAvailable()
+      input.addData(("a", "same text", Timestamp.valueOf("2024-01-01 00:00:04")))
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("dedup_test").collect()
+    assert(rows.map(_.getString(1)).sorted.toSeq == Seq("other", "same text"),
+      "re-delivered content must be dropped across batches within the watermark")
+  }
+
+  test("stream-stream join with event-time bounds enriches within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val docsIn = MemoryStream[(String, String, Timestamp)]
+    val ctlIn = MemoryStream[(String, String, Timestamp)]
+    val docs = docsIn.toDF().toDF("domain", "content", "kafka_timestamp")
+    val controls = ctlIn.toDF().toDF("control_domain", "control_kind", "control_ts")
+    val joined = graft.streaming.StreamingStats.joinWithControlStream(docs, controls)
+    val query = joined.writeStream.format("memory")
+      .queryName("ssj_test").outputMode("append").start()
+    try {
+      ctlIn.addData(
+        ("a", "allow", Timestamp.valueOf("2024-01-01 00:00:00")),
+        ("b", "allow", Timestamp.valueOf("2024-01-01 00:10:00")))
+      docsIn.addData(
+        ("a", "doc in window", Timestamp.valueOf("2024-01-01 00:00:20")),
+        ("a", "doc out of window", Timestamp.valueOf("2024-01-01 00:05:00")),
+        ("b", "doc before control", Timestamp.valueOf("2024-01-01 00:05:00")))
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("ssj_test").collect().map(_.getAs[String]("content"))
+    assert(rows.toSeq == Seq("doc in window"),
+      s"only the doc within 30s after its domain's control joins, got ${rows.toSeq}")
+  }
+
   test("flatMapGroupsWithState: running domain totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String)]
