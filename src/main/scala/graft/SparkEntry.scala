@@ -71,6 +71,7 @@ object SparkEntry {
         .orderBy(col("filename"))),
     "q_media_features"    -> (ExtraQueries.mediaFeatures _),
     "q_session_stats"     -> (ExtraQueries.sessionStats _),
+    "q_approx_distincts"  -> (ExtraQueries.approxDistincts _),
     "q_grouping_sets"     -> (ExtraQueries.orderGroupingSets _),
     "q_percentiles"       -> (ExtraQueries.quantityPercentiles _),
     // ---- training-data-pipeline extensions

@@ -70,6 +70,24 @@ object ExtraQueries {
       .select(col("doc_id"), HtmlToMarkdown.htmlToMarkdownCol(col("html")).as("md"))
       .orderBy(col("doc_id"))
 
+  /** Approximate aggregates — the sketches that replace exact forms at
+    * 100 TB: HLL++ distinct counts (constant memory vs a distinct
+    * shuffle) and quantile sketches. No oracle (sketch values are
+    * engine-specific); the ScalaTest asserts bounded relative error vs
+    * the exact answers.
+    */
+  def approxDistincts(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .agg(
+        // rsd 1%: tighter HLL registers; still constant memory per group
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        round(element_at(percentile_approx(col("l_quantity"),
+          array(lit(0.5), lit(0.95)), lit(10000)), 1), 6).as("approx_median_qty"),
+        round(element_at(percentile_approx(col("l_quantity"),
+          array(lit(0.5), lit(0.95)), lit(10000)), 2), 6).as("approx_p95_qty"))
+
   /** Sessionization: gap-based session windows per user (session extends
     * while each event arrives within the gap of the previous one), then
     * per-user session stats. The DuckDB oracle derives identical sessions

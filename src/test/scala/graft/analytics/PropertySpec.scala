@@ -82,6 +82,22 @@ class PropertySpec extends SparkTestBase {
     }, n = 20)
   }
 
+  test("approx aggregates stay within error bounds of exact answers") {
+    val approx = ExtraQueries.approxDistincts(spark, sfDir).collect().head
+    val exact = RelationalQueries.distinctCounts(spark, sfDir).collect().head
+    for ((a, e) <- Seq(
+        (approx.getLong(0), exact.getLong(0)),
+        (approx.getLong(1), exact.getLong(1)),
+        (approx.getLong(2), exact.getLong(2)))) {
+      assert(math.abs(a - e).toDouble / e < 0.05, s"HLL drifted: $a vs $e")
+    }
+    val exactQ = Tables.lineitem(spark, sfDir)
+      .agg(expr("percentile(l_quantity, 0.5)"), expr("percentile(l_quantity, 0.95)"))
+      .collect().head
+    assert(math.abs(approx.getDouble(3) - exactQ.getDouble(0)) <= 1.0)
+    assert(math.abs(approx.getDouble(4) - exactQ.getDouble(1)) <= 1.0)
+  }
+
   test("window running total: last row per customer equals the customer's sum") {
     val rt = RelationalQueries.windowRunningTotal(spark, sfDir)
     val lastPerCust = rt.groupBy($"o_custkey")
