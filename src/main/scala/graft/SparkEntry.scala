@@ -196,7 +196,8 @@ object SparkEntry {
         "GROUP BY c_nationkey ORDER BY c_nationkey"),
     "q_anti_join" ->
       ("SELECT c_nationkey, COUNT(*) AS n_inactive_customers FROM customer " +
-        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderpriority = '1-URGENT') " +
         "GROUP BY c_nationkey ORDER BY c_nationkey"),
     "q_outer_join_histogram" ->
       ("WITH per_cust AS (SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer " +
@@ -237,8 +238,8 @@ object SparkEntry {
       ("SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer INTERSECT " +
         "SELECT CAST(s_nationkey AS BIGINT) FROM supplier ORDER BY nationkey"),
     "q_set_except" ->
-      ("SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer EXCEPT " +
-        "SELECT CAST(s_nationkey AS BIGINT) FROM supplier ORDER BY nationkey"),
+      ("SELECT DISTINCT o_orderkey AS orderkey FROM orders EXCEPT " +
+        "SELECT DISTINCT l_orderkey FROM lineitem ORDER BY orderkey"),
     "q_extract_metadata" ->
       // Mirrors graft.extract.TextExtract exactly: same regexes, same
       // priority logic, same null semantics (DuckDB list lambdas express

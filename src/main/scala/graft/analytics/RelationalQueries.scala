@@ -150,10 +150,17 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_active_customers"))
       .orderBy(col("c_nationkey"))
 
-  /** Left-anti join: customers with no orders, per nation. */
+  /** Left-anti join: customers with no URGENT orders, per nation. (The
+    * generated data is dense — every customer has some order — so the
+    * unrestricted form matched the oracle only on 0 = 0 rows, which
+    * certifies nothing; the priority-restricted form returns real rows
+    * at every scale factor.)
+    */
   def antiJoinCustomers(spark: SparkSession, d: String): DataFrame =
     Tables.customer(spark, d)
-      .join(Tables.orders(spark, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(
+        Tables.orders(spark, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_inactive_customers"))
       .orderBy(col("c_nationkey"))
@@ -264,6 +271,13 @@ object RelationalQueries {
     custNations(spark, d).intersect(suppNations(spark, d)).orderBy(col("nationkey"))
 
   /** EXCEPT: nation keys with customers but no suppliers. */
+  /** EXCEPT with guaranteed-non-empty result: order keys that placed an
+    * order but have no lineitems. (Customer-vs-supplier nation keys —
+    * the previous form — cover the same 25 nations at every scale
+    * factor, so that EXCEPT matched its oracle only on 0 = 0 rows.)
+    */
   def setExceptNations(spark: SparkSession, d: String): DataFrame =
-    custNations(spark, d).except(suppNations(spark, d)).orderBy(col("nationkey"))
+    Tables.orders(spark, d).select(col("o_orderkey").as("orderkey")).distinct()
+      .except(Tables.lineitem(spark, d).select(col("l_orderkey").as("orderkey")).distinct())
+      .orderBy(col("orderkey"))
 }

@@ -40,12 +40,14 @@ class PropertySpec extends SparkTestBase {
     assert(grand.head.getAs[Long]("n_orders") == leaf.map(_.getAs[Long]("n_orders")).sum)
   }
 
-  test("semi + anti join partition customers exactly") {
-    val semi = RelationalQueries.semiJoinCustomers(spark, sfDir)
-      .agg(sum($"n_active_customers")).collect().head.getLong(0)
+  test("semi + anti join partition customers exactly (same right side)") {
+    val urgent = Tables.orders(spark, sfDir).filter($"o_orderpriority" === "1-URGENT")
+    val semi = Tables.customer(spark, sfDir)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi").count()
     val anti = RelationalQueries.antiJoinCustomers(spark, sfDir)
       .agg(coalesce(sum($"n_inactive_customers"), lit(0L))).collect().head.getLong(0)
     assert(semi + anti == Tables.customer(spark, sfDir).count())
+    assert(semi > 0 && anti > 0, "both sides of the partition must be non-empty")
   }
 
   test("set ops: |A ∪ B| = |A| + |B| - |A ∩ B| over nation keys") {
