@@ -23,19 +23,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.functions", name, usage, "", "", "", "", "", "", "", "")
+  // 3-arg ExpressionInfo is (className, db, name) — the 11-arg positional
+  // form puts db before name and is easy to misalign
+  private def info(clazz: Class[_], name: String) =
+    new ExpressionInfo(clazz.getName, null, name)
 
   val expressions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("float_vec_dot"),
-      info("float_vec_dot", "float_vec_dot(a, b) - dot product of two float vectors"),
+      info(classOf[FloatVecDot], "float_vec_dot"),
       (args: Seq[Expression]) => FloatVecDot(args(0), args(1))),
     (FunctionIdentifier("float_vec_norm"),
-      info("float_vec_norm", "float_vec_norm(a) - L2 norm of a float vector"),
+      info(classOf[FloatVecNorm], "float_vec_norm"),
       (args: Seq[Expression]) => FloatVecNorm(args(0))),
     (FunctionIdentifier("jaccard_sorted_arrays"),
-      info("jaccard_sorted_arrays",
-        "jaccard_sorted_arrays(a, b) - Jaccard similarity of sorted distinct string arrays"),
+      info(classOf[JaccardSortedArrays], "jaccard_sorted_arrays"),
       (args: Seq[Expression]) => JaccardSortedArrays(args(0), args(1)))
   )
 

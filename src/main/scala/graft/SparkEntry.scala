@@ -275,9 +275,11 @@ object SparkEntry {
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "ORDER BY o_orderkey LIMIT 50 OFFSET 1000"),
     "q_html_to_markdown" ->
+      // collapse BEFORE trim (DuckDB trim strips only spaces; leading \t/\n
+      // must collapse to a space first, mirroring cleanText's Python strip)
       ("SELECT doc_id, '## DOC ' || doc_id || " +
-        "CASE WHEN regexp_replace(trim(text), '\\s+', ' ', 'g') = '' THEN '' " +
-        "ELSE chr(10) || chr(10) || regexp_replace(trim(text), '\\s+', ' ', 'g') END AS md " +
+        "CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = '' THEN '' " +
+        "ELSE chr(10) || chr(10) || trim(regexp_replace(text, '\\s+', ' ', 'g')) END AS md " +
         "FROM documents ORDER BY doc_id"),
     "q_vn_dates" ->
       // independent derivation: the oracle recomputes the expected date from
@@ -373,8 +375,11 @@ object SparkEntry {
         "round(MAX(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 6) AS max_norm " +
         "FROM embeddings GROUP BY label ORDER BY label")
     // no oracle (rows-only checks): q_fingerprints / q_minhash_pairs /
-    // q_simhash_near_dups (xxhash64 is Spark-specific), q_lsh_ann_topk
-    // (hyperplane hashes Spark-specific). Those four are covered instead by
-    // ScalaTest ground-truth assertions (see src/test/scala/graft).
+    // q_neardup_clusters / q_simhash_near_dups (xxhash64 is
+    // Spark-specific), q_lsh_ann_topk / q_ivf_ann_topk (hash/centroid
+    // models Spark-side), q_media_features (codec seam),
+    // q_approx_distincts (sketches are engine-specific). All eight are
+    // covered by ScalaTest ground-truth assertions instead
+    // (see src/test/scala/graft).
   )
 }

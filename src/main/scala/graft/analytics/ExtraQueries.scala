@@ -83,10 +83,14 @@ object ExtraQueries {
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-        round(element_at(percentile_approx(col("l_quantity"),
-          array(lit(0.5), lit(0.95)), lit(10000)), 1), 6).as("approx_median_qty"),
-        round(element_at(percentile_approx(col("l_quantity"),
-          array(lit(0.5), lit(0.95)), lit(10000)), 2), 6).as("approx_p95_qty"))
+        // ONE quantile sketch for both percentiles (two identical
+        // percentile_approx aggs would each update their own sketch per row)
+        percentile_approx(col("l_quantity"),
+          array(lit(0.5), lit(0.95)), lit(10000)).as("qs"))
+      .select(
+        col("approx_parts"), col("approx_supps"), col("approx_orders"),
+        round(element_at(col("qs"), 1), 6).as("approx_median_qty"),
+        round(element_at(col("qs"), 2), 6).as("approx_p95_qty"))
 
   /** Sessionization: gap-based session windows per user (session extends
     * while each event arrives within the gap of the previous one), then

@@ -12,32 +12,39 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Two-phase salted aggregation: spread each key over `salts` partial
-    * groups (deterministic spread via a row hash, not rand(), so replays
-    * and retries agree), combine partials, then finalize per key. The
-    * hot key's map-side work fans out over `salts` reducers; the final
-    * combine handles `salts` rows per key.
+    * groups, combine partials, then finalize per key. The hot key's
+    * map-side work fans out over `salts` reducers; the final combine
+    * handles `salts` rows per key.
+    *
+    * The salt hashes the ROW CONTENT (key + value columns), never
+    * `monotonically_increasing_id`/`rand` — those are nondeterministic
+    * across task retries, and a retried map task re-salting rows
+    * differently than the partials already fetched double-counts or
+    * drops contributions. Content-hashing is retry-stable; the tradeoff
+    * (identical duplicate rows share a salt) only narrows the spread
+    * when a hot key's rows are literal duplicates.
     */
   def saltedSum(df: DataFrame, key: Column, value: Column,
-                salts: Int = 16): DataFrame = {
-    val salted = df.select(key.as("k"), value.as("v"))
-      .withColumn("_salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
-    salted
+                salts: Int = 16): DataFrame =
+    df.select(key.as("k"), value.as("v"))
+      .withColumn("_salt", pmod(xxhash64(col("k"), col("v")), lit(salts)))
       .groupBy(col("k"), col("_salt"))
       .agg(sum(col("v")).as("partial"))
       .groupBy(col("k"))
       .agg(sum(col("partial")).as("total"))
-  }
 
   /** Salted equi-join for a skewed LEFT side: each left row gets one of
-    * `salts` deterministic salt values; the (small, broadcast-ineligible)
-    * right side is replicated across all salt values, so a hot key's
-    * rows land on `salts` different reducers instead of one. Result is
-    * row-identical to the unsalted join (SkewSpec asserts this).
+    * `salts` deterministic salt values (retry-stable content hash over
+    * all its columns — see [[saltedSum]]); the (small,
+    * broadcast-ineligible) right side is replicated across all salt
+    * values, so a hot key's rows land on `salts` different reducers
+    * instead of one. Result is row-identical to the unsalted join
+    * (SkewSpec asserts this).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
     val bigS = big.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val smallS = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     bigS.join(smallS, Seq(key, "_salt")).drop("_salt")

@@ -105,9 +105,14 @@ object Dedup {
       sigs
     }
 
-  /** DataFrame form (docs must have doc_id + text). */
+  /** DataFrame form (docs must have doc_id + text). Null texts are
+    * dropped — the same visible behavior as the previous explode form
+    * (explode of a null array emits nothing), and the kernel UDF is not
+    * null-tolerant.
+    */
   def minhashSignaturesDf(docs: DataFrame, numHashes: Int = 32): DataFrame =
     docs
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"), minhashSigUdf(numHashes)(col("toks")).as("sig"))
 
@@ -191,6 +196,12 @@ object Dedup {
       labels = next
       it += 1
     }
+    edges.unpersist() // labels is materialized; edges would otherwise stay pinned
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dedupClusters did not converge in $maxIter iterations " +
+          s"($changed labels still changing) — clusters with diameter > $maxIter " +
+          "are split across multiple canonical ids; raise maxIter")
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 

@@ -108,6 +108,7 @@ object Similarity {
   def lshAnnTopK(spark: SparkSession, d: String,
                  nQueries: Int = 8, k: Int = 5, bits: Int = 4, dim: Int = 64): DataFrame = {
     val emb = Tables.embeddings(spark, d)
+      .filter(col("embedding").isNotNull) // bucket kernel is not null-tolerant
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
         hyperplaneBucket(col("embedding"), dim, bits).as("bucket"))
     val queries = emb.filter(col("vec_id") < nQueries)
@@ -140,7 +141,8 @@ object Similarity {
     */
   def trainIvfCentroids(emb: DataFrame, nlist: Int = 16, iters: Int = 3,
                         maxTrain: Int = 4096): Array[Array[Double]] = {
-    val sample: Array[Array[Double]] = emb.orderBy(col("vec_id"))
+    val sample: Array[Array[Double]] = emb.filter(col("embedding").isNotNull)
+      .orderBy(col("vec_id"))
       .limit(maxTrain).select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.length >= nlist, s"need >= $nlist training vectors")
@@ -213,8 +215,9 @@ object Similarity {
                  nlist: Int = 16, nprobe: Int = 2): DataFrame = {
     val embRaw = Tables.embeddings(spark, d)
     val cents = trainIvfCentroids(embRaw, nlist)
-    val emb = embRaw.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"), ivfCellUdf(cents)(col("embedding")).as("cell"))
+    val emb = embRaw.filter(col("embedding").isNotNull) // cell kernel is not null-tolerant
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"), ivfCellUdf(cents)(col("embedding")).as("cell"))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"),

@@ -2,10 +2,31 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSql
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Shared analysis-time guard: these kernels read Tungsten float slots
+  * directly, so anything but array<float> must be REJECTED at analysis
+  * (a double array silently reinterpreted as floats would return
+  * garbage, not an error). SQL callers cast explicitly:
+  * `CAST(array(...) AS ARRAY<FLOAT>)`.
+  */
+private[functions] trait RequiresFloatArrays { self: Expression =>
+  protected def floatArrayCheck(inputs: Seq[Expression]): TypeCheckResult = {
+    val bad = inputs.find {
+      case e => !e.dataType.isInstanceOf[ArrayType] ||
+        e.dataType.asInstanceOf[ArrayType].elementType != FloatType
+    }
+    bad match {
+      case Some(e) => TypeCheckResult.TypeCheckFailure(
+        s"${self.prettyName} requires array<float> arguments, got ${e.dataType.sql}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+}
 
 /** Native Catalyst expressions for the embedding kernels — the hot inner
   * ops of similarity search. Unlike a Scala UDF (which converts every
@@ -20,10 +41,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * null via the standard null-safe contract.
   */
 case class FloatVecDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with RequiresFloatArrays {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vec_dot"
+  override def checkInputDataTypes(): TypeCheckResult = floatArrayCheck(Seq(left, right))
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -57,10 +79,11 @@ case class FloatVecDot(left: Expression, right: Expression)
 
 /** L2 norm of a float vector; same accumulation contract as [[FloatVecDot]]. */
 case class FloatVecNorm(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with RequiresFloatArrays {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vec_norm"
+  override def checkInputDataTypes(): TypeCheckResult = floatArrayCheck(Seq(child))
 
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

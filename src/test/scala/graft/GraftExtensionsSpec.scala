@@ -25,6 +25,22 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(md == "# Tiêu đề\n\nnội dung")
   }
 
+  test("wrong input types are rejected at analysis, not silently reinterpreted") {
+    GraftExtensions.registerAll(spark)
+    // unannotated SQL literals are doubles — reading them as float slots
+    // would return garbage, so this must FAIL analysis
+    val e = intercept[Exception] {
+      spark.sql("SELECT float_vec_dot(array(1.0, 2.0), array(3.0, 4.0))").collect()
+    }
+    assert(e.getMessage.contains("array<float>") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT jaccard_sorted_arrays(array(1, 2), array(3, 4))").collect()
+    }
+    assert(e2.getMessage.contains("array<string>") ||
+      e2.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
   test("SQL-registered expression appears in a real query plan (codegen path)") {
     GraftExtensions.registerAll(spark)
     Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb_sql")
