@@ -127,10 +127,17 @@ object ExtraQueries {
   def quantityPercentiles(spark: SparkSession, d: String): DataFrame =
     Tables.lineitem(spark, d)
       .groupBy(col("l_returnflag"))
+      // one value buffer per column (the array form), elements extracted
+      // after the aggregate — scalar outputs only (the driver's pandas
+      // compare cannot sort array cells)
       .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
-        round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
+        expr("percentile(l_quantity, array(0.5, 0.95))").as("q"),
+        expr("percentile(l_extendedprice, array(0.99))").as("p"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("q"), 1), 6).as("median_qty"),
+        round(element_at(col("q"), 2), 6).as("p95_qty"),
+        round(element_at(col("p"), 1), 6).as("p99_price"))
       .orderBy(col("l_returnflag"))
 
   /** Multimodal plumbing as a query (rows-only check): documents become

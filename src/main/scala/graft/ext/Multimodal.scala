@@ -91,4 +91,32 @@ object Multimodal {
     df.filter(col("kind") === "video" && col("duration_ms").isNotNull)
       .select(col("media_id"),
         explode(sequence(lit(0L), (col("duration_ms") / everyMs).cast("long"))).as("frame_idx"))
+
+  /** Payload→payload transform seam (resize/transcode). The STUB
+    * "resize" deterministically subsamples payload bytes to the target
+    * budget and updates metadata — a real codec drops in behind the same
+    * mapPartitions contract (per-task instance, streamed rows, typed
+    * output; payload bytes never reach the driver).
+    */
+  def resizeMedia(ds: Dataset[MediaRecord], targetW: Int, targetH: Int,
+                  bytesPerPixel: Int = 1): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    val budget = targetW * targetH * bytesPerPixel
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.payload
+        val out =
+          if (p == null || p.length <= budget) p
+          else {
+            val res = new Array[Byte](budget)
+            val step = p.length.toDouble / budget
+            var i = 0
+            while (i < budget) { res(i) = p((i * step).toInt); i += 1 }
+            res
+          }
+        r.copy(payload = out,
+          width = Some(targetW), height = Some(targetH))
+      }
+    }
+  }
 }

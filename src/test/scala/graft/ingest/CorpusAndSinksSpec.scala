@@ -97,6 +97,23 @@ class CorpusAndSinksSpec extends SparkTestBase {
     assert(feats(3L).n_bytes == 0L && feats(3L).feature.forall(_ == 0.0f))
   }
 
+  test("multimodal: resize stub bounds payloads and updates metadata deterministically") {
+    import spark.implicits._
+    val big = Array.tabulate(100)(i => i.toByte)
+    val records = Seq(
+      Multimodal.MediaRecord(1L, "image", big, Some(10), Some(10), None),
+      Multimodal.MediaRecord(2L, "image", Array[Byte](1, 2), Some(2), Some(1), None),
+      Multimodal.MediaRecord(3L, "image", null, None, None, None)
+    ).toDS()
+    val resized = Multimodal.resizeMedia(records, targetW = 4, targetH = 4)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(resized(1L).payload.length == 16 && resized(1L).width.contains(4))
+    // subsampling is deterministic: byte i comes from position floor(i*step)
+    assert(resized(1L).payload.toSeq == (0 until 16).map(i => big((i * 6.25).toInt)))
+    assert(resized(2L).payload.toSeq == Seq[Byte](1, 2), "small payloads pass through")
+    assert(resized(3L).payload == null)
+  }
+
   test("multimodal: frame sampling explodes every nth frame for videos only") {
     val df = Seq(
       (1L, "video", 3500L), (2L, "image", 0L), (3L, "video", 999L)
