@@ -8,9 +8,11 @@ import java.nio.file.{Files, Paths}
   * every output column is actually computed (a bare `.count()` lets
   * Catalyst prune unreferenced projections and benches per-doc expression
   * queries as near-free scans). One warm-up query runs before timing so
-  * session/parquet-footer warm-up isn't billed to the first query. The
-  * result JSON goes to stdout AND to bench_result.json (sbt buries stdout
-  * in [info] noise).
+  * session/parquet-footer warm-up isn't billed to the first query. Each
+  * query runs TWICE and reports the minimum — steady-state throughput,
+  * resistant to host-level noise and one-time codegen JIT. The result
+  * JSON goes to stdout AND to bench_result.json (sbt buries stdout in
+  * [info] noise).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,8 +34,13 @@ object Bench {
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    def best(name: String): Double = {
+      val a = runOnce(name)
+      val b = runOnce(name)
+      if (a < 0 || b < 0) -1.0 else math.min(a, b)
+    }
     runOnce("q_domain_stats") // warm-up: parquet footers, codegen, JVM
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> best(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
