@@ -79,6 +79,7 @@ object SparkEntry {
     "q_quality_scores"    -> (TextAnalysis.qualityScores _),
     "q_language_id"       -> (TextAnalysis.languageId _),
     "q_fingerprints"      -> (TextAnalysis.fingerprints _),
+    "q_tfidf_top_terms"   -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "q_dedup_exact_stats" -> (Dedup.exactDedupStats _),
     "q_dedup_keep_list"   -> (Dedup.exactDedupKeepList _),
     "q_minhash_pairs"     -> ((s: SparkSession, d: String) => Dedup.minhashCandidatePairs(s, d)),
@@ -339,6 +340,16 @@ object SparkEntry {
         "WHEN sen >= greatest(ses, sfr, szh) THEN 'en' " +
         "WHEN ses >= greatest(sfr, szh) THEN 'es' " +
         "WHEN sfr >= szh THEN 'fr' ELSE 'zh' END AS lang_pred FROM s ORDER BY doc_id"),
+    "q_tfidf_top_terms" ->
+      (s"WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term), " +
+        "dfreq AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term), " +
+        "n AS (SELECT COUNT(*) AS n FROM documents), " +
+        "scored AS (SELECT doc_id, tf.term, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf " +
+        "FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n), " +
+        "ranked AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id " +
+        "ORDER BY tfidf DESC, term) AS INTEGER) AS rk, term, tfidf FROM scored) " +
+        "SELECT doc_id, rk, term, tfidf FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"),
     "q_dedup_exact_stats" ->
       ("SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct_texts FROM documents"),
     "q_dedup_keep_list" ->

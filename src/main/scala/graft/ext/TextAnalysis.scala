@@ -135,4 +135,34 @@ object TextAnalysis {
     Tables.documents(spark, d)
       .select(col("doc_id"), fingerprintUdf(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  /** TF-IDF top-k terms per document. Scale shape: one explode over the
+    * corpus feeds two map-side-combined aggregates (term frequency per
+    * doc; document frequency per term — both shuffled on bounded keys),
+    * the per-term IDF table joins back on `term` (vocabulary-sized, far
+    * smaller than the corpus), and the top-k is a per-doc window rank —
+    * no driver-side loops, no all-pairs anything. The corpus size enters
+    * as one scalar aggregate.
+    */
+  def tfidfTopTerms(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val toks = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n")) // scalar; broadcast below
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
 }

@@ -82,6 +82,21 @@ class CorpusAndSinksSpec extends SparkTestBase {
     assert(domains.getAs[Long]("a") == 1L && domains.getAs[Long]("b") == 1L)
   }
 
+  test("CSV source/sink round-trips quoted multiline Vietnamese content") {
+    val path = Files.createTempDirectory("csv").toString + "/docs"
+    val docs = Seq(
+      ("a", "doc1", "nội dung, có dấu phẩy"),
+      ("b", "doc2", "xuống\ndòng và \"nháy kép\""))
+      .toDF("domain", "filename", "content")
+    docs.write.option("header", "true").option("quoteAll", "true")
+      .option("escape", "\"").csv(path)
+    val back = spark.read.option("header", "true").option("multiLine", "true")
+      .option("escape", "\"").csv(path)
+      .orderBy($"filename").collect()
+    assert(back.map(_.getAs[String]("content")).toSeq ==
+      Seq("nội dung, có dấu phẩy", "xuống\ndòng và \"nháy kép\""))
+  }
+
   test("multimodal: fake codec features are deterministic, computed per partition") {
     import spark.implicits._
     val records = Seq(
