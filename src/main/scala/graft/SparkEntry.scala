@@ -72,6 +72,7 @@ object SparkEntry {
     "q_media_features"    -> (ExtraQueries.mediaFeatures _),
     "q_session_stats"     -> (ExtraQueries.sessionStats _),
     "q_approx_distincts"  -> (ExtraQueries.approxDistincts _),
+    "q_above_avg_orders"  -> (ExtraQueries.aboveAvgOrders _),
     "q_grouping_sets"     -> (ExtraQueries.orderGroupingSets _),
     "q_percentiles"       -> (ExtraQueries.quantityPercentiles _),
     // ---- training-data-pipeline extensions
@@ -80,6 +81,7 @@ object SparkEntry {
     "q_language_id"       -> (TextAnalysis.languageId _),
     "q_fingerprints"      -> (TextAnalysis.fingerprints _),
     "q_tfidf_top_terms"   -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
+    "q_hot_terms"         -> ((s: SparkSession, d: String) => TextAnalysis.hotTermsPerSource(s, d)),
     "q_dedup_exact_stats" -> (Dedup.exactDedupStats _),
     "q_dedup_keep_list"   -> (Dedup.exactDedupKeepList _),
     "q_minhash_pairs"     -> ((s: SparkSession, d: String) => Dedup.minhashCandidatePairs(s, d)),
@@ -300,6 +302,13 @@ object SparkEntry {
         "g AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY user_id, sid) " +
         "SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events, " +
         "CAST(MAX(n) AS BIGINT) AS max_session_events FROM g GROUP BY user_id ORDER BY user_id"),
+    "q_above_avg_orders" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders o " +
+        "WHERE CAST(o_totalprice AS DECIMAL(18,4)) * " +
+        "(SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) " +
+        "> 1.5 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) " +
+        "FROM orders o2 WHERE o2.o_custkey = o.o_custkey) " +
+        "ORDER BY o_orderkey"),
     "q_grouping_sets" ->
       ("SELECT COALESCE(o_orderstatus, '(all)') AS status, " +
         "COALESCE(o_orderpriority, '(all)') AS priority, COUNT(*) AS n_orders " +

@@ -70,6 +70,25 @@ object ExtraQueries {
       .select(col("doc_id"), HtmlToMarkdown.htmlToMarkdownCol(col("html")).as("md"))
       .orderBy(col("doc_id"))
 
+  /** Correlated scalar subqueries through the SQL surface — exercises
+    * Catalyst's subquery decorrelation (rewritten to joins + aggregates;
+    * SURVEY §4 listed it as un-exercised). The predicate is kept in
+    * exact decimal arithmetic (o_totalprice·n > 1.5·Σ, i.e. "order is
+    * 1.5× its customer's average") so both engines compare identically —
+    * a double AVG would make near-threshold rows engine-dependent.
+    */
+  def aboveAvgOrders(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("orders_sub")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders_sub o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
+        |      (SELECT COUNT(*) FROM orders_sub o2 WHERE o2.o_custkey = o.o_custkey)
+        |    > 1.5 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |             FROM orders_sub o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Approximate aggregates — the sketches that replace exact forms at
     * 100 TB: HLL++ distinct counts (constant memory vs a distinct
     * shuffle) and quantile sketches. No oracle (sketch values are

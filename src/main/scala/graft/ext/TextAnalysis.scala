@@ -136,6 +136,19 @@ object TextAnalysis {
       .select(col("doc_id"), fingerprintUdf(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** Heavy-hitter terms per source via the Misra-Gries Aggregator
+    * ([[graft.functions.HeavyHitters]]): O(k) state per group instead of
+    * an unbounded per-(source, term) shuffle. Rows-only check (sketch
+    * retained-counts are partitioning-dependent); the survivor guarantee
+    * is asserted in ScalaTest.
+    */
+  def hotTermsPerSource(spark: SparkSession, d: String, k: Int = 10): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"))
+      .agg(graft.functions.HeavyHitters.heavyHitters(col("term"), k).as("hot_terms"))
+      .orderBy(col("source"))
+
   /** TF-IDF top-k terms per document. Scale shape: one explode over the
     * corpus feeds two map-side-combined aggregates (term frequency per
     * doc; document frequency per term — both shuffled on bounded keys),

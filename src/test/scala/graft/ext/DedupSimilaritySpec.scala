@@ -126,6 +126,28 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(again == pairs)
   }
 
+  test("Misra-Gries heavy hitters: true heavy hitters survive partial merges") {
+    // 1000 rows: "HOT" 400×, "WARM" 200×, 400 distinct cold values;
+    // k=10 → guarantee: anything with count > 100 survives
+    val rows = (Seq.fill(400)("HOT") ++ Seq.fill(200)("WARM") ++
+      (0 until 400).map(i => s"cold$i"))
+    val df = rows.zipWithIndex.map { case (v, i) => (i % 7, v) }
+      .toDF("grp", "term").repartition(8) // force partial-aggregate merges
+    val out = df.groupBy($"grp")
+      .agg(graft.functions.HeavyHitters.heavyHitters($"term", 10).as("hh"))
+      .collect().map(_.getString(1))
+    out.foreach { s =>
+      val survivors = s.split(";").map(_.split("=")(0)).toSet
+      assert(survivors.contains("HOT"), s"HOT must survive in [$s]")
+      assert(survivors.contains("WARM"), s"WARM must survive in [$s]")
+    }
+    // single-group whole-corpus run: survivors bounded by k-1
+    val whole = df.agg(graft.functions.HeavyHitters.heavyHitters($"term", 10).as("hh"))
+      .collect().head.getString(0)
+    assert(whole.split(";").length <= 9)
+    assert(whole.split(";").head.startsWith("HOT="), s"HOT leads in [$whole]")
+  }
+
   test("cosine matches a hand-computed value") {
     val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(1.0f, 1.0f, 0.0f))).toDF("a", "b")
     val c = df.select(Similarity.cosine($"a", $"b")).collect().head.getDouble(0)
