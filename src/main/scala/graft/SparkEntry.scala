@@ -49,6 +49,7 @@ object SparkEntry {
     "q_outer_join_histogram" -> (RelationalQueries.outerJoinHistogram _),
     "q_range_join"        -> (RelationalQueries.rangeJoinBalance _),
     "q_asof_join"         -> (RelationalQueries.asofJoinEvents _),
+    "q_asof_join_custom"  -> (ExtraQueries.asofJoinCustom _),
     "q_window_top_customers" -> (RelationalQueries.windowTopCustomers _),
     "q_window_running_total" -> (RelationalQueries.windowRunningTotal _),
     "q_window_lag"        -> (RelationalQueries.windowLagEvents _),
@@ -214,6 +215,12 @@ object SparkEntry {
       ("SELECT c.event_id, c.user_id, c.ts, " +
         "(SELECT MAX(e.ts) FROM events e WHERE e.user_id = c.user_id AND e.event_type = 'error' " +
         "AND (e.ts < c.ts OR (e.ts = c.ts AND e.event_id < c.event_id))) AS prev_error_ts " +
+        "FROM events c WHERE c.event_type = 'purchase' ORDER BY c.event_id"),
+    "q_asof_join_custom" ->
+      // same semantics as q_asof_join, executed by the custom operator
+      ("SELECT c.event_id, c.user_id, c.ts, " +
+        "(SELECT MAX(e.ts) FROM events e WHERE e.user_id = c.user_id AND e.event_type = 'error' " +
+        "AND e.ts <= c.ts) AS prev_error_ts " +
         "FROM events c WHERE c.event_type = 'purchase' ORDER BY c.event_id"),
     "q_window_top_customers" ->
       ("SELECT c_nationkey, rk, c_custkey, c_name, c_acctbal FROM (" +

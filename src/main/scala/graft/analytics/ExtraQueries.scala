@@ -70,6 +70,23 @@ object ExtraQueries {
       .select(col("doc_id"), HtmlToMarkdown.htmlToMarkdownCol(col("html")).as("md"))
       .orderBy(col("doc_id"))
 
+  /** The custom as-of join PHYSICAL operator
+    * ([[graft.plans.AsOfJoin]]: logical node → strategy → sort-merge
+    * exec) on the same task as the composed q_asof_join — sharing that
+    * query's DuckDB oracle, so the custom operator gets a full
+    * hash-compared correctness row, not just a plan test.
+    */
+  def asofJoinCustom(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    graft.plans.AsOfJoin.asof(purchases, errors, "user_id", "e_user", "ts", "e_ts")
+      .select(col("event_id"), col("user_id"), col("ts"), col("e_ts").as("prev_error_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** Correlated scalar subqueries through the SQL surface — exercises
     * Catalyst's subquery decorrelation (rewritten to joins + aggregates;
     * SURVEY §4 listed it as un-exercised). The predicate is kept in

@@ -1,0 +1,62 @@
+package graft.plans
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+import graft.analytics.RelationalQueries
+
+/** The custom as-of join operator (logical node → strategy → sort-merge
+  * exec) against hand-built cases and the composed union+window form.
+  */
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("as-of join semantics: latest right row at or before each left time") {
+    val trades = Seq(
+      ("A", 10L, "t1"), ("A", 20L, "t2"), ("A", 5L, "t0"), ("B", 15L, "t3"))
+      .toDF("sym", "ts", "trade")
+    val quotes = Seq(
+      ("A", 8L, 1.0), ("A", 10L, 2.0), ("A", 19L, 3.0), ("C", 1L, 9.0))
+      .toDF("q_sym", "q_ts", "px")
+    val out = AsOfJoin.asof(trades, quotes, "sym", "q_sym", "ts", "q_ts")
+      .select($"sym", $"ts", $"trade", $"px")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(out == Set(
+      ("A", 5L, None),          // no quote at or before 5
+      ("A", 10L, Some(2.0)),    // ties included: q_ts == ts
+      ("A", 20L, Some(3.0)),
+      ("B", 15L, None)))        // key with no right rows -> null
+  }
+
+  test("physical plan is the custom exec with one shuffle per side") {
+    val trades = Seq(("A", 10L, "x")).toDF("sym", "ts", "p")
+    val quotes = Seq(("A", 5L, 1.0)).toDF("q_sym", "q_ts", "px")
+    val plan = AsOfJoin.asof(trades, quotes, "sym", "q_sym", "ts", "q_ts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"custom exec missing:\n$plan")
+  }
+
+  test("agrees with the composed union+window as-of on the events table") {
+    val ev = Tables.events(spark, sfDir)
+    // exact-ts collisions would make tie-breaking ambiguous between the
+    // two formulations — assert the dataset has none, then compare all
+    val collisions = ev.groupBy($"user_id", $"ts").count().filter($"count" > 1).count()
+    assert(collisions == 0, "fixture has (user_id, ts) duplicates")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"ts".as("e_ts"))
+    val custom = AsOfJoin.asof(purchases, errors, "user_id", "e_user", "ts", "e_ts")
+      .select($"event_id", $"e_ts".as("prev_error_ts"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getAs[Timestamp](1))).toMap
+    val composed = RelationalQueries.asofJoinEvents(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getAs[Timestamp](3))).toMap
+    assert(custom.keySet == composed.keySet)
+    val diffs = custom.keySet.filter(k => custom(k) != composed(k))
+    assert(diffs.isEmpty, s"${diffs.size} disagreements, e.g. ${diffs.take(3)}")
+    assert(custom.values.count(_ != null) > 0, "non-vacuous: some matches exist")
+  }
+}
