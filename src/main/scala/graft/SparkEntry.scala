@@ -85,6 +85,8 @@ object SparkEntry {
     "q_hot_terms"         -> ((s: SparkSession, d: String) => TextAnalysis.hotTermsPerSource(s, d)),
     "q_dedup_exact_stats" -> (Dedup.exactDedupStats _),
     "q_dedup_keep_list"   -> (Dedup.exactDedupKeepList _),
+    "q_deduped_corpus"    -> (Dedup.dedupedCorpus _),
+    "q_quality_filters"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFilters(s, d)),
     "q_minhash_pairs"     -> ((s: SparkSession, d: String) => Dedup.minhashCandidatePairs(s, d)),
     "q_neardup_clusters"  -> ((s: SparkSession, d: String) => Dedup.nearDupKeepList(s, d)),
     "q_simhash_near_dups" -> ((s: SparkSession, d: String) => Dedup.simhashNearDups(s, d)),
@@ -366,6 +368,23 @@ object SparkEntry {
         "ranked AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id " +
         "ORDER BY tfidf DESC, term) AS INTEGER) AS rk, term, tfidf FROM scored) " +
         "SELECT doc_id, rk, term, tfidf FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"),
+    "q_deduped_corpus" ->
+      ("SELECT doc_id, source, lang, n_chars FROM documents " +
+        "WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text)) " +
+        "ORDER BY doc_id"),
+    "q_quality_filters" ->
+      (s"WITH q AS (SELECT doc_id, text, $toks AS tk FROM documents) " +
+        "SELECT doc_id, " +
+        "len(tk) < 20 AS too_short, " +
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) > 0.1 AS too_symbolic, " +
+        "CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) / len(tk) < 0.02 AS low_stopword, " +
+        "CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) < 0.5 AS repetitive, " +
+        "(CAST(length(text) AS DOUBLE) / len(tk) < 3.0 OR CAST(length(text) AS DOUBLE) / len(tk) > 12.0) AS odd_token_len, " +
+        "NOT (len(tk) < 20 OR CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) > 0.1 " +
+        "OR CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) / len(tk) < 0.02 " +
+        "OR CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) < 0.5 " +
+        "OR CAST(length(text) AS DOUBLE) / len(tk) < 3.0 OR CAST(length(text) AS DOUBLE) / len(tk) > 12.0) AS keep " +
+        "FROM q ORDER BY doc_id"),
     "q_dedup_exact_stats" ->
       ("SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct_texts FROM documents"),
     "q_dedup_keep_list" ->

@@ -155,6 +155,23 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The end-to-end clean-corpus materialization: exact dedup keep-list
+    * anti-joined back against the corpus — every document whose content
+    * hash has a smaller-id copy is dropped; survivors keep their full
+    * row. This is the composition a real pipeline runs after candidate
+    * generation: one hash-groupBy shuffle + one semi-join on doc_id.
+    */
+  def dedupedCorpus(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val keep = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .select(col("keep_id"))
+    docs.join(keep, docs("doc_id") === keep("keep_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------- near-dup cluster resolution
 
   /** Connected components over candidate pairs (id_a, id_b) by iterative

@@ -136,6 +136,39 @@ object TextAnalysis {
       .select(col("doc_id"), fingerprintUdf(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** Gopher/C4-style quality FILTER RULES — the decision layer on top of
+    * the raw quality features: per-document boolean flags plus the final
+    * keep verdict, all single-pass codegen'd expressions (zero shuffle;
+    * at 100 TB this runs as a narrow map in the scan stage and the
+    * filtered corpus never materializes the dropped rows).
+    */
+  def qualityFilters(spark: SparkSession, d: String,
+                     minTokens: Int = 20,
+                     maxSymbolRatio: Double = 0.1,
+                     minStopwordRatio: Double = 0.02,
+                     minDistinctTokenRatio: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+    val nTok = size(col("toks"))
+    val symbolRatio =
+      size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+        length(col("text"))
+    val stopRatio = size(filter(col("toks"), t => t.isin(stopwords: _*))).cast("double") / nTok
+    val distinctRatio = size(array_distinct(col("toks"))).cast("double") / nTok
+    val meanTokLen = length(col("text")).cast("double") / nTok
+    docs.select(
+        col("doc_id"),
+        (nTok < minTokens).as("too_short"),
+        (symbolRatio > maxSymbolRatio).as("too_symbolic"),
+        (stopRatio < minStopwordRatio).as("low_stopword"),
+        (distinctRatio < minDistinctTokenRatio).as("repetitive"),
+        (meanTokLen < 3.0 || meanTokLen > 12.0).as("odd_token_len"))
+      .withColumn("keep",
+        !col("too_short") && !col("too_symbolic") && !col("low_stopword") &&
+          !col("repetitive") && !col("odd_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Heavy-hitter terms per source via the Misra-Gries Aggregator
     * ([[graft.functions.HeavyHitters]]): O(k) state per group instead of
     * an unbounded per-(source, term) shuffle. Rows-only check (sketch
