@@ -76,6 +76,8 @@ object SparkEntry {
     "q_above_avg_orders"  -> (ExtraQueries.aboveAvgOrders _),
     "q_grouping_sets"     -> (ExtraQueries.orderGroupingSets _),
     "q_percentiles"       -> (ExtraQueries.quantityPercentiles _),
+    "q_window_distribution" -> (ExtraQueries.customerBalanceDistribution _),
+    "q_ship_latency"      -> (ExtraQueries.shipLatency _),
     // ---- training-data-pipeline extensions
     "q_token_stats"       -> (TextAnalysis.tokenStats _),
     "q_quality_scores"    -> (TextAnalysis.qualityScores _),
@@ -302,6 +304,20 @@ object SparkEntry {
         "make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), " +
         "CAST(day(o_orderdate) AS INT)) AS issue_date " +
         "FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey"),
+    "q_window_distribution" ->
+      ("SELECT c_nationkey, c_custkey, c_acctbal, " +
+        "round(PERCENT_RANK() OVER w, 6) AS pct_rank, " +
+        "round(CUME_DIST() OVER w, 6) AS cume, " +
+        "CAST(NTILE(4) OVER w AS INTEGER) AS quartile " +
+        "FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) " +
+        "ORDER BY c_nationkey, c_custkey"),
+    "q_ship_latency" ->
+      ("SELECT o_orderpriority, COUNT(*) AS n_items, " +
+        "CAST(MIN(datediff('day', o_orderdate, l_shipdate)) AS INTEGER) AS min_days, " +
+        "CAST(MAX(datediff('day', o_orderdate, l_shipdate)) AS INTEGER) AS max_days, " +
+        "round(AVG(datediff('day', o_orderdate, l_shipdate)), 6) AS avg_days " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q_session_stats" ->
       ("WITH o AS (SELECT user_id, ts, " +
         "CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE " +

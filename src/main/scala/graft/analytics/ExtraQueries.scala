@@ -128,6 +128,34 @@ object ExtraQueries {
         round(element_at(col("qs"), 1), 6).as("approx_median_qty"),
         round(element_at(col("qs"), 2), 6).as("approx_p95_qty"))
 
+  /** Distribution window functions (percent_rank / cume_dist / ntile) —
+    * the analytic-function family not yet covered by the rank/lag suite.
+    */
+  def customerBalanceDistribution(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, d)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
+  /** Temporal arithmetic: ship latency (days between order and ship
+    * date) distribution per order priority.
+    */
+  def shipLatency(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lat"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        min(col("lat")).as("min_days"), max(col("lat")).as("max_days"),
+        round(avg(col("lat")), 6).as("avg_days"))
+      .orderBy(col("o_orderpriority"))
+
   /** Sessionization: gap-based session windows per user (session extends
     * while each event arrives within the gap of the previous one), then
     * per-user session stats. The DuckDB oracle derives identical sessions
