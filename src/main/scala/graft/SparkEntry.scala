@@ -392,11 +392,12 @@ object SparkEntry {
       (s"WITH q AS (SELECT doc_id, text, $toks AS tk FROM documents) " +
         "SELECT doc_id, " +
         "len(tk) < 20 AS too_short, " +
-        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) > 0.1 AS too_symbolic, " +
+        // length(text) > 0 guard: DuckDB's 0/0 is NaN (NaN > x true) vs Spark's NULL
+        "(length(text) > 0 AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) > 0.1) AS too_symbolic, " +
         "CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) / len(tk) < 0.02 AS low_stopword, " +
         "CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) < 0.5 AS repetitive, " +
         "(CAST(length(text) AS DOUBLE) / len(tk) < 3.0 OR CAST(length(text) AS DOUBLE) / len(tk) > 12.0) AS odd_token_len, " +
-        "NOT (len(tk) < 20 OR CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) > 0.1 " +
+        "NOT (len(tk) < 20 OR (length(text) > 0 AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) > 0.1) " +
         "OR CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) / len(tk) < 0.02 " +
         "OR CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) < 0.5 " +
         "OR CAST(length(text) AS DOUBLE) / len(tk) < 3.0 OR CAST(length(text) AS DOUBLE) / len(tk) > 12.0) AS keep " +
@@ -436,12 +437,12 @@ object SparkEntry {
         "round(MIN(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 6) AS min_norm, " +
         "round(MAX(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 6) AS max_norm " +
         "FROM embeddings GROUP BY label ORDER BY label")
-    // no oracle (rows-only checks): q_fingerprints / q_minhash_pairs /
-    // q_neardup_clusters / q_simhash_near_dups (xxhash64 is
-    // Spark-specific), q_lsh_ann_topk / q_ivf_ann_topk (hash/centroid
-    // models Spark-side), q_media_features (codec seam),
-    // q_approx_distincts (sketches are engine-specific). All eight are
-    // covered by ScalaTest ground-truth assertions instead
-    // (see src/test/scala/graft).
+    // No oracle (rows-only checks) — the authoritative list is
+    // `queries.keySet -- oracleSql.keySet` (don't trust a hardcoded
+    // enumeration here); currently that's the xxhash64-based dedup
+    // queries, the ANN variants (hash/centroid models are Spark-side),
+    // the codec-seam media query, the engine-specific sketches, and the
+    // partitioning-dependent heavy-hitters. Each is covered by ScalaTest
+    // ground-truth assertions instead (see src/test/scala/graft).
   )
 }

@@ -26,8 +26,14 @@ object Skew {
     */
   def saltedSum(df: DataFrame, key: Column, value: Column,
                 salts: Int = 16): DataFrame =
-    df.select(key.as("k"), value.as("v"))
-      .withColumn("_salt", pmod(xxhash64(col("k"), col("v")), lit(salts)))
+    // the salt hashes ALL source columns, not just (key, value): a hot
+    // key summing a low-cardinality value (0/1 flags, constant weights)
+    // would otherwise collapse to one salt and re-create the hotspot.
+    // Fully-duplicate rows still share a salt — the inherent limit of
+    // retry-stable content hashing.
+    df.withColumn("_salt",
+        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+      .select(key.as("k"), value.as("v"), col("_salt"))
       .groupBy(col("k"), col("_salt"))
       .agg(sum(col("v")).as("partial"))
       .groupBy(col("k"))
@@ -41,10 +47,15 @@ object Skew {
     * instead of one. Result is row-identical to the unsalted join
     * (SkewSpec asserts this).
     */
+  /** saltCols defaults to every big-side column; pass an explicit subset
+    * when the schema carries types hash expressions reject (maps) or
+    * when a smaller column set already spreads a hot key's rows.
+    */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 salts: Int = 16): DataFrame = {
+                 salts: Int = 16, saltCols: Seq[String] = Nil): DataFrame = {
+    val spreadCols = (if (saltCols.nonEmpty) saltCols else big.columns.toSeq).map(col)
     val bigS = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)))
+      pmod(xxhash64(spreadCols: _*), lit(salts)))
     val smallS = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     bigS.join(smallS, Seq(key, "_salt")).drop("_salt")

@@ -105,17 +105,16 @@ object Multimodal {
     ds.mapPartitions { rows =>
       rows.map { r =>
         val p = r.payload
-        val out =
-          if (p == null || p.length <= budget) p
-          else {
-            val res = new Array[Byte](budget)
-            val step = p.length.toDouble / budget
-            var i = 0
-            while (i < budget) { res(i) = p((i * step).toInt); i += 1 }
-            res
-          }
-        r.copy(payload = out,
-          width = Some(targetW), height = Some(targetH))
+        if (p == null || p.length <= budget) r // pass-through keeps its true metadata
+        else {
+          val res = new Array[Byte](budget)
+          val step = p.length.toDouble / budget
+          var i = 0
+          while (i < budget) { res(i) = p((i * step).toInt); i += 1 }
+          // dimensions stamped only when the payload was actually resized,
+          // preserving width*height*bytesPerPixel == payload.length
+          r.copy(payload = res, width = Some(targetW), height = Some(targetH))
+        }
       }
     }
   }

@@ -150,6 +150,8 @@ object TextAnalysis {
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
     val nTok = size(col("toks"))
+    // guarded by length > 0: Spark's 0/0 is NULL while DuckDB's is NaN
+    // (and NaN > x is true there) — the guard makes empty docs agree
     val symbolRatio =
       size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
         length(col("text"))
@@ -159,7 +161,7 @@ object TextAnalysis {
     docs.select(
         col("doc_id"),
         (nTok < minTokens).as("too_short"),
-        (symbolRatio > maxSymbolRatio).as("too_symbolic"),
+        (length(col("text")) > 0 && symbolRatio > maxSymbolRatio).as("too_symbolic"),
         (stopRatio < minStopwordRatio).as("low_stopword"),
         (distinctRatio < minDistinctTokenRatio).as("repetitive"),
         (meanTokLen < 3.0 || meanTokLen > 12.0).as("odd_token_len"))
@@ -193,7 +195,7 @@ object TextAnalysis {
   def tfidfTopTerms(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, d)
     val toks = docs
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(col("toks")).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))

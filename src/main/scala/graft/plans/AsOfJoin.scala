@@ -140,9 +140,13 @@ object AsOfJoin {
     val lPlan = GraftSql.analyzedPlan(leftDf)
     val rPlan = GraftSql.analyzedPlan(rightDf)
     def attr(p: LogicalPlan, name: String): Attribute =
-      p.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not in ${p.output.map(_.name).mkString(",")}"))
+      p.output.filter(_.name == name) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"column $name not in ${p.output.map(_.name).mkString(",")}")
+        case many => throw new IllegalArgumentException(
+          s"column $name is ambiguous (${many.size} attributes) — rename before asof")
+      }
     GraftSql.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),

@@ -94,24 +94,27 @@ class HtmlToMarkdownSpec extends SparkTestBase {
   test("converts the full real crawled corpus (971 docs) without errors") {
     val dir = Paths.get("/root/reference/crawl/1/tvpl_new/html")
     assume(Files.isDirectory(dir))
-    val files = Files.list(dir).iterator()
     var n = 0
     var nonEmpty = 0
     var emptyWithContent = 0
-    while (files.hasNext) {
-      val f = files.next()
-      if (f.toString.endsWith(".html")) {
-        val html = Files.readString(f)
-        val md = HtmlToMarkdown.convert(html) // must not throw
-        assert(md != null, s"null output for $f")
-        n += 1
-        if (md.nonEmpty) nonEmpty += 1
-        // empty output is only legitimate for placeholder pages with no
-        // handled tags (the reference parser also emits nothing there)
-        else if (html.contains("<p") || html.contains("<table") || html.contains("<h1"))
-          emptyWithContent += 1
+    val stream = Files.list(dir)
+    try {
+      val files = stream.iterator()
+      while (files.hasNext) {
+        val f = files.next()
+        if (f.toString.endsWith(".html")) {
+          val html = Files.readString(f)
+          val md = HtmlToMarkdown.convert(html) // must not throw
+          assert(md != null, s"null output for $f")
+          n += 1
+          if (md.nonEmpty) nonEmpty += 1
+          // empty output is only legitimate for placeholder pages with no
+          // handled tags (the reference parser also emits nothing there)
+          else if (html.contains("<p") || html.contains("<table") || html.contains("<h1"))
+            emptyWithContent += 1
+        }
       }
-    }
+    } finally stream.close()
     assert(n >= 900, s"expected the full corpus, saw $n")
     assert(emptyWithContent == 0, "handled-tag documents must produce markdown")
     assert(nonEmpty >= n - 5, s"only placeholder pages may be empty ($nonEmpty/$n)")

@@ -125,8 +125,10 @@ class CorpusAndSinksSpec extends SparkTestBase {
     assert(resized(1L).payload.length == 16 && resized(1L).width.contains(4))
     // subsampling is deterministic: byte i comes from position floor(i*step)
     assert(resized(1L).payload.toSeq == (0 until 16).map(i => big((i * 6.25).toInt)))
+    // pass-through rows keep their TRUE metadata, not fabricated dims
     assert(resized(2L).payload.toSeq == Seq[Byte](1, 2), "small payloads pass through")
-    assert(resized(3L).payload == null)
+    assert(resized(2L).width.contains(2) && resized(2L).height.contains(1))
+    assert(resized(3L).payload == null && resized(3L).width.isEmpty)
   }
 
   test("multimodal: frame sampling explodes every nth frame for videos only") {

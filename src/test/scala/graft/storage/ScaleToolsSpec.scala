@@ -59,6 +59,18 @@ class ScaleToolsSpec extends SparkTestBase {
     assert(direct("HOT") == (1 to 5000).filter(_ % 10 != 0).map(_.toLong).sum)
   }
 
+  test("salted sum spreads a hot key with LOW-cardinality values across salts") {
+    // the skew workload salting exists for: hot key, near-constant value
+    val skewed = (1 to 4000).map(i => ("HOT", 1L, s"row$i")).toDF("k", "v", "payload")
+    val partials = skewed.withColumn("_salt",
+        pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*), lit(8)))
+      .groupBy($"k", $"_salt").count().count()
+    assert(partials >= 6, s"hot key collapsed to $partials salt groups of 8")
+    val total = Skew.saltedSum(skewed, $"k", $"v", salts = 8)
+      .collect().head.getLong(1)
+    assert(total == 4000L)
+  }
+
   test("salted join is row-identical to the plain join") {
     val big = (1 to 2000).map(i => (if (i % 3 == 0) "k1" else "k" + i, i.toLong))
       .toDF("key", "payload")
