@@ -33,7 +33,8 @@ case class AsOfJoinPlan(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    broadcastRight: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -43,8 +44,9 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, bcast) =>
+      (if (bcast) BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt)
+       else AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt)) :: Nil
     case _ => Nil
   }
 }
@@ -124,6 +126,89 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Broadcast variant: the SMALL right side broadcasts whole, the big
+  * left side keeps its existing partitioning — zero shuffle, zero sort
+  * on EITHER side (the canonical shape when a huge fact stream as-of
+  * joins a dimension-sized series, e.g. trades × reference quotes).
+  * Each task builds a key → time-sorted-rows index from the broadcast
+  * once and answers left rows by binary search. Among right rows with
+  * identical (key, time) the chosen row is unspecified (same as the
+  * sort-merge variant).
+  */
+case class BroadcastAsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution,
+    org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+      org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode))
+
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKey = BindReferences.bindReference(leftKey, left.output)
+    val lTime = BindReferences.bindReference(leftTime, left.output)
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTime = BindReferences.bindReference(rightTime, right.output)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val rightWidth = right.output.length
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions { lIter =>
+      // per-task index: key -> rows sorted ascending by time
+      val index = new java.util.HashMap[Any, Array[(AnyRef, InternalRow)]]()
+      val grouped = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[(AnyRef, InternalRow)]]()
+      broadcastRows.value.foreach { row =>
+        val k = rKey.eval(row)
+        val t = rTime.eval(row)
+        if (k != null && t != null) {
+          var buf = grouped.get(k)
+          if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty; grouped.put(k, buf) }
+          buf += ((t.asInstanceOf[AnyRef], row))
+        }
+      }
+      grouped.forEach { (k, buf) =>
+        index.put(k, buf.sortBy(_._1)(timeOrd.asInstanceOf[Ordering[AnyRef]]).toArray)
+      }
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(output, output)
+
+      lIter.map { lRow =>
+        val k = lKey.eval(lRow)
+        val t = lTime.eval(lRow)
+        val arr = if (k == null) null else index.get(k)
+        if (t == null || arr == null) proj(joined(lRow, nullRight))
+        else {
+          // binary search: last entry with time <= t
+          var lo = 0
+          var hi = arr.length - 1
+          var ans = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (timeOrd.compare(arr(mid)._1, t.asInstanceOf[AnyRef]) <= 0) { ans = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          proj(joined(lRow, if (ans >= 0) arr(ans)._2 else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
+
 object AsOfJoin {
 
   /** Surface API: `asof(trades, quotes, "symbol", "symbol", "ts", "q_ts")`.
@@ -132,7 +217,8 @@ object AsOfJoin {
     */
   def asof(leftDf: DataFrame, rightDf: DataFrame,
            leftKey: String, rightKey: String,
-           leftTime: String, rightTime: String): DataFrame = {
+           leftTime: String, rightTime: String,
+           broadcastRight: Boolean = false): DataFrame = {
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -150,6 +236,7 @@ object AsOfJoin {
     GraftSql.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTime), attr(rPlan, rightTime)))
+      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      broadcastRight))
   }
 }

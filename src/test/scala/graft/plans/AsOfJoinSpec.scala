@@ -37,6 +37,40 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(plan.contains("AsOfJoin"), s"custom exec missing:\n$plan")
   }
 
+  test("broadcast variant: same results, zero shuffle on the left side") {
+    val trades = Seq(
+      ("A", 10L, "t1"), ("A", 20L, "t2"), ("A", 5L, "t0"), ("B", 15L, "t3"))
+      .toDF("sym", "ts", "trade")
+    val quotes = Seq(
+      ("A", 8L, 1.0), ("A", 10L, 2.0), ("A", 19L, 3.0), ("C", 1L, 9.0))
+      .toDF("q_sym", "q_ts", "px")
+    val bcast = AsOfJoin.asof(trades, quotes, "sym", "q_sym", "ts", "q_ts",
+      broadcastRight = true)
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"), s"broadcast exec missing:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"broadcast variant must not shuffle:\n$plan")
+    val shuffle = AsOfJoin.asof(trades, quotes, "sym", "q_sym", "ts", "q_ts")
+      .select($"sym", $"ts", $"px").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    val broadcast = bcast.select($"sym", $"ts", $"px").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(broadcast == shuffle)
+  }
+
+  test("broadcast variant agrees with sort-merge on the full events table") {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"ts".as("e_ts"))
+    def run(bcast: Boolean) =
+      AsOfJoin.asof(purchases, errors, "user_id", "e_user", "ts", "e_ts", bcast)
+        .select($"event_id", $"e_ts").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getAs[Timestamp](1))).toMap
+    assert(run(bcast = true) == run(bcast = false))
+  }
+
   test("agrees with the composed union+window as-of on the events table") {
     val ev = Tables.events(spark, sfDir)
     // exact-ts collisions would make tie-breaking ambiguous between the
