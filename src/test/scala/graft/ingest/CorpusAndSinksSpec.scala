@@ -97,6 +97,27 @@ class CorpusAndSinksSpec extends SparkTestBase {
       Seq("nội dung, có dấu phẩy", "xuống\ndòng và \"nháy kép\""))
   }
 
+  test("ORC source/sink round-trips the document schema") {
+    val path = Files.createTempDirectory("orc").toString + "/docs"
+    val docs = Seq((1L, "văn bản một", "vanban"), (2L, "hai", "thongtu"))
+      .toDF("doc_id", "text", "source")
+    docs.write.orc(path)
+    val back = spark.read.orc(path).orderBy($"doc_id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "văn bản một", "vanban"), (2L, "hai", "thongtu")))
+  }
+
+  test("parquet schema merge unions evolved schemas across batches") {
+    val path = Files.createTempDirectory("evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$path/batch=1")
+    Seq((2L, 9.5)).toDF("id", "v2").write.parquet(s"$path/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.toSet == Set("id", "v1", "v2", "batch"))
+    val rows = merged.orderBy($"id").collect()
+    assert(rows(0).getAs[String]("v1") == "a" && rows(0).isNullAt(rows(0).fieldIndex("v2")))
+    assert(rows(1).getAs[Double]("v2") == 9.5 && rows(1).isNullAt(rows(1).fieldIndex("v1")))
+  }
+
   test("multimodal: fake codec features are deterministic, computed per partition") {
     import spark.implicits._
     val records = Seq(
