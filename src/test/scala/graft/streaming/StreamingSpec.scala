@@ -17,6 +17,12 @@ class StreamingSpec extends SparkTestBase {
   private def docJson(domain: String, filename: String, content: String): String =
     s"""{"domain":"$domain","filename":"$filename","content":"$content","file_path":"/$domain/$filename"}"""
 
+  private def envelopeStream(input: MemoryStream[(String, String)]) =
+    input.toDF().toDF("k", "v").select(
+      $"k".cast("binary").as("key"),
+      $"v".cast("binary").as("value"),
+      lit(Timestamp.valueOf("2024-01-01 00:00:10")).as("timestamp"))
+
   private def envelopeOf(rows: Seq[(String, String)]) = {
     // (key, value) -> Kafka-envelope shape: binary key/value + timestamp
     rows.toDF("k", "v").select(
@@ -93,6 +99,34 @@ class StreamingSpec extends SparkTestBase {
     assert(roll.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("a", 1L), ("b", 1L), ("c", 1L)))
     assert(StreamingStats.topDomains(stats, 2).count() == 2)
+  }
+
+  test("stats sink restarts from checkpoint without reprocessing old batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val statsPath = Files.createTempDirectory("stats_restart").toString
+    val ckpt = Files.createTempDirectory("ckpt_restart").toString
+
+    val input = MemoryStream[(String, String)]
+    val docs = ConsumerPlan(envelopeStream(input))
+    val q1 = StreamingStats.statsSink(docs, statsPath, ckpt, triggerMs = 50L).start()
+    try {
+      input.addData(("a_1", docJson("a", "1.txt", "aaaa")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterFirst = spark.read.parquet(statsPath).count()
+    assert(afterFirst == 1)
+
+    // second query, SAME source + checkpoint: offsets resume where the
+    // first run committed, batch ids advance, nothing reprocesses
+    val q2 = StreamingStats.statsSink(docs, statsPath, ckpt, triggerMs = 50L).start()
+    try {
+      input.addData(("b_2", docJson("b", "2.txt", "bb")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val stats = spark.read.parquet(statsPath).orderBy($"batch_id").collect()
+    assert(stats.length == 2, "restart must not duplicate the first batch's stats")
+    assert(stats.map(_.getAs[Long]("batch_id")).distinct.length == 2,
+      "batch ids must advance across the restart")
   }
 
   test("watermarked tumbling-window counts over a stream") {
