@@ -161,10 +161,19 @@ case class BroadcastAsOfJoinExec(
     val rTime = BindReferences.bindReference(rightTime, right.output)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val rightWidth = right.output.length
+    // the index keys on boxed catalyst values via Java equality — fine
+    // for numeric/string/timestamp keys, WRONG for BinaryType
+    // (Array[Byte] has identity equals: every lookup would miss and the
+    // output would silently null-pad); reject it up front
+    require(!leftKey.dataType.isInstanceOf[org.apache.spark.sql.types.BinaryType],
+      "broadcast as-of join does not support BinaryType keys; use the sort-merge variant")
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
 
     left.execute().mapPartitions { lIter =>
-      // per-task index: key -> rows sorted ascending by time
+      if (lIter.isEmpty) Iterator.empty
+      else {
+      // per-task index build: O(R log R) over the broadcast — suited to
+      // dimension-sized right sides; empty partitions skip the build
       val index = new java.util.HashMap[Any, Array[(AnyRef, InternalRow)]]()
       val grouped = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[(AnyRef, InternalRow)]]()
       broadcastRows.value.foreach { row =>
@@ -201,6 +210,7 @@ case class BroadcastAsOfJoinExec(
           proj(joined(lRow, if (ans >= 0) arr(ans)._2 else nullRight))
         }
       }
+      }
     }
   }
 
@@ -233,10 +243,15 @@ object AsOfJoin {
         case many => throw new IllegalArgumentException(
           s"column $name is ambiguous (${many.size} attributes) — rename before asof")
       }
-    GraftSql.ofRows(spark, AsOfJoinPlan(
-      lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTime), attr(rPlan, rightTime),
-      broadcastRight))
+    val (lk, rk) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
+    val (lt, rt) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
+    // both execs derive orderings/lookups from the LEFT types — a
+    // mismatched right side would silently miss (boxed-value lookups)
+    // or throw mid-job (ordering cast); fail at call time instead
+    require(lk.dataType == rk.dataType,
+      s"as-of key types differ: ${lk.dataType.sql} vs ${rk.dataType.sql}")
+    require(lt.dataType == rt.dataType,
+      s"as-of time types differ: ${lt.dataType.sql} vs ${rt.dataType.sql}")
+    GraftSql.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, broadcastRight))
   }
 }

@@ -17,19 +17,20 @@ class StreamingSpec extends SparkTestBase {
   private def docJson(domain: String, filename: String, content: String): String =
     s"""{"domain":"$domain","filename":"$filename","content":"$content","file_path":"/$domain/$filename"}"""
 
-  private def envelopeStream(input: MemoryStream[(String, String)]) =
-    input.toDF().toDF("k", "v").select(
+  /** (key, value) columns -> Kafka-envelope shape: binary key/value +
+    * fixed timestamp. The single definition all envelope tests share.
+    */
+  private def toEnvelope(df: org.apache.spark.sql.DataFrame) =
+    df.toDF("k", "v").select(
       $"k".cast("binary").as("key"),
       $"v".cast("binary").as("value"),
       lit(Timestamp.valueOf("2024-01-01 00:00:10")).as("timestamp"))
 
-  private def envelopeOf(rows: Seq[(String, String)]) = {
-    // (key, value) -> Kafka-envelope shape: binary key/value + timestamp
-    rows.toDF("k", "v").select(
-      $"k".cast("binary").as("key"),
-      $"v".cast("binary").as("value"),
-      lit(Timestamp.valueOf("2024-01-01 00:00:10")).as("timestamp"))
-  }
+  private def envelopeStream(input: MemoryStream[(String, String)]) =
+    toEnvelope(input.toDF())
+
+  private def envelopeOf(rows: Seq[(String, String)]) =
+    toEnvelope(rows.toDF("k", "v"))
 
   test("consumer plan: decode, flatten, null-reject malformed JSON") {
     val envelope = envelopeOf(Seq(
@@ -73,11 +74,7 @@ class StreamingSpec extends SparkTestBase {
   test("streaming foreachBatch stats sink: per-batch rows, empty batch short-circuits") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String)]
-    val envelope = input.toDF().toDF("k", "v").select(
-      $"k".cast("binary").as("key"),
-      $"v".cast("binary").as("value"),
-      lit(Timestamp.valueOf("2024-01-01 00:00:10")).as("timestamp"))
-    val docs = ConsumerPlan(envelope)
+    val docs = ConsumerPlan(envelopeStream(input))
     val statsPath = Files.createTempDirectory("stats").toString
     val ckpt = Files.createTempDirectory("ckpt").toString
     val query = StreamingStats.statsSink(docs, statsPath, ckpt, triggerMs = 50L).start()
