@@ -79,6 +79,18 @@ object TextExtract {
   /** Dash-run removal (T8). Reference: `crawl/crawl.py:226`. */
   def stripDashRuns(c: Column): Column = regexp_replace(c, "-{2,}", "")
 
+  /** Unicode NFC normalization: crawled Vietnamese text arrives in a mix
+    * of composed (U+1EBF) and decomposed (e + U+0302 + U+0301) forms;
+    * every downstream equality — dedup hashes, regex literals, join
+    * keys — silently misses across the two unless ingest canonicalizes.
+    * Java's Normalizer is the platform implementation; a UDF is the
+    * right vehicle (no Catalyst built-in exists).
+    */
+  val nfcNormalize = udf { s: String =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  }
+
   /** Vietnamese date string → DateType: `ngày D tháng M năm Y` → make_date.
     * Natural extension (SURVEY §2.8 note): the reference keeps these raw.
     */

@@ -90,6 +90,24 @@ class TextExtractSpec extends SparkTestBase {
     assert(r(2).isNullAt(0))
   }
 
+  test("NFC normalization unifies composed and decomposed Vietnamese forms") {
+    val composed = "Quy\u1EBFt \u0111\u1ECBnh" // precomposed (NFC) form
+    val decomposed = java.text.Normalizer.normalize(
+      composed, java.text.Normalizer.Form.NFD) // base letters + combining marks
+    assert(composed != decomposed, "fixture must start in different forms")
+    val out = Seq(composed, decomposed).toDF("text")
+      .select(TextExtract.nfcNormalize($"text").as("n"))
+      .collect().map(_.getString(0))
+    assert(out(0) == out(1), "NFC must unify the forms")
+    assert(out(0) == composed)
+    // dedup hashing agrees after normalization, differs before
+    val hashes = Seq(composed, decomposed).toDF("text")
+      .select(md5(TextExtract.nfcNormalize($"text")).as("h"), md5($"text").as("raw"))
+      .collect()
+    assert(hashes(0).getString(0) == hashes(1).getString(0))
+    assert(hashes(0).getString(1) != hashes(1).getString(1))
+  }
+
   test("property: related_codes never contains main_code (generated corpus)") {
     val codes = Seq("1/QĐ-A", "22/TT-BCT", "333/2020/NĐ-CP", "4/QĐ-A", "55/BKHĐT")
     val rng = new scala.util.Random(42)

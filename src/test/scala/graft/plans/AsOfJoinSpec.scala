@@ -71,6 +71,26 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(run(bcast = true) == run(bcast = false))
   }
 
+  test("mismatched key or time types are rejected at call time") {
+    val l = Seq(("A", 10L, 1)).toDF("k", "ts", "p")
+    val rIntKey = Seq((1, 5L)).toDF("rk", "rts")        // int key vs string key
+    val rIntTime = Seq(("A", 5)).toDF("rk", "rts")      // int time vs long time
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, rIntKey, "k", "rk", "ts", "rts")
+    }
+    assert(e1.getMessage.contains("key types differ"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, rIntTime, "k", "rk", "ts", "rts")
+    }
+    assert(e2.getMessage.contains("time types differ"))
+    val eAmb = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l.crossJoin(l.select($"k".as("k2"))).withColumnRenamed("k2", "k"),
+        rIntKey.withColumnRenamed("rk", "k").withColumn("k", lit("A")),
+        "k", "k", "ts", "rts")
+    }
+    assert(eAmb.getMessage.contains("ambiguous"))
+  }
+
   test("agrees with the composed union+window as-of on the events table") {
     val ev = Tables.events(spark, sfDir)
     // exact-ts collisions would make tie-breaking ambiguous between the
