@@ -105,11 +105,16 @@ object SparkEntry {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
   // All-decimal product sums — mirror graft.analytics.dsumDisc/dsumCharge
   // exactly (cast inputs first, multiply in decimal, exact at every step).
+  // 2-dp decimal reduction before the double cast — see
+  // graft.analytics.dsumCharge for why (1-ulp decimal→double divergence
+  // on wide decimals at 1e9+ magnitudes). DuckDB's decimal→decimal CAST
+  // TRUNCATES, so the oracle reduces with round() (HALF_UP, matching
+  // Spark's decimal cast).
   private def dsumDiscSql(p: String, r: String) =
-    s"CAST(SUM(CAST($p AS DECIMAL(12,4)) * (1 - CAST($r AS DECIMAL(8,4)))) AS DOUBLE)"
+    s"CAST(round(SUM(CAST($p AS DECIMAL(12,4)) * (1 - CAST($r AS DECIMAL(8,4)))), 2) AS DOUBLE)"
   private def dsumChargeSql(p: String, r: String, t: String) =
-    s"CAST(SUM(CAST($p AS DECIMAL(12,4)) * (1 - CAST($r AS DECIMAL(8,4))) * " +
-      s"(1 + CAST($t AS DECIMAL(8,4)))) AS DOUBLE)"
+    s"CAST(round(SUM(CAST($p AS DECIMAL(12,4)) * (1 - CAST($r AS DECIMAL(8,4))) * " +
+      s"(1 + CAST($t AS DECIMAL(8,4)))), 2) AS DOUBLE)"
 
   def oracleSql: Map[String, String] = Map(
     "q_domain_stats" ->
@@ -306,8 +311,8 @@ object SparkEntry {
         "FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey"),
     "q_window_distribution" ->
       ("SELECT c_nationkey, c_custkey, c_acctbal, " +
-        "round(PERCENT_RANK() OVER w, 6) AS pct_rank, " +
-        "round(CUME_DIST() OVER w, 6) AS cume, " +
+        "floor(PERCENT_RANK() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank, " +
+        "floor(CUME_DIST() OVER w * 1000000 + 0.5) / 1000000 AS cume, " +
         "CAST(NTILE(4) OVER w AS INTEGER) AS quartile " +
         "FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) " +
         "ORDER BY c_nationkey, c_custkey"),

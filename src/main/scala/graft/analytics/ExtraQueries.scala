@@ -134,10 +134,13 @@ object ExtraQueries {
   def customerBalanceDistribution(spark: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"), col("c_custkey"))
+    // round6Stable, not round(): cume_dist fractions land EXACTLY on
+    // rounding ties (41/640 = 0.0640625) where Spark (HALF_UP) and
+    // DuckDB (half-even) disagree
     Tables.customer(spark, d)
       .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"),
+        round6Stable(percent_rank().over(w)).as("pct_rank"),
+        round6Stable(cume_dist().over(w)).as("cume"),
         ntile(4).over(w).as("quartile"))
       .orderBy(col("c_nationkey"), col("c_custkey"))
   }

@@ -25,6 +25,16 @@ package object analytics {
   /** A rate-ish double (discount/tax, |x| < 10) as an exact decimal. */
   def decRate(c: Column): Column = c.cast(DecimalType(8, 4))
 
+  /** Mode-free 6-dp rounding for doubles that can land EXACTLY on a
+    * rounding tie (e.g. cume_dist fractions like 41/640 = 0.0640625):
+    * Spark's round is HALF_UP while DuckDB's is half-even, so ties
+    * diverge. floor(x·1e6 + 0.5)/1e6 is pure double arithmetic —
+    * bit-identical in both engines. Oracle mirror:
+    * `floor(x * 1000000 + 0.5) / 1000000`.
+    */
+  def round6Stable(c: Column): Column =
+    floor(c * 1000000.0 + 0.5) / 1000000.0
+
   /** Deterministic sum of price × (1 − rate).
     *
     * The whole product stays in decimal: inputs are cast to narrow decimals
@@ -36,12 +46,20 @@ package object analytics {
     * `SUM(CAST(p AS DECIMAL(12,4)) * (1 - CAST(r AS DECIMAL(8,4))))`.
     */
   def dsumDisc(price: Column, discount: Column): Column =
-    sum(decPrice(price) * (lit(1) - decRate(discount))).cast("double")
+    sum(decPrice(price) * (lit(1) - decRate(discount)))
+      .cast(DecimalType(38, 2)).cast("double")
 
   /** Deterministic sum of price × (1 − discount) × (1 + tax); all-decimal,
     * exact at every step (final scale 12, well inside precision 38).
+    *
+    * The output reduces to DECIMAL(38,2) BEFORE the double cast: Spark
+    * and DuckDB disagree by 1 ulp when converting the wide scale-12
+    * decimal straight to double at 1e9+ magnitudes (surfaced at sf0.1),
+    * while a 2-dp money value needs ~12 significant digits and converts
+    * correctly-rounded — identically — in both engines. Oracle mirror:
+    * `CAST(CAST(SUM(...) AS DECIMAL(38,2)) AS DOUBLE)`.
     */
   def dsumCharge(price: Column, discount: Column, tax: Column): Column =
     sum(decPrice(price) * (lit(1) - decRate(discount)) * (lit(1) + decRate(tax)))
-      .cast("double")
+      .cast(DecimalType(38, 2)).cast("double")
 }
