@@ -320,7 +320,7 @@ object SparkEntry {
       ("SELECT o_orderpriority, COUNT(*) AS n_items, " +
         "CAST(MIN(datediff('day', o_orderdate, l_shipdate)) AS INTEGER) AS min_days, " +
         "CAST(MAX(datediff('day', o_orderdate, l_shipdate)) AS INTEGER) AS max_days, " +
-        "round(AVG(datediff('day', o_orderdate, l_shipdate)), 6) AS avg_days " +
+        "floor(AVG(datediff('day', o_orderdate, l_shipdate)) * 1000000 + 0.5) / 1000000 AS avg_days " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q_session_stats" ->

@@ -156,7 +156,9 @@ object ExtraQueries {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         min(col("lat")).as("min_days"), max(col("lat")).as("max_days"),
-        round(avg(col("lat")), 6).as("avg_days"))
+        // mode-free rounding: int-sum/count can land exactly on a
+        // 7-digit decimal tie when the count divides 10^7
+        round6Stable(avg(col("lat"))).as("avg_days"))
       .orderBy(col("o_orderpriority"))
 
   /** Sessionization: gap-based session windows per user (session extends
