@@ -77,6 +77,8 @@ object SparkEntry {
     "q_grouping_sets"     -> (ExtraQueries.orderGroupingSets _),
     "q_percentiles"       -> (ExtraQueries.quantityPercentiles _),
     "q_window_distribution" -> (ExtraQueries.customerBalanceDistribution _),
+    "q_orders_pivot"      -> (ExtraQueries.ordersPivot _),
+    "q_orders_unpivot"    -> (ExtraQueries.ordersUnpivot _),
     "q_ship_latency"      -> (ExtraQueries.shipLatency _),
     // ---- training-data-pipeline extensions
     "q_token_stats"       -> (TextAnalysis.tokenStats _),
@@ -316,6 +318,28 @@ object SparkEntry {
         "CAST(NTILE(4) OVER w AS INTEGER) AS quartile " +
         "FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) " +
         "ORDER BY c_nationkey, c_custkey"),
+    "q_orders_pivot" ->
+      ("SELECT o_orderstatus AS status, " +
+        "COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent, " +
+        "COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS high, " +
+        "COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium, " +
+        "COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS unspecified, " +
+        "COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY status"),
+    "q_orders_unpivot" ->
+      ("WITH p AS (SELECT o_orderstatus AS status, " +
+        "COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent, " +
+        "COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS high, " +
+        "COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium, " +
+        "COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS unspecified, " +
+        "COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low " +
+        "FROM orders GROUP BY o_orderstatus) " +
+        "SELECT status, priority, n_orders FROM (" +
+        "SELECT status, 'urgent' AS priority, urgent AS n_orders FROM p UNION ALL " +
+        "SELECT status, 'high', high FROM p UNION ALL " +
+        "SELECT status, 'medium', medium FROM p UNION ALL " +
+        "SELECT status, 'unspecified', unspecified FROM p UNION ALL " +
+        "SELECT status, 'low', low FROM p) ORDER BY status, priority"),
     "q_ship_latency" ->
       ("SELECT o_orderpriority, COUNT(*) AS n_items, " +
         "CAST(MIN(datediff('day', o_orderdate, l_shipdate)) AS INTEGER) AS min_days, " +

@@ -128,6 +128,35 @@ object ExtraQueries {
         round(element_at(col("qs"), 1), 6).as("approx_median_qty"),
         round(element_at(col("qs"), 2), 6).as("approx_p95_qty"))
 
+  /** Pivot: order counts per status, one column per priority (fixed
+    * pivot values keep the schema static and the oracle expressible as
+    * conditional aggregation).
+    */
+  def ordersPivot(spark: SparkSession, d: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.orders(spark, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderstatus").as("status"),
+        col("1-URGENT").as("urgent"), col("2-HIGH").as("high"),
+        col("3-MEDIUM").as("medium"), col("4-NOT SPECIFIED").as("unspecified"),
+        col("5-LOW").as("low"))
+      .orderBy(col("status"))
+  }
+
+  /** Unpivot/melt: the wide per-priority counts back to long form —
+    * the inverse reshape (Spark's unpivot; UNION ALL in the oracle).
+    */
+  def ordersUnpivot(spark: SparkSession, d: String): DataFrame =
+    ordersPivot(spark, d)
+      .unpivot(
+        Array(col("status")),
+        Array(col("urgent"), col("high"), col("medium"), col("unspecified"), col("low")),
+        "priority", "n_orders")
+      .orderBy(col("status"), col("priority"))
+
   /** Distribution window functions (percent_rank / cume_dist / ntile) —
     * the analytic-function family not yet covered by the rank/lag suite.
     */
