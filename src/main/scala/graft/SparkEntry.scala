@@ -112,6 +112,16 @@ object SparkEntry {
   // on wide decimals at 1e9+ magnitudes). DuckDB's decimal→decimal CAST
   // TRUNCATES, so the oracle reduces with round() (HALF_UP, matching
   // Spark's decimal cast).
+  // shared by q_orders_pivot and its unpivot inverse — one definition,
+  // no copy to drift
+  private val pivotCoreSql =
+    "o_orderstatus AS status, " +
+      "COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent, " +
+      "COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS high, " +
+      "COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium, " +
+      "COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS unspecified, " +
+      "COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low " +
+      "FROM orders GROUP BY o_orderstatus"
   private def dsumDiscSql(p: String, r: String) =
     s"CAST(round(SUM(CAST($p AS DECIMAL(12,4)) * (1 - CAST($r AS DECIMAL(8,4)))), 2) AS DOUBLE)"
   private def dsumChargeSql(p: String, r: String, t: String) =
@@ -319,21 +329,9 @@ object SparkEntry {
         "FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) " +
         "ORDER BY c_nationkey, c_custkey"),
     "q_orders_pivot" ->
-      ("SELECT o_orderstatus AS status, " +
-        "COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent, " +
-        "COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS high, " +
-        "COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium, " +
-        "COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS unspecified, " +
-        "COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low " +
-        "FROM orders GROUP BY o_orderstatus ORDER BY status"),
+      (s"SELECT $pivotCoreSql ORDER BY status"),
     "q_orders_unpivot" ->
-      ("WITH p AS (SELECT o_orderstatus AS status, " +
-        "COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent, " +
-        "COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS high, " +
-        "COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium, " +
-        "COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS unspecified, " +
-        "COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low " +
-        "FROM orders GROUP BY o_orderstatus) " +
+      (s"WITH p AS (SELECT $pivotCoreSql) " +
         "SELECT status, priority, n_orders FROM (" +
         "SELECT status, 'urgent' AS priority, urgent AS n_orders FROM p UNION ALL " +
         "SELECT status, 'high', high FROM p UNION ALL " +
@@ -415,7 +413,7 @@ object SparkEntry {
         "SELECT doc_id, rk, term, tfidf FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"),
     "q_deduped_corpus" ->
       ("SELECT doc_id, source, lang, n_chars FROM documents " +
-        "WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text)) " +
+        "WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(nfc_normalize(text))) " +
         "ORDER BY doc_id"),
     "q_quality_filters" ->
       (s"WITH q AS (SELECT doc_id, text, $toks AS tk FROM documents) " +
@@ -432,9 +430,10 @@ object SparkEntry {
         "OR CAST(length(text) AS DOUBLE) / len(tk) < 3.0 OR CAST(length(text) AS DOUBLE) / len(tk) > 12.0) AS keep " +
         "FROM q ORDER BY doc_id"),
     "q_dedup_exact_stats" ->
-      ("SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct_texts FROM documents"),
+      // md5 over NFC-normalized text — mirrors graft.ext.Dedup.contentHash
+      ("SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(nfc_normalize(text))) AS n_distinct_texts FROM documents"),
     "q_dedup_keep_list" ->
-      ("SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies " +
+      ("SELECT md5(nfc_normalize(text)) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies " +
         "FROM documents GROUP BY content_hash ORDER BY keep_id"),
     "q_ngram_jaccard" ->
       ("WITH g AS (SELECT doc_id, list_distinct(list_transform(" +

@@ -132,7 +132,7 @@ object ExtraQueries {
     * pivot values keep the schema static and the oracle expressible as
     * conditional aggregation).
     */
-  def ordersPivot(spark: SparkSession, d: String): DataFrame = {
+  private def ordersPivotCore(spark: SparkSession, d: String): DataFrame = {
     val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
     Tables.orders(spark, d)
       .groupBy(col("o_orderstatus"))
@@ -143,14 +143,18 @@ object ExtraQueries {
         col("1-URGENT").as("urgent"), col("2-HIGH").as("high"),
         col("3-MEDIUM").as("medium"), col("4-NOT SPECIFIED").as("unspecified"),
         col("5-LOW").as("low"))
-      .orderBy(col("status"))
   }
+
+  def ordersPivot(spark: SparkSession, d: String): DataFrame =
+    ordersPivotCore(spark, d).orderBy(col("status"))
 
   /** Unpivot/melt: the wide per-priority counts back to long form —
     * the inverse reshape (Spark's unpivot; UNION ALL in the oracle).
+    * Built on the unsorted pivot core — its own ORDER BY supersedes any
+    * inherited sort.
     */
   def ordersUnpivot(spark: SparkSession, d: String): DataFrame =
-    ordersPivot(spark, d)
+    ordersPivotCore(spark, d)
       .unpivot(
         Array(col("status")),
         Array(col("urgent"), col("high"), col("medium"), col("unspecified"), col("low")),

@@ -31,6 +31,11 @@ package object analytics {
     * diverge. floor(x·1e6 + 0.5)/1e6 is pure double arithmetic —
     * bit-identical in both engines. Oracle mirror:
     * `floor(x * 1000000 + 0.5) / 1000000`.
+    *
+    * Domain: NON-NEGATIVE values below ~9e12 (negative ties round toward
+    * +inf, not HALF_UP, and Spark's floor returns BIGINT while DuckDB's
+    * returns DOUBLE — both differences are outside every current caller's
+    * range: rank fractions in [0,1], day latencies).
     */
   def round6Stable(c: Column): Column =
     floor(c * 1000000.0 + 0.5) / 1000000.0
@@ -43,7 +48,9 @@ package object analytics {
     * reduction) and width 21 in DuckDB (< 38, exact). Computing the product
     * in double and casting after (the old form) let Spark and DuckDB round
     * near-tie 4th decimals differently and drift the sum. Oracle mirror:
-    * `SUM(CAST(p AS DECIMAL(12,4)) * (1 - CAST(r AS DECIMAL(8,4))))`.
+    * `CAST(round(SUM(CAST(p AS DECIMAL(12,4)) * (1 - CAST(r AS
+    * DECIMAL(8,4)))), 2) AS DOUBLE)` — round(), NOT a decimal CAST,
+    * which truncates in DuckDB.
     */
   def dsumDisc(price: Column, discount: Column): Column =
     sum(decPrice(price) * (lit(1) - decRate(discount)))
@@ -57,7 +64,8 @@ package object analytics {
     * decimal straight to double at 1e9+ magnitudes (surfaced at sf0.1),
     * while a 2-dp money value needs ~12 significant digits and converts
     * correctly-rounded — identically — in both engines. Oracle mirror:
-    * `CAST(CAST(SUM(...) AS DECIMAL(38,2)) AS DOUBLE)`.
+    * `CAST(round(SUM(...), 2) AS DOUBLE)` — DuckDB's round() is HALF_UP
+    * like Spark's decimal cast; a DuckDB decimal CAST would TRUNCATE.
     */
   def dsumCharge(price: Column, discount: Column, tax: Column): Column =
     sum(decPrice(price) * (lit(1) - decRate(discount)) * (lit(1) + decRate(tax)))

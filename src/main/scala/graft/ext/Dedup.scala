@@ -18,12 +18,21 @@ import graft.Tables
   */
 object Dedup {
 
+  /** The canonical content hash: md5 over NFC-NORMALIZED text. Crawled
+    * Vietnamese arrives in mixed composed/decomposed Unicode forms; raw
+    * md5 treats them as distinct and dedup silently misses those pairs
+    * (graft.extract.TextExtract.nfcNormalize documents the mechanics).
+    * DuckDB mirror: `md5(nfc_normalize(text))`.
+    */
+  def contentHash(c: Column): Column =
+    md5(graft.extract.TextExtract.nfcNormalize(c))
+
   /** Exact-duplicate summary: corpus size vs distinct-content size. */
   def exactDedupStats(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       .agg(
         count(lit(1)).as("n_docs"),
-        countDistinct(md5(col("text"))).as("n_distinct_texts")
+        countDistinct(contentHash(col("text"))).as("n_distinct_texts")
       )
 
   /** Exact dedup keep-list: canonical (min doc_id) per content hash.
@@ -31,7 +40,7 @@ object Dedup {
     */
   def exactDedupKeepList(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
-      .groupBy(md5(col("text")).as("content_hash"))
+      .groupBy(contentHash(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
@@ -164,7 +173,7 @@ object Dedup {
   def dedupedCorpus(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
     val keep = docs
-      .groupBy(md5(col("text")).as("h"))
+      .groupBy(contentHash(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"))
       .select(col("keep_id"))
     docs.join(keep, docs("doc_id") === keep("keep_id"), "left_semi")

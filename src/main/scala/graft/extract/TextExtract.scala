@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Text / regex extraction operators (SURVEY.md §2.8, T3–T9), built from
-  * Catalyst built-in expressions — no UDFs — so they stay inside
-  * whole-stage codegen and are pushdown/pruning-friendly.
+  * Catalyst built-in expressions so they stay inside whole-stage codegen
+  * and are pushdown/pruning-friendly. (One exception: [[nfcNormalize]]
+  * wraps java.text.Normalizer as a UDF — no Catalyst built-in exists.)
   *
   * Semantics mirror the reference's pure-Python extractors
   * (`crawl/1/extract_document_info.py`), applied to any string column.

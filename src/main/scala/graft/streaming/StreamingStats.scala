@@ -89,7 +89,7 @@ object StreamingStats {
     */
   def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs
-      .withColumn("content_hash", md5(col("content")))
+      .withColumn("content_hash", graft.ext.Dedup.contentHash(col("content")))
       .withWatermark("kafka_timestamp", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
       .drop("content_hash")
