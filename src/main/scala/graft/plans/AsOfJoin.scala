@@ -109,8 +109,11 @@ case class AsOfJoinExec(
             else if (cmp == 0 && rt == null) { rBuf.next() } // null time: discard
             else if (cmp == 0 &&
                 timeOrd.compare(rt.asInstanceOf[AnyRef], t.asInstanceOf[AnyRef]) <= 0) {
-              matchKey = rk
               matchRow = rBuf.next().copy() // unsafe rows are reused
+              // re-evaluate the key against the COPIED row: `rk` may be a
+              // UTF8String/byte-array view into the reused (or spill-reader)
+              // buffer, whose bytes are overwritten on the next advance
+              matchKey = rKey.eval(matchRow)
             } else advancing = false
           }
           val hasMatch = matchRow != null && matchKey != null &&

@@ -1,9 +1,37 @@
 package graft.plans
 
 import java.sql.Timestamp
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, UnsafeProjection}
+import org.apache.spark.sql.execution.LeafExecNode
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 import graft.{SparkTestBase, Tables}
 import graft.analytics.RelationalQueries
+
+/** Leaf node whose iterator returns ONE reused UnsafeRow whose backing
+  * buffer is overwritten on every advance — exactly what
+  * UnsafeSorterSpillReader does after a sort spills. Lets the spec
+  * exercise the spill-reuse hazard deterministically, without having to
+  * force a real spill.
+  */
+case class ReusedBufferScanExec(output: Seq[Attribute], data: Seq[Seq[Any]])
+    extends LeafExecNode {
+  override protected def doExecute(): RDD[InternalRow] = {
+    val types = output.map(_.dataType).toArray
+    sparkContext.parallelize(Seq(data), 1).mapPartitions { it =>
+      val proj = UnsafeProjection.create(types) // single shared buffer
+      it.next().iterator.map { vals =>
+        proj(InternalRow.fromSeq(vals.map {
+          case s: String => UTF8String.fromString(s)
+          case x => x
+        }))
+      }
+    }
+  }
+}
 
 /** The custom as-of join operator (logical node → strategy → sort-merge
   * exec) against hand-built cases and the composed union+window form.
@@ -89,6 +117,31 @@ class AsOfJoinSpec extends SparkTestBase {
         "k", "k", "ts", "rts")
     }
     assert(eAmb.getMessage.contains("ambiguous"))
+  }
+
+  test("string keys survive right-side row-buffer reuse (spill-reader hazard)") {
+    // Two string keys back-to-back: after buffering the "apple" match the
+    // merge peeks at the "banana" row, which (with a reused buffer, as
+    // after a spill) overwrites the bytes under any VIEW of the stored
+    // key. A matchKey held as a view would then compare as "banana" and
+    // the apple row would null-pad. The fix derives matchKey from the
+    // COPIED row, so both rows must match.
+    val lAttrs = Seq(AttributeReference("sym", StringType)(),
+      AttributeReference("ts", LongType)())
+    val rAttrs = Seq(AttributeReference("q_sym", StringType)(),
+      AttributeReference("q_ts", LongType)(),
+      AttributeReference("px", DoubleType)())
+    val leftRows = Seq(Seq("apple", 5L), Seq("banana", 5L))
+    val rightRows = Seq(Seq("apple", 1L, 1.0), Seq("banana", 1L, 2.0))
+    val exec = AsOfJoinExec(
+      ReusedBufferScanExec(lAttrs, leftRows),
+      ReusedBufferScanExec(rAttrs, rightRows),
+      lAttrs.head, rAttrs.head, lAttrs(1), rAttrs(1))
+    val out = exec.execute().map(_.copy()).collect().map { r =>
+      r.getUTF8String(0).toString ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    }.toMap
+    assert(out == Map("apple" -> Some(1.0), "banana" -> Some(2.0)))
   }
 
   test("agrees with the composed union+window as-of on the events table") {
