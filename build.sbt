@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] hosts driver + all 32 executor threads in ONE JVM: 8g
+  // meant ~145 MB of execution memory per concurrent task and visible
+  // GC churn across a 69-query bench run; 16g keeps task memory sane
+  // on the 128 GiB host while staying far from page-cache pressure.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

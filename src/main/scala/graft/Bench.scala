@@ -35,6 +35,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def best(name: String): Double = {
+      // JMH-style hygiene: collect the PREVIOUS query's garbage (dead
+      // broadcasts, spilled pages, cached plans) outside the timed
+      // window — otherwise ContextCleaner/GC fires mid-measurement and
+      // bills one query's cleanup to the next (observed as phantom 4-10×
+      // "regressions" on whichever query followed a broadcast-heavy one).
+      System.gc()
       val a = runOnce(name)
       val b = runOnce(name)
       if (a < 0 || b < 0) -1.0 else math.min(a, b)
