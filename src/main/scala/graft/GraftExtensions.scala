@@ -37,14 +37,20 @@ object GraftExtensions {
       (args: Seq[Expression]) => FloatVecNorm(args(0))),
     (FunctionIdentifier("jaccard_sorted_arrays"),
       info(classOf[JaccardSortedArrays], "jaccard_sorted_arrays"),
-      (args: Seq[Expression]) => JaccardSortedArrays(args(0), args(1)))
+      (args: Seq[Expression]) => JaccardSortedArrays(args(0), args(1))),
+    // the one UDF-backed function rides the same builder seam (as a real
+    // catalyst ScalaUDF — a Column-API wrapper would embed an Unevaluable
+    // column node in SQL-originated plans) so BOTH registration paths
+    // expose the identical SQL surface
+    (FunctionIdentifier("html_to_markdown"),
+      info(HtmlToMarkdown.getClass, "html_to_markdown"),
+      (args: Seq[Expression]) =>
+        GraftSql.scalaUdfExpression(HtmlToMarkdown.htmlToMarkdown, args))
   )
 
   /** Register everything into an already-running session. */
-  def registerAll(spark: SparkSession): Unit = {
+  def registerAll(spark: SparkSession): Unit =
     expressions.foreach { case (id, inf, builder) =>
       GraftSql.registerFunction(spark, id, inf, builder)
     }
-    spark.udf.register("html_to_markdown", HtmlToMarkdown.htmlToMarkdown)
-  }
 }

@@ -18,6 +18,15 @@ import graft.ingest.CorpusSource
   */
 object SparkEntry {
 
+  /** Text-corpus fixture dir for the wholetext queries — overridable so
+    * the query surface works on any checkout location (the driver's
+    * DuckDB oracle reads the same resolved path via oracleSql).
+    */
+  private[graft] val corpusDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR",
+      sys.props.getOrElse("graft.corpus.dir",
+        "/root/repo/src/test/resources/corpus"))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     CoreQueries.domainStats(spark, "/root/testdata/sf0.001")
@@ -67,7 +76,7 @@ object SparkEntry {
     "q_html_to_markdown"  -> (ExtraQueries.htmlToMarkdownDocs _),
     "q_vn_dates"          -> ((s: SparkSession, d: String) => ExtraQueries.vnDates(s, d)),
     "q_wholetext_corpus"  -> ((s: SparkSession, _: String) =>
-      CorpusSource.wholeTextCorpus(s, "/root/repo/src/test/resources/corpus")
+      CorpusSource.wholeTextCorpus(s, corpusDir)
         .select(col("domain"), col("filename"), length(col("content")).cast("long").as("n_chars"))
         .orderBy(col("filename"))),
     "q_media_features"    -> (ExtraQueries.mediaFeatures _),
@@ -87,6 +96,7 @@ object SparkEntry {
     "q_fingerprints"      -> (TextAnalysis.fingerprints _),
     "q_tfidf_top_terms"   -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "q_hot_terms"         -> ((s: SparkSession, d: String) => TextAnalysis.hotTermsPerSource(s, d)),
+    "q_hot_terms_exact"   -> ((s: SparkSession, d: String) => TextAnalysis.hotTermsExact(s, d)),
     "q_dedup_exact_stats" -> (Dedup.exactDedupStats _),
     "q_dedup_keep_list"   -> (Dedup.exactDedupKeepList _),
     "q_deduped_corpus"    -> (Dedup.dedupedCorpus _),
@@ -374,7 +384,7 @@ object SparkEntry {
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_wholetext_corpus" ->
       ("WITH f AS (SELECT filename AS path, content " +
-        "FROM read_text('/root/repo/src/test/resources/corpus/*/*.txt')) " +
+        s"FROM read_text('$corpusDir/*/*.txt')) " +
         "SELECT regexp_extract(path, '([^/]+)/[^/]+$', 1) AS domain, " +
         "regexp_extract(path, '([^/]+)$', 1) AS filename, " +
         "CAST(length(content) AS BIGINT) AS n_chars FROM f ORDER BY filename"),
@@ -401,6 +411,15 @@ object SparkEntry {
         "WHEN sen >= greatest(ses, sfr, szh) THEN 'en' " +
         "WHEN ses >= greatest(sfr, szh) THEN 'es' " +
         "WHEN sfr >= szh THEN 'fr' ELSE 'zh' END AS lang_pred FROM s ORDER BY doc_id"),
+    // exact heavy hitters: terms with count > n_source_tokens/50 — the
+    // MG survivor superset collapses to this under the exact-threshold
+    // filter, so a plain exact computation is the correct oracle
+    "q_hot_terms_exact" ->
+      (s"WITH terms AS (SELECT source, unnest($toks) AS term FROM documents), " +
+        "tot AS (SELECT source, COUNT(*) AS n_terms FROM terms GROUP BY source), " +
+        "cnt AS (SELECT source, term, COUNT(*) AS cnt FROM terms GROUP BY source, term) " +
+        "SELECT c.source, c.term, c.cnt FROM cnt c JOIN tot t USING (source) " +
+        "WHERE c.cnt * 50 > t.n_terms ORDER BY c.source, c.cnt DESC, c.term"),
     "q_tfidf_top_terms" ->
       (s"WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents), " +
         "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term), " +

@@ -184,6 +184,37 @@ object TextAnalysis {
       .agg(graft.functions.HeavyHitters.heavyHitters(col("term"), k).as("hot_terms"))
       .orderBy(col("source"))
 
+  /** Exact heavy hitters per source — the documented two-pass MG pattern
+    * made oracle-checkable. Pass 1: Misra-Gries survivor terms per source
+    * (O(k) state; the survivor set is a SUPERSET of every term with true
+    * count > n/k). Pass 2: exact recount of only the survivor
+    * (source, term) pairs (a broadcast semi-join — at most k-1 terms per
+    * source — so the recount shuffle carries candidate terms only, never
+    * the unbounded vocabulary), then keep pairs above the true n/k
+    * threshold. The threshold filter makes the output independent of
+    * partitioning: extra MG survivors fall out, so the result equals the
+    * plain exact computation a DuckDB oracle runs — while the engine-side
+    * plan stays two narrow passes at 100 TB.
+    *
+    * `cnt * k > n_terms` is the integer form of `cnt > n_terms / k`
+    * (exact in both engines; no FP division).
+    */
+  def hotTermsExact(spark: SparkSession, d: String, k: Int = 50): DataFrame = {
+    val terms = Tables.documents(spark, d)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+    val survivors = terms
+      .groupBy(col("source"))
+      .agg(graft.functions.HeavyHitters.heavyHitterTerms(col("term"), k).as("cands"))
+      .select(col("source"), explode(col("cands")).as("term"))
+    val totals = terms.groupBy(col("source")).agg(count(lit(1)).as("n_terms"))
+    terms.join(broadcast(survivors), Seq("source", "term"), "left_semi")
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), "source")
+      .filter(col("cnt") * k > col("n_terms"))
+      .select(col("source"), col("term"), col("cnt"))
+      .orderBy(col("source"), col("cnt").desc, col("term"))
+  }
+
   /** TF-IDF top-k terms per document. Scale shape: one explode over the
     * corpus feeds two map-side-combined aggregates (term frequency per
     * doc; document frequency per term — both shuffled on bounded keys),

@@ -103,7 +103,7 @@ object HtmlToMarkdown {
           val end = html.indexOf('>', i)
           if (end < 0) { i = n }
           else {
-            val name = html.substring(i + 2, end).trim.toLowerCase
+            val name = html.substring(i + 2, end).trim.toLowerCase(java.util.Locale.ROOT)
             // pop to nearest matching opener; ignore unmatched closers
             val idx = stack.lastIndexWhere(_.name == name)
             if (idx > 0) stack.remove(idx, stack.length - idx)
@@ -127,12 +127,23 @@ object HtmlToMarkdown {
             val inner = html.substring(i + 1, end)
             val selfClosing = inner.endsWith("/")
             val nameEnd = inner.indexWhere(ch => !ch.isLetterOrDigit)
-            val name = (if (nameEnd < 0) inner else inner.substring(0, nameEnd)).toLowerCase
+            val name = (if (nameEnd < 0) inner else inner.substring(0, nameEnd))
+              .toLowerCase(java.util.Locale.ROOT)
             val el = Elem(name, ArrayBuffer.empty)
             top.children += el
             if (rawTextTags.contains(name) && !selfClosing) {
-              // raw-text body: everything until the matching close tag
-              val close = html.toLowerCase.indexOf(s"</$name", end + 1)
+              // raw-text body: everything until the matching close tag —
+              // a case-insensitive regionMatches scan: no O(n) lowercase
+              // copy per raw-text tag, and no locale-dependent case
+              // mapping (default-locale toLowerCase under tr-TR changes
+              // dotted-I lengths and would misalign indices)
+              val needle = s"</$name"
+              var close = -1
+              var p = end + 1
+              while (close < 0 && p <= n - needle.length) {
+                if (html.regionMatches(true, p, needle, 0, needle.length)) close = p
+                p += 1
+              }
               val bodyEnd = if (close < 0) n else close
               if (bodyEnd > end + 1)
                 el.children += Text(html.substring(end + 1, bodyEnd))

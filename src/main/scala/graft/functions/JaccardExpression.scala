@@ -33,6 +33,11 @@ case class JaccardSortedArrays(left: Expression, right: Expression)
         s"${left.dataType.sql}, ${right.dataType.sql}")
   }
 
+  // Null ELEMENTS are skipped (treated as absent from the set): the
+  // expression is SQL-reachable via GraftExtensions, so a caller passing
+  // array('a', NULL) must not NPE (interpreted) or read an undefined
+  // slot (codegen). The engine-side callers never produce null elements;
+  // the guards are for the ad-hoc SQL surface.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -41,13 +46,21 @@ case class JaccardSortedArrays(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var inter = 0
+    var nxe = 0
+    var nye = 0
     while (i < nx && j < ny) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (c == 0) { inter += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (c == 0) { inter += 1; nxe += 1; nye += 1; i += 1; j += 1 }
+        else if (c < 0) { nxe += 1; i += 1 }
+        else { nye += 1; j += 1 }
+      }
     }
-    val union = nx + ny - inter
+    while (i < nx) { if (!x.isNullAt(i)) nxe += 1; i += 1 }
+    while (j < ny) { if (!y.isNullAt(j)) nye += 1; j += 1 }
+    val union = nxe + nye - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
@@ -60,16 +73,24 @@ case class JaccardSortedArrays(left: Expression, right: Expression)
       val inter = ctx.freshName("inter")
       val c = ctx.freshName("c")
       val union = ctx.freshName("union")
+      val nxe = ctx.freshName("nxe")
+      val nye = ctx.freshName("nye")
       s"""
          |int $nx = $a.numElements();
          |int $ny = $b.numElements();
-         |int $i = 0; int $j = 0; int $inter = 0;
+         |int $i = 0; int $j = 0; int $inter = 0; int $nxe = 0; int $nye = 0;
          |while ($i < $nx && $j < $ny) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($c == 0) { $inter++; $i++; $j++; }
-         |  else if ($c < 0) { $i++; } else { $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    if ($c == 0) { $inter++; $nxe++; $nye++; $i++; $j++; }
+         |    else if ($c < 0) { $nxe++; $i++; } else { $nye++; $j++; }
+         |  }
          |}
-         |int $union = $nx + $ny - $inter;
+         |while ($i < $nx) { if (!$a.isNullAt($i)) $nxe++; $i++; }
+         |while ($j < $ny) { if (!$b.isNullAt($j)) $nye++; $j++; }
+         |int $union = $nxe + $nye - $inter;
          |${ev.value} = ($union == 0) ? 0.0 : (double) $inter / $union;
        """.stripMargin
     })

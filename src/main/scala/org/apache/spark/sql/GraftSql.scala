@@ -21,6 +21,16 @@ object GraftSql {
   def analyzedPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** A Scala UDF as a catalyst ScalaUDF expression — what a function-
+    * registry builder must return (a Column-API wrapper would embed an
+    * Unevaluable column node in SQL-originated plans).
+    */
+  def scalaUdfExpression(
+      f: org.apache.spark.sql.expressions.UserDefinedFunction,
+      args: Seq[Expression]): Expression =
+    classic.UserDefinedFunctionUtils.toScalaUDF(
+      f.asInstanceOf[org.apache.spark.sql.expressions.SparkUserDefinedFunction], args)
+
   /** Register a builder-based SQL function into a RUNNING session's
     * function registry (the extensions path only applies at session
     * construction).

@@ -25,6 +25,35 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(md == "# Tiêu đề\n\nnội dung")
   }
 
+  test("extensions-hook builder list covers html_to_markdown too") {
+    // the spark.sql.extensions path injects exactly GraftExtensions
+    // .expressions; the UDF must ride that list (not only registerAll),
+    // and its builder must produce a working expression
+    val entry = GraftExtensions.expressions
+      .find(_._1.funcName == "html_to_markdown")
+    assert(entry.isDefined, "html_to_markdown missing from the extensions list")
+    val built = entry.get._3(Seq(
+      org.apache.spark.sql.GraftSql.expression(
+        org.apache.spark.sql.functions.lit("<h1>T</h1><p>a  b</p>"))))
+    val out = spark.range(1)
+      .select(org.apache.spark.sql.GraftSql.column(built).as("md"))
+      .collect().head.getString(0)
+    assert(out == "# T\n\na b")
+  }
+
+  test("jaccard_sorted_arrays skips null elements from SQL callers") {
+    GraftExtensions.registerAll(spark)
+    // null elements are set-absent: {a} vs {a,b} -> 1/2, both eval modes
+    val j = spark.sql(
+      "SELECT jaccard_sorted_arrays(array('a', CAST(NULL AS STRING)), " +
+        "array('a','b')) AS j").collect().head.getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12)
+    val allNull = spark.sql(
+      "SELECT jaccard_sorted_arrays(array(CAST(NULL AS STRING)), " +
+        "array(CAST(NULL AS STRING))) AS j").collect().head.getDouble(0)
+    assert(allNull == 0.0) // empty-set convention, matches union==0 case
+  }
+
   test("wrong input types are rejected at analysis, not silently reinterpreted") {
     GraftExtensions.registerAll(spark)
     // unannotated SQL literals are doubles — reading them as float slots

@@ -148,6 +148,24 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(whole.split(";").head.startsWith("HOT="), s"HOT leads in [$whole]")
   }
 
+  test("exact two-pass heavy hitters equal the brute-force exact computation") {
+    // the sketch-then-recount result must be partitioning-independent and
+    // identical to a full groupBy count with the same threshold
+    val k = 50
+    val exact = TextAnalysis.hotTermsExact(spark, sfDir, k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val terms = graft.Tables.documents(spark, sfDir)
+      .select($"source", explode(TextAnalysis.tokens($"text")).as("term"))
+    val totals = terms.groupBy($"source").count().withColumnRenamed("count", "n")
+    val brute = terms.groupBy($"source", $"term").count()
+      .join(totals, "source")
+      .filter($"count" * k > $"n")
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[String]("term"),
+        r.getAs[Long]("count"))).toSet
+    assert(exact == brute)
+    assert(exact.nonEmpty, "non-vacuous: fixture has heavy hitters at k=50")
+  }
+
   test("cosine matches a hand-computed value") {
     val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(1.0f, 1.0f, 0.0f))).toDF("a", "b")
     val c = df.select(Similarity.cosine($"a", $"b")).collect().head.getDouble(0)
