@@ -83,6 +83,8 @@ object SparkEntry {
     "q_session_stats"     -> (ExtraQueries.sessionStats _),
     "q_approx_distincts"  -> (ExtraQueries.approxDistincts _),
     "q_above_avg_orders"  -> (ExtraQueries.aboveAvgOrders _),
+    "q_min_price_per_part" -> (ExtraQueries.minPricePerPart _),
+    "q_large_qty_orders"  -> ((s: SparkSession, d: String) => ExtraQueries.largeQuantityOrders(s, d)),
     "q_grouping_sets"     -> (ExtraQueries.orderGroupingSets _),
     "q_percentiles"       -> (ExtraQueries.quantityPercentiles _),
     "q_window_distribution" -> (ExtraQueries.customerBalanceDistribution _),
@@ -371,6 +373,25 @@ object SparkEntry {
         "> 1.5 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) " +
         "FROM orders o2 WHERE o2.o_custkey = o.o_custkey) " +
         "ORDER BY o_orderkey"),
+    "q_min_price_per_part" ->
+      ("SELECT p.p_partkey, p.p_name, s.s_name, n.n_name AS nation, " +
+        "l.l_extendedprice AS min_price " +
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey " +
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
+        "WHERE p.p_size <= 5 AND l.l_extendedprice = " +
+        "(SELECT MIN(l2.l_extendedprice) FROM lineitem l2 " +
+        "WHERE l2.l_partkey = l.l_partkey) " +
+        "ORDER BY p.p_partkey, s.s_name"),
+    "q_large_qty_orders" ->
+      ("SELECT c.c_name, o.o_orderkey, o.o_totalprice, " +
+        "CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem " +
+        "GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) " +
+        "GROUP BY c.c_name, o.o_orderkey, o.o_totalprice " +
+        "ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100"),
     "q_grouping_sets" ->
       ("SELECT COALESCE(o_orderstatus, '(all)') AS status, " +
         "COALESCE(o_orderpriority, '(all)') AS priority, COUNT(*) AS n_orders " +

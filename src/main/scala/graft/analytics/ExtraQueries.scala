@@ -106,6 +106,60 @@ object ExtraQueries {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** TPC-H Q2-style correlated-MIN subquery (adapted: this schema has no
+    * partsupp, so per-part minimum l_extendedprice over lineitem stands
+    * in for minimum supplycost). Exercises Catalyst's scalar-subquery
+    * decorrelation: the correlated `(SELECT min(...) WHERE same part)`
+    * rewrites to a per-part aggregate + join — one extra pass over
+    * lineitem, NOT a per-row re-scan, which is what makes the shape
+    * viable at 100 TB. The p_size filter keeps the part side small
+    * enough that the planner broadcasts it.
+    */
+  def minPricePerPart(spark: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(spark, d).createOrReplaceTempView("lineitem_q2")
+    Tables.part(spark, d).createOrReplaceTempView("part_q2")
+    Tables.supplier(spark, d).createOrReplaceTempView("supplier_q2")
+    Tables.nation(spark, d).createOrReplaceTempView("nation_q2")
+    spark.sql(
+      """SELECT p.p_partkey, p.p_name, s.s_name, n.n_name AS nation,
+        |       l.l_extendedprice AS min_price
+        |FROM lineitem_q2 l
+        |JOIN part_q2 p ON l.l_partkey = p.p_partkey
+        |JOIN supplier_q2 s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation_q2 n ON s.s_nationkey = n.n_nationkey
+        |WHERE p.p_size <= 5
+        |  AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+        |                           FROM lineitem_q2 l2
+        |                           WHERE l2.l_partkey = l.l_partkey)
+        |ORDER BY p.p_partkey, s.s_name""".stripMargin)
+  }
+
+  /** TPC-H Q18-style group-HAVING semi-join: orders whose total lineitem
+    * quantity exceeds a threshold, with customer context. The IN
+    * subquery with HAVING plans as an aggregate + LeftSemi join — the
+    * qualifying-key set flows into the join, never the full lineitem.
+    * Quantities are integral-valued, so the double sum is exact and
+    * engine-portable; cast to BIGINT for a stable oracle column type.
+    */
+  def largeQuantityOrders(spark: SparkSession, d: String,
+                          threshold: Int = 250): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("orders_q18")
+    Tables.customer(spark, d).createOrReplaceTempView("customer_q18")
+    Tables.lineitem(spark, d).createOrReplaceTempView("lineitem_q18")
+    spark.sql(
+      s"""SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+         |       CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty
+         |FROM orders_q18 o
+         |JOIN customer_q18 c ON o.o_custkey = c.c_custkey
+         |JOIN lineitem_q18 l ON o.o_orderkey = l.l_orderkey
+         |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem_q18
+         |                       GROUP BY l_orderkey
+         |                       HAVING SUM(l_quantity) > $threshold)
+         |GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+         |ORDER BY o.o_totalprice DESC, o.o_orderkey
+         |LIMIT 100""".stripMargin)
+  }
+
   /** Approximate aggregates — the sketches that replace exact forms at
     * 100 TB: HLL++ distinct counts (constant memory vs a distinct
     * shuffle) and quantile sketches. No oracle (sketch values are

@@ -98,6 +98,36 @@ class StreamingSpec extends SparkTestBase {
     assert(StreamingStats.topDomains(stats, 2).count() == 2)
   }
 
+  test("rate-limited ingestion: bounded chunks per trigger produce per-batch stats") {
+    // O4 semantics check: with a bounded number of records admitted per
+    // trigger (maxOffsetsPerTrigger on a real Kafka source; chunked
+    // addData on MemoryStream — the same micro-batch boundary mechanism),
+    // each trigger yields its OWN stats row with that chunk's counts,
+    // instead of one merged row for the backlog.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val docs = ConsumerPlan(envelopeStream(input))
+    val statsPath = Files.createTempDirectory("stats_rate").toString
+    val ckpt = Files.createTempDirectory("ckpt_rate").toString
+    val query = StreamingStats.statsSink(docs, statsPath, ckpt, triggerMs = 50L).start()
+    val chunkSizes = Seq(4, 2, 3)
+    try {
+      chunkSizes.zipWithIndex.foreach { case (sz, chunk) =>
+        input.addData((0 until sz).map(i =>
+          (s"d${chunk}_$i", docJson(s"dom$chunk", s"f$i.txt", "x" * (i + 1)))))
+        query.processAllAvailable() // trigger boundary: one micro-batch per chunk
+      }
+    } finally query.stop()
+    val rows = spark.read.parquet(statsPath).orderBy($"batch_id").collect()
+    assert(rows.length == chunkSizes.length,
+      s"each bounded chunk must produce exactly one stats row, got ${rows.length}")
+    assert(rows.map(_.getAs[Long]("total_documents")).toSeq ==
+      chunkSizes.map(_.toLong), "per-batch doc counts must match chunk sizes")
+    val ids = rows.map(_.getAs[Long]("batch_id"))
+    assert(ids.sameElements(ids.sorted) && ids.distinct.length == ids.length,
+      "batch ids advance monotonically, one per trigger")
+  }
+
   test("stats sink restarts from checkpoint without reprocessing old batches") {
     implicit val sqlCtx = spark.sqlContext
     val statsPath = Files.createTempDirectory("stats_restart").toString
