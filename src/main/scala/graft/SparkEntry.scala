@@ -85,6 +85,7 @@ object SparkEntry {
     "q_above_avg_orders"  -> (ExtraQueries.aboveAvgOrders _),
     "q_min_price_per_part" -> (ExtraQueries.minPricePerPart _),
     "q_large_qty_orders"  -> ((s: SparkSession, d: String) => ExtraQueries.largeQuantityOrders(s, d)),
+    "q_late_priority_counts" -> (ExtraQueries.latePriorityCounts _),
     "q_grouping_sets"     -> (ExtraQueries.orderGroupingSets _),
     "q_percentiles"       -> (ExtraQueries.quantityPercentiles _),
     "q_window_distribution" -> (ExtraQueries.customerBalanceDistribution _),
@@ -392,6 +393,12 @@ object SparkEntry {
         "GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) " +
         "GROUP BY c.c_name, o.o_orderkey, o.o_totalprice " +
         "ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100"),
+    "q_late_priority_counts" ->
+      ("SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem l " +
+        "WHERE l.l_orderkey = o.o_orderkey " +
+        "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q_grouping_sets" ->
       ("SELECT COALESCE(o_orderstatus, '(all)') AS status, " +
         "COALESCE(o_orderpriority, '(all)') AS priority, COUNT(*) AS n_orders " +

@@ -160,6 +160,26 @@ object ExtraQueries {
          |LIMIT 100""".stripMargin)
   }
 
+  /** TPC-H Q4-style correlated EXISTS (adapted: "shipped late" =
+    * l_shipdate more than 60 days after o_orderdate, since this schema
+    * has no commit/receipt dates). Completes the subquery-shape family
+    * (scalar-correlated, IN+HAVING, EXISTS): Catalyst plans the EXISTS
+    * as a LeftSemi join on the equi-key with the date comparison as a
+    * join condition — lineitem is never re-scanned per order row.
+    */
+  def latePriorityCounts(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("orders_q4")
+    Tables.lineitem(spark, d).createOrReplaceTempView("lineitem_q4")
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders_q4 o
+        |WHERE EXISTS (SELECT 1 FROM lineitem_q4 l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** Approximate aggregates — the sketches that replace exact forms at
     * 100 TB: HLL++ distinct counts (constant memory vs a distinct
     * shuffle) and quantile sketches. No oracle (sketch values are

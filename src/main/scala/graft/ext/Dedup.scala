@@ -206,20 +206,29 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist()
+    val labelType = labels.schema("label").dataType
+    var cached = labels // the DataFrame whose blocks are actually persisted
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      // each node proposes its label to neighbors; adopt the minimum
+      // each node proposes its label to neighbors; adopt the minimum.
+      // The node's OWN row carries its previous label through the
+      // aggregation (`old` — exactly one non-null per id), so the
+      // convergence check reads the persisted result directly instead
+      // of joining next-vs-previous: one shuffle per round, not two.
       val proposals = edges
         .join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(proposals)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .select(col("dst").as("id"), col("label"),
+          lit(null).cast(labelType).as("old"))
+      val next = labels.select(col("id"), col("label"), col("label").as("old"))
+        .union(proposals)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("label"))
       it += 1
     }
     edges.unpersist() // labels is materialized; edges would otherwise stay pinned

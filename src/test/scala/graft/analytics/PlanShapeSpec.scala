@@ -47,4 +47,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"as-of must not all-pairs:\n$p")
   }
+
+  test("q_min_price_per_part: correlated MIN decorrelates to aggregate + join") {
+    // the scalar subquery must become one per-part aggregate joined back
+    // — a surviving per-row subquery would re-scan lineitem per row
+    val p = plan("q_min_price_per_part")
+    assert(!p.contains("Subquery") && !p.contains("CartesianProduct"),
+      s"correlated subquery not decorrelated:\n$p")
+    assert(p.contains("HashAggregate"), s"no aggregate for the MIN:\n$p")
+  }
+
+  test("q_large_qty_orders / q_late_priority_counts: HAVING/EXISTS plan as semi-joins") {
+    val p18 = plan("q_large_qty_orders")
+    assert(p18.contains("LeftSemi"), s"IN+HAVING must plan as LeftSemi:\n$p18")
+    val p4 = plan("q_late_priority_counts")
+    assert(p4.contains("LeftSemi"), s"EXISTS must plan as LeftSemi:\n$p4")
+    assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoopJoin"),
+      s"EXISTS must join on the equi-key:\n$p4")
+  }
 }
