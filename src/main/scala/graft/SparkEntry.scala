@@ -112,7 +112,10 @@ object SparkEntry {
     "q_lsh_ann_topk"      -> ((s: SparkSession, d: String) => Similarity.lshAnnTopK(s, d)),
     "q_ivf_ann_topk"      -> ((s: SparkSession, d: String) => Similarity.ivfAnnTopK(s, d)),
     "q_embedding_near_dups" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d)),
-    "q_embedding_norm_stats" -> (Similarity.embeddingNormStats _)
+    "q_embedding_norm_stats" -> (Similarity.embeddingNormStats _),
+    // ---- corpus prep: deterministic split + sequence packing
+    "q_split_counts"      -> ((s: SparkSession, d: String) => ext.Corpus.splitCounts(s, d)),
+    "q_pack_stats"        -> ((s: SparkSession, d: String) => ext.Corpus.packStats(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -439,6 +442,16 @@ object SparkEntry {
         "WHEN sen >= greatest(ses, sfr, szh) THEN 'en' " +
         "WHEN ses >= greatest(sfr, szh) THEN 'es' " +
         "WHEN sfr >= szh THEN 'fr' ELSE 'zh' END AS lang_pred FROM s ORDER BY doc_id"),
+    // deterministic content-hash split: md5-hex buckets compared against
+    // hex thresholds — engine-portable (md5 of UTF-8 text, lowercase hex,
+    // codepoint string comparison in both engines)
+    "q_split_counts" ->
+      ("WITH s AS (SELECT source, CASE " +
+        "WHEN substring(md5(text),1,2) < 'e6' THEN 'train' " +
+        "WHEN substring(md5(text),1,2) < 'f3' THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents) " +
+        "SELECT source, split, COUNT(*) AS n_docs FROM s " +
+        "GROUP BY source, split ORDER BY source, split"),
     // exact heavy hitters: terms with count > n_source_tokens/50 — the
     // MG survivor superset collapses to this under the exact-threshold
     // filter, so a plain exact computation is the correct oracle

@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-preparation operators a training-data pipeline runs after
+  * dedup/quality filtering: deterministic dataset splitting and
+  * fixed-budget sequence packing.
+  */
+object Corpus {
+
+  /** Deterministic train/val/test assignment by CONTENT hash: the first
+    * two hex chars of md5(text) give 256 uniform buckets, compared
+    * lexicographically against hex thresholds ('e6' = 230 → ~90% train,
+    * 'f3' = 243 → ~5% val, rest test). Content-keyed (not id-keyed) so
+    * the same document lands in the same split across re-crawls and
+    * re-partitions, and duplicate texts can never straddle splits
+    * (train/test contamination). A narrow map — no shuffle, no RNG
+    * state; md5-hex is engine-portable so the assignment is
+    * DuckDB-checkable.
+    */
+  def splitAssignments(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        substring(md5(col("text").cast("binary")), 1, 2).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < "e6", "train")
+          .when(col("bucket") < "f3", "val")
+          .otherwise("test"))
+      .drop("bucket")
+
+  /** Split sizes per source — the audit a pipeline runs to confirm the
+    * hash split is balanced and no source is skewed into one split.
+    */
+  def splitCounts(spark: SparkSession, d: String): DataFrame =
+    splitAssignments(spark, d)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("split"))
+
+  /** Sequence packing: greedy first-fit of documents into packs of at
+    * most `budget` whitespace tokens (the training-batch shaping step
+    * that turns ragged documents into near-full fixed-size sequences).
+    *
+    * Scale shape: packing is per-PARTITION greedy — a mapPartitions
+    * walk carrying one open pack, no shuffle beyond the initial
+    * repartition, no driver involvement; 100 TB packs in parallel with
+    * per-task O(1) state. Pack ids are (partition_id, local_seq) so
+    * they are globally unique without coordination. Oversized single
+    * documents become their own pack (truncation is a downstream
+    * tokenizer concern, flagged by `overflow`).
+    */
+  def packDocuments(spark: SparkSession, d: String,
+                    budget: Int = 2048): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        size(graft.ext.TextAnalysis.tokens(col("text"))).as("n_tokens"))
+    import spark.implicits._
+    val packed = docs.as[(Long, Int)].rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Boolean)]
+        var packSeq = 0L
+        var used = 0
+        var members = List.empty[(Long, Int)]
+        def flush(): Unit = if (members.nonEmpty) {
+          val packId = pid.toLong << 32 | packSeq
+          members.reverse.foreach { case (id, n) =>
+            out += ((packId, id, n, used > budget))
+          }
+          packSeq += 1; used = 0; members = Nil
+        }
+        it.foreach { case (id, n) =>
+          if (used > 0 && used + n > budget) flush()
+          members ::= (id, n)
+          used += n
+          if (used > budget) flush() // oversized single doc: own pack
+        }
+        flush()
+        out.iterator
+      }
+    packed.toDF("pack_id", "doc_id", "n_tokens", "overflow")
+  }
+
+  /** Pack-level audit: fill factor per pack (the packing-efficiency
+    * metric a training pipeline tracks) — non-overflow packs must not
+    * exceed the budget; high mean fill means little padding waste.
+    */
+  def packStats(spark: SparkSession, d: String, budget: Int = 2048): DataFrame =
+    packDocuments(spark, d, budget)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        max(col("overflow").cast("int")).as("has_overflow"))
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("n_docs")).as("docs_packed"),
+        round(avg(col("pack_tokens")) / budget, 4).as("mean_fill"),
+        sum(col("has_overflow")).as("overflow_packs"))
+}

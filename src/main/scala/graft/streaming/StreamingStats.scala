@@ -80,6 +80,24 @@ object StreamingStats {
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("domain"), col("doc_count"))
 
+  /** Event-time SESSION windows per domain: activity bursts separated
+    * by ≥ `gap` of silence become separate sessions (dynamic-width
+    * windows, unlike the fixed tumbling grid above). Streaming
+    * counterpart of the batch gaps-and-islands sessionization
+    * (`ExtraQueries.sessionStats`): state per open session, closed and
+    * emitted once the watermark passes the session end.
+    */
+  def sessionWindowCounts(docs: DataFrame,
+                          gap: String = "30 seconds",
+                          watermark: String = "1 minute"): DataFrame =
+    docs
+      .withWatermark("kafka_timestamp", watermark)
+      .groupBy(session_window(col("kafka_timestamp"), gap), col("domain"))
+      .agg(count(lit(1)).as("doc_count"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("domain"), col("doc_count"))
+
   /** Streaming exact dedup on ingest: drop re-deliveries of the same
     * content within the watermark horizon. State is keyed by content
     * hash and expired by the watermark — bounded, unlike an unbounded

@@ -156,6 +156,38 @@ class StreamingSpec extends SparkTestBase {
       "batch ids must advance across the restart")
   }
 
+  test("session windows: gap-separated bursts close as distinct sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val docs = input.toDF().toDF("domain", "kafka_timestamp")
+    // 30s gap: events at :01/:09/:25 chain one session (each within 30s
+    // of the previous); :02:00 starts a new one. Append mode emits a
+    // session only after the watermark passes its end, so a far-future
+    // event closes everything deterministically.
+    val sessions = StreamingStats.sessionWindowCounts(docs, "30 seconds", "10 seconds")
+    val query = sessions.writeStream.format("memory")
+      .queryName("sw_test").outputMode("append").start()
+    try {
+      input.addData(
+        ("a", Timestamp.valueOf("2024-01-01 00:00:01")),
+        ("a", Timestamp.valueOf("2024-01-01 00:00:09")),
+        ("a", Timestamp.valueOf("2024-01-01 00:00:25")),
+        ("a", Timestamp.valueOf("2024-01-01 00:02:00")),
+        ("b", Timestamp.valueOf("2024-01-01 00:00:05")))
+      query.processAllAvailable()
+      input.addData(("z", Timestamp.valueOf("2024-01-01 01:00:00"))) // advance watermark
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("sw_test")
+      .orderBy($"domain", $"session_start").collect()
+      .map(r => (r.getString(2), r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Timestamp]("session_end").toString, r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("a", "2024-01-01 00:00:01.0", "2024-01-01 00:00:55.0", 3L), // merged burst
+      ("a", "2024-01-01 00:02:00.0", "2024-01-01 00:02:30.0", 1L), // after the gap
+      ("b", "2024-01-01 00:00:05.0", "2024-01-01 00:00:35.0", 1L)))
+  }
+
   test("watermarked tumbling-window counts over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp)]
