@@ -44,8 +44,13 @@ object GraftExtensions {
     // expose the identical SQL surface
     (FunctionIdentifier("html_to_markdown"),
       info(HtmlToMarkdown.getClass, "html_to_markdown"),
-      (args: Seq[Expression]) =>
-        GraftSql.scalaUdfExpression(HtmlToMarkdown.htmlToMarkdown, args))
+      (args: Seq[Expression]) => {
+        // arity-check here: toScalaUDF would otherwise defer the error
+        // to execution as a ClassCastException inside the generated code
+        require(args.length == 1,
+          s"html_to_markdown requires exactly 1 argument, got ${args.length}")
+        GraftSql.scalaUdfExpression(HtmlToMarkdown.htmlToMarkdown, args)
+      })
   )
 
   /** Register everything into an already-running session. */

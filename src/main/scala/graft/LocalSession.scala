@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE local-session recipe shared by every main (Bench, Verify,
+  * Probe, ScaleSmoke): same parallelism, shuffle partitioning, UTC
+  * timezone, and the legacy nanos flag the fixture parquet requires.
+  * Tools that diagnose the bench must run the bench's exact session
+  * config — three hand-copied builder blocks had already started to
+  * drift risk.
+  */
+object LocalSession {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    Runtime.getRuntime.availableProcessors().toString)
+
+  def build(): SparkSession = {
+    val n = cpus
+    val spark = SparkSession.builder()
+      .master(s"local[$n]")
+      .config("spark.sql.shuffle.partitions", n)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -53,9 +53,13 @@ object Corpus {
     */
   def packDocuments(spark: SparkSession, d: String,
                     budget: Int = 2048): DataFrame = {
+    // NULL text packs as 0 tokens (size() is NULL for NULL input, and
+    // the tuple encoder rejects null Ints) — every doc_id must land in
+    // exactly one pack, including empty/null documents
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"),
-        size(graft.ext.TextAnalysis.tokens(col("text"))).as("n_tokens"))
+        coalesce(size(graft.ext.TextAnalysis.tokens(col("text"))), lit(0))
+          .as("n_tokens"))
     import spark.implicits._
     val packed = docs.as[(Long, Int)].rdd
       .mapPartitionsWithIndex { (pid, it) =>

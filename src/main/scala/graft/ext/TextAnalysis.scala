@@ -202,14 +202,24 @@ object TextAnalysis {
   def hotTermsExact(spark: SparkSession, d: String, k: Int = 50): DataFrame = {
     val terms = Tables.documents(spark, d)
       .select(col("source"), explode(tokens(col("text"))).as("term"))
-    val survivors = terms
+    // pass 1 computes the MG survivors AND the per-source token total in
+    // ONE aggregation over the corpus (a second scan just for COUNT(*)
+    // would be a full extra pass at scale); the result is
+    // sources × (k-1 terms + 1 count) — broadcast-sized
+    val pass1 = terms
       .groupBy(col("source"))
-      .agg(graft.functions.HeavyHitters.heavyHitterTerms(col("term"), k).as("cands"))
-      .select(col("source"), explode(col("cands")).as("term"))
-    val totals = terms.groupBy(col("source")).agg(count(lit(1)).as("n_terms"))
-    terms.join(broadcast(survivors), Seq("source", "term"), "left_semi")
-      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
-      .join(broadcast(totals), "source")
+      .agg(graft.functions.HeavyHitters.heavyHitterTerms(col("term"), k).as("cands"),
+        count(lit(1)).as("n_terms"))
+    // ONE reference to pass1 (two branches would recompute its corpus
+    // scan): the exploded survivor list carries n_terms along, so the
+    // broadcast inner join both filters candidate terms (survivor
+    // (source, term) pairs are unique — fan-out 1) and delivers the
+    // threshold denominator to the recount
+    val cands = pass1.select(col("source"), col("n_terms"),
+      explode(col("cands")).as("term"))
+    terms.join(broadcast(cands), Seq("source", "term"))
+      .groupBy(col("source"), col("term"), col("n_terms"))
+      .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * k > col("n_terms"))
       .select(col("source"), col("term"), col("cnt"))
       .orderBy(col("source"), col("cnt").desc, col("term"))

@@ -9,16 +9,7 @@ object Probe {
     val sfDir = args(0)
     val names = args.drop(1).filterNot(_.startsWith("--"))
     val showPlan = args.contains("--plan")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.LocalSession.build()
     graft.SparkEntry.queries("q_domain_stats")(spark, sfDir)
       .write.format("noop").mode("overwrite").save() // warm-up
     names.foreach { n =>

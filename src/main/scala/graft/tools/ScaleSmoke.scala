@@ -32,18 +32,13 @@ object ScaleSmoke {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/graft_sfx10")
     val replicas = args.lift(2).map(_.toInt).getOrElse(10)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.LocalSession.build()
 
-    if (!new java.io.File(s"$work/lineitem.parquet").exists()) {
+    // resume guard checks EVERY table (a crash mid-synthesis must not
+    // leave a half-built dataset that silently skips rebuilding)
+    val allTables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    if (!allTables.forall(t => new java.io.File(s"$work/$t.parquet/_SUCCESS").exists())) {
       println(s"[scale] building ${replicas}x dataset at $work from $src")
       synthesize(spark, src, work, replicas)
     }
