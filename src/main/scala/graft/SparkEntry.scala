@@ -100,6 +100,7 @@ object SparkEntry {
     "q_tfidf_top_terms"   -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "q_hot_terms"         -> ((s: SparkSession, d: String) => TextAnalysis.hotTermsPerSource(s, d)),
     "q_hot_terms_exact"   -> ((s: SparkSession, d: String) => TextAnalysis.hotTermsExact(s, d)),
+    "q_pii_redaction"     -> (TextAnalysis.piiRedactionStats _),
     "q_dedup_exact_stats" -> (Dedup.exactDedupStats _),
     "q_dedup_keep_list"   -> (Dedup.exactDedupKeepList _),
     "q_deduped_corpus"    -> (Dedup.dedupedCorpus _),
@@ -318,6 +319,23 @@ object SparkEntry {
         "CAST(SUM(CAST(regexp_extract(line, 'count=(\\d+)', 1) AS BIGINT)) AS BIGINT) AS total_count, " +
         "COUNT(DISTINCT regexp_extract(line, '\\[batch (\\d+)\\]', 1)) AS n_batches " +
         "FROM l GROUP BY domain ORDER BY domain"),
+    // PII scrub audit over synthesized lines (no natural PII in the
+    // fixture): counts via regexp_extract_all lengths; redaction via a
+    // 'g'-flagged regexp_replace chain (DuckDB replaces first-match by
+    // default, Spark replaces all)
+    "q_pii_redaction" ->
+      ("WITH lines AS (SELECT event_type, " +
+        "printf('user u%d (u%d@example.com, alt u%d@mail.example.org) tel 0%02d-555-%04d ref %d', " +
+        "user_id, user_id, user_id, user_id % 100, event_id % 10000, event_id) AS text FROM events), " +
+        "r AS (SELECT event_type, text, " +
+        "regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), " +
+        "'0\\d{2}[- .]\\d{3}[- .]\\d{4}', '<PHONE>', 'g') AS clean FROM lines) " +
+        "SELECT event_type, COUNT(*) AS n_lines, " +
+        "CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))) AS BIGINT) AS emails_found, " +
+        "CAST(SUM(len(regexp_extract_all(text, '0\\d{2}[- .]\\d{3}[- .]\\d{4}'))) AS BIGINT) AS phones_found, " +
+        "CAST(SUM(len(regexp_extract_all(clean, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) + " +
+        "len(regexp_extract_all(clean, '0\\d{2}[- .]\\d{3}[- .]\\d{4}'))) AS BIGINT) AS residual " +
+        "FROM r GROUP BY event_type ORDER BY event_type"),
     "q_offset_slice" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "ORDER BY o_orderkey LIMIT 50 OFFSET 1000"),

@@ -184,6 +184,42 @@ object TextAnalysis {
       .agg(graft.functions.HeavyHitters.heavyHitters(col("term"), k).as("hot_terms"))
       .orderBy(col("source"))
 
+  /** PII redaction patterns — the scrub a training-data pipeline runs
+    * before text enters a corpus. Codegen'd regexp_replace chain, one
+    * pass per document, no shuffle.
+    */
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val phonePattern = "0\\d{2}[- .]\\d{3}[- .]\\d{4}"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  /** Redaction audit over deterministic PII-bearing lines synthesized
+    * from `events` (the fixture corpus contains no natural PII — same
+    * synthesize-then-process pattern as the log-line parser): per event
+    * type, how many emails/phones were found and redacted, and the
+    * residual match count on the redacted text, which must be zero.
+    * Counts are regexp_count on the raw vs redacted columns — both
+    * mirrored 1:1 in the DuckDB oracle.
+    */
+  def piiRedactionStats(spark: SparkSession, d: String): DataFrame = {
+    val lines = graft.Tables.events(spark, d).select(
+      col("event_type"),
+      format_string("user u%d (u%d@example.com, alt u%d@mail.example.org) tel 0%02d-555-%04d ref %d",
+        col("user_id"), col("user_id"), col("user_id"),
+        col("user_id") % 100, col("event_id") % 10000, col("event_id")).as("text"))
+    val redacted = lines.withColumn("clean", redactPii(col("text")))
+    redacted.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(regexp_count(col("text"), lit(emailPattern))).as("emails_found"),
+        sum(regexp_count(col("text"), lit(phonePattern))).as("phones_found"),
+        sum(regexp_count(col("clean"), lit(emailPattern))
+          + regexp_count(col("clean"), lit(phonePattern))).as("residual"))
+      .orderBy(col("event_type"))
+  }
+
   /** Exact heavy hitters per source — the documented two-pass MG pattern
     * made oracle-checkable. Pass 1: Misra-Gries survivor terms per source
     * (O(k) state; the survivor set is a SUPERSET of every term with true

@@ -50,6 +50,18 @@ class CorpusSpec extends SparkTestBase {
         "greedy packing should fill packs reasonably")
   }
 
+  test("redactPii removes emails and phones, leaves surrounding text intact") {
+    val out = Seq(
+      "mail a.b+c@ex-1.org now",
+      "call 012-555-9999 or 098 555 0000.",
+      "no pii here").toDF("text")
+      .select(TextAnalysis.redactPii($"text").as("clean"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "call <PHONE> or <PHONE>.")
+    assert(out(2) == "no pii here")
+  }
+
   test("packStats aggregates are consistent with the pack list") {
     val stats = Corpus.packStats(spark, sfDir).collect().head
     val packs = Corpus.packDocuments(spark, sfDir)
