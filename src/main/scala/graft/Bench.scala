@@ -1,43 +1,20 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
   *
-  * Methodology: each query is materialized with a noop-format write so
-  * every output column is actually computed (a bare `.count()` lets
-  * Catalyst prune unreferenced projections and benches per-doc expression
-  * queries as near-free scans). One warm-up query runs before timing so
-  * session/parquet-footer warm-up isn't billed to the first query. Each
-  * query runs TWICE and reports the minimum — steady-state throughput,
-  * resistant to host-level noise and one-time codegen JIT. The result
-  * JSON goes to stdout AND to bench_result.json (sbt buries stdout in
-  * [info] noise).
+  * Methodology lives in [[BenchKit]] (noop write, min-of-2, GC outside
+  * the timed window) so Probe/ScaleSmoke measure exactly the same way.
+  * The result JSON goes to stdout AND to bench_result.json (sbt buries
+  * stdout in [info] noise).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = LocalSession.build()
-    def runOnce(name: String): Double = {
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
-    }
-    def best(name: String): Double = {
-      // JMH-style hygiene: collect the PREVIOUS query's garbage (dead
-      // broadcasts, spilled pages, cached plans) outside the timed
-      // window — otherwise ContextCleaner/GC fires mid-measurement and
-      // bills one query's cleanup to the next (observed as phantom 4-10×
-      // "regressions" on whichever query followed a broadcast-heavy one).
-      System.gc()
-      val a = runOnce(name)
-      val b = runOnce(name)
-      if (a < 0 || b < 0) -1.0 else math.min(a, b)
-    }
-    runOnce("q_domain_stats") // warm-up: parquet footers, codegen, JVM
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> best(n))
+    BenchKit.warmUp(spark, sfDir)
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .map(n => n -> BenchKit.best(spark, n, sfDir))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

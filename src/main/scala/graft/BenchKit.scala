@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE timing methodology shared by Bench and the diagnostic tools
+  * (Probe/ScaleSmoke): noop-format write so every output column is
+  * computed, min-of-2 for steady state, forced GC OUTSIDE the timed
+  * window so a previous query's dead broadcasts/spill pages aren't
+  * billed to this one. A methodology fix lands here once and every
+  * consumer stays comparable.
+  */
+object BenchKit {
+
+  /** One timed materialization of a named SparkEntry query; -1 on error. */
+  def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    try SparkEntry.queries(name)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => return -1.0 }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Steady-state estimate: GC hygiene, then min of two runs. */
+  def best(spark: SparkSession, name: String, sfDir: String): Double = {
+    System.gc()
+    val a = runOnce(spark, name, sfDir)
+    val b = runOnce(spark, name, sfDir)
+    if (a < 0 || b < 0) -1.0 else math.min(a, b)
+  }
+
+  /** Session warm-up (parquet footers, codegen, JVM) — not billed. */
+  def warmUp(spark: SparkSession, sfDir: String): Unit =
+    runOnce(spark, "q_domain_stats", sfDir)
+}

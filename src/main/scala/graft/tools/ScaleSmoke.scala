@@ -34,34 +34,29 @@ object ScaleSmoke {
     val replicas = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = graft.LocalSession.build()
 
-    // resume guard checks EVERY table (a crash mid-synthesis must not
-    // leave a half-built dataset that silently skips rebuilding)
+    // resume guard: every table's _SUCCESS marker AND a matching replica
+    // count (a crash mid-synthesis, or a previous run with a different
+    // replica factor, must not be silently reused)
     val allTables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    if (!allTables.forall(t => new java.io.File(s"$work/$t.parquet/_SUCCESS").exists())) {
+    val marker = java.nio.file.Paths.get(s"$work/.replicas")
+    val complete =
+      allTables.forall(t => new java.io.File(s"$work/$t.parquet/_SUCCESS").exists()) &&
+        java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker).trim == replicas.toString
+    if (!complete) {
       println(s"[scale] building ${replicas}x dataset at $work from $src")
       synthesize(spark, src, work, replicas)
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.writeString(marker, replicas.toString)
     }
 
-    def time(name: String, dir: String): Double = {
-      System.gc()
-      val runs = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        graft.SparkEntry.queries(name)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      runs.min
-    }
-
-    // warm-up
-    graft.SparkEntry.queries("q_domain_stats")(spark, src)
-      .write.format("noop").mode("overwrite").save()
+    graft.BenchKit.warmUp(spark, src)
 
     println(f"${"query"}%-22s ${"sf0.1"}%8s ${"x" + replicas}%8s ${"ratio"}%7s")
     heavyQueries.foreach { q =>
-      val a = time(q, src)
-      val b = time(q, work)
+      val a = graft.BenchKit.best(spark, q, src)
+      val b = graft.BenchKit.best(spark, q, work)
       println(f"$q%-22s $a%8.2f $b%8.2f ${b / a}%7.1f")
     }
     spark.stop()
@@ -77,14 +72,17 @@ object ScaleSmoke {
     Seq("region", "nation", "customer", "supplier", "part")
       .foreach(t => write(read(t), t))
 
-    def maxOf(t: String, c: String): Long =
+    // offset bases: max key + 1 per table (events yields both its keys
+    // in one scan)
+    def offsetBase(t: String, c: String): Long =
       read(t).agg(max(col(c))).collect().head.getLong(0) + 1
 
-    val mo = maxOf("orders", "o_orderkey")
-    val me = maxOf("events", "event_id")
-    val mu = maxOf("events", "user_id")
-    val md = maxOf("documents", "doc_id")
-    val mv = maxOf("embeddings", "vec_id")
+    val mo = offsetBase("orders", "o_orderkey")
+    val Array(me, mu) = read("events")
+      .agg(max(col("event_id")), max(col("user_id"))).collect().head
+      .toSeq.map(_.asInstanceOf[Long] + 1).toArray
+    val md = offsetBase("documents", "doc_id")
+    val mv = offsetBase("embeddings", "vec_id")
 
     def replicate(t: String)(f: (DataFrame, Int) => DataFrame): Unit = {
       val base = read(t)
