@@ -144,6 +144,38 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out == Map("apple" -> Some(1.0), "banana" -> Some(2.0)))
   }
 
+  test("randomized: both variants match brute force (dup keys, ties, nulls)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tiny key space + tiny time range force duplicate keys, exact-time
+    // ties, and keys on one side only; null keys must null-pad.
+    // Equal (key,time) right rows make the CHOSEN ROW unspecified, so
+    // compare the matched TIME (deterministic), not the payload.
+    val pair = for {
+      k <- Gen.oneOf(Some("a"), Some("b"), Some("c"), None)
+      t <- Gen.choose(0L, 20L)
+    } yield (k.orNull, t)
+    val prop = Prop.forAll(Gen.listOfN(12, pair), Gen.listOfN(12, pair)) {
+      (ls: List[(String, Long)], rs: List[(String, Long)]) =>
+        val trades = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i) }
+          .toDF("sym", "ts", "row_id")
+        val quotes = rs.zipWithIndex.map { case ((k, t), i) => (k, t, i.toDouble) }
+          .toDF("q_sym", "q_ts", "px")
+        val expected = ls.zipWithIndex.map { case ((k, t), i) =>
+          val cand = if (k == null) Nil
+            else rs.filter(r => r._1 == k && r._2 <= t).map(_._2)
+          i -> (if (cand.isEmpty) None else Some(cand.max))
+        }.toMap
+        def run(bcast: Boolean): Map[Int, Option[Long]] =
+          AsOfJoin.asof(trades, quotes, "sym", "q_sym", "ts", "q_ts", bcast)
+            .select($"row_id", $"q_ts").collect()
+            .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+            .toMap
+        run(bcast = false) == expected && run(bcast = true) == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("agrees with the composed union+window as-of on the events table") {
     val ev = Tables.events(spark, sfDir)
     // exact-ts collisions would make tie-breaking ambiguous between the
