@@ -135,8 +135,21 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8): DataFrame =
     minhashCandidatePairsDf(Tables.documents(spark, d), numHashes, bands)
 
-  /** DataFrame form of the LSH candidate-pair pipeline. */
+  /** DataFrame form of the LSH candidate-pair pipeline (deterministic
+    * presentation order for the oracle/driver check).
+    */
   def minhashCandidatePairsDf(
+      docsIn: DataFrame,
+      numHashes: Int = 32, bands: Int = 8): DataFrame =
+    minhashCandidatePairsUnordered(docsIn, numHashes, bands)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Candidate pairs WITHOUT the presentation sort — the form internal
+    * consumers (cluster resolution) build on: a global orderBy costs a
+    * range-partitioning sample job + full sort that a downstream
+    * groupBy/join immediately destroys anyway.
+    */
+  def minhashCandidatePairsUnordered(
       docsIn: DataFrame,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
@@ -161,7 +174,6 @@ object Dedup {
         (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), b => b))
           .cast("double") / numHashes).as("est_jaccard"))
       .distinct()
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** The end-to-end clean-corpus materialization: exact dedup keep-list
@@ -189,47 +201,90 @@ object Dedup {
     * cluster is labeled by its minimum member, which becomes the
     * canonical document to keep.
     *
-    * Scale shape: one shuffle per iteration, converging in O(cluster
-    * diameter) iterations — near-dup clusters are shallow (pairs come
-    * from LSH bands), so a handful of rounds suffices. Each round
-    * persists its labels and unpersists the previous round, keeping
-    * lineage flat (at very large scale, swap persist for periodic
-    * checkpoints).
+    * Scale shape: one shuffle per propagation round, converging in
+    * O(cluster diameter) rounds — near-dup clusters are shallow (pairs
+    * come from LSH bands), so a handful of rounds suffices. Rounds run
+    * in PAIRS between driver syncs: two propagation steps chain lazily
+    * into one job, so the loop pays half the blocking actions (each
+    * driver round-trip is a stall-exposure point — GC, async broadcast
+    * cleanup, or co-tenant load between jobs bills straight to the
+    * query). The span result is persisted and the previous span
+    * unpersisted, keeping lineage flat (at very large scale, swap
+    * persist for periodic checkpoints).
     */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     // persist the edge list: every propagation round joins against it,
     // and without the persist each round would re-run the whole upstream
-    // candidate-generation pipeline
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // candidate-generation pipeline. Both directions come from ONE
+    // explode pass — a union of two selects would reference (and
+    // recompute) the candidate-generation subtree twice in the first
+    // materialization.
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist()
-    val labelType = labels.schema("label").dataType
-    var cached = labels // the DataFrame whose blocks are actually persisted
+    var labels: DataFrame = null // null until round 1 materializes below
+    val labelType = pairs.schema("id_a").dataType
+    var cached: DataFrame = null // the span result whose blocks are persisted
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
+      val span = math.min(2, maxIter - it)
       // each node proposes its label to neighbors; adopt the minimum.
-      // The node's OWN row carries its previous label through the
-      // aggregation (`old` — exactly one non-null per id), so the
-      // convergence check reads the persisted result directly instead
-      // of joining next-vs-previous: one shuffle per round, not two.
-      val proposals = edges
-        .join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"),
-          lit(null).cast(labelType).as("old"))
-      val next = labels.select(col("id"), col("label"), col("label").as("old"))
-        .union(proposals)
-        .groupBy(col("id"))
-        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
-        .persist()
+      // In the span's LAST round the node's own row carries its
+      // pre-round label through the aggregation (`old` — exactly one
+      // non-null per id, preserved by max() since proposals carry
+      // null), so `changed` counts labels moved by the FINAL round:
+      // zero means the propagation hit its fixpoint inside this span
+      // and no verification span is needed — on shallow LSH clusters
+      // the whole resolution is ONE action. Intermediate rounds are
+      // persisted (the round plan references its input twice — own
+      // rows + proposals — and an unpersisted intermediate would be
+      // recomputed per reference) but NOT acted on: the span's single
+      // count() job materializes the whole chain.
+      var cur = labels
+      val intermediates = scala.collection.mutable.Buffer.empty[DataFrame]
+      for (r <- 1 to span) {
+        val last = r == span
+        // round 1 needs no join: with initial label(x) = x, propagation
+        // degenerates to min(id, min of neighbor ids) — one groupBy over
+        // the (symmetric) edge list, which also enumerates every node.
+        val (own, proposals) =
+          if (cur == null)
+            (edges.select(col("dst").as("id"), col("dst").as("label")),
+             edges.select(col("dst").as("id"), least(col("src"), col("dst")).as("label")))
+          else
+            (cur,
+             edges.join(cur.select(col("id").as("pid"), col("label")),
+                 edges("src") === col("pid"))
+               .select(col("dst").as("id"), col("label")))
+        cur =
+          if (last)
+            own.select(col("id"), col("label"), col("label").as("old"))
+              .union(proposals.select(col("id"), col("label"),
+                lit(null).cast(labelType).as("old")))
+              .groupBy(col("id"))
+              .agg(min(col("label")).as("label"), max(col("old")).as("old"))
+          else {
+            val stepped =
+              (if (cur == null) proposals // round 1: `own` ⊆ proposals by construction
+               else own.union(proposals))
+                .groupBy(col("id"))
+                .agg(min(col("label")).as("label"))
+                .persist()
+            intermediates += stepped
+            stepped
+          }
+      }
+      val next = cur.persist()
       changed = next.filter(col("label") =!= col("old")).count()
-      cached.unpersist()
+      intermediates.foreach(_.unpersist())
+      if (cached != null) cached.unpersist()
       cached = next
       labels = next.select(col("id"), col("label"))
-      it += 1
+      it += span
     }
     edges.unpersist() // labels is materialized; edges would otherwise stay pinned
     if (changed > 0)
@@ -247,7 +302,8 @@ object Dedup {
   def nearDupKeepList(spark: SparkSession, d: String,
                       threshold: Double = 0.7): DataFrame =
     dedupClusters(
-      minhashCandidatePairs(spark, d).filter(col("est_jaccard") >= threshold))
+      minhashCandidatePairsUnordered(Tables.documents(spark, d))
+        .filter(col("est_jaccard") >= threshold))
       .orderBy(col("doc_id"))
 
   // ------------------------------------------------------------ SimHash

@@ -13,13 +13,16 @@ object Probe {
     graft.SparkEntry.queries("q_domain_stats")(spark, sfDir)
       .write.format("noop").mode("overwrite").save() // warm-up
     names.foreach { n =>
-      val df = graft.SparkEntry.queries(n)(spark, sfDir)
-      if (showPlan) println(s"==== PLAN $n ====\n" + df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      if (showPlan) {
+        val df = graft.SparkEntry.queries(n)(spark, sfDir)
+        println(s"==== PLAN $n ====\n" + df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
+      // rebuild the query each run (BenchKit.runOnce) — queries that do
+      // eager work at build time (the CC loop) must bill it to the run
       val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        System.gc()
+        graft.BenchKit.runOnce(spark, n, sfDir)
       }
       println(f"==== TIME $n min=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
     }
