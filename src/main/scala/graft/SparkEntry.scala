@@ -326,15 +326,16 @@ object SparkEntry {
     "q_pii_redaction" ->
       ("WITH lines AS (SELECT event_type, " +
         "printf('user u%d (u%d@example.com, alt u%d@mail.example.org) tel 0%02d-555-%04d ref %d', " +
-        "user_id, user_id, user_id, user_id % 100, event_id % 10000, event_id) AS text FROM events), " +
-        "r AS (SELECT event_type, text, " +
+        "user_id, user_id, user_id, user_id % 100, event_id % 10000, event_id) AS text FROM events " +
+        "WHERE user_id IS NOT NULL AND event_id IS NOT NULL), " +
+        "r AS (SELECT event_type, " +
         "regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), " +
         "'0\\d{2}[- .]\\d{3}[- .]\\d{4}', '<PHONE>', 'g') AS clean FROM lines) " +
         "SELECT event_type, COUNT(*) AS n_lines, " +
-        "CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))) AS BIGINT) AS emails_found, " +
-        "CAST(SUM(len(regexp_extract_all(text, '0\\d{2}[- .]\\d{3}[- .]\\d{4}'))) AS BIGINT) AS phones_found, " +
-        "CAST(SUM(len(regexp_extract_all(clean, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) + " +
-        "len(regexp_extract_all(clean, '0\\d{2}[- .]\\d{3}[- .]\\d{4}'))) AS BIGINT) AS residual " +
+        "CAST(SUM((len(clean) - len(replace(clean, '<EMAIL>', ''))) / 7) AS BIGINT) AS emails_found, " +
+        "CAST(SUM((len(clean) - len(replace(clean, '<PHONE>', ''))) / 7) AS BIGINT) AS phones_found, " +
+        "CAST(SUM(len(regexp_extract_all(clean, " +
+        "'(?:[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,})|(?:0\\d{2}[- .]\\d{3}[- .]\\d{4})'))) AS BIGINT) AS residual " +
         "FROM r GROUP BY event_type ORDER BY event_type"),
     "q_offset_slice" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +

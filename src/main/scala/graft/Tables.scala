@@ -32,4 +32,25 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts div 1000")))
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+
+  /** Fan a CPU-bound narrow stage out to every core when the upstream
+    * scan produced fewer splits than the cluster's parallelism.
+    *
+    * Why it exists: the fixture tables are single small parquet files,
+    * so a scan yields ONE input split and every regex/kernel map runs
+    * on one task while 31 cores idle. At production scale a table scan
+    * yields >= cores splits and this is a no-op — the guard ensures the
+    * repartition can only ADD parallelism, never an unnecessary
+    * shuffle. (Spark's AQE splits skewed join/agg partitions but never
+    * widens a narrow map over a small scan; `repartition` is the
+    * documented tool for that.)
+    *
+    * Only for partitioning-INDEPENDENT computations (per-row kernels,
+    * commutative aggregations) — anything per-partition-stateful
+    * (greedy sequence packing) must keep its input partitioning.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -120,7 +120,7 @@ object Dedup {
     * null-tolerant.
     */
   def minhashSignaturesDf(docs: DataFrame, numHashes: Int = 32): DataFrame =
-    docs
+    Tables.fanOut(docs) // signature kernel is CPU-bound; single-split scans would serialize it
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"), minhashSigUdf(numHashes)(col("toks")).as("sig"))
@@ -309,22 +309,45 @@ object Dedup {
   // ------------------------------------------------------------ SimHash
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by
-    * token-hash bit; sign → bit. Expressed with explode+groupBy so the
-    * bit-count aggregation is a map-side-combined hash agg.
+    * token-hash bit; sign → bit.
+    *
+    * One narrow-map kernel per document — the signature is a pure
+    * function of the doc's own tokens, so the previous explode +
+    * 64-sum-column groupBy (512 B of agg state and a shuffle keyed by
+    * doc_id) was paying for a distribution the problem doesn't have.
+    * (A typed Aggregator with a long[64] buffer would narrow that agg;
+    * removing the aggregation entirely is strictly better.) Values are
+    * bit-identical to the aggregate form: same tokenizer, same
+    * SQL-xxhash64 (seed 42) per token, same sign rule; docs with null
+    * text are dropped exactly as explode dropped them.
     */
-  def simhashSignatures(spark: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(spark, d)
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitCols = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+  private val simhashUdf = udf { toks: scala.collection.Seq[String] =>
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val counts = new Array[Int](64)
+    toks.foreach { t =>
+      val h = XxHash64Function.hash(UTF8String.fromString(t), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
     }
-    val agg = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-    val sig = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    agg.select(col("doc_id"), sig.as("simhash")).orderBy(col("doc_id"))
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
   }
+
+  def simhashSignatures(spark: SparkSession, d: String): DataFrame =
+    simhashSignaturesDf(Tables.documents(spark, d))
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def simhashSignaturesDf(docs: DataFrame): DataFrame =
+    Tables.fanOut(docs)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), simhashUdf(TextAnalysis.tokens(col("text"))).as("simhash"))
 
   /** SimHash near-dup pairs: bucket by each of four 16-bit chunks
     * (pigeonhole guarantee for Hamming distance ≤ 3), verify exactly.
@@ -361,7 +384,7 @@ object Dedup {
     // per-pair cost is a single allocation-free codegen'd merge walk
     // (graft.functions.JaccardSortedArrays) instead of two hash sets and
     // two materialized arrays per pair.
-    val docs = Tables.documents(spark, d)
+    val docs = Tables.fanOut(Tables.documents(spark, d))
       .filter(col("doc_id") < idLimit)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"), array_sort(array_distinct(shinglesOfTokens(col("toks")))).as("sh"))

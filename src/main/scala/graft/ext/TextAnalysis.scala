@@ -27,7 +27,7 @@ object TextAnalysis {
 
   /** Per-document token statistics (oracle-checkable). */
   def tokenStats(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
+    Tables.fanOut(Tables.documents(spark, d))
       .select(
         col("doc_id"),
         size(tokens(col("text"))).as("n_tokens"),
@@ -47,7 +47,7 @@ object TextAnalysis {
     val nStop = stopwordCount(col("text"))
     val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
     val nChars = length(col("text"))
-    Tables.documents(spark, d)
+    Tables.fanOut(Tables.documents(spark, d))
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),
@@ -75,7 +75,7 @@ object TextAnalysis {
     val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
       size(filter(t, x => x.isin(words: _*))).as(s"score_$lang")
     }
-    val df = Tables.documents(spark, d)
+    val df = Tables.fanOut(Tables.documents(spark, d))
       .select((col("doc_id") +: col("lang").as("lang_actual") +: scores): _*)
     // argmax by (score desc, lang asc) via a greatest-first CASE chain
     val langs = langMarkers.keys.toSeq.sorted
@@ -132,7 +132,7 @@ object TextAnalysis {
   }
 
   def fingerprints(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
+    Tables.fanOut(Tables.documents(spark, d))
       .select(col("doc_id"), fingerprintUdf(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
@@ -147,7 +147,7 @@ object TextAnalysis {
                      maxSymbolRatio: Double = 0.1,
                      minStopwordRatio: Double = 0.02,
                      minDistinctTokenRatio: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, d)
+    val docs = Tables.fanOut(Tables.documents(spark, d))
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
     val nTok = size(col("toks"))
     // guarded by length > 0: Spark's 0/0 is NULL while DuckDB's is NaN
@@ -195,28 +195,49 @@ object TextAnalysis {
     regexp_replace(regexp_replace(c, emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
 
+  /** Combined any-PII pattern: one alternation pass over the redacted
+    * text replaces a per-pattern regexp_count chain.
+    */
+  val anyPiiPattern = s"(?:$emailPattern)|(?:$phonePattern)"
+
   /** Redaction audit over deterministic PII-bearing lines synthesized
     * from `events` (the fixture corpus contains no natural PII — same
     * synthesize-then-process pattern as the log-line parser): per event
     * type, how many emails/phones were found and redacted, and the
     * residual match count on the redacted text, which must be zero.
-    * Counts are regexp_count on the raw vs redacted columns — both
-    * mirrored 1:1 in the DuckDB oracle.
+    *
+    * Three regex passes per line, not six: the found counts are read
+    * off the REDACTED text as literal `<EMAIL>`/`<PHONE>` token
+    * occurrences (a plain substring scan — valid because the raw lines
+    * cannot contain those literals, which holds for the synthesized
+    * corpus and for any corpus scrubbed with tokens chosen outside its
+    * alphabet), and the residual check runs the fused any-PII
+    * alternation once instead of per-pattern. All three expressions
+    * are mirrored 1:1 in the DuckDB oracle.
+    *
+    * Null keys are filtered on BOTH sides: Spark's format_string
+    * renders a NULL arg as the string "null" while DuckDB's printf
+    * nulls the whole row, so an unfiltered NULL user_id/event_id would
+    * silently diverge (the fixtures have none today; the filter makes
+    * the invariant explicit rather than load-bearing).
     */
   def piiRedactionStats(spark: SparkSession, d: String): DataFrame = {
-    val lines = graft.Tables.events(spark, d).select(
-      col("event_type"),
-      format_string("user u%d (u%d@example.com, alt u%d@mail.example.org) tel 0%02d-555-%04d ref %d",
-        col("user_id"), col("user_id"), col("user_id"),
-        col("user_id") % 100, col("event_id") % 10000, col("event_id")).as("text"))
-    val redacted = lines.withColumn("clean", redactPii(col("text")))
+    def tokenCount(c: Column, token: String): Column =
+      ((length(c) - length(replace(c, lit(token), lit("")))) / token.length).cast("long")
+    val lines = Tables.fanOut(graft.Tables.events(spark, d))
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+      .select(
+        col("event_type"),
+        format_string("user u%d (u%d@example.com, alt u%d@mail.example.org) tel 0%02d-555-%04d ref %d",
+          col("user_id"), col("user_id"), col("user_id"),
+          col("user_id") % 100, col("event_id") % 10000, col("event_id")).as("text"))
+    val redacted = lines.select(col("event_type"), redactPii(col("text")).as("clean"))
     redacted.groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_lines"),
-        sum(regexp_count(col("text"), lit(emailPattern))).as("emails_found"),
-        sum(regexp_count(col("text"), lit(phonePattern))).as("phones_found"),
-        sum(regexp_count(col("clean"), lit(emailPattern))
-          + regexp_count(col("clean"), lit(phonePattern))).as("residual"))
+        sum(tokenCount(col("clean"), "<EMAIL>")).as("emails_found"),
+        sum(tokenCount(col("clean"), "<PHONE>")).as("phones_found"),
+        sum(regexp_count(col("clean"), lit(anyPiiPattern))).as("residual"))
       .orderBy(col("event_type"))
   }
 

@@ -34,12 +34,15 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("q_minhash_pairs: signature stage has no shuffle before banding") {
-    // the one Exchange pair must be the band-bucket self-join (plus the
-    // final sort); a groupBy sneaking back into signature computation
-    // would add more
+    // the one KEYED Exchange pair must be the band-bucket self-join
+    // (plus the final sort); a groupBy sneaking back into signature
+    // computation would add more. Round-robin exchanges are the
+    // deliberate Tables.fanOut parallelism fix for single-split local
+    // scans (a no-op at scale), not data shuffles keyed for an operator.
     val p = plan("q_minhash_pairs")
-    val exchanges = p.linesIterator.count(_.contains("Exchange"))
-    assert(exchanges <= 4, s"unexpected shuffles ($exchanges) in:\n$p")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("RoundRobinPartitioning"))
+    assert(exchanges <= 4, s"unexpected keyed shuffles ($exchanges) in:\n$p")
   }
 
   test("q_asof_join: single shuffle on user_id, no row explosion operators") {
@@ -55,6 +58,26 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Subquery") && !p.contains("CartesianProduct"),
       s"correlated subquery not decorrelated:\n$p")
     assert(p.contains("HashAggregate"), s"no aggregate for the MIN:\n$p")
+  }
+
+  private def shuffleExchanges(q: String): Int =
+    plan(q).linesIterator.count(l => l.contains("Exchange")
+      && !l.contains("BroadcastExchange") && !l.contains("Reused")
+      && !l.contains("RoundRobinPartitioning"))
+
+  test("exchange-count pins for bench-jitter suspects (cube / except / sessions)") {
+    // r3 bench wall-time moved on these three with no plan change; pin
+    // the shuffle counts so any future move is conclusively attributable
+    // to jitter (plan unchanged) or to a silent plan regression (fails
+    // here): CUBE = Expand + one partial/final agg pair + result sort;
+    // EXCEPT = one agg pair over the union + its build-side shuffle;
+    // sessions = one window shuffle + one agg/sort pair.
+    assert(shuffleExchanges("q_lineitem_cube") <= 2,
+      s"cube plan grew a shuffle:\n${plan("q_lineitem_cube")}")
+    assert(shuffleExchanges("q_set_except") <= 3,
+      s"except plan grew a shuffle:\n${plan("q_set_except")}")
+    assert(shuffleExchanges("q_session_stats") <= 2,
+      s"session plan grew a shuffle:\n${plan("q_session_stats")}")
   }
 
   test("q_large_qty_orders / q_late_priority_counts: HAVING/EXISTS plan as semi-joins") {

@@ -76,8 +76,17 @@ class DedupSimilaritySpec extends SparkTestBase {
 
   test("simhash: exact dups share a signature and near-dups are within distance") {
     val df = Seq((0L, base), (1L, base), (2L, unrelated)).toDF("doc_id", "text")
-    df.createOrReplaceTempView("documents_simhash_test")
-    // signatures via the same token pipeline, inline (path API reads tables)
+    val sigs = Dedup.simhashSignaturesDf(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L), "identical docs must have identical simhash")
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) > 3,
+      "unrelated docs must be far in Hamming space")
+  }
+
+  test("simhash kernel is bit-identical to the explode+groupBy aggregate form") {
+    val df = Seq((0L, base), (1L, base), (2L, unrelated), (3L, ""), (4L, "one"))
+      .toDF("doc_id", "text")
+    // reference: per-bit ±1 sums over exploded SQL-xxhash64 token hashes
     val toks = df.select($"doc_id", explode(TextAnalysis.tokens($"text")).as("tok"))
       .select($"doc_id", xxhash64($"tok").as("h"))
     val bitCols = (0 until 64).map { b =>
@@ -87,11 +96,11 @@ class DedupSimilaritySpec extends SparkTestBase {
     val sig = (0 until 64).map { b =>
       when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-    val sigs = agg.select($"doc_id", sig.as("simhash")).collect()
+    val expected = agg.select($"doc_id", sig.as("simhash")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(sigs(0L) == sigs(1L), "identical docs must have identical simhash")
-    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) > 3,
-      "unrelated docs must be far in Hamming space")
+    val actual = Dedup.simhashSignaturesDf(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(actual == expected)
   }
 
   test("LSH ANN recall vs brute-force cosine ground truth at sf0.001") {

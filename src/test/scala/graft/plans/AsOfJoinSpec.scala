@@ -97,6 +97,15 @@ class AsOfJoinSpec extends SparkTestBase {
         .select($"event_id", $"e_ts").collect()
         .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getAs[Timestamp](1))).toMap
     assert(run(bcast = true) == run(bcast = false))
+    // zero-shuffle contract on real table scans: the only Exchange in
+    // the broadcast variant's plan is the right side's BroadcastExchange
+    // — the big left side keeps its scan partitioning end to end
+    val bplan = AsOfJoin.asof(purchases, errors, "user_id", "e_user", "ts", "e_ts",
+      broadcastRight = true).queryExecution.executedPlan.toString
+    val shuffles = bplan.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")).toSeq
+    assert(shuffles.isEmpty,
+      s"broadcast as-of grew a shuffle exchange:\n$shuffles\n$bplan")
   }
 
   test("mismatched key or time types are rejected at call time") {
