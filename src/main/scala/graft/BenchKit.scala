@@ -20,10 +20,14 @@ object BenchKit {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Steady-state estimate: GC hygiene, then min of two runs. */
+  /** Steady-state estimate: min of two runs, forced GC before EACH so
+    * garbage from run A (dead broadcasts, spill pages) is never billed
+    * to run B's timed window.
+    */
   def best(spark: SparkSession, name: String, sfDir: String): Double = {
     System.gc()
     val a = runOnce(spark, name, sfDir)
+    System.gc()
     val b = runOnce(spark, name, sfDir)
     if (a < 0 || b < 0) -1.0 else math.min(a, b)
   }

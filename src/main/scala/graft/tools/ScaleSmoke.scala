@@ -26,12 +26,21 @@ object ScaleSmoke {
     "q_lineitem_cube", "q_percentiles", "q_approx_distincts",
     "q_tfidf_top_terms", "q_minhash_pairs", "q_simhash_near_dups",
     "q_neardup_clusters", "q_session_stats", "q_hot_terms_exact",
+    "q_pii_redaction", "q_split_counts", "q_pack_stats",
     "q_ngram_jaccard" /* bounded kernel: must stay FLAT, not 10× */)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/graft_sfx10")
     val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    // replica-hygiene bounds: the letter rotation k*2%26 has period 13
+    // (replica 13 would be an exact text duplicate of replica 0) and the
+    // embedding cyclic rotation degenerates once k reaches the vector
+    // length (64 dims) — past either bound the "replicas are NOT
+    // near-dups" property fails by construction and dedup-query ratios
+    // would look superlinear for data reasons, not engine reasons.
+    require(replicas >= 1 && replicas <= 13,
+      s"replicas must be in [1, 13] to keep replica texts/vectors distinct, got $replicas")
     val spark = graft.LocalSession.build()
 
     // resume guard: every table's _SUCCESS marker AND a matching replica
