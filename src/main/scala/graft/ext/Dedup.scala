@@ -227,7 +227,6 @@ object Dedup {
       .persist()
     var labels: DataFrame = null // null until round 1 materializes below
     val labelType = pairs.schema("id_a").dataType
-    var cached: DataFrame = null // the span result whose blocks are persisted
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -278,11 +277,18 @@ object Dedup {
             stepped
           }
       }
-      val next = cur.persist()
+      // LAZY local checkpoint, materialized by the count below: the next
+      // span starts from a flat LogicalRDD leaf instead of the full
+      // propagation lineage. Each round references its input TWICE (own
+      // rows + proposals), so an uncut logical plan doubles per round and
+      // analysis cost grows 2^rounds — fine for shallow LSH clusters,
+      // pathological for long chains, and the classic failure mode of
+      // every iterative Spark algorithm at scale. Checkpoint blocks are
+      // label-table sized and freed by the ContextCleaner when the
+      // previous span's handle goes out of scope.
+      val next = cur.localCheckpoint(false)
       changed = next.filter(col("label") =!= col("old")).count()
       intermediates.foreach(_.unpersist())
-      if (cached != null) cached.unpersist()
-      cached = next
       labels = next.select(col("id"), col("label"))
       it += span
     }

@@ -55,6 +55,43 @@ class DedupSimilaritySpec extends SparkTestBase {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("dedup clusters: randomized graphs agree with a union-find reference") {
+    // guards the span-paired propagation + early-stop convergence
+    // rewrite: any divergence from textbook connected components on
+    // arbitrary topologies (long chains stress maxIter, dense blobs
+    // stress the min-label merge) fails here deterministically
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 20
+      val edges = Seq.tabulate(n) { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // chain of length 12 to stress multi-span convergence
+      val chain = (100L to 111L).sliding(2).map(s => (s.head, s.last)).toSeq
+      val all = edges ++ chain
+      // reference: path-compressed union-find on the driver
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      all.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = all.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical = min id in the component
+      val expected = nodes.groupBy(find).flatMap { case (_, members) =>
+        val m = members.min; members.map(_ -> m)
+      }
+      val actual = Dedup.dedupClusters(all.toDF("id_a", "id_b"), maxIter = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(actual == expected, s"trial $trial: CC disagrees with union-find")
+    }
+  }
+
   test("near-dup keep-list finds the planted near-dup clusters at sf0.001") {
     val keep = Dedup.nearDupKeepList(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
