@@ -116,7 +116,8 @@ object SparkEntry {
     "q_embedding_norm_stats" -> (Similarity.embeddingNormStats _),
     // ---- corpus prep: deterministic split + sequence packing
     "q_split_counts"      -> ((s: SparkSession, d: String) => ext.Corpus.splitCounts(s, d)),
-    "q_pack_stats"        -> ((s: SparkSession, d: String) => ext.Corpus.packStats(s, d))
+    "q_pack_stats"        -> ((s: SparkSession, d: String) => ext.Corpus.packStats(s, d)),
+    "q_decontamination"   -> ((s: SparkSession, d: String) => ext.Corpus.decontaminationStats(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -471,6 +472,22 @@ object SparkEntry {
         "ELSE 'test' END AS split FROM documents) " +
         "SELECT source, split, COUNT(*) AS n_docs FROM s " +
         "GROUP BY source, split ORDER BY source, split"),
+    // decontamination: distinct 5-gram overlap between the eval slice
+    // (doc_id % 20 = 7) and the training remainder. The list_transform
+    // range mirrors Dedup.shinglesOfTokens exactly: greatest(len-4, 1)
+    // start positions (short docs yield one clamped whole-doc shingle),
+    // inclusive 5-element slices
+    "q_decontamination" ->
+      (s"WITH docs AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
+        "sh AS (SELECT doc_id, list_distinct(list_transform(" +
+        "range(1, greatest(len(t)-4, 1)+1), i -> array_to_string(t[i:i+4], ' '))) AS s FROM docs), " +
+        "ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 20 = 7), " +
+        "tr AS (SELECT doc_id, len(s) AS n_shingles, unnest(s) AS shingle FROM sh WHERE doc_id % 20 != 7) " +
+        "SELECT tr.doc_id, CAST(tr.n_shingles AS BIGINT) AS n_shingles, " +
+        "COUNT(*) AS n_contaminated, " +
+        "round(COUNT(*) / CAST(tr.n_shingles AS DOUBLE), 6) AS contamination " +
+        "FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id, tr.n_shingles " +
+        "ORDER BY tr.doc_id"),
     // exact heavy hitters: terms with count > n_source_tokens/50 — the
     // MG survivor superset collapses to this under the exact-threshold
     // filter, so a plain exact computation is the correct oracle

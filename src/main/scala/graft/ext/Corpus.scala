@@ -100,4 +100,50 @@ object Corpus {
         sum(col("n_docs")).as("docs_packed"),
         round(avg(col("pack_tokens")) / budget, 4).as("mean_fill"),
         sum(col("has_overflow")).as("overflow_packs"))
+
+  /** Benchmark decontamination: which training documents share exact
+    * token n-grams with a held-out evaluation set (the overlap check a
+    * training pipeline runs so eval scores aren't inflated by leaked
+    * test data — the counterpart of [[splitAssignments]]'s
+    * can't-straddle-splits guarantee for data that arrives already
+    * split). The fixture has no separate benchmark table, so the eval
+    * set is the deterministic doc_id % `evalMod` == `evalRes` slice.
+    *
+    * Scale shape: the eval side is bounded (eval sets are thousands of
+    * documents, not corpus-sized) — its distinct shingles BROADCAST to
+    * the training explode, so the only shuffle keyed on a training-
+    * corpus-sized input is the per-doc hit aggregation, which carries
+    * ONLY matched (doc, shingle) pairs. Never an n-gram self-join of
+    * the corpus against itself.
+    *
+    * Output: one row per contaminated training doc — its distinct
+    * shingle count, how many shingles are shared with the eval set,
+    * and the contamination ratio.
+    */
+  def decontaminationStats(spark: SparkSession, d: String, n: Int = 5,
+                           evalMod: Int = 20, evalRes: Int = 7): DataFrame =
+    decontaminationStatsDf(Tables.documents(spark, d), n, evalMod, evalRes)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def decontaminationStatsDf(docs: DataFrame, n: Int = 5,
+                             evalMod: Int = 20, evalRes: Int = 7): DataFrame = {
+    val shingled = Tables.fanOut(docs)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        array_distinct(Dedup.shinglesOfTokens(col("toks"), n)).as("sh"))
+    val isEval = col("doc_id") % evalMod === evalRes
+    val evalShingles = shingled.filter(isEval)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val trainShingles = shingled.filter(!isEval)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("shingle"))
+    trainShingles.join(broadcast(evalShingles), "shingle")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -69,4 +69,28 @@ class CorpusSpec extends SparkTestBase {
       packs.select("pack_id").distinct.count())
     assert(stats.getAs[Long]("docs_packed") == packs.count())
   }
+
+  test("decontamination: eval docs never reported, ratios in (0,1], leak detected") {
+    val rows = Corpus.decontaminationStats(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) % 20 != 7, "eval slice must not appear as training output")
+      val ratio = r.getDouble(3)
+      assert(ratio > 0.0 && ratio <= 1.0, s"ratio out of range: $ratio")
+      assert(r.getLong(2) <= r.getLong(1), "contaminated shingles exceed total")
+    }
+    // planted exact leak: a training doc that IS an eval doc's text must
+    // be reported with 100% contamination; an unrelated doc must not
+    // appear at all
+    val evalText = graft.Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 20 === 7).select($"text").limit(1)
+      .collect().head.getString(0)
+    val tiny = Seq((7L, evalText), (8L, evalText),
+      (10L, "completely different words here and nothing shared at all"))
+      .toDF("doc_id", "text")
+    val hits = Corpus.decontaminationStatsDf(tiny).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(1))).toMap
+    assert(hits.contains(8L) && hits(8L)._1 == hits(8L)._2,
+      "exact copy of an eval doc must be 100% contaminated")
+    assert(!hits.contains(10L), "unrelated doc must not be flagged")
+  }
 }
