@@ -34,7 +34,7 @@ object Tables {
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 
   /** Fan a CPU-bound narrow stage out to every core when the upstream
-    * scan produced fewer splits than the cluster's parallelism.
+    * scan would produce fewer splits than the cluster's parallelism.
     *
     * Why it exists: the fixture tables are single small parquet files,
     * so a scan yields ONE input split and every regex/kernel map runs
@@ -45,12 +45,28 @@ object Tables {
     * widens a narrow map over a small scan; `repartition` is the
     * documented tool for that.)
     *
+    * The split estimate is max(#input files, scan bytes / the session's
+    * files.maxPartitionBytes) — both read off the ANALYZED logical plan
+    * (`inputFiles` + logical stats), so probing it never compiles a
+    * physical plan or builds an RDD (the previous
+    * `df.rdd.getNumPartitions` probe physically planned every input
+    * twice). The estimate can only under- or over-count toward MORE
+    * parallelism on scan-stage inputs; by convention fanOut is applied
+    * to scans (and cheap projections of scans) only — a complex
+    * upstream plan should size its own exchanges.
+    *
     * Only for partitioning-INDEPENDENT computations (per-row kernels,
     * commutative aggregations) — anything per-partition-stateful
     * (greedy sequence packing) must keep its input partitioning.
     */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val nFiles = df.inputFiles.length.toLong
+    val maxSplitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val scanBytes = df.queryExecution.analyzed.stats.sizeInBytes
+    val estSplits = (BigInt(nFiles) max (scanBytes / maxSplitBytes)).toLong
+    if (estSplits < target) df.repartition(target) else df
   }
 }

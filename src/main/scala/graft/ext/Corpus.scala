@@ -109,12 +109,22 @@ object Corpus {
     * split). The fixture has no separate benchmark table, so the eval
     * set is the deterministic doc_id % `evalMod` == `evalRes` slice.
     *
-    * Scale shape: the eval side is bounded (eval sets are thousands of
-    * documents, not corpus-sized) — its distinct shingles BROADCAST to
-    * the training explode, so the only shuffle keyed on a training-
-    * corpus-sized input is the per-doc hit aggregation, which carries
-    * ONLY matched (doc, shingle) pairs. Never an n-gram self-join of
-    * the corpus against itself.
+    * Scale shape: the probe set is the eval side's distinct shingles
+    * hashed to 8-byte xxhash64 longs — ~10× smaller than the string
+    * shingles and O(1)-comparable — and it BROADCASTS only when the
+    * eval side is verifiably bounded: one cheap doc_id-column count
+    * guards the hint, and an oversized eval set falls back to a
+    * shuffled hash join keyed on the hash (documented, still never an
+    * n-gram self-join of the corpus against itself). The only shuffle
+    * keyed on a training-corpus-sized input is the per-doc hit
+    * aggregation, which carries ONLY matched (doc, hash) pairs.
+    *
+    * Hashing caveat: a train shingle is counted as contaminated iff its
+    * 64-bit hash is in the eval hash set, so a hash collision could
+    * overcount by one. At 2^64 hash space that needs ~10^9 distinct
+    * shingles per side for a ~3% chance of ONE extra count anywhere —
+    * acceptable for a stats query (run a string-equality confirm pass
+    * over the flagged docs if exactness ever matters).
     *
     * Output: one row per contaminated training doc — its distinct
     * shingle count, how many shingles are shared with the eval set,
@@ -124,21 +134,39 @@ object Corpus {
                            evalMod: Int = 20, evalRes: Int = 7): DataFrame =
     decontaminationStatsDf(Tables.documents(spark, d), n, evalMod, evalRes)
 
-  /** DataFrame form (docs must have doc_id + text). */
+  /** DataFrame form (docs must have doc_id + text).
+    *
+    * `maxBroadcastEvalDocs` bounds the broadcast decision: if the eval
+    * slice holds more documents than this, the probe set is joined via
+    * a shuffled hash join instead of broadcast (the mod-slice fixture
+    * eval set grows with the corpus, so an unconditional broadcast
+    * would OOM the driver at production scale). The guard costs one
+    * count over the eval slice's doc_id column at plan-build time.
+    */
   def decontaminationStatsDf(docs: DataFrame, n: Int = 5,
-                             evalMod: Int = 20, evalRes: Int = 7): DataFrame = {
+                             evalMod: Int = 20, evalRes: Int = 7,
+                             maxBroadcastEvalDocs: Long = 1000000L): DataFrame = {
+    val isEval = col("doc_id") % evalMod === evalRes
     val shingled = Tables.fanOut(docs)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"),
         array_distinct(Dedup.shinglesOfTokens(col("toks"), n)).as("sh"))
-    val isEval = col("doc_id") % evalMod === evalRes
-    val evalShingles = shingled.filter(isEval)
-      .select(explode(col("sh")).as("shingle")).distinct()
-    val trainShingles = shingled.filter(!isEval)
+    val evalHashes = shingled.filter(isEval)
+      .select(explode(col("sh")).as("shingle"))
+      .select(xxhash64(col("shingle")).as("sh_hash")).distinct()
+    val trainHashes = shingled.filter(!isEval)
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
         explode(col("sh")).as("shingle"))
-    trainShingles.join(broadcast(evalShingles), "shingle")
+      .select(col("doc_id"), col("n_shingles"), xxhash64(col("shingle")).as("sh_hash"))
+    // guard count: doc_id column only (no text read); null-text eval docs
+    // inflate the count slightly, which only biases the guard toward the
+    // safe (shuffle) side
+    val evalDocCount = docs.filter(isEval).select(col("doc_id")).count()
+    val probe =
+      if (evalDocCount <= maxBroadcastEvalDocs) broadcast(evalHashes)
+      else evalHashes.hint("shuffle_hash")
+    trainHashes.join(probe, "sh_hash")
       .groupBy(col("doc_id"), col("n_shingles"))
       .agg(count(lit(1)).as("n_contaminated"))
       .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),

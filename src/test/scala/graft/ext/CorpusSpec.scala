@@ -93,4 +93,21 @@ class CorpusSpec extends SparkTestBase {
       "exact copy of an eval doc must be 100% contaminated")
     assert(!hits.contains(10L), "unrelated doc must not be flagged")
   }
+
+  test("decontamination: shuffle fallback (oversized eval guard) matches broadcast path") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val viaBroadcast = Corpus.decontaminationStatsDf(docs).collect().toSeq
+    // maxBroadcastEvalDocs = 0 forces the oversized-eval fallback; the
+    // join strategy must not change the reported contamination
+    val viaShuffle =
+      Corpus.decontaminationStatsDf(docs, maxBroadcastEvalDocs = 0L).collect().toSeq
+    assert(viaBroadcast == viaShuffle,
+      "broadcast and shuffle-fallback paths must agree")
+    assert(viaBroadcast.nonEmpty, "fixture must produce contaminated docs")
+    // and the fallback plan must really not broadcast the eval side
+    val p = Corpus.decontaminationStatsDf(docs, maxBroadcastEvalDocs = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin"),
+      s"fallback path must not broadcast:\n$p")
+  }
 }
