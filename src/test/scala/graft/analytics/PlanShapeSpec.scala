@@ -80,6 +80,22 @@ class PlanShapeSpec extends SparkTestBase {
       s"session plan grew a shuffle:\n${plan("q_session_stats")}")
   }
 
+  test("exchange-count pins for r4 bench-jitter suspects (tfidf / running total / json stats)") {
+    // r4 bench wall-time drifted +0.2–0.5 s on these three with no code
+    // change; pin their shuffle counts so a future move is conclusively
+    // jitter (plans unchanged, these stay green) or a plan regression
+    // (fails here): TF-IDF = tf agg + doc-term distinct + df agg + the
+    // term join's two sides + the doc_id window (the final sort reuses
+    // the window's partitioning at most once more); running total and
+    // json stats = one keyed window/agg shuffle + the result sort.
+    assert(shuffleExchanges("q_tfidf_top_terms") <= 6,
+      s"tfidf plan grew a shuffle:\n${plan("q_tfidf_top_terms")}")
+    assert(shuffleExchanges("q_window_running_total") <= 2,
+      s"running-total plan grew a shuffle:\n${plan("q_window_running_total")}")
+    assert(shuffleExchanges("q_json_extract_stats") <= 2,
+      s"json-stats plan grew a shuffle:\n${plan("q_json_extract_stats")}")
+  }
+
   test("q_large_qty_orders / q_late_priority_counts: HAVING/EXISTS plan as semi-joins") {
     val p18 = plan("q_large_qty_orders")
     assert(p18.contains("LeftSemi"), s"IN+HAVING must plan as LeftSemi:\n$p18")
