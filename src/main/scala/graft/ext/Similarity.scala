@@ -236,6 +236,65 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // --------------------------------------------------- semantic dedup
+
+  /** Semantic dedup (SemDeDup-style, Abbas et al. 2023): cluster the
+    * embedding space with the IVF coarse quantizer, then inside each
+    * cluster drop every vector that has a LOWER-id neighbor above the
+    * cosine threshold — the dedup rung a training pipeline runs after
+    * exact + MinHash dedup to remove semantically redundant documents
+    * that share no n-grams.
+    *
+    * Keep policy: a vector is dropped iff some lower-id vector in its
+    * cluster is cosine-similar above the threshold, so the minimum id
+    * of every near-dup group always survives — deterministic, one
+    * local rule, no iterative connected components needed (SemDeDup
+    * keeps one representative per group; which one is a free choice).
+    *
+    * Scale shape: the only corpus-sized shuffle is the self-join keyed
+    * on the cluster cell; within-cell pairing is O(sum cell²), bounded
+    * by choosing nlist ∝ corpus_size / target_cell_size exactly as
+    * SemDeDup does (the paper uses k = 11k clusters for LAION-440M).
+    * Norms are per-vector projections below the join; recall < 1 by
+    * construction (cross-cluster near-dups are missed — inherent to
+    * the method, asserted against brute force in tests).
+    *
+    * Default threshold 0.4 matches [[embeddingNearDups]]: the synthetic
+    * fixture's cosine mass tops out near 0.5 (a real embedding model
+    * concentrates near-dups above ~0.95, where production runs set it).
+    */
+  def semanticDedupDropList(emb: DataFrame, threshold: Double = 0.4,
+                            nlist: Int = 16): DataFrame = {
+    val cents = trainIvfCentroids(emb, nlist)
+    val cells = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+        ivfCellUdf(cents)(col("embedding")).as("cell"))
+    val a = cells.as("a")
+    val b = cells.as("b")
+    a.join(b, col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(dot(col("a.embedding"), col("b.embedding"))
+        / (col("a.nrm") * col("b.nrm")) > threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+  }
+
+  /** Per-label audit of [[semanticDedupDropList]] over the embeddings
+    * table: how many vectors each label keeps/drops at the threshold.
+    */
+  def semanticDedupStats(spark: SparkSession, d: String,
+                         threshold: Double = 0.4, nlist: Int = 16): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val dropped = semanticDedupDropList(emb, threshold, nlist)
+      .withColumn("is_dropped", lit(1L))
+    emb.select(col("vec_id"), col("label"))
+      .join(broadcast(dropped), Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"))
+      .select(col("label"), col("n_vecs"), col("n_dropped"),
+        (col("n_vecs") - col("n_dropped")).as("n_kept"))
+      .orderBy(col("label"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, within a
     * bounded id range (oracle-checkable verification kernel; at scale the
     * LSH bucket join above generates the candidates instead).
