@@ -66,7 +66,13 @@ object Tables {
     val maxSplitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
     val scanBytes = df.queryExecution.analyzed.stats.sizeInBytes
-    val estSplits = (BigInt(nFiles) max (scanBytes / maxSplitBytes)).toLong
-    if (estSplits < target) df.repartition(target) else df
+    // clamped: a 0/negative maxPartitionBytes must not throw, a huge
+    // sizeInBytes must not overflow toLong into an arbitrary value, and
+    // UNKNOWN stats (defaultSizeInBytes sentinel) mean "cannot rule out
+    // a small input" → repartition, the only safe direction for fanOut
+    val unknown = scanBytes == BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    val estSplits = (BigInt(nFiles) max (scanBytes / maxSplitBytes.max(1L)))
+      .min(BigInt(Int.MaxValue)).toLong
+    if (unknown || estSplits < target) df.repartition(target) else df
   }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -136,42 +136,105 @@ object Corpus {
 
   /** DataFrame form (docs must have doc_id + text).
     *
-    * `maxBroadcastEvalDocs` bounds the broadcast decision: if the eval
-    * slice holds more documents than this, the probe set is joined via
-    * a shuffled hash join instead of broadcast (the mod-slice fixture
-    * eval set grows with the corpus, so an unconditional broadcast
-    * would OOM the driver at production scale). The guard costs one
-    * count over the eval slice's doc_id column at plan-build time.
+    * `maxBroadcastEvalBytes` bounds the broadcast decision LAZILY: the
+    * eval slice's source size is estimated off the ANALYZED logical
+    * plan (`stats.sizeInBytes / evalMod` — file size for a parquet
+    * scan, same zero-job technique as [[graft.Tables.fanOut]]), so
+    * BUILDING this DataFrame launches no Spark job. Unknown statistics
+    * surface as `defaultSizeInBytes` (≈ Long.MaxValue), which fails
+    * the guard and falls to the safe (shuffled) side. The probe set
+    * is distinct 8-byte xxhash64 shingle hashes, ~1.3 hashes per 6
+    * source bytes plus HashedRelation overhead, so the default 256 MiB
+    * source-byte bound keeps the broadcast comfortably under 1 GiB.
+    *
+    * Why the broadcast path scans the documents source twice: the eval
+    * and train branches shingle DISJOINT doc sets, so no shingling
+    * compute is duplicated — only the pruned (doc_id, text) column
+    * read. Fusing the branches into one scan would require either
+    * caching the exploded shingle stream (memory/disk proportional to
+    * the corpus — the exploded stream is ~10× the compressed text
+    * column) or shuffling the full train shingle stream, which the
+    * broadcast path otherwise avoids entirely (only MATCHED pairs
+    * reach its aggregation shuffle). At sf0.1 the two paths measure
+    * within noise of each other (3.7 vs 3.5 s — the data is too small
+    * for shuffle volume to matter); the broadcast path wins on I/O
+    * volume at scale: re-reading the compressed text column once
+    * costs ~the text's parquet footprint, while shuffling the
+    * exploded hash stream costs ~24 bytes × every shingle in the
+    * corpus — several times the compressed text (see SURVEY §8).
+    *
+    * The OVERSIZED-eval fallback, which must shuffle the train stream
+    * anyway, IS fused into a single pass: shingle all docs once with
+    * an is_eval flag, one shuffle keyed on sh_hash with eval rows
+    * sorted first within each hash group, then an O(1)-state
+    * sort-based semi-join walk (a hash group's head row tells whether
+    * the eval side holds that shingle). One scan, one corpus-sized
+    * shuffle, no per-key buffering — strictly less I/O than a
+    * shuffled hash join of two separately-scanned branches.
     */
   def decontaminationStatsDf(docs: DataFrame, n: Int = 5,
                              evalMod: Int = 20, evalRes: Int = 7,
-                             maxBroadcastEvalDocs: Long = 1000000L): DataFrame = {
+                             maxBroadcastEvalBytes: Long = 256L << 20): DataFrame = {
     val isEval = col("doc_id") % evalMod === evalRes
-    val shingled = Tables.fanOut(docs)
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
-      .select(col("doc_id"),
-        array_distinct(Dedup.shinglesOfTokens(col("toks"), n)).as("sh"))
-    val evalHashes = shingled.filter(isEval)
-      .select(explode(col("sh")).as("shingle"))
-      .select(xxhash64(col("shingle")).as("sh_hash")).distinct()
-    val trainHashes = shingled.filter(!isEval)
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
-        explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), col("n_shingles"), xxhash64(col("shingle")).as("sh_hash"))
-    // guard count: doc_id column only (no text read); null-text eval docs
-    // inflate the count slightly, which only biases the guard toward the
-    // safe (shuffle) side
-    val evalDocCount = docs.filter(isEval).select(col("doc_id")).count()
-    val probe =
-      if (evalDocCount <= maxBroadcastEvalDocs) broadcast(evalHashes)
-      else evalHashes.hint("shuffle_hash")
-    trainHashes.join(probe, "sh_hash")
+    def shingles(c: Column): Column =
+      array_distinct(Dedup.shinglesOfTokens(split(trim(c), "\\s+"), n))
+    val evalBytesEst = docs.queryExecution.analyzed.stats.sizeInBytes / evalMod
+    val hits =
+      if (evalBytesEst <= BigInt(maxBroadcastEvalBytes)) {
+        val shingled = Tables.fanOut(docs)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), shingles(col("text")).as("sh"))
+        val evalHashes = shingled.filter(isEval)
+          .select(explode(col("sh")).as("shingle"))
+          .select(xxhash64(col("shingle")).as("sh_hash")).distinct()
+        val trainHashes = shingled.filter(!isEval)
+          .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+            explode(col("sh")).as("shingle"))
+          .select(col("doc_id"), col("n_shingles"), xxhash64(col("shingle")).as("sh_hash"))
+        trainHashes.join(broadcast(evalHashes), "sh_hash")
+          .select(col("doc_id"), col("n_shingles"))
+      } else decontaminationHitsOnePass(docs, isEval, shingles)
+    hits
       .groupBy(col("doc_id"), col("n_shingles"))
       .agg(count(lit(1)).as("n_contaminated"))
       .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
         round(col("n_contaminated").cast("double") / col("n_shingles"), 6)
           .as("contamination"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Single-pass contaminated (doc_id, n_shingles) pairs for the
+    * oversized-eval path: every (doc, shingle-hash, is_eval) row goes
+    * through ONE shuffle partitioned on the hash and sorted so eval
+    * rows lead their hash group; a mapPartitions walk then emits a
+    * train row iff its group's head row was eval. Per-task state is
+    * one (hash, flag) pair — no hash table, no frame buffering, no
+    * skew sensitivity (a hot shingle streams through in sorted order).
+    */
+  private def decontaminationHitsOnePass(docs: DataFrame, isEval: Column,
+                                         shingles: Column => Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Tables.fanOut(docs)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), isEval.as("is_eval"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), col("is_eval"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("is_eval"), col("n_shingles"),
+        xxhash64(col("shingle")).as("sh_hash"))
+      .repartition(col("sh_hash"))
+      .sortWithinPartitions(col("sh_hash"), col("is_eval").desc)
+      .as[(Long, Boolean, Long, Long)]
+      .mapPartitions { it =>
+        var curHash = 0L
+        var curEval = false
+        var first = true
+        it.flatMap { case (docId, isEv, nSh, h) =>
+          if (first || h != curHash) { curHash = h; curEval = isEv; first = false }
+          if (!isEv && curEval) Iterator.single((docId, nSh)) else Iterator.empty
+        }
+      }
+      .toDF("doc_id", "n_shingles")
   }
 }

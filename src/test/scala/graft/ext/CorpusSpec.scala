@@ -94,20 +94,42 @@ class CorpusSpec extends SparkTestBase {
     assert(!hits.contains(10L), "unrelated doc must not be flagged")
   }
 
-  test("decontamination: shuffle fallback (oversized eval guard) matches broadcast path") {
+  test("decontamination: one-pass fallback (oversized eval guard) matches broadcast path") {
     val docs = graft.Tables.documents(spark, sfDir)
     val viaBroadcast = Corpus.decontaminationStatsDf(docs).collect().toSeq
-    // maxBroadcastEvalDocs = 0 forces the oversized-eval fallback; the
-    // join strategy must not change the reported contamination
-    val viaShuffle =
-      Corpus.decontaminationStatsDf(docs, maxBroadcastEvalDocs = 0L).collect().toSeq
-    assert(viaBroadcast == viaShuffle,
-      "broadcast and shuffle-fallback paths must agree")
+    // maxBroadcastEvalBytes = 0 forces the oversized-eval fallback; the
+    // execution strategy must not change the reported contamination
+    val viaOnePass =
+      Corpus.decontaminationStatsDf(docs, maxBroadcastEvalBytes = 0L).collect().toSeq
+    assert(viaBroadcast == viaOnePass,
+      "broadcast and one-pass fallback paths must agree")
     assert(viaBroadcast.nonEmpty, "fixture must produce contaminated docs")
-    // and the fallback plan must really not broadcast the eval side
-    val p = Corpus.decontaminationStatsDf(docs, maxBroadcastEvalDocs = 0L)
+    // the fallback must not broadcast the eval side, and must read the
+    // documents source exactly ONCE (the fused single-pass shape)
+    val p = Corpus.decontaminationStatsDf(docs, maxBroadcastEvalBytes = 0L)
       .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastHashJoin"),
       s"fallback path must not broadcast:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"one-pass fallback must scan the source exactly once:\n$p")
+  }
+
+  test("decontamination: building the DataFrame launches zero Spark jobs") {
+    // the status tracker is fed by the (async) listener bus, which
+    // processes events in order — so once the SENTINEL job below is
+    // visible, any job a builder had started would be visible too
+    val tracker = spark.sparkContext.statusTracker
+    def jobIds: Set[Int] = tracker.getJobIdsForGroup(null).toSet
+    val docs = graft.Tables.documents(spark, sfDir)
+    val before = jobIds
+    Corpus.decontaminationStatsDf(docs)              // broadcast-guard path
+    Corpus.decontaminationStatsDf(docs, maxBroadcastEvalBytes = 0L) // fallback
+    spark.range(1).collect()  // sentinel: shuffle-free -> exactly 1 job
+    val deadline = System.nanoTime() + 10e9.toLong
+    while ((jobIds -- before).isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    val ran = (jobIds -- before).size
+    assert(ran == 1,
+      s"query builders must be lazy — ${ran - 1} extra job(s) ran at plan build")
   }
 }
