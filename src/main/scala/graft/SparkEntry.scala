@@ -113,6 +113,7 @@ object SparkEntry {
     "q_lsh_ann_topk"      -> ((s: SparkSession, d: String) => Similarity.lshAnnTopK(s, d)),
     "q_ivf_ann_topk"      -> ((s: SparkSession, d: String) => Similarity.ivfAnnTopK(s, d)),
     "q_embedding_near_dups" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d)),
+    "q_semantic_dedup"    -> ((s: SparkSession, d: String) => Similarity.semanticDedupStats(s, d)),
     "q_embedding_norm_stats" -> (Similarity.embeddingNormStats _),
     // ---- corpus prep: deterministic split + sequence packing
     "q_split_counts"      -> ((s: SparkSession, d: String) => ext.Corpus.splitCounts(s, d)),

@@ -255,17 +255,40 @@ object Similarity {
     * on the cluster cell; within-cell pairing is O(sum cell²), bounded
     * by choosing nlist ∝ corpus_size / target_cell_size exactly as
     * SemDeDup does (the paper uses k = 11k clusters for LAION-440M).
+    * With the default `nlist = 0` that choice is made HERE, not by the
+    * caller: nlist = clamp(ceil(corpus_rows / targetCellSize), 1, 1024)
+    * — a corpus that fits in one target-size cell gets ONE cell, which
+    * makes the method exact (within-cell pairing IS brute force).
+    * The row count is one metadata-cheap job at plan-build time — this
+    * builder is NOT lazy by design, because it also trains the
+    * quantizer (one bounded 4096-row sample collect), the same way a
+    * FAISS index build is a training step rather than a query. The
+    * 1024 cap is the sampled-driver quantizer's honest seam: past
+    * ~0.5M vectors (cap × targetCellSize) cells grow beyond the
+    * target and a production run would swap in a distributed or
+    * hierarchical k-means for the training step — assignment and
+    * pairing are unchanged.
+    *
     * Norms are per-vector projections below the join; recall < 1 by
     * construction (cross-cluster near-dups are missed — inherent to
-    * the method, asserted against brute force in tests).
+    * the method; precision and a recall floor vs the brute-force
+    * [[embeddingNearDups]] are asserted in DedupSimilaritySpec).
     *
     * Default threshold 0.4 matches [[embeddingNearDups]]: the synthetic
     * fixture's cosine mass tops out near 0.5 (a real embedding model
     * concentrates near-dups above ~0.95, where production runs set it).
     */
   def semanticDedupDropList(emb: DataFrame, threshold: Double = 0.4,
-                            nlist: Int = 16): DataFrame = {
-    val cents = trainIvfCentroids(emb, nlist)
+                            nlist: Int = 0, targetCellSize: Int = 512): DataFrame = {
+    val k =
+      if (nlist > 0) nlist
+      else {
+        val n = emb.filter(col("embedding").isNotNull).count()
+        require(n > 0, "semantic dedup needs a non-empty embedding corpus")
+        val derived = (n + targetCellSize - 1) / targetCellSize
+        (derived max 1L min 1024L min n).toInt
+      }
+    val cents = trainIvfCentroids(emb, k)
     val cells = emb.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
         ivfCellUdf(cents)(col("embedding")).as("cell"))
@@ -279,14 +302,19 @@ object Similarity {
 
   /** Per-label audit of [[semanticDedupDropList]] over the embeddings
     * table: how many vectors each label keeps/drops at the threshold.
+    *
+    * The drop list is corpus-proportional (SemDeDup drop fractions run
+    * 20–50%), so it is joined WITHOUT a broadcast hint — the planner
+    * picks from actual size estimates, and at scale this is a plain
+    * shuffle join on vec_id rather than a driver-sized broadcast.
     */
   def semanticDedupStats(spark: SparkSession, d: String,
-                         threshold: Double = 0.4, nlist: Int = 16): DataFrame = {
+                         threshold: Double = 0.4, nlist: Int = 0): DataFrame = {
     val emb = Tables.embeddings(spark, d)
     val dropped = semanticDedupDropList(emb, threshold, nlist)
       .withColumn("is_dropped", lit(1L))
     emb.select(col("vec_id"), col("label"))
-      .join(broadcast(dropped), Seq("vec_id"), "left")
+      .join(dropped, Seq("vec_id"), "left")
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"))

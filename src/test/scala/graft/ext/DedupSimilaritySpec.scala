@@ -217,4 +217,64 @@ class DedupSimilaritySpec extends SparkTestBase {
     val c = df.select(Similarity.cosine($"a", $"b")).collect().head.getDouble(0)
     assert(math.abs(c - 0.5) < 1e-12) // dot=1, norms sqrt(2)*sqrt(2)=2
   }
+
+  test("semantic dedup: planted cluster drops to its min-id representative") {
+    // three identical vectors land in one cell with pairwise cosine 1;
+    // the min id must survive and ONLY the two higher ids drop. The
+    // orthogonal/antipodal fillers have pairwise cosine <= 0 and must
+    // all be kept.
+    val planted = Seq(
+      10L -> Array(1f, 0f, 0f, 0f), 11L -> Array(1f, 0f, 0f, 0f),
+      12L -> Array(1f, 0f, 0f, 0f),
+      20L -> Array(0f, 1f, 0f, 0f), 21L -> Array(0f, 0f, 1f, 0f),
+      22L -> Array(0f, 0f, 0f, 1f), 23L -> Array(0f, -1f, 0f, 0f),
+      24L -> Array(-1f, 0f, 0f, 0f)
+    ).toDF("vec_id", "embedding")
+    val dropped = Similarity.semanticDedupDropList(planted, nlist = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped == Set(11L, 12L),
+      s"expected exactly the non-min ids of the planted cluster, got $dropped")
+  }
+
+  test("semantic dedup: perfect precision and a recall floor vs brute force") {
+    // ground truth on the full 500-vector fixture: a vector SHOULD drop
+    // iff it has a lower-id neighbor above the threshold (min-id keep
+    // rule applied with no clustering approximation)
+    val shouldDrop = Similarity.embeddingNearDups(spark, sfDir)
+      .collect().map(_.getLong(1)).toSet
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    // derived nlist: 500 vectors fit one target-size cell -> ONE cell,
+    // where within-cell pairing IS brute force -> exact result
+    val dropped = Similarity.semanticDedupDropList(emb)
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped == shouldDrop,
+      s"single-cell semantic dedup must equal brute force; " +
+        s"missing ${shouldDrop -- dropped}, extra ${dropped -- shouldDrop}")
+    // forced multi-cell clustering: precision stays exact (a within-cell
+    // pair above the threshold is also a brute-force pair), recall < 1
+    // is inherent (cross-cell pairs are missed) but must not collapse.
+    // The fixture's threshold-0.4 pairs are only weakly similar, so
+    // k-means cells split many of them — measured ~0.27 at nlist=16.
+    val clustered = Similarity.semanticDedupDropList(emb, nlist = 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(clustered.subsetOf(shouldDrop),
+      s"false drops (not near-dups): ${clustered -- shouldDrop}")
+    val recall = clustered.size.toDouble / shouldDrop.size
+    assert(recall >= 0.15, s"semantic dedup recall collapsed: $recall")
+  }
+
+  test("semantic dedup stats: totals consistent with the drop list, deterministic") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val nVecs = emb.count()
+    val nDropped = Similarity.semanticDedupDropList(emb).count()
+    val stats = Similarity.semanticDedupStats(spark, sfDir).collect()
+    assert(stats.map(_.getAs[Long]("n_vecs")).sum == nVecs)
+    assert(stats.map(_.getAs[Long]("n_dropped")).sum == nDropped)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_kept") ==
+        r.getAs[Long]("n_vecs") - r.getAs[Long]("n_dropped"))
+    }
+    val again = Similarity.semanticDedupStats(spark, sfDir).collect()
+    assert(stats.toSeq == again.toSeq, "stats must be run-to-run deterministic")
+  }
 }
