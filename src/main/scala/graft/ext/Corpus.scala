@@ -176,24 +176,80 @@ object Corpus {
                              evalMod: Int = 20, evalRes: Int = 7,
                              maxBroadcastEvalBytes: Long = 256L << 20): DataFrame = {
     val isEval = col("doc_id") % evalMod === evalRes
+    val evalBytesEst = docs.queryExecution.analyzed.stats.sizeInBytes / evalMod
+    decontaminationStatsFlagged(
+      Tables.fanOut(docs).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"), isEval.as("is_eval")),
+      n, evalBytesEst, maxBroadcastEvalBytes)
+  }
+
+  /** Decontamination of an explicit training set against an explicit
+    * eval/benchmark set (the production shape — benchmarks usually
+    * arrive as their own table, not as an id-slice of the corpus).
+    * Same guard, same two execution paths as [[decontaminationStatsDf]];
+    * the eval size estimate is the eval side's own plan statistics.
+    */
+  def decontaminationStatsAgainst(train: DataFrame, evalDocs: DataFrame,
+                                  n: Int = 5,
+                                  maxBroadcastEvalBytes: Long = 256L << 20): DataFrame = {
+    val evalBytesEst = evalDocs.queryExecution.analyzed.stats.sizeInBytes
+    val flagged = Tables.fanOut(train).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), lit(false).as("is_eval"))
+      .unionByName(evalDocs.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"), lit(true).as("is_eval")))
+    decontaminationStatsFlagged(flagged, n, evalBytesEst, maxBroadcastEvalBytes)
+  }
+
+  /** Streaming decontamination (foreachBatch stage): each micro-batch of
+    * training documents is checked against the STATIC eval set and its
+    * per-doc contamination rows append to `outPath` tagged with the
+    * batch id. Per-doc results depend only on that doc and the eval
+    * set, so the union of per-batch outputs equals the batch-mode
+    * result on the same documents — the batch/streaming symmetry the
+    * other corpus operators have (asserted in StreamingSpec).
+    */
+  def decontaminationSink(trainStream: DataFrame, evalDocs: DataFrame,
+                          outPath: String, checkpoint: String, n: Int = 5,
+                          maxBroadcastEvalBytes: Long = 256L << 20)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    trainStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          decontaminationStatsAgainst(batch, evalDocs, n, maxBroadcastEvalBytes)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+
+  /** Shared core over a (doc_id, text, is_eval) frame. Broadcast path
+    * when the eval estimate fits the bound, one-pass fused path
+    * otherwise (see [[decontaminationStatsDf]]'s scaladoc for the
+    * two-scan-vs-one-shuffle trade). For the mod-slice form the
+    * is_eval filter folds back into the scan; for the union form it
+    * prunes the contradicting union branch — either way each branch of
+    * the broadcast path shingles only its own side.
+    */
+  private def decontaminationStatsFlagged(flagged: DataFrame, n: Int,
+                                          evalBytesEst: BigInt,
+                                          maxBroadcastEvalBytes: Long): DataFrame = {
     def shingles(c: Column): Column =
       array_distinct(Dedup.shinglesOfTokens(split(trim(c), "\\s+"), n))
-    val evalBytesEst = docs.queryExecution.analyzed.stats.sizeInBytes / evalMod
     val hits =
       if (evalBytesEst <= BigInt(maxBroadcastEvalBytes)) {
-        val shingled = Tables.fanOut(docs)
-          .filter(col("text").isNotNull)
-          .select(col("doc_id"), shingles(col("text")).as("sh"))
-        val evalHashes = shingled.filter(isEval)
+        val shingled = flagged
+          .select(col("doc_id"), col("is_eval"), shingles(col("text")).as("sh"))
+        val evalHashes = shingled.filter(col("is_eval"))
           .select(explode(col("sh")).as("shingle"))
           .select(xxhash64(col("shingle")).as("sh_hash")).distinct()
-        val trainHashes = shingled.filter(!isEval)
+        val trainHashes = shingled.filter(!col("is_eval"))
           .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
             explode(col("sh")).as("shingle"))
           .select(col("doc_id"), col("n_shingles"), xxhash64(col("shingle")).as("sh_hash"))
         trainHashes.join(broadcast(evalHashes), "sh_hash")
           .select(col("doc_id"), col("n_shingles"))
-      } else decontaminationHitsOnePass(docs, isEval, shingles)
+      } else decontaminationHitsOnePass(flagged, shingles)
     hits
       .groupBy(col("doc_id"), col("n_shingles"))
       .agg(count(lit(1)).as("n_contaminated"))
@@ -211,13 +267,12 @@ object Corpus {
     * one (hash, flag) pair — no hash table, no frame buffering, no
     * skew sensitivity (a hot shingle streams through in sorted order).
     */
-  private def decontaminationHitsOnePass(docs: DataFrame, isEval: Column,
+  private def decontaminationHitsOnePass(flagged: DataFrame,
                                          shingles: Column => Column): DataFrame = {
-    val spark = docs.sparkSession
+    val spark = flagged.sparkSession
     import spark.implicits._
-    Tables.fanOut(docs)
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), isEval.as("is_eval"), shingles(col("text")).as("sh"))
+    flagged
+      .select(col("doc_id"), col("is_eval"), shingles(col("text")).as("sh"))
       .select(col("doc_id"), col("is_eval"),
         size(col("sh")).cast("long").as("n_shingles"),
         explode(col("sh")).as("shingle"))

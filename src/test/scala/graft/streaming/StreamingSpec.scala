@@ -211,4 +211,41 @@ class StreamingSpec extends SparkTestBase {
       ("2024-01-01 00:00:00.0", "b", 1L),
       ("2024-01-01 00:00:10.0", "a", 1L)))
   }
+
+  test("streaming decontamination: per-batch hashed-probe check matches batch mode") {
+    implicit val sqlCtx = spark.sqlContext
+    // eval doc: 7 tokens -> three 5-token shingles
+    val evalText = "alpha beta gamma delta epsilon zeta eta"
+    val evalDocs = Seq((1000L, evalText)).toDF("doc_id", "text")
+    val train = Seq(
+      1L -> evalText,                                       // exact leak: 3/3
+      2L -> "alpha beta gamma delta epsilon unrelated words here now", // 1/5
+      3L -> "totally different content with no shared phrases at all", // clean
+      4L -> "eta zeta epsilon delta gamma beta alpha")      // reversed: clean
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("decon_out").toString
+    val ckpt = Files.createTempDirectory("decon_ckpt").toString
+    val query = graft.ext.Corpus.decontaminationSink(
+      input.toDF().toDF("doc_id", "text"), evalDocs, out, ckpt).start()
+    try {
+      input.addData(train(0), train(1))
+      query.processAllAvailable()
+      input.addData(train(2), train(3)) // no hits -> batch appends nothing
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out)
+      .select($"doc_id", $"n_shingles", $"n_contaminated", $"contamination")
+      .collect().map(_.toSeq).toSet
+    // per-doc results depend only on the doc and the eval set, so the
+    // union of per-batch outputs must equal the one-shot batch result
+    val batch = graft.ext.Corpus
+      .decontaminationStatsAgainst(train.toDF("doc_id", "text"), evalDocs)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    val byDoc = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(byDoc(1L) == ((3L, 1.0)), "exact leak must be 100% contaminated")
+    assert(byDoc(2L)._1 == 1L, "partial overlap shares one shingle")
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L), "clean docs absent")
+  }
 }
