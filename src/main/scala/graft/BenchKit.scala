@@ -32,6 +32,23 @@ object BenchKit {
     if (a < 0 || b < 0) -1.0 else math.min(a, b)
   }
 
+  /** best() for an arbitrary DataFrame builder (diagnostic paths that
+    * aren't registered SparkEntry queries, e.g. a forced fallback
+    * variant) — same noop-write + GC + min-of-2 methodology.
+    */
+  def bestDf(build: () => org.apache.spark.sql.DataFrame): Double = {
+    def once: Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      try build().write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val a = once
+    val b = once
+    if (a < 0 || b < 0) -1.0 else math.min(a, b)
+  }
+
   /** Session warm-up (parquet footers, codegen, JVM) — not billed. */
   def warmUp(spark: SparkSession, sfDir: String): Unit =
     runOnce(spark, "q_domain_stats", sfDir)

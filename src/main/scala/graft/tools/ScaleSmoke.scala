@@ -63,12 +63,21 @@ object ScaleSmoke {
 
     graft.BenchKit.warmUp(spark, src)
 
-    println(f"${"query"}%-22s ${"sf0.1"}%8s ${"x" + replicas}%8s ${"ratio"}%7s")
+    println(f"${"query"}%-28s ${"sf0.1"}%8s ${"x" + replicas}%8s ${"ratio"}%7s")
     heavyQueries.foreach { q =>
       val a = graft.BenchKit.best(spark, q, src)
       val b = graft.BenchKit.best(spark, q, work)
-      println(f"$q%-22s $a%8.2f $b%8.2f ${b / a}%7.1f")
+      println(f"$q%-28s $a%8.2f $b%8.2f ${b / a}%7.1f")
     }
+    // decontamination's forced one-pass fallback (the oversized-eval
+    // path) — not a registered query, but its scaling matters just as
+    // much as the broadcast path's
+    def deconFallback(d: String) = () => graft.ext.Corpus
+      .decontaminationStatsDf(graft.Tables.documents(spark, d),
+        maxBroadcastEvalBytes = 0L)
+    val fa = graft.BenchKit.bestDf(deconFallback(src))
+    val fb = graft.BenchKit.bestDf(deconFallback(work))
+    println(f"${"q_decontamination(1pass)"}%-28s $fa%8.2f $fb%8.2f ${fb / fa}%7.1f")
     spark.stop()
   }
 

@@ -112,6 +112,12 @@ class CorpusSpec extends SparkTestBase {
       s"fallback path must not broadcast:\n$p")
     assert("Scan parquet".r.findAllIn(p).length == 1,
       s"one-pass fallback must scan the source exactly once:\n$p")
+    // and the default (bounded-eval) path must really take the
+    // broadcast-probe shape
+    val pb = Corpus.decontaminationStatsDf(docs)
+      .queryExecution.executedPlan.toString
+    assert(pb.contains("BroadcastHashJoin"),
+      s"bounded-eval path must broadcast the probe set:\n$pb")
   }
 
   test("decontamination: building the DataFrame launches zero Spark jobs") {
