@@ -156,8 +156,8 @@ object Corpus {
     * column) or shuffling the full train shingle stream, which the
     * broadcast path otherwise avoids entirely (only MATCHED pairs
     * reach its aggregation shuffle). At sf0.1 the two paths measure
-    * within noise of each other (3.7 vs 3.5 s — the data is too small
-    * for shuffle volume to matter); the broadcast path wins on I/O
+    * within noise of each other (1.25 vs 1.13 s — the data is too
+    * small for shuffle volume to matter); the broadcast path wins on I/O
     * volume at scale: re-reading the compressed text column once
     * costs ~the text's parquet footprint, while shuffling the
     * exploded hash stream costs ~24 bytes × every shingle in the
@@ -234,19 +234,20 @@ object Corpus {
   private def decontaminationStatsFlagged(flagged: DataFrame, n: Int,
                                           evalBytesEst: BigInt,
                                           maxBroadcastEvalBytes: Long): DataFrame = {
+    // distinct shingle HASHES per doc in one kernel pass — shingle
+    // strings are never materialized as columns (they'd only be hashed
+    // and discarded); see Dedup.shingleHashesUdf for the value chain
     def shingles(c: Column): Column =
-      array_distinct(Dedup.shinglesOfTokens(split(trim(c), "\\s+"), n))
+      Dedup.shingleHashes(split(trim(c), "\\s+"), n)
     val hits =
       if (evalBytesEst <= BigInt(maxBroadcastEvalBytes)) {
         val shingled = flagged
-          .select(col("doc_id"), col("is_eval"), shingles(col("text")).as("sh"))
+          .select(col("doc_id"), col("is_eval"), shingles(col("text")).as("shh"))
         val evalHashes = shingled.filter(col("is_eval"))
-          .select(explode(col("sh")).as("shingle"))
-          .select(xxhash64(col("shingle")).as("sh_hash")).distinct()
+          .select(explode(col("shh")).as("sh_hash")).distinct()
         val trainHashes = shingled.filter(!col("is_eval"))
-          .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
-            explode(col("sh")).as("shingle"))
-          .select(col("doc_id"), col("n_shingles"), xxhash64(col("shingle")).as("sh_hash"))
+          .select(col("doc_id"), size(col("shh")).cast("long").as("n_shingles"),
+            explode(col("shh")).as("sh_hash"))
         trainHashes.join(broadcast(evalHashes), "sh_hash")
           .select(col("doc_id"), col("n_shingles"))
       } else decontaminationHitsOnePass(flagged, shingles)
@@ -272,12 +273,10 @@ object Corpus {
     val spark = flagged.sparkSession
     import spark.implicits._
     flagged
-      .select(col("doc_id"), col("is_eval"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), col("is_eval"), shingles(col("text")).as("shh"))
       .select(col("doc_id"), col("is_eval"),
-        size(col("sh")).cast("long").as("n_shingles"),
-        explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), col("is_eval"), col("n_shingles"),
-        xxhash64(col("shingle")).as("sh_hash"))
+        size(col("shh")).cast("long").as("n_shingles"),
+        explode(col("shh")).as("sh_hash"))
       .repartition(col("sh_hash"))
       .sortWithinPartitions(col("sh_hash"), col("is_eval").desc)
       .as[(Long, Boolean, Long, Long)]

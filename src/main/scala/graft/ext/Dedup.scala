@@ -114,6 +114,46 @@ object Dedup {
       sigs
     }
 
+  /** DISTINCT xxhash64 values of a doc's word n-shingles, computed in
+    * one kernel pass — for consumers that only ever compare shingle
+    * HASHES (decontamination), so the shingle strings are never
+    * materialized as columns. Value chain is exactly
+    * `xxhash64(concat_ws(" ", slice(toks, i, n)))` (seed 42, the SQL
+    * expression default): same StringBuilder + XxHash64Function walk as
+    * [[minhashSigUdf]], so kernel and expression forms agree
+    * bit-for-bit. Distinctness via a primitive-keyed HashSet; count of
+    * distinct hashes equals count of distinct shingle strings modulo
+    * 64-bit collisions (the bound documented at
+    * [[graft.ext.Corpus.decontaminationStatsDf]]).
+    */
+  private[ext] def shingleHashesUdf(n: Int) =
+    udf { toks: scala.collection.Seq[String] =>
+      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      import org.apache.spark.sql.types.StringType
+      import org.apache.spark.unsafe.types.UTF8String
+      val len = toks.length
+      val m = math.max(len - (n - 1), 1)
+      val seen = new java.util.LinkedHashSet[java.lang.Long](m * 2)
+      var i = 0
+      while (i < m) {
+        val end = math.min(i + n, len)
+        val sb = new java.lang.StringBuilder
+        var j = i
+        while (j < end) { if (j > i) sb.append(' '); sb.append(toks(j)); j += 1 }
+        seen.add(XxHash64Function.hash(
+          UTF8String.fromString(sb.toString), StringType, 42L))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      out
+    }
+
+  /** Column form of [[shingleHashesUdf]] over a bound token-array column. */
+  def shingleHashes(toks: Column, n: Int): Column = shingleHashesUdf(n)(toks)
+
   /** DataFrame form (docs must have doc_id + text). Null texts are
     * dropped — the same visible behavior as the previous explode form
     * (explode of a null array emits nothing), and the kernel UDF is not
