@@ -218,6 +218,26 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(math.abs(c - 0.5) < 1e-12) // dot=1, norms sqrt(2)*sqrt(2)=2
   }
 
+  test("shingle-hash kernel is bit-identical to the expression form") {
+    // the one-pass kernel must produce exactly the distinct xxhash64
+    // values of the concat_ws shingle strings, for real corpus text
+    // (unicode, short docs below the shingle width, repeated shingles)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter($"text".isNotNull).limit(100)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+    val viaExpr = docs
+      .select($"doc_id", explode(array_distinct(
+        Dedup.shinglesOfTokens($"toks", 5))).as("shingle"))
+      .select($"doc_id", xxhash64($"shingle").as("h"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val viaKernel = docs
+      .select($"doc_id", explode(Dedup.shingleHashes($"toks", 5)).as("h"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(viaKernel == viaExpr)
+  }
+
   test("semantic dedup: planted cluster drops to its min-id representative") {
     // three identical vectors land in one cell with pairwise cosine 1;
     // the min id must survive and ONLY the two higher ids drop. The
