@@ -116,6 +116,8 @@ object SparkEntry {
     "q_semantic_dedup"    -> ((s: SparkSession, d: String) => Similarity.semanticDedupStats(s, d)),
     "q_embedding_norm_stats" -> (Similarity.embeddingNormStats _),
     // ---- corpus prep: deterministic split + sequence packing
+    "q_repetition_stats"  -> ((s: SparkSession, d: String) => TextAnalysis.repetitionStats(s, d)),
+    "q_resample_counts"   -> ((s: SparkSession, d: String) => ext.Corpus.domainResample(s, d)),
     "q_split_counts"      -> ((s: SparkSession, d: String) => ext.Corpus.splitCounts(s, d)),
     "q_pack_stats"        -> ((s: SparkSession, d: String) => ext.Corpus.packStats(s, d)),
     "q_decontamination"   -> ((s: SparkSession, d: String) => ext.Corpus.decontaminationStats(s, d))
@@ -466,6 +468,31 @@ object SparkEntry {
     // deterministic content-hash split: md5-hex buckets compared against
     // hex thresholds — engine-portable (md5 of UTF-8 text, lowercase hex,
     // codepoint string comparison in both engines)
+    // Gopher repetition signals: bigram occurrence fractions per doc;
+    // the unnest(list_transform(range ...)) enumeration mirrors the
+    // kernel's adjacent-pair walk (1-indexed inclusive list slices)
+    "q_repetition_stats" ->
+      (s"WITH t AS (SELECT doc_id, $toks AS t2 FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t2)), " +
+        "i -> t2[i] || ' ' || t2[i+1])) AS bigram FROM t), " +
+        "c AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2), " +
+        "agg AS (SELECT doc_id, SUM(cnt) AS nb, MAX(cnt) AS top_cnt, " +
+        "SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt FROM c GROUP BY 1) " +
+        "SELECT d.doc_id, CAST(COALESCE(a.nb, 0) AS BIGINT) AS n_bigrams, " +
+        "COALESCE(round(a.top_cnt / CAST(a.nb AS DOUBLE), 6), 0.0) AS top_bigram_frac, " +
+        "COALESCE(round(a.dup_cnt / CAST(a.nb AS DOUBLE), 6), 0.0) AS dup_bigram_frac, " +
+        "COALESCE(round(a.top_cnt / CAST(a.nb AS DOUBLE), 6), 0.0) <= 0.20 AS keep " +
+        "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"),
+    // domain-weighted resampling: same md5-bucket-vs-hex-threshold trick
+    // as q_split_counts, with a per-source weight from the name suffix
+    "q_resample_counts" ->
+      ("WITH d AS (SELECT source, " +
+        "(CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 4) + 1 AS w, text FROM documents) " +
+        "SELECT source, CAST(w AS DOUBLE) / 4 AS weight, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN text IS NOT NULL AND substring(md5(text),1,2) < " +
+        "(CASE w WHEN 1 THEN '40' WHEN 2 THEN '80' WHEN 3 THEN 'c0' ELSE 'zz' END) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+        "FROM d GROUP BY source, w ORDER BY source"),
     "q_split_counts" ->
       ("WITH s AS (SELECT source, CASE " +
         "WHEN substring(md5(text),1,2) < 'e6' THEN 'train' " +

@@ -101,6 +101,34 @@ object Corpus {
         round(avg(col("pack_tokens")) / budget, 4).as("mean_fill"),
         sum(col("has_overflow")).as("overflow_packs"))
 
+  /** Deterministic domain-weighted RESAMPLING (the data-mixing step a
+    * training pipeline runs to rebalance sources): each source gets a
+    * sampling weight in {0.25, 0.5, 0.75, 1.0} derived from its numeric
+    * suffix (stand-in for a caller-supplied mixture table), and a doc
+    * survives iff its md5 CONTENT-hash bucket clears the weight's hex
+    * threshold — the same engine-portable, re-crawl-stable
+    * hash-as-uniform trick as [[splitAssignments]] (first two md5 hex
+    * chars = 256 uniform buckets compared lexicographically: weight
+    * 0.25 keeps buckets < '40', 0.5 < '80', 0.75 < 'c0', 1.0 all).
+    * Content-keyed so duplicate texts sample identically; no RNG, so
+    * every re-run and every engine agrees. A narrow map + one
+    * source-sized aggregation — no corpus shuffle at any scale.
+    */
+  def domainResample(spark: SparkSession, d: String): DataFrame = {
+    val w = pmod(regexp_extract(col("source"), "(\\d+)$", 1).cast("int"), lit(4)) + 1
+    val bucket = substring(md5(col("text").cast("binary")), 1, 2)
+    val threshold = element_at(array(lit("40"), lit("80"), lit("c0"), lit("zz")), w)
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        (w.cast("double") / 4).as("weight"),
+        (col("text").isNotNull && bucket < threshold).as("kept"))
+      .groupBy(col("source"), col("weight"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept").cast("long")).as("n_kept"))
+      .select(col("source"), col("weight"), col("n_docs"), col("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** Benchmark decontamination: which training documents share exact
     * token n-grams with a held-out evaluation set (the overlap check a
     * training pipeline runs so eval scores aren't inflated by leaked

@@ -136,6 +136,72 @@ object TextAnalysis {
       .select(col("doc_id"), fingerprintUdf(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** Per-doc (n_bigrams, top_count, dup_count) over adjacent word
+    * pairs in ONE kernel pass — a local hash map per document, so the
+    * repetition signal needs no (doc, bigram) shuffle at any scale.
+    */
+  private val bigramStatsUdf =
+    udf { toks: scala.collection.Seq[String] =>
+      val n = toks.length
+      if (n < 2) (0L, 0L, 0L)
+      else {
+        val counts = new java.util.HashMap[String, Long](n * 2)
+        var i = 0
+        while (i < n - 1) {
+          val k = toks(i) + " " + toks(i + 1)
+          counts.put(k, counts.getOrDefault(k, 0L) + 1L)
+          i += 1
+        }
+        var top = 0L
+        var dup = 0L
+        val it = counts.values().iterator()
+        while (it.hasNext) {
+          val c: Long = it.next()
+          if (c > top) top = c
+          if (c > 1) dup += c
+        }
+        (n - 1L, top, dup)
+      }
+    }
+
+  /** Gopher-style REPETITION signals (Rae et al. 2021, app. A1.1): the
+    * fraction of bigram occurrences taken by the single most frequent
+    * bigram (`top_bigram_frac`, Gopher drops above 0.20) and the
+    * fraction belonging to any repeated bigram (`dup_bigram_frac`) —
+    * the within-document repetition axis that [[qualityFilters]]'s
+    * distinct-token ratio only proxies. Degenerate docs (< 2 tokens,
+    * incl. null/empty text) define both fractions as 0 and keep.
+    *
+    * Scale shape: the bigram counting is a per-doc kernel (narrow map
+    * over the scan — repetition is a LOCAL property, so the usual
+    * explode + groupBy(doc, bigram) shuffle is pure waste); the only
+    * plan cost above the scan is the presentation sort.
+    */
+  def repetitionStats(spark: SparkSession, d: String,
+                      maxTopBigramFrac: Double = 0.20): DataFrame =
+    repetitionStatsDf(Tables.documents(spark, d), maxTopBigramFrac)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def repetitionStatsDf(docs: DataFrame,
+                        maxTopBigramFrac: Double = 0.20): DataFrame = {
+    val stats = Tables.fanOut(docs)
+      .select(col("doc_id"),
+        bigramStatsUdf(coalesce(tokens(col("text")),
+          array().cast("array<string>"))).as("bs"))
+      .select(col("doc_id"), col("bs._1").as("n_bigrams"),
+        col("bs._2").as("top_cnt"), col("bs._3").as("dup_cnt"))
+    stats.select(
+      col("doc_id"), col("n_bigrams"),
+      when(col("n_bigrams") === 0, lit(0.0))
+        .otherwise(round(col("top_cnt").cast("double") / col("n_bigrams"), 6))
+        .as("top_bigram_frac"),
+      when(col("n_bigrams") === 0, lit(0.0))
+        .otherwise(round(col("dup_cnt").cast("double") / col("n_bigrams"), 6))
+        .as("dup_bigram_frac"))
+      .withColumn("keep", col("top_bigram_frac") <= maxTopBigramFrac)
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher/C4-style quality FILTER RULES — the decision layer on top of
     * the raw quality features: per-document boolean flags plus the final
     * keep verdict, all single-pass codegen'd expressions (zero shuffle;

@@ -70,6 +70,41 @@ class CorpusSpec extends SparkTestBase {
     assert(stats.getAs[Long]("docs_packed") == packs.count())
   }
 
+  test("repetition stats: hand-computed fractions, degenerate docs, keep rule") {
+    val docs = Seq(
+      (1L, "a b a b a b"),            // bigrams: "a b"x3, "b a"x2 -> top 3/5, dup 5/5
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 9 distinct bigrams -> top 1/9, dup 0
+      (3L, "solo"),                   // < 2 tokens -> zeros, keep
+      (4L, ""),                       // empty -> zeros, keep
+      (5L, null.asInstanceOf[String]) // null -> zeros, keep
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStatsDf(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((5L, 0.6, 1.0, false)))
+    assert(out(2L) == ((9L, 0.111111, 0.0, true)))
+    Seq(3L, 4L, 5L).foreach(id => assert(out(id) == ((0L, 0.0, 0.0, true))))
+  }
+
+  test("domain resampling: weight-1 sources keep all docs; bounds; determinism") {
+    val out = Corpus.domainResample(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (src, w, n, kept) =
+        (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))
+      assert(Set(0.25, 0.5, 0.75, 1.0).contains(w), s"$src weight $w")
+      assert(kept >= 0 && kept <= n, s"$src kept $kept of $n")
+      // suffix % 4 == 3 -> weight 1.0 -> every doc survives
+      val suffix = src.replaceAll("\\D", "").toInt
+      assert(w == (suffix % 4 + 1) / 4.0, s"$src wrong weight $w")
+      if (w == 1.0) assert(kept == n, s"weight-1.0 source $src dropped docs")
+      if (w < 1.0) assert(kept < n, s"weight-$w source $src kept everything " +
+        "(threshold not applied?)")
+    }
+    val again = Corpus.domainResample(spark, sfDir).collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("decontamination: eval docs never reported, ratios in (0,1], leak detected") {
     val rows = Corpus.decontaminationStats(spark, sfDir).collect()
     rows.foreach { r =>
