@@ -267,13 +267,17 @@ object Corpus {
     // and discarded); see Dedup.shingleHashesUdf for the value chain
     def shingles(c: Column): Column =
       Dedup.shingleHashes(split(trim(c), "\\s+"), n)
+    // branch filters sit BELOW the kernel projection (each side shingles
+    // only its own slice): the kernel UDF is nondeterministic-marked, so
+    // a filter above it would NOT push down and the eval branch would
+    // shingle the whole corpus
     val hits =
       if (evalBytesEst <= BigInt(maxBroadcastEvalBytes)) {
-        val shingled = flagged
-          .select(col("doc_id"), col("is_eval"), shingles(col("text")).as("shh"))
-        val evalHashes = shingled.filter(col("is_eval"))
+        val evalHashes = flagged.filter(col("is_eval"))
+          .select(shingles(col("text")).as("shh"))
           .select(explode(col("shh")).as("sh_hash")).distinct()
-        val trainHashes = shingled.filter(!col("is_eval"))
+        val trainHashes = flagged.filter(!col("is_eval"))
+          .select(col("doc_id"), shingles(col("text")).as("shh"))
           .select(col("doc_id"), size(col("shh")).cast("long").as("n_shingles"),
             explode(col("shh")).as("sh_hash"))
         trainHashes.join(broadcast(evalHashes), "sh_hash")

@@ -149,7 +149,16 @@ object Dedup {
       var k = 0
       while (it.hasNext) { out(k) = it.next(); k += 1 }
       out
-    }
+    }.asNondeterministic()
+  // ^ the function IS pure — the marker exists because consumers explode
+  // this array, and InferFiltersFromGenerate + filter pushdown would
+  // otherwise INLINE the kernel into the scan-stage Filter (observed:
+  // size(UDF(...)) > 0 AND isnotnull(UDF(...)) at the FileScan), making
+  // the most expensive expression in the query run 2-3x per row. Marking
+  // it nondeterministic pins the kernel to its own projection, evaluated
+  // exactly once; callers must therefore apply their row FILTERS BELOW
+  // the kernel projection themselves (pushdown through a
+  // nondeterministic projection is blocked by design).
 
   /** Column form of [[shingleHashesUdf]] over a bound token-array column. */
   def shingleHashes(toks: Column, n: Int): Column = shingleHashesUdf(n)(toks)

@@ -104,4 +104,28 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoopJoin"),
       s"EXISTS must join on the equi-key:\n$p4")
   }
+
+  test("exchange-count pins for round-6 additions (repetition / resample / decontamination)") {
+    // repetition is a per-doc kernel: the ONLY keyed exchange allowed is
+    // the presentation sort — a (doc, bigram) groupBy sneaking in would
+    // add more. Resampling is a narrow map + one source-sized agg pair
+    // + result sort. Decontamination (broadcast path) keys the
+    // EVAL-slice-sized distinct below its BroadcastExchange, the
+    // per-doc hit aggregation, and the result sort — three, none
+    // corpus-shingle-sized; the probe side staying a broadcast is
+    // asserted separately in CorpusSpec.
+    assert(shuffleExchanges("q_repetition_stats") <= 1,
+      s"repetition plan grew a shuffle:\n${plan("q_repetition_stats")}")
+    assert(shuffleExchanges("q_resample_counts") <= 2,
+      s"resample plan grew a shuffle:\n${plan("q_resample_counts")}")
+    assert(shuffleExchanges("q_decontamination") <= 3,
+      s"decontamination plan grew a shuffle:\n${plan("q_decontamination")}")
+    // and the kernel UDF must appear exactly ONCE per branch in the
+    // decontamination plan — InferFiltersFromGenerate once inlined it
+    // into the scan Filter, tripling the hot kernel (2 branches -> 2)
+    val pd = plan("q_decontamination")
+    val kernelEvals = "UDF\\(split".r.findAllIn(pd).length
+    assert(kernelEvals <= 2,
+      s"shingle kernel duplicated ($kernelEvals evals for 2 branches):\n$pd")
+  }
 }
