@@ -203,6 +203,18 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
     val docs = minhashSignaturesDf(docsIn, numHashes)
+    // Self-join sides and the signature kernel: at fixture scale the
+    // planner broadcasts one side, so the kernel runs once per side
+    // over small data (cheaper than any shuffle). At 100-TB scale the
+    // join becomes sort-merge and BOTH sides need canonically identical
+    // hash exchanges on (band, band_hash) — AQE's stage cache then
+    // materializes the scan + kernel + banding ONCE and the second side
+    // reads the same shuffle (ReusedExchange; asserted in the
+    // broadcast-disabled at-scale plan test). Forcing a repartition
+    // here to get reuse locally was measured STRICTLY worse (0.76 →
+    // 1.32 s at sf0.1): it pays an 8-rows-per-doc signature shuffle
+    // where broadcast pays none, and buys nothing at scale that AQE
+    // doesn't already provide.
     val banded = docs.select(
       col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band")

@@ -218,6 +218,30 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(math.abs(c - 0.5) < 1e-12) // dot=1, norms sqrt(2)*sqrt(2)=2
   }
 
+  test("minhash self-join reuses one exchange when broadcast is off (the at-scale plan)") {
+    // at 100 TB neither side broadcasts: the band-bucket self-join needs
+    // identical hash exchanges on both sides, and AQE's stage cache must
+    // materialize the scan + signature kernel ONCE (ReusedExchange).
+    // Guards canonicalization-breaking refactors (e.g. a filter added to
+    // one side only) that would silently double the heaviest stage.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val akey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    val aprev = spark.conf.getOption(akey)
+    spark.conf.set(key, "-1")
+    spark.conf.set(akey, "-1")
+    try {
+      val df = Dedup.minhashCandidatePairsDf(graft.Tables.documents(spark, sfDir))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"self-join sides must share one materialized exchange:\n$p")
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      aprev.fold(spark.conf.unset(akey))(spark.conf.set(akey, _))
+    }
+  }
+
   test("shingle-hash kernel is bit-identical to the expression form") {
     // the one-pass kernel must produce exactly the distinct xxhash64
     // values of the concat_ws shingle strings, for real corpus text
