@@ -27,6 +27,7 @@ object ScaleSmoke {
     "q_tfidf_top_terms", "q_minhash_pairs", "q_simhash_near_dups",
     "q_neardup_clusters", "q_session_stats", "q_hot_terms_exact",
     "q_pii_redaction", "q_split_counts", "q_pack_stats",
+    "q_repetition_stats", "q_resample_counts",
     "q_decontamination", "q_semantic_dedup",
     "q_ngram_jaccard" /* bounded kernel: must stay FLAT, not 10× */)
 
