@@ -218,12 +218,15 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(math.abs(c - 0.5) < 1e-12) // dot=1, norms sqrt(2)*sqrt(2)=2
   }
 
-  test("minhash self-join reuses one exchange when broadcast is off (the at-scale plan)") {
-    // at 100 TB neither side broadcasts: the band-bucket self-join needs
-    // identical hash exchanges on both sides, and AQE's stage cache must
-    // materialize the scan + signature kernel ONCE (ReusedExchange).
-    // Guards canonicalization-breaking refactors (e.g. a filter added to
-    // one side only) that would silently double the heaviest stage.
+  test("self-join operators reuse one exchange when broadcast is off (the at-scale plan)") {
+    // at 100 TB neither side broadcasts: each self-join (band buckets,
+    // simhash pigeonholes, semantic-dedup cells) needs identical hash
+    // exchanges on both sides, and AQE's stage cache must materialize
+    // the scan + kernel ONCE (ReusedExchange). Guards canonicalization-
+    // breaking refactors (e.g. a filter added to one side only) that
+    // would silently double the heaviest stage. q_embedding_near_dups
+    // is deliberately absent: it is the BOUNDED verification kernel
+    // (explicit broadcast hint + id cap), not a scale path.
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val akey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
     val prev = spark.conf.getOption(key)
@@ -231,11 +234,13 @@ class DedupSimilaritySpec extends SparkTestBase {
     spark.conf.set(key, "-1")
     spark.conf.set(akey, "-1")
     try {
-      val df = Dedup.minhashCandidatePairsDf(graft.Tables.documents(spark, sfDir))
-      df.collect()
-      val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("ReusedExchange"),
-        s"self-join sides must share one materialized exchange:\n$p")
+      Seq("q_minhash_pairs", "q_simhash_near_dups", "q_semantic_dedup").foreach { q =>
+        val df = graft.SparkEntry.queries(q)(spark, sfDir)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("ReusedExchange"),
+          s"$q: self-join sides must share one materialized exchange:\n$p")
+      }
     } finally {
       prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
       aprev.fold(spark.conf.unset(akey))(spark.conf.set(akey, _))
