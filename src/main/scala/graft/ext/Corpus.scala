@@ -238,10 +238,12 @@ object Corpus {
     */
   def decontaminationSink(trainStream: DataFrame, evalDocs: DataFrame,
                           outPath: String, checkpoint: String, n: Int = 5,
-                          maxBroadcastEvalBytes: Long = 256L << 20)
+                          maxBroadcastEvalBytes: Long = 256L << 20,
+                          triggerMs: Long = 10000L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     trainStream.writeStream
       .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {

@@ -226,7 +226,8 @@ class StreamingSpec extends SparkTestBase {
     val out = Files.createTempDirectory("decon_out").toString
     val ckpt = Files.createTempDirectory("decon_ckpt").toString
     val query = graft.ext.Corpus.decontaminationSink(
-      input.toDF().toDF("doc_id", "text"), evalDocs, out, ckpt).start()
+      input.toDF().toDF("doc_id", "text"), evalDocs, out, ckpt,
+      triggerMs = 50L).start()
     try {
       input.addData(train(0), train(1))
       query.processAllAvailable()
