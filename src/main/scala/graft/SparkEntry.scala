@@ -120,7 +120,14 @@ object SparkEntry {
     "q_resample_counts"   -> ((s: SparkSession, d: String) => ext.Corpus.domainResample(s, d)),
     "q_split_counts"      -> ((s: SparkSession, d: String) => ext.Corpus.splitCounts(s, d)),
     "q_pack_stats"        -> ((s: SparkSession, d: String) => ext.Corpus.packStats(s, d)),
-    "q_decontamination"   -> ((s: SparkSession, d: String) => ext.Corpus.decontaminationStats(s, d))
+    "q_decontamination"   -> ((s: SparkSession, d: String) => ext.Corpus.decontaminationStats(s, d)),
+    // bloom-prefiltered variants: identical results to their exact
+    // counterparts by construction (no false negatives; FPs killed by
+    // the exact join) — so they share the exact queries' oracles
+    "q_bloom_decontamination" -> ((s: SparkSession, d: String) => ext.Corpus.decontaminationStatsBloom(s, d)),
+    "q_bloom_semi_join"   -> (RelationalQueries.bloomSemiJoinParts _),
+    "q_mixture_plan"      -> ((s: SparkSession, d: String) => ext.Corpus.mixturePlan(s, d)),
+    "q_model_quality_filter" -> ((s: SparkSession, d: String) => TextAnalysis.modelQualityFilter(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -143,6 +150,20 @@ object SparkEntry {
       "COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS unspecified, " +
       "COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low " +
       "FROM orders GROUP BY o_orderstatus"
+  // shared by q_decontamination and q_bloom_decontamination (identical
+  // results by construction — only the execution shape differs)
+  private val deconSql =
+    s"WITH docs AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
+      "sh AS (SELECT doc_id, list_distinct(list_transform(" +
+      "range(1, greatest(len(t)-4, 1)+1), i -> array_to_string(t[i:i+4], ' '))) AS s FROM docs), " +
+      "ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 20 = 7), " +
+      "tr AS (SELECT doc_id, len(s) AS n_shingles, unnest(s) AS shingle FROM sh WHERE doc_id % 20 != 7) " +
+      "SELECT tr.doc_id, CAST(tr.n_shingles AS BIGINT) AS n_shingles, " +
+      "COUNT(*) AS n_contaminated, " +
+      "round(COUNT(*) / CAST(tr.n_shingles AS DOUBLE), 6) AS contamination " +
+      "FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id, tr.n_shingles " +
+      "ORDER BY tr.doc_id"
+
   private def dsumDiscSql(p: String, r: String) =
     s"CAST(round(SUM(CAST($p AS DECIMAL(12,4)) * (1 - CAST($r AS DECIMAL(8,4)))), 2) AS DOUBLE)"
   private def dsumChargeSql(p: String, r: String, t: String) =
@@ -505,17 +526,45 @@ object SparkEntry {
     // range mirrors Dedup.shinglesOfTokens exactly: greatest(len-4, 1)
     // start positions (short docs yield one clamped whole-doc shingle),
     // inclusive 5-element slices
-    "q_decontamination" ->
-      (s"WITH docs AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
-        "sh AS (SELECT doc_id, list_distinct(list_transform(" +
-        "range(1, greatest(len(t)-4, 1)+1), i -> array_to_string(t[i:i+4], ' '))) AS s FROM docs), " +
-        "ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 20 = 7), " +
-        "tr AS (SELECT doc_id, len(s) AS n_shingles, unnest(s) AS shingle FROM sh WHERE doc_id % 20 != 7) " +
-        "SELECT tr.doc_id, CAST(tr.n_shingles AS BIGINT) AS n_shingles, " +
-        "COUNT(*) AS n_contaminated, " +
-        "round(COUNT(*) / CAST(tr.n_shingles AS DOUBLE), 6) AS contamination " +
-        "FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id, tr.n_shingles " +
-        "ORDER BY tr.doc_id"),
+    "q_decontamination" -> deconSql,
+    // the bloom-prefiltered path computes the SAME answer by contract
+    // (sketches admit no false negatives; the exact join kills false
+    // positives), so it is held to the same oracle
+    "q_bloom_decontamination" -> deconSql,
+    "q_bloom_semi_join" ->
+      ("SELECT p_partkey, p_name FROM part WHERE EXISTS " +
+        "(SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 49) " +
+        "ORDER BY p_partkey"),
+    // mixture plan: weight fragment mirrors q_resample_counts; token
+    // counts mirror the whitespace tokenizer; target/rate arithmetic is
+    // term-for-term the Spark expression (round-0 then round-6)
+    "q_mixture_plan" ->
+      ("WITH s AS (SELECT source, " +
+        "CAST((CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 4) + 1 AS DOUBLE) / 4 AS weight, " +
+        s"coalesce(len($toks), 0) AS n_toks FROM documents), " +
+        "p AS (SELECT source, weight, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM s GROUP BY source, weight), " +
+        "t AS (SELECT SUM(weight) AS tw FROM p) " +
+        "SELECT source, weight, n_docs, n_tokens, " +
+        "CAST(round(500000.0 * weight / tw) AS BIGINT) AS target_tokens, " +
+        "round(least(1.0, CAST(CAST(round(500000.0 * weight / tw) AS BIGINT) AS DOUBLE) " +
+        "/ CAST(n_tokens AS DOUBLE)), 6) AS sample_rate " +
+        "FROM p CROSS JOIN t ORDER BY source"),
+    // logistic quality model: feature fragments mirror q_quality_scores;
+    // z's term order matches TextAnalysis.modelQualityFilter exactly
+    // (IEEE doubles are order-sensitive), score rounded to 6 dp
+    "q_model_quality_filter" ->
+      (s"WITH f AS (SELECT doc_id, " +
+        s"CAST(len(list_filter($toks, t -> t IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) " +
+        s"/ len($toks) AS stop_r, " +
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_r, " +
+        s"CAST(len($toks) AS DOUBLE) AS n_tok, " +
+        s"CAST(length(text) AS DOUBLE) / len($toks) AS avg_len FROM documents) " +
+        "SELECT doc_id, round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * stop_r - 8.0 * punct_r " +
+        "+ 0.9 * ln(n_tok + 1.0) - 0.35 * avg_len))), 6) AS quality_score, " +
+        "CAST(round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * stop_r - 8.0 * punct_r " +
+        "+ 0.9 * ln(n_tok + 1.0) - 0.35 * avg_len))), 6) >= 0.5 AS INT) AS kept " +
+        "FROM f ORDER BY doc_id"),
     // exact heavy hitters: terms with count > n_source_tokens/50 — the
     // MG survivor superset collapses to this under the exact-threshold
     // filter, so a plain exact computation is the correct oracle

@@ -150,6 +150,24 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_active_customers"))
       .orderBy(col("c_nationkey"))
 
+  /** Bloom-prefiltered semi-join ([[graft.functions.BloomPrefilter]]):
+    * parts with at least one max-quantity line item. The RESULT is
+    * identical to a plain left-semi join (the sketch admits no false
+    * negatives and the exact join kills its false positives — asserted
+    * against the plain join in RelationalSpec); the PLAN probes a
+    * fixed-size Bloom sketch inside codegen before any exchange, so at
+    * scale the semi-join's shuffle carries only sketch survivors
+    * instead of the full probe table. The relational face of the same
+    * operator the decontamination pipeline uses on shingle hashes.
+    */
+  def bloomSemiJoinParts(spark: SparkSession, d: String): DataFrame =
+    graft.functions.BloomPrefilter.bloomSemiJoin(
+      Tables.part(spark, d),
+      Tables.lineitem(spark, d).filter(col("l_quantity") > 49),
+      "p_partkey", "l_partkey")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+
   /** Left-anti join: customers with no URGENT orders, per nation. (The
     * generated data is dense — every customer has some order — so the
     * unrestricted form matched the oracle only on 0 = 0 rows, which

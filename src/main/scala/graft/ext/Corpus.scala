@@ -129,6 +129,45 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** Mixture PLANNING (the step before [[domainResample]]'s execution):
+    * given per-source mixture weights (the same derived weight table as
+    * [[domainResample]] — a stand-in for a caller-supplied mixture
+    * config) and a global token budget, compute each source's token
+    * allocation and the document sampling rate that hits it. This is
+    * the arithmetic a training pipeline runs to turn "mix sources
+    * 1:2:3:4" plus "train on N tokens" into concrete per-source rates.
+    *
+    * Scale shape: one corpus-sized aggregation keyed by source (narrow
+    * token-count map feeding a map-side-combined groupBy), then the
+    * weight normalization runs over the few SOURCE-level rows (an empty-
+    * frame window over source counts, not documents). No corpus-sized
+    * second pass at any scale.
+    */
+  def mixturePlan(spark: SparkSession, d: String,
+                  budgetTokens: Long = 500000L): DataFrame = {
+    val w = (pmod(regexp_extract(col("source"), "(\\d+)$", 1).cast("int"),
+      lit(4)) + 1).cast("double") / 4
+    val perSource = Tables.documents(spark, d)
+      .select(col("source"), w.as("weight"),
+        coalesce(size(graft.ext.TextAnalysis.tokens(col("text"))), lit(0))
+          .cast("long").as("n_toks"))
+      .groupBy(col("source"), col("weight"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val totalWeight =
+      sum(col("weight")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy())
+    perSource
+      .withColumn("target_tokens",
+        round(lit(budgetTokens.toDouble) * col("weight") / totalWeight)
+          .cast("long"))
+      .withColumn("sample_rate",
+        round(least(lit(1.0),
+          col("target_tokens").cast("double") / col("n_tokens").cast("double")), 6))
+      .select(col("source"), col("weight"), col("n_docs"), col("n_tokens"),
+        col("target_tokens"), col("sample_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Benchmark decontamination: which training documents share exact
     * token n-grams with a held-out evaluation set (the overlap check a
     * training pipeline runs so eval scores aren't inflated by leaked
@@ -253,6 +292,25 @@ object Corpus {
         }
       }
 
+  /** Distinct shingle HASHES per doc in one kernel pass — shingle
+    * strings are never materialized as columns (they'd only be hashed
+    * and discarded); see Dedup.shingleHashesUdf for the value chain.
+    */
+  private def shingleHashCol(c: Column, n: Int): Column =
+    Dedup.shingleHashes(split(trim(c), "\\s+"), n)
+
+  /** Shared tail: contaminated (doc_id, n_shingles) hit pairs → the
+    * per-doc contamination report all three execution paths emit.
+    */
+  private def contaminationRollup(hits: DataFrame): DataFrame =
+    hits
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+      .orderBy(col("doc_id"))
+
   /** Shared core over a (doc_id, text, is_eval) frame. Broadcast path
     * when the eval estimate fits the bound, one-pass fused path
     * otherwise (see [[decontaminationStatsDf]]'s scaladoc for the
@@ -264,11 +322,7 @@ object Corpus {
   private def decontaminationStatsFlagged(flagged: DataFrame, n: Int,
                                           evalBytesEst: BigInt,
                                           maxBroadcastEvalBytes: Long): DataFrame = {
-    // distinct shingle HASHES per doc in one kernel pass — shingle
-    // strings are never materialized as columns (they'd only be hashed
-    // and discarded); see Dedup.shingleHashesUdf for the value chain
-    def shingles(c: Column): Column =
-      Dedup.shingleHashes(split(trim(c), "\\s+"), n)
+    def shingles(c: Column): Column = shingleHashCol(c, n)
     // branch filters sit BELOW the kernel projection (each side shingles
     // only its own slice): the kernel UDF is nondeterministic-marked, so
     // a filter above it would NOT push down and the eval branch would
@@ -285,13 +339,66 @@ object Corpus {
         trainHashes.join(broadcast(evalHashes), "sh_hash")
           .select(col("doc_id"), col("n_shingles"))
       } else decontaminationHitsOnePass(flagged, shingles)
-    hits
-      .groupBy(col("doc_id"), col("n_shingles"))
-      .agg(count(lit(1)).as("n_contaminated"))
-      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
-        round(col("n_contaminated").cast("double") / col("n_shingles"), 6)
-          .as("contamination"))
-      .orderBy(col("doc_id"))
+    contaminationRollup(hits)
+  }
+
+  /** Bloom-prefiltered decontamination — the THIRD execution shape,
+    * for the regime where BOTH existing paths hurt: the eval set is too
+    * large to broadcast (so the guarded broadcast path is off the
+    * table) and the training corpus is so large that the one-pass
+    * fallback's corpus-sized shingle shuffle (~24 bytes × every shingle
+    * in 100 TB of text) dominates the job.
+    *
+    * Shape: a Bloom filter over the eval side's shingle hashes is built
+    * DISTRIBUTED in a scalar subquery (fixed `numBits` payload — 4 MiB
+    * at the default — no matter how many eval shingles); the training
+    * shingle stream is filtered by `might_contain` inside whole-stage
+    * codegen BEFORE any exchange, and only survivors (true hits + the
+    * sketch's ~0.4 % false positives) reach the exact hash join that
+    * kills the false positives. The exact join's exchange therefore
+    * carries survivors + the eval hash set instead of the whole corpus.
+    * No false negatives exist, so the result is IDENTICAL to the other
+    * two paths (asserted in CorpusSpec, including under a deliberately
+    * undersized sketch where most probes are false positives).
+    *
+    * Building this DataFrame launches zero Spark jobs (the sketch lives
+    * in the plan as a subquery, not a pre-collected literal).
+    */
+  def decontaminationStatsBloom(spark: SparkSession, d: String, n: Int = 5,
+                                evalMod: Int = 20, evalRes: Int = 7,
+                                expectedShingles: Long = 4L << 20,
+                                numBits: Long = 1L << 25): DataFrame =
+    decontaminationStatsBloomDf(Tables.documents(spark, d), n, evalMod, evalRes,
+      expectedShingles, numBits)
+
+  /** DataFrame form (docs must have doc_id + text) — same builder-
+    * laziness contract as [[decontaminationStatsDf]].
+    */
+  def decontaminationStatsBloomDf(docs: DataFrame, n: Int = 5,
+                                  evalMod: Int = 20, evalRes: Int = 7,
+                                  expectedShingles: Long = 4L << 20,
+                                  numBits: Long = 1L << 25): DataFrame = {
+    val isEval = col("doc_id") % evalMod === evalRes
+    val flagged = Tables.fanOut(docs)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), isEval.as("is_eval"))
+    // eval shingle hashes, once for the sketch and once (distinct) for
+    // the exact recheck — two scans of the SMALL side, mirroring the
+    // broadcast path's documented two-scan trade
+    def evalHashes = flagged.filter(col("is_eval"))
+      .select(shingleHashCol(col("text"), n).as("shh"))
+      .select(explode(col("shh")).as("sh_hash"))
+    val bloom = graft.functions.BloomPrefilter.bloomOf(
+      evalHashes, col("sh_hash"), expectedShingles, numBits)
+    val trainHashes = flagged.filter(!col("is_eval"))
+      .select(col("doc_id"), shingleHashCol(col("text"), n).as("shh"))
+      .select(col("doc_id"), size(col("shh")).cast("long").as("n_shingles"),
+        explode(col("shh")).as("sh_hash"))
+    val survivors = trainHashes.filter(
+      graft.functions.BloomPrefilter.mightContain(bloom, col("sh_hash")))
+    contaminationRollup(
+      survivors.join(evalHashes.distinct(), "sh_hash")
+        .select(col("doc_id"), col("n_shingles")))
   }
 
   /** Single-pass contaminated (doc_id, n_shingles) pairs for the

@@ -58,6 +58,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** MODEL-based quality filtering: a logistic-regression scorer over the
+    * [[qualityScores]] features — the "classifier filter" stage of a
+    * training-data pipeline (fastText-style quality models reduce to
+    * exactly this at inference: a linear combination of document
+    * features through a sigmoid, thresholded). The coefficients here are
+    * fixed literals standing in for a trained model's weights, which
+    * keeps the operator engine-portable (full DuckDB oracle) while the
+    * plan — the part that matters at scale — is the production shape: a
+    * narrow per-document map, no shuffle, codegen'd arithmetic over
+    * features computed in the same projection.
+    *
+    * Feature order and arithmetic associativity are pinned to match the
+    * oracle term-for-term (IEEE doubles are order-sensitive); the score
+    * rounds to 6 dp on both sides, the same slack every float-emitting
+    * oracle query here uses.
+    */
+  def modelQualityFilter(spark: SparkSession, d: String,
+                         threshold: Double = 0.5): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val stopR = stopwordCount(col("text")).cast("double") / nTok
+    val punctR = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"),
+      lit(0))).cast("double") / length(col("text"))
+    val avgLen = length(col("text")).cast("double") / nTok
+    val z = lit(-1.5) + lit(3.2) * stopR - lit(8.0) * punctR +
+      lit(0.9) * log(nTok + lit(1.0)) - lit(0.35) * avgLen
+    val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    Tables.fanOut(Tables.documents(spark, d))
+      .select(col("doc_id"), score.as("quality_score"))
+      .withColumn("kept", (col("quality_score") >= threshold).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID by stopword-profile voting: count hits of per-language
     * marker words; argmax wins (n-gram-free heuristic that is exactly
     * expressible in SQL for the oracle). Ties break by language code.
