@@ -126,6 +126,7 @@ object SparkEntry {
     // the exact join) — so they share the exact queries' oracles
     "q_bloom_decontamination" -> ((s: SparkSession, d: String) => ext.Corpus.decontaminationStatsBloom(s, d)),
     "q_bloom_semi_join"   -> (RelationalQueries.bloomSemiJoinParts _),
+    "q_bloom_anti_join"   -> (RelationalQueries.bloomAntiJoinParts _),
     "q_mixture_plan"      -> ((s: SparkSession, d: String) => ext.Corpus.mixturePlan(s, d)),
     "q_model_quality_filter" -> ((s: SparkSession, d: String) => TextAnalysis.modelQualityFilter(s, d))
   )
@@ -533,6 +534,10 @@ object SparkEntry {
     "q_bloom_decontamination" -> deconSql,
     "q_bloom_semi_join" ->
       ("SELECT p_partkey, p_name FROM part WHERE EXISTS " +
+        "(SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 49) " +
+        "ORDER BY p_partkey"),
+    "q_bloom_anti_join" ->
+      ("SELECT p_partkey, p_name FROM part WHERE NOT EXISTS " +
         "(SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 49) " +
         "ORDER BY p_partkey"),
     // mixture plan: weight fragment mirrors q_resample_counts; token

@@ -168,6 +168,21 @@ object RelationalQueries {
       .select(col("p_partkey"), col("p_name"))
       .orderBy(col("p_partkey"))
 
+  /** Bloom-prefiltered anti-join: parts with NO max-quantity line item —
+    * the exact complement of [[bloomSemiJoinParts]], via
+    * [[graft.functions.BloomPrefilter.bloomAntiJoin]]. Probes the sketch
+    * rejects are definitely-absent and skip the join; only survivors
+    * reach the exact anti-join. Result identical to a plain left-anti
+    * join (asserted in BloomPrefilterSpec).
+    */
+  def bloomAntiJoinParts(spark: SparkSession, d: String): DataFrame =
+    graft.functions.BloomPrefilter.bloomAntiJoin(
+      Tables.part(spark, d),
+      Tables.lineitem(spark, d).filter(col("l_quantity") > 49),
+      "p_partkey", "l_partkey")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+
   /** Left-anti join: customers with no URGENT orders, per nation. (The
     * generated data is dense — every customer has some order — so the
     * unrestricted form matched the oracle only on 0 = 0 rows, which

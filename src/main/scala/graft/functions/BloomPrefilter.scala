@@ -86,4 +86,28 @@ object BloomPrefilter {
     left.filter(mightContain(bloom, xxhash64(col(leftKey))))
       .join(rightKeys, col(leftKey) === col(rightKey), "left_semi")
   }
+
+  /** Exact anti-join with a Bloom prefilter: rows of `left` whose
+    * `leftKey` does NOT appear in `right`'s `rightKey` — identical
+    * results to `left.join(right, cond, "left_anti")`. The sketch's
+    * no-false-negative guarantee works the other way here: a probe the
+    * filter REJECTS is definitely absent from `right`, so it bypasses
+    * the join entirely; only `might_contain` survivors (true members +
+    * false positives) need the exact anti-join to decide. This is the
+    * incremental-dedup / corpus-cleaning shape — "drop the new batch's
+    * rows already present in a corpus too large to broadcast" — where
+    * the clean majority of a 100 TB stream never touches an exchange.
+    */
+  def bloomAntiJoin(left: DataFrame, right: DataFrame,
+                    leftKey: String, rightKey: String,
+                    expectedItems: Long = 4L << 20,
+                    numBits: Long = 1L << 25): DataFrame = {
+    val rightKeys = right.select(col(rightKey))
+    val bloom = bloomOf(rightKeys, xxhash64(col(rightKey)), expectedItems, numBits)
+    val maybeMember = mightContain(bloom, xxhash64(col(leftKey)))
+    left.filter(!maybeMember)
+      .unionByName(
+        left.filter(maybeMember)
+          .join(rightKeys, col(leftKey) === col(rightKey), "left_anti"))
+  }
 }

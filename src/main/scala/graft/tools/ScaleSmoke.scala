@@ -29,6 +29,7 @@ object ScaleSmoke {
     "q_pii_redaction", "q_split_counts", "q_pack_stats",
     "q_repetition_stats", "q_resample_counts",
     "q_decontamination", "q_semantic_dedup",
+    "q_bloom_decontamination", "q_bloom_semi_join",
     "q_ngram_jaccard" /* bounded kernel: must stay FLAT, not 10× */)
 
   def main(args: Array[String]): Unit = {

@@ -4,6 +4,9 @@ import graft.SparkTestBase
 import graft.analytics.RelationalQueries
 import graft.ext.Corpus
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.execution.FilterExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
 /** The Bloom-prefilter contract: results are IDENTICAL to the exact
   * operator (no false negatives; false positives die in the exact join),
@@ -23,6 +26,58 @@ class BloomPrefilterSpec extends SparkTestBase {
       .orderBy(col("p_partkey")).collect().toSeq
     assert(viaBloom == plain, "bloom prefilter must not change semi-join results")
     assert(viaBloom.nonEmpty, "fixture must produce matching parts")
+  }
+
+  test("bloomAntiJoin matches the plain left-anti join exactly, even with a starved sketch") {
+    val part = graft.Tables.part(spark, sfDir)
+    val li = graft.Tables.lineitem(spark, sfDir).filter(col("l_quantity") > 49)
+    val plain = part
+      .join(li, col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey")).collect().toSeq
+    val viaBloom = RelationalQueries.bloomAntiJoinParts(spark, sfDir).collect().toSeq
+    assert(viaBloom == plain, "bloom prefilter must not change anti-join results")
+    assert(viaBloom.nonEmpty, "fixture must produce non-matching parts")
+    // a starved sketch sends (nearly) everything down the exact branch —
+    // results must be unchanged, only the bypass fraction shrinks
+    val starved = BloomPrefilter.bloomAntiJoin(part, li,
+      "p_partkey", "l_partkey", expectedItems = 2L, numBits = 64L)
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey")).collect().toSeq
+    assert(starved == plain,
+      "anti-join results must be sketch-size-independent")
+  }
+
+  test("the sketch probe runs BELOW the join exchanges (pre-shuffle filter)") {
+    // the whole point of the prefilter: might_contain must sit on the
+    // scan side of every exchange, so at scale only survivors shuffle.
+    // Disable broadcast so the exact join physically shuffles (the
+    // at-scale shape; locally AQE would broadcast the tiny build side).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = RelationalQueries.bloomSemiJoinParts(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      // plain collect() stops at AQE stage boundaries — walk through them
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a +: allNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: allNodes(q.plan)
+        case _ => p +: p.children.flatMap(allNodes)
+      }
+      val probeFilters = allNodes(plan).collect {
+        case f: FilterExec
+            if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+      }
+      assert(probeFilters.nonEmpty, s"plan must contain the sketch probe:\n$plan")
+      probeFilters.foreach { f =>
+        assert(allNodes(f).drop(1)
+          .collectFirst { case e: ShuffleExchangeLike => e }.isEmpty,
+          s"probe filter must sit below every exchange:\n$plan")
+      }
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("bloom decontamination matches both exact paths, even with a starved sketch") {
