@@ -128,6 +128,7 @@ object SparkEntry {
     "q_bloom_semi_join"   -> (RelationalQueries.bloomSemiJoinParts _),
     "q_bloom_anti_join"   -> (RelationalQueries.bloomAntiJoinParts _),
     "q_mixture_plan"      -> ((s: SparkSession, d: String) => ext.Corpus.mixturePlan(s, d)),
+    "q_stratified_sample" -> ((s: SparkSession, d: String) => ext.Corpus.stratifiedSample(s, d)),
     "q_model_quality_filter" -> ((s: SparkSession, d: String) => TextAnalysis.modelQualityFilter(s, d))
   )
 
@@ -555,6 +556,15 @@ object SparkEntry {
         "round(least(1.0, CAST(CAST(round(500000.0 * weight / tw) AS BIGINT) AS DOUBLE) " +
         "/ CAST(n_tokens AS DOUBLE)), 6) AS sample_rate " +
         "FROM p CROSS JOIN t ORDER BY source"),
+    // stratified sample: the bounded-heap aggregator computes exactly
+    // the ROW_NUMBER-window semantics (first k per source by md5, ties
+    // impossible short of an md5 collision, id tiebreak anyway)
+    "q_stratified_sample" ->
+      ("WITH r AS (SELECT source, doc_id, ROW_NUMBER() OVER " +
+        "(PARTITION BY source ORDER BY md5(text), doc_id) AS rk " +
+        "FROM documents WHERE text IS NOT NULL) " +
+        "SELECT source, CAST(rk AS INT) AS rk, doc_id FROM r " +
+        "WHERE rk <= 20 ORDER BY source, rk"),
     // logistic quality model: feature fragments mirror q_quality_scores;
     // z's term order matches TextAnalysis.modelQualityFilter exactly
     // (IEEE doubles are order-sensitive), score rounded to 6 dp

@@ -168,6 +168,35 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** Deterministic STRATIFIED sampling: the k documents per source with
+    * the smallest content hash — a fixed-size uniform sample per stratum
+    * (md5 is uniform over content, engine-portable, re-crawl-stable:
+    * the same trick as [[splitAssignments]], here used for ORDER instead
+    * of bucketing). The "give me K representative docs per source" step
+    * of corpus QA / eval-set construction.
+    *
+    * Scale shape: computed with [[graft.functions.TopKByKey]], a bounded
+    * O(k)-state aggregator — map-side partials reduce every input
+    * partition to ≤k rows per source BEFORE the exchange, so the shuffle
+    * carries O(k × sources × partitions) regardless of corpus size. The
+    * window form (`ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+    * hash)`) computes the same answer but must shuffle AND sort every
+    * row of the corpus; the oracle holds this plan to that form's
+    * semantics (and TopKSampleSpec asserts equality against it).
+    */
+  def stratifiedSample(spark: SparkSession, d: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, d)
+      .filter(col("text").isNotNull)
+      .select(col("source"), md5(col("text").cast("binary")).as("h"),
+        col("doc_id"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKSample.firstKByKey(col("h"), col("doc_id"), k)
+        .as("ids"))
+      .select(col("source"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rk"),
+        col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+
   /** Benchmark decontamination: which training documents share exact
     * token n-grams with a held-out evaluation set (the overlap check a
     * training pipeline runs so eval scores aren't inflated by leaked

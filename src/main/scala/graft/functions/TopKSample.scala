@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded top-K state: parallel (sortKey, id) arrays, at most k entries,
+  * kept sorted by (sortKey asc, id asc). A Product of native array types
+  * so the buffer rides Spark's ExpressionEncoder as
+  * `struct<keys:array<string>, ids:array<bigint>>` at partial-aggregate
+  * shuffle boundaries (same rationale as [[MGState]]).
+  */
+case class TopKState(keys: Array[String], ids: Array[Long])
+
+/** First-K-by-key sampler as a typed Aggregator: keeps the K (sortKey,
+  * id) pairs with the smallest (sortKey, id) per group — O(K) state per
+  * group, merged associatively under Spark's partial aggregation.
+  *
+  * This is the SCALE form of per-group top-K selection: a window
+  * `ROW_NUMBER() OVER (PARTITION BY g ORDER BY key)` must shuffle and
+  * sort EVERY row of the group, while this aggregator's map-side
+  * partials reduce each input partition to ≤K rows per group before the
+  * exchange — the shuffle carries O(K × groups × partitions) no matter
+  * how many rows a 100 TB group holds. With a content-hash sort key
+  * (md5 — engine-portable, re-crawl-stable) the result is a
+  * deterministic uniform sample, the fixed-size-per-stratum sampling
+  * step of a training-data pipeline.
+  *
+  * Semantics are EXACTLY the window form's (asserted against it in
+  * tests, and against the equivalent ROW_NUMBER SQL by the DuckDB
+  * oracle): ids emitted in (sortKey, id) rank order.
+  */
+class TopKByKey(k: Int) extends Aggregator[(String, Long), TopKState, Seq[Long]] {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def zero: TopKState = TopKState(Array.empty, Array.empty)
+
+  /** Insertion point of (key, id) in the sorted state (binary search). */
+  private def insertPos(s: TopKState, key: String, id: Long): Int = {
+    var lo = 0
+    var hi = s.keys.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val c = s.keys(mid).compareTo(key)
+      if (c < 0 || (c == 0 && s.ids(mid) < id)) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override def reduce(s: TopKState, v: (String, Long)): TopKState = {
+    val (key, id) = v
+    if (key == null) return s // null sort keys are excluded by contract
+    val n = s.keys.length
+    if (n == k) {
+      val lastC = s.keys(n - 1).compareTo(key)
+      if (lastC < 0 || (lastC == 0 && s.ids(n - 1) < id)) return s // below cut
+    }
+    val pos = insertPos(s, key, id)
+    val m = math.min(n + 1, k)
+    val ks = new Array[String](m)
+    val is = new Array[Long](m)
+    System.arraycopy(s.keys, 0, ks, 0, pos)
+    System.arraycopy(s.ids, 0, is, 0, pos)
+    ks(pos) = key; is(pos) = id
+    val tail = m - pos - 1
+    if (tail > 0) {
+      System.arraycopy(s.keys, pos, ks, pos + 1, tail)
+      System.arraycopy(s.ids, pos, is, pos + 1, tail)
+    }
+    TopKState(ks, is)
+  }
+
+  override def merge(a: TopKState, b: TopKState): TopKState = {
+    // merge two sorted runs, truncate at k
+    val m = math.min(a.keys.length + b.keys.length, k)
+    val ks = new Array[String](m)
+    val is = new Array[Long](m)
+    var i = 0; var j = 0; var o = 0
+    while (o < m) {
+      val takeA =
+        j >= b.keys.length || (i < a.keys.length && {
+          val c = a.keys(i).compareTo(b.keys(j))
+          c < 0 || (c == 0 && a.ids(i) <= b.ids(j))
+        })
+      if (takeA) { ks(o) = a.keys(i); is(o) = a.ids(i); i += 1 }
+      else { ks(o) = b.keys(j); is(o) = b.ids(j); j += 1 }
+      o += 1
+    }
+    TopKState(ks, is)
+  }
+
+  override def finish(s: TopKState): Seq[Long] = s.ids.toSeq
+
+  override def bufferEncoder: Encoder[TopKState] = Encoders.product[TopKState]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
+object TopKSample {
+  /** Column form: ids of the K smallest (sortKey, id) pairs per group,
+    * in rank order — `.agg(firstKByKey(col("h"), col("id"), 20))`.
+    */
+  def firstKByKey(sortKey: Column, id: Column, k: Int): Column =
+    udaf(new TopKByKey(k),
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .apply(sortKey, id)
+}
