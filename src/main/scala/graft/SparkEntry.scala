@@ -543,7 +543,9 @@ object SparkEntry {
         "ORDER BY p_partkey"),
     // mixture plan: weight fragment mirrors q_resample_counts; token
     // counts mirror the whitespace tokenizer; target/rate arithmetic is
-    // term-for-term the Spark expression (round-0 then round-6)
+    // term-for-term the Spark expression — floor(x+0.5) / floor(x*1e6
+    // +0.5) on both sides, NOT round(): integer-ratio inputs can tie
+    // exactly where Spark's HALF_UP and DuckDB's half-even disagree
     "q_mixture_plan" ->
       ("WITH s AS (SELECT source, " +
         "CAST((CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 4) + 1 AS DOUBLE) / 4 AS weight, " +
@@ -552,9 +554,9 @@ object SparkEntry {
         "CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM s GROUP BY source, weight), " +
         "t AS (SELECT SUM(weight) AS tw FROM p) " +
         "SELECT source, weight, n_docs, n_tokens, " +
-        "CAST(round(500000.0 * weight / tw) AS BIGINT) AS target_tokens, " +
-        "round(least(1.0, CAST(CAST(round(500000.0 * weight / tw) AS BIGINT) AS DOUBLE) " +
-        "/ CAST(n_tokens AS DOUBLE)), 6) AS sample_rate " +
+        "CAST(floor(500000.0 * weight / tw + 0.5) AS BIGINT) AS target_tokens, " +
+        "floor(least(1.0, CAST(CAST(floor(500000.0 * weight / tw + 0.5) AS BIGINT) AS DOUBLE) " +
+        "/ CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS sample_rate " +
         "FROM p CROSS JOIN t ORDER BY source"),
     // stratified sample: the bounded-heap aggregator computes exactly
     // the ROW_NUMBER-window semantics (first k per source by md5, ties
@@ -574,7 +576,8 @@ object SparkEntry {
         s"/ len($toks) AS stop_r, " +
         "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_r, " +
         s"CAST(len($toks) AS DOUBLE) AS n_tok, " +
-        s"CAST(length(text) AS DOUBLE) / len($toks) AS avg_len FROM documents) " +
+        s"CAST(length(text) AS DOUBLE) / len($toks) AS avg_len " +
+        "FROM documents WHERE length(text) > 0) " + // 0/0 parity guard (Spark NULL vs DuckDB NaN)
         "SELECT doc_id, round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * stop_r - 8.0 * punct_r " +
         "+ 0.9 * ln(n_tok + 1.0) - 0.35 * avg_len))), 6) AS quality_score, " +
         "CAST(round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * stop_r - 8.0 * punct_r " +

@@ -156,13 +156,18 @@ object Corpus {
     val totalWeight =
       sum(col("weight")).over(org.apache.spark.sql.expressions.Window
         .partitionBy())
+    // floor(x + 0.5) / floor(x*1e6 + 0.5) instead of round()/round(_, 6):
+    // integer-ratio inputs CAN land on exact decimal ties, where Spark
+    // rounds HALF_UP and DuckDB half-even — the recorded cume_dist trap;
+    // floor+0.5 is identical in both engines
     perSource
       .withColumn("target_tokens",
-        round(lit(budgetTokens.toDouble) * col("weight") / totalWeight)
+        floor(lit(budgetTokens.toDouble) * col("weight") / totalWeight + 0.5)
           .cast("long"))
       .withColumn("sample_rate",
-        round(least(lit(1.0),
-          col("target_tokens").cast("double") / col("n_tokens").cast("double")), 6))
+        floor(least(lit(1.0),
+          col("target_tokens").cast("double") / col("n_tokens").cast("double"))
+          * 1e6 + 0.5) / 1e6)
       .select(col("source"), col("weight"), col("n_docs"), col("n_tokens"),
         col("target_tokens"), col("sample_rate"))
       .orderBy(col("source"))
@@ -379,12 +384,14 @@ object Corpus {
     * in 100 TB of text) dominates the job.
     *
     * Shape: a Bloom filter over the eval side's shingle hashes is built
-    * DISTRIBUTED in a scalar subquery (fixed `numBits` payload — 4 MiB
-    * at the default — no matter how many eval shingles); the training
-    * shingle stream is filtered by `might_contain` inside whole-stage
-    * codegen BEFORE any exchange, and only survivors (true hits + the
-    * sketch's ~0.4 % false positives) reach the exact hash join that
-    * kills the false positives. The exact join's exchange therefore
+    * DISTRIBUTED in a scalar subquery (fixed `numBits` payload — 1 MiB
+    * at the default, Spark's own runtime-filter sizing; size `numBits`
+    * up with the eval shingle count, ~8+ bits per distinct shingle);
+    * the training shingle stream is filtered by `might_contain` inside
+    * whole-stage codegen BEFORE any exchange, and only survivors (true
+    * hits + the sketch's false positives, ~2 % at 8 bits/item) reach
+    * the exact hash join that kills the false positives. The exact
+    * join's exchange therefore
     * carries survivors + the eval hash set instead of the whole corpus.
     * No false negatives exist, so the result is IDENTICAL to the other
     * two paths (asserted in CorpusSpec, including under a deliberately
@@ -395,8 +402,8 @@ object Corpus {
     */
   def decontaminationStatsBloom(spark: SparkSession, d: String, n: Int = 5,
                                 evalMod: Int = 20, evalRes: Int = 7,
-                                expectedShingles: Long = 4L << 20,
-                                numBits: Long = 1L << 25): DataFrame =
+                                expectedShingles: Long = 1L << 20,
+                                numBits: Long = 1L << 23): DataFrame =
     decontaminationStatsBloomDf(Tables.documents(spark, d), n, evalMod, evalRes,
       expectedShingles, numBits)
 
@@ -405,8 +412,8 @@ object Corpus {
     */
   def decontaminationStatsBloomDf(docs: DataFrame, n: Int = 5,
                                   evalMod: Int = 20, evalRes: Int = 7,
-                                  expectedShingles: Long = 4L << 20,
-                                  numBits: Long = 1L << 25): DataFrame = {
+                                  expectedShingles: Long = 1L << 20,
+                                  numBits: Long = 1L << 23): DataFrame = {
     val isEval = col("doc_id") % evalMod === evalRes
     val flagged = Tables.fanOut(docs)
       .filter(col("text").isNotNull)

@@ -85,7 +85,13 @@ object TextAnalysis {
     val z = lit(-1.5) + lit(3.2) * stopR - lit(8.0) * punctR +
       lit(0.9) * log(nTok + lit(1.0)) - lit(0.35) * avgLen
     val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    // empty-string texts are excluded on BOTH sides: punct_ratio is 0/0
+    // there, which Spark (non-ANSI) evaluates to NULL but DuckDB to NaN
+    // (and NaN >= 0.5 is true in DuckDB's total order) — a recorded
+    // parity trap; a quality score for an empty doc is meaningless
+    // anyway. length(NULL) > 0 is null→false, so null texts drop too.
     Tables.fanOut(Tables.documents(spark, d))
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), score.as("quality_score"))
       .withColumn("kept", (col("quality_score") >= threshold).cast("int"))
       .orderBy(col("doc_id"))

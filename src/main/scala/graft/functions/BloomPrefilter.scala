@@ -42,12 +42,17 @@ object BloomPrefilter {
     * (hash non-long keys first — [[org.apache.spark.sql.functions.xxhash64]]).
     * `expectedItems`/`numBits` size the sketch: ~numBits/expectedItems
     * bits per key, false-positive rate ≈ 0.62^(numBits/expectedItems).
-    * The defaults (4 Mi items, 32 Mi bits = 4 MiB) give ~0.4 % FP — at
-    * any corpus scale the task-side payload stays 4 MiB.
+    * The defaults (1 M items, 8 M bits = 1 MiB) are Spark's own
+    * runtime-filter defaults (`spark.sql.optimizer.runtime.bloomFilter.
+    * expectedNumItems`/`.numBits`); size up for bigger build sides —
+    * every partial-aggregate partition allocates one numBits-sized
+    * buffer, so the sketch cost is (partitions + tasks) × numBits/8
+    * bytes regardless of data volume. False positives only add exact-
+    * join work, never wrong results.
     */
   def bloomAgg(keyHash: Column,
-               expectedItems: Long = 4L << 20,
-               numBits: Long = 1L << 25): Column =
+               expectedItems: Long = 1L << 20,
+               numBits: Long = 1L << 23): Column =
     GraftSql.column(new BloomFilterAggregate(GraftSql.expression(keyHash),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression())
 
@@ -55,8 +60,8 @@ object BloomPrefilter {
     * the scalar-subquery side of [[mightContain]].
     */
   def bloomOf(keys: DataFrame, keyHash: Column,
-              expectedItems: Long = 4L << 20,
-              numBits: Long = 1L << 25): DataFrame =
+              expectedItems: Long = 1L << 20,
+              numBits: Long = 1L << 23): DataFrame =
     keys.agg(bloomAgg(keyHash, expectedItems, numBits).as("bloom_bits"))
 
   /** Predicate: may `keyHash` be in the filter `bloomDf` computes?
@@ -75,16 +80,18 @@ object BloomPrefilter {
     * results to `left.join(right, cond, "left_semi")`, but only Bloom
     * survivors reach the exact join's exchange. Use when `right`'s key
     * set is too large to broadcast and `left` is large enough that
-    * shuffling it whole is the bottleneck.
+    * shuffling it whole is the bottleneck. `leftKey == rightKey` is
+    * fine (the build side's key is renamed internally, so the join
+    * condition never sees an ambiguous reference).
     */
   def bloomSemiJoin(left: DataFrame, right: DataFrame,
                     leftKey: String, rightKey: String,
-                    expectedItems: Long = 4L << 20,
-                    numBits: Long = 1L << 25): DataFrame = {
-    val rightKeys = right.select(col(rightKey))
-    val bloom = bloomOf(rightKeys, xxhash64(col(rightKey)), expectedItems, numBits)
-    left.filter(mightContain(bloom, xxhash64(col(leftKey))))
-      .join(rightKeys, col(leftKey) === col(rightKey), "left_semi")
+                    expectedItems: Long = 1L << 20,
+                    numBits: Long = 1L << 23): DataFrame = {
+    val rightKeys = right.select(col(rightKey).as(buildKeyName))
+    val bloom = bloomOf(rightKeys, xxhash64(col(buildKeyName)), expectedItems, numBits)
+    left.filter(maybeMemberOf(bloom, xxhash64(col(leftKey))))
+      .join(rightKeys, col(leftKey) === col(buildKeyName), "left_semi")
   }
 
   /** Exact anti-join with a Bloom prefilter: rows of `left` whose
@@ -96,18 +103,43 @@ object BloomPrefilter {
     * false positives) need the exact anti-join to decide. This is the
     * incremental-dedup / corpus-cleaning shape — "drop the new batch's
     * rows already present in a corpus too large to broadcast" — where
-    * the clean majority of a 100 TB stream never touches an exchange.
+    * the clean majority's rows never touch an exchange.
+    *
+    * Cost trade, explicit: the two complementary branches are TWO
+    * passes over `left`'s scan (Spark does not fuse scans across union
+    * branches) and `right`'s key column is read twice (sketch + exact
+    * join). The prefilter wins when a probe-side SHUFFLE (~every byte
+    * of every row, spilled and re-read) costs more than a second
+    * columnar SCAN of the probe's (pruned) columns — true for the
+    * key-plus-narrow-payload shapes this is for; for very wide probe
+    * rows, prefilter a key+id projection and rejoin the payload.
     */
   def bloomAntiJoin(left: DataFrame, right: DataFrame,
                     leftKey: String, rightKey: String,
-                    expectedItems: Long = 4L << 20,
-                    numBits: Long = 1L << 25): DataFrame = {
-    val rightKeys = right.select(col(rightKey))
-    val bloom = bloomOf(rightKeys, xxhash64(col(rightKey)), expectedItems, numBits)
-    val maybeMember = mightContain(bloom, xxhash64(col(leftKey)))
+                    expectedItems: Long = 1L << 20,
+                    numBits: Long = 1L << 23): DataFrame = {
+    val rightKeys = right.select(col(rightKey).as(buildKeyName))
+    val bloom = bloomOf(rightKeys, xxhash64(col(buildKeyName)), expectedItems, numBits)
+    val maybeMember = maybeMemberOf(bloom, xxhash64(col(leftKey)))
     left.filter(!maybeMember)
       .unionByName(
         left.filter(maybeMember)
-          .join(rightKeys, col(leftKey) === col(rightKey), "left_anti"))
+          .join(rightKeys, col(leftKey) === col(buildKeyName), "left_anti"))
   }
+
+  /** Internal rename for the build side's key, so `leftKey == rightKey`
+    * never produces an ambiguous join condition.
+    */
+  private val buildKeyName = "__bloom_build_key"
+
+  /** [[mightContain]] coerced for FILTER branching: an EMPTY build side
+    * makes `BloomFilterAggregate` evaluate to NULL (Spark's contract),
+    * and might_contain null-propagates — under a plain filter that NULL
+    * would drop every probe row from BOTH complementary branches of
+    * [[bloomAntiJoin]] (silently losing the whole left side) instead of
+    * declaring every probe a non-member. NULL ⇒ false = "definitely not
+    * a member", which is exact for an empty key set.
+    */
+  private def maybeMemberOf(bloomDf: DataFrame, keyHash: Column): Column =
+    coalesce(mightContain(bloomDf, keyHash), lit(false))
 }

@@ -35,13 +35,32 @@ class TopKByKey(k: Int) extends Aggregator[(String, Long), TopKState, Seq[Long]]
 
   override def zero: TopKState = TopKState(Array.empty, Array.empty)
 
+  /** CODE-POINT key comparison — Spark orders strings by UTF8String
+    * binary comparison, which equals code-point order; Java's
+    * String.compareTo is UTF-16 code-UNIT order, which ranks surrogate
+    * pairs (U+10000+) BELOW [U+E000, U+FFFF] — using it would silently
+    * diverge from the documented ROW_NUMBER-window equivalence on
+    * non-BMP keys. Identical prefixes keep surrogate pairs aligned, so
+    * comparing code points at the first differing char index is exact.
+    */
+  private def keyCompare(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      if (a.charAt(i) != b.charAt(i))
+        return Integer.compare(a.codePointAt(i), b.codePointAt(i))
+      i += 1
+    }
+    Integer.compare(a.length, b.length)
+  }
+
   /** Insertion point of (key, id) in the sorted state (binary search). */
   private def insertPos(s: TopKState, key: String, id: Long): Int = {
     var lo = 0
     var hi = s.keys.length
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      val c = s.keys(mid).compareTo(key)
+      val c = keyCompare(s.keys(mid), key)
       if (c < 0 || (c == 0 && s.ids(mid) < id)) lo = mid + 1 else hi = mid
     }
     lo
@@ -52,21 +71,27 @@ class TopKByKey(k: Int) extends Aggregator[(String, Long), TopKState, Seq[Long]]
     if (key == null) return s // null sort keys are excluded by contract
     val n = s.keys.length
     if (n == k) {
-      val lastC = s.keys(n - 1).compareTo(key)
+      val lastC = keyCompare(s.keys(n - 1), key)
       if (lastC < 0 || (lastC == 0 && s.ids(n - 1) < id)) return s // below cut
+      // full buffer: shift the tail right IN PLACE (mutating the buffer
+      // is allowed by the Aggregator contract) — zero allocation on the
+      // per-row hot path once a group has k entries
+      val pos = insertPos(s, key, id)
+      var i = k - 1
+      while (i > pos) { s.keys(i) = s.keys(i - 1); s.ids(i) = s.ids(i - 1); i -= 1 }
+      s.keys(pos) = key
+      s.ids(pos) = id
+      return s
     }
+    // growing buffer (first k rows of a group): allocate n+1
     val pos = insertPos(s, key, id)
-    val m = math.min(n + 1, k)
-    val ks = new Array[String](m)
-    val is = new Array[Long](m)
+    val ks = new Array[String](n + 1)
+    val is = new Array[Long](n + 1)
     System.arraycopy(s.keys, 0, ks, 0, pos)
     System.arraycopy(s.ids, 0, is, 0, pos)
     ks(pos) = key; is(pos) = id
-    val tail = m - pos - 1
-    if (tail > 0) {
-      System.arraycopy(s.keys, pos, ks, pos + 1, tail)
-      System.arraycopy(s.ids, pos, is, pos + 1, tail)
-    }
+    System.arraycopy(s.keys, pos, ks, pos + 1, n - pos)
+    System.arraycopy(s.ids, pos, is, pos + 1, n - pos)
     TopKState(ks, is)
   }
 
@@ -79,7 +104,7 @@ class TopKByKey(k: Int) extends Aggregator[(String, Long), TopKState, Seq[Long]]
     while (o < m) {
       val takeA =
         j >= b.keys.length || (i < a.keys.length && {
-          val c = a.keys(i).compareTo(b.keys(j))
+          val c = keyCompare(a.keys(i), b.keys(j))
           c < 0 || (c == 0 && a.ids(i) <= b.ids(j))
         })
       if (takeA) { ks(o) = a.keys(i); is(o) = a.ids(i); i += 1 }

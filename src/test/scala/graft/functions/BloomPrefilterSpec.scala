@@ -48,6 +48,36 @@ class BloomPrefilterSpec extends SparkTestBase {
       "anti-join results must be sketch-size-independent")
   }
 
+  test("empty build side: anti keeps everything, semi keeps nothing (NULL sketch)") {
+    // BloomFilterAggregate evaluates to NULL over zero rows; an unguarded
+    // might_contain would null-propagate and drop BOTH complementary
+    // branches of the anti-join (silently losing the whole left side)
+    import spark.implicits._
+    val left = (1L to 50L).toDF("id")
+    val empty = Seq.empty[Long].toDF("k")
+    val anti = BloomPrefilter.bloomAntiJoin(left, empty, "id", "k")
+      .orderBy(col("id")).collect().toSeq
+    assert(anti.map(_.getLong(0)) == (1L to 50L),
+      "anti-join against an empty key set must keep every left row")
+    val semi = BloomPrefilter.bloomSemiJoin(left, empty, "id", "k").collect()
+    assert(semi.isEmpty,
+      "semi-join against an empty key set must keep nothing")
+  }
+
+  test("same-named keys on both sides resolve (incremental-dedup shape)") {
+    import spark.implicits._
+    val batch = (1L to 40L).toDF("doc_id")
+    val corpus = (30L to 100L).toDF("doc_id")
+    val anti = BloomPrefilter.bloomAntiJoin(batch, corpus, "doc_id", "doc_id")
+      .orderBy(col("doc_id")).collect().toSeq.map(_.getLong(0))
+    assert(anti == (1L to 29L),
+      "bloomAntiJoin must handle leftKey == rightKey without ambiguity")
+    val semi = BloomPrefilter.bloomSemiJoin(batch, corpus, "doc_id", "doc_id")
+      .orderBy(col("doc_id")).collect().toSeq.map(_.getLong(0))
+    assert(semi == (30L to 40L),
+      "bloomSemiJoin must handle leftKey == rightKey without ambiguity")
+  }
+
   test("the sketch probe runs BELOW the join exchanges (pre-shuffle filter)") {
     // the whole point of the prefilter: might_contain must sit on the
     // scan side of every exchange, so at scale only survivors shuffle.

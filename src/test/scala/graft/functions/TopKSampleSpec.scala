@@ -41,6 +41,27 @@ class TopKSampleSpec extends SparkTestBase {
     assert(one == many, "partial-merge order must not change the result")
   }
 
+  test("non-BMP keys order like Spark's window (code points, not UTF-16 units)") {
+    // U+FF61 sorts BELOW U+10000 in code-point/UTF-8 order, but its
+    // UTF-16 encoding (0xFF61) is ABOVE the surrogate pair (0xD800...)
+    // — String.compareTo would rank them backwards
+    import spark.implicits._
+    val df = Seq(
+      ("g", "｡", 1L), ("g", new String(Character.toChars(0x10000)), 2L),
+      ("g", "a", 3L), ("g", "𐀁x", 4L)
+    ).toDF("g", "h", "id")
+    val viaAgg = df.groupBy(col("g"))
+      .agg(TopKSample.firstKByKey(col("h"), col("id"), 2).as("ids"))
+      .select(explode(col("ids")).as("doc_id")).collect().toSeq.map(_.getLong(0))
+    val viaWindow = df
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("h"), col("id"))))
+      .filter(col("rk") <= 2).orderBy(col("rk"))
+      .select(col("id")).collect().toSeq.map(_.getLong(0))
+    assert(viaAgg == viaWindow,
+      s"aggregator order must match Spark's string order: $viaAgg vs $viaWindow")
+  }
+
   test("randomized reduce/merge matches sort-take (property)") {
     val rnd = new scala.util.Random(42)
     val agg = new TopKByKey(5)
