@@ -129,7 +129,8 @@ object SparkEntry {
     "q_bloom_anti_join"   -> (RelationalQueries.bloomAntiJoinParts _),
     "q_mixture_plan"      -> ((s: SparkSession, d: String) => ext.Corpus.mixturePlan(s, d)),
     "q_stratified_sample" -> ((s: SparkSession, d: String) => ext.Corpus.stratifiedSample(s, d)),
-    "q_model_quality_filter" -> ((s: SparkSession, d: String) => TextAnalysis.modelQualityFilter(s, d))
+    "q_model_quality_filter" -> ((s: SparkSession, d: String) => TextAnalysis.modelQualityFilter(s, d)),
+    "q_unigram_logprob"   -> ((s: SparkSession, d: String) => TextAnalysis.unigramLogProb(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -567,6 +568,19 @@ object SparkEntry {
         "FROM documents WHERE text IS NOT NULL) " +
         "SELECT source, CAST(rk AS INT) AS rk, doc_id FROM r " +
         "WHERE rk <= 20 ORDER BY source, rk"),
+    // unigram LM scoring: per-token ln snapped to integer micro-nats
+    // (floor(x*1e6+0.5)) BEFORE the per-doc sum, so the aggregation is
+    // exact BIGINT arithmetic — no float-summation-order divergence;
+    // the final division result snaps the same way
+    "q_unigram_logprob" ->
+      (s"WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents), " +
+        "cnt AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term), " +
+        "tot AS (SELECT SUM(cnt) AS tot FROM cnt), " +
+        "sc AS (SELECT doc_id, CAST(floor(ln(CAST(cnt AS DOUBLE) / tot) * 1e6 + 0.5) AS BIGINT) AS mlp " +
+        "FROM toks JOIN cnt USING (term) CROSS JOIN tot) " +
+        "SELECT doc_id, COUNT(*) AS n_tokens, " +
+        "floor(CAST(SUM(mlp) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS avg_logprob " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id"),
     // logistic quality model: feature fragments mirror q_quality_scores;
     // z's term order matches TextAnalysis.modelQualityFilter exactly
     // (IEEE doubles are order-sensitive), score rounded to 6 dp

@@ -395,6 +395,49 @@ object TextAnalysis {
     * no driver-side loops, no all-pairs anything. The corpus size enters
     * as one scalar aggregate.
     */
+  /** Unigram language-model scoring — the perplexity-PROXY quality
+    * filter: each document scores the mean log-probability of its
+    * tokens under the corpus's own unigram distribution (low score =
+    * tokens rare in the corpus = gibberish/boilerplate/foreign text;
+    * real pipelines threshold exactly this, usually with a KenLM n-gram
+    * model — the unigram case keeps the operator engine-portable while
+    * the PLAN is the production shape).
+    *
+    * Scale shape: one vocabulary-sized count shuffle, a term-keyed join
+    * of the token stream against the (much smaller) vocabulary, then a
+    * doc-keyed aggregation — the tfidf topology, no corpus-sized
+    * broadcast anywhere. The scalar total rides a 1-row broadcast.
+    *
+    * FP parity design: per-token ln values are snapped to integer
+    * MICRO-nats (floor(ln(p)*1e6 + 0.5) — floor+0.5, not round, the
+    * HALF_UP/half-even tie rule differs between engines) so the per-doc
+    * aggregation sums exact BIGINTs: no float-summation-order term at
+    * all, the only doubles are per-element (deterministic) and one
+    * final division.
+    */
+  def unigramLogProb(spark: SparkSession, d: String): DataFrame =
+    unigramLogProbDf(Tables.documents(spark, d))
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def unigramLogProbDf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("tot")) // scalar; broadcast below
+    val scaled = toks.join(counts, "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        floor(log(col("cnt").cast("double") / col("tot")) * 1e6 + 0.5)
+          .cast("long").as("micro_lp"))
+    scaled.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("micro_lp")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(col("s").cast("double") / col("n_tokens") + 0.5) / 1e6)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   def tfidfTopTerms(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, d)
     val toks = docs

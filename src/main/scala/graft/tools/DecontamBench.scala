@@ -22,6 +22,8 @@ object DecontamBench {
     }
     println(f"broadcast path: ${time(256L << 20)}%.3f s")
     println(f"one-pass  path: ${time(0L)}%.3f s")
+    println(f"bloom     path: ${graft.BenchKit.bestDf(() =>
+      graft.ext.Corpus.decontaminationStatsBloom(spark, d))}%.3f s")
     spark.stop()
   }
 }

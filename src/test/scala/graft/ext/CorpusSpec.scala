@@ -105,6 +105,32 @@ class CorpusSpec extends SparkTestBase {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("unigram log-prob: hand-computed scores; rare-token docs score lower") {
+    import spark.implicits._
+    // 9 one-token docs of a common token, 1 of a rare one: p(common) =
+    // 9/10, p(rare) = 1/10 — micro-nat snapping is hand-checkable:
+    // floor(ln(0.9)*1e6+0.5) = -105361 → avg -0.105361;
+    // floor(ln(0.1)*1e6+0.5) = -2302585 → avg -2.302585
+    val docs = ((1L to 9L).map(i => (i, "aa")) :+ (10L, "zz"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.unigramLogProbDf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 10)
+    got.filter(_._1 <= 9).foreach { case (id, n, lp) =>
+      assert(n == 1 && lp == -0.105361, s"doc $id: ($n, $lp)")
+    }
+    assert(got.find(_._1 == 10L).get._3 == -2.302585,
+      "rare-token doc must carry the ln(0.1) score")
+    // fixture-level sanity: real rows, negative scores, variance
+    val fixture = graft.ext.TextAnalysis.unigramLogProb(spark, sfDir).collect()
+    assert(fixture.nonEmpty)
+    fixture.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getDouble(2) < 0.0, s"bad row: $r")
+    }
+    assert(fixture.map(_.getDouble(2)).distinct.length > 1,
+      "fixture must produce score variance")
+  }
+
   test("decontamination: eval docs never reported, ratios in (0,1], leak detected") {
     val rows = Corpus.decontaminationStats(spark, sfDir).collect()
     rows.foreach { r =>
