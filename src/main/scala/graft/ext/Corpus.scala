@@ -272,6 +272,15 @@ object Corpus {
     * the eval side holds that shingle). One scan, one corpus-sized
     * shuffle, no per-key buffering — strictly less I/O than a
     * shuffled hash join of two separately-scanned branches.
+    *
+    * When the eval set is oversized AND the corpus-sized shuffle is the
+    * bottleneck (the usual case when contamination is sparse), prefer
+    * [[decontaminationStatsBloom]]: identical results, fixed-size
+    * sketch instead of a broadcast, and only sketch survivors reach an
+    * exchange. This fallback remains the right shape when a large
+    * fraction of train shingles would survive any prefilter (near-total
+    * contamination) — then the shuffle is unavoidable and one fused
+    * pass beats sketch-then-join.
     */
   def decontaminationStatsDf(docs: DataFrame, n: Int = 5,
                              evalMod: Int = 20, evalRes: Int = 7,

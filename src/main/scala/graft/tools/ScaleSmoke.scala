@@ -30,6 +30,7 @@ object ScaleSmoke {
     "q_repetition_stats", "q_resample_counts",
     "q_decontamination", "q_semantic_dedup",
     "q_bloom_decontamination", "q_bloom_semi_join",
+    "q_stratified_sample", "q_unigram_logprob",
     "q_ngram_jaccard" /* bounded kernel: must stay FLAT, not 10× */)
 
   def main(args: Array[String]): Unit = {

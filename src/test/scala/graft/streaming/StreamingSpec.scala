@@ -249,4 +249,33 @@ class StreamingSpec extends SparkTestBase {
     assert(byDoc(2L)._1 == 1L, "partial overlap shares one shingle")
     assert(!byDoc.contains(3L) && !byDoc.contains(4L), "clean docs absent")
   }
+
+  test("streaming top-K sampler: complete-mode agg converges to the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    // the bounded TopKByKey aggregator is merge-associative, so Spark can
+    // run it as a streaming stateful aggregation: after all rows arrive,
+    // complete-mode output must equal the batch aggregation — the same
+    // batch/streaming symmetry contract the other corpus ops have
+    val rows = (1L to 120L).map(i => (s"g${i % 3}", f"h${(i * 53) % 97}%03d", i))
+    val input = MemoryStream[(String, String, Long)]
+    val agg = input.toDF().toDF("g", "h", "id")
+      .groupBy($"g")
+      .agg(graft.functions.TopKSample.firstKByKey($"h", $"id", 5).as("ids"))
+    val query = agg.writeStream
+      .queryName("topk_stream").outputMode("complete").format("memory").start()
+    try {
+      input.addData(rows.take(60): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(60): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("topk_stream")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val batch = rows.toDF("g", "h", "id")
+      .groupBy($"g")
+      .agg(graft.functions.TopKSample.firstKByKey($"h", $"id", 5).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    assert(batch.keySet == Set("g0", "g1", "g2") && batch.values.forall(_.length == 5))
+  }
 }
