@@ -62,6 +62,24 @@ class TopKSampleSpec extends SparkTestBase {
       s"aggregator order must match Spark's string order: $viaAgg vs $viaWindow")
   }
 
+  test("plan shape: partial aggregation runs BEFORE the group exchange") {
+    // the scale property: map-side partials cap each partition's
+    // contribution at k rows per group, so the exchange carries bounded
+    // state — a plan where aggregation only happens after the shuffle
+    // would silently ship every row
+    val df = Corpus.stratifiedSample(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val firstAgg = plan.indexOf("ObjectHashAggregate")
+    val lastAgg = plan.lastIndexOf("ObjectHashAggregate")
+    val exchange = plan.indexOf("Exchange hashpartitioning(source")
+    assert(firstAgg >= 0 && lastAgg > firstAgg && exchange >= 0,
+      s"expected partial+final ObjectHashAggregate around a source exchange:\n$plan")
+    // tree strings print parents first: final agg < exchange < partial agg
+    assert(firstAgg < exchange && exchange < lastAgg,
+      s"partial aggregate must sit below the exchange (map-side):\n$plan")
+  }
+
   test("randomized reduce/merge matches sort-take (property)") {
     val rnd = new scala.util.Random(42)
     val agg = new TopKByKey(5)
