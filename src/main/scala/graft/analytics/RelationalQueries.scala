@@ -161,12 +161,7 @@ object RelationalQueries {
     * operator the decontamination pipeline uses on shingle hashes.
     */
   def bloomSemiJoinParts(spark: SparkSession, d: String): DataFrame =
-    graft.functions.BloomPrefilter.bloomSemiJoin(
-      Tables.part(spark, d),
-      Tables.lineitem(spark, d).filter(col("l_quantity") > 49),
-      "p_partkey", "l_partkey")
-      .select(col("p_partkey"), col("p_name"))
-      .orderBy(col("p_partkey"))
+    bloomJoinParts(spark, d, graft.functions.BloomPrefilter.bloomSemiJoin(_, _, "p_partkey", "l_partkey"))
 
   /** Bloom-prefiltered anti-join: parts with NO max-quantity line item —
     * the exact complement of [[bloomSemiJoinParts]], via
@@ -176,10 +171,15 @@ object RelationalQueries {
     * join (asserted in BloomPrefilterSpec).
     */
   def bloomAntiJoinParts(spark: SparkSession, d: String): DataFrame =
-    graft.functions.BloomPrefilter.bloomAntiJoin(
-      Tables.part(spark, d),
-      Tables.lineitem(spark, d).filter(col("l_quantity") > 49),
-      "p_partkey", "l_partkey")
+    bloomJoinParts(spark, d, graft.functions.BloomPrefilter.bloomAntiJoin(_, _, "p_partkey", "l_partkey"))
+
+  /** Shared operands + projection of the two bloom join queries: parts
+    * probed against the max-quantity line-item key set.
+    */
+  private def bloomJoinParts(spark: SparkSession, d: String,
+                             join: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    join(Tables.part(spark, d),
+      Tables.lineitem(spark, d).filter(col("l_quantity") > 49))
       .select(col("p_partkey"), col("p_name"))
       .orderBy(col("p_partkey"))
 

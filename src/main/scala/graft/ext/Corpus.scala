@@ -114,8 +114,15 @@ object Corpus {
     * every re-run and every engine agrees. A narrow map + one
     * source-sized aggregation — no corpus shuffle at any scale.
     */
+  /** The derived per-source mixture weight INDEX (1..4; weight = idx/4)
+    * shared by [[domainResample]] and [[mixturePlan]] — a stand-in for a
+    * caller-supplied mixture table, keyed on the source's numeric suffix.
+    */
+  private def sourceWeightIdx: Column =
+    pmod(regexp_extract(col("source"), "(\\d+)$", 1).cast("int"), lit(4)) + 1
+
   def domainResample(spark: SparkSession, d: String): DataFrame = {
-    val w = pmod(regexp_extract(col("source"), "(\\d+)$", 1).cast("int"), lit(4)) + 1
+    val w = sourceWeightIdx
     val bucket = substring(md5(col("text").cast("binary")), 1, 2)
     val threshold = element_at(array(lit("40"), lit("80"), lit("c0"), lit("zz")), w)
     Tables.documents(spark, d)
@@ -145,8 +152,7 @@ object Corpus {
     */
   def mixturePlan(spark: SparkSession, d: String,
                   budgetTokens: Long = 500000L): DataFrame = {
-    val w = (pmod(regexp_extract(col("source"), "(\\d+)$", 1).cast("int"),
-      lit(4)) + 1).cast("double") / 4
+    val w = sourceWeightIdx.cast("double") / 4
     val perSource = Tables.documents(spark, d)
       .select(col("source"), w.as("weight"),
         coalesce(size(graft.ext.TextAnalysis.tokens(col("text"))), lit(0))
@@ -439,6 +445,9 @@ object Corpus {
       .select(col("doc_id"), shingleHashCol(col("text"), n).as("shh"))
       .select(col("doc_id"), size(col("shh")).cast("long").as("n_shingles"),
         explode(col("shh")).as("sh_hash"))
+    // raw mightContain (no NULL-coalesce, unlike bloomAntiJoin): an
+    // EMPTY eval slice makes the sketch NULL and the filter drop every
+    // train row — which IS the exact answer (no eval, no contamination)
     val survivors = trainHashes.filter(
       graft.functions.BloomPrefilter.mightContain(bloom, col("sh_hash")))
     contaminationRollup(
