@@ -130,7 +130,8 @@ object SparkEntry {
     "q_mixture_plan"      -> ((s: SparkSession, d: String) => ext.Corpus.mixturePlan(s, d)),
     "q_stratified_sample" -> ((s: SparkSession, d: String) => ext.Corpus.stratifiedSample(s, d)),
     "q_model_quality_filter" -> ((s: SparkSession, d: String) => TextAnalysis.modelQualityFilter(s, d)),
-    "q_unigram_logprob"   -> ((s: SparkSession, d: String) => TextAnalysis.unigramLogProb(s, d))
+    "q_unigram_logprob"   -> ((s: SparkSession, d: String) => TextAnalysis.unigramLogProb(s, d)),
+    "q_source_kl"         -> ((s: SparkSession, d: String) => TextAnalysis.sourceKlDivergence(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -581,6 +582,22 @@ object SparkEntry {
         "SELECT doc_id, COUNT(*) AS n_tokens, " +
         "floor(CAST(SUM(mlp) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS avg_logprob " +
         "FROM sc GROUP BY doc_id ORDER BY doc_id"),
+    // per-source KL drift: contributions snap to integer nano-units
+    // before the per-source sum (exact BIGINT aggregation — the
+    // q_unigram_logprob design at a finer scale for signed tiny terms);
+    // p_s/p_c fragments written identically on both sides
+    "q_source_kl" ->
+      (s"WITH t AS (SELECT source, unnest($toks) AS term FROM documents), " +
+        "sc AS (SELECT source, term, COUNT(*) AS c FROM t GROUP BY source, term), " +
+        "st AS (SELECT source, SUM(c) AS ts FROM sc GROUP BY source), " +
+        "cc AS (SELECT term, SUM(c) AS cc FROM sc GROUP BY term), " +
+        "ct AS (SELECT SUM(c) AS tc FROM sc), " +
+        "k AS (SELECT sc.source, CAST(floor((CAST(c AS DOUBLE) / ts) * " +
+        "ln((CAST(c AS DOUBLE) / ts) / (CAST(cc.cc AS DOUBLE) / tc)) * 1e9 + 0.5) AS BIGINT) AS nk " +
+        "FROM sc JOIN st USING (source) JOIN cc USING (term) CROSS JOIN ct) " +
+        "SELECT source, COUNT(*) AS n_terms, " +
+        "CAST(SUM(nk) AS DOUBLE) / 1e9 AS kl_divergence " +
+        "FROM k GROUP BY source ORDER BY source"),
     // logistic quality model: feature fragments mirror q_quality_scores;
     // z's term order matches TextAnalysis.modelQualityFilter exactly
     // (IEEE doubles are order-sensitive), score rounded to 6 dp

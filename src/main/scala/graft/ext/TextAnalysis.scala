@@ -438,6 +438,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source token-distribution DRIFT: KL(source ‖ corpus) over the
+    * unigram distributions — the monitoring metric a data-mixing
+    * pipeline tracks to spot a source whose content shifted (crawl
+    * drift, contamination, encoding breakage) relative to the corpus.
+    * KL = Σ_t p_s(t) · ln(p_s(t)/p_c(t)), always ≥ 0, and 0 iff the
+    * source's token distribution matches the corpus exactly.
+    *
+    * Scale shape: ONE (source, term)-keyed count shuffle over the token
+    * stream; the corpus-level term counts derive from those partials
+    * (vocabulary-sized second aggregation — never a second corpus
+    * scan); the scoring join is vocabulary-sized. Same topology as
+    * tfidf/unigram scoring.
+    *
+    * FP parity: each term's contribution snaps to integer NANO-units
+    * (floor(x*1e9 + 0.5)) before the per-source sum — exact BIGINT
+    * aggregation, no float-summation-order term (the
+    * [[unigramLogProb]] design; KL contributions are signed and tiny,
+    * hence the finer scale).
+    */
+  def sourceKlDivergence(spark: SparkSession, d: String): DataFrame =
+    sourceKlDivergenceDf(Tables.documents(spark, d))
+
+  /** DataFrame form (docs must have source + text). */
+  def sourceKlDivergenceDf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+    val srcCounts = toks.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val srcTotals = srcCounts.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+    val corpusCounts = srcCounts.groupBy(col("term")).agg(sum(col("c")).as("cc"))
+    val corpusTotal = srcCounts.agg(sum(col("c")).as("tc")) // scalar
+    val ps = col("c").cast("double") / col("ts")
+    val pc = col("cc").cast("double") / col("tc")
+    srcCounts.join(srcTotals, "source").join(corpusCounts, "term")
+      .crossJoin(broadcast(corpusTotal))
+      .select(col("source"),
+        floor(ps * log(ps / pc) * 1e9 + 0.5).cast("long").as("nano_kl"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        (sum(col("nano_kl")).cast("double") / 1e9).as("kl_divergence"))
+      .orderBy(col("source"))
+  }
+
   def tfidfTopTerms(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, d)
     val toks = docs

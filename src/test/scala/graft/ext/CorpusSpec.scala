@@ -131,6 +131,32 @@ class CorpusSpec extends SparkTestBase {
       "fixture must produce score variance")
   }
 
+  test("source KL drift: zero for corpus-matching sources, positive for skewed") {
+    import spark.implicits._
+    // s1/s2 both 50/50 {aa,bb} → each matches the 4-aa/4-bb/... corpus
+    // slice it contributes to? No: the corpus is {aa:2, bb:2, cc:2}, so
+    // p_c = 1/3 each. s1/s2: p_s = 1/2 for aa,bb → KL = ln(3/2) ≈
+    // 0.405465108; s3: p_s(cc)=1, p_c(cc)=1/3 → KL = ln(3) ≈ 1.098612289
+    val docs = Seq(
+      (1L, "aa bb", "s1"), (2L, "aa bb", "s2"), (3L, "cc cc", "s3")
+    ).toDF("doc_id", "text", "source")
+    val tiny = graft.ext.TextAnalysis.sourceKlDivergenceDf(docs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(tiny("s1") == ((2L, 0.405465108)), s"s1: ${tiny("s1")}")
+    assert(tiny("s2") == ((2L, 0.405465108)), s"s2: ${tiny("s2")}")
+    assert(tiny("s3") == ((1L, 1.098612289)), s"s3: ${tiny("s3")}")
+    // fixture: KL non-negative up to snapping error, with real variance
+    val fixture = graft.ext.TextAnalysis.sourceKlDivergence(spark, sfDir).collect()
+    assert(fixture.nonEmpty)
+    fixture.foreach { r =>
+      assert(r.getDouble(2) >= -r.getLong(1) * 5e-10,
+        s"KL must be non-negative up to snapping: $r")
+    }
+    assert(fixture.map(_.getDouble(2)).exists(_ > 0.0),
+      "fixture sources must show real drift")
+  }
+
   test("decontamination: eval docs never reported, ratios in (0,1], leak detected") {
     val rows = Corpus.decontaminationStats(spark, sfDir).collect()
     rows.foreach { r =>
