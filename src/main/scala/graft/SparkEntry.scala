@@ -557,8 +557,9 @@ object SparkEntry {
         "t AS (SELECT SUM(weight) AS tw FROM p) " +
         "SELECT source, weight, n_docs, n_tokens, " +
         "CAST(floor(500000.0 * weight / tw + 0.5) AS BIGINT) AS target_tokens, " +
+        "CASE WHEN n_tokens > 0 THEN " +
         "floor(least(1.0, CAST(CAST(floor(500000.0 * weight / tw + 0.5) AS BIGINT) AS DOUBLE) " +
-        "/ CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS sample_rate " +
+        "/ CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS sample_rate " +
         "FROM p CROSS JOIN t ORDER BY source"),
     // stratified sample: the bounded-heap aggregator computes exactly
     // the ROW_NUMBER-window semantics (first k per source by md5, ties

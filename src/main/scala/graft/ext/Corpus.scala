@@ -170,10 +170,17 @@ object Corpus {
       .withColumn("target_tokens",
         floor(lit(budgetTokens.toDouble) * col("weight") / totalWeight + 0.5)
           .cast("long"))
+      // n_tokens = 0 (a source whose docs are all empty/null) would make
+      // target/n_tokens NaN or Infinity; least(1.0, NaN) happens to
+      // resolve to 1.0 under both engines' NaN total order, but a
+      // token-less source has nothing to sample — rate is 0 by intent,
+      // not by NaN-ordering parity
       .withColumn("sample_rate",
-        floor(least(lit(1.0),
-          col("target_tokens").cast("double") / col("n_tokens").cast("double"))
-          * 1e6 + 0.5) / 1e6)
+        when(col("n_tokens") > 0,
+          floor(least(lit(1.0),
+            col("target_tokens").cast("double") / col("n_tokens").cast("double"))
+            * 1e6 + 0.5) / 1e6)
+          .otherwise(lit(0.0)))
       .select(col("source"), col("weight"), col("n_docs"), col("n_tokens"),
         col("target_tokens"), col("sample_rate"))
       .orderBy(col("source"))

@@ -113,6 +113,14 @@ object BloomPrefilter {
     * columnar SCAN of the probe's (pruned) columns — true for the
     * key-plus-narrow-payload shapes this is for; for very wide probe
     * rows, prefilter a key+id projection and rejoin the payload.
+    *
+    * `left` must be DETERMINISTIC: the two complementary branches each
+    * re-evaluate `left`'s plan, so a left side containing
+    * nondeterministic expressions (rand(), sample(), a monotonically
+    * increasing id) can disagree between scans on which rows pass
+    * might_contain — silently dropping or duplicating rows. Persist or
+    * checkpoint such a left before calling (all in-repo call sites are
+    * deterministic).
     */
   def bloomAntiJoin(left: DataFrame, right: DataFrame,
                     leftKey: String, rightKey: String,

@@ -26,9 +26,15 @@ case class TopKState(keys: Array[String], ids: Array[Long])
   * deterministic uniform sample, the fixed-size-per-stratum sampling
   * step of a training-data pipeline.
   *
-  * Semantics are EXACTLY the window form's (asserted against it in
-  * tests, and against the equivalent ROW_NUMBER SQL by the DuckDB
-  * oracle): ids emitted in (sortKey, id) rank order.
+  * Semantics are the window form's (asserted against it in tests, and
+  * against the equivalent ROW_NUMBER SQL by the DuckDB oracle) with ONE
+  * stated exception: rows with a NULL sort key are EXCLUDED from the
+  * sample, whereas Spark's ascending window sort ranks NULL keys FIRST
+  * and would admit them. A NULL content hash means null content — not a
+  * meaningful sample member — so exclusion is the intended contract;
+  * pre-filter nulls (as [[graft.ext.Corpus.stratifiedSample]] does) or
+  * coalesce the key if window-identical behavior on null keys matters.
+  * Ids are emitted in (sortKey, id) rank order.
   */
 class TopKByKey(k: Int) extends Aggregator[(String, Long), TopKState, Seq[Long]] {
   require(k >= 1, s"k must be >= 1, got $k")

@@ -105,6 +105,30 @@ class CorpusSpec extends SparkTestBase {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("mixture plan: a token-less source gets sample_rate 0.0, not NaN-luck") {
+    // a source whose docs are all empty/null text has n_tokens = 0;
+    // target/n_tokens would be NaN/Infinity and least(1.0, NaN) happens
+    // to resolve to 1.0 under NaN total order — the guard must report 0.0
+    val dir = java.nio.file.Files.createTempDirectory("mixture_empty").toString
+    // all-NULL texts: an empty STRING still splits to one empty token
+    // (same in DuckDB — parity), so null text is the true 0-token case
+    Seq(
+      (1L, "alpha beta gamma delta", "en", "web1", 22L),
+      (2L, null.asInstanceOf[String], "en", "empty2", 0L),
+      (3L, null.asInstanceOf[String], "en", "empty2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val rows = Corpus.mixturePlan(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getDouble(5))).toMap
+    val (emptyToks, emptyRate) = rows("empty2")
+    assert(emptyToks == 0L)
+    assert(emptyRate == 0.0, s"token-less source must have rate 0.0, got $emptyRate")
+    val (webToks, webRate) = rows("web1")
+    assert(webToks == 4L)
+    assert(webRate > 0.0 && webRate <= 1.0 && !webRate.isNaN)
+  }
+
   test("unigram log-prob: hand-computed scores; rare-token docs score lower") {
     import spark.implicits._
     // 9 one-token docs of a common token, 1 of a rare one: p(common) =
