@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.analytics.{CoreQueries, ExtraQueries, RelationalQueries}
 import graft.extract.TextExtract
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Cleaning, Clustering, Dedup, Similarity, TextAnalysis}
 import graft.ingest.CorpusSource
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -131,7 +131,12 @@ object SparkEntry {
     "q_stratified_sample" -> ((s: SparkSession, d: String) => ext.Corpus.stratifiedSample(s, d)),
     "q_model_quality_filter" -> ((s: SparkSession, d: String) => TextAnalysis.modelQualityFilter(s, d)),
     "q_unigram_logprob"   -> ((s: SparkSession, d: String) => TextAnalysis.unigramLogProb(s, d)),
-    "q_source_kl"         -> ((s: SparkSession, d: String) => TextAnalysis.sourceKlDivergence(s, d))
+    "q_source_kl"         -> ((s: SparkSession, d: String) => TextAnalysis.sourceKlDivergence(s, d)),
+    // ---- round 8: heuristic cleaning, span dedup, clustering, ppl buckets
+    "q_gopher_filters"    -> ((s: SparkSession, d: String) => Cleaning.gopherFilters(s, d)),
+    "q_span_dedup"        -> ((s: SparkSession, d: String) => Cleaning.spanDedupStats(s, d)),
+    "q_kmeans"            -> ((s: SparkSession, d: String) => Clustering.kmeansStats(s, d)),
+    "q_perplexity_buckets" -> ((s: SparkSession, d: String) => TextAnalysis.perplexityBuckets(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -687,7 +692,63 @@ object SparkEntry {
       ("SELECT label, COUNT(*) AS n_vecs, " +
         "round(MIN(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 6) AS min_norm, " +
         "round(MAX(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 6) AS max_norm " +
-        "FROM embeddings GROUP BY label ORDER BY label")
+        "FROM embeddings GROUP BY label ORDER BY label"),
+    // gopher filter battery: every feature/rule written identically on
+    // both sides; divisions cast to DOUBLE explicitly; empty/null text
+    // excluded on both (0/0 features are meaningless there)
+    "q_gopher_filters" ->
+      (s"WITH f AS (SELECT doc_id, $toks AS t, text FROM documents WHERE len(text) > 0), " +
+        "feat AS (SELECT doc_id, len(t) AS n_words, " +
+        "round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t), 6) AS mean_word_len, " +
+        "round(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t), 6) AS alpha_frac, " +
+        "len(list_intersect(list_distinct(t), " +
+        "['the','a','of','and','to','in','is','on','for'])) AS stopword_hits, " +
+        "round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(t), 6) AS symbol_ratio " +
+        "FROM f) " +
+        "SELECT doc_id, n_words, mean_word_len, alpha_frac, stopword_hits, symbol_ratio, " +
+        "n_words BETWEEN 30 AND 50000 AS r_words, " +
+        "mean_word_len BETWEEN 3.0 AND 10.0 AS r_mean_len, " +
+        "alpha_frac >= 0.8 AS r_alpha, " +
+        "stopword_hits >= 2 AS r_stop, " +
+        "symbol_ratio <= 0.1 AS r_symbol, " +
+        "(n_words BETWEEN 30 AND 50000) AND (mean_word_len BETWEEN 3.0 AND 10.0) " +
+        "AND alpha_frac >= 0.8 AND stopword_hits >= 2 AND symbol_ratio <= 0.1 AS keep " +
+        "FROM feat ORDER BY doc_id"),
+    // span dedup: the oracle keeps/removes over span STRINGS (ROW_NUMBER
+    // per gram ordered by (doc_id, pos)); the engine groups the same
+    // spans by xxhash64 — identical groups short of a 2^-64 collision
+    // (the decontamination hashing caveat)
+    "q_span_dedup" ->
+      (s"WITH docs AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
+        "sp AS (SELECT doc_id, unnest(generate_series(1, greatest(len(t)-4, 0))) AS pos, t FROM docs), " +
+        "g AS (SELECT doc_id, pos, array_to_string(t[pos:pos+4], ' ') AS gram FROM sp), " +
+        "w AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g), " +
+        "a AS (SELECT doc_id, COUNT(*) AS n_spans, " +
+        "SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_removed FROM w GROUP BY doc_id), " +
+        "sel AS (SELECT d.doc_id, CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans, " +
+        "CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed " +
+        "FROM docs d LEFT JOIN a USING (doc_id)) " +
+        "SELECT doc_id, n_spans, n_removed, " +
+        "CASE WHEN n_spans > 0 THEN round(n_removed / CAST(n_spans AS DOUBLE), 6) ELSE 0.0 END AS dup_frac, " +
+        "CASE WHEN n_spans > 0 THEN round(n_removed / CAST(n_spans AS DOUBLE), 6) ELSE 0.0 END <= 0.2 AS keep " +
+        "FROM sel ORDER BY doc_id"),
+    // perplexity buckets: NTILE(3) per source over the micro-nat-snapped
+    // unigram score (CTE = the q_unigram_logprob oracle verbatim); the
+    // doc_id tiebreak makes the split order engine-exact
+    "q_perplexity_buckets" ->
+      (s"WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents), " +
+        "cnt AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term), " +
+        "tot AS (SELECT SUM(cnt) AS tot FROM cnt), " +
+        "sc AS (SELECT doc_id, CAST(floor(ln(CAST(cnt AS DOUBLE) / tot) * 1e6 + 0.5) AS BIGINT) AS mlp " +
+        "FROM toks JOIN cnt USING (term) CROSS JOIN tot), " +
+        "lp AS (SELECT doc_id, floor(CAST(SUM(mlp) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS avg_logprob " +
+        "FROM sc GROUP BY doc_id), " +
+        "b AS (SELECT lp.doc_id, d.source, lp.avg_logprob, " +
+        "NTILE(3) OVER (PARTITION BY d.source ORDER BY lp.avg_logprob DESC, lp.doc_id) AS bucket " +
+        "FROM lp JOIN documents d USING (doc_id)) " +
+        "SELECT doc_id, source, avg_logprob, bucket, " +
+        "CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket_name " +
+        "FROM b ORDER BY doc_id")
     // No oracle (rows-only checks) — the authoritative list is
     // `queries.keySet -- oracleSql.keySet` (don't trust a hardcoded
     // enumeration here); currently that's the xxhash64-based dedup

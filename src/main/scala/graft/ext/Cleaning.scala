@@ -1,0 +1,158 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Heuristic corpus-cleaning operators: the rule-based document filter
+  * battery (Gopher-style, Rae et al. 2021 §A1.1) and cross-document
+  * duplicate-span removal (the ExactSubstr idea of Lee et al. 2021,
+  * "Deduplicating Training Data Makes Language Models Better", at token
+  * n-gram granularity).
+  *
+  * Both are fully DuckDB-oracle-checked; the filter battery is a pure
+  * narrow map (zero shuffles at any scale), span dedup's only
+  * corpus-sized exchanges are keyed on 8-byte span hashes.
+  */
+object Cleaning {
+
+  /** Rule-based document filter battery (Gopher-style): per-document
+    * features — word count, mean word length, alphabetic-word fraction,
+    * distinct-stopword hits, symbol ratio — each thresholded into a
+    * named rule verdict, plus the conjunction `keep`. This is the
+    * heuristic pre-filter stage a training pipeline runs BEFORE model
+    * scoring ([[TextAnalysis.modelQualityFilter]]) and repetition
+    * checks ([[TextAnalysis.repetitionStats]]): cheap, interpretable,
+    * and tuned by inspection of the per-rule pass rates it emits.
+    *
+    * Thresholds are the published Gopher values where the fixture's
+    * synthetic docs make them meaningful (mean word length in [3, 10],
+    * symbol ratio <= 0.1) and fixture-scaled where not (min words 30
+    * instead of 50 — the fixture median is 56; distinct stopwords >= 2
+    * against the shared 9-word list).
+    *
+    * Scale shape: one projection over the scan — every feature is a
+    * codegen'd array/regex expression over the token split, no explode,
+    * no shuffle, no UDF. At 100 TB this runs at scan speed.
+    */
+  def gopherFilters(spark: SparkSession, d: String): DataFrame =
+    gopherFiltersDf(Tables.fanOut(Tables.documents(spark, d)))
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def gopherFiltersDf(docs: DataFrame): DataFrame = {
+    val t = TextAnalysis.tokens(col("text"))
+    val nWords = size(t)
+    val sumLen = aggregate(t, lit(0), (acc, x) => acc + length(x))
+    val meanLen = round(sumLen.cast("double") / nWords, 6)
+    val alphaFrac = round(
+      size(filter(t, x => x.rlike("[A-Za-z]"))).cast("double") / nWords, 6)
+    val stopHits = size(array_intersect(
+      array_distinct(t), array(TextAnalysis.stopwords.map(lit): _*)))
+    val symbolRatio = round(
+      size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
+        .cast("double") / nWords, 6)
+    docs
+      // empty/null text has no words — every ratio is 0/0; such docs are
+      // dropped by definition (same exclusion as modelQualityFilter)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), nWords.as("n_words"), meanLen.as("mean_word_len"),
+        alphaFrac.as("alpha_frac"), stopHits.as("stopword_hits"),
+        symbolRatio.as("symbol_ratio"))
+      .withColumn("r_words", col("n_words").between(30, 50000))
+      .withColumn("r_mean_len", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("r_stop", col("stopword_hits") >= 2)
+      .withColumn("r_symbol", col("symbol_ratio") <= 0.1)
+      .withColumn("keep",
+        col("r_words") && col("r_mean_len") && col("r_alpha") &&
+          col("r_stop") && col("r_symbol"))
+      .orderBy(col("doc_id"))
+
+  }
+
+  /** Cross-document duplicate-SPAN removal stats (ExactSubstr-style, at
+    * token n-gram granularity): every position in every document opens a
+    * token n-gram span; a span is REMOVED iff the identical n-gram
+    * occurs at a lexicographically earlier (doc_id, pos) anywhere in the
+    * corpus — so exactly one copy of every duplicated passage survives,
+    * deterministically, with no connected-components machinery (span
+    * identity is equality, which is transitive — unlike near-dup
+    * similarity, which is why [[Dedup.nearDupClusters]] needs CC and
+    * this does not).
+    *
+    * Unlike document-level dedup (which keeps or drops whole docs), this
+    * is the operator for corpora where COPIED PASSAGES hide inside
+    * otherwise-distinct documents — boilerplate headers, quoted text,
+    * licence blocks. Output is the per-document audit: span count,
+    * removed-span count, removed fraction, and a keep verdict at the
+    * `maxDupFrac` threshold (a doc that is mostly duplicated passages is
+    * dropped outright; one with a stray quoted line is kept and cleaned
+    * downstream).
+    *
+    * Scale shape: the exploded span stream carries (doc_id, pos, 8-byte
+    * xxhash64 span hash) — span STRINGS never reach an exchange (the
+    * hash-not-string trick of [[Corpus.decontaminationStats]]; same
+    * collision math, documented there, applies). The duplicate/keeper
+    * decision is a WINDOW over the span hash, not a groupBy+self-join:
+    * at corpus scale most n-grams are UNIQUE, so a per-gram group table
+    * is itself corpus-sized and joining it back would shuffle the full
+    * stream twice — the window shuffles it once (exchange +
+    * in-partition sort on the hash, the same topology as
+    * decontamination's one-pass fallback). (doc_id, pos) rides the
+    * window packed into one BIGINT so the keeper-min stays a primitive
+    * aggregation. The per-doc rollup then reduces map-side. A hot span
+    * (the same licence block pasted a million times) is one hash key —
+    * a skewed window partition; if one key ever dominates, pre-filter
+    * unique hashes with a count pass or a Bloom sketch first.
+    *
+    * The DuckDB oracle computes the same removal rule over span STRINGS
+    * (ROW_NUMBER over (gram) ordered by (doc_id, pos)) — hashing changes
+    * the grouping key, not the groups, short of an xxhash64 collision.
+    */
+  def spanDedupStats(spark: SparkSession, d: String, n: Int = 5,
+                     maxDupFrac: Double = 0.2): DataFrame =
+    spanDedupStatsDf(Tables.documents(spark, d), n, maxDupFrac)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def spanDedupStatsDf(docs: DataFrame, n: Int = 5,
+                       maxDupFrac: Double = 0.2): DataFrame = {
+    val t = TextAnalysis.tokens(col("text"))
+    // positional span hashes: pos i (1-based) covers tokens [i, i+n-1].
+    // sequence(1, 0) would generate a DESCENDING [1, 0] — guard short
+    // docs to an explicit empty array
+    val spanHashes = when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => xxhash64(concat_ws(" ", slice(t, i, lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
+    val spans = Tables.fanOut(docs).filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(spanHashes).as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+    // (doc_id, pos) packed into one BIGINT: min(packed) = lexicographic
+    // min of (doc_id, pos) while staying a primitive-buffer aggregation
+    // (min over a struct falls back to sort-based aggregation). pos
+    // takes the low 20 bits — up to ~1M spans per document; a longer
+    // doc would alias into a neighboring doc_id's key space (such docs
+    // are pathological and flagged upstream by Corpus.packDocuments).
+    val packed = shiftleft(col("doc_id"), 20) + col("pos")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val marked = spans
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("keeper", min(packed).over(w))
+      .select(col("doc_id"),
+        (col("cnt") > 1 && packed =!= col("keeper")).cast("long").as("removed"))
+    val perDoc = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("removed")).as("n_removed"))
+    // LEFT JOIN back so docs too short to open a span still report
+    docs.filter(col("text").isNotNull).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .withColumn("dup_frac",
+        when(col("n_spans") > 0,
+          round(col("n_removed").cast("double") / col("n_spans"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("keep", col("dup_frac") <= maxDupFrac)
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distributed k-means over the embedding column — the corpus-clustering
+  * step a training-data pipeline runs for curation at scale (cluster
+  * then inspect/balance/dedup per cluster; SemDeDup and density-based
+  * pruning both start from exactly this clustering).
+  *
+  * Contrast with [[Similarity.trainIvfCentroids]]: the IVF quantizer
+  * deliberately trains on a BOUNDED driver-side sample (its model only
+  * routes probes). This is the full-corpus Lloyd's iteration — every
+  * vector votes in every round — for when cluster QUALITY is the
+  * product, executed as Spark aggregations so it scales with the
+  * cluster, not the driver.
+  */
+object Clustering {
+
+  /** Full-corpus Lloyd's k-means, distributed:
+    *
+    *  - init: the embeddings of the k smallest vec_ids (deterministic,
+    *    no RNG — runs and replays agree; k rows collected).
+    *  - assignment: nearest-centroid argmin as a narrow map over the
+    *    corpus (broadcast k×dim doubles in the UDF closure).
+    *  - update: per-(cell, dimension) sums via posexplode + hash
+    *    aggregation — map-side partials reduce every partition to
+    *    ≤ k×dim rows BEFORE the exchange, so the shuffle carries
+    *    O(k × dim × partitions) regardless of corpus size; the driver
+    *    receives exactly k×dim (cell, dim, sum, count) rows per
+    *    iteration (~a few KB), the textbook distributed-k-means sync.
+    *
+    * Cost: `iters` corpus passes + one k-row collect; per-iteration
+    * driver traffic is k×dim doubles. Empty cells keep their previous
+    * centroid (no respawn — deterministic). This is an eager model-
+    * fitting call (it RUNS Spark jobs), not a lazy query builder —
+    * callers embedding it in a query ([[kmeansStats]]) pay the fit at
+    * build time by design, exactly like [[Similarity.trainIvfCentroids]].
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int = 8, iters: Int = 4): Array[Array[Double]] = {
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got $k, $iters")
+    var cents: Array[Array[Double]] = emb.filter(col("embedding").isNotNull)
+      .orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(cents.length == k, s"need >= $k non-null vectors, got ${cents.length}")
+    for (_ <- 0 until iters) {
+      val assigned = emb.filter(col("embedding").isNotNull)
+        .select(Similarity.ivfCellUdf(cents)(col("embedding")).as("cell"),
+          col("embedding"))
+      val rows = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("c"))
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach { r =>
+        val (cell, dim) = (r.getInt(0), r.getInt(1))
+        next(cell)(dim) = r.getDouble(2) / r.getLong(3)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Cluster-level audit of a fitted k-means: size, inertia (sum of
+    * squared distances to the assigned centroid), and mean squared
+    * distance per cluster — the numbers a curation pipeline reads to
+    * pick which clusters to prune, balance, or inspect. One narrow
+    * assignment map + one k-row aggregation; floats are engine-local
+    * (rows-only correctness check, like the other cosine/L2 queries).
+    */
+  def kmeansStats(spark: SparkSession, d: String,
+                  k: Int = 8, iters: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val cents = kmeansCentroids(emb, k, iters)
+    val sqDist = sqDistUdf(cents)
+    emb.filter(col("embedding").isNotNull)
+      .select(Similarity.ivfCellUdf(cents)(col("embedding")).as("cluster"),
+        sqDist(col("embedding")).as("d2"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("d2")), 6).as("inertia"),
+        round(avg(col("d2")), 6).as("mean_sq_dist"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Squared L2 distance to the assigned (= nearest) centroid. */
+  private def sqDistUdf(cents: Array[Array[Double]]) =
+    udf { v: scala.collection.Seq[Float] =>
+      var best = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val ctr = cents(c)
+        var d = 0.0
+        var i = 0
+        val n = math.min(ctr.length, v.length)
+        while (i < n) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+        if (d < best) best = d
+        c += 1
+      }
+      best
+    }
+}

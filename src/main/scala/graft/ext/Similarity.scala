@@ -174,8 +174,10 @@ object Similarity {
     cents
   }
 
-  /** Nearest-centroid cell id (squared-L2 argmin, ties to lower cell). */
-  private def ivfCellUdf(cents: Array[Array[Double]]) =
+  /** Nearest-centroid cell id (squared-L2 argmin, ties to lower cell).
+    * Shared with [[Clustering]] — k-means assignment is the same argmin.
+    */
+  private[ext] def ivfCellUdf(cents: Array[Array[Double]]) =
     udf { v: scala.collection.Seq[Float] =>
       var best = 0
       var bestD = Double.MaxValue

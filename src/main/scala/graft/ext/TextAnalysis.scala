@@ -438,6 +438,76 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per SOURCE,
+    * rank documents by [[unigramLogProb]]'s LM score and split into
+    * head / middle / tail thirds — head (highest log-prob = lowest
+    * perplexity) is the "looks like the LM's training distribution"
+    * slice a pipeline keeps outright, tail is the candidate-drop slice,
+    * middle gets a second look. Thirds are NTILE(3) over (source,
+    * score desc, doc_id) — doc_id tiebreak makes the split total-order
+    * deterministic, and avg_logprob is already integer-micro-nat
+    * snapped, so the ordering is engine-exact (full DuckDB oracle).
+    *
+    * Scale shape: the LM scoring is [[unigramLogProbDf]]'s one
+    * token-shuffle topology; the bucketing adds ONE exchange keyed on
+    * source carrying (doc_id, source, avg_logprob) — 16-ish bytes per
+    * DOCUMENT (not per token), then an in-partition sort. A single
+    * dominant source makes that sort wide; [[perplexityBucketsApprox]]
+    * is the skew-proof variant — per-source approximate tercile cutoffs
+    * (a source-count-sized aggregate) joined back as a narrow map, no
+    * per-source sort, at the price of approximate boundaries (bucket
+    * POPULATIONS shift slightly; membership is still deterministic).
+    */
+  def perplexityBuckets(spark: SparkSession, d: String): DataFrame =
+    perplexityBucketsDf(Tables.documents(spark, d))
+
+  /** DataFrame form (docs must have doc_id + source + text). */
+  def perplexityBucketsDf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    unigramLogProbDf(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("bucket", ntile(3).over(w))
+      .withColumn("bucket_name",
+        element_at(array(lit("head"), lit("middle"), lit("tail")), col("bucket")))
+      .select(col("doc_id"), col("source"), col("avg_logprob"),
+        col("bucket"), col("bucket_name"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Skew-proof variant of [[perplexityBuckets]]: per-source tercile
+    * CUTOFFS from approx_percentile (one source-sized aggregate, default
+    * relative error 1e-4) broadcast-joined back, membership by
+    * comparison — no per-source corpus sort at any scale. Bucket
+    * boundaries are approximate, so populations can differ slightly
+    * from the exact NTILE thirds near ties; tested to agree within
+    * tolerance on the fixture.
+    */
+  def perplexityBucketsApprox(spark: SparkSession, d: String): DataFrame =
+    perplexityBucketsApproxDf(Tables.documents(spark, d))
+
+  /** DataFrame form (docs must have doc_id + source + text). */
+  def perplexityBucketsApproxDf(docs: DataFrame): DataFrame = {
+    val scored = unigramLogProbDf(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val cutoffs = scored.groupBy(col("source"))
+      .agg(percentile_approx(col("avg_logprob"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("qs"))
+      .select(col("source"),
+        element_at(col("qs"), 1).as("q33"), element_at(col("qs"), 2).as("q67"))
+    scored.join(broadcast(cutoffs), "source")
+      .withColumn("bucket",
+        when(col("avg_logprob") > col("q67"), 1)
+          .when(col("avg_logprob") > col("q33"), 2)
+          .otherwise(3))
+      .withColumn("bucket_name",
+        element_at(array(lit("head"), lit("middle"), lit("tail")), col("bucket")))
+      .select(col("doc_id"), col("source"), col("avg_logprob"),
+        col("bucket"), col("bucket_name"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source token-distribution DRIFT: KL(source ‖ corpus) over the
     * unigram distributions — the monitoring metric a data-mixing
     * pipeline tracks to spot a source whose content shifted (crawl

@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Heuristic cleaning operators: the Gopher-style filter battery,
+  * cross-doc duplicate-span removal, and perplexity bucketing.
+  */
+class CleaningSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("gopher filters: each rule fires on a hand-built violating doc") {
+    val longOk = (Seq("the", "a") ++ Seq.fill(40)("word")).mkString(" ")
+    val rows = Map(
+      1L -> longOk,                                     // passes all
+      2L -> (Seq("the", "a") ++ Seq.fill(10)("word")).mkString(" "), // too few words
+      3L -> (Seq("the", "a") ++ Seq.fill(40)("ab")).mkString(" "),   // mean len < 3
+      4L -> (Seq("the", "a") ++ Seq.fill(20)("word") ++ Seq.fill(20)("123")).mkString(" "), // alpha frac 22/42 < 0.8
+      5L -> Seq.fill(42)("word").mkString(" "),         // no stopwords
+      6L -> (Seq("the", "a") ++ Seq.fill(35)("word") ++ Seq.fill(7)("#")).mkString(" ")) // symbols
+    val out = Cleaning.gopherFiltersDf(docsDf(rows.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(11), "clean doc must keep")
+    assert(!out(2L).getBoolean(6) && !out(2L).getBoolean(11), "r_words fires")
+    assert(!out(3L).getBoolean(7) && !out(3L).getBoolean(11), "r_mean_len fires")
+    assert(!out(4L).getBoolean(8) && !out(4L).getBoolean(11), "r_alpha fires")
+    assert(!out(5L).getBoolean(9) && !out(5L).getBoolean(11), "r_stop fires")
+    assert(!out(6L).getBoolean(10) && !out(6L).getBoolean(11), "r_symbol fires")
+    // every rule except the one violated passes on its violator (the
+    // fixtures isolate one rule each) — except doc 3/4/6 which keep
+    // their stopwords and lengths sane
+    assert(out(2L).getBoolean(7) && out(2L).getBoolean(9))
+  }
+
+  test("gopher filters: fixture run has both keeps and drops, all features finite") {
+    val out = Cleaning.gopherFilters(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val keeps = out.count(_.getBoolean(11))
+    assert(keeps > 0 && keeps < out.length,
+      s"expected mixed verdicts, got $keeps/${out.length}")
+    out.foreach { r =>
+      assert(r.getInt(1) > 0)
+      assert(!r.getDouble(2).isNaN && !r.getDouble(3).isNaN && !r.getDouble(5).isNaN)
+    }
+  }
+
+  test("span dedup: planted duplicated passage removed from the later doc only") {
+    val passage = "alpha beta gamma delta epsilon zeta eta"
+    val df = docsDf(
+      10L -> s"$passage unique1 unique2 unique3",
+      20L -> s"other tokens here entirely $passage",
+      30L -> "fully distinct text with nothing shared at all here")
+    val out = Cleaning.spanDedupStatsDf(df, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val byDoc = out.map(t => t._1 -> (t._2, t._3)).toMap
+    // passage = 7 tokens -> 3 five-grams; doc 10 owns the min (doc,pos)
+    // for all shared spans, so ALL removals land on doc 20
+    assert(byDoc(10L)._2 == 0, s"first doc must keep its spans: $byDoc")
+    assert(byDoc(20L)._2 == 3, s"later doc must lose the 3 shared spans: $byDoc")
+    assert(byDoc(30L)._2 == 0)
+  }
+
+  test("span dedup: within-doc repetition removes later copies; short docs report zero spans") {
+    val rep = "a b c d e" // 5 tokens = 1 span
+    val df = docsDf(
+      1L -> s"$rep $rep $rep",  // 15 tokens = 11 spans; span at pos 1 repeats at 6, 11
+      2L -> "tiny doc")         // < 5 tokens
+    val out = Cleaning.spanDedupStatsDf(df, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4))).toList
+    val byDoc = out.map(t => t._1 -> t).toMap
+    assert(byDoc(1L)._2 == 11)
+    // 5 distinct grams: "a b c d e" at pos 1/6/11 (2 later copies); the
+    // 4 wrap-around grams each at pos p and p+5 (1 later copy each) —
+    // removed = 2 + 4×1 = 6
+    assert(byDoc(1L)._3 == 6, s"expected 6 removed: $byDoc")
+    assert(byDoc(2L)._2 == 0 && byDoc(2L)._3 == 0 && byDoc(2L)._4,
+      "short doc: zero spans, kept")
+  }
+
+  test("span dedup: fixture run is deterministic with mixed keep verdicts") {
+    val a = Cleaning.spanDedupStats(spark, sfDir).collect()
+    val b = Cleaning.spanDedupStats(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "must be deterministic")
+    assert(a.exists(_.getLong(2) > 0), "fixture has planted duplicate spans")
+    a.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "removed cannot exceed span count")
+    }
+  }
+
+  test("perplexity buckets: per-source thirds, head scores >= tail scores") {
+    val out = TextAnalysis.perplexityBuckets(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val sizes = rows.groupBy(_._4).view.mapValues(_.length).toMap
+      val n = rows.length
+      // NTILE(3): bucket sizes differ by at most 1
+      assert(sizes.values.max - sizes.values.min <= 1, s"$src sizes $sizes")
+      assert(sizes.keySet.subsetOf(Set(1, 2, 3)))
+      if (n >= 3) {
+        val headMin = rows.filter(_._4 == 1).map(_._3).min
+        val tailMax = rows.filter(_._4 == 3).map(_._3).max
+        assert(headMin >= tailMax - 1e-9,
+          s"$src head min $headMin < tail max $tailMax")
+      }
+    }
+  }
+
+  test("perplexity buckets: approx variant agrees with exact on ~all docs") {
+    val exact = TextAnalysis.perplexityBuckets(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    val approx = TextAnalysis.perplexityBucketsApprox(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(exact.keySet == approx.keySet)
+    val agree = exact.count { case (id, b) => approx(id) == b }
+    // cutoffs are approximate: only boundary ties may flip bucket
+    assert(agree.toDouble / exact.size > 0.9,
+      s"approx buckets diverge too much: $agree/${exact.size}")
+  }
+}
