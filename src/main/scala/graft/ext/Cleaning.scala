@@ -70,6 +70,28 @@ object Cleaning {
 
   }
 
+  /** Streaming form of the filter battery (foreachBatch stage): each
+    * micro-batch of documents is scored and its verdict rows append to
+    * `outPath` tagged with the batch id. Verdicts are per-document
+    * (narrow map, no cross-doc state), so the union of per-batch
+    * outputs equals the batch-mode result on the same documents — the
+    * batch/streaming symmetry contract (asserted in StreamingSpec).
+    */
+  def gopherFilterSink(docStream: DataFrame, outPath: String, checkpoint: String,
+                       triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          gopherFiltersDf(batch)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+
   /** Cross-document duplicate-SPAN removal stats (ExactSubstr-style, at
     * token n-gram granularity): every position in every document opens a
     * token n-gram span; a span is REMOVED iff the identical n-gram

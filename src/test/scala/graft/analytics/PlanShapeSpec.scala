@@ -128,4 +128,23 @@ class PlanShapeSpec extends SparkTestBase {
     assert(kernelEvals <= 2,
       s"shingle kernel duplicated ($kernelEvals evals for 2 branches):\n$pd")
   }
+
+  test("exchange-count pins for round-8 additions (gopher / span dedup / ppl buckets)") {
+    // gopher is a pure narrow map: its only keyed exchange is the
+    // presentation sort. Span dedup's scale contract is ONE
+    // full-stream shuffle (the window on the span hash) + the per-doc
+    // rollup pair + result sort — a groupBy+self-join shape sneaking
+    // back would double the stream's exchanges and fail here.
+    // Perplexity buckets: the unigram token/vocab exchanges + ONE
+    // doc-sized window shuffle on source + result sort.
+    assert(shuffleExchanges("q_gopher_filters") <= 1,
+      s"gopher filter plan grew a shuffle:\n${plan("q_gopher_filters")}")
+    assert(shuffleExchanges("q_span_dedup") <= 3,
+      s"span dedup plan grew a shuffle:\n${plan("q_span_dedup")}")
+    assert(shuffleExchanges("q_perplexity_buckets") <= 6,
+      s"perplexity bucket plan grew a shuffle:\n${plan("q_perplexity_buckets")}")
+    // the span stream must be windowed, not joined back to itself
+    assert(plan("q_span_dedup").contains("Window"),
+      "span dedup lost its window form")
+  }
 }

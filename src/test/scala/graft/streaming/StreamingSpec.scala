@@ -250,6 +250,34 @@ class StreamingSpec extends SparkTestBase {
     assert(!byDoc.contains(3L) && !byDoc.contains(4L), "clean docs absent")
   }
 
+  test("streaming gopher filter: per-batch verdicts match batch mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      1L -> ("the a " + Seq.fill(40)("word").mkString(" ")),   // keeps
+      2L -> ("the a " + Seq.fill(10)("word").mkString(" ")),   // too short
+      3L -> Seq.fill(42)("word").mkString(" "),                // no stopwords
+      4L -> ("the a " + Seq.fill(40)("ab").mkString(" ")))     // mean len < 3
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("gopher_out").toString
+    val ckpt = Files.createTempDirectory("gopher_ckpt").toString
+    val query = graft.ext.Cleaning.gopherFilterSink(
+      input.toDF().toDF("doc_id", "text"), out, ckpt, triggerMs = 50L).start()
+    try {
+      input.addData(docs(0), docs(1))
+      query.processAllAvailable()
+      input.addData(docs(2), docs(3))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ext.Cleaning
+      .gopherFiltersDf(docs.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    val kept = spark.read.parquet(out).filter($"keep").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L), "only the clean doc keeps")
+  }
+
   test("streaming top-K sampler: complete-mode agg converges to the batch result") {
     implicit val sqlCtx = spark.sqlContext
     // the bounded TopKByKey aggregator is merge-associative, so Spark can
