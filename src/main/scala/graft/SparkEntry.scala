@@ -136,7 +136,11 @@ object SparkEntry {
     "q_gopher_filters"    -> ((s: SparkSession, d: String) => Cleaning.gopherFilters(s, d)),
     "q_span_dedup"        -> ((s: SparkSession, d: String) => Cleaning.spanDedupStats(s, d)),
     "q_kmeans"            -> ((s: SparkSession, d: String) => Clustering.kmeansStats(s, d)),
-    "q_perplexity_buckets" -> ((s: SparkSession, d: String) => TextAnalysis.perplexityBuckets(s, d))
+    "q_perplexity_buckets" -> ((s: SparkSession, d: String) => TextAnalysis.perplexityBuckets(s, d)),
+    "q_cluster_prune"     -> ((s: SparkSession, d: String) => Clustering.clusterPrune(s, d)),
+    "q_zipf_slope"        -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
+    "q_source_overlap"    -> ((s: SparkSession, d: String) => Cleaning.sourceOverlap(s, d)),
+    "q_mixture_temperature" -> ((s: SparkSession, d: String) => ext.Corpus.mixturePlanTemperature(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -748,7 +752,57 @@ object SparkEntry {
         "FROM lp JOIN documents d USING (doc_id)) " +
         "SELECT doc_id, source, avg_logprob, bucket, " +
         "CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket_name " +
-        "FROM b ORDER BY doc_id")
+        "FROM b ORDER BY doc_id"),
+    // zipf slope: ln(rank)/ln(count) snapped to micro-units, all five
+    // regression sums exact (Spark DECIMAL(38,0) ≙ DuckDB HUGEINT),
+    // one integer→double cast before the division on both sides
+    "q_zipf_slope" ->
+      (s"WITH t AS (SELECT source, unnest($toks) AS term FROM documents), " +
+        "c AS (SELECT source, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2), " +
+        "r AS (SELECT source, term, cnt, ROW_NUMBER() OVER " +
+        "(PARTITION BY source ORDER BY cnt DESC, term) AS rnk FROM c), " +
+        "m AS (SELECT source, " +
+        "CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT) AS x, " +
+        "CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT) AS y FROM r), " +
+        "a AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, " +
+        "SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM m GROUP BY source) " +
+        "SELECT source, CAST(n AS BIGINT) AS n_terms, " +
+        "CASE WHEN n*sxx - sx*sx = 0 THEN 0.0 ELSE " +
+        "round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) END AS zipf_slope " +
+        "FROM a ORDER BY source"),
+    // source overlap: oracle over gram STRINGS (the deconSql shingle
+    // fragment), engine over xxhash64 grams — identical sets short of a
+    // collision (decontamination's hashing caveat)
+    "q_source_overlap" ->
+      (s"WITH docs AS (SELECT source, $toks AS t FROM documents WHERE text IS NOT NULL), " +
+        "g AS (SELECT DISTINCT source, unnest(list_distinct(list_transform(" +
+        "range(1, greatest(len(t)-4, 1)+1), i -> array_to_string(t[i:i+4], ' ')))) AS gram FROM docs), " +
+        "s AS (SELECT source, COUNT(*) AS n_grams FROM g GROUP BY source), " +
+        "p AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared " +
+        "FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT source_a, source_b, sa.n_grams AS grams_a, sb.n_grams AS grams_b, n_shared, " +
+        "round(n_shared / CAST(sa.n_grams + sb.n_grams - n_shared AS DOUBLE), 6) AS jaccard " +
+        "FROM p JOIN s sa ON p.source_a = sa.source JOIN s sb ON p.source_b = sb.source " +
+        "ORDER BY source_a, source_b"),
+    // temperature mixture: pow(share, tau) snaps to nano-units before
+    // the normalizing sum (exact integer normalization); the
+    // budget*npw product stays under 2^53 so the double math is exact
+    "q_mixture_temperature" ->
+      (s"WITH ps AS (SELECT source, COUNT(*) AS n_docs, " +
+        s"CAST(SUM(coalesce(len($toks), 0)) AS BIGINT) AS n_tokens FROM documents GROUP BY source), " +
+        "t AS (SELECT SUM(n_tokens) AS tot FROM ps), " +
+        "m AS (SELECT source, n_docs, n_tokens, " +
+        "round(CAST(n_tokens AS DOUBLE) / tot, 6) AS share, " +
+        "CAST(floor(pow(CAST(n_tokens AS DOUBLE) / tot, 0.5) * 1e9 + 0.5) AS BIGINT) AS npw " +
+        "FROM ps CROSS JOIN t), " +
+        "tw AS (SELECT SUM(npw) AS stot FROM m) " +
+        "SELECT source, n_docs, n_tokens, share, " +
+        "round(CAST(npw AS DOUBLE) / stot, 6) AS weight, " +
+        "CAST(floor(500000.0 * npw / stot + 0.5) AS BIGINT) AS target_tokens, " +
+        "CASE WHEN n_tokens > 0 THEN " +
+        "floor(least(1.0, CAST(CAST(floor(500000.0 * npw / stot + 0.5) AS BIGINT) AS DOUBLE) " +
+        "/ CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS sample_rate " +
+        "FROM m CROSS JOIN tw ORDER BY source")
     // No oracle (rows-only checks) — the authoritative list is
     // `queries.keySet -- oracleSql.keySet` (don't trust a hardcoded
     // enumeration here); currently that's the xxhash64-based dedup

@@ -135,6 +135,59 @@ object Cleaning {
                      maxDupFrac: Double = 0.2): DataFrame =
     spanDedupStatsDf(Tables.documents(spark, d), n, maxDupFrac)
 
+  /** Cross-SOURCE n-gram overlap matrix: for every source pair, how many
+    * distinct token n-grams they share, and the Jaccard similarity of
+    * their gram sets — the audit a pipeline runs to find sources that
+    * mirror each other (the same site crawled twice, a dataset bundled
+    * inside another) before document-level dedup ever sees them. High
+    * overlap says "dedup these two against each other first / drop one";
+    * it also catches cross-source benchmark bleed the per-doc
+    * [[Corpus.decontaminationStats]] view doesn't aggregate.
+    *
+    * Scale shape: ONE corpus pass and ONE full-stream exchange. The
+    * (source, 8-byte gram hash) stream — gram strings never reach an
+    * exchange (the [[Dedup.shingleHashes]] kernel; decontamination's
+    * collision note applies) — aggregates to one source-SET per hash
+    * (`collect_set` partials merge map-side; the set is bounded by the
+    * SOURCE count, an operator precondition, not the corpus). Pair
+    * counts and per-source gram counts then derive from the per-hash
+    * sets: a gram in s sources yields s·(s−1)/2 pairs via array
+    * transforms, and both downstream aggregations are |sources|²-sized.
+    * A hash-keyed self-join of the distinct gram table computes the
+    * same matrix but scans the corpus and shuffles the full stream once
+    * PER SIDE — this shape replaces it deliberately.
+    */
+  def sourceOverlap(spark: SparkSession, d: String, n: Int = 5): DataFrame =
+    sourceOverlapDf(Tables.documents(spark, d), n)
+
+  /** DataFrame form (docs must have source + text). */
+  def sourceOverlapDf(docs: DataFrame, n: Int = 5): DataFrame = {
+    val byGram = Tables.fanOut(docs).filter(col("text").isNotNull)
+      .select(col("source"),
+        explode(Dedup.shingleHashes(TextAnalysis.tokens(col("text")), n)).as("h"))
+      .groupBy(col("h"))
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
+    val sizes = byGram
+      .select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    // ordered pairs (a < b) of each gram's sorted source set
+    val pairArr = flatten(transform(col("srcs"), (a, i) =>
+      transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+        b => struct(a.as("sa"), b.as("sb")))))
+    val pairs = byGram
+      .select(explode(pairArr).as("p"))
+      .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("source").as("source_a"), col("n_grams").as("grams_a")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n_grams").as("grams_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("grams_a"), col("grams_b"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("grams_a") + col("grams_b") - col("n_shared")), 6).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** DataFrame form (docs must have doc_id + text). */
   def spanDedupStatsDf(docs: DataFrame, n: Int = 5,
                        maxDupFrac: Double = 0.2): DataFrame = {

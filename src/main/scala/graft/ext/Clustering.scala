@@ -86,6 +86,53 @@ object Clustering {
       .orderBy(col("cluster"))
   }
 
+  /** Cluster-based pruning (the D4 / SSL-prototypes curation move,
+    * Tirumala et al. 2023): within each k-means cluster, DROP the most
+    * prototypical `dropFrac` of vectors — the ones closest to their
+    * centroid carry the least marginal information, so pruning them
+    * first preserves diversity at a given data budget (the opposite
+    * keep-rule of [[Similarity.semanticDedup]], which drops near-DUPS;
+    * the two compose: dedup first, then density-prune).
+    *
+    * Drop rule: rank within cluster by (squared distance ASC, vec_id)
+    * and drop ranks <= floor(dropFrac × cluster size) — deterministic,
+    * no RNG, exact per-cluster proportions. Output is the per-cluster
+    * audit (sizes, drops, the distance at the cut) plus totals a
+    * pipeline uses to confirm the prune hit its budget.
+    *
+    * Scale shape: assignment + distance are the narrow map; ranking is
+    * ONE window shuffle keyed on the cluster id over (cluster, d2,
+    * vec_id) rows — 24 bytes per VECTOR, not per dimension. With k
+    * clusters over a 100 TB corpus the window partitions are corpus/k
+    * sized; derive k from corpus size (as semantic dedup derives nlist)
+    * if a single cluster would exceed a task's memory for the sort.
+    */
+  def clusterPrune(spark: SparkSession, d: String,
+                   k: Int = 8, iters: Int = 4,
+                   dropFrac: Double = 0.25): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac <= 1.0, s"dropFrac in [0,1], got $dropFrac")
+    val emb = Tables.embeddings(spark, d)
+    val cents = kmeansCentroids(emb, k, iters)
+    val sqDist = sqDistUdf(cents)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        Similarity.ivfCellUdf(cents)(col("embedding")).as("cluster"),
+        sqDist(col("embedding")).as("d2"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cluster_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))))
+      .withColumn("dropped", col("rk") <= floor(lit(dropFrac) * col("cluster_n")))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("dropped").cast("long")).as("n_dropped"),
+        round(max(when(col("dropped"), col("d2"))), 6).as("cut_d2"),
+        round(avg(col("d2")), 6).as("mean_d2"))
+      .orderBy(col("cluster"))
+  }
+
   /** Squared L2 distance to the assigned (= nearest) centroid. */
   private def sqDistUdf(cents: Array[Array[Double]]) =
     udf { v: scala.collection.Seq[Float] =>

@@ -186,6 +186,58 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** TEMPERATURE-scaled mixture planning (the multilingual sampling rule
+    * of Conneau & Lample 2019 / mT5): source weights derive from token
+    * SHARES raised to `tau` and renormalized — tau = 1 reproduces the
+    * natural distribution, tau → 0 approaches uniform, the standard
+    * knob for keeping low-resource sources visible without letting the
+    * biggest source drown the mixture. Same budget→targets→rates
+    * arithmetic as [[mixturePlan]], with the weight table COMPUTED from
+    * the corpus instead of supplied.
+    *
+    * Scale shape: identical to [[mixturePlan]] — one corpus-sized
+    * token-count aggregation keyed by source, then all weight math runs
+    * over source-level rows (empty-frame windows over |sources| rows).
+    *
+    * FP parity: pow(share, tau) snaps to integer nano-units BEFORE the
+    * normalizing sum, so the weight normalization is exact integer
+    * arithmetic (the [[graft.ext.TextAnalysis.unigramLogProb]] design;
+    * a cross-libm 1-ulp difference in pow itself collapses under the
+    * 1e-9 snap except exactly at a tie boundary).
+    */
+  def mixturePlanTemperature(spark: SparkSession, d: String,
+                             budgetTokens: Long = 500000L,
+                             tau: Double = 0.5): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau in (0, 1], got $tau")
+    val win = org.apache.spark.sql.expressions.Window.partitionBy()
+    val perSource = Tables.documents(spark, d)
+      .select(col("source"),
+        coalesce(size(graft.ext.TextAnalysis.tokens(col("text"))), lit(0))
+          .cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val share = col("n_tokens").cast("double") /
+      sum(col("n_tokens")).over(win).cast("double")
+    val nanoPw = floor(pow(share, lit(tau)) * 1e9 + 0.5).cast("long")
+    perSource
+      .withColumn("share", round(share, 6))
+      .withColumn("npw", nanoPw)
+      .withColumn("weight",
+        round(col("npw").cast("double") / sum(col("npw")).over(win).cast("double"), 6))
+      .withColumn("target_tokens",
+        floor(lit(budgetTokens.toDouble) * col("npw").cast("double") /
+          sum(col("npw")).over(win).cast("double") + 0.5).cast("long"))
+      .withColumn("sample_rate",
+        when(col("n_tokens") > 0,
+          floor(least(lit(1.0),
+            col("target_tokens").cast("double") / col("n_tokens").cast("double"))
+            * 1e6 + 0.5) / 1e6)
+          .otherwise(lit(0.0)))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("share"),
+        col("weight"), col("target_tokens"), col("sample_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic STRATIFIED sampling: the k documents per source with
     * the smallest content hash — a fixed-size uniform sample per stratum
     * (md5 is uniform over content, engine-portable, re-crawl-stable:

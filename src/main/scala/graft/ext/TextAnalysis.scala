@@ -508,6 +508,58 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source Zipf-slope audit: the least-squares slope of ln(count)
+    * against ln(rank) over each source's token frequency table. Natural
+    * text follows Zipf's law with slope ≈ −1; a source whose slope
+    * drifts far from the corpus norm (too flat = near-uniform junk /
+    * random tokens, too steep = boilerplate dominated by a few strings)
+    * is the distribution-level red flag this audit surfaces — the
+    * frequency-shape complement of [[sourceKlDivergence]]'s
+    * content-drift check.
+    *
+    * Scale shape: one (source, term)-keyed count shuffle over the token
+    * stream (the tfidf/KL topology), a vocabulary-sized rank window per
+    * source, then a 5-sum regression aggregate — the regression state
+    * is O(1) per source.
+    *
+    * FP parity: ln(rank) and ln(count) snap to integer micro-units and
+    * all five regression sums run in DECIMAL(38,0) (DuckDB: HUGEINT) —
+    * exact integer arithmetic end to end; the single final
+    * integer→double cast before the division is IEEE-deterministic in
+    * both engines (the [[unigramLogProb]] design applied to regression).
+    */
+  def zipfSlope(spark: SparkSession, d: String): DataFrame =
+    zipfSlopeDf(Tables.documents(spark, d))
+
+  /** DataFrame form (docs must have source + text). */
+  def zipfSlopeDf(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("cnt").desc, col("term"))
+    val micro = counts
+      .withColumn("rank", row_number().over(w))
+      .select(col("source"),
+        floor(log(col("rank").cast("double")) * 1e6 + 0.5)
+          .cast("decimal(19,0)").as("x"),
+        floor(log(col("cnt").cast("double")) * 1e6 + 0.5)
+          .cast("decimal(19,0)").as("y"))
+    micro.groupBy(col("source"))
+      .agg(count(lit(1)).cast("decimal(19,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n").cast("long").as("n_terms"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(0.0))
+          .otherwise(round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+          .as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
   /** Per-source token-distribution DRIFT: KL(source ‖ corpus) over the
     * unigram distributions — the monitoring metric a data-mixing
     * pipeline tracks to spot a source whose content shifted (crawl

@@ -11,7 +11,7 @@ object ReuseAudit {
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     val d = "/root/testdata/sf0.01"
     Seq("q_minhash_pairs", "q_simhash_near_dups", "q_semantic_dedup",
-      "q_embedding_near_dups", "q_ngram_jaccard").foreach { q =>
+      "q_embedding_near_dups", "q_ngram_jaccard", "q_source_overlap").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, d)
       df.collect()
       val p = df.queryExecution.executedPlan.toString

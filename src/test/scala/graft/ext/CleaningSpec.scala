@@ -90,6 +90,59 @@ class CleaningSpec extends SparkTestBase {
     }
   }
 
+  test("source overlap: mirrored sources found, disjoint sources absent, jaccard exact") {
+    val passage = "one two three four five six seven eight nine ten"
+    val df = Seq(
+      (1L, passage, "mirror_a"),
+      (2L, passage, "mirror_b"),              // exact mirror of mirror_a
+      (3L, "alpha beta gamma delta epsilon zeta", "solo"))
+      .toDF("doc_id", "text", "source")
+    val out = Cleaning.sourceOverlapDf(df, n = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // 10 tokens -> 6 distinct 5-grams; mirrors share all of them
+    assert(out((("mirror_a", "mirror_b"))) == ((6L, 6L, 6L, 1.0)),
+      s"mirrors must be jaccard 1.0: $out")
+    assert(!out.keySet.exists(p => p._1 == "solo" || p._2 == "solo"),
+      "disjoint source must produce no overlap row")
+  }
+
+  test("source overlap: partial overlap has the hand-computed jaccard") {
+    val df = Seq(
+      (1L, "a b c d e f", "s1"),   // grams: abcde, bcdef
+      (2L, "a b c d e z", "s2"))   // grams: abcde, bcdez
+      .toDF("doc_id", "text", "source")
+    val Array(row) = Cleaning.sourceOverlapDf(df, n = 5).collect()
+    assert(row.getLong(2) == 2 && row.getLong(3) == 2 && row.getLong(4) == 1)
+    // jaccard = 1 / (2 + 2 - 1)
+    assert(math.abs(row.getDouble(5) - 0.333333) < 1e-6)
+  }
+
+  test("zipf slope: uniform counts give slope 0, exact-Zipf counts give -1") {
+    // uniform: every term once -> y constant -> slope exactly 0
+    val uniform = (1 to 20).map(i => s"tok$i").mkString(" ")
+    // exact Zipf: cnt(k) = 12/k for ranks 1..4 -> y = ln12 - x, slope -1
+    val zipfy = (Seq.fill(12)("w1") ++ Seq.fill(6)("w2") ++
+      Seq.fill(4)("w3") ++ Seq.fill(3)("w4")).mkString(" ")
+    val df = Seq((1L, uniform, "uni"), (2L, zipfy, "zipf"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.zipfSlopeDf(df)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("uni") == 0.0, s"uniform slope must be 0: $out")
+    assert(math.abs(out("zipf") + 1.0) < 0.001, s"zipf slope must be ~-1: $out")
+  }
+
+  test("zipf slope: fixture sources all slope negative, deterministic") {
+    val a = TextAnalysis.zipfSlope(spark, sfDir).collect()
+    val b = TextAnalysis.zipfSlope(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getDouble(2) < 0.0,
+        s"${r.getString(0)}: frequency must fall with rank, slope ${r.getDouble(2)}")
+    }
+  }
+
   test("perplexity buckets: per-source thirds, head scores >= tail scores") {
     val out = TextAnalysis.perplexityBuckets(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))

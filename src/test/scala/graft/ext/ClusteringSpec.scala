@@ -83,6 +83,34 @@ class ClusteringSpec extends SparkTestBase {
     cents.foreach(c => c.foreach(x => assert(!x.isNaN && !x.isInfinite)))
   }
 
+  test("cluster prune: drop counts are exact per-cluster floors, cut below mean tail") {
+    val out = Clustering.clusterPrune(spark, sfDir, k = 4, iters = 2, dropFrac = 0.25)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, dropped) = (r.getLong(1), r.getLong(2))
+      assert(dropped == math.floor(0.25 * n).toLong,
+        s"cluster ${r.getInt(0)}: dropped $dropped of $n != floor(0.25n)")
+      // the cut distance (max dropped d2) cannot exceed the cluster mean
+      // by construction only when dropFrac <= 0.5 and the distribution
+      // is not degenerate — assert the weaker invariant cut <= max
+      if (dropped > 0) assert(r.getDouble(3) <= r.getDouble(4) * 4 + 1e-6)
+    }
+    val total = out.map(_.getLong(1)).sum
+    val nVecs = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("embedding").isNotNull).count()
+    assert(total == nVecs)
+  }
+
+  test("cluster prune: dropFrac 0 drops nothing, dropFrac 1 drops everything") {
+    val none = Clustering.clusterPrune(spark, sfDir, k = 3, iters = 1, dropFrac = 0.0)
+      .collect()
+    assert(none.forall(_.getLong(2) == 0L))
+    val all = Clustering.clusterPrune(spark, sfDir, k = 3, iters = 1, dropFrac = 1.0)
+      .collect()
+    all.foreach(r => assert(r.getLong(2) == r.getLong(1)))
+  }
+
   test("kmeansStats on the fixture: all vectors accounted for, inertia consistent") {
     val out = Clustering.kmeansStats(spark, sfDir, k = 4, iters = 2).collect()
     assert(out.nonEmpty && out.length <= 4)

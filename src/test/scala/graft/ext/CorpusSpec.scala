@@ -129,6 +129,23 @@ class CorpusSpec extends SparkTestBase {
     assert(webRate > 0.0 && webRate <= 1.0 && !webRate.isNaN)
   }
 
+  test("temperature mixture: tau=1 reproduces natural shares, tau<1 boosts small sources") {
+    val natural = Corpus.mixturePlanTemperature(spark, sfDir, tau = 1.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    natural.foreach { case (src, (share, weight)) =>
+      assert(math.abs(share - weight) < 2e-6, s"$src: tau=1 weight $weight != share $share")
+    }
+    val tempered = Corpus.mixturePlanTemperature(spark, sfDir, tau = 0.5)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(math.abs(tempered.values.map(_._2).sum - 1.0) < 1e-4, "weights must sum to 1")
+    val smallest = tempered.minBy(_._2._1)
+    val largest = tempered.maxBy(_._2._1)
+    assert(smallest._2._2 > smallest._2._1,
+      s"tau<1 must BOOST the smallest source: $smallest")
+    assert(largest._2._2 < largest._2._1,
+      s"tau<1 must SHRINK the largest source: $largest")
+  }
+
   test("unigram log-prob: hand-computed scores; rare-token docs score lower") {
     import spark.implicits._
     // 9 one-token docs of a common token, 1 of a rare one: p(common) =

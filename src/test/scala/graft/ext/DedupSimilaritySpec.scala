@@ -234,7 +234,11 @@ class DedupSimilaritySpec extends SparkTestBase {
     spark.conf.set(key, "-1")
     spark.conf.set(akey, "-1")
     try {
-      Seq("q_minhash_pairs", "q_simhash_near_dups", "q_semantic_dedup").foreach { q =>
+      // q_source_overlap is not a self-join, but its sizes/pairs
+      // branches consume the same collect_set stage — same reuse
+      // contract: the gram kernel + full-stream shuffle materialize once
+      Seq("q_minhash_pairs", "q_simhash_near_dups", "q_semantic_dedup",
+        "q_source_overlap").foreach { q =>
         val df = graft.SparkEntry.queries(q)(spark, sfDir)
         df.collect()
         val p = df.queryExecution.executedPlan.toString
