@@ -140,7 +140,8 @@ object SparkEntry {
     "q_cluster_prune"     -> ((s: SparkSession, d: String) => Clustering.clusterPrune(s, d)),
     "q_zipf_slope"        -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
     "q_source_overlap"    -> ((s: SparkSession, d: String) => Cleaning.sourceOverlap(s, d)),
-    "q_mixture_temperature" -> ((s: SparkSession, d: String) => ext.Corpus.mixturePlanTemperature(s, d))
+    "q_mixture_temperature" -> ((s: SparkSession, d: String) => ext.Corpus.mixturePlanTemperature(s, d)),
+    "q_curation_funnel"   -> ((s: SparkSession, d: String) => Cleaning.curationFunnel(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -802,7 +803,54 @@ object SparkEntry {
         "CASE WHEN n_tokens > 0 THEN " +
         "floor(least(1.0, CAST(CAST(floor(500000.0 * npw / stot + 0.5) AS BIGINT) AS DOUBLE) " +
         "/ CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS sample_rate " +
-        "FROM m CROSS JOIN tw ORDER BY source")
+        "FROM m CROSS JOIN tw ORDER BY source"),
+    // curation funnel: every stage verdict re-states its operator's
+    // oracle fragment verbatim (gopher rules, bigram repetition, model
+    // score); the dedup keeper is min-doc_id-among-survivors per
+    // content hash
+    "q_curation_funnel" ->
+      (s"WITH f AS (SELECT doc_id, text, $toks AS t FROM documents WHERE length(text) > 0), " +
+        "feat AS (SELECT doc_id, text, t, CAST(len(t) AS BIGINT) AS n_tokens, " +
+        "len(t) AS n_words, " +
+        "round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t), 6) AS mean_word_len, " +
+        "round(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t), 6) AS alpha_frac, " +
+        "len(list_intersect(list_distinct(t), " +
+        "['the','a','of','and','to','in','is','on','for'])) AS stop_hits, " +
+        "round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(t), 6) AS symbol_ratio, " +
+        "CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) " +
+        "/ len(t) AS stop_r, " +
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_r, " +
+        "CAST(len(t) AS DOUBLE) AS n_tok, " +
+        "CAST(length(text) AS DOUBLE) / len(t) AS avg_len FROM f), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), " +
+        "i -> t[i] || ' ' || t[i+1])) AS bigram FROM f), " +
+        "bc AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2), " +
+        "ba AS (SELECT doc_id, SUM(cnt) AS nb, MAX(cnt) AS topc FROM bc GROUP BY 1), " +
+        "st AS (SELECT feat.doc_id, feat.text, feat.n_tokens, " +
+        "(n_words BETWEEN 30 AND 50000) AND (mean_word_len BETWEEN 3.0 AND 10.0) " +
+        "AND alpha_frac >= 0.8 AND stop_hits >= 2 AND symbol_ratio <= 0.1 AS s_rules, " +
+        "COALESCE(round(topc / CAST(nb AS DOUBLE), 6), 0.0) <= 0.20 AS rep_keep, " +
+        "round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * stop_r - 8.0 * punct_r " +
+        "+ 0.9 * ln(n_tok + 1.0) - 0.35 * avg_len))), 6) >= 0.5 AS q_keep " +
+        "FROM feat LEFT JOIN ba ON feat.doc_id = ba.doc_id), " +
+        "fl AS (SELECT doc_id, text, n_tokens, s_rules, " +
+        "s_rules AND rep_keep AS s_rep, s_rules AND rep_keep AND q_keep AS s_q FROM st), " +
+        "fl2 AS (SELECT *, s_q AND doc_id = min(CASE WHEN s_q THEN doc_id END) " +
+        "OVER (PARTITION BY md5(text)) AS s_dedup FROM fl), " +
+        "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0, CAST(SUM(n_tokens) AS BIGINT) AS t0, " +
+        "CAST(SUM(CASE WHEN s_rules THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(SUM(CASE WHEN s_rules THEN n_tokens ELSE 0 END) AS BIGINT) AS t1, " +
+        "CAST(SUM(CASE WHEN s_rep THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
+        "CAST(SUM(CASE WHEN s_rep THEN n_tokens ELSE 0 END) AS BIGINT) AS t2, " +
+        "CAST(SUM(CASE WHEN s_q THEN 1 ELSE 0 END) AS BIGINT) AS n3, " +
+        "CAST(SUM(CASE WHEN s_q THEN n_tokens ELSE 0 END) AS BIGINT) AS t3, " +
+        "CAST(SUM(CASE WHEN s_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n4, " +
+        "CAST(SUM(CASE WHEN s_dedup THEN n_tokens ELSE 0 END) AS BIGINT) AS t4 FROM fl2) " +
+        "SELECT 1 AS stage, 'raw' AS stage_name, n0 AS n_docs, t0 AS n_tokens FROM agg " +
+        "UNION ALL SELECT 2, 'rules', n1, t1 FROM agg " +
+        "UNION ALL SELECT 3, 'repetition', n2, t2 FROM agg " +
+        "UNION ALL SELECT 4, 'quality', n3, t3 FROM agg " +
+        "UNION ALL SELECT 5, 'dedup', n4, t4 FROM agg ORDER BY stage")
     // No oracle (rows-only checks) — the authoritative list is
     // `queries.keySet -- oracleSql.keySet` (don't trust a hardcoded
     // enumeration here); currently that's the xxhash64-based dedup

@@ -38,36 +38,113 @@ object Cleaning {
   def gopherFilters(spark: SparkSession, d: String): DataFrame =
     gopherFiltersDf(Tables.fanOut(Tables.documents(spark, d)))
 
-  /** DataFrame form (docs must have doc_id + text). */
-  def gopherFiltersDf(docs: DataFrame): DataFrame = {
+  /** The five filter features as one struct column over `text` — shared
+    * by [[gopherFiltersDf]] and [[curationFunnel]].
+    */
+  private[ext] def gopherFeatures: Column = {
     val t = TextAnalysis.tokens(col("text"))
     val nWords = size(t)
     val sumLen = aggregate(t, lit(0), (acc, x) => acc + length(x))
-    val meanLen = round(sumLen.cast("double") / nWords, 6)
-    val alphaFrac = round(
-      size(filter(t, x => x.rlike("[A-Za-z]"))).cast("double") / nWords, 6)
-    val stopHits = size(array_intersect(
-      array_distinct(t), array(TextAnalysis.stopwords.map(lit): _*)))
-    val symbolRatio = round(
-      size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
-        .cast("double") / nWords, 6)
+    struct(
+      nWords.as("n_words"),
+      round(sumLen.cast("double") / nWords, 6).as("mean_word_len"),
+      round(size(filter(t, x => x.rlike("[A-Za-z]"))).cast("double") / nWords, 6)
+        .as("alpha_frac"),
+      size(array_intersect(array_distinct(t),
+        array(TextAnalysis.stopwords.map(lit): _*))).as("stopword_hits"),
+      round(size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
+        .cast("double") / nWords, 6).as("symbol_ratio"))
+  }
+
+  /** The five rule verdicts over a [[gopherFeatures]] struct column. */
+  private[ext] def gopherRules(gf: Column): Seq[Column] = Seq(
+    gf.getField("n_words").between(30, 50000).as("r_words"),
+    gf.getField("mean_word_len").between(3.0, 10.0).as("r_mean_len"),
+    (gf.getField("alpha_frac") >= 0.8).as("r_alpha"),
+    (gf.getField("stopword_hits") >= 2).as("r_stop"),
+    (gf.getField("symbol_ratio") <= 0.1).as("r_symbol"))
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def gopherFiltersDf(docs: DataFrame): DataFrame = {
+    val rules = gopherRules(col("gf"))
     docs
       // empty/null text has no words — every ratio is 0/0; such docs are
       // dropped by definition (same exclusion as modelQualityFilter)
       .filter(length(col("text")) > 0)
-      .select(col("doc_id"), nWords.as("n_words"), meanLen.as("mean_word_len"),
-        alphaFrac.as("alpha_frac"), stopHits.as("stopword_hits"),
-        symbolRatio.as("symbol_ratio"))
-      .withColumn("r_words", col("n_words").between(30, 50000))
-      .withColumn("r_mean_len", col("mean_word_len").between(3.0, 10.0))
-      .withColumn("r_alpha", col("alpha_frac") >= 0.8)
-      .withColumn("r_stop", col("stopword_hits") >= 2)
-      .withColumn("r_symbol", col("symbol_ratio") <= 0.1)
+      .select(col("doc_id"), gopherFeatures.as("gf"))
+      .select(Seq(col("doc_id"), col("gf.n_words").as("n_words"),
+        col("gf.mean_word_len").as("mean_word_len"),
+        col("gf.alpha_frac").as("alpha_frac"),
+        col("gf.stopword_hits").as("stopword_hits"),
+        col("gf.symbol_ratio").as("symbol_ratio")) ++ rules: _*)
       .withColumn("keep",
         col("r_words") && col("r_mean_len") && col("r_alpha") &&
           col("r_stop") && col("r_symbol"))
       .orderBy(col("doc_id"))
+  }
 
+  /** CURATION FUNNEL: the per-stage survivor audit of the whole
+    * heuristic-cleaning chain — raw → rule battery ([[gopherFilters]])
+    * → repetition check ([[TextAnalysis.repetitionStats]]) → model
+    * quality score ([[TextAnalysis.modelQualityFilter]]) → exact
+    * content dedup (min-doc_id keeper per md5, the
+    * [[Dedup]] exact rung). Stages apply CUMULATIVELY (a doc must
+    * survive every earlier stage), which is how a production pipeline
+    * actually runs them: cheap filters first, each stage seeing only
+    * the previous stage's survivors. The output — docs and tokens
+    * surviving each stage — is the data-card table every curation run
+    * reports.
+    *
+    * Scale shape: ALL stage verdicts compute in ONE projection over one
+    * scan (the rule battery, bigram kernel, and quality score are
+    * narrow per-doc expressions); the only corpus-sized exchange is the
+    * md5 window for the dedup keeper, and the funnel itself is a single
+    * global aggregation (map-side-combined into one row) unstacked to
+    * five rows at the end. Running the five operators separately would
+    * scan the corpus five times for the same answer.
+    */
+  def curationFunnel(spark: SparkSession, d: String): DataFrame =
+    curationFunnelDf(Tables.documents(spark, d))
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def curationFunnelDf(docs: DataFrame): DataFrame = {
+    val base = Tables.fanOut(docs)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        gopherFeatures.as("gf"),
+        TextAnalysis.bigramStats(col("text")).as("bs"),
+        TextAnalysis.qualityScoreCol.as("q"))
+    val rulesKeep = gopherRules(col("gf")).reduce(_ && _)
+    val repKeep = when(col("bs._1") === 0, lit(true))
+      .otherwise(round(col("bs._2").cast("double") / col("bs._1"), 6) <= 0.20)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary")))
+    val flagged = base
+      .withColumn("s_rules", rulesKeep)
+      .withColumn("s_rep", col("s_rules") && repKeep)
+      .withColumn("s_q", col("s_rep") && col("q") >= 0.5)
+      // keeper among STAGE SURVIVORS: min(doc_id) over same-content docs
+      // that reached this stage (min ignores the NULLs of non-survivors)
+      .withColumn("s_dedup", col("s_q") &&
+        col("doc_id") === min(when(col("s_q"), col("doc_id"))).over(w))
+    flagged.agg(
+      count(lit(1)).as("n0"), sum(col("n_tokens")).as("t0"),
+      sum(col("s_rules").cast("long")).as("n1"),
+      sum(when(col("s_rules"), col("n_tokens")).otherwise(0L)).as("t1"),
+      sum(col("s_rep").cast("long")).as("n2"),
+      sum(when(col("s_rep"), col("n_tokens")).otherwise(0L)).as("t2"),
+      sum(col("s_q").cast("long")).as("n3"),
+      sum(when(col("s_q"), col("n_tokens")).otherwise(0L)).as("t3"),
+      sum(col("s_dedup").cast("long")).as("n4"),
+      sum(when(col("s_dedup"), col("n_tokens")).otherwise(0L)).as("t4"))
+      .select(expr("stack(5, " +
+        "1, 'raw', n0, t0, " +
+        "2, 'rules', n1, t1, " +
+        "3, 'repetition', n2, t2, " +
+        "4, 'quality', n3, t3, " +
+        "5, 'dedup', n4, t4) AS (stage, stage_name, n_docs, n_tokens)"))
+      .orderBy(col("stage"))
   }
 
   /** Streaming form of the filter battery (foreachBatch stage): each

@@ -74,8 +74,11 @@ object TextAnalysis {
     * rounds to 6 dp on both sides, the same slack every float-emitting
     * oracle query here uses.
     */
-  def modelQualityFilter(spark: SparkSession, d: String,
-                         threshold: Double = 0.5): DataFrame = {
+  /** The logistic quality score as a reusable column over `text` —
+    * shared by [[modelQualityFilter]] and [[Cleaning.curationFunnel]]
+    * (term order pinned; see modelQualityFilter's scaladoc).
+    */
+  private[ext] def qualityScoreCol: Column = {
     val t = tokens(col("text"))
     val nTok = size(t).cast("double")
     val stopR = stopwordCount(col("text")).cast("double") / nTok
@@ -84,7 +87,19 @@ object TextAnalysis {
     val avgLen = length(col("text")).cast("double") / nTok
     val z = lit(-1.5) + lit(3.2) * stopR - lit(8.0) * punctR +
       lit(0.9) * log(nTok + lit(1.0)) - lit(0.35) * avgLen
-    val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
+  /** The per-doc bigram kernel as a reusable column (struct of
+    * n_bigrams/top_cnt/dup_cnt) — shared by [[repetitionStatsDf]] and
+    * [[Cleaning.curationFunnel]].
+    */
+  private[ext] def bigramStats(c: Column): Column =
+    bigramStatsUdf(coalesce(tokens(c), array().cast("array<string>")))
+
+  def modelQualityFilter(spark: SparkSession, d: String,
+                         threshold: Double = 0.5): DataFrame = {
+    val score = qualityScoreCol
     // empty-string texts are excluded on BOTH sides: punct_ratio is 0/0
     // there, which Spark (non-ANSI) evaluates to NULL but DuckDB to NaN
     // (and NaN >= 0.5 is true in DuckDB's total order) — a recorded
@@ -224,9 +239,7 @@ object TextAnalysis {
   def repetitionStatsDf(docs: DataFrame,
                         maxTopBigramFrac: Double = 0.20): DataFrame = {
     val stats = Tables.fanOut(docs)
-      .select(col("doc_id"),
-        bigramStatsUdf(coalesce(tokens(col("text")),
-          array().cast("array<string>"))).as("bs"))
+      .select(col("doc_id"), bigramStats(col("text")).as("bs"))
       .select(col("doc_id"), col("bs._1").as("n_bigrams"),
         col("bs._2").as("top_cnt"), col("bs._3").as("dup_cnt"))
     stats.select(

@@ -32,7 +32,7 @@ object ScaleSmoke {
     "q_bloom_decontamination", "q_bloom_semi_join",
     "q_stratified_sample", "q_unigram_logprob",
     "q_gopher_filters", "q_span_dedup", "q_kmeans", "q_perplexity_buckets",
-    "q_source_overlap", "q_zipf_slope", "q_cluster_prune",
+    "q_source_overlap", "q_zipf_slope", "q_cluster_prune", "q_curation_funnel",
     "q_ngram_jaccard" /* bounded kernel: must stay FLAT, not 10× */)
 
   def main(args: Array[String]): Unit = {

@@ -143,6 +143,40 @@ class CleaningSpec extends SparkTestBase {
     }
   }
 
+  test("curation funnel: stages are monotone, planted dup dropped at the dedup stage") {
+    // clean doc: 44 words, 9 distinct stopwords (stop ratio lifts the
+    // quality score over 0.5), all bigrams unique (passes repetition)
+    val clean = "the a of and to in is on for " +
+      (1 to 35).map(i => s"word$i").mkString(" ")
+    val df = Seq(
+      (1L, clean), (2L, clean),                            // exact dups: one survives
+      (3L, "the a " + Seq.fill(10)("word").mkString(" ")), // fails rules (short)
+      (4L, "the a " + Seq.fill(90)("word").mkString(" "))) // passes rules, fails repetition
+      .toDF("doc_id", "text")
+    val out = Cleaning.curationFunnelDf(df)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out("raw")._1 == 4)
+    assert(out("rules")._1 == 3, s"short doc drops at rules: $out")
+    assert(out("repetition")._1 == 2, s"'rep rep' doc drops at repetition: $out")
+    assert(out("quality")._1 == 2, s"clean dups pass quality: $out")
+    assert(out("dedup")._1 == 1, s"one of the exact dups drops at dedup: $out")
+    // docs monotone non-increasing, tokens likewise
+    val stages = Seq("raw", "rules", "repetition", "quality", "dedup").map(out)
+    stages.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._1 <= a._1 && b._2 <= a._2, s"funnel must shrink: $out")
+    }
+  }
+
+  test("curation funnel: stage counts agree with the standalone operators") {
+    val funnel = Cleaning.curationFunnel(spark, sfDir)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val rules = Cleaning.gopherFilters(spark, sfDir)
+      .filter(col("keep")).count()
+    assert(funnel("rules") == rules,
+      s"funnel rules stage ${funnel("rules")} != standalone $rules")
+    assert(funnel("raw") >= funnel("rules") && funnel("dedup") <= funnel("quality"))
+  }
+
   test("perplexity buckets: per-source thirds, head scores >= tail scores") {
     val out = TextAnalysis.perplexityBuckets(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
