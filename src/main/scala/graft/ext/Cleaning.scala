@@ -276,22 +276,23 @@ object Cleaning {
       transform(sequence(lit(1), size(t) - (n - 1)),
         i => xxhash64(concat_ws(" ", slice(t, i, lit(n))))))
       .otherwise(array().cast("array<bigint>"))
+    // (doc_id, pos) packed into one BIGINT BELOW the exchange: the span
+    // stream rides the shuffle as 16 bytes/span (pk + hash), and
+    // min(packed) = lexicographic min of (doc_id, pos) while staying a
+    // primitive-buffer aggregation (min over a struct falls back to
+    // sort-based aggregation). pos takes the low 20 bits — up to ~1M
+    // spans per document; a longer doc would alias into a neighboring
+    // doc_id's key space (such docs are pathological and flagged
+    // upstream by Corpus.packDocuments).
     val spans = Tables.fanOut(docs).filter(col("text").isNotNull)
       .select(col("doc_id"), posexplode(spanHashes).as(Seq("pos0", "h")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
-    // (doc_id, pos) packed into one BIGINT: min(packed) = lexicographic
-    // min of (doc_id, pos) while staying a primitive-buffer aggregation
-    // (min over a struct falls back to sort-based aggregation). pos
-    // takes the low 20 bits — up to ~1M spans per document; a longer
-    // doc would alias into a neighboring doc_id's key space (such docs
-    // are pathological and flagged upstream by Corpus.packDocuments).
-    val packed = shiftleft(col("doc_id"), 20) + col("pos")
+      .select((shiftleft(col("doc_id"), 20) + col("pos0") + 1).as("pk"), col("h"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val marked = spans
       .withColumn("cnt", count(lit(1)).over(w))
-      .withColumn("keeper", min(packed).over(w))
-      .select(col("doc_id"),
-        (col("cnt") > 1 && packed =!= col("keeper")).cast("long").as("removed"))
+      .withColumn("keeper", min(col("pk")).over(w))
+      .select(shiftright(col("pk"), 20).as("doc_id"),
+        (col("cnt") > 1 && col("pk") =!= col("keeper")).cast("long").as("removed"))
     val perDoc = marked.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"), sum(col("removed")).as("n_removed"))
     // LEFT JOIN back so docs too short to open a span still report
