@@ -141,7 +141,9 @@ object SparkEntry {
     "q_zipf_slope"        -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
     "q_source_overlap"    -> ((s: SparkSession, d: String) => Cleaning.sourceOverlap(s, d)),
     "q_mixture_temperature" -> ((s: SparkSession, d: String) => ext.Corpus.mixturePlanTemperature(s, d)),
-    "q_curation_funnel"   -> ((s: SparkSession, d: String) => Cleaning.curationFunnel(s, d))
+    "q_curation_funnel"   -> ((s: SparkSession, d: String) => Cleaning.curationFunnel(s, d)),
+    "q_quality_auc"       -> ((s: SparkSession, d: String) => TextAnalysis.qualityAuc(s, d)),
+    "q_corpus_diff"       -> ((s: SparkSession, d: String) => ext.Corpus.corpusDiff(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -850,7 +852,45 @@ object SparkEntry {
         "UNION ALL SELECT 2, 'rules', n1, t1 FROM agg " +
         "UNION ALL SELECT 3, 'repetition', n2, t2 FROM agg " +
         "UNION ALL SELECT 4, 'quality', n3, t3 FROM agg " +
-        "UNION ALL SELECT 5, 'dedup', n4, t4 FROM agg ORDER BY stage")
+        "UNION ALL SELECT 5, 'dedup', n4, t4 FROM agg ORDER BY stage"),
+    // quality AUC: histogram-rank Mann-Whitney with doubled midranks —
+    // integer-exact on both engines; score fragment = the
+    // q_model_quality_filter oracle verbatim
+    "q_quality_auc" ->
+      (s"WITH f AS (SELECT lang, " +
+        s"CAST(len(list_filter($toks, t -> t IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) " +
+        s"/ len($toks) AS stop_r, " +
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_r, " +
+        s"CAST(len($toks) AS DOUBLE) AS n_tok, " +
+        s"CAST(length(text) AS DOUBLE) / len($toks) AS avg_len " +
+        "FROM documents WHERE length(text) > 0), " +
+        "sc AS (SELECT round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * stop_r - 8.0 * punct_r " +
+        "+ 0.9 * ln(n_tok + 1.0) - 0.35 * avg_len))), 6) AS score, " +
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM f), " +
+        "hist AS (SELECT score, COUNT(*) AS n_s, SUM(pos) AS npos_s FROM sc GROUP BY score), " +
+        "c AS (SELECT n_s, npos_s, COALESCE(SUM(n_s) OVER " +
+        "(ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM hist), " +
+        "a AS (SELECT CAST(SUM(npos_s) AS BIGINT) AS n_pos, " +
+        "CAST(SUM(n_s - npos_s) AS BIGINT) AS n_neg, " +
+        "CAST(SUM(npos_s * (2 * cum + n_s + 1)) AS BIGINT) AS sr2 FROM c) " +
+        "SELECT n_pos, n_neg, CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.5 ELSE " +
+        "round(CAST(sr2 - n_pos * (n_pos + 1) AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE), 6) END AS auc " +
+        "FROM a"),
+    // corpus diff: both snapshots derive from content-hash buckets (the
+    // split trick), so old/new membership and the changed-text rewrite
+    // are engine-portable
+    "q_corpus_diff" ->
+      ("WITH d0 AS (SELECT doc_id, source, text, substr(md5(text), 1, 2) AS b " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "o AS (SELECT doc_id, source AS src_old, md5(text) AS h_old FROM d0 WHERE b < 'f0'), " +
+        "n AS (SELECT doc_id, source AS src_new, " +
+        "md5(CASE WHEN b >= '10' AND b < '20' THEN text || ' v2' ELSE text END) AS h_new " +
+        "FROM d0 WHERE b >= '10'), " +
+        "j AS (SELECT COALESCE(n.src_new, o.src_old) AS source, " +
+        "CASE WHEN h_old IS NULL THEN 'added' WHEN h_new IS NULL THEN 'removed' " +
+        "WHEN h_old = h_new THEN 'unchanged' ELSE 'changed' END AS status " +
+        "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) " +
+        "SELECT source, status, COUNT(*) AS n_docs FROM j GROUP BY 1, 2 ORDER BY source, status")
     // No oracle (rows-only checks) — the authoritative list is
     // `queries.keySet -- oracleSql.keySet` (don't trust a hardcoded
     // enumeration here); currently that's the xxhash64-based dedup

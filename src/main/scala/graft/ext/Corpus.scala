@@ -267,6 +267,53 @@ object Corpus {
         col("doc_id"))
       .orderBy(col("source"), col("rk"))
 
+  /** Corpus SNAPSHOT DIFF: the data-versioning audit between two crawls
+    * of the same corpus — per source, how many documents were added,
+    * removed, changed (same doc_id, different content hash), or
+    * unchanged. A pipeline runs this before re-processing a refreshed
+    * crawl: "changed + added" is the increment that needs re-cleaning /
+    * re-dedup, "removed" feeds tombstones, and a source whose change
+    * rate spikes is the drift alarm.
+    *
+    * Scale shape: one full-outer join co-partitioned on doc_id (both
+    * sides shuffle once on the same key), comparing 16-byte md5 content
+    * hashes computed below the join — document text never crosses the
+    * exchange; the per-(source, status) rollup is map-side-combined.
+    */
+  def corpusDiffDf(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def keyed(df: DataFrame, side: String) =
+      df.select(col("doc_id"),
+        col("source").as(s"src_$side"),
+        md5(col("text").cast("binary")).as(s"h_$side"))
+    keyed(oldDocs, "old").join(keyed(newDocs, "new"), Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_new"), col("src_old")).as("source"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  /** Fixture form: synthesizes two deterministic snapshots from the one
+    * documents table via content-hash buckets (the [[splitAssignments]]
+    * trick) — the OLD snapshot drops docs in buckets >= 'f0' (~6%
+    * "added" later), the NEW snapshot drops buckets < '10' (~6%
+    * "removed") and rewrites the text of buckets ['10','20') (~6%
+    * "changed"). Engine-portable, so the diff is fully oracle-checked.
+    */
+  def corpusDiff(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).filter(col("text").isNotNull)
+    val bucket = substring(md5(col("text").cast("binary")), 1, 2)
+    val oldSnap = docs.filter(bucket < "f0")
+    val newSnap = docs.filter(bucket >= "10")
+      .withColumn("text",
+        when(bucket < "20", concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    corpusDiffDf(oldSnap, newSnap)
+  }
+
   /** Benchmark decontamination: which training documents share exact
     * token n-grams with a held-out evaluation set (the overlap check a
     * training pipeline runs so eval scores aren't inflated by leaked

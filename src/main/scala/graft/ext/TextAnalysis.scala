@@ -521,6 +521,52 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Rank-based AUC of the [[modelQualityFilter]] score against a
+    * binary label (here lang == 'en', standing in for a held-out
+    * labelled eval slice) — the metric a pipeline computes to CALIBRATE
+    * its quality classifier (Mann-Whitney U with midrank tie handling,
+    * the exact trapezoidal ROC area).
+    *
+    * Scale shape: AUC needs a global rank over the score, but a global
+    * row sort is the one window no 100 TB plan should contain — so the
+    * ranks come from the score HISTOGRAM instead: scores round to 6 dp
+    * in [0, 1], so one map-side-combined aggregation collapses the
+    * corpus to ≤ 1e6+1 (score, n, n_pos) rows, and the tie-aware rank
+    * sums derive from a running count over that bounded table (the
+    * window sorts ≤ 1e6 rows regardless of corpus size). Doubled
+    * midranks keep every sum integer (BIGINT-exact on both engines);
+    * the single final division is the only float op.
+    */
+  def qualityAuc(spark: SparkSession, d: String): DataFrame =
+    qualityAucDf(Tables.documents(spark, d))
+
+  /** DataFrame form (docs must have lang + text). */
+  def qualityAucDf(docs: DataFrame): DataFrame = {
+    val hist = Tables.fanOut(docs)
+      .filter(length(col("text")) > 0)
+      .select(qualityScoreCol.as("score"),
+        (col("lang") === "en").cast("long").as("pos"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n_s"), sum(col("pos")).as("npos_s"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // ranks in a tie group of size n_s starting after cum rows are
+    // cum+1 .. cum+n_s; doubled midrank = 2*cum + n_s + 1 (integer)
+    hist
+      .withColumn("cum", coalesce(sum(col("n_s")).over(w), lit(0L)))
+      .select(col("n_s"), col("npos_s"),
+        (col("npos_s") * (lit(2) * col("cum") + col("n_s") + 1)).as("r2"))
+      .agg(sum(col("npos_s")).as("n_pos"),
+        sum(col("n_s") - col("npos_s")).as("n_neg"),
+        sum(col("r2")).as("sr2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(0.5))
+          .otherwise(round(
+            (col("sr2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+              (lit(2) * col("n_pos") * col("n_neg")).cast("double"), 6))
+          .as("auc"))
+  }
+
   /** Per-source Zipf-slope audit: the least-squares slope of ln(count)
     * against ln(rank) over each source's token frequency table. Natural
     * text follows Zipf's law with slope ≈ −1; a source whose slope

@@ -147,4 +147,23 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan("q_span_dedup").contains("Window"),
       "span dedup lost its window form")
   }
+
+  test("exchange-count pins for round-8 additions, second batch") {
+    // funnel: md5 window + one-row agg + stack — the stage kernels all
+    // live in one projection, so only 2 keyed exchanges are legal.
+    // zipf: token count pair + vocab window + source agg + sort.
+    // AUC: score-histogram agg pair + the <= 1e6-row rank window + one
+    // global one-row agg — a corpus-row sort sneaking in fails here.
+    // diff: two scans co-partitioned on doc_id + rollup pair + sort.
+    assert(shuffleExchanges("q_curation_funnel") <= 2,
+      s"funnel plan grew a shuffle:\n${plan("q_curation_funnel")}")
+    assert(shuffleExchanges("q_zipf_slope") <= 4,
+      s"zipf plan grew a shuffle:\n${plan("q_zipf_slope")}")
+    assert(shuffleExchanges("q_quality_auc") <= 3,
+      s"auc plan grew a shuffle:\n${plan("q_quality_auc")}")
+    assert(shuffleExchanges("q_corpus_diff") <= 4,
+      s"diff plan grew a shuffle:\n${plan("q_corpus_diff")}")
+    assert(shuffleExchanges("q_mixture_temperature") <= 2,
+      s"temperature-mixture plan grew a shuffle:\n${plan("q_mixture_temperature")}")
+  }
 }

@@ -118,6 +118,28 @@ class CleaningSpec extends SparkTestBase {
     assert(math.abs(row.getDouble(5) - 0.333333) < 1e-6)
   }
 
+  test("quality AUC: separable labels score 1.0, identical texts score 0.5") {
+    // stopword-rich docs get a high logistic score, junk docs a low one
+    val good = "the a of and to in is on for " + (1 to 30).map(i => s"w$i").mkString(" ")
+    val junk = Seq.fill(40)("zzzzzzzzzzzz").mkString(" ")
+    val separable = Seq(
+      (1L, good, "en"), (2L, good + " extra", "en"),
+      (3L, junk, "de"), (4L, junk + " more", "de"))
+      .toDF("doc_id", "text", "lang")
+    val Array(r) = TextAnalysis.qualityAucDf(separable).collect()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 1.0, s"perfect separation must be AUC 1.0: $r")
+    // same text both classes -> every comparison is a tie -> 0.5
+    val tied = Seq((1L, good, "en"), (2L, good, "de"))
+      .toDF("doc_id", "text", "lang")
+    val Array(t) = TextAnalysis.qualityAucDf(tied).collect()
+    assert(t.getDouble(2) == 0.5, s"all-ties must be AUC 0.5: $t")
+    // single-class input hits the degenerate guard
+    val oneClass = Seq((1L, good, "en"), (2L, junk, "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(TextAnalysis.qualityAucDf(oneClass).collect()(0).getDouble(2) == 0.5)
+  }
+
   test("zipf slope: uniform counts give slope 0, exact-Zipf counts give -1") {
     // uniform: every term once -> y constant -> slope exactly 0
     val uniform = (1 to 20).map(i => s"tok$i").mkString(" ")

@@ -129,6 +129,34 @@ class CorpusSpec extends SparkTestBase {
     assert(webRate > 0.0 && webRate <= 1.0 && !webRate.isNaN)
   }
 
+  test("corpus diff: planted add/remove/change/unchanged all classified") {
+    val old = Seq(
+      (1L, "stable text", "s"), (2L, "will change", "s"), (3L, "will vanish", "s"))
+      .toDF("doc_id", "text", "source")
+    val neu = Seq(
+      (1L, "stable text", "s"), (2L, "has changed", "s"), (4L, "brand new", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.corpusDiffDf(old, neu)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L), s"got $out")
+  }
+
+  test("corpus diff fixture: every status present, totals consistent") {
+    val rows = Corpus.corpusDiff(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byStatus = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(Set("added", "removed", "changed", "unchanged").subsetOf(byStatus.keySet),
+      s"missing statuses: $byStatus")
+    // buckets: old = [00,f0), new = [10,ff]; overlap [10,f0) splits into
+    // changed [10,20) and unchanged [20,f0) — so unchanged dominates
+    assert(byStatus("unchanged") > byStatus("changed"))
+    val nDocs = graft.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull).count()
+    assert(byStatus.values.sum == nDocs,
+      "every doc appears exactly once across the union of statuses")
+  }
+
   test("temperature mixture: tau=1 reproduces natural shares, tau<1 boosts small sources") {
     val natural = Corpus.mixturePlanTemperature(spark, sfDir, tau = 1.0)
       .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
