@@ -872,9 +872,10 @@ object SparkEntry {
         "(ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM hist), " +
         "a AS (SELECT CAST(SUM(npos_s) AS BIGINT) AS n_pos, " +
         "CAST(SUM(n_s - npos_s) AS BIGINT) AS n_neg, " +
-        "CAST(SUM(npos_s * (2 * cum + n_s + 1)) AS BIGINT) AS sr2 FROM c) " +
+        "CAST(SUM(CAST(npos_s AS HUGEINT) * (2 * cum + n_s + 1)) AS HUGEINT) AS sr2 FROM c) " +
         "SELECT n_pos, n_neg, CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.5 ELSE " +
-        "round(CAST(sr2 - n_pos * (n_pos + 1) AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE), 6) END AS auc " +
+        "round(CAST(sr2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE) " +
+        "/ CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE), 6) END AS auc " +
         "FROM a"),
     // corpus diff: both snapshots derive from content-hash buckets (the
     // split trick), so old/new membership and the changed-text rewrite

@@ -133,6 +133,45 @@ object Clustering {
       .orderBy(col("cluster"))
   }
 
+  /** Streaming assignment monitor (foreachBatch stage): score each
+    * micro-batch of vectors against a FIXED fitted model (the
+    * train-offline / serve-online split every production clusterer
+    * uses) and append the per-batch cell histogram — cell, count, mean
+    * squared distance — tagged with the batch id. A shift in this
+    * histogram over batches is the drift alarm that triggers a re-fit.
+    * Assignment is per-vector (narrow map, no cross-batch state), so
+    * the batch-mode histogram on the same vectors equals the
+    * column-wise union of per-batch histograms (asserted in
+    * StreamingSpec) — the batch/streaming symmetry contract.
+    */
+  def assignmentSink(vecStream: DataFrame, cents: Array[Array[Double]],
+                     outPath: String, checkpoint: String,
+                     triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batchHistogram(batch, cents)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+
+  /** Cell histogram of one (vec_id, embedding) frame under fixed
+    * centroids — shared by [[assignmentSink]] and its batch-parity test.
+    */
+  def batchHistogram(vecs: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val sqDist = sqDistUdf(cents)
+    vecs.filter(col("embedding").isNotNull)
+      .select(Similarity.ivfCellUdf(cents)(col("embedding")).as("cluster"),
+        sqDist(col("embedding")).as("d2"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"), round(avg(col("d2")), 6).as("mean_sq_dist"))
+  }
+
   /** Squared L2 distance to the assigned (= nearest) centroid. */
   private def sqDistUdf(cents: Array[Array[Double]]) =
     udf { v: scala.collection.Seq[Float] =>

@@ -534,8 +534,10 @@ object TextAnalysis {
     * corpus to ≤ 1e6+1 (score, n, n_pos) rows, and the tie-aware rank
     * sums derive from a running count over that bounded table (the
     * window sorts ≤ 1e6 rows regardless of corpus size). Doubled
-    * midranks keep every sum integer (BIGINT-exact on both engines);
-    * the single final division is the only float op.
+    * midranks keep every sum integer, and the rank sums run in
+    * DECIMAL(38,0) (DuckDB: HUGEINT) — at 1e12 documents the midrank
+    * sum reaches ~1e24, past BIGINT; the single final division is the
+    * only float op.
     */
   def qualityAuc(spark: SparkSession, d: String): DataFrame =
     qualityAucDf(Tables.documents(spark, d))
@@ -552,18 +554,22 @@ object TextAnalysis {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     // ranks in a tie group of size n_s starting after cum rows are
     // cum+1 .. cum+n_s; doubled midrank = 2*cum + n_s + 1 (integer)
+    val dec = "decimal(19,0)"
     hist
       .withColumn("cum", coalesce(sum(col("n_s")).over(w), lit(0L)))
       .select(col("n_s"), col("npos_s"),
-        (col("npos_s") * (lit(2) * col("cum") + col("n_s") + 1)).as("r2"))
+        (col("npos_s").cast(dec) *
+          (lit(2) * col("cum") + col("n_s") + 1).cast(dec)).as("r2"))
       .agg(sum(col("npos_s")).as("n_pos"),
         sum(col("n_s") - col("npos_s")).as("n_neg"),
         sum(col("r2")).as("sr2"))
       .select(col("n_pos"), col("n_neg"),
         when(col("n_pos") === 0 || col("n_neg") === 0, lit(0.5))
           .otherwise(round(
-            (col("sr2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
-              (lit(2) * col("n_pos") * col("n_neg")).cast("double"), 6))
+            (col("sr2") - col("n_pos").cast(dec) * (col("n_pos") + 1).cast(dec))
+              .cast("double") /
+              (lit(2).cast(dec) * col("n_pos").cast(dec) * col("n_neg").cast(dec))
+                .cast("double"), 6))
           .as("auc"))
   }
 

@@ -278,6 +278,38 @@ class StreamingSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(1L), "only the clean doc keeps")
   }
 
+  test("streaming k-means assignment: per-batch histograms match batch mode") {
+    implicit val sqlCtx = spark.sqlContext
+    // fixed model: two centroids on the first axis
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 0.0))
+    val vecs = Seq(
+      1L -> Array(0.1f, 0f), 2L -> Array(9.8f, 0f),
+      3L -> Array(0.4f, 0f), 4L -> Array(10.3f, 0f))
+    val input = MemoryStream[(Long, Array[Float])]
+    val out = Files.createTempDirectory("kmeans_out").toString
+    val ckpt = Files.createTempDirectory("kmeans_ckpt").toString
+    val query = graft.ext.Clustering.assignmentSink(
+      input.toDF().toDF("vec_id", "embedding"), cents, out, ckpt,
+      triggerMs = 50L).start()
+    try {
+      input.addData(vecs(0), vecs(1))
+      query.processAllAvailable()
+      input.addData(vecs(2), vecs(3))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out)
+    // every vector assigned to its planted cell, across all batches
+    val perCell = streamed.groupBy($"cluster")
+      .agg(org.apache.spark.sql.functions.sum($"n_vectors").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perCell == Map(0 -> 2L, 1 -> 2L), s"got $perCell")
+    // column-wise union equals the one-shot batch histogram
+    val batch = graft.ext.Clustering
+      .batchHistogram(vecs.toDF("vec_id", "embedding"), cents)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perCell == batch)
+  }
+
   test("streaming top-K sampler: complete-mode agg converges to the batch result") {
     implicit val sqlCtx = spark.sqlContext
     // the bounded TopKByKey aggregator is merge-associative, so Spark can
