@@ -8,8 +8,12 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     // optional: further args name a subset of queries to dump (the
-    // builder's fast local oracle check); no extra args = all queries
+    // builder's fast local oracle check); no extra args = all queries.
+    // Unknown names fail fast — a typo'd subset would otherwise dump
+    // nothing and look like a passing check.
     val only = args.drop(2).toSet
+    require(only.subsetOf(SparkEntry.queries.keySet),
+      s"unknown queries: ${(only -- SparkEntry.queries.keySet).mkString(", ")}")
     val spark = LocalSession.build()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -280,10 +280,13 @@ object Cleaning {
     // stream rides the shuffle as 16 bytes/span (pk + hash), and
     // min(packed) = lexicographic min of (doc_id, pos) while staying a
     // primitive-buffer aggregation (min over a struct falls back to
-    // sort-based aggregation). pos takes the low 20 bits — up to ~1M
-    // spans per document; a longer doc would alias into a neighboring
-    // doc_id's key space (such docs are pathological and flagged
-    // upstream by Corpus.packDocuments).
+    // sort-based aggregation). The packing bounds BOTH fields: pos
+    // takes the low 20 bits (up to ~1M spans per document — longer docs
+    // alias into a neighboring doc_id's key space; such docs are
+    // pathological and flagged upstream by Corpus.packDocuments), and
+    // doc_id must fit the remaining 43 value bits (~8.8e12 documents —
+    // ids with higher bits set would alias across documents; sparse
+    // 64-bit id schemes must be densified first).
     val spans = Tables.fanOut(docs).filter(col("text").isNotNull)
       .select(col("doc_id"), posexplode(spanHashes).as(Seq("pos0", "h")))
       .select((shiftleft(col("doc_id"), 20) + col("pos0") + 1).as("pk"), col("h"))

@@ -75,10 +75,7 @@ object Clustering {
                   k: Int = 8, iters: Int = 4): DataFrame = {
     val emb = Tables.embeddings(spark, d)
     val cents = kmeansCentroids(emb, k, iters)
-    val sqDist = sqDistUdf(cents)
-    emb.filter(col("embedding").isNotNull)
-      .select(Similarity.ivfCellUdf(cents)(col("embedding")).as("cluster"),
-        sqDist(col("embedding")).as("d2"))
+    assigned(emb, cents)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vectors"),
         round(sum(col("d2")), 6).as("inertia"),
@@ -113,14 +110,10 @@ object Clustering {
     require(dropFrac >= 0.0 && dropFrac <= 1.0, s"dropFrac in [0,1], got $dropFrac")
     val emb = Tables.embeddings(spark, d)
     val cents = kmeansCentroids(emb, k, iters)
-    val sqDist = sqDistUdf(cents)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster"))
       .orderBy(col("d2").asc, col("vec_id").asc)
-    emb.filter(col("embedding").isNotNull)
-      .select(col("vec_id"),
-        Similarity.ivfCellUdf(cents)(col("embedding")).as("cluster"),
-        sqDist(col("embedding")).as("d2"))
+    assigned(emb, cents, keepId = true)
       .withColumn("rk", row_number().over(w))
       .withColumn("cluster_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))))
@@ -163,19 +156,35 @@ object Clustering {
   /** Cell histogram of one (vec_id, embedding) frame under fixed
     * centroids — shared by [[assignmentSink]] and its batch-parity test.
     */
-  def batchHistogram(vecs: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-    val sqDist = sqDistUdf(cents)
-    vecs.filter(col("embedding").isNotNull)
-      .select(Similarity.ivfCellUdf(cents)(col("embedding")).as("cluster"),
-        sqDist(col("embedding")).as("d2"))
+  def batchHistogram(vecs: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    assigned(vecs, cents)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vectors"), round(avg(col("d2")), 6).as("mean_sq_dist"))
+
+  /** (cluster, d2) assignment frame under fixed centroids — ONE fused
+    * kernel pass (argmin cell and its squared distance fall out of the
+    * same centroid loop; separate cell/distance UDFs would double the
+    * dominant O(k×dim) per-vector cost of every consumer).
+    */
+  private def assigned(vecs: DataFrame, cents: Array[Array[Double]],
+                       keepId: Boolean = false): DataFrame = {
+    val a = assignUdf(cents)(col("embedding"))
+    val base = vecs.filter(col("embedding").isNotNull)
+    if (keepId)
+      base.select(col("vec_id"), a.getField("_1").as("cluster"),
+        a.getField("_2").as("d2"))
+    else
+      base.select(a.getField("_1").as("cluster"), a.getField("_2").as("d2"))
   }
 
-  /** Squared L2 distance to the assigned (= nearest) centroid. */
-  private def sqDistUdf(cents: Array[Array[Double]]) =
+  /** Fused nearest-centroid kernel: (argmin cell, squared distance) in
+    * one loop over the centroids (ties to the lower cell, matching
+    * [[Similarity.ivfCellUdf]]).
+    */
+  private def assignUdf(cents: Array[Array[Double]]) =
     udf { v: scala.collection.Seq[Float] =>
-      var best = Double.MaxValue
+      var best = 0
+      var bestD = Double.MaxValue
       var c = 0
       while (c < cents.length) {
         val ctr = cents(c)
@@ -183,9 +192,9 @@ object Clustering {
         var i = 0
         val n = math.min(ctr.length, v.length)
         while (i < n) { val x = v(i) - ctr(i); d += x * x; i += 1 }
-        if (d < best) best = d
+        if (d < bestD) { bestD = d; best = c }
         c += 1
       }
-      best
+      (best, bestD)
     }
 }

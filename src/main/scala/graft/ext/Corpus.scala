@@ -281,15 +281,21 @@ object Corpus {
     * exchange; the per-(source, status) rollup is map-side-combined.
     */
   def corpusDiffDf(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    // presence is tracked separately from the content hash: md5(NULL
+    // text) is NULL, and classifying on hash nullness would misreport a
+    // doc present in both snapshots with NULL text on one side as
+    // added/removed. Hash comparison is null-SAFE (<=>), so NULL-text →
+    // NULL-text counts as unchanged and NULL-text → text as changed.
     def keyed(df: DataFrame, side: String) =
       df.select(col("doc_id"),
         col("source").as(s"src_$side"),
-        md5(col("text").cast("binary")).as(s"h_$side"))
+        md5(col("text").cast("binary")).as(s"h_$side"),
+        lit(true).as(s"in_$side"))
     keyed(oldDocs, "old").join(keyed(newDocs, "new"), Seq("doc_id"), "full_outer")
       .select(coalesce(col("src_new"), col("src_old")).as("source"),
-        when(col("h_old").isNull, "added")
-          .when(col("h_new").isNull, "removed")
-          .when(col("h_old") === col("h_new"), "unchanged")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(col("h_old") <=> col("h_new"), "unchanged")
           .otherwise("changed").as("status"))
       .groupBy(col("source"), col("status"))
       .agg(count(lit(1)).as("n_docs"))

@@ -510,8 +510,12 @@ object TextAnalysis {
       .select(col("source"),
         element_at(col("qs"), 1).as("q33"), element_at(col("qs"), 2).as("q67"))
     scored.join(broadcast(cutoffs), "source")
+      // >= against the upper cutoff: a doc EQUAL to q67 belongs with
+      // the head (a strict > would invert the degenerate 1-doc-source
+      // case, sending a source's only — and therefore best — doc to
+      // 'tail', the candidate-drop slice)
       .withColumn("bucket",
-        when(col("avg_logprob") > col("q67"), 1)
+        when(col("avg_logprob") >= col("q67"), 1)
           .when(col("avg_logprob") > col("q33"), 2)
           .otherwise(3))
       .withColumn("bucket_name",
@@ -546,8 +550,12 @@ object TextAnalysis {
   def qualityAucDf(docs: DataFrame): DataFrame = {
     val hist = Tables.fanOut(docs)
       .filter(length(col("text")) > 0)
+      // NULL lang must count as a NEGATIVE (matching the oracle's CASE
+      // ... ELSE 0): a bare (lang === "en") null-propagates and a
+      // whole-bucket NULL npos_s would silently drop those docs from
+      // n_neg and the rank sums
       .select(qualityScoreCol.as("score"),
-        (col("lang") === "en").cast("long").as("pos"))
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
       .groupBy(col("score"))
       .agg(count(lit(1)).as("n_s"), sum(col("pos")).as("npos_s"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))

@@ -138,6 +138,31 @@ class CleaningSpec extends SparkTestBase {
     val oneClass = Seq((1L, good, "en"), (2L, junk, "en"))
       .toDF("doc_id", "text", "lang")
     assert(TextAnalysis.qualityAucDf(oneClass).collect()(0).getDouble(2) == 0.5)
+    // NULL lang counts as negative (not silently dropped): same data as
+    // the separable case but with the junk docs' lang NULL -> still 1.0
+    val nullLang = Seq(
+      (1L, good, "en"), (2L, good + " extra", "en"),
+      (3L, junk, null.asInstanceOf[String]), (4L, junk + " more", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+    val Array(n) = TextAnalysis.qualityAucDf(nullLang).collect()
+    assert(n.getLong(0) == 2 && n.getLong(1) == 2,
+      s"NULL-lang docs must count as negatives: $n")
+    assert(n.getDouble(2) == 1.0)
+  }
+
+  test("perplexity buckets approx: a 1-doc source lands in head, not tail") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "solo"),
+      (2L, "alpha beta gamma", "big"), (3L, "alpha beta delta", "big"),
+      (4L, "beta gamma delta", "big"))
+      .toDF("doc_id", "text", "source")
+    val approx = TextAnalysis.perplexityBucketsApproxDf(docs)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    val exact = TextAnalysis.perplexityBucketsDf(docs)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(exact(1L) == 1, s"exact: only doc of a source is its head: $exact")
+    assert(approx(1L) == 1,
+      s"approx must agree on the degenerate 1-doc source: $approx")
   }
 
   test("zipf slope: uniform counts give slope 0, exact-Zipf counts give -1") {

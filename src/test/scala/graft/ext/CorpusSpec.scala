@@ -140,6 +140,16 @@ class CorpusSpec extends SparkTestBase {
       .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(out == Map("unchanged" -> 1L, "changed" -> 1L,
       "removed" -> 1L, "added" -> 1L), s"got $out")
+    // presence, not hash nullness, drives the status: a doc in BOTH
+    // snapshots with NULL text on one side is 'changed' (not
+    // added/removed), and NULL -> NULL is 'unchanged'
+    val o2 = Seq((1L, null.asInstanceOf[String], "s"),
+      (2L, null.asInstanceOf[String], "s")).toDF("doc_id", "text", "source")
+    val n2 = Seq((1L, "now has text", "s"),
+      (2L, null.asInstanceOf[String], "s")).toDF("doc_id", "text", "source")
+    val out2 = Corpus.corpusDiffDf(o2, n2)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out2 == Map("changed" -> 1L, "unchanged" -> 1L), s"got $out2")
   }
 
   test("corpus diff fixture: every status present, totals consistent") {
