@@ -143,7 +143,9 @@ object SparkEntry {
     "q_mixture_temperature" -> ((s: SparkSession, d: String) => ext.Corpus.mixturePlanTemperature(s, d)),
     "q_curation_funnel"   -> ((s: SparkSession, d: String) => Cleaning.curationFunnel(s, d)),
     "q_quality_auc"       -> ((s: SparkSession, d: String) => TextAnalysis.qualityAuc(s, d)),
-    "q_corpus_diff"       -> ((s: SparkSession, d: String) => ext.Corpus.corpusDiff(s, d))
+    "q_corpus_diff"       -> ((s: SparkSession, d: String) => ext.Corpus.corpusDiff(s, d)),
+    "q_bigram_logprob"    -> ((s: SparkSession, d: String) => TextAnalysis.bigramLogProb(s, d)),
+    "q_top_collocations"  -> ((s: SparkSession, d: String) => TextAnalysis.topCollocations(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -891,7 +893,35 @@ object SparkEntry {
         "CASE WHEN h_old IS NULL THEN 'added' WHEN h_new IS NULL THEN 'removed' " +
         "WHEN h_old = h_new THEN 'unchanged' ELSE 'changed' END AS status " +
         "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) " +
-        "SELECT source, status, COUNT(*) AS n_docs FROM j GROUP BY 1, 2 ORDER BY source, status")
+        "SELECT source, status, COUNT(*) AS n_docs FROM j GROUP BY 1, 2 ORDER BY source, status"),
+    // bigram conditional LM: ln p(w2|w1) micro-snapped, exact BIGINT
+    // per-doc aggregation (the q_unigram_logprob design one order up)
+    "q_bigram_logprob" ->
+      (s"WITH f AS (SELECT doc_id, $toks AS t FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), " +
+        "i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p FROM f WHERE len(t) >= 2), " +
+        "pairs AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg), " +
+        "c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1), " +
+        "sc AS (SELECT doc_id, CAST(floor(ln(CAST(c2 AS DOUBLE) / c1) * 1e6 + 0.5) AS BIGINT) AS mlp " +
+        "FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1)) " +
+        "SELECT doc_id, COUNT(*) AS n_bigrams, " +
+        "floor(CAST(SUM(mlp) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS avg_logprob " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id"),
+    // PMI collocations: marginals from the bigram count table; PMI
+    // micro-snapped so the (pmi desc, w1, w2) top-k is engine-exact
+    "q_top_collocations" ->
+      (s"WITH f AS (SELECT $toks AS t FROM documents), " +
+        "bg AS (SELECT unnest(list_transform(range(1, len(t)), " +
+        "i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p FROM f WHERE len(t) >= 2), " +
+        "c2 AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2), " +
+        "r1 AS (SELECT w1, SUM(c2) AS r1 FROM c2 GROUP BY 1), " +
+        "r2 AS (SELECT w2, SUM(c2) AS r2 FROM c2 GROUP BY 1), " +
+        "n AS (SELECT SUM(c2) AS n FROM c2) " +
+        "SELECT w1, w2, c2 AS n_pair, " +
+        "floor(ln(CAST(c2 AS DOUBLE) * n / (CAST(r1 AS DOUBLE) * r2)) * 1e6 + 0.5) / 1e6 AS pmi " +
+        "FROM c2 JOIN r1 USING (w1) JOIN r2 USING (w2) CROSS JOIN n " +
+        "WHERE c2 >= 5 ORDER BY pmi DESC, w1, w2 LIMIT 20")
     // No oracle (rows-only checks) — the authoritative list is
     // `queries.keySet -- oracleSql.keySet` (don't trust a hardcoded
     // enumeration here); currently that's the xxhash64-based dedup

@@ -451,6 +451,92 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram token pairs of a text column as an array of (w1, w2)
+    * structs — empty for docs under two tokens (sequence(1, 0) would
+    * generate a DESCENDING range).
+    */
+  private def bigramPairs(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) >= 2, transform(sequence(lit(1), size(t) - 1),
+      i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  }
+
+  /** Bigram conditional LM scoring — the next rung of the perplexity
+    * proxy above [[unigramLogProb]] (CCNet's real filter is a 5-gram
+    * KenLM; the bigram conditional ln p(w2|w1) = ln(c(w1 w2) / c(w1 ·))
+    * captures word-ORDER surprisal that a unigram model cannot: a
+    * shuffled document scores like its unshuffled twin under unigrams
+    * but much lower here). Docs with < 2 tokens have no bigrams and are
+    * excluded on both sides.
+    *
+    * Scale shape: one (w1, w2)-keyed count shuffle over the pair
+    * stream; the left-context totals derive from the bigram counts
+    * (vocabulary-sized second aggregation — never a second corpus
+    * scan); scoring joins are vocabulary-sized. Same topology as
+    * [[unigramLogProb]]/[[sourceKlDivergence]]. Same FP discipline:
+    * per-pair ln snaps to integer micro-nats, per-doc aggregation is
+    * exact BIGINT math.
+    */
+  def bigramLogProb(spark: SparkSession, d: String): DataFrame =
+    bigramLogProbDf(Tables.documents(spark, d))
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def bigramLogProbDf(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), explode(bigramPairs(col("text"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        floor(log(col("c2").cast("double") / col("c1")) * 1e6 + 0.5)
+          .cast("long").as("mlp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("mlp")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("s").cast("double") / col("n_bigrams") + 0.5) / 1e6)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Top-k COLLOCATIONS by pointwise mutual information over the bigram
+    * table — the phrase-mining step (word2vec's word2phrase, tokenizer
+    * vocabulary induction) that finds token pairs co-occurring far more
+    * than independence predicts: PMI = ln(c(w1 w2)·N / (r1(w1)·r2(w2)))
+    * with r1/r2 the left/right marginal counts of the bigram table and
+    * N its total. `minCount` suppresses the low-frequency noise that
+    * dominates raw PMI.
+    *
+    * Scale shape: one pair-stream count shuffle, then everything is
+    * vocabulary-sized (marginals from the count table, a scalar total,
+    * a top-k sort over surviving pairs). PMI snaps to micro-nats so the
+    * (pmi desc, w1, w2) ranking is engine-exact.
+    */
+  def topCollocations(spark: SparkSession, d: String,
+                      k: Int = 20, minCount: Int = 5): DataFrame =
+    topCollocationsDf(Tables.documents(spark, d), k, minCount)
+
+  /** DataFrame form (docs must have text). */
+  def topCollocationsDf(docs: DataFrame, k: Int = 20, minCount: Int = 5): DataFrame = {
+    val c2 = docs
+      .select(explode(bigramPairs(col("text"))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val r1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("r1"))
+    val r2 = c2.groupBy(col("w2")).agg(sum(col("c2")).as("r2"))
+    val n = c2.agg(sum(col("c2")).as("n")) // scalar; broadcast below
+    c2.filter(col("c2") >= minCount)
+      .join(r1, "w1").join(r2, "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c2").as("n_pair"),
+        (floor(log(col("c2").cast("double") * col("n") /
+          (col("r1").cast("double") * col("r2"))) * 1e6 + 0.5) / 1e6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per SOURCE,
     * rank documents by [[unigramLogProb]]'s LM score and split into
     * head / middle / tail thirds — head (highest log-prob = lowest

@@ -165,5 +165,13 @@ class PlanShapeSpec extends SparkTestBase {
       s"diff plan grew a shuffle:\n${plan("q_corpus_diff")}")
     assert(shuffleExchanges("q_mixture_temperature") <= 2,
       s"temperature-mixture plan grew a shuffle:\n${plan("q_mixture_temperature")}")
+    // bigram LM: pair-count shuffle + vocab c1 agg + scoring joins +
+    // per-doc rollup + sort. Collocations: pair counts + two marginal
+    // aggs + their joins + top-k sort — all vocabulary-sized above the
+    // one pair-stream shuffle.
+    assert(shuffleExchanges("q_bigram_logprob") <= 5,
+      s"bigram LM plan grew a shuffle:\n${plan("q_bigram_logprob")}")
+    assert(shuffleExchanges("q_top_collocations") <= 7,
+      s"collocation plan grew a shuffle:\n${plan("q_top_collocations")}")
   }
 }

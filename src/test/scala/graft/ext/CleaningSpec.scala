@@ -165,6 +165,45 @@ class CleaningSpec extends SparkTestBase {
       s"approx must agree on the degenerate 1-doc source: $approx")
   }
 
+  test("bigram logprob: hand-computed conditionals; word order matters") {
+    val df = docsDf(1L -> "a b a b", 2L -> "a c")
+    val out = TextAnalysis.bigramLogProbDf(df)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // c2: (a,b)=2 (b,a)=1 (a,c)=1; c1: a=3, b=1
+    // doc1: ln(2/3), ln(1/1), ln(2/3) -> micro -405465 x2 + 0
+    val d1 = math.floor(-810930.0 / 3 + 0.5) / 1e6
+    assert(out(1L) == ((3L, d1)), s"doc1: ${out(1L)} want $d1")
+    assert(out(2L)._2 == math.floor(math.log(1.0 / 3) * 1e6 + 0.5) / 1e6)
+    // word order: a doc whose transitions run AGAINST the corpus
+    // majority scores lower than the majority pattern (a two-token
+    // corpus would make every conditional 1.0 — needs three tokens)
+    val majority = Seq.tabulate(8)(i => (i.toLong, "x y x y x z"))
+    val contrarian = (99L, "x z x z x y")
+    val scores = TextAnalysis.bigramLogProbDf(docsDf((majority :+ contrarian): _*))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(99L) < scores(0L),
+      s"against-the-grain doc must score lower: ${scores(99L)} vs ${scores(0L)}")
+  }
+
+  test("top collocations: planted pair wins by PMI, minCount suppresses noise") {
+    // "new york" always adjacent; fillers form a high-frequency soup so
+    // their pairwise PMI is low; the rare pair below minCount never shows
+    val docs = (1 to 6).map { i =>
+      (i.toLong, s"new york f$i g$i new york g$i f$i new york")
+    } :+ (7L, "rare pair")
+    val out = TextAnalysis.topCollocationsDf(docsDf(docs: _*), k = 5, minCount = 5)
+      .collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert(top.getString(0) == "new" && top.getString(1) == "york",
+      s"planted collocation must rank first: ${out.toSeq}")
+    assert(!out.exists(r => r.getString(0) == "rare"),
+      "below-minCount pair must not appear")
+    // ranking is by snapped PMI desc
+    val pmis = out.map(_.getDouble(3))
+    assert(pmis.sameElements(pmis.sortBy(-(_: Double))))
+  }
+
   test("zipf slope: uniform counts give slope 0, exact-Zipf counts give -1") {
     // uniform: every term once -> y constant -> slope exactly 0
     val uniform = (1 to 20).map(i => s"tok$i").mkString(" ")
