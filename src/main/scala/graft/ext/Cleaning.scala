@@ -268,7 +268,12 @@ object Cleaning {
   /** DataFrame form (docs must have doc_id + text). */
   def spanDedupStatsDf(docs: DataFrame, n: Int = 5,
                        maxDupFrac: Double = 0.2): DataFrame = {
-    val t = TextAnalysis.tokens(col("text"))
+    // tokens are MATERIALIZED as an attribute before the span lambda —
+    // a lambda body referencing the split expression itself re-runs
+    // the tokenizer per element (the Dedup.shinglesOfTokens trap)
+    val toksed = Tables.fanOut(docs).filter(col("text").isNotNull)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+    val t = col("t")
     // positional span hashes: pos i (1-based) covers tokens [i, i+n-1].
     // sequence(1, 0) would generate a DESCENDING [1, 0] — guard short
     // docs to an explicit empty array
@@ -287,7 +292,7 @@ object Cleaning {
     // doc_id must fit the remaining 43 value bits (~8.8e12 documents —
     // ids with higher bits set would alias across documents; sparse
     // 64-bit id schemes must be densified first).
-    val spans = Tables.fanOut(docs).filter(col("text").isNotNull)
+    val spans = toksed
       .select(col("doc_id"), posexplode(spanHashes).as(Seq("pos0", "h")))
       .select((shiftleft(col("doc_id"), 20) + col("pos0") + 1).as("pk"), col("h"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
