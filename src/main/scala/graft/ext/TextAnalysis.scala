@@ -451,20 +451,26 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Bigram token pairs over a MATERIALIZED token-array column as an
-    * array of (w1, w2) structs — empty for docs under two tokens
-    * (sequence(1, 0) would generate a DESCENDING range). `t` must be a
-    * projected attribute, NOT the split expression itself: Spark
-    * re-evaluates every expression inside a lambda per element, so an
-    * inlined split would re-run the regex tokenizer O(tokens) times per
-    * doc (the [[Dedup.shinglesOfTokens]] trap — measured 10× on the
-    * first form of this operator). Callers do
-    * `.select(tokens(text).as("t"))` first.
+  /** The (w1, w2) bigram-pair stream of a documents frame, with the
+    * given id columns carried through. Tokens are materialized as an
+    * attribute INSIDE this helper — the per-element lambda may only
+    * reference that attribute, so the [[Dedup.shinglesOfTokens]] trap
+    * (a transform body referencing the split EXPRESSION re-runs the
+    * regex tokenizer O(tokens) times per doc; measured 10× on the
+    * first form of this operator) cannot be reintroduced by a caller.
+    * Docs under two tokens yield no pairs (sequence(1, 0) would
+    * generate a DESCENDING range — guarded to an empty array).
     */
-  private def bigramPairs(t: Column): Column =
-    when(size(t) >= 2, transform(sequence(lit(1), size(t) - 1),
+  private def bigramPairStream(docs: DataFrame, idCols: Seq[Column]): DataFrame = {
+    val t = col("t")
+    val pairs = when(size(t) >= 2, transform(sequence(lit(1), size(t) - 1),
       i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    Tables.fanOut(docs).filter(col("text").isNotNull)
+      .select(idCols :+ tokens(col("text")).as("t"): _*)
+      .select(idCols :+ explode(pairs).as("bg"): _*)
+      .select(idCols ++ Seq(col("bg.w1").as("w1"), col("bg.w2").as("w2")): _*)
+  }
 
   /** Bigram conditional LM scoring — the next rung of the perplexity
     * proxy above [[unigramLogProb]] (CCNet's real filter is a 5-gram
@@ -487,10 +493,7 @@ object TextAnalysis {
 
   /** DataFrame form (docs must have doc_id + text). */
   def bigramLogProbDf(docs: DataFrame): DataFrame = {
-    val pairs = Tables.fanOut(docs).filter(col("text").isNotNull)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(col("doc_id"), explode(bigramPairs(col("t"))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val pairs = bigramPairStream(docs, Seq(col("doc_id")))
     val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -524,10 +527,7 @@ object TextAnalysis {
 
   /** DataFrame form (docs must have text). */
   def topCollocationsDf(docs: DataFrame, k: Int = 20, minCount: Int = 5): DataFrame = {
-    val c2 = Tables.fanOut(docs).filter(col("text").isNotNull)
-      .select(tokens(col("text")).as("t"))
-      .select(explode(bigramPairs(col("t"))).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bigramPairStream(docs, Seq.empty)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val r1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("r1"))
     val r2 = c2.groupBy(col("w2")).agg(sum(col("c2")).as("r2"))
