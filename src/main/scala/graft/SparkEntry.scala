@@ -145,7 +145,8 @@ object SparkEntry {
     "q_quality_auc"       -> ((s: SparkSession, d: String) => TextAnalysis.qualityAuc(s, d)),
     "q_corpus_diff"       -> ((s: SparkSession, d: String) => ext.Corpus.corpusDiff(s, d)),
     "q_bigram_logprob"    -> ((s: SparkSession, d: String) => TextAnalysis.bigramLogProb(s, d)),
-    "q_top_collocations"  -> ((s: SparkSession, d: String) => TextAnalysis.topCollocations(s, d))
+    "q_top_collocations"  -> ((s: SparkSession, d: String) => TextAnalysis.topCollocations(s, d)),
+    "q_token_entropy"     -> ((s: SparkSession, d: String) => TextAnalysis.tokenEntropy(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -921,7 +922,25 @@ object SparkEntry {
         "SELECT w1, w2, c2 AS n_pair, " +
         "floor(ln(CAST(c2 AS DOUBLE) * n / (CAST(r1 AS DOUBLE) * r2)) * 1e6 + 0.5) / 1e6 AS pmi " +
         "FROM c2 JOIN r1 USING (w1) JOIN r2 USING (w2) CROSS JOIN n " +
-        "WHERE c2 >= 5 ORDER BY pmi DESC, w1, w2 LIMIT 20")
+        "WHERE c2 >= 5 ORDER BY pmi DESC, w1, w2 LIMIT 20"),
+    // token entropy: contributions nano-nat-snapped per (doc, term) on
+    // both sides — the engine's kernel sums the identical integers the
+    // oracle's GROUP BY form does
+    "q_token_entropy" ->
+      (s"WITH f AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
+        "tok AS (SELECT doc_id, len(t) AS n, unnest(t) AS term FROM f), " +
+        "c AS (SELECT doc_id, n, term, COUNT(*) AS c FROM tok GROUP BY 1, 2, 3), " +
+        "e AS (SELECT doc_id, MIN(n) AS n_tokens, COUNT(*) AS n_distinct, " +
+        "SUM(CAST(floor((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)) AS s " +
+        "FROM c GROUP BY doc_id) " +
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(n_distinct AS BIGINT) AS n_distinct, " +
+        "round(-CAST(s AS DOUBLE) / 1e9, 6) AS entropy, " +
+        "CASE WHEN n_distinct > 1 THEN " +
+        "round((-CAST(s AS DOUBLE) / 1e9) / ln(CAST(n_distinct AS DOUBLE)), 6) ELSE 0.0 END AS normalized, " +
+        "(CASE WHEN n_distinct > 1 THEN " +
+        "round((-CAST(s AS DOUBLE) / 1e9) / ln(CAST(n_distinct AS DOUBLE)), 6) ELSE 0.0 END) >= 0.6 AS keep " +
+        "FROM e ORDER BY doc_id")
     // No oracle (rows-only checks) — the authoritative list is
     // `queries.keySet -- oracleSql.keySet` (don't trust a hardcoded
     // enumeration here); currently that's the xxhash64-based dedup

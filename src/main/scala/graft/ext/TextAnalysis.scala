@@ -617,6 +617,78 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document token-distribution ENTROPY kernel: (n_tokens,
+    * n_distinct, Σ floor(p·ln(p)·1e9 + 0.5)) over the doc's own
+    * unigram distribution — contributions snap to integer nano-nats
+    * INSIDE the kernel so the per-doc value is exact integer math,
+    * engine-reproducible against a SQL GROUP BY oracle.
+    */
+  private val entropyKernelUdf =
+    udf { toks: scala.collection.Seq[String] =>
+      val n = toks.length
+      if (n == 0) (0L, 0L, 0L)
+      else {
+        val counts = new java.util.HashMap[String, Long](n * 2)
+        var i = 0
+        while (i < n) {
+          val k = toks(i)
+          counts.put(k, counts.getOrDefault(k, 0L) + 1L)
+          i += 1
+        }
+        var s = 0L
+        val it = counts.values().iterator()
+        while (it.hasNext) {
+          val c = it.next().toDouble
+          val p = c / n
+          s += math.floor(p * math.log(p) * 1e9 + 0.5).toLong
+        }
+        (n.toLong, counts.size.toLong, s)
+      }
+    }
+
+  /** Per-document token entropy — the templated-document detector: a
+    * doc cycling a small vocabulary (boilerplate, generated filler,
+    * keyword stuffing) has entropy far below ln(n_distinct), while
+    * natural text sits near its distinct-token ceiling. Reported with
+    * the normalized ratio entropy/ln(n_distinct) in [0, 1] and a keep
+    * rule at `minNormalized` — the information-theoretic complement of
+    * [[repetitionStats]]' bigram view (entropy sees UNIGRAM
+    * concentration; repeated bigrams can hide in a flat unigram
+    * distribution and vice versa).
+    *
+    * Scale shape: entropy is a LOCAL property, so it computes as a
+    * per-doc kernel in the scan stage (the [[repetitionStats]] design)
+    * — no (doc, term) shuffle at any scale; the only plan cost above
+    * the scan is the presentation sort. FP parity: contributions are
+    * nano-nat-snapped integers inside the kernel; the oracle's GROUP
+    * BY form sums the identical integers.
+    */
+  def tokenEntropy(spark: SparkSession, d: String,
+                   minNormalized: Double = 0.6): DataFrame =
+    tokenEntropyDf(Tables.documents(spark, d), minNormalized)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def tokenEntropyDf(docs: DataFrame, minNormalized: Double = 0.6): DataFrame = {
+    // null-text docs are excluded on BOTH sides (the oracle's unnest
+    // drops them; an entropy for absent text is meaningless)
+    val stats = Tables.fanOut(docs).filter(col("text").isNotNull)
+      .select(col("doc_id"), entropyKernelUdf(tokens(col("text"))).as("es"))
+      .select(col("doc_id"), col("es._1").as("n_tokens"),
+        col("es._2").as("n_distinct"),
+        (-col("es._3").cast("double") / 1e9).as("entropy_raw"))
+    stats
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("entropy_raw"), 6).as("entropy"),
+        // single-token-type docs (n_distinct = 1) have entropy 0 and
+        // ln(1) = 0 — normalized is 0/0 there; they are maximally
+        // templated, so normalized is 0 by intent
+        when(col("n_distinct") > 1,
+          round(col("entropy_raw") / log(col("n_distinct").cast("double")), 6))
+          .otherwise(lit(0.0)).as("normalized"))
+      .withColumn("keep", col("normalized") >= minNormalized)
+      .orderBy(col("doc_id"))
+  }
+
   /** Rank-based AUC of the [[modelQualityFilter]] score against a
     * binary label (here lang == 'en', standing in for a held-out
     * labelled eval slice) — the metric a pipeline computes to CALIBRATE

@@ -34,6 +34,7 @@ object ScaleSmoke {
     "q_gopher_filters", "q_span_dedup", "q_kmeans", "q_perplexity_buckets",
     "q_source_overlap", "q_zipf_slope", "q_cluster_prune", "q_curation_funnel",
     "q_quality_auc", "q_corpus_diff", "q_bigram_logprob", "q_top_collocations",
+    "q_token_entropy",
     "q_ngram_jaccard" /* bounded kernel: must stay FLAT, not 10× */)
 
   def main(args: Array[String]): Unit = {

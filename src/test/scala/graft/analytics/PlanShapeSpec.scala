@@ -173,5 +173,10 @@ class PlanShapeSpec extends SparkTestBase {
       s"bigram LM plan grew a shuffle:\n${plan("q_bigram_logprob")}")
     assert(shuffleExchanges("q_top_collocations") <= 7,
       s"collocation plan grew a shuffle:\n${plan("q_top_collocations")}")
+    // entropy is a per-doc kernel (local property, repetitionStats
+    // design): only the presentation sort may shuffle — a (doc, term)
+    // groupBy sneaking in would add more
+    assert(shuffleExchanges("q_token_entropy") <= 1,
+      s"entropy plan grew a shuffle:\n${plan("q_token_entropy")}")
   }
 }

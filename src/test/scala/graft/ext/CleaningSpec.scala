@@ -165,6 +165,21 @@ class CleaningSpec extends SparkTestBase {
       s"approx must agree on the degenerate 1-doc source: $approx")
   }
 
+  test("token entropy: hand-computed values; templated docs drop") {
+    val out = TextAnalysis.tokenEntropyDf(docsDf(
+      1L -> "a a b b",             // uniform over 2 types: H = ln 2
+      2L -> "a a a a a a b",       // skewed: H ~ 0.410, normalized ~ 0.592
+      3L -> "x x x x",             // one type: H = 0, normalized 0
+      4L -> "p q r s t"))          // all distinct: normalized 1.0
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(out(1L) == ((0.693147, 1.0, true)), s"uniform: ${out(1L)}")
+    assert(math.abs(out(2L)._1 - 0.410116) < 1e-6 && !out(2L)._3,
+      s"templated doc must drop: ${out(2L)}")
+    assert(out(3L) == ((0.0, 0.0, false)), s"single-type: ${out(3L)}")
+    assert(out(4L)._2 == 1.0 && out(4L)._3)
+  }
+
   test("bigram logprob: hand-computed conditionals; word order matters") {
     val df = docsDf(1L -> "a b a b", 2L -> "a c")
     val out = TextAnalysis.bigramLogProbDf(df)
