@@ -792,19 +792,21 @@ object SparkEntry {
         "ORDER BY source_a, source_b"),
     // temperature mixture: pow(share, tau) snaps to nano-units before
     // the normalizing sum (exact integer normalization); the
-    // budget*npw product stays under 2^53 so the double math is exact
+    // budget*npw product stays under 2^53 so the double math is exact.
+    // COALESCE/CASE guards mirror the engine's degenerate-corpus rule
+    // (all-zero token totals -> all-zero plan, not NULL/NaN)
     "q_mixture_temperature" ->
       (s"WITH ps AS (SELECT source, COUNT(*) AS n_docs, " +
         s"CAST(SUM(coalesce(len($toks), 0)) AS BIGINT) AS n_tokens FROM documents GROUP BY source), " +
         "t AS (SELECT SUM(n_tokens) AS tot FROM ps), " +
         "m AS (SELECT source, n_docs, n_tokens, " +
-        "round(CAST(n_tokens AS DOUBLE) / tot, 6) AS share, " +
-        "CAST(floor(pow(CAST(n_tokens AS DOUBLE) / tot, 0.5) * 1e9 + 0.5) AS BIGINT) AS npw " +
+        "COALESCE(round(CAST(n_tokens AS DOUBLE) / nullif(tot, 0), 6), 0.0) AS share, " +
+        "COALESCE(CAST(floor(pow(CAST(n_tokens AS DOUBLE) / nullif(tot, 0), 0.5) * 1e9 + 0.5) AS BIGINT), 0) AS npw " +
         "FROM ps CROSS JOIN t), " +
         "tw AS (SELECT SUM(npw) AS stot FROM m) " +
         "SELECT source, n_docs, n_tokens, share, " +
-        "round(CAST(npw AS DOUBLE) / stot, 6) AS weight, " +
-        "CAST(floor(500000.0 * npw / stot + 0.5) AS BIGINT) AS target_tokens, " +
+        "CASE WHEN COALESCE(stot, 0) > 0 THEN round(CAST(npw AS DOUBLE) / stot, 6) ELSE 0.0 END AS weight, " +
+        "CASE WHEN COALESCE(stot, 0) > 0 THEN CAST(floor(500000.0 * npw / stot + 0.5) AS BIGINT) ELSE 0 END AS target_tokens, " +
         "CASE WHEN n_tokens > 0 THEN " +
         "floor(least(1.0, CAST(CAST(floor(500000.0 * npw / stot + 0.5) AS BIGINT) AS DOUBLE) " +
         "/ CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS sample_rate " +

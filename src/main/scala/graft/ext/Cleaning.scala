@@ -44,7 +44,10 @@ object Cleaning {
   private[ext] def gopherFeatures: Column = {
     val t = TextAnalysis.tokens(col("text"))
     val nWords = size(t)
-    val sumLen = aggregate(t, lit(0), (acc, x) => acc + length(x))
+    // Long zero: an Int accumulator overflows on a single document with
+    // > 2^31 total token characters (a ~2 GiB doc), silently corrupting
+    // mean_word_len and the keep verdict
+    val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
     struct(
       nWords.as("n_words"),
       round(sumLen.cast("double") / nWords, 6).as("mean_word_len"),
@@ -273,6 +276,21 @@ object Cleaning {
     // the tokenizer per element (the Dedup.shinglesOfTokens trap)
     val toksed = Tables.fanOut(docs).filter(col("text").isNotNull)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      // ENFORCED packing bounds (not just the documented contract below):
+      // a doc opening >= 2^20 spans, or a doc_id outside [0, 2^43), would
+      // silently alias into a neighboring document's packed key space and
+      // corrupt keeper selection — wrong answers with no error. Cheap
+      // per-row predicate in the scan stage; raise_error is codegen'd.
+      .withColumn("t",
+        when(col("doc_id") < 0 || col("doc_id") >= lit(1L << 43) ||
+          (size(col("t")) - (n - 1)).cast("long") >= lit(1L << 20),
+          raise_error(concat(
+            lit(s"spanDedupStats packing overflow: doc_id must be in [0, 2^43) " +
+              s"and a document must open < 2^20 spans (n=$n); got doc_id="),
+            col("doc_id").cast("string"), lit(" with "),
+            greatest(size(col("t")) - (n - 1), lit(0)).cast("string"),
+            lit(" spans. Densify ids / pre-split pathological docs upstream."))))
+          .otherwise(col("t")))
     val t = col("t")
     // positional span hashes: pos i (1-based) covers tokens [i, i+n-1].
     // sequence(1, 0) would generate a DESCENDING [1, 0] — guard short
@@ -286,12 +304,10 @@ object Cleaning {
     // min(packed) = lexicographic min of (doc_id, pos) while staying a
     // primitive-buffer aggregation (min over a struct falls back to
     // sort-based aggregation). The packing bounds BOTH fields: pos
-    // takes the low 20 bits (up to ~1M spans per document — longer docs
-    // alias into a neighboring doc_id's key space; such docs are
-    // pathological and flagged upstream by Corpus.packDocuments), and
-    // doc_id must fit the remaining 43 value bits (~8.8e12 documents —
-    // ids with higher bits set would alias across documents; sparse
-    // 64-bit id schemes must be densified first).
+    // takes the low 20 bits (up to ~1M spans per document), and doc_id
+    // must fit the remaining 43 value bits (~8.8e12 documents). Both
+    // bounds are ENFORCED by the raise_error guard on `t` above —
+    // out-of-range input fails loudly instead of silently aliasing.
     val spans = toksed
       .select(col("doc_id"), posexplode(spanHashes).as(Seq("pos0", "h")))
       .select((shiftleft(col("doc_id"), 20) + col("pos0") + 1).as("pk"), col("h"))

@@ -216,17 +216,29 @@ object Corpus {
           .cast("long").as("n_toks"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
-    val share = col("n_tokens").cast("double") /
-      sum(col("n_tokens")).over(win).cast("double")
+    // the division is guarded INSIDE the when (ANSI mode: a 0 divisor
+    // throws, it does not return NULL) — an all-zero-token corpus gets
+    // share 0, hence npw 0, hence the all-zero plan below
+    val share = when(sum(col("n_tokens")).over(win) > 0,
+      col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(win).cast("double"))
+      .otherwise(lit(0.0))
     val nanoPw = floor(pow(share, lit(tau)) * 1e9 + 0.5).cast("long")
     perSource
       .withColumn("share", round(share, 6))
       .withColumn("npw", nanoPw)
+      // degenerate-corpus guard: when EVERY source has zero tokens the
+      // normalizing sum is 0/NULL and the divisions would yield
+      // NULL/NaN — such a corpus gets an all-zero plan instead
       .withColumn("weight",
-        round(col("npw").cast("double") / sum(col("npw")).over(win).cast("double"), 6))
+        when(sum(col("npw")).over(win) > 0,
+          round(col("npw").cast("double") / sum(col("npw")).over(win).cast("double"), 6))
+          .otherwise(lit(0.0)))
       .withColumn("target_tokens",
-        floor(lit(budgetTokens.toDouble) * col("npw").cast("double") /
-          sum(col("npw")).over(win).cast("double") + 0.5).cast("long"))
+        when(sum(col("npw")).over(win) > 0,
+          floor(lit(budgetTokens.toDouble) * col("npw").cast("double") /
+            sum(col("npw")).over(win).cast("double") + 0.5).cast("long"))
+          .otherwise(lit(0L)))
       .withColumn("sample_rate",
         when(col("n_tokens") > 0,
           floor(least(lit(1.0),

@@ -483,10 +483,16 @@ object TextAnalysis {
     * Scale shape: one (w1, w2)-keyed count shuffle over the pair
     * stream; the left-context totals derive from the bigram counts
     * (vocabulary-sized second aggregation — never a second corpus
-    * scan); scoring joins are vocabulary-sized. Same topology as
-    * [[unigramLogProb]]/[[sourceKlDivergence]]. Same FP discipline:
-    * per-pair ln snaps to integer micro-nats, per-doc aggregation is
-    * exact BIGINT math.
+    * scan), FOLDED INTO the count table as a window sum over w1 — so
+    * the pair stream meets ONE scoring table on (w1, w2), its
+    * count-shuffle partitioning, instead of being re-shuffled a second
+    * time on w1 to meet c1 after the first join (the r8 form did
+    * exactly that; the saved exchange is corpus-sized). The window
+    * form also computes c2 ONCE — a groupBy+join-back would duplicate
+    * the c2 subtree (AQE exchange reuse across the branches is not
+    * guaranteed). PlanShapeSpec pins the reduced exchange count on the
+    * final adaptive plan. Same FP discipline: per-pair ln snaps to
+    * integer micro-nats, per-doc aggregation is exact BIGINT math.
     */
   def bigramLogProb(spark: SparkSession, d: String): DataFrame =
     bigramLogProbDf(Tables.documents(spark, d))
@@ -495,8 +501,13 @@ object TextAnalysis {
   def bigramLogProbDf(docs: DataFrame): DataFrame = {
     val pairs = bigramPairStream(docs, Seq(col("doc_id")))
     val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+    // left-context totals as a WINDOW over the count table — not a
+    // groupBy+join back, which would recompute the c2 subtree (exchange
+    // reuse across the two branches is not guaranteed under AQE) and
+    // cost an extra vocabulary aggregation
+    val scoreTable = c2.withColumn("c1", sum(col("c2")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+    pairs.join(scoreTable, Seq("w1", "w2"))
       .select(col("doc_id"),
         floor(log(col("c2").cast("double") / col("c1")) * 1e6 + 0.5)
           .cast("long").as("mlp"))
@@ -711,15 +722,40 @@ object TextAnalysis {
     qualityAucDf(Tables.documents(spark, d))
 
   /** DataFrame form (docs must have lang + text). */
-  def qualityAucDf(docs: DataFrame): DataFrame = {
-    val hist = Tables.fanOut(docs)
+  def qualityAucDf(docs: DataFrame): DataFrame =
+    aucOfScores(Tables.fanOut(docs)
       .filter(length(col("text")) > 0)
       // NULL lang must count as a NEGATIVE (matching the oracle's CASE
       // ... ELSE 0): a bare (lang === "en") null-propagates and a
       // whole-bucket NULL npos_s would silently drop those docs from
       // n_neg and the rank sums
       .select(qualityScoreCol.as("score"),
-        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos")))
+
+  /** Histogram-rank AUC over a pre-scored frame with columns
+    * (score DOUBLE, pos BIGINT in {0, 1}).
+    *
+    * CONTRACT (enforced): `score` must be non-null, in [0, 1], and
+    * 6-dp-snapped (`score == round(score, 6)`) — the histogram bound of
+    * <= 1e6+1 rows that keeps the rank window corpus-size-independent
+    * holds ONLY under that snap. A caller feeding raw floats would
+    * otherwise silently build a near-corpus-sized histogram and sort it
+    * on one partition; the guard turns that into a loud error (callers
+    * with raw scores snap first, or bin via a t-digest/fixed grid).
+    * round(·, 6) is idempotent on doubles, so re-checking an
+    * already-snapped score never false-positives.
+    */
+  def aucOfScores(scored: DataFrame): DataFrame = {
+    val hist = scored
+      .select(
+        when(col("score").isNull || col("score") < 0 || col("score") > 1 ||
+          col("score") =!= round(col("score"), 6),
+          raise_error(concat(
+            lit("aucOfScores: score must be non-null, in [0, 1], and " +
+              "6-dp-snapped (the <= 1e6-row histogram bound); got "),
+            coalesce(col("score").cast("string"), lit("NULL")))))
+          .otherwise(col("score")).as("score"),
+        col("pos"))
       .groupBy(col("score"))
       .agg(count(lit(1)).as("n_s"), sum(col("pos")).as("npos_s"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))

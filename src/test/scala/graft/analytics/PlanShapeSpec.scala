@@ -165,12 +165,24 @@ class PlanShapeSpec extends SparkTestBase {
       s"diff plan grew a shuffle:\n${plan("q_corpus_diff")}")
     assert(shuffleExchanges("q_mixture_temperature") <= 2,
       s"temperature-mixture plan grew a shuffle:\n${plan("q_mixture_temperature")}")
-    // bigram LM: pair-count shuffle + vocab c1 agg + scoring joins +
-    // per-doc rollup + sort. Collocations: pair counts + two marginal
-    // aggs + their joins + top-k sort — all vocabulary-sized above the
-    // one pair-stream shuffle.
-    assert(shuffleExchanges("q_bigram_logprob") <= 5,
-      s"bigram LM plan grew a shuffle:\n${plan("q_bigram_logprob")}")
+    // bigram LM (r9 form): the pair stream crosses exactly ONE scoring
+    // join on (w1, w2) — c1 is pre-joined into the vocabulary-sized c2
+    // table, so the r8 shape's second full-stream re-shuffle on w1 is
+    // gone. Counted on the FINAL adaptive plan (the static plan still
+    // shows c2's exchange twice; AQE collapses it to a ReusedExchange):
+    // pair-count agg exchange + vocab c1 agg + per-doc rollup + sort
+    // = 4 distinct keyed exchanges.
+    val bigramDf = SparkEntry.queries("q_bigram_logprob")(spark, sfDir)
+    bigramDf.collect() // materialize so AdaptiveSparkPlan prints its final form
+    // count only the == Final Plan == section — the toString appends the
+    // initial plan below it, which would double-count every exchange
+    val bigramPlan = bigramDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val bigramExchanges = bigramPlan.linesIterator.count(l => l.contains("Exchange")
+      && !l.contains("BroadcastExchange") && !l.contains("Reused")
+      && !l.contains("RoundRobinPartitioning"))
+    assert(bigramExchanges <= 4,
+      s"bigram LM plan regrew a shuffle ($bigramExchanges):\n$bigramPlan")
     assert(shuffleExchanges("q_top_collocations") <= 7,
       s"collocation plan grew a shuffle:\n${plan("q_top_collocations")}")
     // entropy is a per-doc kernel (local property, repetitionStats

@@ -90,6 +90,53 @@ class CleaningSpec extends SparkTestBase {
     }
   }
 
+  private def causeChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(c => Option(c.getMessage).getOrElse("")).mkString(" | ")
+
+  test("span dedup: packing bounds are enforced at runtime, not just documented") {
+    val sevenTokens = "alpha beta gamma delta epsilon zeta eta"
+    // doc_id >= 2^43 would alias across documents in the packed key
+    val e1 = intercept[Exception] {
+      Cleaning.spanDedupStatsDf(docsDf((1L << 43) -> sevenTokens), n = 5).collect()
+    }
+    assert(causeChain(e1).contains("packing overflow"), causeChain(e1))
+    // negative doc_id corrupts the shiftleft pack the same way
+    val e2 = intercept[Exception] {
+      Cleaning.spanDedupStatsDf(docsDf(-1L -> sevenTokens), n = 5).collect()
+    }
+    assert(causeChain(e2).contains("packing overflow"), causeChain(e2))
+    // a doc opening >= 2^20 spans (a ~1M-token concatenated doc) would
+    // silently alias into the next doc_id's position space
+    val million = new StringBuilder
+    (0 until (1 << 20) + 8).foreach(i => million.append("t").append(i % 97).append(' '))
+    val e3 = intercept[Exception] {
+      Cleaning.spanDedupStatsDf(
+        docsDf(1L -> million.result(), 2L -> sevenTokens), n = 5).collect()
+    }
+    assert(causeChain(e3).contains("packing overflow"), causeChain(e3))
+    // in-bounds inputs are untouched by the guard
+    val ok = Cleaning.spanDedupStatsDf(
+      docsDf(((1L << 43) - 1L) -> sevenTokens), n = 5).collect()
+    assert(ok.length == 1 && ok.head.getLong(1) == 3L)
+  }
+
+  test("quality AUC: raw-float scores are rejected by the histogram-bound guard") {
+    import spark.implicits._
+    val snapped = Seq((0.333333, 1L), (0.25, 0L), (0.9, 1L)).toDF("score", "pos")
+    val ok = TextAnalysis.aucOfScores(snapped).collect()
+    assert(ok.length == 1 && ok.head.getDouble(2) == 1.0,
+      s"separable snapped scores must give AUC 1.0: ${ok.mkString}")
+    // a raw float (1/3 is not 6-dp-representable) would silently grow
+    // the histogram toward corpus size — the guard fails loudly instead
+    val raw = Seq((1.0 / 3.0, 1L), (0.25, 0L)).toDF("score", "pos")
+    val e1 = intercept[Exception] { TextAnalysis.aucOfScores(raw).collect() }
+    assert(causeChain(e1).contains("6-dp-snapped"), causeChain(e1))
+    val oob = Seq((1.5, 1L), (0.25, 0L)).toDF("score", "pos")
+    val e2 = intercept[Exception] { TextAnalysis.aucOfScores(oob).collect() }
+    assert(causeChain(e2).contains("6-dp-snapped"), causeChain(e2))
+  }
+
   test("source overlap: mirrored sources found, disjoint sources absent, jaccard exact") {
     val passage = "one two three four five six seven eight nine ten"
     val df = Seq(

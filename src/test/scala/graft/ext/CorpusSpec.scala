@@ -184,6 +184,26 @@ class CorpusSpec extends SparkTestBase {
       s"tau<1 must SHRINK the largest source: $largest")
   }
 
+  test("temperature mixture: all-zero-token corpus yields an all-zero plan, not NULL/NaN") {
+    // degenerate corpus: EVERY source has zero tokens -> the normalizing
+    // sum(npw) is 0/NULL; weight/target_tokens/share must guard to 0,
+    // mirroring mixturePlan's per-source sample_rate guard
+    val dir = java.nio.file.Files.createTempDirectory("mixture_degenerate").toString
+    Seq(
+      (1L, null.asInstanceOf[String], "en", "s1", 0L),
+      (2L, null.asInstanceOf[String], "en", "s2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val rows = Corpus.mixturePlanTemperature(spark, dir).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(!r.isNullAt(3) && r.getDouble(3) == 0.0, s"share must be 0: $r")
+      assert(!r.isNullAt(4) && r.getDouble(4) == 0.0, s"weight must be 0: $r")
+      assert(!r.isNullAt(5) && r.getLong(5) == 0L, s"target_tokens must be 0: $r")
+      assert(!r.isNullAt(6) && r.getDouble(6) == 0.0, s"sample_rate must be 0: $r")
+    }
+  }
+
   test("unigram log-prob: hand-computed scores; rare-token docs score lower") {
     import spark.implicits._
     // 9 one-token docs of a common token, 1 of a rare one: p(common) =
