@@ -146,7 +146,9 @@ object SparkEntry {
     "q_corpus_diff"       -> ((s: SparkSession, d: String) => ext.Corpus.corpusDiff(s, d)),
     "q_bigram_logprob"    -> ((s: SparkSession, d: String) => TextAnalysis.bigramLogProb(s, d)),
     "q_top_collocations"  -> ((s: SparkSession, d: String) => TextAnalysis.topCollocations(s, d)),
-    "q_token_entropy"     -> ((s: SparkSession, d: String) => TextAnalysis.tokenEntropy(s, d))
+    "q_token_entropy"     -> ((s: SparkSession, d: String) => TextAnalysis.tokenEntropy(s, d)),
+    // ---- round 9: backoff LM, product-quantized ANN
+    "q_backoff_logprob"   -> ((s: SparkSession, d: String) => TextAnalysis.backoffLogProb(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -925,6 +927,30 @@ object SparkEntry {
         "floor(ln(CAST(c2 AS DOUBLE) * n / (CAST(r1 AS DOUBLE) * r2)) * 1e6 + 0.5) / 1e6 AS pmi " +
         "FROM c2 JOIN r1 USING (w1) JOIN r2 USING (w2) CROSS JOIN n " +
         "WHERE c2 >= 5 ORDER BY pmi DESC, w1, w2 LIMIT 20"),
+    // stupid-backoff trigram LM: singleton-pruned (minCount 2) backoff
+    // over count tables ALL derived from the trigram counts; alpha =
+    // 0.5 so every constant is exactly representable in both engines'
+    // arithmetic; ln micro-snapped, exact BIGINT per-doc aggregation
+    "q_backoff_logprob" ->
+      (s"WITH f AS (SELECT doc_id, $toks AS t FROM documents), " +
+        "tg AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), " +
+        "i -> struct_pack(w1 := t[i], w2 := t[i+1], w3 := t[i+2]))) AS p FROM f WHERE len(t) >= 3), " +
+        "tris AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, p.w3 AS w3 FROM tg), " +
+        "c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tris GROUP BY 1, 2, 3), " +
+        "wc AS (SELECT *, SUM(c3) OVER (PARTITION BY w1, w2) AS ctx2, " +
+        "SUM(c3) OVER (PARTITION BY w2, w3) AS cb, " +
+        "SUM(c3) OVER (PARTITION BY w2) AS ctx1, " +
+        "SUM(c3) OVER (PARTITION BY w3) AS cu FROM c3), " +
+        "n AS (SELECT SUM(c3) AS n FROM c3), " +
+        "st AS (SELECT w1, w2, w3, CAST(floor(ln(" +
+        "CASE WHEN c3 >= 2 THEN CAST(c3 AS DOUBLE) / ctx2 " +
+        "WHEN cb >= 2 THEN 0.5 * CAST(cb AS DOUBLE) / ctx1 " +
+        "ELSE 0.5 * 0.5 * CAST(cu AS DOUBLE) / n END) * 1e6 + 0.5) AS BIGINT) AS mlp " +
+        "FROM wc CROSS JOIN n), " +
+        "sc AS (SELECT doc_id, mlp FROM tris JOIN st USING (w1, w2, w3)) " +
+        "SELECT doc_id, COUNT(*) AS n_trigrams, " +
+        "floor(CAST(SUM(mlp) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS avg_logprob " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id"),
     // token entropy: contributions nano-nat-snapped per (doc, term) on
     // both sides — the engine's kernel sums the identical integers the
     // oracle's GROUP BY form does

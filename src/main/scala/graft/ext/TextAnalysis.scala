@@ -519,6 +519,93 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The (w1, w2, w3) trigram stream of a documents frame — the order-3
+    * sibling of [[bigramPairStream]], same materialized-token-attribute
+    * discipline (the shinglesOfTokens lambda trap cannot reappear) and
+    * the same descending-sequence guard for docs under three tokens.
+    */
+  private def trigramStream(docs: DataFrame, idCols: Seq[Column]): DataFrame = {
+    val t = col("t")
+    val tris = when(size(t) >= 3, transform(sequence(lit(1), size(t) - 2),
+      i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"),
+        element_at(t, i + 2).as("w3"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+    Tables.fanOut(docs).filter(col("text").isNotNull)
+      .select(idCols :+ tokens(col("text")).as("t"): _*)
+      .select(idCols :+ explode(tris).as("tg"): _*)
+      .select(idCols ++ Seq(col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3")): _*)
+  }
+
+  /** STUPID-BACKOFF trigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the next rung of the
+    * perplexity ladder above [[bigramLogProb]] (CCNet's production
+    * filter is a 5-gram KenLM; SURVEY §8 names the ladder). Score of a
+    * trigram, with singleton PRUNING (the KenLM default) deciding what
+    * counts as "known":
+    *
+    *   S(w3 | w1 w2) = c3/ctx2                 if c3(w1 w2 w3) >= minCount
+    *                 = alpha * cb/ctx1         elif cb(w2 w3) >= minCount
+    *                 = alpha^2 * cu(w3)/N      otherwise
+    *
+    * Pruning is what makes backoff OBSERVABLE when scoring the counting
+    * corpus itself: every observed trigram has c3 >= 1, so without a
+    * count floor the backoff levels would never fire. alpha = 0.5
+    * (Brants used 0.4; 0.5 and 0.25 are exactly representable in both
+    * binary doubles and SQL decimal literals, so the cross-engine
+    * constant-arithmetic parity is exact by construction).
+    *
+    * What the extra order buys: [[bigramLogProb]] scores a document by
+    * local pair plausibility only — a doc stitched from common bigrams
+    * scores well even when no three consecutive words ever co-occur.
+    * The trigram level penalizes exactly those (backed-off, * alpha);
+    * CleaningSpec has the separation fixture bigram provably cannot
+    * pass.
+    *
+    * Scale shape: ONE corpus-sized shuffle (the (w1,w2,w3) count); ALL
+    * four backoff count tables (ctx2, cb, ctx1, cu) derive from the
+    * trigram count table as window sums — vocabulary-sized exchanges,
+    * never a second corpus scan, and no groupBy+join-back that would
+    * duplicate the count subtree (the [[bigramLogProbDf]] lesson). The
+    * scalar N rides a 1-row broadcast ([[unigramLogProb]] design). The
+    * doc stream then meets ONE fully-resolved score table on its own
+    * count-shuffle key. FP parity: per-trigram ln snaps to integer
+    * micro-nats; per-doc aggregation is exact BIGINT math.
+    */
+  def backoffLogProb(spark: SparkSession, d: String,
+                     minCount: Int = 2, alpha: Double = 0.5): DataFrame =
+    backoffLogProbDf(Tables.documents(spark, d), minCount, alpha)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def backoffLogProbDf(docs: DataFrame,
+                       minCount: Int = 2, alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tris = trigramStream(docs, Seq(col("doc_id")))
+    val c3 = tris.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val withCounts = c3
+      .withColumn("ctx2", sum(col("c3")).over(Window.partitionBy(col("w1"), col("w2"))))
+      .withColumn("cb", sum(col("c3")).over(Window.partitionBy(col("w2"), col("w3"))))
+      .withColumn("ctx1", sum(col("c3")).over(Window.partitionBy(col("w2"))))
+      .withColumn("cu", sum(col("c3")).over(Window.partitionBy(col("w3"))))
+    val n = c3.agg(sum(col("c3")).as("n")) // scalar; broadcast below
+    val score = when(col("c3") >= minCount,
+      col("c3").cast("double") / col("ctx2"))
+      .when(col("cb") >= minCount,
+        lit(alpha) * col("cb").cast("double") / col("ctx1"))
+      .otherwise(lit(alpha) * lit(alpha) * col("cu").cast("double") / col("n"))
+    val scoreTable = withCounts.crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("w3"),
+        floor(log(score) * 1e6 + 0.5).cast("long").as("mlp"))
+    tris.join(scoreTable, Seq("w1", "w2", "w3"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("mlp")).as("s"))
+      .select(col("doc_id"), col("n_trigrams"),
+        (floor(col("s").cast("double") / col("n_trigrams") + 0.5) / 1e6)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Top-k COLLOCATIONS by pointwise mutual information over the bigram
     * table — the phrase-mining step (word2vec's word2phrase, tokenizer
     * vocabulary induction) that finds token pairs co-occurring far more

@@ -185,6 +185,22 @@ class PlanShapeSpec extends SparkTestBase {
       s"bigram LM plan regrew a shuffle ($bigramExchanges):\n$bigramPlan")
     assert(shuffleExchanges("q_top_collocations") <= 7,
       s"collocation plan grew a shuffle:\n${plan("q_top_collocations")}")
+    // backoff trigram LM (r9): ONE corpus-sized shuffle (the trigram
+    // count); the four backoff-table windows chain into TWO
+    // vocabulary-sized exchanges (w2-compatible and w3-compatible
+    // partitionings share one each); + the scalar-N agg branch +
+    // per-doc rollup + sort. The doc stream meets ONE fully-resolved
+    // score table. Counted on the final adaptive plan (same rationale
+    // as the bigram pin).
+    val backoffDf = SparkEntry.queries("q_backoff_logprob")(spark, sfDir)
+    backoffDf.collect()
+    val backoffPlan = backoffDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val backoffExchanges = backoffPlan.linesIterator.count(l => l.contains("Exchange")
+      && !l.contains("BroadcastExchange") && !l.contains("Reused")
+      && !l.contains("RoundRobinPartitioning"))
+    assert(backoffExchanges <= 6,
+      s"backoff LM plan grew a shuffle ($backoffExchanges):\n$backoffPlan")
     // entropy is a per-doc kernel (local property, repetitionStats
     // design): only the presentation sort may shuffle — a (doc, term)
     // groupBy sneaking in would add more

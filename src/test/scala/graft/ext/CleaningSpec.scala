@@ -247,6 +247,48 @@ class CleaningSpec extends SparkTestBase {
       s"against-the-grain doc must score lower: ${scores(99L)} vs ${scores(0L)}")
   }
 
+  test("backoff trigram: separates a bigram-blind doc; all three levels hand-checked") {
+    // corpus: 6x "x a b" (incl. doc 21), 5x "y a c", doc 22 "x a c",
+    // doc 31 "p q r". Bigram counts make docs 21/22 IDENTICAL — both
+    // score ln p(a|x) + ln p(.|a) with c(a b) = c(a c) = 6 over
+    // c1(a) = 12 — so the bigram LM provably cannot separate them.
+    val docs =
+      (1L to 5L).map(i => i -> "x a b") ++
+        (11L to 15L).map(i => i -> "y a c") ++
+        Seq(21L -> "x a b", 22L -> "x a c", 31L -> "p q r")
+    val df = docsDf(docs: _*)
+    val bg = TextAnalysis.bigramLogProbDf(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bg(21L) == bg(22L), s"bigram must tie: ${bg(21L)} vs ${bg(22L)}")
+    val out = TextAnalysis.backoffLogProbDf(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def snap(x: Double) = math.floor(math.log(x) * 1e6 + 0.5) / 1e6
+    // known trigram: c3(x a b) = 6 >= minCount over ctx2(x, a) = 7
+    assert(out(21L) == ((1L, snap(6.0 / 7))), s"got ${out(21L)}")
+    // bigram backoff: trigram (x a c) is a singleton -> 0.5 * cb(a, c) = 6
+    // over ctx1(a) = 12
+    assert(out(22L) == ((1L, snap(0.5 * 6 / 12))), s"got ${out(22L)}")
+    // unigram backoff: (q, r) also singleton -> 0.25 * cu(r) = 1 over N = 13
+    assert(out(31L) == ((1L, snap(0.5 * 0.5 * 1 / 13))), s"got ${out(31L)}")
+    assert(out(21L)._2 > out(22L)._2,
+      "the trigram level must separate what bigram cannot")
+  }
+
+  test("backoff trigram: fixture run deterministic, scores non-positive, short docs excluded") {
+    val a = TextAnalysis.backoffLogProb(spark, sfDir).collect()
+    val b = TextAnalysis.backoffLogProb(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) <= 0.0, s"log-prob must be <= 0: $r")
+    }
+    // two-token docs open no trigram and must be absent
+    val withShort = TextAnalysis.backoffLogProbDf(
+      docsDf(1L -> "only two", 2L -> "three token doc")).collect()
+    assert(withShort.map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("top collocations: planted pair wins by PMI, minCount suppresses noise") {
     // "new york" always adjacent; fillers form a high-frequency soup so
     // their pairwise PMI is low; the rare pair below minCount never shows
