@@ -148,7 +148,8 @@ object SparkEntry {
     "q_top_collocations"  -> ((s: SparkSession, d: String) => TextAnalysis.topCollocations(s, d)),
     "q_token_entropy"     -> ((s: SparkSession, d: String) => TextAnalysis.tokenEntropy(s, d)),
     // ---- round 9: backoff LM, product-quantized ANN
-    "q_backoff_logprob"   -> ((s: SparkSession, d: String) => TextAnalysis.backoffLogProb(s, d))
+    "q_backoff_logprob"   -> ((s: SparkSession, d: String) => TextAnalysis.backoffLogProb(s, d)),
+    "q_ivf_pq_topk"       -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles

@@ -140,11 +140,23 @@ object Similarity {
     * No RNG anywhere, so runs/replays agree.
     */
   def trainIvfCentroids(emb: DataFrame, nlist: Int = 16, iters: Int = 3,
-                        maxTrain: Int = 4096): Array[Array[Double]] = {
-    val sample: Array[Array[Double]] = emb.filter(col("embedding").isNotNull)
+                        maxTrain: Int = 4096): Array[Array[Double]] =
+    trainIvfCentroidsFrom(collectTrainSample(emb, maxTrain), nlist, iters)
+
+  /** The bounded deterministic training sample both the IVF quantizer
+    * and the PQ codebooks train on — collected ONCE by callers that
+    * need both models (one small job, 4096 rows regardless of corpus).
+    */
+  private[ext] def collectTrainSample(emb: DataFrame,
+                                      maxTrain: Int = 4096): Array[Array[Double]] =
+    emb.filter(col("embedding").isNotNull)
       .orderBy(col("vec_id"))
       .limit(maxTrain).select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** Local Lloyd iterations over a pre-collected sample. */
+  private[ext] def trainIvfCentroidsFrom(sample: Array[Array[Double]],
+                                         nlist: Int, iters: Int = 3): Array[Array[Double]] = {
     require(sample.length >= nlist, s"need >= $nlist training vectors")
     var cents = sample.take(nlist).map(_.clone())
     for (_ <- 0 until iters) {
@@ -235,6 +247,179 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim_r"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  // --------------------------------------------------------- IVF-PQ ANN
+
+  /** Train per-subspace product-quantization codebooks (Jégou et al.
+    * 2011, "Product Quantization for Nearest Neighbor Search"): the
+    * dim-D vector splits into `m` contiguous subspaces of D/m dims;
+    * each subspace gets its own `kSub`-centroid Lloyd codebook, trained
+    * on the same bounded driver sample as [[trainIvfCentroids]] (pass a
+    * pre-collected sample via [[trainPqCodebooksFrom]] to share the one
+    * collect). Deterministic: no RNG, first-rows init, empty cells keep
+    * their centroid.
+    */
+  def trainPqCodebooks(emb: DataFrame, m: Int = 16, kSub: Int = 256,
+                       iters: Int = 3, maxTrain: Int = 4096): Array[Array[Array[Double]]] =
+    trainPqCodebooksFrom(collectTrainSample(emb, maxTrain), m, kSub, iters)
+
+  /** Codebooks from a pre-collected sample ([[collectTrainSample]]). */
+  def trainPqCodebooksFrom(sample: Array[Array[Double]], m: Int = 16,
+                           kSub: Int = 256, iters: Int = 3): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "PQ training needs at least one vector")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val subSample = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      trainIvfCentroidsFrom(subSample, math.min(kSub, subSample.length), iters)
+    }
+  }
+
+  /** PQ encoder: vector -> (m-byte code, reconstruction norm). Per
+    * subspace, the code byte is the squared-L2 argmin sub-centroid; the
+    * reconstruction norm is sqrt of the summed sub-centroid norm²s
+    * (precomputed per codebook entry — the encode loop never re-walks
+    * centroid components for norms). Narrow map over the scan.
+    */
+  private[ext] def pqEncodeUdf(cbs: Array[Array[Array[Double]]]) = {
+    val m = cbs.length
+    val norm2: Array[Array[Double]] = cbs.map(_.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    })
+    udf { v: scala.collection.Seq[Float] =>
+      val codes = new Array[Byte](m)
+      var rn2 = 0.0
+      var s = 0
+      var off = 0
+      while (s < m) {
+        val cb = cbs(s)
+        val sub = cb(0).length
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          val ctr = cb(c)
+          var dd = 0.0
+          var i = 0
+          while (i < sub) {
+            val x = (if (off + i < v.length) v(off + i).toDouble else 0.0) - ctr(i)
+            dd += x * x
+            i += 1
+          }
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        codes(s) = best.toByte
+        rn2 += norm2(s)(best)
+        off += sub
+        s += 1
+      }
+      (codes, math.sqrt(rn2))
+    }
+  }
+
+  /** IVF-PQ ANN: the IVF probe topology of [[ivfAnnTopK]] with the
+    * corpus side PRODUCT-QUANTIZED — only (vec_id, cell, m-byte code,
+    * rec_norm) reach the probe join, never the float embedding column.
+    * At dim 64 / m 16 that is 16 bytes of code + 12 bytes of id/norm
+    * against 256 bytes of float32 — the ~16× probe-payload cut that
+    * matters at 100 TB, where ANN probe cost is IO-bound on the
+    * embedding column, not FLOP-bound.
+    *
+    * Scoring is asymmetric distance computation (ADC): the query side
+    * is nQueries rows COLLECTED (bounded by design, like the training
+    * sample); per query the driver precomputes the m × kSub table of
+    * sub-centroid dot products, so scoring a corpus code is m table
+    * adds — the UDF closure carries nQueries × m × kSub doubles (~256
+    * KiB at the defaults; at larger query counts this becomes a
+    * broadcast variable, same payload). approx_cos = ADC dot /
+    * (|q| · rec_norm); ranking and k-bounding mirror the exact path.
+    *
+    * Rows-only entry (the codebooks are engine-local models, like the
+    * LSH planes / IVF centroids); recall-vs-exact floor, per-pair
+    * score distortion, and determinism are asserted in
+    * DedupSimilaritySpec.
+    */
+  def ivfPqTopK(spark: SparkSession, d: String,
+                nQueries: Int = 8, k: Int = 5,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 16, kSub: Int = 256): DataFrame = {
+    import spark.implicits._
+    val embRaw = Tables.embeddings(spark, d)
+    val sample = collectTrainSample(embRaw)
+    val cents = trainIvfCentroidsFrom(sample, nlist)
+    val cbs = trainPqCodebooksFrom(sample, m, kSub)
+    val enc = pqEncodeUdf(cbs)
+    val corpus = embRaw.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), ivfCellUdf(cents)(col("embedding")).as("cell"),
+        enc(col("embedding")).as("pq"))
+      .select(col("vec_id"), col("cell"),
+        col("pq._1").as("code"), col("pq._2").as("rec_norm"))
+    val qRows = embRaw.filter(col("embedding").isNotNull && col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id")).collect()
+    val qVecs: Array[(Long, Array[Double])] = qRows.map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val adc: Map[Long, Array[Array[Double]]] = qVecs.map { case (qid, q) =>
+      qid -> Array.tabulate(m) { s =>
+        val cb = cbs(s)
+        val sub = cb(0).length
+        val off = s * sub
+        Array.tabulate(cb.length) { c =>
+          var dp = 0.0
+          var i = 0
+          while (i < sub) {
+            if (off + i < q.length) dp += q(off + i) * cb(c)(i)
+            i += 1
+          }
+          dp
+        }
+      }
+    }.toMap
+    val qNorm: Map[Long, Double] = qVecs.map { case (qid, q) =>
+      var s2 = 0.0; var i = 0
+      while (i < q.length) { s2 += q(i) * q(i); i += 1 }
+      qid -> math.sqrt(s2)
+    }.toMap
+    // probe cells resolved driver-side too: the broadcast query table is
+    // (query_id, probe_cell) ints only
+    val probes = qVecs.flatMap { case (qid, q) =>
+      cents.indices.map { c =>
+        val ctr = cents(c)
+        var dd = 0.0
+        var i = 0
+        val n2 = math.min(ctr.length, q.length)
+        while (i < n2) { val x = q(i) - ctr(i); dd += x * x; i += 1 }
+        (dd, c)
+      }.sorted.take(nprobe).map(p => (qid, p._2))
+    }.toSeq.toDF("query_id", "probe_cell")
+    val adcScore = udf { (qid: Long, code: Array[Byte]) =>
+      val t = adc(qid)
+      var s = 0.0
+      var i = 0
+      while (i < code.length) { s += t(i)(code(i) & 0xFF); i += 1 }
+      s
+    }
+    val qNormUdf = udf { qid: Long => qNorm(qid) }
+    val scored = corpus.join(broadcast(probes),
+        col("probe_cell") === col("cell") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        // rec_norm 0 (an all-zero reconstruction) scores 0, not a
+        // divide-by-zero (ANSI throws on /0)
+        when(col("rec_norm") > 0,
+          round(adcScore(col("query_id"), col("code")) /
+            (qNormUdf(col("query_id")) * col("rec_norm")), 6))
+          .otherwise(lit(0.0)).as("cos_sim_pq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim_pq").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim_pq"))
       .orderBy(col("query_id"), col("rk"))
   }
 

@@ -172,6 +172,60 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(again == pairs)
   }
 
+  test("IVF-PQ ANN: recall floor vs brute force, bounded distortion, deterministic") {
+    val bruteRows = Similarity.cosineTopK(spark, sfDir).collect()
+    val brute = bruteRows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pq = Similarity.ivfPqTopK(spark, sfDir).collect()
+    val perQuery = pq.groupBy(_.getAs[Long]("query_id"))
+    assert(perQuery.values.forall(_.length <= 5), "at most k rows per query")
+    val pairs = pq.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.intersect(pairs).size.toDouble / brute.size
+    assert(recall >= 0.1, s"IVF-PQ recall collapsed: $recall")
+    // per-pair score distortion: the 8-bit reconstruction must track the
+    // exact cosine (4-dim subspaces x 256 codes are accurate on this data)
+    val exactScores = bruteRows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos_sim_r")).toMap
+    val pqScores = pq.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos_sim_pq")).toMap
+    brute.intersect(pairs).foreach { p =>
+      assert(math.abs(exactScores(p) - pqScores(p)) <= 0.2,
+        s"PQ distortion too high on $p: exact ${exactScores(p)} vs pq ${pqScores(p)}")
+    }
+    // determinism: no RNG anywhere in training/encoding/probing
+    val again = Similarity.ivfPqTopK(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(again == pairs)
+  }
+
+  test("PQ codebooks/encoder: exact reconstruction when a subspace has few distinct values") {
+    import spark.implicits._
+    // 8-dim vectors over a tiny value set: with kSub >= distinct
+    // sub-vectors, Lloyd converges to the exact points and the encoder
+    // must reconstruct norms exactly
+    val vecs = (0L until 64L).map { i =>
+      (i, Array.tabulate(8)(j => ((i + j) % 4).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cbs = Similarity.trainPqCodebooks(vecs, m = 4, kSub = 16, iters = 8)
+    assert(cbs.length == 4 && cbs.forall(_.forall(_.length == 2)))
+    val enc = Similarity.pqEncodeUdf(cbs)
+    val out = vecs.select(col("vec_id"), enc(col("embedding")).as("pq"))
+      .select(col("vec_id"), col("pq._1").as("code"), col("pq._2").as("rec_norm"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Array[Byte]]("code").length == 4, "one byte per subspace")
+    }
+    // reconstruction norm equals true norm when codebooks are exact
+    val trueNorms = (0L until 64L).map { i =>
+      i -> math.sqrt((0 until 8).map(j => math.pow((i + j) % 4, 2)).sum)
+    }.toMap
+    out.foreach { r =>
+      val got = r.getAs[Double]("rec_norm")
+      val want = trueNorms(r.getLong(0))
+      assert(math.abs(got - want) < 1e-9, s"vec ${r.getLong(0)}: $got vs $want")
+    }
+  }
+
   test("Misra-Gries heavy hitters: true heavy hitters survive partial merges") {
     // 1000 rows: "HOT" 400×, "WARM" 200×, 400 distinct cold values;
     // k=10 → guarantee: anything with count > 100 survives
