@@ -268,6 +268,89 @@ object Cleaning {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Positional span hashes of a token array: pos i (1-based) covers
+    * tokens [i, i+n-1], hashed with xxhash64 so span STRINGS never
+    * reach an exchange. sequence(1, 0) would generate a DESCENDING
+    * [1, 0] — short docs are guarded to an explicit empty array.
+    */
+  private def spanHashesOf(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => xxhash64(concat_ws(" ", slice(t, i, lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** DISTINCT span hashes of a static base corpus — the keeper set the
+    * streaming form of span dedup checks arrivals against. One corpus
+    * pass, one distinct on the 8-byte hash.
+    */
+  def keeperSpanHashes(docs: DataFrame, n: Int = 5): DataFrame =
+    Tables.fanOut(docs).filter(col("text").isNotNull)
+      .select(TextAnalysis.tokens(col("text")).as("t"))
+      .select(explode(spanHashesOf(col("t"), n)).as("h"))
+      .distinct()
+
+  /** Span-dedup stats AGAINST a static keeper-span set: a span of an
+    * incoming document is removed iff its hash is already owned by the
+    * base corpus. There is no within-batch keeper election — the base
+    * corpus owns all its spans, the streaming analogue of the batch
+    * operator's earliest-(doc_id, pos) rule (first writer wins across
+    * time). Per-doc output schema matches [[spanDedupStatsDf]], and
+    * per-doc results depend only on the doc and the keeper set, so the
+    * union of per-batch outputs equals the one-shot batch result on
+    * the same documents (asserted in StreamingSpec).
+    *
+    * Scale shape: the batch span stream joins the keeper set on the
+    * 8-byte hash — at scale the keeper side is corpus-sized, so this
+    * is a shuffle join keyed on a uniform hash (or, for small batches
+    * against a huge base, the bloom-prefilter ladder of
+    * [[graft.functions.BloomPrefilter]] applies in front).
+    */
+  def spanDedupStatsAgainst(docs: DataFrame, keeperSpans: DataFrame,
+                            n: Int = 5, maxDupFrac: Double = 0.2): DataFrame = {
+    val spans = Tables.fanOut(docs).filter(col("text").isNotNull)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(spanHashesOf(col("t"), n)).as("h"))
+    val marked = spans
+      .join(keeperSpans.select(col("h")).distinct().withColumn("dup", lit(1L)),
+        Seq("h"), "left")
+      .select(col("doc_id"), coalesce(col("dup"), lit(0L)).as("removed"))
+    val perDoc = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("removed")).as("n_removed"))
+    docs.filter(col("text").isNotNull).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .withColumn("dup_frac",
+        when(col("n_spans") > 0,
+          round(col("n_removed").cast("double") / col("n_spans"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("keep", col("dup_frac") <= maxDupFrac)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Streaming span dedup (foreachBatch stage): each micro-batch of
+    * documents is scored against the STATIC keeper-span set and its
+    * per-doc stats rows append to `outPath` tagged with the batch id —
+    * the same sink contract as [[gopherFilterSink]] /
+    * [[Corpus.decontaminationSink]].
+    */
+  def spanDedupSink(docStream: DataFrame, keeperSpans: DataFrame,
+                    outPath: String, checkpoint: String, n: Int = 5,
+                    maxDupFrac: Double = 0.2, triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          spanDedupStatsAgainst(batch, keeperSpans, n, maxDupFrac)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+
   /** DataFrame form (docs must have doc_id + text). */
   def spanDedupStatsDf(docs: DataFrame, n: Int = 5,
                        maxDupFrac: Double = 0.2): DataFrame = {
@@ -292,13 +375,7 @@ object Cleaning {
             lit(" spans. Densify ids / pre-split pathological docs upstream."))))
           .otherwise(col("t")))
     val t = col("t")
-    // positional span hashes: pos i (1-based) covers tokens [i, i+n-1].
-    // sequence(1, 0) would generate a DESCENDING [1, 0] — guard short
-    // docs to an explicit empty array
-    val spanHashes = when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => xxhash64(concat_ws(" ", slice(t, i, lit(n))))))
-      .otherwise(array().cast("array<bigint>"))
+    val spanHashes = spanHashesOf(t, n)
     // (doc_id, pos) packed into one BIGINT BELOW the exchange: the span
     // stream rides the shuffle as 16 bytes/span (pk + hash), and
     // min(packed) = lexicographic min of (doc_id, pos) while staying a

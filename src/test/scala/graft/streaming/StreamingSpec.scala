@@ -250,6 +250,44 @@ class StreamingSpec extends SparkTestBase {
     assert(!byDoc.contains(3L) && !byDoc.contains(4L), "clean docs absent")
   }
 
+  test("streaming span dedup: per-batch stats vs static keepers match batch mode") {
+    implicit val sqlCtx = spark.sqlContext
+    // base corpus owns the passage's three 5-gram spans
+    val passage = "alpha beta gamma delta epsilon zeta eta"
+    val keepers = graft.ext.Cleaning.keeperSpanHashes(
+      Seq(100L -> passage).toDF("doc_id", "text"))
+    val arrivals = Seq(
+      1L -> s"$passage tail1 tail2 tail3",                      // 6 spans, 3 owned
+      2L -> "totally fresh content with no shared passages at all", // clean
+      3L -> "too short")                                        // 0 spans
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("span_out").toString
+    val ckpt = Files.createTempDirectory("span_ckpt").toString
+    val query = graft.ext.Cleaning.spanDedupSink(
+      input.toDF().toDF("doc_id", "text"), keepers, out, ckpt,
+      triggerMs = 50L).start()
+    try {
+      input.addData(arrivals(0), arrivals(1))
+      query.processAllAvailable()
+      input.addData(arrivals(2))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    // per-doc results depend only on the doc and the keeper set, so the
+    // union of per-batch outputs must equal the one-shot batch result
+    val batch = graft.ext.Cleaning
+      .spanDedupStatsAgainst(arrivals.toDF("doc_id", "text"), keepers)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    val byDoc = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(byDoc(1L) == ((6L, 3L, false)),
+      s"passage doc: 3 of 6 spans owned by the base, dropped at 0.5: $byDoc")
+    assert(byDoc(2L)._2 == 0L && byDoc(2L)._3, "clean doc keeps")
+    assert(byDoc(3L) == ((0L, 0L, true)), "short doc reports zero spans, keeps")
+  }
+
   test("streaming gopher filter: per-batch verdicts match batch mode") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Seq(
