@@ -149,7 +149,9 @@ object SparkEntry {
     "q_token_entropy"     -> ((s: SparkSession, d: String) => TextAnalysis.tokenEntropy(s, d)),
     // ---- round 9: backoff LM, product-quantized ANN
     "q_backoff_logprob"   -> ((s: SparkSession, d: String) => TextAnalysis.backoffLogProb(s, d)),
-    "q_ivf_pq_topk"       -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d))
+    "q_ivf_pq_topk"       -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
+    "q_quality_calibration" -> ((s: SparkSession, d: String) => TextAnalysis.qualityCalibration(s, d)),
+    "q_heaps_law"         -> ((s: SparkSession, d: String) => TextAnalysis.heapsLaw(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -952,6 +954,54 @@ object SparkEntry {
         "SELECT doc_id, COUNT(*) AS n_trigrams, " +
         "floor(CAST(SUM(mlp) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS avg_logprob " +
         "FROM sc GROUP BY doc_id ORDER BY doc_id"),
+    // calibration bins: score fragment = the q_quality_auc oracle
+    // verbatim; bin index and micro-snapped score sums use identical
+    // double expressions on both engines, per-bin mean is exact
+    // BIGINT-sum division
+    "q_quality_calibration" ->
+      (s"WITH f AS (SELECT lang, " +
+        s"CAST(len(list_filter($toks, t -> t IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) " +
+        s"/ len($toks) AS stop_r, " +
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_r, " +
+        s"CAST(len($toks) AS DOUBLE) AS n_tok, " +
+        s"CAST(length(text) AS DOUBLE) / len($toks) AS avg_len " +
+        "FROM documents WHERE length(text) > 0), " +
+        "sc AS (SELECT round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * stop_r - 8.0 * punct_r " +
+        "+ 0.9 * ln(n_tok + 1.0) - 0.35 * avg_len))), 6) AS score, " +
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM f), " +
+        "b AS (SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin, pos, " +
+        "CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS micro FROM sc), " +
+        "a AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(pos) AS BIGINT) AS n_pos, SUM(micro) AS sm FROM b GROUP BY bin) " +
+        "SELECT bin, round(CAST(bin AS DOUBLE) / 10, 6) AS bin_lo, n_docs, n_pos, " +
+        "round(CAST(n_pos AS DOUBLE) / n_docs, 6) AS pos_rate, " +
+        "floor(CAST(sm AS DOUBLE) / n_docs + 0.5) / 1e6 AS mean_score, " +
+        "round(abs(round(CAST(n_pos AS DOUBLE) / n_docs, 6) - " +
+        "floor(CAST(sm AS DOUBLE) / n_docs + 0.5) / 1e6), 6) AS calib_gap " +
+        "FROM a ORDER BY bin"),
+    // Heaps'-law growth: first-occurrence trick (a term's min doc_id is
+    // where the type count increments), running sums per source in
+    // doc_id order, then the zipf 5-sum regression in HUGEINT
+    "q_heaps_law" ->
+      (s"WITH f AS (SELECT source, doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
+        "pd AS (SELECT source, doc_id, CAST(len(t) AS BIGINT) AS n_toks FROM f), " +
+        "tok AS (SELECT source, doc_id, unnest(t) AS term FROM f), " +
+        "fo AS (SELECT source, term, MIN(doc_id) AS first_doc FROM tok GROUP BY 1, 2), " +
+        "nt AS (SELECT source, first_doc AS doc_id, COUNT(*) AS n_new FROM fo GROUP BY 1, 2), " +
+        "cum AS (SELECT pd.source, pd.doc_id, " +
+        "SUM(n_toks) OVER (PARTITION BY pd.source ORDER BY pd.doc_id) AS cum_toks, " +
+        "SUM(COALESCE(n_new, 0)) OVER (PARTITION BY pd.source ORDER BY pd.doc_id) AS cum_types " +
+        "FROM pd LEFT JOIN nt ON pd.source = nt.source AND pd.doc_id = nt.doc_id), " +
+        "m AS (SELECT source, " +
+        "CAST(floor(ln(CAST(cum_toks AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT) AS x, " +
+        "CAST(floor(ln(CAST(cum_types AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT) AS y " +
+        "FROM cum WHERE cum_toks > 0 AND cum_types > 0), " +
+        "a AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, " +
+        "SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM m GROUP BY source) " +
+        "SELECT source, CAST(n AS BIGINT) AS n_points, " +
+        "CASE WHEN n*sxx - sx*sx = 0 THEN 0.0 ELSE " +
+        "round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) END AS heaps_beta " +
+        "FROM a ORDER BY source"),
     // token entropy: contributions nano-nat-snapped per (doc, term) on
     // both sides — the engine's kernel sums the identical integers the
     // oracle's GROUP BY form does

@@ -868,6 +868,50 @@ object TextAnalysis {
           .as("auc"))
   }
 
+  /** Reliability-diagram CALIBRATION bins for the quality model — the
+    * companion audit to [[qualityAuc]]: AUC says the score RANKS well,
+    * calibration says whether the score's VALUE means what it claims
+    * (a 0.8-scored bucket should be ~80% positive). Per decile bin of
+    * the score: document count, positive count, observed positive
+    * rate, mean score, and the |rate − mean| calibration gap — the
+    * expected-calibration-error table a pipeline reads before using
+    * scores as sampling WEIGHTS rather than mere thresholds.
+    *
+    * Scale shape: one map-side-combined histogram aggregation to
+    * `bins` rows — nothing else. FP parity: the bin index and the
+    * micro-snapped score sum use identical double expressions in both
+    * engines; per-bin mean is exact BIGINT-sum division.
+    */
+  def qualityCalibration(spark: SparkSession, d: String, bins: Int = 10): DataFrame =
+    qualityCalibrationDf(Tables.documents(spark, d), bins)
+
+  /** DataFrame form (docs must have lang + text). */
+  def qualityCalibrationDf(docs: DataFrame, bins: Int = 10): DataFrame = {
+    val scored = Tables.fanOut(docs)
+      .filter(length(col("text")) > 0)
+      // NULL lang counts as negative — the qualityAuc rule
+      .select(qualityScoreCol.as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    scored
+      .select(
+        least(floor(col("score") * bins), lit((bins - 1).toDouble))
+          .cast("int").as("bin"),
+        col("pos"),
+        floor(col("score") * 1e6 + 0.5).cast("long").as("micro"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
+        sum(col("micro")).as("sm"))
+      .select(col("bin"),
+        round(col("bin").cast("double") / bins, 6).as("bin_lo"),
+        col("n_docs"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_docs"), 6).as("pos_rate"),
+        (floor(col("sm").cast("double") / col("n_docs") + 0.5) / 1e6)
+          .as("mean_score"))
+      .withColumn("calib_gap",
+        round(abs(col("pos_rate") - col("mean_score")), 6))
+      .orderBy(col("bin"))
+  }
+
   /** Per-source Zipf-slope audit: the least-squares slope of ln(count)
     * against ln(rank) over each source's token frequency table. Natural
     * text follows Zipf's law with slope ≈ −1; a source whose slope
@@ -917,6 +961,71 @@ object TextAnalysis {
             (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
               (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
           .as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-source HEAPS'-LAW vocabulary-growth audit: the log-log slope
+    * of cumulative distinct-type count against cumulative token count,
+    * accumulating documents in doc_id order. Natural text follows
+    * V(n) ≈ K·n^β with β ≈ 0.4–0.6; a source whose β collapses toward
+    * 0 saturates its vocabulary (template/boilerplate spam), one
+    * pushing toward 1 never repeats itself (serial-number soup, random
+    * tokens) — the growth-shape complement of [[zipfSlope]]'s static
+    * frequency audit, and the curve tokenizer/vocab-size planning
+    * actually reads.
+    *
+    * The cumulative distinct count needs no stateful scan: a term's
+    * FIRST-occurrence doc (min doc_id per (source, term)) marks exactly
+    * where the type count increments, so cum_types is a running sum of
+    * per-doc new-type counts. Scale shape: per-doc token totals are
+    * narrow (array size); the ONLY corpus-sized shuffle is the
+    * (source, term) first-occurrence aggregation (the tfidf/KL
+    * topology); the growth curve is a doc-sized window per source
+    * (16-ish bytes per document — the perplexityBuckets class), and the
+    * regression is the zipfSlope 5-sum with O(1) state per source.
+    *
+    * FP parity: ln(cum) values snap to integer micro-units, regression
+    * sums run in DECIMAL(38,0)/HUGEINT — the [[zipfSlope]] design
+    * verbatim.
+    */
+  def heapsLaw(spark: SparkSession, d: String): DataFrame =
+    heapsLawDf(Tables.documents(spark, d))
+
+  /** DataFrame form (docs must have source + doc_id + text). */
+  def heapsLawDf(docs: DataFrame): DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+    val perDoc = base.select(col("source"), col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_toks"))
+    val firstOcc = base
+      .select(col("source"), col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val newTypes = firstOcc
+      .groupBy(col("source"), col("first_doc"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumnRenamed("first_doc", "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val cum = perDoc.join(newTypes, Seq("source", "doc_id"), "left")
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .withColumn("cum_types", sum(coalesce(col("n_new"), lit(0L))).over(w))
+      .filter(col("cum_toks") > 0 && col("cum_types") > 0)
+    val micro = cum.select(col("source"),
+      floor(log(col("cum_toks").cast("double")) * 1e6 + 0.5)
+        .cast("decimal(19,0)").as("x"),
+      floor(log(col("cum_types").cast("double")) * 1e6 + 0.5)
+        .cast("decimal(19,0)").as("y"))
+    micro.groupBy(col("source"))
+      .agg(count(lit(1)).cast("decimal(19,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n").cast("long").as("n_points"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(0.0))
+          .otherwise(round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+          .as("heaps_beta"))
       .orderBy(col("source"))
   }
 

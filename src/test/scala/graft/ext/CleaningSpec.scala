@@ -308,6 +308,67 @@ class CleaningSpec extends SparkTestBase {
     assert(pmis.sameElements(pmis.sortBy(-(_: Double))))
   }
 
+  test("quality calibration: bins partition the corpus, means stay inside their bin") {
+    import spark.implicits._
+    val out = TextAnalysis.qualityCalibration(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val nDocs = graft.Tables.documents(spark, sfDir)
+      .filter(length(col("text")) > 0).count()
+    assert(out.map(_.getLong(2)).sum == nDocs, "bins must partition all scored docs")
+    out.foreach { r =>
+      val (bin, binLo, n, nPos) = (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3))
+      assert(bin >= 0 && bin <= 9 && binLo == bin / 10.0)
+      assert(nPos >= 0 && nPos <= n)
+      val rate = r.getDouble(4)
+      assert(rate >= 0.0 && rate <= 1.0)
+      val mean = r.getDouble(5)
+      // a bin's mean score must lie inside the bin (top bin includes 1.0)
+      assert(mean >= binLo - 1e-6 && mean <= binLo + 0.1 + 1e-6,
+        s"bin $bin mean $mean outside [$binLo, ${binLo + 0.1}]")
+      assert(r.getDouble(6) == math.round(math.abs(rate - mean) * 1e6) / 1e6)
+    }
+    // same text, one en one de -> same score bin, observed rate 0.5
+    val two = Seq(
+      (1L, "the a of and to in is on for word word word", "en"),
+      (2L, "the a of and to in is on for word word word", "de"))
+      .toDF("doc_id", "text", "lang")
+    val bins = TextAnalysis.qualityCalibrationDf(two).collect()
+    assert(bins.length == 1 && bins.head.getLong(2) == 2L &&
+      bins.head.getDouble(4) == 0.5)
+  }
+
+  test("heaps law: linear vocab growth gives beta 1, saturated vocab gives beta 0") {
+    import spark.implicits._
+    // doc i introduces exactly one new type among 4 tokens:
+    // cum_toks = 4i, cum_types = i -> ln y = ln x - ln 4, slope 1
+    val growth = (1 to 16).map(i =>
+      (i.toLong, s"t$i t1 t1 t1", "grow"))
+    // every doc identical: types stick at 4 from doc 1 -> y constant -> 0
+    val flat = (101 to 116).map(i => (i.toLong, "a b c d", "flat"))
+    val out = TextAnalysis.heapsLawDf(
+      (growth ++ flat).toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("grow")._1 == 16L)
+    assert(math.abs(out("grow")._2 - 1.0) < 1e-4, s"growth beta: ${out("grow")}")
+    assert(out("flat")._2 == 0.0, s"saturated beta: ${out("flat")}")
+  }
+
+  test("heaps law: fixture sources saturate (0 < beta < 1), deterministic") {
+    val a = TextAnalysis.heapsLaw(spark, sfDir).collect()
+    val b = TextAnalysis.heapsLaw(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val beta = r.getDouble(2)
+      // a source whose FIRST doc already holds its whole tiny vocabulary
+      // has constant cum_types -> beta exactly 0; none grows linearly
+      assert(beta >= 0.0 && beta < 1.0,
+        s"${r.getString(0)}: tiny-vocab synthetic text must saturate, beta $beta")
+    }
+    assert(a.exists(_.getDouble(2) > 0.0),
+      "at least one source must show partial vocabulary growth")
+  }
+
   test("zipf slope: uniform counts give slope 0, exact-Zipf counts give -1") {
     // uniform: every term once -> y constant -> slope exactly 0
     val uniform = (1 to 20).map(i => s"tok$i").mkString(" ")
