@@ -576,11 +576,17 @@ object TextAnalysis {
                      minCount: Int = 2, alpha: Double = 0.5): DataFrame =
     backoffLogProbDf(Tables.documents(spark, d), minCount, alpha)
 
-  /** DataFrame form (docs must have doc_id + text). */
-  def backoffLogProbDf(docs: DataFrame,
-                       minCount: Int = 2, alpha: Double = 0.5): DataFrame = {
+  /** The fully-resolved (w1, w2, w3, mlp) stupid-backoff score table of
+    * a counting corpus — every observed trigram type with its
+    * micro-nat-snapped backoff log-score. Shared by the batch scorer
+    * ([[backoffLogProbDf]]) and the streaming form
+    * ([[backoffScoreAgainst]] / [[backoffScoreSink]]), which scores
+    * ARRIVALS against the frozen table of a base corpus.
+    */
+  def backoffScoreTable(docs: DataFrame,
+                        minCount: Int = 2, alpha: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tris = trigramStream(docs, Seq(col("doc_id")))
+    val tris = trigramStream(docs, Seq.empty)
     val c3 = tris.groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("c3"))
     val withCounts = c3
@@ -594,10 +600,18 @@ object TextAnalysis {
       .when(col("cb") >= minCount,
         lit(alpha) * col("cb").cast("double") / col("ctx1"))
       .otherwise(lit(alpha) * lit(alpha) * col("cu").cast("double") / col("n"))
-    val scoreTable = withCounts.crossJoin(broadcast(n))
+    withCounts.crossJoin(broadcast(n))
       .select(col("w1"), col("w2"), col("w3"),
-        floor(log(score) * 1e6 + 0.5).cast("long").as("mlp"))
-    tris.join(scoreTable, Seq("w1", "w2", "w3"))
+        floor(log(score) * 1e6 + 0.5).cast("long").as("mlp"),
+        col("n"))
+  }
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def backoffLogProbDf(docs: DataFrame,
+                       minCount: Int = 2, alpha: Double = 0.5): DataFrame = {
+    val tris = trigramStream(docs, Seq(col("doc_id")))
+    tris.join(backoffScoreTable(docs, minCount, alpha).drop("n"),
+        Seq("w1", "w2", "w3"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_trigrams"), sum(col("mlp")).as("s"))
       .select(col("doc_id"), col("n_trigrams"),
@@ -605,6 +619,59 @@ object TextAnalysis {
           .as("avg_logprob"))
       .orderBy(col("doc_id"))
   }
+
+  /** Score a batch of documents against a FROZEN backoff score table
+    * (built by [[backoffScoreTable]] on the base corpus). Trigrams the
+    * base never saw (no table row, or a w3 whose unigram fallback never
+    * existed) get the deterministic OOV floor alpha² / (N + 1) — one
+    * notch below every real unigram fallback, so out-of-domain text
+    * scores strictly lower instead of being silently dropped. Per-doc
+    * results depend only on the doc and the table, so the union of
+    * per-batch outputs equals the batch result on the same documents
+    * (asserted in StreamingSpec).
+    */
+  def backoffScoreAgainst(docs: DataFrame, scoreTable: DataFrame,
+                          alpha: Double = 0.5): DataFrame = {
+    val tris = trigramStream(docs, Seq(col("doc_id")))
+    // the scalar N rides the (broadcast-sized) table; take any row's copy
+    val nRow = scoreTable.agg(max(col("n")).as("n"))
+    tris.join(scoreTable.select(col("w1"), col("w2"), col("w3"), col("mlp")),
+        Seq("w1", "w2", "w3"), "left")
+      .crossJoin(broadcast(nRow))
+      .select(col("doc_id"),
+        coalesce(col("mlp"),
+          floor(log(lit(alpha) * lit(alpha) / (col("n") + 1)) * 1e6 + 0.5)
+            .cast("long")).as("mlp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("mlp")).as("s"))
+      .select(col("doc_id"), col("n_trigrams"),
+        (floor(col("s").cast("double") / col("n_trigrams") + 0.5) / 1e6)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Streaming LM scoring (foreachBatch stage): each micro-batch of
+    * documents is scored against the static backoff table and its
+    * per-doc rows append to `outPath` tagged with the batch id — the
+    * [[graft.ext.Cleaning.spanDedupSink]] sink contract, completing
+    * the streaming rung of the perplexity ladder (CCNet scores its
+    * stream against a FROZEN KenLM the same way).
+    */
+  def backoffScoreSink(docStream: DataFrame, scoreTable: DataFrame,
+                       outPath: String, checkpoint: String,
+                       alpha: Double = 0.5, triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          backoffScoreAgainst(batch, scoreTable, alpha)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
 
   /** Top-k COLLOCATIONS by pointwise mutual information over the bigram
     * table — the phrase-mining step (word2vec's word2phrase, tokenizer

@@ -288,6 +288,46 @@ class StreamingSpec extends SparkTestBase {
     assert(byDoc(3L) == ((0L, 0L, true)), "short doc reports zero spans, keeps")
   }
 
+  test("streaming backoff LM scoring: per-batch scores vs frozen table match batch mode") {
+    implicit val sqlCtx = spark.sqlContext
+    // base corpus: 11 trigrams total (the backoff separation fixture)
+    val base = ((1L to 5L).map(i => i -> "x a b") ++
+      (11L to 15L).map(i => i -> "y a c") :+ (31L -> "p q r"))
+      .toDF("doc_id", "text")
+    val table = graft.ext.TextAnalysis.backoffScoreTable(base)
+    val arrivals = Seq(
+      1L -> "x a b",    // known trigram: scored from the table
+      2L -> "p q zzz",  // trigram the base never saw -> OOV floor
+      3L -> "only two") // no trigram, absent from output
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("lm_out").toString
+    val ckpt = Files.createTempDirectory("lm_ckpt").toString
+    val query = graft.ext.TextAnalysis.backoffScoreSink(
+      input.toDF().toDF("doc_id", "text"), table, out, ckpt,
+      triggerMs = 50L).start()
+    try {
+      input.addData(arrivals(0))
+      query.processAllAvailable()
+      input.addData(arrivals(1), arrivals(2))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ext.TextAnalysis
+      .backoffScoreAgainst(arrivals.toDF("doc_id", "text"), table)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    val byDoc = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // known trigram scores exactly as the batch operator's table rule:
+    // c3(x a b) = 5 >= 2 over ctx2(x, a) = 5
+    assert(byDoc(1L) == math.floor(math.log(5.0 / 5) * 1e6 + 0.5) / 1e6)
+    // OOV floor: alpha^2 / (N + 1) with N = 11 base trigrams
+    assert(byDoc(2L) == math.floor(math.log(0.5 * 0.5 / 12) * 1e6 + 0.5) / 1e6,
+      s"OOV doc must take the floor: ${byDoc(2L)}")
+    assert(!byDoc.contains(3L), "two-token docs open no trigram")
+  }
+
   test("streaming gopher filter: per-batch verdicts match batch mode") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Seq(
