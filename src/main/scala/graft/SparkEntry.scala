@@ -151,7 +151,8 @@ object SparkEntry {
     "q_backoff_logprob"   -> ((s: SparkSession, d: String) => TextAnalysis.backoffLogProb(s, d)),
     "q_ivf_pq_topk"       -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
     "q_quality_calibration" -> ((s: SparkSession, d: String) => TextAnalysis.qualityCalibration(s, d)),
-    "q_heaps_law"         -> ((s: SparkSession, d: String) => TextAnalysis.heapsLaw(s, d))
+    "q_heaps_law"         -> ((s: SparkSession, d: String) => TextAnalysis.heapsLaw(s, d)),
+    "q_length_model"      -> ((s: SparkSession, d: String) => TextAnalysis.lengthModel(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -979,6 +980,20 @@ object SparkEntry {
         "round(abs(round(CAST(n_pos AS DOUBLE) / n_docs, 6) - " +
         "floor(CAST(sm AS DOUBLE) / n_docs + 0.5) / 1e6), 6) AS calib_gap " +
         "FROM a ORDER BY bin"),
+    // sequence-length model: ln(n_tokens) micro-snapped; mean is exact
+    // BIGINT division, variance the exact integer n*Sxx - Sx^2 in
+    // HUGEINT with one final IEEE sqrt
+    "q_length_model" ->
+      (s"WITH f AS (SELECT source, CAST(len($toks) AS BIGINT) AS nt " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "g AS (SELECT source, nt, " +
+        "CAST(floor(ln(CAST(nt AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT) AS x FROM f WHERE nt > 0), " +
+        "a AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n, MIN(nt) AS min_tokens, " +
+        "MAX(nt) AS max_tokens, SUM(x) AS sx, SUM(x*x) AS sxx FROM g GROUP BY source) " +
+        "SELECT source, CAST(n AS BIGINT) AS n_docs, min_tokens, max_tokens, " +
+        "floor(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) / 1e6 AS mean_ln_tokens, " +
+        "round(sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*n AS DOUBLE)) / 1e6, 6) AS std_ln_tokens " +
+        "FROM a ORDER BY source"),
     // Heaps'-law growth: first-occurrence trick (a term's min doc_id is
     // where the type count increments), running sums per source in
     // doc_id order, then the zipf 5-sum regression in HUGEINT

@@ -1031,6 +1031,45 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Per-source SEQUENCE-LENGTH model: exact min/max token counts plus
+    * the mean and standard deviation of ln(n_tokens) — document lengths
+    * are approximately log-normal, and these two moments are what
+    * sequence-packing / max_seq_len planning reads (a packing run sizes
+    * its bins off exp(μ + kσ), and a source whose σ explodes mixes
+    * fragments with concatenated books — a pre-packing red flag that
+    * complements [[graft.ext.Corpus.packStats]]' after-the-fact view).
+    *
+    * Scale shape: token counts are narrow (array size); one per-source
+    * aggregation with O(1) state. FP parity: ln snaps to integer
+    * micro-units; mean is exact BIGINT division, variance is the exact
+    * integer (n·Σx² − (Σx)²) in DECIMAL(38,0)/HUGEINT (non-negative by
+    * Cauchy-Schwarz on exact integers) with one final double sqrt —
+    * IEEE-deterministic in both engines.
+    */
+  def lengthModel(spark: SparkSession, d: String): DataFrame =
+    lengthModelDf(Tables.documents(spark, d))
+
+  /** DataFrame form (docs must have source + text). */
+  def lengthModelDf(docs: DataFrame): DataFrame = {
+    val micro = docs.filter(col("text").isNotNull)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+      .filter(col("nt") > 0)
+      .select(col("source"), col("nt"),
+        floor(log(col("nt").cast("double")) * 1e6 + 0.5)
+          .cast("decimal(19,0)").as("x"))
+    micro.groupBy(col("source"))
+      .agg(count(lit(1)).cast("decimal(19,0)").as("n"),
+        min(col("nt")).as("min_tokens"), max(col("nt")).as("max_tokens"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n").cast("long").as("n_docs"),
+        col("min_tokens"), col("max_tokens"),
+        (floor(col("sx").cast("double") / col("n").cast("double") + 0.5) / 1e6)
+          .as("mean_ln_tokens"),
+        round(sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          (col("n") * col("n")).cast("double")) / 1e6, 6).as("std_ln_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Per-source HEAPS'-LAW vocabulary-growth audit: the log-log slope
     * of cumulative distinct-type count against cumulative token count,
     * accumulating documents in doc_id order. Natural text follows

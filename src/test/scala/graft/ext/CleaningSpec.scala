@@ -369,6 +369,26 @@ class CleaningSpec extends SparkTestBase {
       "at least one source must show partial vocabulary growth")
   }
 
+  test("length model: hand-computed log-normal moments; single-doc source has std 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b", "s1"), (2L, "a b c d", "s1"),
+      (3L, "a b c d e f g h", "s1"),
+      (4L, "one two three", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.lengthModelDf(df)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    // s1: lengths 2/4/8 -> ln mean = ln 4, std = ln2 * sqrt(2/3)
+    val (n1, mn1, mx1, mean1, std1) = out("s1")
+    assert((n1, mn1, mx1) == ((3L, 2L, 8L)))
+    assert(math.abs(mean1 - math.log(4)) < 2e-6, s"mean $mean1")
+    assert(math.abs(std1 - math.log(2) * math.sqrt(2.0 / 3)) < 2e-6, s"std $std1")
+    // a single-doc source: variance term is exactly 0, never -0.0/NaN
+    val (n2, _, _, _, std2) = out("s2")
+    assert(n2 == 1L && std2 == 0.0)
+  }
+
   test("zipf slope: uniform counts give slope 0, exact-Zipf counts give -1") {
     // uniform: every term once -> y constant -> slope exactly 0
     val uniform = (1 to 20).map(i => s"tok$i").mkString(" ")
