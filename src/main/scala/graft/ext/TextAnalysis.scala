@@ -562,15 +562,25 @@ object TextAnalysis {
     * CleaningSpec has the separation fixture bigram provably cannot
     * pass.
     *
-    * Scale shape: ONE corpus-sized shuffle (the (w1,w2,w3) count); ALL
-    * four backoff count tables (ctx2, cb, ctx1, cu) derive from the
-    * trigram count table as window sums — vocabulary-sized exchanges,
-    * never a second corpus scan, and no groupBy+join-back that would
-    * duplicate the count subtree (the [[bigramLogProbDf]] lesson). The
-    * scalar N rides a 1-row broadcast ([[unigramLogProb]] design). The
-    * doc stream then meets ONE fully-resolved score table on its own
+    * Scale shape: one corpus-sized count shuffle plus one corpus-sized
+    * scoring join; ALL four backoff count tables (ctx2, cb, ctx1, cu)
+    * derive from the trigram count table as window sums —
+    * vocabulary-sized exchanges, never a second corpus-sized
+    * aggregation, and no groupBy+join-back that would duplicate the
+    * count subtree (the [[bigramLogProbDf]] lesson). The scalar N
+    * rides a 1-row broadcast ([[unigramLogProb]] design). The doc
+    * stream then meets ONE fully-resolved score table on its own
     * count-shuffle key. FP parity: per-trigram ln snaps to integer
     * micro-nats; per-doc aggregation is exact BIGINT math.
+    *
+    * Honest cost note (10× smoke, SURVEY §8): this is the engine's
+    * heaviest text kernel — the trigram struct explode runs TWICE (the
+    * count branch and the scoring branch are separate plan subtrees;
+    * Spark does not materialize shared DataFrames), each emitting ~3
+    * string copies per corpus token. Wall-clock grows ~4.6× at 10×
+    * data — comfortably SUBLINEAR, every exchange hash-partitioned —
+    * but a production 5-gram pipeline prunes its count table and
+    * hash-interns tokens for exactly this constant-factor reason.
     */
   def backoffLogProb(spark: SparkSession, d: String,
                      minCount: Int = 2, alpha: Double = 0.5): DataFrame =
