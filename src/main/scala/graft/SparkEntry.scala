@@ -152,7 +152,8 @@ object SparkEntry {
     "q_ivf_pq_topk"       -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
     "q_quality_calibration" -> ((s: SparkSession, d: String) => TextAnalysis.qualityCalibration(s, d)),
     "q_heaps_law"         -> ((s: SparkSession, d: String) => TextAnalysis.heapsLaw(s, d)),
-    "q_length_model"      -> ((s: SparkSession, d: String) => TextAnalysis.lengthModel(s, d))
+    "q_length_model"      -> ((s: SparkSession, d: String) => TextAnalysis.lengthModel(s, d)),
+    "q_entropy_rate"      -> ((s: SparkSession, d: String) => TextAnalysis.entropyRate(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -980,6 +981,22 @@ object SparkEntry {
         "round(abs(round(CAST(n_pos AS DOUBLE) / n_docs, 6) - " +
         "floor(CAST(sm AS DOUBLE) / n_docs + 0.5) / 1e6), 6) AS calib_gap " +
         "FROM a ORDER BY bin"),
+    // bigram entropy rate: per-pair-type contributions nano-nat-snapped
+    // before the per-source sum (the q_source_kl design); p fragments
+    // written identically on both sides
+    "q_entropy_rate" ->
+      (s"WITH f AS (SELECT source, $toks AS t FROM documents WHERE text IS NOT NULL), " +
+        "bg AS (SELECT source, unnest(list_transform(range(1, len(t)), " +
+        "i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p FROM f WHERE len(t) >= 2), " +
+        "pairs AS (SELECT source, p.w1 AS w1, p.w2 AS w2 FROM bg), " +
+        "c2 AS (SELECT source, w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2, 3), " +
+        "t2 AS (SELECT source, SUM(c2) AS nn FROM c2 GROUP BY 1), " +
+        "k AS (SELECT c2.source, CAST(floor((CAST(c2 AS DOUBLE) / nn) * " +
+        "ln(CAST(c2 AS DOUBLE) / SUM(c2.c2) OVER (PARTITION BY c2.source, w1)) * 1e9 + 0.5) AS BIGINT) AS nk " +
+        "FROM c2 JOIN t2 USING (source)) " +
+        "SELECT source, COUNT(*) AS n_pair_types, " +
+        "-CAST(SUM(nk) AS DOUBLE) / 1e9 AS entropy_rate " +
+        "FROM k GROUP BY source ORDER BY source"),
     // sequence-length model: ln(n_tokens) micro-snapped; mean is exact
     // BIGINT division, variance the exact integer n*Sxx - Sx^2 in
     // HUGEINT with one final IEEE sqrt

@@ -683,6 +683,46 @@ object TextAnalysis {
         }
       }
 
+  /** Per-source bigram ENTROPY RATE: H(W₂|W₁) = −Σ p(w1,w2)·ln p(w2|w1)
+    * over each source's bigram distribution — how predictable the next
+    * token is given the current one. Natural prose sits well above
+    * boilerplate: a template source (low H, every word determines the
+    * next) and a random-token source (H near its unigram entropy) both
+    * stand out from the corpus norm. The source-level complement of
+    * the per-document [[tokenEntropy]], and the conditional
+    * (order-aware) refinement of [[zipfSlope]]'s frequency-shape audit.
+    *
+    * Scale shape: ONE (source, w1, w2)-keyed count shuffle over the
+    * pair stream; left-context totals attach as a window over
+    * (source, w1) — per-left-word partitions, never a whole-source
+    * sort — and the per-source pair total is a |sources|-row aggregate
+    * joined back (the [[sourceKlDivergence]] topology). FP parity:
+    * per-pair-type contributions snap to integer NANO-nats before the
+    * per-source sum — exact BIGINT aggregation, one final division.
+    */
+  def entropyRate(spark: SparkSession, d: String): DataFrame =
+    entropyRateDf(Tables.documents(spark, d))
+
+  /** DataFrame form (docs must have source + text). */
+  def entropyRateDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = bigramPairStream(docs, Seq(col("source")))
+    val c2 = pairs.groupBy(col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val totals = c2.groupBy(col("source")).agg(sum(col("c2")).as("nn"))
+    c2.withColumn("c1",
+        sum(col("c2")).over(Window.partitionBy(col("source"), col("w1"))))
+      .join(totals, "source")
+      .select(col("source"),
+        floor((col("c2").cast("double") / col("nn")) *
+          log(col("c2").cast("double") / col("c1")) * 1e9 + 0.5)
+          .cast("long").as("nk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pair_types"),
+        (-sum(col("nk")).cast("double") / 1e9).as("entropy_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Top-k COLLOCATIONS by pointwise mutual information over the bigram
     * table — the phrase-mining step (word2vec's word2phrase, tokenizer
     * vocabulary induction) that finds token pairs co-occurring far more

@@ -201,6 +201,22 @@ class PlanShapeSpec extends SparkTestBase {
       && !l.contains("RoundRobinPartitioning"))
     assert(backoffExchanges <= 6,
       s"backoff LM plan grew a shuffle ($backoffExchanges):\n$backoffPlan")
+    // round-9 aggregate family: calibration is ONE histogram agg pair +
+    // sort; the length model is one per-source agg pair + sort; Heaps
+    // = the (source, term) first-occurrence shuffle + the new-type agg
+    // + the doc window + join/rollup + sort; entropy rate = the pair
+    // count shuffle + the (source, w1) window + the totals agg/join +
+    // rollup + sort.
+    assert(shuffleExchanges("q_quality_calibration") <= 2,
+      s"calibration plan grew a shuffle:\n${plan("q_quality_calibration")}")
+    assert(shuffleExchanges("q_length_model") <= 2,
+      s"length-model plan grew a shuffle:\n${plan("q_length_model")}")
+    assert(shuffleExchanges("q_heaps_law") <= 6,
+      s"heaps plan grew a shuffle:\n${plan("q_heaps_law")}")
+    // (6: the static plan shows the c2 count exchange twice — once under
+    // the per-source totals branch — which AQE reuses at runtime)
+    assert(shuffleExchanges("q_entropy_rate") <= 6,
+      s"entropy-rate plan grew a shuffle:\n${plan("q_entropy_rate")}")
     // entropy is a per-doc kernel (local property, repetitionStats
     // design): only the presentation sort may shuffle — a (doc, term)
     // groupBy sneaking in would add more

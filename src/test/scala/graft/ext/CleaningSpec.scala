@@ -369,6 +369,33 @@ class CleaningSpec extends SparkTestBase {
       "at least one source must show partial vocabulary growth")
   }
 
+  test("entropy rate: hand-computed conditionals; deterministic template source scores 0") {
+    import spark.implicits._
+    // mix "x y x y x z": c2 (x,y)=2 (y,x)=2 (x,z)=1; c1 x=3 y=2; N=5
+    val df = Seq(
+      (1L, "x y x y x z", "mix"),
+      (2L, "a b a b a b a b", "tmpl")) // every transition deterministic
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.entropyRateDf(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def snap(p: Double, l: Double) =
+      math.floor(p * math.log(l) * 1e9 + 0.5).toLong
+    val expected =
+      -(snap(2.0 / 5, 2.0 / 3) + snap(2.0 / 5, 1.0) + snap(1.0 / 5, 1.0 / 3))
+        .toDouble / 1e9
+    assert(out("mix") == ((3L, expected)), s"got ${out("mix")} want $expected")
+    assert(out("tmpl")._2 == 0.0, "fully predictable transitions have H = 0")
+  }
+
+  test("entropy rate: fixture sources all positive, deterministic") {
+    val a = TextAnalysis.entropyRate(spark, sfDir).collect()
+    val b = TextAnalysis.entropyRate(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+    a.foreach(r => assert(r.getDouble(2) > 0.0,
+      s"${r.getString(0)}: word-soup text must have positive entropy rate"))
+  }
+
   test("length model: hand-computed log-normal moments; single-doc source has std 0") {
     import spark.implicits._
     val df = Seq(
