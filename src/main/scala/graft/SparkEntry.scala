@@ -153,7 +153,8 @@ object SparkEntry {
     "q_quality_calibration" -> ((s: SparkSession, d: String) => TextAnalysis.qualityCalibration(s, d)),
     "q_heaps_law"         -> ((s: SparkSession, d: String) => TextAnalysis.heapsLaw(s, d)),
     "q_length_model"      -> ((s: SparkSession, d: String) => TextAnalysis.lengthModel(s, d)),
-    "q_entropy_rate"      -> ((s: SparkSession, d: String) => TextAnalysis.entropyRate(s, d))
+    "q_entropy_rate"      -> ((s: SparkSession, d: String) => TextAnalysis.entropyRate(s, d)),
+    "q_roc_points"        -> ((s: SparkSession, d: String) => TextAnalysis.rocPoints(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -981,6 +982,31 @@ object SparkEntry {
         "round(abs(round(CAST(n_pos AS DOUBLE) / n_docs, 6) - " +
         "floor(CAST(sm AS DOUBLE) / n_docs + 0.5) / 1e6), 6) AS calib_gap " +
         "FROM a ORDER BY bin"),
+    // ROC points: from the AUC score histogram (score fragment
+    // verbatim); thresholds k/10.0 are identical doubles both sides,
+    // rates are rounded ratios of exact BIGINT sums
+    "q_roc_points" ->
+      (s"WITH f AS (SELECT lang, " +
+        s"CAST(len(list_filter($toks, t -> t IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) " +
+        s"/ len($toks) AS stop_r, " +
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_r, " +
+        s"CAST(len($toks) AS DOUBLE) AS n_tok, " +
+        s"CAST(length(text) AS DOUBLE) / len($toks) AS avg_len " +
+        "FROM documents WHERE length(text) > 0), " +
+        "sc AS (SELECT round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * stop_r - 8.0 * punct_r " +
+        "+ 0.9 * ln(n_tok + 1.0) - 0.35 * avg_len))), 6) AS score, " +
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM f), " +
+        "hist AS (SELECT score, COUNT(*) AS n_s, SUM(pos) AS npos_s FROM sc GROUP BY score), " +
+        "tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_all, CAST(SUM(npos_s) AS BIGINT) AS n_pos FROM hist), " +
+        "th AS (SELECT CAST(k AS INT) AS k, CAST(k AS DOUBLE) / 10.0 AS threshold FROM range(1, 10) r(k)), " +
+        "agg AS (SELECT k, threshold, CAST(COALESCE(SUM(n_s), 0) AS BIGINT) AS n_pred, " +
+        "CAST(COALESCE(SUM(npos_s), 0) AS BIGINT) AS tp " +
+        "FROM th LEFT JOIN hist ON hist.score >= th.threshold GROUP BY 1, 2) " +
+        "SELECT threshold, n_pred, tp, n_pred - tp AS fp, " +
+        "CASE WHEN n_pos > 0 THEN round(CAST(tp AS DOUBLE) / n_pos, 6) ELSE 0.0 END AS tpr, " +
+        "CASE WHEN n_all - n_pos > 0 THEN round(CAST(n_pred - tp AS DOUBLE) / (n_all - n_pos), 6) ELSE 0.0 END AS fpr, " +
+        "CASE WHEN n_pred > 0 THEN round(CAST(tp AS DOUBLE) / n_pred, 6) ELSE 0.0 END AS precision " +
+        "FROM agg CROSS JOIN tot ORDER BY threshold"),
     // bigram entropy rate: per-pair-type contributions nano-nat-snapped
     // before the per-source sum (the q_source_kl design); p fragments
     // written identically on both sides

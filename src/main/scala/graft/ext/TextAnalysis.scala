@@ -683,6 +683,57 @@ object TextAnalysis {
         }
       }
 
+  /** ROC OPERATING POINTS for the quality model at the nine decile
+    * thresholds — the third leg of the classifier-audit family:
+    * [[qualityAuc]] ranks, [[qualityCalibration]] checks the score's
+    * meaning, and this table is what actually picks the production
+    * cutoff (TPR/FPR/precision at each candidate threshold; a pipeline
+    * reads off the point meeting its recall or precision floor).
+    *
+    * Scale shape: the [[qualityAuc]] score histogram (≤ 1e6+1 rows by
+    * the 6-dp snap) left-joined from a 9-row threshold table — the
+    * only corpus-sized stage is the histogram aggregation itself; the
+    * threshold comparison touches histogram rows, never documents.
+    * Thresholds derive as k/10.0 in both engines (identical doubles);
+    * rates are rounded ratios of exact BIGINT sums.
+    */
+  def rocPoints(spark: SparkSession, d: String): DataFrame =
+    rocPointsDf(Tables.documents(spark, d))
+
+  /** DataFrame form (docs must have lang + text). */
+  def rocPointsDf(docs: DataFrame): DataFrame = {
+    val hist = Tables.fanOut(docs)
+      .filter(length(col("text")) > 0)
+      .select(qualityScoreCol.as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n_s"), sum(col("pos")).as("npos_s"))
+    val totals = hist.agg(sum(col("n_s")).as("n_all"),
+      sum(col("npos_s")).as("n_pos"))
+    val thresholds = docs.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("k"),
+        (col("id").cast("double") / 10.0).as("threshold"))
+    thresholds
+      .join(hist, col("score") >= col("threshold"), "left")
+      .groupBy(col("k"), col("threshold"))
+      .agg(coalesce(sum(col("n_s")), lit(0L)).as("n_pred"),
+        coalesce(sum(col("npos_s")), lit(0L)).as("tp"))
+      .crossJoin(broadcast(totals))
+      .select(col("threshold"), col("n_pred"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        when(col("n_pos") > 0,
+          round(col("tp").cast("double") / col("n_pos"), 6))
+          .otherwise(lit(0.0)).as("tpr"),
+        when(col("n_all") - col("n_pos") > 0,
+          round((col("n_pred") - col("tp")).cast("double") /
+            (col("n_all") - col("n_pos")), 6))
+          .otherwise(lit(0.0)).as("fpr"),
+        when(col("n_pred") > 0,
+          round(col("tp").cast("double") / col("n_pred"), 6))
+          .otherwise(lit(0.0)).as("precision"))
+      .orderBy(col("threshold"))
+  }
+
   /** Per-source bigram ENTROPY RATE: H(W₂|W₁) = −Σ p(w1,w2)·ln p(w2|w1)
     * over each source's bigram distribution — how predictable the next
     * token is given the current one. Natural prose sits well above

@@ -197,6 +197,31 @@ class CleaningSpec extends SparkTestBase {
     assert(n.getDouble(2) == 1.0)
   }
 
+  test("roc points: monotone in the threshold; separable fixture hits a perfect point") {
+    import spark.implicits._
+    val out = TextAnalysis.rocPoints(spark, sfDir).collect()
+    assert(out.length == 9, "one row per decile threshold")
+    val (tprs, fprs, preds) = (out.map(_.getDouble(4)), out.map(_.getDouble(5)),
+      out.map(_.getLong(1)))
+    // raising the threshold can only shrink the predicted-positive set
+    assert(preds.zip(preds.tail).forall { case (a, b) => a >= b })
+    assert(tprs.zip(tprs.tail).forall { case (a, b) => a >= b - 1e-9 })
+    assert(fprs.zip(fprs.tail).forall { case (a, b) => a >= b - 1e-9 })
+    out.foreach { r =>
+      val (p, tp, fp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tp + fp == p && r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+    // perfectly separable classes: some threshold classifies cleanly
+    val good = "the a of and to in is on for " + (1 to 30).map(i => s"w$i").mkString(" ")
+    val junk = Seq.fill(40)("zzzzzzzzzzzz").mkString(" ")
+    val sep = TextAnalysis.rocPointsDf(Seq(
+      (1L, good, "en"), (2L, good + " extra", "en"),
+      (3L, junk, "de"), (4L, junk + " more", "de"))
+      .toDF("doc_id", "text", "lang")).collect()
+    assert(sep.exists(r => r.getDouble(4) == 1.0 && r.getDouble(5) == 0.0),
+      s"separable fixture must have a perfect operating point: ${sep.mkString}")
+  }
+
   test("perplexity buckets approx: a 1-doc source lands in head, not tail") {
     val docs = Seq(
       (1L, "alpha beta gamma delta", "solo"),
