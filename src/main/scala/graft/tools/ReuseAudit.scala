@@ -11,7 +11,16 @@ object ReuseAudit {
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     val d = "/root/testdata/sf0.01"
     Seq("q_minhash_pairs", "q_simhash_near_dups", "q_semantic_dedup",
-      "q_embedding_near_dups", "q_ngram_jaccard", "q_source_overlap").foreach { q =>
+      "q_embedding_near_dups", "q_ngram_jaccard", "q_source_overlap",
+      // LM family: the count branch and the scoring probe share the
+      // corpus scan/explode subtree — reuse means it runs once.
+      // Known-false: q_bigram_logprob (column pruning reads doc_id+text
+      // on the probe and text-only under the count, so the subtrees are
+      // canonically different — the second scan is the documented
+      // honest cost of count-based LMs, see backoffLogProb's scaladoc);
+      // q_embedding_near_dups (bounded id-range kernel, false by
+      // construction since r7 — accepted)
+      "q_bigram_logprob", "q_backoff_logprob", "q_entropy_rate").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, d)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
