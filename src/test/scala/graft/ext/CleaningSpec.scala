@@ -412,6 +412,23 @@ class CleaningSpec extends SparkTestBase {
     assert(out("tmpl")._2 == 0.0, "fully predictable transitions have H = 0")
   }
 
+  test("entropy rate: exactly invariant under corpus duplication") {
+    import spark.implicits._
+    // duplicating every document doubles every count (c2, c1, N) so all
+    // the RATIOS — and therefore every snapped contribution — are
+    // bit-identical: H(2×corpus) == H(corpus) exactly, not approximately
+    val docs = Seq(
+      (1L, "x y x y x z", "s"), (2L, "y z y x", "s"),
+      (3L, "p q p q r", "t"))
+    val once = TextAnalysis.entropyRateDf(docs.toDF("doc_id", "text", "source"))
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    val twice = TextAnalysis.entropyRateDf(
+      (docs ++ docs.map { case (id, t, s) => (id + 100L, t, s) })
+        .toDF("doc_id", "text", "source"))
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(once == twice, s"$once != $twice")
+  }
+
   test("entropy rate: fixture sources all positive, deterministic") {
     val a = TextAnalysis.entropyRate(spark, sfDir).collect()
     val b = TextAnalysis.entropyRate(spark, sfDir).collect()
