@@ -154,7 +154,8 @@ object SparkEntry {
     "q_heaps_law"         -> ((s: SparkSession, d: String) => TextAnalysis.heapsLaw(s, d)),
     "q_length_model"      -> ((s: SparkSession, d: String) => TextAnalysis.lengthModel(s, d)),
     "q_entropy_rate"      -> ((s: SparkSession, d: String) => TextAnalysis.entropyRate(s, d)),
-    "q_roc_points"        -> ((s: SparkSession, d: String) => TextAnalysis.rocPoints(s, d))
+    "q_roc_points"        -> ((s: SparkSession, d: String) => TextAnalysis.rocPoints(s, d)),
+    "q_semantic_dedup_pq" -> ((s: SparkSession, d: String) => Similarity.semanticDedupStatsPq(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles

@@ -439,6 +439,22 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Symmetric-distance (SDC) dot tables: per subspace, the kSub × kSub
+    * matrix of sub-centroid dot products (Jégou et al. 2011 §III.B —
+    * code-to-code scoring with no vector on either side). ~8 MiB at
+    * m 16 / kSub 256: closure-shippable here; a broadcast variable at
+    * larger configurations.
+    */
+  def sdcDotTables(cbs: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] =
+    cbs.map { cb =>
+      Array.tabulate(cb.length, cb.length) { (a, b) =>
+        val x = cb(a); val y = cb(b)
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i) * y(i); i += 1 }
+        s
+      }
+    }
+
   // --------------------------------------------------- semantic dedup
 
   /** Semantic dedup (SemDeDup-style, Abbas et al. 2023): cluster the
@@ -501,6 +517,84 @@ object Similarity {
       .filter(dot(col("a.embedding"), col("b.embedding"))
         / (col("a.nrm") * col("b.nrm")) > threshold)
       .select(col("b.vec_id").as("vec_id")).distinct()
+  }
+
+  /** PQ-CODE semantic dedup: [[semanticDedupDropList]]'s cell-bucketed
+    * self-join scored over 16-byte PQ codes instead of float vectors —
+    * symmetric distance computation (SDC): approx cos(a, b) =
+    * Σ_m sdc(m)(code_a(m))(code_b(m)) / (rec_norm_a · rec_norm_b),
+    * where sdc is the per-subspace sub-centroid dot table. The
+    * embedding column never reaches the self-join: each side carries
+    * (vec_id, cell, code, rec_norm) — the [[ivfPqTopK]] probe-payload
+    * argument applied to the one corpus-sized pair scan in the dedup
+    * family, where it matters most (the self-join's shuffle/scan volume
+    * drops ~16× per side; scoring is m table adds per pair instead of
+    * a dim-length dot).
+    *
+    * Approximate by construction (SDC distorts BOTH sides, unlike
+    * ADC): identical vectors still encode identically — approx cos
+    * exactly 1 — so true duplicate pairs can never be missed;
+    * borderline pairs near the threshold may flip. Recall vs the
+    * float-vector drop list and exact-duplicate capture are asserted
+    * in DedupSimilaritySpec. Same keep policy (lowest id per near-dup
+    * group survives), same corpus-derived nlist rule, no RNG.
+    */
+  def semanticDedupPqDropList(emb: DataFrame, threshold: Double = 0.4,
+                              nlist: Int = 0, targetCellSize: Int = 512,
+                              m: Int = 16, kSub: Int = 256): DataFrame = {
+    val k =
+      if (nlist > 0) nlist
+      else {
+        val n = emb.filter(col("embedding").isNotNull).count()
+        require(n > 0, "semantic dedup needs a non-empty embedding corpus")
+        val derived = (n + targetCellSize - 1) / targetCellSize
+        (derived max 1L min 1024L min n).toInt
+      }
+    val sample = collectTrainSample(emb)
+    val cents = trainIvfCentroidsFrom(sample, k)
+    val cbs = trainPqCodebooksFrom(sample, m, kSub)
+    val enc = pqEncodeUdf(cbs)
+    val cells = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), ivfCellUdf(cents)(col("embedding")).as("cell"),
+        enc(col("embedding")).as("pq"))
+      .select(col("vec_id"), col("cell"),
+        col("pq._1").as("code"), col("pq._2").as("rn"))
+    val sdc = sdcDotTables(cbs)
+    val sdcUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += sdc(i)(a(i) & 0xFF)(b(i) & 0xFF); i += 1 }
+      s
+    }
+    val a = cells.as("a")
+    val b = cells.as("b")
+    a.join(b, col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      // zero reconstruction norms score 0, not divide-by-zero (ANSI)
+      .filter(when(col("a.rn") > 0 && col("b.rn") > 0,
+        sdcUdf(col("a.code"), col("b.code")) / (col("a.rn") * col("b.rn")))
+        .otherwise(lit(0.0)) > threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+  }
+
+  /** Per-label audit of [[semanticDedupPqDropList]] — the
+    * [[semanticDedupStats]] report over the PQ-code path (rows-only
+    * entry `q_semantic_dedup_pq`; parity with the float path is
+    * test-asserted, not oracle-checked, since both are engine-local
+    * models).
+    */
+  def semanticDedupStatsPq(spark: SparkSession, d: String,
+                           threshold: Double = 0.4, nlist: Int = 0): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val dropped = semanticDedupPqDropList(emb, threshold, nlist)
+      .withColumn("is_dropped", lit(1L))
+    emb.select(col("vec_id"), col("label"))
+      .join(dropped, Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"))
+      .select(col("label"), col("n_vecs"), col("n_dropped"),
+        (col("n_vecs") - col("n_dropped")).as("n_kept"))
+      .orderBy(col("label"))
   }
 
   /** Per-label audit of [[semanticDedupDropList]] over the embeddings

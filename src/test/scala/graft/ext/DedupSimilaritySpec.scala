@@ -226,6 +226,48 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("PQ-code semantic dedup: exact dups always caught, recall floor vs float path") {
+    import spark.implicits._
+    // identical vectors encode identically -> SDC cos exactly 1 -> the
+    // higher-id copy MUST drop at any threshold < 1. Components come
+    // from a splitmix64 mix (deterministic, UNBIASED — earlier fixture
+    // attempts via modular lattices and short-string hashCodes produced
+    // secretly-correlated vectors with pairwise cos up to 1.0, and the
+    // operator caught both): measured pairwise cos stays within ±0.45
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val base = (0L until 64L).map { i =>
+      (i, Array.tabulate(64)(j => (mix(i * 64 + j) % 1000L).toFloat / 1000.0f))
+    }
+    val withDups = base ++ Seq(
+      (100L, base(3)._2.clone()), (101L, base(17)._2.clone()))
+    val emb = withDups.toDF("vec_id", "embedding")
+    val dropped = Similarity.semanticDedupPqDropList(emb, threshold = 0.95, nlist = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(100L, 101L).subsetOf(dropped),
+      s"planted exact duplicates must drop: $dropped")
+    assert(!dropped.contains(3L) && !dropped.contains(17L),
+      "the lower-id original survives")
+    // on the fixture, the PQ path must track the float path
+    val embFx = graft.Tables.embeddings(spark, sfDir)
+    val floatDrop = Similarity.semanticDedupDropList(embFx)
+      .collect().map(_.getLong(0)).toSet
+    val pqDrop = Similarity.semanticDedupPqDropList(embFx)
+      .collect().map(_.getLong(0)).toSet
+    if (floatDrop.nonEmpty) {
+      val recall = floatDrop.intersect(pqDrop).size.toDouble / floatDrop.size
+      assert(recall >= 0.5, s"PQ dedup diverged from the float path: $recall")
+    }
+    // determinism
+    val again = Similarity.semanticDedupPqDropList(embFx)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == pqDrop)
+  }
+
   test("Misra-Gries heavy hitters: true heavy hitters survive partial merges") {
     // 1000 rows: "HOT" 400×, "WARM" 200×, 400 distinct cold values;
     // k=10 → guarantee: anything with count > 100 survives
