@@ -155,7 +155,9 @@ object SparkEntry {
     "q_length_model"      -> ((s: SparkSession, d: String) => TextAnalysis.lengthModel(s, d)),
     "q_entropy_rate"      -> ((s: SparkSession, d: String) => TextAnalysis.entropyRate(s, d)),
     "q_roc_points"        -> ((s: SparkSession, d: String) => TextAnalysis.rocPoints(s, d)),
-    "q_semantic_dedup_pq" -> ((s: SparkSession, d: String) => Similarity.semanticDedupStatsPq(s, d))
+    "q_semantic_dedup_pq" -> ((s: SparkSession, d: String) => Similarity.semanticDedupStatsPq(s, d)),
+    "q_winnow_stats"      -> ((s: SparkSession, d: String) => Cleaning.winnowFingerprintStats(s, d)),
+    "q_winnow_matches"    -> ((s: SparkSession, d: String) => Cleaning.winnowMatches(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles

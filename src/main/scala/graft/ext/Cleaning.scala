@@ -351,6 +351,111 @@ object Cleaning {
         }
       }
 
+  /** MOSS WINNOWING selection (Schleimer et al. 2003 §4): the selected
+    * positions over a k-gram hash sequence — in every window of `w`
+    * consecutive hashes the minimum is selected (rightmost on ties),
+    * and consecutive windows sharing their minimum record it once.
+    * The winnowing GUARANTEE: every window contributes at least one
+    * selection, so any shared passage spanning >= w + k − 1 tokens
+    * shares at least one selected fingerprint between documents —
+    * unlike min-hash sketches, matches are POSITIONAL and local.
+    * Exposed as a pure function over a primitive array so the
+    * guarantee is property-testable directly (CleaningSpec).
+    */
+  def winnowSelect(hashes: Array[Long], w: Int): Vector[Int] = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val n = hashes.length
+    if (n == 0) return Vector.empty
+    val lastStart = math.max(n - w, 0)
+    val out = Vector.newBuilder[Int]
+    var last = -1
+    var s = 0
+    while (s <= lastStart) {
+      val e = math.min(s + w, n)
+      var best = s
+      var i = s + 1
+      while (i < e) { if (hashes(i) <= hashes(best)) best = i; i += 1 }
+      if (best != last) { out += best; last = best }
+      s += 1
+    }
+    out.result()
+  }
+
+  /** (n_spans, selected fingerprint hashes) kernel over a span-hash
+    * array — one unboxed copy per call (the PQ-encoder lesson), then
+    * the pure [[winnowSelect]].
+    */
+  private def winnowUdf(w: Int) = udf { hs: scala.collection.Seq[Long] =>
+    val arr = new Array[Long](hs.length)
+    val it = hs.iterator
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    val sel = winnowSelect(arr, w)
+    (arr.length.toLong, sel.map(arr(_)).toArray)
+  }
+
+  /** Per-document winnowing fingerprint audit: span count, selected
+    * fingerprint count, and density. Winnowing's expected density is
+    * 2/(w+1) with a hard floor of one selection per window — the
+    * robust-local-fingerprint rung above the single rolling-hash
+    * fingerprint ([[TextAnalysis.fingerprints]]), and the sketch MOSS
+    * builds its plagiarism matching on.
+    *
+    * Scale shape: a pure narrow map (span hashing is the codegen'd
+    * [[spanHashesOf]] expression, selection a per-doc kernel) — zero
+    * shuffles above the scan beyond the presentation sort.
+    */
+  def winnowFingerprintStats(spark: SparkSession, d: String,
+                             n: Int = 5, w: Int = 4): DataFrame =
+    winnowFingerprintStatsDf(Tables.documents(spark, d), n, w)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def winnowFingerprintStatsDf(docs: DataFrame, n: Int = 5, w: Int = 4): DataFrame =
+    Tables.fanOut(docs).filter(col("text").isNotNull)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .select(col("doc_id"), winnowUdf(w)(spanHashesOf(col("t"), n)).as("fp"))
+      .select(col("doc_id"), col("fp._1").as("n_spans"),
+        size(col("fp._2")).cast("long").as("n_fingerprints"))
+      .withColumn("density",
+        when(col("n_spans") > 0,
+          round(col("n_fingerprints").cast("double") / col("n_spans"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+
+  /** Winnowing MATCH candidates within a bounded id range: document
+    * pairs sharing selected fingerprints, with the shared count — the
+    * MOSS matching step. By the winnowing guarantee, any copied
+    * passage of >= w + n − 1 tokens MUST surface here (no false
+    * negatives at that length), unlike probabilistic sketches.
+    *
+    * Scale shape mirrors [[Dedup.ngramJaccardPairs]]: the bounded id
+    * range keeps this the oracle-checkable verification kernel; at
+    * corpus scale the fingerprint stream joins on the 8-byte hash
+    * exactly like [[spanDedupStatsDf]]'s span stream (selected
+    * fingerprints are ~2/(w+1) of spans — winnowing IS the payload
+    * reduction).
+    */
+  def winnowMatches(spark: SparkSession, d: String, n: Int = 5, w: Int = 4,
+                    idLimit: Int = 200): DataFrame =
+    winnowMatchesDf(Tables.documents(spark, d), n, w, idLimit)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def winnowMatchesDf(docs: DataFrame, n: Int = 5, w: Int = 4,
+                      idLimit: Int = 200): DataFrame = {
+    val fps = docs
+      .filter(col("text").isNotNull && col("doc_id") < idLimit)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(winnowUdf(w)(spanHashesOf(col("t"), n))
+        .getField("_2")).as("h"))
+      .distinct()
+    val a = fps.as("a")
+    val b = fps.as("b")
+    a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** DataFrame form (docs must have doc_id + text). */
   def spanDedupStatsDf(docs: DataFrame, n: Int = 5,
                        maxDupFrac: Double = 0.2): DataFrame = {

@@ -121,6 +121,61 @@ class CleaningSpec extends SparkTestBase {
     assert(ok.length == 1 && ok.head.getLong(1) == 3L)
   }
 
+  test("winnowing: every window covered, gaps under w, ties rightmost (randomized)") {
+    val rng = new scala.util.Random(42) // fixed seed: deterministic test
+    for (trial <- 1 to 50) {
+      val n = 1 + rng.nextInt(60)
+      val w = 1 + rng.nextInt(8)
+      // small value range forces frequent ties
+      val hs = Array.fill(n)(rng.nextInt(6).toLong)
+      val sel = Cleaning.winnowSelect(hs, w)
+      assert(sel.nonEmpty, s"trial $trial: non-empty input must select")
+      assert(sel == sel.sorted && sel.distinct == sel, "positions strictly increase")
+      // guarantee: every window [s, s+w) contains a selected position
+      for (s <- 0 to math.max(n - w, 0)) {
+        val e = math.min(s + w, n)
+        assert(sel.exists(p => p >= s && p < e),
+          s"trial $trial: window [$s,$e) uncovered; sel=$sel hs=${hs.toSeq}")
+      }
+      // each selection is the rightmost minimum of SOME window
+      sel.foreach { p =>
+        val covering = (0 to math.max(n - w, 0)).exists { s =>
+          val e = math.min(s + w, n)
+          p >= s && p < e &&
+            (s until e).forall(i => hs(i) > hs(p) || (hs(i) == hs(p) && i <= p))
+        }
+        assert(covering, s"trial $trial: $p is not a rightmost window minimum")
+      }
+    }
+  }
+
+  test("winnowing stats and matches: planted passage must surface; density in band") {
+    val passage = (1 to 12).map(i => s"shared$i").mkString(" ") // 12 tokens >= w+n-1 = 8
+    val df = docsDf(
+      10L -> s"$passage alpha beta gamma delta epsilon",
+      20L -> s"zeta eta theta iota kappa $passage",
+      30L -> "wholly distinct content with nothing at all in common here today")
+    val stats = Cleaning.winnowFingerprintStatsDf(df)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    stats.foreach { case (id, (nSpans, nFp, density)) =>
+      assert(nFp >= 1 && nFp <= nSpans, s"doc $id: $nFp of $nSpans")
+      // hard bounds: >= one per window position, <= one NEW per window
+      assert(density > 0.0 && density <= 1.0, s"doc $id density $density")
+    }
+    // the winnowing guarantee: a >= (w + n - 1)-token shared passage
+    // MUST share a selected fingerprint — no false negatives
+    val pairs = Cleaning.winnowMatchesDf(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((10L, 20L)) && pairs((10L, 20L)) >= 1L,
+      s"planted passage must share a fingerprint: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 30L || p._2 == 30L),
+      s"the distinct doc must not match: $pairs")
+    // fixture run: deterministic, sane stats
+    val a = Cleaning.winnowFingerprintStats(spark, sfDir).collect()
+    val b = Cleaning.winnowFingerprintStats(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq && a.nonEmpty)
+  }
+
   test("quality AUC: raw-float scores are rejected by the histogram-bound guard") {
     import spark.implicits._
     val snapped = Seq((0.333333, 1L), (0.25, 0L), (0.9, 1L)).toDF("score", "pos")
