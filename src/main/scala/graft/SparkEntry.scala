@@ -157,7 +157,8 @@ object SparkEntry {
     "q_roc_points"        -> ((s: SparkSession, d: String) => TextAnalysis.rocPoints(s, d)),
     "q_semantic_dedup_pq" -> ((s: SparkSession, d: String) => Similarity.semanticDedupStatsPq(s, d)),
     "q_winnow_stats"      -> ((s: SparkSession, d: String) => Cleaning.winnowFingerprintStats(s, d)),
-    "q_winnow_matches"    -> ((s: SparkSession, d: String) => Cleaning.winnowMatches(s, d))
+    "q_winnow_matches"    -> ((s: SparkSession, d: String) => Cleaning.winnowMatches(s, d)),
+    "q_fivegram_logprob"  -> ((s: SparkSession, d: String) => TextAnalysis.fivegramLogProb(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -1063,6 +1064,39 @@ object SparkEntry {
         "CASE WHEN n*sxx - sx*sx = 0 THEN 0.0 ELSE " +
         "round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) END AS heaps_beta " +
         "FROM a ORDER BY source"),
+    // 5-gram stupid backoff: the engine counts/joins on xxhash64 gram
+    // hashes, the oracle on gram STRINGS — identical groups modulo a
+    // collision (which would fail the hash-compare loudly); all lower
+    // orders derive from the 5-gram table as window sums, alpha powers
+    // 0.5/0.25/0.125/0.0625 are exactly representable on both engines
+    "q_fivegram_logprob" ->
+      (s"WITH f AS (SELECT doc_id, $toks AS t FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3), " +
+        "i -> struct_pack(w1 := t[i], w2 := t[i+1], w3 := t[i+2], w4 := t[i+3], w5 := t[i+4]))) AS p " +
+        "FROM f WHERE len(t) >= 5), " +
+        "gr AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, p.w3 AS w3, p.w4 AS w4, p.w5 AS w5 FROM g), " +
+        "c5 AS (SELECT w1, w2, w3, w4, w5, COUNT(*) AS c5 FROM gr GROUP BY 1, 2, 3, 4, 5), " +
+        "wc AS (SELECT *, " +
+        "SUM(c5) OVER (PARTITION BY w1, w2, w3, w4) AS ctx4, " +
+        "SUM(c5) OVER (PARTITION BY w2, w3, w4, w5) AS c4s, " +
+        "SUM(c5) OVER (PARTITION BY w2, w3, w4) AS ctx3, " +
+        "SUM(c5) OVER (PARTITION BY w3, w4, w5) AS c3s, " +
+        "SUM(c5) OVER (PARTITION BY w3, w4) AS ctx2, " +
+        "SUM(c5) OVER (PARTITION BY w4, w5) AS c2s, " +
+        "SUM(c5) OVER (PARTITION BY w4) AS ctx1, " +
+        "SUM(c5) OVER (PARTITION BY w5) AS c1s FROM c5), " +
+        "n AS (SELECT SUM(c5) AS n FROM c5), " +
+        "st AS (SELECT w1, w2, w3, w4, w5, CAST(floor(ln(" +
+        "CASE WHEN c5 >= 2 THEN CAST(c5 AS DOUBLE) / ctx4 " +
+        "WHEN c4s >= 2 THEN 0.5 * CAST(c4s AS DOUBLE) / ctx3 " +
+        "WHEN c3s >= 2 THEN 0.5 * 0.5 * CAST(c3s AS DOUBLE) / ctx2 " +
+        "WHEN c2s >= 2 THEN 0.5 * 0.5 * 0.5 * CAST(c2s AS DOUBLE) / ctx1 " +
+        "ELSE 0.5 * 0.5 * 0.5 * 0.5 * CAST(c1s AS DOUBLE) / n END) * 1e6 + 0.5) AS BIGINT) AS mlp " +
+        "FROM wc CROSS JOIN n), " +
+        "sc AS (SELECT doc_id, mlp FROM gr JOIN st USING (w1, w2, w3, w4, w5)) " +
+        "SELECT doc_id, COUNT(*) AS n_fivegrams, " +
+        "floor(CAST(SUM(mlp) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS avg_logprob " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id"),
     // token entropy: contributions nano-nat-snapped per (doc, term) on
     // both sides — the engine's kernel sums the identical integers the
     // oracle's GROUP BY form does

@@ -630,6 +630,103 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** xxhash64 of the `len`-token slice starting at 1-based `from`. */
+  private def gramHash(t: Column, from: Column, len: Int): Column =
+    xxhash64(concat_ws(" ", slice(t, from, lit(len))))
+
+  /** The positional 5-gram KEY stream: per position, the 5-gram hash
+    * plus the eight backoff-slice hashes (ctx4/suffix4/ctx3/suffix3/
+    * ctx2/suffix2/ctx1/unigram), all computed at explode time — gram
+    * STRINGS never leave the scan stage (the hash-not-string trick of
+    * [[graft.ext.Cleaning.spanDedupStatsDf]] applied to LM counting,
+    * exactly as the trigram scaladoc's cost note prescribes: 72 bytes
+    * of fixed-width keys per position instead of five strings).
+    */
+  private def fivegramStream(docs: DataFrame, idCols: Seq[Column]): DataFrame = {
+    val t = col("t")
+    def mk(i: Column) = struct(
+      gramHash(t, i, 5).as("h5"),
+      gramHash(t, i, 4).as("hc4"),
+      gramHash(t, i + 1, 4).as("hs4"),
+      gramHash(t, i + 1, 3).as("hm3"),
+      gramHash(t, i + 2, 3).as("hs3"),
+      gramHash(t, i + 2, 2).as("hm2"),
+      gramHash(t, i + 3, 2).as("hs2"),
+      gramHash(t, i + 3, 1).as("hm1"),
+      gramHash(t, i + 4, 1).as("hs1"))
+    val grams = when(size(t) >= 5,
+      transform(sequence(lit(1), size(t) - 4), i => mk(i)))
+      .otherwise(array().cast("array<struct<h5:bigint,hc4:bigint,hs4:bigint," +
+        "hm3:bigint,hs3:bigint,hm2:bigint,hs2:bigint,hm1:bigint,hs1:bigint>>"))
+    Tables.fanOut(docs).filter(col("text").isNotNull)
+      .select(idCols :+ tokens(col("text")).as("t"): _*)
+      .select(idCols :+ explode(grams).as("g"): _*)
+  }
+
+  /** 5-GRAM stupid backoff — the full CCNet/KenLM order of the
+    * perplexity ladder ([[backoffLogProb]] is the order-3 rung), with
+    * every count/join key an 8-byte xxhash64 gram hash: the explode
+    * emits fixed-width keys, the count shuffle and the scoring join
+    * never move a gram string (identical groups modulo a hash
+    * collision — the span-dedup collision argument; the DuckDB oracle
+    * computes over gram STRINGS, so a collision would fail the
+    * hash-compare loudly rather than pass silently). Backoff descends
+    * five levels (5-gram → suffix-4 → suffix-3 → suffix-2 → unigram),
+    * each pruned at `minCount` and discounted by another factor of
+    * alpha = 0.5 (0.5/0.25/0.125/0.0625 — all exactly representable).
+    * All eight backoff count tables derive from the 5-gram count table
+    * as window sums over the slice hashes carried per row; the scalar
+    * N rides a 1-row broadcast.
+    *
+    * Scale shape: one corpus-sized count shuffle + one corpus-sized
+    * scoring join (both on 8-byte keys) + eight type-table window
+    * exchanges; the trigram operator's honest-cost note applies one
+    * order harder — this is why the keys are hashes here.
+    */
+  def fivegramLogProb(spark: SparkSession, d: String,
+                      minCount: Int = 2, alpha: Double = 0.5): DataFrame =
+    fivegramLogProbDf(Tables.documents(spark, d), minCount, alpha)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def fivegramLogProbDf(docs: DataFrame,
+                        minCount: Int = 2, alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stream = fivegramStream(docs, Seq(col("doc_id")))
+      .select(col("doc_id"), col("g.*"))
+    // h5 determines every slice hash (modulo collision), so first() is
+    // deterministic within a group
+    val c5 = stream.groupBy(col("h5"))
+      .agg(count(lit(1)).as("c5"),
+        first(col("hc4")).as("hc4"), first(col("hs4")).as("hs4"),
+        first(col("hm3")).as("hm3"), first(col("hs3")).as("hs3"),
+        first(col("hm2")).as("hm2"), first(col("hs2")).as("hs2"),
+        first(col("hm1")).as("hm1"), first(col("hs1")).as("hs1"))
+    def wsum(key: String) = sum(col("c5")).over(Window.partitionBy(col(key)))
+    val withCounts = c5
+      .withColumn("ctx4", wsum("hc4")).withColumn("c4s", wsum("hs4"))
+      .withColumn("ctx3", wsum("hm3")).withColumn("c3s", wsum("hs3"))
+      .withColumn("ctx2", wsum("hm2")).withColumn("c2s", wsum("hs2"))
+      .withColumn("ctx1", wsum("hm1")).withColumn("c1s", wsum("hs1"))
+    val n = c5.agg(sum(col("c5")).as("n")) // scalar; broadcast below
+    val a = lit(alpha)
+    val score = when(col("c5") >= minCount,
+      col("c5").cast("double") / col("ctx4"))
+      .when(col("c4s") >= minCount, a * col("c4s").cast("double") / col("ctx3"))
+      .when(col("c3s") >= minCount, a * a * col("c3s").cast("double") / col("ctx2"))
+      .when(col("c2s") >= minCount, a * a * a * col("c2s").cast("double") / col("ctx1"))
+      .otherwise(a * a * a * a * col("c1s").cast("double") / col("n"))
+    val scoreTable = withCounts.crossJoin(broadcast(n))
+      .select(col("h5"), floor(log(score) * 1e6 + 0.5).cast("long").as("mlp"))
+    stream.select(col("doc_id"), col("h5"))
+      .join(scoreTable, Seq("h5"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fivegrams"), sum(col("mlp")).as("s"))
+      .select(col("doc_id"), col("n_fivegrams"),
+        (floor(col("s").cast("double") / col("n_fivegrams") + 0.5) / 1e6)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Score a batch of documents against a FROZEN backoff score table
     * (built by [[backoffScoreTable]] on the base corpus). Trigrams the
     * base never saw (no table row, or a w3 whose unigram fallback never

@@ -369,6 +369,33 @@ class CleaningSpec extends SparkTestBase {
     assert(withShort.map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("5-gram backoff: every level hand-checked on a depth-ladder fixture") {
+    // one doc per backoff depth; each doc is exactly one 5-gram (N = 14)
+    val docs =
+      (1L to 6L).map(i => i -> "a b c d e") ++
+        Seq(7L -> "a b c d f") ++
+        (11L to 13L).map(i => i -> "z b c d e") ++
+        Seq(21L -> "x b c d e", // 5-gram singleton, suffix-4 known (10)
+          22L -> "x y c d e",   // suffix-3 known (11)
+          23L -> "x y z d e",   // suffix-2 known (12)
+          31L -> "p q r s t")   // all levels singleton -> unigram floor
+    val out = TextAnalysis.fivegramLogProbDf(docsDf(docs: _*)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def snap(x: Double) = math.floor(math.log(x) * 1e6 + 0.5) / 1e6
+    assert(out(1L) == snap(6.0 / 7), s"known 5-gram: ${out(1L)}")
+    assert(out(21L) == snap(0.5 * 10 / 11), s"suffix-4 level: ${out(21L)}")
+    assert(out(22L) == snap(0.5 * 0.5 * 11 / 12), s"suffix-3 level: ${out(22L)}")
+    assert(out(23L) == snap(0.5 * 0.5 * 0.5 * 12 / 13), s"suffix-2 level: ${out(23L)}")
+    assert(out(31L) == snap(0.5 * 0.5 * 0.5 * 0.5 * 1 / 14), s"unigram floor: ${out(31L)}")
+    // each backoff level costs strictly more than the one above it
+    assert(out(1L) > out(21L) && out(21L) > out(22L) &&
+      out(22L) > out(23L) && out(23L) > out(31L))
+    // docs under five tokens open no 5-gram and are absent
+    val short = TextAnalysis.fivegramLogProbDf(
+      docsDf(1L -> "only four tokens here", 2L -> "this one has five tokens")).collect()
+    assert(short.map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("top collocations: planted pair wins by PMI, minCount suppresses noise") {
     // "new york" always adjacent; fillers form a high-frequency soup so
     // their pairwise PMI is low; the rare pair below minCount never shows
