@@ -158,11 +158,31 @@ object SparkEntry {
     "q_semantic_dedup_pq" -> ((s: SparkSession, d: String) => Similarity.semanticDedupStatsPq(s, d)),
     "q_winnow_stats"      -> ((s: SparkSession, d: String) => Cleaning.winnowFingerprintStats(s, d)),
     "q_winnow_matches"    -> ((s: SparkSession, d: String) => Cleaning.winnowMatches(s, d)),
-    "q_fivegram_logprob"  -> ((s: SparkSession, d: String) => TextAnalysis.fivegramLogProb(s, d))
+    "q_fivegram_logprob"  -> ((s: SparkSession, d: String) => TextAnalysis.fivegramLogProb(s, d)),
+    "q_interp_logprob"    -> ((s: SparkSession, d: String) => TextAnalysis.interpLogProb(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
   private val toks = "string_split_regex(trim(text), '\\s+')"
+  // the 5-gram type table with all eight backoff totals — shared by the
+  // stupid-backoff and interpolated oracles (one definition, no drift)
+  private lazy val fivegramCteSql =
+    s"WITH f AS (SELECT doc_id, $toks AS t FROM documents), " +
+      "g AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3), " +
+      "i -> struct_pack(w1 := t[i], w2 := t[i+1], w3 := t[i+2], w4 := t[i+3], w5 := t[i+4]))) AS p " +
+      "FROM f WHERE len(t) >= 5), " +
+      "gr AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, p.w3 AS w3, p.w4 AS w4, p.w5 AS w5 FROM g), " +
+      "c5 AS (SELECT w1, w2, w3, w4, w5, COUNT(*) AS c5 FROM gr GROUP BY 1, 2, 3, 4, 5), " +
+      "wc AS (SELECT *, " +
+      "SUM(c5) OVER (PARTITION BY w1, w2, w3, w4) AS ctx4, " +
+      "SUM(c5) OVER (PARTITION BY w2, w3, w4, w5) AS c4s, " +
+      "SUM(c5) OVER (PARTITION BY w2, w3, w4) AS ctx3, " +
+      "SUM(c5) OVER (PARTITION BY w3, w4, w5) AS c3s, " +
+      "SUM(c5) OVER (PARTITION BY w3, w4) AS ctx2, " +
+      "SUM(c5) OVER (PARTITION BY w4, w5) AS c2s, " +
+      "SUM(c5) OVER (PARTITION BY w4) AS ctx1, " +
+      "SUM(c5) OVER (PARTITION BY w5) AS c1s FROM c5), " +
+      "n AS (SELECT SUM(c5) AS n FROM c5), "
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
   // All-decimal product sums — mirror graft.analytics.dsumDisc/dsumCharge
   // exactly (cast inputs first, multiply in decimal, exact at every step).
@@ -1001,16 +1021,16 @@ object SparkEntry {
         "+ 0.9 * ln(n_tok + 1.0) - 0.35 * avg_len))), 6) AS score, " +
         "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM f), " +
         "hist AS (SELECT score, COUNT(*) AS n_s, SUM(pos) AS npos_s FROM sc GROUP BY score), " +
-        "tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_all, CAST(SUM(npos_s) AS BIGINT) AS n_pos FROM hist), " +
-        "th AS (SELECT CAST(k AS INT) AS k, CAST(k AS DOUBLE) / 10.0 AS threshold FROM range(1, 10) r(k)), " +
+        "th AS (SELECT CAST(k AS INT) AS k, CAST(k AS DOUBLE) / 10.0 AS threshold FROM range(0, 10) r(k)), " +
         "agg AS (SELECT k, threshold, CAST(COALESCE(SUM(n_s), 0) AS BIGINT) AS n_pred, " +
         "CAST(COALESCE(SUM(npos_s), 0) AS BIGINT) AS tp " +
-        "FROM th LEFT JOIN hist ON hist.score >= th.threshold GROUP BY 1, 2) " +
+        "FROM th LEFT JOIN hist ON hist.score >= th.threshold GROUP BY 1, 2), " +
+        "tot AS (SELECT MAX(n_pred) AS n_all, MAX(tp) AS n_pos FROM agg) " +
         "SELECT threshold, n_pred, tp, n_pred - tp AS fp, " +
         "CASE WHEN n_pos > 0 THEN round(CAST(tp AS DOUBLE) / n_pos, 6) ELSE 0.0 END AS tpr, " +
         "CASE WHEN n_all - n_pos > 0 THEN round(CAST(n_pred - tp AS DOUBLE) / (n_all - n_pos), 6) ELSE 0.0 END AS fpr, " +
         "CASE WHEN n_pred > 0 THEN round(CAST(tp AS DOUBLE) / n_pred, 6) ELSE 0.0 END AS precision " +
-        "FROM agg CROSS JOIN tot ORDER BY threshold"),
+        "FROM agg CROSS JOIN tot WHERE k >= 1 ORDER BY threshold"),
     // bigram entropy rate: per-pair-type contributions nano-nat-snapped
     // before the per-source sum (the q_source_kl design); p fragments
     // written identically on both sides
@@ -1070,28 +1090,30 @@ object SparkEntry {
     // orders derive from the 5-gram table as window sums, alpha powers
     // 0.5/0.25/0.125/0.0625 are exactly representable on both engines
     "q_fivegram_logprob" ->
-      (s"WITH f AS (SELECT doc_id, $toks AS t FROM documents), " +
-        "g AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3), " +
-        "i -> struct_pack(w1 := t[i], w2 := t[i+1], w3 := t[i+2], w4 := t[i+3], w5 := t[i+4]))) AS p " +
-        "FROM f WHERE len(t) >= 5), " +
-        "gr AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, p.w3 AS w3, p.w4 AS w4, p.w5 AS w5 FROM g), " +
-        "c5 AS (SELECT w1, w2, w3, w4, w5, COUNT(*) AS c5 FROM gr GROUP BY 1, 2, 3, 4, 5), " +
-        "wc AS (SELECT *, " +
-        "SUM(c5) OVER (PARTITION BY w1, w2, w3, w4) AS ctx4, " +
-        "SUM(c5) OVER (PARTITION BY w2, w3, w4, w5) AS c4s, " +
-        "SUM(c5) OVER (PARTITION BY w2, w3, w4) AS ctx3, " +
-        "SUM(c5) OVER (PARTITION BY w3, w4, w5) AS c3s, " +
-        "SUM(c5) OVER (PARTITION BY w3, w4) AS ctx2, " +
-        "SUM(c5) OVER (PARTITION BY w4, w5) AS c2s, " +
-        "SUM(c5) OVER (PARTITION BY w4) AS ctx1, " +
-        "SUM(c5) OVER (PARTITION BY w5) AS c1s FROM c5), " +
-        "n AS (SELECT SUM(c5) AS n FROM c5), " +
+      (fivegramCteSql +
         "st AS (SELECT w1, w2, w3, w4, w5, CAST(floor(ln(" +
         "CASE WHEN c5 >= 2 THEN CAST(c5 AS DOUBLE) / ctx4 " +
         "WHEN c4s >= 2 THEN 0.5 * CAST(c4s AS DOUBLE) / ctx3 " +
         "WHEN c3s >= 2 THEN 0.5 * 0.5 * CAST(c3s AS DOUBLE) / ctx2 " +
         "WHEN c2s >= 2 THEN 0.5 * 0.5 * 0.5 * CAST(c2s AS DOUBLE) / ctx1 " +
         "ELSE 0.5 * 0.5 * 0.5 * 0.5 * CAST(c1s AS DOUBLE) / n END) * 1e6 + 0.5) AS BIGINT) AS mlp " +
+        "FROM wc CROSS JOIN n), " +
+        "sc AS (SELECT doc_id, mlp FROM gr JOIN st USING (w1, w2, w3, w4, w5)) " +
+        "SELECT doc_id, COUNT(*) AS n_fivegrams, " +
+        "floor(CAST(SUM(mlp) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS avg_logprob " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id"),
+    // Jelinek-Mercer interpolation over the same count table: every ML
+    // level contributes with exactly-representable weights; the nested
+    // association 0.5*(p_k) + 0.5*(rest) mirrors the engine tree
+    // paren-for-paren (IEEE addition order matters)
+    "q_interp_logprob" ->
+      (fivegramCteSql +
+        "st AS (SELECT w1, w2, w3, w4, w5, CAST(floor(ln(" +
+        "0.5 * (CAST(c5 AS DOUBLE) / ctx4) + 0.5 * (" +
+        "0.5 * (CAST(c4s AS DOUBLE) / ctx3) + 0.5 * (" +
+        "0.5 * (CAST(c3s AS DOUBLE) / ctx2) + 0.5 * (" +
+        "0.5 * (CAST(c2s AS DOUBLE) / ctx1) + 0.5 * (CAST(c1s AS DOUBLE) / n)" +
+        ")))) * 1e6 + 0.5) AS BIGINT) AS mlp " +
         "FROM wc CROSS JOIN n), " +
         "sc AS (SELECT doc_id, mlp FROM gr JOIN st USING (w1, w2, w3, w4, w5)) " +
         "SELECT doc_id, COUNT(*) AS n_fivegrams, " +

@@ -694,9 +694,12 @@ object TextAnalysis {
                       minCount: Int = 2, alpha: Double = 0.5): DataFrame =
     fivegramLogProbDf(Tables.documents(spark, d), minCount, alpha)
 
-  /** DataFrame form (docs must have doc_id + text). */
-  def fivegramLogProbDf(docs: DataFrame,
-                        minCount: Int = 2, alpha: Double = 0.5): DataFrame = {
+  /** The doc-keyed 5-gram key stream plus the fully-counted type table
+    * (c5 with all eight backoff totals attached) and the scalar-N
+    * aggregate — shared by the stupid-backoff and interpolated scorers,
+    * which differ only in the score expression they fold over it.
+    */
+  private def fivegramCounts(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val stream = fivegramStream(docs, Seq(col("doc_id")))
       .select(col("doc_id"), col("g.*"))
@@ -714,7 +717,26 @@ object TextAnalysis {
       .withColumn("ctx3", wsum("hm3")).withColumn("c3s", wsum("hs3"))
       .withColumn("ctx2", wsum("hm2")).withColumn("c2s", wsum("hs2"))
       .withColumn("ctx1", wsum("hm1")).withColumn("c1s", wsum("hs1"))
-    val n = c5.agg(sum(col("c5")).as("n")) // scalar; broadcast below
+    val n = c5.agg(sum(col("c5")).as("n")) // scalar; broadcast by callers
+    (stream, withCounts, n)
+  }
+
+  /** Shared tail: score-table join + exact-BIGINT per-doc rollup. */
+  private def fivegramRollup(stream: DataFrame, scoreTable: DataFrame,
+                             cntCol: String): DataFrame =
+    stream.select(col("doc_id"), col("h5"))
+      .join(scoreTable, Seq("h5"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as(cntCol), sum(col("mlp")).as("s"))
+      .select(col("doc_id"), col(cntCol),
+        (floor(col("s").cast("double") / col(cntCol) + 0.5) / 1e6)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def fivegramLogProbDf(docs: DataFrame,
+                        minCount: Int = 2, alpha: Double = 0.5): DataFrame = {
+    val (stream, withCounts, n) = fivegramCounts(docs)
     val a = lit(alpha)
     val score = when(col("c5") >= minCount,
       col("c5").cast("double") / col("ctx4"))
@@ -724,14 +746,45 @@ object TextAnalysis {
       .otherwise(a * a * a * a * col("c1s").cast("double") / col("n"))
     val scoreTable = withCounts.crossJoin(broadcast(n))
       .select(col("h5"), floor(log(score) * 1e6 + 0.5).cast("long").as("mlp"))
-    stream.select(col("doc_id"), col("h5"))
-      .join(scoreTable, Seq("h5"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_fivegrams"), sum(col("mlp")).as("s"))
-      .select(col("doc_id"), col("n_fivegrams"),
-        (floor(col("s").cast("double") / col("n_fivegrams") + 0.5) / 1e6)
-          .as("avg_logprob"))
-      .orderBy(col("doc_id"))
+    fivegramRollup(stream, scoreTable, "n_fivegrams")
+  }
+
+  /** JELINEK-MERCER interpolated 5-gram scoring: instead of stupid
+    * backoff's CASE ladder, every maximum-likelihood level contributes
+    * ALWAYS, mixed with fixed weight lambda per order:
+    *
+    *   p = λ·p5 + (1−λ)·(λ·p4 + (1−λ)·(λ·p3 + (1−λ)·(λ·p2 + (1−λ)·p1)))
+    *
+    * expanded at λ = 0.5 to exactly-representable weights
+    * 0.5/0.25/0.125/0.0625/0.0625. No pruning — interpolation needs
+    * none, which is its advantage over backoff; its honest weakness
+    * (documented, not hidden) is that FIXED λ trusts singleton
+    * contexts fully at the top level (ctx4 = 1 gives p5 = 1), which is
+    * why production LMs fit λ per context (Witten-Bell, the count-of-
+    * counts recursion of Kneser-Ney) — the ladder's named next rung.
+    * Same count table, hash keys, micro-nat snap, and oracle
+    * discipline as [[fivegramLogProb]]; the two scorers share
+    * [[fivegramCounts]], so plan cost is identical.
+    */
+  def interpLogProb(spark: SparkSession, d: String,
+                    lambda: Double = 0.5): DataFrame =
+    interpLogProbDf(Tables.documents(spark, d), lambda)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def interpLogProbDf(docs: DataFrame, lambda: Double = 0.5): DataFrame = {
+    val (stream, withCounts, n) = fivegramCounts(docs)
+    val l = lit(lambda)
+    val om = lit(1.0) - l
+    def ml(c: String, ctx: String) = col(c).cast("double") / col(ctx)
+    // innermost-out, each level written as lambda*ML + (1-lambda)*rest —
+    // the SQL mirror uses the identical association
+    val p21 = l * ml("c2s", "ctx1") + om * (col("c1s").cast("double") / col("n"))
+    val p321 = l * ml("c3s", "ctx2") + om * p21
+    val p4321 = l * ml("c4s", "ctx3") + om * p321
+    val score = l * ml("c5", "ctx4") + om * p4321
+    val scoreTable = withCounts.crossJoin(broadcast(n))
+      .select(col("h5"), floor(log(score) * 1e6 + 0.5).cast("long").as("mlp"))
+    fivegramRollup(stream, scoreTable, "n_fivegrams")
   }
 
   /** Score a batch of documents against a FROZEN backoff score table
@@ -812,16 +865,23 @@ object TextAnalysis {
         when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
       .groupBy(col("score"))
       .agg(count(lit(1)).as("n_s"), sum(col("pos")).as("npos_s"))
-    val totals = hist.agg(sum(col("n_s")).as("n_all"),
-      sum(col("npos_s")).as("n_pos"))
-    val thresholds = docs.sparkSession.range(1, 10)
+    // threshold 0.0 accepts every score, so ITS row is the global
+    // totals — deriving n_all/n_pos from the 10-row aggregate instead
+    // of a second hist.agg branch halves the corpus work (the totals
+    // branch would re-scan and re-score; AQE exchange reuse across the
+    // branches is not guaranteed — measured 2× in the 10× smoke)
+    val thresholds = docs.sparkSession.range(0, 10)
       .select(col("id").cast("int").as("k"),
         (col("id").cast("double") / 10.0).as("threshold"))
-    thresholds
+    val perThreshold = thresholds
       .join(hist, col("score") >= col("threshold"), "left")
       .groupBy(col("k"), col("threshold"))
       .agg(coalesce(sum(col("n_s")), lit(0L)).as("n_pred"),
         coalesce(sum(col("npos_s")), lit(0L)).as("tp"))
+    val totals = perThreshold.agg(max(col("n_pred")).as("n_all"),
+      max(col("tp")).as("n_pos"))
+    perThreshold
+      .filter(col("k") >= 1)
       .crossJoin(broadcast(totals))
       .select(col("threshold"), col("n_pred"), col("tp"),
         (col("n_pred") - col("tp")).as("fp"),

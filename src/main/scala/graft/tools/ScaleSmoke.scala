@@ -35,7 +35,8 @@ object ScaleSmoke {
     "q_source_overlap", "q_zipf_slope", "q_cluster_prune", "q_curation_funnel",
     "q_quality_auc", "q_corpus_diff", "q_bigram_logprob", "q_top_collocations",
     "q_token_entropy",
-    "q_backoff_logprob", "q_fivegram_logprob", "q_heaps_law", "q_quality_calibration",
+    "q_backoff_logprob", "q_fivegram_logprob", "q_interp_logprob",
+    "q_heaps_law", "q_quality_calibration",
     "q_entropy_rate", "q_roc_points", "q_semantic_dedup_pq", "q_winnow_stats",
     "q_ivf_pq_topk" /* fixed query count: probe work grows with data, not queries² */,
     "q_ngram_jaccard" /* bounded kernel: must stay FLAT, not 10× */)

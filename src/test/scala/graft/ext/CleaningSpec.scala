@@ -396,6 +396,30 @@ class CleaningSpec extends SparkTestBase {
     assert(short.map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("interpolated 5-gram: hand-computed mix; fixed-lambda singleton trust is visible") {
+    // same depth-ladder corpus as the stupid-backoff test
+    val docs =
+      (1L to 6L).map(i => i -> "a b c d e") ++
+        Seq(7L -> "a b c d f") ++
+        (11L to 13L).map(i => i -> "z b c d e") ++
+        Seq(21L -> "x b c d e", 22L -> "x y c d e",
+          23L -> "x y z d e", 31L -> "p q r s t")
+    val out = TextAnalysis.interpLogProbDf(docsDf(docs: _*)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def mix(p5: Double, p4: Double, p3: Double, p2: Double, p1: Double) =
+      0.5 * p5 + 0.5 * (0.5 * p4 + 0.5 * (0.5 * p3 + 0.5 * (0.5 * p2 + 0.5 * p1)))
+    def snapLn(x: Double) = math.floor(math.log(x) * 1e6 + 0.5) / 1e6
+    assert(out(1L) == snapLn(mix(6.0 / 7, 10.0 / 11, 11.0 / 12, 12.0 / 13, 12.0 / 14)),
+      s"corpus-typical doc: ${out(1L)}")
+    assert(out(31L) == snapLn(mix(1.0, 1.0, 1.0, 1.0, 1.0 / 14)),
+      s"all-novel doc: ${out(31L)}")
+    // the DOCUMENTED fixed-lambda weakness, pinned so it stays visible:
+    // every ML level of the novel doc is a fully-trusted singleton, so
+    // it outscores the corpus-typical doc — the reason production LMs
+    // fit lambda per context (Witten-Bell / Kneser-Ney)
+    assert(out(31L) > out(1L))
+  }
+
   test("top collocations: planted pair wins by PMI, minCount suppresses noise") {
     // "new york" always adjacent; fillers form a high-frequency soup so
     // their pairwise PMI is low; the rare pair below minCount never shows
