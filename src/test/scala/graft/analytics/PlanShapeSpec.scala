@@ -217,6 +217,23 @@ class PlanShapeSpec extends SparkTestBase {
     // the per-source totals branch — which AQE reuses at runtime)
     assert(shuffleExchanges("q_entropy_rate") <= 6,
       s"entropy-rate plan grew a shuffle:\n${plan("q_entropy_rate")}")
+    // 5-gram LM family (r9): ONE corpus-sized count shuffle on the
+    // 8-byte h5 key; the other keyed exchanges are the eight
+    // type-table windows (all distinct single-hash partitionings — no
+    // chaining possible), the scalar-N branch's duplicate count
+    // exchange, the probe join build, the per-doc rollup, and the
+    // sort = 13 on the final adaptive plan. Only the count shuffle
+    // and the probe join are corpus-sized; a 14th exchange means a
+    // corpus-sized stage snuck in.
+    val fgDf = SparkEntry.queries("q_fivegram_logprob")(spark, sfDir)
+    fgDf.collect()
+    val fgPlan = fgDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val fgExchanges = fgPlan.linesIterator.count(l => l.contains("Exchange")
+      && !l.contains("BroadcastExchange") && !l.contains("Reused")
+      && !l.contains("RoundRobinPartitioning"))
+    assert(fgExchanges <= 13,
+      s"5-gram LM plan grew a shuffle ($fgExchanges):\n$fgPlan")
     // entropy is a per-doc kernel (local property, repetitionStats
     // design): only the presentation sort may shuffle — a (doc, term)
     // groupBy sneaking in would add more
