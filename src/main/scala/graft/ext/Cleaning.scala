@@ -338,18 +338,23 @@ object Cleaning {
   def spanDedupSink(docStream: DataFrame, keeperSpans: DataFrame,
                     outPath: String, checkpoint: String, n: Int = 5,
                     maxDupFrac: Double = 0.2, triggerMs: Long = 10000L)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // freeze the keeper set NOW: a lazy keeperSpans would re-run the
+    // full base-corpus span pass (and re-read the base files) on every
+    // trigger instead of joining one static, precomputed table
+    val frozen = Freeze(keeperSpans)
     docStream.writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          spanDedupStatsAgainst(batch, keeperSpans, n, maxDupFrac)
+          spanDedupStatsAgainst(batch, frozen, n, maxDupFrac)
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outPath)
         }
       }
+  }
 
   /** MOSS WINNOWING selection (Schleimer et al. 2003 §4): the selected
     * positions over a k-gram hash sequence — in every window of `w`

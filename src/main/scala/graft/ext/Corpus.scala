@@ -452,18 +452,23 @@ object Corpus {
                           outPath: String, checkpoint: String, n: Int = 5,
                           maxBroadcastEvalBytes: Long = 256L << 20,
                           triggerMs: Long = 10000L)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // freeze the eval docs NOW so every trigger checks the same static
+    // eval set instead of re-reading its source (same contract as
+    // Cleaning.spanDedupSink / TextAnalysis.backoffScoreSink)
+    val frozen = Freeze(evalDocs)
     trainStream.writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          decontaminationStatsAgainst(batch, evalDocs, n, maxBroadcastEvalBytes)
+          decontaminationStatsAgainst(batch, frozen, n, maxBroadcastEvalBytes)
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outPath)
         }
       }
+  }
 
   /** Distinct shingle HASHES per doc in one kernel pass — shingle
     * strings are never materialized as columns (they'd only be hashed

@@ -424,12 +424,14 @@ object Similarity {
     val qNormUdf = udf { qid: Long => qNorm(qid) }
     val scored = corpus.join(broadcast(probes),
         col("probe_cell") === col("cell") && col("query_id") =!= col("vec_id"))
+      .withColumn("q_norm", qNormUdf(col("query_id")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        // rec_norm 0 (an all-zero reconstruction) scores 0, not a
-        // divide-by-zero (ANSI throws on /0)
-        when(col("rec_norm") > 0,
+        // a zero norm on EITHER side (all-zero reconstruction or
+        // all-zero query vector) scores 0, not a divide-by-zero (ANSI
+        // throws on /0; non-ANSI would yield a silent null)
+        when(col("rec_norm") > 0 && col("q_norm") > 0,
           round(adcScore(col("query_id"), col("code")) /
-            (qNormUdf(col("query_id")) * col("rec_norm")), 6))
+            (col("q_norm") * col("rec_norm")), 6))
           .otherwise(lit(0.0)).as("cos_sim_pq"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim_pq").desc, col("neighbor_id"))

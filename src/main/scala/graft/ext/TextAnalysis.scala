@@ -800,8 +800,14 @@ object TextAnalysis {
   def backoffScoreAgainst(docs: DataFrame, scoreTable: DataFrame,
                           alpha: Double = 0.5): DataFrame = {
     val tris = trigramStream(docs, Seq(col("doc_id")))
-    // the scalar N rides the (broadcast-sized) table; take any row's copy
-    val nRow = scoreTable.agg(max(col("n")).as("n"))
+    // the scalar N rides the (broadcast-sized) table; take any row's
+    // copy. An EMPTY table (empty base corpus) would make N null and
+    // every score silently null — fail loudly instead.
+    val nRow = scoreTable.agg(
+      coalesce(max(col("n")),
+        raise_error(lit("backoffScoreAgainst: empty score table — " +
+          "build backoffScoreTable from a non-empty base corpus"))
+          .cast("long")).as("n"))
     tris.join(scoreTable.select(col("w1"), col("w2"), col("w3"), col("mlp")),
         Seq("w1", "w2", "w3"), "left")
       .crossJoin(broadcast(nRow))
@@ -827,18 +833,23 @@ object TextAnalysis {
   def backoffScoreSink(docStream: DataFrame, scoreTable: DataFrame,
                        outPath: String, checkpoint: String,
                        alpha: Double = 0.5, triggerMs: Long = 10000L)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // freeze the score table NOW: without this every trigger re-runs
+    // the full base-corpus count/window pipeline (and re-reads the base
+    // files, so the table would track live data instead of being static)
+    val frozen = Freeze(scoreTable)
     docStream.writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          backoffScoreAgainst(batch, scoreTable, alpha)
+          backoffScoreAgainst(batch, frozen, alpha)
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outPath)
         }
       }
+  }
 
   /** ROC OPERATING POINTS for the quality model at the nine decile
     * thresholds — the third leg of the classifier-audit family:

@@ -14,6 +14,13 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Oracle-less queries whose result can be legitimately empty on a given
+# dataset (e.g. a near-dup drop list when the data has no near-dups) —
+# zero rows is not a failure for these, only for queries expected to
+# emit per-doc / per-group rows unconditionally.
+ALLOW_EMPTY = {"q_minhash_pairs", "q_simhash_near_dups", "q_neardup_clusters",
+               "q_winnow_matches"}
+
 
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -45,9 +52,10 @@ def main():
             n = con.execute(
                 f"SELECT COUNT(*) FROM read_parquet('{out}/{name}/*.parquet')"
             ).fetchone()[0]
-            status = "rows-only OK" if n > 0 else "rows-only EMPTY"
+            ok = n > 0 or name in ALLOW_EMPTY
+            status = "rows-only OK" if ok else "rows-only EMPTY"
             print(f"{name}: {status} ({n} rows)")
-            failures += 0 if n > 0 else 1
+            failures += 0 if ok else 1
             continue
         spark_rel = con.sql(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
         try:
