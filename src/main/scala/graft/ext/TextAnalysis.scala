@@ -573,14 +573,14 @@ object TextAnalysis {
     * count-shuffle key. FP parity: per-trigram ln snaps to integer
     * micro-nats; per-doc aggregation is exact BIGINT math.
     *
-    * Honest cost note (10× smoke, SURVEY §8): this is the engine's
-    * heaviest text kernel — the trigram struct explode runs TWICE (the
-    * count branch and the scoring branch are separate plan subtrees;
-    * Spark does not materialize shared DataFrames), each emitting ~3
-    * string copies per corpus token. Wall-clock grows ~4.6× at 10×
-    * data — comfortably SUBLINEAR, every exchange hash-partitioned —
-    * but a production 5-gram pipeline prunes its count table and
-    * hash-interns tokens for exactly this constant-factor reason.
+    * Cost note (r10 restructure): the batch scorer now derives the
+    * count table and the scoring stream from ONE hash-keyed explode
+    * subtree ([[trigramCounts]], the [[fivegramCounts]] shape at
+    * order 3) — the count shuffle and the scoring join both run on the
+    * 8-byte h3 key, and no gram string ever leaves the scan stage.
+    * This replaced the r9 form whose two string-keyed branches each
+    * exploded ~3 string copies per corpus token (10× smoke ratio 3.3
+    * then; the 5-gram family's measured win motivated the change).
     */
   def backoffLogProb(spark: SparkSession, d: String,
                      minCount: Int = 2, alpha: Double = 0.5): DataFrame =
@@ -616,18 +616,77 @@ object TextAnalysis {
         col("n"))
   }
 
-  /** DataFrame form (docs must have doc_id + text). */
+  /** The positional trigram KEY stream: per position, the trigram hash
+    * plus its four backoff-slice hashes (ctx2 / backoff-bigram / ctx1 /
+    * unigram), all computed at explode time — [[fivegramStream]]'s
+    * fixed-width-keys discipline applied one order lower, so the count
+    * shuffle and the scoring join move 40 bytes per position instead of
+    * three string copies.
+    */
+  private def trigramHashStream(docs: DataFrame, idCols: Seq[Column]): DataFrame = {
+    val t = col("t")
+    def mk(i: Column) = struct(
+      gramHash(t, i, 3).as("h3"),
+      gramHash(t, i, 2).as("hc2"),
+      gramHash(t, i + 1, 2).as("hb"),
+      gramHash(t, i + 1, 1).as("hc1"),
+      gramHash(t, i + 2, 1).as("hu"))
+    val grams = when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2), i => mk(i)))
+      .otherwise(array().cast(
+        "array<struct<h3:bigint,hc2:bigint,hb:bigint,hc1:bigint,hu:bigint>>"))
+    Tables.fanOut(docs).filter(col("text").isNotNull)
+      .select(idCols :+ tokens(col("text")).as("t"): _*)
+      .select(idCols :+ explode(grams).as("g"): _*)
+  }
+
+  /** The doc-keyed trigram key stream plus the fully-counted type table
+    * (c3 with all four backoff totals attached as window sums) and the
+    * scalar-N aggregate — the [[fivegramCounts]] shape at order 3. The
+    * doc stream and the count table derive from ONE explode subtree, so
+    * the count shuffle and the scoring join run on the same 8-byte h3
+    * key (the single-explode restructure the 5-gram family proved out;
+    * previously the batch scorer exploded the corpus twice, once per
+    * string-keyed branch).
+    */
+  private def trigramCounts(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val stream = trigramHashStream(docs, Seq(col("doc_id")))
+      .select(col("doc_id"), col("g.*"))
+    // h3 determines every slice hash (modulo collision), so first() is
+    // deterministic within a group
+    val c3 = stream.groupBy(col("h3"))
+      .agg(count(lit(1)).as("c3"),
+        first(col("hc2")).as("hc2"), first(col("hb")).as("hb"),
+        first(col("hc1")).as("hc1"), first(col("hu")).as("hu"))
+    def wsum(key: String) = sum(col("c3")).over(Window.partitionBy(col(key)))
+    val withCounts = c3
+      .withColumn("ctx2", wsum("hc2")).withColumn("cb", wsum("hb"))
+      .withColumn("ctx1", wsum("hc1")).withColumn("cu", wsum("hu"))
+    val n = c3.agg(sum(col("c3")).as("n")) // scalar; broadcast by callers
+    (stream, withCounts, n)
+  }
+
+  /** DataFrame form (docs must have doc_id + text). Batch scoring runs
+    * on the hash-keyed single-explode shape ([[trigramCounts]]); the
+    * string-keyed [[backoffScoreTable]] remains the streaming-scorer
+    * artifact ([[backoffScoreAgainst]] left-joins arrivals on words so
+    * unseen trigrams fall to the OOV floor, and a frozen table you can
+    * read is worth the string columns there). The DuckDB oracle
+    * computes over gram STRINGS, so a hash collision here would fail
+    * the hash-compare loudly rather than pass silently.
+    */
   def backoffLogProbDf(docs: DataFrame,
                        minCount: Int = 2, alpha: Double = 0.5): DataFrame = {
-    val tris = trigramStream(docs, Seq(col("doc_id")))
-    tris.join(backoffScoreTable(docs, minCount, alpha).drop("n"),
-        Seq("w1", "w2", "w3"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_trigrams"), sum(col("mlp")).as("s"))
-      .select(col("doc_id"), col("n_trigrams"),
-        (floor(col("s").cast("double") / col("n_trigrams") + 0.5) / 1e6)
-          .as("avg_logprob"))
-      .orderBy(col("doc_id"))
+    val (stream, withCounts, n) = trigramCounts(docs)
+    val score = when(col("c3") >= minCount,
+      col("c3").cast("double") / col("ctx2"))
+      .when(col("cb") >= minCount,
+        lit(alpha) * col("cb").cast("double") / col("ctx1"))
+      .otherwise(lit(alpha) * lit(alpha) * col("cu").cast("double") / col("n"))
+    val scoreTable = withCounts.crossJoin(broadcast(n))
+      .select(col("h3"), floor(log(score) * 1e6 + 0.5).cast("long").as("mlp"))
+    gramRollup(stream, scoreTable, "h3", "n_trigrams")
   }
 
   /** xxhash64 of the `len`-token slice starting at 1-based `from` —
@@ -721,11 +780,14 @@ object TextAnalysis {
     (stream, withCounts, n)
   }
 
-  /** Shared tail: score-table join + exact-BIGINT per-doc rollup. */
-  private def fivegramRollup(stream: DataFrame, scoreTable: DataFrame,
-                             cntCol: String): DataFrame =
-    stream.select(col("doc_id"), col("h5"))
-      .join(scoreTable, Seq("h5"))
+  /** Shared tail: score-table join on the gram-hash key + exact-BIGINT
+    * per-doc rollup (the trigram and 5-gram scorers differ only in key
+    * name and count-column label).
+    */
+  private def gramRollup(stream: DataFrame, scoreTable: DataFrame,
+                         key: String, cntCol: String): DataFrame =
+    stream.select(col("doc_id"), col(key))
+      .join(scoreTable, Seq(key))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as(cntCol), sum(col("mlp")).as("s"))
       .select(col("doc_id"), col(cntCol),
@@ -746,7 +808,7 @@ object TextAnalysis {
       .otherwise(a * a * a * a * col("c1s").cast("double") / col("n"))
     val scoreTable = withCounts.crossJoin(broadcast(n))
       .select(col("h5"), floor(log(score) * 1e6 + 0.5).cast("long").as("mlp"))
-    fivegramRollup(stream, scoreTable, "n_fivegrams")
+    gramRollup(stream, scoreTable, "h5", "n_fivegrams")
   }
 
   /** JELINEK-MERCER interpolated 5-gram scoring: instead of stupid
@@ -784,7 +846,7 @@ object TextAnalysis {
     val score = l * ml("c5", "ctx4") + om * p4321
     val scoreTable = withCounts.crossJoin(broadcast(n))
       .select(col("h5"), floor(log(score) * 1e6 + 0.5).cast("long").as("mlp"))
-    fivegramRollup(stream, scoreTable, "n_fivegrams")
+    gramRollup(stream, scoreTable, "h5", "n_fivegrams")
   }
 
   /** Score a batch of documents against a FROZEN backoff score table

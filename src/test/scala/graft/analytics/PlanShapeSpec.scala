@@ -185,13 +185,14 @@ class PlanShapeSpec extends SparkTestBase {
       s"bigram LM plan regrew a shuffle ($bigramExchanges):\n$bigramPlan")
     assert(shuffleExchanges("q_top_collocations") <= 7,
       s"collocation plan grew a shuffle:\n${plan("q_top_collocations")}")
-    // backoff trigram LM (r9): ONE corpus-sized shuffle (the trigram
-    // count); the four backoff-table windows chain into TWO
-    // vocabulary-sized exchanges (w2-compatible and w3-compatible
-    // partitionings share one each); + the scalar-N agg branch +
-    // per-doc rollup + sort. The doc stream meets ONE fully-resolved
-    // score table. Counted on the final adaptive plan (same rationale
-    // as the bigram pin).
+    // backoff trigram LM (r10, single-explode restructure): ONE
+    // corpus-sized count shuffle on the 8-byte h3 key; the other keyed
+    // exchanges are the four type-table windows (distinct single-hash
+    // partitionings — no chaining), the scalar-N branch's duplicate
+    // count exchange, the scoring-join probe, the per-doc rollup, and
+    // the sort = 9 on the final adaptive plan (the 5-gram accounting
+    // one order lower). Only the count shuffle and the probe join are
+    // corpus-sized; a 10th exchange means a corpus-sized stage snuck in.
     val backoffDf = SparkEntry.queries("q_backoff_logprob")(spark, sfDir)
     backoffDf.collect()
     val backoffPlan = backoffDf.queryExecution.executedPlan.toString
@@ -199,7 +200,7 @@ class PlanShapeSpec extends SparkTestBase {
     val backoffExchanges = backoffPlan.linesIterator.count(l => l.contains("Exchange")
       && !l.contains("BroadcastExchange") && !l.contains("Reused")
       && !l.contains("RoundRobinPartitioning"))
-    assert(backoffExchanges <= 6,
+    assert(backoffExchanges <= 9,
       s"backoff LM plan grew a shuffle ($backoffExchanges):\n$backoffPlan")
     // round-9 aggregate family: calibration is ONE histogram agg pair +
     // sort; the length model is one per-source agg pair + sort; Heaps
