@@ -159,7 +159,9 @@ object SparkEntry {
     "q_winnow_stats"      -> ((s: SparkSession, d: String) => Cleaning.winnowFingerprintStats(s, d)),
     "q_winnow_matches"    -> ((s: SparkSession, d: String) => Cleaning.winnowMatches(s, d)),
     "q_fivegram_logprob"  -> ((s: SparkSession, d: String) => TextAnalysis.fivegramLogProb(s, d)),
-    "q_interp_logprob"    -> ((s: SparkSession, d: String) => TextAnalysis.interpLogProb(s, d))
+    "q_interp_logprob"    -> ((s: SparkSession, d: String) => TextAnalysis.interpLogProb(s, d)),
+    "q_wb_logprob"        -> ((s: SparkSession, d: String) => TextAnalysis.wbLogProb(s, d)),
+    "q_kn_logprob"        -> ((s: SparkSession, d: String) => TextAnalysis.knLogProb(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -183,6 +185,46 @@ object SparkEntry {
       "SUM(c5) OVER (PARTITION BY w4) AS ctx1, " +
       "SUM(c5) OVER (PARTITION BY w5) AS c1s FROM c5), " +
       "n AS (SELECT SUM(c5) AS n FROM c5), "
+  // Smoothed-LM oracle generator (Witten-Bell / Kneser-Ney): the
+  // per-level suffix-slice chain over the 5-gram type table — raw
+  // occurrence totals (SUM) or left-extension type counts (COUNT) —
+  // then per-level windows (context total cc, distinct-continuation
+  // count tt), the interpolation fold bottom-up, and the shared
+  // snap/join/rollup tail. Mirrors TextAnalysis.suffixChain/smoothLevel
+  // join-for-join; the engine keys on xxhash64 slice hashes, the oracle
+  // on gram STRINGS (collision would fail the hash-compare loudly).
+  private def smoothedFivegramSql(raw: Boolean, p1Cte: String,
+                                  levelExpr: String): String = {
+    val a1 = if (raw) "SUM(c5)" else "COUNT(*)"
+    val ak = if (raw) "SUM(c)" else "COUNT(*)"
+    fivegramCteSql +
+      s"t4 AS (SELECT w2, w3, w4, w5, $a1 AS c FROM c5 GROUP BY 1, 2, 3, 4), " +
+      s"t3 AS (SELECT w3, w4, w5, $ak AS c FROM t4 GROUP BY 1, 2, 3), " +
+      s"t2 AS (SELECT w4, w5, $ak AS c FROM t3 GROUP BY 1, 2), " +
+      s"t1 AS (SELECT w5, $ak AS c FROM t2 GROUP BY 1), " +
+      p1Cte +
+      "x2 AS (SELECT w4, w5, c, SUM(c) OVER (PARTITION BY w4) AS cc, " +
+      "COUNT(*) OVER (PARTITION BY w4) AS tt FROM t2), " +
+      s"p2 AS (SELECT w4, w5, $levelExpr AS p FROM x2 JOIN p1 USING (w5)), " +
+      "x3 AS (SELECT w3, w4, w5, c, SUM(c) OVER (PARTITION BY w3, w4) AS cc, " +
+      "COUNT(*) OVER (PARTITION BY w3, w4) AS tt FROM t3), " +
+      s"p3 AS (SELECT w3, w4, w5, $levelExpr AS p FROM x3 JOIN p2 USING (w4, w5)), " +
+      "x4 AS (SELECT w2, w3, w4, w5, c, SUM(c) OVER (PARTITION BY w2, w3, w4) AS cc, " +
+      "COUNT(*) OVER (PARTITION BY w2, w3, w4) AS tt FROM t4), " +
+      s"p4 AS (SELECT w2, w3, w4, w5, $levelExpr AS p FROM x4 JOIN p3 USING (w3, w4, w5)), " +
+      "x5 AS (SELECT w1, w2, w3, w4, w5, c5 AS c, " +
+      "SUM(c5) OVER (PARTITION BY w1, w2, w3, w4) AS cc, " +
+      "COUNT(*) OVER (PARTITION BY w1, w2, w3, w4) AS tt FROM c5), " +
+      s"p5 AS (SELECT w1, w2, w3, w4, w5, $levelExpr AS p " +
+      "FROM x5 JOIN p4 USING (w2, w3, w4, w5)), " +
+      "st AS (SELECT w1, w2, w3, w4, w5, " +
+      "CAST(floor(ln(p) * 1e6 + 0.5) AS BIGINT) AS mlp FROM p5), " +
+      "sc AS (SELECT doc_id, mlp FROM gr JOIN st USING (w1, w2, w3, w4, w5)) " +
+      "SELECT doc_id, COUNT(*) AS n_fivegrams, " +
+      "floor(CAST(SUM(mlp) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS avg_logprob " +
+      "FROM sc GROUP BY doc_id ORDER BY doc_id"
+  }
+
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
   // All-decimal product sums — mirror graft.analytics.dsumDisc/dsumCharge
   // exactly (cast inputs first, multiply in decimal, exact at every step).
@@ -1119,6 +1161,21 @@ object SparkEntry {
         "SELECT doc_id, COUNT(*) AS n_fivegrams, " +
         "floor(CAST(SUM(mlp) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS avg_logprob " +
         "FROM sc GROUP BY doc_id ORDER BY doc_id"),
+    // Witten-Bell: per-context lambda = C/(C+T) over the raw-count
+    // suffix chain; per-level expression associated exactly as the
+    // engine folds it ((c + T*p) / (C + T))
+    "q_wb_logprob" -> smoothedFivegramSql(raw = true,
+      p1Cte = "p1 AS (SELECT w5, CAST(c AS DOUBLE) / n AS p FROM t1 CROSS JOIN n), ",
+      levelExpr = "(CAST(c AS DOUBLE) + CAST(tt AS DOUBLE) * p) / " +
+        "(CAST(cc AS DOUBLE) + CAST(tt AS DOUBLE))"),
+    // Kneser-Ney: absolute discount D = 0.75 over continuation-type
+    // counts (COUNT(*) chain), continuation-unigram denominator =
+    // total distinct bigram types
+    "q_kn_logprob" -> smoothedFivegramSql(raw = false,
+      p1Cte = "nb AS (SELECT COUNT(*) AS n_bi FROM t2), " +
+        "p1 AS (SELECT w5, CAST(c AS DOUBLE) / n_bi AS p FROM t1 CROSS JOIN nb), ",
+      levelExpr = "(GREATEST(CAST(c AS DOUBLE) - 0.75, 0.0) + " +
+        "0.75 * CAST(tt AS DOUBLE) * p) / CAST(cc AS DOUBLE)"),
     // token entropy: contributions nano-nat-snapped per (doc, term) on
     // both sides — the engine's kernel sums the identical integers the
     // oracle's GROUP BY form does

@@ -758,8 +758,12 @@ object TextAnalysis {
     * aggregate — shared by the stupid-backoff and interpolated scorers,
     * which differ only in the score expression they fold over it.
     */
-  private def fivegramCounts(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+  /** The doc-keyed 5-gram key stream plus the distinct-5-gram TYPE
+    * table (h5, c5, all eight slice hashes) — the shared base of every
+    * order-5 scorer (backoff / interpolated / Witten-Bell /
+    * Kneser-Ney).
+    */
+  private def fivegramTypeTable(docs: DataFrame): (DataFrame, DataFrame) = {
     val stream = fivegramStream(docs, Seq(col("doc_id")))
       .select(col("doc_id"), col("g.*"))
     // h5 determines every slice hash (modulo collision), so first() is
@@ -770,6 +774,12 @@ object TextAnalysis {
         first(col("hm3")).as("hm3"), first(col("hs3")).as("hs3"),
         first(col("hm2")).as("hm2"), first(col("hs2")).as("hs2"),
         first(col("hm1")).as("hm1"), first(col("hs1")).as("hs1"))
+    (stream, c5)
+  }
+
+  private def fivegramCounts(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val (stream, c5) = fivegramTypeTable(docs)
     def wsum(key: String) = sum(col("c5")).over(Window.partitionBy(col(key)))
     val withCounts = c5
       .withColumn("ctx4", wsum("hc4")).withColumn("c4s", wsum("hs4"))
@@ -846,6 +856,152 @@ object TextAnalysis {
     val score = l * ml("c5", "ctx4") + om * p4321
     val scoreTable = withCounts.crossJoin(broadcast(n))
       .select(col("h5"), floor(log(score) * 1e6 + 0.5).cast("long").as("mlp"))
+    gramRollup(stream, scoreTable, "h5", "n_fivegrams")
+  }
+
+  /** Per-level suffix-slice tables over the distinct-5-gram type table:
+    * one row per distinct k-gram occurring as a 5-gram suffix slice,
+    * with count `c` either the RAW occurrence total (sum of c5 —
+    * Witten-Bell's ML numerators) or the LEFT-EXTENSION type count
+    * (count of distinct (k+1)-gram types ending in the k-gram —
+    * Kneser-Ney's continuation counts N1+(·w), Chen & Goodman 1999
+    * eq. 18), plus the carried context/suffix hashes the next level
+    * down needs. Every table here is TYPE-table-sized (bounded by the
+    * distinct-5-gram count), so the whole chain shuffles vocabulary
+    * bytes, never corpus bytes.
+    */
+  private def suffixChain(c5t: DataFrame, raw: Boolean)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    def lvl(src: DataFrame, key: String, c: Column, carry: String*) = {
+      val cnt = if (raw) sum(c) else count(lit(1))
+      src.groupBy(col(key))
+        .agg(cnt.as("c"), carry.map(h => first(col(h)).as(h)): _*)
+    }
+    val t4 = lvl(c5t, "hs4", col("c5"), "hm3", "hs3", "hm2", "hs2", "hm1", "hs1")
+    val t3 = lvl(t4, "hs3", col("c"), "hm2", "hs2", "hm1", "hs1")
+    val t2 = lvl(t3, "hs2", col("c"), "hm1", "hs1")
+    val t1 = lvl(t2, "hs1", col("c"))
+    (t4, t3, t2, t1)
+  }
+
+  /** One smoothing level: attach the context total `cc` and the
+    * distinct-continuation count `tt` as windows over the level's type
+    * table, join the next-lower distribution on the suffix key, and
+    * fold the level's score expression. `tt` is COUNT(*) over the
+    * context partition — the number-of-distinct-types statistic that
+    * the window-sum formulation ([[fivegramCounts]]) cannot express,
+    * which is why WB/KN run on the per-level tables of [[suffixChain]].
+    */
+  private def smoothLevel(t: DataFrame, key: String, c: String, ctx: String,
+                          joinKey: String, prev: DataFrame)
+                         (score: (Column, Column, Column, Column) => Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(ctx))
+    t.withColumn("cc", sum(col(c)).over(w))
+      .withColumn("tt", count(lit(1)).over(w))
+      .join(prev, Seq(joinKey))
+      .select(col(key),
+        score(col(c).cast("double"), col("cc").cast("double"),
+          col("tt").cast("double"), col("p")).as("p"))
+  }
+
+  /** WITTEN-BELL interpolated 5-gram scoring (Witten & Bell 1991; the
+    * Chen & Goodman 1999 eq. 16 instance of Jelinek-Mercer with
+    * per-context weights): at every level
+    *
+    *   p_k = (c + T(ctx) * p_{k-1}) / (C(ctx) + T(ctx))
+    *
+    * where T(ctx) is the number of DISTINCT types observed after the
+    * context — lambda = C/(C+T) is fitted per context, trusting the ML
+    * estimate of predictable contexts (few distinct continuations per
+    * observation) and discounting diverse ones. This closes fixed-λ's
+    * one-size-fits-all weighting ([[interpLogProb]]'s documented
+    * weakness) for contexts with repeated mass; for a context whose
+    * continuations are ALL singletons, T equals C and WB degenerates
+    * to exactly fixed λ = 0.5 — so the all-novel-doc inversion pinned
+    * in CleaningSpec needs [[knLogProb]]'s absolute discounting, and
+    * the spec pins both facts.
+    *
+    * Scale shape: identical corpus-sized work to [[fivegramLogProb]]
+    * (one count shuffle, one scoring join, both on 8-byte keys); the
+    * per-level chain adds four type-table-sized groupBys, four window
+    * pairs, and four type-table joins. The scalar N rides a 1-row
+    * broadcast. FP parity: the per-level expression is associated
+    * identically to the SQL oracle ((c + T*p) / (C + T), T*p left to
+    * right); scores snap to integer micro-nats before the exact BIGINT
+    * per-doc rollup.
+    */
+  def wbLogProb(spark: SparkSession, d: String): DataFrame =
+    wbLogProbDf(Tables.documents(spark, d))
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def wbLogProbDf(docs: DataFrame): DataFrame = {
+    val (stream, c5t) = fivegramTypeTable(docs)
+    val (t4, t3, t2, t1) = suffixChain(c5t, raw = true)
+    val n = c5t.agg(sum(col("c5")).as("n")) // scalar; broadcast below
+    val p1 = t1.crossJoin(broadcast(n))
+      .select(col("hs1"), (col("c").cast("double") / col("n")).as("p"))
+    def wb(c: Column, cc: Column, tt: Column, p: Column) =
+      (c + tt * p) / (cc + tt)
+    val p2 = smoothLevel(t2, "hs2", "c", "hm1", "hs1", p1)(wb)
+    val p3 = smoothLevel(t3, "hs3", "c", "hm2", "hs2", p2)(wb)
+    val p4 = smoothLevel(t4, "hs4", "c", "hm3", "hs3", p3)(wb)
+    val p5 = smoothLevel(c5t, "h5", "c5", "hc4", "hs4", p4)(wb)
+    val scoreTable = p5.select(col("h5"),
+      floor(log(col("p")) * 1e6 + 0.5).cast("long").as("mlp"))
+    gramRollup(stream, scoreTable, "h5", "n_fivegrams")
+  }
+
+  /** Interpolated KNESER-NEY 5-gram scoring (Kneser & Ney 1995, in the
+    * interpolated single-discount form of Chen & Goodman 1999 eq. 18):
+    * the top level absolute-discounts the raw count,
+    *
+    *   p_5 = (max(c5 - D, 0) + D * T(ctx4) * p_4) / C(ctx4)
+    *
+    * and every lower level runs the same form over CONTINUATION counts
+    * N1+(·w) — how many distinct (k+1)-gram types a k-gram completes,
+    * not how often it occurs — bottoming out at the continuation
+    * unigram N1+(·w) / N1+(··). D = 0.75 (exactly representable; the
+    * Chen & Goodman held-out estimate n1/(n1+2n2) lands near it on
+    * natural text).
+    *
+    * This is the ladder rung that actually fixes the fixed-λ singleton
+    * inversion pinned in CleaningSpec: a doc whose every level is its
+    * own singleton keeps ML = 1 at every level under any interpolation
+    * weighting (WB included, since T = C there), but absolute
+    * discounting caps each such level's own-count contribution at
+    * (1 - D) / 1, and the continuation unigram scores a token by how
+    * many distinct contexts it follows — both push the all-novel doc
+    * strictly below corpus-typical text (the spec asserts the
+    * inversion flips).
+    *
+    * Scale shape: identical to [[wbLogProbDf]] — the continuation
+    * chain is the same four type-table-sized groupBys with COUNT
+    * instead of SUM; the scalar bigram-type total rides a 1-row
+    * broadcast.
+    */
+  def knLogProb(spark: SparkSession, d: String,
+                discount: Double = 0.75): DataFrame =
+    knLogProbDf(Tables.documents(spark, d), discount)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def knLogProbDf(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val (stream, c5t) = fivegramTypeTable(docs)
+    val (t4, t3, t2, t1) = suffixChain(c5t, raw = false)
+    val dd = lit(discount)
+    // continuation-unigram denominator: total distinct bigram types
+    val nBi = t2.agg(count(lit(1)).as("n_bi")) // scalar; broadcast below
+    val p1 = t1.crossJoin(broadcast(nBi))
+      .select(col("hs1"), (col("c").cast("double") / col("n_bi")).as("p"))
+    def kn(c: Column, cc: Column, tt: Column, p: Column) =
+      (greatest(c - dd, lit(0.0)) + dd * tt * p) / cc
+    val p2 = smoothLevel(t2, "hs2", "c", "hm1", "hs1", p1)(kn)
+    val p3 = smoothLevel(t3, "hs3", "c", "hm2", "hs2", p2)(kn)
+    val p4 = smoothLevel(t4, "hs4", "c", "hm3", "hs3", p3)(kn)
+    val p5 = smoothLevel(c5t, "h5", "c5", "hc4", "hs4", p4)(kn)
+    val scoreTable = p5.select(col("h5"),
+      floor(log(col("p")) * 1e6 + 0.5).cast("long").as("mlp"))
     gramRollup(stream, scoreTable, "h5", "n_fivegrams")
   }
 

@@ -36,6 +36,7 @@ object ScaleSmoke {
     "q_quality_auc", "q_corpus_diff", "q_bigram_logprob", "q_top_collocations",
     "q_token_entropy",
     "q_backoff_logprob", "q_fivegram_logprob", "q_interp_logprob",
+    "q_wb_logprob", "q_kn_logprob",
     "q_heaps_law", "q_quality_calibration",
     "q_entropy_rate", "q_roc_points", "q_semantic_dedup_pq", "q_winnow_stats",
     "q_ivf_pq_topk" /* fixed query count: probe work grows with data, not queries² */,

@@ -420,6 +420,80 @@ class CleaningSpec extends SparkTestBase {
     assert(out(31L) > out(1L))
   }
 
+  test("Witten-Bell 5-gram: hand-computed per-context lambdas; T=C degeneracy pinned") {
+    // same depth-ladder corpus; WB per-level constants hand-derived from
+    // the suffix-slice tables (raw-count chain, truncated-stream
+    // convention: lower-order counts from 5-gram suffix slices)
+    val docs =
+      (1L to 6L).map(i => i -> "a b c d e") ++
+        Seq(7L -> "a b c d f") ++
+        (11L to 13L).map(i => i -> "z b c d e") ++
+        Seq(21L -> "x b c d e", 22L -> "x y c d e",
+          23L -> "x y z d e", 31L -> "p q r s t")
+    val out = TextAnalysis.wbLogProbDf(docsDf(docs: _*)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def wb(c: Double, cc: Double, tt: Double, p: Double) = (c + tt * p) / (cc + tt)
+    def snapLn(x: Double) = math.floor(math.log(x) * 1e6 + 0.5) / 1e6
+    // corpus-typical doc: raw suffix chain (d e)=12/ctx(d):13,T2 ·
+    // (c d e)=11/ctx(c d):12,T2 · (b c d e)=10/ctx(b c d):11,T2 ·
+    // top c5=6/ctx4(a b c d):7,T2; p1(e) = 12/14
+    val p2 = wb(12, 13, 2, 12.0 / 14)
+    val p3 = wb(11, 12, 2, p2)
+    val p4 = wb(10, 11, 2, p3)
+    assert(out(1L) == snapLn(wb(6, 7, 2, p4)), s"typical doc: ${out(1L)}")
+    // all-novel doc: every level is its own singleton, T = C = 1, so
+    // each level is (1 + p)/2 — WB DEGENERATES to fixed lambda = 0.5
+    // exactly; the mix equals the interp operator's value to the bit
+    val q2 = wb(1, 1, 1, 1.0 / 14)
+    val q5 = wb(1, 1, 1, wb(1, 1, 1, wb(1, 1, 1, q2)))
+    assert(out(31L) == snapLn(q5), s"novel doc: ${out(31L)}")
+    def mix(p5: Double, p4: Double, p3: Double, p2: Double, p1: Double) =
+      0.5 * p5 + 0.5 * (0.5 * p4 + 0.5 * (0.5 * p3 + 0.5 * (0.5 * p2 + 0.5 * p1)))
+    assert(snapLn(q5) == snapLn(mix(1.0, 1.0, 1.0, 1.0, 1.0 / 14)),
+      "T=C degeneracy: WB on the all-singleton path must equal fixed lambda=0.5")
+    // so WB adapts lambda exactly where adaptivity exists (typical doc
+    // scores differ from fixed-lambda interp) but CANNOT fix the
+    // singleton inversion (that is knLogProb's job, asserted below)
+    assert(out(31L) > out(1L),
+      "WB alone must not flip the singleton inversion — if this fails, re-derive")
+  }
+
+  test("Kneser-Ney 5-gram: hand-computed discounted chain; the singleton inversion FLIPS") {
+    val docs =
+      (1L to 6L).map(i => i -> "a b c d e") ++
+        Seq(7L -> "a b c d f") ++
+        (11L to 13L).map(i => i -> "z b c d e") ++
+        Seq(21L -> "x b c d e", 22L -> "x y c d e",
+          23L -> "x y z d e", 31L -> "p q r s t")
+    val out = TextAnalysis.knLogProbDf(docsDf(docs: _*)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def kn(c: Double, cc: Double, tt: Double, p: Double) =
+      (math.max(c - 0.75, 0.0) + 0.75 * tt * p) / cc
+    def snapLn(x: Double) = math.floor(math.log(x) * 1e6 + 0.5) / 1e6
+    // continuation chain (distinct-type counts): bigram types = 3
+    // ((d e), (d f), (s t)); typical doc: c2c(d e)=2 over ctx(d):3,T2;
+    // c3c(c d e)=2 over ctx(c d):3,T2; c4c(b c d e)=3 over
+    // ctx(b c d):4,T2; top RAW c5=6 over ctx4:7,T2; p1(e) = 1/3
+    val p2 = kn(2, 3, 2, 1.0 / 3)
+    val p3 = kn(2, 3, 2, p2)
+    val p4 = kn(3, 4, 2, p3)
+    assert(out(1L) == snapLn(kn(6, 7, 2, p4)), s"typical doc: ${out(1L)}")
+    // novel doc: every level (1 - D)/1 + D * p with T = C = 1
+    val q2 = kn(1, 1, 1, 1.0 / 3)
+    val q5 = kn(1, 1, 1, kn(1, 1, 1, kn(1, 1, 1, q2)))
+    assert(out(31L) == snapLn(q5), s"novel doc: ${out(31L)}")
+    // THE LADDER RUNG'S REASON TO EXIST: absolute discounting caps the
+    // novel doc's own-singleton trust at (1-D), and the continuation
+    // unigram scores its tail token by context diversity — the
+    // fixed-lambda inversion (interp test above) flips
+    assert(out(1L) > out(31L),
+      s"KN must score corpus-typical text above the all-novel doc: ${out(1L)} vs ${out(31L)}")
+    // short docs open no 5-gram and are absent
+    val short = TextAnalysis.knLogProbDf(
+      docsDf(1L -> "only four tokens here", 2L -> "this one has five tokens")).collect()
+    assert(short.map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("top collocations: planted pair wins by PMI, minCount suppresses noise") {
     // "new york" always adjacent; fillers form a high-frequency soup so
     // their pairwise PMI is low; the rare pair below minCount never shows
