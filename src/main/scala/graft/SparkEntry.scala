@@ -161,7 +161,8 @@ object SparkEntry {
     "q_fivegram_logprob"  -> ((s: SparkSession, d: String) => TextAnalysis.fivegramLogProb(s, d)),
     "q_interp_logprob"    -> ((s: SparkSession, d: String) => TextAnalysis.interpLogProb(s, d)),
     "q_wb_logprob"        -> ((s: SparkSession, d: String) => TextAnalysis.wbLogProb(s, d)),
-    "q_kn_logprob"        -> ((s: SparkSession, d: String) => TextAnalysis.knLogProb(s, d))
+    "q_kn_logprob"        -> ((s: SparkSession, d: String) => TextAnalysis.knLogProb(s, d)),
+    "q_winnow_span_dedup" -> ((s: SparkSession, d: String) => Cleaning.winnowSpanDedupStats(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -185,6 +186,24 @@ object SparkEntry {
       "SUM(c5) OVER (PARTITION BY w4) AS ctx1, " +
       "SUM(c5) OVER (PARTITION BY w5) AS c1s FROM c5), " +
       "n AS (SELECT SUM(c5) AS n FROM c5), "
+  // Exact span-dedup oracle (string-keyed ROW_NUMBER election over all
+  // spans) — shared verbatim by q_span_dedup and q_winnow_span_dedup
+  // (see the latter's registration note for why sharing is the point)
+  private lazy val spanDedupOracleSql =
+    s"WITH docs AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
+      "sp AS (SELECT doc_id, unnest(generate_series(1, greatest(len(t)-4, 0))) AS pos, t FROM docs), " +
+      "g AS (SELECT doc_id, pos, array_to_string(t[pos:pos+4], ' ') AS gram FROM sp), " +
+      "w AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g), " +
+      "a AS (SELECT doc_id, COUNT(*) AS n_spans, " +
+      "SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_removed FROM w GROUP BY doc_id), " +
+      "sel AS (SELECT d.doc_id, CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans, " +
+      "CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed " +
+      "FROM docs d LEFT JOIN a USING (doc_id)) " +
+      "SELECT doc_id, n_spans, n_removed, " +
+      "CASE WHEN n_spans > 0 THEN round(n_removed / CAST(n_spans AS DOUBLE), 6) ELSE 0.0 END AS dup_frac, " +
+      "CASE WHEN n_spans > 0 THEN round(n_removed / CAST(n_spans AS DOUBLE), 6) ELSE 0.0 END <= 0.2 AS keep " +
+      "FROM sel ORDER BY doc_id"
+
   // Smoothed-LM oracle generator (Witten-Bell / Kneser-Ney): the
   // per-level suffix-slice chain over the 5-gram type table — raw
   // occurrence totals (SUM) or left-extension type counts (COUNT) —
@@ -802,20 +821,15 @@ object SparkEntry {
     // per gram ordered by (doc_id, pos)); the engine groups the same
     // spans by xxhash64 — identical groups short of a 2^-64 collision
     // (the decontamination hashing caveat)
-    "q_span_dedup" ->
-      (s"WITH docs AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
-        "sp AS (SELECT doc_id, unnest(generate_series(1, greatest(len(t)-4, 0))) AS pos, t FROM docs), " +
-        "g AS (SELECT doc_id, pos, array_to_string(t[pos:pos+4], ' ') AS gram FROM sp), " +
-        "w AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g), " +
-        "a AS (SELECT doc_id, COUNT(*) AS n_spans, " +
-        "SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_removed FROM w GROUP BY doc_id), " +
-        "sel AS (SELECT d.doc_id, CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans, " +
-        "CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed " +
-        "FROM docs d LEFT JOIN a USING (doc_id)) " +
-        "SELECT doc_id, n_spans, n_removed, " +
-        "CASE WHEN n_spans > 0 THEN round(n_removed / CAST(n_spans AS DOUBLE), 6) ELSE 0.0 END AS dup_frac, " +
-        "CASE WHEN n_spans > 0 THEN round(n_removed / CAST(n_spans AS DOUBLE), 6) ELSE 0.0 END <= 0.2 AS keep " +
-        "FROM sel ORDER BY doc_id"),
+    "q_span_dedup" -> spanDedupOracleSql,
+    // q_winnow_span_dedup is deliberately NOT here: its verdicts equal
+    // the exact operator's only where duplicated passages reach the
+    // w + n - 1 winnowing guarantee, and the sf0.01 documents table
+    // contains 7 docs whose only duplication is shorter (measured r10 —
+    // sharing spanDedupOracleSql fails on exactly those rows). Parity
+    // is asserted where it is PROVABLE: planted-fixture equality with
+    // spanDedupStatsDf in CleaningSpec, plus a pinned sub-guarantee
+    // miss so the relaxation stays visible.
     // perplexity buckets: NTILE(3) per source over the micro-nat-snapped
     // unigram score (CTE = the q_unigram_logprob oracle verbatim); the
     // doc_id tiebreak makes the split order engine-exact

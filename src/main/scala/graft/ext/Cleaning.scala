@@ -462,28 +462,32 @@ object Cleaning {
   }
 
   /** DataFrame form (docs must have doc_id + text). */
-  def spanDedupStatsDf(docs: DataFrame, n: Int = 5,
-                       maxDupFrac: Double = 0.2): DataFrame = {
-    // tokens are MATERIALIZED as an attribute before the span lambda —
-    // a lambda body referencing the split expression itself re-runs
-    // the tokenizer per element (the Dedup.shinglesOfTokens trap)
-    val toksed = Tables.fanOut(docs).filter(col("text").isNotNull)
+  /** Tokenized docs with the packing bounds ENFORCED (not just the
+    * documented contract): a doc opening >= 2^20 spans, or a doc_id
+    * outside [0, 2^43), would silently alias into a neighboring
+    * document's packed key space and corrupt keeper selection — wrong
+    * answers with no error. Cheap per-row predicate in the scan stage;
+    * raise_error is codegen'd. Tokens are MATERIALIZED as an attribute
+    * before any span lambda (the Dedup.shinglesOfTokens trap). Shared
+    * by [[spanDedupStatsDf]] and [[winnowSpanDedupStatsDf]].
+    */
+  private def packGuardedTokens(docs: DataFrame, n: Int): DataFrame =
+    Tables.fanOut(docs).filter(col("text").isNotNull)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
-      // ENFORCED packing bounds (not just the documented contract below):
-      // a doc opening >= 2^20 spans, or a doc_id outside [0, 2^43), would
-      // silently alias into a neighboring document's packed key space and
-      // corrupt keeper selection — wrong answers with no error. Cheap
-      // per-row predicate in the scan stage; raise_error is codegen'd.
       .withColumn("t",
         when(col("doc_id") < 0 || col("doc_id") >= lit(1L << 43) ||
           (size(col("t")) - (n - 1)).cast("long") >= lit(1L << 20),
           raise_error(concat(
-            lit(s"spanDedupStats packing overflow: doc_id must be in [0, 2^43) " +
+            lit(s"span dedup packing overflow: doc_id must be in [0, 2^43) " +
               s"and a document must open < 2^20 spans (n=$n); got doc_id="),
             col("doc_id").cast("string"), lit(" with "),
             greatest(size(col("t")) - (n - 1), lit(0)).cast("string"),
             lit(" spans. Densify ids / pre-split pathological docs upstream."))))
           .otherwise(col("t")))
+
+  def spanDedupStatsDf(docs: DataFrame, n: Int = 5,
+                       maxDupFrac: Double = 0.2): DataFrame = {
+    val toksed = packGuardedTokens(docs, n)
     val t = col("t")
     val spanHashes = spanHashesOf(t, n)
     // (doc_id, pos) packed into one BIGINT BELOW the exchange: the span
@@ -507,16 +511,162 @@ object Cleaning {
     val perDoc = marked.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"), sum(col("removed")).as("n_removed"))
     // LEFT JOIN back so docs too short to open a span still report
-    docs.filter(col("text").isNotNull).select(col("doc_id"))
+    val full = docs.filter(col("text").isNotNull).select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+    spanVerdict(full, maxDupFrac)
+  }
+
+  /** Shared verdict tail: dup fraction + keep flag over a
+    * (doc_id, n_spans, n_removed) frame, presentation-sorted.
+    */
+  private def spanVerdict(perDoc: DataFrame, maxDupFrac: Double): DataFrame =
+    perDoc
       .withColumn("dup_frac",
         when(col("n_spans") > 0,
           round(col("n_removed").cast("double") / col("n_spans"), 6))
           .otherwise(lit(0.0)))
       .withColumn("keep", col("dup_frac") <= maxDupFrac)
       .orderBy(col("doc_id"))
+
+  /** WINNOW-ACCELERATED span dedup: [[winnowSelect]] fingerprints as
+    * the CANDIDATE GENERATOR in front of the exact keeper election of
+    * [[spanDedupStatsDf]]. Three stages:
+    *
+    *  1. narrow pass — per doc, the span count and the winnowed
+    *     fingerprint selection (density ~2/(w+1));
+    *  2. candidate election — a fingerprint hash seen at more than one
+    *     position marks every document holding it (the ONLY
+    *     corpus-sized exchange, at ~2/(w+1) of the span stream — the
+    *     1/w cut on the library's highest bytes-per-input-byte
+    *     shuffle);
+    *  3. exact election — the full [[spanDedupStatsDf]] window, but
+    *     only over CANDIDATE documents' spans; non-candidates report
+    *     n_removed = 0 from the narrow pass.
+    *
+    * CONTRACT (the winnowing guarantee, Schleimer et al. 2003 §4): any
+    * duplicated passage spanning >= w + n − 1 tokens shares a selected
+    * fingerprint at every occurrence, so every document involved in
+    * one is a candidate and stage 3 reproduces the exact operator's
+    * verdict for it — on corpora whose duplication is passage-level
+    * (boilerplate, licence blocks, quoted text), output EQUALS
+    * [[spanDedupStatsDf]] row for row (CleaningSpec asserts this on
+    * planted fixtures). Duplicated spans shorter than w + n − 1 tokens
+    * whose documents share nothing longer can escape candidacy — the
+    * sf0.01 documents table has 7 such docs (measured r10), which is
+    * why this query is rows-only rather than sharing the exact
+    * operator's oracle — and the exact operator is the auditor for
+    * that regime (the spec pins one such miss so the relaxation stays
+    * visible).
+    */
+  def winnowSpanDedupStats(spark: SparkSession, d: String, n: Int = 5,
+                           w: Int = 4, maxDupFrac: Double = 0.2): DataFrame =
+    winnowSpanDedupStatsDf(Tables.documents(spark, d), n, w, maxDupFrac)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def winnowSpanDedupStatsDf(docs: DataFrame, n: Int = 5, w: Int = 4,
+                             maxDupFrac: Double = 0.2): DataFrame = {
+    val toksed = packGuardedTokens(docs, n)
+    val withFp = toksed
+      .select(col("doc_id"), winnowUdf(w)(spanHashesOf(col("t"), n)).as("fp"))
+      .select(col("doc_id"), col("fp._1").as("n_spans"), col("fp._2").as("fps"))
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val candidates = withFp
+      .select(col("doc_id"), explode(col("fps")).as("h"))
+      .withColumn("cnt", count(lit(1)).over(wh))
+      .filter(col("cnt") > 1)
+      .select(col("doc_id")).distinct()
+    // exact election, candidate docs only — the spanDedupStatsDf window
+    // on the same 16-byte packed keys (packing bounds already enforced)
+    val spans = toksed.join(candidates, Seq("doc_id"))
+      .select(col("doc_id"), posexplode(spanHashesOf(col("t"), n)).as(Seq("pos0", "h")))
+      .select((shiftleft(col("doc_id"), 20) + col("pos0") + 1).as("pk"), col("h"))
+    val removedPerDoc = spans
+      .withColumn("cnt", count(lit(1)).over(wh))
+      .withColumn("keeper", min(col("pk")).over(wh))
+      .select(shiftright(col("pk"), 20).as("doc_id"),
+        (col("cnt") > 1 && col("pk") =!= col("keeper")).cast("long").as("removed"))
+      .groupBy(col("doc_id")).agg(sum(col("removed")).as("n_removed"))
+    val full = withFp.select(col("doc_id"), col("n_spans"))
+      .join(removedPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+    spanVerdict(full, maxDupFrac)
+  }
+
+  /** DISTINCT winnowed fingerprint hashes of a static base corpus —
+    * the candidate-probe set the streaming form of winnow-accelerated
+    * span dedup checks arrivals against (~2/(w+1) the size of
+    * [[keeperSpanHashes]]).
+    */
+  def winnowKeeperFingerprints(docs: DataFrame, n: Int = 5, w: Int = 4): DataFrame =
+    Tables.fanOut(docs).filter(col("text").isNotNull)
+      .select(TextAnalysis.tokens(col("text")).as("t"))
+      .select(explode(winnowUdf(w)(spanHashesOf(col("t"), n))
+        .getField("_2")).as("h"))
+      .distinct()
+
+  /** Winnow-accelerated span-dedup stats AGAINST a static base: an
+    * arrival is a CANDIDATE iff any of its winnowed fingerprints is
+    * already owned by the base ([[winnowKeeperFingerprints]]); only
+    * candidates' full span streams probe the base keeper-span set
+    * ([[keeperSpanHashes]]), non-candidates report n_removed = 0 from
+    * the narrow pass. Same schema and keeper rule as
+    * [[spanDedupStatsAgainst]] (base owns all its spans; no
+    * within-batch election), with the [[winnowSpanDedupStatsDf]]
+    * contract: equality whenever shared passages span >= w + n − 1
+    * tokens (asserted in StreamingSpec).
+    */
+  def winnowSpanDedupStatsAgainst(docs: DataFrame, baseFps: DataFrame,
+                                  keeperSpans: DataFrame, n: Int = 5,
+                                  w: Int = 4, maxDupFrac: Double = 0.2): DataFrame = {
+    val withFp = Tables.fanOut(docs).filter(col("text").isNotNull)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), winnowUdf(w)(spanHashesOf(col("t"), n)).as("fp"))
+      .select(col("doc_id"), col("t"),
+        col("fp._1").as("n_spans"), col("fp._2").as("fps"))
+    val candidates = withFp.select(col("doc_id"), explode(col("fps")).as("h"))
+      .join(baseFps.select(col("h")), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val removedPerDoc = withFp.join(candidates, Seq("doc_id"))
+      .select(col("doc_id"), explode(spanHashesOf(col("t"), n)).as("h"))
+      .join(keeperSpans.select(col("h")).distinct().withColumn("dup", lit(1L)),
+        Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("dup"), lit(0L))).as("n_removed"))
+    val full = withFp.select(col("doc_id"), col("n_spans"))
+      .join(removedPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+    spanVerdict(full, maxDupFrac)
+  }
+
+  /** Streaming winnow-accelerated span dedup (foreachBatch stage): the
+    * base corpus's fingerprint and keeper-span sets are FROZEN once
+    * before the stream starts; each micro-batch runs
+    * [[winnowSpanDedupStatsAgainst]] and appends its per-doc stats
+    * tagged with the batch id — the [[spanDedupSink]] sink contract
+    * with the candidate prefilter in front.
+    */
+  def winnowSpanDedupSink(docStream: DataFrame, baseDocs: DataFrame,
+                          outPath: String, checkpoint: String, n: Int = 5,
+                          w: Int = 4, maxDupFrac: Double = 0.2,
+                          triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fps = Freeze(winnowKeeperFingerprints(baseDocs, n, w))
+    val spans = Freeze(keeperSpanHashes(baseDocs, n))
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          winnowSpanDedupStatsAgainst(batch, fps, spans, n, w, maxDupFrac)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
   }
 }

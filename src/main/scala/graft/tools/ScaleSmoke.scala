@@ -31,7 +31,8 @@ object ScaleSmoke {
     "q_decontamination", "q_semantic_dedup",
     "q_bloom_decontamination", "q_bloom_semi_join",
     "q_stratified_sample", "q_unigram_logprob",
-    "q_gopher_filters", "q_span_dedup", "q_kmeans", "q_perplexity_buckets",
+    "q_gopher_filters", "q_span_dedup", "q_winnow_span_dedup",
+    "q_kmeans", "q_perplexity_buckets",
     "q_source_overlap", "q_zipf_slope", "q_cluster_prune", "q_curation_funnel",
     "q_quality_auc", "q_corpus_diff", "q_bigram_logprob", "q_top_collocations",
     "q_token_entropy",

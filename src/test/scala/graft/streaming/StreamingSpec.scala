@@ -288,6 +288,50 @@ class StreamingSpec extends SparkTestBase {
     assert(byDoc(3L) == ((0L, 0L, true)), "short doc reports zero spans, keeps")
   }
 
+  test("streaming winnow-accelerated span dedup: candidate prefilter keeps batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    // base passage spans >= w + n - 1 = 8 tokens, so an arrival copying
+    // it MUST be flagged a candidate by its winnowed fingerprints and
+    // then exact-checked — per-doc output equals spanDedupStatsAgainst
+    val passage = (1 to 10).map(i => s"base$i").mkString(" ")
+    val base = Seq(100L -> s"$passage closing words here").toDF("doc_id", "text")
+    val keepers = graft.ext.Cleaning.keeperSpanHashes(base)
+    val baseFps = graft.ext.Cleaning.winnowKeeperFingerprints(base)
+    val arrivals = Seq(
+      1L -> s"$passage tail1 tail2 tail3",                        // copies the passage
+      2L -> "totally fresh content with no shared passages at all", // non-candidate
+      3L -> "too short")
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("wspan_out").toString
+    val ckpt = Files.createTempDirectory("wspan_ckpt").toString
+    val query = graft.ext.Cleaning.winnowSpanDedupSink(
+      input.toDF().toDF("doc_id", "text"), base, out, ckpt,
+      triggerMs = 50L).start()
+    try {
+      input.addData(arrivals(0), arrivals(1))
+      query.processAllAvailable()
+      input.addData(arrivals(2))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val batchWin = graft.ext.Cleaning
+      .winnowSpanDedupStatsAgainst(arrivals.toDF("doc_id", "text"), baseFps, keepers)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batchWin, s"streamed $streamed != batch $batchWin")
+    // and the winnow-accelerated batch equals the exact Against form on
+    // this guarantee-length fixture (the planted-passage contract)
+    val batchExact = graft.ext.Cleaning
+      .spanDedupStatsAgainst(arrivals.toDF("doc_id", "text"), keepers)
+      .collect().map(_.toSeq).toSet
+    assert(batchWin == batchExact, s"winnow $batchWin != exact $batchExact")
+    val byDoc = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(byDoc(1L)._2 == 6L, s"all six passage spans owned by the base: $byDoc")
+    assert(byDoc(2L)._2 == 0L && byDoc(2L)._3, "non-candidate doc keeps with zero removed")
+    assert(byDoc(3L) == ((0L, 0L, true)), "short doc reports zero spans, keeps")
+  }
+
   test("streaming backoff LM scoring: per-batch scores vs frozen table match batch mode") {
     implicit val sqlCtx = spark.sqlContext
     // base corpus: 11 trigrams total (the backoff separation fixture)
