@@ -357,6 +357,12 @@ object Similarity {
     * broadcast variable, same payload). approx_cos = ADC dot /
     * (|q| · rec_norm); ranking and k-bounding mirror the exact path.
     *
+    * Codes are RESIDUAL-encoded by default (r10; see [[ivfPqTopKDf]]):
+    * the codebooks quantize v − centroid(cell), so their dynamic range
+    * covers the within-cell spread instead of the whole space — the
+    * FAISS IVFPQ default and the reason IVF-PQ beats flat PQ on
+    * clustered data.
+    *
     * Rows-only entry (the codebooks are engine-local models, like the
     * LSH planes / IVF centroids); recall-vs-exact floor, per-pair
     * score distortion, and determinism are asserted in
@@ -365,18 +371,151 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, d: String,
                 nQueries: Int = 8, k: Int = 5,
                 nlist: Int = 16, nprobe: Int = 4,
-                m: Int = 16, kSub: Int = 256): DataFrame = {
+                m: Int = 16, kSub: Int = 256,
+                residual: Boolean = true): DataFrame =
+    ivfPqTopKDf(Tables.embeddings(spark, d), nQueries, k, nlist, nprobe,
+      m, kSub, residual)
+
+  /** Squared-L2 argmin cell of one vector (the [[ivfCellUdf]] kernel,
+    * driver-side form for training/probe construction).
+    */
+  private def nearestCell(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ctr = cents(c)
+      var d = 0.0
+      var i = 0
+      val n = math.min(ctr.length, v.length)
+      while (i < n) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Training-sample residuals v − centroid(cell(v)) — what the PQ
+    * codebooks quantize under residual encoding.
+    */
+  private def residualsOf(sample: Array[Array[Double]],
+                          cents: Array[Array[Double]]): Array[Array[Double]] =
+    sample.map { v =>
+      val ctr = cents(nearestCell(v, cents))
+      Array.tabulate(v.length)(i => v(i) - (if (i < ctr.length) ctr(i) else 0.0))
+    }
+
+  /** RESIDUAL PQ encoder (the FAISS IVFPQ default): assign the cell,
+    * quantize the residual v − centroid(cell) with residual-trained
+    * codebooks, and return (cell, m-byte code, |centroid + r̂|). The
+    * reconstruction norm is exact for the reconstruction actually
+    * scored: |c + r̂|² = |c|² + 2·Σ_s c_s·r̂_s + Σ_s |r̂_s|², all three
+    * terms table lookups precomputed per (cell, subspace, code) —
+    * nlist · m · kSub doubles (~512 KiB at the defaults), closure-
+    * shipped like the ADC tables. One argmin pass + one encode pass
+    * per vector, still a narrow map over the scan.
+    */
+  private[ext] def pqEncodeResidualUdf(cents: Array[Array[Double]],
+                                       cbs: Array[Array[Array[Double]]]) = {
+    val m = cbs.length
+    val rNorm2: Array[Array[Double]] = cbs.map(_.map { e =>
+      var s = 0.0; var i = 0
+      while (i < e.length) { s += e(i) * e(i); i += 1 }
+      s
+    })
+    val cNorm2: Array[Double] = cents.map { ctr =>
+      var s = 0.0; var i = 0
+      while (i < ctr.length) { s += ctr(i) * ctr(i); i += 1 }
+      s
+    }
+    // cDotR(cell)(s)(code) = dot(centroid slice s, residual entry)
+    val cDotR: Array[Array[Array[Double]]] = Array.tabulate(cents.length) { cell =>
+      val ctr = cents(cell)
+      Array.tabulate(m) { s =>
+        val cb = cbs(s)
+        val sub = cb(0).length
+        val off = s * sub
+        Array.tabulate(cb.length) { c =>
+          var dp = 0.0
+          var i = 0
+          while (i < sub) {
+            if (off + i < ctr.length) dp += ctr(off + i) * cb(c)(i)
+            i += 1
+          }
+          dp
+        }
+      }
+    }
+    udf { vs: scala.collection.Seq[Float] =>
+      val v = toDoubles(vs)
+      val cell = nearestCell(v, cents)
+      val ctr = cents(cell)
+      val codes = new Array[Byte](m)
+      var rn2 = cNorm2(cell)
+      var s = 0
+      var off = 0
+      while (s < m) {
+        val cb = cbs(s)
+        val sub = cb(0).length
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          val e = cb(c)
+          var dd = 0.0
+          var i = 0
+          while (i < sub) {
+            val vi = if (off + i < v.length) v(off + i) else 0.0
+            val ci = if (off + i < ctr.length) ctr(off + i) else 0.0
+            val x = (vi - ci) - e(i)
+            dd += x * x
+            i += 1
+          }
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        codes(s) = best.toByte
+        rn2 += 2.0 * cDotR(cell)(s)(best) + rNorm2(s)(best)
+        off += sub
+        s += 1
+      }
+      (cell, codes, math.sqrt(math.max(rn2, 0.0)))
+    }
+  }
+
+  /** DataFrame form (emb must have vec_id + embedding). `residual`
+    * selects residual encoding (default; strictly better codes on
+    * clustered data — the quantizer only has to cover the within-cell
+    * spread, not the whole space; DedupSimilaritySpec asserts the
+    * recall improvement on a clustered fixture) or plain whole-vector
+    * PQ (the r9 form, kept for the comparison and for flat corpora).
+    * Under residual encoding the ADC score adds the per-(query, cell)
+    * centroid dot — q·v̂ = q·c + Σ_s q_s·r̂_s — an nQueries × nlist
+    * driver table beside the ADC tables.
+    */
+  def ivfPqTopKDf(embRaw: DataFrame,
+                  nQueries: Int = 8, k: Int = 5,
+                  nlist: Int = 16, nprobe: Int = 4,
+                  m: Int = 16, kSub: Int = 256,
+                  residual: Boolean = true): DataFrame = {
+    val spark = embRaw.sparkSession
     import spark.implicits._
-    val embRaw = Tables.embeddings(spark, d)
     val sample = collectTrainSample(embRaw)
     val cents = trainIvfCentroidsFrom(sample, nlist)
-    val cbs = trainPqCodebooksFrom(sample, m, kSub)
-    val enc = pqEncodeUdf(cbs)
-    val corpus = embRaw.filter(col("embedding").isNotNull)
-      .select(col("vec_id"), ivfCellUdf(cents)(col("embedding")).as("cell"),
-        enc(col("embedding")).as("pq"))
-      .select(col("vec_id"), col("cell"),
-        col("pq._1").as("code"), col("pq._2").as("rec_norm"))
+    val cbs = trainPqCodebooksFrom(
+      if (residual) residualsOf(sample, cents) else sample, m, kSub)
+    val corpus =
+      if (residual)
+        embRaw.filter(col("embedding").isNotNull)
+          .select(col("vec_id"), pqEncodeResidualUdf(cents, cbs)(col("embedding")).as("pq"))
+          .select(col("vec_id"), col("pq._1").as("cell"),
+            col("pq._2").as("code"), col("pq._3").as("rec_norm"))
+      else
+        embRaw.filter(col("embedding").isNotNull)
+          .select(col("vec_id"), ivfCellUdf(cents)(col("embedding")).as("cell"),
+            pqEncodeUdf(cbs)(col("embedding")).as("pq"))
+          .select(col("vec_id"), col("cell"),
+            col("pq._1").as("code"), col("pq._2").as("rec_norm"))
     val qRows = embRaw.filter(col("embedding").isNotNull && col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding")).orderBy(col("vec_id")).collect()
     val qVecs: Array[(Long, Array[Double])] = qRows.map(r =>
@@ -397,6 +536,16 @@ object Similarity {
         }
       }
     }.toMap
+    // per-(query, cell) centroid dot — the residual ADC's first term
+    val qCent: Map[Long, Array[Double]] = qVecs.map { case (qid, q) =>
+      qid -> cents.map { ctr =>
+        var dp = 0.0
+        var i = 0
+        val n2 = math.min(ctr.length, q.length)
+        while (i < n2) { dp += q(i) * ctr(i); i += 1 }
+        dp
+      }
+    }.toMap
     val qNorm: Map[Long, Double] = qVecs.map { case (qid, q) =>
       var s2 = 0.0; var i = 0
       while (i < q.length) { s2 += q(i) * q(i); i += 1 }
@@ -414,9 +563,10 @@ object Similarity {
         (dd, c)
       }.sorted.take(nprobe).map(p => (qid, p._2))
     }.toSeq.toDF("query_id", "probe_cell")
-    val adcScore = udf { (qid: Long, code: Array[Byte]) =>
+    val useResidual = residual // capture a local, not the method param twice
+    val adcScore = udf { (qid: Long, cell: Int, code: Array[Byte]) =>
       val t = adc(qid)
-      var s = 0.0
+      var s = if (useResidual) qCent(qid)(cell) else 0.0
       var i = 0
       while (i < code.length) { s += t(i)(code(i) & 0xFF); i += 1 }
       s
@@ -430,7 +580,7 @@ object Similarity {
         // all-zero query vector) scores 0, not a divide-by-zero (ANSI
         // throws on /0; non-ANSI would yield a silent null)
         when(col("rec_norm") > 0 && col("q_norm") > 0,
-          round(adcScore(col("query_id"), col("code")) /
+          round(adcScore(col("query_id"), col("cell"), col("code")) /
             (col("q_norm") * col("rec_norm")), 6))
           .otherwise(lit(0.0)).as("cos_sim_pq"))
     val w = Window.partitionBy(col("query_id"))

@@ -198,6 +198,79 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(again == pairs)
   }
 
+  test("IVF-PQ residual encoding: strictly better codes than plain PQ on clustered data") {
+    import spark.implicits._
+    // 8 well-separated clusters, 25 vectors each, queries one per
+    // cluster (ids 0..7 = id % 8). Quantization is made COARSE (m=4,
+    // kSub=8) so the code budget cannot cover the whole space: plain
+    // PQ must spend its 16 codes per subspace spanning all clusters,
+    // residual PQ only the within-cell noise — the FAISS argument, as
+    // a measurable fixture
+    val r = new scala.util.Random(7)
+    val dim = 64
+    val centers = Array.fill(8)(Array.fill(dim)(r.nextGaussian() * 5.0))
+    // per cluster: the query (tight at its center), 5 planted TWINS
+    // (query + small noise — the true top-5), 19 distant fillers
+    // (center + large noise). Telling twins from fillers needs code
+    // resolution at the noise scale, not the cluster-spread scale.
+    val queries: IndexedSeq[(Long, Array[Float])] = (0 until 8).map { q =>
+      q.toLong -> Array.tabulate(dim)(i => (centers(q)(i) + r.nextGaussian() * 0.8).toFloat)
+    }
+    val vecs: IndexedSeq[(Long, Array[Float])] = queries ++
+      (0 until 8).flatMap { q =>
+        val qv = queries(q)._2
+        // twins get the HIGHEST ids in the cluster: a degenerate encoder
+        // that collapses in-cluster scores would fall to the neighbor_id
+        // tie-break and pick fillers — recall then honestly collapses
+        // instead of being rescued by id order
+        val twins = (19 until 24).map { j =>
+          (8L + q * 24 + j) -> Array.tabulate(dim)(i => (qv(i) + r.nextGaussian() * 0.45).toFloat)
+        }
+        val fillers = (0 until 19).map { j =>
+          (8L + q * 24 + j) -> Array.tabulate(dim)(i => (centers(q)(i) + r.nextGaussian() * 1.2).toFloat)
+        }
+        twins ++ fillers
+      }
+    val emb = vecs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    // exact ground truth (round-6 cosine, neighbor-id tiebreak, top 5)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) {
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      math.rint(dp / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val byId = vecs.toMap
+    val exact: Map[(Long, Long), Double] = (for {
+      q <- 0L until 8L
+      (nid, nv) <- vecs if nid != q
+    } yield (q, nid) -> cos(byId(q), nv)).toMap
+    val brute: Set[(Long, Long)] = (0L until 8L).flatMap { q =>
+      exact.iterator.filter(_._1._1 == q).toSeq
+        .sortBy { case ((_, nid), s) => (-s, nid) }.take(5).map(_._1)
+    }.toSet
+    def run(residual: Boolean) = {
+      val rows = Similarity.ivfPqTopKDf(emb, nlist = 8, nprobe = 2,
+        m = 4, kSub = 8, residual = residual).collect()
+      val pairs = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+      val dist = rows.iterator
+        .map(r => math.abs(r.getDouble(3) - exact((r.getLong(0), r.getLong(2)))))
+        .toSeq
+      (brute.intersect(pairs).size.toDouble / brute.size,
+        dist.sum / dist.size)
+    }
+    val (recallR, distR) = run(residual = true)
+    val (recallP, distP) = run(residual = false)
+    info(f"recall residual=$recallR%.3f plain=$recallP%.3f; " +
+      f"mean |pq-exact| residual=$distR%.4f plain=$distP%.4f")
+    assert(recallR > recallP,
+      s"residual recall must strictly beat plain here: $recallR vs $recallP")
+    assert(recallR >= 0.6, s"residual recall floor: $recallR")
+    assert(distR < distP,
+      s"residual ADC must track exact cosine strictly closer: $distR vs $distP")
+  }
+
   test("PQ codebooks/encoder: exact reconstruction when a subspace has few distinct values") {
     import spark.implicits._
     // 8-dim vectors over a tiny value set: with kSub >= distinct
