@@ -1087,19 +1087,33 @@ object TextAnalysis {
     rocPointsDf(Tables.documents(spark, d))
 
   /** DataFrame form (docs must have lang + text). */
-  def rocPointsDf(docs: DataFrame): DataFrame = {
-    val hist = Tables.fanOut(docs)
+  def rocPointsDf(docs: DataFrame): DataFrame =
+    rocOfHist(scoreHistogram(docs), docs.sparkSession)
+
+  /** The 6-dp quality-score HISTOGRAM (score, n_s, npos_s) against the
+    * lang == 'en' label — the sufficient statistic for the whole
+    * classifier-audit family (AUC ranks over it, ROC thresholds it,
+    * calibration re-bins it), <= 1e6+1 rows by the snap regardless of
+    * corpus size. This is the one corpus-sized aggregation; everything
+    * downstream touches histogram rows, never documents.
+    */
+  def scoreHistogram(docs: DataFrame): DataFrame =
+    Tables.fanOut(docs)
       .filter(length(col("text")) > 0)
       .select(qualityScoreCol.as("score"),
         when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
       .groupBy(col("score"))
       .agg(count(lit(1)).as("n_s"), sum(col("pos")).as("npos_s"))
-    // threshold 0.0 accepts every score, so ITS row is the global
-    // totals — deriving n_all/n_pos from the 10-row aggregate instead
-    // of a second hist.agg branch halves the corpus work (the totals
-    // branch would re-scan and re-score; AQE exchange reuse across the
-    // branches is not guaranteed — measured 2× in the 10× smoke)
-    val thresholds = docs.sparkSession.range(0, 10)
+
+  /** ROC operating points from a score histogram. Threshold 0.0
+    * accepts every score, so ITS row is the global totals — deriving
+    * n_all/n_pos from the 10-row aggregate instead of a second
+    * hist.agg branch halves the corpus work (the totals branch would
+    * re-scan and re-score; AQE exchange reuse across the branches is
+    * not guaranteed — measured 2× in the 10× smoke).
+    */
+  private def rocOfHist(hist: DataFrame, spark: SparkSession): DataFrame = {
+    val thresholds = spark.range(0, 10)
       .select(col("id").cast("int").as("k"),
         (col("id").cast("double") / 10.0).as("threshold"))
     val perThreshold = thresholds
@@ -1125,6 +1139,98 @@ object TextAnalysis {
           round(col("tp").cast("double") / col("n_pred"), 6))
           .otherwise(lit(0.0)).as("precision"))
       .orderBy(col("threshold"))
+  }
+
+  /** Calibration bins from a score histogram — exactly
+    * [[qualityCalibrationDf]]'s table (per-doc micro-nat sums equal
+    * n_s-weighted per-score sums, integer math throughout; equality is
+    * asserted in StreamingSpec), computed without touching documents.
+    * The batch operator keeps its direct one-shuffle plan; this form
+    * exists for the streaming sinks, which already hold the histogram.
+    */
+  private def calibrationOfHist(hist: DataFrame, bins: Int): DataFrame =
+    hist
+      .select(
+        least(floor(col("score") * bins), lit((bins - 1).toDouble))
+          .cast("int").as("bin"),
+        col("n_s"), col("npos_s"),
+        (floor(col("score") * 1e6 + 0.5).cast("long") * col("n_s")).as("sm_s"))
+      .groupBy(col("bin"))
+      .agg(sum(col("n_s")).as("n_docs"), sum(col("npos_s")).as("n_pos"),
+        sum(col("sm_s")).as("sm"))
+      .select(col("bin"),
+        round(col("bin").cast("double") / bins, 6).as("bin_lo"),
+        col("n_docs"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_docs"), 6).as("pos_rate"),
+        (floor(col("sm").cast("double") / col("n_docs") + 0.5) / 1e6)
+          .as("mean_score"))
+      .withColumn("calib_gap",
+        round(abs(col("pos_rate") - col("mean_score")), 6))
+      .orderBy(col("bin"))
+
+  /** Streaming RELIABILITY monitor (foreachBatch stage): the base
+    * corpus's score histogram is FROZEN once; each micro-batch emits
+    * its own calibration bins side by side with the base's positive
+    * rate and a |batch − base| drift column, tagged with the batch id.
+    * A drifting bin is the alarm that the classifier's score stopped
+    * meaning what it meant on the base corpus — the
+    * [[graft.ext.Clustering.assignmentSink]] drift contract for the
+    * classifier-audit family. The count columns (n_docs, n_pos, sm is
+    * folded into mean_score) aggregate EXACTLY across batches:
+    * summing per-batch bins reproduces the batch-mode table on the
+    * union (asserted in StreamingSpec).
+    */
+  def calibrationSink(docStream: DataFrame, baseDocs: DataFrame,
+                      outPath: String, checkpoint: String, bins: Int = 10,
+                      triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val baseCalib = Freeze(calibrationOfHist(scoreHistogram(baseDocs), bins)
+      .select(col("bin"), col("pos_rate").as("base_pos_rate")))
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          calibrationOfHist(scoreHistogram(batch), bins)
+            .join(baseCalib, Seq("bin"), "left")
+            .withColumn("drift",
+              round(abs(col("pos_rate") - col("base_pos_rate")), 6))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+  }
+
+  /** Streaming ROC monitor (foreachBatch stage): per micro-batch, the
+    * nine-threshold operating points of the batch beside the FROZEN
+    * base corpus's tpr/fpr at the same thresholds, with drift columns —
+    * the cutoff chosen on the base corpus stops being valid exactly
+    * when these drift. n_pred/tp/fp aggregate exactly across batches
+    * (asserted in StreamingSpec).
+    */
+  def rocSink(docStream: DataFrame, baseDocs: DataFrame,
+              outPath: String, checkpoint: String,
+              triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = baseDocs.sparkSession
+    val baseRoc = Freeze(rocOfHist(scoreHistogram(baseDocs), spark)
+      .select(col("threshold"), col("tpr").as("base_tpr"),
+        col("fpr").as("base_fpr")))
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          rocOfHist(scoreHistogram(batch), spark)
+            .join(baseRoc, Seq("threshold"))
+            .withColumn("tpr_drift", round(abs(col("tpr") - col("base_tpr")), 6))
+            .withColumn("fpr_drift", round(abs(col("fpr") - col("base_fpr")), 6))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
   }
 
   /** Per-source bigram ENTROPY RATE: H(W₂|W₁) = −Σ p(w1,w2)·ln p(w2|w1)

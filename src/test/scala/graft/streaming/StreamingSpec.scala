@@ -372,6 +372,89 @@ class StreamingSpec extends SparkTestBase {
     assert(!byDoc.contains(3L), "two-token docs open no trigram")
   }
 
+  test("streaming calibration + ROC monitors: frozen base, exact cross-batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val good = "the a of and to in is on for " + (1 to 30).map(i => s"w$i").mkString(" ")
+    val junk = Seq.fill(40)("zzzzzzzzzzzz").mkString(" ")
+    val base = Seq((1L, good, "en"), (2L, good + " extra", "en"),
+      (3L, junk, "de"), (4L, junk + " more", "de")).toDF("doc_id", "text", "lang")
+    val batch1 = Seq((10L, good + " one", "en"), (11L, junk + " alt", "de"))
+    val batch2 = Seq((12L, good + " two more", "en"), (13L, junk, "en"))
+    val all = (batch1 ++ batch2).toDF("doc_id", "text", "lang")
+
+    // ---- calibration monitor
+    val inC = MemoryStream[(Long, String, String)]
+    val outC = Files.createTempDirectory("calib_out").toString
+    val ckptC = Files.createTempDirectory("calib_ckpt").toString
+    val qc = graft.ext.TextAnalysis.calibrationSink(
+      inC.toDF().toDF("doc_id", "text", "lang"), base, outC, ckptC,
+      triggerMs = 50L).start()
+    try {
+      inC.addData(batch1: _*); qc.processAllAvailable()
+      inC.addData(batch2: _*); qc.processAllAvailable()
+    } finally qc.stop()
+    val calRows = spark.read.parquet(outC)
+    // per-batch rows ARE the batch operator's table: batch 1 alone must
+    // equal qualityCalibrationDf on batch 1's docs (hist-based form ==
+    // direct one-shuffle form, integer sums throughout)
+    val b1Stream = calRows.filter(col("batch_id") === 0)
+      .drop("base_pos_rate", "drift", "batch_id").collect().map(_.toSeq).toSet
+    val b1Batch = graft.ext.TextAnalysis
+      .qualityCalibrationDf(batch1.toDF("doc_id", "text", "lang"))
+      .collect().map(_.toSeq).toSet
+    assert(b1Stream == b1Batch, s"hist-form calibration diverged:\n$b1Stream\n$b1Batch")
+    // count columns aggregate exactly across batches
+    val streamedCounts = calRows.groupBy(col("bin"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_pos")).as("n_pos"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batchCounts = graft.ext.TextAnalysis.qualityCalibrationDf(all)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(streamedCounts == batchCounts,
+      s"cross-batch counts: $streamedCounts vs $batchCounts")
+    // the frozen base column matches the base corpus's batch table
+    val basePosRate = graft.ext.TextAnalysis.qualityCalibrationDf(base)
+      .collect().map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    calRows.collect().foreach { r =>
+      val bin = r.getInt(0)
+      val bpr = Option(r.get(r.fieldIndex("base_pos_rate"))).map(_.asInstanceOf[Double])
+      assert(bpr == basePosRate.get(bin),
+        s"bin $bin base_pos_rate $bpr != ${basePosRate.get(bin)}")
+    }
+
+    // ---- ROC monitor
+    val inR = MemoryStream[(Long, String, String)]
+    val outR = Files.createTempDirectory("roc_out").toString
+    val ckptR = Files.createTempDirectory("roc_ckpt").toString
+    val qr = graft.ext.TextAnalysis.rocSink(
+      inR.toDF().toDF("doc_id", "text", "lang"), base, outR, ckptR,
+      triggerMs = 50L).start()
+    try {
+      inR.addData(batch1: _*); qr.processAllAvailable()
+      inR.addData(batch2: _*); qr.processAllAvailable()
+    } finally qr.stop()
+    val rocRows = spark.read.parquet(outR)
+    assert(rocRows.count() == 18, "9 thresholds x 2 batches")
+    // threshold counts aggregate exactly across batches
+    val streamedRoc = rocRows.groupBy(col("threshold"))
+      .agg(sum(col("n_pred")).as("n_pred"), sum(col("tp")).as("tp"))
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batchRoc = graft.ext.TextAnalysis.rocPointsDf(all)
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamedRoc == batchRoc, s"cross-batch ROC: $streamedRoc vs $batchRoc")
+    // the frozen base columns match the base corpus's batch table
+    val baseRoc = graft.ext.TextAnalysis.rocPointsDf(base)
+      .collect().map(r => r.getDouble(0) -> ((r.getDouble(4), r.getDouble(5)))).toMap
+    rocRows.collect().foreach { r =>
+      val th = r.getDouble(0)
+      val (btpr, bfpr) = (r.getDouble(r.fieldIndex("base_tpr")),
+        r.getDouble(r.fieldIndex("base_fpr")))
+      assert((btpr, bfpr) == baseRoc(th), s"threshold $th frozen base drifted")
+      assert(r.getDouble(r.fieldIndex("tpr_drift")) ==
+        math.rint(math.abs(r.getDouble(4) - btpr) * 1e6) / 1e6)
+    }
+  }
+
   test("streaming gopher filter: per-batch verdicts match batch mode") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Seq(
