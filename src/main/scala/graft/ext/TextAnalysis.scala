@@ -700,30 +700,72 @@ object TextAnalysis {
   private def gramHash(t: Column, from: Column, len: Int): Column =
     xxhash64((0 until len).map(k => element_at(t, from + k)): _*)
 
+  /** COLLISION AUDIT (the 100 TB design note). A 64-bit intern key
+    * makes two DISTINCT grams share a count/score iff their xxhash64
+    * values collide. With n distinct grams the expected number of
+    * colliding PAIRS is ~n²/2^65; the probability that a GIVEN gram is
+    * involved is ~n/2^64:
+    *
+    *   - this corpus (n ~ 10^6 distinct 5-grams): ~3·10^-8 expected
+    *     colliding pairs — none, proven stronger by the string-keyed
+    *     DuckDB oracles hash-matching at all three scales;
+    *   - 100 TB (n ~ 10^12 distinct grams): ~27,000 colliding pairs
+    *     expected, i.e. a ~5·10^-8 chance per gram. A collision merges
+    *     two count rows, perturbing ln-scores of the affected grams by
+    *     at most ln((c_a + c_b)/c_a) — for a typical doc of ~10^3
+    *     grams, P(any gram affected) ~ 5·10^-5, and the per-doc AVG
+    *     over 10^3 grams divides the shift by 10^3, so the expected
+    *     per-doc error sits orders below the 10^-6 micro-nat snap.
+    *
+    * For pipelines that cannot accept even that tail (or for n beyond
+    * ~10^13, where pairs turn material), every 5-gram-family scorer
+    * takes `wideKeys = true`: the same API and plan shape with each
+    * key widened to a 128-bit (x1, x2) struct — two independent
+    * xxhash64 streams (the second salted), collision expectation
+    * n²/2^129 ~ 10^-15 at n = 10^12 — at twice the key bytes per
+    * exchange. CleaningSpec asserts the two key widths produce
+    * identical scores on collision-free data. The same argument covers
+    * [[graft.ext.Cleaning.spanDedupStatsDf]]'s span hashes, where a
+    * collision wrongly REMOVES one n-gram span of one document
+    * (bounded by the same ~n/2^64 per-span probability; its oracle is
+    * likewise string-keyed).
+    */
+  private def gramHashWide(t: Column, from: Column, len: Int): Column =
+    struct(gramHash(t, from, len).as("x1"),
+      xxhash64(lit("graft-wide-salt") +:
+        (0 until len).map(k => element_at(t, from + k)): _*).as("x2"))
+
   /** The positional 5-gram KEY stream: per position, the 5-gram hash
     * plus the eight backoff-slice hashes (ctx4/suffix4/ctx3/suffix3/
     * ctx2/suffix2/ctx1/unigram), all computed at explode time — gram
     * STRINGS never leave the scan stage (the hash-not-string trick of
     * [[graft.ext.Cleaning.spanDedupStatsDf]] applied to LM counting,
     * exactly as the trigram scaladoc's cost note prescribes: 72 bytes
-    * of fixed-width keys per position instead of five strings).
+    * of fixed-width keys per position instead of five strings). With
+    * `wide`, every key is the 128-bit struct of [[gramHashWide]] (the
+    * collision-audit variant; downstream grouping/windows/joins are
+    * column-name-driven and key-width-agnostic).
     */
-  private def fivegramStream(docs: DataFrame, idCols: Seq[Column]): DataFrame = {
+  private def fivegramStream(docs: DataFrame, idCols: Seq[Column],
+                             wide: Boolean = false): DataFrame = {
     val t = col("t")
+    def gh(from: Column, len: Int): Column =
+      if (wide) gramHashWide(t, from, len) else gramHash(t, from, len)
     def mk(i: Column) = struct(
-      gramHash(t, i, 5).as("h5"),
-      gramHash(t, i, 4).as("hc4"),
-      gramHash(t, i + 1, 4).as("hs4"),
-      gramHash(t, i + 1, 3).as("hm3"),
-      gramHash(t, i + 2, 3).as("hs3"),
-      gramHash(t, i + 2, 2).as("hm2"),
-      gramHash(t, i + 3, 2).as("hs2"),
-      gramHash(t, i + 3, 1).as("hm1"),
-      gramHash(t, i + 4, 1).as("hs1"))
+      gh(i, 5).as("h5"),
+      gh(i, 4).as("hc4"),
+      gh(i + 1, 4).as("hs4"),
+      gh(i + 1, 3).as("hm3"),
+      gh(i + 2, 3).as("hs3"),
+      gh(i + 2, 2).as("hm2"),
+      gh(i + 3, 2).as("hs2"),
+      gh(i + 3, 1).as("hm1"),
+      gh(i + 4, 1).as("hs1"))
+    val kt = if (wide) "struct<x1:bigint,x2:bigint>" else "bigint"
     val grams = when(size(t) >= 5,
       transform(sequence(lit(1), size(t) - 4), i => mk(i)))
-      .otherwise(array().cast("array<struct<h5:bigint,hc4:bigint,hs4:bigint," +
-        "hm3:bigint,hs3:bigint,hm2:bigint,hs2:bigint,hm1:bigint,hs1:bigint>>"))
+      .otherwise(array().cast(s"array<struct<h5:$kt,hc4:$kt,hs4:$kt," +
+        s"hm3:$kt,hs3:$kt,hm2:$kt,hs2:$kt,hm1:$kt,hs1:$kt>>"))
     Tables.fanOut(docs).filter(col("text").isNotNull)
       .select(idCols :+ tokens(col("text")).as("t"): _*)
       .select(idCols :+ explode(grams).as("g"): _*)
@@ -763,8 +805,9 @@ object TextAnalysis {
     * order-5 scorer (backoff / interpolated / Witten-Bell /
     * Kneser-Ney).
     */
-  private def fivegramTypeTable(docs: DataFrame): (DataFrame, DataFrame) = {
-    val stream = fivegramStream(docs, Seq(col("doc_id")))
+  private def fivegramTypeTable(docs: DataFrame,
+                                wide: Boolean = false): (DataFrame, DataFrame) = {
+    val stream = fivegramStream(docs, Seq(col("doc_id")), wide)
       .select(col("doc_id"), col("g.*"))
     // h5 determines every slice hash (modulo collision), so first() is
     // deterministic within a group
@@ -777,9 +820,10 @@ object TextAnalysis {
     (stream, c5)
   }
 
-  private def fivegramCounts(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  private def fivegramCounts(docs: DataFrame, wide: Boolean = false)
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val (stream, c5) = fivegramTypeTable(docs)
+    val (stream, c5) = fivegramTypeTable(docs, wide)
     def wsum(key: String) = sum(col("c5")).over(Window.partitionBy(col(key)))
     val withCounts = c5
       .withColumn("ctx4", wsum("hc4")).withColumn("c4s", wsum("hs4"))
@@ -806,9 +850,9 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   /** DataFrame form (docs must have doc_id + text). */
-  def fivegramLogProbDf(docs: DataFrame,
-                        minCount: Int = 2, alpha: Double = 0.5): DataFrame = {
-    val (stream, withCounts, n) = fivegramCounts(docs)
+  def fivegramLogProbDf(docs: DataFrame, minCount: Int = 2,
+                        alpha: Double = 0.5, wideKeys: Boolean = false): DataFrame = {
+    val (stream, withCounts, n) = fivegramCounts(docs, wideKeys)
     val a = lit(alpha)
     val score = when(col("c5") >= minCount,
       col("c5").cast("double") / col("ctx4"))
@@ -843,8 +887,9 @@ object TextAnalysis {
     interpLogProbDf(Tables.documents(spark, d), lambda)
 
   /** DataFrame form (docs must have doc_id + text). */
-  def interpLogProbDf(docs: DataFrame, lambda: Double = 0.5): DataFrame = {
-    val (stream, withCounts, n) = fivegramCounts(docs)
+  def interpLogProbDf(docs: DataFrame, lambda: Double = 0.5,
+                      wideKeys: Boolean = false): DataFrame = {
+    val (stream, withCounts, n) = fivegramCounts(docs, wideKeys)
     val l = lit(lambda)
     val om = lit(1.0) - l
     def ml(c: String, ctx: String) = col(c).cast("double") / col(ctx)
@@ -936,8 +981,8 @@ object TextAnalysis {
     wbLogProbDf(Tables.documents(spark, d))
 
   /** DataFrame form (docs must have doc_id + text). */
-  def wbLogProbDf(docs: DataFrame): DataFrame = {
-    val (stream, c5t) = fivegramTypeTable(docs)
+  def wbLogProbDf(docs: DataFrame, wideKeys: Boolean = false): DataFrame = {
+    val (stream, c5t) = fivegramTypeTable(docs, wideKeys)
     val (t4, t3, t2, t1) = suffixChain(c5t, raw = true)
     val n = c5t.agg(sum(col("c5")).as("n")) // scalar; broadcast below
     val p1 = t1.crossJoin(broadcast(n))
@@ -986,8 +1031,9 @@ object TextAnalysis {
     knLogProbDf(Tables.documents(spark, d), discount)
 
   /** DataFrame form (docs must have doc_id + text). */
-  def knLogProbDf(docs: DataFrame, discount: Double = 0.75): DataFrame = {
-    val (stream, c5t) = fivegramTypeTable(docs)
+  def knLogProbDf(docs: DataFrame, discount: Double = 0.75,
+                  wideKeys: Boolean = false): DataFrame = {
+    val (stream, c5t) = fivegramTypeTable(docs, wideKeys)
     val (t4, t3, t2, t1) = suffixChain(c5t, raw = false)
     val dd = lit(discount)
     // continuation-unigram denominator: total distinct bigram types

@@ -468,6 +468,23 @@ class CleaningSpec extends SparkTestBase {
     assert(out(31L) > out(1L))
   }
 
+  test("wide 128-bit gram keys: identical scores to 64-bit interning on collision-free data") {
+    // the collision-audit variant (gramHashWide): same API and plan
+    // shape, twice the key bytes; on data with no 64-bit collisions
+    // (proven by the string-keyed oracles) both widths must produce
+    // byte-identical scores across the whole 5-gram scorer family
+    val docs = graft.Tables.documents(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(TextAnalysis.fivegramLogProbDf(docs, wideKeys = true)) ==
+      rows(TextAnalysis.fivegramLogProbDf(docs)))
+    assert(rows(TextAnalysis.interpLogProbDf(docs, wideKeys = true)) ==
+      rows(TextAnalysis.interpLogProbDf(docs)))
+    assert(rows(TextAnalysis.wbLogProbDf(docs, wideKeys = true)) ==
+      rows(TextAnalysis.wbLogProbDf(docs)))
+    assert(rows(TextAnalysis.knLogProbDf(docs, wideKeys = true)) ==
+      rows(TextAnalysis.knLogProbDf(docs)))
+  }
+
   test("Witten-Bell 5-gram: hand-computed per-context lambdas; T=C degeneracy pinned") {
     // same depth-ladder corpus; WB per-level constants hand-derived from
     // the suffix-slice tables (raw-count chain, truncated-stream
