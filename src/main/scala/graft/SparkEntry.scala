@@ -162,7 +162,9 @@ object SparkEntry {
     "q_interp_logprob"    -> ((s: SparkSession, d: String) => TextAnalysis.interpLogProb(s, d)),
     "q_wb_logprob"        -> ((s: SparkSession, d: String) => TextAnalysis.wbLogProb(s, d)),
     "q_kn_logprob"        -> ((s: SparkSession, d: String) => TextAnalysis.knLogProb(s, d)),
-    "q_winnow_span_dedup" -> ((s: SparkSession, d: String) => Cleaning.winnowSpanDedupStats(s, d))
+    "q_winnow_span_dedup" -> ((s: SparkSession, d: String) => Cleaning.winnowSpanDedupStats(s, d)),
+    "q_hot_terms_guarantee" -> ((s: SparkSession, d: String) => TextAnalysis.hotTermsGuarantee(s, d)),
+    "q_pack_invariants"   -> ((s: SparkSession, d: String) => ext.Corpus.packInvariants(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -1175,6 +1177,30 @@ object SparkEntry {
         "SELECT doc_id, COUNT(*) AS n_fivegrams, " +
         "floor(CAST(SUM(mlp) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS avg_logprob " +
         "FROM sc GROUP BY doc_id ORDER BY doc_id"),
+    // MG containment guarantee: the oracle derives the REQUIRED heavy
+    // set (true count > n/k) from the raw tokens and asserts the
+    // sketch covered all of it — it computes n_required once and
+    // echoes it as n_covered with guarantee_ok true, so any engine-
+    // side containment breach hash-mismatches
+    "q_hot_terms_guarantee" ->
+      (s"WITH t AS (SELECT source, unnest($toks) AS term FROM documents), " +
+        "n AS (SELECT source, COUNT(*) AS n_terms FROM t GROUP BY source), " +
+        "c AS (SELECT source, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2), " +
+        "r AS (SELECT c.source FROM c JOIN n USING (source) WHERE cnt * 50 > n_terms) " +
+        "SELECT source, COUNT(*) AS n_required, COUNT(*) AS n_covered, " +
+        "true AS guarantee_ok FROM r GROUP BY source ORDER BY source"),
+    // pack invariants: every column derives from the raw documents
+    // table (doc coverage, token conservation, overflow = oversized
+    // single docs, zero budget violations); the engine computes them
+    // FROM the packed output, so a packing defect mismatches
+    "q_pack_invariants" ->
+      (s"WITH d AS (SELECT doc_id, COALESCE(len($toks), 0) AS nt FROM documents) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS docs_packed, " +
+        "CAST(COUNT(*) AS BIGINT) AS distinct_docs, " +
+        "CAST(SUM(nt) AS BIGINT) AS total_tokens, " +
+        "CAST(SUM(CASE WHEN nt > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS overflow_docs, " +
+        "CAST(SUM(CASE WHEN nt > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS overflow_packs, " +
+        "CAST(0 AS BIGINT) AS budget_violations FROM d"),
     // Witten-Bell: per-context lambda = C/(C+T) over the raw-count
     // suffix chain; per-level expression associated exactly as the
     // engine folds it ((c + T*p) / (C + T))

@@ -101,6 +101,34 @@ object Corpus {
         round(avg(col("pack_tokens")) / budget, 4).as("mean_fill"),
         sum(col("has_overflow")).as("overflow_packs"))
 
+  /** The packing's PARTITION-INDEPENDENT invariants, computed FROM the
+    * packed output so any packing defect breaks an oracle row: every
+    * document lands in exactly one pack (docs_packed = distinct_docs =
+    * corpus count), tokens are conserved (total_tokens = corpus token
+    * sum), overflow packs are exactly the over-budget single documents
+    * (the greedy flush can overflow only on a lone oversized doc), and
+    * no non-overflow pack exceeds the budget (budget_violations = 0).
+    * The DuckDB oracle derives every column from the raw documents
+    * table — pack ids and the fill-factor distribution stay partition-
+    * dependent by design ([[packStats]] remains the rows-only audit
+    * for those).
+    */
+  def packInvariants(spark: SparkSession, d: String, budget: Int = 2048): DataFrame = {
+    val packed = packDocuments(spark, d, budget)
+    val perPack = packed.groupBy(col("pack_id"))
+      .agg(sum(col("n_tokens")).as("pack_tokens"),
+        max(col("overflow").cast("int")).as("has_overflow"))
+    packed.agg(
+        count(lit(1)).as("docs_packed"),
+        countDistinct(col("doc_id")).as("distinct_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum((col("n_tokens") > budget).cast("long")).as("overflow_docs"))
+      .crossJoin(perPack.agg(
+        sum(col("has_overflow")).cast("long").as("overflow_packs"),
+        sum((col("pack_tokens") > budget && col("has_overflow") === 0).cast("long"))
+          .as("budget_violations")))
+  }
+
   /** Deterministic domain-weighted RESAMPLING (the data-mixing step a
     * training pipeline runs to rebalance sources): each source gets a
     * sampling weight in {0.25, 0.5, 0.75, 1.0} derived from its numeric

@@ -374,6 +374,45 @@ object TextAnalysis {
     * `cnt * k > n_terms` is the integer form of `cnt > n_terms / k`
     * (exact in both engines; no FP division).
     */
+  /** The MG CONTAINMENT GUARANTEE as an oracle-checkable audit: per
+    * source, how many terms the exact computation REQUIRES as heavy
+    * (true count > n/k) and how many of those the sketch's survivor
+    * set covers. Misra-Gries guarantees coverage is total, so the
+    * DuckDB oracle — which derives only the required set, knowing
+    * nothing of the sketch — asserts n_covered = n_required and
+    * guarantee_ok: any containment breach in the sketch (or its
+    * partial-aggregate merge) hash-mismatches loudly. This is the
+    * oracle upgrade for the otherwise rows-only [[hotTermsPerSource]]
+    * surface, whose literal survivor string is partition-dependent BY
+    * DESIGN (extra survivors and lower-bound counts are sketch
+    * artifacts).
+    *
+    * Scale note: the exact side is a vocabulary-sized (source, term)
+    * count — this is an AUDIT run at validation scale, not the
+    * production path (that is the sketch itself / [[hotTermsExact]]'s
+    * two-pass recount).
+    */
+  def hotTermsGuarantee(spark: SparkSession, d: String, k: Int = 50): DataFrame = {
+    val terms = Tables.documents(spark, d)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+    val pass1 = terms.groupBy(col("source"))
+      .agg(graft.functions.HeavyHitters.heavyHitterTerms(col("term"), k).as("cands"),
+        count(lit(1)).as("n_terms"))
+    val survived = pass1
+      .select(col("source"), explode(col("cands")).as("term"))
+      .withColumn("survived", lit(1L))
+    val required = terms.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(pass1.select(col("source"), col("n_terms")), Seq("source"))
+      .filter(col("cnt") * k > col("n_terms"))
+    required.join(broadcast(survived), Seq("source", "term"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_required"),
+        sum(coalesce(col("survived"), lit(0L))).as("n_covered"))
+      .withColumn("guarantee_ok", col("n_required") === col("n_covered"))
+      .orderBy(col("source"))
+  }
+
   def hotTermsExact(spark: SparkSession, d: String, k: Int = 50): DataFrame = {
     val terms = Tables.documents(spark, d)
       .select(col("source"), explode(tokens(col("text"))).as("term"))
