@@ -164,7 +164,12 @@ object SparkEntry {
     "q_kn_logprob"        -> ((s: SparkSession, d: String) => TextAnalysis.knLogProb(s, d)),
     "q_winnow_span_dedup" -> ((s: SparkSession, d: String) => Cleaning.winnowSpanDedupStats(s, d)),
     "q_hot_terms_guarantee" -> ((s: SparkSession, d: String) => TextAnalysis.hotTermsGuarantee(s, d)),
-    "q_pack_invariants"   -> ((s: SparkSession, d: String) => ext.Corpus.packInvariants(s, d))
+    "q_pack_invariants"   -> ((s: SparkSession, d: String) => ext.Corpus.packInvariants(s, d)),
+    "q_dsir_weights"      -> ((s: SparkSession, d: String) => ext.Corpus.dsirWeights(s, d)),
+    "q_dsir_select"       -> ((s: SparkSession, d: String) => ext.Corpus.dsirSelect(s, d)),
+    "q_mixture_execute"   -> ((s: SparkSession, d: String) => ext.Corpus.mixtureExecute(s, d)),
+    "q_sem_decontamination" -> ((s: SparkSession, d: String) => Similarity.semanticDecontamination(s, d)),
+    "q_vocab_coverage"    -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -188,6 +193,19 @@ object SparkEntry {
       "SUM(c5) OVER (PARTITION BY w4) AS ctx1, " +
       "SUM(c5) OVER (PARTITION BY w5) AS c1s FROM c5), " +
       "n AS (SELECT SUM(c5) AS n FROM c5), "
+  // DSIR bucket-delta CTEs (hashed-bigram counts on the target vs raw
+  // slices, add-1-smoothed micro-nat-snapped LLR per bucket) — shared
+  // by q_dsir_weights and q_dsir_select (one definition, no drift)
+  private lazy val dsirWeightsCteSql =
+    s"WITH d AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
+      "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), " +
+      "i -> substr(md5(t[i] || ' ' || t[i+1]), 1, 3))) AS bkt FROM d), " +
+      "c AS (SELECT bkt, CAST(SUM(CASE WHEN doc_id % 20 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS ct, " +
+      "CAST(SUM(CASE WHEN doc_id % 20 != 7 THEN 1 ELSE 0 END) AS BIGINT) AS cr FROM bg GROUP BY bkt), " +
+      "t2 AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM c), " +
+      "delta AS (SELECT bkt, CAST(floor(ln(CAST(ct + 1 AS DOUBLE) / (tt + 4096)) * 1e6 + 0.5) AS BIGINT) " +
+      "- CAST(floor(ln(CAST(cr + 1 AS DOUBLE) / (tr + 4096)) * 1e6 + 0.5) AS BIGINT) AS dm " +
+      "FROM c CROSS JOIN t2)"
   // Exact span-dedup oracle (string-keyed ROW_NUMBER election over all
   // spans) — shared verbatim by q_span_dedup and q_winnow_span_dedup
   // (see the latter's registration note for why sharing is the point)
@@ -1233,7 +1251,82 @@ object SparkEntry {
         "round((-CAST(s AS DOUBLE) / 1e9) / ln(CAST(n_distinct AS DOUBLE)), 6) ELSE 0.0 END AS normalized, " +
         "(CASE WHEN n_distinct > 1 THEN " +
         "round((-CAST(s AS DOUBLE) / 1e9) / ln(CAST(n_distinct AS DOUBLE)), 6) ELSE 0.0 END) >= 0.6 AS keep " +
-        "FROM e ORDER BY doc_id")
+        "FROM e ORDER BY doc_id"),
+    // DSIR: bucket ids are md5-hex prefixes computed from the same
+    // bigram strings on both sides; both ln terms snap to micro-nats
+    // separately, so per-doc sums and the length-normalized average
+    // (exact-int division in IEEE double, floor+0.5-snapped) are
+    // engine-exact
+    "q_dsir_weights" -> (dsirWeightsCteSql +
+      " SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, " +
+      "CAST(SUM(dm) AS BIGINT) AS llr_micro, " +
+      "CAST(floor(CAST(SUM(dm) AS DOUBLE) * 1000.0 / COUNT(*) + 0.5) AS BIGINT) AS avg_llr_nano " +
+      "FROM bg JOIN delta USING (bkt) WHERE doc_id % 20 != 7 " +
+      "GROUP BY doc_id ORDER BY doc_id"),
+    "q_dsir_select" -> (dsirWeightsCteSql +
+      ", wts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, " +
+      "CAST(SUM(dm) AS BIGINT) AS llr_micro, " +
+      "CAST(floor(CAST(SUM(dm) AS DOUBLE) * 1000.0 / COUNT(*) + 0.5) AS BIGINT) AS avg_llr_nano " +
+      "FROM bg JOIN delta USING (bkt) WHERE doc_id % 20 != 7 GROUP BY doc_id) " +
+      "SELECT CAST(ROW_NUMBER() OVER (ORDER BY avg_llr_nano DESC, doc_id) AS INT) AS rk, " +
+      "doc_id, n_grams, llr_micro, avg_llr_nano FROM wts " +
+      "ORDER BY avg_llr_nano DESC, doc_id LIMIT 100"),
+    // mixture execution: the plan CTEs are q_mixture_plan's verbatim;
+    // the keep decision compares md5-hex prefixes against the rate's
+    // hex threshold lexicographically (no hex→int cast, which the two
+    // engines spell differently); rate >= 1 short-circuits keep-all
+    "q_mixture_execute" ->
+      ("WITH s AS (SELECT doc_id, text, source, " +
+        "CAST((CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 4) + 1 AS DOUBLE) / 4 AS weight, " +
+        s"coalesce(len($toks), 0) AS n_toks FROM documents), " +
+        "p AS (SELECT source, weight, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM s GROUP BY source, weight), " +
+        "t AS (SELECT SUM(weight) AS tw FROM p), " +
+        "pl AS (SELECT source, CAST(floor(500000.0 * weight / tw + 0.5) AS BIGINT) AS target_tokens, " +
+        "CASE WHEN n_tokens > 0 THEN " +
+        "floor(least(1.0, CAST(CAST(floor(500000.0 * weight / tw + 0.5) AS BIGINT) AS DOUBLE) " +
+        "/ CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS sample_rate " +
+        "FROM p CROSS JOIN t), " +
+        "k AS (SELECT s.source, pl.target_tokens, s.n_toks, " +
+        "(s.text IS NOT NULL AND (pl.sample_rate >= 1.0 OR " +
+        "substr(md5(s.text), 1, 6) < lpad(lower(hex(CAST(floor(pl.sample_rate * 16777216.0) AS BIGINT))), 6, '0'))) AS kept " +
+        "FROM s JOIN pl ON s.source = pl.source) " +
+        "SELECT source, target_tokens, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(SUM(CASE WHEN kept THEN n_toks ELSE 0 END) AS BIGINT) AS achieved_tokens, " +
+        "CASE WHEN target_tokens > 0 THEN " +
+        "floor(CAST(SUM(CASE WHEN kept THEN n_toks ELSE 0 END) AS DOUBLE) " +
+        "/ CAST(target_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS achieved_ratio " +
+        "FROM k GROUP BY source, target_tokens ORDER BY source"),
+    // semantic decontamination: same rounded-cosine + id tie-break
+    // discipline as q_cosine_topk, argmax as rank-1 row
+    "q_sem_decontamination" ->
+      ("WITH e AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ev " +
+        "FROM embeddings WHERE vec_id % 20 = 7), " +
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv " +
+        "FROM embeddings WHERE vec_id % 20 != 7), " +
+        "s AS (SELECT c.vec_id, e.eval_id, " +
+        "round(list_cosine_similarity(cv, ev), 6) AS cos_r FROM c, e), " +
+        "r AS (SELECT vec_id, eval_id, cos_r, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY cos_r DESC, eval_id) AS rk FROM s) " +
+        "SELECT vec_id, cos_r AS max_cos_r, eval_id AS nearest_eval_id, " +
+        "(cos_r >= 0.4) AS contaminated FROM r WHERE rk = 1 ORDER BY vec_id"),
+    // vocab coverage: the top-V boundary is deterministic (count desc,
+    // term asc) and integer-exact; oov_frac divides exact integers
+    "q_vocab_coverage" ->
+      (s"WITH t AS (SELECT source, unnest($toks) AS term FROM documents), " +
+        "st AS (SELECT source, term, COUNT(*) AS cnt FROM t GROUP BY source, term), " +
+        "v AS (SELECT term FROM (SELECT term, SUM(cnt) AS tot FROM st GROUP BY term) " +
+        "ORDER BY tot DESC, term LIMIT 16), " +
+        "j AS (SELECT st.source, st.cnt, (v.term IS NOT NULL) AS iv " +
+        "FROM st LEFT JOIN v ON st.term = v.term) " +
+        "SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(CASE WHEN iv THEN 0 ELSE cnt END) AS BIGINT) AS n_oov, " +
+        "floor(CAST(SUM(CASE WHEN iv THEN 0 ELSE cnt END) AS DOUBLE) " +
+        "/ CAST(SUM(cnt) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS oov_frac, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_terms, " +
+        "CAST(SUM(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov_terms " +
+        "FROM j GROUP BY source ORDER BY source")
     // No oracle (rows-only checks) — the authoritative list is
     // `queries.keySet -- oracleSql.keySet` (don't trust a hardcoded
     // enumeration here); currently that's the xxhash64-based dedup

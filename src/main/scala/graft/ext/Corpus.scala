@@ -643,4 +643,238 @@ object Corpus {
       }
       .toDF("doc_id", "n_shingles")
   }
+
+  // ------------------------------------------------------------------ DSIR
+
+  /** Number of hashed-n-gram feature buckets for [[dsirWeights]]: the
+    * first 3 hex chars of md5(bigram) give 4096 uniform buckets. md5
+    * (not xxhash64) because the bucket id must be computable by the
+    * DuckDB oracle from the same strings — any uniform hash works for
+    * the method itself (Xie et al. 2023 use a 10k-bucket hash; the
+    * bucket count only sets the feature resolution, and a production
+    * caller would widen to 4 hex chars / 65536 buckets the same way).
+    */
+  private val DsirBuckets = 4096
+
+  /** Hashed-bigram bucket ids of a token array (one per bigram
+    * OCCURRENCE — DSIR features are bag-of-n-gram counts, not sets).
+    * sequence(1, 0) would generate a DESCENDING [1, 0] — one-token docs
+    * are guarded to an explicit empty array.
+    */
+  private def bigramBuckets(t: Column): Column =
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => substring(md5(concat(element_at(t, i), lit(" "), element_at(t, i + 1))), 1, 3)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-bucket importance table for DSIR: one corpus pass counts each
+    * bucket's occurrences on the target slice and the raw slice
+    * simultaneously (conditional sums under one groupBy — two separate
+    * passes would scan the corpus twice for the same ≤[[DsirBuckets]]-row
+    * result), then the add-1-smoothed log-likelihood ratio
+    * ln θ_target(b) − ln θ_raw(b) snaps each term to integer micro-nats
+    * (the [[graft.ext.TextAnalysis.unigramLogProb]] FP discipline) so
+    * downstream per-doc sums are exact BIGINT math.
+    *
+    * Scale shape: the gram stream aggregates by bucket id with map-side
+    * combine — at most [[DsirBuckets]] rows reach the exchange per
+    * partition, and the totals window runs over the bucket-level rows.
+    */
+  def dsirDeltaTable(docs: DataFrame, targetPred: Column): DataFrame = {
+    val counts = Tables.fanOut(docs).filter(col("text").isNotNull)
+      .select(targetPred.as("is_target"),
+        explode(bigramBuckets(TextAnalysis.tokens(col("text")))).as("bkt"))
+      .groupBy(col("bkt"))
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("is_target"), 0L).otherwise(1L)).as("cr"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    counts
+      .withColumn("tt", sum(col("ct")).over(w))
+      .withColumn("tr", sum(col("cr")).over(w))
+      .select(col("bkt"),
+        (floor(log((col("ct") + 1).cast("double") / (col("tt") + lit(DsirBuckets))) * 1e6 + 0.5)
+          .cast("long") -
+          floor(log((col("cr") + 1).cast("double") / (col("tr") + lit(DsirBuckets))) * 1e6 + 0.5)
+            .cast("long")).as("dm"))
+  }
+
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * Xie et al. 2023): score every RAW document by how much more likely
+    * its hashed-bigram features are under the TARGET slice's bucket
+    * unigram model than under the raw corpus's — the standard
+    * cheap-feature proxy for "select raw data that looks like the
+    * high-quality target". The target slice here is the same
+    * `doc_id % 20 = 7` convention as [[decontaminationStats]]'s eval
+    * slice (a stand-in for a caller-supplied target corpus; the
+    * DataFrame form takes an arbitrary predicate).
+    *
+    * Output per raw doc: gram count, the exact micro-nat LLR sum, and a
+    * length-normalized per-gram average in nano-nats (raw sums reward
+    * length; selection ranks on the average). The average divides two
+    * exact integers in IEEE double (correctly rounded, so engine-exact)
+    * and floor(x·1000 + 0.5)-snaps — `round()` would hit the
+    * HALF_UP/half-even divergence on exact ties.
+    *
+    * Scale shape: one corpus pass builds the ≤[[DsirBuckets]]-row delta
+    * table ([[dsirDeltaTable]]), a second pass scores — explode bigram
+    * buckets, broadcast-join the bucket table, aggregate by doc_id with
+    * map-side combine. Every scored gram's bucket exists in the table
+    * (raw grams counted there by construction), so the join is inner
+    * with no OOV branch; the streaming form [[dsirScoreAgainst]] adds
+    * the OOV constant for unseen-bucket arrivals.
+    */
+  def dsirWeights(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    dsirWeightsDf(docs, col("doc_id") % 20 === 7)
+  }
+
+  def dsirWeightsDf(docs: DataFrame, targetPred: Column): DataFrame = {
+    val delta = dsirDeltaTable(docs, targetPred)
+    scoreBuckets(
+      Tables.fanOut(docs).filter(col("text").isNotNull).filter(!targetPred),
+      broadcast(delta), oovDm = None)
+  }
+
+  /** Shared scoring tail: explode bigram buckets, join the delta table,
+    * aggregate exact integer sums per doc. `oovDm` (streaming only)
+    * scores buckets absent from the table via a left join + coalesce.
+    */
+  private def scoreBuckets(docs: DataFrame, delta: DataFrame,
+                           oovDm: Option[Long]): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(bigramBuckets(TextAnalysis.tokens(col("text")))).as("bkt"))
+    val joined = oovDm match {
+      case None => grams.join(delta, Seq("bkt"))
+      case Some(c) => grams.join(delta, Seq("bkt"), "left")
+        .withColumn("dm", coalesce(col("dm"), lit(c)))
+    }
+    joined
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("dm")).as("llr_micro"))
+      .withColumn("avg_llr_nano",
+        floor(col("llr_micro").cast("double") * 1000.0 / col("n_grams") + 0.5).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR selection: the top-k raw documents by length-normalized
+    * importance weight (ties broken by doc_id, so the selection is
+    * engine-exact given [[dsirWeights]]'s integer snap). The paper's
+    * Gumbel-top-k resampling adds sampling noise for diversity; the
+    * deterministic top-k is the reproducible variant (and the noisy one
+    * is a seeded-hash perturbation away from this plan).
+    *
+    * Scale shape: global top-k over the weight table —
+    * TakeOrderedAndProject (per-partition heaps merged on the driver,
+    * k·partitions rows of driver traffic), never a full sort; the rank
+    * window then runs over k rows.
+    */
+  def dsirSelect(spark: SparkSession, d: String, k: Int = 100): DataFrame = {
+    val top = dsirWeights(spark, d)
+      .orderBy(col("avg_llr_nano").desc, col("doc_id"))
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_llr_nano").desc, col("doc_id"))
+    top.withColumn("rk", row_number().over(w).cast("int"))
+      .select(col("rk"), col("doc_id"), col("n_grams"), col("llr_micro"), col("avg_llr_nano"))
+      .orderBy(col("rk"))
+  }
+
+  /** DSIR scoring against a PRE-BUILT delta table (the streaming stage):
+    * arrivals may contain buckets the base corpus never saw — those
+    * score the OOV constant ln(1/(T_t+B)) − ln(1/(T_r+B)) the caller
+    * derives from the base totals. Per-doc results depend only on the
+    * doc and the frozen table, so per-batch outputs union to the batch
+    * result on the same documents (asserted in StreamingSpec).
+    */
+  def dsirScoreAgainst(docs: DataFrame, delta: DataFrame, oovDm: Long): DataFrame =
+    scoreBuckets(docs.filter(col("text").isNotNull), delta, Some(oovDm))
+
+  /** Streaming DSIR scoring (foreachBatch stage): freeze the base
+    * corpus's delta table and OOV constant once, then score each
+    * micro-batch against them ([[Freeze]] contract — a lazy table would
+    * re-run the whole base pipeline every trigger).
+    */
+  def dsirScoreSink(docStream: DataFrame, baseDocs: DataFrame,
+                    outPath: String, checkpoint: String,
+                    triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val targetPred = col("doc_id") % 20 === 7
+    val frozen = Freeze(dsirDeltaTable(baseDocs, targetPred))
+    // OOV constant from the base totals: ct = cr = 0 in the delta
+    // formula. One bounded collect (2 scalars) at sink-construction time.
+    val tot = Tables.fanOut(baseDocs).filter(col("text").isNotNull)
+      .select(targetPred.as("is_target"),
+        explode(bigramBuckets(TextAnalysis.tokens(col("text")))).as("bkt"))
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)),
+        sum(when(col("is_target"), 0L).otherwise(1L)))
+      .collect()(0)
+    def snapLn(total: Long): Long =
+      math.floor(math.log(1.0 / (total + DsirBuckets)) * 1e6 + 0.5).toLong
+    val oov = snapLn(tot.getLong(0)) - snapLn(tot.getLong(1))
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          dsirScoreAgainst(batch, frozen, oov)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+  }
+
+  // ------------------------------------------------- mixture EXECUTION
+
+  /** EXECUTE a [[mixturePlan]]: apply each source's computed sample_rate
+    * as a deterministic content-hash Bernoulli filter (first 6 hex
+    * chars of md5(text) compared against the rate's hex threshold —
+    * [[domainResample]]'s mechanism generalized from fixed thresholds
+    * to arbitrary rates at 1/16⁶ granularity) and report the achieved
+    * tokens against the plan's targets. This is the step a pipeline
+    * runs after planning: the plan says "sample source X at rate r",
+    * the execution does it RNG-free (same doc kept across re-runs and
+    * re-partitions) and audits how close the realized token count
+    * landed.
+    *
+    * The threshold is built in hex-string space (lpad(hex(floor(r·16⁶))))
+    * so the comparison is lexicographic on lowercase hex in both
+    * engines — no hex→int conversion, which DuckDB and Spark spell
+    * differently. rate ≥ 1.0 short-circuits to keep-all (its 7-char hex
+    * threshold would otherwise be TRUNCATED by lpad to "100000" and
+    * drop ~94% of the source).
+    *
+    * Scale shape: the plan is a |sources|-row table — broadcast onto
+    * the corpus scan; keep/count is a narrow map feeding one map-side-
+    * combined aggregation keyed by source. One corpus pass beyond the
+    * plan's own token count.
+    */
+  def mixtureExecute(spark: SparkSession, d: String,
+                     budgetTokens: Long = 500000L): DataFrame = {
+    val plan = mixturePlan(spark, d, budgetTokens)
+      .select(col("source"), col("target_tokens"), col("sample_rate"))
+    val thr = lpad(lower(hex(floor(col("sample_rate") * lit(16777216.0)).cast("long"))),
+      6, "0")
+    val kept = col("text").isNotNull &&
+      (col("sample_rate") >= 1.0 ||
+        substring(md5(col("text").cast("binary")), 1, 6) < thr)
+    Tables.documents(spark, d)
+      .join(broadcast(plan), Seq("source"))
+      .select(col("source"), col("target_tokens"),
+        kept.as("kept"),
+        coalesce(size(TextAnalysis.tokens(col("text"))), lit(0))
+          .cast("long").as("n_toks"))
+      .groupBy(col("source"), col("target_tokens"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        sum(when(col("kept"), col("n_toks")).otherwise(0L)).as("achieved_tokens"))
+      .withColumn("achieved_ratio",
+        when(col("target_tokens") > 0,
+          floor(col("achieved_tokens").cast("double") /
+            col("target_tokens").cast("double") * 1e6 + 0.5) / 1e6)
+          .otherwise(lit(0.0)))
+      .select(col("source"), col("target_tokens"), col("n_docs"), col("n_kept"),
+        col("achieved_tokens"), col("achieved_ratio"))
+      .orderBy(col("source"))
+  }
 }

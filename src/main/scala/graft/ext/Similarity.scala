@@ -790,6 +790,62 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SEMANTIC decontamination — the embedding-space member of the
+    * [[graft.ext.Corpus.decontaminationStats]] family: flag every
+    * corpus vector whose max cosine similarity against the eval set
+    * exceeds `tau`. Token-n-gram decontamination misses paraphrased or
+    * translated benchmark leakage that shares no surface strings;
+    * checking the EMBEDDINGS closes that hole (the check run before
+    * training on any corpus with paraphrase risk). Eval slice is the
+    * `% 20 = 7` convention the token-based shapes use.
+    *
+    * Output per corpus vector: the max rounded cosine, the eval id
+    * attaining it (ties → smallest id, via max over a (cos, −id)
+    * struct), and the flag. Ranking on the ROUNDED cosine keeps
+    * tie-breaks engine-exact (the [[cosineTopK]] discipline).
+    *
+    * Scale shape: the eval set is benchmark-suite-sized — broadcast;
+    * scoring is a narrow flops map (per-vector norms hoisted below the
+    * join), and the per-vector max is ONE aggregation with map-side
+    * combine (a rank window here would shuffle the |corpus|·|eval|
+    * pair stream instead; the struct max falls back to sort-based
+    * aggregation but its partials still combine map-side, so the
+    * exchange carries one row per corpus vector). For an eval set too
+    * big to broadcast, the IVF route of [[semanticDedupDropList]] is
+    * the same composition with a cell-keyed join.
+    *
+    * Default tau matches [[embeddingNearDups]]'s 0.4: the synthetic
+    * fixture's cosine mass tops out near 0.5; production runs with a
+    * real embedding model sit at ~0.95+.
+    */
+  def semanticDecontamination(spark: SparkSession, d: String,
+                              tau: Double = 0.4): DataFrame =
+    semanticDecontaminationDf(Tables.embeddings(spark, d), tau)
+
+  /** DataFrame form (must have vec_id + embedding). */
+  def semanticDecontaminationDf(embIn: DataFrame, tau: Double): DataFrame = {
+    val emb = embIn
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val evalSet = emb.filter(col("vec_id") % 20 === 7)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"),
+        col("nrm").as("e_nrm"))
+    emb.filter(col("vec_id") % 20 =!= 7).as("c")
+      .join(broadcast(evalSet))
+      .select(col("vec_id"),
+        struct(
+          when(col("nrm") > 0 && col("e_nrm") > 0,
+            round(dot(col("embedding"), col("e_emb")) / (col("nrm") * col("e_nrm")), 6))
+            .otherwise(lit(0.0)).as("c"),
+          (-col("eval_id")).as("n")).as("s"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("s")).as("m"))
+      .select(col("vec_id"),
+        col("m.c").as("max_cos_r"),
+        (-col("m.n")).as("nearest_eval_id"),
+        (col("m.c") >= tau).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-vector norm stats — sanity analytics over the embedding table. */
   def embeddingNormStats(spark: SparkSession, d: String): DataFrame =
     Tables.embeddings(spark, d)

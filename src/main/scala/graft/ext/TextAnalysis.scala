@@ -1884,4 +1884,46 @@ object TextAnalysis {
       .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
       .orderBy(col("doc_id"), col("rk"))
   }
+
+  /** Vocabulary coverage / OOV-rate audit: build the top-`vocabSize`
+    * vocabulary by global frequency (ties → lexicographic, so the
+    * boundary is deterministic) and report, per source, the token and
+    * distinct-term fractions that fall OUTSIDE it — the audit a
+    * pipeline runs to size a tokenizer vocabulary or spot a source
+    * whose token distribution a fixed vocab would shred into UNK/bytes
+    * (code or a new language entering a text corpus is visible here
+    * before it hurts a trained tokenizer's fertility).
+    *
+    * Scale shape: ONE corpus token pass, aggregated to the
+    * (source, term)-level count table — everything downstream (the
+    * global vocab's top-k via TakeOrderedAndProject, the per-source
+    * rollup against the broadcast vocab) runs over vocabulary-sized
+    * rows, not tokens. `vocabSize` defaults to 16 because the fixture
+    * vocabulary has 31 distinct terms (counts 26..964, measured r10) —
+    * a production V of 10⁴–10⁵ broadcasts the same way.
+    */
+  def vocabCoverage(spark: SparkSession, d: String, vocabSize: Int = 16): DataFrame =
+    vocabCoverageDf(Tables.documents(spark, d), vocabSize)
+
+  /** DataFrame form (docs must have source + text). */
+  def vocabCoverageDf(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val st = Tables.fanOut(docs)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val vocab = st.groupBy(col("term")).agg(sum(col("cnt")).as("tot"))
+      .orderBy(col("tot").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(true).as("in_vocab"))
+    st.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("cnt")).otherwise(0L)).as("n_oov"),
+        count(lit(1)).as("n_terms"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov_terms"))
+      .withColumn("oov_frac",
+        floor(col("n_oov").cast("double") / col("n_tokens").cast("double") * 1e6 + 0.5) / 1e6)
+      .select(col("source"), col("n_tokens"), col("n_oov"), col("oov_frac"),
+        col("n_terms"), col("n_oov_terms"))
+      .orderBy(col("source"))
+  }
 }

@@ -40,6 +40,8 @@ object ScaleSmoke {
     "q_wb_logprob", "q_kn_logprob",
     "q_heaps_law", "q_quality_calibration",
     "q_entropy_rate", "q_roc_points", "q_semantic_dedup_pq", "q_winnow_stats",
+    "q_dsir_weights", "q_mixture_execute", "q_vocab_coverage",
+    "q_sem_decontamination" /* eval side fixed: work grows with corpus, not eval² */,
     "q_ivf_pq_topk" /* fixed query count: probe work grows with data, not queries² */,
     "q_ngram_jaccard" /* bounded kernel: must stay FLAT, not 10× */)
 

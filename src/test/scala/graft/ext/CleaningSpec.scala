@@ -792,4 +792,32 @@ class CleaningSpec extends SparkTestBase {
     assert(agree.toDouble / exact.size > 0.9,
       s"approx buckets diverge too much: $agree/${exact.size}")
   }
+
+  test("vocab coverage: hand-computed OOV fractions; boundary tie is lexicographic") {
+    import spark.implicits._
+    // global counts: a=3, b=2, c=1 -> V=2 vocab = {a, b}, c is OOV
+    val docs = Seq(
+      (1L, "A", "a a a b"),
+      (2L, "B", "b c")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.vocabCoverageDf(docs, vocabSize = 2).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out("A") == ((4L, 0L, 0.0, 2L, 0L)), s"source A: ${out("A")}")
+    assert(out("B") == ((2L, 1L, 0.5, 2L, 1L)), s"source B: ${out("B")}")
+    // boundary tie: b and c both count 2 -> lexicographic keeps b
+    val tied = Seq((1L, "A", "a a c b b c")).toDF("doc_id", "source", "text")
+    val t = TextAnalysis.vocabCoverageDf(tied, vocabSize = 2).collect().head
+    assert(t.getLong(2) == 2L && t.getLong(5) == 1L,
+      s"tie at the vocab boundary must resolve lexicographically: $t")
+    // fixture-wide invariants at sf: fractions in [0,1], tokens conserve
+    val full = TextAnalysis.vocabCoverage(spark, sfDir).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(5) <= r.getLong(4))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    assert(full.exists(_.getLong(2) > 0),
+      "fixture must exercise the OOV branch (V=16 < 31 fixture terms)")
+  }
 }

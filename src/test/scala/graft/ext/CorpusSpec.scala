@@ -324,4 +324,55 @@ class CorpusSpec extends SparkTestBase {
     assert(ran == 1,
       s"query builders must be lazy — ${ran - 1} extra job(s) ran at plan build")
   }
+
+  test("dsir: target-like doc outranks unrelated doc; weights deterministic") {
+    // target slice (%20 == 7) speaks alpha/beta; raw doc 1 mimics it,
+    // raw doc 2 shares no bigram with anything
+    val docs = Seq(
+      (7L, "alpha beta gamma alpha beta"),
+      (27L, "beta gamma alpha beta gamma"),
+      (1L, "alpha beta gamma alpha"),
+      (2L, "zig zag zig zag zig")).toDF("doc_id", "text")
+    val pred = $"doc_id" % 20 === 7
+    val w = Corpus.dsirWeightsDf(docs, pred).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(w.keySet == Set(1L, 2L), "exactly the raw docs are scored")
+    assert(w(1L)._1 == 3 && w(2L)._1 == 4, "n_grams = tokens - 1")
+    assert(w(1L)._2 > w(2L)._2,
+      s"target-like doc must outweigh unrelated doc: $w")
+    // target-slice grams dominate doc 1's buckets -> its average LLR is
+    // positive; doc 2's buckets are raw-only -> negative
+    assert(w(1L)._2 > 0 && w(2L)._2 < 0, s"LLR signs: $w")
+    val w2 = Corpus.dsirWeightsDf(docs, pred).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(w == w2, "weights must be deterministic")
+  }
+
+  test("dsir: selection is top-k of the weight table, rank-ordered") {
+    val sel = Corpus.dsirSelect(spark, sfDir, k = 10).collect()
+    assert(sel.length == 10)
+    assert(sel.map(_.getInt(0)).toSeq == (1 to 10), "ranks must be 1..k")
+    val avgs = sel.map(_.getLong(4))
+    assert(avgs.toSeq == avgs.sorted.reverse.toSeq,
+      "selection must be weight-descending")
+    val all = Corpus.dsirWeights(spark, sfDir).collect().map(_.getLong(3))
+    assert(avgs.head == all.max, "rank 1 must carry the global max weight")
+  }
+
+  test("mixtureExecute: achieved counts within plan bounds; huge budget keeps all") {
+    val out = Corpus.mixtureExecute(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "kept docs exceed doc count")
+      assert(r.getDouble(5) >= 0.0, "achieved ratio negative")
+    }
+    // a budget far above the corpus token count drives every rate to 1.0
+    // -> every non-null-text doc is kept
+    val all = Corpus.mixtureExecute(spark, sfDir, budgetTokens = 1000000000L)
+      .collect()
+    val nonNull = graft.Tables.documents(spark, sfDir)
+      .filter($"text".isNotNull).count()
+    assert(all.map(_.getLong(3)).sum == nonNull,
+      "rate >= 1 must keep every non-null-text document")
+  }
 }

@@ -499,4 +499,34 @@ class DedupSimilaritySpec extends SparkTestBase {
     val again = Similarity.semanticDedupStats(spark, sfDir).collect()
     assert(stats.toSeq == again.toSeq, "stats must be run-to-run deterministic")
   }
+
+  test("semantic decontamination: planted eval copy flagged, zero-norm guarded") {
+    import spark.implicits._
+    // eval slice = %20 == 7: id 7 along axis 0, id 27 along axis 1;
+    // corpus: id 1 copies eval 7, id 2 is near-orthogonal to both,
+    // id 3 is the zero vector (guard: scores 0.0, never NaN/error)
+    val emb = Seq(
+      (7L, Array(1f, 0f, 0f)),
+      (27L, Array(0f, 1f, 0f)),
+      (1L, Array(2f, 0f, 0f)),
+      (2L, Array(0f, 0f, 5f)),
+      (3L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminationDf(emb, tau = 0.9).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "exactly the corpus vectors report")
+    assert(out(1L) == ((1.0, 7L, true)),
+      s"scaled copy of eval 7 must be contaminated via eval 7: ${out(1L)}")
+    assert(out(2L)._1 == 0.0 && !out(2L)._3,
+      s"orthogonal vector must be clean: ${out(2L)}")
+    assert(out(3L)._1 == 0.0 && !out(3L)._3,
+      s"zero-norm vector must score 0.0, not NaN: ${out(3L)}")
+    // tie-break: equidistant from both eval vectors -> smallest eval id
+    val tie = Seq(
+      (7L, Array(1f, 0f)), (27L, Array(0f, 1f)),
+      (1L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    val t = Similarity.semanticDecontaminationDf(tie, tau = 0.9).collect()
+    assert(t.length == 1 && t.head.getLong(2) == 7L,
+      "cosine tie must resolve to the smallest eval id")
+  }
 }

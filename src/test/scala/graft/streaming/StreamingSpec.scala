@@ -543,4 +543,52 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch, s"streamed $streamed != batch $batch")
     assert(batch.keySet == Set("g0", "g1", "g2") && batch.values.forall(_.length == 5))
   }
+
+  test("streaming DSIR scoring: per-batch weights vs frozen model match batch mode") {
+    implicit val sqlCtx = spark.sqlContext
+    // base corpus: target slice (%20 == 7) speaks alpha/beta, raw slice
+    // mixes; the frozen model scores arrivals, including an
+    // out-of-vocabulary doc whose buckets the base never saw
+    val base = Seq(
+      (7L, "alpha beta gamma alpha beta"),
+      (27L, "beta gamma alpha beta gamma"),
+      (1L, "alpha beta gamma alpha"),
+      (2L, "zig zag zig zag zig")).toDF("doc_id", "text")
+    val arrivals = Seq(
+      10L -> "alpha beta gamma",                 // target-like
+      11L -> "zig zag zig",                      // raw-only grams
+      12L -> "never seen tokens arriving here")  // all OOV buckets
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("dsir_out").toString
+    val ckpt = Files.createTempDirectory("dsir_ckpt").toString
+    val query = graft.ext.Corpus.dsirScoreSink(
+      input.toDF().toDF("doc_id", "text"), base, out, ckpt,
+      triggerMs = 50L).start()
+    try {
+      input.addData(arrivals(0), arrivals(1))
+      query.processAllAvailable()
+      input.addData(arrivals(2))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out)
+      .select($"doc_id", $"n_grams", $"llr_micro", $"avg_llr_nano")
+      .collect().map(_.toSeq).toSet
+    // batch reference: score the same arrivals against the same base
+    // model + OOV constant via the public against-form
+    val delta = graft.ext.Corpus.dsirDeltaTable(base, $"doc_id" % 20 === 7)
+    val tot = 8L -> 7L // target/raw gram totals of the base fixture
+    def snapLn(t: Long) = math.floor(math.log(1.0 / (t + 4096)) * 1e6 + 0.5).toLong
+    val oov = snapLn(tot._1) - snapLn(tot._2)
+    val batch = graft.ext.Corpus
+      .dsirScoreAgainst(arrivals.toDF("doc_id", "text"), delta, oov)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    val byDoc = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(byDoc(10L) > 0, "target-like arrival must score positive")
+    assert(byDoc(11L) < 0, "raw-only arrival must score negative")
+    // OOV delta of this fixture: ln(1/(8+B)) - ln(1/(7+B)) < 0 slightly
+    assert(byDoc(12L) == oov * 1000,
+      "all-OOV doc must carry exactly the OOV constant per gram")
+  }
 }
