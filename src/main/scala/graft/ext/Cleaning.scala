@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.{WinnowExpression, WinnowKernel}
 
 /** Heuristic corpus-cleaning operators: the rule-based document filter
   * battery (Gopher-style, Rae et al. 2021 §A1.1) and cross-document
@@ -279,6 +280,19 @@ object Cleaning {
         i => xxhash64(concat_ws(" ", slice(t, i, lit(n))))))
       .otherwise(array().cast("array<bigint>"))
 
+  /** Span count of a token array WITHOUT materializing the span-hash
+    * array: `max(|t| − n + 1, 0)` — arithmetic on the token count, by
+    * construction equal to `size(spanHashesOf(t, n))`. Call sites that
+    * need both the count and the winnowed fingerprints use this instead
+    * of binding the span-hash array to an attribute: a bound attribute
+    * referenced twice blocks CollapseProject, and the resulting
+    * materialized intermediate array measured ~12× slower than the
+    * fully fused pipeline at sf0.1 (0.28 s vs 3.4 s for the
+    * fingerprint-explode stage).
+    */
+  private def nSpansOf(t: Column, n: Int): Column =
+    greatest(size(t) - (n - 1), lit(0)).cast("long")
+
   /** DISTINCT span hashes of a static base corpus — the keeper set the
     * streaming form of span dedup checks arrivals against. One corpus
     * pass, one distinct on the 8-byte hash.
@@ -365,39 +379,27 @@ object Cleaning {
     * shares at least one selected fingerprint between documents —
     * unlike min-hash sketches, matches are POSITIONAL and local.
     * Exposed as a pure function over a primitive array so the
-    * guarantee is property-testable directly (CleaningSpec).
+    * guarantee is property-testable directly (CleaningSpec). The
+    * kernel itself lives in [[graft.functions.WinnowKernel]], shared
+    * with the codegen'd [[graft.functions.WinnowFingerprints]]
+    * expression the DataFrame operators below run on — one
+    * implementation under both the property tests and the plans.
     */
-  def winnowSelect(hashes: Array[Long], w: Int): Vector[Int] = {
-    require(w >= 1, s"window must be >= 1, got $w")
-    val n = hashes.length
-    if (n == 0) return Vector.empty
-    val lastStart = math.max(n - w, 0)
-    val out = Vector.newBuilder[Int]
-    var last = -1
-    var s = 0
-    while (s <= lastStart) {
-      val e = math.min(s + w, n)
-      var best = s
-      var i = s + 1
-      while (i < e) { if (hashes(i) <= hashes(best)) best = i; i += 1 }
-      if (best != last) { out += best; last = best }
-      s += 1
-    }
-    out.result()
-  }
+  def winnowSelect(hashes: Array[Long], w: Int): Vector[Int] =
+    WinnowKernel.selectPositions(hashes, w).toVector
 
-  /** (n_spans, selected fingerprint hashes) kernel over a span-hash
-    * array — one unboxed copy per call (the PQ-encoder lesson), then
-    * the pure [[winnowSelect]].
+  /** Column form of the winnowing selection over a span-hash array —
+    * the native [[graft.functions.WinnowFingerprints]] expression.
+    * The former Scala-UDF form (returning a `(n_spans, fps)` struct)
+    * was the measured hot spot of the whole family: exploding its
+    * boxed output array cost ~5× the codegen'd explode of the span
+    * hashes it came from. Call sites FUSE this over [[spanHashesOf]]
+    * inline (never binding the span-hash array to an attribute first —
+    * see [[nSpansOf]] for the measured penalty) so the whole
+    * tokens→hashes→selection chain stays in one codegen stage.
     */
-  private def winnowUdf(w: Int) = udf { hs: scala.collection.Seq[Long] =>
-    val arr = new Array[Long](hs.length)
-    val it = hs.iterator
-    var j = 0
-    while (it.hasNext) { arr(j) = it.next(); j += 1 }
-    val sel = winnowSelect(arr, w)
-    (arr.length.toLong, sel.map(arr(_)).toArray)
-  }
+  private def winnowFps(sh: Column, w: Int): Column =
+    WinnowExpression.winnowFingerprints(sh, w)
 
   /** Per-document winnowing fingerprint audit: span count, selected
     * fingerprint count, and density. Winnowing's expected density is
@@ -418,9 +420,8 @@ object Cleaning {
   def winnowFingerprintStatsDf(docs: DataFrame, n: Int = 5, w: Int = 4): DataFrame =
     Tables.fanOut(docs).filter(col("text").isNotNull)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
-      .select(col("doc_id"), winnowUdf(w)(spanHashesOf(col("t"), n)).as("fp"))
-      .select(col("doc_id"), col("fp._1").as("n_spans"),
-        size(col("fp._2")).cast("long").as("n_fingerprints"))
+      .select(col("doc_id"), nSpansOf(col("t"), n).as("n_spans"),
+        size(winnowFps(spanHashesOf(col("t"), n), w)).cast("long").as("n_fingerprints"))
       .withColumn("density",
         when(col("n_spans") > 0,
           round(col("n_fingerprints").cast("double") / col("n_spans"), 6))
@@ -450,8 +451,7 @@ object Cleaning {
     val fps = docs
       .filter(col("text").isNotNull && col("doc_id") < idLimit)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
-      .select(col("doc_id"), explode(winnowUdf(w)(spanHashesOf(col("t"), n))
-        .getField("_2")).as("h"))
+      .select(col("doc_id"), explode(winnowFps(spanHashesOf(col("t"), n), w)).as("h"))
       .distinct()
     val a = fps.as("a")
     val b = fps.as("b")
@@ -569,12 +569,16 @@ object Cleaning {
   def winnowSpanDedupStatsDf(docs: DataFrame, n: Int = 5, w: Int = 4,
                              maxDupFrac: Double = 0.2): DataFrame = {
     val toksed = packGuardedTokens(docs, n)
-    val withFp = toksed
-      .select(col("doc_id"), winnowUdf(w)(spanHashesOf(col("t"), n)).as("fp"))
-      .select(col("doc_id"), col("fp._1").as("n_spans"), col("fp._2").as("fps"))
     val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val candidates = withFp
-      .select(col("doc_id"), explode(col("fps")).as("h"))
+    // the explode is FUSED over the winnow expression (no intermediate
+    // fps attribute): InferFiltersFromGenerate turns an attribute-bound
+    // explode into a size()>0 filter that predicate pushdown re-expands
+    // to the FULL tokenize→hash→winnow chain below the scan — the whole
+    // narrow pass evaluated twice, measured 4.2 s vs 0.35 s at sf0.1.
+    // A fused (expensive-expression) generator child is exempt from the
+    // inference, keeping one evaluation inside one codegen stage.
+    val candidates = toksed
+      .select(col("doc_id"), explode(winnowFps(spanHashesOf(col("t"), n), w)).as("h"))
       .withColumn("cnt", count(lit(1)).over(wh))
       .filter(col("cnt") > 1)
       .select(col("doc_id")).distinct()
@@ -589,7 +593,7 @@ object Cleaning {
       .select(shiftright(col("pk"), 20).as("doc_id"),
         (col("cnt") > 1 && col("pk") =!= col("keeper")).cast("long").as("removed"))
       .groupBy(col("doc_id")).agg(sum(col("removed")).as("n_removed"))
-    val full = withFp.select(col("doc_id"), col("n_spans"))
+    val full = toksed.select(col("doc_id"), nSpansOf(col("t"), n).as("n_spans"))
       .join(removedPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_spans"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
@@ -604,8 +608,7 @@ object Cleaning {
   def winnowKeeperFingerprints(docs: DataFrame, n: Int = 5, w: Int = 4): DataFrame =
     Tables.fanOut(docs).filter(col("text").isNotNull)
       .select(TextAnalysis.tokens(col("text")).as("t"))
-      .select(explode(winnowUdf(w)(spanHashesOf(col("t"), n))
-        .getField("_2")).as("h"))
+      .select(explode(winnowFps(spanHashesOf(col("t"), n), w)).as("h"))
       .distinct()
 
   /** Winnow-accelerated span-dedup stats AGAINST a static base: an
@@ -622,21 +625,20 @@ object Cleaning {
   def winnowSpanDedupStatsAgainst(docs: DataFrame, baseFps: DataFrame,
                                   keeperSpans: DataFrame, n: Int = 5,
                                   w: Int = 4, maxDupFrac: Double = 0.2): DataFrame = {
-    val withFp = Tables.fanOut(docs).filter(col("text").isNotNull)
+    val toksed = Tables.fanOut(docs).filter(col("text").isNotNull)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
-      .select(col("doc_id"), col("t"), winnowUdf(w)(spanHashesOf(col("t"), n)).as("fp"))
-      .select(col("doc_id"), col("t"),
-        col("fp._1").as("n_spans"), col("fp._2").as("fps"))
-    val candidates = withFp.select(col("doc_id"), explode(col("fps")).as("h"))
+    // fused explode — see winnowSpanDedupStatsDf's candidates note
+    val candidates = toksed
+      .select(col("doc_id"), explode(winnowFps(spanHashesOf(col("t"), n), w)).as("h"))
       .join(baseFps.select(col("h")), Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
-    val removedPerDoc = withFp.join(candidates, Seq("doc_id"))
+    val removedPerDoc = toksed.join(candidates, Seq("doc_id"))
       .select(col("doc_id"), explode(spanHashesOf(col("t"), n)).as("h"))
       .join(keeperSpans.select(col("h")).distinct().withColumn("dup", lit(1L)),
         Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(sum(coalesce(col("dup"), lit(0L))).as("n_removed"))
-    val full = withFp.select(col("doc_id"), col("n_spans"))
+    val full = toksed.select(col("doc_id"), nSpansOf(col("t"), n).as("n_spans"))
       .join(removedPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_spans"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))

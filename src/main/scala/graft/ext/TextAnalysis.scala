@@ -472,9 +472,13 @@ object TextAnalysis {
 
   /** DataFrame form (docs must have doc_id + text). */
   def unigramLogProbDf(docs: DataFrame): DataFrame = {
+    // explode FUSED over the tokenizer expression: binding the token
+    // array to an attribute first lets InferFiltersFromGenerate push a
+    // size()>0 filter below the projection, where alias substitution
+    // re-expands it to a SECOND split() per document (2.3× on this
+    // stage at sf0.1) — see Cleaning.winnowSpanDedupStatsDf's note
     val toks = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("tot")) // scalar; broadcast below
     val scaled = toks.join(counts, "term")
@@ -1865,9 +1869,9 @@ object TextAnalysis {
 
   def tfidfTopTerms(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, d)
+    // fused explode — see unigramLogProbDf's note
     val toks = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = toks.distinct()

@@ -241,4 +241,34 @@ class PlanShapeSpec extends SparkTestBase {
     assert(shuffleExchanges("q_token_entropy") <= 1,
       s"entropy plan grew a shuffle:\n${plan("q_token_entropy")}")
   }
+
+  test("InferFiltersFromGenerate must not duplicate narrow kernels into filters") {
+    // An explode over an ATTRIBUTE aliased to an expensive array
+    // expression lets InferFiltersFromGenerate add a size()>0 filter
+    // that predicate pushdown re-expands through the alias — the whole
+    // tokenize→hash→winnow chain evaluated a SECOND time per document
+    // below the scan (measured 12× on the fingerprint-explode stage,
+    // 2.3× on a bare token explode at sf0.1). The fix fuses the
+    // generator child (an expensive generator child is exempt from the
+    // inference, SPARK-36715); these pins fail if a refactor re-binds
+    // the arrays to attributes and the duplicated kernel returns.
+    val pw = plan("q_winnow_span_dedup")
+    assert("winnow_fingerprints\\(".r.findAllIn(pw).length == 1,
+      s"winnow kernel must appear exactly once (fused in the candidate explode):\n$pw")
+    assert(!pw.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("winnow_fingerprints")),
+      s"winnow kernel leaked into a Filter:\n$pw")
+    for (q <- Seq("q_unigram_logprob", "q_tfidf_top_terms")) {
+      val p = plan(q)
+      assert(!p.linesIterator.exists(l =>
+        l.contains("Filter") && l.contains("split(trim")),
+        s"$q: tokenizer duplicated into a Filter:\n$p")
+    }
+    // and the winnow composition's exchange budget: the fingerprint
+    // window (~2/(w+1) of the span stream — the operator's reason to
+    // exist), the candidate-doc distinct, the candidate span window,
+    // the per-doc rollup, and the presentation sort
+    assert(shuffleExchanges("q_winnow_span_dedup") <= 5,
+      s"winnow span dedup grew a shuffle:\n$pw")
+  }
 }
