@@ -169,7 +169,9 @@ object SparkEntry {
     "q_dsir_select"       -> ((s: SparkSession, d: String) => ext.Corpus.dsirSelect(s, d)),
     "q_mixture_execute"   -> ((s: SparkSession, d: String) => ext.Corpus.mixtureExecute(s, d)),
     "q_sem_decontamination" -> ((s: SparkSession, d: String) => Similarity.semanticDecontamination(s, d)),
-    "q_vocab_coverage"    -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d))
+    "q_vocab_coverage"    -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
+    "q_epoch_order"       -> ((s: SparkSession, d: String) => ext.Corpus.epochShuffleShards(s, d)),
+    "q_shard_stats"       -> ((s: SparkSession, d: String) => ext.Corpus.shardStats(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -653,6 +655,21 @@ object SparkEntry {
         "ELSE 'test' END AS split FROM documents) " +
         "SELECT source, split, COUNT(*) AS n_docs FROM s " +
         "GROUP BY source, split ORDER BY source, split"),
+    // epoch shuffle: shard = first hex char of md5('1:' || text), pos =
+    // rank of the same hash within the shard (doc_id tiebreak is
+    // unreachable short of an md5 collision but keeps the window total)
+    "q_epoch_order" ->
+      ("WITH h AS (SELECT doc_id, md5('1:' || text) AS h FROM documents " +
+        "WHERE text IS NOT NULL) " +
+        "SELECT doc_id, substring(h, 1, 1) AS shard, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY substring(h, 1, 1) " +
+        "ORDER BY h, doc_id) AS BIGINT) AS pos " +
+        "FROM h ORDER BY shard, pos"),
+    "q_shard_stats" ->
+      ("SELECT substring(md5('1:' || text), 1, 1) AS shard, " +
+        "COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS n_chars " +
+        "FROM documents WHERE text IS NOT NULL " +
+        "GROUP BY 1 ORDER BY shard"),
     // decontamination: distinct 5-gram overlap between the eval slice
     // (doc_id % 20 = 7) and the training remainder. The list_transform
     // range mirrors Dedup.shinglesOfTokens exactly: greatest(len-4, 1)

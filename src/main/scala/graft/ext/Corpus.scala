@@ -39,6 +39,67 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("source"), col("split"))
 
+  /** Deterministic per-EPOCH corpus permutation + shard assignment —
+    * the training-order stage between curation and the data loader:
+    * every epoch needs a different, reproducible, resumable global
+    * shuffle of the corpus, split into shards a loader can consume in
+    * parallel. Each document's shard is the first `shardHexChars` hex
+    * chars of md5(epoch ":" text) (16^k uniform shards, the
+    * [[splitAssignments]] hash-as-uniform trick salted by epoch), and
+    * its position within the shard is the rank of that same hash — so
+    * (shard, pos) is a pure function of (epoch, content).
+    *
+    * Why hash-derived order instead of `orderBy(rand(seed))`: rand()
+    * is seeded PER PARTITION INDEX, so a lost executor's task retry —
+    * or any upstream repartition — replays a DIFFERENT permutation
+    * mid-job; content-hash order is identical across retries,
+    * re-crawls, and cluster sizes, and a resumed training run can
+    * reproduce the tail of an epoch from (epoch, shard, pos) alone.
+    *
+    * Scale shape: one exchange keyed on the shard prefix + an
+    * in-partition sort (the window ORDER BY) — a distributed total
+    * order WITHOUT a global range sort, because inter-shard order is
+    * free (shard ids ARE the leading hash bits: concatenating shards
+    * 0..f in id order equals the one-key md5 total order). Loaders
+    * stream shards independently; skew is the md5 balance (uniform).
+    */
+  def epochShuffleShards(spark: SparkSession, d: String, epoch: Int = 1,
+                         shardHexChars: Int = 1): DataFrame =
+    epochShuffleShardsDf(Tables.documents(spark, d), epoch, shardHexChars)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def epochShuffleShardsDf(docs: DataFrame, epoch: Int = 1,
+                           shardHexChars: Int = 1): DataFrame = {
+    require(shardHexChars >= 1 && shardHexChars <= 4,
+      s"shardHexChars must be in [1, 4] (16..65536 shards), got $shardHexChars")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        md5(concat(lit(s"$epoch:"), col("text")).cast("binary")).as("h"))
+      .withColumn("shard", substring(col("h"), 1, shardHexChars))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** Per-shard balance audit for [[epochShuffleShards]]: document and
+    * character counts per shard — the check a pipeline runs before
+    * pointing N loader workers at 16^k shards (a skewed shard starves
+    * the other workers at epoch end; md5 uniformity makes skew here a
+    * bug signal, not a data property).
+    */
+  def shardStats(spark: SparkSession, d: String, epoch: Int = 1,
+                 shardHexChars: Int = 1): DataFrame =
+    Tables.documents(spark, d).filter(col("text").isNotNull)
+      .select(
+        substring(md5(concat(lit(s"$epoch:"), col("text")).cast("binary")),
+          1, shardHexChars).as("shard"),
+        length(col("text")).cast("long").as("len"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_chars"))
+      .orderBy(col("shard"))
+
   /** Sequence packing: greedy first-fit of documents into packs of at
     * most `budget` whitespace tokens (the training-batch shaping step
     * that turns ragged documents into near-full fixed-size sequences).

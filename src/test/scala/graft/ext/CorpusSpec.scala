@@ -375,4 +375,36 @@ class CorpusSpec extends SparkTestBase {
     assert(all.map(_.getLong(3)).sum == nonNull,
       "rate >= 1 must keep every non-null-text document")
   }
+
+  test("epoch shuffle: total permutation, partition-layout-invariant, epoch-salted") {
+    val docs = graft.Tables.documents(spark, sfDir).filter($"text".isNotNull)
+    val e1 = Corpus.epochShuffleShards(spark, sfDir).collect()
+    // every non-null-text doc appears exactly once
+    assert(e1.map(_.getLong(0)).distinct.length == e1.length)
+    assert(e1.length == docs.count())
+    // positions are contiguous 1..n within each shard (a loader resumes
+    // from (shard, pos) — gaps would skip documents silently)
+    e1.groupBy(_.getString(1)).foreach { case (shard, rows) =>
+      val ps = rows.map(_.getLong(2)).sorted
+      assert(ps.toSeq == (1L to ps.length).toSeq, s"shard $shard positions not contiguous")
+    }
+    // layout invariance — the retry/resume property rand() lacks: the
+    // same corpus under a different partitioning yields the SAME order
+    val reshaped = Corpus.epochShuffleShardsDf(
+      docs.repartition(7, $"doc_id")).collect()
+    assert(e1.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ==
+      reshaped.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet,
+      "permutation must not depend on physical partitioning")
+    // different epoch -> different permutation (salt reaches the hash)
+    val e2 = Corpus.epochShuffleShardsDf(docs, epoch = 2).collect()
+    val m1 = e1.map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val m2 = e2.map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(m1.keySet == m2.keySet)
+    assert(m1.count { case (k, v) => m2(k) == v } < m1.size / 2,
+      "epoch salt must reshuffle most of the corpus")
+    // shard stats reconcile with the per-doc view
+    val stats = Corpus.shardStats(spark, sfDir).collect()
+    val fromDocs = e1.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    assert(stats.map(r => r.getString(0) -> r.getLong(1)).toMap == fromDocs)
+  }
 }
