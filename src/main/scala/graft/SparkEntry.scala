@@ -171,7 +171,9 @@ object SparkEntry {
     "q_sem_decontamination" -> ((s: SparkSession, d: String) => Similarity.semanticDecontamination(s, d)),
     "q_vocab_coverage"    -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
     "q_epoch_order"       -> ((s: SparkSession, d: String) => ext.Corpus.epochShuffleShards(s, d)),
-    "q_shard_stats"       -> ((s: SparkSession, d: String) => ext.Corpus.shardStats(s, d))
+    "q_shard_stats"       -> ((s: SparkSession, d: String) => ext.Corpus.shardStats(s, d)),
+    // rows-only: deflated byte counts aren't portable across zlib builds
+    "q_compression_ratio" -> ((s: SparkSession, d: String) => TextAnalysis.compressionStats(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles

@@ -376,6 +376,36 @@ class CorpusSpec extends SparkTestBase {
       "rate >= 1 must keep every non-null-text document")
   }
 
+  test("compression ratio: repetitive text flags low, random-ish text high, order sane") {
+    import org.apache.spark.sql.functions.lit
+    val rnd = new scala.util.Random(7)
+    val randomish = (1 to 400).map(_ => rnd.alphanumeric.take(8).mkString).mkString(" ")
+    val docs = Seq(
+      (0L, ("repeat me " * 400).trim),     // long-range repetition
+      (1L, randomish),                     // high-entropy tokens
+      (2L, ""),                            // degenerate: ratio defined as 1.0
+      (4L, "plain short sentence with a few ordinary words in it")
+    ).toDF("doc_id", "text")
+      .union(Seq((3L, null.asInstanceOf[String])).toDF("id", "t")
+        .select($"id".as("doc_id"), lit(null).cast("string").as("text")))
+    val out = TextAnalysis.compressionStatsDf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getDouble(3) < out(1L).getDouble(3),
+      "repetitive text must compress better than high-entropy text")
+    assert(out(0L).getBoolean(4) && !out(0L).getBoolean(5), "repeats flag too_repetitive")
+    assert(out(1L).getDouble(3) > 0.5, s"alphanumeric soup barely compresses: ${out(1L)}")
+    assert(out(2L).getDouble(3) == 1.0 && out(3L).getDouble(3) == 1.0,
+      "empty/null text define ratio 1.0")
+    out.values.foreach { r =>
+      assert(r.getDouble(3) > 0.0, s"ratio must be positive: $r")
+      assert(r.getBoolean(6) == (!r.getBoolean(4) && !r.getBoolean(5)))
+    }
+    // deterministic across runs (fresh Deflater per doc, fixed level)
+    val again = TextAnalysis.compressionStatsDf(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(again == out.view.mapValues(_.getDouble(3)).toMap)
+  }
+
   test("epoch shuffle: total permutation, partition-layout-invariant, epoch-salted") {
     val docs = graft.Tables.documents(spark, sfDir).filter($"text".isNotNull)
     val e1 = Corpus.epochShuffleShards(spark, sfDir).collect()
