@@ -173,7 +173,11 @@ object SparkEntry {
     "q_epoch_order"       -> ((s: SparkSession, d: String) => ext.Corpus.epochShuffleShards(s, d)),
     "q_shard_stats"       -> ((s: SparkSession, d: String) => ext.Corpus.shardStats(s, d)),
     // rows-only: deflated byte counts aren't portable across zlib builds
-    "q_compression_ratio" -> ((s: SparkSession, d: String) => TextAnalysis.compressionStats(s, d))
+    "q_compression_ratio" -> ((s: SparkSession, d: String) => TextAnalysis.compressionStats(s, d)),
+    // rows-only pair: the BPE merge loop is not SQL-expressible (encode
+    // correctness is property-tested; the merge table is deterministic)
+    "q_bpe_merges"        -> ((s: SparkSession, d: String) => TextAnalysis.bpeMerges(s, d)),
+    "q_bpe_stats"         -> ((s: SparkSession, d: String) => TextAnalysis.bpeStats(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles

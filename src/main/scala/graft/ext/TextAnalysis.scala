@@ -254,6 +254,89 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE merge table learned from a bounded corpus sample — real
+    * byte-pair encoding (Sennrich et al. 2016) replacing the
+    * [[bpeishTokenCount]] regex heuristic: the merge loop lives in the
+    * pure [[graft.functions.BpeKernel]] (property-tested on the classic
+    * low/lower/newest fixture), and this entry point feeds it word
+    * frequencies aggregated from the `maxSampleDocs` LOWEST doc_ids,
+    * capped to the `maxVocab` most frequent words (count desc, word asc
+    * — fully deterministic). Tokenizer training on a sample is the
+    * industry shape (nobody trains merges on 100 TB; frequency ranks
+    * stabilize far below sample exhaustion), and the bounded collect
+    * follows the IVF-PQ codebook precedent (Similarity.scala): the
+    * driver holds O(maxVocab) state, never the corpus.
+    */
+  def bpeMerges(spark: SparkSession, d: String, nMerges: Int = 200,
+                maxSampleDocs: Int = 1024, maxVocab: Int = 4096): DataFrame = {
+    val merges = trainedMerges(spark, d, nMerges, maxSampleDocs, maxVocab)
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r, l + r) }.toSeq
+      .toDF("rank", "left", "right", "merged")
+  }
+
+  private def trainedMerges(spark: SparkSession, d: String, nMerges: Int,
+                            maxSampleDocs: Int, maxVocab: Int): Vector[(String, String)] = {
+    val freqs = Tables.documents(spark, d)
+      .filter(col("text").isNotNull && col("doc_id") < maxSampleDocs)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(maxVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.functions.BpeKernel.train(freqs, nMerges)
+  }
+
+  /** Per-document subword statistics under the trained BPE merges — the
+    * token-budget audit a pipeline runs before paying for a training
+    * run (sequence budgets, packing targets, and cost estimates are in
+    * SUBWORDS, not whitespace words; chars-per-token is the fertility
+    * signal that flags sources a vocabulary shreds).
+    *
+    * Scale shape: each word TYPE is encoded once, not each occurrence —
+    * the (doc, word) stream pre-aggregates map-side, the corpus
+    * VOCABULARY (orders of magnitude smaller than the corpus) runs the
+    * encode kernel as a narrow map with the ranked merges captured in
+    * the closure (O(nMerges) per task), and the per-doc rollup is the
+    * tfidf join topology. Encoding per occurrence would run the merge
+    * loop corpus-token times for zero additional information.
+    *
+    * Rows-only check: the iterative merge loop is not SQL-expressible;
+    * encode correctness is property-tested (round-trip concatenation,
+    * hand-computed merges, monotonicity in nMerges).
+    */
+  def bpeStats(spark: SparkSession, d: String, nMerges: Int = 200,
+               maxSampleDocs: Int = 1024, maxVocab: Int = 4096): DataFrame = {
+    val ranks = trainedMerges(spark, d, nMerges, maxSampleDocs, maxVocab)
+      .zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val encLen = udf { w: String =>
+      graft.functions.BpeKernel.encode(w, ranks).length.toLong
+    }
+    val docs = Tables.fanOut(Tables.documents(spark, d))
+      .filter(col("text").isNotNull)
+    val wc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+    val vocabEnc = wc.select(col("word")).distinct()
+      .select(col("word"), encLen(col("word")).as("enc_len"))
+    val perDoc = wc.join(vocabEnc, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("enc_len")).as("n_bpe_tokens"))
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        col("n_chars"))
+      .withColumn("chars_per_token",
+        when(col("n_bpe_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
   /** zlib compression ratio per document — the COMPRESSIBILITY quality
     * signal modern corpus releases ship alongside the rule battery
     * (RedPajama-v2's `ccnet_compression_ratio` style): highly

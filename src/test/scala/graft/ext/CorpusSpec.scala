@@ -376,6 +376,28 @@ class CorpusSpec extends SparkTestBase {
       "rate >= 1 must keep every non-null-text document")
   }
 
+  test("bpe stats: subword counts bounded by chars and words; merges bite; deterministic") {
+    val out = TextAnalysis.bpeStats(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val nonEmptyDocs = out.filter(_.getLong(1) > 0)
+    nonEmptyDocs.foreach { r =>
+      val (words, bpe, chars) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(bpe >= words, s"each word is at least one subword: $r")
+      assert(bpe <= chars, s"subwords cannot outnumber characters: $r")
+      assert(r.getDouble(4) >= 1.0, s"chars per token below 1: $r")
+    }
+    // merges learned on this corpus must actually compress it: with the
+    // whitespace corpus vocabulary, well under 1 subword per char
+    val totBpe = nonEmptyDocs.map(_.getLong(2)).sum.toDouble
+    val totWordChars = nonEmptyDocs.map(r => r.getLong(3)).sum.toDouble
+    assert(totBpe < totWordChars / 2, s"merges too weak: $totBpe vs $totWordChars chars")
+    val merges = TextAnalysis.bpeMerges(spark, sfDir).collect()
+    assert(merges.nonEmpty && merges.map(_.getLong(0)).toSeq == (0L until merges.length).toSeq)
+    merges.foreach(r => assert(r.getString(3) == r.getString(1) + r.getString(2)))
+    val again = TextAnalysis.bpeStats(spark, sfDir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq, "training must be deterministic")
+  }
+
   test("compression ratio: repetitive text flags low, random-ish text high, order sane") {
     import org.apache.spark.sql.functions.lit
     val rnd = new scala.util.Random(7)
