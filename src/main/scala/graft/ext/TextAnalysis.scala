@@ -310,12 +310,20 @@ object TextAnalysis {
                maxSampleDocs: Int = 1024, maxVocab: Int = 4096): DataFrame = {
     val ranks = trainedMerges(spark, d, nMerges, maxSampleDocs, maxVocab)
       .zipWithIndex.map { case (p, i) => p -> i }.toMap
+    bpeStatsWithRanks(Tables.fanOut(Tables.documents(spark, d)), ranks)
+  }
+
+  /** DataFrame form scoring `docs` under an already-trained rank table —
+    * the frozen-model half shared by the batch entry point and
+    * [[bpeScoreSink]] (train once, score many).
+    */
+  def bpeStatsWithRanks(docs: DataFrame,
+                        ranks: Map[(String, String), Int]): DataFrame = {
     val encLen = udf { w: String =>
       graft.functions.BpeKernel.encode(w, ranks).length.toLong
     }
-    val docs = Tables.fanOut(Tables.documents(spark, d))
-      .filter(col("text").isNotNull)
-    val wc = docs
+    val live = docs.filter(col("text").isNotNull)
+    val wc = live
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
     val vocabEnc = wc.select(col("word")).distinct()
@@ -324,7 +332,7 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_words"),
         sum(col("cnt") * col("enc_len")).as("n_bpe_tokens"))
-    docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    live.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
@@ -336,6 +344,64 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
       .orderBy(col("doc_id"))
   }
+
+  /** Streaming BPE subword audit (foreachBatch stage): merges are
+    * trained ONCE from the static base corpus before the stream starts
+    * (`trainBase` is consumed eagerly — the rank map is a driver-side
+    * value, so there is nothing lazy to accidentally re-train per
+    * trigger, the failure mode [[Freeze]] guards against for DataFrame
+    * state); each micro-batch scores under the frozen ranks and appends
+    * per-doc stats tagged with the batch id — the [[bpeStats]] schema
+    * under the [[graft.ext.Cleaning.gopherFilterSink]] sink contract.
+    * Per-doc output depends only on the doc and the frozen ranks, so
+    * the union of batch outputs equals the one-shot batch result
+    * (asserted in StreamingSpec).
+    */
+  def bpeScoreSink(docStream: DataFrame, trainBase: DataFrame, outPath: String,
+                   checkpoint: String, nMerges: Int = 200,
+                   maxVocab: Int = 4096, triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val freqs = trainBase.filter(col("text").isNotNull)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(maxVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ranks = graft.functions.BpeKernel.train(freqs, nMerges)
+      .zipWithIndex.map { case (p, i) => p -> i }.toMap
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          bpeStatsWithRanks(batch, ranks)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+  }
+
+  /** Streaming compression-ratio audit (foreachBatch stage): stateless
+    * per-doc kernel, so each micro-batch is scored independently and
+    * the union of batch outputs equals the one-shot batch result — the
+    * [[compressionStats]] schema under the gopherFilterSink contract.
+    */
+  def compressionSink(docStream: DataFrame, outPath: String, checkpoint: String,
+                      minRatio: Double = 0.30, maxRatio: Double = 0.95,
+                      triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          compressionStatsDf(batch, minRatio, maxRatio)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
 
   /** zlib compression ratio per document — the COMPRESSIBILITY quality
     * signal modern corpus releases ship alongside the rule battery

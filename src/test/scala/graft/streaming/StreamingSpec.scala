@@ -483,6 +483,66 @@ class StreamingSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(1L), "only the clean doc keeps")
   }
 
+  test("streaming BPE scoring: frozen merges, per-batch stats match batch mode") {
+    implicit val sqlCtx = spark.sqlContext
+    // base corpus rich in 'lowest'-family words: merges must bite on
+    // arrivals sharing the morphology and fall back to chars elsewhere
+    val base = (1L to 20L).map(i =>
+      i -> "low lower lowest newest widest low low newest").toDF("doc_id", "text")
+    val arrivals = Seq(1L -> "lowest newest low", 2L -> "zq", 3L -> "low low lowest")
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("bpe_out").toString
+    val ckpt = Files.createTempDirectory("bpe_ckpt").toString
+    val query = graft.ext.TextAnalysis.bpeScoreSink(
+      input.toDF().toDF("doc_id", "text"), base, out, ckpt, triggerMs = 50L).start()
+    try {
+      input.addData(arrivals(0))
+      query.processAllAvailable()
+      input.addData(arrivals(1), arrivals(2))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val ranks = graft.functions.BpeKernel.train(
+      Map("low" -> 60L, "lower" -> 20L, "lowest" -> 20L,
+        "newest" -> 40L, "widest" -> 20L), 200)
+      .zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val batch = graft.ext.TextAnalysis
+      .bpeStatsWithRanks(arrivals.toDF("doc_id", "text"), ranks)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    // morphology the base saw compresses; the unseen word stays chars
+    val byDoc = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byDoc(1L) < "lowestnewestlow".length, "trained merges must compress known words")
+    assert(byDoc(2L) == 2L, "unseen bigrams must fall back to one symbol per char")
+  }
+
+  test("streaming compression ratio: stateless per-batch stats match batch mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(1L -> ("repeat me " * 200).trim,
+      2L -> "ordinary words here", 3L -> "")
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("defl_out").toString
+    val ckpt = Files.createTempDirectory("defl_ckpt").toString
+    val query = graft.ext.TextAnalysis.compressionSink(
+      input.toDF().toDF("doc_id", "text"), out, ckpt, triggerMs = 50L).start()
+    try {
+      input.addData(docs(0), docs(1))
+      query.processAllAvailable()
+      input.addData(docs(2))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ext.TextAnalysis
+      .compressionStatsDf(docs.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    assert(spark.read.parquet(out).filter($"too_repetitive").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("streaming k-means assignment: per-batch histograms match batch mode") {
     implicit val sqlCtx = spark.sqlContext
     // fixed model: two centroids on the first axis
