@@ -177,7 +177,8 @@ object SparkEntry {
     // rows-only pair: the BPE merge loop is not SQL-expressible (encode
     // correctness is property-tested; the merge table is deterministic)
     "q_bpe_merges"        -> ((s: SparkSession, d: String) => TextAnalysis.bpeMerges(s, d)),
-    "q_bpe_stats"         -> ((s: SparkSession, d: String) => TextAnalysis.bpeStats(s, d))
+    "q_bpe_stats"         -> ((s: SparkSession, d: String) => TextAnalysis.bpeStats(s, d)),
+    "q_dim_truncation"    -> ((s: SparkSession, d: String) => Similarity.dimTruncationAudit(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -828,6 +829,32 @@ object SparkEntry {
         "r AS (SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
         "ORDER BY cos_sim_r DESC, neighbor_id) AS INTEGER) AS rk, neighbor_id, cos_sim_r FROM s) " +
         "SELECT query_id, rk, neighbor_id, cos_sim_r FROM r WHERE rk <= 5 ORDER BY query_id, rk"),
+    // truncation audit: per-dim top-5 over emb[1:m] (DuckDB list slices
+    // are 1-based inclusive = Spark's slice(e, 1, m)), recall against
+    // the full-dim ranking; the rounded-sim + id tiebreak rule makes
+    // rank — and therefore recall — engine-exact
+    "q_dim_truncation" -> {
+      def topkCte(name: String, expr: String) =
+        s"$name AS (SELECT query_id, neighbor_id FROM (" +
+          "SELECT query_id, c.vec_id AS neighbor_id, " +
+          s"ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY " +
+          s"round(list_cosine_similarity($expr), 6) DESC, c.vec_id) AS rk " +
+          "FROM e c JOIN q ON q.query_id <> c.vec_id) WHERE rk <= 5)"
+      val dims = Seq(4, 8, 16, 32)
+      val ctes = Seq(
+        "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb " +
+          "FROM embeddings WHERE vec_id < 8)",
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        topkCte("f", "q_emb, c.emb")) ++
+        dims.map(m => topkCte(s"t$m", s"q_emb[1:$m], c.emb[1:$m]"))
+      val unions = dims.map { m =>
+        s"SELECT CAST($m AS INTEGER) AS trunc_dim, COUNT(*) AS n_hits, " +
+          "round(COUNT(*) / 40.0, 6) AS recall_at_k " +
+          s"FROM t$m JOIN f USING (query_id, neighbor_id)"
+      }
+      ctes.mkString("WITH ", ", ", " ") +
+        unions.mkString("", " UNION ALL ", " ORDER BY trunc_dim")
+    },
     "q_embedding_near_dups" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 500) " +
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +

@@ -66,6 +66,62 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Matryoshka-style dimension-truncation audit: recall@k of cosine
+    * top-k computed on the first `m` dimensions against the full-dim
+    * ranking, for each truncation in `dims` — the measurement behind
+    * MRL-style embedding serving (Kusupati et al. 2022): how many
+    * dimensions can the ANN tier drop (a 4× payload cut is a 4× cut in
+    * every exchange [[ivfPqTopK]] carries) before recall leaves the
+    * acceptable band. Embeddings trained WITHOUT the Matryoshka loss
+    * lose recall faster — this audit is how a pipeline finds out which
+    * regime its vectors are in before sizing the serving tier.
+    *
+    * Scale shape: one broadcast-join brute-force pass per audited dim
+    * (dims+1 corpus scans; ranking shuffles only (query, score) pairs)
+    * — a VALIDATION-scale audit like [[graft.ext.TextAnalysis.hotTermsGuarantee]],
+    * not the serving path it calibrates. Similarities rank on the
+    * 6-dp-rounded value with id tiebreaks (the [[cosineTopK]] rule) so
+    * the ranking — and therefore the recall — is engine-exact.
+    */
+  def dimTruncationAudit(spark: SparkSession, d: String,
+                         dims: Seq[Int] = Seq(4, 8, 16, 32),
+                         nQueries: Int = 8, k: Int = 5): DataFrame =
+    dimTruncationAuditDf(Tables.embeddings(spark, d), dims, nQueries, k)
+
+  /** DataFrame form (embs must have vec_id + embedding). */
+  def dimTruncationAuditDf(embs: DataFrame,
+                           dims: Seq[Int] = Seq(4, 8, 16, 32),
+                           nQueries: Int = 8, k: Int = 5): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), s"bad dims: $dims")
+    def topk(m: Option[Int]): DataFrame = {
+      def cut(c: Column): Column = m.map(slice(c, 1, _)).getOrElse(c)
+      val emb = embs
+        .select(col("vec_id"), cut(col("embedding")).as("e"))
+        .select(col("vec_id"), col("e"), norm(col("e")).as("nrm"))
+      val queries = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("e").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim_r").desc, col("neighbor_id"))
+      emb.as("c")
+        .join(broadcast(queries), col("query_id") =!= col("c.vec_id"))
+        .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+          round(dot(col("q_emb"), col("c.e")) / (col("q_nrm") * col("c.nrm")), 6)
+            .as("cos_sim_r"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val full = topk(None)
+    dims.map { m =>
+      topk(Some(m)).join(full, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(m).as("trunc_dim"), col("n_hits"),
+          round(col("n_hits").cast("double") / (nQueries.toLong * k), 6)
+            .as("recall_at_k"))
+    }.reduce(_ unionAll _).orderBy(col("trunc_dim"))
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of dot(v, h_p) for
     * deterministic pseudo-random hyperplanes h_p (weights derived from
     * xxhash64 of (dim-index, plane) — no RNG state, reproducible across

@@ -529,4 +529,41 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(t.length == 1 && t.head.getLong(2) == 7L,
       "cosine tie must resolve to the smallest eval id")
   }
+
+  test("dim truncation audit: prefix-loaded signal keeps recall, tail-loaded loses it") {
+    import spark.implicits._
+    // 2 queries + 8 corpus vectors in 8 dims. Vectors are built so the
+    // FIRST 4 dims fully determine the full-dim ranking (the tail is a
+    // constant direction shared by everyone): truncating to 4 dims is
+    // lossless -> recall 1.0 at m=4.
+    val prefixLoaded = (0 until 10).map { i =>
+      val v = Array.fill(8)(0f)
+      v(i % 4) = 1f + i * 0.1f; v(4 + (i % 4)) = 0f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val pre = Similarity.dimTruncationAuditDf(prefixLoaded,
+      dims = Seq(4), nQueries = 2, k = 3).collect()
+    assert(pre.length == 1 && pre.head.getDouble(2) == 1.0,
+      s"prefix-loaded signal must be lossless at m=4: ${pre.toSeq}")
+    // flip it: the first 4 dims are IDENTICAL for everyone, all signal
+    // lives in the tail -> the m=4 ranking is a constant-similarity tie
+    // broken only by id, which cannot track the true neighbors
+    val tailLoaded = (0 until 10).map { i =>
+      val v = Array.fill(8)(0f)
+      v(0) = 1f; v(4 + (i % 4)) = 1f + i * 0.1f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val tail = Similarity.dimTruncationAuditDf(tailLoaded,
+      dims = Seq(4), nQueries = 2, k = 3).collect()
+    assert(tail.head.getDouble(2) < 1.0,
+      s"tail-loaded signal must lose recall at m=4: ${tail.toSeq}")
+    // the real table: recall weakly improves along the dim ladder ends
+    // at full recall by m=64's prefix closure on THIS data shape
+    val real = Similarity.dimTruncationAudit(spark, sfDir).collect()
+    assert(real.map(_.getInt(0)).toSeq == Seq(4, 8, 16, 32))
+    real.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getLong(1) <= 40L)
+    }
+  }
 }
