@@ -178,7 +178,8 @@ object SparkEntry {
     // correctness is property-tested; the merge table is deterministic)
     "q_bpe_merges"        -> ((s: SparkSession, d: String) => TextAnalysis.bpeMerges(s, d)),
     "q_bpe_stats"         -> ((s: SparkSession, d: String) => TextAnalysis.bpeStats(s, d)),
-    "q_dim_truncation"    -> ((s: SparkSession, d: String) => Similarity.dimTruncationAudit(s, d))
+    "q_dim_truncation"    -> ((s: SparkSession, d: String) => Similarity.dimTruncationAudit(s, d)),
+    "q_ngram_containment" -> ((s: SparkSession, d: String) => Dedup.ngramContainmentPairs(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -819,6 +820,22 @@ object SparkEntry {
         "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard " +
         "FROM g a JOIN g b ON a.doc_id < b.doc_id " +
         "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) > 0.1 " +
+        "ORDER BY id_a, id_b"),
+    // containment: same shingle sets as the jaccard oracle, both
+    // asymmetric ratios + jaccard from the same intersection counts
+    "q_ngram_containment" ->
+      ("WITH g AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, greatest(len(" + toks + ") - 2, 1)), " +
+        "i -> array_to_string((" + toks + ")[i:i+2], ' '))) AS sh " +
+        "FROM documents WHERE doc_id < 200), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb " +
+        "FROM g a JOIN g b ON a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, round(CAST(ni AS DOUBLE) / na, 6) AS contain_a, " +
+        "round(CAST(ni AS DOUBLE) / nb, 6) AS contain_b, " +
+        "round(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS jaccard " +
+        "FROM p WHERE round(CAST(ni AS DOUBLE) / na, 6) > 0.5 " +
+        "OR round(CAST(ni AS DOUBLE) / nb, 6) > 0.5 " +
         "ORDER BY id_a, id_b"),
     "q_cosine_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb " +

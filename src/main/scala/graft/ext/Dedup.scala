@@ -464,4 +464,46 @@ object Dedup {
       .filter(col("jaccard") > 0.1)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Exact token-3-gram CONTAINMENT for a bounded candidate set: both
+    * directions of |A∩B| / |side| per pair — the ASYMMETRIC near-dup
+    * measure (Broder 1997's "containment", the MinHash paper's second
+    * resemblance) that catches a short document quoted wholesale inside
+    * a long one: Jaccard dilutes by the union (a tweet inside a news
+    * roundup scores ≈ 0), while containment of the short side scores
+    * ≈ 1. A pair reports when EITHER direction clears the threshold;
+    * Jaccard rides along for contrast, computed from the same counts.
+    *
+    * Scale shape mirrors [[ngramJaccardPairs]]: the bounded id range is
+    * the oracle-checkable verification kernel; at corpus scale LSH
+    * candidates feed the same per-pair kernel — a single codegen'd
+    * merge walk emitting (n_inter, n_a, n_b) once per pair
+    * ([[graft.functions.OverlapCountsSortedArrays]]), every ratio
+    * derived arithmetic.
+    */
+  def ngramContainmentPairs(spark: SparkSession, d: String, idLimit: Int = 200,
+                            minContain: Double = 0.5): DataFrame =
+    ngramContainmentPairsDf(Tables.documents(spark, d), idLimit, minContain)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def ngramContainmentPairsDf(rawDocs: DataFrame, idLimit: Int = 200,
+                              minContain: Double = 0.5): DataFrame = {
+    val docs = Tables.fanOut(rawDocs)
+      .filter(col("doc_id") < idLimit)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), array_sort(array_distinct(shinglesOfTokens(col("toks")))).as("sh"))
+    val a = docs.as("a")
+    val b = docs.as("b")
+    a.join(broadcast(b), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        graft.functions.JaccardExpression.overlapCounts(col("a.sh"), col("b.sh")).as("oc"))
+      .select(col("id_a"), col("id_b"),
+        round(col("oc.n_inter").cast("double") / col("oc.n_a"), 6).as("contain_a"),
+        round(col("oc.n_inter").cast("double") / col("oc.n_b"), 6).as("contain_b"),
+        round(col("oc.n_inter").cast("double") /
+          (col("oc.n_a") + col("oc.n_b") - col("oc.n_inter")), 6).as("jaccard"))
+      .filter(col("contain_a") > minContain || col("contain_b") > minContain)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

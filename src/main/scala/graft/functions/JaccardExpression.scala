@@ -100,7 +100,101 @@ case class JaccardSortedArrays(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Set-overlap counts of two SORTED, DISTINCT string arrays as one
+  * codegen'd merge walk: struct(n_inter, n_a, n_b), from which callers
+  * derive Jaccard, both CONTAINMENT directions (|A∩B|/|A| and
+  * |A∩B|/|B| — the asymmetric measure that catches a short document
+  * quoted inside a long one, where Jaccard is diluted by the long
+  * side), and overlap coefficients — without walking the pair once per
+  * measure. Same null-element and ordering contract as
+  * [[JaccardSortedArrays]].
+  */
+case class OverlapCountsSortedArrays(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_inter", IntegerType, nullable = false),
+    StructField("n_a", IntegerType, nullable = false),
+    StructField("n_b", IntegerType, nullable = false)))
+  override def prettyName: String = "overlap_counts_sorted_arrays"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> arguments, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    var nxe = 0
+    var nye = 0
+    while (i < nx && j < ny) {
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (c == 0) { inter += 1; nxe += 1; nye += 1; i += 1; j += 1 }
+        else if (c < 0) { nxe += 1; i += 1 }
+        else { nye += 1; j += 1 }
+      }
+    }
+    while (i < nx) { if (!x.isNullAt(i)) nxe += 1; i += 1 }
+    while (j < ny) { if (!y.isNullAt(j)) nye += 1; j += 1 }
+    InternalRow(inter, nxe, nye)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val c = ctx.freshName("c")
+      val nxe = ctx.freshName("nxe")
+      val nye = ctx.freshName("nye")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0; int $nxe = 0; int $nye = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    if ($c == 0) { $inter++; $nxe++; $nye++; $i++; $j++; }
+         |    else if ($c < 0) { $nxe++; $i++; } else { $nye++; $j++; }
+         |  }
+         |}
+         |while ($i < $nx) { if (!$a.isNullAt($i)) $nxe++; $i++; }
+         |while ($j < $ny) { if (!$b.isNullAt($j)) $nye++; $j++; }
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { $inter, $nxe, $nye });
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object JaccardExpression {
   def jaccardSorted(a: Column, b: Column): Column =
     GraftSql.column(JaccardSortedArrays(GraftSql.expression(a), GraftSql.expression(b)))
+
+  def overlapCounts(a: Column, b: Column): Column =
+    GraftSql.column(OverlapCountsSortedArrays(GraftSql.expression(a), GraftSql.expression(b)))
 }

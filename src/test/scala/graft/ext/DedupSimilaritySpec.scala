@@ -530,6 +530,29 @@ class DedupSimilaritySpec extends SparkTestBase {
       "cosine tie must resolve to the smallest eval id")
   }
 
+  test("containment: a quoted short doc scores ~1 where jaccard dilutes") {
+    import spark.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val filler = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      1L -> quote,                        // the short original
+      2L -> s"$filler $quote",            // quotes it inside a long doc
+      3L -> "completely unrelated text about nothing in particular here"
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramContainmentPairsDf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out.keySet == Set((1L, 2L)), s"only the quote pair reports: ${out.keySet}")
+    val r = out((1L, 2L))
+    assert(r.getDouble(2) == 1.0, s"every 3-gram of the short doc is contained: $r")
+    assert(r.getDouble(3) < 0.5 && r.getDouble(4) < 0.5,
+      s"long-side containment and jaccard must be diluted: $r")
+    // symmetric near-identical pair: both directions high
+    val twins = Seq(1L -> quote, 2L -> quote).toDF("doc_id", "text")
+    val t = Dedup.ngramContainmentPairsDf(twins).collect()
+    assert(t.length == 1 && t.head.getDouble(2) == 1.0 && t.head.getDouble(3) == 1.0
+      && t.head.getDouble(4) == 1.0)
+  }
+
   test("dim truncation audit: prefix-loaded signal keeps recall, tail-loaded loses it") {
     import spark.implicits._
     // 2 queries + 8 corpus vectors in 8 dims. Vectors are built so the
