@@ -179,7 +179,10 @@ object SparkEntry {
     "q_bpe_merges"        -> ((s: SparkSession, d: String) => TextAnalysis.bpeMerges(s, d)),
     "q_bpe_stats"         -> ((s: SparkSession, d: String) => TextAnalysis.bpeStats(s, d)),
     "q_dim_truncation"    -> ((s: SparkSession, d: String) => Similarity.dimTruncationAudit(s, d)),
-    "q_ngram_containment" -> ((s: SparkSession, d: String) => Dedup.ngramContainmentPairs(s, d))
+    "q_ngram_containment" -> ((s: SparkSession, d: String) => Dedup.ngramContainmentPairs(s, d)),
+    // rows-only: int8 rounding isn't portably reproducible in SQL at
+    // hash precision; recall floor + error bound live in ScalaTest
+    "q_sq_ann_topk"       -> ((s: SparkSession, d: String) => Similarity.sqAnnTopK(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles

@@ -321,6 +321,88 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // ------------------------------------------------ scalar-quantized ANN
+
+  /** Symmetric max-abs int8 quantization: scale = max|x|/127, code_i =
+    * round(x_i/scale) ∈ [-127, 127]. Exposed as a pure kernel so the
+    * |x_i − scale·code_i| ≤ scale/2 error bound is testable directly.
+    * Zero vectors quantize to scale 0 + zero codes.
+    */
+  def sqEncode(v: Array[Float]): (Float, Array[Byte]) = {
+    var m = 0f
+    var i = 0
+    while (i < v.length) { val a = math.abs(v(i)); if (a > m) m = a; i += 1 }
+    if (m == 0f) return (0f, new Array[Byte](v.length))
+    val scale = m / 127f
+    val codes = new Array[Byte](v.length)
+    i = 0
+    while (i < v.length) {
+      codes(i) = math.round(v(i) / scale).max(-127).min(127).toByte
+      i += 1
+    }
+    (scale, codes)
+  }
+
+  private val sqEncodeUdf = udf { v: scala.collection.Seq[Float] =>
+    sqEncode(v.toArray)
+  }
+
+  /** Cosine of two int8 code vectors (integer dot + norms in one walk).
+    * The per-vector scales CANCEL in cosine — s_a·s_b·Σc_a·c_b over
+    * (s_a|c_a|)(s_b|c_b|) — so scoring needs no dequantization at all;
+    * the scales matter only if a caller reconstructs values.
+    */
+  private val sqCosineUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
+    var dot = 0L; var na = 0L; var nb = 0L
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = a(i).toLong; val y = b(i).toLong
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  /** Scalar-quantized (int8) ANN — the middle rung of the payload
+    * ladder: float32 (256 B/vec, [[cosineTopK]]) → SQ-int8 (64 B/vec,
+    * this) → PQ (16 B/vec, [[ivfPqTopK]]). SQ is the standard serving
+    * trade when PQ's distortion is too coarse: a 4× cut in every
+    * exchange and index byte at ~no recall loss on typical embeddings
+    * (asserted against brute force in tests), with SIMD-friendly
+    * integer dot products at serving time. Scoring is exact over the
+    * CODES (scales cancel in cosine), so ranking quality depends only
+    * on the rounding error bound |x − s·c| ≤ s/2 per component.
+    *
+    * Scale shape mirrors [[cosineTopK]]: quantization is a narrow map,
+    * the query side broadcasts CODES (4× smaller than the float
+    * broadcast), ranking shuffles only (query, score) pairs. Rows-only
+    * check (int8 rounding isn't portably reproducible in SQL at hash
+    * precision); the recall floor and error bound live in ScalaTest.
+    */
+  def sqAnnTopK(spark: SparkSession, d: String,
+                nQueries: Int = 8, k: Int = 5): DataFrame =
+    sqAnnTopKDf(Tables.embeddings(spark, d), nQueries, k)
+
+  /** DataFrame form (embs must have vec_id + embedding). */
+  def sqAnnTopKDf(embs: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val emb = embs.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), sqEncodeUdf(col("embedding")).getField("_2").as("codes"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("q_codes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim_sq").desc, col("neighbor_id"))
+    emb.as("c")
+      .join(broadcast(queries), col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(sqCosineUdf(col("q_codes"), col("c.codes")), 6).as("cos_sim_sq"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim_sq"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   // --------------------------------------------------------- IVF-PQ ANN
 
   /** Train per-subspace product-quantization codebooks (Jégou et al.

@@ -530,6 +530,36 @@ class DedupSimilaritySpec extends SparkTestBase {
       "cosine tie must resolve to the smallest eval id")
   }
 
+  test("int8 SQ: error bound holds; ANN recall tracks brute force; scales cancel") {
+    import spark.implicits._
+    // kernel error bound |x - s*c| <= s/2 on randomized vectors
+    val rnd = new scala.util.Random(13)
+    (1 to 50).foreach { _ =>
+      val v = Array.fill(16)((rnd.nextFloat() - 0.5f) * 10f)
+      val (s, c) = Similarity.sqEncode(v)
+      v.zip(c).foreach { case (x, q) =>
+        assert(math.abs(x - s * q) <= s / 2 + 1e-6, s"bound broke: $x vs ${s * q}")
+      }
+    }
+    val (zs, zc) = Similarity.sqEncode(Array(0f, 0f))
+    assert(zs == 0f && zc.forall(_ == 0), "zero vector quantizes to zero")
+    // scale cancellation: a uniformly scaled copy gets identical codes
+    val base = Array(1f, -2f, 3f, 0.5f)
+    assert(Similarity.sqEncode(base)._2.toSeq ==
+      Similarity.sqEncode(base.map(_ * 7f))._2.toSeq)
+    // recall vs brute force on the real table: int8 cosine ranks nearly
+    // identically at 64 dims (the 4x-payload-for-free claim)
+    val exact = Similarity.cosineTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq = Similarity.sqAnnTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(sq).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ recall degraded to $recall")
+    val again = Similarity.sqAnnTopK(spark, sfDir).collect()
+    assert(again.map(_.toString).toSeq ==
+      Similarity.sqAnnTopK(spark, sfDir).collect().map(_.toString).toSeq)
+  }
+
   test("containment: a quoted short doc scores ~1 where jaccard dilutes") {
     import spark.implicits._
     val quote = "the quick brown fox jumps over the lazy dog"
