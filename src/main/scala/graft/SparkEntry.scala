@@ -182,7 +182,10 @@ object SparkEntry {
     "q_ngram_containment" -> ((s: SparkSession, d: String) => Dedup.ngramContainmentPairs(s, d)),
     // rows-only: int8 rounding isn't portably reproducible in SQL at
     // hash precision; recall floor + error bound live in ScalaTest
-    "q_sq_ann_topk"       -> ((s: SparkSession, d: String) => Similarity.sqAnnTopK(s, d))
+    "q_sq_ann_topk"       -> ((s: SparkSession, d: String) => Similarity.sqAnnTopK(s, d)),
+    // rows-only: the stub grid hash is byte math a SQL oracle could
+    // mirror only by reimplementing the kernel; fixture-tested instead
+    "q_media_phash"       -> (ExtraQueries.mediaPhash _)
   )
 
   // Shared SQL fragments for the DuckDB oracles

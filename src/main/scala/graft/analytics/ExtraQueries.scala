@@ -338,6 +338,26 @@ object ExtraQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Perceptual hashes over the media view of the corpus (same opaque
+    * payloads as [[mediaFeatures]]): the per-media half of the
+    * LAION-style image dedup — the hash table downstream pipelines
+    * band-join for near-dup pairs ([[graft.ext.Multimodal.phashNearDups]],
+    * whose pair output is legitimately EMPTY on a corpus with no
+    * near-identical payloads, so the never-empty hash table is the
+    * registered query and the pair kernel is fixture-tested).
+    */
+  def mediaPhash(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    val records = Tables.documents(spark, d)
+      .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"))
+      .as[Multimodal.MediaRecord]
+    Multimodal.perceptualHashes(records).orderBy(col("media_id"))
+  }
+
   /** parse_vn_date + stripDashRuns wired to a query: construct Vietnamese
     * legal-date strings from order dates (with a dash-run artifact),
     * normalize, parse back to DateType.

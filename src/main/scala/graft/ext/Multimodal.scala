@@ -92,6 +92,92 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0L), (col("duration_ms") / everyMs).cast("long"))).as("frame_idx"))
 
+  /** Perceptual-hash seam: 64-bit difference hash (dHash) of a media
+    * payload. A real implementation decodes, grayscales, and resamples
+    * to a 9×8 grid; the STUB resamples the raw payload BYTES to the
+    * same 9×8 grid (the [[resizeMedia]] subsample trick standing in for
+    * the decode) — the dHash MATH over the grid, and everything
+    * downstream of the hash, is the real thing.
+    */
+  trait PerceptualHasher extends Serializable {
+    def phash(payload: Array[Byte]): Long
+  }
+
+  /** STUB hasher: payload bytes → 9×8 grid → genuine dHash (bit set
+    * where grid(r, c) < grid(r, c+1), row-major over 8×8 comparisons).
+    * Deterministic; an all-equal or empty grid hashes to 0L.
+    */
+  object FakePHash extends PerceptualHasher {
+    def phash(payload: Array[Byte]): Long = {
+      if (payload == null || payload.isEmpty) return 0L
+      val grid = new Array[Int](72) // 9 wide × 8 tall
+      val step = payload.length.toDouble / 72
+      var i = 0
+      while (i < 72) {
+        grid(i) = payload(math.min((i * step).toInt, payload.length - 1)) & 0xff
+        i += 1
+      }
+      var h = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (grid(r * 9 + c) < grid(r * 9 + c + 1)) h |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      h
+    }
+  }
+
+  /** Per-media perceptual hashes: one codec-seam pass (per-task hasher
+    * instance, streamed rows, payload bytes never reach the driver) →
+    * (media_id, kind, phash). Null payloads are dropped — no decodable
+    * content, and hashing them all to one value would manufacture a
+    * giant false dup group.
+    */
+  def perceptualHashes(ds: Dataset[MediaRecord],
+                       hasher: PerceptualHasher = FakePHash): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.filter((r: MediaRecord) => r.payload != null)
+      .mapPartitions { rows =>
+        rows.map(r => (r.media_id, r.kind, hasher.phash(r.payload)))
+      }.toDF("media_id", "kind", "phash")
+  }
+
+  /** Perceptual near-duplicate pairs — the LAION-style image dedup
+    * shape: media whose dHashes differ by ≤ `maxDist` bits. Candidate
+    * generation is the [[graft.ext.Dedup.simhashNearDups]] banding:
+    * four 16-bit chunks of the hash, self-join within equal chunks —
+    * by pigeonhole any pair at hamming ≤ 3 agrees on at least one
+    * chunk, so recall is EXACT at the default radius (maxDist > 3
+    * weakens the guarantee; widen the bands to maxDist+1 pieces
+    * before trusting it). The join carries (8-byte hash, id) only —
+    * payloads stay in the narrow hashing pass.
+    */
+  def phashNearDups(ds: Dataset[MediaRecord], maxDist: Int = 3,
+                    hasher: PerceptualHasher = FakePHash): DataFrame = {
+    val sigs = perceptualHashes(ds, hasher)
+    val chunked = sigs.select(
+      col("media_id"), col("phash"),
+      explode(sequence(lit(0), lit(3))).as("chunk")
+    ).withColumn("chunk_val",
+      expr("phash >> (chunk * 16)").bitwiseAND(0xFFFF))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    val hamming = bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+    a.join(b,
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Payload→payload transform seam (resize/transcode). The STUB
     * "resize" deterministically subsamples payload bytes to the target
     * budget and updates metadata — a real codec drops in behind the same

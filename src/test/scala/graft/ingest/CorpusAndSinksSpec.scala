@@ -133,6 +133,33 @@ class CorpusAndSinksSpec extends SparkTestBase {
     assert(feats(3L).n_bytes == 0L && feats(3L).feature.forall(_ == 0.0f))
   }
 
+  test("multimodal: phash near-dups catch perturbed payloads, not distinct ones") {
+    import spark.implicits._
+    val base = Array.tabulate(720)(i => ((i * 37) % 251).toByte)
+    val nearCopy = base.clone(); nearCopy(100) = (nearCopy(100) + 3).toByte
+    val distinct1 = Array.tabulate(720)(i => ((i * i + 13) % 240).toByte)
+    def rec(id: Long, p: Array[Byte]) =
+      Multimodal.MediaRecord(id, "image", p, None, None, None)
+    val records = Seq(rec(1L, base), rec(2L, nearCopy), rec(3L, distinct1),
+      rec(4L, null)).toDS().repartition(2)
+    // hash properties: identical grids after subsample -> equal hashes;
+    // null payloads dropped rather than hashed into one giant group
+    val hashes = Multimodal.perceptualHashes(records).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L), "null payload must be dropped")
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(2L)) <= 3,
+      "a one-byte perturbation must stay within the dup radius")
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) > 3,
+      "structurally different payloads must not collide")
+    val pairs = Multimodal.phashNearDups(records).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"exactly the planted near-pair reports: $pairs")
+    // dHash stub really is the difference hash: a monotone grid sets
+    // every comparison bit, a constant grid none
+    assert(Multimodal.FakePHash.phash(Array.tabulate(72)(_.toByte)) == -1L)
+    assert(Multimodal.FakePHash.phash(Array.fill(72)(7.toByte)) == 0L)
+  }
+
   test("multimodal: resize stub bounds payloads and updates metadata deterministically") {
     import spark.implicits._
     val big = Array.tabulate(100)(i => i.toByte)
