@@ -185,7 +185,8 @@ object SparkEntry {
     "q_sq_ann_topk"       -> ((s: SparkSession, d: String) => Similarity.sqAnnTopK(s, d)),
     // rows-only: the stub grid hash is byte math a SQL oracle could
     // mirror only by reimplementing the kernel; fixture-tested instead
-    "q_media_phash"       -> (ExtraQueries.mediaPhash _)
+    "q_media_phash"       -> (ExtraQueries.mediaPhash _),
+    "q_embedding_coverage" -> ((s: SparkSession, d: String) => Similarity.embeddingCoverage(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -827,6 +828,14 @@ object SparkEntry {
         "FROM g a JOIN g b ON a.doc_id < b.doc_id " +
         "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) > 0.1 " +
         "ORDER BY id_a, id_b"),
+    "q_embedding_coverage" ->
+      ("WITH e AS (SELECT DISTINCT vec_id FROM embeddings) " +
+        "SELECT d.source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_embedded, " +
+        "CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing, " +
+        "round(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage " +
+        "FROM documents d LEFT JOIN e ON d.doc_id = e.vec_id " +
+        "GROUP BY d.source ORDER BY d.source"),
     // containment: same shingle sets as the jaccard oracle, both
     // asymmetric ratios + jaccard from the same intersection counts
     "q_ngram_containment" ->

@@ -321,6 +321,34 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Embedding-coverage audit: per source, how many documents have a
+    * vector in the embeddings table and how many are missing — the
+    * feature-store completeness check a pipeline runs before any
+    * embedding-gated stage (semantic dedup, ANN retrieval, clustering
+    * silently skip unembedded docs; a source with low coverage makes
+    * every downstream "per-corpus" number quietly per-subset). The
+    * sf0.1 table embeds 2000 of 5000 docs, so the audit is exercised
+    * against real partial coverage, not a degenerate all-covered case.
+    *
+    * Scale shape: the embeddings side contributes only its ID COLUMN
+    * (vectors never leave the scan), the left-semi mark joins on the
+    * id, and the rollup is source-sized.
+    */
+  def embeddingCoverage(spark: SparkSession, d: String): DataFrame = {
+    val ids = Tables.embeddings(spark, d).select(col("vec_id").as("doc_id"))
+      .distinct().withColumn("embedded", lit(1L))
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"))
+      .join(ids, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("embedded"), lit(0L))).as("n_embedded"))
+      .select(col("source"), col("n_docs"), col("n_embedded"),
+        (col("n_docs") - col("n_embedded")).as("n_missing"),
+        round(col("n_embedded").cast("double") / col("n_docs"), 6).as("coverage"))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------ scalar-quantized ANN
 
   /** Symmetric max-abs int8 quantization: scale = max|x|/127, code_i =
