@@ -345,6 +345,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-SOURCE BPE fertility — the vocabulary-sizing audit over the
+    * trained merges: subwords per word (fertility) and characters per
+    * subword by source. A source whose fertility is an outlier is one
+    * the vocabulary shreds (new language, code, transliteration) —
+    * exactly what a pipeline checks before freezing a tokenizer, and
+    * per SOURCE because corpus-level averages hide it. Same trained
+    * ranks and encode-per-word-TYPE shape as [[bpeStats]], rolled up
+    * to sources instead of documents.
+    */
+  def bpeFertility(spark: SparkSession, d: String, nMerges: Int = 200,
+                   maxSampleDocs: Int = 1024, maxVocab: Int = 4096): DataFrame = {
+    val ranks = trainedMerges(spark, d, nMerges, maxSampleDocs, maxVocab)
+      .zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val encLen = udf { w: String =>
+      graft.functions.BpeKernel.encode(w, ranks).length.toLong
+    }
+    val wc = Tables.fanOut(Tables.documents(spark, d))
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
+    val vocabEnc = wc.select(col("word")).distinct()
+      .select(col("word"), encLen(col("word")).as("enc_len"))
+    wc.join(vocabEnc, "word")
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("enc_len")).as("n_bpe_tokens"),
+        sum(col("cnt") * length(col("word"))).as("n_word_chars"))
+      .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_word_chars").cast("double") / col("n_bpe_tokens"), 6)
+          .as("chars_per_subword"))
+      .orderBy(col("source"))
+  }
+
   /** Streaming BPE subword audit (foreachBatch stage): merges are
     * trained ONCE from the static base corpus before the stream starts
     * (`trainBase` is consumed eagerly — the rank map is a driver-side

@@ -398,6 +398,20 @@ class CorpusSpec extends SparkTestBase {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq, "training must be deterministic")
   }
 
+  test("bpe fertility: per-source rollup reconciles with the per-doc totals") {
+    val fert = TextAnalysis.bpeFertility(spark, sfDir).collect()
+    assert(fert.nonEmpty)
+    fert.foreach { r =>
+      assert(r.getDouble(3) >= 1.0, s"fertility below one subword per word: $r")
+      assert(r.getDouble(4) >= 1.0, s"chars per subword below 1: $r")
+    }
+    // totals across sources equal the per-doc operator's totals (same
+    // ranks, same corpus, different rollup key)
+    val docTotals = TextAnalysis.bpeStats(spark, sfDir).collect()
+    assert(fert.map(_.getLong(1)).sum == docTotals.map(_.getLong(1)).sum)
+    assert(fert.map(_.getLong(2)).sum == docTotals.map(_.getLong(2)).sum)
+  }
+
   test("compression ratio: repetitive text flags low, random-ish text high, order sane") {
     import org.apache.spark.sql.functions.lit
     val rnd = new scala.util.Random(7)
