@@ -188,7 +188,8 @@ object SparkEntry {
     "q_media_phash"       -> (ExtraQueries.mediaPhash _),
     "q_embedding_coverage" -> ((s: SparkSession, d: String) => Similarity.embeddingCoverage(s, d)),
     // rows-only: shares bpeStats' non-SQL-expressible merge loop
-    "q_bpe_fertility"     -> ((s: SparkSession, d: String) => TextAnalysis.bpeFertility(s, d))
+    "q_bpe_fertility"     -> ((s: SparkSession, d: String) => TextAnalysis.bpeFertility(s, d)),
+    "q_shuffle_mix"       -> ((s: SparkSession, d: String) => ext.Corpus.shuffleMixAudit(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -687,6 +688,24 @@ object SparkEntry {
         "COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS n_chars " +
         "FROM documents WHERE text IS NOT NULL " +
         "GROUP BY 1 ORDER BY shard"),
+    // shuffle mix: adjacent same-source fraction per shard (LAG over
+    // the epoch order) vs the no-replacement baseline sum ns(ns-1)/n(n-1)
+    "q_shuffle_mix" ->
+      ("WITH h AS (SELECT doc_id, source, md5('1:' || text) AS h FROM documents " +
+        "WHERE text IS NOT NULL), " +
+        "o AS (SELECT doc_id, source, substring(h, 1, 1) AS shard, " +
+        "ROW_NUMBER() OVER (PARTITION BY substring(h, 1, 1) ORDER BY h, doc_id) AS pos FROM h), " +
+        "adj AS (SELECT shard, COUNT(*) AS n_pairs, " +
+        "SUM(CASE WHEN source = prev_src THEN 1 ELSE 0 END) AS n_same FROM " +
+        "(SELECT shard, source, LAG(source) OVER (PARTITION BY shard ORDER BY pos) AS prev_src FROM o) " +
+        "WHERE prev_src IS NOT NULL GROUP BY shard), " +
+        "base AS (SELECT shard, CAST(SUM(ns) AS BIGINT) AS n_docs, " +
+        "SUM(ns * (ns - 1)) AS pairs_same FROM " +
+        "(SELECT shard, source, COUNT(*) AS ns FROM o GROUP BY shard, source) GROUP BY shard) " +
+        "SELECT shard, n_docs, CAST(n_pairs AS BIGINT) AS n_pairs, " +
+        "round(CAST(n_same AS DOUBLE) / n_pairs, 6) AS same_frac, " +
+        "round(CAST(pairs_same AS DOUBLE) / (n_docs * (n_docs - 1)), 6) AS expected_frac " +
+        "FROM adj JOIN base USING (shard) ORDER BY shard"),
     // decontamination: distinct 5-gram overlap between the eval slice
     // (doc_id % 20 = 7) and the training remainder. The list_transform
     // range mirrors Dedup.shinglesOfTokens exactly: greatest(len-4, 1)

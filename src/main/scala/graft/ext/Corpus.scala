@@ -83,6 +83,48 @@ object Corpus {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** Shuffle MIX audit for [[epochShuffleShards]]: per shard, the
+    * fraction of adjacent position pairs that share a source, against
+    * the no-replacement random baseline Σ nₛ(nₛ−1) / n(n−1) — the
+    * training-order quality check behind the shuffle (a poorly mixed
+    * order feeds the model long same-source runs; gradient noise
+    * stops being i.i.d. exactly when same_frac detaches from the
+    * baseline). Content-hash order should sit ON the baseline; a
+    * same_frac excess flags duplicate-heavy sources (identical texts
+    * hash adjacently) or a broken salt.
+    *
+    * Scale shape: the [[epochShuffleShards]] exchange + one lag window
+    * on the same (shard, pos) partitioning, and a source-count rollup
+    * — all shard-keyed, nothing corpus-global.
+    */
+  def shuffleMixAudit(spark: SparkSession, d: String, epoch: Int = 1,
+                      shardHexChars: Int = 1): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val order = epochShuffleShardsDf(docs, epoch, shardHexChars)
+    val withSrc = order
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("pos"))
+    val adj = withSrc
+      .withColumn("prev_src", lag(col("source"), 1).over(w))
+      .filter(col("prev_src").isNotNull)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("source") === col("prev_src")).cast("long")).as("n_same"))
+    val base = withSrc
+      .groupBy(col("shard"), col("source")).agg(count(lit(1)).as("ns"))
+      .groupBy(col("shard"))
+      .agg(sum(col("ns")).as("n_docs"),
+        sum(col("ns") * (col("ns") - 1)).as("pairs_same"))
+    adj.join(base, "shard")
+      .select(col("shard"), col("n_docs"), col("n_pairs"),
+        round(col("n_same").cast("double") / col("n_pairs"), 6)
+          .as("same_frac"),
+        round(col("pairs_same").cast("double") /
+          (col("n_docs") * (col("n_docs") - 1)), 6).as("expected_frac"))
+      .orderBy(col("shard"))
+  }
+
   /** Per-shard balance audit for [[epochShuffleShards]]: document and
     * character counts per shard — the check a pipeline runs before
     * pointing N loader workers at 16^k shards (a skewed shard starves

@@ -412,6 +412,23 @@ class CorpusSpec extends SparkTestBase {
     assert(fert.map(_.getLong(2)).sum == docTotals.map(_.getLong(2)).sum)
   }
 
+  test("shuffle mix: hash order sits on the no-replacement baseline in aggregate") {
+    val rows = Corpus.shuffleMixAudit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
+    }
+    // per-shard fractions are noisy at ~30 docs/shard; the aggregate
+    // same-source rate must track the aggregate baseline (a sorted-by-
+    // source order would read ~1.0 against a baseline well under it)
+    val totPairs = rows.map(_.getLong(2)).sum.toDouble
+    val same = rows.map(r => r.getDouble(3) * r.getLong(2)).sum / totPairs
+    val expect = rows.map(r => r.getDouble(4) * r.getLong(2)).sum / totPairs
+    assert(math.abs(same - expect) < 0.1,
+      s"hash shuffle detached from the i.i.d. baseline: $same vs $expect")
+  }
+
   test("compression ratio: repetitive text flags low, random-ish text high, order sane") {
     import org.apache.spark.sql.functions.lit
     val rnd = new scala.util.Random(7)
