@@ -189,7 +189,8 @@ object SparkEntry {
     "q_embedding_coverage" -> ((s: SparkSession, d: String) => Similarity.embeddingCoverage(s, d)),
     // rows-only: shares bpeStats' non-SQL-expressible merge loop
     "q_bpe_fertility"     -> ((s: SparkSession, d: String) => TextAnalysis.bpeFertility(s, d)),
-    "q_shuffle_mix"       -> ((s: SparkSession, d: String) => ext.Corpus.shuffleMixAudit(s, d))
+    "q_shuffle_mix"       -> ((s: SparkSession, d: String) => ext.Corpus.shuffleMixAudit(s, d)),
+    "q_repeat_schedule"   -> ((s: SparkSession, d: String) => ext.Corpus.repeatSchedule(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -706,6 +707,35 @@ object SparkEntry {
         "round(CAST(n_same AS DOUBLE) / n_pairs, 6) AS same_frac, " +
         "round(CAST(pairs_same AS DOUBLE) / (n_docs * (n_docs - 1)), 6) AS expected_frac " +
         "FROM adj JOIN base USING (shard) ORDER BY shard"),
+    // repeat schedule: weight/token CTEs mirror q_mixture_plan; budget is
+    // 2x total corpus tokens; the effective-token law D' = U + U*R**
+    // (1 - e^(-R/R*)) with R* = 15 snaps exp to integer nano-units
+    // BEFORE the sum (the q_mixture_temperature pow design), and the
+    // repeat branch only evaluates where target > n_tokens, so every
+    // other term is an exact-integer-input IEEE expression
+    "q_repeat_schedule" ->
+      ("WITH s AS (SELECT source, " +
+        "CAST((CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 4) + 1 AS DOUBLE) / 4 AS weight, " +
+        s"coalesce(len($toks), 0) AS n_toks FROM documents), " +
+        "p AS (SELECT source, weight, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM s GROUP BY source, weight), " +
+        "t AS (SELECT SUM(weight) AS tw, CAST(SUM(n_tokens) AS DOUBLE) * 2 AS budget FROM p), " +
+        "g AS (SELECT source, weight, n_docs, n_tokens, " +
+        "CAST(floor(budget * weight / tw + 0.5) AS BIGINT) AS target_tokens " +
+        "FROM p CROSS JOIN t), " +
+        "e AS (SELECT source, weight, n_docs, n_tokens, target_tokens, " +
+        "CASE WHEN n_tokens > 0 THEN " +
+        "floor(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6 " +
+        "ELSE 0.0 END AS epochs, " +
+        "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) " +
+        "WHEN target_tokens <= n_tokens THEN target_tokens " +
+        "ELSE CAST(floor(CAST(n_tokens AS DOUBLE) + CAST(n_tokens AS DOUBLE) * 15.0 * " +
+        "(1e9 - CAST(CAST(floor(exp(-(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) - 1.0) / 15.0) " +
+        "* 1e9 + 0.5) AS BIGINT) AS DOUBLE)) / 1e9 + 0.5) AS BIGINT) END AS eff_tokens FROM g) " +
+        "SELECT source, weight, n_docs, n_tokens, target_tokens, epochs, eff_tokens, " +
+        "CASE WHEN target_tokens > 0 THEN " +
+        "floor(CAST(eff_tokens AS DOUBLE) / CAST(target_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6 " +
+        "ELSE 0.0 END AS value_frac FROM e ORDER BY source"),
     // decontamination: distinct 5-gram overlap between the eval slice
     // (doc_id % 20 = 7) and the training remainder. The list_transform
     // range mirrors Dedup.shinglesOfTokens exactly: greatest(len-4, 1)

@@ -381,6 +381,70 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** Data-constrained REPEAT schedule (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"): under a budget of `budgetEpochs`
+    * × the corpus's total tokens split by the [[mixturePlan]] weights,
+    * compute each source's epoch count and its EFFECTIVE tokens under
+    * the paper's diminishing-returns law D′ = U + U·R*·(1 − e^(−R/R*))
+    * — U unique tokens, R = epochs − 1 excess repeats, R* = 15 the
+    * fitted repeat half-life. `value_frac` (effective / nominal target)
+    * is the audit number: a small high-weight source repeating many
+    * epochs contributes far fewer effective tokens than its budget
+    * share, which is exactly when a pipeline should re-weight or
+    * backfill the mixture.
+    *
+    * Scale shape: identical to [[mixturePlan]] — one corpus-sized
+    * map-side-combined token count keyed by source; every epoch/decay
+    * term runs over the |sources| rows (empty-frame windows over the
+    * source table). FP parity: exp(−R/R*) snaps to integer nano-units
+    * before entering the effective-token sum (the
+    * [[mixturePlanTemperature]] pow design); every other term is an
+    * exact-integer-input IEEE expression written term-for-term in the
+    * oracle. The repeat branch only evaluates where target > n_tokens
+    * (CaseWhen laziness), so its divisions never see a 0 divisor.
+    */
+  def repeatSchedule(spark: SparkSession, d: String,
+                     budgetEpochs: Int = 2, rStar: Double = 15.0): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window.partitionBy()
+    val w = sourceWeightIdx.cast("double") / 4
+    val perSource = Tables.documents(spark, d)
+      .select(col("source"), w.as("weight"),
+        coalesce(size(graft.ext.TextAnalysis.tokens(col("text"))), lit(0))
+          .cast("long").as("n_toks"))
+      .groupBy(col("source"), col("weight"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val budget =
+      sum(col("n_tokens")).over(win).cast("double") * budgetEpochs
+    val tw = sum(col("weight")).over(win)
+    val ratio =
+      col("target_tokens").cast("double") / col("n_tokens").cast("double")
+    val nanoDecay =
+      floor(exp(-(ratio - 1.0) / rStar) * 1e9 + 0.5).cast("long")
+    perSource
+      .withColumn("target_tokens",
+        floor(budget * col("weight") / tw + 0.5).cast("long"))
+      .withColumn("epochs",
+        when(col("n_tokens") > 0, floor(ratio * 1e6 + 0.5) / 1e6)
+          .otherwise(lit(0.0)))
+      .withColumn("eff_tokens",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(when(col("target_tokens") <= col("n_tokens"),
+            col("target_tokens"))
+            .otherwise(floor(col("n_tokens").cast("double") +
+              col("n_tokens").cast("double") * rStar *
+                (lit(1e9) - nanoDecay.cast("double")) / 1e9 + 0.5)
+              .cast("long"))))
+      .withColumn("value_frac",
+        when(col("target_tokens") > 0,
+          floor(col("eff_tokens").cast("double") /
+            col("target_tokens").cast("double") * 1e6 + 0.5) / 1e6)
+          .otherwise(lit(0.0)))
+      .select(col("source"), col("weight"), col("n_docs"), col("n_tokens"),
+        col("target_tokens"), col("epochs"), col("eff_tokens"),
+        col("value_frac"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic STRATIFIED sampling: the k documents per source with
     * the smallest content hash — a fixed-size uniform sample per stratum
     * (md5 is uniform over content, engine-portable, re-crawl-stable:

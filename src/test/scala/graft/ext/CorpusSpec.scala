@@ -429,6 +429,31 @@ class CorpusSpec extends SparkTestBase {
       s"hash shuffle detached from the i.i.d. baseline: $same vs $expect")
   }
 
+  test("repeat schedule: repeats are discounted, capped at U(1+R*), and the 2x budget forces repetition") {
+    val rows = Corpus.repeatSchedule(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTok = r.getLong(3); val target = r.getLong(4)
+      val epochs = r.getDouble(5); val eff = r.getLong(6)
+      val vf = r.getDouble(7)
+      assert(vf >= 0.0 && vf <= 1.0)
+      if (nTok > 0 && target > nTok) {
+        // repeated tokens still add value, but never full value, and
+        // never more than the R* saturation ceiling U·(1 + R*)
+        assert(eff >= nTok && eff <= target)
+        assert(eff <= math.round(nTok * 16.0))
+        if (epochs > 1.5) assert(vf < 1.0,
+          s"${r.getString(0)}: $epochs epochs uncounted as discount")
+      } else if (nTok > 0) {
+        // under one epoch every budgeted token is fresh: full value
+        assert(eff == target)
+        assert(vf == (if (target > 0) 1.0 else 0.0))
+      }
+    }
+    // a 2x-total-tokens budget must push some source past one epoch
+    assert(rows.exists(_.getDouble(5) > 1.0))
+  }
+
   test("compression ratio: repetitive text flags low, random-ish text high, order sane") {
     import org.apache.spark.sql.functions.lit
     val rnd = new scala.util.Random(7)
