@@ -44,7 +44,7 @@ object ScaleSmoke {
     "q_sem_decontamination" /* eval side fixed: work grows with corpus, not eval² */,
     "q_ivf_pq_topk" /* fixed query count: probe work grows with data, not queries² */,
     "q_ngram_jaccard" /* bounded kernel: must stay FLAT, not 10× */,
-    "q_epoch_order", "q_compression_ratio",
+    "q_epoch_order", "q_shuffle_mix", "q_compression_ratio",
     "q_bpe_stats" /* fixed training sample: scoring grows with corpus vocab, not sample */,
     "q_dim_truncation" /* fixed query count, like q_ivf_pq_topk */)
 

@@ -271,4 +271,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(shuffleExchanges("q_winnow_span_dedup") <= 5,
       s"winnow span dedup grew a shuffle:\n$pw")
   }
+
+  test("corpus-audit closers keep their exchange budgets") {
+    // shuffle mix: ONE shard exchange shared by the row_number and lag
+    // windows (same partition key, different sort — a second exchange
+    // means the windows stopped sharing), the adj/base rollups, and
+    // the presentation sort; the docs side rides broadcasts
+    assert(shuffleExchanges("q_shuffle_mix") <= 4,
+      s"shuffle-mix plan grew a shuffle:\n${plan("q_shuffle_mix")}")
+    // repeat schedule: the corpus-sized source groupBy plus the
+    // single-partition window over |sources| rows — nothing else may
+    // touch corpus bytes
+    assert(shuffleExchanges("q_repeat_schedule") <= 2,
+      s"repeat-schedule plan grew a shuffle:\n${plan("q_repeat_schedule")}")
+  }
 }
