@@ -190,7 +190,8 @@ object SparkEntry {
     // rows-only: shares bpeStats' non-SQL-expressible merge loop
     "q_bpe_fertility"     -> ((s: SparkSession, d: String) => TextAnalysis.bpeFertility(s, d)),
     "q_shuffle_mix"       -> ((s: SparkSession, d: String) => ext.Corpus.shuffleMixAudit(s, d)),
-    "q_repeat_schedule"   -> ((s: SparkSession, d: String) => ext.Corpus.repeatSchedule(s, d))
+    "q_repeat_schedule"   -> ((s: SparkSession, d: String) => ext.Corpus.repeatSchedule(s, d)),
+    "q_truncation_loss"   -> ((s: SparkSession, d: String) => ext.Corpus.truncationLoss(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -736,6 +737,22 @@ object SparkEntry {
         "CASE WHEN target_tokens > 0 THEN " +
         "floor(CAST(eff_tokens AS DOUBLE) / CAST(target_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6 " +
         "ELSE 0.0 END AS value_frac FROM e ORDER BY source"),
+    // truncation loss: token counts mirror the whitespace tokenizer;
+    // all stats exact BIGINT, fractions floor(x*1e6+0.5)/1e6 on both
+    // engines (integer-input IEEE divisions — no rounding-mode trap)
+    "q_truncation_loss" ->
+      (s"WITH s AS (SELECT source, coalesce(len($toks), 0) AS n_toks FROM documents), " +
+        "p AS (SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN n_toks > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_over, " +
+        "CAST(SUM(n_toks) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(least(n_toks, 512)) AS BIGINT) AS kept_tokens " +
+        "FROM s GROUP BY source) " +
+        "SELECT source, n_docs, n_over, " +
+        "floor(CAST(n_over AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1e6 + 0.5) / 1e6 AS over_frac, " +
+        "n_tokens, kept_tokens, " +
+        "CASE WHEN n_tokens > 0 THEN " +
+        "floor((1.0 - CAST(kept_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6 " +
+        "ELSE 0.0 END AS loss_frac FROM p ORDER BY source"),
     // decontamination: distinct 5-gram overlap between the eval slice
     // (doc_id % 20 = 7) and the training remainder. The list_transform
     // range mirrors Dedup.shinglesOfTokens exactly: greatest(len-4, 1)

@@ -232,6 +232,44 @@ object Corpus {
           .as("budget_violations")))
   }
 
+  /** Context-window TRUNCATION-loss audit (the question a pipeline
+    * answers before choosing truncate-vs-pack for a model's context
+    * length L): per source, how many documents exceed L whitespace
+    * tokens and what fraction of the corpus's tokens a hard cap at L
+    * would discard — `loss_frac` is the direct cost of the simple
+    * loader, read against [[packStats]]'s fill rate for the packing
+    * alternative. Long-tail-heavy sources (high `over_frac`, high
+    * `loss_frac`) are the ones where truncation silently deletes the
+    * document endings a model would otherwise train on.
+    *
+    * Scale shape: one corpus-sized map (token count per doc) into a
+    * map-side-combined source groupBy — the [[mixturePlan]] shape,
+    * nothing else touches corpus bytes. All stats are exact integer
+    * aggregates; the fractions are exact-integer-input IEEE divisions
+    * rounded via floor(x·1e6 + 0.5)/1e6 on both engines.
+    */
+  def truncationLoss(spark: SparkSession, d: String,
+                     contextLen: Int = 512): DataFrame = {
+    val perDoc = Tables.documents(spark, d)
+      .select(col("source"),
+        coalesce(size(graft.ext.TextAnalysis.tokens(col("text"))), lit(0))
+          .cast("long").as("n_toks"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_toks") > contextLen).cast("long")).as("n_over"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(least(col("n_toks"), lit(contextLen.toLong))).as("kept_tokens"))
+      .select(col("source"), col("n_docs"), col("n_over"),
+        (floor(col("n_over").cast("double") / col("n_docs").cast("double")
+          * 1e6 + 0.5) / 1e6).as("over_frac"),
+        col("n_tokens"), col("kept_tokens"),
+        when(col("n_tokens") > 0,
+          floor((lit(1.0) - col("kept_tokens").cast("double") /
+            col("n_tokens").cast("double")) * 1e6 + 0.5) / 1e6)
+          .otherwise(lit(0.0)).as("loss_frac"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic domain-weighted RESAMPLING (the data-mixing step a
     * training pipeline runs to rebalance sources): each source gets a
     * sampling weight in {0.25, 0.5, 0.75, 1.0} derived from its numeric

@@ -454,6 +454,37 @@ class CorpusSpec extends SparkTestBase {
     assert(rows.exists(_.getDouble(5) > 1.0))
   }
 
+  test("truncation loss: bounded, monotone in L, and zero at an unreachable cap") {
+    def bysrc(l: Int) = Corpus.truncationLoss(spark, sfDir, l).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val at512 = bySrc512Check(bysrc = bysrc(512))
+    val at2048 = bysrc(2048)
+    at512.foreach { case (s, r) =>
+      // a looser cap can only keep more tokens and lose a smaller frac
+      assert(at2048(s).getLong(5) >= r.getLong(5))
+      assert(at2048(s).getDouble(6) <= r.getDouble(6))
+    }
+    // a cap no document reaches loses nothing
+    bysrc(Int.MaxValue).values.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getDouble(6) == 0.0)
+    }
+  }
+
+  private def bySrc512Check(bysrc: Map[String, org.apache.spark.sql.Row])
+      : Map[String, org.apache.spark.sql.Row] = {
+    assert(bysrc.nonEmpty)
+    bysrc.values.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))                   // n_over <= n_docs
+      assert(r.getLong(5) <= r.getLong(4))                   // kept <= total
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0) // over_frac
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0) // loss_frac
+      // a source only loses tokens if some doc exceeds the cap, and
+      // vice versa (over docs each lose >= 1 token at L < their length)
+      assert((r.getLong(2) > 0) == (r.getLong(5) < r.getLong(4)))
+    }
+    bysrc
+  }
+
   test("compression ratio: repetitive text flags low, random-ish text high, order sane") {
     import org.apache.spark.sql.functions.lit
     val rnd = new scala.util.Random(7)
