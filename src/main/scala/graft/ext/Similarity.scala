@@ -33,6 +33,49 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  // ------------------------------------------------------ top-k finals
+
+  /** Window-rank ANN final: `ROW_NUMBER() OVER (PARTITION BY query_id
+    * ORDER BY score DESC, neighbor_id)`. Retained ONLY for
+    * [[cosineTopK]] — the exact brute-force auditor every recall floor
+    * is measured against and the DuckDB-oracle-checked reference — and
+    * as the equality reference the aggregator finals are asserted
+    * against in DedupSimilaritySpec. Every serving-path ANN final goes
+    * through [[topKFinal]] instead: this form shuffles the ENTIRE
+    * scored candidate stream into one sort partition per query, which
+    * for an exhaustive scorer is a full corpus sort per query on a
+    * single task at 100 TB.
+    */
+  private[ext] def rankWindowFinal(scored: DataFrame, scoreName: String,
+                                   k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col(scoreName).desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col(scoreName))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Bounded-state ANN final: per query, the k (score, id) pairs
+    * ranking first under (score DESC, neighbor_id ASC), via
+    * [[graft.functions.TopKByScore]] — map-side partials reduce every
+    * input partition to ≤k pairs per query BEFORE the exchange, so the
+    * shuffle carries O(k × queries × partitions) rows instead of the
+    * whole scored stream (the [[rankWindowFinal]] anti-pattern its
+    * scaladoc names). Output schema and ordering are identical to the
+    * window form (`posexplode` recovers the 1-based rank); equality is
+    * asserted per scorer in DedupSimilaritySpec.
+    */
+  private[ext] def topKFinal(scored: DataFrame, scoreName: String,
+                             k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKSample.topKByScore(
+        col(scoreName), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rk"),
+        col("col._2").as("neighbor_id"), col("col._1").as(scoreName))
+      .orderBy(col("query_id"), col("rk"))
+
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * its k nearest corpus neighbors. Query side broadcasts; similarity is
     * computed in the scan stage; ranking shuffles only (query_id, score)
@@ -57,13 +100,9 @@ object Similarity {
         // identical across engines despite last-ulp FP differences
         round(dot(col("q_emb"), col("c.embedding")) / (col("q_nrm") * col("c.nrm")), 6)
           .as("cos_sim_r"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim_r").desc, col("neighbor_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim_r"))
-      .orderBy(col("query_id"), col("rk"))
+    // the ONE final that stays a rank window by design: this is the
+    // exact auditor (see rankWindowFinal's scaladoc)
+    rankWindowFinal(scored, "cos_sim_r", k)
   }
 
   /** Matryoshka-style dimension-truncation audit: recall@k of cosine
@@ -95,22 +134,22 @@ object Similarity {
     require(dims.nonEmpty && dims.forall(_ >= 1), s"bad dims: $dims")
     def topk(m: Option[Int]): DataFrame = {
       def cut(c: Column): Column = m.map(slice(c, 1, _)).getOrElse(c)
-      val emb = embs
+      // null embeddings excluded up front (the sqAnnTopKDf discipline):
+      // a null vector among the first nQueries ids would otherwise
+      // produce all-null similarities whose ranking depends on engine
+      // null-ordering parity instead of the rounded-sim tiebreak
+      val emb = embs.filter(col("embedding").isNotNull)
         .select(col("vec_id"), cut(col("embedding")).as("e"))
         .select(col("vec_id"), col("e"), norm(col("e")).as("nrm"))
       val queries = emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("e").as("q_emb"),
           col("nrm").as("q_nrm"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_sim_r").desc, col("neighbor_id"))
-      emb.as("c")
+      val scored = emb.as("c")
         .join(broadcast(queries), col("query_id") =!= col("c.vec_id"))
         .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
           round(dot(col("q_emb"), col("c.e")) / (col("q_nrm") * col("c.nrm")), 6)
             .as("cos_sim_r"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= k)
-        .select(col("query_id"), col("neighbor_id"))
+      topKFinal(scored, "cos_sim_r", k).select(col("query_id"), col("neighbor_id"))
     }
     val full = topk(None)
     dims.map { m =>
@@ -176,12 +215,7 @@ object Similarity {
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
         round(dot(col("q_emb"), col("c.embedding")) / (col("q_nrm") * col("c.nrm")), 6)
           .as("cos_sim_r"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim_r").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim_r"))
-      .orderBy(col("query_id"), col("rk"))
+    topKFinal(scored, "cos_sim_r", k)
   }
 
   // ------------------------------------------------------------- IVF ANN
@@ -313,12 +347,7 @@ object Similarity {
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
         round(dot(col("q_emb"), col("c.embedding")) / (col("q_nrm") * col("c.nrm")), 6)
           .as("cos_sim_r"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim_r").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim_r"))
-      .orderBy(col("query_id"), col("rk"))
+    topKFinal(scored, "cos_sim_r", k)
   }
 
   /** Embedding-coverage audit: per source, how many documents have a

@@ -127,6 +127,116 @@ class TopKByKey(k: Int) extends Aggregator[(String, Long), TopKState, Seq[Long]]
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
 
+/** Bounded top-K-by-score state: parallel (score, id) arrays, at most k
+  * entries, kept sorted by (score DESC, id ASC) — the ANN ranking order.
+  * Same Product-of-native-arrays encoding rationale as [[TopKState]].
+  */
+case class TopKScoreState(scores: Array[Double], ids: Array[Long])
+
+/** Highest-K-by-score selector as a typed Aggregator: keeps the K
+  * (score, id) pairs ranking first under (score DESC, id ASC) per group
+  * — O(K) state per group, merged associatively under Spark's partial
+  * aggregation.
+  *
+  * This is the SCALE form of an ANN final: a
+  * `ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id)`
+  * window must shuffle EVERY scored candidate into one sort partition
+  * per query — for an exhaustive scorer that is a full corpus sort per
+  * query on a single task. This aggregator's map-side partials reduce
+  * each input partition to ≤K pairs per query before the exchange, so
+  * the shuffle carries O(K × queries × partitions) rows no matter how
+  * many candidates a 100 TB corpus contributes.
+  *
+  * Semantics are the window form's (asserted pairwise against it in
+  * DedupSimilaritySpec for every ANN scorer) with the same stated
+  * exceptions as [[TopKByKey]]: rows whose score is NULL must be
+  * pre-filtered or coalesced by the caller (the primitive input encoder
+  * cannot represent them — every ANN scorer in [[graft.ext.Similarity]]
+  * constructs non-null scores). Score ordering matches Spark's sort:
+  * NaN ranks above all other values (java.lang.Double.compare), and
+  * -0.0 is normalized to 0.0 on insert (Spark's
+  * NormalizeFloatingNumbers discipline). Pairs are emitted in rank
+  * order, so `posexplode` recovers the 1-based rank directly.
+  */
+class TopKByScore(k: Int)
+    extends Aggregator[(Double, Long), TopKScoreState, Seq[(Double, Long)]] {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def zero: TopKScoreState = TopKScoreState(Array.empty, Array.empty)
+
+  /** True iff (sa, ia) ranks strictly BEFORE (sb, ib): higher score
+    * first, ties to the smaller id. Double.compare gives the IEEE total
+    * order Spark sorts by (NaN greatest); -0.0/0.0 never reach here
+    * distinct because reduce normalizes on insert.
+    */
+  @inline private def before(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+    val c = java.lang.Double.compare(sa, sb)
+    c > 0 || (c == 0 && ia < ib)
+  }
+
+  /** Insertion point of (score, id) in the rank-sorted state. */
+  private def insertPos(s: TopKScoreState, score: Double, id: Long): Int = {
+    var lo = 0
+    var hi = s.scores.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (before(s.scores(mid), s.ids(mid), score, id)) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override def reduce(s: TopKScoreState, v: (Double, Long)): TopKScoreState = {
+    val score = if (v._1 == 0.0) 0.0 else v._1 // normalize -0.0
+    val id = v._2
+    val n = s.scores.length
+    if (n == k) {
+      if (before(s.scores(n - 1), s.ids(n - 1), score, id)) {
+        // in-place tail shift once the buffer is full — zero allocation
+        // on the per-candidate hot path (the TopKByKey discipline)
+        val pos = insertPos(s, score, id)
+        var i = k - 1
+        while (i > pos) { s.scores(i) = s.scores(i - 1); s.ids(i) = s.ids(i - 1); i -= 1 }
+        s.scores(pos) = score
+        s.ids(pos) = id
+      }
+      return s
+    }
+    val pos = insertPos(s, score, id)
+    val ss = new Array[Double](n + 1)
+    val is = new Array[Long](n + 1)
+    System.arraycopy(s.scores, 0, ss, 0, pos)
+    System.arraycopy(s.ids, 0, is, 0, pos)
+    ss(pos) = score; is(pos) = id
+    System.arraycopy(s.scores, pos, ss, pos + 1, n - pos)
+    System.arraycopy(s.ids, pos, is, pos + 1, n - pos)
+    TopKScoreState(ss, is)
+  }
+
+  override def merge(a: TopKScoreState, b: TopKScoreState): TopKScoreState = {
+    val m = math.min(a.scores.length + b.scores.length, k)
+    val ss = new Array[Double](m)
+    val is = new Array[Long](m)
+    var i = 0; var j = 0; var o = 0
+    while (o < m) {
+      val takeA =
+        j >= b.scores.length || (i < a.scores.length &&
+          !before(b.scores(j), b.ids(j), a.scores(i), a.ids(i)))
+      if (takeA) { ss(o) = a.scores(i); is(o) = a.ids(i); i += 1 }
+      else { ss(o) = b.scores(j); is(o) = b.ids(j); j += 1 }
+      o += 1
+    }
+    TopKScoreState(ss, is)
+  }
+
+  override def finish(s: TopKScoreState): Seq[(Double, Long)] =
+    s.scores.toSeq.zip(s.ids.toSeq)
+
+  override def bufferEncoder: Encoder[TopKScoreState] =
+    Encoders.product[TopKScoreState]
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+}
+
 object TopKSample {
   /** Column form: ids of the K smallest (sortKey, id) pairs per group,
     * in rank order — `.agg(firstKByKey(col("h"), col("id"), 20))`.
@@ -135,4 +245,14 @@ object TopKSample {
     udaf(new TopKByKey(k),
       Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
       .apply(sortKey, id)
+
+  /** Column form: the K (score, id) pairs ranking first under
+    * (score DESC, id ASC) per group, as `array<struct<_1:double,
+    * _2:bigint>>` in rank order — the bounded ANN final
+    * (`.agg(topKByScore(col("cos_sim_r"), col("neighbor_id"), 5))`).
+    */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    udaf(new TopKByScore(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+      .apply(score, id)
 }
