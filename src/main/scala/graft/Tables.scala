@@ -19,17 +19,32 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects unless `spark.sql.legacy.parquet.nanosAsLong`
-    * is set — sessions must set it at build time (Verify/Bench/test
-    * sessions do; this loader no longer mutates session conf as a side
-    * effect). The long nanos convert to TimestampType losslessly here
-    * (the generator emits microsecond-resolution values).
+  /** events.parquet has shipped `ts` three ways across driver rounds:
+    * INT64 TIMESTAMP(NANOS) (readable only with
+    * `spark.sql.legacy.parquet.nanosAsLong`, which sessions set at build
+    * time — then surfaced as LongType nanos), TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (surfaced as TimestampNTZType), and plain
+    * UTC-adjusted TIMESTAMP(MICROS) (TimestampType). Dispatch on the
+    * read schema so every generation surfaces as TimestampType with the
+    * same epoch-micros values: sessions pin
+    * `spark.sql.session.timeZone=UTC` (LocalSession/SparkTestBase), so
+    * the NTZ wall-clock cast is the identity on the underlying micros,
+    * and the nanos convert losslessly (the generator emits
+    * microsecond-resolution values).
     */
-  def events(spark: SparkSession, d: String): DataFrame =
-    table(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  def events(spark: SparkSession, d: String): DataFrame = {
+    val raw = table(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 
