@@ -506,4 +506,55 @@ object Dedup {
       .filter(col("contain_a") > minContain || col("contain_b") > minContain)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** CORPUS-WIDE asymmetric containment: the [[ngramContainmentPairsDf]]
+    * kernel fed by the MinHash band buckets instead of a bounded-id
+    * broadcast all-pairs — the same composition [[minhashCandidatePairs]]
+    * runs, so candidate generation never goes O(n²): the only exchanges
+    * are the (band, band_hash) self-join and two doc-keyed joins that
+    * attach each candidate's sorted shingle array to the pair before
+    * the codegen'd merge walk scores it exactly.
+    *
+    * The HONEST recall boundary, stated not hidden: banding collides on
+    * JACCARD resemblance (P ≈ 1 − (1 − j^rows)^bands), so a pair whose
+    * containment is high but whose Jaccard is diluted far below the
+    * band threshold — a tweet inside a year of news roundups — may
+    * never share a bucket. That is the documented gap between MinHash
+    * LSH and containment search; the scale remedy is size-stratified
+    * banding (LSH Ensemble, Zhu et al., VLDB 2016: partition by set
+    * size, tune bands per stratum), which composes with this exact
+    * scoring tail unchanged. Within a band-surfaced candidate set the
+    * scores are EXACT — DedupSimilaritySpec asserts value equality
+    * against the capped auditor on its slice, and that every surfaced
+    * pair is a subset of the exact all-pairs result.
+    */
+  def ngramContainmentCorpus(spark: SparkSession, d: String,
+                             minContain: Double = 0.5,
+                             numHashes: Int = 32, bands: Int = 8): DataFrame =
+    ngramContainmentCorpusDf(Tables.documents(spark, d), minContain, numHashes, bands)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def ngramContainmentCorpusDf(docsIn: DataFrame, minContain: Double = 0.5,
+                               numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val cands = minhashCandidatePairsUnordered(docsIn, numHashes, bands)
+      .select(col("id_a"), col("id_b"))
+    val sh = Tables.fanOut(docsIn)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(shinglesOfTokens(col("toks")))).as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.JaccardExpression.overlapCounts(
+          col("sh_a"), col("sh_b")).as("oc"))
+      .select(col("id_a"), col("id_b"),
+        round(col("oc.n_inter").cast("double") / col("oc.n_a"), 6).as("contain_a"),
+        round(col("oc.n_inter").cast("double") / col("oc.n_b"), 6).as("contain_b"),
+        round(col("oc.n_inter").cast("double") /
+          (col("oc.n_a") + col("oc.n_b") - col("oc.n_inter")), 6).as("jaccard"))
+      .filter(col("contain_a") > minContain || col("contain_b") > minContain)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

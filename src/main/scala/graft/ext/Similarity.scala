@@ -427,37 +427,54 @@ object Similarity {
     * this) → PQ (16 B/vec, [[ivfPqTopK]]). SQ is the standard serving
     * trade when PQ's distortion is too coarse: a 4× cut in every
     * exchange and index byte at ~no recall loss on typical embeddings
-    * (asserted against brute force in tests), with SIMD-friendly
-    * integer dot products at serving time. Scoring is exact over the
-    * CODES (scales cancel in cosine), so ranking quality depends only
-    * on the rounding error bound |x − s·c| ≤ s/2 per component.
+    * (asserted in tests), with SIMD-friendly integer dot products at
+    * serving time. Scoring is exact over the CODES (scales cancel in
+    * cosine), so ranking quality depends only on the rounding error
+    * bound |x − s·c| ≤ s/2 per component.
     *
-    * Scale shape mirrors [[cosineTopK]]: quantization is a narrow map,
-    * the query side broadcasts CODES (4× smaller than the float
-    * broadcast), ranking shuffles only (query, score) pairs. Rows-only
-    * check (int8 rounding isn't portably reproducible in SQL at hash
-    * precision); the recall floor and error bound live in ScalaTest.
+    * SQ here is compression AND pruning: corpus codes carry an IVF
+    * cell id ([[ivfCellUdf]], same coarse quantizer as [[ivfAnnTopK]])
+    * and each query scores only its `nprobe` nearest cells, so the
+    * int8 kernel runs over ~nprobe/nlist of the corpus instead of all
+    * of it, and the bounded [[topKFinal]] never sees a corpus-sized
+    * stream. `nlist = 1` degenerates to the exhaustive form (one cell
+    * holds everything — pruning is exact), the same single-cell
+    * escape hatch [[semanticDedupDropList]] documents; the recall
+    * ladder in DedupSimilaritySpec asserts both regimes: pruned-SQ ≥
+    * 0.8 of pruned-float (same candidates, rounding-only loss) and
+    * exhaustive-SQ ≥ 0.8 of brute force.
+    *
+    * Scale shape mirrors [[ivfAnnTopK]]: quantization + cell
+    * assignment are narrow maps, the query side broadcasts CODES (4×
+    * smaller than the float broadcast) × nprobe probe rows, and the
+    * final shuffles ≤ k pairs per (query, partition). Rows-only check
+    * (int8 rounding isn't portably reproducible in SQL at hash
+    * precision); recall floors and the error bound live in ScalaTest.
     */
   def sqAnnTopK(spark: SparkSession, d: String,
-                nQueries: Int = 8, k: Int = 5): DataFrame =
-    sqAnnTopKDf(Tables.embeddings(spark, d), nQueries, k)
+                nQueries: Int = 8, k: Int = 5,
+                nlist: Int = 16, nprobe: Int = 2): DataFrame =
+    sqAnnTopKDf(Tables.embeddings(spark, d), nQueries, k, nlist, nprobe)
 
   /** DataFrame form (embs must have vec_id + embedding). */
-  def sqAnnTopKDf(embs: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val emb = embs.filter(col("embedding").isNotNull)
-      .select(col("vec_id"), sqEncodeUdf(col("embedding")).getField("_2").as("codes"))
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("codes").as("q_codes"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim_sq").desc, col("neighbor_id"))
-    emb.as("c")
-      .join(broadcast(queries), col("query_id") =!= col("c.vec_id"))
+  def sqAnnTopKDf(embs: DataFrame, nQueries: Int = 8, k: Int = 5,
+                  nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    val embRaw = embs.filter(col("embedding").isNotNull)
+    val cents = trainIvfCentroids(embRaw, nlist)
+    val emb = embRaw.select(col("vec_id"),
+      ivfCellUdf(cents)(col("embedding")).as("cell"),
+      sqEncodeUdf(col("embedding")).getField("_2").as("codes"))
+    val queries = embRaw.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        sqEncodeUdf(col("embedding")).getField("_2").as("q_codes"),
+        explode(ivfProbeUdf(cents, math.min(nprobe, nlist))(col("embedding")))
+          .as("probe_cell"))
+    val scored = emb.as("c")
+      .join(broadcast(queries),
+        col("probe_cell") === col("c.cell") && col("query_id") =!= col("c.vec_id"))
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
         round(sqCosineUdf(col("q_codes"), col("c.codes")), 6).as("cos_sim_sq"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim_sq"))
-      .orderBy(col("query_id"), col("rk"))
+    topKFinal(scored, "cos_sim_sq", k)
   }
 
   // --------------------------------------------------------- IVF-PQ ANN
@@ -778,12 +795,7 @@ object Similarity {
           round(adcScore(col("query_id"), col("cell"), col("code")) /
             (col("q_norm") * col("rec_norm")), 6))
           .otherwise(lit(0.0)).as("cos_sim_pq"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim_pq").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim_pq"))
-      .orderBy(col("query_id"), col("rk"))
+    topKFinal(scored, "cos_sim_pq", k)
   }
 
   /** Symmetric-distance (SDC) dot tables: per subspace, the kSub × kSub
@@ -1005,9 +1017,27 @@ object Similarity {
     * combine (a rank window here would shuffle the |corpus|·|eval|
     * pair stream instead; the struct max falls back to sort-based
     * aggregation but its partials still combine map-side, so the
-    * exchange carries one row per corpus vector). For an eval set too
-    * big to broadcast, the IVF route of [[semanticDedupDropList]] is
-    * the same composition with a cell-keyed join.
+    * exchange carries one row per corpus vector).
+    *
+    * The broadcast contract is ENFORCED, not just documented (the
+    * [[graft.ext.Corpus.decontaminationStatsDf]] guard, the
+    * `aucOfScores` loud-failure discipline): the eval slice's size is
+    * estimated LAZILY off the analyzed plan (`stats.sizeInBytes /
+    * 20` — file size for a parquet scan, no job launched; unknown
+    * stats surface as ≈Long.MaxValue and fail to the safe side), and
+    * an estimate above `maxBroadcastEvalBytes` REFUSES to build the
+    * O(|corpus|·|eval|) broadcast nested-loop join. The escape hatch
+    * for oversized evals is `nlist > 0`: the IVF cell-keyed route —
+    * eval vectors are bucketed by a coarse quantizer trained on the
+    * eval slice, each corpus vector scores only the eval vectors in
+    * its `nprobe` nearest cells, and the pair join keys on the cell
+    * (planner-sized, no broadcast hint). That is the
+    * [[semanticDedupDropList]] composition; it is approximate in the
+    * standard IVF sense (a contaminated pair whose eval vector lives
+    * outside the probed cells is missed), and `nlist = 1` degenerates
+    * to the exact exhaustive form (asserted in tests). Corpus vectors
+    * whose probed cells hold no eval vector report `max_cos_r = 0.0`
+    * with a NULL `nearest_eval_id`.
     *
     * Default tau matches [[embeddingNearDups]]'s 0.4: the synthetic
     * fixture's cosine mass tops out near 0.5; production runs with a
@@ -1017,28 +1047,69 @@ object Similarity {
                               tau: Double = 0.4): DataFrame =
     semanticDecontaminationDf(Tables.embeddings(spark, d), tau)
 
-  /** DataFrame form (must have vec_id + embedding). */
-  def semanticDecontaminationDf(embIn: DataFrame, tau: Double): DataFrame = {
+  /** DataFrame form (must have vec_id + embedding). `nlist = 0` (the
+    * oracle-checked default) is the exact broadcast regime behind the
+    * size guard; `nlist > 0` is the IVF cell-keyed route for evals too
+    * big to broadcast.
+    */
+  def semanticDecontaminationDf(embIn: DataFrame, tau: Double,
+                                nlist: Int = 0, nprobe: Int = 2,
+                                maxBroadcastEvalBytes: Long = 256L << 20): DataFrame = {
     val emb = embIn
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val evalSet = emb.filter(col("vec_id") % 20 === 7)
-      .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"),
-        col("nrm").as("e_nrm"))
-    emb.filter(col("vec_id") % 20 =!= 7).as("c")
-      .join(broadcast(evalSet))
-      .select(col("vec_id"),
-        struct(
-          when(col("nrm") > 0 && col("e_nrm") > 0,
-            round(dot(col("embedding"), col("e_emb")) / (col("nrm") * col("e_nrm")), 6))
-            .otherwise(lit(0.0)).as("c"),
-          (-col("eval_id")).as("n")).as("s"))
-      .groupBy(col("vec_id"))
-      .agg(max(col("s")).as("m"))
-      .select(col("vec_id"),
-        col("m.c").as("max_cos_r"),
-        (-col("m.n")).as("nearest_eval_id"),
-        (col("m.c") >= tau).as("contaminated"))
-      .orderBy(col("vec_id"))
+    val corpus = emb.filter(col("vec_id") % 20 =!= 7)
+    // (rounded cosine, −eval_id) struct: max() picks the highest cosine,
+    // ties to the smallest eval id (the cosineTopK discipline)
+    val pairScore = struct(
+      when(col("nrm") > 0 && col("e_nrm") > 0,
+        round(dot(col("embedding"), col("e_emb")) / (col("nrm") * col("e_nrm")), 6))
+        .otherwise(lit(0.0)).as("c"),
+      (-col("eval_id")).as("n")).as("s")
+    if (nlist <= 0) {
+      val evalBytesEst = embIn.queryExecution.analyzed.stats.sizeInBytes / 20
+      require(evalBytesEst <= maxBroadcastEvalBytes,
+        s"semanticDecontamination: estimated eval-slice size ($evalBytesEst B) " +
+          s"exceeds maxBroadcastEvalBytes ($maxBroadcastEvalBytes B) — an " +
+          "oversized eval set would silently build an O(|corpus|*|eval|) " +
+          "broadcast nested-loop join. Pass nlist > 0 for the IVF " +
+          "cell-keyed route, or raise the bound if the eval set truly fits.")
+      val evalSet = emb.filter(col("vec_id") % 20 === 7)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"),
+          col("nrm").as("e_nrm"))
+      corpus.as("c")
+        .join(broadcast(evalSet))
+        .select(col("vec_id"), pairScore)
+        .groupBy(col("vec_id"))
+        .agg(max(col("s")).as("m"))
+        .select(col("vec_id"),
+          col("m.c").as("max_cos_r"),
+          (-col("m.n")).as("nearest_eval_id"),
+          (col("m.c") >= tau).as("contaminated"))
+        .orderBy(col("vec_id"))
+    } else {
+      val evalRaw = emb.filter(col("vec_id") % 20 === 7)
+      val cents = trainIvfCentroids(evalRaw, nlist)
+      val evalSet = evalRaw
+        .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"),
+          col("nrm").as("e_nrm"), ivfCellUdf(cents)(col("embedding")).as("cell"))
+      val agg = corpus
+        .withColumn("probe_cell",
+          explode(ivfProbeUdf(cents, math.min(nprobe, nlist))(col("embedding"))))
+        .as("c")
+        .join(evalSet, col("probe_cell") === col("cell"))
+        .select(col("vec_id"), pairScore)
+        .groupBy(col("vec_id"))
+        .agg(max(col("s")).as("m"))
+      // left-join back so corpus vectors with no eval candidate in their
+      // probed cells still report (0.0, NULL, false)
+      corpus.select(col("vec_id"))
+        .join(agg, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("m.c"), lit(0.0)).as("max_cos_r"),
+          (-col("m.n")).as("nearest_eval_id"),
+          (coalesce(col("m.c"), lit(0.0)) >= tau).as("contaminated"))
+        .orderBy(col("vec_id"))
+    }
   }
 
   /** Per-vector norm stats — sanity analytics over the embedding table. */

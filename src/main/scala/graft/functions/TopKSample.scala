@@ -190,15 +190,15 @@ class TopKByScore(k: Int)
     val id = v._2
     val n = s.scores.length
     if (n == k) {
-      if (before(s.scores(n - 1), s.ids(n - 1), score, id)) {
-        // in-place tail shift once the buffer is full — zero allocation
-        // on the per-candidate hot path (the TopKByKey discipline)
-        val pos = insertPos(s, score, id)
-        var i = k - 1
-        while (i > pos) { s.scores(i) = s.scores(i - 1); s.ids(i) = s.ids(i - 1); i -= 1 }
-        s.scores(pos) = score
-        s.ids(pos) = id
-      }
+      // below the cut iff the current worst kept pair still ranks first
+      if (before(s.scores(n - 1), s.ids(n - 1), score, id)) return s
+      // in-place tail shift once the buffer is full — zero allocation
+      // on the per-candidate hot path (the TopKByKey discipline)
+      val pos = insertPos(s, score, id)
+      var i = k - 1
+      while (i > pos) { s.scores(i) = s.scores(i - 1); s.ids(i) = s.ids(i - 1); i -= 1 }
+      s.scores(pos) = score
+      s.ids(pos) = id
       return s
     }
     val pos = insertPos(s, score, id)

@@ -285,4 +285,29 @@ class PlanShapeSpec extends SparkTestBase {
     assert(shuffleExchanges("q_repeat_schedule") <= 2,
       s"repeat-schedule plan grew a shuffle:\n${plan("q_repeat_schedule")}")
   }
+
+  test("ANN finals: bounded top-k aggregator, not rank windows (cosine keeps its window)") {
+    // Every serving-path ANN final must go through TopKByScore — an
+    // ObjectHashAggregate whose map-side partials bound the exchange at
+    // k pairs per (query, partition). A rank window reappearing here
+    // means the final shuffles the whole scored candidate stream into
+    // one sort partition per query again (the 100 TB anti-pattern the
+    // aggregator exists to remove).
+    for (q <- Seq("q_sq_ann_topk", "q_lsh_ann_topk", "q_ivf_ann_topk",
+                  "q_ivf_pq_topk")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q: rank window back in the final:\n$p")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q: bounded top-k aggregator missing:\n$p")
+    }
+    // q_cosine_topk is the ONE deliberate window: the exact brute-force
+    // auditor the recall floors are measured against
+    assert(plan("q_cosine_topk").contains("Window"),
+      "q_cosine_topk must keep its exact rank-window form")
+    // and the SQ final's input is candidate-pruned now: the probe join
+    // keys on the IVF cell, so the scorer sees ~nprobe/nlist of the
+    // corpus, not all of it
+    assert(plan("q_sq_ann_topk").contains("probe_cell"),
+      s"q_sq_ann_topk lost its IVF candidate-pruning stage:\n${plan("q_sq_ann_topk")}")
+  }
 }

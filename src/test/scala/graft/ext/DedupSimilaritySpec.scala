@@ -530,6 +530,38 @@ class DedupSimilaritySpec extends SparkTestBase {
       "cosine tie must resolve to the smallest eval id")
   }
 
+  test("semantic decontamination: oversized eval refused; IVF route agrees") {
+    // the broadcast contract is enforced, not just documented: an eval
+    // slice estimated above the bound must FAIL LOUDLY at plan-build
+    // time (no job), naming the escape hatch
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val refusal = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminationDf(emb, tau = 0.4,
+        maxBroadcastEvalBytes = 1L)
+    }
+    assert(refusal.getMessage.contains("maxBroadcastEvalBytes") &&
+      refusal.getMessage.contains("nlist"),
+      s"refusal must name the bound and the IVF escape hatch: $refusal")
+    // nlist = 1 degenerates to the exact exhaustive form: one cell holds
+    // the whole eval slice, so the cell-keyed route scores every pair
+    val exact = Similarity.semanticDecontaminationDf(emb, tau = 0.4)
+      .collect().map(_.toString).toSeq
+    val oneCell = Similarity.semanticDecontaminationDf(emb, tau = 0.4, nlist = 1)
+      .collect().map(_.toString).toSeq
+    assert(oneCell == exact, "nlist=1 IVF route must equal the broadcast form")
+    // pruned route: per-vector max cosine can only DROP (missed cells),
+    // so the flagged set is a subset of the exact one
+    val exactById = Similarity.semanticDecontaminationDf(emb, tau = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pruned = Similarity.semanticDecontaminationDf(emb, tau = 0.4,
+      nlist = 8, nprobe = 2).collect()
+    assert(pruned.length == exactById.size, "every corpus vector must report")
+    pruned.foreach { r =>
+      assert(r.getDouble(1) <= exactById(r.getLong(0)) + 1e-9,
+        s"pruned max cosine exceeded the exact max for vec ${r.getLong(0)}")
+    }
+  }
+
   test("int8 SQ: error bound holds; ANN recall tracks brute force; scales cancel") {
     import spark.implicits._
     // kernel error bound |x - s*c| <= s/2 on randomized vectors
@@ -547,17 +579,76 @@ class DedupSimilaritySpec extends SparkTestBase {
     val base = Array(1f, -2f, 3f, 0.5f)
     assert(Similarity.sqEncode(base)._2.toSeq ==
       Similarity.sqEncode(base.map(_ * 7f))._2.toSeq)
-    // recall vs brute force on the real table: int8 cosine ranks nearly
-    // identically at 64 dims (the 4x-payload-for-free claim)
+    // recall ladder on the real table, both pruning regimes:
+    // (a) exhaustive SQ (nlist = 1 -> one cell holds everything, pruning
+    //     exact) vs brute force: int8 cosine ranks nearly identically at
+    //     64 dims (the 4x-payload-for-free claim)
     val exact = Similarity.cosineTopK(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val sq = Similarity.sqAnnTopK(spark, sfDir)
+    val sqFull = Similarity.sqAnnTopK(spark, sfDir, nlist = 1)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val recall = exact.intersect(sq).size.toDouble / exact.size
-    assert(recall >= 0.8, s"SQ recall degraded to $recall")
+    val fullRecall = exact.intersect(sqFull).size.toDouble / exact.size
+    assert(fullRecall >= 0.8, s"exhaustive SQ recall degraded to $fullRecall")
+    // (b) default pruned SQ vs float IVF at the SAME cell topology: the
+    //     candidate sets match, so any gap is rounding-only
+    val ivf = Similarity.ivfAnnTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sqPruned = Similarity.sqAnnTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val prunedRecall = ivf.intersect(sqPruned).size.toDouble / ivf.size
+    assert(prunedRecall >= 0.8,
+      s"pruned SQ diverged from float IVF on shared candidates: $prunedRecall")
     val again = Similarity.sqAnnTopK(spark, sfDir).collect()
     assert(again.map(_.toString).toSeq ==
       Similarity.sqAnnTopK(spark, sfDir).collect().map(_.toString).toSeq)
+  }
+
+  test("topKFinal equals the rank-window oracle on ties, NaN, and real scores") {
+    import spark.implicits._
+    // -0.0 first, directly on the aggregator: normalized to 0.0 on
+    // insert, so it ties with 0.0 and falls to the id tiebreak (the
+    // raw window oracle would instead use the sort total order where
+    // -0.0 < 0.0 — the one documented divergence, which the scorers
+    // never produce after their round(); pinned here, not papered over)
+    val a = new graft.functions.TopKByScore(2)
+    val st = a.reduce(a.reduce(a.zero, (-0.0, 9L)), (0.0, 3L))
+    assert(a.finish(st) == Seq((0.0, 3L), (0.0, 9L)),
+      "-0.0 must normalize to 0.0 and tie-break by id")
+    // synthetic scored stream exercising every ordering edge the
+    // aggregator shares with the window: score ties (id tiebreak), NaN
+    // (ranks above all, Double.compare), groups smaller than k, and a
+    // group exactly at k
+    val edge = Seq(
+      (0L, 10L, 0.5), (0L, 11L, 0.5), (0L, 12L, 0.5), (0L, 13L, 0.7),
+      (1L, 20L, 0.0), (1L, 21L, 0.0), (1L, 22L, Double.NaN), (1L, 23L, -0.3),
+      (2L, 30L, 0.1),
+      (3L, 40L, 1.0), (3L, 41L, 0.9), (3L, 42L, 0.8)
+    ).toDF("query_id", "neighbor_id", "s")
+    def cmp(scored: org.apache.spark.sql.DataFrame, k: Int): Unit = {
+      val win = Similarity.rankWindowFinal(scored, "s", k).collect().map(_.toString)
+      val agg = Similarity.topKFinal(scored, "s", k).collect().map(_.toString)
+      assert(win.toSeq == agg.toSeq,
+        s"aggregator diverged from window oracle at k=$k:\n" +
+          s"win=${win.mkString(",")}\nagg=${agg.mkString(",")}")
+    }
+    cmp(edge, 3)
+    cmp(edge, 1)
+    cmp(edge, 10)
+    // the real cosine scored stream (the exact scorer every ANN variant
+    // shares): window and aggregator finals must be byte-identical
+    val embs = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val queries = embs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = embs.as("c")
+      .join(broadcast(queries), col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(Similarity.dot(col("q_emb"), col("c.embedding")) /
+          (col("q_nrm") * col("c.nrm")), 6).as("s"))
+    cmp(scored, 5)
   }
 
   test("containment: a quoted short doc scores ~1 where jaccard dilutes") {
@@ -581,6 +672,37 @@ class DedupSimilaritySpec extends SparkTestBase {
     val t = Dedup.ngramContainmentPairsDf(twins).collect()
     assert(t.length == 1 && t.head.getDouble(2) == 1.0 && t.head.getDouble(3) == 1.0
       && t.head.getDouble(4) == 1.0)
+  }
+
+  test("corpus-wide containment: banded candidates score exactly, slice-audited") {
+    // the banded form against its capped all-pairs auditor on the real
+    // table: every surfaced pair in the audit slice must appear in the
+    // exact result WITH identical ratios (band buckets gate WHICH pairs
+    // surface; they must never perturb a surfaced pair's score)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val exactRows = Dedup.ngramContainmentPairsDf(docs, idLimit = 200).collect()
+    val exact = exactRows.map(r => (r.getLong(0), r.getLong(1)) -> r.toString).toMap
+    val banded = Dedup.ngramContainmentCorpusDf(docs)
+      .filter(col("id_a") < 200 && col("id_b") < 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toString).toMap
+    assert(banded.nonEmpty, "sf0.001's planted near-dups must band-collide")
+    banded.foreach { case (k, v) =>
+      assert(exact.get(k).contains(v),
+        s"banded pair $k diverged from the exact auditor: $v vs ${exact.get(k)}")
+    }
+    // recall on SYMMETRIC near-dups (where banding's jaccard collision
+    // probability is designed to be high): the capped auditor's
+    // both-directions-high pairs must all band-collide
+    val symmetric = exactRows
+      .filter(r => r.getDouble(2) > 0.8 && r.getDouble(3) > 0.8)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(symmetric.subsetOf(banded.keySet),
+      s"symmetric near-dups missed by banding: ${symmetric -- banded.keySet}")
+    // determinism
+    val again = Dedup.ngramContainmentCorpusDf(docs)
+      .filter(col("id_a") < 200 && col("id_b") < 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toString).toMap
+    assert(again == banded)
   }
 
   test("dim truncation audit: prefix-loaded signal keeps recall, tail-loaded loses it") {
