@@ -162,6 +162,12 @@ object SparkEntry {
     "q_interp_logprob"    -> ((s: SparkSession, d: String) => TextAnalysis.interpLogProb(s, d)),
     "q_wb_logprob"        -> ((s: SparkSession, d: String) => TextAnalysis.wbLogProb(s, d)),
     "q_kn_logprob"        -> ((s: SparkSession, d: String) => TextAnalysis.knLogProb(s, d)),
+    // the 128-bit-key variant of the deepest smoothing chain, gated by
+    // the SAME string-keyed oracle (key width is an engine-internal
+    // interning choice; identical scores are the whole point) — the
+    // oracle-checked half of the wide-key policy (chooseWideKeys)
+    "q_kn_logprob_wide"   -> ((s: SparkSession, d: String) =>
+      TextAnalysis.knLogProbDf(graft.Tables.documents(s, d), wideKeys = true)),
     "q_winnow_span_dedup" -> ((s: SparkSession, d: String) => Cleaning.winnowSpanDedupStats(s, d)),
     "q_hot_terms_guarantee" -> ((s: SparkSession, d: String) => TextAnalysis.hotTermsGuarantee(s, d)),
     "q_pack_invariants"   -> ((s: SparkSession, d: String) => ext.Corpus.packInvariants(s, d)),
@@ -180,6 +186,9 @@ object SparkEntry {
     "q_bpe_stats"         -> ((s: SparkSession, d: String) => TextAnalysis.bpeStats(s, d)),
     "q_dim_truncation"    -> ((s: SparkSession, d: String) => Similarity.dimTruncationAudit(s, d)),
     "q_ngram_containment" -> ((s: SparkSession, d: String) => Dedup.ngramContainmentPairs(s, d)),
+    // rows-only: band-bucket candidate generation is engine-local (the
+    // capped q_ngram_containment IS its exact-value auditor on the slice)
+    "q_ngram_containment_corpus" -> ((s: SparkSession, d: String) => Dedup.ngramContainmentCorpus(s, d)),
     // rows-only: int8 rounding isn't portably reproducible in SQL at
     // hash precision; recall floor + error bound live in ScalaTest
     "q_sq_ann_topk"       -> ((s: SparkSession, d: String) => Similarity.sqAnnTopK(s, d)),
@@ -920,6 +929,30 @@ object SparkEntry {
         "FROM p WHERE round(CAST(ni AS DOUBLE) / na, 6) > 0.5 " +
         "OR round(CAST(ni AS DOUBLE) / nb, 6) > 0.5 " +
         "ORDER BY id_a, id_b"),
+    // media dHash: integer-exact — the oracle re-derives the 9x8
+    // byte-subsample grid and the 64 row-major comparisons from the
+    // SAME UTF-8 payload bytes via BIT-string bit extraction (bit 63's
+    // contribution is written signed; DuckDB's << overflows at 63)
+    "q_media_phash" ->
+      ("WITH m AS (SELECT doc_id AS media_id, 'image' AS kind, " +
+        "encode(text)::BIT AS bits, octet_length(encode(text)) AS len " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "g AS (SELECT media_id, i, " +
+        "get_bit(bits, bi+0)*128 + get_bit(bits, bi+1)*64 + " +
+        "get_bit(bits, bi+2)*32 + get_bit(bits, bi+3)*16 + " +
+        "get_bit(bits, bi+4)*8 + get_bit(bits, bi+5)*4 + " +
+        "get_bit(bits, bi+6)*2 + get_bit(bits, bi+7) AS v " +
+        "FROM (SELECT media_id, bits, i, " +
+        "CAST(LEAST(CAST(floor(i * (CAST(len AS DOUBLE) / 72)) AS BIGINT), len - 1) * 8 AS INT) AS bi " +
+        "FROM m, (SELECT CAST(unnest(range(72)) AS INT) AS i) WHERE len > 0)), " +
+        "h AS (SELECT a.media_id, SUM(CASE WHEN a.v < b.v THEN " +
+        "CASE WHEN (a.i // 9) * 8 + (a.i % 9) = 63 THEN -9223372036854775808 " +
+        "ELSE (1::BIGINT << CAST((a.i // 9) * 8 + (a.i % 9) AS INT)) END " +
+        "ELSE 0 END) AS phash " +
+        "FROM g a JOIN g b ON a.media_id = b.media_id AND b.i = a.i + 1 AND a.i % 9 < 8 " +
+        "GROUP BY 1) " +
+        "SELECT m.media_id, m.kind, COALESCE(h.phash, 0)::BIGINT AS phash " +
+        "FROM m LEFT JOIN h ON m.media_id = h.media_id ORDER BY m.media_id"),
     "q_cosine_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb " +
         "FROM embeddings WHERE vec_id < 8), " +
@@ -1380,6 +1413,13 @@ object SparkEntry {
     // counts (COUNT(*) chain), continuation-unigram denominator =
     // total distinct bigram types
     "q_kn_logprob" -> smoothedFivegramSql(raw = false,
+      p1Cte = "nb AS (SELECT COUNT(*) AS n_bi FROM t2), " +
+        "p1 AS (SELECT w5, CAST(c AS DOUBLE) / n_bi AS p FROM t1 CROSS JOIN nb), ",
+      levelExpr = "(GREATEST(CAST(c AS DOUBLE) - 0.75, 0.0) + " +
+        "0.75 * CAST(tt AS DOUBLE) * p) / CAST(cc AS DOUBLE)"),
+    // wide-key variant: the oracle computes over gram STRINGS, so it is
+    // key-width-independent by construction — same SQL as q_kn_logprob
+    "q_kn_logprob_wide" -> smoothedFivegramSql(raw = false,
       p1Cte = "nb AS (SELECT COUNT(*) AS n_bi FROM t2), " +
         "p1 AS (SELECT w5, CAST(c AS DOUBLE) / n_bi AS p FROM t1 CROSS JOIN nb), ",
       levelExpr = "(GREATEST(CAST(c AS DOUBLE) - 0.75, 0.0) + " +

@@ -356,7 +356,7 @@ object Cleaning {
     // freeze the keeper set NOW: a lazy keeperSpans would re-run the
     // full base-corpus span pass (and re-read the base files) on every
     // trigger instead of joining one static, precomputed table
-    val frozen = Freeze(keeperSpans)
+    val frozen = Freeze.scoped(checkpoint, keeperSpans)
     docStream.writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
@@ -657,8 +657,8 @@ object Cleaning {
                           w: Int = 4, maxDupFrac: Double = 0.2,
                           triggerMs: Long = 10000L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val fps = Freeze(winnowKeeperFingerprints(baseDocs, n, w))
-    val spans = Freeze(keeperSpanHashes(baseDocs, n))
+    val fps = Freeze.scoped(checkpoint, winnowKeeperFingerprints(baseDocs, n, w))
+    val spans = Freeze.scoped(checkpoint, keeperSpanHashes(baseDocs, n))
     docStream.writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))

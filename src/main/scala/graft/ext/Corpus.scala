@@ -217,11 +217,19 @@ object Corpus {
     * for those).
     */
   def packInvariants(spark: SparkSession, d: String, budget: Int = 2048): DataFrame = {
+    // persist: the doc-level and pack-level branches below are
+    // cross-joined, and Spark would otherwise evaluate the whole
+    // tokenize-and-pack mapPartitions lineage once PER branch — a
+    // doubled packing pass for a one-row audit. MEMORY_AND_DISK keeps
+    // the audit safe when the packed table outgrows executor memory;
+    // the terminal .agg rows are tiny, so materialization cost is the
+    // single packing pass itself.
     val packed = packDocuments(spark, d, budget)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perPack = packed.groupBy(col("pack_id"))
       .agg(sum(col("n_tokens")).as("pack_tokens"),
         max(col("overflow").cast("int")).as("has_overflow"))
-    packed.agg(
+    val out = packed.agg(
         count(lit(1)).as("docs_packed"),
         countDistinct(col("doc_id")).as("distinct_docs"),
         sum(col("n_tokens")).as("total_tokens"),
@@ -230,6 +238,9 @@ object Corpus {
         sum(col("has_overflow")).cast("long").as("overflow_packs"),
         sum((col("pack_tokens") > budget && col("has_overflow") === 0).cast("long"))
           .as("budget_violations")))
+      .localCheckpoint(eager = true)
+    packed.unpersist()
+    out
   }
 
   /** Context-window TRUNCATION-loss audit (the question a pipeline
@@ -689,7 +700,7 @@ object Corpus {
     // freeze the eval docs NOW so every trigger checks the same static
     // eval set instead of re-reading its source (same contract as
     // Cleaning.spanDedupSink / TextAnalysis.backoffScoreSink)
-    val frozen = Freeze(evalDocs)
+    val frozen = Freeze.scoped(checkpoint, evalDocs)
     trainStream.writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
@@ -1004,7 +1015,7 @@ object Corpus {
                     triggerMs: Long = 10000L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val targetPred = col("doc_id") % 20 === 7
-    val frozen = Freeze(dsirDeltaTable(baseDocs, targetPred))
+    val frozen = Freeze.scoped(checkpoint, dsirDeltaTable(baseDocs, targetPred))
     // OOV constant from the base totals: ct = cr = 0 in the delta
     // formula. One bounded collect (2 scalars) at sink-construction time.
     val tot = Tables.fanOut(baseDocs).filter(col("text").isNotNull)
@@ -1013,6 +1024,11 @@ object Corpus {
       .agg(sum(when(col("is_target"), 1L).otherwise(0L)),
         sum(when(col("is_target"), 0L).otherwise(1L)))
       .collect()(0)
+    // an empty base corpus makes both SUMs null — fail with the
+    // backoffScoreAgainst discipline instead of an opaque NPE below
+    require(!tot.isNullAt(0) && !tot.isNullAt(1),
+      "dsirScoreSink: empty base corpus — the DSIR delta table and OOV " +
+        "constant need at least one non-null-text base document")
     def snapLn(total: Long): Long =
       math.floor(math.log(1.0 / (total + DsirBuckets)) * 1e6 + 0.5).toLong
     val oov = snapLn(tot.getLong(0)) - snapLn(tot.getLong(1))

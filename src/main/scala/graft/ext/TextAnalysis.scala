@@ -1084,8 +1084,43 @@ object TextAnalysis {
     * order harder — this is why the keys are hashes here.
     */
   def fivegramLogProb(spark: SparkSession, d: String,
-                      minCount: Int = 2, alpha: Double = 0.5): DataFrame =
-    fivegramLogProbDf(Tables.documents(spark, d), minCount, alpha)
+                      minCount: Int = 2, alpha: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    fivegramLogProbDf(docs, minCount, alpha, chooseWideKeys(docs))
+  }
+
+  /** Key-width POLICY for the whole 5-gram scorer family — the piece
+    * that makes the [[gramHashWide]] collision audit OPERATIVE instead
+    * of advisory: the (spark, d) entry points pick the key width from
+    * the corpus's estimated distinct-gram cardinality, so a 100 TB run
+    * gets 128-bit keys without anyone remembering the flag, and the
+    * fixture-scale oracle runs keep the 8-byte keys (and their halved
+    * exchange width).
+    *
+    * Threshold: the audit puts 64-bit keys at ~27k expected colliding
+    * pairs at n = 10^12 (immaterial after the micro-nat snap) and
+    * names n ~ 10^13 as where pairs turn material — so the policy
+    * switches at [[WideKeyGramThreshold]] = 10^12 distinct grams, one
+    * order BELOW the material line (wide keys cost only 2× key bytes;
+    * a wrong narrow choice costs correctness tail risk, so the switch
+    * errs early). Cardinality is estimated LAZILY from the analyzed
+    * plan's byte stats (grams ≤ tokens ≈ bytes / 6 — no job, the
+    * [[graft.ext.Corpus.decontaminationStatsDf]] technique); UNKNOWN
+    * stats read as defaultSizeInBytes (≈ Long.MaxValue) and select
+    * wide keys — the safe side, since only correctness is at stake
+    * when the size is unknowable. The Df forms keep the explicit
+    * `wideKeys` flag for callers that know better, and the two widths
+    * are asserted score-identical in CleaningSpec with the wide chain
+    * oracle-checked end-to-end as `q_kn_logprob_wide`.
+    */
+  val WideKeyGramThreshold: Double = 1e12
+
+  /** True iff `docs`' estimated distinct-gram cardinality crosses
+    * [[WideKeyGramThreshold]] (bytes-based upper estimate; no job).
+    */
+  def chooseWideKeys(docs: DataFrame, bytesPerToken: Double = 6.0): Boolean =
+    (BigDecimal(docs.queryExecution.analyzed.stats.sizeInBytes) /
+      bytesPerToken) >= WideKeyGramThreshold
 
   /** The doc-keyed 5-gram key stream plus the fully-counted type table
     * (c5 with all eight backoff totals attached) and the scalar-N
@@ -1175,8 +1210,10 @@ object TextAnalysis {
     * [[fivegramCounts]], so plan cost is identical.
     */
   def interpLogProb(spark: SparkSession, d: String,
-                    lambda: Double = 0.5): DataFrame =
-    interpLogProbDf(Tables.documents(spark, d), lambda)
+                    lambda: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    interpLogProbDf(docs, lambda, chooseWideKeys(docs))
+  }
 
   /** DataFrame form (docs must have doc_id + text). */
   def interpLogProbDf(docs: DataFrame, lambda: Double = 0.5,
@@ -1276,11 +1313,19 @@ object TextAnalysis {
     * right); scores snap to integer micro-nats before the exact BIGINT
     * per-doc rollup.
     */
-  def wbLogProb(spark: SparkSession, d: String): DataFrame =
-    wbLogProbDf(Tables.documents(spark, d))
+  def wbLogProb(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    wbLogProbDf(docs, chooseWideKeys(docs))
+  }
 
   /** DataFrame form (docs must have doc_id + text). */
   def wbLogProbDf(docs: DataFrame, wideKeys: Boolean = false): DataFrame = {
+    val (stream, scoreTable) = wbParts(docs, wideKeys)
+    gramRollup(stream, scoreTable, "h5", "n_fivegrams")
+  }
+
+  private def wbParts(docs: DataFrame, wideKeys: Boolean)
+      : (DataFrame, DataFrame) = {
     val (stream, c5t) = fivegramTypeTable(docs, wideKeys)
     val (t4, t3, t2, t1) = suffixChain(c5t, raw = true)
     val n = c5t.agg(sum(col("c5")).as("n")) // scalar; broadcast below
@@ -1294,8 +1339,22 @@ object TextAnalysis {
     val p5 = smoothLevel(c5t, "h5", "c5", "hc4", "hs4", p4)(wb)
     val scoreTable = p5.select(col("h5"),
       floor(log(col("p")) * 1e6 + 0.5).cast("long").as("mlp"))
-    gramRollup(stream, scoreTable, "h5", "n_fivegrams")
+    (stream, scoreTable)
   }
+
+  /** The Witten-Bell model AS A TABLE — (h5, mlp) over the base
+    * corpus's distinct 5-grams, the artifact [[smoothedScoreSink]]
+    * freezes to score a stream (the CCNet frozen-KenLM shape at the
+    * ladder's top). Same construction as [[wbLogProbDf]]; only the
+    * per-doc rollup is omitted.
+    */
+  def wbScoreTable(spark: SparkSession, d: String,
+                   wideKeys: Boolean = false): DataFrame =
+    wbScoreTableDf(Tables.documents(spark, d), wideKeys)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def wbScoreTableDf(docs: DataFrame, wideKeys: Boolean = false): DataFrame =
+    wbParts(docs, wideKeys)._2
 
   /** Interpolated KNESER-NEY 5-gram scoring (Kneser & Ney 1995, in the
     * interpolated single-discount form of Chen & Goodman 1999 eq. 18):
@@ -1326,12 +1385,20 @@ object TextAnalysis {
     * broadcast.
     */
   def knLogProb(spark: SparkSession, d: String,
-                discount: Double = 0.75): DataFrame =
-    knLogProbDf(Tables.documents(spark, d), discount)
+                discount: Double = 0.75): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    knLogProbDf(docs, discount, chooseWideKeys(docs))
+  }
 
   /** DataFrame form (docs must have doc_id + text). */
   def knLogProbDf(docs: DataFrame, discount: Double = 0.75,
                   wideKeys: Boolean = false): DataFrame = {
+    val (stream, scoreTable) = knParts(docs, discount, wideKeys)
+    gramRollup(stream, scoreTable, "h5", "n_fivegrams")
+  }
+
+  private def knParts(docs: DataFrame, discount: Double, wideKeys: Boolean)
+      : (DataFrame, DataFrame) = {
     val (stream, c5t) = fivegramTypeTable(docs, wideKeys)
     val (t4, t3, t2, t1) = suffixChain(c5t, raw = false)
     val dd = lit(discount)
@@ -1347,8 +1414,21 @@ object TextAnalysis {
     val p5 = smoothLevel(c5t, "h5", "c5", "hc4", "hs4", p4)(kn)
     val scoreTable = p5.select(col("h5"),
       floor(log(col("p")) * 1e6 + 0.5).cast("long").as("mlp"))
-    gramRollup(stream, scoreTable, "h5", "n_fivegrams")
+    (stream, scoreTable)
   }
+
+  /** The Kneser-Ney model AS A TABLE — (h5, mlp) over the base
+    * corpus's distinct 5-grams ([[wbScoreTable]]'s KN sibling, same
+    * frozen-scoring contract).
+    */
+  def knScoreTable(spark: SparkSession, d: String, discount: Double = 0.75,
+                   wideKeys: Boolean = false): DataFrame =
+    knScoreTableDf(Tables.documents(spark, d), discount, wideKeys)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def knScoreTableDf(docs: DataFrame, discount: Double = 0.75,
+                     wideKeys: Boolean = false): DataFrame =
+    knParts(docs, discount, wideKeys)._2
 
   /** Score a batch of documents against a FROZEN backoff score table
     * (built by [[backoffScoreTable]] on the base corpus). Trigrams the
@@ -1400,7 +1480,7 @@ object TextAnalysis {
     // freeze the score table NOW: without this every trigger re-runs
     // the full base-corpus count/window pipeline (and re-reads the base
     // files, so the table would track live data instead of being static)
-    val frozen = Freeze(scoreTable)
+    val frozen = Freeze.scoped(checkpoint, scoreTable)
     docStream.writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
@@ -1408,6 +1488,74 @@ object TextAnalysis {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           backoffScoreAgainst(batch, frozen, alpha)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+  }
+
+  /** Score a batch of documents against a FROZEN smoothed score table
+    * ([[wbScoreTable]] / [[knScoreTable]]) — the [[backoffScoreAgainst]]
+    * contract lifted to the ladder's top: each of the batch's 5-grams
+    * looks up its hash in the table, and 5-grams the base corpus never
+    * saw get the deterministic OOV floor `min(mlp) + floor(ln(0.5)·1e6)`
+    * — half the smallest in-table probability, strictly below every
+    * real score, integer-exact in micro-nats. (A full smoothed model
+    * would back an unseen 5-gram off through its suffix chain; the
+    * serving trade here is the KenLM-binary one — ship one flat
+    * hash-keyed table, floor the misses — and the floor choice is the
+    * honest, documented part of that trade.) The key width (64-bit vs
+    * the 128-bit wideKeys form) is inferred from the table's h5 column
+    * so scorer and table can never silently disagree. Per-doc results
+    * depend only on the doc and the frozen table, so per-batch outputs
+    * union to the batch result on the same documents (asserted in
+    * StreamingSpec). An empty table fails loudly (the
+    * [[backoffScoreAgainst]] empty-base discipline).
+    */
+  def smoothedScoreAgainst(docs: DataFrame, scoreTable: DataFrame): DataFrame = {
+    val wide = scoreTable.schema("h5").dataType
+      .isInstanceOf[org.apache.spark.sql.types.StructType]
+    val grams = fivegramStream(docs, Seq(col("doc_id")), wide)
+      .select(col("doc_id"), col("g.h5").as("h5"))
+    val floorRow = scoreTable.agg(
+      coalesce(min(col("mlp")),
+        raise_error(lit("smoothedScoreAgainst: empty score table — " +
+          "build wbScoreTable/knScoreTable from a non-empty base corpus"))
+          .cast("long")).as("mlp_min"))
+    val oovNotch = math.floor(math.log(0.5) * 1e6 + 0.5).toLong
+    grams.join(scoreTable, Seq("h5"), "left")
+      .crossJoin(broadcast(floorRow))
+      .select(col("doc_id"),
+        coalesce(col("mlp"), col("mlp_min") + lit(oovNotch)).as("mlp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fivegrams"), sum(col("mlp")).as("s"))
+      .select(col("doc_id"), col("n_fivegrams"),
+        (floor(col("s").cast("double") / col("n_fivegrams") + 0.5) / 1e6)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Streaming smoothed-LM scoring (foreachBatch stage): the
+    * [[backoffScoreSink]] contract for the ladder's top rungs — freeze
+    * a [[wbScoreTable]]/[[knScoreTable]] once, score each micro-batch
+    * against it via [[smoothedScoreAgainst]], append per-doc rows
+    * tagged with the batch id. Without the freeze every trigger would
+    * re-run the whole suffix-chain smoothing pipeline against live
+    * base files. Release the pinned table after the stream stops with
+    * `Freeze.release(checkpoint)`.
+    */
+  def smoothedScoreSink(docStream: DataFrame, scoreTable: DataFrame,
+                        outPath: String, checkpoint: String,
+                        triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val frozen = Freeze.scoped(checkpoint, scoreTable)
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          smoothedScoreAgainst(batch, frozen)
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outPath)
         }
@@ -1529,7 +1677,7 @@ object TextAnalysis {
                       outPath: String, checkpoint: String, bins: Int = 10,
                       triggerMs: Long = 10000L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val baseCalib = Freeze(calibrationOfHist(scoreHistogram(baseDocs), bins)
+    val baseCalib = Freeze.scoped(checkpoint, calibrationOfHist(scoreHistogram(baseDocs), bins)
       .select(col("bin"), col("pos_rate").as("base_pos_rate")))
     docStream.writeStream
       .outputMode("append")
@@ -1559,7 +1707,7 @@ object TextAnalysis {
               triggerMs: Long = 10000L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val spark = baseDocs.sparkSession
-    val baseRoc = Freeze(rocOfHist(scoreHistogram(baseDocs), spark)
+    val baseRoc = Freeze.scoped(checkpoint, rocOfHist(scoreHistogram(baseDocs), spark)
       .select(col("threshold"), col("tpr").as("base_tpr"),
         col("fpr").as("base_fpr")))
     docStream.writeStream

@@ -483,6 +483,14 @@ class CleaningSpec extends SparkTestBase {
       rows(TextAnalysis.wbLogProbDf(docs)))
     assert(rows(TextAnalysis.knLogProbDf(docs, wideKeys = true)) ==
       rows(TextAnalysis.knLogProbDf(docs)))
+    // the selection policy: fixture-scale corpora stay on 8-byte keys;
+    // shrinking the per-token byte estimate pushes the same corpus's
+    // estimated gram cardinality over WideKeyGramThreshold and selects
+    // the 128-bit keys (both branches exercised without 100 TB of data)
+    assert(!TextAnalysis.chooseWideKeys(docs),
+      "sf0.001 must choose narrow keys")
+    assert(TextAnalysis.chooseWideKeys(docs, bytesPerToken = 1e-9),
+      "a threshold-crossing cardinality estimate must choose wide keys")
   }
 
   test("Witten-Bell 5-gram: hand-computed per-context lambdas; T=C degeneracy pinned") {

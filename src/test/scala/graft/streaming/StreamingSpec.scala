@@ -372,6 +372,57 @@ class StreamingSpec extends SparkTestBase {
     assert(!byDoc.contains(3L), "two-token docs open no trigram")
   }
 
+  test("streaming smoothed-LM scoring: frozen WB/KN tables match batch mode, OOV floored") {
+    implicit val sqlCtx = spark.sqlContext
+    // base corpus: repeated and singleton 5-grams so WB/KN smoothing has
+    // both predictable and diverse contexts to weigh
+    val base = ((1L to 5L).map(i => i -> "x a b c d") ++
+      (11L to 13L).map(i => i -> "y a b c e") :+ (31L -> "p q r s t"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      1L -> "x a b c d",       // known 5-gram: scored from the table
+      2L -> "p q r s zzz",     // 5-gram the base never saw -> OOV floor
+      3L -> "just four tokens") // no 5-gram, absent from output
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    val ckpts = Seq(
+      ("wb", graft.ext.TextAnalysis.wbScoreTableDf(base)),
+      ("kn", graft.ext.TextAnalysis.knScoreTableDf(base))).map { case (tag, table) =>
+      val input = MemoryStream[(Long, String)]
+      val out = Files.createTempDirectory(s"sm_${tag}_out").toString
+      val ckpt = Files.createTempDirectory(s"sm_${tag}_ckpt").toString
+      val query = graft.ext.TextAnalysis.smoothedScoreSink(
+        input.toDF().toDF("doc_id", "text"), table, out, ckpt,
+        triggerMs = 50L).start()
+      try {
+        input.addData(arrivals(0))
+        query.processAllAvailable()
+        input.addData(arrivals(1), arrivals(2))
+        query.processAllAvailable()
+      } finally query.stop()
+      val streamed = spark.read.parquet(out).drop("batch_id")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.ext.TextAnalysis
+        .smoothedScoreAgainst(arrivals.toDF("doc_id", "text"), table)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"$tag: streamed $streamed != batch $batch")
+      val byDoc = spark.read.parquet(out).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      // OOV floor is exactly half the smallest in-table probability
+      val mlpMin = table.agg(min(col("mlp"))).collect()(0).getLong(0)
+      assert(byDoc(2L) == (mlpMin - 693147L).toDouble / 1e6,
+        s"$tag: OOV doc must take the floor: ${byDoc(2L)} vs table min $mlpMin")
+      assert(byDoc(2L) < byDoc(1L), s"$tag: OOV must score below a base 5-gram")
+      assert(!byDoc.contains(3L), s"$tag: four-token docs open no 5-gram")
+      ckpt
+    }
+    // each sink pinned exactly its frozen table; release drops the pins
+    assert(spark.sparkContext.getPersistentRDDs.size == pinnedBefore + 2,
+      "each smoothed sink must pin exactly one frozen table")
+    ckpts.foreach(graft.ext.Freeze.release)
+    assert(spark.sparkContext.getPersistentRDDs.size == pinnedBefore,
+      "Freeze.release(checkpoint) must unpersist the sink's frozen table")
+  }
+
   test("streaming calibration + ROC monitors: frozen base, exact cross-batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
