@@ -1112,6 +1112,119 @@ object Similarity {
     }
   }
 
+  /** Streaming ANN SERVING (foreachBatch stage) — the index-serving
+    * shape of the ANN ladder: freeze the corpus-side SQ index ONCE at
+    * sink construction (IVF cell id + int8 codes per vector — the
+    * [[sqAnnTopKDf]] corpus half, 17 bytes/vector at 64 dims instead
+    * of 256 float bytes), then answer each micro-batch of arriving
+    * QUERY vectors against it: encode the batch, probe each query's
+    * `nprobe` nearest cells, score candidates with the int8 kernel,
+    * and rank through the bounded [[topKFinal]] — so a batch of Q
+    * queries shuffles ≤ k×Q×partitions pairs no matter the corpus
+    * size. Centroids are trained once at construction on the bounded
+    * driver sample ([[trainIvfCentroids]]); the per-trigger work is
+    * two narrow maps + one cell-keyed join. Arriving queries are
+    * EXTERNAL — no self-exclusion (an identical corpus vector is a
+    * legitimate, indeed the ideal, neighbor). Per-batch results
+    * depend only on the batch and the frozen index, so per-batch
+    * outputs union to the one-shot result on the same queries
+    * (asserted in StreamingSpec). Release the pinned index after the
+    * stream stops with `Freeze.release(checkpoint)`.
+    */
+  def annServeSink(queryStream: DataFrame, baseEmb: DataFrame,
+                   outPath: String, checkpoint: String,
+                   k: Int = 5, nlist: Int = 16, nprobe: Int = 2,
+                   triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val embRaw = baseEmb.filter(col("embedding").isNotNull)
+    val cents = trainIvfCentroids(embRaw, nlist)
+    val frozenIndex = Freeze.scoped(checkpoint, embRaw
+      .select(col("vec_id"),
+        ivfCellUdf(cents)(col("embedding")).as("cell"),
+        sqEncodeUdf(col("embedding")).getField("_2").as("codes")))
+    queryStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val queries = batch.filter(col("embedding").isNotNull)
+            .select(col("vec_id").as("query_id"),
+              sqEncodeUdf(col("embedding")).getField("_2").as("q_codes"),
+              explode(ivfProbeUdf(cents, math.min(nprobe, nlist))(col("embedding")))
+                .as("probe_cell"))
+          val scored = frozenIndex.as("c")
+            .join(broadcast(queries), col("probe_cell") === col("c.cell"))
+            .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+              round(sqCosineUdf(col("q_codes"), col("c.codes")), 6).as("cos_sim_sq"))
+          topKFinal(scored, "cos_sim_sq", k)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+  }
+
+  /** Streaming SEMANTIC decontamination (foreachBatch stage) — the
+    * embedding-space member of the streaming decontamination family
+    * ([[graft.ext.Corpus.decontaminationSink]] checks token shingles;
+    * this checks arriving VECTORS): freeze the base table's eval slice
+    * once (norms pre-computed — the [[Freeze]] contract; a lazy eval
+    * side would re-read the base per trigger), then score each
+    * micro-batch of corpus vectors against it with the exact
+    * [[semanticDecontaminationDf]] kernel. Per-vector results depend
+    * only on the vector and the frozen eval slice, so per-batch
+    * outputs union to the batch result on the same vectors (asserted
+    * in StreamingSpec). The eval-broadcast guard is enforced at sink
+    * construction from the BASE table's lazy size estimate — same
+    * contract, same loud refusal. Release the pinned eval slice after
+    * the stream stops with `Freeze.release(checkpoint)`.
+    */
+  def semanticDecontaminationSink(vecStream: DataFrame, baseEmb: DataFrame,
+                                  outPath: String, checkpoint: String,
+                                  tau: Double = 0.4, triggerMs: Long = 10000L,
+                                  maxBroadcastEvalBytes: Long = 256L << 20)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val evalBytesEst = baseEmb.queryExecution.analyzed.stats.sizeInBytes / 20
+    require(evalBytesEst <= maxBroadcastEvalBytes,
+      s"semanticDecontaminationSink: estimated eval-slice size ($evalBytesEst B) " +
+        s"exceeds maxBroadcastEvalBytes ($maxBroadcastEvalBytes B) — " +
+        "an oversized frozen eval side would broadcast per trigger. " +
+        "Pre-reduce the eval set or raise the bound if it truly fits.")
+    val frozenEval = Freeze.scoped(checkpoint, baseEmb
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .filter(col("vec_id") % 20 === 7)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"),
+        col("nrm").as("e_nrm")))
+    vecStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch
+            .select(col("vec_id"), col("embedding"),
+              norm(col("embedding")).as("nrm"))
+            .filter(col("vec_id") % 20 =!= 7)
+            .join(broadcast(frozenEval))
+            .select(col("vec_id"),
+              struct(
+                when(col("nrm") > 0 && col("e_nrm") > 0,
+                  round(dot(col("embedding"), col("e_emb")) /
+                    (col("nrm") * col("e_nrm")), 6))
+                  .otherwise(lit(0.0)).as("c"),
+                (-col("eval_id")).as("n")).as("s"))
+            .groupBy(col("vec_id"))
+            .agg(max(col("s")).as("m"))
+            .select(col("vec_id"),
+              col("m.c").as("max_cos_r"),
+              (-col("m.n")).as("nearest_eval_id"),
+              (col("m.c") >= tau).as("contaminated"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+  }
+
   /** Per-vector norm stats — sanity analytics over the embedding table. */
   def embeddingNormStats(spark: SparkSession, d: String): DataFrame =
     Tables.embeddings(spark, d)

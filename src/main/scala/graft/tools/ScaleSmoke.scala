@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * not by any engine defect. Join keys (orderkey) offset consistently
   * on both sides; per-user/per-doc densities stay constant.
   *
-  * Usage: runMain graft.tools.ScaleSmoke [srcDir] [workDir] [replicas]
+  * Usage: runMain graft.tools.ScaleSmoke [srcDir] [workDir] [replicas] [query...]
+  * (trailing query names restrict the run to that subset — directed
+  * probes of new operators without paying for the full sweep)
   */
 object ScaleSmoke {
 
@@ -46,7 +48,11 @@ object ScaleSmoke {
     "q_ngram_jaccard" /* bounded kernel: must stay FLAT, not 10× */,
     "q_epoch_order", "q_shuffle_mix", "q_compression_ratio",
     "q_bpe_stats" /* fixed training sample: scoring grows with corpus vocab, not sample */,
-    "q_dim_truncation" /* fixed query count, like q_ivf_pq_topk */)
+    "q_dim_truncation" /* fixed query count, like q_ivf_pq_topk */,
+    "q_kn_logprob_wide" /* wide keys: 2x key bytes, same plan — must track q_kn_logprob */,
+    "q_ngram_containment_corpus" /* banded candidates: grows with true near-dups, not n² */,
+    "q_sq_ann_topk" /* IVF-pruned + bounded final: fixed query count */,
+    "q_media_phash" /* narrow hashing map: linear */)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -81,21 +87,25 @@ object ScaleSmoke {
 
     graft.BenchKit.warmUp(spark, src)
 
+    val subset = args.drop(3)
+    val toRun = if (subset.isEmpty) heavyQueries else subset.toSeq
     println(f"${"query"}%-28s ${"sf0.1"}%8s ${"x" + replicas}%8s ${"ratio"}%7s")
-    heavyQueries.foreach { q =>
+    toRun.foreach { q =>
       val a = graft.BenchKit.best(spark, q, src)
       val b = graft.BenchKit.best(spark, q, work)
       println(f"$q%-28s $a%8.2f $b%8.2f ${b / a}%7.1f")
     }
     // decontamination's forced one-pass fallback (the oversized-eval
     // path) — not a registered query, but its scaling matters just as
-    // much as the broadcast path's
-    def deconFallback(d: String) = () => graft.ext.Corpus
-      .decontaminationStatsDf(graft.Tables.documents(spark, d),
-        maxBroadcastEvalBytes = 0L)
-    val fa = graft.BenchKit.bestDf(deconFallback(src))
-    val fb = graft.BenchKit.bestDf(deconFallback(work))
-    println(f"${"q_decontamination(1pass)"}%-28s $fa%8.2f $fb%8.2f ${fb / fa}%7.1f")
+    // much as the broadcast path's (full sweep only)
+    if (subset.isEmpty) {
+      def deconFallback(d: String) = () => graft.ext.Corpus
+        .decontaminationStatsDf(graft.Tables.documents(spark, d),
+          maxBroadcastEvalBytes = 0L)
+      val fa = graft.BenchKit.bestDf(deconFallback(src))
+      val fb = graft.BenchKit.bestDf(deconFallback(work))
+      println(f"${"q_decontamination(1pass)"}%-28s $fa%8.2f $fb%8.2f ${fb / fa}%7.1f")
+    }
     spark.stop()
   }
 

@@ -310,4 +310,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan("q_sq_ann_topk").contains("probe_cell"),
       s"q_sq_ann_topk lost its IVF candidate-pruning stage:\n${plan("q_sq_ann_topk")}")
   }
+
+  test("q_ngram_containment_corpus: every join is keyed — no O(n²) pair generation") {
+    // the corpus-wide form exists precisely because the capped auditor's
+    // broadcast all-pairs cannot scale; a CartesianProduct or an
+    // un-keyed nested-loop join reappearing here means candidate
+    // generation regressed to O(n²)
+    val p = plan("q_ngram_containment_corpus")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus containment grew a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"corpus containment grew an un-keyed nested-loop join:\n$p")
+  }
 }

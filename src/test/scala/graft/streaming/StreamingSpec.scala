@@ -423,6 +423,76 @@ class StreamingSpec extends SparkTestBase {
       "Freeze.release(checkpoint) must unpersist the sink's frozen table")
   }
 
+  test("streaming ANN serving: frozen SQ index answers arriving queries, batch-split invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // three well-separated clusters; single cell (nlist=1) so pruning
+    // is exact and the expected neighbors are unambiguous
+    val base = Seq(
+      (0L, Array(10f, 0f, 0f)), (1L, Array(9f, 1f, 0f)),
+      (2L, Array(0f, 10f, 0f)), (3L, Array(1f, 9f, 0f)),
+      (4L, Array(0f, 0f, 10f)), (5L, Array(0f, 1f, 9f)))
+      .toDF("vec_id", "embedding")
+    val batch1 = Seq((100L, Array(1f, 0f, 0f)))
+    val batch2 = Seq((101L, Array(0f, 1f, 0f)), (102L, Array(0f, 0f, 1f)))
+    def serve(batches: Seq[Seq[(Long, Array[Float])]]): Set[Seq[Any]] = {
+      val input = MemoryStream[(Long, Array[Float])]
+      val out = Files.createTempDirectory("ann_out").toString
+      val ckpt = Files.createTempDirectory("ann_ckpt").toString
+      val query = graft.ext.Similarity.annServeSink(
+        input.toDF().toDF("vec_id", "embedding"), base, out, ckpt,
+        k = 2, nlist = 1, triggerMs = 50L).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      } finally query.stop()
+      graft.ext.Freeze.release(ckpt)
+      spark.read.parquet(out).drop("batch_id").collect().map(_.toSeq).toSet
+    }
+    val split = serve(Seq(batch1, batch2))
+    val oneShot = serve(Seq(batch1 ++ batch2))
+    assert(split == oneShot, s"batch split changed results: $split vs $oneShot")
+    // nearest cluster member ranks first for each query
+    val top1 = split.toSeq.filter(_(1) == 1).map(r => r(0) -> r(2)).toMap
+    assert(top1 == Map(100L -> 0L, 101L -> 2L, 102L -> 4L),
+      s"wrong nearest neighbors: $top1")
+  }
+
+  test("streaming semantic decontamination: frozen eval slice, per-batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // base: eval ids 7 (axis 0) and 27 (axis 1); arrivals avoid %20==7
+    // so batch-mode eval on (base ∪ arrivals) is exactly base's slice
+    val base = Seq(
+      (7L, Array(1f, 0f, 0f)), (27L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val batch1 = Seq((1L, Array(2f, 0f, 0f)), (2L, Array(0f, 0f, 5f)))
+    val batch2 = Seq((3L, Array(0f, 0f, 0f)), (4L, Array(0f, 3f, 0f)))
+    val input = MemoryStream[(Long, Array[Float])]
+    val out = Files.createTempDirectory("semdecon_out").toString
+    val ckpt = Files.createTempDirectory("semdecon_ckpt").toString
+    val query = graft.ext.Similarity.semanticDecontaminationSink(
+      input.toDF().toDF("vec_id", "embedding"), base, out, ckpt,
+      tau = 0.9, triggerMs = 50L).start()
+    try {
+      input.addData(batch1: _*); query.processAllAvailable()
+      input.addData(batch2: _*); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val all = base.unionAll((batch1 ++ batch2).toDF("vec_id", "embedding"))
+    val batch = graft.ext.Similarity.semanticDecontaminationDf(all, tau = 0.9)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    // oversized-eval refusal holds at sink construction too
+    val refusal = intercept[IllegalArgumentException] {
+      graft.ext.Similarity.semanticDecontaminationSink(
+        input.toDF().toDF("vec_id", "embedding"), base, out, ckpt,
+        maxBroadcastEvalBytes = 0L)
+    }
+    assert(refusal.getMessage.contains("maxBroadcastEvalBytes"))
+    graft.ext.Freeze.release(ckpt)
+  }
+
   test("streaming calibration + ROC monitors: frozen base, exact cross-batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
