@@ -221,15 +221,18 @@ object Corpus {
     // cross-joined, and Spark would otherwise evaluate the whole
     // tokenize-and-pack mapPartitions lineage once PER branch — a
     // doubled packing pass for a one-row audit. MEMORY_AND_DISK keeps
-    // the audit safe when the packed table outgrows executor memory;
-    // the terminal .agg rows are tiny, so materialization cost is the
-    // single packing pass itself.
+    // the audit safe when the packed table outgrows executor memory.
+    // The audit is EAGER by construction: its ONE result row is
+    // collected so the cache releases immediately (the dsirScoreSink
+    // bounded-collect discipline) — a lazy return would either
+    // unpersist before the consumer ran (doubling the pass again) or
+    // pin the packed table / a checkpoint RDD for the session.
     val packed = packDocuments(spark, d, budget)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perPack = packed.groupBy(col("pack_id"))
       .agg(sum(col("n_tokens")).as("pack_tokens"),
         max(col("overflow").cast("int")).as("has_overflow"))
-    val out = packed.agg(
+    val audit = packed.agg(
         count(lit(1)).as("docs_packed"),
         countDistinct(col("doc_id")).as("distinct_docs"),
         sum(col("n_tokens")).as("total_tokens"),
@@ -238,9 +241,9 @@ object Corpus {
         sum(col("has_overflow")).cast("long").as("overflow_packs"),
         sum((col("pack_tokens") > budget && col("has_overflow") === 0).cast("long"))
           .as("budget_violations")))
-      .localCheckpoint(eager = true)
+    val rows = audit.collect()
     packed.unpersist()
-    out
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), audit.schema)
   }
 
   /** Context-window TRUNCATION-loss audit (the question a pipeline

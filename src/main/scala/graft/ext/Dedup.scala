@@ -543,9 +543,25 @@ object Dedup {
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"),
         array_sort(array_distinct(shinglesOfTokens(col("toks")))).as("sh"))
-    cands
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    // ONE evaluation of the shingle kernel: each pair unpivots to two
+    // (id_a, id_b, doc_id) membership rows, the member's sorted array
+    // attaches via a single doc-keyed join, and a 2-row groupBy folds
+    // the pair back. Two separate id_a-/id_b-keyed joins of the same
+    // projection would evaluate the whole tokenize+shingle+sort lineage
+    // TWICE (different join keys — the exchanges don't canonicalize, so
+    // nothing is reused); this shape consumes the kernel in exactly one
+    // join and the pair-fold exchange carries only CANDIDATE docs'
+    // arrays, not the corpus.
+    val membership = cands.select(col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+    membership.join(sh, Seq("doc_id"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        max(when(col("doc_id") === col("id_a"), col("sh"))).as("sh_a"),
+        max(when(col("doc_id") === col("id_b"), col("sh"))).as("sh_b"))
+      // a pair whose member lost its text to the null filter keeps only
+      // one side; the two-join form dropped such pairs — preserve that
+      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
       .select(col("id_a"), col("id_b"),
         graft.functions.JaccardExpression.overlapCounts(
           col("sh_a"), col("sh_b")).as("oc"))

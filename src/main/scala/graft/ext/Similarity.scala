@@ -228,10 +228,25 @@ object Similarity {
     * collect + local loops instead of one distributed job per Lloyd
     * iteration, and corpus ASSIGNMENT stays a distributed narrow map.
     * No RNG anywhere, so runs/replays agree.
+    *
+    * `nlist` CLAMPS to the sample size: a corpus with fewer vectors
+    * than the requested cell count trains one centroid per vector
+    * (cells degenerate toward one-vector buckets; at sample size 1 the
+    * index is the single-cell exhaustive form) instead of hard-failing
+    * — the small-corpus behavior every pruned ANN entry point had
+    * before pruning existed, and the `min` discipline
+    * [[semanticDedupDropList]]'s derived k already follows. The
+    * direct-from-sample form keeps its loud `require` for callers that
+    * computed nlist themselves. An EMPTY corpus still fails loudly —
+    * there is nothing to index.
     */
   def trainIvfCentroids(emb: DataFrame, nlist: Int = 16, iters: Int = 3,
-                        maxTrain: Int = 4096): Array[Array[Double]] =
-    trainIvfCentroidsFrom(collectTrainSample(emb, maxTrain), nlist, iters)
+                        maxTrain: Int = 4096): Array[Array[Double]] = {
+    val sample = collectTrainSample(emb, maxTrain)
+    require(sample.nonEmpty,
+      "trainIvfCentroids: no non-null embeddings to train on")
+    trainIvfCentroidsFrom(sample, math.min(nlist, sample.length), iters)
+  }
 
   /** The bounded deterministic training sample both the IVF quantizer
     * and the PQ codebooks train on — collected ONCE by callers that
@@ -1047,24 +1062,49 @@ object Similarity {
                               tau: Double = 0.4): DataFrame =
     semanticDecontaminationDf(Tables.embeddings(spark, d), tau)
 
+  /** The ONE broadcast scoring kernel both the batch form and
+    * [[semanticDecontaminationSink]] run — extracted so streaming and
+    * batch results cannot drift apart (the parity the StreamingSpec
+    * test pins). `corpusVecs` and `evalSet` must carry
+    * (vec_id, embedding, nrm) / (eval_id, e_emb, e_nrm).
+    */
+  private def semanticScoreAgainst(corpusVecs: DataFrame, evalSet: DataFrame,
+                                   tau: Double): DataFrame =
+    corpusVecs.as("c")
+      .join(broadcast(evalSet))
+      .select(col("vec_id"), semanticPairScore)
+      .groupBy(col("vec_id"))
+      .agg(max(col("s")).as("m"))
+      .select(col("vec_id"),
+        col("m.c").as("max_cos_r"),
+        (-col("m.n")).as("nearest_eval_id"),
+        (col("m.c") >= tau).as("contaminated"))
+      .orderBy(col("vec_id"))
+
+  /** (rounded cosine, −eval_id) struct: max() picks the highest cosine,
+    * ties to the smallest eval id (the cosineTopK discipline).
+    */
+  private def semanticPairScore: Column = struct(
+    when(col("nrm") > 0 && col("e_nrm") > 0,
+      round(dot(col("embedding"), col("e_emb")) / (col("nrm") * col("e_nrm")), 6))
+      .otherwise(lit(0.0)).as("c"),
+    (-col("eval_id")).as("n")).as("s")
+
   /** DataFrame form (must have vec_id + embedding). `nlist = 0` (the
     * oracle-checked default) is the exact broadcast regime behind the
     * size guard; `nlist > 0` is the IVF cell-keyed route for evals too
-    * big to broadcast.
+    * big to broadcast. NULL embeddings are excluded on both sides in
+    * both regimes (the sqAnnTopKDf discipline — and the cell kernels
+    * of the IVF route are not null-tolerant, so tolerating them in one
+    * regime only would break the documented nlist=1-equals-exact
+    * equivalence).
     */
   def semanticDecontaminationDf(embIn: DataFrame, tau: Double,
                                 nlist: Int = 0, nprobe: Int = 2,
                                 maxBroadcastEvalBytes: Long = 256L << 20): DataFrame = {
-    val emb = embIn
+    val emb = embIn.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val corpus = emb.filter(col("vec_id") % 20 =!= 7)
-    // (rounded cosine, −eval_id) struct: max() picks the highest cosine,
-    // ties to the smallest eval id (the cosineTopK discipline)
-    val pairScore = struct(
-      when(col("nrm") > 0 && col("e_nrm") > 0,
-        round(dot(col("embedding"), col("e_emb")) / (col("nrm") * col("e_nrm")), 6))
-        .otherwise(lit(0.0)).as("c"),
-      (-col("eval_id")).as("n")).as("s")
     if (nlist <= 0) {
       val evalBytesEst = embIn.queryExecution.analyzed.stats.sizeInBytes / 20
       require(evalBytesEst <= maxBroadcastEvalBytes,
@@ -1076,16 +1116,7 @@ object Similarity {
       val evalSet = emb.filter(col("vec_id") % 20 === 7)
         .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"),
           col("nrm").as("e_nrm"))
-      corpus.as("c")
-        .join(broadcast(evalSet))
-        .select(col("vec_id"), pairScore)
-        .groupBy(col("vec_id"))
-        .agg(max(col("s")).as("m"))
-        .select(col("vec_id"),
-          col("m.c").as("max_cos_r"),
-          (-col("m.n")).as("nearest_eval_id"),
-          (col("m.c") >= tau).as("contaminated"))
-        .orderBy(col("vec_id"))
+      semanticScoreAgainst(corpus, evalSet, tau)
     } else {
       val evalRaw = emb.filter(col("vec_id") % 20 === 7)
       val cents = trainIvfCentroids(evalRaw, nlist)
@@ -1097,7 +1128,7 @@ object Similarity {
           explode(ivfProbeUdf(cents, math.min(nprobe, nlist))(col("embedding"))))
         .as("c")
         .join(evalSet, col("probe_cell") === col("cell"))
-        .select(col("vec_id"), pairScore)
+        .select(col("vec_id"), semanticPairScore)
         .groupBy(col("vec_id"))
         .agg(max(col("s")).as("m"))
       // left-join back so corpus vectors with no eval candidate in their
@@ -1171,13 +1202,18 @@ object Similarity {
     * once (norms pre-computed — the [[Freeze]] contract; a lazy eval
     * side would re-read the base per trigger), then score each
     * micro-batch of corpus vectors against it with the exact
-    * [[semanticDecontaminationDf]] kernel. Per-vector results depend
-    * only on the vector and the frozen eval slice, so per-batch
-    * outputs union to the batch result on the same vectors (asserted
-    * in StreamingSpec). The eval-broadcast guard is enforced at sink
-    * construction from the BASE table's lazy size estimate — same
-    * contract, same loud refusal. Release the pinned eval slice after
-    * the stream stops with `Freeze.release(checkpoint)`.
+    * [[semanticDecontaminationDf]] kernel ([[semanticScoreAgainst]] —
+    * shared code, not a copy, so the two cannot drift). EVERY arriving
+    * non-null vector is scored: the `% 20` eval-slice convention
+    * belongs to the BASE table (whose eval slice is the frozen side),
+    * not to external arrivals — an arriving id that happens to land on
+    * the eval residue is still a corpus vector to check. Per-vector
+    * results depend only on the vector and the frozen eval slice, so
+    * per-batch outputs union to the batch result on the same vectors
+    * (asserted in StreamingSpec). The eval-broadcast guard is enforced
+    * at sink construction from the BASE table's lazy size estimate —
+    * same contract, same loud refusal. Release the pinned eval slice
+    * after the stream stops with `Freeze.release(checkpoint)`.
     */
   def semanticDecontaminationSink(vecStream: DataFrame, baseEmb: DataFrame,
                                   outPath: String, checkpoint: String,
@@ -1191,34 +1227,21 @@ object Similarity {
         "an oversized frozen eval side would broadcast per trigger. " +
         "Pre-reduce the eval set or raise the bound if it truly fits.")
     val frozenEval = Freeze.scoped(checkpoint, baseEmb
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .filter(col("embedding").isNotNull)
       .filter(col("vec_id") % 20 === 7)
       .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"),
-        col("nrm").as("e_nrm")))
+        norm(col("embedding")).as("e_nrm")))
     vecStream.writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          batch
-            .select(col("vec_id"), col("embedding"),
-              norm(col("embedding")).as("nrm"))
-            .filter(col("vec_id") % 20 =!= 7)
-            .join(broadcast(frozenEval))
-            .select(col("vec_id"),
-              struct(
-                when(col("nrm") > 0 && col("e_nrm") > 0,
-                  round(dot(col("embedding"), col("e_emb")) /
-                    (col("nrm") * col("e_nrm")), 6))
-                  .otherwise(lit(0.0)).as("c"),
-                (-col("eval_id")).as("n")).as("s"))
-            .groupBy(col("vec_id"))
-            .agg(max(col("s")).as("m"))
-            .select(col("vec_id"),
-              col("m.c").as("max_cos_r"),
-              (-col("m.n")).as("nearest_eval_id"),
-              (col("m.c") >= tau).as("contaminated"))
+          semanticScoreAgainst(
+            batch.filter(col("embedding").isNotNull)
+              .select(col("vec_id"), col("embedding"),
+                norm(col("embedding")).as("nrm")),
+            frozenEval, tau)
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outPath)
         }

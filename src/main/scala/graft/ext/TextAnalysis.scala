@@ -1104,11 +1104,17 @@ object TextAnalysis {
     * order BELOW the material line (wide keys cost only 2× key bytes;
     * a wrong narrow choice costs correctness tail risk, so the switch
     * errs early). Cardinality is estimated LAZILY from the analyzed
-    * plan's byte stats (grams ≤ tokens ≈ bytes / 6 — no job, the
-    * [[graft.ext.Corpus.decontaminationStatsDf]] technique); UNKNOWN
-    * stats read as defaultSizeInBytes (≈ Long.MaxValue) and select
-    * wide keys — the safe side, since only correctness is at stake
-    * when the size is unknowable. The Df forms keep the explicit
+    * plan's byte stats (no job, the
+    * [[graft.ext.Corpus.decontaminationStatsDf]] technique). Those
+    * stats are COMPRESSED file bytes for a parquet scan, so the
+    * estimate first recovers raw text bytes with a conservative
+    * text-under-snappy ratio (×4 — natural-language parquet text
+    * columns typically compress 3–4×; overestimating keeps the
+    * gram-count estimate an UPPER bound, which is the direction the
+    * policy needs) and then applies grams ≤ tokens ≈ raw bytes / 6.
+    * UNKNOWN stats read as defaultSizeInBytes (≈ Long.MaxValue) and
+    * select wide keys — the safe side, since only correctness is at
+    * stake when the size is unknowable. The Df forms keep the explicit
     * `wideKeys` flag for callers that know better, and the two widths
     * are asserted score-identical in CleaningSpec with the wide chain
     * oracle-checked end-to-end as `q_kn_logprob_wide`.
@@ -1118,9 +1124,10 @@ object TextAnalysis {
   /** True iff `docs`' estimated distinct-gram cardinality crosses
     * [[WideKeyGramThreshold]] (bytes-based upper estimate; no job).
     */
-  def chooseWideKeys(docs: DataFrame, bytesPerToken: Double = 6.0): Boolean =
-    (BigDecimal(docs.queryExecution.analyzed.stats.sizeInBytes) /
-      bytesPerToken) >= WideKeyGramThreshold
+  def chooseWideKeys(docs: DataFrame, bytesPerToken: Double = 6.0,
+                     compressionRatio: Double = 4.0): Boolean =
+    (BigDecimal(docs.queryExecution.analyzed.stats.sizeInBytes) *
+      compressionRatio / bytesPerToken) >= WideKeyGramThreshold
 
   /** The doc-keyed 5-gram key stream plus the fully-counted type table
     * (c5 with all eight backoff totals attached) and the scalar-N

@@ -560,6 +560,21 @@ class DedupSimilaritySpec extends SparkTestBase {
       assert(r.getDouble(1) <= exactById(r.getLong(0)) + 1e-9,
         s"pruned max cosine exceeded the exact max for vec ${r.getLong(0)}")
     }
+    // null embeddings: BOTH regimes must exclude them identically — a
+    // route-dependent null policy would break the nlist=1 equivalence
+    // (and the IVF cell kernels are not null-tolerant)
+    import spark.implicits._
+    val withNull = Seq(
+      (7L, Array(1f, 0f)), (27L, Array(0f, 1f)),
+      (1L, Array(2f, 0f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val exactN = Similarity.semanticDecontaminationDf(withNull, tau = 0.9)
+      .collect().map(_.toString).toSeq
+    val ivfN = Similarity.semanticDecontaminationDf(withNull, tau = 0.9, nlist = 1)
+      .collect().map(_.toString).toSeq
+    assert(exactN == ivfN, s"null handling diverged: $exactN vs $ivfN")
+    assert(exactN.length == 1 && exactN.head.startsWith("[1,"),
+      s"null-embedding vector must be excluded, not scored: $exactN")
   }
 
   test("int8 SQ: error bound holds; ANN recall tracks brute force; scales cancel") {
@@ -601,6 +616,14 @@ class DedupSimilaritySpec extends SparkTestBase {
     val again = Similarity.sqAnnTopK(spark, sfDir).collect()
     assert(again.map(_.toString).toSeq ==
       Similarity.sqAnnTopK(spark, sfDir).collect().map(_.toString).toSeq)
+    // a corpus smaller than the default nlist must degrade to fewer
+    // cells (ultimately the single-cell exhaustive form), not throw —
+    // the pre-pruning behavior of every SQ caller
+    import spark.implicits._
+    val tiny = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.sqAnnTopKDf(tiny, nQueries = 1, k = 2).collect().nonEmpty,
+      "3-vector corpus must be servable with the default nlist=16")
   }
 
   test("topKFinal equals the rank-window oracle on ties, NaN, and real scores") {

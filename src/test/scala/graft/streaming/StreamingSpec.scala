@@ -466,7 +466,10 @@ class StreamingSpec extends SparkTestBase {
       (7L, Array(1f, 0f, 0f)), (27L, Array(0f, 1f, 0f)))
       .toDF("vec_id", "embedding")
     val batch1 = Seq((1L, Array(2f, 0f, 0f)), (2L, Array(0f, 0f, 5f)))
-    val batch2 = Seq((3L, Array(0f, 0f, 0f)), (4L, Array(0f, 3f, 0f)))
+    // id 47 lands on the base's eval residue (47 % 20 == 7) — external
+    // arrivals are ALL corpus vectors to check, so it must be scored
+    val batch2 = Seq((3L, Array(0f, 0f, 0f)), (4L, Array(0f, 3f, 0f)),
+      (47L, Array(5f, 0f, 0f)))
     val input = MemoryStream[(Long, Array[Float])]
     val out = Files.createTempDirectory("semdecon_out").toString
     val ckpt = Files.createTempDirectory("semdecon_ckpt").toString
@@ -477,12 +480,21 @@ class StreamingSpec extends SparkTestBase {
       input.addData(batch1: _*); query.processAllAvailable()
       input.addData(batch2: _*); query.processAllAvailable()
     } finally query.stop()
-    val streamed = spark.read.parquet(out).drop("batch_id")
-      .collect().map(_.toSeq).toSet
-    val all = base.unionAll((batch1 ++ batch2).toDF("vec_id", "embedding"))
+    val streamedRows = spark.read.parquet(out).drop("batch_id").collect()
+    val streamed = streamedRows.filterNot(_.getLong(0) == 47L)
+      .map(_.toSeq).toSet
+    val all = base.unionAll(
+      (batch1 ++ batch2).filterNot(_._1 == 47L).toDF("vec_id", "embedding"))
     val batch = graft.ext.Similarity.semanticDecontaminationDf(all, tau = 0.9)
       .collect().map(_.toSeq).toSet
     assert(streamed == batch, s"streamed $streamed != batch $batch")
+    // the eval-residue arrival was scored, not silently dropped (the
+    // batch form's %20 carve-out applies to the base table, not to
+    // external arrivals)
+    val r47 = streamedRows.filter(_.getLong(0) == 47L)
+    assert(r47.length == 1 && r47.head.getDouble(1) == 1.0 &&
+      r47.head.getLong(2) == 7L && r47.head.getBoolean(3),
+      s"eval-residue arrival must be scored like any corpus vector: ${r47.toSeq}")
     // oversized-eval refusal holds at sink construction too
     val refusal = intercept[IllegalArgumentException] {
       graft.ext.Similarity.semanticDecontaminationSink(
