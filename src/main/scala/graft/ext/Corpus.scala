@@ -217,33 +217,34 @@ object Corpus {
     * for those).
     */
   def packInvariants(spark: SparkSession, d: String, budget: Int = 2048): DataFrame = {
-    // persist: the doc-level and pack-level branches below are
-    // cross-joined, and Spark would otherwise evaluate the whole
-    // tokenize-and-pack mapPartitions lineage once PER branch — a
-    // doubled packing pass for a one-row audit. MEMORY_AND_DISK keeps
-    // the audit safe when the packed table outgrows executor memory.
-    // The audit is EAGER by construction: its ONE result row is
-    // collected so the cache releases immediately (the dsirScoreSink
-    // bounded-collect discipline) — a lazy return would either
-    // unpersist before the consumer ran (doubling the pass again) or
-    // pin the packed table / a checkpoint RDD for the session.
-    val packed = packDocuments(spark, d, budget)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val perPack = packed.groupBy(col("pack_id"))
-      .agg(sum(col("n_tokens")).as("pack_tokens"),
+    // ONE pass over the packing lineage: every doc-level statistic
+    // rolls up per pack first (each doc lives in exactly one pack, so
+    // doc counts/token sums/overflow-doc counts are additive over
+    // packs), then one global fold over the pack table — no second
+    // evaluation of the mapPartitions walk, no persist, no eager
+    // collect. `distinct_docs` becomes the SUM of within-pack distinct
+    // counts: equal to the global distinct on correct packing, and a
+    // cross-pack double-emission defect still cannot hide — the
+    // engine-side sum would overcount versus the DuckDB oracle's
+    // global COUNT(DISTINCT) over the raw documents table, failing the
+    // hash compare (the oracle, not the internal equality, is this
+    // audit's backstop — it derives every column independently).
+    packDocuments(spark, d, budget)
+      .groupBy(col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_distinct"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        sum((col("n_tokens") > budget).cast("long")).as("n_overflow_docs"),
         max(col("overflow").cast("int")).as("has_overflow"))
-    val audit = packed.agg(
-        count(lit(1)).as("docs_packed"),
-        countDistinct(col("doc_id")).as("distinct_docs"),
-        sum(col("n_tokens")).as("total_tokens"),
-        sum((col("n_tokens") > budget).cast("long")).as("overflow_docs"))
-      .crossJoin(perPack.agg(
+      .agg(
+        sum(col("n_docs")).as("docs_packed"),
+        sum(col("n_distinct")).as("distinct_docs"),
+        sum(col("pack_tokens")).as("total_tokens"),
+        sum(col("n_overflow_docs")).as("overflow_docs"),
         sum(col("has_overflow")).cast("long").as("overflow_packs"),
         sum((col("pack_tokens") > budget && col("has_overflow") === 0).cast("long"))
-          .as("budget_violations")))
-    val rows = audit.collect()
-    packed.unpersist()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), audit.schema)
+          .as("budget_violations"))
   }
 
   /** Context-window TRUNCATION-loss audit (the question a pipeline
