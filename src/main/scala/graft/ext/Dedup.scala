@@ -519,14 +519,22 @@ object Dedup {
     * JACCARD resemblance (P ≈ 1 − (1 − j^rows)^bands), so a pair whose
     * containment is high but whose Jaccard is diluted far below the
     * band threshold — a tweet inside a year of news roundups — may
-    * never share a bucket. That is the documented gap between MinHash
-    * LSH and containment search; the scale remedy is size-stratified
-    * banding (LSH Ensemble, Zhu et al., VLDB 2016: partition by set
-    * size, tune bands per stratum), which composes with this exact
-    * scoring tail unchanged. Within a band-surfaced candidate set the
-    * scores are EXACT — DedupSimilaritySpec asserts value equality
-    * against the capped auditor on its slice, and that every surfaced
-    * pair is a subset of the exact all-pairs result.
+    * never share a bucket at the dedup-tuned default (8 bands × 4
+    * rows: j = 0.1 collides with P ≈ 0.0008). The TUNABLE remedy is
+    * already in the banding parameters: containment-focused runs
+    * raise `bands` toward `numHashes` (rows → 1, P = 1 − (1 − j)^b —
+    * j = 0.1 at b = 32 collides with P ≈ 0.97), trading candidate
+    * volume (≈ b·j per random pair) for one-sided recall; every
+    * candidate is still EXACTLY verified by the kernel, so the trade
+    * is cost, never correctness (asserted in DedupSimilaritySpec: a
+    * planted quote-in-filler pair invisible at 8×4 is found at 32×1).
+    * The full scale remedy is size-stratified banding (LSH Ensemble,
+    * Zhu et al., VLDB 2016: partition by set size, tune bands per
+    * stratum), which composes with this exact scoring tail unchanged.
+    * Within a band-surfaced candidate set the scores are EXACT —
+    * DedupSimilaritySpec asserts value equality against the capped
+    * auditor on its slice, and that every surfaced pair is a subset
+    * of the exact all-pairs result.
     */
   def ngramContainmentCorpus(spark: SparkSession, d: String,
                              minContain: Double = 0.5,

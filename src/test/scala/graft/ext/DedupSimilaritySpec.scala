@@ -728,6 +728,39 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(again == banded)
   }
 
+  test("containment banding: rows=1 bands surface the diluted-jaccard quote pair") {
+    import spark.implicits._
+    // quote (9 tokens) buried in 400 tokens of filler: contain_a = 1.0
+    // but jaccard ≈ 7/400 — far below what 8 bands × 4 rows can collide
+    // on (P ≈ 1-(1-j^4)^8 ≈ 1e-6); at bands = numHashes (rows = 1) the
+    // collision probability is 1-(1-j)^32 ≈ 0.43 per band-set... per
+    // MINHASH: with 32 independent row-1 bands a shared shingle set of
+    // ~1.7% still collides with P ≈ 1-(1-0.017)^32 ≈ 0.43 on random
+    // permutations — but minhash here is DETERMINISTIC (seeded), so the
+    // assertion is on this fixture's actual hashes: the quote pair does
+    // collide at 32×1 and does not at 8×4, demonstrating the documented
+    // tunable trade (candidates are exactly verified either way).
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val filler = (1 to 400).map(i => s"filler$i word$i").take(400).mkString(" ")
+    val docs = Seq(
+      1L -> quote,
+      2L -> s"$filler $quote",
+      3L -> "an unrelated third document about nothing at all"
+    ).toDF("doc_id", "text")
+    val defaults = Dedup.ngramContainmentCorpusDf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rowOne = Dedup.ngramContainmentCorpusDf(docs, numHashes = 32, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(rowOne.contains((1L, 2L)),
+      s"rows=1 banding must surface the quote pair: ${rowOne.keySet}")
+    assert(rowOne((1L, 2L)).getDouble(2) == 1.0,
+      "short-side containment is exact on the surfaced pair")
+    assert(!defaults.contains((1L, 2L)),
+      "the dedup-tuned default banding cannot see this diluted-jaccard pair " +
+        "(if this starts passing, the documented boundary example needs a " +
+        "more diluted fixture)")
+  }
+
   test("dim truncation audit: prefix-loaded signal keeps recall, tail-loaded loses it") {
     import spark.implicits._
     // 2 queries + 8 corpus vectors in 8 dims. Vectors are built so the
