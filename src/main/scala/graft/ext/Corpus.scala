@@ -335,9 +335,14 @@ object Corpus {
     * second pass at any scale.
     */
   def mixturePlan(spark: SparkSession, d: String,
-                  budgetTokens: Long = 500000L): DataFrame = {
+                  budgetTokens: Long = 500000L): DataFrame =
+    mixturePlanDf(Tables.documents(spark, d), budgetTokens)
+
+  /** DataFrame form (docs must have source + text). */
+  def mixturePlanDf(docs: DataFrame,
+                    budgetTokens: Long = 500000L): DataFrame = {
     val w = sourceWeightIdx.cast("double") / 4
-    val perSource = Tables.documents(spark, d)
+    val perSource = docs
       .select(col("source"), w.as("weight"),
         coalesce(size(graft.ext.TextAnalysis.tokens(col("text"))), lit(0))
           .cast("long").as("n_toks"))
@@ -496,6 +501,67 @@ object Corpus {
         col("target_tokens"), col("epochs"), col("eff_tokens"),
         col("value_frac"))
       .orderBy(col("source"))
+  }
+
+  /** The deterministic keep predicate [[mixtureExecute]] audits and the
+    * streaming filter applies — requires `text` and `sample_rate`
+    * columns in scope: first 6 md5 hex chars of the content compared
+    * lexicographically against the rate's hex threshold, rate ≥ 1.0
+    * short-circuiting to keep-all (see [[mixtureExecute]] for why the
+    * comparison lives in hex-string space).
+    */
+  private def mixtureKeep: Column = {
+    val thr = lpad(lower(hex(floor(col("sample_rate") * lit(16777216.0)).cast("long"))),
+      6, "0")
+    col("text").isNotNull &&
+      (col("sample_rate") >= 1.0 ||
+        substring(md5(col("text").cast("binary")), 1, 6) < thr)
+  }
+
+  /** Batch form of the streaming mixture filter: the docs a plan KEEPS
+    * (doc_id, source, n_toks), content-deterministically — the actual
+    * selection step, where [[mixtureExecute]] is its audit. Shared by
+    * [[mixtureFilterSink]] so streaming and batch cannot drift.
+    */
+  def mixtureFilterAgainst(docs: DataFrame, plan: DataFrame): DataFrame =
+    docs
+      .join(broadcast(plan.select(col("source"), col("sample_rate"))), Seq("source"))
+      .filter(mixtureKeep)
+      .select(col("doc_id"), col("source"),
+        coalesce(size(TextAnalysis.tokens(col("text"))), lit(0))
+          .cast("long").as("n_toks"))
+      .orderBy(col("doc_id"))
+
+  /** Streaming mixture EXECUTION (foreachBatch stage): freeze the
+    * mixture plan computed on the base corpus ONCE (a |sources|-row
+    * table — the [[Freeze]] contract; a lazy plan would re-run the
+    * base token count every trigger), then pass each arriving
+    * micro-batch through the content-hash Bernoulli filter and append
+    * the KEPT docs. Because the keep decision is a pure function of
+    * (content, plan), per-batch outputs union to the batch result on
+    * the same documents, re-runs keep the same docs, and a re-crawled
+    * duplicate keeps or drops identically (asserted in StreamingSpec).
+    * Release the pinned plan after the stream stops with
+    * `Freeze.release(checkpoint)`.
+    */
+  def mixtureFilterSink(docStream: DataFrame, baseDocs: DataFrame,
+                        outPath: String, checkpoint: String,
+                        budgetTokens: Long = 500000L, triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val frozenPlan = Freeze.scoped(checkpoint,
+      mixturePlanDf(baseDocs, budgetTokens)
+        .select(col("source"), col("sample_rate")))
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          mixtureFilterAgainst(batch, frozenPlan)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
   }
 
   /** Deterministic STRATIFIED sampling: the k documents per source with
@@ -1078,15 +1144,10 @@ object Corpus {
                      budgetTokens: Long = 500000L): DataFrame = {
     val plan = mixturePlan(spark, d, budgetTokens)
       .select(col("source"), col("target_tokens"), col("sample_rate"))
-    val thr = lpad(lower(hex(floor(col("sample_rate") * lit(16777216.0)).cast("long"))),
-      6, "0")
-    val kept = col("text").isNotNull &&
-      (col("sample_rate") >= 1.0 ||
-        substring(md5(col("text").cast("binary")), 1, 6) < thr)
     Tables.documents(spark, d)
       .join(broadcast(plan), Seq("source"))
       .select(col("source"), col("target_tokens"),
-        kept.as("kept"),
+        mixtureKeep.as("kept"),
         coalesce(size(TextAnalysis.tokens(col("text"))), lit(0))
           .cast("long").as("n_toks"))
       .groupBy(col("source"), col("target_tokens"))

@@ -423,6 +423,42 @@ class StreamingSpec extends SparkTestBase {
       "Freeze.release(checkpoint) must unpersist the sink's frozen table")
   }
 
+  test("streaming mixture filter: frozen plan, content-deterministic keeps, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // base corpus: 'web' is token-heavy so its sample_rate lands < 1,
+    // 'ref' is small so it keeps everything (rate clamps to 1.0)
+    val base = ((1L to 40L).map(i =>
+      (i, "web1", (1 to 50).map(j => s"w${i}_$j").mkString(" "))) ++
+      (101L to 103L).map(i => (i, "ref2", s"ref doc $i short")))
+      .toDF("doc_id", "source", "text")
+    val arrivals = base.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val input = MemoryStream[(Long, String, String)]
+    val out = Files.createTempDirectory("mix_out").toString
+    val ckpt = Files.createTempDirectory("mix_ckpt").toString
+    val query = graft.ext.Corpus.mixtureFilterSink(
+      input.toDF().toDF("doc_id", "source", "text"), base, out, ckpt,
+      budgetTokens = 800L, triggerMs = 50L).start()
+    try {
+      input.addData(arrivals.take(20): _*); query.processAllAvailable()
+      input.addData(arrivals.drop(20): _*); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val plan = graft.ext.Corpus.mixturePlanDf(base, budgetTokens = 800L)
+      .select(col("source"), col("sample_rate"))
+    val batch = graft.ext.Corpus.mixtureFilterAgainst(base, plan)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    // the plan actually filters: web subsampled, ref kept whole
+    val bySource = streamed.groupBy(_(1))
+    assert(bySource("ref2").size == 3, "rate-1.0 source keeps everything")
+    assert(bySource("web1").size < 40 && bySource("web1").nonEmpty,
+      s"sub-1.0 source must be thinned: ${bySource("web1").size}/40 kept")
+    graft.ext.Freeze.release(ckpt)
+  }
+
   test("streaming ANN serving: frozen SQ index answers arriving queries, batch-split invariant") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
