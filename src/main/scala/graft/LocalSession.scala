@@ -23,6 +23,10 @@ object LocalSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // sink-pinned frozen tables release themselves when their stream
+    // terminates (idempotent install; manual Freeze.release still works
+    // for sinks constructed but never started)
+    graft.ext.Freeze.autoRelease(spark)
     spark
   }
 }

@@ -39,6 +39,17 @@ object Tables {
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // the NTZ→TimestampType cast interprets wall-clock values in the
+        // SESSION timezone; only UTC makes it the identity on the
+        // underlying micros. Enforce the convention instead of relying
+        // on it (the nanosAsLong-contract discipline) — a session
+        // without the pin would silently shift every event timestamp.
+        val tz = spark.sessionState.conf.sessionLocalTimeZone
+        require(tz == "UTC",
+          s"Tables.events: events.ts is TIMESTAMP_NTZ and the session " +
+            s"timezone is '$tz' — the TimestampType cast is only " +
+            "epoch-preserving under spark.sql.session.timeZone=UTC " +
+            "(LocalSession/SparkTestBase pin it; pin it in custom sessions too)")
         raw.withColumn("ts",
           org.apache.spark.sql.functions.col("ts").cast(
             org.apache.spark.sql.types.TimestampType))

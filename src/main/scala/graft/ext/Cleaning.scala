@@ -167,7 +167,8 @@ object Cleaning {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          gopherFiltersDf(batch)
+          // per-batch presentation sort stripped (see spanDedupSink)
+          org.apache.spark.sql.GraftSql.unordered(gopherFiltersDf(batch))
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outPath)
         }
@@ -363,7 +364,12 @@ object Cleaning {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          spanDedupStatsAgainst(batch, frozen, n, maxDupFrac)
+          // batch entry points keep their presentation orderBy; the sink
+          // strips it — an append-mode file sink does not preserve the
+          // ordering across batches, and each trigger would otherwise pay
+          // a range-partitioning sample job plus a full sort for it
+          org.apache.spark.sql.GraftSql.unordered(
+            spanDedupStatsAgainst(batch, frozen, n, maxDupFrac))
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outPath)
         }
@@ -665,7 +671,9 @@ object Cleaning {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          winnowSpanDedupStatsAgainst(batch, fps, spans, n, w, maxDupFrac)
+          // per-batch presentation sort stripped (see spanDedupSink)
+          org.apache.spark.sql.GraftSql.unordered(
+            winnowSpanDedupStatsAgainst(batch, fps, spans, n, w, maxDupFrac))
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outPath)
         }

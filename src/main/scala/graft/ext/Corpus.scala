@@ -557,7 +557,12 @@ object Corpus {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          mixtureFilterAgainst(batch, frozenPlan)
+          // batch entry points keep their presentation orderBy; the sink
+          // strips it — an append-mode file sink does not preserve the
+          // ordering across batches, and each trigger would otherwise pay
+          // a range-partitioning sample job plus a full sort for it
+          org.apache.spark.sql.GraftSql.unordered(
+            mixtureFilterAgainst(batch, frozenPlan))
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outPath)
         }
@@ -777,7 +782,9 @@ object Corpus {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          decontaminationStatsAgainst(batch, frozen, n, maxBroadcastEvalBytes)
+          // per-batch presentation sort stripped (see mixtureFilterSink)
+          org.apache.spark.sql.GraftSql.unordered(
+            decontaminationStatsAgainst(batch, frozen, n, maxBroadcastEvalBytes))
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outPath)
         }
@@ -1108,7 +1115,9 @@ object Corpus {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          dsirScoreAgainst(batch, frozen, oov)
+          // per-batch presentation sort stripped (see mixtureFilterSink)
+          org.apache.spark.sql.GraftSql.unordered(
+            dsirScoreAgainst(batch, frozen, oov))
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outPath)
         }

@@ -1188,7 +1188,12 @@ object Similarity {
             .join(broadcast(queries), col("probe_cell") === col("c.cell"))
             .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
               round(sqCosineUdf(col("q_codes"), col("c.codes")), 6).as("cos_sim_sq"))
-          topKFinal(scored, "cos_sim_sq", k)
+          // batch entry points keep their presentation orderBy; the sink
+          // strips it — an append-mode file sink does not preserve the
+          // ordering across batches, and each trigger would otherwise pay
+          // a range-partitioning sample job plus a full sort for it
+          org.apache.spark.sql.GraftSql.unordered(
+            topKFinal(scored, "cos_sim_sq", k))
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outPath)
         }
@@ -1237,11 +1242,13 @@ object Similarity {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          semanticScoreAgainst(
-            batch.filter(col("embedding").isNotNull)
-              .select(col("vec_id"), col("embedding"),
-                norm(col("embedding")).as("nrm")),
-            frozenEval, tau)
+          // per-batch presentation sort stripped (see annServeSink)
+          org.apache.spark.sql.GraftSql.unordered(
+            semanticScoreAgainst(
+              batch.filter(col("embedding").isNotNull)
+                .select(col("vec_id"), col("embedding"),
+                  norm(col("embedding")).as("nrm")),
+              frozenEval, tau))
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outPath)
         }

@@ -1494,7 +1494,12 @@ object TextAnalysis {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          backoffScoreAgainst(batch, frozen, alpha)
+          // batch entry points keep their presentation orderBy; the sink
+          // strips it — an append-mode file sink does not preserve the
+          // ordering across batches, and each trigger would otherwise pay
+          // a range-partitioning sample job plus a full sort for it
+          org.apache.spark.sql.GraftSql.unordered(
+            backoffScoreAgainst(batch, frozen, alpha))
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outPath)
         }
@@ -1562,7 +1567,9 @@ object TextAnalysis {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          smoothedScoreAgainst(batch, frozen)
+          // per-batch presentation sort stripped (see backoffScoreSink)
+          org.apache.spark.sql.GraftSql.unordered(
+            smoothedScoreAgainst(batch, frozen))
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outPath)
         }

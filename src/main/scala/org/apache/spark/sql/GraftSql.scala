@@ -31,6 +31,37 @@ object GraftSql {
     classic.UserDefinedFunctionUtils.toScalaUDF(
       f.asInstanceOf[org.apache.spark.sql.expressions.SparkUserDefinedFunction], args)
 
+  /** The resolved checkpoint root of a running streaming query — the
+    * scope key a lifecycle listener needs to release per-sink pinned
+    * resources at termination (the terminated event itself carries only
+    * ids). Private[sql] surface: the classic StreamingQueryWrapper →
+    * StreamExecution path; non-classic query objects yield None.
+    */
+  def checkpointOf(q: org.apache.spark.sql.streaming.StreamingQuery): Option[String] =
+    q match {
+      case w: execution.streaming.runtime.StreamingQueryWrapper =>
+        Some(w.streamingQuery.resolvedCheckpointRoot)
+      case _ => None
+    }
+
+  /** The same frame minus a TOP-LEVEL global Sort, if one is present.
+    *
+    * Batch entry points end with a presentation `orderBy`; reused
+    * inside a foreachBatch sink, that global sort makes every
+    * micro-batch pay a range-partitioning sample job plus a full sort
+    * for an ordering an append-mode file sink does not preserve across
+    * batches anyway. Stripping the one analyzed-plan Sort node keeps
+    * sink results row-identical to the batch form (same lineage, same
+    * values) without maintaining parallel unordered variants that
+    * could drift.
+    */
+  def unordered(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global =>
+        ofRows(df.sparkSession, s.child)
+      case _ => df
+    }
+
   /** Register a builder-based SQL function into a RUNNING session's
     * function registry (the extensions path only applies at session
     * construction).

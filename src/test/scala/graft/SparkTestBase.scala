@@ -14,6 +14,7 @@ object SparkTestBase {
     .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+  graft.ext.Freeze.autoRelease(spark)
 }
 
 abstract class SparkTestBase extends AnyFunSuite {

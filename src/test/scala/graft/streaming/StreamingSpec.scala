@@ -394,6 +394,9 @@ class StreamingSpec extends SparkTestBase {
         input.toDF().toDF("doc_id", "text"), table, out, ckpt,
         triggerMs = 50L).start()
       try {
+        // while the stream runs, the sink's frozen table is pinned
+        assert(spark.sparkContext.getPersistentRDDs.size > pinnedBefore,
+          s"$tag: running sink must hold its frozen table pinned")
         input.addData(arrivals(0))
         query.processAllAvailable()
         input.addData(arrivals(1), arrivals(2))
@@ -415,12 +418,20 @@ class StreamingSpec extends SparkTestBase {
       assert(!byDoc.contains(3L), s"$tag: four-token docs open no 5-gram")
       ckpt
     }
-    // each sink pinned exactly its frozen table; release drops the pins
-    assert(spark.sparkContext.getPersistentRDDs.size == pinnedBefore + 2,
-      "each smoothed sink must pin exactly one frozen table")
-    ckpts.foreach(graft.ext.Freeze.release)
+    // the autoRelease listener (installed by SparkTestBase/LocalSession)
+    // unpersists each sink's pinned table when its query terminates —
+    // the termination event is async, so wait bounded for the drain
+    val deadline = System.currentTimeMillis + 20000
+    while (spark.sparkContext.getPersistentRDDs.size != pinnedBefore &&
+           System.currentTimeMillis < deadline) Thread.sleep(50)
     assert(spark.sparkContext.getPersistentRDDs.size == pinnedBefore,
-      "Freeze.release(checkpoint) must unpersist the sink's frozen table")
+      "query termination must auto-release the sink's frozen table")
+    assert(ckpts.forall(c => !graft.ext.Freeze.pinnedScopes
+        .contains(java.nio.file.Paths.get(c).toAbsolutePath.normalize.toString)),
+      "terminated sinks must leave no registered scope behind")
+    // manual release stays a harmless idempotent no-op
+    ckpts.foreach(graft.ext.Freeze.release)
+    assert(spark.sparkContext.getPersistentRDDs.size == pinnedBefore)
   }
 
   test("streaming mixture filter: frozen plan, content-deterministic keeps, batch parity") {
