@@ -195,6 +195,9 @@ object SparkEntry {
     // rows-only: the stub grid hash is byte math a SQL oracle could
     // mirror only by reimplementing the kernel; fixture-tested instead
     "q_media_phash"       -> (ExtraQueries.mediaPhash _),
+    // rows-only: the planted perturbation is Dataset-typed byte math;
+    // planted-pair recall is asserted exactly in CorpusAndSinksSpec
+    "q_media_neardup_pairs" -> (ExtraQueries.mediaNearDupPairs _),
     "q_embedding_coverage" -> ((s: SparkSession, d: String) => Similarity.embeddingCoverage(s, d)),
     // rows-only: shares bpeStats' non-SQL-expressible merge loop
     "q_bpe_fertility"     -> ((s: SparkSession, d: String) => TextAnalysis.bpeFertility(s, d)),

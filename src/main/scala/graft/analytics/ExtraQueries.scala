@@ -358,6 +358,24 @@ object ExtraQueries {
     Multimodal.perceptualHashes(records).orderBy(col("media_id"))
   }
 
+  /** Perceptual near-duplicate PAIRS over planted media — the pair half
+    * of the LAION-style image dedup ([[mediaPhash]] is the hash table):
+    * the corpus's documents viewed as opaque payloads, each planted
+    * with a one-byte-perturbed copy
+    * ([[graft.ext.Multimodal.plantedNearDupMedia]] — hamming ≤ 1 by
+    * construction, so every planted pair sits inside the banding's
+    * pigeonhole-exact ≤ 3 radius and must surface). Rows-only check:
+    * the Dataset-typed perturbation isn't SQL-expressible, but the
+    * planted-recall guarantee is asserted exactly in
+    * CorpusAndSinksSpec and the dHash math itself is oracle-gated via
+    * `q_media_phash`.
+    */
+  def mediaNearDupPairs(spark: SparkSession, d: String): DataFrame = {
+    import graft.ext.Multimodal
+    Multimodal.phashNearDups(
+      Multimodal.plantedNearDupMedia(Tables.documents(spark, d)))
+  }
+
   /** parse_vn_date + stripDashRuns wired to a query: construct Vietnamese
     * legal-date strings from order dates (with a dash-run artifact),
     * normalize, parse back to DateType.

@@ -178,6 +178,36 @@ object Multimodal {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** A PLANTED near-dup media view of a document table: every document
+    * whose payload (UTF-8 text bytes) is ≥ 72 bytes contributes its
+    * original payload AND a copy (media_id shifted by `offset`) with
+    * the low bit of byte 0 flipped. Payloads ≥ 72 bytes sample byte 0
+    * into dHash grid cell 0 ALONE (grid(i) reads byte (i·len/72).toInt,
+    * which is ≥ 1 for every i ≥ 1 once len ≥ 72), and grid cell 0
+    * participates in exactly one row-major comparison — so each planted
+    * pair sits at hamming ≤ 1, inside [[phashNearDups]]'s
+    * pigeonhole-exact ≤ 3 radius, and EVERY planted pair must surface
+    * (the recall assertion in CorpusAndSinksSpec). The deterministic
+    * fixture generator behind the registered near-dup-pairs query:
+    * real corpora carry their own near-dups; a synthetic table needs
+    * them planted for the operator to have something to find.
+    */
+  def plantedNearDupMedia(docs: DataFrame, offset: Long = 10000000L): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"))
+      .as[MediaRecord]
+      .filter((r: MediaRecord) => r.payload != null && r.payload.length >= 72)
+      .flatMap { r =>
+        val p = r.payload.clone()
+        p(0) = (p(0) ^ 0x01).toByte
+        Seq(r, r.copy(media_id = r.media_id + offset, payload = p))
+      }
+  }
+
   /** Payload→payload transform seam (resize/transcode). The STUB
     * "resize" deterministically subsamples payload bytes to the target
     * budget and updates metadata — a real codec drops in behind the same

@@ -160,6 +160,32 @@ class CorpusAndSinksSpec extends SparkTestBase {
     assert(Multimodal.FakePHash.phash(Array.fill(72)(7.toByte)) == 0L)
   }
 
+  test("multimodal: planted near-dup media surface as pairs (pigeonhole recall)") {
+    import spark.implicits._
+    // four docs with >= 72-byte texts (planted) and one short doc
+    // (skipped: sub-72-byte payloads alias byte 0 into several grid
+    // cells, voiding the hamming <= 1 construction)
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"alpha$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"beta$i").mkString(" ")),
+      (3L, "câu chữ " * 30),
+      (4L, (1 to 80).map(i => ('a' + i % 26).toChar).mkString(" ")),
+      (9L, "short")).toDF("doc_id", "text")
+    val planted = Multimodal.plantedNearDupMedia(docs, offset = 1000L)
+    assert(planted.count() == 8, "4 eligible docs, original + perturbed copy each")
+    val pairs = Multimodal.phashNearDups(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    // EVERY planted pair must surface: hamming <= 1 by construction,
+    // and banding recall is pigeonhole-exact at radius <= 3
+    for (id <- Seq(1L, 2L, 3L, 4L)) {
+      val hit = pairs.find(p => p._1 == id && p._2 == id + 1000L)
+      assert(hit.isDefined, s"planted pair ($id, ${id + 1000L}) missing: $pairs")
+      assert(hit.get._3 <= 1L, s"planted pair must sit at hamming <= 1: $hit")
+    }
+    assert(!pairs.exists(p => p._1 == 9L || p._2 == 1009L),
+      "sub-72-byte docs are not planted")
+  }
+
   test("multimodal: resize stub bounds payloads and updates metadata deterministically") {
     import spark.implicits._
     val big = Array.tabulate(100)(i => i.toByte)
