@@ -1240,58 +1240,76 @@ object TextAnalysis {
     gramRollup(stream, scoreTable, "h5", "n_fivegrams")
   }
 
-  /** Per-level suffix-slice tables over the distinct-5-gram type table:
-    * one row per distinct k-gram occurring as a 5-gram suffix slice,
-    * with count `c` either the RAW occurrence total (sum of c5 —
-    * Witten-Bell's ML numerators) or the LEFT-EXTENSION type count
-    * (count of distinct (k+1)-gram types ending in the k-gram —
-    * Kneser-Ney's continuation counts N1+(·w), Chen & Goodman 1999
-    * eq. 18), plus the carried context/suffix hashes the next level
-    * down needs. Every table here is TYPE-table-sized (bounded by the
-    * distinct-5-gram count), so the whole chain shuffles vocabulary
-    * bytes, never corpus bytes.
-    */
-  private def suffixChain(c5t: DataFrame, raw: Boolean)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    def lvl(src: DataFrame, key: String, c: Column, carry: String*) = {
-      val cnt = if (raw) sum(c) else count(lit(1))
-      src.groupBy(col(key))
-        .agg(cnt.as("c"), carry.map(h => first(col(h)).as(h)): _*)
-    }
-    val t4 = lvl(c5t, "hs4", col("c5"), "hm3", "hs3", "hm2", "hs2", "hm1", "hs1")
-    val t3 = lvl(t4, "hs3", col("c"), "hm2", "hs2", "hm1", "hs1")
-    val t2 = lvl(t3, "hs2", col("c"), "hm1", "hs1")
-    val t1 = lvl(t2, "hs1", col("c"))
-    (t4, t3, t2, t1)
-  }
-
-  /** One smoothing level: attach the context total `cc` and the
-    * distinct-continuation count `tt` as windows over the level's type
-    * table, join the next-lower distribution on the suffix key, and
-    * fold the level's score expression. `tt` is COUNT(*) over the
-    * context partition — the number-of-distinct-types statistic that
-    * the window-sum formulation ([[fivegramCounts]]) cannot express,
-    * which is why WB/KN run on the per-level tables of [[suffixChain]].
+  /** Every WB/KN level statistic attached to the ONE distinct-5-gram
+    * type table as chained windows over the slice hashes each row
+    * already carries — a SINGLE lineage, so the corpus-sized 5-gram
+    * count shuffle runs once (plus the scalar branch's duplicate),
+    * not once per level.
     *
-    * Deliberately a WINDOW, not a groupBy(ctx)-join-back: the join
-    * formulation reads the level table twice (Spark does not reuse the
-    * un-materialized suffix-chain subtree across the agg and probe
-    * sides), and the measured cost of that double evaluation (7.4 s vs
-    * 5.2 s WB, 6.3 s vs 4.8 s KN at sf0.1) exceeds the window's extra
-    * sort — both stats are exact integer aggregates either way.
+    * The per-level-table formulation this replaces (groupBy per suffix
+    * order, context stats as windows, probabilities joined back down
+    * the chain) was sound row-wise but evaluated its un-materialized
+    * suffix-chain subtree ONCE PER LEVEL: Spark reuses exchanges only
+    * on canonically identical subtrees, and each level's column
+    * pruning made its copy distinct — the r11 final plans re-ran the
+    * corpus-sized tokenize→explode→count stage 6× (WB) / 7× (KN,
+    * + the scalar branch). At 100 TB that is 5-6 redundant corpus
+    * passes; PlanShapeSpec now pins the count-shuffle census at ≤ 2.
+    *
+    * The statistic that forced the per-level tables — "number of
+    * DISTINCT types per suffix/context slice", which a plain window
+    * SUM cannot express — IS window-expressible with one extra step: a
+    * row_number marker selects exactly one row per distinct suffix
+    * type (every slice hash is a function of the finer hash below it,
+    * so a marked row lands in exactly one coarser partition), and
+    * marker SUMS over coarser partitions count distinct types exactly.
+    * Raw totals telescope directly (summing c5 over a slice partition
+    * equals summing per-type subtotals over its distinct types), so
+    * every WB numerator/denominator and every KN continuation count
+    * (Chen & Goodman 1999 eq. 18's N1+) lands on the same row:
+    *
+    *   m_k   — 1 on one row per distinct k-suffix type (k = 4,3,2)
+    *   c_ks  — raw occurrence total of the row's k-suffix (WB)
+    *   k_k   — distinct (k+1)-suffix types extending the k-suffix (KN)
+    *   cc/tt — per-context totals and distinct-continuation counts
+    *
+    * Everything is an exact integer aggregate; the score expressions
+    * fold bottom-up over these columns with the same association as
+    * the level-table form, so scores are bit-identical (the tri-scale
+    * DuckDB oracle gates this).
     */
-  private def smoothLevel(t: DataFrame, key: String, c: String, ctx: String,
-                          joinKey: String, prev: DataFrame)
-                         (score: (Column, Column, Column, Column) => Column)
-      : DataFrame = {
+  private def smoothedStatTable(c5t: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(ctx))
-    t.withColumn("cc", sum(col(c)).over(w))
-      .withColumn("tt", count(lit(1)).over(w))
-      .join(prev, Seq(joinKey))
-      .select(col(key),
-        score(col(c).cast("double"), col("cc").cast("double"),
-          col("tt").cast("double"), col("p")).as("p"))
+    def w(key: String) = Window.partitionBy(col(key))
+    def marker(key: String) = when(row_number().over(
+      Window.partitionBy(col(key)).orderBy(col("h5"))) === 1, 1L).otherwise(0L)
+    c5t
+      // suffix-slice windows, finest first (markers computed here feed
+      // the coarser suffix and context windows below)
+      .withColumn("m4", marker("hs4"))
+      .withColumn("c4s", sum(col("c5")).over(w("hs4")))
+      .withColumn("k4", count(lit(1)).over(w("hs4")))
+      .withColumn("m3", marker("hs3"))
+      .withColumn("c3s", sum(col("c5")).over(w("hs3")))
+      .withColumn("k3", sum(col("m4")).over(w("hs3")))
+      .withColumn("m2", marker("hs2"))
+      .withColumn("c2s", sum(col("c5")).over(w("hs2")))
+      .withColumn("k2", sum(col("m3")).over(w("hs2")))
+      .withColumn("c1s", sum(col("c5")).over(w("hs1")))
+      .withColumn("k1", sum(col("m2")).over(w("hs1")))
+      // context windows: totals (raw for WB, type-counts for KN) and
+      // distinct-continuation counts tt per context slice
+      .withColumn("cc5", sum(col("c5")).over(w("hc4")))
+      .withColumn("tt5", count(lit(1)).over(w("hc4")))
+      .withColumn("ccw4", sum(col("c5")).over(w("hm3")))
+      .withColumn("cck4", count(lit(1)).over(w("hm3")))
+      .withColumn("tt4", sum(col("m4")).over(w("hm3")))
+      .withColumn("ccw3", sum(col("c5")).over(w("hm2")))
+      .withColumn("cck3", sum(col("m4")).over(w("hm2")))
+      .withColumn("tt3", sum(col("m3")).over(w("hm2")))
+      .withColumn("ccw2", sum(col("c5")).over(w("hm1")))
+      .withColumn("cck2", sum(col("m3")).over(w("hm1")))
+      .withColumn("tt2", sum(col("m2")).over(w("hm1")))
   }
 
   /** WITTEN-BELL interpolated 5-gram scoring (Witten & Bell 1991; the
@@ -1312,9 +1330,12 @@ object TextAnalysis {
     * the spec pins both facts.
     *
     * Scale shape: identical corpus-sized work to [[fivegramLogProb]]
-    * (one count shuffle, one scoring join, both on 8-byte keys); the
-    * per-level chain adds four type-table-sized groupBys, four window
-    * pairs, and four type-table joins. The scalar N rides a 1-row
+    * (one count shuffle + the scalar branch's duplicate, one scoring
+    * join, all on 8-byte keys); every per-level statistic attaches to
+    * the one type table as chained windows ([[smoothedStatTable]] —
+    * eight type-table-sized exchanges, no per-level tables, no joins,
+    * and no re-derived corpus stages; the count-shuffle census is
+    * pinned in PlanShapeSpec). The scalar N rides a 1-row
     * broadcast. FP parity: the per-level expression is associated
     * identically to the SQL oracle ((c + T*p) / (C + T), T*p left to
     * right); scores snap to integer micro-nats before the exact BIGINT
@@ -1334,18 +1355,20 @@ object TextAnalysis {
   private def wbParts(docs: DataFrame, wideKeys: Boolean)
       : (DataFrame, DataFrame) = {
     val (stream, c5t) = fivegramTypeTable(docs, wideKeys)
-    val (t4, t3, t2, t1) = suffixChain(c5t, raw = true)
     val n = c5t.agg(sum(col("c5")).as("n")) // scalar; broadcast below
-    val p1 = t1.crossJoin(broadcast(n))
-      .select(col("hs1"), (col("c").cast("double") / col("n")).as("p"))
     def wb(c: Column, cc: Column, tt: Column, p: Column) =
-      (c + tt * p) / (cc + tt)
-    val p2 = smoothLevel(t2, "hs2", "c", "hm1", "hs1", p1)(wb)
-    val p3 = smoothLevel(t3, "hs3", "c", "hm2", "hs2", p2)(wb)
-    val p4 = smoothLevel(t4, "hs4", "c", "hm3", "hs3", p3)(wb)
-    val p5 = smoothLevel(c5t, "h5", "c5", "hc4", "hs4", p4)(wb)
-    val scoreTable = p5.select(col("h5"),
-      floor(log(col("p")) * 1e6 + 0.5).cast("long").as("mlp"))
+      (c.cast("double") + tt.cast("double") * p) /
+        (cc.cast("double") + tt.cast("double"))
+    // bottom-up fold over the one stat table — identical per-level
+    // association to the level-table form ((c + T*p) / (C + T), T*p
+    // left to right), so scores are bit-identical to the SQL oracle
+    val p1 = col("c1s").cast("double") / col("n")
+    val p2 = wb(col("c2s"), col("ccw2"), col("tt2"), p1)
+    val p3 = wb(col("c3s"), col("ccw3"), col("tt3"), p2)
+    val p4 = wb(col("c4s"), col("ccw4"), col("tt4"), p3)
+    val p5 = wb(col("c5"), col("cc5"), col("tt5"), p4)
+    val scoreTable = smoothedStatTable(c5t).crossJoin(broadcast(n))
+      .select(col("h5"), floor(log(p5) * 1e6 + 0.5).cast("long").as("mlp"))
     (stream, scoreTable)
   }
 
@@ -1387,9 +1410,9 @@ object TextAnalysis {
     * inversion flips).
     *
     * Scale shape: identical to [[wbLogProbDf]] — the continuation
-    * chain is the same four type-table-sized groupBys with COUNT
-    * instead of SUM; the scalar bigram-type total rides a 1-row
-    * broadcast.
+    * counts are marker sums in the same [[smoothedStatTable]] window
+    * chain (COUNT-of-types instead of SUM-of-occurrences); the scalar
+    * bigram-type total rides a 1-row broadcast.
     */
   def knLogProb(spark: SparkSession, d: String,
                 discount: Double = 0.75): DataFrame = {
@@ -1407,20 +1430,24 @@ object TextAnalysis {
   private def knParts(docs: DataFrame, discount: Double, wideKeys: Boolean)
       : (DataFrame, DataFrame) = {
     val (stream, c5t) = fivegramTypeTable(docs, wideKeys)
-    val (t4, t3, t2, t1) = suffixChain(c5t, raw = false)
     val dd = lit(discount)
     // continuation-unigram denominator: total distinct bigram types
-    val nBi = t2.agg(count(lit(1)).as("n_bi")) // scalar; broadcast below
-    val p1 = t1.crossJoin(broadcast(nBi))
-      .select(col("hs1"), (col("c").cast("double") / col("n_bi")).as("p"))
+    // (the one scalar; its branch re-derives the type table once — the
+    // same duplicate-count-exchange budget as the other LM scalars)
+    val nBi = c5t.agg(count_distinct(col("hs2")).as("n_bi"))
     def kn(c: Column, cc: Column, tt: Column, p: Column) =
-      (greatest(c - dd, lit(0.0)) + dd * tt * p) / cc
-    val p2 = smoothLevel(t2, "hs2", "c", "hm1", "hs1", p1)(kn)
-    val p3 = smoothLevel(t3, "hs3", "c", "hm2", "hs2", p2)(kn)
-    val p4 = smoothLevel(t4, "hs4", "c", "hm3", "hs3", p3)(kn)
-    val p5 = smoothLevel(c5t, "h5", "c5", "hc4", "hs4", p4)(kn)
-    val scoreTable = p5.select(col("h5"),
-      floor(log(col("p")) * 1e6 + 0.5).cast("long").as("mlp"))
+      (greatest(c.cast("double") - dd, lit(0.0)) +
+        dd * tt.cast("double") * p) / cc.cast("double")
+    // bottom-up fold: KN levels run on CONTINUATION counts (k_k /
+    // cck_k), the top level on raw counts — same association as the
+    // level-table form, bit-identical scores
+    val p1 = col("k1").cast("double") / col("n_bi")
+    val p2 = kn(col("k2"), col("cck2"), col("tt2"), p1)
+    val p3 = kn(col("k3"), col("cck3"), col("tt3"), p2)
+    val p4 = kn(col("k4"), col("cck4"), col("tt4"), p3)
+    val p5 = kn(col("c5"), col("cc5"), col("tt5"), p4)
+    val scoreTable = smoothedStatTable(c5t).crossJoin(broadcast(nBi))
+      .select(col("h5"), floor(log(p5) * 1e6 + 0.5).cast("long").as("mlp"))
     (stream, scoreTable)
   }
 
