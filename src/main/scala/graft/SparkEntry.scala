@@ -189,6 +189,10 @@ object SparkEntry {
     // rows-only: band-bucket candidate generation is engine-local (the
     // capped q_ngram_containment IS its exact-value auditor on the slice)
     "q_ngram_containment_corpus" -> ((s: SparkSession, d: String) => Dedup.ngramContainmentCorpus(s, d)),
+    // rows-only like the corpus form; recall domination over the
+    // uniform banding + the surfaced size-gapped planted pair are
+    // asserted in DedupSimilaritySpec (LSH Ensemble stratification)
+    "q_ngram_containment_stratified" -> ((s: SparkSession, d: String) => Dedup.ngramContainmentStratified(s, d)),
     // rows-only: int8 rounding isn't portably reproducible in SQL at
     // hash precision; recall floor + error bound live in ScalaTest
     "q_sq_ann_topk"       -> ((s: SparkSession, d: String) => Similarity.sqAnnTopK(s, d)),

@@ -543,23 +543,30 @@ object Dedup {
 
   /** DataFrame form (docs must have doc_id + text). */
   def ngramContainmentCorpusDf(docsIn: DataFrame, minContain: Double = 0.5,
-                               numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val cands = minhashCandidatePairsUnordered(docsIn, numHashes, bands)
-      .select(col("id_a"), col("id_b"))
+                               numHashes: Int = 32, bands: Int = 8): DataFrame =
+    containmentScoreTail(
+      minhashCandidatePairsUnordered(docsIn, numHashes, bands)
+        .select(col("id_a"), col("id_b")),
+      docsIn, minContain)
+
+  /** The exact containment-scoring tail shared by every candidate
+    * generator: ONE evaluation of the shingle kernel — each pair
+    * unpivots to two (id_a, id_b, doc_id) membership rows, the
+    * member's sorted array attaches via a single doc-keyed join, and a
+    * 2-row groupBy folds the pair back. Two separate id_a-/id_b-keyed
+    * joins of the same projection would evaluate the whole
+    * tokenize+shingle+sort lineage TWICE (different join keys — the
+    * exchanges don't canonicalize, so nothing is reused); this shape
+    * consumes the kernel in exactly one join and the pair-fold
+    * exchange carries only CANDIDATE docs' arrays, not the corpus.
+    */
+  private def containmentScoreTail(cands: DataFrame, docsIn: DataFrame,
+                                   minContain: Double): DataFrame = {
     val sh = Tables.fanOut(docsIn)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"),
         array_sort(array_distinct(shinglesOfTokens(col("toks")))).as("sh"))
-    // ONE evaluation of the shingle kernel: each pair unpivots to two
-    // (id_a, id_b, doc_id) membership rows, the member's sorted array
-    // attaches via a single doc-keyed join, and a 2-row groupBy folds
-    // the pair back. Two separate id_a-/id_b-keyed joins of the same
-    // projection would evaluate the whole tokenize+shingle+sort lineage
-    // TWICE (different join keys — the exchanges don't canonicalize, so
-    // nothing is reused); this shape consumes the kernel in exactly one
-    // join and the pair-fold exchange carries only CANDIDATE docs'
-    // arrays, not the corpus.
     val membership = cands.select(col("id_a"), col("id_b"),
       explode(array(col("id_a"), col("id_b"))).as("doc_id"))
     membership.join(sh, Seq("doc_id"))
@@ -580,5 +587,99 @@ object Dedup {
           (col("oc.n_a") + col("oc.n_b") - col("oc.n_inter")), 6).as("jaccard"))
       .filter(col("contain_a") > minContain || col("contain_b") > minContain)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SIZE-STRATIFIED containment banding — the LSH Ensemble remedy
+    * (Zhu et al., VLDB 2016) for the jaccard-collision recall boundary
+    * [[ngramContainmentCorpusDf]] documents: containment-high pairs
+    * have jaccard diluted by at most their SIZE RATIO (j ≥ c·|A|/|B|),
+    * so banding aggressiveness should follow the size gap, not apply
+    * globally. Docs land in geometric token-count strata (growth
+    * `strataGrowth`); a candidate layout exists per stratum-DISTANCE
+    * class, halving rows per class down to 1:
+    *
+    *   Δ = 0 (sizes within ~g²):  baseBands × r   (the dedup tuning)
+    *   Δ = 1:                     2·baseBands × r/2
+    *   Δ ≥ 2 (ratio ≥ g):        numHashes × 1   (P = 1 − (1−j)^n)
+    *
+    * A pair at distance Δ ≥ 2 has j ≤ |A|/|B| ≤ 1/g by size alone, and
+    * rows = 1 collides on j = 1/4 with P ≈ 1 − 0.75^32 ≈ 0.9999 — the
+    * recall that global dedup-tuned banding provably lacks there. The
+    * cost discipline is the ensemble's point: the rows = 1 layer emits
+    * ONLY cross-strata pairs, so the same-size bulk of the corpus
+    * (where random collisions concentrate) never rides the
+    * high-collision layout; same-size pairs pay exactly the dedup
+    * tuning. Recall strictly dominates the uniform banding: band
+    * boundaries align (a matching r-row band implies both r/2-row
+    * halves match), so every pair the uniform layout surfaces in a
+    * class also surfaces here, plus the size-gapped pairs it missed
+    * (both directions asserted in DedupSimilaritySpec, including the
+    * planted quote-in-filler pair that the pinned boundary example
+    * shows invisible at uniform 8×4).
+    *
+    * Scale shape: one banded key stream (Σ bands per doc — 56 keys at
+    * the defaults vs 32 for uniform rows = 1), ONE self-join keyed on
+    * (layout, band, band_hash) with the stratum-distance predicate
+    * applied inside the bucket, then the shared exact
+    * [[containmentScoreTail]] — candidates are verified, never
+    * trusted. All layouts ride one signature evaluation (single
+    * lineage, no per-layout re-derivation — the smoothedStatTable
+    * discipline).
+    */
+  def ngramContainmentStratified(spark: SparkSession, d: String,
+                                 minContain: Double = 0.5,
+                                 numHashes: Int = 32, baseBands: Int = 8,
+                                 strataGrowth: Double = 4.0): DataFrame =
+    ngramContainmentStratifiedDf(Tables.documents(spark, d), minContain,
+      numHashes, baseBands, strataGrowth)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def ngramContainmentStratifiedDf(docsIn: DataFrame,
+                                   minContain: Double = 0.5,
+                                   numHashes: Int = 32, baseBands: Int = 8,
+                                   strataGrowth: Double = 4.0): DataFrame = {
+    val baseRows = numHashes / baseBands
+    require(baseRows > 0 && (baseRows & (baseRows - 1)) == 0,
+      s"numHashes/baseBands must be a positive power of two, got $baseRows")
+    require(strataGrowth > 1.0, s"strataGrowth must exceed 1, got $strataGrowth")
+    // layouts: rows halve per stratum-distance class down to 1
+    val nLayouts = java.lang.Integer.numberOfTrailingZeros(baseRows) + 1
+    val sigs = Tables.fanOut(docsIn)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), minhashSigUdf(numHashes)(col("toks")).as("sig"),
+        floor(log(strataGrowth,
+          greatest(size(col("toks")).cast("double"), lit(1.0)))).cast("int")
+          .as("stratum"))
+    // every layout's band keys in ONE generator over one signature pass
+    val layouts = (0 until nLayouts).map { dclass =>
+      val rows = math.max(baseRows >> dclass, 1)
+      val bands = numHashes / rows
+      (lit(dclass), sequence(lit(0), lit(bands - 1)), lit(rows))
+    }
+    val banded = sigs.select(col("doc_id"), col("stratum"), col("sig"),
+      explode(array(layouts.map { case (l, bandSeq, rows) =>
+        struct(l.as("layout"), rows.as("rows"), bandSeq.as("bs"))
+      }: _*)).as("ly"))
+      .select(col("doc_id"), col("stratum"), col("sig"),
+        col("ly.layout").as("layout"), col("ly.rows").as("rows"),
+        explode(col("ly.bs")).as("band"))
+      .select(col("doc_id"), col("stratum"), col("layout"), col("band"),
+        xxhash64(concat_ws(",",
+          slice(col("sig"), col("band") * col("rows") + 1, col("rows"))),
+          col("band")).as("band_hash"))
+    val dist = abs(col("a.stratum") - col("b.stratum"))
+    val classPred = when(col("a.layout") === lit(nLayouts - 1),
+      dist >= lit(nLayouts - 1)).otherwise(dist === col("a.layout"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val cands = a.join(b,
+        col("a.layout") === col("b.layout") &&
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id") && classPred)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    containmentScoreTail(cands, docsIn, minContain)
   }
 }

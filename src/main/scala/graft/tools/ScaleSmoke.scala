@@ -51,6 +51,7 @@ object ScaleSmoke {
     "q_dim_truncation" /* fixed query count, like q_ivf_pq_topk */,
     "q_kn_logprob_wide" /* wide keys: 2x key bytes, same plan — must track q_kn_logprob */,
     "q_ngram_containment_corpus" /* banded candidates: grows with true near-dups, not n² */,
+    "q_ngram_containment_stratified" /* per-size-class banding: rows=1 layer emits cross-strata only */,
     "q_sq_ann_topk" /* IVF-pruned + bounded final: fixed query count */,
     "q_media_phash" /* narrow hashing map: linear */)
 

@@ -352,10 +352,12 @@ class PlanShapeSpec extends SparkTestBase {
     // broadcast all-pairs cannot scale; a CartesianProduct or an
     // un-keyed nested-loop join reappearing here means candidate
     // generation regressed to O(n²)
-    val p = plan("q_ngram_containment_corpus")
-    assert(!p.contains("CartesianProduct"),
-      s"corpus containment grew a cartesian product:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      s"corpus containment grew an un-keyed nested-loop join:\n$p")
+    for (q <- Seq("q_ngram_containment_corpus", "q_ngram_containment_stratified")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q grew a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q grew an un-keyed nested-loop join:\n$p")
+    }
   }
 }

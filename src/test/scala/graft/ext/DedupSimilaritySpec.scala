@@ -761,6 +761,61 @@ class DedupSimilaritySpec extends SparkTestBase {
         "more diluted fixture)")
   }
 
+  test("stratified containment banding: size-gapped pair surfaces at dedup-tuned base") {
+    import spark.implicits._
+    // the SAME planted quote-in-filler pair the boundary test pins as
+    // invisible to uniform 8×4 banding: under LSH-Ensemble
+    // stratification the pair's stratum distance (quote ~9 tokens vs
+    // ~800, growth 4: Δ = 3) routes it to the rows=1 layout, so it
+    // surfaces WITHOUT globally paying rows=1 candidate volume —
+    // same-size pairs still ride the dedup-tuned 8×4 class
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val filler = (1 to 400).map(i => s"filler$i word$i").mkString(" ")
+    val docs = Seq(
+      1L -> quote,
+      2L -> s"$filler $quote",
+      3L -> "an unrelated third document about nothing at all"
+    ).toDF("doc_id", "text")
+    val strat = Dedup.ngramContainmentStratifiedDf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(strat.contains((1L, 2L)),
+      s"stratified banding must surface the size-gapped quote pair: ${strat.keySet}")
+    assert(strat((1L, 2L)).getDouble(2) == 1.0,
+      "short-side containment is exact on the surfaced pair")
+  }
+
+  test("stratified containment: dominates uniform banding, exact-auditor parity holds") {
+    // Recall domination on the real table: band boundaries align (an
+    // equal r-row band implies equal r/2-row halves), so every pair the
+    // uniform corpus banding surfaces must appear in the stratified
+    // result with IDENTICAL scores (the scoring tail is shared code).
+    val docs = graft.Tables.documents(spark, sfDir)
+    val uniform = Dedup.ngramContainmentCorpusDf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toString).toMap
+    val strat = Dedup.ngramContainmentStratifiedDf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toString).toMap
+    assert(uniform.nonEmpty, "sf0.001's planted near-dups must band-collide")
+    uniform.foreach { case (k, v) =>
+      assert(strat.get(k).contains(v),
+        s"uniform-banded pair $k missing or diverged in stratified result: " +
+          s"$v vs ${strat.get(k)}")
+    }
+    // exact-auditor parity on the capped slice: surfaced pairs carry
+    // exactly the all-pairs scores (buckets gate WHICH pairs surface,
+    // never what they score)
+    val exact = Dedup.ngramContainmentPairsDf(docs, idLimit = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toString).toMap
+    strat.filter { case ((a, b), _) => a < 200 && b < 200 }.foreach {
+      case (k, v) =>
+        assert(exact.get(k).contains(v),
+          s"stratified pair $k diverged from the exact auditor: $v vs ${exact.get(k)}")
+    }
+    // determinism
+    val again = Dedup.ngramContainmentStratifiedDf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toString).toMap
+    assert(again == strat)
+  }
+
   test("dim truncation audit: prefix-loaded signal keeps recall, tail-loaded loses it") {
     import spark.implicits._
     // 2 queries + 8 corpus vectors in 8 dims. Vectors are built so the
