@@ -271,6 +271,78 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"residual ADC must track exact cosine strictly closer: $distR vs $distP")
   }
 
+  test("OPQ rotation: strictly better codes when variance concentrates in one subspace") {
+    import spark.implicits._
+    // All signal lives in dims 0..15 — exactly ONE of plain PQ's four
+    // subspaces (m=4 over dim 64): un-rotated, subspace 0 must spend
+    // its 8 codes on 16 dimensions of residual noise while subspaces
+    // 1..3 quantize a constant tail (24 wasted bits). OPQ's eigenvalue
+    // allocation spreads the 16 signal directions across all four
+    // subspaces (4 each), so every code byte buys resolution — the
+    // paper's variance-balancing argument as a measurable fixture.
+    // Cluster/twin/filler structure mirrors the residual-PQ test.
+    val r = new scala.util.Random(11)
+    val dim = 64
+    def vec(signal: Array[Double]): Array[Float] =
+      Array.tabulate(dim)(i => if (i < 16) signal(i).toFloat else 0.05f)
+    val centers = Array.fill(8)(Array.fill(16)(r.nextGaussian() * 5.0))
+    val queries: IndexedSeq[(Long, Array[Float])] = (0 until 8).map { q =>
+      q.toLong -> vec(Array.tabulate(16)(i => centers(q)(i) + r.nextGaussian() * 0.8))
+    }
+    val vecs: IndexedSeq[(Long, Array[Float])] = queries ++
+      (0 until 8).flatMap { q =>
+        val qv = queries(q)._2
+        val twins = (19 until 24).map { j =>
+          (8L + q * 24 + j) -> Array.tabulate(dim)(i =>
+            if (i < 16) (qv(i) + r.nextGaussian() * 0.45).toFloat else 0.05f)
+        }
+        val fillers = (0 until 19).map { j =>
+          (8L + q * 24 + j) -> vec(Array.tabulate(16)(i => centers(q)(i) + r.nextGaussian() * 1.2))
+        }
+        twins ++ fillers
+      }
+    val emb = vecs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) {
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      math.rint(dp / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val byId = vecs.toMap
+    val exact: Map[(Long, Long), Double] = (for {
+      q <- 0L until 8L
+      (nid, nv) <- vecs if nid != q
+    } yield (q, nid) -> cos(byId(q), nv)).toMap
+    val brute: Set[(Long, Long)] = (0L until 8L).flatMap { q =>
+      exact.iterator.filter(_._1._1 == q).toSeq
+        .sortBy { case ((_, nid), s) => (-s, nid) }.take(5).map(_._1)
+    }.toSet
+    def run(opq: Boolean) = {
+      val rows = Similarity.ivfPqTopKDf(emb, nlist = 8, nprobe = 2,
+        m = 4, kSub = 8, residual = true, opq = opq).collect()
+      val pairs = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+      val dist = rows.iterator
+        .map(r => math.abs(r.getDouble(3) - exact((r.getLong(0), r.getLong(2)))))
+        .toSeq
+      (brute.intersect(pairs).size.toDouble / brute.size,
+        dist.sum / dist.size)
+    }
+    val (recallO, distO) = run(opq = true)
+    val (recallP, distP) = run(opq = false)
+    info(f"recall opq=$recallO%.3f plain=$recallP%.3f; " +
+      f"mean |pq-exact| opq=$distO%.4f plain=$distP%.4f")
+    assert(recallO > recallP,
+      s"OPQ recall must strictly beat un-rotated PQ here: $recallO vs $recallP")
+    assert(recallO >= 0.6, s"OPQ recall floor: $recallO")
+    assert(distO < distP,
+      s"OPQ ADC must track exact cosine strictly closer: $distO vs $distP")
+    // determinism: no RNG anywhere in training — identical reruns
+    val (recallO2, distO2) = run(opq = true)
+    assert(recallO2 == recallO && distO2 == distO, "OPQ run must be deterministic")
+  }
+
   test("PQ codebooks/encoder: exact reconstruction when a subspace has few distinct values") {
     import spark.implicits._
     // 8-dim vectors over a tiny value set: with kSub >= distinct
