@@ -135,6 +135,7 @@ object SparkEntry {
     // ---- round 8: heuristic cleaning, span dedup, clustering, ppl buckets
     "q_gopher_filters"    -> ((s: SparkSession, d: String) => Cleaning.gopherFilters(s, d)),
     "q_span_dedup"        -> ((s: SparkSession, d: String) => Cleaning.spanDedupStats(s, d)),
+    "q_paragraph_dedup"   -> ((s: SparkSession, d: String) => Cleaning.paragraphDedupStats(s, d)),
     "q_kmeans"            -> ((s: SparkSession, d: String) => Clustering.kmeansStats(s, d)),
     "q_perplexity_buckets" -> ((s: SparkSession, d: String) => TextAnalysis.perplexityBuckets(s, d)),
     "q_cluster_prune"     -> ((s: SparkSession, d: String) => Clustering.clusterPrune(s, d)),
@@ -1032,6 +1033,33 @@ object SparkEntry {
     // spans by xxhash64 — identical groups short of a 2^-64 collision
     // (the decontamination hashing caveat)
     "q_span_dedup" -> spanDedupOracleSql,
+    // paragraph dedup: the structured-doc construction (4 members per
+    // group ordered by doc_id, odd groups quoting the previous group's
+    // first member) re-derived in SQL, then the string-keyed ROW_NUMBER
+    // election over trimmed paragraphs — the engine keys on xxhash64
+    // paragraph hashes (collision would fail the hash-compare loudly)
+    "q_paragraph_dedup" ->
+      ("WITH members AS (SELECT doc_id // 4 AS g, doc_id, text FROM documents WHERE text IS NOT NULL), " +
+        "sd0 AS (SELECT g, string_agg(text, chr(10)||chr(10) ORDER BY doc_id) AS body FROM members GROUP BY g), " +
+        "firsts AS (SELECT doc_id // 4 AS pg, text AS planted FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id % 4 = 0), " +
+        "sd AS (SELECT g AS doc_id, CASE WHEN g % 2 = 1 AND f.planted IS NOT NULL " +
+        "THEN body || chr(10) || chr(10) || f.planted ELSE body END AS text " +
+        "FROM sd0 LEFT JOIN firsts f ON sd0.g - 1 = f.pg), " +
+        "p0 AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps FROM sd), " +
+        "p AS (SELECT doc_id, unnest(generate_series(1, len(ps))) AS pos, ps FROM p0), " +
+        "q AS (SELECT doc_id, pos, trim(ps[pos]) AS para FROM p), " +
+        "q2 AS (SELECT * FROM q WHERE para <> ''), " +
+        "w AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY para) AS cnt, " +
+        "ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn FROM q2), " +
+        "a AS (SELECT doc_id, COUNT(*) AS n_paras, " +
+        "SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_removed FROM w GROUP BY doc_id), " +
+        "sel AS (SELECT sd.doc_id, CAST(COALESCE(a.n_paras, 0) AS BIGINT) AS n_paras, " +
+        "CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed FROM sd LEFT JOIN a USING (doc_id)) " +
+        "SELECT doc_id, n_paras, n_removed, " +
+        "CASE WHEN n_paras > 0 THEN round(n_removed / CAST(n_paras AS DOUBLE), 6) ELSE 0.0 END AS dup_frac, " +
+        "CASE WHEN n_paras > 0 THEN round(n_removed / CAST(n_paras AS DOUBLE), 6) ELSE 0.0 END <= 0.2 AS keep " +
+        "FROM sel ORDER BY doc_id"),
     // q_winnow_span_dedup is deliberately NOT here: its verdicts equal
     // the exact operator's only where duplicated passages reach the
     // w + n - 1 winnowing guarantee, and the sf0.01 documents table

@@ -525,6 +525,94 @@ object Cleaning {
     spanVerdict(full, maxDupFrac)
   }
 
+  /** A PARAGRAPH-STRUCTURED view of a flat document table, built
+    * deterministically so the fixture corpus (whose rows are single
+    * unstructured texts) exercises intra-document structure: every
+    * four consecutive documents become one structured doc (their texts
+    * joined by blank lines, member order by doc_id), and each ODD
+    * group additionally quotes the first member paragraph of the
+    * PREVIOUS group — a planted cross-document duplicate paragraph
+    * with a deterministic earliest owner. Pure DataFrame expressions
+    * (group/sort/concat), so the same construction is re-derivable in
+    * SQL — which is what lets [[paragraphDedupStats]] carry a full
+    * DuckDB oracle instead of a rows-only check.
+    */
+  def structuredParagraphDocs(docs: DataFrame): DataFrame = {
+    val members = docs.filter(col("text").isNotNull)
+      .select(expr("doc_id div 4").as("g"), col("doc_id"), col("text"))
+    val grouped = members.groupBy(col("g"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("text")))),
+        s => s.getField("text")), "\n\n").as("body"))
+    val firsts = docs.filter(col("text").isNotNull && col("doc_id") % 4 === 0)
+      .select(expr("doc_id div 4").as("pg"), col("text").as("planted"))
+    grouped.join(firsts, col("g") - 1 === col("pg"), "left")
+      .select(col("g").as("doc_id"),
+        when(col("g") % 2 === 1 && col("planted").isNotNull,
+          concat(col("body"), lit("\n\n"), col("planted")))
+          .otherwise(col("body")).as("text"))
+  }
+
+  /** PARAGRAPH-level cross-document dedup — [[spanDedupStatsDf]]'s
+    * first-writer-wins election lifted from sliding token n-grams to
+    * the document's OWN structural units: text splits on blank lines,
+    * each trimmed non-empty paragraph hashes once, and a paragraph is
+    * removed iff an identical paragraph exists at a lexicographically
+    * earlier (doc_id, position). The operator for corpora where whole
+    * boilerplate blocks repeat across documents (license headers,
+    * navigation chrome, quoted replies) — n-gram span dedup sees those
+    * as many overlapping spans and bills every n-gram of the block;
+    * this bills exactly one unit per paragraph and never crosses
+    * paragraph boundaries.
+    *
+    * Scale shape: identical to [[spanDedupStatsDf]] — the paragraph
+    * stream rides ONE (hash-keyed) window exchange as 16 bytes/row
+    * ((doc_id, pos) packed into a BIGINT below the exchange; same
+    * 20-bit position / 43-bit doc_id bounds, here bounding paragraphs
+    * per document), and the per-doc rollup reduces map-side. The
+    * DuckDB oracle elects keepers over paragraph STRINGS (ROW_NUMBER
+    * over trimmed paragraph) — hashing changes the key, not the
+    * groups, short of an xxhash64 collision.
+    */
+  def paragraphDedupStats(spark: SparkSession, d: String,
+                          maxDupFrac: Double = 0.2): DataFrame =
+    paragraphDedupStatsDf(
+      structuredParagraphDocs(Tables.documents(spark, d)), maxDupFrac)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def paragraphDedupStatsDf(docs: DataFrame,
+                            maxDupFrac: Double = 0.2): DataFrame = {
+    val paras = Tables.fanOut(docs).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        // split on the LITERAL blank-line marker (regex "\n\n" has no
+        // quantifier) — the oracle's string_split must see identical
+        // paragraph lists, so no \n{2,}-style normalization here
+        posexplode(split(col("text"), "\n\n")).as(Seq("pos0", "para")))
+      .select(col("doc_id"), col("pos0"), trim(col("para")).as("para"))
+      .filter(length(col("para")) > 0)
+      .select((shiftleft(col("doc_id"), 20) + col("pos0") + 1).as("pk"),
+        xxhash64(col("para")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val marked = paras
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("keeper", min(col("pk")).over(w))
+      .select(shiftright(col("pk"), 20).as("doc_id"),
+        (col("cnt") > 1 && col("pk") =!= col("keeper")).cast("long").as("removed"))
+    val perDoc = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"), sum(col("removed")).as("n_removed"))
+    docs.filter(col("text").isNotNull).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .withColumn("dup_frac",
+        when(col("n_paras") > 0,
+          round(col("n_removed").cast("double") / col("n_paras"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("keep", col("dup_frac") <= maxDupFrac)
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared verdict tail: dup fraction + keep flag over a
     * (doc_id, n_spans, n_removed) frame, presentation-sorted.
     */

@@ -63,6 +63,44 @@ class CleaningSpec extends SparkTestBase {
     assert(byDoc(30L)._2 == 0)
   }
 
+  test("paragraph dedup: cross-doc duplicate paragraph removed from the later doc only") {
+    val boiler = "all rights reserved contact us at example"
+    val df = docsDf(
+      1L -> s"first unique paragraph\n\n$boiler\n\nclosing remarks one",
+      2L -> s"another opening\n\n  $boiler  \n\nsecond closing",   // trim-insensitive dup
+      3L -> s"$boiler",                                            // whole doc is the block
+      4L -> "no shared blocks\n\nhere at all")
+    val out = Cleaning.paragraphDedupStatsDf(df)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    // doc 1 owns the earliest (doc_id, pos) copy of the block: keeps all
+    assert(out(1L) == ((3L, 0L, true)), s"first writer keeps: $out")
+    // docs 2 and 3 lose exactly their copy (whitespace-trimmed identity)
+    assert(out(2L)._1 == 3L && out(2L)._2 == 1L, s"later doc loses the block: $out")
+    assert(out(3L) == ((1L, 1L, false)),
+      s"a doc that IS the duplicated block must fail the verdict: $out")
+    assert(out(4L) == ((2L, 0L, true)))
+    // within-doc repetition: second copy of a paragraph removed too
+    val rep = docsDf(7L -> "same para\n\nsame para\n\nother")
+    val r7 = Cleaning.paragraphDedupStatsDf(rep).collect().head
+    assert(r7.getLong(1) == 3L && r7.getLong(2) == 1L,
+      s"within-doc paragraph repetition must bill the later copy: $r7")
+  }
+
+  test("structured paragraph docs: planted cross-group quote surfaces through the dedup") {
+    // 8 flat docs -> 2 structured groups; group 1 (odd) quotes group 0's
+    // first member — the planted cross-document duplicate paragraph
+    val flat = docsDf((0L to 7L).map(i => i -> s"member text number $i with words"): _*)
+    val structured = graft.ext.Cleaning.structuredParagraphDocs(flat)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(structured.keySet == Set(0L, 1L))
+    assert(structured(1L).endsWith("member text number 0 with words"),
+      s"odd group must quote the previous group's first member: ${structured(1L)}")
+    val out = Cleaning.paragraphDedupStatsDf(Cleaning.structuredParagraphDocs(flat))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == ((4L, 0L)), s"owner group keeps all paragraphs: $out")
+    assert(out(1L) == ((5L, 1L)), s"quoting group loses exactly the quote: $out")
+  }
+
   test("span dedup: within-doc repetition removes later copies; short docs report zero spans") {
     val rep = "a b c d e" // 5 tokens = 1 span
     val df = docsDf(
