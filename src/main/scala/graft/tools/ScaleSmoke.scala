@@ -53,7 +53,9 @@ object ScaleSmoke {
     "q_ngram_containment_corpus" /* banded candidates: grows with true near-dups, not n² */,
     "q_ngram_containment_stratified" /* per-size-class banding: rows=1 layer emits cross-strata only */,
     "q_sq_ann_topk" /* IVF-pruned + bounded final: fixed query count */,
-    "q_media_phash" /* narrow hashing map: linear */)
+    "q_media_phash" /* narrow hashing map: linear */,
+    "q_media_neardup_pairs" /* banded 16-bit-chunk self-join: grows with planted-dup mass */,
+    "q_paragraph_dedup" /* one hash-keyed window, packed 16 B/paragraph rows */)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
