@@ -579,7 +579,17 @@ object Cleaning {
     paragraphDedupStatsDf(
       structuredParagraphDocs(Tables.documents(spark, d)), maxDupFrac)
 
-  /** DataFrame form (docs must have doc_id + text). */
+  /** DataFrame form (docs must have doc_id + text). `docs` is
+    * referenced exactly ONCE: a doc whose paragraphs are all empty
+    * still reports (0, 0) because `split` of any non-null text emits
+    * at least one element and empty paragraphs ride the stream as
+    * `is_para = false` sentinel rows (uniquely hashed so they never
+    * form a window group) instead of being restored by a join-back —
+    * a second `docs` reference would re-run the whole upstream lineage
+    * (the structured builder, in the registered composition) for a
+    * row-presence check (the smoothedStatTable diamond; the pin in
+    * PlanShapeSpec caught exactly that in this operator's first form).
+    */
   def paragraphDedupStatsDf(docs: DataFrame,
                             maxDupFrac: Double = 0.2): DataFrame = {
     val paras = Tables.fanOut(docs).filter(col("text").isNotNull)
@@ -589,15 +599,61 @@ object Cleaning {
         // paragraph lists, so no \n{2,}-style normalization here
         posexplode(split(col("text"), "\n\n")).as(Seq("pos0", "para")))
       .select(col("doc_id"), col("pos0"), trim(col("para")).as("para"))
-      .filter(length(col("para")) > 0)
       .select((shiftleft(col("doc_id"), 20) + col("pos0") + 1).as("pk"),
-        xxhash64(col("para")).as("h"))
+        (length(col("para")) > 0).as("is_para"), col("para"))
+      .select(col("pk"), col("is_para"),
+        when(col("is_para"), xxhash64(col("para")))
+          .otherwise(xxhash64(lit("graft-empty-para"), col("pk"))).as("h"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val marked = paras
       .withColumn("cnt", count(lit(1)).over(w))
       .withColumn("keeper", min(col("pk")).over(w))
       .select(shiftright(col("pk"), 20).as("doc_id"),
-        (col("cnt") > 1 && col("pk") =!= col("keeper")).cast("long").as("removed"))
+        col("is_para").cast("long").as("is_para"),
+        (col("is_para") && col("cnt") > 1 && col("pk") =!= col("keeper"))
+          .cast("long").as("removed"))
+    marked.groupBy(col("doc_id"))
+      .agg(sum(col("is_para")).as("n_paras"), sum(col("removed")).as("n_removed"))
+      .withColumn("dup_frac",
+        when(col("n_paras") > 0,
+          round(col("n_removed").cast("double") / col("n_paras"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("keep", col("dup_frac") <= maxDupFrac)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DISTINCT trimmed-paragraph hashes of a static base corpus — the
+    * keeper set [[paragraphDedupSink]] freezes and checks arrivals
+    * against. One corpus pass, one distinct on the 8-byte hash.
+    */
+  def keeperParagraphHashes(docs: DataFrame): DataFrame =
+    Tables.fanOut(docs).filter(col("text").isNotNull)
+      .select(explode(split(col("text"), "\n\n")).as("para"))
+      .select(trim(col("para")).as("para"))
+      .filter(length(col("para")) > 0)
+      .select(xxhash64(col("para")).as("h"))
+      .distinct()
+
+  /** Paragraph-dedup stats AGAINST a static keeper set: an arriving
+    * document's paragraph is removed iff the base corpus already owns
+    * an identical (trimmed) paragraph — no within-batch election, the
+    * streaming analogue of [[paragraphDedupStatsDf]]'s earliest-
+    * (doc_id, pos) rule (first writer wins across time; the
+    * [[spanDedupStatsAgainst]] contract at paragraph granularity).
+    * Output schema matches the batch form, so per-batch outputs union
+    * to the batch result on the same documents (StreamingSpec).
+    */
+  def paragraphDedupStatsAgainst(docs: DataFrame, keeperParas: DataFrame,
+                                 maxDupFrac: Double = 0.2): DataFrame = {
+    val paras = Tables.fanOut(docs).filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), "\n\n")).as("para"))
+      .select(col("doc_id"), trim(col("para")).as("para"))
+      .filter(length(col("para")) > 0)
+      .select(col("doc_id"), xxhash64(col("para")).as("h"))
+    val marked = paras
+      .join(keeperParas.select(col("h")).distinct().withColumn("dup", lit(1L)),
+        Seq("h"), "left")
+      .select(col("doc_id"), coalesce(col("dup"), lit(0L)).as("removed"))
     val perDoc = marked.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_paras"), sum(col("removed")).as("n_removed"))
     docs.filter(col("text").isNotNull).select(col("doc_id"))
@@ -611,6 +667,32 @@ object Cleaning {
           .otherwise(lit(0.0)))
       .withColumn("keep", col("dup_frac") <= maxDupFrac)
       .orderBy(col("doc_id"))
+  }
+
+  /** Streaming paragraph dedup (foreachBatch stage): the base corpus's
+    * keeper-paragraph set is FROZEN once; each micro-batch runs
+    * [[paragraphDedupStatsAgainst]] and appends per-doc stats tagged
+    * with the batch id — the [[spanDedupSink]] sink contract at
+    * paragraph granularity.
+    */
+  def paragraphDedupSink(docStream: DataFrame, baseDocs: DataFrame,
+                         outPath: String, checkpoint: String,
+                         maxDupFrac: Double = 0.2, triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val frozen = Freeze.scoped(checkpoint, keeperParagraphHashes(baseDocs))
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // per-batch presentation sort stripped (see spanDedupSink)
+          org.apache.spark.sql.GraftSql.unordered(
+            paragraphDedupStatsAgainst(batch, frozen, maxDupFrac))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
   }
 
   /** Shared verdict tail: dup fraction + keep flag over a

@@ -347,6 +347,21 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("round-12 additions: paragraph dedup keeps its window form; media near-dups stay keyed") {
+    // paragraph dedup's scale contract is the span-dedup topology: ONE
+    // full-stream shuffle (the window on the paragraph hash) + the
+    // per-doc rollup pair + result sort; a groupBy+self-join shape
+    // would double the stream's exchanges
+    assert(shuffleExchanges("q_paragraph_dedup") <= 4,
+      s"paragraph dedup grew a shuffle:\n${plan("q_paragraph_dedup")}")
+    assert(plan("q_paragraph_dedup").contains("Window"),
+      "paragraph dedup lost its window form")
+    // the planted near-dup pair query must stay a banded keyed join
+    val pm = plan("q_media_neardup_pairs")
+    assert(!pm.contains("CartesianProduct") && !pm.contains("BroadcastNestedLoopJoin"),
+      s"media near-dups must not all-pairs:\n$pm")
+  }
+
   test("q_ngram_containment_corpus: every join is keyed — no O(n²) pair generation") {
     // the corpus-wide form exists precisely because the capped auditor's
     // broadcast all-pairs cannot scale; a CartesianProduct or an

@@ -288,6 +288,43 @@ class StreamingSpec extends SparkTestBase {
     assert(byDoc(3L) == ((0L, 0L, true)), "short doc reports zero spans, keeps")
   }
 
+  test("streaming paragraph dedup: per-batch stats vs frozen keeper paragraphs match batch mode") {
+    implicit val sqlCtx = spark.sqlContext
+    // base corpus owns one boilerplate paragraph
+    val boiler = "all rights reserved contact us at example"
+    val base = Seq(100L -> s"base opening\n\n$boiler").toDF("doc_id", "text")
+    val arrivals = Seq(
+      1L -> s"fresh intro\n\n$boiler\n\nfresh closing",  // 3 paras, 1 owned
+      2L -> s"  $boiler  ",                              // trim-identical: whole doc owned
+      3L -> "entirely new paragraph\n\nanother new one") // clean
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("para_out").toString
+    val ckpt = Files.createTempDirectory("para_ckpt").toString
+    val query = graft.ext.Cleaning.paragraphDedupSink(
+      input.toDF().toDF("doc_id", "text"), base, out, ckpt,
+      triggerMs = 50L).start()
+    try {
+      input.addData(arrivals(0), arrivals(1))
+      query.processAllAvailable()
+      input.addData(arrivals(2))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ext.Cleaning
+      .paragraphDedupStatsAgainst(arrivals.toDF("doc_id", "text"),
+        graft.ext.Cleaning.keeperParagraphHashes(base))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    val byDoc = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(byDoc(1L) == ((3L, 1L, false)),
+      s"quoting doc: 1 of 3 paragraphs owned by the base, dropped at 1/3: $byDoc")
+    assert(byDoc(2L) == ((1L, 1L, false)),
+      s"whole-doc boilerplate (whitespace-variant) must be removed: $byDoc")
+    assert(byDoc(3L) == ((2L, 0L, true)), "clean doc keeps")
+  }
+
   test("streaming winnow-accelerated span dedup: candidate prefilter keeps batch parity") {
     implicit val sqlCtx = spark.sqlContext
     // base passage spans >= w + n - 1 = 8 tokens, so an arrival copying
