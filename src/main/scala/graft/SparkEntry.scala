@@ -107,6 +107,9 @@ object SparkEntry {
     "q_quality_filters"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFilters(s, d)),
     "q_minhash_pairs"     -> ((s: SparkSession, d: String) => Dedup.minhashCandidatePairs(s, d)),
     "q_neardup_clusters"  -> ((s: SparkSession, d: String) => Dedup.nearDupKeepList(s, d)),
+    // rows-only (clusters derive from the engine-local LSH candidates);
+    // the quality-argmax election is fixture-tested in DedupSimilaritySpec
+    "q_neardup_keepers"   -> ((s: SparkSession, d: String) => Dedup.nearDupQualityKeepers(s, d)),
     "q_simhash_near_dups" -> ((s: SparkSession, d: String) => Dedup.simhashNearDups(s, d)),
     "q_ngram_jaccard"     -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "q_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),

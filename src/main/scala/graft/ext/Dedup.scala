@@ -373,6 +373,57 @@ object Dedup {
         .filter(col("est_jaccard") >= threshold))
       .orderBy(col("doc_id"))
 
+  /** QUALITY-CANONICAL keeper election per near-dup cluster: the
+    * production refinement of [[nearDupKeepList]]'s min-id rule — when
+    * a cluster of near-duplicates collapses to one survivor, a real
+    * pipeline keeps its BEST member (the cleanest crawl of a page, the
+    * least-truncated copy), not the one with the smallest id. Keeper =
+    * the member maximizing (quality score, then smallest doc_id on
+    * ties — deterministic); every clustered document reports its
+    * cluster, its own quality, the elected keeper, and a keep verdict.
+    * Documents in no cluster are absent by construction (they keep
+    * themselves trivially; this is the drop/keep signal for docs
+    * actually implicated in duplication).
+    *
+    * Scale shape: the cluster table arrives MATERIALIZED (a
+    * localCheckpoint leaf out of [[dedupClusters]]), joins the per-doc
+    * quality projection once on doc_id, and the election is ONE
+    * cluster-keyed window max over a (quality, −doc_id) struct —
+    * cluster partitions are LSH-candidate components, inherently
+    * small, and no join-back re-references the membership (the
+    * paragraph-dedup diamond lesson).
+    */
+  def nearDupQualityKeepers(spark: SparkSession, d: String,
+                            threshold: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    nearDupQualityKeepersDf(
+      dedupClusters(minhashCandidatePairsUnordered(docs)
+        .filter(col("est_jaccard") >= threshold)),
+      docs)
+  }
+
+  /** DataFrame form: `clusters` must carry (doc_id, canonical_id) —
+    * [[dedupClusters]] output — and `docs` (doc_id, text) for quality.
+    */
+  def nearDupQualityKeepersDf(clusters: DataFrame, docs: DataFrame): DataFrame = {
+    val q = Tables.fanOut(docs).filter(length(col("text")) > 0)
+      .select(col("doc_id"), TextAnalysis.qualityScoreCol.as("quality"))
+    val membered = clusters
+      .select(col("doc_id"), col("canonical_id").as("cluster"))
+      .join(q, Seq("doc_id"), "left")
+      .select(col("cluster"), col("doc_id"),
+        coalesce(col("quality"), lit(0.0)).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    membered
+      .withColumn("kq",
+        max(struct(col("quality"), (-col("doc_id")).as("nid"))).over(w))
+      .select(col("cluster"), col("doc_id"), col("quality"),
+        (-col("kq.nid")).as("keeper_id"),
+        col("kq.quality").as("keeper_quality"),
+        (col("doc_id") === -col("kq.nid")).as("keep"))
+      .orderBy(col("cluster"), col("doc_id"))
+  }
+
   // ------------------------------------------------------------ SimHash
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by

@@ -833,6 +833,45 @@ class DedupSimilaritySpec extends SparkTestBase {
         "more diluted fixture)")
   }
 
+  test("near-dup quality keepers: cluster keeps its best member, not its smallest id") {
+    import spark.implicits._
+    // a 3-member near-dup cluster whose HIGHEST-quality member has the
+    // LARGEST id (so a min-id election would provably pick wrong), one
+    // low-quality variant, and an unclustered singleton
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val docs = Seq(
+      1L -> base,
+      2L -> s"$base extra1",
+      // stopword-rich + longer: strictly higher qualityScoreCol
+      3L -> s"$base the of and to in is on for it as",
+      9L -> "a completely unrelated standalone document with nothing shared"
+    ).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "canonical_id")
+    val out = Dedup.nearDupQualityKeepersDf(clusters, docs).collect()
+    assert(out.length == 3, s"exactly the clustered docs report: ${out.toSeq}")
+    // independently computed qualities must rank doc 3 first
+    val qById = docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), graft.ext.TextAnalysis.qualityScoreCol.as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(qById(3L) > qById(1L) && qById(3L) > qById(2L),
+      s"fixture must make doc 3 the best member: $qById")
+    out.foreach { r =>
+      assert(r.getLong(3) == 3L, s"keeper must be the best member: $r")
+      assert(r.getDouble(4) == qById(3L))
+      assert(r.getBoolean(5) == (r.getLong(1) == 3L), s"only the keeper keeps: $r")
+    }
+    // end-to-end: the registered composition elects per-cluster argmax
+    // over real LSH clusters deterministically
+    val e2e = Dedup.nearDupQualityKeepers(spark, sfDir).collect()
+    assert(e2e.nonEmpty, "sf0.001's planted near-dups must cluster")
+    e2e.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val best = rows.maxBy(r => (r.getDouble(2), -r.getLong(1)))
+      assert(rows.forall(_.getLong(3) == best.getLong(1)),
+        s"keeper must be the quality argmax: ${rows.toSeq}")
+      assert(rows.count(_.getBoolean(5)) == 1, "exactly one keeper per cluster")
+    }
+  }
+
   test("stratified containment banding: size-gapped pair surfaces at dedup-tuned base") {
     import spark.implicits._
     // the SAME planted quote-in-filler pair the boundary test pins as
