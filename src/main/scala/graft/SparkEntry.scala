@@ -139,6 +139,7 @@ object SparkEntry {
     "q_gopher_filters"    -> ((s: SparkSession, d: String) => Cleaning.gopherFilters(s, d)),
     "q_span_dedup"        -> ((s: SparkSession, d: String) => Cleaning.spanDedupStats(s, d)),
     "q_paragraph_dedup"   -> ((s: SparkSession, d: String) => Cleaning.paragraphDedupStats(s, d)),
+    "q_c4_line_filter"    -> ((s: SparkSession, d: String) => Cleaning.c4LineFilter(s, d)),
     "q_kmeans"            -> ((s: SparkSession, d: String) => Clustering.kmeansStats(s, d)),
     "q_perplexity_buckets" -> ((s: SparkSession, d: String) => TextAnalysis.perplexityBuckets(s, d)),
     "q_cluster_prune"     -> ((s: SparkSession, d: String) => Clustering.clusterPrune(s, d)),
@@ -1063,6 +1064,40 @@ object SparkEntry {
         "CASE WHEN n_paras > 0 THEN round(n_removed / CAST(n_paras AS DOUBLE), 6) ELSE 0.0 END AS dup_frac, " +
         "CASE WHEN n_paras > 0 THEN round(n_removed / CAST(n_paras AS DOUBLE), 6) ELSE 0.0 END <= 0.2 AS keep " +
         "FROM sel ORDER BY doc_id"),
+    // C4 line filter: the structured builder re-derived (concat_ws skips
+    // NULL branches in both engines), then the line rules as a
+    // list_filter lambda mirroring Cleaning.c4LineFilterDf exactly
+    "q_c4_line_filter" ->
+      ("WITH sd AS (SELECT doc_id, concat_ws(chr(10), " +
+        "substring(text, 1, 60) || '.', " +
+        "substring(text, 1, 12), " +
+        "CASE WHEN doc_id % 7 = 0 THEN 'Please enable javascript to view this content.' END, " +
+        "CASE WHEN doc_id % 5 = 0 THEN 'We use cookies as described in our cookie policy.' END, " +
+        "'Deterministic check number ' || CAST(doc_id AS VARCHAR) || ' passed the quality gate.', " +
+        "CASE WHEN doc_id % 3 <> 0 THEN substring(text, 61, 50) || ' right?' END, " +
+        "CASE WHEN doc_id % 31 = 0 THEN 'if (x) { runScript(); }' END, " +
+        "CASE WHEN doc_id % 37 = 0 THEN 'Lorem ipsum dolor sit amet.' END" +
+        ") AS text FROM documents WHERE text IS NOT NULL), " +
+        "k AS (SELECT doc_id, text, " +
+        "len(string_split(text, chr(10))) AS lines_total, " +
+        "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), " +
+        "l -> right(l, 1) IN ('.', '!', '?', '\"') " +
+        "AND len(regexp_extract_all(l, '\\S+')) >= 5 " +
+        "AND NOT contains(lower(l), 'javascript') " +
+        "AND NOT contains(lower(l), 'terms of use') " +
+        "AND NOT contains(lower(l), 'privacy policy') " +
+        "AND NOT contains(lower(l), 'cookie policy') " +
+        "AND NOT contains(lower(l), 'uses cookies') " +
+        "AND NOT contains(lower(l), 'use of cookies') " +
+        "AND NOT contains(lower(l), 'use cookies')) AS kept FROM sd), " +
+        "r AS (SELECT doc_id, " +
+        "CAST(lines_total AS BIGINT) AS lines_total, " +
+        "CAST(len(kept) AS BIGINT) AS lines_kept, " +
+        "CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS kept_chars, " +
+        "CASE WHEN contains(lower(text), 'lorem ipsum') OR contains(text, '{') THEN 'page_filtered' " +
+        "WHEN len(kept) < 3 THEN 'too_short' ELSE 'kept' END AS verdict, " +
+        "substring(array_to_string(kept, chr(10)), 1, 40) AS preview FROM k) " +
+        "SELECT * FROM r ORDER BY doc_id"),
     // q_winnow_span_dedup is deliberately NOT here: its verdicts equal
     // the exact operator's only where duplicated passages reach the
     // w + n - 1 winnowing guarantee, and the sf0.01 documents table

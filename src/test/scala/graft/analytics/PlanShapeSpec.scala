@@ -362,6 +362,19 @@ class PlanShapeSpec extends SparkTestBase {
       s"media near-dups must not all-pairs:\n$pm")
   }
 
+  test("q_c4_line_filter: pure narrow map — only the presentation sort shuffles") {
+    // the C4 rules are per-document higher-order expressions over the
+    // scan; any Exchange beyond fanOut's round-robin + the final sort
+    // (or any aggregate/window/explode) means the operator stopped
+    // running at scan speed
+    val p = plan("q_c4_line_filter")
+    val keyed = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("RoundRobinPartitioning"))
+    assert(keyed <= 1, s"c4 filter grew a data shuffle ($keyed):\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("Window") &&
+      !p.contains("Generate"), s"c4 filter must stay a projection:\n$p")
+  }
+
   test("q_ngram_containment_corpus: every join is keyed — no O(n²) pair generation") {
     // the corpus-wide form exists precisely because the capped auditor's
     // broadcast all-pairs cannot scale; a CartesianProduct or an

@@ -866,4 +866,59 @@ class CleaningSpec extends SparkTestBase {
     assert(full.exists(_.getLong(2) > 0),
       "fixture must exercise the OOV branch (V=16 < 31 fixture terms)")
   }
+
+  test("c4 line filter: each rule fires on a hand-built line") {
+    val good = "This line carries plenty of proper words and ends well."
+    val df = docsDf(
+      // 3 good lines -> kept; short fragment + unterminated line dropped
+      1L -> s"$good\nToo short.\nno terminal punctuation on this line\n$good\n$good",
+      // javascript + cookie-policy lines dropped, leaving 3 good -> kept
+      2L -> s"$good\nPlease enable javascript to continue reading here.\nWe use cookies as described in our cookie policy.\n$good\n$good",
+      // only 2 kept lines -> too_short
+      3L -> s"$good\n$good",
+      // curly brace poisons the page regardless of good lines
+      4L -> s"$good\n$good\n$good\nif (x) { return; }",
+      // lorem ipsum poisons the page, case-insensitively
+      5L -> s"$good\n$good\n$good\nLOREM IPSUM dolor sit amet.")
+    val out = Cleaning.c4LineFilterDf(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(out(1L) == ((5L, 3L, "kept")), s"punct/word rules: ${out(1L)}")
+    assert(out(2L) == ((5L, 3L, "kept")), s"js/policy rules: ${out(2L)}")
+    assert(out(3L) == ((2L, 2L, "too_short")), s"line floor: ${out(3L)}")
+    assert(out(4L)._3 == "page_filtered", s"brace page rule: ${out(4L)}")
+    assert(out(5L)._3 == "page_filtered", s"lorem page rule: ${out(5L)}")
+  }
+
+  test("c4 line filter: word floor and terminal set behave exactly at the boundary") {
+    val df = docsDf(
+      1L -> "one two three four five.",   // exactly 5 words -> kept
+      2L -> "one two three four.",        // 4 words -> dropped
+      3L -> "is a quoted line kept here\"", // terminal quote counts
+      4L -> "ends with an exclamation mark indeed!",
+      5L -> "   padded line with five words here.   ") // trim before rules
+    val out = Cleaning.c4LineFilterDf(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 1L && out(2L) == 0L, s"word floor: $out")
+    assert(out(3L) == 1L && out(4L) == 1L, s"terminal set: $out")
+    assert(out(5L) == 1L, s"lines trim before the rules: $out")
+  }
+
+  test("c4 structured docs: planted features produce all three verdicts at sf") {
+    val out = Cleaning.c4LineFilter(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out.nonEmpty)
+    // page poison keys (doc_id % 31 / % 37) -> page_filtered
+    out.keys.filter(id => id % 31 == 0 || id % 37 == 0).foreach { id =>
+      assert(out(id) == "page_filtered", s"doc $id must be page-poisoned")
+    }
+    val verdicts = out.values.toSet
+    assert(verdicts == Set("kept", "too_short", "page_filtered"),
+      s"fixture must exercise every verdict: $verdicts")
+    // multiples of 3 (and only rule-clean ones) fall below the line floor
+    out.keys.filter(id => id % 3 == 0 && id % 31 != 0 && id % 37 != 0)
+      .foreach { id =>
+        assert(out(id) != "kept", s"doc $id lacks the question line: $out")
+      }
+  }
 }
