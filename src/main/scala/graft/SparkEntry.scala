@@ -140,6 +140,7 @@ object SparkEntry {
     "q_span_dedup"        -> ((s: SparkSession, d: String) => Cleaning.spanDedupStats(s, d)),
     "q_paragraph_dedup"   -> ((s: SparkSession, d: String) => Cleaning.paragraphDedupStats(s, d)),
     "q_c4_line_filter"    -> ((s: SparkSession, d: String) => Cleaning.c4LineFilter(s, d)),
+    "q_url_dedup"         -> ((s: SparkSession, d: String) => Cleaning.urlDedup(s, d)),
     "q_kmeans"            -> ((s: SparkSession, d: String) => Clustering.kmeansStats(s, d)),
     "q_perplexity_buckets" -> ((s: SparkSession, d: String) => TextAnalysis.perplexityBuckets(s, d)),
     "q_cluster_prune"     -> ((s: SparkSession, d: String) => Clustering.clusterPrune(s, d)),
@@ -1098,6 +1099,32 @@ object SparkEntry {
         "WHEN len(kept) < 3 THEN 'too_short' ELSE 'kept' END AS verdict, " +
         "substring(array_to_string(kept, chr(10)), 1, 40) AS preview FROM k) " +
         "SELECT * FROM r ORDER BY doc_id"),
+    // URL dedup: the url builder re-derived, then the canonicalization
+    // chain mirroring Cleaning.urlDedupDf expression by expression
+    "q_url_dedup" ->
+      ("WITH u0 AS (SELECT doc_id, '/articles/' || CAST(doc_id // 3 AS VARCHAR) AS art " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "u AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 3 = 0 THEN 'https://news.example.com' || art || '?a=1&b=2' " +
+        "WHEN doc_id % 3 = 1 THEN 'HTTPS://News.Example.COM:443' || art || '/?b=2&a=1&utm_source=feed#frag' " +
+        "ELSE 'https://news.example.com' || art || '/?a=1&utm_medium=email&b=2' END AS url FROM u0), " +
+        "c AS (SELECT doc_id, url, " +
+        "regexp_replace(url, '#.*$', '') AS nofrag FROM u), " +
+        "c2 AS (SELECT doc_id, url, " +
+        "regexp_replace(lower(regexp_extract(nofrag, '^([a-zA-Z]+://[^/?#]+)', 1)), ':(443|80)$', '') AS hostpart, " +
+        "regexp_replace(nofrag, '^[a-zA-Z]+://[^/?#]+', '') AS rem FROM c), " +
+        "c3 AS (SELECT doc_id, url, hostpart, " +
+        "regexp_replace(regexp_replace(rem, '\\?.*$', ''), '/$', '') AS path, " +
+        "CASE WHEN contains(rem, '?') THEN regexp_replace(rem, '^[^?]*\\?', '') ELSE '' END AS query FROM c2), " +
+        "c4 AS (SELECT doc_id, url, hostpart, path, " +
+        "list_sort(list_filter(string_split(query, '&'), " +
+        "p -> length(p) > 0 AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)='))) AS kept FROM c3), " +
+        "c5 AS (SELECT doc_id, url, hostpart || path || " +
+        "CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS canon_url FROM c4) " +
+        "SELECT doc_id, url, canon_url, " +
+        "MIN(doc_id) OVER (PARTITION BY canon_url) AS keeper_id, " +
+        "doc_id <> MIN(doc_id) OVER (PARTITION BY canon_url) AS dup " +
+        "FROM c5 ORDER BY doc_id"),
     // q_winnow_span_dedup is deliberately NOT here: its verdicts equal
     // the exact operator's only where duplicated passages reach the
     // w + n - 1 winnowing guarantee, and the sf0.01 documents table

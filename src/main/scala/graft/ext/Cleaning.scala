@@ -910,6 +910,72 @@ object Cleaning {
   val C4MinWords = 5
   val C4MinLines = 3
 
+  // ------------------------------------------------- URL-level dedup
+
+  /** A URL-CARRYING view of the flat document table, built
+    * deterministically so the fixture corpus exercises URL
+    * canonicalization: every three consecutive documents share one
+    * logical article URL, presented three ways — plain; upper-cased
+    * scheme/host with the default :443 port, a trailing slash, swapped
+    * query-parameter order, a utm_source tracker and a fragment; and a
+    * trailing slash with a tracker spliced between the real
+    * parameters. Pure string expressions, re-derivable in SQL (the
+    * full-oracle precondition, as with [[c4StructuredDocs]]).
+    */
+  def urlDocs(docs: DataFrame): DataFrame = {
+    val art = concat(lit("/articles/"), expr("doc_id div 3").cast("string"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("https://news.example.com"), art, lit("?a=1&b=2")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("HTTPS://News.Example.COM:443"), art,
+            lit("/?b=2&a=1&utm_source=feed#frag")))
+        .otherwise(
+          concat(lit("https://news.example.com"), art,
+            lit("/?a=1&utm_medium=email&b=2"))).as("url"))
+  }
+
+  /** URL canonicalization + URL-level dedup — the acquisition-hygiene
+    * step a crawl pipeline runs BEFORE any content dedup (CCNet /
+    * RefinedWeb discipline: most recrawl duplicates are the same URL
+    * dressed differently). Canonical form: fragment dropped; scheme
+    * and host lower-cased; default :80/:443 port dropped; trailing
+    * path slash stripped; tracking parameters (utm_*, fbclid, gclid)
+    * removed; surviving query parameters sorted. Documents sharing a
+    * canonical URL collapse to the smallest doc_id (first-writer-wins,
+    * the [[spanDedupStatsDf]] election at URL granularity).
+    *
+    * Scale shape: canonicalization is a per-row chain of regex /
+    * higher-order builtin expressions (codegen'd, no UDF); the
+    * election is ONE hash exchange keyed on the canonical URL — at
+    * 100 TB this is a single keyed shuffle of (url, doc_id) pairs,
+    * independent of document payload size, plus the presentation sort.
+    */
+  def urlDedup(spark: SparkSession, d: String): DataFrame =
+    urlDedupDf(urlDocs(Tables.fanOut(Tables.documents(spark, d))))
+
+  /** DataFrame form (docs must have doc_id + url). */
+  def urlDedupDf(docs: DataFrame): DataFrame = {
+    val noFrag = regexp_replace(col("url"), "#.*$", "")
+    val host = lower(regexp_extract(noFrag, "^([a-zA-Z]+://[^/?#]+)", 1))
+    val hostNoPort = regexp_replace(host, ":(443|80)$", "")
+    val rem = regexp_replace(noFrag, "^[a-zA-Z]+://[^/?#]+", "")
+    val path = regexp_replace(regexp_replace(rem, "\\?.*$", ""), "/$", "")
+    val query = when(rem.contains("?"),
+      regexp_replace(rem, "^[^?]*\\?", "")).otherwise(lit(""))
+    val keptParams = array_sort(filter(split(query, "&"),
+      p => length(p) > 0 && !p.rlike("^(utm_[a-z]+|fbclid|gclid)=")))
+    val canon = concat(hostNoPort, path,
+      when(size(keptParams) > 0,
+        concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit("")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("canon_url"))
+    docs.select(col("doc_id"), col("url"), canon.as("canon_url"))
+      .withColumn("keeper_id", min(col("doc_id")).over(w))
+      .withColumn("dup", col("doc_id") =!= col("keeper_id"))
+      .orderBy(col("doc_id"))
+  }
+
   private val c4PolicyPhrases = Seq(
     "terms of use", "privacy policy", "cookie policy",
     "uses cookies", "use of cookies", "use cookies")

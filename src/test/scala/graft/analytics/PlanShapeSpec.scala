@@ -375,6 +375,18 @@ class PlanShapeSpec extends SparkTestBase {
       !p.contains("Generate"), s"c4 filter must stay a projection:\n$p")
   }
 
+  test("q_url_dedup: one keyed exchange — the canonical-URL election window") {
+    // canonicalization must stay a narrow expression chain; the only
+    // data shuffle is the window on canon_url (+ presentation sort) —
+    // a join-back or aggregate appearing here doubles the URL stream
+    val p = plan("q_url_dedup")
+    val keyed = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("RoundRobinPartitioning"))
+    assert(keyed <= 2, s"url dedup grew a shuffle ($keyed):\n$p")
+    assert(p.contains("Window") && !p.contains("HashAggregate") &&
+      !p.contains("Join"), s"url dedup must be a single window election:\n$p")
+  }
+
   test("q_ngram_containment_corpus: every join is keyed — no O(n²) pair generation") {
     // the corpus-wide form exists precisely because the capped auditor's
     // broadcast all-pairs cannot scale; a CartesianProduct or an

@@ -904,6 +904,47 @@ class CleaningSpec extends SparkTestBase {
     assert(out(5L) == 1L, s"lines trim before the rules: $out")
   }
 
+  test("url dedup: each canonicalization rule collapses exactly its own variance") {
+    val urls = Seq(
+      1L -> "https://news.example.com/a/articles/7?a=1&b=2",      // canonical form
+      2L -> "HTTPS://News.Example.COM/a/articles/7?a=1&b=2",      // case
+      3L -> "https://news.example.com:443/a/articles/7?a=1&b=2",  // default port
+      4L -> "https://news.example.com/a/articles/7/?a=1&b=2",     // trailing slash
+      5L -> "https://news.example.com/a/articles/7?b=2&a=1",      // param order
+      6L -> "https://news.example.com/a/articles/7?a=1&utm_source=x&b=2&gclid=y", // trackers
+      7L -> "https://news.example.com/a/articles/7?a=1&b=2#sec",  // fragment
+      8L -> "https://news.example.com/A/articles/7?a=1&b=2",      // path case SIGNIFICANT
+      9L -> "https://news.example.com/a/articles/7?a=1&b=3",      // real param change
+      10L -> "https://news.example.com:8443/a/articles/7?a=1&b=2") // non-default port
+    val out = Cleaning.urlDedupDf(urls.toDF("doc_id", "url"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    (1L to 7L).foreach { id =>
+      assert(out(id)._1 == "https://news.example.com/a/articles/7?a=1&b=2" &&
+        out(id)._2 == 1L, s"doc $id must collapse to doc 1: ${out(id)}")
+    }
+    Seq(8L, 9L, 10L).foreach { id =>
+      assert(out(id)._2 == id, s"doc $id must NOT collapse: ${out(id)}")
+    }
+  }
+
+  test("url docs: every complete variant triple collapses to its first member at sf") {
+    val out = Cleaning.urlDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    assert(out.nonEmpty)
+    val ids = out.map(_._1).toSet
+    var completeGroups = 0
+    out.foreach { case (id, keeper, dup) =>
+      val head = id / 3 * 3
+      if (Seq(head, head + 1, head + 2).forall(ids)) {
+        completeGroups += 1
+        assert(keeper == head, s"doc $id keeper must be the group head $head")
+        assert(dup == (id != head), s"doc $id dup flag wrong")
+      }
+    }
+    assert(completeGroups >= out.length / 2,
+      s"fixture must carry mostly complete variant triples: $completeGroups")
+  }
+
   test("c4 structured docs: planted features produce all three verdicts at sf") {
     val out = Cleaning.c4LineFilter(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
