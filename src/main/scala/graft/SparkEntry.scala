@@ -141,6 +141,7 @@ object SparkEntry {
     "q_paragraph_dedup"   -> ((s: SparkSession, d: String) => Cleaning.paragraphDedupStats(s, d)),
     "q_c4_line_filter"    -> ((s: SparkSession, d: String) => Cleaning.c4LineFilter(s, d)),
     "q_url_dedup"         -> ((s: SparkSession, d: String) => Cleaning.urlDedup(s, d)),
+    "q_length_buckets"    -> ((s: SparkSession, d: String) => ext.Corpus.lengthBuckets(s, d)),
     "q_kmeans"            -> ((s: SparkSession, d: String) => Clustering.kmeansStats(s, d)),
     "q_perplexity_buckets" -> ((s: SparkSession, d: String) => TextAnalysis.perplexityBuckets(s, d)),
     "q_cluster_prune"     -> ((s: SparkSession, d: String) => Clustering.clusterPrune(s, d)),
@@ -1125,6 +1126,18 @@ object SparkEntry {
         "MIN(doc_id) OVER (PARTITION BY canon_url) AS keeper_id, " +
         "doc_id <> MIN(doc_id) OVER (PARTITION BY canon_url) AS dup " +
         "FROM c5 ORDER BY doc_id"),
+    // length-bucketed batching: all-integer bucket math, exact compare
+    "q_length_buckets" ->
+      (s"WITH t AS (SELECT len($toks) AS n FROM documents WHERE text IS NOT NULL), " +
+        "b AS (SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 48 THEN 48 " +
+        "WHEN n <= 64 THEN 64 ELSE 96 END AS bucket_capacity, n, LEAST(n, 96) AS kept FROM t) " +
+        "SELECT bucket_capacity, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n) AS BIGINT) AS total_tokens, " +
+        "CAST(SUM(kept) AS BIGINT) AS kept_tokens, " +
+        "CAST(bucket_capacity * COUNT(*) - SUM(kept) AS BIGINT) AS pad_waste, " +
+        "CAST(SUM(n - kept) AS BIGINT) AS trunc_loss, " +
+        "round(CAST(SUM(kept) AS DOUBLE) / (bucket_capacity * COUNT(*)), 6) AS efficiency " +
+        "FROM b GROUP BY bucket_capacity ORDER BY bucket_capacity"),
     // q_winnow_span_dedup is deliberately NOT here: its verdicts equal
     // the exact operator's only where duplicated passages reach the
     // w + n - 1 winnowing guarantee, and the sf0.01 documents table

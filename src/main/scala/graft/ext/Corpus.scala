@@ -204,6 +204,47 @@ object Corpus {
         round(avg(col("pack_tokens")) / budget, 4).as("mean_fill"),
         sum(col("has_overflow")).as("overflow_packs"))
 
+  /** Length-bucketed batching plan — the PADDING alternative to
+    * sequence packing ([[packStats]] models the packed form; a
+    * pipeline chooses between them with exactly this accounting).
+    * Every document lands in the smallest capacity bucket from the
+    * ladder (16/32/48/64/96 fixture-scaled tokens) that holds it;
+    * documents beyond the top capacity truncate into the top bucket.
+    * Per bucket: document and token totals, the tokens actually kept,
+    * padding waste (capacity × docs − kept), truncation loss, and the
+    * fill efficiency a batch at that fixed sequence length achieves.
+    *
+    * Scale shape: one narrow projection (token count is a codegen'd
+    * split + size), one 5-group aggregate with map-side partials —
+    * a single tiny exchange at any corpus size. All-integer bucket
+    * boundaries, so the oracle comparison is exact.
+    */
+  def lengthBuckets(spark: SparkSession, d: String): DataFrame =
+    lengthBucketsDf(Tables.fanOut(Tables.documents(spark, d)))
+
+  /** DataFrame form (docs must have text). Capacities fixture-scaled:
+    * real pipelines use {512,1024,2048,4096} — same integer math.
+    */
+  def lengthBucketsDf(docs: DataFrame): DataFrame = {
+    val n = size(TextAnalysis.tokens(col("text")))
+    val cap = when(n <= 16, 16).when(n <= 32, 32).when(n <= 48, 48)
+      .when(n <= 64, 64).otherwise(96)
+    val kept = least(n, lit(96))
+    docs.filter(col("text").isNotNull)
+      .select(cap.as("bucket_capacity"), n.as("n"), kept.as("kept"))
+      .groupBy(col("bucket_capacity"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(col("kept")).as("kept_tokens"),
+        (max(col("bucket_capacity")) * count(lit(1)) - sum(col("kept")))
+          .cast("long").as("pad_waste"),
+        sum(col("n") - col("kept")).as("trunc_loss"))
+      .withColumn("efficiency",
+        round(col("kept_tokens").cast("double") /
+          (col("bucket_capacity") * col("n_docs")), 6))
+      .orderBy(col("bucket_capacity"))
+  }
+
   /** The packing's PARTITION-INDEPENDENT invariants, computed FROM the
     * packed output so any packing defect breaks an oracle row: every
     * document lands in exactly one pack (docs_packed = distinct_docs =

@@ -546,4 +546,38 @@ class CorpusSpec extends SparkTestBase {
     val fromDocs = e1.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
     assert(stats.map(r => r.getString(0) -> r.getLong(1)).toMap == fromDocs)
   }
+
+  test("length buckets: boundary docs land low, oversized docs truncate into the top") {
+    import spark.implicits._
+    def words(k: Int) = Seq.fill(k)("w").mkString(" ")
+    val df = Seq(
+      (1L, words(16)),   // exactly at a boundary -> 16-bucket
+      (2L, words(17)),   // one over -> 32-bucket
+      (3L, words(96)),   // top capacity, no truncation
+      (4L, words(120))   // truncates: kept 96, loss 24
+    ).toDF("doc_id", "text")
+    val out = Corpus.lengthBucketsDf(df)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(16) == ((1L, 16L, 16L, 0L, 0L)), s"boundary: ${out.get(16)}")
+    assert(out(32) == ((1L, 17L, 17L, 15L, 0L)), s"one-over: ${out.get(32)}")
+    assert(out(96) == ((2L, 216L, 192L, 0L, 24L)), s"top bucket: ${out.get(96)}")
+  }
+
+  test("length buckets: fixture totals conserve tokens; efficiency in (0,1]") {
+    val out = Corpus.lengthBuckets(spark, sfDir).collect()
+    assert(out.length >= 3, s"fixture must spread across buckets: ${out.length}")
+    out.foreach { r =>
+      val (cap, docs, kept, waste, eff) =
+        (r.getInt(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getDouble(6))
+      assert(cap * docs == kept + waste, s"pad accounting broken at $cap")
+      assert(eff > 0.0 && eff <= 1.0, s"efficiency out of range at $cap: $eff")
+    }
+    // token conservation: total_tokens sums to the corpus token count
+    val totalFromBuckets = out.map(_.getLong(2)).sum
+    val corpus = TextAnalysis.tokenStats(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).collect().head.getLong(0)
+    assert(totalFromBuckets == corpus,
+      s"bucket totals must conserve corpus tokens: $totalFromBuckets vs $corpus")
+  }
 }
