@@ -955,9 +955,11 @@ object Cleaning {
   def urlDedup(spark: SparkSession, d: String): DataFrame =
     urlDedupDf(urlDocs(Tables.fanOut(Tables.documents(spark, d))))
 
-  /** DataFrame form (docs must have doc_id + url). */
-  def urlDedupDf(docs: DataFrame): DataFrame = {
-    val noFrag = regexp_replace(col("url"), "#.*$", "")
+  /** The canonicalization chain itself — shared by the batch election,
+    * the frozen keeper set, and the streaming sink.
+    */
+  private[ext] def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
     val host = lower(regexp_extract(noFrag, "^([a-zA-Z]+://[^/?#]+)", 1))
     val hostNoPort = regexp_replace(host, ":(443|80)$", "")
     val rem = regexp_replace(noFrag, "^[a-zA-Z]+://[^/?#]+", "")
@@ -966,14 +968,68 @@ object Cleaning {
       regexp_replace(rem, "^[^?]*\\?", "")).otherwise(lit(""))
     val keptParams = array_sort(filter(split(query, "&"),
       p => length(p) > 0 && !p.rlike("^(utm_[a-z]+|fbclid|gclid)=")))
-    val canon = concat(hostNoPort, path,
+    concat(hostNoPort, path,
       when(size(keptParams) > 0,
         concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit("")))
+  }
+
+  /** DataFrame form (docs must have doc_id + url). */
+  def urlDedupDf(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("canon_url"))
-    docs.select(col("doc_id"), col("url"), canon.as("canon_url"))
+    docs.select(col("doc_id"), col("url"), canonicalUrl(col("url")).as("canon_url"))
       .withColumn("keeper_id", min(col("doc_id")).over(w))
       .withColumn("dup", col("doc_id") =!= col("keeper_id"))
       .orderBy(col("doc_id"))
+  }
+
+  /** (canon_url, keeper_id) ownership table of a static base corpus —
+    * the set [[urlDedupSink]] freezes. One pass, one keyed aggregate
+    * on the canonical URL.
+    */
+  def keeperCanonUrls(docs: DataFrame): DataFrame =
+    docs.select(canonicalUrl(col("url")).as("canon_url"), col("doc_id"))
+      .groupBy(col("canon_url")).agg(min(col("doc_id")).as("keeper_id"))
+
+  /** URL dedup AGAINST a static ownership table: an arriving document
+    * is a duplicate iff the base corpus already owns its canonical URL
+    * (first-writer-wins across time — the [[spanDedupStatsAgainst]]
+    * contract at URL granularity; no within-batch election). Output
+    * schema matches [[urlDedupDf]], with keeper_id naming the base
+    * owner for duplicates and the arrival itself otherwise.
+    */
+  def urlDedupAgainst(docs: DataFrame, keepers: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("url"), canonicalUrl(col("url")).as("canon_url"))
+      .join(keepers.withColumnRenamed("keeper_id", "base_keeper"),
+        Seq("canon_url"), "left")
+      .select(col("doc_id"), col("url"), col("canon_url"),
+        coalesce(col("base_keeper"), col("doc_id")).as("keeper_id"),
+        col("base_keeper").isNotNull.as("dup"))
+      .orderBy(col("doc_id"))
+
+  /** Streaming URL dedup (foreachBatch stage): the base corpus's
+    * canonical-URL ownership table is FROZEN once; each micro-batch
+    * runs [[urlDedupAgainst]] and appends its verdicts tagged with the
+    * batch id. The recrawl-hygiene stage of a streaming ingest: a
+    * re-fetched URL is flagged before its content is ever parsed.
+    */
+  def urlDedupSink(docStream: DataFrame, baseDocs: DataFrame,
+                   outPath: String, checkpoint: String,
+                   triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val frozen = Freeze.scoped(checkpoint, keeperCanonUrls(baseDocs))
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // per-batch presentation sort stripped (see spanDedupSink)
+          org.apache.spark.sql.GraftSql.unordered(
+            urlDedupAgainst(batch, frozen))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
   }
 
   private val c4PolicyPhrases = Seq(

@@ -325,6 +325,42 @@ class StreamingSpec extends SparkTestBase {
     assert(byDoc(3L) == ((2L, 0L, true)), "clean doc keeps")
   }
 
+  test("streaming url dedup: recrawl of a base-owned URL flagged; batch parity holds") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq(
+      100L -> "https://news.example.com/articles/1?a=1",
+      101L -> "https://news.example.com/articles/2").toDF("doc_id", "url")
+    val arrivals = Seq(
+      // recrawl of article 1, dressed: case + port + slash + tracker
+      1L -> "HTTPS://News.Example.COM:443/articles/1/?a=1&utm_source=rss",
+      2L -> "https://news.example.com/articles/9",  // fresh URL
+      3L -> "https://news.example.com/articles/2#top") // fragment recrawl
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("url_out").toString
+    val ckpt = Files.createTempDirectory("url_ckpt").toString
+    val query = graft.ext.Cleaning.urlDedupSink(
+      input.toDF().toDF("doc_id", "url"), base, out, ckpt,
+      triggerMs = 50L).start()
+    try {
+      input.addData(arrivals(0), arrivals(1))
+      query.processAllAvailable()
+      input.addData(arrivals(2))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ext.Cleaning
+      .urlDedupAgainst(arrivals.toDF("doc_id", "url"),
+        graft.ext.Cleaning.keeperCanonUrls(base))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    val byDoc = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(byDoc(1L) == ((100L, true)), s"dressed recrawl must flag: $byDoc")
+    assert(byDoc(2L) == ((2L, false)), s"fresh URL keeps itself: $byDoc")
+    assert(byDoc(3L) == ((101L, true)), s"fragment recrawl must flag: $byDoc")
+  }
+
   test("streaming winnow-accelerated span dedup: candidate prefilter keeps batch parity") {
     implicit val sqlCtx = spark.sqlContext
     // base passage spans >= w + n - 1 = 8 tokens, so an arrival copying
