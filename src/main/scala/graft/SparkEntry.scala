@@ -106,6 +106,7 @@ object SparkEntry {
     "q_deduped_corpus"    -> (Dedup.dedupedCorpus _),
     "q_quality_filters"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFilters(s, d)),
     "q_minhash_pairs"     -> ((s: SparkSession, d: String) => Dedup.minhashCandidatePairs(s, d)),
+    "q_minhash_incremental" -> ((s: SparkSession, d: String) => Dedup.minhashIncremental(s, d)),
     "q_neardup_clusters"  -> ((s: SparkSession, d: String) => Dedup.nearDupKeepList(s, d)),
     // rows-only (clusters derive from the engine-local LSH candidates);
     // the quality-argmax election is fixture-tested in DedupSimilaritySpec

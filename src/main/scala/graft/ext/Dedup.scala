@@ -215,13 +215,7 @@ object Dedup {
     // 1.32 s at sf0.1): it pays an 8-rows-per-doc signature shuffle
     // where broadcast pays none, and buys nothing at scale that AQE
     // doesn't already provide.
-    val banded = docs.select(
-      col("doc_id"), col("sig"),
-      explode(sequence(lit(0), lit(bands - 1))).as("band")
-    ).select(
-      col("doc_id"), col("sig"), col("band"),
-      xxhash64(concat_ws(",", slice(col("sig"), col("band") * rows + 1, lit(rows))), col("band")).as("band_hash")
-    )
+    val banded = bandHashes(docs, bands, rows)
     val a = banded.as("a")
     val b = banded.as("b")
     // est_jaccard is a pure function of the pair, so compute it inside the
@@ -235,6 +229,98 @@ object Dedup {
         (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), b => b))
           .cast("double") / numHashes).as("est_jaccard"))
       .distinct()
+  }
+
+  /** The shared banding stage: each signature explodes into `bands`
+    * (band, band_hash) rows, hash = xxhash64 over the band's signature
+    * slice seeded by the band index. Both the all-pairs self-join and
+    * the incremental against-index form band with THIS expression, so
+    * an arrival's buckets are bit-identical to the buckets a base
+    * snapshot was indexed under.
+    */
+  private def bandHashes(docs: DataFrame, bands: Int, rows: Int): DataFrame =
+    docs.select(
+      col("doc_id"), col("sig"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band")
+    ).select(
+      col("doc_id"), col("sig"), col("band"),
+      xxhash64(concat_ws(",", slice(col("sig"), col("band") * rows + 1, lit(rows))), col("band")).as("band_hash"))
+
+  // --------------------------------------------- incremental near-dup
+
+  /** Frozen MinHash band index of a static base corpus — the table
+    * [[minhashDedupSink]] freezes and [[minhashNearDupsAgainst]]
+    * probes: one (band, band_hash, doc_id, sig) row per band per doc
+    * (signature arrays ride along for the estimate; 8 × ~300 B/doc at
+    * the default 32 hashes). At 100 TB this is the artifact a daily
+    * dedup job PERSISTS between snapshots instead of re-running the
+    * all-pairs self-join over history + delta.
+    */
+  def minhashBandIndex(docs: DataFrame, numHashes: Int = 32,
+                       bands: Int = 8): DataFrame =
+    bandHashes(minhashSignaturesDf(docs, numHashes), bands, numHashes / bands)
+
+  /** Near-dup candidates of ARRIVING documents against a frozen base
+    * index — the incremental form of [[minhashCandidatePairsUnordered]]:
+    * arrivals band with the identical expression chain and bucket-join
+    * the index on (band, band_hash); est_jaccard is the usual
+    * signature-agreement fraction. No arrival-vs-arrival comparison
+    * (first-writer-wins across time: within-batch dups resolve when
+    * the batch is folded into the next index build).
+    *
+    * Scale shape: ONE keyed join per micro-batch — probe side is the
+    * batch (tiny), build side is index buckets the batch actually
+    * touches; fan-out is the number of true near-dup candidates, never
+    * |batch| × |base|.
+    */
+  def minhashNearDupsAgainst(docs: DataFrame, index: DataFrame,
+                             numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val a = bandHashes(minhashSignaturesDf(docs, numHashes),
+      bands, numHashes / bands).as("a")
+    val b = index.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("id_new"), col("b.doc_id").as("id_base"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), v => v))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Registered composition: a deterministic snapshot/delta split of
+    * the corpus (doc_id % 4 == 0 arrives "today", the rest is the
+    * indexed base) — the shape a recurring crawl dedup runs every day.
+    */
+  def minhashIncremental(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val arrivals = docs.filter(col("doc_id") % 4 === 0)
+    minhashNearDupsAgainst(arrivals, minhashBandIndex(base))
+      .orderBy(col("id_new"), col("id_base"))
+  }
+
+  /** Streaming incremental near-dup (foreachBatch stage): the base
+    * corpus's band index is FROZEN once; each micro-batch of arriving
+    * documents reports its near-dup candidates against the snapshot,
+    * tagged with the batch id.
+    */
+  def minhashDedupSink(docStream: DataFrame, baseDocs: DataFrame,
+                       outPath: String, checkpoint: String,
+                       numHashes: Int = 32, bands: Int = 8,
+                       triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val frozen = Freeze.scoped(checkpoint, minhashBandIndex(baseDocs, numHashes, bands))
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          minhashNearDupsAgainst(batch, frozen, numHashes, bands)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
   }
 
   /** The end-to-end clean-corpus materialization: exact dedup keep-list

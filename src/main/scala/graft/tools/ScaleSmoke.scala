@@ -57,7 +57,8 @@ object ScaleSmoke {
     "q_media_neardup_pairs" /* banded 16-bit-chunk self-join: grows with planted-dup mass */,
     "q_paragraph_dedup" /* one hash-keyed window, packed 16 B/paragraph rows */,
     "q_c4_line_filter" /* pure narrow map: must stay linear at scan speed */,
-    "q_url_dedup" /* one keyed exchange on canon_url, payload-independent */)
+    "q_url_dedup" /* one keyed exchange on canon_url, payload-independent */,
+    "q_minhash_incremental" /* delta-vs-index keyed band join, never delta x base */)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

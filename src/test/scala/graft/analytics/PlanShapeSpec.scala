@@ -387,6 +387,15 @@ class PlanShapeSpec extends SparkTestBase {
       !p.contains("Join"), s"url dedup must be a single window election:\n$p")
   }
 
+  test("q_minhash_incremental: delta probes the index through a keyed join only") {
+    // the incremental form exists precisely so a daily delta never
+    // all-pairs against history — candidate generation must stay a
+    // (band, band_hash)-keyed join, exactly like the self-join form
+    val p = plan("q_minhash_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental near-dup must not all-pairs:\n$p")
+  }
+
   test("q_ngram_containment_corpus: every join is keyed — no O(n²) pair generation") {
     // the corpus-wide form exists precisely because the capped auditor's
     // broadcast all-pairs cannot scale; a CartesianProduct or an

@@ -40,6 +40,41 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(pairs.length == 1 && pairs.head.getDouble(2) == 1.0)
   }
 
+  test("incremental near-dup: arrival vs frozen index equals the all-pairs verdicts") {
+    val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated)).toDF("doc_id", "text")
+    // arrival near-dups the indexed base doc; the unrelated arrival is silent
+    val idx = Dedup.minhashBandIndex(Seq(0L -> base).toDF("doc_id", "text"))
+    val hits = Dedup.minhashNearDupsAgainst(
+        Seq(10L -> nearDup, 11L -> unrelated).toDF("doc_id", "text"), idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.length == 1 && hits.head._1 == 10L && hits.head._2 == 0L,
+      s"only the near-dup arrival may hit the index: ${hits.toList}")
+    assert(hits.head._3 > 0.5, s"estimate must be high: ${hits.head._3}")
+    // self-consistency: probing a corpus against its own index reproduces
+    // the all-pairs candidate set (both directions + self-matches at 1.0)
+    val self = Dedup.minhashNearDupsAgainst(docs, Dedup.minhashBandIndex(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val selfPairs = self.filter(t => t._1 != t._2)
+      .map(t => ((t._1 min t._2, t._1 max t._2), t._3)).toSet
+    val allPairs = Dedup.minhashCandidatePairsDf(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    assert(selfPairs == allPairs,
+      s"incremental self-probe must equal all-pairs: $selfPairs vs $allPairs")
+    assert(self.filter(t => t._1 == t._2).forall(_._3 == 1.0) &&
+      self.count(t => t._1 == t._2) == 3,
+      "every doc must self-match its own index entry at est 1.0")
+  }
+
+  test("q_minhash_incremental: the snapshot/delta split yields rows at sf") {
+    val out = Dedup.minhashIncremental(spark, sfDir).collect()
+    assert(out.nonEmpty, "fixture split must surface cross-split near-dups")
+    out.foreach { r =>
+      assert(r.getLong(0) % 4 == 0, "id_new must come from the delta side")
+      assert(r.getLong(1) % 4 != 0, "id_base must come from the snapshot side")
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
   test("dedup clusters: chains, triangles, and isolated pairs resolve to min-id canonicals") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (pair)
     val pairs = Seq(

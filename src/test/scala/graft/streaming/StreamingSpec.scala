@@ -361,6 +361,38 @@ class StreamingSpec extends SparkTestBase {
     assert(byDoc(3L) == ((101L, true)), s"fragment recrawl must flag: $byDoc")
   }
 
+  test("streaming incremental minhash: arrivals probe the frozen band index; batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val passage = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearCopy = (1 to 60).map(i => if (i % 20 == 0) s"X$i" else s"tok$i").mkString(" ")
+    val fresh = (1 to 60).map(i => s"other$i").mkString(" ")
+    val base = Seq(100L -> passage).toDF("doc_id", "text")
+    val arrivals = Seq(1L -> nearCopy, 2L -> fresh)
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("mh_out").toString
+    val ckpt = Files.createTempDirectory("mh_ckpt").toString
+    val query = graft.ext.Dedup.minhashDedupSink(
+      input.toDF().toDF("doc_id", "text"), base, out, ckpt,
+      triggerMs = 50L).start()
+    try {
+      input.addData(arrivals(0))
+      query.processAllAvailable()
+      input.addData(arrivals(1))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ext.Dedup.minhashNearDupsAgainst(
+        arrivals.toDF("doc_id", "text"),
+        graft.ext.Dedup.minhashBandIndex(base))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 1L &&
+      rows.head.getLong(1) == 100L && rows.head.getDouble(2) > 0.5,
+      s"only the near-copy arrival may flag: ${rows.toList}")
+  }
+
   test("streaming winnow-accelerated span dedup: candidate prefilter keeps batch parity") {
     implicit val sqlCtx = spark.sqlContext
     // base passage spans >= w + n - 1 = 8 tokens, so an arrival copying
