@@ -107,6 +107,7 @@ object SparkEntry {
     "q_quality_filters"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFilters(s, d)),
     "q_minhash_pairs"     -> ((s: SparkSession, d: String) => Dedup.minhashCandidatePairs(s, d)),
     "q_minhash_incremental" -> ((s: SparkSession, d: String) => Dedup.minhashIncremental(s, d)),
+    "q_exact_dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.exactDedupIncremental(s, d)),
     "q_neardup_clusters"  -> ((s: SparkSession, d: String) => Dedup.nearDupKeepList(s, d)),
     // rows-only (clusters derive from the engine-local LSH candidates);
     // the quality-argmax election is fixture-tested in DedupSimilaritySpec
@@ -910,6 +911,17 @@ object SparkEntry {
     "q_dedup_keep_list" ->
       ("SELECT md5(nfc_normalize(text)) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies " +
         "FROM documents GROUP BY content_hash ORDER BY keep_id"),
+    // incremental exact dedup: delta (doc_id % 4 = 0) probes the
+    // snapshot's content-hash keeper table; first-writer-wins over time
+    "q_exact_dedup_incremental" ->
+      ("WITH k AS (SELECT md5(nfc_normalize(text)) AS content_hash, MIN(doc_id) AS base_keeper " +
+        "FROM documents WHERE text IS NOT NULL AND doc_id % 4 <> 0 GROUP BY content_hash), " +
+        "arr AS (SELECT doc_id, md5(nfc_normalize(text)) AS content_hash " +
+        "FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 0) " +
+        "SELECT arr.doc_id, arr.content_hash, " +
+        "COALESCE(k.base_keeper, arr.doc_id) AS keeper_id, " +
+        "k.base_keeper IS NOT NULL AS dup " +
+        "FROM arr LEFT JOIN k USING (content_hash) ORDER BY doc_id"),
     "q_ngram_jaccard" ->
       ("WITH g AS (SELECT doc_id, list_distinct(list_transform(" +
         "generate_series(1, greatest(len(" + toks + ") - 2, 1)), " +

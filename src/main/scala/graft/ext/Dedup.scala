@@ -44,6 +44,69 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** Content-hash keeper set of a static base corpus — the frozen side
+    * of [[exactDedupSink]]: one (content_hash, keeper_id) row per
+    * distinct text. 16 bytes + 8 per distinct content at any corpus
+    * size; the cheapest dedup artifact a pipeline persists.
+    */
+  def keeperContentHashes(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .groupBy(contentHash(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"))
+
+  /** Exact dedup AGAINST a static keeper set: an arriving document is
+    * an exact duplicate iff the base corpus already owns its content
+    * hash (first-writer-wins across time; no within-batch election —
+    * the [[Cleaning.spanDedupStatsAgainst]] contract at whole-document
+    * granularity). keeper_id names the base owner for duplicates and
+    * the arrival itself otherwise.
+    */
+  def exactDedupAgainst(docs: DataFrame, keepers: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), contentHash(col("text")).as("content_hash"))
+      .join(keepers.withColumnRenamed("keeper_id", "base_keeper"),
+        Seq("content_hash"), "left")
+      .select(col("doc_id"), col("content_hash"),
+        coalesce(col("base_keeper"), col("doc_id")).as("keeper_id"),
+        col("base_keeper").isNotNull.as("dup"))
+      .orderBy(col("doc_id"))
+
+  /** Registered composition: the [[minhashIncremental]] snapshot/delta
+    * split at exact-content granularity — fully oracle-checkable
+    * (md5(nfc_normalize(text)) mirrors in DuckDB).
+    */
+  def exactDedupIncremental(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    exactDedupAgainst(docs.filter(col("doc_id") % 4 === 0),
+      keeperContentHashes(docs.filter(col("doc_id") % 4 =!= 0)))
+  }
+
+  /** Streaming exact dedup (foreachBatch stage): the base corpus's
+    * content-hash keeper set is FROZEN once; each micro-batch reports
+    * its exact-duplicate verdicts tagged with the batch id. The first
+    * stage of a streaming ingest dedup cascade (URL → exact → minhash
+    * → span), each granularity catching what the cheaper one missed.
+    */
+  def exactDedupSink(docStream: DataFrame, baseDocs: DataFrame,
+                     outPath: String, checkpoint: String,
+                     triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val frozen = Freeze.scoped(checkpoint, keeperContentHashes(baseDocs))
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // per-batch presentation sort stripped (see Cleaning.spanDedupSink)
+          org.apache.spark.sql.GraftSql.unordered(
+            exactDedupAgainst(batch, frozen))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+  }
+
   // ------------------------------------------------------- MinHash + LSH
 
   /** Word n-shingles over an ALREADY-MATERIALIZED token-array column.

@@ -65,6 +65,19 @@ class DedupSimilaritySpec extends SparkTestBase {
       "every doc must self-match its own index entry at est 1.0")
   }
 
+  test("incremental exact dedup: only base-owned content flags; keeper is the base owner") {
+    val arrivals = Seq(10L -> base, 11L -> unrelated).toDF("doc_id", "text")
+    val keepers = Dedup.keeperContentHashes(
+      Seq(0L -> base, 1L -> base).toDF("doc_id", "text"))
+    val out = Dedup.exactDedupAgainst(arrivals, keepers)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(10L) == ((0L, true)), s"base-owned content must flag to owner 0: $out")
+    assert(out(11L) == ((11L, false)), s"fresh content keeps itself: $out")
+    // the sf composition: dup verdicts agree with the keep-list's copy counts
+    val sf = Dedup.exactDedupIncremental(spark, sfDir).collect()
+    assert(sf.nonEmpty && sf.forall(_.getLong(0) % 4 == 0))
+  }
+
   test("q_minhash_incremental: the snapshot/delta split yields rows at sf") {
     val out = Dedup.minhashIncremental(spark, sfDir).collect()
     assert(out.nonEmpty, "fixture split must surface cross-split near-dups")

@@ -361,6 +361,35 @@ class StreamingSpec extends SparkTestBase {
     assert(byDoc(3L) == ((101L, true)), s"fragment recrawl must flag: $byDoc")
   }
 
+  test("streaming exact dedup: frozen content hashes flag re-posted text; batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq(100L -> "shared boilerplate body", 101L -> "original essay")
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      1L -> "shared boilerplate body",  // exact re-post
+      2L -> "genuinely new content")
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("xd_out").toString
+    val ckpt = Files.createTempDirectory("xd_ckpt").toString
+    val query = graft.ext.Dedup.exactDedupSink(
+      input.toDF().toDF("doc_id", "text"), base, out, ckpt,
+      triggerMs = 50L).start()
+    try {
+      input.addData(arrivals: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ext.Dedup.exactDedupAgainst(
+        arrivals.toDF("doc_id", "text"),
+        graft.ext.Dedup.keeperContentHashes(base))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    val byDoc = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(byDoc(1L) == ((100L, true)) && byDoc(2L) == ((2L, false)), s"$byDoc")
+  }
+
   test("streaming incremental minhash: arrivals probe the frozen band index; batch parity") {
     implicit val sqlCtx = spark.sqlContext
     val passage = (1 to 60).map(i => s"tok$i").mkString(" ")
