@@ -1043,6 +1043,57 @@ object Similarity {
     * fixture's cosine mass tops out near 0.5 (a real embedding model
     * concentrates near-dups above ~0.95, where production runs set it).
     */
+  /** Full corpus kNN GRAPH: every embedded document's k nearest
+    * neighbors by cosine — the artifact cluster analysis, SemDeDup
+    * tuning, topic balancing and graph-based quality propagation all
+    * consume. Distinct from the fixed-query ANN family ([[ivfAnnTopK]]
+    * et al., which broadcast a handful of queries): here EVERY vector
+    * is a query, so the probe side is corpus-sized and the join must
+    * stay keyed.
+    *
+    * Shape: vectors carry their IVF cell (narrow kernel); each vector
+    * probes its `nprobe` nearest cells; candidates join cell-keyed
+    * (never all-pairs), exact cosine re-ranks inside the probed cells,
+    * and every final is the bounded [[graft.functions.TopKByScore]]
+    * aggregator — per-document work is nprobe × targetCellSize
+    * comparisons, so total cost is LINEAR in corpus size at fixed cell
+    * geometry. Approximate by construction (a true neighbor outside
+    * the probed cells is missed); recall vs brute force is asserted on
+    * a clustered fixture in DedupSimilaritySpec.
+    */
+  def knnGraph(spark: SparkSession, d: String, k: Int = 3,
+               nlist: Int = 0, targetCellSize: Int = 512,
+               nprobe: Int = 2): DataFrame =
+    knnGraphDf(graft.Tables.embeddings(spark, d), k, nlist, targetCellSize, nprobe)
+
+  /** DataFrame form (embRaw must have vec_id + embedding). */
+  def knnGraphDf(embRaw: DataFrame, k: Int = 3, nlist: Int = 0,
+                 targetCellSize: Int = 512, nprobe: Int = 2): DataFrame = {
+    val kCells =
+      if (nlist > 0) nlist
+      else {
+        val n = embRaw.filter(col("embedding").isNotNull).count()
+        require(n > 0, "knn graph needs a non-empty embedding corpus")
+        val derived = (n + targetCellSize - 1) / targetCellSize
+        (derived max 1L min 1024L min n).toInt
+      }
+    val cents = trainIvfCentroids(embRaw, kCells)
+    val emb = embRaw.filter(col("embedding").isNotNull)
+    val cells = emb
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+        ivfCellUdf(cents)(col("embedding")).as("cell"))
+    val probes = emb
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"),
+        explode(ivfProbeUdf(cents, nprobe)(col("embedding"))).as("probe_cell"))
+    val scored = probes.join(cells.as("c"),
+        col("probe_cell") === col("c.cell") && col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(dot(col("q_emb"), col("c.embedding")) / (col("q_nrm") * col("c.nrm")), 6)
+          .as("cos_sim_r"))
+    topKFinal(scored, "cos_sim_r", k)
+  }
+
   def semanticDedupDropList(emb: DataFrame, threshold: Double = 0.4,
                             nlist: Int = 0, targetCellSize: Int = 512): DataFrame = {
     val k =

@@ -58,7 +58,8 @@ object ScaleSmoke {
     "q_paragraph_dedup" /* one hash-keyed window, packed 16 B/paragraph rows */,
     "q_c4_line_filter" /* pure narrow map: must stay linear at scan speed */,
     "q_url_dedup" /* one keyed exchange on canon_url, payload-independent */,
-    "q_minhash_incremental" /* delta-vs-index keyed band join, never delta x base */)
+    "q_minhash_incremental" /* delta-vs-index keyed band join, never delta x base */,
+    "q_knn_graph" /* all-docs top-k: nprobe x cellSize work per doc, linear total */)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -396,6 +396,16 @@ class PlanShapeSpec extends SparkTestBase {
       s"incremental near-dup must not all-pairs:\n$p")
   }
 
+  test("q_knn_graph: cell-keyed join, bounded top-k final — no all-pairs, no rank window") {
+    // every vector is a query here, so an all-pairs or rank-window
+    // regression is quadratic/corpus-sort at 100 TB, not a slowdown
+    val p = plan("q_knn_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"knn graph must stay cell-keyed:\n$p")
+    assert(!p.contains("Window"),
+      s"knn graph final must be the bounded aggregator, not a rank window:\n$p")
+  }
+
   test("q_ngram_containment_corpus: every join is keyed — no O(n²) pair generation") {
     // the corpus-wide form exists precisely because the capped auditor's
     // broadcast all-pairs cannot scale; a CartesianProduct or an

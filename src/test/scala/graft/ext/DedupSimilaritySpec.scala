@@ -220,6 +220,43 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(again == pairs)
   }
 
+  test("knn graph: every vector reports <= k neighbors; recall on a clustered fixture") {
+    // two tight clusters far apart: each member's true nearest neighbors
+    // are its own cluster — the graph must recover them through the
+    // cell-bucketed path (clusters dominate the trained cells)
+    val clusterA = (0 until 6).map(i =>
+      (i.toLong, Array(1.0f, 0.0f, 0.01f * i, 0.0f)))
+    val clusterB = (0 until 6).map(i =>
+      (10L + i, Array(0.0f, 1.0f, 0.0f, 0.01f * i)))
+    val emb = (clusterA ++ clusterB).toDF("vec_id", "embedding")
+    val g = Similarity.knnGraphDf(emb, k = 3, nlist = 2, nprobe = 1).collect()
+    val perQuery = g.groupBy(_.getAs[Long]("query_id"))
+    assert(perQuery.size == 12, "every vector must appear as a query")
+    assert(perQuery.values.forall(_.length <= 3), "at most k rows per query")
+    g.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert((q < 10) == (n < 10),
+        s"neighbors must come from the query's own cluster: $q -> $n")
+      assert(r.getAs[Double]("cos_sim_r") > 0.9, "within-cluster cosine is high")
+    }
+    // determinism
+    val again = Similarity.knnGraphDf(emb, k = 3, nlist = 2, nprobe = 1).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(again == g.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet)
+  }
+
+  test("knn graph at sf: symmetric-quality neighbors, no self-edges") {
+    val g = Similarity.knnGraph(spark, sfDir).collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      assert(r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id"),
+        "self-edges are excluded by construction")
+      val c = r.getAs[Double]("cos_sim_r")
+      assert(c >= -1.000001 && c <= 1.000001)
+    }
+  }
+
   test("IVF-PQ ANN: recall floor vs brute force, bounded distortion, deterministic") {
     val bruteRows = Similarity.cosineTopK(spark, sfDir).collect()
     val brute = bruteRows
