@@ -108,6 +108,7 @@ object SparkEntry {
     "q_minhash_pairs"     -> ((s: SparkSession, d: String) => Dedup.minhashCandidatePairs(s, d)),
     "q_minhash_incremental" -> ((s: SparkSession, d: String) => Dedup.minhashIncremental(s, d)),
     "q_exact_dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.exactDedupIncremental(s, d)),
+    "q_dedup_cascade"     -> ((s: SparkSession, d: String) => Dedup.dedupCascade(s, d)),
     "q_neardup_clusters"  -> ((s: SparkSession, d: String) => Dedup.nearDupKeepList(s, d)),
     // rows-only (clusters derive from the engine-local LSH candidates);
     // the quality-argmax election is fixture-tested in DedupSimilaritySpec

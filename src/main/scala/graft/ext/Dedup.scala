@@ -81,6 +81,59 @@ object Dedup {
       keeperContentHashes(docs.filter(col("doc_id") % 4 =!= 0)))
   }
 
+  /** The full incremental dedup CASCADE as one audit: every arriving
+    * document's verdict matrix across the three granularities a
+    * streaming ingest checks — canonical URL, exact content hash,
+    * MinHash near-dup — plus the first (cheapest) stage that flags it.
+    * A production pipeline gates stage N+1 on stage N's survivors to
+    * save compute; the audit form computes all three verdicts so the
+    * overlap between stages is measurable (how much the expensive
+    * stage catches that the cheap ones missed is exactly the number
+    * that justifies its cost).
+    *
+    * Scale shape: the three stage verdicts are the three Against
+    * operators unchanged (one keyed join each against a frozen-base
+    * artifact); the matrix assembles through doc_id-keyed left joins
+    * on the delta only. Nothing here adds a corpus-sized exchange
+    * beyond what the component stages already pay.
+    */
+  def dedupCascade(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val arrivals = docs.filter(col("doc_id") % 4 === 0)
+    // the urlDocs grouping (3 consecutive ids share an article) makes
+    // EVERY delta member a recrawl of a base-owned article — realistic
+    // deltas carry fresh URLs too, so every 48th doc (always on the
+    // delta side: 48 ≡ 0 mod 4) gets a solo article, letting the
+    // later cascade stages and the clean verdict surface at fixture sf
+    def urls(df: DataFrame) = Cleaning.urlDocs(df).withColumn("url",
+      when(col("doc_id") % 48 === 0,
+        concat(lit("https://news.example.com/articles/solo-"),
+          col("doc_id").cast("string"))).otherwise(col("url")))
+    val urlV = Cleaning.urlDedupAgainst(
+        urls(arrivals), Cleaning.keeperCanonUrls(urls(base)))
+      .select(col("doc_id"), col("dup").as("url_dup"))
+    val exactV = exactDedupAgainst(arrivals, keeperContentHashes(base))
+      .select(col("doc_id"), col("dup").as("exact_dup"))
+    val nearV = minhashNearDupsAgainst(arrivals, minhashBandIndex(base))
+      .select(col("id_new").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(true))
+    arrivals.filter(col("text").isNotNull).select(col("doc_id"))
+      .join(urlV, Seq("doc_id"), "left")
+      .join(exactV, Seq("doc_id"), "left")
+      .join(nearV, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("url_dup"), lit(false)).as("url_dup"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"))
+      .withColumn("verdict",
+        when(col("url_dup"), lit("url_dup"))
+          .when(col("exact_dup"), lit("exact_dup"))
+          .when(col("near_dup"), lit("near_dup"))
+          .otherwise(lit("clean")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming exact dedup (foreachBatch stage): the base corpus's
     * content-hash keeper set is FROZEN once; each micro-batch reports
     * its exact-duplicate verdicts tagged with the batch id. The first

@@ -78,6 +78,32 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(sf.nonEmpty && sf.forall(_.getLong(0) % 4 == 0))
   }
 
+  test("dedup cascade: stage columns equal the component operators; precedence holds") {
+    val rows = Dedup.dedupCascade(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.map(r => r.getLong(0) ->
+      ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getString(4)))).toMap
+    // verdict is the FIRST flagging stage
+    byDoc.values.foreach { case (u, e, n, v) =>
+      val expect = if (u) "url_dup" else if (e) "exact_dup"
+        else if (n) "near_dup" else "clean"
+      assert(v == expect, s"precedence broken: ($u,$e,$n) -> $v")
+    }
+    // near_dup column equals the incremental minhash query's id set
+    val nearIds = Dedup.minhashIncremental(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(byDoc.filter(_._2._3).keySet == nearIds,
+      "cascade near_dup must equal q_minhash_incremental's arrivals")
+    // exact_dup column equals the incremental exact query's dup set
+    val exactIds = Dedup.exactDedupIncremental(spark, sfDir).collect()
+      .filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(byDoc.filter(_._2._2).keySet == exactIds,
+      "cascade exact_dup must equal q_exact_dedup_incremental's dups")
+    // the fixture must exercise at least two distinct verdicts
+    assert(byDoc.values.map(_._4).toSet.size >= 2,
+      s"degenerate fixture: ${byDoc.values.map(_._4).toSet}")
+  }
+
   test("q_minhash_incremental: the snapshot/delta split yields rows at sf") {
     val out = Dedup.minhashIncremental(spark, sfDir).collect()
     assert(out.nonEmpty, "fixture split must surface cross-split near-dups")
