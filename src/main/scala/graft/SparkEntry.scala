@@ -144,6 +144,7 @@ object SparkEntry {
     "q_span_dedup"        -> ((s: SparkSession, d: String) => Cleaning.spanDedupStats(s, d)),
     "q_paragraph_dedup"   -> ((s: SparkSession, d: String) => Cleaning.paragraphDedupStats(s, d)),
     "q_c4_line_filter"    -> ((s: SparkSession, d: String) => Cleaning.c4LineFilter(s, d)),
+    "q_c4_cleaned_docs"   -> ((s: SparkSession, d: String) => Cleaning.c4CleanedCorpus(s, d)),
     "q_url_dedup"         -> ((s: SparkSession, d: String) => Cleaning.urlDedup(s, d)),
     "q_length_buckets"    -> ((s: SparkSession, d: String) => ext.Corpus.lengthBuckets(s, d)),
     "q_kmeans"            -> ((s: SparkSession, d: String) => Clustering.kmeansStats(s, d)),
@@ -1115,6 +1116,34 @@ object SparkEntry {
         "WHEN len(kept) < 3 THEN 'too_short' ELSE 'kept' END AS verdict, " +
         "substring(array_to_string(kept, chr(10)), 1, 40) AS preview FROM k) " +
         "SELECT * FROM r ORDER BY doc_id"),
+    // the C4 rewrite form: same builder + rules, emitting the cleaned
+    // text of kept pages only
+    "q_c4_cleaned_docs" ->
+      ("WITH sd AS (SELECT doc_id, concat_ws(chr(10), " +
+        "substring(text, 1, 60) || '.', " +
+        "substring(text, 1, 12), " +
+        "CASE WHEN doc_id % 7 = 0 THEN 'Please enable javascript to view this content.' END, " +
+        "CASE WHEN doc_id % 5 = 0 THEN 'We use cookies as described in our cookie policy.' END, " +
+        "'Deterministic check number ' || CAST(doc_id AS VARCHAR) || ' passed the quality gate.', " +
+        "CASE WHEN doc_id % 3 <> 0 THEN substring(text, 61, 50) || ' right?' END, " +
+        "CASE WHEN doc_id % 31 = 0 THEN 'if (x) { runScript(); }' END, " +
+        "CASE WHEN doc_id % 37 = 0 THEN 'Lorem ipsum dolor sit amet.' END" +
+        ") AS text FROM documents WHERE text IS NOT NULL), " +
+        "k AS (SELECT doc_id, text, " +
+        "array_to_string(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), " +
+        "l -> right(l, 1) IN ('.', '!', '?', '\"') " +
+        "AND len(regexp_extract_all(l, '\\S+')) >= 5 " +
+        "AND NOT contains(lower(l), 'javascript') " +
+        "AND NOT contains(lower(l), 'terms of use') " +
+        "AND NOT contains(lower(l), 'privacy policy') " +
+        "AND NOT contains(lower(l), 'cookie policy') " +
+        "AND NOT contains(lower(l), 'uses cookies') " +
+        "AND NOT contains(lower(l), 'use of cookies') " +
+        "AND NOT contains(lower(l), 'use cookies')), chr(10)) AS clean_text FROM sd) " +
+        "SELECT doc_id, clean_text FROM k " +
+        "WHERE NOT (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) " +
+        "AND len(string_split(clean_text, chr(10))) >= 3 AND length(clean_text) > 0 " +
+        "ORDER BY doc_id"),
     // URL dedup: the url builder re-derived, then the canonicalization
     // chain mirroring Cleaning.urlDedupDf expression by expression
     "q_url_dedup" ->

@@ -1036,18 +1036,43 @@ object Cleaning {
     "terms of use", "privacy policy", "cookie policy",
     "uses cookies", "use of cookies", "use cookies")
 
-  /** DataFrame form (docs must have doc_id + text). */
-  def c4LineFilterDf(docs: DataFrame): DataFrame = {
-    val lineKeep: Column => Column = l => {
-      val lw = lower(l)
-      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
-        size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= C4MinWords &&
-        !lw.contains("javascript") &&
-        c4PolicyPhrases.map(p => !lw.contains(p)).reduce(_ && _)
-    }
+  /** The REWRITE form: the cleaned corpus itself — kept documents with
+    * their surviving lines reassembled (page-filtered and too-short
+    * documents dropped). [[c4LineFilterDf]] is the audit a pipeline
+    * tunes rules against; this is what it materializes afterwards.
+    * Same narrow-map shape; the two share the rule expressions.
+    */
+  def c4CleanedDocs(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"),
-        filter(transform(split(col("text"), "\n"), trim(_)), lineKeep)
+        array_join(filter(transform(split(col("text"), "\n"), trim(_)),
+          c4LineKeep(_)), "\n").as("clean_text"))
+      .filter(!(lower(col("text")).contains("lorem ipsum") ||
+        col("text").contains("{")))
+      .filter(size(split(col("clean_text"), "\n")) >= C4MinLines &&
+        length(col("clean_text")) > 0)
+      .select(col("doc_id"), col("clean_text"))
+
+  /** Registered composition of the rewrite form over the structured
+    * fixture view (presentation-sorted for the oracle compare).
+    */
+  def c4CleanedCorpus(spark: SparkSession, d: String): DataFrame =
+    c4CleanedDocs(c4StructuredDocs(Tables.fanOut(Tables.documents(spark, d))))
+      .orderBy(col("doc_id"))
+
+  private def c4LineKeep(l: Column): Column = {
+    val lw = lower(l)
+    substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+      size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= C4MinWords &&
+      !lw.contains("javascript") &&
+      c4PolicyPhrases.map(p => !lw.contains(p)).reduce(_ && _)
+  }
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def c4LineFilterDf(docs: DataFrame): DataFrame = {
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        filter(transform(split(col("text"), "\n"), trim(_)), c4LineKeep(_))
           .as("kept_lines"),
         size(split(col("text"), "\n")).as("lines_total"))
       .select(col("doc_id"),

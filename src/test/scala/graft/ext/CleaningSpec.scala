@@ -927,6 +927,40 @@ class CleaningSpec extends SparkTestBase {
     }
   }
 
+  test("url canonicalization is idempotent: canon(canon(u)) == canon(u)") {
+    // canonical outputs re-enter the chain unchanged — fragment gone,
+    // host already lowered, port/trailing-slash stripped, params
+    // sorted+filtered. A rule that re-fires on its own output (e.g. a
+    // greedy port regex eating path digits) breaks this.
+    val once = Cleaning.urlDedup(spark, sfDir)
+      .select(col("canon_url").as("url"), col("doc_id"))
+    val twice = Cleaning.urlDedupDf(once)
+      .filter(col("url") =!= col("canon_url")).count()
+    assert(twice == 0L, s"$twice canonical URLs changed under re-canonicalization")
+  }
+
+  test("c4 cleaning is idempotent: re-cleaning the cleaned corpus is a no-op") {
+    // every surviving line already satisfies the line rules and kept
+    // pages carry no page poison, so the rewrite form is a fixpoint —
+    // a rule that re-fires on its own output (e.g. trim shifting the
+    // terminal character) breaks this
+    val cleaned = Cleaning.c4CleanedDocs(Cleaning.c4StructuredDocs(
+      graft.Tables.documents(spark, sfDir)))
+    assert(cleaned.count() > 0, "fixture must keep some documents")
+    val again = Cleaning.c4CleanedDocs(
+      cleaned.select(col("doc_id"), col("clean_text").as("text")))
+    val joined = cleaned.as("a").join(again.as("b"), Seq("doc_id"), "full")
+    assert(joined.filter(col("a.clean_text").isNull ||
+        col("b.clean_text").isNull ||
+        col("a.clean_text") =!= col("b.clean_text")).count() == 0L,
+      "re-cleaning must reproduce the cleaned corpus exactly")
+    // stats/rewrite agreement: rewrite keeps exactly the audit's 'kept' docs
+    val auditKept = Cleaning.c4LineFilter(spark, sfDir)
+      .filter(col("verdict") === "kept").select("doc_id")
+    assert(auditKept.count() == cleaned.count(),
+      "rewrite form must keep exactly the audit's kept documents")
+  }
+
   test("url docs: every complete variant triple collapses to its first member at sf") {
     val out = Cleaning.urlDedup(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
