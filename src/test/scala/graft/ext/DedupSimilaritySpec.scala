@@ -78,6 +78,25 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(sf.nonEmpty && sf.forall(_.getLong(0) % 4 == 0))
   }
 
+  test("minhash band index survives a parquet round-trip bit-exactly") {
+    // the index's whole point is persistence between snapshots — the
+    // signature arrays and band hashes must verdict identically after
+    // a write/read cycle, or the incremental contract silently drifts
+    val baseDocs = Seq(0L -> base, 1L -> nearDup, 2L -> unrelated)
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashBandIndex(baseDocs)
+    val dir = java.nio.file.Files.createTempDirectory("bandidx").toString
+    idx.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val arrivals = Seq(10L -> nearDup).toDF("doc_id", "text")
+    val live = Dedup.minhashNearDupsAgainst(arrivals, idx)
+      .collect().map(_.toSeq).toSet
+    val persisted = Dedup.minhashNearDupsAgainst(arrivals, reloaded)
+      .collect().map(_.toSeq).toSet
+    assert(live == persisted && live.nonEmpty,
+      s"persisted index must verdict identically: $live vs $persisted")
+  }
+
   test("dedup cascade: stage columns equal the component operators; precedence holds") {
     val rows = Dedup.dedupCascade(spark, sfDir).collect()
     assert(rows.nonEmpty)
