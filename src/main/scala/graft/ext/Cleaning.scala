@@ -1060,6 +1060,27 @@ object Cleaning {
     c4CleanedDocs(c4StructuredDocs(Tables.fanOut(Tables.documents(spark, d))))
       .orderBy(col("doc_id"))
 
+  /** Streaming form of the C4 cleaner (foreachBatch stage): each
+    * micro-batch rewrites to its cleaned survivors, appended with the
+    * batch id. Verdicts are per-document (narrow map, no cross-doc
+    * state), so per-batch outputs union to the batch-mode result on
+    * the same documents — the [[gopherFilterSink]] symmetry contract.
+    */
+  def c4CleanedSink(docStream: DataFrame, outPath: String, checkpoint: String,
+                    triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          c4CleanedDocs(batch)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+
   private def c4LineKeep(l: Column): Column = {
     val lw = lower(l)
     substring(l, -1, 1).isin(".", "!", "?", "\"") &&

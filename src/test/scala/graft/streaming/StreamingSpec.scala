@@ -361,6 +361,35 @@ class StreamingSpec extends SparkTestBase {
     assert(byDoc(3L) == ((101L, true)), s"fragment recrawl must flag: $byDoc")
   }
 
+  test("streaming c4 cleaner: per-batch cleaned output unions to batch mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val good = "This line carries plenty of proper words and ends well."
+    val arrivals = Seq(
+      1L -> s"$good\nfragment\n$good\n$good",       // kept: 3 good lines
+      2L -> s"$good\n$good",                        // too short -> dropped
+      3L -> s"$good\n$good\n$good\nbad { brace")    // page poison -> dropped
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("c4_out").toString
+    val ckpt = Files.createTempDirectory("c4_ckpt").toString
+    val query = graft.ext.Cleaning.c4CleanedSink(
+      input.toDF().toDF("doc_id", "text"), out, ckpt, triggerMs = 50L).start()
+    try {
+      input.addData(arrivals(0), arrivals(1))
+      query.processAllAvailable()
+      input.addData(arrivals(2))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ext.Cleaning.c4CleanedDocs(arrivals.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    val kept = spark.read.parquet(out).collect()
+    assert(kept.length == 1 && kept.head.getLong(0) == 1L &&
+      kept.head.getString(1) == Seq(good, good, good).mkString("\n"),
+      s"only doc 1 survives, cleaned: ${kept.toList}")
+  }
+
   test("streaming exact dedup: frozen content hashes flag re-posted text; batch parity") {
     implicit val sqlCtx = spark.sqlContext
     val base = Seq(100L -> "shared boilerplate body", 101L -> "original essay")
