@@ -119,6 +119,7 @@ object SparkEntry {
     "q_lsh_ann_topk"      -> ((s: SparkSession, d: String) => Similarity.lshAnnTopK(s, d)),
     "q_ivf_ann_topk"      -> ((s: SparkSession, d: String) => Similarity.ivfAnnTopK(s, d)),
     "q_knn_graph"         -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
+    "q_quality_propagation" -> ((s: SparkSession, d: String) => Similarity.qualityPropagation(s, d)),
     "q_embedding_near_dups" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d)),
     "q_semantic_dedup"    -> ((s: SparkSession, d: String) => Similarity.semanticDedupStats(s, d)),
     "q_embedding_norm_stats" -> (Similarity.embeddingNormStats _),

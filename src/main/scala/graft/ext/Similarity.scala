@@ -1094,6 +1094,53 @@ object Similarity {
     topKFinal(scored, "cos_sim_r", k)
   }
 
+  /** Graph-based QUALITY PROPAGATION over the kNN graph: each embedded
+    * document's heuristic quality score blends with the mean score of
+    * its k nearest semantic neighbors (smoothed = α·own +
+    * (1−α)·neighborhood). The curation technique for rescuing
+    * false-negatives and demoting false-positives of a per-document
+    * scorer: a document whose own score misleads (odd formatting, short
+    * text) inherits signal from the neighborhood its CONTENT lives in —
+    * the labeled output marks exactly the docs whose keep verdict the
+    * smoothing flips, which is the review queue a pipeline samples.
+    *
+    * Scale shape: the kNN graph's cost dominates (see [[knnGraph]];
+    * linear at fixed cell geometry); on top of it one id-keyed join to
+    * the narrow quality projection, one query-keyed mean (map-side
+    * combined, ≤k rows per key), one id-keyed join back. No new
+    * corpus-pair term.
+    */
+  def qualityPropagation(spark: SparkSession, d: String, k: Int = 3,
+                         alpha: Double = 0.5): DataFrame =
+    qualityPropagationDf(graft.Tables.documents(spark, d),
+      graft.Tables.embeddings(spark, d), k, alpha)
+
+  /** DataFrame form (docs: doc_id + text; emb: vec_id + embedding;
+    * vec_id keys into doc_id — the [[embeddingCoverage]] correspondence).
+    */
+  def qualityPropagationDf(docs: DataFrame, emb: DataFrame, k: Int = 3,
+                           alpha: Double = 0.5, nlist: Int = 0,
+                           targetCellSize: Int = 512,
+                           nprobe: Int = 2): DataFrame = {
+    val g = knnGraphDf(emb, k, nlist, targetCellSize, nprobe)
+    val q = docs.filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), TextAnalysis.qualityScoreCol.as("quality"))
+    val nbrMean = g.select(col("query_id"),
+        col("neighbor_id").as("doc_id"))
+      .join(q.withColumnRenamed("quality", "nq"), Seq("doc_id"))
+      .groupBy(col("query_id"))
+      .agg(round(avg(col("nq")), 6).as("neighbor_quality"),
+        count(lit(1)).as("n_neighbors"))
+      .withColumnRenamed("query_id", "doc_id")
+    q.join(nbrMean, Seq("doc_id"))
+      .withColumn("smoothed",
+        round(lit(alpha) * col("quality") +
+          lit(1.0 - alpha) * col("neighbor_quality"), 6))
+      .withColumn("flipped",
+        (col("quality") >= 0.5) =!= (col("smoothed") >= 0.5))
+      .orderBy(col("doc_id"))
+  }
+
   def semanticDedupDropList(emb: DataFrame, threshold: Double = 0.4,
                             nlist: Int = 0, targetCellSize: Int = 512): DataFrame = {
     val k =

@@ -59,7 +59,8 @@ object ScaleSmoke {
     "q_c4_line_filter" /* pure narrow map: must stay linear at scan speed */,
     "q_url_dedup" /* one keyed exchange on canon_url, payload-independent */,
     "q_minhash_incremental" /* delta-vs-index keyed band join, never delta x base */,
-    "q_knn_graph" /* all-docs top-k: nprobe x cellSize work per doc, linear total */)
+    "q_knn_graph" /* all-docs top-k: nprobe x cellSize work per doc, linear total */,
+    "q_quality_propagation" /* knn graph + id-keyed joins; no new pair term */)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

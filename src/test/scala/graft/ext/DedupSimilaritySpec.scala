@@ -302,6 +302,42 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("quality propagation: a low-scored member of a good cluster is pulled up") {
+    // one tight embedding cluster; four verbose stopword-rich docs and
+    // one terse punctuation-heavy doc whose own score is much lower
+    val goodText = ("the data and the table of the rows in the scan " +
+      "is it the fast plan and the sort of the keys in the join") * 2
+    val badText = "x#y#z#"
+    val docs = ((0L to 3L).map(i => (i, goodText)) :+ (4L, badText))
+      .toDF("doc_id", "text")
+    val emb = (0L to 4L).map(i =>
+      (i, Array(1.0f, 0.001f * i, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.qualityPropagationDf(docs, emb, k = 3, nlist = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(4), r.getBoolean(5)))).toMap
+    val (q4, nq4, s4, _) = out(4L)
+    assert(q4 < 0.4, s"terse doc must score low on its own: $q4")
+    assert(nq4 > q4 && s4 > q4,
+      s"good neighborhood must pull the member up: own $q4, nbr $nq4, smoothed $s4")
+    assert(math.abs(s4 - (0.5 * q4 + 0.5 * nq4)) < 1e-5, "blend formula")
+    // the good docs' neighborhoods include the bad member, so their
+    // smoothed score dips but must stay above the bad doc's own score
+    (0L to 3L).foreach { i =>
+      val (q, _, s, _) = out(i)
+      assert(s <= q && s > q4, s"doc $i: own $q smoothed $s")
+    }
+  }
+
+  test("quality propagation at sf: bounded scores, flip flag consistent") {
+    val out = Similarity.qualityPropagation(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, s, f) = (r.getDouble(1), r.getDouble(4), r.getBoolean(5))
+      assert(q >= 0.0 && q <= 1.0 && s >= 0.0 && s <= 1.0)
+      assert(f == ((q >= 0.5) != (s >= 0.5)), "flip flag must match the crossing")
+    }
+  }
+
   test("IVF-PQ ANN: recall floor vs brute force, bounded distortion, deterministic") {
     val bruteRows = Similarity.cosineTopK(spark, sfDir).collect()
     val brute = bruteRows
