@@ -147,6 +147,8 @@ object SparkEntry {
     "q_c4_line_filter"    -> ((s: SparkSession, d: String) => Cleaning.c4LineFilter(s, d)),
     "q_c4_cleaned_docs"   -> ((s: SparkSession, d: String) => Cleaning.c4CleanedCorpus(s, d)),
     "q_url_dedup"         -> ((s: SparkSession, d: String) => Cleaning.urlDedup(s, d)),
+    "q_boilerplate_lines" -> ((s: SparkSession, d: String) => Cleaning.boilerplateLines(s, d)),
+    "q_boilerplate_cleaned" -> ((s: SparkSession, d: String) => Cleaning.boilerplateCleaned(s, d)),
     "q_length_buckets"    -> ((s: SparkSession, d: String) => ext.Corpus.lengthBuckets(s, d)),
     "q_kmeans"            -> ((s: SparkSession, d: String) => Clustering.kmeansStats(s, d)),
     "q_perplexity_buckets" -> ((s: SparkSession, d: String) => TextAnalysis.perplexityBuckets(s, d)),
@@ -225,6 +227,20 @@ object SparkEntry {
 
   // Shared SQL fragments for the DuckDB oracles
   private val toks = "string_split_regex(trim(text), '\\s+')"
+
+  // the c4StructuredDocs builder re-derived with the source column kept
+  // (the boilerplate operators key their dictionary on it)
+  private val boilerSdSql =
+    "WITH sd AS (SELECT doc_id, source, concat_ws(chr(10), " +
+      "substring(text, 1, 60) || '.', " +
+      "substring(text, 1, 12), " +
+      "CASE WHEN doc_id % 7 = 0 THEN 'Please enable javascript to view this content.' END, " +
+      "CASE WHEN doc_id % 5 = 0 THEN 'We use cookies as described in our cookie policy.' END, " +
+      "'Deterministic check number ' || CAST(doc_id AS VARCHAR) || ' passed the quality gate.', " +
+      "CASE WHEN doc_id % 3 <> 0 THEN substring(text, 61, 50) || ' right?' END, " +
+      "CASE WHEN doc_id % 31 = 0 THEN 'if (x) { runScript(); }' END, " +
+      "CASE WHEN doc_id % 37 = 0 THEN 'Lorem ipsum dolor sit amet.' END" +
+      ") AS text FROM documents WHERE text IS NOT NULL), "
   // the 5-gram type table with all eight backoff totals — shared by the
   // stupid-backoff and interpolated oracles (one definition, no drift)
   private lazy val fivegramCteSql =
@@ -1145,6 +1161,40 @@ object SparkEntry {
         "WHERE NOT (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) " +
         "AND len(string_split(clean_text, chr(10))) >= 3 AND length(clean_text) > 0 " +
         "ORDER BY doc_id"),
+    // boilerplate line removal: the same structured-docs builder (with
+    // source), per-(domain, line) document frequency, two-sided
+    // threshold, and — for the rewrite — the per-domain dictionary
+    // LEFT-joined back and applied as a list_filter
+    "q_boilerplate_lines" ->
+      (boilerSdSql +
+        "lines AS (SELECT source, doc_id, " +
+        "unnest(list_distinct(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), " +
+        "l -> length(l) > 0))) AS line FROM sd), " +
+        "tot AS (SELECT source, count(*) AS source_docs FROM sd GROUP BY source), " +
+        "df AS (SELECT source, line, count(*) AS df_docs FROM lines GROUP BY source, line), " +
+        "f AS (SELECT d.source, d.line, d.df_docs, t.source_docs, " +
+        "round(d.df_docs * 1.0 / t.source_docs, 6) AS df_frac_r " +
+        "FROM df d JOIN tot t ON d.source = t.source " +
+        "WHERE d.df_docs >= 2 AND d.df_docs >= 0.05 * t.source_docs) " +
+        "SELECT * FROM f ORDER BY source, line"),
+    "q_boilerplate_cleaned" ->
+      (boilerSdSql +
+        "lines AS (SELECT source, doc_id, " +
+        "unnest(list_distinct(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), " +
+        "l -> length(l) > 0))) AS line FROM sd), " +
+        "tot AS (SELECT source, count(*) AS source_docs FROM sd GROUP BY source), " +
+        "df AS (SELECT source, line, count(*) AS df_docs FROM lines GROUP BY source, line), " +
+        "f AS (SELECT d.source, d.line FROM df d JOIN tot t ON d.source = t.source " +
+        "WHERE d.df_docs >= 2 AND d.df_docs >= 0.05 * t.source_docs), " +
+        "dict AS (SELECT source, list_sort(list(line)) AS boiler FROM f GROUP BY source), " +
+        "r AS (SELECT sd.doc_id, sd.source, " +
+        "list_transform(string_split(sd.text, chr(10)), x -> trim(x)) AS all_lines, " +
+        "coalesce(dict.boiler, CAST([] AS VARCHAR[])) AS boiler " +
+        "FROM sd LEFT JOIN dict ON sd.source = dict.source) " +
+        "SELECT doc_id, source, CAST(len(all_lines) AS BIGINT) AS lines_total, " +
+        "CAST(len(all_lines) - len(list_filter(all_lines, l -> NOT list_contains(boiler, l))) AS BIGINT) AS removed_lines, " +
+        "array_to_string(list_filter(all_lines, l -> NOT list_contains(boiler, l)), chr(10)) AS clean_text " +
+        "FROM r ORDER BY doc_id"),
     // URL dedup: the url builder re-derived, then the canonicalization
     // chain mirroring Cleaning.urlDedupDf expression by expression
     "q_url_dedup" ->

@@ -867,7 +867,7 @@ object Cleaning {
     */
   def c4StructuredDocs(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), concat_ws("\n",
+      .select(col("doc_id"), col("source"), concat_ws("\n",
         concat(substring(col("text"), 1, 60), lit(".")),
         substring(col("text"), 1, 12),
         when(col("doc_id") % 7 === 0,
@@ -1110,5 +1110,138 @@ object Cleaning {
           .otherwise(lit("kept")).as("verdict"),
         substring(col("kept_text"), 1, 40).as("preview"))
       .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------ boilerplate line removal
+
+  /** A line is per-domain boilerplate when it appears in at least
+    * [[BoilerMinDocs]] documents AND at least [[BoilerMinFrac]] of the
+    * domain's documents — the nav-bar / cookie-banner / footer text a
+    * site stamps on every page. The two-sided threshold is what the
+    * published pipelines converge on (RefinedWeb's line-wise filters,
+    * Penedo et al. 2023 §3.2; CCNet's shard-frequency paragraph
+    * dedup, Wenzek et al. 2020 §3): an absolute floor so single-digit
+    * repeats in tiny domains don't count, a fractional floor so a
+    * merely-popular sentence in a huge domain doesn't.
+    *
+    * On the structured fixture the cookie banner (every 5th doc,
+    * df 0.2) and the javascript notice (every 7th, df 0.14) cross the
+    * 0.05 fraction while the rarer code line (1/31) and lorem line
+    * (1/37) stay below it — the thresholds discriminate, not rubber-
+    * stamp.
+    */
+  val BoilerMinDocs = 2
+  val BoilerMinFrac = 0.05
+
+  /** The flagged boilerplate dictionary: one row per (domain, line)
+    * crossing both thresholds, with its document frequency. This is
+    * the artifact a pipeline inspects (and persists) before committing
+    * to the rewrite — and the table [[boilerplateCleanSink]] freezes.
+    *
+    * Scale shape: the per-(source, line) document-frequency count is
+    * the one corpus-sized exchange — keyed on (source, trimmed line),
+    * map-side combined, carrying (key, count) pairs only after the
+    * per-document `array_distinct` collapses within-doc repeats
+    * upstream of the explode. Per-domain totals ride a second, tiny
+    * keyed aggregate (one row per domain) joined back by broadcast.
+    * Everything downstream of the frequency count is sized by the
+    * dictionary (lines above a 5 % document frequency), not the
+    * corpus.
+    */
+  def boilerplateLines(spark: SparkSession, d: String): DataFrame =
+    boilerplateFlaggedDf(c4StructuredDocs(Tables.fanOut(Tables.documents(spark, d))))
+      .orderBy(col("source"), col("line"))
+
+  /** Flagged rows without the presentation sort (docs: doc_id +
+    * source + newline-structured text).
+    */
+  private[ext] def boilerplateFlaggedDf(docs: DataFrame): DataFrame = {
+    val docLines = docs
+      .select(col("source"), col("doc_id"),
+        explode(array_distinct(filter(
+          transform(split(col("text"), "\n"), trim(_)),
+          l => length(l) > 0))).as("line"))
+    val df = docLines.groupBy(col("source"), col("line"))
+      .agg(count(lit(1)).as("df_docs"))
+    val totals = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("source_docs"))
+    df.join(broadcast(totals), Seq("source"))
+      .filter(col("df_docs") >= BoilerMinDocs &&
+        col("df_docs") >= lit(BoilerMinFrac) * col("source_docs"))
+      .select(col("source"), col("line"), col("df_docs"),
+        col("source_docs"),
+        round(col("df_docs").cast("double") / col("source_docs"), 6)
+          .as("df_frac_r"))
+  }
+
+  /** The per-domain dictionary rolled into one sorted array per
+    * domain — the broadcast side of the rewrite join. Bounded by
+    * construction: a domain can have at most 1/[[BoilerMinFrac]] = 20
+    * distinct lines at or above the fractional floor *per document
+    * slot*, and in practice the flagged set is the handful of
+    * templated banner lines — this is the "boilerplate dictionary"
+    * analog of the decontamination delta table (≤ thousands of rows at
+    * any corpus size), which is what licenses the broadcast.
+    */
+  def boilerplateDictDf(docs: DataFrame): DataFrame =
+    boilerplateFlaggedDf(docs).groupBy(col("source"))
+      .agg(sort_array(collect_list(col("line"))).as("boiler_lines"))
+
+  /** The REWRITE form: every document with its domain's boilerplate
+    * lines removed (kept lines reassembled in order; empty lines and
+    * non-flagged lines survive untouched; documents in domains with no
+    * flagged lines pass through). Narrow map over the scan plus ONE
+    * broadcast join against the dictionary — the document side never
+    * shuffles.
+    */
+  def boilerplateCleaned(spark: SparkSession, d: String): DataFrame =
+    boilerplateCleanedDf(c4StructuredDocs(Tables.fanOut(Tables.documents(spark, d))))
+      .orderBy(col("doc_id"))
+
+  /** DataFrame form, cleaning `docs` against a dictionary built from
+    * `dictDocs` (the two coincide in batch mode; the streaming sink
+    * freezes the dictionary from a base corpus and cleans arrivals).
+    */
+  def boilerplateCleanedAgainst(docs: DataFrame, dict: DataFrame): DataFrame =
+    docs.join(broadcast(dict), Seq("source"), "left")
+      .select(col("doc_id"), col("source"),
+        transform(split(col("text"), "\n"), trim(_)).as("all_lines"),
+        coalesce(col("boiler_lines"), array().cast("array<string>"))
+          .as("boiler"))
+      .select(col("doc_id"), col("source"),
+        size(col("all_lines")).cast("long").as("lines_total"),
+        filter(col("all_lines"),
+          l => !array_contains(col("boiler"), l)).as("kept"))
+      .select(col("doc_id"), col("source"), col("lines_total"),
+        (col("lines_total") - size(col("kept"))).cast("long")
+          .as("removed_lines"),
+        array_join(col("kept"), "\n").as("clean_text"))
+
+  private def boilerplateCleanedDf(docs: DataFrame): DataFrame =
+    boilerplateCleanedAgainst(docs, boilerplateDictDf(docs))
+
+  /** Streaming form (foreachBatch stage): the base corpus's
+    * boilerplate dictionary is FROZEN once; each micro-batch rewrites
+    * its documents against it and appends, tagged with the batch id.
+    * Same frozen-artifact discipline as [[urlDedupSink]]: a daily
+    * ingest cleans arrivals against the *snapshot's* dictionary and
+    * re-mines the dictionary only when the snapshot rolls.
+    */
+  def boilerplateCleanSink(docStream: DataFrame, baseDocs: DataFrame,
+                           outPath: String, checkpoint: String,
+                           triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val frozen = Freeze.scoped(checkpoint, boilerplateDictDf(baseDocs))
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          boilerplateCleanedAgainst(batch, frozen)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
   }
 }

@@ -387,6 +387,24 @@ class PlanShapeSpec extends SparkTestBase {
       !p.contains("Join"), s"url dedup must be a single window election:\n$p")
   }
 
+  test("q_boilerplate_cleaned: dictionary broadcast back — the document side never shuffles") {
+    // the rewrite's corpus-sized exchanges are confined to dictionary
+    // MINING (line df + domain totals + per-domain rollup); the
+    // document stream itself must meet the dictionary through a
+    // broadcast join. A SortMergeJoin here shuffles the full corpus by
+    // domain — exactly the 100 TB regression this pin exists to catch.
+    val p = plan("q_boilerplate_cleaned")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dictionary must broadcast to the document side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"document side must not shuffle for the join:\n$p")
+    assert(shuffleExchanges("q_boilerplate_cleaned") <= 4,
+      s"dictionary mining grew a shuffle:\n$p")
+    assert(shuffleExchanges("q_boilerplate_lines") <= 3,
+      s"flagged-line audit grew a shuffle:\n${plan("q_boilerplate_lines")}")
+  }
+
   test("q_minhash_incremental: delta probes the index through a keyed join only") {
     // the incremental form exists precisely so a daily delta never
     // all-pairs against history — candidate generation must stay a

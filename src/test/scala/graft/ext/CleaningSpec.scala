@@ -996,4 +996,69 @@ class CleaningSpec extends SparkTestBase {
         assert(out(id) != "kept", s"doc $id lacks the question line: $out")
       }
   }
+
+  private val cookieLine = "We use cookies as described in our cookie policy."
+  private val jsLine = "Please enable javascript to view this content."
+
+  test("boilerplate dictionary: banner lines cross the two-sided threshold, rare lines don't") {
+    val flagged = Cleaning.boilerplateLines(spark, sfDir).collect()
+    val bySource = flagged.groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getString(1)).toSet }
+    // js notice: df 3-4/25 in every source (0.12-0.16 > 0.05, >= 2 docs)
+    (0 until 20).foreach { i =>
+      assert(bySource.get(s"src$i").exists(_.contains(jsLine)),
+        s"js notice must flag in src$i: ${bySource.get(s"src$i")}")
+    }
+    // cookie banner: source = doc_id % 20, so it saturates sources
+    // 0/5/10/15 (df 1.0) and never occurs elsewhere — per-domain scoping
+    Seq(0, 5, 10, 15).foreach { i =>
+      assert(bySource(s"src$i").contains(cookieLine), s"cookie must flag in src$i")
+    }
+    Seq(1, 2, 3, 4).foreach { i =>
+      assert(!bySource.get(s"src$i").exists(_.contains(cookieLine)),
+        s"cookie line never occurs in src$i")
+    }
+    // the rare page-poison lines stay below a floor (absolute floor at
+    // sf0.001 where df_docs = 1; fractional floor at sf0.01 where
+    // ~8/250 = 0.032)
+    val lines = flagged.map(_.getString(1)).toSet
+    assert(!lines.contains("if (x) { runScript(); }"), "1/31 code line must not flag")
+    assert(!lines.contains("Lorem ipsum dolor sit amet."), "1/37 lorem line must not flag")
+    // threshold honesty on every row
+    flagged.foreach { r =>
+      assert(r.getLong(2) >= Cleaning.BoilerMinDocs &&
+        r.getLong(2) >= Cleaning.BoilerMinFrac * r.getLong(3),
+        s"flagged row violates its own thresholds: $r")
+    }
+  }
+
+  test("boilerplate rewrite: removes exactly the domain's flagged lines, keeps unique content") {
+    val dict = Cleaning.boilerplateLines(spark, sfDir).collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getString(1)).toSet }
+    val structured = Cleaning.c4StructuredDocs(
+        graft.Tables.documents(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val cleaned = Cleaning.boilerplateCleaned(spark, sfDir).collect()
+    assert(cleaned.length == structured.size, "rewrite keeps every document")
+    cleaned.foreach { r =>
+      val (id, src) = (r.getLong(0), r.getString(1))
+      val (srcIn, textIn) = structured(id)
+      assert(src == srcIn)
+      val flaggedSet = dict.getOrElse(src, Set.empty[String])
+      val inLines = textIn.split("\n", -1).map(_.trim)
+      val expectKept = inLines.filterNot(flaggedSet)
+      assert(r.getLong(2) == inLines.length, s"lines_total wrong for doc $id")
+      assert(r.getLong(3) == (inLines.length - expectKept.length).toLong,
+        s"removed_lines wrong for doc $id")
+      assert(r.getString(4) == expectKept.mkString("\n"),
+        s"clean_text must be the unflagged lines in order for doc $id")
+      assert(r.getString(4).contains("Deterministic check number"),
+        s"unique per-doc line must survive in doc $id")
+    }
+    // the rewrite actually bites: every src0 doc loses its saturated banner
+    val removedBySrc0 = cleaned.filter(_.getString(1) == "src0")
+    assert(removedBySrc0.nonEmpty && removedBySrc0.forall(_.getLong(3) >= 1L),
+      "src0's saturated cookie banner must be removed from every doc")
+  }
 }

@@ -390,6 +390,42 @@ class StreamingSpec extends SparkTestBase {
       s"only doc 1 survives, cleaned: ${kept.toList}")
   }
 
+  test("streaming boilerplate cleaner: frozen per-domain dictionary cleans arrivals; batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val banner = "Subscribe to our newsletter for updates today."
+    val base = (0L to 9L).map(i =>
+      (i, "srcA", s"unique line number $i stays right here.\n$banner"))
+      .toDF("doc_id", "source", "text")  // banner df 10/10 in srcA -> flagged
+    val arrivals = Seq(
+      (100L, "srcA", s"$banner\nfresh content line one hundred."),
+      (101L, "srcB", s"$banner\nother domain keeps its banner."))
+    val input = MemoryStream[(Long, String, String)]
+    val out = Files.createTempDirectory("boiler_out").toString
+    val ckpt = Files.createTempDirectory("boiler_ckpt").toString
+    val query = graft.ext.Cleaning.boilerplateCleanSink(
+      input.toDF().toDF("doc_id", "source", "text"), base, out, ckpt,
+      triggerMs = 50L).start()
+    try {
+      input.addData(arrivals(0))
+      query.processAllAvailable()
+      input.addData(arrivals(1))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ext.Cleaning
+      .boilerplateCleanedAgainst(arrivals.toDF("doc_id", "source", "text"),
+        graft.ext.Cleaning.boilerplateDictDf(base))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    val byDoc = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+    assert(byDoc(100L) == ((1L, "fresh content line one hundred.")),
+      s"srcA arrival must lose the frozen banner: $byDoc")
+    assert(byDoc(101L)._1 == 0L && byDoc(101L)._2.contains(banner),
+      s"the dictionary is per-domain — srcB keeps the line: $byDoc")
+  }
+
   test("streaming exact dedup: frozen content hashes flag re-posted text; batch parity") {
     implicit val sqlCtx = spark.sqlContext
     val base = Seq(100L -> "shared boilerplate body", 101L -> "original essay")
