@@ -148,6 +148,7 @@ object SparkEntry {
     "q_c4_cleaned_docs"   -> ((s: SparkSession, d: String) => Cleaning.c4CleanedCorpus(s, d)),
     "q_url_dedup"         -> ((s: SparkSession, d: String) => Cleaning.urlDedup(s, d)),
     "q_boilerplate_lines" -> ((s: SparkSession, d: String) => Cleaning.boilerplateLines(s, d)),
+    "q_domain_blocklist"  -> ((s: SparkSession, d: String) => Cleaning.domainBlocklist(s, d)),
     "q_boilerplate_cleaned" -> ((s: SparkSession, d: String) => Cleaning.boilerplateCleaned(s, d)),
     "q_length_buckets"    -> ((s: SparkSession, d: String) => ext.Corpus.lengthBuckets(s, d)),
     "q_kmeans"            -> ((s: SparkSession, d: String) => Clustering.kmeansStats(s, d)),
@@ -1195,6 +1196,19 @@ object SparkEntry {
         "CAST(len(all_lines) - len(list_filter(all_lines, l -> NOT list_contains(boiler, l))) AS BIGINT) AS removed_lines, " +
         "array_to_string(list_filter(all_lines, l -> NOT list_contains(boiler, l)), chr(10)) AS clean_text " +
         "FROM r ORDER BY doc_id"),
+    // domain blocklist: the host builder re-derived, the longest-first
+    // blocklist literal, and DNS-suffix matching (exact host or a
+    // '.'-prefixed suffix — never a bare string suffix)
+    "q_domain_blocklist" ->
+      ("WITH hd AS (SELECT doc_id, " +
+        "CASE WHEN (doc_id // 20) % 4 = 0 THEN 'cdn.' ELSE '' END || lower(source) || " +
+        "'.example.' || CASE WHEN (doc_id // 20) % 3 = 0 THEN 'org' ELSE 'com' END AS host " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "m AS (SELECT doc_id, host, " +
+        "list_filter(['cdn.src5.example.com', 'src3.example.com', 'src5.example.com', 'example.org'], " +
+        "b -> host = b OR ends_with(host, '.' || b)) AS matches FROM hd) " +
+        "SELECT doc_id, host, len(matches) > 0 AS blocked, matches[1] AS matched_suffix " +
+        "FROM m ORDER BY doc_id"),
     // URL dedup: the url builder re-derived, then the canonicalization
     // chain mirroring Cleaning.urlDedupDf expression by expression
     "q_url_dedup" ->

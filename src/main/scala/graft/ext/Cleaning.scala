@@ -1112,6 +1112,69 @@ object Cleaning {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------ domain blocklist filtering
+
+  /** A HOST-carrying view of the flat document table, built
+    * deterministically so blocklist suffix matching is exercised at
+    * every depth: subdomain (`cdn.` every 4th doc-row-block), site
+    * (`<source>.example.`), and TLD+1 (`com`/`org` rotating every 3rd
+    * block). Pure string expressions, re-derivable in SQL (the
+    * full-oracle precondition, as with [[urlDocs]]).
+    */
+  def hostDocs(docs: DataFrame): DataFrame = {
+    val k = expr("doc_id div 20")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        concat(
+          when(k % 4 === 0, lit("cdn.")).otherwise(lit("")),
+          lower(col("source")), lit(".example."),
+          when(k % 3 === 0, lit("org")).otherwise(lit("com"))).as("host"))
+  }
+
+  /** Fixture blocklist, LONGEST-FIRST: `cdn.src5.example.com` and
+    * `src5.example.com` overlap so longest-match precedence is
+    * observable; `example.org` proves TLD+1-level blocking. Order is
+    * part of the contract — the first filter survivor IS the match.
+    */
+  val DomainBlocklist: Seq[String] = Seq(
+    "cdn.src5.example.com", "src3.example.com", "src5.example.com",
+    "example.org")
+
+  /** Domain blocklist filtering with DNS-suffix semantics (the
+    * RefinedWeb/C4 URL-filter stage: a blocklist entry blocks the
+    * domain itself and every subdomain of it, never a mere string
+    * suffix — `gexample.org` is NOT blocked by `example.org`). Emits
+    * per document: host, blocked flag, and the longest matching
+    * blocklist entry (the one a takedown audit reports).
+    *
+    * Scale shape: the blocklist rides inside the plan as a literal
+    * array and matching is a higher-order `filter` over it — a pure
+    * narrow map at scan speed, zero joins, zero shuffles beyond the
+    * presentation sort. This is the right shape for the usual
+    * thousands-of-entries blocklist; a blocklist too large to inline
+    * would switch to exploding each host's label suffixes (bounded by
+    * label count) into a broadcast semi-join — same per-row work,
+    * still no corpus shuffle.
+    */
+  def domainBlocklist(spark: SparkSession, d: String): DataFrame =
+    domainBlocklistDf(hostDocs(Tables.fanOut(Tables.documents(spark, d))),
+      DomainBlocklist)
+
+  /** DataFrame form (docs: doc_id + host); `blocklist` must be
+    * longest-first for the reported match to be the longest one.
+    */
+  def domainBlocklistDf(docs: DataFrame, blocklist: Seq[String]): DataFrame = {
+    val bl = array(blocklist.map(lit): _*)
+    docs.select(col("doc_id"), col("host"),
+        filter(bl, b =>
+          col("host") === b ||
+            col("host").endsWith(concat(lit("."), b))).as("matches"))
+      .select(col("doc_id"), col("host"),
+        (size(col("matches")) > 0).as("blocked"),
+        get(col("matches"), lit(0)).as("matched_suffix"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------ boilerplate line removal
 
   /** A line is per-domain boilerplate when it appears in at least

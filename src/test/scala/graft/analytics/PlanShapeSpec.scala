@@ -405,6 +405,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"flagged-line audit grew a shuffle:\n${plan("q_boilerplate_lines")}")
   }
 
+  test("q_domain_blocklist: the blocklist rides as a literal — pure narrow map, no join") {
+    // suffix matching is a higher-order filter over an inlined array;
+    // a Join or Aggregate appearing here means the blocklist stopped
+    // being plan-resident and the corpus started shuffling for it
+    val p = plan("q_domain_blocklist")
+    val keyed = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("RoundRobinPartitioning"))
+    assert(keyed <= 1, s"blocklist filter grew a data shuffle ($keyed):\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"blocklist must stay a projection:\n$p")
+  }
+
   test("q_minhash_incremental: delta probes the index through a keyed join only") {
     // the incremental form exists precisely so a daily delta never
     // all-pairs against history — candidate generation must stay a

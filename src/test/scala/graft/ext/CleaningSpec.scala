@@ -1061,4 +1061,41 @@ class CleaningSpec extends SparkTestBase {
     assert(removedBySrc0.nonEmpty && removedBySrc0.forall(_.getLong(3) >= 1L),
       "src0's saturated cookie banner must be removed from every doc")
   }
+
+  test("domain blocklist: DNS-suffix semantics, longest match wins, no bare-string matches") {
+    val out = Cleaning.domainBlocklist(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2),
+        Option(r.getString(3))))).toMap
+    // doc 85: k=4 -> cdn + com, src5 -> matches BOTH cdn.src5.example.com
+    // and src5.example.com; longest-first reports the subdomain entry
+    assert(out(85L) == (("cdn.src5.example.com", true, Some("cdn.src5.example.com"))),
+      s"longest match must win: ${out(85L)}")
+    // doc 25: k=1 -> plain com, src5 -> only the site-level entry
+    assert(out(25L) == (("src5.example.com", true, Some("src5.example.com"))),
+      s"site-level entry: ${out(25L)}")
+    // doc 23: k=1 -> com, src3 -> blocked at site level
+    assert(out(23L)._2 && out(23L)._3.contains("src3.example.com"), s"${out(23L)}")
+    // doc 3: k=0 -> cdn + org -> blocked at TLD+1 level through the subdomain
+    assert(out(3L)._1 == "cdn.src3.example.org" &&
+      out(3L)._3.contains("example.org"), s"${out(3L)}")
+    // doc 100: k=5 -> com, src0 -> no entry matches
+    assert(out(100L) == (("src0.example.com", false, None)), s"${out(100L)}")
+    // every blocked row reports a suffix, every unblocked row reports none
+    out.values.foreach { case (_, blocked, suf) =>
+      assert(blocked == suf.isDefined)
+    }
+  }
+
+  test("domain blocklist: an entry blocks subdomains, never bare string suffixes") {
+    val docs = Seq(
+      1L -> "example.org",           // exact match
+      2L -> "a.b.example.org",       // deep subdomain
+      3L -> "gexample.org",          // bare string suffix — NOT blocked
+      4L -> "example.org.evil.com"   // suffix on the wrong side — NOT blocked
+    ).toDF("doc_id", "host")
+    val out = Cleaning.domainBlocklistDf(docs, Seq("example.org"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false),
+      s"suffix semantics must be label-aligned: $out")
+  }
 }
