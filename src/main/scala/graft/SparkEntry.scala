@@ -219,6 +219,7 @@ object SparkEntry {
     // planted-pair recall is asserted exactly in CorpusAndSinksSpec
     "q_media_neardup_pairs" -> (ExtraQueries.mediaNearDupPairs _),
     "q_embedding_coverage" -> ((s: SparkSession, d: String) => Similarity.embeddingCoverage(s, d)),
+    "q_semantic_outliers" -> ((s: SparkSession, d: String) => Similarity.semanticOutliers(s, d)),
     // rows-only: shares bpeStats' non-SQL-expressible merge loop
     "q_bpe_fertility"     -> ((s: SparkSession, d: String) => TextAnalysis.bpeFertility(s, d)),
     "q_shuffle_mix"       -> ((s: SparkSession, d: String) => ext.Corpus.shuffleMixAudit(s, d)),
@@ -961,6 +962,24 @@ object SparkEntry {
         "round(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage " +
         "FROM documents d LEFT JOIN e ON d.doc_id = e.vec_id " +
         "GROUP BY d.source ORDER BY d.source"),
+    // per-domain semantic outliers: 9dp-snapped centroid (kills avg
+    // summation-order noise), 6dp-rounded cosine ranking with vec_id
+    // tie-break — the cosineTopK discipline at domain granularity
+    "q_semantic_outliers" ->
+      ("WITH e AS (SELECT d.source, em.vec_id, CAST(em.embedding AS DOUBLE[]) AS emb " +
+        "FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id " +
+        "WHERE em.embedding IS NOT NULL), " +
+        "dims AS (SELECT source, vec_id, gs.pos, emb[gs.pos] AS val " +
+        "FROM e, LATERAL (SELECT unnest(generate_series(1, len(emb))) AS pos) gs), " +
+        "cent AS (SELECT source, pos, round(avg(val), 9) AS c FROM dims GROUP BY source, pos), " +
+        "centroid AS (SELECT source, list(c ORDER BY pos) AS cvec FROM cent GROUP BY source), " +
+        "scored AS (SELECT e.source, e.vec_id, " +
+        "round(list_cosine_similarity(e.emb, c.cvec), 6) AS cos_centroid_r " +
+        "FROM e JOIN centroid c ON e.source = c.source), " +
+        "r AS (SELECT source, vec_id, cos_centroid_r, " +
+        "row_number() OVER (PARTITION BY source ORDER BY cos_centroid_r, vec_id) AS rnk FROM scored) " +
+        "SELECT source, CAST(rnk AS BIGINT) AS rk, vec_id, cos_centroid_r " +
+        "FROM r WHERE rnk <= 3 ORDER BY source, rk"),
     // containment: same shingle sets as the jaccard oracle, both
     // asymmetric ratios + jaccard from the same intersection counts
     "q_ngram_containment" ->

@@ -393,6 +393,77 @@ object Similarity {
       .orderBy(col("source"))
   }
 
+  /** Per-domain semantic outliers: each embedded document's cosine to
+    * its domain's embedding CENTROID, reporting the k farthest per
+    * domain — the curation audit that surfaces misfiled / spam / wrong-
+    * language documents inside an otherwise-coherent source (the
+    * per-cluster distance-to-centroid pruning of SemDeDup's §3
+    * "semantic outliers", applied at domain granularity instead of
+    * k-means cells).
+    *
+    * Determinism contract: the centroid coordinates are snapped to
+    * 9 dp (killing partition-order summation noise in the avg, which
+    * sits at ~1e-14) and the ranking key is the 6 dp-rounded cosine
+    * with vec_id tie-break — the [[cosineTopK]] discipline, which is
+    * what lets this carry a full DuckDB oracle.
+    *
+    * Scale shape: one id-keyed join attaches the domain label (gone
+    * entirely when the embedding table carries the domain column, the
+    * usual production layout); the centroid is a (source, dim)-keyed
+    * aggregate — map-side combined, exchanging dims × sources rows —
+    * broadcast back as ~source-count rows; the final is the bounded
+    * [[graft.functions.TopKByScore]] aggregator, so the shuffle
+    * carries ≤ k rows per domain per partition, never a rank window
+    * over corpus-sized domain partitions.
+    */
+  def semanticOutliers(spark: SparkSession, d: String, k: Int = 3): DataFrame =
+    semanticOutliersDf(
+      Tables.documents(spark, d).select(col("doc_id"), col("source")),
+      Tables.embeddings(spark, d), k)
+
+  /** DataFrame form (docs: doc_id + source; emb: vec_id + embedding,
+    * vec_id keying into doc_id — the [[embeddingCoverage]]
+    * correspondence).
+    */
+  def semanticOutliersDf(docs: DataFrame, embIn: DataFrame, k: Int): DataFrame = {
+    val e = embIn
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .join(docs, col("vec_id") === col("doc_id"))
+      .select(col("source"), col("vec_id"), col("emb"))
+    val centroids = e
+      .select(col("source"), posexplode(col("emb")))
+      .groupBy(col("source"), col("pos"))
+      .agg(round(avg(col("col")), 9).as("c"))
+      .groupBy(col("source"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+    val scored = e.join(broadcast(centroids), Seq("source"))
+      .select(col("source"), col("vec_id"),
+        round(dcos(col("emb"), col("cvec")), 6).as("cos_centroid_r"))
+    scored.groupBy(col("source"))
+      .agg(graft.functions.TopKSample.topKByScore(
+        negate(col("cos_centroid_r")), col("vec_id"), k).as("bottom"))
+      .select(col("source"), posexplode(col("bottom")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("col._2").as("vec_id"),
+        // negate back; + 0.0 normalizes the -0.0 a zero cosine would print
+        (negate(col("col._1")) + lit(0.0)).as("cos_centroid_r"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** Cosine over two DOUBLE arrays via builtin higher-order folds —
+    * sequential index-order accumulation, the same FP contract as
+    * [[graft.functions.VectorExpressions]] (whose kernels are pinned
+    * to array<float> and so can't take the double centroid).
+    */
+  private def dcos(a: Column, b: Column): Column = {
+    val dp = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    val na = sqrt(aggregate(a, lit(0.0), (s, v) => s + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0), (s, v) => s + v * v))
+    dp / (na * nb)
+  }
+
   // ------------------------------------------------ scalar-quantized ANN
 
   /** Symmetric max-abs int8 quantization: scale = max|x|/127, code_i =

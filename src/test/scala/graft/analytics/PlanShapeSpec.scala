@@ -405,6 +405,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"flagged-line audit grew a shuffle:\n${plan("q_boilerplate_lines")}")
   }
 
+  test("q_semantic_outliers: centroids broadcast back, bounded top-k final — no rank window") {
+    // the centroid table is ~source-count rows and must meet the
+    // corpus through a broadcast; the per-domain bottom-k must be the
+    // bounded aggregator (a Window here sorts each DOMAIN's full
+    // vector set on one task at 100 TB)
+    val p = plan("q_semantic_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid join must broadcast:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"final must be the bounded aggregator:\n$p")
+  }
+
   test("q_domain_blocklist: the blocklist rides as a literal — pure narrow map, no join") {
     // suffix matching is a higher-order filter over an inlined array;
     // a Join or Aggregate appearing here means the blocklist stopped

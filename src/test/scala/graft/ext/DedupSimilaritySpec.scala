@@ -338,6 +338,43 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("semantic outliers: the planted off-topic vector ranks first in its domain") {
+    // srcA: four vectors tight around e1 plus one orthogonal outlier;
+    // srcB: two tight vectors (k=2 so every source emits exactly k)
+    val docs = Seq(
+      (0L, "srcA"), (1L, "srcA"), (2L, "srcA"), (3L, "srcA"), (4L, "srcA"),
+      (10L, "srcB"), (11L, "srcB")).toDF("doc_id", "source")
+    val emb = Seq(
+      0L -> Array(1.0f, 0.00f, 0f, 0f),
+      1L -> Array(1.0f, 0.01f, 0f, 0f),
+      2L -> Array(1.0f, 0.02f, 0f, 0f),
+      3L -> Array(1.0f, 0.03f, 0f, 0f),
+      4L -> Array(0.0f, 0.00f, 1f, 0f),   // the misfiled doc
+      10L -> Array(0f, 1.0f, 0f, 0f),
+      11L -> Array(0f, 1.0f, 0.01f, 0f)).toDF("vec_id", "embedding")
+    val out = Similarity.semanticOutliersDf(docs, emb, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(("srcA", 1L))._1 == 4L, s"planted outlier must rank first: $out")
+    assert(out(("srcA", 1L))._2 < 0.3 && out(("srcA", 2L))._2 > 0.9,
+      s"outlier far from centroid, runner-up close: $out")
+    assert(out.keys.count(_._1 == "srcB") == 2, "every source emits k rows")
+  }
+
+  test("semantic outliers at sf: k rows per covered source, ranked ascending by cosine") {
+    val out = Similarity.semanticOutliers(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val bySource = out.groupBy(_.getString(0))
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length == 3, s"$src must emit exactly k=3 rows")
+      val ranked = rows.sortBy(_.getLong(1))
+      assert(ranked.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+      val cs = ranked.map(_.getDouble(3))
+      assert(cs(0) <= cs(1) && cs(1) <= cs(2),
+        s"$src outliers must be the LOWEST cosines in rank order: ${cs.toList}")
+    }
+  }
+
   test("IVF-PQ ANN: recall floor vs brute force, bounded distortion, deterministic") {
     val bruteRows = Similarity.cosineTopK(spark, sfDir).collect()
     val brute = bruteRows
