@@ -151,6 +151,7 @@ object SparkEntry {
     "q_domain_blocklist"  -> ((s: SparkSession, d: String) => Cleaning.domainBlocklist(s, d)),
     "q_boilerplate_cleaned" -> ((s: SparkSession, d: String) => Cleaning.boilerplateCleaned(s, d)),
     "q_length_buckets"    -> ((s: SparkSession, d: String) => ext.Corpus.lengthBuckets(s, d)),
+    "q_domain_cap"        -> ((s: SparkSession, d: String) => ext.Corpus.domainCap(s, d)),
     "q_kmeans"            -> ((s: SparkSession, d: String) => Clustering.kmeansStats(s, d)),
     "q_perplexity_buckets" -> ((s: SparkSession, d: String) => TextAnalysis.perplexityBuckets(s, d)),
     "q_cluster_prune"     -> ((s: SparkSession, d: String) => Clustering.clusterPrune(s, d)),
@@ -890,6 +891,23 @@ object SparkEntry {
         "CAST(round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * stop_r - 8.0 * punct_r " +
         "+ 0.9 * ln(n_tok + 1.0) - 0.35 * avg_len))), 6) >= 0.5 AS INT) AS kept " +
         "FROM f ORDER BY doc_id"),
+    // per-domain cap: the quality sigmoid re-derived, then the top-10
+    // per source under (quality DESC, doc_id) — row_number mirrors the
+    // bounded aggregator's (score DESC, id ASC) rank order exactly
+    "q_domain_cap" ->
+      (s"WITH f AS (SELECT doc_id, source, " +
+        s"CAST(len(list_filter($toks, t -> t IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) " +
+        s"/ len($toks) AS stop_r, " +
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_r, " +
+        s"CAST(len($toks) AS DOUBLE) AS n_tok, " +
+        s"CAST(length(text) AS DOUBLE) / len($toks) AS avg_len " +
+        "FROM documents WHERE length(text) > 0), " +
+        "q AS (SELECT doc_id, source, round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * stop_r - 8.0 * punct_r " +
+        "+ 0.9 * ln(n_tok + 1.0) - 0.35 * avg_len))), 6) AS quality_score FROM f), " +
+        "r AS (SELECT source, doc_id, quality_score, " +
+        "row_number() OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id) AS rnk FROM q) " +
+        "SELECT source, CAST(rnk AS BIGINT) AS rk, doc_id, quality_score " +
+        "FROM r WHERE rnk <= 10 ORDER BY source, rk"),
     // exact heavy hitters: terms with count > n_source_tokens/50 — the
     // MG survivor superset collapses to this under the exact-threshold
     // filter, so a plain exact computation is the correct oracle

@@ -219,6 +219,38 @@ object Corpus {
     * a single tiny exchange at any corpus size. All-integer bucket
     * boundaries, so the oracle comparison is exact.
     */
+  /** Per-domain document cap: keep the `cap` highest-quality documents
+    * of each domain (quality tie → smaller doc_id) — RefinedWeb-style
+    * domain rate-limiting, which stops template-heavy mega-domains
+    * from dominating the training mixture no matter how many pages
+    * they contribute. Quality is the shared
+    * [[TextAnalysis.qualityScoreCol]] heuristic (6 dp-snapped, so the
+    * ranking key is engine-portable).
+    *
+    * Scale shape: scoring is a narrow map over the scan; the election
+    * is the bounded [[graft.functions.TopKSample.topKByScore]]
+    * aggregator keyed on source — every map partition reduces to
+    * ≤ cap rows per domain BEFORE the exchange, so a hot domain (the
+    * exact case the cap exists for) never concentrates its full page
+    * set on one task the way a rank window would.
+    */
+  def domainCap(spark: SparkSession, d: String, cap: Int = 10): DataFrame =
+    domainCapDf(Tables.fanOut(Tables.documents(spark, d)), cap)
+
+  /** DataFrame form (docs: doc_id + source + text). */
+  def domainCapDf(docs: DataFrame, cap: Int): DataFrame =
+    docs
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScoreCol.as("quality_score"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKSample.topKByScore(
+        col("quality_score"), col("doc_id"), cap).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("col._2").as("doc_id"), col("col._1").as("quality_score"))
+      .orderBy(col("source"), col("rk"))
+
   def lengthBuckets(spark: SparkSession, d: String): DataFrame =
     lengthBucketsDf(Tables.fanOut(Tables.documents(spark, d)))
 

@@ -417,6 +417,17 @@ class PlanShapeSpec extends SparkTestBase {
       s"final must be the bounded aggregator:\n$p")
   }
 
+  test("q_domain_cap: bounded top-k election, no rank window, no join") {
+    // a hot domain is exactly where the cap bites — a Window here
+    // sorts that domain's full page set on one task; the aggregator
+    // reduces every map partition to <= cap rows pre-exchange
+    val p = plan("q_domain_cap")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"domain cap must be a single bounded aggregation:\n$p")
+    assert(shuffleExchanges("q_domain_cap") <= 2,
+      s"domain cap grew a shuffle:\n$p")
+  }
+
   test("q_domain_blocklist: the blocklist rides as a literal — pure narrow map, no join") {
     // suffix matching is a higher-order filter over an inlined array;
     // a Join or Aggregate appearing here means the blocklist stopped

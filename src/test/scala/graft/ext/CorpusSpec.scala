@@ -580,4 +580,26 @@ class CorpusSpec extends SparkTestBase {
     assert(totalFromBuckets == corpus,
       s"bucket totals must conserve corpus tokens: $totalFromBuckets vs $corpus")
   }
+
+  test("domain cap: bounded aggregator election equals the rank-window reference") {
+    val out = Corpus.domainCap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // reference: the same election as an explicit window at fixture scale
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val expected = graft.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScoreCol.as("quality_score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .collect()
+      .map(r => (r.getString(1), r.getInt(3).toLong, r.getLong(0), r.getDouble(2)))
+    assert(out.toSet == expected.toSet,
+      s"aggregator vs window disagree: ${out.toSet.diff(expected.toSet)} / ${expected.toSet.diff(out.toSet)}")
+    // the cap bites: every source holds more docs than it keeps
+    val kept = out.groupBy(_._1).map { case (_, rs) => rs.length }
+    assert(kept.forall(_ == 10), s"every 25-doc source must cap at 10: $kept")
+  }
 }
