@@ -150,6 +150,7 @@ object SparkEntry {
     "q_boilerplate_lines" -> ((s: SparkSession, d: String) => Cleaning.boilerplateLines(s, d)),
     "q_domain_blocklist"  -> ((s: SparkSession, d: String) => Cleaning.domainBlocklist(s, d)),
     "q_boilerplate_cleaned" -> ((s: SparkSession, d: String) => Cleaning.boilerplateCleaned(s, d)),
+    "q_acquisition_funnel" -> ((s: SparkSession, d: String) => Cleaning.acquisitionFunnel(s, d)),
     "q_length_buckets"    -> ((s: SparkSession, d: String) => ext.Corpus.lengthBuckets(s, d)),
     "q_domain_cap"        -> ((s: SparkSession, d: String) => ext.Corpus.domainCap(s, d)),
     "q_kmeans"            -> ((s: SparkSession, d: String) => Clustering.kmeansStats(s, d)),
@@ -233,8 +234,8 @@ object SparkEntry {
 
   // the c4StructuredDocs builder re-derived with the source column kept
   // (the boilerplate operators key their dictionary on it)
-  private val boilerSdSql =
-    "WITH sd AS (SELECT doc_id, source, concat_ws(chr(10), " +
+  private val sdSelectSql =
+    "SELECT doc_id, source, concat_ws(chr(10), " +
       "substring(text, 1, 60) || '.', " +
       "substring(text, 1, 12), " +
       "CASE WHEN doc_id % 7 = 0 THEN 'Please enable javascript to view this content.' END, " +
@@ -243,7 +244,8 @@ object SparkEntry {
       "CASE WHEN doc_id % 3 <> 0 THEN substring(text, 61, 50) || ' right?' END, " +
       "CASE WHEN doc_id % 31 = 0 THEN 'if (x) { runScript(); }' END, " +
       "CASE WHEN doc_id % 37 = 0 THEN 'Lorem ipsum dolor sit amet.' END" +
-      ") AS text FROM documents WHERE text IS NOT NULL), "
+      ") AS text FROM documents WHERE text IS NOT NULL"
+  private val boilerSdSql = "WITH sd AS (" + sdSelectSql + "), "
   // the 5-gram type table with all eight backoff totals — shared by the
   // stupid-backoff and interpolated oracles (one definition, no drift)
   private lazy val fivegramCteSql =
@@ -1233,6 +1235,76 @@ object SparkEntry {
         "CAST(len(all_lines) - len(list_filter(all_lines, l -> NOT list_contains(boiler, l))) AS BIGINT) AS removed_lines, " +
         "array_to_string(list_filter(all_lines, l -> NOT list_contains(boiler, l)), chr(10)) AS clean_text " +
         "FROM r ORDER BY doc_id"),
+    // acquisition funnel: the url/host/structured-doc builders and the
+    // four stage verdicts (canon-URL election, blocklist, c4 page
+    // rules, boilerplate floor) re-derived and chained cumulatively
+    "q_acquisition_funnel" ->
+      (boilerSdSql +
+        "u AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 4 = 0 THEN 'https://news.example.com' || art || '?a=1&b=2' " +
+        "WHEN doc_id % 4 = 1 THEN 'HTTPS://News.Example.COM:443' || art || '/?b=2&a=1&utm_source=feed#frag' " +
+        "WHEN doc_id % 4 = 2 THEN 'https://news.example.com' || art || '/?a=1&utm_medium=email&b=2' " +
+        "ELSE 'https://news.example.com' || art || '?a=1&b=2#sec' END AS url " +
+        "FROM (SELECT doc_id, '/articles/' || CAST(doc_id // 4 AS VARCHAR) AS art FROM sd) u0), " +
+        "c AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u), " +
+        "c2 AS (SELECT doc_id, " +
+        "regexp_replace(lower(regexp_extract(nofrag, '^([a-zA-Z]+://[^/?#]+)', 1)), ':(443|80)$', '') AS hostpart, " +
+        "regexp_replace(nofrag, '^[a-zA-Z]+://[^/?#]+', '') AS rem FROM c), " +
+        "c3 AS (SELECT doc_id, hostpart, " +
+        "regexp_replace(regexp_replace(rem, '\\?.*$', ''), '/$', '') AS path, " +
+        "CASE WHEN contains(rem, '?') THEN regexp_replace(rem, '^[^?]*\\?', '') ELSE '' END AS query FROM c2), " +
+        "c4c AS (SELECT doc_id, hostpart, path, " +
+        "list_sort(list_filter(string_split(query, '&'), " +
+        "p -> length(p) > 0 AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)='))) AS kept FROM c3), " +
+        "c5 AS (SELECT doc_id, hostpart || path || " +
+        "CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS canon_url FROM c4c), " +
+        "ku AS (SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY canon_url) AS s_url FROM c5), " +
+        "h AS (SELECT doc_id, " +
+        "CASE WHEN (doc_id // 20) % 4 = 0 THEN 'cdn.' ELSE '' END || lower(source) || " +
+        "'.example.' || CASE WHEN (doc_id // 20) % 3 = 0 THEN 'org' ELSE 'com' END AS host FROM sd), " +
+        "bk AS (SELECT doc_id, " +
+        "len(list_filter(['cdn.src5.example.com', 'src3.example.com', 'src5.example.com', 'example.org'], " +
+        "b -> host = b OR ends_with(host, '.' || b))) > 0 AS blocked FROM h), " +
+        "c4v AS (SELECT doc_id, " +
+        "NOT (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AND " +
+        "len(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), " +
+        "l -> right(l, 1) IN ('.', '!', '?', '\"') " +
+        "AND len(regexp_extract_all(l, '\\S+')) >= 5 " +
+        "AND NOT contains(lower(l), 'javascript') " +
+        "AND NOT contains(lower(l), 'terms of use') " +
+        "AND NOT contains(lower(l), 'privacy policy') " +
+        "AND NOT contains(lower(l), 'cookie policy') " +
+        "AND NOT contains(lower(l), 'uses cookies') " +
+        "AND NOT contains(lower(l), 'use of cookies') " +
+        "AND NOT contains(lower(l), 'use cookies'))) >= 3 AS c4_kept FROM sd), " +
+        "lns AS (SELECT source, doc_id, " +
+        "unnest(list_distinct(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), " +
+        "l -> length(l) > 0))) AS line FROM sd), " +
+        "tot AS (SELECT source, count(*) AS source_docs FROM sd GROUP BY source), " +
+        "dfq AS (SELECT source, line, count(*) AS df_docs FROM lns GROUP BY source, line), " +
+        "fdict AS (SELECT d.source, d.line FROM dfq d JOIN tot t ON d.source = t.source " +
+        "WHERE d.df_docs >= 2 AND d.df_docs >= 0.05 * t.source_docs), " +
+        "dict AS (SELECT source, list(line) AS boiler FROM fdict GROUP BY source), " +
+        "bo AS (SELECT sd.doc_id, " +
+        "len(list_filter(list_transform(string_split(sd.text, chr(10)), x -> trim(x)), " +
+        "l -> NOT list_contains(coalesce(dict.boiler, CAST([] AS VARCHAR[])), l))) >= 3 AS boiler_kept " +
+        "FROM sd LEFT JOIN dict ON sd.source = dict.source), " +
+        "fl AS (SELECT sd.doc_id, ku.s_url, ku.s_url AND NOT bk.blocked AS s_block " +
+        "FROM sd JOIN ku USING (doc_id) JOIN bk USING (doc_id)), " +
+        "fl2 AS (SELECT fl.doc_id, s_url, s_block, s_block AND c4v.c4_kept AS s_c4 " +
+        "FROM fl JOIN c4v USING (doc_id)), " +
+        "fl3 AS (SELECT fl2.doc_id, s_url, s_block, s_c4, s_c4 AND bo.boiler_kept AS s_boiler " +
+        "FROM fl2 JOIN bo USING (doc_id)), " +
+        "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0, " +
+        "CAST(SUM(CASE WHEN s_url THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(SUM(CASE WHEN s_block THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
+        "CAST(SUM(CASE WHEN s_c4 THEN 1 ELSE 0 END) AS BIGINT) AS n3, " +
+        "CAST(SUM(CASE WHEN s_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n4 FROM fl3) " +
+        "SELECT 1 AS stage, 'raw' AS stage_name, n0 AS n_docs FROM agg " +
+        "UNION ALL SELECT 2, 'url_dedup', n1 FROM agg " +
+        "UNION ALL SELECT 3, 'blocklist', n2 FROM agg " +
+        "UNION ALL SELECT 4, 'c4_pages', n3 FROM agg " +
+        "UNION ALL SELECT 5, 'boilerplate', n4 FROM agg ORDER BY stage"),
     // domain blocklist: the host builder re-derived, the longest-first
     // blocklist literal, and DNS-suffix matching (exact host or a
     // '.'-prefixed suffix — never a bare string suffix)

@@ -867,20 +867,25 @@ object Cleaning {
     */
   def c4StructuredDocs(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), col("source"), concat_ws("\n",
-        concat(substring(col("text"), 1, 60), lit(".")),
-        substring(col("text"), 1, 12),
-        when(col("doc_id") % 7 === 0,
-          lit("Please enable javascript to view this content.")),
-        when(col("doc_id") % 5 === 0,
-          lit("We use cookies as described in our cookie policy.")),
-        concat(lit("Deterministic check number "),
-          col("doc_id").cast("string"), lit(" passed the quality gate.")),
-        when(col("doc_id") % 3 =!= 0,
-          concat(substring(col("text"), 61, 50), lit(" right?"))),
-        when(col("doc_id") % 31 === 0, lit("if (x) { runScript(); }")),
-        when(col("doc_id") % 37 === 0, lit("Lorem ipsum dolor sit amet."))
-      ).as("text"))
+      .select(col("doc_id"), col("source"), c4TextCol.as("text"))
+
+  /** The structured-text construction itself, reusable wherever the
+    * row already carries doc_id + text ([[acquisitionFunnel]] builds
+    * every per-doc view in ONE projection).
+    */
+  private[ext] def c4TextCol: Column = concat_ws("\n",
+    concat(substring(col("text"), 1, 60), lit(".")),
+    substring(col("text"), 1, 12),
+    when(col("doc_id") % 7 === 0,
+      lit("Please enable javascript to view this content.")),
+    when(col("doc_id") % 5 === 0,
+      lit("We use cookies as described in our cookie policy.")),
+    concat(lit("Deterministic check number "),
+      col("doc_id").cast("string"), lit(" passed the quality gate.")),
+    when(col("doc_id") % 3 =!= 0,
+      concat(substring(col("text"), 61, 50), lit(" right?"))),
+    when(col("doc_id") % 31 === 0, lit("if (x) { runScript(); }")),
+    when(col("doc_id") % 37 === 0, lit("Lorem ipsum dolor sit amet.")))
 
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, the
     * "Colossal Clean Crawled Corpus" heuristics): a line survives iff
@@ -922,18 +927,21 @@ object Cleaning {
     * parameters. Pure string expressions, re-derivable in SQL (the
     * full-oracle precondition, as with [[c4StructuredDocs]]).
     */
-  def urlDocs(docs: DataFrame): DataFrame = {
-    val art = concat(lit("/articles/"), expr("doc_id div 3").cast("string"))
+  def urlDocs(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), col("source"),
-        when(col("doc_id") % 3 === 0,
-          concat(lit("https://news.example.com"), art, lit("?a=1&b=2")))
-        .when(col("doc_id") % 3 === 1,
-          concat(lit("HTTPS://News.Example.COM:443"), art,
-            lit("/?b=2&a=1&utm_source=feed#frag")))
-        .otherwise(
-          concat(lit("https://news.example.com"), art,
-            lit("/?a=1&utm_medium=email&b=2"))).as("url"))
+      .select(col("doc_id"), col("source"), urlCol.as("url"))
+
+  /** The URL construction itself (see [[c4TextCol]]). */
+  private[ext] def urlCol: Column = {
+    val art = concat(lit("/articles/"), expr("doc_id div 3").cast("string"))
+    when(col("doc_id") % 3 === 0,
+      concat(lit("https://news.example.com"), art, lit("?a=1&b=2")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("HTTPS://News.Example.COM:443"), art,
+          lit("/?b=2&a=1&utm_source=feed#frag")))
+      .otherwise(
+        concat(lit("https://news.example.com"), art,
+          lit("/?a=1&utm_medium=email&b=2")))
   }
 
   /** URL canonicalization + URL-level dedup — the acquisition-hygiene
@@ -1121,14 +1129,17 @@ object Cleaning {
     * block). Pure string expressions, re-derivable in SQL (the
     * full-oracle precondition, as with [[urlDocs]]).
     */
-  def hostDocs(docs: DataFrame): DataFrame = {
-    val k = expr("doc_id div 20")
+  def hostDocs(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), col("source"),
-        concat(
-          when(k % 4 === 0, lit("cdn.")).otherwise(lit("")),
-          lower(col("source")), lit(".example."),
-          when(k % 3 === 0, lit("org")).otherwise(lit("com"))).as("host"))
+      .select(col("doc_id"), col("source"), hostCol.as("host"))
+
+  /** The host construction itself (see [[c4TextCol]]). */
+  private[ext] def hostCol: Column = {
+    val k = expr("doc_id div 20")
+    concat(
+      when(k % 4 === 0, lit("cdn.")).otherwise(lit("")),
+      lower(col("source")), lit(".example."),
+      when(k % 3 === 0, lit("org")).otherwise(lit("com")))
   }
 
   /** Fixture blocklist, LONGEST-FIRST: `cdn.src5.example.com` and
@@ -1290,6 +1301,101 @@ object Cleaning {
     * ingest cleans arrivals against the *snapshot's* dictionary and
     * re-mines the dictionary only when the snapshot rolls.
     */
+  // ------------------------------------ acquisition funnel
+
+  /** The ACQUISITION-side curation funnel — the hygiene stages a crawl
+    * pipeline runs before any content scoring, composed in their
+    * canonical order with cumulative survivor counts per stage:
+    *
+    *   1 raw → 2 url_dedup (canonical-URL first-writer-wins)
+    *         → 3 blocklist (DNS-suffix domain blocking)
+    *         → 4 c4_pages  (page poison + kept-line floor)
+    *         → 5 boilerplate (≥ C4MinLines lines survive dictionary
+    *           removal; dictionary mined corpus-wide, as
+    *           [[boilerplateLines]] does)
+    *
+    * The content-side stages (Gopher rules → repetition → model
+    * quality → exact dedup) are [[curationFunnel]]; together the two
+    * funnels are the full pipeline audit.
+    *
+    * Scale shape: every per-doc view (url, host, structured text)
+    * is built in ONE projection over the scan — no self-joins to
+    * reconcile views. The URL election is the one corpus-keyed window
+    * (canon_url, 16-byte-scale keys); the boilerplate dictionary rides
+    * the same mining exchanges as [[boilerplateLines]] and broadcasts
+    * back; the final is a single-row aggregate stacked to 5 rows.
+    */
+  def acquisitionFunnel(spark: SparkSession, d: String): DataFrame =
+    acquisitionFunnelDf(Tables.fanOut(Tables.documents(spark, d)))
+
+  /** The funnel's own URL view: same dressing rules as [[urlCol]] but
+    * a FOUR-doc article group (period coprime to the structured
+    * fixture's %3 question-line period — with [[urlCol]]'s period-3
+    * groups every first-writer keeper is a doc_id ≡ 0 (mod 3) head,
+    * which is exactly the set the c4 kept-line floor rejects, and the
+    * funnel would bottom out at 0 by fixture resonance, not by
+    * pipeline semantics).
+    */
+  private[ext] def funnelUrlCol: Column = {
+    val art = concat(lit("/articles/"), expr("doc_id div 4").cast("string"))
+    when(col("doc_id") % 4 === 0,
+      concat(lit("https://news.example.com"), art, lit("?a=1&b=2")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTPS://News.Example.COM:443"), art,
+          lit("/?b=2&a=1&utm_source=feed#frag")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://news.example.com"), art,
+          lit("/?a=1&utm_medium=email&b=2")))
+      .otherwise(
+        concat(lit("https://news.example.com"), art, lit("?a=1&b=2#sec")))
+  }
+
+  /** The funnel's URL view as a table (doc_id + url) — what stage 2's
+    * component cross-check runs [[urlDedupDf]] over.
+    */
+  def funnelUrlDocs(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), funnelUrlCol.as("url"))
+
+  /** DataFrame form (docs: doc_id + source + text). */
+  def acquisitionFunnelDf(docs: DataFrame): DataFrame = {
+    val dict = boilerplateDictDf(c4StructuredDocs(docs))
+    val bl = array(DomainBlocklist.map(lit): _*)
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), funnelUrlCol.as("url"),
+        hostCol.as("host"), c4TextCol.as("sd_text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(canonicalUrl(col("url")))
+    val lines = transform(split(col("sd_text"), "\n"), trim(_))
+    val c4Kept =
+      !(lower(col("sd_text")).contains("lorem ipsum") ||
+        col("sd_text").contains("{")) &&
+        size(filter(lines, c4LineKeep(_))) >= C4MinLines
+    val blocked = size(filter(bl, b =>
+      col("host") === b || col("host").endsWith(concat(lit("."), b)))) > 0
+    val boilerKept = size(filter(lines, l => !array_contains(
+      coalesce(col("boiler_lines"), array().cast("array<string>")), l))) >= C4MinLines
+    val flagged = base
+      .withColumn("s_url", col("doc_id") === min(col("doc_id")).over(w))
+      .join(broadcast(dict), Seq("source"), "left")
+      .withColumn("s_block", col("s_url") && !blocked)
+      .withColumn("s_c4", col("s_block") && c4Kept)
+      .withColumn("s_boiler", col("s_c4") && boilerKept)
+    flagged.agg(
+      count(lit(1)).as("n0"),
+      sum(col("s_url").cast("long")).as("n1"),
+      sum(col("s_block").cast("long")).as("n2"),
+      sum(col("s_c4").cast("long")).as("n3"),
+      sum(col("s_boiler").cast("long")).as("n4"))
+      .select(expr("stack(5, " +
+        "1, 'raw', n0, " +
+        "2, 'url_dedup', n1, " +
+        "3, 'blocklist', n2, " +
+        "4, 'c4_pages', n3, " +
+        "5, 'boilerplate', n4) AS (stage, stage_name, n_docs)"))
+      .orderBy(col("stage"))
+  }
+
   def boilerplateCleanSink(docStream: DataFrame, baseDocs: DataFrame,
                            outPath: String, checkpoint: String,
                            triggerMs: Long = 10000L)

@@ -63,7 +63,8 @@ object ScaleSmoke {
     "q_quality_propagation" /* knn graph + id-keyed joins; no new pair term */,
     "q_boilerplate_cleaned" /* dictionary mining keyed on (source, line); doc side broadcast-only */,
     "q_semantic_outliers" /* id-keyed label join + dimsxsources agg; bounded top-k final */,
-    "q_domain_cap" /* narrow scoring + bounded per-domain top-k; <= cap rows/domain cross the exchange */)
+    "q_domain_cap" /* narrow scoring + bounded per-domain top-k; <= cap rows/domain cross the exchange */,
+    "q_acquisition_funnel" /* one projection + canon-url window + dict mining; single-row final */)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -417,6 +417,20 @@ class PlanShapeSpec extends SparkTestBase {
       s"final must be the bounded aggregator:\n$p")
   }
 
+  test("q_acquisition_funnel: one corpus window, dictionary broadcast, single-row final") {
+    // all five stage verdicts ride ONE projection; the only corpus-
+    // keyed structures are the canon-URL election window and the
+    // dictionary-mining aggregates (small); the dictionary must meet
+    // the corpus through a broadcast, never a SortMergeJoin
+    val p = plan("q_acquisition_funnel")
+    assert(p.contains("BroadcastHashJoin") && p.contains("Window"),
+      s"funnel must keep its election window + broadcast dictionary:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus must not shuffle for the dictionary join:\n$p")
+    assert(shuffleExchanges("q_acquisition_funnel") <= 6,
+      s"funnel grew a shuffle:\n$p")
+  }
+
   test("q_domain_cap: bounded top-k election, no rank window, no join") {
     // a hot domain is exactly where the cap bites — a Window here
     // sorts that domain's full page set on one task; the aggregator

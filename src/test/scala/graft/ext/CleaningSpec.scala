@@ -1086,6 +1086,54 @@ class CleaningSpec extends SparkTestBase {
     }
   }
 
+  test("acquisition funnel: stage counts are monotone and equal the component operators") {
+    val f = Cleaning.acquisitionFunnel(spark, sfDir).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val raw = graft.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull).count()
+    assert(f("raw") == raw, s"stage 1 must count every non-null doc: $f")
+    // stage 2 = the url-dedup election run standalone over the
+    // funnel's url view, exactly
+    val urlKeepers = Cleaning.urlDedupDf(Cleaning.funnelUrlDocs(
+        graft.Tables.documents(spark, sfDir)))
+      .filter(!col("dup")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(f("url_dedup") == urlKeepers.size, s"stage 2 vs urlDedupDf: $f")
+    // stage 3 = url keepers that the blocklist lets through, exactly
+    val blocked = Cleaning.domainBlocklist(spark, sfDir)
+      .filter(col("blocked")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(f("blocklist") == (urlKeepers -- blocked).size,
+      s"stage 3 vs q_domain_blocklist: $f")
+    // monotone, and the tail stages still keep something
+    val order = Seq("raw", "url_dedup", "blocklist", "c4_pages", "boilerplate")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(f(a) >= f(b), s"funnel must be monotone: $a=${f(a)} < $b=${f(b)}")
+    }
+    assert(f("boilerplate") > 0, s"fixture must survive the full funnel: $f")
+    assert(f("c4_pages") < f("blocklist"),
+      s"c4 page rules must bite on the structured fixture: $f")
+  }
+
+  test("acquisition funnel: a fully-templated domain dies at the boilerplate stage") {
+    // identical texts make every structured line except the per-doc
+    // 'Deterministic check number N' line domain-saturated (df 1.0):
+    // pages pass the c4 floor on their own lines, then fall below it
+    // once the dictionary strips the template — the stage-5 failure
+    // mode the sf fixture (distinct texts) cannot exhibit
+    val text = "the quick brown fox jumps over the lazy dog again and " +
+      "again until the fence finally gives way to the garden path"
+    // ids 20-39: host block k=1 (plain .com, unblocked); avoid the
+    // %31 poison doc; url groups of four give real stage-2 dups
+    val ids = Seq(21L, 22L, 25L, 26L, 28L, 29L, 33L, 34L)
+    val docs = ids.map(i => (i, "srcT", text)).toDF("doc_id", "source", "text")
+    val f = Cleaning.acquisitionFunnelDf(docs).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(f("c4_pages") > 0, s"templated pages pass c4 on their own: $f")
+    assert(f("boilerplate") == 0L,
+      s"dictionary removal must drop them below the line floor: $f")
+  }
+
   test("domain blocklist: an entry blocks subdomains, never bare string suffixes") {
     val docs = Seq(
       1L -> "example.org",           // exact match
