@@ -426,21 +426,9 @@ object Similarity {
     * correspondence).
     */
   def semanticOutliersDf(docs: DataFrame, embIn: DataFrame, k: Int): DataFrame = {
-    val e = embIn
-      .filter(col("embedding").isNotNull)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .join(docs, col("vec_id") === col("doc_id"))
-      .select(col("source"), col("vec_id"), col("emb"))
-    val centroids = e
-      .select(col("source"), posexplode(col("emb")))
-      .groupBy(col("source"), col("pos"))
-      .agg(round(avg(col("col")), 9).as("c"))
-      .groupBy(col("source"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        s => s.getField("c")).as("cvec"))
-    val scored = e.join(broadcast(centroids), Seq("source"))
-      .select(col("source"), col("vec_id"),
-        round(dcos(col("emb"), col("cvec")), 6).as("cos_centroid_r"))
+    val e = labeledEmbeddings(docs, embIn)
+    val centroids = domainCentroidsDf(e)
+    val scored = scoreAgainstCentroids(e, centroids)
     scored.groupBy(col("source"))
       .agg(graft.functions.TopKSample.topKByScore(
         negate(col("cos_centroid_r")), col("vec_id"), k).as("bottom"))
@@ -450,6 +438,81 @@ object Similarity {
         // negate back; + 0.0 normalizes the -0.0 a zero cosine would print
         (negate(col("col._1")) + lit(0.0)).as("cos_centroid_r"))
       .orderBy(col("source"), col("rk"))
+  }
+
+  /** (source, vec_id, emb double[]) — the embedding table joined to its
+    * domain labels (the id-keyed join [[semanticOutliers]]' scaladoc
+    * prices).
+    */
+  def labeledEmbeddings(docs: DataFrame, embIn: DataFrame): DataFrame =
+    embIn.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .join(docs, col("vec_id") === col("doc_id"))
+      .select(col("source"), col("vec_id"), col("emb"))
+
+  /** Per-domain embedding centroids (source, cvec), 9 dp-snapped — the
+    * artifact [[semanticOutlierSink]] freezes: a daily monitor scores
+    * arrivals against the SNAPSHOT's centroids and re-mines them only
+    * when the snapshot rolls (the keeperCanonUrls discipline).
+    */
+  def domainCentroidsDf(labeled: DataFrame): DataFrame =
+    labeled
+      .select(col("source"), posexplode(col("emb")))
+      .groupBy(col("source"), col("pos"))
+      .agg(round(avg(col("col")), 9).as("c"))
+      .groupBy(col("source"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+
+  private def scoreAgainstCentroids(labeled: DataFrame,
+                                    centroids: DataFrame): DataFrame =
+    labeled.join(broadcast(centroids), Seq("source"))
+      .select(col("source"), col("vec_id"),
+        round(dcos(col("emb"), col("cvec")), 6).as("cos_centroid_r"))
+
+  /** Batch form of the streaming monitor: every arrival scored against
+    * a FROZEN centroid table, flagged when its cosine falls below
+    * `threshold` (arrivals whose domain has no centroid pass un-scored
+    * with a null cosine — a new domain is not an outlier, it's
+    * uncovered, and the coverage audit owns that).
+    */
+  def semanticOutliersAgainst(arrivals: DataFrame, centroids: DataFrame,
+                              threshold: Double = 0.5): DataFrame =
+    arrivals.filter(col("embedding").isNotNull)
+      .select(col("doc_id"), col("source"),
+        col("embedding").cast("array<double>").as("emb"))
+      .join(broadcast(centroids), Seq("source"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("cvec").isNotNull,
+          round(dcos(col("emb"), col("cvec")), 6)).as("cos_centroid_r"))
+      .select(col("doc_id"), col("source"), col("cos_centroid_r"),
+        coalesce(col("cos_centroid_r") < threshold, lit(false)).as("outlier"))
+
+  /** Streaming semantic-outlier monitor (foreachBatch stage): the base
+    * corpus's per-domain centroids are FROZEN once; each micro-batch
+    * of (doc_id, source, embedding) arrivals is scored and appended
+    * with its batch id — the drift/spam tripwire a production ingest
+    * runs next to the ANN serving sink.
+    */
+  def semanticOutlierSink(arrivalStream: DataFrame,
+                          baseDocs: DataFrame, baseEmb: DataFrame,
+                          outPath: String, checkpoint: String,
+                          threshold: Double = 0.5,
+                          triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val frozen = graft.ext.Freeze.scoped(checkpoint,
+      domainCentroidsDf(labeledEmbeddings(baseDocs, baseEmb)))
+    arrivalStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          semanticOutliersAgainst(batch, frozen, threshold)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
   }
 
   /** Cosine over two DOUBLE arrays via builtin higher-order folds —

@@ -390,6 +390,47 @@ class StreamingSpec extends SparkTestBase {
       s"only doc 1 survives, cleaned: ${kept.toList}")
   }
 
+  test("streaming semantic-outlier monitor: frozen centroids score arrivals; batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val baseDocs = Seq((0L, "srcA"), (1L, "srcA"), (2L, "srcA"))
+      .toDF("doc_id", "source")
+    val baseEmb = Seq(
+      0L -> Array(1.0f, 0.00f, 0f, 0f),
+      1L -> Array(1.0f, 0.01f, 0f, 0f),
+      2L -> Array(1.0f, 0.02f, 0f, 0f)).toDF("vec_id", "embedding")
+    val arrivals = Seq(
+      (100L, "srcA", Array(1.0f, 0.01f, 0f, 0f)),  // on-topic
+      (101L, "srcA", Array(0f, 0f, 1.0f, 0f)),     // orthogonal drift
+      (102L, "srcZ", Array(1.0f, 0f, 0f, 0f)))     // uncovered domain
+    val input = MemoryStream[(Long, String, Array[Float])]
+    val out = Files.createTempDirectory("outlier_out").toString
+    val ckpt = Files.createTempDirectory("outlier_ckpt").toString
+    val query = graft.ext.Similarity.semanticOutlierSink(
+      input.toDF().toDF("doc_id", "source", "embedding"),
+      baseDocs, baseEmb, out, ckpt, triggerMs = 50L).start()
+    try {
+      input.addData(arrivals(0), arrivals(1))
+      query.processAllAvailable()
+      input.addData(arrivals(2))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ext.Similarity
+      .semanticOutliersAgainst(arrivals.toDF("doc_id", "source", "embedding"),
+        graft.ext.Similarity.domainCentroidsDf(
+          graft.ext.Similarity.labeledEmbeddings(baseDocs, baseEmb)))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    val byDoc = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(2)), r.getBoolean(3)))).toMap
+    assert(!byDoc(100L)._2 && byDoc(100L)._1.exists(_.asInstanceOf[Double] > 0.9),
+      s"on-topic arrival must not flag: $byDoc")
+    assert(byDoc(101L)._2, s"orthogonal arrival must flag: $byDoc")
+    assert(byDoc(102L) == ((None, false)),
+      s"uncovered domain passes un-scored, not as an outlier: $byDoc")
+  }
+
   test("streaming boilerplate cleaner: frozen per-domain dictionary cleans arrivals; batch parity") {
     implicit val sqlCtx = spark.sqlContext
     val banner = "Subscribe to our newsletter for updates today."
