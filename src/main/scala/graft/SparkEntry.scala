@@ -226,7 +226,20 @@ object SparkEntry {
     "q_bpe_fertility"     -> ((s: SparkSession, d: String) => TextAnalysis.bpeFertility(s, d)),
     "q_shuffle_mix"       -> ((s: SparkSession, d: String) => ext.Corpus.shuffleMixAudit(s, d)),
     "q_repeat_schedule"   -> ((s: SparkSession, d: String) => ext.Corpus.repeatSchedule(s, d)),
-    "q_truncation_loss"   -> ((s: SparkSession, d: String) => ext.Corpus.truncationLoss(s, d))
+    "q_truncation_loss"   -> ((s: SparkSession, d: String) => ext.Corpus.truncationLoss(s, d)),
+    // ---- round 12, third session: budgeted selection, UniMax, chunking,
+    // leakage-safe splits
+    "q_token_budget_select" -> ((s: SparkSession, d: String) => ext.Corpus.tokenBudgetSelect(s, d)),
+    "q_unimax_mixture"    -> ((s: SparkSession, d: String) => ext.Corpus.unimaxMixture(s, d)),
+    "q_doc_chunks"        -> ((s: SparkSession, d: String) => ext.Corpus.docChunks(s, d)),
+    // rows-only: split inheritance rides dedupClusters' min-label
+    // propagation (union-find, not SQL-expressible); the no-straddle
+    // guarantee and the unclustered-parity are asserted in CorpusSpec
+    "q_leakage_safe_splits" -> ((s: SparkSession, d: String) => ext.Corpus.leakageSafeSplits(s, d)),
+    // rows-only like the batch form: arrivals inherit the leakage-safe
+    // split of the base page they near-duplicate (minhash probe);
+    // inheritance + fallback parity are asserted in Corpus/StreamingSpec
+    "q_split_inheritance" -> ((s: SparkSession, d: String) => ext.Corpus.splitInheritance(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -1847,7 +1860,67 @@ object SparkEntry {
         "/ CAST(SUM(cnt) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS oov_frac, " +
         "CAST(COUNT(*) AS BIGINT) AS n_terms, " +
         "CAST(SUM(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov_terms " +
-        "FROM j GROUP BY source ORDER BY source")
+        "FROM j GROUP BY source ORDER BY source"),
+    // token-budget selection: score fragment = the q_quality_auc oracle
+    // verbatim; the kept boundary is the scalar MIN(quality) over
+    // classes whose strictly-better cumulative tokens stay under half
+    // the corpus — a pure-BIGINT test (2·cum < total), no FP boundary
+    "q_token_budget_select" ->
+      (s"WITH f0 AS (SELECT doc_id, " +
+        s"CAST(len(list_filter($toks, t -> t IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) " +
+        s"/ len($toks) AS stop_r, " +
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_r, " +
+        s"CAST(len($toks) AS DOUBLE) AS n_tok, " +
+        s"CAST(length(text) AS DOUBLE) / len($toks) AS avg_len " +
+        "FROM documents WHERE length(text) > 0), " +
+        "f AS (SELECT doc_id, round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * stop_r - 8.0 * punct_r " +
+        "+ 0.9 * ln(n_tok + 1.0) - 0.35 * avg_len))), 6) AS quality, " +
+        "CAST(n_tok AS BIGINT) AS n_tokens FROM f0), " +
+        "h AS (SELECT quality, SUM(n_tokens) AS ct FROM f GROUP BY quality), " +
+        "w AS (SELECT quality, COALESCE(SUM(ct) OVER " +
+        "(ORDER BY quality DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb, " +
+        "SUM(ct) OVER () AS total FROM h), " +
+        "thr AS (SELECT MIN(quality) AS qthr FROM w WHERE cb * 2 < total) " +
+        "SELECT doc_id, quality, n_tokens, quality >= qthr AS kept " +
+        "FROM f CROSS JOIN thr ORDER BY doc_id"),
+    // UniMax: the capped set is a prefix of the ascending-token order
+    // (t_l monotone — see unimaxMixture's scaladoc), so the waterfilling
+    // loop collapses to window sums; cap test and capped allocations are
+    // exact BIGINT, the uniform share and epochs are micro-snapped
+    "q_unimax_mixture" ->
+      (s"WITH f AS (SELECT lang, COALESCE(len($toks), 0) AS n_toks FROM documents), " +
+        "p AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens " +
+        "FROM f GROUP BY lang), " +
+        "s AS (SELECT *, SUM(n_tokens) OVER () AS total, COUNT(*) OVER () AS n_langs, " +
+        "ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS i, " +
+        "COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens, lang " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_prev FROM p), " +
+        "c AS (SELECT *, CAST(floor(7.0 * total / 4) AS BIGINT) AS budget, " +
+        "2 * n_tokens * (n_langs - i + 1) + 2 * s_prev " +
+        "< CAST(floor(7.0 * total / 4) AS BIGINT) AS capped FROM s), " +
+        "a AS (SELECT *, SUM(CASE WHEN capped THEN n_tokens ELSE 0 END) OVER () AS s_capped, " +
+        "SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k_capped FROM c), " +
+        "t AS (SELECT lang, n_docs, n_tokens, capped, " +
+        "CASE WHEN capped THEN 2 * n_tokens " +
+        "ELSE CAST(floor(CAST(budget - 2 * s_capped AS DOUBLE) " +
+        "/ CAST(n_langs - k_capped AS DOUBLE) + 0.5) AS BIGINT) END AS target_tokens FROM a) " +
+        "SELECT lang, n_docs, n_tokens, capped, target_tokens, " +
+        "CASE WHEN n_tokens > 0 THEN floor(CAST(target_tokens AS DOUBLE) " +
+        "/ CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS epochs " +
+        "FROM t ORDER BY lang"),
+    // sliding-window chunking: chunk count / start / length are exact
+    // integer math; the chunk identity is md5 over the space-joined
+    // token slice (1-based inclusive slicing on both engines)
+    "q_doc_chunks" ->
+      (s"WITH f AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
+        "j AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n, " +
+        "unnest(range(0, CASE WHEN len(t) <= 64 THEN 1 " +
+        "ELSE ((len(t) - 64 + 47) // 48) + 1 END)) AS chunk_id FROM f) " +
+        "SELECT doc_id, chunk_id, chunk_id * 48 + 1 AS start_tok, " +
+        "least(64, n - chunk_id * 48) AS n_tokens, " +
+        "md5(array_to_string(list_slice(t, chunk_id * 48 + 1, " +
+        "chunk_id * 48 + least(64, n - chunk_id * 48)), ' ')) AS chunk_md5 " +
+        "FROM j ORDER BY doc_id, chunk_id")
     // No oracle (rows-only checks) — the authoritative list is
     // `queries.keySet -- oracleSql.keySet` (don't trust a hardcoded
     // enumeration here); currently that's the xxhash64-based dedup

@@ -1245,4 +1245,314 @@ object Corpus {
         col("achieved_tokens"), col("achieved_ratio"))
       .orderBy(col("source"))
   }
+
+  /** TOKEN-BUDGET-constrained selection: keep the highest-quality
+    * documents whose cumulative token count fits a global budget — the
+    * "best data under a compute budget" election every budgeted
+    * pretraining run makes (data-constrained scaling, Muennighoff et
+    * al. 2023; FineWeb keeps top quality classes until the target
+    * token count). Budget here = half the corpus's tokens; the knob is
+    * the operator, not the constant.
+    *
+    * Selection is by QUALITY CLASS, not by per-doc rank: documents
+    * group by their 6-dp [[TextAnalysis.qualityScoreCol]]; classes are
+    * taken best-first while the cumulative token count of STRICTLY
+    * better classes stays under budget, so the boundary class is
+    * included whole (overshoot bounded by one class). That rule is
+    * what makes the election scale-sane — a per-doc greedy cumsum
+    * would need a corpus-sized single-partition running total, while
+    * the class rule needs only a cumsum over the ≤1e6-row score
+    * HISTOGRAM (the [[TextAnalysis.qualityAuc]] discipline) reduced to
+    * ONE scalar threshold, and it is tie-stable by construction (equal
+    * scores share a fate; no doc_id tiebreak can reorder a re-crawl).
+    *
+    * Scale shape: two corpus passes (histogram build + verdict
+    * projection — recomputing the narrow kernel beats caching a 100 TB
+    * projection), a single-partition window over the histogram ONLY,
+    * and a 1-row broadcast threshold onto the second pass. The kept
+    * test is pure BIGINT (2·cum < total), so no FP boundary exists for
+    * the oracle to disagree on.
+    */
+  def tokenBudgetSelect(spark: SparkSession, d: String): DataFrame =
+    tokenBudgetSelectDf(Tables.fanOut(Tables.documents(spark, d)))
+
+  /** DataFrame form (docs must have doc_id + text); see
+    * [[tokenBudgetSelect]].
+    */
+  def tokenBudgetSelectDf(docs: DataFrame): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+    val scored = docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScoreCol.as("quality"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val hist = scored.groupBy(col("quality"))
+      .agg(sum(col("n_tokens")).as("ct"))
+    val prevBetter = win.orderBy(col("quality").desc)
+      .rowsBetween(Long.MinValue, -1)
+    val thr = hist
+      .withColumn("cb", coalesce(sum(col("ct")).over(prevBetter), lit(0L)))
+      .withColumn("total", sum(col("ct")).over(win.partitionBy()))
+      .filter(col("cb") * 2 < col("total"))
+      .agg(min(col("quality")).as("qthr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        (col("quality") >= col("qthr")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** UNIMAX language sampling (Chung et al., ICLR 2023): allocate a
+    * total token budget across languages as UNIFORMLY as possible,
+    * subject to a per-language epoch cap C — the fairer alternative to
+    * temperature scaling ([[mixturePlanTemperature]]) that never
+    * repeats a low-resource language beyond C epochs. The paper's
+    * algorithm walks languages by ascending token count, granting each
+    * min(C·n_l, remaining/langs_remaining); this implementation uses
+    * the CLOSED FORM that walk induces: once a language's cap exceeds
+    * its uniform share, so does every larger language's (the uniform
+    * share is invariant across uncapped grants), so the capped set is
+    * a PREFIX of the ascending order, and the crossover test
+    * t_l = C·n_l·(L−l+1) + C·Σ_{j<l} n_j < B is monotone in l — both
+    * facts proved by the algebra in UniMaxSpec's brute-force parity
+    * test. Everything becomes window sums over the per-language
+    * aggregate; no driver-side loop, no recursion.
+    *
+    * Budget = floor(7/4 of the corpus's tokens) with C = 2: sized so
+    * real corpora exercise BOTH regimes (small languages capped at 2
+    * epochs, the head language absorbing the remainder). The capped
+    * test and allocations are exact BIGINT; only the uniform share and
+    * the epochs ratio touch doubles, both micro-snapped (7·total stays
+    * under 2^53 — the [[repeatSchedule]] exactness note).
+    *
+    * Scale shape: one corpus-sized map-side-combined aggregation keyed
+    * by lang; every window after that runs over the |languages|-row
+    * table (the [[mixturePlanDf]] precedent).
+    */
+  def unimaxMixture(spark: SparkSession, d: String, epochCap: Int = 2): DataFrame =
+    unimaxMixtureDf(Tables.documents(spark, d), epochCap)
+
+  /** DataFrame form (docs must have lang + text); see [[unimaxMixture]]. */
+  def unimaxMixtureDf(docs: DataFrame, epochCap: Int): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+    val all = win.partitionBy()
+    val asc = win.orderBy(col("n_tokens"), col("lang"))
+    val c = lit(epochCap.toLong)
+    val perLang = docs
+      .select(col("lang"),
+        coalesce(size(TextAnalysis.tokens(col("text"))), lit(0))
+          .cast("long").as("n_toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val staged = perLang
+      .withColumn("total", sum(col("n_tokens")).over(all))
+      .withColumn("n_langs", count(lit(1)).over(all))
+      .withColumn("i", row_number().over(asc).cast("long"))
+      .withColumn("s_prev",
+        coalesce(sum(col("n_tokens")).over(asc.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("budget", floor(lit(7.0) * col("total") / 4).cast("long"))
+      .withColumn("capped",
+        c * col("n_tokens") * (col("n_langs") - col("i") + 1) + c * col("s_prev")
+          < col("budget"))
+    staged
+      .withColumn("s_capped",
+        sum(when(col("capped"), col("n_tokens")).otherwise(0L)).over(all))
+      .withColumn("k_capped",
+        sum(when(col("capped"), 1L).otherwise(0L)).over(all))
+      // the uncapped branch's divisor n_langs − k_capped is ≥ 1 exactly
+      // because an uncapped row exists (CASE evaluates lazily per row in
+      // both engines, so the all-capped corpus never divides)
+      .withColumn("target_tokens",
+        when(col("capped"), c * col("n_tokens"))
+          .otherwise(floor((col("budget") - c * col("s_capped")).cast("double")
+            / (col("n_langs") - col("k_capped")).cast("double") + 0.5).cast("long")))
+      .withColumn("epochs",
+        when(col("n_tokens") > 0,
+          floor(col("target_tokens").cast("double") / col("n_tokens").cast("double")
+            * 1e6 + 0.5) / 1e6)
+          .otherwise(lit(0.0)))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("capped"),
+        col("target_tokens"), col("epochs"))
+      .orderBy(col("lang"))
+  }
+
+  /** Sliding-window document CHUNKING: split every document into
+    * fixed-size token windows with overlap — the retrieval/embedding
+    * prep step (a context-bounded encoder reads chunks, and overlap
+    * keeps boundary sentences visible to at least one chunk). Chunk
+    * size 64 tokens, stride 48 (16-token overlap); a document of n
+    * tokens yields 1 + ceil((n − 64)/48) chunks, the last one short,
+    * every token covered by construction. Each chunk is emitted as its
+    * position plus an md5 fingerprint of the space-joined token slice
+    * — the identity a chunk-level dedup or index joins on — rather
+    * than the chunk text itself (corpus-sized output stays narrow).
+    *
+    * Scale shape: a pure narrow generate — tokenize, one explode over
+    * the per-doc chunk count, slice + hash per chunk; no shuffle
+    * anywhere but the presentation sort (plan-pinned). The chunk count
+    * arithmetic is exact integer math on both engines.
+    */
+  def docChunks(spark: SparkSession, d: String,
+                chunk: Int = 64, stride: Int = 48): DataFrame =
+    docChunksDf(Tables.fanOut(Tables.documents(spark, d)), chunk, stride)
+
+  /** DataFrame form (docs must have doc_id + text); see [[docChunks]]. */
+  def docChunksDf(docs: DataFrame, chunk: Int, stride: Int): DataFrame = {
+    require(chunk > 0 && stride > 0 && stride <= chunk,
+      s"need 0 < stride <= chunk, got chunk=$chunk stride=$stride")
+    val t = TextAnalysis.tokens(col("text"))
+    val nChunks = when(col("n") <= chunk, lit(1L))
+      .otherwise(floor((col("n") - chunk + (stride - 1)).cast("double") / stride)
+        .cast("long") + 1)
+    val start = (col("chunk_id") * stride + 1)
+    val nTok = least(lit(chunk.toLong), col("n") - col("chunk_id") * stride)
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), t.as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        start.as("start_tok"), nTok.as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("t"), start.cast("int"), nTok.cast("int"))).cast("binary"))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** LEAKAGE-SAFE train/val/test splitting: assignment by NEAR-DUP
+    * CLUSTER, not by document. [[splitAssignments]]'s content hash
+    * already co-assigns exact duplicates, but near-duplicates (a
+    * re-crawl with a changed footer, a quoted copy) hash differently
+    * and can straddle train/test — the contamination Lee et al. 2022
+    * measure: eval loss on test members of a straddling cluster is
+    * memorization, not generalization. Here every document inherits
+    * the split of its cluster's CANONICAL member (the min-id label out
+    * of [[Dedup.dedupClusters]]), computed from the canonical's
+    * content hash with the exact [[splitAssignments]] thresholds — so
+    * a cluster can never straddle (one canonical, one hash, one
+    * split), and unclustered documents keep their plain content-hash
+    * assignment bit-for-bit (canonical = self).
+    *
+    * Scale shape: LSH candidates → min-label clusters (the
+    * [[Dedup.dedupClusters]] rounds), then one left join docs→labels
+    * on doc_id and one keyed join labels→canonical hash on
+    * canonical_id. The canonical side of that join is the skew point —
+    * a viral page's cluster joins its hash once per member — which is
+    * exactly the AQE skew-join shape (bounded further by LSH clusters
+    * being shallow). No union-find leaves the executors; the label
+    * table arrives materialized (localCheckpoint leaf).
+    */
+  def leakageSafeSplits(spark: SparkSession, d: String,
+                        threshold: Double = 0.7): DataFrame =
+    leakageSafeSplitsDf(Tables.documents(spark, d), threshold)
+
+  /** DataFrame form (docs must have doc_id + text); see
+    * [[leakageSafeSplits]].
+    */
+  def leakageSafeSplitsDf(docs: DataFrame, threshold: Double): DataFrame = {
+    val clusters = Dedup.dedupClusters(
+      Dedup.minhashCandidatePairsUnordered(docs)
+        .filter(col("est_jaccard") >= threshold))
+    val canon = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+    val canonBucket = docs.select(col("doc_id").as("canonical_id"),
+      substring(md5(col("text").cast("binary")), 1, 2).as("bucket"))
+    canon.join(canonBucket, Seq("canonical_id"))
+      .withColumn("split",
+        when(col("bucket") < "e6", "train")
+          .when(col("bucket") < "f3", "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("canonical_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Split assignment AGAINST a frozen base — the incremental form of
+    * [[leakageSafeSplits]], closing the recrawl loophole: a batch
+    * election is leakage-safe only until the next crawl delivers a
+    * dressed-up copy of a training page that hashes into test. Each
+    * arrival probes the base's MinHash band index; one that near-
+    * duplicates a base document INHERITS that document's split (best
+    * anchor = strongest estimate, smallest base id on ties —
+    * deterministic across partitionings), fresh content falls back to
+    * the plain [[splitAssignments]] content-hash rule.
+    *
+    * Scale shape: one (band, band_hash)-keyed probe join (the
+    * [[Dedup.minhashNearDupsAgainst]] contract), one arrival-keyed
+    * max-struct election, one anchor-keyed join to the split table,
+    * one left join back onto the batch — every join keyed, probe work
+    * proportional to the batch, never |batch| × |base|.
+    */
+  def splitAssignAgainst(docs: DataFrame, index: DataFrame,
+                         baseSplits: DataFrame,
+                         threshold: Double = 0.7): DataFrame = {
+    val best = Dedup.minhashNearDupsAgainst(docs, index)
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("id_new"))
+      .agg(max(struct(col("est_jaccard"), (-col("id_base")).as("neg_id"))).as("m"))
+      .select(col("id_new").as("doc_id"), (-col("m.neg_id")).as("anchor_id"))
+    val anchored = best.join(
+      baseSplits.select(col("doc_id").as("anchor_id"),
+        col("split").as("anchor_split")),
+      Seq("anchor_id"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        substring(md5(col("text").cast("binary")), 1, 2).as("bucket"))
+      .join(anchored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("anchor_id").isNotNull.as("inherited"),
+        coalesce(col("anchor_id"), col("doc_id")).as("anchor_id"),
+        coalesce(col("anchor_split"),
+          when(col("bucket") < "e6", "train")
+            .when(col("bucket") < "f3", "val")
+            .otherwise("test")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Registered composition: the [[Dedup.minhashIncremental]]
+    * snapshot/delta split at split-assignment granularity — today's
+    * arrivals (doc_id % 4 == 0) inherit splits from the leakage-safe
+    * election over the indexed base.
+    */
+  def splitInheritance(spark: SparkSession, d: String,
+                       threshold: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val arrivals = docs.filter(col("doc_id") % 4 === 0)
+    splitAssignAgainst(arrivals, Dedup.minhashBandIndex(base),
+      org.apache.spark.sql.GraftSql.unordered(leakageSafeSplitsDf(base, threshold))
+        .select(col("doc_id"), col("split")),
+      threshold)
+  }
+
+  /** Streaming split assignment (foreachBatch stage): the base's band
+    * index and its leakage-safe split table are FROZEN once; each
+    * micro-batch of arrivals reports (inherited, anchor, split)
+    * verdicts tagged with the batch id — the admission stamp a
+    * streaming ingest writes before a recrawl can contaminate eval.
+    */
+  def splitAssignSink(docStream: DataFrame, baseDocs: DataFrame,
+                      outPath: String, checkpoint: String,
+                      threshold: Double = 0.7, triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val frozenIndex = Freeze.scoped(checkpoint, Dedup.minhashBandIndex(baseDocs))
+    val frozenSplits = Freeze.scoped(checkpoint,
+      org.apache.spark.sql.GraftSql.unordered(
+        leakageSafeSplitsDf(baseDocs, threshold))
+        .select(col("doc_id"), col("split")))
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // per-batch presentation sort stripped (see Cleaning.spanDedupSink)
+          org.apache.spark.sql.GraftSql.unordered(
+            splitAssignAgainst(batch, frozenIndex, frozenSplits, threshold))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+  }
 }

@@ -64,7 +64,11 @@ object ScaleSmoke {
     "q_boilerplate_cleaned" /* dictionary mining keyed on (source, line); doc side broadcast-only */,
     "q_semantic_outliers" /* id-keyed label join + dimsxsources agg; bounded top-k final */,
     "q_domain_cap" /* narrow scoring + bounded per-domain top-k; <= cap rows/domain cross the exchange */,
-    "q_acquisition_funnel" /* one projection + canon-url window + dict mining; single-row final */)
+    "q_acquisition_funnel" /* one projection + canon-url window + dict mining; single-row final */,
+    "q_token_budget_select" /* histogram window + 1-row broadcast threshold; two narrow passes */,
+    "q_doc_chunks" /* pure narrow generate: must stay linear at scan speed */,
+    "q_leakage_safe_splits" /* cluster rounds + two id-keyed joins; grows with near-dup mass */,
+    "q_split_inheritance" /* delta-vs-index keyed probe + base cluster rounds; no delta x base term */)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

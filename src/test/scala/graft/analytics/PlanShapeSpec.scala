@@ -486,4 +486,52 @@ class PlanShapeSpec extends SparkTestBase {
         s"$q grew an un-keyed nested-loop join:\n$p")
     }
   }
+
+  test("q_token_budget_select: histogram window + scalar broadcast, never a corpus sort") {
+    // the election's scale contract: the only window runs over the
+    // quality HISTOGRAM (score-distinct rows), the verdict reaches the
+    // corpus as a broadcast 1-row threshold, and the corpus itself is
+    // never range-sorted for a running total. A SortMergeJoin or a
+    // second corpus aggregate means the scalar-threshold reduction
+    // regressed to a per-doc cumsum.
+    val p = plan("q_token_budget_select")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"threshold must broadcast, not shuffle the corpus:\n$p")
+    assert(shuffleExchanges("q_token_budget_select") <= 4,
+      s"budget select grew a shuffle:\n$p")
+  }
+
+  test("q_unimax_mixture: one corpus aggregation; windows confined to the language table") {
+    // everything after the per-lang aggregate is |languages|-row math;
+    // a Join appearing here (or extra corpus exchanges) means the
+    // closed form regressed toward a loop with join-backs
+    val p = plan("q_unimax_mixture")
+    assert(!p.contains("Join"), s"unimax must stay join-free:\n$p")
+    assert(shuffleExchanges("q_unimax_mixture") <= 4,
+      s"unimax grew a shuffle:\n$p")
+  }
+
+  test("q_doc_chunks: narrow generate — no aggregate, no join, only the presentation sort") {
+    val p = plan("q_doc_chunks")
+    val keyed = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("RoundRobinPartitioning"))
+    assert(keyed <= 1, s"chunking grew a data shuffle ($keyed):\n$p")
+    assert(p.contains("Generate") && !p.contains("HashAggregate") &&
+      !p.contains("Join") && !p.contains("Window"),
+      s"chunking must stay a per-doc generate:\n$p")
+  }
+
+  test("q_leakage_safe_splits: label and hash joins stay keyed — no all-pairs") {
+    // cluster resolution runs eagerly (materialized label leaf); the
+    // residual plan is docs ⋈ labels ⋈ canonical-hash — both joins must
+    // stay keyed on ids (the canonical side is the AQE skew-join shape,
+    // never a nested loop)
+    val p = plan("q_leakage_safe_splits")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"leakage-safe splits must join on keys:\n$p")
+    // the incremental form: band probe + anchor/self joins, same rule
+    val pi = plan("q_split_inheritance")
+    assert(!pi.contains("CartesianProduct") && !pi.contains("BroadcastNestedLoopJoin"),
+      s"split inheritance must probe through keyed joins:\n$pi")
+  }
 }

@@ -602,4 +602,173 @@ class CorpusSpec extends SparkTestBase {
     val kept = out.groupBy(_._1).map { case (_, rs) => rs.length }
     assert(kept.forall(_ == 10), s"every 25-doc source must cap at 10: $kept")
   }
+
+  test("token-budget select: best-first by class, boundary class whole, budget respected") {
+    val rows = Corpus.tokenBudgetSelect(spark, sfDir).collect()
+      .map(r => (r.getDouble(1), r.getLong(2), r.getBoolean(3)))
+    val classes = rows.groupBy(_._1).map { case (q, rs) =>
+      (q, rs.map(_._2).sum, rs.map(_._3).distinct)
+    }.toSeq
+    // equal scores share a fate — the boundary class is never split
+    classes.foreach { case (q, _, verdicts) =>
+      assert(verdicts.length == 1, s"class $q split across keep verdicts")
+    }
+    val keptQ = classes.filter(_._3.head).map(_._1)
+    val dropQ = classes.filterNot(_._3.head).map(_._1)
+    assert(keptQ.nonEmpty, "the best class is always kept")
+    assert(dropQ.nonEmpty, "a half-token budget must drop something here")
+    assert(keptQ.min > dropQ.max, "kept classes must strictly dominate dropped ones")
+    // strictly-better-than-boundary classes fit the budget; adding the
+    // first dropped class would exceed it
+    val total = rows.map(_._2).sum
+    val boundary = keptQ.min
+    val aboveBoundary = rows.filter(r => r._3 && r._1 != boundary).map(_._2).sum
+    val keptTokens = rows.filter(_._3).map(_._2).sum
+    assert(aboveBoundary * 2 < total, "pre-boundary cumulative must stay under budget")
+    assert(keptTokens * 2 >= total, "stopping means the budget was reached")
+  }
+
+  test("token-budget select: hand-built classes — overshoot bounded by one class") {
+    import spark.implicits._
+    // three quality classes via distinct repetitive shapes; token counts
+    // chosen so the budget boundary falls INSIDE the middle class
+    def mk(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+    val hi = (1 to 4).map(i => mk(i, Seq.fill(10)(Seq("the", "a", "of", "and")).flatten))
+    val mid = (11 to 14).map(i => mk(i, (1 to 40).map(k => s"m$k")))
+    val lo = (21 to 24).map(i => mk(i, Seq.fill(40)("!!!")))
+    val out = Corpus.tokenBudgetSelectDf(
+        (hi ++ mid ++ lo).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(3)))
+    val byId = out.map(r => r._1 -> r._3).toMap
+    assert(hi.forall(d => byId(d._1)), "stopword-rich class must be kept")
+    assert(lo.forall(d => !byId(d._1)), "punctuation-soup class must be dropped")
+    // the middle class is the boundary: kept whole (overshoot ≤ one class)
+    val midVerdicts = mid.map(d => byId(d._1)).distinct
+    assert(midVerdicts == Seq(true), "boundary class must be included whole")
+  }
+
+  /** The UniMax paper's sequential waterfilling, for parity with the
+    * closed form: ascending token count, each language granted
+    * min(cap·n, remaining/left).
+    */
+  private def unimaxBrute(langs: Seq[(String, Long)], cap: Long): Map[String, Double] = {
+    val budget = math.floor(7.0 * langs.map(_._2).sum / 4)
+    var remaining = budget
+    var left = langs.size
+    val out = scala.collection.mutable.Map[String, Double]()
+    langs.sortBy(l => (l._2, l._1)).foreach { case (lang, n) =>
+      val grant = math.min(cap.toDouble * n, remaining / left)
+      out(lang) = grant
+      remaining -= grant
+      left -= 1
+    }
+    out.toMap
+  }
+
+  test("unimax: closed form equals sequential waterfilling on the real table") {
+    val out = Corpus.unimaxMixture(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getBoolean(3), r.getLong(4)))
+    val brute = unimaxBrute(out.map(r => (r._1, r._2)).toSeq, 2L)
+    out.foreach { case (lang, _, _, target) =>
+      assert(math.abs(target - brute(lang)) <= 1.0,
+        s"$lang: closed form $target vs waterfilling ${brute(lang)}")
+    }
+  }
+
+  test("unimax: mixed regime — small languages capped, the head absorbs the rest") {
+    import spark.implicits._
+    def docsFor(lang: String, nTok: Int, id: Long) =
+      (id, (1 to nTok).map(k => s"w$k").mkString(" "), lang)
+    val docs = Seq(docsFor("aa", 10, 1), docsFor("bb", 20, 2), docsFor("cc", 1000, 3))
+      .toDF("doc_id", "text", "lang")
+    val out = Corpus.unimaxMixtureDf(docs, 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(3), r.getLong(4), r.getDouble(5))).toMap
+    // budget = floor(7·1030/4) = 1802; aa and bb cap at 2 epochs, cc
+    // takes the remainder (1802 − 60 = 1742)
+    assert(out("aa") == ((true, 20L, 2.0)), s"aa: ${out("aa")}")
+    assert(out("bb") == ((true, 40L, 2.0)), s"bb: ${out("bb")}")
+    assert(out("cc") == ((false, 1742L, 1.742)), s"cc: ${out("cc")}")
+  }
+
+  test("unimax: degenerate regimes — all capped underfills, huge cap goes uniform") {
+    import spark.implicits._
+    val even = Seq((1L, (1 to 100).map(k => s"a$k").mkString(" "), "aa"),
+      (2L, (1 to 100).map(k => s"b$k").mkString(" "), "bb"),
+      (3L, (1 to 100).map(k => s"c$k").mkString(" "), "cc"))
+      .toDF("doc_id", "text", "lang")
+    // cap 1: every language capped at its own size; budget (525) underfilled
+    val capped = Corpus.unimaxMixtureDf(even, 1).collect()
+      .map(r => (r.getBoolean(3), r.getLong(4), r.getDouble(5)))
+    assert(capped.forall(_ == ((true, 100L, 1.0))), capped.mkString(","))
+    // cap 100: nothing capped; every language gets budget/3 = 175
+    val uniform = Corpus.unimaxMixtureDf(even, 100).collect()
+      .map(r => (r.getBoolean(3), r.getLong(4)))
+    assert(uniform.forall(_ == ((false, 175L))), uniform.mkString(","))
+  }
+
+  test("doc chunks: boundary lengths — counts, starts, coverage, overlap, fingerprint") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, words(1)), (2L, words(64)), (3L, words(65)), (4L, words(200)))
+      .toDF("doc_id", "text")
+    val out = Corpus.docChunksDf(docs, 64, 48).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byDoc(1L).map(c => (c._3, c._4)).toSeq == Seq((1L, 1L)))
+    assert(byDoc(2L).map(c => (c._3, c._4)).toSeq == Seq((1L, 64L)))
+    assert(byDoc(3L).map(c => (c._3, c._4)).toSeq == Seq((1L, 64L), (49L, 17L)))
+    assert(byDoc(4L).map(c => (c._3, c._4)).toSeq ==
+      Seq((1L, 64L), (49L, 64L), (97L, 64L), (145L, 56L)))
+    // every token covered; consecutive chunks overlap by chunk − stride
+    byDoc.foreach { case (id, chunks) =>
+      val n = Seq(1, 64, 65, 200)(id.toInt - 1)
+      assert(chunks.head._3 == 1L && chunks.last._3 + chunks.last._4 - 1 == n,
+        s"doc $id chunk range must cover 1..$n")
+      chunks.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 == a._3 + 48, s"doc $id stride broken")
+        case _ =>
+      }
+    }
+    // fingerprint = md5 of the space-joined slice (check one mid chunk)
+    val slice = (49 to 112).map(i => s"t$i").mkString(" ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(slice.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(byDoc(4L)(1)._5 == md, "chunk_md5 must hash the exact token slice")
+  }
+
+  test("leakage-safe splits: clusters never straddle; unclustered docs keep the content split") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val variants = (0 until 40).map(k => (100L + k, s"$base extra$k"))
+    val singles = (0 until 20).map(k =>
+      (500L + k, (1 to 30).map(i => s"u${k}x$i").mkString(" ")))
+    val docs = (variants ++ singles).toDF("doc_id", "text")
+    val safe = Corpus.leakageSafeSplitsDf(docs, 0.7).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(safe.size == variants.size + singles.size, "every doc must be assigned")
+    // the plain content split must straddle the variant family (or the
+    // fixture proves nothing) — compute it in-JVM
+    def contentSplit(text: String): String = {
+      val b = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+      if (b < "e6") "train" else if (b < "f3") "val" else "test"
+    }
+    val naive = variants.map(v => contentSplit(v._2)).distinct
+    assert(naive.size > 1, s"fixture must straddle under the naive split: $naive")
+    // leakage-safe: one cluster, one canonical, one split
+    val safeVariant = variants.map(v => safe(v._1)).distinct
+    assert(safeVariant.size == 1,
+      s"near-dup cluster must not straddle splits: $safeVariant")
+    val (canonical, clusterSplit) = safeVariant.head
+    assert(canonical == 100L, "canonical is the min-id member")
+    assert(clusterSplit == contentSplit(variants.head._2),
+      "the cluster split is the canonical member's content split")
+    // unclustered docs: canonical = self, split = plain content split
+    singles.foreach { case (id, text) =>
+      assert(safe(id) == ((id, contentSplit(text))),
+        s"unclustered doc $id must keep its content-hash assignment")
+    }
+  }
 }

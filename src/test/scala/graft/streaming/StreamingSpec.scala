@@ -1071,4 +1071,53 @@ class StreamingSpec extends SparkTestBase {
     assert(byDoc(12L) == oov * 1000,
       "all-OOV doc must carry exactly the OOV constant per gram")
   }
+
+  test("streaming split assignment: near-dup arrivals inherit the frozen split; batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val passage = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val base = Seq(100L -> passage).toDF("doc_id", "text")
+    def contentSplit(text: String): String = {
+      val b = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+      if (b < "e6") "train" else if (b < "f3") "val" else "test"
+    }
+    val baseSplit = contentSplit(passage)
+    // pick a near-copy whose OWN content split differs from the base's
+    // (otherwise inheritance is indistinguishable from the fallback) —
+    // deterministic search over suffix variants
+    val nearCopy = (0 until 200).iterator
+      .map(k => s"$passage recrawl$k")
+      .find(t => contentSplit(t) != baseSplit)
+      .getOrElse(fail("no differing variant in 200 candidates"))
+    val fresh = (1 to 60).map(i => s"other$i").mkString(" ")
+    val arrivals = Seq(1L -> nearCopy, 2L -> fresh)
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("sa_out").toString
+    val ckpt = Files.createTempDirectory("sa_ckpt").toString
+    val query = graft.ext.Corpus.splitAssignSink(
+      input.toDF().toDF("doc_id", "text"), base, out, ckpt,
+      triggerMs = 50L).start()
+    try {
+      input.addData(arrivals: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ext.Corpus.splitAssignAgainst(
+        arrivals.toDF("doc_id", "text"),
+        graft.ext.Dedup.minhashBandIndex(base),
+        graft.ext.Corpus.leakageSafeSplitsDf(base, 0.7)
+          .select(col("doc_id"), col("split")))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    val byDoc = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(byDoc(1L) == ((true, 100L, baseSplit)),
+      s"near-copy must inherit the base split even though its own content " +
+        s"split is ${contentSplit(nearCopy)}: $byDoc")
+    assert(byDoc(2L) == ((false, 2L, contentSplit(fresh))),
+      s"fresh arrival must fall back to its content split: $byDoc")
+  }
 }
