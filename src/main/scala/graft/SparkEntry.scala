@@ -239,7 +239,9 @@ object SparkEntry {
     // rows-only like the batch form: arrivals inherit the leakage-safe
     // split of the base page they near-duplicate (minhash probe);
     // inheritance + fallback parity are asserted in Corpus/StreamingSpec
-    "q_split_inheritance" -> ((s: SparkSession, d: String) => ext.Corpus.splitInheritance(s, d))
+    "q_split_inheritance" -> ((s: SparkSession, d: String) => ext.Corpus.splitInheritance(s, d)),
+    "q_cdc_chunks"        -> ((s: SparkSession, d: String) => ext.Corpus.cdcChunks(s, d)),
+    "q_curriculum_order"  -> ((s: SparkSession, d: String) => ext.Corpus.curriculumOrder(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -1920,7 +1922,54 @@ object SparkEntry {
         "least(64, n - chunk_id * 48) AS n_tokens, " +
         "md5(array_to_string(list_slice(t, chunk_id * 48 + 1, " +
         "chunk_id * 48 + least(64, n - chunk_id * 48)), ' ')) AS chunk_md5 " +
-        "FROM j ORDER BY doc_id, chunk_id")
+        "FROM j ORDER BY doc_id, chunk_id"),
+    // content-defined chunking: the cut rule (md5 of the 3-token window
+    // below '2') and the span algebra are identical HOF chains on both
+    // engines; DuckDB's range() is empty for n < 3, so it needs no guard
+    "q_cdc_chunks" ->
+      (s"WITH f AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
+        "g AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n, " +
+        "list_filter(range(3, len(t) + 1), i -> " +
+        "substring(md5(array_to_string(list_slice(t, i - 2, i), ' ')), 1, 1) < '2') AS b FROM f), " +
+        "s AS (SELECT doc_id, t, [1] || list_transform(b, x -> x + 1) AS starts, " +
+        "b || [n] AS ends FROM g), " +
+        "k AS (SELECT doc_id, t, list_filter(range(1, len(starts) + 1), " +
+        "i -> starts[i] <= ends[i]) AS keep, starts, ends FROM s), " +
+        "e AS (SELECT doc_id, t, " +
+        "unnest(list_transform(keep, i -> struct_pack(s := starts[i], e := ends[i]))) AS p, " +
+        "unnest(range(0, len(keep))) AS chunk_id FROM k) " +
+        "SELECT doc_id, chunk_id, CAST(p.s AS BIGINT) AS start_tok, " +
+        "CAST(p.e - p.s + 1 AS BIGINT) AS n_tokens, " +
+        "md5(array_to_string(list_slice(t, p.s, p.e), ' ')) AS chunk_md5 " +
+        "FROM e ORDER BY doc_id, chunk_id"),
+    // curriculum order: quality fragment verbatim; tercile boundaries by
+    // whole class over the histogram (pure BIGINT 3·cb < n tests); the
+    // within-stage order is the q_epoch_order hash-shard discipline
+    "q_curriculum_order" ->
+      (s"WITH f0 AS (SELECT doc_id, text, " +
+        s"CAST(len(list_filter($toks, t -> t IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) " +
+        s"/ len($toks) AS stop_r, " +
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_r, " +
+        s"CAST(len($toks) AS DOUBLE) AS n_tok, " +
+        s"CAST(length(text) AS DOUBLE) / len($toks) AS avg_len " +
+        "FROM documents WHERE length(text) > 0), " +
+        "f AS (SELECT doc_id, text, round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * stop_r - 8.0 * punct_r " +
+        "+ 0.9 * ln(n_tok + 1.0) - 0.35 * avg_len))), 6) AS quality FROM f0), " +
+        "h AS (SELECT quality, COUNT(*) AS cnt FROM f GROUP BY quality), " +
+        "w AS (SELECT quality, COALESCE(SUM(cnt) OVER " +
+        "(ORDER BY quality DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb, " +
+        "SUM(cnt) OVER () AS n FROM h), " +
+        "thr AS (SELECT MIN(CASE WHEN cb * 3 < n THEN quality END) AS q1, " +
+        "MIN(CASE WHEN cb * 3 < n * 2 THEN quality END) AS q2 FROM w), " +
+        "st AS (SELECT doc_id, quality, " +
+        "CASE WHEN quality >= q1 THEN 1 WHEN quality >= q2 THEN 2 ELSE 3 END AS stage, text " +
+        "FROM f CROSS JOIN thr), " +
+        "sh AS (SELECT doc_id, quality, stage, " +
+        "md5(CAST(stage AS VARCHAR) || ':' || text) AS hh FROM st) " +
+        "SELECT doc_id, quality, stage, substring(hh, 1, 1) AS shard, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY stage, substring(hh, 1, 1) " +
+        "ORDER BY hh, doc_id) AS BIGINT) AS pos " +
+        "FROM sh ORDER BY doc_id")
     // No oracle (rows-only checks) — the authoritative list is
     // `queries.keySet -- oracleSql.keySet` (don't trust a hardcoded
     // enumeration here); currently that's the xxhash64-based dedup

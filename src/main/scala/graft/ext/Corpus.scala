@@ -1419,6 +1419,109 @@ object Corpus {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** CONTENT-DEFINED chunking (CDC): chunk boundaries fall where a
+    * rolling fingerprint of the LAST 3 TOKENS lands in a 1/8 slice of
+    * hash space (the LBFS cut rule, Muthitacharoen et al. SOSP 2001 —
+    * gear/Rabin CDC reduced to token granularity), instead of at fixed
+    * offsets. What that buys over [[docChunks]]: boundaries are a
+    * function of LOCAL CONTENT, so inserting a sentence at the head of
+    * a re-crawled page shifts every fixed-window fingerprint but leaves
+    * every CDC chunk after the next boundary byte-identical — chunk-
+    * level dedup between crawl snapshots keeps matching. The
+    * shift-resistance is asserted as a property in CorpusSpec (same
+    * doc, prepended insertion: CDC fingerprints mostly survive, fixed
+    * ones mostly don't). Expected chunk length is 8 tokens (boundary
+    * probability 2/16 per position).
+    *
+    * Scale shape: pure narrow higher-order-function chain — boundary
+    * positions, chunk spans and fingerprints all compute inside ONE
+    * projection per document (no explode-then-window, no shuffle but
+    * the presentation sort). The token array is bound ONCE before the
+    * lambdas ([[Dedup.shinglesOfTokens]]'s interpreted-eval lesson).
+    */
+  def cdcChunks(spark: SparkSession, d: String): DataFrame =
+    cdcChunksDf(Tables.fanOut(Tables.documents(spark, d)))
+
+  /** DataFrame form (docs must have doc_id + text); see [[cdcChunks]]. */
+  def cdcChunksDf(docs: DataFrame): DataFrame = {
+    val t = col("t")
+    val n = col("n")
+    // boundary AFTER position i iff md5 of the 3-token window ending at
+    // i starts below '2' (lowercase-hex compare, engine-portable)
+    val cut = (i: Column) =>
+      substring(md5(concat_ws(" ", slice(t, i - 2, lit(3))).cast("binary")), 1, 1) < "2"
+    val bounds = when(n >= 3, filter(sequence(lit(3), n), cut))
+      .otherwise(array().cast("array<int>"))
+    val starts = concat(array(lit(1)), transform(col("b"), b => b + 1))
+    val ends = concat(col("b"), array(n))
+    val spans = filter(
+      zip_with(starts, ends, (s, e) => struct(s.as("s"), e.as("e"))),
+      p => p("s") <= p("e"))
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .withColumn("n", size(t))
+      .withColumn("b", bounds)
+      .select(col("doc_id"), t, posexplode(spans).as(Seq("chunk_id", "p")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("p.s").cast("long").as("start_tok"),
+        (col("p.e") - col("p.s") + 1).cast("long").as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(t, col("p.s"), col("p.e") - col("p.s") + 1)).cast("binary"))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** CURRICULUM training order: stage the corpus easy→hard by quality
+    * TERCILE, then give each stage the [[epochShuffleShards]]
+    * deterministic shuffle — the curriculum-learning schedule (Bengio
+    * et al. 2009; data-side curricula order pretraining batches by a
+    * difficulty proxy) expressed as the training-order artifact a
+    * loader consumes: (stage, shard, pos) is a pure function of
+    * content, so the schedule survives retries, re-partitions and
+    * re-crawls. Terciles are by DOC COUNT over the 6-dp quality-class
+    * histogram with whole-class assignment (the [[tokenBudgetSelect]]
+    * discipline: a class never straddles stages, so equal-quality docs
+    * share a stage at any scale).
+    *
+    * Scale shape: one histogram pass reduced to a 2-row broadcast
+    * threshold table, one verdict pass, and the per-(stage, shard)
+    * rank window — 3×16 partitions of corpus/48 rows each, the
+    * [[epochShuffleShards]] exchange shape (never a per-stage global
+    * sort).
+    */
+  def curriculumOrder(spark: SparkSession, d: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+    val scored = Tables.fanOut(Tables.documents(spark, d))
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.qualityScoreCol.as("quality"))
+    val hist = scored.groupBy(col("quality")).agg(count(lit(1)).as("cnt"))
+    val prevBetter = win.orderBy(col("quality").desc)
+      .rowsBetween(Long.MinValue, -1)
+    // per-class doc count strictly above → stage; reduce to the two
+    // tercile boundary qualities (min quality of stages 1 and 2)
+    val thr = hist
+      .withColumn("cb", coalesce(sum(col("cnt")).over(prevBetter), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(win.partitionBy()))
+      .select(
+        min(when(col("cb") * 3 < col("n"), col("quality"))).as("q1"),
+        min(when(col("cb") * 3 < col("n") * 2, col("quality"))).as("q2"))
+    val staged = scored.crossJoin(broadcast(thr))
+      .withColumn("stage",
+        when(col("quality") >= col("q1"), 1)
+          .when(col("quality") >= col("q2"), 2)
+          .otherwise(3))
+      .withColumn("h", md5(concat(col("stage").cast("string"), lit(":"), col("text"))))
+    staged
+      .withColumn("shard", substring(col("h"), 1, 1))
+      .withColumn("pos", row_number().over(
+        win.partitionBy(col("stage"), col("shard"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("quality"), col("stage"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
   /** LEAKAGE-SAFE train/val/test splitting: assignment by NEAR-DUP
     * CLUSTER, not by document. [[splitAssignments]]'s content hash
     * already co-assigns exact duplicates, but near-duplicates (a

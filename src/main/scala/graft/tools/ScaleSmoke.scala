@@ -68,7 +68,9 @@ object ScaleSmoke {
     "q_token_budget_select" /* histogram window + 1-row broadcast threshold; two narrow passes */,
     "q_doc_chunks" /* pure narrow generate: must stay linear at scan speed */,
     "q_leakage_safe_splits" /* cluster rounds + two id-keyed joins; grows with near-dup mass */,
-    "q_split_inheritance" /* delta-vs-index keyed probe + base cluster rounds; no delta x base term */)
+    "q_split_inheritance" /* delta-vs-index keyed probe + base cluster rounds; no delta x base term */,
+    "q_cdc_chunks" /* pure narrow HOF chain: must stay linear at scan speed */,
+    "q_curriculum_order" /* histogram->broadcast thresholds + 48-partition rank window */)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -521,6 +521,31 @@ class PlanShapeSpec extends SparkTestBase {
       s"chunking must stay a per-doc generate:\n$p")
   }
 
+  test("q_cdc_chunks: one narrow HOF projection — boundaries and spans never shuffle") {
+    // the whole cut-rule/span algebra must stay inside the per-doc
+    // projection feeding one posexplode; an aggregate or window here
+    // means the boundary computation started moving data
+    val p = plan("q_cdc_chunks")
+    val keyed = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("RoundRobinPartitioning"))
+    assert(keyed <= 1, s"cdc chunking grew a data shuffle ($keyed):\n$p")
+    assert(p.contains("Generate") && !p.contains("HashAggregate") &&
+      !p.contains("Join") && !p.contains("Window"),
+      s"cdc chunking must stay a per-doc generate:\n$p")
+  }
+
+  test("q_curriculum_order: broadcast tercile thresholds + the 48-partition rank window") {
+    // the histogram reduces to a 2-value broadcast; the only corpus
+    // windows are the (stage, shard) ranks — a SortMergeJoin or a
+    // per-stage global sort regresses the epoch-order exchange shape
+    val p = plan("q_curriculum_order")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"thresholds must broadcast:\n$p")
+    assert(p.contains("Window"), s"rank window missing:\n$p")
+    assert(shuffleExchanges("q_curriculum_order") <= 5,
+      s"curriculum order grew a shuffle:\n$p")
+  }
+
   test("q_leakage_safe_splits: label and hash joins stay keyed — no all-pairs") {
     // cluster resolution runs eagerly (materialized label leaf); the
     // residual plan is docs ⋈ labels ⋈ canonical-hash — both joins must

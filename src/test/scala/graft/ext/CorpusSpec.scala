@@ -771,4 +771,61 @@ class CorpusSpec extends SparkTestBase {
         s"unclustered doc $id must keep its content-hash assignment")
     }
   }
+
+  test("cdc chunks: spans partition each doc; insertion shifts fixed chunks but not CDC tails") {
+    import spark.implicits._
+    val body = (1 to 120).map(i => s"w${i * 7 % 101}x$i").mkString(" ")
+    val docs = Seq(1L -> body, 2L -> s"inserted sentence here $body")
+      .toDF("doc_id", "text")
+    val cdc = Corpus.cdcChunksDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // spans partition each doc exactly: starts chain, lengths sum to n
+    cdc.groupBy(_._1).foreach { case (id, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.head._3 == 1L, s"doc $id first chunk must start at 1")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4,
+          s"doc $id spans must chain contiguously")
+        case _ =>
+      }
+    }
+    // shift resistance: the 3-token insertion changes EVERY fixed-window
+    // fingerprint but only the CDC chunks before the first post-
+    // insertion boundary — most CDC fingerprints survive
+    val cdcShared = cdc.filter(_._1 == 1L).map(_._5).toSet
+      .intersect(cdc.filter(_._1 == 2L).map(_._5).toSet)
+    val fixed = Corpus.docChunksDf(docs, 64, 48).collect()
+      .map(r => (r.getLong(0), r.getString(4)))
+    val fixedShared = fixed.filter(_._1 == 1L).map(_._2).toSet
+      .intersect(fixed.filter(_._1 == 2L).map(_._2).toSet)
+    val cdcA = cdc.count(_._1 == 1L)
+    assert(cdcShared.size * 2 > cdcA,
+      s"CDC must keep most fingerprints across the insertion: " +
+        s"${cdcShared.size} of $cdcA shared")
+    assert(fixedShared.isEmpty,
+      s"fixed windows must all shift under a head insertion: $fixedShared")
+  }
+
+  test("curriculum order: tercile stages by quality class; per-(stage, shard) dense ranks") {
+    val rows = Corpus.curriculumOrder(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getString(3), r.getLong(4)))
+    val n = rows.length
+    // stages ordered by quality: every stage-1 doc >= every stage-2 doc >= stage-3
+    def qs(stage: Int) = rows.filter(_._3 == stage).map(_._2)
+    assert(qs(1).min >= qs(2).max && qs(2).min >= qs(3).max,
+      "stage quality ranges must be ordered and disjoint up to class boundaries")
+    // a quality class never straddles stages
+    rows.groupBy(_._2).foreach { case (q, rs) =>
+      assert(rs.map(_._3).distinct.length == 1, s"class $q straddles stages")
+    }
+    // tercile balance up to one class's width
+    val s1 = rows.count(_._3 == 1)
+    assert(s1 * 3 >= n - rows.groupBy(_._2).map(_._2.length).max * 3 && s1 > 0,
+      s"stage 1 must hold roughly a third: $s1 of $n")
+    // pos is a dense 1..k permutation within each (stage, shard)
+    rows.groupBy(r => (r._3, r._4)).foreach { case (g, rs) =>
+      assert(rs.map(_._5).sorted.toSeq == (1L to rs.length).toSeq,
+        s"pos must be dense in $g")
+    }
+  }
 }
