@@ -241,7 +241,11 @@ object SparkEntry {
     // inheritance + fallback parity are asserted in Corpus/StreamingSpec
     "q_split_inheritance" -> ((s: SparkSession, d: String) => ext.Corpus.splitInheritance(s, d)),
     "q_cdc_chunks"        -> ((s: SparkSession, d: String) => ext.Corpus.cdcChunks(s, d)),
-    "q_curriculum_order"  -> ((s: SparkSession, d: String) => ext.Corpus.curriculumOrder(s, d))
+    "q_curriculum_order"  -> ((s: SparkSession, d: String) => ext.Corpus.curriculumOrder(s, d)),
+    // rows-only: DataSketches HLL estimates are engine-internal; the
+    // exact q_source_overlap stays registered as this query's auditor
+    // and CleaningSpec bounds the estimate drift against it
+    "q_sketch_overlap"    -> ((s: SparkSession, d: String) => Cleaning.sourceOverlapSketch(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles

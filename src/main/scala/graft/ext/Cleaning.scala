@@ -270,6 +270,57 @@ object Cleaning {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** SKETCHED source overlap: [[sourceOverlap]]'s matrix estimated from
+    * mergeable HLL sketches (Apache DataSketches via Spark's
+    * `hll_sketch_agg` family) — the 100 TB form of the audit. The exact
+    * operator must move the full (source, gram-hash) stream through one
+    * keyed exchange; here each map partition folds its grams into a
+    * fixed-size sketch (lgK = 14 → 2^14 registers, ~0.8 % standard
+    * error), so only KILOBYTES per source cross the wire, and the same
+    * sketches are the artifact a daily job persists and unions across
+    * snapshots/shards without ever rescanning history — the property
+    * exact distinct counts fundamentally lack. Pairwise overlap is
+    * inclusion–exclusion over the union sketch (HLLs cannot intersect
+    * directly), clamped at 0; the subtraction amplifies the relative
+    * error when the true overlap is small, which is why the exact
+    * operator stays registered as this one's auditor
+    * (CleaningAndExtractSpec bounds the drift against it).
+    *
+    * Scale shape: one corpus pass into per-source sketch partials
+    * (map-side merged, |sources| rows out), then a |sources|²
+    * broadcast pair join over the aggregated table only — the corpus
+    * never joins anything. Estimates are engine-internal (DataSketches
+    * HLL), so the query is rows-only by design.
+    */
+  def sourceOverlapSketch(spark: SparkSession, d: String, n: Int = 5,
+                          lgK: Int = 14): DataFrame =
+    sourceOverlapSketchDf(Tables.documents(spark, d), n, lgK)
+
+  /** DataFrame form (docs must have source + text); see
+    * [[sourceOverlapSketch]].
+    */
+  def sourceOverlapSketchDf(docs: DataFrame, n: Int = 5,
+                            lgK: Int = 14): DataFrame = {
+    val sk = Tables.fanOut(docs).filter(col("text").isNotNull)
+      .select(col("source"),
+        explode(Dedup.shingleHashes(TextAnalysis.tokens(col("text")), n)).as("h"))
+      .groupBy(col("source"))
+      .agg(hll_sketch_agg(col("h"), lit(lgK)).as("sk"))
+    val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        hll_sketch_estimate(col("sk_a")).as("est_a"),
+        hll_sketch_estimate(col("sk_b")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("est_union"))
+      .withColumn("est_shared",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      .withColumn("est_jaccard",
+        round(col("est_shared").cast("double") /
+          greatest(col("est_union"), lit(1L)).cast("double"), 6))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Positional span hashes of a token array: pos i (1-based) covers
     * tokens [i, i+n-1], hashed with xxhash64 so span STRINGS never
     * reach an exchange. sequence(1, 0) would generate a DESCENDING

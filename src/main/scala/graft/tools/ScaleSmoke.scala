@@ -70,7 +70,8 @@ object ScaleSmoke {
     "q_leakage_safe_splits" /* cluster rounds + two id-keyed joins; grows with near-dup mass */,
     "q_split_inheritance" /* delta-vs-index keyed probe + base cluster rounds; no delta x base term */,
     "q_cdc_chunks" /* pure narrow HOF chain: must stay linear at scan speed */,
-    "q_curriculum_order" /* histogram->broadcast thresholds + 48-partition rank window */)
+    "q_curriculum_order" /* histogram->broadcast thresholds + 48-partition rank window */,
+    "q_sketch_overlap" /* per-source HLL partials: KB per source cross the wire, |sources|^2 pair join */)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -546,6 +546,22 @@ class PlanShapeSpec extends SparkTestBase {
       s"curriculum order grew a shuffle:\n$p")
   }
 
+  test("q_sketch_overlap: sketch partials only — the corpus never reaches the pair join") {
+    // the whole point of the sketch form: one groupBy(source) whose
+    // exchange moves sketch BYTES, then a |sources|² pair join over the
+    // aggregated table (the < condition makes it a nested loop over a
+    // broadcast |sources|-row side — by design). Budget: the sketch
+    // exchange appears TWICE at explain time (the self-join's mirrored
+    // subtree — identical, collapsed by ReuseExchange under AQE) plus
+    // the presentation sort; anything beyond means the corpus stream
+    // leaked past the sketch aggregation.
+    val p = plan("q_sketch_overlap")
+    assert(shuffleExchanges("q_sketch_overlap") <= 3,
+      s"sketch overlap grew a corpus shuffle:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"),
+      s"sketch partial aggregation missing:\n$p")
+  }
+
   test("q_leakage_safe_splits: label and hash joins stay keyed — no all-pairs") {
     // cluster resolution runs eagerly (materialized label leaf); the
     // residual plan is docs ⋈ labels ⋈ canonical-hash — both joins must

@@ -306,6 +306,36 @@ class CleaningSpec extends SparkTestBase {
     assert(math.abs(row.getDouble(5) - 0.333333) < 1e-6)
   }
 
+  test("sketched source overlap: estimates track the exact auditor on the real table") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val exact = Cleaning.sourceOverlapDf(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val est = Cleaning.sourceOverlapSketchDf(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    // the sketch form emits EVERY pair (overlap is unknowable before the
+    // estimate — that's the audit); the exact form only co-occurring ones
+    assert(exact.keySet.subsetOf(est.keySet),
+      s"sketch pairs must cover the exact pairs: ${exact.keySet -- est.keySet}")
+    exact.foreach { case (pair, (ga, gb, shared)) =>
+      val (ea, eb, eShared) = est(pair)
+      // per-source cardinalities: HLL at lgK 14 sits well under 5 %
+      assert(math.abs(ea - ga) <= 0.05 * ga, s"$pair est_a $ea vs $ga")
+      assert(math.abs(eb - gb) <= 0.05 * gb, s"$pair est_b $eb vs $gb")
+      // inclusion–exclusion amplifies error by the set-size/overlap
+      // ratio — bound the drift ABSOLUTELY by the summed set sizes
+      assert(math.abs(eShared - shared) <= 0.05 * (ga + gb),
+        s"$pair est_shared $eShared vs $shared (sizes $ga/$gb)")
+    }
+    // pairs the exact auditor calls disjoint must estimate near zero
+    (est.keySet -- exact.keySet).foreach { pair =>
+      val (ea, eb, eShared) = est(pair)
+      assert(eShared <= 0.05 * (ea + eb),
+        s"$pair shares nothing but estimates $eShared (sizes $ea/$eb)")
+    }
+  }
+
   test("quality AUC: separable labels score 1.0, identical texts score 0.5") {
     // stopword-rich docs get a high logistic score, junk docs a low one
     val good = "the a of and to in is on for " + (1 to 30).map(i => s"w$i").mkString(" ")
