@@ -245,7 +245,8 @@ object SparkEntry {
     // rows-only: DataSketches HLL estimates are engine-internal; the
     // exact q_source_overlap stays registered as this query's auditor
     // and CleaningSpec bounds the estimate drift against it
-    "q_sketch_overlap"    -> ((s: SparkSession, d: String) => Cleaning.sourceOverlapSketch(s, d))
+    "q_sketch_overlap"    -> ((s: SparkSession, d: String) => Cleaning.sourceOverlapSketch(s, d)),
+    "q_cdc_dedup"         -> ((s: SparkSession, d: String) => ext.Corpus.cdcChunkDedup(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -1946,6 +1947,36 @@ object SparkEntry {
         "CAST(p.e - p.s + 1 AS BIGINT) AS n_tokens, " +
         "md5(array_to_string(list_slice(t, p.s, p.e), ' ')) AS chunk_md5 " +
         "FROM e ORDER BY doc_id, chunk_id"),
+    // cross-doc CDC chunk dedup: the q_cdc_chunks chain verbatim, then
+    // one fingerprint-keyed aggregate; keeper = lexicographic min of
+    // (doc_id, chunk_id) — min_by twice mirrors the min-struct
+    "q_cdc_dedup" ->
+      (s"WITH f AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
+        "g AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n, " +
+        "list_filter(range(3, len(t) + 1), i -> " +
+        "substring(md5(array_to_string(list_slice(t, i - 2, i), ' ')), 1, 1) < '2') AS b FROM f), " +
+        "s AS (SELECT doc_id, t, [1] || list_transform(b, x -> x + 1) AS starts, " +
+        "b || [n] AS ends FROM g), " +
+        "k AS (SELECT doc_id, t, list_filter(range(1, len(starts) + 1), " +
+        "i -> starts[i] <= ends[i]) AS keep, starts, ends FROM s), " +
+        "e AS (SELECT doc_id, t, " +
+        "unnest(list_transform(keep, i -> struct_pack(s := starts[i], e := ends[i]))) AS p, " +
+        "unnest(range(0, len(keep))) AS chunk_id FROM k), " +
+        "c AS (SELECT doc_id, chunk_id, CAST(p.e - p.s + 1 AS BIGINT) AS n_tokens, " +
+        "md5(array_to_string(list_slice(t, p.s, p.e), ' ')) AS chunk_md5 FROM e), " +
+        // keeper = lexicographic min of (doc_id, chunk_id): min doc_id
+        // at the fingerprint level, then that doc's min chunk_id via the
+        // per-(fingerprint, doc) min table
+        "a AS (SELECT chunk_md5, COUNT(DISTINCT doc_id) AS n_docs, " +
+        "COUNT(*) AS n_occurrences, MIN(doc_id) AS keeper_doc_id, " +
+        "MIN(n_tokens) AS n_tokens FROM c GROUP BY chunk_md5 " +
+        "HAVING COUNT(DISTINCT doc_id) > 1), " +
+        "k2 AS (SELECT chunk_md5, doc_id, MIN(chunk_id) AS keeper_chunk_id " +
+        "FROM c GROUP BY chunk_md5, doc_id) " +
+        "SELECT a.chunk_md5, n_docs, n_occurrences, a.keeper_doc_id, " +
+        "k2.keeper_chunk_id, n_tokens FROM a JOIN k2 " +
+        "ON a.chunk_md5 = k2.chunk_md5 AND a.keeper_doc_id = k2.doc_id " +
+        "ORDER BY a.chunk_md5"),
     // curriculum order: quality fragment verbatim; tercile boundaries by
     // whole class over the histogram (pure BIGINT 3·cb < n tests); the
     // within-stage order is the q_epoch_order hash-shard discipline

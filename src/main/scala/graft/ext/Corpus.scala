@@ -1472,6 +1472,41 @@ object Corpus {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Cross-document CDC chunk dedup: the audit [[cdcChunks]] exists to
+    * feed — chunks whose fingerprint recurs in MORE THAN ONE document
+    * (a shared template block, a quoted passage, the unchanged tail of
+    * a re-crawl), with the first owner elected keeper (min (doc_id,
+    * chunk_id), deterministic). Because boundaries are content-defined,
+    * the same passage embedded at DIFFERENT offsets in different
+    * documents still yields identical fingerprints — the match a
+    * fixed-window chunker structurally misses (CorpusSpec's
+    * shift-resistance fixture).
+    *
+    * Scale shape: the narrow CDC kernel feeding ONE md5-keyed
+    * map-side-combined aggregation; nothing else moves. The keeper
+    * election is a min-struct inside the same aggregate — no rank
+    * window, no join-back.
+    */
+  def cdcChunkDedup(spark: SparkSession, d: String): DataFrame =
+    cdcChunkDedupDf(Tables.fanOut(Tables.documents(spark, d)))
+
+  /** DataFrame form (docs must have doc_id + text); see
+    * [[cdcChunkDedup]].
+    */
+  def cdcChunkDedupDf(docs: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftSql.unordered(cdcChunksDf(docs))
+      .groupBy(col("chunk_md5"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(struct(col("doc_id"), col("chunk_id"))).as("k"),
+        min(col("n_tokens")).as("n_tokens"))
+      .filter(col("n_docs") > 1)
+      .select(col("chunk_md5"), col("n_docs"), col("n_occurrences"),
+        col("k.doc_id").as("keeper_doc_id"),
+        col("k.chunk_id").as("keeper_chunk_id"), col("n_tokens"))
+      .orderBy(col("chunk_md5"))
+
   /** CURRICULUM training order: stage the corpus easy→hard by quality
     * TERCILE, then give each stage the [[epochShuffleShards]]
     * deterministic shuffle — the curriculum-learning schedule (Bengio

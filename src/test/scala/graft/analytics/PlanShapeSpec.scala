@@ -532,6 +532,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("Generate") && !p.contains("HashAggregate") &&
       !p.contains("Join") && !p.contains("Window"),
       s"cdc chunking must stay a per-doc generate:\n$p")
+    // the dedup audit adds exactly one md5-keyed aggregation (count
+    // distinct splits it into two exchanges) — keeper election must
+    // stay a min-struct inside the aggregate, never a rank window
+    val pd = plan("q_cdc_dedup")
+    assert(!pd.contains("Window") && !pd.contains("Join"),
+      s"cdc dedup must elect keepers inside the aggregate:\n$pd")
+    assert(shuffleExchanges("q_cdc_dedup") <= 3,
+      s"cdc dedup grew a shuffle:\n$pd")
   }
 
   test("q_curriculum_order: broadcast tercile thresholds + the 48-partition rank window") {

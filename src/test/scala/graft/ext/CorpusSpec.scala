@@ -806,6 +806,31 @@ class CorpusSpec extends SparkTestBase {
       s"fixed windows must all shift under a head insertion: $fixedShared")
   }
 
+  test("cdc dedup: a passage at different offsets matches; keeper is the first occurrence") {
+    import spark.implicits._
+    val passage = (1 to 60).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (5L, s"$passage and a unique tail here"),
+      (9L, s"lead-in words shift the offset $passage closing words"))
+      .toDF("doc_id", "text")
+    val shared = Corpus.cdcChunkDedupDf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(shared.nonEmpty,
+      "offset-shifted shared passage must surface shared CDC chunks")
+    shared.foreach { case (md5, nd, _, keeperDoc, _) =>
+      assert(nd == 2L && keeperDoc == 5L,
+        s"keeper must be the first document: $md5 -> $keeperDoc")
+    }
+    // the same corpus through the FIXED chunker shares nothing — the
+    // offset shift moves every 64/48 window off the passage alignment
+    val fixedA = Corpus.docChunksDf(docs.filter($"doc_id" === 5L), 64, 48)
+      .collect().map(_.getString(4)).toSet
+    val fixedB = Corpus.docChunksDf(docs.filter($"doc_id" === 9L), 64, 48)
+      .collect().map(_.getString(4)).toSet
+    assert(fixedA.intersect(fixedB).isEmpty,
+      "fixed windows must miss the offset-shifted passage")
+  }
+
   test("curriculum order: tercile stages by quality class; per-(stage, shard) dense ranks") {
     val rows = Corpus.curriculumOrder(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getString(3), r.getLong(4)))
