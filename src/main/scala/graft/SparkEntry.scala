@@ -246,7 +246,8 @@ object SparkEntry {
     // exact q_source_overlap stays registered as this query's auditor
     // and CleaningSpec bounds the estimate drift against it
     "q_sketch_overlap"    -> ((s: SparkSession, d: String) => Cleaning.sourceOverlapSketch(s, d)),
-    "q_cdc_dedup"         -> ((s: SparkSession, d: String) => ext.Corpus.cdcChunkDedup(s, d))
+    "q_cdc_dedup"         -> ((s: SparkSession, d: String) => ext.Corpus.cdcChunkDedup(s, d)),
+    "q_cdc_incremental"   -> ((s: SparkSession, d: String) => ext.Corpus.cdcIncremental(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -1977,6 +1978,34 @@ object SparkEntry {
         "k2.keeper_chunk_id, n_tokens FROM a JOIN k2 " +
         "ON a.chunk_md5 = k2.chunk_md5 AND a.keeper_doc_id = k2.doc_id " +
         "ORDER BY a.chunk_md5"),
+    // incremental CDC containment: the chunk chain verbatim, split
+    // snapshot/delta on doc_id % 4; owned = fingerprint present in the
+    // base keeper set; owned_frac is the micro-snapped token share
+    "q_cdc_incremental" ->
+      (s"WITH f AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
+        "g AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n, " +
+        "list_filter(range(3, len(t) + 1), i -> " +
+        "substring(md5(array_to_string(list_slice(t, i - 2, i), ' ')), 1, 1) < '2') AS b FROM f), " +
+        "s AS (SELECT doc_id, t, [1] || list_transform(b, x -> x + 1) AS starts, " +
+        "b || [n] AS ends FROM g), " +
+        "k AS (SELECT doc_id, t, list_filter(range(1, len(starts) + 1), " +
+        "i -> starts[i] <= ends[i]) AS keep, starts, ends FROM s), " +
+        "e AS (SELECT doc_id, t, " +
+        "unnest(list_transform(keep, i -> struct_pack(s := starts[i], e := ends[i]))) AS p FROM k), " +
+        "c AS (SELECT doc_id, CAST(p.e - p.s + 1 AS BIGINT) AS n_toks, " +
+        "md5(array_to_string(list_slice(t, p.s, p.e), ' ')) AS chunk_md5 FROM e), " +
+        "base AS (SELECT chunk_md5, MIN(doc_id) AS keeper_id FROM c " +
+        "WHERE doc_id % 4 <> 0 GROUP BY chunk_md5), " +
+        "arr AS (SELECT c.doc_id, c.n_toks, base.keeper_id FROM c " +
+        "LEFT JOIN base ON c.chunk_md5 = base.chunk_md5 WHERE c.doc_id % 4 = 0), " +
+        "agg AS (SELECT doc_id, COUNT(*) AS n_chunks, " +
+        "CAST(SUM(CASE WHEN keeper_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_owned, " +
+        "CAST(SUM(n_toks) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(CASE WHEN keeper_id IS NOT NULL THEN n_toks ELSE 0 END) AS BIGINT) AS owned_tokens " +
+        "FROM arr GROUP BY doc_id) " +
+        "SELECT doc_id, n_chunks, n_owned, n_tokens, owned_tokens, " +
+        "floor(CAST(owned_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6 " +
+        "AS owned_frac FROM agg ORDER BY doc_id"),
     // curriculum order: quality fragment verbatim; tercile boundaries by
     // whole class over the histogram (pure BIGINT 3·cb < n tests); the
     // within-stage order is the q_epoch_order hash-shard discipline

@@ -1507,6 +1507,81 @@ object Corpus {
         col("k.chunk_id").as("keeper_chunk_id"), col("n_tokens"))
       .orderBy(col("chunk_md5"))
 
+  /** Frozen CDC chunk-fingerprint keeper set of a static base corpus —
+    * the chunk-granularity member of the incremental-dedup artifact
+    * family ([[Dedup.keeperContentHashes]], [[Dedup.minhashBandIndex]],
+    * [[Cleaning.keeperSpanHashes]]): one (chunk_md5, keeper_id) row per
+    * distinct chunk content. Because boundaries are content-defined,
+    * the index keeps matching a passage even when a re-crawl shifts its
+    * offset ([[cdcChunkDedup]]'s property).
+    */
+  def keeperChunkFingerprints(docs: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftSql.unordered(cdcChunksDf(docs))
+      .groupBy(col("chunk_md5"))
+      .agg(min(col("doc_id")).as("keeper_id"))
+
+  /** Chunk-level containment of ARRIVALS in a frozen base: per arriving
+    * document, how many of its CDC chunks — and what fraction of its
+    * tokens — the base corpus already owns. The novelty signal a
+    * crawl-ingest gate reads: owned_frac ≈ 1 is a recrawl/mirror (drop
+    * or re-own), a middling fraction is a quoted/templated page (span
+    * dedup territory), ≈ 0 is genuinely new content.
+    *
+    * Scale shape: the narrow CDC kernel over the batch, one
+    * fingerprint-keyed left join against the frozen index, one
+    * doc-keyed aggregate — probe work proportional to the batch.
+    */
+  def cdcContainmentAgainst(docs: DataFrame, keepers: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftSql.unordered(cdcChunksDf(docs))
+      .join(keepers, Seq("chunk_md5"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keeper_id").isNotNull, 1L).otherwise(0L)).as("n_owned"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("keeper_id").isNotNull, col("n_tokens")).otherwise(0L))
+          .as("owned_tokens"))
+      // every doc has >= 1 chunk of >= 1 token, so the ratio is total
+      .withColumn("owned_frac",
+        floor(col("owned_tokens").cast("double") / col("n_tokens").cast("double")
+          * 1e6 + 0.5) / 1e6)
+      .orderBy(col("doc_id"))
+
+  /** Registered composition: the snapshot/delta split at CDC-chunk
+    * granularity (doc_id % 4 == 0 arrives, the rest is indexed).
+    */
+  def cdcIncremental(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    cdcContainmentAgainst(
+      Tables.fanOut(docs.filter(col("doc_id") % 4 === 0)),
+      keeperChunkFingerprints(docs.filter(col("doc_id") % 4 =!= 0)))
+  }
+
+  /** Streaming CDC containment (foreachBatch stage): the base corpus's
+    * chunk-fingerprint index is FROZEN once; each micro-batch of
+    * arrivals reports its containment verdicts tagged with the batch
+    * id — the offset-robust stage of the streaming ingest dedup
+    * cascade (URL → exact → minhash → span → chunk).
+    */
+  def cdcDedupSink(docStream: DataFrame, baseDocs: DataFrame,
+                   outPath: String, checkpoint: String,
+                   triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val frozen = Freeze.scoped(checkpoint, keeperChunkFingerprints(baseDocs))
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // per-batch presentation sort stripped (see Cleaning.spanDedupSink)
+          org.apache.spark.sql.GraftSql.unordered(
+            cdcContainmentAgainst(batch, frozen))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+  }
+
   /** CURRICULUM training order: stage the corpus easy→hard by quality
     * TERCILE, then give each stage the [[epochShuffleShards]]
     * deterministic shuffle — the curriculum-learning schedule (Bengio

@@ -72,7 +72,8 @@ object ScaleSmoke {
     "q_cdc_chunks" /* pure narrow HOF chain: must stay linear at scan speed */,
     "q_curriculum_order" /* histogram->broadcast thresholds + 48-partition rank window */,
     "q_sketch_overlap" /* per-source HLL partials: KB per source cross the wire, |sources|^2 pair join */,
-    "q_cdc_dedup" /* narrow CDC kernel + one md5-keyed aggregate; grows with shared-chunk mass */)
+    "q_cdc_dedup" /* narrow CDC kernel + one md5-keyed aggregate; grows with shared-chunk mass */,
+    "q_cdc_incremental" /* delta chunks probe the frozen index via one keyed join */)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

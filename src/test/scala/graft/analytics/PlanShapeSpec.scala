@@ -540,6 +540,13 @@ class PlanShapeSpec extends SparkTestBase {
       s"cdc dedup must elect keepers inside the aggregate:\n$pd")
     assert(shuffleExchanges("q_cdc_dedup") <= 3,
       s"cdc dedup grew a shuffle:\n$pd")
+    // the incremental form probes the frozen index through ONE
+    // fingerprint-keyed join; an all-pairs shape here is quadratic
+    val pi = plan("q_cdc_incremental")
+    assert(!pi.contains("CartesianProduct") && !pi.contains("BroadcastNestedLoopJoin"),
+      s"cdc containment must probe through a keyed join:\n$pi")
+    assert(!pi.contains("Window"),
+      s"cdc containment needs no window:\n$pi")
   }
 
   test("q_curriculum_order: broadcast tercile thresholds + the 48-partition rank window") {

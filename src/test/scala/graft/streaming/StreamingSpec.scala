@@ -1120,4 +1120,36 @@ class StreamingSpec extends SparkTestBase {
     assert(byDoc(2L) == ((false, 2L, contentSplit(fresh))),
       s"fresh arrival must fall back to its content split: $byDoc")
   }
+
+  test("streaming CDC containment: frozen chunk index flags offset-shifted recrawls; batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val passage = (1 to 80).map(i => s"cd$i").mkString(" ")
+    val base = Seq(100L -> s"$passage original tail words").toDF("doc_id", "text")
+    val arrivals = Seq(
+      1L -> s"fresh lead-in shifts every offset $passage",  // recrawl, shifted
+      2L -> (1 to 40).map(i => s"novel$i").mkString(" "))   // genuinely new
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("cdc_out").toString
+    val ckpt = Files.createTempDirectory("cdc_ckpt").toString
+    val query = graft.ext.Corpus.cdcDedupSink(
+      input.toDF().toDF("doc_id", "text"), base, out, ckpt,
+      triggerMs = 50L).start()
+    try {
+      input.addData(arrivals: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ext.Corpus.cdcContainmentAgainst(
+        arrivals.toDF("doc_id", "text"),
+        graft.ext.Corpus.keeperChunkFingerprints(base))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    val byDoc = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(byDoc(1L) > 0.5,
+      s"offset-shifted recrawl must be mostly owned by the base: $byDoc")
+    assert(byDoc(2L) == 0.0, s"novel doc must own all its chunks: $byDoc")
+  }
 }
