@@ -247,7 +247,8 @@ object SparkEntry {
     // and CleaningSpec bounds the estimate drift against it
     "q_sketch_overlap"    -> ((s: SparkSession, d: String) => Cleaning.sourceOverlapSketch(s, d)),
     "q_cdc_dedup"         -> ((s: SparkSession, d: String) => ext.Corpus.cdcChunkDedup(s, d)),
-    "q_cdc_incremental"   -> ((s: SparkSession, d: String) => ext.Corpus.cdcIncremental(s, d))
+    "q_cdc_incremental"   -> ((s: SparkSession, d: String) => ext.Corpus.cdcIncremental(s, d)),
+    "q_unimax_execute"    -> ((s: SparkSession, d: String) => ext.Corpus.unimaxExecute(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -1916,6 +1917,41 @@ object SparkEntry {
         "CASE WHEN n_tokens > 0 THEN floor(CAST(target_tokens AS DOUBLE) " +
         "/ CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS epochs " +
         "FROM t ORDER BY lang"),
+    // UniMax execution: the plan chain verbatim down to epochs, then
+    // per-doc copies = floor(e) + hex-threshold Bernoulli(frac(e)) —
+    // the q_mixture_execute keep discipline applied to repeats
+    "q_unimax_execute" ->
+      (s"WITH f AS (SELECT lang, COALESCE(len($toks), 0) AS n_toks FROM documents), " +
+        "p AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens " +
+        "FROM f GROUP BY lang), " +
+        "s AS (SELECT *, SUM(n_tokens) OVER () AS total, COUNT(*) OVER () AS n_langs, " +
+        "ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS i, " +
+        "COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens, lang " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_prev FROM p), " +
+        "c AS (SELECT *, CAST(floor(7.0 * total / 4) AS BIGINT) AS budget, " +
+        "2 * n_tokens * (n_langs - i + 1) + 2 * s_prev " +
+        "< CAST(floor(7.0 * total / 4) AS BIGINT) AS capped FROM s), " +
+        "a AS (SELECT *, SUM(CASE WHEN capped THEN n_tokens ELSE 0 END) OVER () AS s_capped, " +
+        "SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k_capped FROM c), " +
+        "t AS (SELECT lang, n_tokens, CASE WHEN capped THEN 2 * n_tokens " +
+        "ELSE CAST(floor(CAST(budget - 2 * s_capped AS DOUBLE) " +
+        "/ CAST(n_langs - k_capped AS DOUBLE) + 0.5) AS BIGINT) END AS target_tokens FROM a), " +
+        "u AS (SELECT lang, target_tokens, " +
+        "CASE WHEN n_tokens > 0 THEN floor(CAST(target_tokens AS DOUBLE) " +
+        "/ CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS epochs FROM t), " +
+        s"d AS (SELECT lang, text, COALESCE(len($toks), 0) AS n_toks FROM documents), " +
+        "cp AS (SELECT d.lang, u.target_tokens, d.n_toks, " +
+        "CASE WHEN d.text IS NULL THEN 0 ELSE CAST(floor(u.epochs) AS BIGINT) + " +
+        "(CASE WHEN substr(md5(d.text), 1, 6) < " +
+        "lpad(lower(hex(CAST(floor((u.epochs - floor(u.epochs)) * 16777216.0) AS BIGINT))), 6, '0') " +
+        "THEN 1 ELSE 0 END) END AS copies " +
+        "FROM d JOIN u ON d.lang = u.lang) " +
+        "SELECT lang, target_tokens, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(copies) AS BIGINT) AS n_copies, " +
+        "CAST(SUM(copies * n_toks) AS BIGINT) AS achieved_tokens, " +
+        "CASE WHEN target_tokens > 0 THEN floor(CAST(SUM(copies * n_toks) AS DOUBLE) " +
+        "/ CAST(target_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS achieved_ratio " +
+        "FROM cp GROUP BY lang, target_tokens ORDER BY lang"),
     // sliding-window chunking: chunk count / start / length are exact
     // integer math; the chunk identity is md5 over the space-joined
     // token slice (1-based inclusive slicing on both engines)

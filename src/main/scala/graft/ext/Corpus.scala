@@ -1375,6 +1375,49 @@ object Corpus {
       .orderBy(col("lang"))
   }
 
+  /** UNIMAX execution audit: the repeat-aware realization of
+    * [[unimaxMixture]] — a language allocated e epochs contributes each
+    * document floor(e) whole copies plus one more with content-hash
+    * probability frac(e) (the [[mixtureKeep]] hex discipline applied to
+    * the fractional epoch; null-text documents contribute nothing).
+    * The audit reports how close the realized token count lands to
+    * target_tokens — exact for the whole-copy part, Bernoulli for the
+    * fraction. Copy counts are content-deterministic, so re-runs,
+    * retries and re-crawled duplicates repeat identically.
+    *
+    * Scale shape: the |languages|-row plan broadcasts onto one corpus
+    * pass; copies are per-doc arithmetic feeding one map-side-combined
+    * aggregation keyed by lang (the [[mixtureExecute]] shape plus a
+    * multiply).
+    */
+  def unimaxExecute(spark: SparkSession, d: String, epochCap: Int = 2): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val plan = unimaxMixtureDf(docs, epochCap)
+      .select(col("lang"), col("target_tokens"), col("epochs"))
+    val fullCopies = floor(col("epochs")).cast("long")
+    val frac = col("epochs") - floor(col("epochs"))
+    val thr = lpad(lower(hex(floor(frac * lit(16777216.0)).cast("long"))), 6, "0")
+    val copies = when(col("text").isNull, 0L)
+      .otherwise(fullCopies + when(
+        substring(md5(col("text").cast("binary")), 1, 6) < thr, 1L).otherwise(0L))
+    Tables.fanOut(docs).join(broadcast(plan), Seq("lang"))
+      .select(col("lang"), col("target_tokens"), copies.as("copies"),
+        coalesce(size(TextAnalysis.tokens(col("text"))), lit(0))
+          .cast("long").as("n_toks"))
+      .groupBy(col("lang"), col("target_tokens"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("copies")).as("n_copies"),
+        sum(col("copies") * col("n_toks")).as("achieved_tokens"))
+      .withColumn("achieved_ratio",
+        when(col("target_tokens") > 0,
+          floor(col("achieved_tokens").cast("double") /
+            col("target_tokens").cast("double") * 1e6 + 0.5) / 1e6)
+          .otherwise(lit(0.0)))
+      .select(col("lang"), col("target_tokens"), col("n_docs"), col("n_copies"),
+        col("achieved_tokens"), col("achieved_ratio"))
+      .orderBy(col("lang"))
+  }
+
   /** Sliding-window document CHUNKING: split every document into
     * fixed-size token windows with overlap — the retrieval/embedding
     * prep step (a context-bounded encoder reads chunks, and overlap

@@ -73,7 +73,8 @@ object ScaleSmoke {
     "q_curriculum_order" /* histogram->broadcast thresholds + 48-partition rank window */,
     "q_sketch_overlap" /* per-source HLL partials: KB per source cross the wire, |sources|^2 pair join */,
     "q_cdc_dedup" /* narrow CDC kernel + one md5-keyed aggregate; grows with shared-chunk mass */,
-    "q_cdc_incremental" /* delta chunks probe the frozen index via one keyed join */)
+    "q_cdc_incremental" /* delta chunks probe the frozen index via one keyed join */,
+    "q_unimax_execute" /* |languages|-row plan broadcast onto one corpus pass */)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -509,6 +509,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"unimax must stay join-free:\n$p")
     assert(shuffleExchanges("q_unimax_mixture") <= 4,
       s"unimax grew a shuffle:\n$p")
+    // the execute form: the |languages|-row plan must BROADCAST onto
+    // the corpus pass — a SortMergeJoin shuffles the corpus by lang
+    val pe = plan("q_unimax_execute")
+    assert(pe.contains("BroadcastHashJoin"),
+      s"unimax execute must broadcast the plan:\n$pe")
+    assert(!pe.contains("SortMergeJoin") && !pe.contains("ShuffledHashJoin"),
+      s"corpus must not shuffle for the plan join:\n$pe")
   }
 
   test("q_doc_chunks: narrow generate — no aggregate, no join, only the presentation sort") {

@@ -111,4 +111,34 @@ class PropertySpec extends SparkTestBase {
       .filter(abs($"last_cum" - $"total") > 1e-6)
     assert(joined.count() == 0)
   }
+
+  test("scalacheck: both chunkers partition/cover every token count exactly") {
+    // one Spark job over the generated lengths beats 100 tiny jobs; the
+    // properties then check per-length in memory
+    val lens = (1 to 400).toSeq
+    val docs = lens.map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fixed = graft.ext.Corpus.docChunksDf(docs, 64, 48).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).groupBy(_._1)
+    val cdc = graft.ext.Corpus.cdcChunksDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).groupBy(_._1)
+    lens.foreach { n =>
+      // fixed windows: starts at 1 + k·48, every token covered, length
+      // capped at 64, only the last chunk short
+      val f = fixed(n.toLong).sortBy(_._2)
+      assert(f.head._2 == 1 && f.last._2 + f.last._3 - 1 == n, s"fixed coverage at n=$n")
+      f.zipWithIndex.foreach { case ((_, s, len), k) =>
+        assert(s == 1 + 48L * k && len <= 64, s"fixed start/len at n=$n chunk $k")
+        if (k < f.length - 1) assert(len == 64, s"only the last fixed chunk may be short (n=$n)")
+      }
+      // cdc: spans chain contiguously and partition 1..n exactly
+      val c = cdc(n.toLong).sortBy(_._2)
+      assert(c.head._2 == 1 && c.last._2 + c.last._3 - 1 == n, s"cdc coverage at n=$n")
+      c.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 == a._2 + a._3, s"cdc chaining at n=$n")
+        case _ =>
+      }
+      assert(c.map(_._3).sum == n, s"cdc lengths must sum to n=$n")
+    }
+  }
 }

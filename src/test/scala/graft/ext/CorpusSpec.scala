@@ -707,6 +707,29 @@ class CorpusSpec extends SparkTestBase {
     assert(uniform.forall(_ == ((false, 175L))), uniform.mkString(","))
   }
 
+  test("unimax execute: capped languages realize their target exactly; fractions within bounds") {
+    val plan = Corpus.unimaxMixture(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(3), r.getLong(4), r.getDouble(5)))).toMap
+    val exec = Corpus.unimaxExecute(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(exec.map(_._1).toSet == plan.keySet, "one audit row per language")
+    exec.foreach { case (lang, target, nDocs, nCopies, achieved) =>
+      val (capped, planTarget, epochs) = plan(lang)
+      assert(target == planTarget, s"$lang must carry the plan's target")
+      // whole copies are exact; the fractional epoch adds at most one
+      // Bernoulli copy per doc
+      val full = math.floor(epochs).toLong
+      assert(nCopies >= full * nDocs && nCopies <= (full + 1) * nDocs,
+        s"$lang copies $nCopies outside [${full * nDocs}, ${(full + 1) * nDocs}]")
+      if (capped)
+        assert(achieved == target,
+          s"capped $lang must realize exactly cap*n_tokens: $achieved vs $target")
+      else
+        assert(math.abs(achieved - target) <= math.max(0.25 * target, 1000.0),
+          s"uncapped $lang Bernoulli realization too far off: $achieved vs $target")
+    }
+  }
+
   test("doc chunks: boundary lengths — counts, starts, coverage, overlap, fingerprint") {
     import spark.implicits._
     def words(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
