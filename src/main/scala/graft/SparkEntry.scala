@@ -248,7 +248,8 @@ object SparkEntry {
     "q_sketch_overlap"    -> ((s: SparkSession, d: String) => Cleaning.sourceOverlapSketch(s, d)),
     "q_cdc_dedup"         -> ((s: SparkSession, d: String) => ext.Corpus.cdcChunkDedup(s, d)),
     "q_cdc_incremental"   -> ((s: SparkSession, d: String) => ext.Corpus.cdcIncremental(s, d)),
-    "q_unimax_execute"    -> ((s: SparkSession, d: String) => ext.Corpus.unimaxExecute(s, d))
+    "q_unimax_execute"    -> ((s: SparkSession, d: String) => ext.Corpus.unimaxExecute(s, d)),
+    "q_filter_ensemble"   -> ((s: SparkSession, d: String) => Cleaning.filterEnsemble(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -1502,6 +1503,44 @@ object SparkEntry {
         "UNION ALL SELECT 3, 'repetition', n2, t2 FROM agg " +
         "UNION ALL SELECT 4, 'quality', n3, t3 FROM agg " +
         "UNION ALL SELECT 5, 'dedup', n4, t4 FROM agg ORDER BY stage"),
+    // filter ensemble: the funnel's feat/bigram/st CTEs verbatim, but
+    // signals UNCONDITIONED; dup = any smaller-id same-content copy
+    "q_filter_ensemble" ->
+      (s"WITH f AS (SELECT doc_id, text, $toks AS t FROM documents WHERE length(text) > 0), " +
+        "feat AS (SELECT doc_id, text, t, " +
+        "len(t) AS n_words, " +
+        "round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t), 6) AS mean_word_len, " +
+        "round(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t), 6) AS alpha_frac, " +
+        "len(list_intersect(list_distinct(t), " +
+        "['the','a','of','and','to','in','is','on','for'])) AS stop_hits, " +
+        "round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(t), 6) AS symbol_ratio, " +
+        "CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) " +
+        "/ len(t) AS stop_r, " +
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_r, " +
+        "CAST(len(t) AS DOUBLE) AS n_tok, " +
+        "CAST(length(text) AS DOUBLE) / len(t) AS avg_len FROM f), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), " +
+        "i -> t[i] || ' ' || t[i+1])) AS bigram FROM f), " +
+        "bc AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2), " +
+        "ba AS (SELECT doc_id, SUM(cnt) AS nb, MAX(cnt) AS topc FROM bc GROUP BY 1), " +
+        "st AS (SELECT feat.doc_id, feat.text, " +
+        "(n_words BETWEEN 30 AND 50000) AND (mean_word_len BETWEEN 3.0 AND 10.0) " +
+        "AND alpha_frac >= 0.8 AND stop_hits >= 2 AND symbol_ratio <= 0.1 AS rules_pass, " +
+        "COALESCE(round(topc / CAST(nb AS DOUBLE), 6), 0.0) <= 0.20 AS repetition_pass, " +
+        "round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * stop_r - 8.0 * punct_r " +
+        "+ 0.9 * ln(n_tok + 1.0) - 0.35 * avg_len))), 6) >= 0.5 AS quality_pass " +
+        "FROM feat LEFT JOIN ba ON feat.doc_id = ba.doc_id), " +
+        "dd AS (SELECT *, doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup FROM st) " +
+        "SELECT doc_id, rules_pass, repetition_pass, quality_pass, is_dup, " +
+        "(CASE WHEN NOT rules_pass THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN NOT repetition_pass THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN NOT quality_pass THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_flags, " +
+        "CASE WHEN NOT rules_pass THEN 'rules' " +
+        "WHEN NOT repetition_pass THEN 'repetition' " +
+        "WHEN NOT quality_pass THEN 'quality' " +
+        "WHEN is_dup THEN 'duplicate' ELSE 'clean' END AS verdict " +
+        "FROM dd ORDER BY doc_id"),
     // quality AUC: histogram-rank Mann-Whitney with doubled midranks —
     // integer-exact on both engines; score fragment = the
     // q_model_quality_filter oracle verbatim

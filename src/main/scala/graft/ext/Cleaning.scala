@@ -151,6 +151,64 @@ object Cleaning {
       .orderBy(col("stage"))
   }
 
+  /** INDEPENDENT filter-signal matrix — [[curationFunnelDf]]'s four
+    * signals evaluated UNCONDITIONALLY per document, the
+    * [[graft.ext.Dedup.dedupCascade]] verdict-matrix discipline at
+    * quality-filter granularity. The funnel tells you how many
+    * documents survive the serial gauntlet; this tells you WHICH
+    * signals fire together — the overlap between a cheap rule and an
+    * expensive model score is exactly the number that decides whether
+    * the expensive signal earns its compute, and multi-flag documents
+    * (n_flags ≥ 2) are the unambiguous drops a pipeline can cut with a
+    * cheap rule alone. verdict = the first failing signal in the
+    * funnel's canonical order, 'clean' otherwise. The dup bit is
+    * UNCONDITIONED (a smaller-id copy exists, period) where the funnel
+    * elects keepers among stage SURVIVORS — but every signal here is a
+    * pure function of content, so same-content documents share all
+    * their signals and the two elections provably coincide: the clean
+    * set equals the funnel's final survivor set exactly (asserted
+    * numerically in CleaningSpec).
+    *
+    * Scale shape: identical to the funnel — one projection computes
+    * every signal, one content-hash window for the dup bit, no joins.
+    */
+  def filterEnsemble(spark: SparkSession, d: String): DataFrame =
+    filterEnsembleDf(Tables.documents(spark, d))
+
+  /** DataFrame form (docs must have doc_id + text); see
+    * [[filterEnsemble]].
+    */
+  def filterEnsembleDf(docs: DataFrame): DataFrame = {
+    val base = Tables.fanOut(docs)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        gopherFeatures.as("gf"),
+        TextAnalysis.bigramStats(col("text")).as("bs"),
+        TextAnalysis.qualityScoreCol.as("q"))
+    val rulesKeep = gopherRules(col("gf")).reduce(_ && _)
+    val repKeep = when(col("bs._1") === 0, lit(true))
+      .otherwise(round(col("bs._2").cast("double") / col("bs._1"), 6) <= 0.20)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary")))
+    base
+      .withColumn("rules_pass", rulesKeep)
+      .withColumn("repetition_pass", repKeep)
+      .withColumn("quality_pass", col("q") >= 0.5)
+      .withColumn("is_dup", col("doc_id") =!= min(col("doc_id")).over(w))
+      .withColumn("n_flags",
+        (!col("rules_pass")).cast("int") + (!col("repetition_pass")).cast("int") +
+          (!col("quality_pass")).cast("int") + col("is_dup").cast("int"))
+      .withColumn("verdict",
+        when(!col("rules_pass"), "rules")
+          .when(!col("repetition_pass"), "repetition")
+          .when(!col("quality_pass"), "quality")
+          .when(col("is_dup"), "duplicate")
+          .otherwise("clean"))
+      .select(col("doc_id"), col("rules_pass"), col("repetition_pass"),
+        col("quality_pass"), col("is_dup"), col("n_flags"), col("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming form of the filter battery (foreachBatch stage): each
     * micro-batch of documents is scored and its verdict rows append to
     * `outPath` tagged with the batch id. Verdicts are per-document

@@ -584,6 +584,17 @@ class PlanShapeSpec extends SparkTestBase {
       s"sketch partial aggregation missing:\n$p")
   }
 
+  test("q_filter_ensemble: one projection + the content-hash window — the funnel's shape") {
+    // all four signals ride one narrow projection (the bigram kernel is
+    // the funnel's JIT'd UDF, not a join-back); the only corpus-keyed
+    // structure is the content-hash window for the dup bit
+    val p = plan("q_filter_ensemble")
+    assert(!p.contains("Join"), s"ensemble must not join:\n$p")
+    assert(p.contains("Window"), s"dup bit needs its window:\n$p")
+    assert(shuffleExchanges("q_filter_ensemble") <= 2,
+      s"ensemble grew a shuffle:\n$p")
+  }
+
   test("q_leakage_safe_splits: label and hash joins stay keyed — no all-pairs") {
     // cluster resolution runs eagerly (materialized label leaf); the
     // residual plan is docs ⋈ labels ⋈ canonical-hash — both joins must

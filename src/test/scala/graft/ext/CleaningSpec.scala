@@ -336,6 +336,46 @@ class CleaningSpec extends SparkTestBase {
     }
   }
 
+  test("filter ensemble: every verdict reachable; clean set equals the funnel's survivors") {
+    import spark.implicits._
+    val stopRich = ("the quick brown fox and the lazy dog of the north " +
+      "ran to the old mill on the hill for a long day in the warm sun " +
+      "and then came back to the barn for rest and water every evening")
+    val longWords = (1 to 38).map(i => s"abcdefgh$i").mkString(" ") + " the and"
+    val repetitive = Seq.fill(18)("the cat").mkString(" ") + " and dog friend here"
+    val docs = Seq(
+      (1L, "too short"),            // rules
+      (2L, repetitive),             // repetition (passes rules)
+      (3L, longWords),              // quality (passes rules + repetition)
+      (4L, stopRich),               // clean
+      (5L, stopRich))               // duplicate of 4
+      .toDF("doc_id", "text")
+    val out = Cleaning.filterEnsembleDf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getInt(5), r.getString(6)))).toMap
+    assert(out(1L)._6 == "rules", s"doc 1: ${out(1L)}")
+    assert(out(2L)._1 && out(2L)._6 == "repetition", s"doc 2: ${out(2L)}")
+    assert(out(3L)._1 && out(3L)._2 && out(3L)._6 == "quality", s"doc 3: ${out(3L)}")
+    assert(out(4L) == ((true, true, true, false, 0, "clean")), s"doc 4: ${out(4L)}")
+    assert(out(5L) == ((true, true, true, true, 1, "duplicate")), s"doc 5: ${out(5L)}")
+    // n_flags counts exactly the failing signals
+    out.values.foreach { case (r, p, q, d, n, _) =>
+      assert(n == Seq(!r, !p, !q, d).count(identity))
+    }
+    // signals are pure functions of content, so the unconditioned dup
+    // election coincides with the funnel's survivor-conditioned one:
+    // clean count == the funnel's final stage, on the real table
+    val ens = Cleaning.filterEnsemble(spark, sfDir).collect()
+    val cleanCount = ens.count(_.getString(6) == "clean")
+    val funnelFinal = Cleaning.curationFunnel(spark, sfDir).collect()
+      .find(_.getInt(0) == 5).get.getLong(2)
+    assert(cleanCount.toLong == funnelFinal,
+      s"clean set must equal funnel survivors: $cleanCount vs $funnelFinal")
+    // and the matrix is the point: some real doc fails >= 2 signals
+    assert(ens.exists(_.getInt(5) >= 2),
+      "real corpus should contain multi-flag documents")
+  }
+
   test("quality AUC: separable labels score 1.0, identical texts score 0.5") {
     // stopword-rich docs get a high logistic score, junk docs a low one
     val good = "the a of and to in is on for " + (1 to 30).map(i => s"w$i").mkString(" ")
