@@ -20,7 +20,10 @@ object ReuseAudit {
       // honest cost of count-based LMs, see backoffLogProb's scaladoc);
       // q_embedding_near_dups (bounded id-range kernel, false by
       // construction since r7 — accepted)
-      "q_bigram_logprob", "q_backoff_logprob", "q_entropy_rate").foreach { q =>
+      "q_bigram_logprob", "q_backoff_logprob", "q_entropy_rate",
+      // sketch overlap: the per-source sketch aggregate feeds both pair
+      // sides — reuse means the corpus folds into sketches ONCE
+      "q_sketch_overlap").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, d)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
