@@ -20,6 +20,23 @@ object TextAnalysis {
   def bpeishTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[A-Za-z]{1,4}|\\d|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Count of non-alphanumeric, non-whitespace characters — the punct
+    * feature of every quality kernel, as ONE shared definition (it was
+    * spelled inline at three sites). Computed as a LENGTH DIFFERENCE
+    * (chars removed by deleting the class): the class is single-char,
+    * so this equals `size(regexp_extract_all(...))` by construction
+    * without materializing an array of one-char strings per match.
+    * MEASURED at sf0.1 (Probe mins, before→after): q_quality_scores
+    * 1.05→1.16 s, q_model_quality_filter 1.08→0.99 s, q_roc_points
+    * 1.52→1.42 s — i.e. NEUTRAL within run noise; the regex engine
+    * dominates and the avoided array is minor. Kept for the single
+    * definition, not a claimed speedup. The DuckDB oracles keep the
+    * `len(regexp_extract_all(...))` spelling — same value, and the
+    * cross-engine compare is exactly what proves the equivalence.
+    */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))
+
   /** Stopword hit count (duplicates counted — it's a ratio input). */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for")
   def stopwordCount(c: Column): Column =
@@ -45,7 +62,7 @@ object TextAnalysis {
     val t = tokens(col("text"))
     val nTok = size(t)
     val nStop = stopwordCount(col("text"))
-    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val nPunct = punctCount(col("text"))
     val nChars = length(col("text"))
     Tables.fanOut(Tables.documents(spark, d))
       .select(
@@ -82,8 +99,7 @@ object TextAnalysis {
     val t = tokens(col("text"))
     val nTok = size(t).cast("double")
     val stopR = stopwordCount(col("text")).cast("double") / nTok
-    val punctR = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"),
-      lit(0))).cast("double") / length(col("text"))
+    val punctR = punctCount(col("text")).cast("double") / length(col("text"))
     val avgLen = length(col("text")).cast("double") / nTok
     val z = lit(-1.5) + lit(3.2) * stopR - lit(8.0) * punctR +
       lit(0.9) * log(nTok + lit(1.0)) - lit(0.35) * avgLen
@@ -520,8 +536,7 @@ object TextAnalysis {
     // guarded by length > 0: Spark's 0/0 is NULL while DuckDB's is NaN
     // (and NaN > x is true there) — the guard makes empty docs agree
     val symbolRatio =
-      size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
-        length(col("text"))
+      punctCount(col("text")).cast("double") / length(col("text"))
     val stopRatio = size(filter(col("toks"), t => t.isin(stopwords: _*))).cast("double") / nTok
     val distinctRatio = size(array_distinct(col("toks"))).cast("double") / nTok
     val meanTokLen = length(col("text")).cast("double") / nTok
