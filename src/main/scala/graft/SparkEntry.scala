@@ -249,7 +249,11 @@ object SparkEntry {
     "q_cdc_dedup"         -> ((s: SparkSession, d: String) => ext.Corpus.cdcChunkDedup(s, d)),
     "q_cdc_incremental"   -> ((s: SparkSession, d: String) => ext.Corpus.cdcIncremental(s, d)),
     "q_unimax_execute"    -> ((s: SparkSession, d: String) => ext.Corpus.unimaxExecute(s, d)),
-    "q_filter_ensemble"   -> ((s: SparkSession, d: String) => Cleaning.filterEnsemble(s, d))
+    "q_filter_ensemble"   -> ((s: SparkSession, d: String) => Cleaning.filterEnsemble(s, d)),
+    // rows-only: rides the union-find cluster table (like
+    // q_neardup_clusters); planted size distribution asserted in
+    // DedupSimilaritySpec
+    "q_cluster_sizes"     -> ((s: SparkSession, d: String) => Dedup.clusterSizes(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles

@@ -1481,6 +1481,14 @@ object Corpus {
     * projection per document (no explode-then-window, no shuffle but
     * the presentation sort). The token array is bound ONCE before the
     * lambdas ([[Dedup.shinglesOfTokens]]'s interpreted-eval lesson).
+    * Cost note: the cut rule is one md5 per token position — the
+    * oracle-portable spelling (DuckDB has no xxhash64). A production
+    * 100 TB kernel swaps the cut AND the fingerprint to xxhash64 with
+    * the identical plan shape — the same md5-for-oracle /
+    * xxhash-for-scale split every hash-keyed operator here uses
+    * (gramHash, spanHashesOf); the directed 10× probe (2.2×,
+    * compute-bound) prices the md5 spelling, an upper bound on the
+    * xxhash one.
     */
   def cdcChunks(spark: SparkSession, d: String): DataFrame =
     cdcChunksDf(Tables.fanOut(Tables.documents(spark, d)))

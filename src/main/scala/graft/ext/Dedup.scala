@@ -575,6 +575,37 @@ object Dedup {
         .filter(col("est_jaccard") >= threshold))
       .orderBy(col("doc_id"))
 
+  /** Near-dup cluster SIZE DISTRIBUTION: how duplication mass is
+    * shaped — many pairs, or a few template storms? (cluster_size,
+    * n_clusters, n_docs) per size, descending. The audit a pipeline
+    * reads before choosing dedup strategy: a heavy tail of giant
+    * clusters means a boilerplate/template problem upstream of
+    * document-level dedup (fix the extractor or add
+    * [[graft.ext.Cleaning.boilerplateClean]]), while mass in 2–3-sized
+    * clusters is ordinary recrawl duplication the keep-list handles.
+    * Unclustered documents are absent by construction
+    * ([[dedupClusters]] emits only implicated nodes); size ≥ 2 always.
+    *
+    * Scale shape: the materialized label table → one canonical-keyed
+    * count → one size-keyed count — both aggregations are
+    * cluster-table-sized, nothing corpus-sized beyond candidate
+    * generation itself.
+    */
+  def clusterSizes(spark: SparkSession, d: String,
+                   threshold: Double = 0.7): DataFrame =
+    clusterSizesDf(dedupClusters(
+      minhashCandidatePairsUnordered(Tables.documents(spark, d))
+        .filter(col("est_jaccard") >= threshold)))
+
+  /** DataFrame form: `clusters` must carry (doc_id, canonical_id). */
+  def clusterSizesDf(clusters: DataFrame): DataFrame =
+    clusters.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+      .orderBy(col("cluster_size").desc)
+
   /** QUALITY-CANONICAL keeper election per near-dup cluster: the
     * production refinement of [[nearDupKeepList]]'s min-id rule — when
     * a cluster of near-duplicates collapses to one survivor, a real

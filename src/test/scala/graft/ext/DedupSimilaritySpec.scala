@@ -1166,4 +1166,21 @@ class DedupSimilaritySpec extends SparkTestBase {
       assert(r.getLong(1) <= 40L)
     }
   }
+
+  test("cluster sizes: planted 3-cluster and 2-cluster counted; singletons absent") {
+    import spark.implicits._
+    val base = (1 to 50).map(i => s"body$i").mkString(" ")
+    val other = (1 to 50).map(i => s"alt$i").mkString(" ")
+    val docs = Seq(
+      10L -> s"$base x10", 11L -> s"$base x11", 12L -> s"$base x12", // 3-cluster
+      20L -> s"$other y20", 21L -> s"$other y21",                   // 2-cluster
+      30L -> (1 to 40).map(i => s"solo$i").mkString(" "))           // singleton
+      .toDF("doc_id", "text")
+    val sizes = Dedup.clusterSizesDf(
+        Dedup.dedupClusters(Dedup.minhashCandidatePairsUnordered(docs)
+          .filter(col("est_jaccard") >= 0.7)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sizes == Map(3L -> ((1L, 3L)), 2L -> ((1L, 2L))),
+      s"planted distribution must be exactly one 3-cluster + one 2-cluster: $sizes")
+  }
 }
