@@ -253,7 +253,11 @@ object SparkEntry {
     // rows-only: rides the union-find cluster table (like
     // q_neardup_clusters); planted size distribution asserted in
     // DedupSimilaritySpec
-    "q_cluster_sizes"     -> ((s: SparkSession, d: String) => Dedup.clusterSizes(s, d))
+    "q_cluster_sizes"     -> ((s: SparkSession, d: String) => Dedup.clusterSizes(s, d)),
+    // rows-only: composes the (xxhash) minhash verdict; its url/exact/
+    // cdc columns are asserted equal to the oracle-gated component
+    // queries in IngestSpec
+    "q_ingest_gate"       -> ((s: SparkSession, d: String) => ext.Ingest.ingestGate(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles

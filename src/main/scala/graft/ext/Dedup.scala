@@ -97,6 +97,18 @@ object Dedup {
     * on the delta only. Nothing here adds a corpus-sized exchange
     * beyond what the component stages already pay.
     */
+  /** The cascade/gate URL synthesis: [[Cleaning.urlDocs]] plus a solo
+    * URL for every 48th doc (always on the delta side of the %4
+    * split), so fresh-URL arrivals exist at fixture scale — shared by
+    * [[dedupCascade]] and [[Ingest.ingestGate]] so their url_dup
+    * columns are definitionally identical.
+    */
+  private[ext] def cascadeUrls(df: DataFrame): DataFrame =
+    Cleaning.urlDocs(df).withColumn("url",
+      when(col("doc_id") % 48 === 0,
+        concat(lit("https://news.example.com/articles/solo-"),
+          col("doc_id").cast("string"))).otherwise(col("url")))
+
   def dedupCascade(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
     val base = docs.filter(col("doc_id") % 4 =!= 0)
@@ -106,12 +118,8 @@ object Dedup {
     // deltas carry fresh URLs too, so every 48th doc (always on the
     // delta side: 48 ≡ 0 mod 4) gets a solo article, letting the
     // later cascade stages and the clean verdict surface at fixture sf
-    def urls(df: DataFrame) = Cleaning.urlDocs(df).withColumn("url",
-      when(col("doc_id") % 48 === 0,
-        concat(lit("https://news.example.com/articles/solo-"),
-          col("doc_id").cast("string"))).otherwise(col("url")))
     val urlV = Cleaning.urlDedupAgainst(
-        urls(arrivals), Cleaning.keeperCanonUrls(urls(base)))
+        cascadeUrls(arrivals), Cleaning.keeperCanonUrls(cascadeUrls(base)))
       .select(col("doc_id"), col("dup").as("url_dup"))
     val exactV = exactDedupAgainst(arrivals, keeperContentHashes(base))
       .select(col("doc_id"), col("dup").as("exact_dup"))

@@ -75,7 +75,8 @@ object ScaleSmoke {
     "q_cdc_dedup" /* narrow CDC kernel + one md5-keyed aggregate; grows with shared-chunk mass */,
     "q_cdc_incremental" /* delta chunks probe the frozen index via one keyed join */,
     "q_unimax_execute" /* |languages|-row plan broadcast onto one corpus pass */,
-    "q_filter_ensemble" /* one signal projection + content-hash window, the funnel's shape */)
+    "q_filter_ensemble" /* one signal projection + content-hash window, the funnel's shape */,
+    "q_ingest_gate" /* five frozen-artifact probes, all keyed; batch-proportional work */)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -595,6 +595,15 @@ class PlanShapeSpec extends SparkTestBase {
       s"ensemble grew a shuffle:\n$p")
   }
 
+  test("q_ingest_gate: five probe families, every join keyed — no all-pairs anywhere") {
+    // the composed gate inherits each Against operator's contract; a
+    // CartesianProduct or nested loop in ANY branch is that branch's
+    // quadratic regression surfacing through the composition
+    val p = plan("q_ingest_gate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ingest gate must stay keyed end to end:\n$p")
+  }
+
   test("q_leakage_safe_splits: label and hash joins stay keyed — no all-pairs") {
     // cluster resolution runs eagerly (materialized label leaf); the
     // residual plan is docs ⋈ labels ⋈ canonical-hash — both joins must
