@@ -257,11 +257,19 @@ object SparkEntry {
     // rows-only: composes the (xxhash) minhash verdict; its url/exact/
     // cdc columns are asserted equal to the oracle-gated component
     // queries in IngestSpec
-    "q_ingest_gate"       -> ((s: SparkSession, d: String) => ext.Ingest.ingestGate(s, d))
+    "q_ingest_gate"       -> ((s: SparkSession, d: String) => ext.Ingest.ingestGate(s, d)),
+    "q_zorder_events"     -> ((s: SparkSession, d: String) => storage.ZOrder.zorderEvents(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
   private val toks = "string_split_regex(trim(text), '\\s+')"
+
+  // the 8-bit Morton interleave as explicit shift/mask arithmetic —
+  // generated here so the Spark expression (ZOrder.interleave) and the
+  // oracle cannot drift in term count
+  private val zTerms = (0 until 8).map(k =>
+    s"(((x >> $k) & 1) << ${2 * k}) + (((y >> $k) & 1) << ${2 * k + 1})")
+    .mkString(" + ")
 
   // the c4StructuredDocs builder re-derived with the source column kept
   // (the boilerplate operators key their dictionary on it)
@@ -1999,6 +2007,24 @@ object SparkEntry {
         "CASE WHEN target_tokens > 0 THEN floor(CAST(SUM(copies * n_toks) AS DOUBLE) " +
         "/ CAST(target_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS achieved_ratio " +
         "FROM cp GROUP BY lang, target_tokens ORDER BY lang"),
+    // z-order layout audit: integer-micros time (epoch_us / unix_micros
+    // — the fractional epoch() is a recorded parity trap), 8-bit scaled
+    // dims (double products < 2^53, floor engine-exact), generated
+    // Morton terms shared with the Spark expression
+    "q_zorder_events" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), " +
+        "m AS (SELECT MIN(user_id) AS minu, MAX(user_id) AS maxu, " +
+        "MIN(us) AS minus, MAX(us) AS maxus FROM e), " +
+        "p AS (SELECT user_id, us, " +
+        "CAST(floor(CAST(user_id - minu AS DOUBLE) * 256 / CAST(maxu - minu + 1 AS DOUBLE)) AS BIGINT) AS x, " +
+        "CAST(floor(CAST(us - minus AS DOUBLE) * 256 / CAST(maxus - minus + 1 AS DOUBLE)) AS BIGINT) AS y " +
+        "FROM e CROSS JOIN m), " +
+        s"z AS (SELECT user_id, us, CAST(floor(CAST($zTerms AS DOUBLE) / 64) AS BIGINT) AS bucket FROM p) " +
+        "SELECT bucket, COUNT(*) AS n_events, " +
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        "MAX(user_id) - MIN(user_id) AS user_span, " +
+        "MAX(us) - MIN(us) AS ts_span_us " +
+        "FROM z GROUP BY bucket ORDER BY bucket"),
     // sliding-window chunking: chunk count / start / length are exact
     // integer math; the chunk identity is md5 over the space-joined
     // token slice (1-based inclusive slicing on both engines)

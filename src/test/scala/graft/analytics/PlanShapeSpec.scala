@@ -604,6 +604,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"ingest gate must stay keyed end to end:\n$p")
   }
 
+  test("q_zorder_events: scalar extents broadcast, one bucket aggregation") {
+    // the curve arithmetic is narrow codegen'd bit math; the 4-scalar
+    // extent aggregate must reach the stream as a broadcast. Budget 4:
+    // the extent aggregate's own scalar exchange, the bucket groupBy's
+    // two (countDistinct splits partial/final), and the sort.
+    val p = plan("q_zorder_events")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"extents must broadcast, not shuffle the events:\n$p")
+    assert(shuffleExchanges("q_zorder_events") <= 4,
+      s"z-order audit grew a shuffle:\n$p")
+  }
+
   test("q_leakage_safe_splits: label and hash joins stay keyed — no all-pairs") {
     // cluster resolution runs eagerly (materialized label leaf); the
     // residual plan is docs ⋈ labels ⋈ canonical-hash — both joins must

@@ -161,4 +161,34 @@ class ScaleToolsSpec extends SparkTestBase {
     assert(rows.contains(("b", 1L, 1L, 3L)))
     assert(rows.contains(("a", 1L, 3L, 7L)), "state must carry across batches")
   }
+
+  test("z-order: interleave round-trips known Morton codes; buckets bound BOTH dimensions") {
+    // hand-checked Morton codes: x even bits, y odd bits
+    val codes = Seq((0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L),
+      (3L, 0L, 5L), (0L, 3L, 10L), (255L, 255L, 65535L))
+      .toDF("x", "y", "expected")
+      .withColumn("z", ZOrder.interleave($"x", $"y", 8))
+      .collect()
+    codes.foreach(r => assert(r.getLong(3) == r.getLong(2),
+      s"interleave(${r.getLong(0)}, ${r.getLong(1)}) = ${r.getLong(3)}, want ${r.getLong(2)}"))
+    // locality on the real table: a z-bucket's extent must be bounded
+    // in BOTH dimensions — a time sort would leave user_span at the
+    // full range in every bucket
+    val ev = graft.Tables.events(spark, sfDir)
+    val full = ev.agg(
+      (max($"user_id") - min($"user_id")).cast("double"),
+      (max(unix_micros($"ts")) - min(unix_micros($"ts"))).cast("double"))
+      .collect().head
+    val (userRange, tsRange) = (full.getDouble(0), full.getDouble(1))
+    val buckets = ZOrder.zorderEventsDf(ev).collect()
+      .map(r => (r.getLong(1), r.getLong(3).toDouble, r.getLong(4).toDouble))
+    // event-weighted mean span per dimension
+    val n = buckets.map(_._1).sum.toDouble
+    val meanUserSpan = buckets.map(b => b._1 * b._2).sum / n
+    val meanTsSpan = buckets.map(b => b._1 * b._3).sum / n
+    assert(meanUserSpan < 0.5 * userRange,
+      s"z-buckets must bound the user dimension: $meanUserSpan vs full $userRange")
+    assert(meanTsSpan < 0.5 * tsRange,
+      s"z-buckets must bound the time dimension: $meanTsSpan vs full $tsRange")
+  }
 }
