@@ -271,6 +271,38 @@ object SparkEntry {
     s"(((x >> $k) & 1) << ${2 * k}) + (((y >> $k) & 1) << ${2 * k + 1})")
     .mkString(" + ")
 
+  // the CDC chunk chain (f → g → s → k → e), shared verbatim by the
+  // three q_cdc_* oracles so the cut rule and the span algebra cannot
+  // drift between them (the zTerms/toks discipline)
+  private lazy val cdcChainSql =
+    s"WITH f AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
+      "g AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n, " +
+      "list_filter(range(3, len(t) + 1), i -> " +
+      "substring(md5(array_to_string(list_slice(t, i - 2, i), ' ')), 1, 1) < '2') AS b FROM f), " +
+      "s AS (SELECT doc_id, t, [1] || list_transform(b, x -> x + 1) AS starts, " +
+      "b || [n] AS ends FROM g), " +
+      "k AS (SELECT doc_id, t, list_filter(range(1, len(starts) + 1), " +
+      "i -> starts[i] <= ends[i]) AS keep, starts, ends FROM s), " +
+      "e AS (SELECT doc_id, t, " +
+      "unnest(list_transform(keep, i -> struct_pack(s := starts[i], e := ends[i]))) AS p, " +
+      "unnest(range(0, len(keep))) AS chunk_id FROM k)"
+
+  // the UniMax plan chain (f → p → s → c → a) shared by the plan and
+  // execute oracles — same rationale
+  private lazy val unimaxCoreSql =
+    s"WITH f AS (SELECT lang, COALESCE(len($toks), 0) AS n_toks FROM documents), " +
+      "p AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens " +
+      "FROM f GROUP BY lang), " +
+      "s AS (SELECT *, SUM(n_tokens) OVER () AS total, COUNT(*) OVER () AS n_langs, " +
+      "ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS i, " +
+      "COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens, lang " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_prev FROM p), " +
+      "c AS (SELECT *, CAST(floor(7.0 * total / 4) AS BIGINT) AS budget, " +
+      "2 * n_tokens * (n_langs - i + 1) + 2 * s_prev " +
+      "< CAST(floor(7.0 * total / 4) AS BIGINT) AS capped FROM s), " +
+      "a AS (SELECT *, SUM(CASE WHEN capped THEN n_tokens ELSE 0 END) OVER () AS s_capped, " +
+      "SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k_capped FROM c)"
+
   // the c4StructuredDocs builder re-derived with the source column kept
   // (the boilerplate operators key their dictionary on it)
   private val sdSelectSql =
@@ -1952,18 +1984,7 @@ object SparkEntry {
     // loop collapses to window sums; cap test and capped allocations are
     // exact BIGINT, the uniform share and epochs are micro-snapped
     "q_unimax_mixture" ->
-      (s"WITH f AS (SELECT lang, COALESCE(len($toks), 0) AS n_toks FROM documents), " +
-        "p AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens " +
-        "FROM f GROUP BY lang), " +
-        "s AS (SELECT *, SUM(n_tokens) OVER () AS total, COUNT(*) OVER () AS n_langs, " +
-        "ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS i, " +
-        "COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens, lang " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_prev FROM p), " +
-        "c AS (SELECT *, CAST(floor(7.0 * total / 4) AS BIGINT) AS budget, " +
-        "2 * n_tokens * (n_langs - i + 1) + 2 * s_prev " +
-        "< CAST(floor(7.0 * total / 4) AS BIGINT) AS capped FROM s), " +
-        "a AS (SELECT *, SUM(CASE WHEN capped THEN n_tokens ELSE 0 END) OVER () AS s_capped, " +
-        "SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k_capped FROM c), " +
+      (unimaxCoreSql + ", " +
         "t AS (SELECT lang, n_docs, n_tokens, capped, " +
         "CASE WHEN capped THEN 2 * n_tokens " +
         "ELSE CAST(floor(CAST(budget - 2 * s_capped AS DOUBLE) " +
@@ -1976,18 +1997,7 @@ object SparkEntry {
     // per-doc copies = floor(e) + hex-threshold Bernoulli(frac(e)) —
     // the q_mixture_execute keep discipline applied to repeats
     "q_unimax_execute" ->
-      (s"WITH f AS (SELECT lang, COALESCE(len($toks), 0) AS n_toks FROM documents), " +
-        "p AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens " +
-        "FROM f GROUP BY lang), " +
-        "s AS (SELECT *, SUM(n_tokens) OVER () AS total, COUNT(*) OVER () AS n_langs, " +
-        "ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS i, " +
-        "COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens, lang " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_prev FROM p), " +
-        "c AS (SELECT *, CAST(floor(7.0 * total / 4) AS BIGINT) AS budget, " +
-        "2 * n_tokens * (n_langs - i + 1) + 2 * s_prev " +
-        "< CAST(floor(7.0 * total / 4) AS BIGINT) AS capped FROM s), " +
-        "a AS (SELECT *, SUM(CASE WHEN capped THEN n_tokens ELSE 0 END) OVER () AS s_capped, " +
-        "SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k_capped FROM c), " +
+      (unimaxCoreSql + ", " +
         "t AS (SELECT lang, n_tokens, CASE WHEN capped THEN 2 * n_tokens " +
         "ELSE CAST(floor(CAST(budget - 2 * s_capped AS DOUBLE) " +
         "/ CAST(n_langs - k_capped AS DOUBLE) + 0.5) AS BIGINT) END AS target_tokens FROM a), " +
@@ -2042,17 +2052,7 @@ object SparkEntry {
     // below '2') and the span algebra are identical HOF chains on both
     // engines; DuckDB's range() is empty for n < 3, so it needs no guard
     "q_cdc_chunks" ->
-      (s"WITH f AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
-        "g AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n, " +
-        "list_filter(range(3, len(t) + 1), i -> " +
-        "substring(md5(array_to_string(list_slice(t, i - 2, i), ' ')), 1, 1) < '2') AS b FROM f), " +
-        "s AS (SELECT doc_id, t, [1] || list_transform(b, x -> x + 1) AS starts, " +
-        "b || [n] AS ends FROM g), " +
-        "k AS (SELECT doc_id, t, list_filter(range(1, len(starts) + 1), " +
-        "i -> starts[i] <= ends[i]) AS keep, starts, ends FROM s), " +
-        "e AS (SELECT doc_id, t, " +
-        "unnest(list_transform(keep, i -> struct_pack(s := starts[i], e := ends[i]))) AS p, " +
-        "unnest(range(0, len(keep))) AS chunk_id FROM k) " +
+      (cdcChainSql + " " +
         "SELECT doc_id, chunk_id, CAST(p.s AS BIGINT) AS start_tok, " +
         "CAST(p.e - p.s + 1 AS BIGINT) AS n_tokens, " +
         "md5(array_to_string(list_slice(t, p.s, p.e), ' ')) AS chunk_md5 " +
@@ -2061,17 +2061,7 @@ object SparkEntry {
     // one fingerprint-keyed aggregate; keeper = lexicographic min of
     // (doc_id, chunk_id) — min_by twice mirrors the min-struct
     "q_cdc_dedup" ->
-      (s"WITH f AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
-        "g AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n, " +
-        "list_filter(range(3, len(t) + 1), i -> " +
-        "substring(md5(array_to_string(list_slice(t, i - 2, i), ' ')), 1, 1) < '2') AS b FROM f), " +
-        "s AS (SELECT doc_id, t, [1] || list_transform(b, x -> x + 1) AS starts, " +
-        "b || [n] AS ends FROM g), " +
-        "k AS (SELECT doc_id, t, list_filter(range(1, len(starts) + 1), " +
-        "i -> starts[i] <= ends[i]) AS keep, starts, ends FROM s), " +
-        "e AS (SELECT doc_id, t, " +
-        "unnest(list_transform(keep, i -> struct_pack(s := starts[i], e := ends[i]))) AS p, " +
-        "unnest(range(0, len(keep))) AS chunk_id FROM k), " +
+      (cdcChainSql + ", " +
         "c AS (SELECT doc_id, chunk_id, CAST(p.e - p.s + 1 AS BIGINT) AS n_tokens, " +
         "md5(array_to_string(list_slice(t, p.s, p.e), ' ')) AS chunk_md5 FROM e), " +
         // keeper = lexicographic min of (doc_id, chunk_id): min doc_id
@@ -2091,16 +2081,7 @@ object SparkEntry {
     // snapshot/delta on doc_id % 4; owned = fingerprint present in the
     // base keeper set; owned_frac is the micro-snapped token share
     "q_cdc_incremental" ->
-      (s"WITH f AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
-        "g AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n, " +
-        "list_filter(range(3, len(t) + 1), i -> " +
-        "substring(md5(array_to_string(list_slice(t, i - 2, i), ' ')), 1, 1) < '2') AS b FROM f), " +
-        "s AS (SELECT doc_id, t, [1] || list_transform(b, x -> x + 1) AS starts, " +
-        "b || [n] AS ends FROM g), " +
-        "k AS (SELECT doc_id, t, list_filter(range(1, len(starts) + 1), " +
-        "i -> starts[i] <= ends[i]) AS keep, starts, ends FROM s), " +
-        "e AS (SELECT doc_id, t, " +
-        "unnest(list_transform(keep, i -> struct_pack(s := starts[i], e := ends[i]))) AS p FROM k), " +
+      (cdcChainSql + ", " +
         "c AS (SELECT doc_id, CAST(p.e - p.s + 1 AS BIGINT) AS n_toks, " +
         "md5(array_to_string(list_slice(t, p.s, p.e), ' ')) AS chunk_md5 FROM e), " +
         "base AS (SELECT chunk_md5, MIN(doc_id) AS keeper_id FROM c " +

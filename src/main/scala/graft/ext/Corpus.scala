@@ -1329,6 +1329,8 @@ object Corpus {
     * table (the [[mixturePlanDf]] precedent).
     */
   def unimaxMixture(spark: SparkSession, d: String, epochCap: Int = 2): DataFrame =
+    // no fanOut: one regex split per doc is too light to pay a text
+    // round-robin for (measured 0.33 → 0.49 s with it)
     unimaxMixtureDf(Tables.documents(spark, d), epochCap)
 
   /** DataFrame form (docs must have lang + text); see [[unimaxMixture]]. */
@@ -1567,6 +1569,12 @@ object Corpus {
     * offset ([[cdcChunkDedup]]'s property).
     */
   def keeperChunkFingerprints(docs: DataFrame): DataFrame =
+    // no fanOut here by MEASUREMENT: round-robining the base's full
+    // text costs more than the single-split CDC kernel saves at this
+    // kernel size (Probe mins 1.35 → 1.54 s on q_cdc_incremental,
+    // 1.61 → 2.13 on q_ingest_gate with it) — unlike the heavier
+    // minhash signature kernel, where fanOut is the recorded win; at
+    // cluster scale multi-split scans make the question moot
     org.apache.spark.sql.GraftSql.unordered(cdcChunksDf(docs))
       .groupBy(col("chunk_md5"))
       .agg(min(col("doc_id")).as("keeper_id"))
@@ -1713,10 +1721,18 @@ object Corpus {
   /** DataFrame form (docs must have doc_id + text); see
     * [[leakageSafeSplits]].
     */
-  def leakageSafeSplitsDf(docs: DataFrame, threshold: Double): DataFrame = {
+  def leakageSafeSplitsDf(docs: DataFrame, threshold: Double): DataFrame =
+    leakageSafeSplitsFromPairs(docs,
+      Dedup.minhashCandidatePairsUnordered(docs), threshold)
+
+  /** [[leakageSafeSplitsDf]] over pre-built candidate pairs — for
+    * callers that already hold a band index and derive pairs from it
+    * ([[splitInheritance]] / [[splitAssignSink]]).
+    */
+  private[ext] def leakageSafeSplitsFromPairs(docs: DataFrame, pairs: DataFrame,
+                                              threshold: Double): DataFrame = {
     val clusters = Dedup.dedupClusters(
-      Dedup.minhashCandidatePairsUnordered(docs)
-        .filter(col("est_jaccard") >= threshold))
+      pairs.filter(col("est_jaccard") >= threshold))
     val canon = docs.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1784,10 +1800,21 @@ object Corpus {
     val docs = Tables.documents(spark, d)
     val base = docs.filter(col("doc_id") % 4 =!= 0)
     val arrivals = docs.filter(col("doc_id") % 4 === 0)
-    splitAssignAgainst(arrivals, Dedup.minhashBandIndex(base),
-      org.apache.spark.sql.GraftSql.unordered(leakageSafeSplitsDf(base, threshold))
-        .select(col("doc_id"), col("split")),
-      threshold)
+    // ONE banded-index EXPRESSION feeding both the cluster rounds' pair
+    // self-join and the arrival probe. Deliberately NOT materialized:
+    // a localCheckpoint here was MEASURED worse (Probe mins 2.61 →
+    // 2.87 s at sf0.1) — at fixture scale the pair join broadcasts (the
+    // kernel re-runs over small data, cheaper than storing 8 sig rows
+    // per doc), and at 100 TB the identical subtrees resolve through
+    // AQE's stage cache (the minhashCandidatePairsUnordered scaladoc's
+    // recorded result: forcing materialization for local reuse buys
+    // nothing the planner doesn't already provide).
+    val index = Dedup.minhashBandIndex(base)
+    val baseSplits = org.apache.spark.sql.GraftSql.unordered(
+        leakageSafeSplitsFromPairs(base,
+          Dedup.minhashCandidatePairsOfIndex(index), threshold))
+      .select(col("doc_id"), col("split"))
+    splitAssignAgainst(arrivals, index, baseSplits, threshold)
   }
 
   /** Streaming split assignment (foreachBatch stage): the base's band
@@ -1800,10 +1827,14 @@ object Corpus {
                       outPath: String, checkpoint: String,
                       threshold: Double = 0.7, triggerMs: Long = 10000L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // the index freezes FIRST and the split table derives its candidate
+    // pairs from the frozen (cached) table — the base signature kernel
+    // runs once for both artifacts
     val frozenIndex = Freeze.scoped(checkpoint, Dedup.minhashBandIndex(baseDocs))
     val frozenSplits = Freeze.scoped(checkpoint,
       org.apache.spark.sql.GraftSql.unordered(
-        leakageSafeSplitsDf(baseDocs, threshold))
+        leakageSafeSplitsFromPairs(baseDocs,
+          Dedup.minhashCandidatePairsOfIndex(frozenIndex), threshold))
         .select(col("doc_id"), col("split")))
     docStream.writeStream
       .outputMode("append")

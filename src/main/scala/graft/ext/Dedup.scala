@@ -339,12 +339,22 @@ object Dedup {
     // 1.32 s at sf0.1): it pays an 8-rows-per-doc signature shuffle
     // where broadcast pays none, and buys nothing at scale that AQE
     // doesn't already provide.
-    val banded = bandHashes(docs, bands, rows)
+    minhashCandidatePairsOfIndex(bandHashes(docs, bands, rows), numHashes)
+  }
+
+  /** The pair self-join stage over an ALREADY-BUILT band table (the
+    * [[minhashBandIndex]] shape) — for callers that hold the index
+    * anyway ([[graft.ext.Corpus.splitInheritance]] materializes ONE
+    * index and reads it for both the cluster rounds and the arrival
+    * probe, instead of re-running the signature kernel per branch).
+    * est_jaccard is a pure function of the pair, so it computes inside
+    * the bucket join and the dedup runs on narrow (id_a, id_b, est)
+    * rows — the signature arrays never enter the distinct's shuffle.
+    */
+  def minhashCandidatePairsOfIndex(banded: DataFrame,
+                                   numHashes: Int = 32): DataFrame = {
     val a = banded.as("a")
     val b = banded.as("b")
-    // est_jaccard is a pure function of the pair, so compute it inside the
-    // bucket join and dedup on the narrow (id_a, id_b, est) rows — the
-    // signature arrays never enter the distinct's shuffle.
     a.join(b,
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&

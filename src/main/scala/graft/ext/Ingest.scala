@@ -34,7 +34,7 @@ object Ingest {
     * once: canonical-URL keepers, content-hash keepers, MinHash band
     * index, CDC chunk keepers. (The quality gate is stateless.)
     */
-  private def artifacts(base: DataFrame)
+  private[ext] def artifacts(base: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) =
     (Cleaning.keeperCanonUrls(Dedup.cascadeUrls(base)),
       Dedup.keeperContentHashes(base),

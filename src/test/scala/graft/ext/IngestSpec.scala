@@ -61,11 +61,9 @@ class IngestSpec extends SparkTestBase {
     } finally query.stop()
     val streamed = spark.read.parquet(out).drop("batch_id")
       .collect().map(_.toSeq).toSet
-    val (u, c, b, k) = (
-      Cleaning.keeperCanonUrls(Dedup.cascadeUrls(base)),
-      Dedup.keeperContentHashes(base),
-      Dedup.minhashBandIndex(base),
-      Corpus.keeperChunkFingerprints(base))
+    // the REAL artifact builder (private[ext]) — a fifth artifact or a
+    // changed URL synthesis in production reaches this parity check
+    val (u, c, b, k) = Ingest.artifacts(base)
     val batch = Ingest.gateAgainst(arrivals.toDF("doc_id", "text", "source"),
         u, c, b, k)
       .collect().map(_.toSeq).toSet
