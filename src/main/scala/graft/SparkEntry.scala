@@ -258,7 +258,8 @@ object SparkEntry {
     // cdc columns are asserted equal to the oracle-gated component
     // queries in IngestSpec
     "q_ingest_gate"       -> ((s: SparkSession, d: String) => ext.Ingest.ingestGate(s, d)),
-    "q_zorder_events"     -> ((s: SparkSession, d: String) => storage.ZOrder.zorderEvents(s, d))
+    "q_zorder_events"     -> ((s: SparkSession, d: String) => storage.ZOrder.zorderEvents(s, d)),
+    "q_layout_compare"    -> ((s: SparkSession, d: String) => storage.ZOrder.layoutCompare(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -2035,6 +2036,36 @@ object SparkEntry {
         "MAX(user_id) - MIN(user_id) AS user_span, " +
         "MAX(us) - MIN(us) AS ts_span_us " +
         "FROM z GROUP BY bucket ORDER BY bucket"),
+    // layout comparison: integer seconds (epoch_us // 1e6 mirrors
+    // unix_seconds), exact int64 weighted span sums, one snapped
+    // division per fraction; 64 buckets per layout
+    "q_layout_compare" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events), " +
+        "m AS (SELECT MIN(user_id) AS minu, MAX(user_id) AS maxu, " +
+        "MIN(sec) AS mins, MAX(sec) AS maxs FROM e), " +
+        "p AS (SELECT user_id, sec, minu, maxu, mins, maxs, " +
+        "CAST(floor(CAST(user_id - minu AS DOUBLE) * 256 / CAST(maxu - minu + 1 AS DOUBLE)) AS BIGINT) AS x, " +
+        "CAST(floor(CAST(sec - mins AS DOUBLE) * 256 / CAST(maxs - mins + 1 AS DOUBLE)) AS BIGINT) AS y " +
+        "FROM e CROSS JOIN m), " +
+        s"bz AS (SELECT 'zorder' AS layout, CAST(floor(CAST($zTerms AS DOUBLE) / 1024) AS BIGINT) AS bucket, " +
+        "user_id, sec, maxu - minu AS ur, maxs - mins AS tr FROM p), " +
+        "bt AS (SELECT 'time_sort', CAST(floor(CAST(sec - mins AS DOUBLE) * 64 / CAST(maxs - mins + 1 AS DOUBLE)) AS BIGINT), " +
+        "user_id, sec, maxu - minu, maxs - mins FROM p), " +
+        "bu AS (SELECT 'user_sort', CAST(floor(CAST(user_id - minu AS DOUBLE) * 64 / CAST(maxu - minu + 1 AS DOUBLE)) AS BIGINT), " +
+        "user_id, sec, maxu - minu, maxs - mins FROM p), " +
+        "ab AS (SELECT * FROM bz UNION ALL SELECT * FROM bt UNION ALL SELECT * FROM bu), " +
+        "g AS (SELECT layout, bucket, COUNT(*) AS n, " +
+        "MAX(user_id) - MIN(user_id) AS usp, MAX(sec) - MIN(sec) AS tsp, " +
+        "MAX(ur) AS ur, MAX(tr) AS tr FROM ab GROUP BY layout, bucket), " +
+        "a AS (SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_buckets, " +
+        "CAST(SUM(n * usp) AS BIGINT) AS wu, CAST(SUM(n * tsp) AS BIGINT) AS wt, " +
+        "CAST(SUM(n) AS BIGINT) AS tn, MAX(ur) AS ur, MAX(tr) AS tr FROM g GROUP BY layout) " +
+        "SELECT layout, n_buckets, " +
+        "CASE WHEN ur > 0 THEN floor(CAST(wu AS DOUBLE) / CAST(tn AS DOUBLE) " +
+        "/ CAST(ur AS DOUBLE) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS user_span_frac, " +
+        "CASE WHEN tr > 0 THEN floor(CAST(wt AS DOUBLE) / CAST(tn AS DOUBLE) " +
+        "/ CAST(tr AS DOUBLE) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS ts_span_frac " +
+        "FROM a ORDER BY layout"),
     // sliding-window chunking: chunk count / start / length are exact
     // integer math; the chunk identity is md5 over the space-joined
     // token slice (1-based inclusive slicing on both engines)

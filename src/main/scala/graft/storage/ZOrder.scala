@@ -71,4 +71,69 @@ object ZOrder {
         (max(col("us")) - min(col("us"))).as("ts_span_us"))
       .orderBy(col("bucket"))
   }
+
+  /** LAYOUT COMPARISON: the z-order claim as one table — the same
+    * events bucketed 64 ways under three layouts (z-order, pure time
+    * sort, pure user sort), each reporting its event-weighted mean
+    * span as a FRACTION of the full range, per dimension. The fraction
+    * IS the expected scan cost of a point/range predicate on that
+    * dimension under that layout: a time sort reads ~1/64 of the data
+    * for a time range and ~all of it for a user probe; z-order pays a
+    * bounded fraction on BOTH. 64 buckets (6 z-bits / 6 scaled bits)
+    * so buckets hold enough events for spans to mean something at
+    * fixture scale.
+    *
+    * FP discipline: weighted span sums are exact integer products
+    * (time spans in SECONDS so n·span stays far inside int64 — the
+    * micros product would overflow), one double division at the end,
+    * 6-dp snapped; summation order can't leak in.
+    *
+    * Scale shape: three narrow bucket assignments over one scan
+    * lineage, each feeding a 64-group aggregate; extents broadcast.
+    */
+  def layoutCompare(spark: SparkSession, d: String): DataFrame =
+    layoutCompareDf(Tables.events(spark, d))
+
+  /** DataFrame form (events must have user_id + ts); see
+    * [[layoutCompare]].
+    */
+  def layoutCompareDf(events: DataFrame): DataFrame = {
+    // integer SECONDS end-to-end (unix_seconds / epoch_us // 1e6): the
+    // weighted span sums then stay exact int64 products — micros would
+    // put n·span near the long boundary, and a double span invites the
+    // summation-order trap
+    val e = events.select(col("user_id"), unix_seconds(col("ts")).as("sec"))
+    val m = e.agg(
+      min(col("user_id")).as("minu"), max(col("user_id")).as("maxu"),
+      min(col("sec")).as("mins"), max(col("sec")).as("maxs"))
+    def scaledTo(v: Column, lo: Column, hi: Column, buckets: Int): Column =
+      floor((v - lo).cast("double") * buckets / (hi - lo + 1).cast("double"))
+        .cast("long")
+    val base = e.crossJoin(broadcast(m))
+    def spansOf(layout: String, bucket: Column): DataFrame =
+      base.withColumn("bucket", bucket)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          (max(col("user_id")) - min(col("user_id"))).as("usp"),
+          (max(col("sec")) - min(col("sec"))).as("tsp"),
+          first(col("maxu") - col("minu")).as("ur"),
+          first(col("maxs") - col("mins")).as("tr"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("n") * col("usp")).as("wu"), sum(col("n") * col("tsp")).as("wt"),
+          sum(col("n")).as("tn"), first(col("ur")).as("ur"), first(col("tr")).as("tr"))
+        .select(lit(layout).as("layout"), col("n_buckets"),
+          when(col("ur") > 0, floor(col("wu").cast("double") / col("tn").cast("double")
+            / col("ur").cast("double") * 1e6 + 0.5) / 1e6).otherwise(lit(0.0))
+            .as("user_span_frac"),
+          when(col("tr") > 0, floor(col("wt").cast("double") / col("tn").cast("double")
+            / col("tr").cast("double") * 1e6 + 0.5) / 1e6).otherwise(lit(0.0))
+            .as("ts_span_frac"))
+    val x8 = scaledTo(col("user_id"), col("minu"), col("maxu"), 256)
+    val y8 = scaledTo(col("sec"), col("mins"), col("maxs"), 256)
+    val zBucket = floor(interleave(x8, y8, 8).cast("double") / 1024).cast("long")
+    spansOf("zorder", zBucket)
+      .unionAll(spansOf("time_sort", scaledTo(col("sec"), col("mins"), col("maxs"), 64)))
+      .unionAll(spansOf("user_sort", scaledTo(col("user_id"), col("minu"), col("maxu"), 64)))
+      .orderBy(col("layout"))
+  }
 }

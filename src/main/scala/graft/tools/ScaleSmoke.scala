@@ -77,7 +77,8 @@ object ScaleSmoke {
     "q_unimax_execute" /* |languages|-row plan broadcast onto one corpus pass */,
     "q_filter_ensemble" /* one signal projection + content-hash window, the funnel's shape */,
     "q_ingest_gate" /* five frozen-artifact probes, all keyed; batch-proportional work */,
-    "q_zorder_events" /* narrow bit math + one bucket groupBy; extents broadcast */)
+    "q_zorder_events" /* narrow bit math + one bucket groupBy; extents broadcast */,
+    "q_layout_compare" /* three 64-group bucket aggregates over one scan lineage */)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

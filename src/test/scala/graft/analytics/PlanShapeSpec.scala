@@ -614,6 +614,13 @@ class PlanShapeSpec extends SparkTestBase {
       s"extents must broadcast, not shuffle the events:\n$p")
     assert(shuffleExchanges("q_zorder_events") <= 4,
       s"z-order audit grew a shuffle:\n$p")
+    // the comparison: three bucket aggregates (one per layout, two
+    // exchanges each incl. the 64-group final) + broadcast extents
+    val pc = plan("q_layout_compare")
+    assert(!pc.contains("SortMergeJoin") && !pc.contains("ShuffledHashJoin"),
+      s"layout compare extents must broadcast:\n$pc")
+    assert(shuffleExchanges("q_layout_compare") <= 9,
+      s"layout compare grew a shuffle:\n$pc")
   }
 
   test("q_leakage_safe_splits: label and hash joins stay keyed — no all-pairs") {

@@ -191,4 +191,20 @@ class ScaleToolsSpec extends SparkTestBase {
     assert(meanTsSpan < 0.5 * tsRange,
       s"z-buckets must bound the time dimension: $meanTsSpan vs full $tsRange")
   }
+
+  test("layout compare: each sort is blind on its off dimension; z-order bounds both") {
+    val rows = ZOrder.layoutCompare(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val (zu, zt) = rows("zorder")
+    val (tu, tt) = rows("time_sort")
+    val (uu, ut) = rows("user_sort")
+    // a sort serves its own dimension and is blind on the other
+    assert(tt < 0.1 && tu > 0.8, s"time sort: $tt/$tu")
+    assert(uu < 0.1 && ut > 0.8, s"user sort: $uu/$ut")
+    // z-order pays a bounded fraction on BOTH — the theory says ~1/8
+    // for 3 interleaved bits per dimension at 64 buckets
+    assert(zu < 0.3 && zt < 0.3, s"zorder must bound both: $zu/$zt")
+    assert(zu < tu && zt < ut,
+      "z-order must beat each sort on its blind dimension")
+  }
 }
