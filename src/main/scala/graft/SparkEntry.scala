@@ -259,11 +259,125 @@ object SparkEntry {
     // queries in IngestSpec
     "q_ingest_gate"       -> ((s: SparkSession, d: String) => ext.Ingest.ingestGate(s, d)),
     "q_zorder_events"     -> ((s: SparkSession, d: String) => storage.ZOrder.zorderEvents(s, d)),
-    "q_layout_compare"    -> ((s: SparkSession, d: String) => storage.ZOrder.layoutCompare(s, d))
+    "q_layout_compare"    -> ((s: SparkSession, d: String) => storage.ZOrder.layoutCompare(s, d)),
+    "q_link_graph_degrees" -> ((s: SparkSession, d: String) => ext.Graph.linkGraphDegrees(s, d)),
+    "q_pagerank"          -> ((s: SparkSession, d: String) => ext.Graph.pagerank(s, d)),
+    "q_train_classifier"  -> ((s: SparkSession, d: String) => ext.Training.trainQualityClassifier(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
   private val toks = "string_split_regex(trim(text), '\\s+')"
+
+  // the classifier-training replay: feature CTE (the q_model_quality_filter
+  // fragments verbatim), exact two-pass standardization, then 4 unrolled
+  // full-batch GD epochs — every aggregate sums micro-snapped BIGINTs
+  // (Training.scala's exactness discipline), so the descent replays
+  // bit-identically
+  private lazy val trainClassifierSql = {
+    val header =
+      "WITH f0 AS (SELECT " +
+        s"CAST(len(list_filter($toks, t -> t IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) " +
+        s"/ len($toks) AS sr, " +
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS pr, " +
+        s"ln(CAST(len($toks) AS DOUBLE) + 1.0) AS lt, " +
+        s"CAST(length(text) AS DOUBLE) / len($toks) AS al " +
+        "FROM documents WHERE length(text) > 0), " + // 0/0 parity guard
+        "f AS (SELECT sr, pr, lt, al, " +
+        "CASE WHEN round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * sr - 8.0 * pr + 0.9 * lt - 0.35 * al))), 6) >= 0.5 " +
+        "THEN 1.0 ELSE 0.0 END AS y FROM f0), " +
+        "m0 AS (SELECT CAST(SUM(CAST(floor(sr * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ssr, " +
+        "CAST(SUM(CAST(floor(pr * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS spr, " +
+        "CAST(SUM(CAST(floor(lt * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS slt, " +
+        "CAST(SUM(CAST(floor(al * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sal, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM f), " +
+        "m AS (SELECT (ssr / 1000000.0) / n AS msr, (spr / 1000000.0) / n AS mpr, " +
+        "(slt / 1000000.0) / n AS mlt, (sal / 1000000.0) / n AS mal, n FROM m0), " +
+        "v0 AS (SELECT " +
+        "CAST(SUM(CAST(floor((sr - msr) * (sr - msr) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS vsr, " +
+        "CAST(SUM(CAST(floor((pr - mpr) * (pr - mpr) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS vpr, " +
+        "CAST(SUM(CAST(floor((lt - mlt) * (lt - mlt) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS vlt, " +
+        "CAST(SUM(CAST(floor((al - mal) * (al - mal) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS val, " +
+        "MAX(msr) AS msr, MAX(mpr) AS mpr, MAX(mlt) AS mlt, MAX(mal) AS mal, MAX(m.n) AS n " +
+        "FROM f CROSS JOIN m), " +
+        "v AS (SELECT " +
+        "CASE WHEN (vsr / 1000000.0) / n > 0 THEN sqrt((vsr / 1000000.0) / n) ELSE 1.0 END AS dsr, " +
+        "CASE WHEN (vpr / 1000000.0) / n > 0 THEN sqrt((vpr / 1000000.0) / n) ELSE 1.0 END AS dpr, " +
+        "CASE WHEN (vlt / 1000000.0) / n > 0 THEN sqrt((vlt / 1000000.0) / n) ELSE 1.0 END AS dlt, " +
+        "CASE WHEN (val / 1000000.0) / n > 0 THEN sqrt((val / 1000000.0) / n) ELSE 1.0 END AS dal, " +
+        "msr, mpr, mlt, mal FROM v0), " +
+        "s AS (SELECT (sr - msr) / dsr AS zsr, (pr - mpr) / dpr AS zpr, " +
+        "(lt - mlt) / dlt AS zlt, (al - mal) / dal AS zal, y FROM f CROSS JOIN v), " +
+        "w0 AS (SELECT 0.0 AS wb, 0.0 AS ws, 0.0 AS wp, 0.0 AS wl, 0.0 AS wa)"
+    val epochs = (1 to 4).map { k =>
+      s"p$k AS (SELECT zsr, zpr, zlt, zal, y, " +
+        "1.0 / (1.0 + exp(-(wb + ws * zsr + wp * zpr + wl * zlt + wa * zal))) AS p " +
+        s"FROM s CROSS JOIN w${k - 1}), " +
+        s"g$k AS (SELECT " +
+        "CAST(SUM(CAST(floor((p - y) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS gb, " +
+        "CAST(SUM(CAST(floor((p - y) * zsr * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS gs, " +
+        "CAST(SUM(CAST(floor((p - y) * zpr * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS gp, " +
+        "CAST(SUM(CAST(floor((p - y) * zlt * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS gl, " +
+        "CAST(SUM(CAST(floor((p - y) * zal * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ga, " +
+        "CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS ncorr, " +
+        s"CAST(COUNT(*) AS BIGINT) AS n FROM p$k), " +
+        s"w$k AS (SELECT w.wb - 2.0 * ((g.gb / 1000000.0) / g.n) AS wb, " +
+        "w.ws - 2.0 * ((g.gs / 1000000.0) / g.n) AS ws, " +
+        "w.wp - 2.0 * ((g.gp / 1000000.0) / g.n) AS wp, " +
+        "w.wl - 2.0 * ((g.gl / 1000000.0) / g.n) AS wl, " +
+        "w.wa - 2.0 * ((g.ga / 1000000.0) / g.n) AS wa, " +
+        s"g.ncorr AS ncorr, g.n AS n FROM g$k g CROSS JOIN w${k - 1} w)"
+    }.mkString(", ")
+    val rows = (1 to 4).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS epoch, ncorr AS n_correct, n, " +
+        "round(wb, 6) AS w_bias, round(ws, 6) AS w_sr, round(wp, 6) AS w_pr, " +
+        s"round(wl, 6) AS w_lt, round(wa, 6) AS w_al FROM w$k"
+    }.mkString(" UNION ALL ")
+    s"$header, $epochs $rows ORDER BY epoch"
+  }
+
+  // the link-graph chain (nn → t0 → bg → e0 → e → od → ideg), shared
+  // by q_link_graph_degrees and q_pagerank so the edge derivation
+  // cannot drift between them (the cdcChainSql discipline). Mirrors
+  // graft.ext.Graph.linkEdgesDf expression by expression: 60-bit md5
+  // bucket of each token bigram mod frontier size, self-links dropped.
+  private lazy val linkGraphCteSql =
+    "WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents), " +
+      s"t0 AS (SELECT doc_id AS src, $toks AS t FROM documents WHERE text IS NOT NULL), " +
+      "bg AS (SELECT src, unnest(list_transform(range(1, len(t)), " +
+      "i -> t[i] || ' ' || t[i+1])) AS bigram FROM t0), " +
+      "e0 AS (SELECT src, (('0x' || substr(md5(bigram), 1, 15))::BIGINT) % d AS dst " +
+      "FROM bg CROSS JOIN nn), " +
+      "e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst), " +
+      "od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY src), " +
+      "ideg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_deg FROM e GROUP BY dst)"
+
+  // the PageRank recurrence, 4 unrolled exact-integer iterations —
+  // every aggregate sums BIGINTs (contributions nano-snapped per row
+  // BEFORE the sum), so the replay is bit-identical to the Spark loop
+  // regardless of engine or partitioning (Graph.scala's exactness
+  // discipline)
+  private lazy val pagerankSql = {
+    val iters = (1 to 4).map { k =>
+      val p = s"r${k - 1}"
+      s"c$k AS (SELECT dst AS doc_id, CAST(SUM(CAST(floor(CAST(r AS DOUBLE) / out_deg + 0.5) AS BIGINT)) AS BIGINT) AS inflow " +
+        s"FROM $p JOIN e ON $p.doc_id = e.src WHERE out_deg > 0 GROUP BY dst), " +
+        s"d$k AS (SELECT CAST(COALESCE(SUM(CASE WHEN out_deg = 0 THEN r END), 0) AS BIGINT) AS dang FROM $p), " +
+        s"r$k AS (SELECT n.doc_id, n.out_deg, n.d, " +
+        "CAST(floor((1.0 - 0.85) * 1000000000.0 / n.d + 0.5) AS BIGINT) + " +
+        "CAST(floor(0.85 * CAST(COALESCE(inflow, 0) + " +
+        "CAST(floor(CAST(dang AS DOUBLE) / n.d + 0.5) AS BIGINT) AS DOUBLE) + 0.5) AS BIGINT) AS r " +
+        s"FROM $p n LEFT JOIN c$k ON n.doc_id = c$k.doc_id CROSS JOIN d$k)"
+    }.mkString(", ")
+    s"$linkGraphCteSql, " +
+      "nd AS (SELECT doc_id, COALESCE(out_deg, 0) AS out_deg, d " +
+      "FROM documents LEFT JOIN od ON doc_id = od.src CROSS JOIN nn), " +
+      "r0 AS (SELECT doc_id, out_deg, d, " +
+      "CAST(floor(1000000000.0 / d + 0.5) AS BIGINT) AS r FROM nd), " +
+      s"$iters " +
+      "SELECT r4.doc_id, r4.r AS rank_nano, r4.out_deg, COALESCE(in_deg, 0) AS in_deg " +
+      "FROM r4 LEFT JOIN ideg ON r4.doc_id = ideg.dst " +
+      "ORDER BY rank_nano DESC, r4.doc_id LIMIT 100"
+  }
 
   // the 8-bit Morton interleave as explicit shift/mask arithmetic —
   // generated here so the Spark expression (ZOrder.interleave) and the
@@ -2154,7 +2268,18 @@ object SparkEntry {
         "SELECT doc_id, quality, stage, substring(hh, 1, 1) AS shard, " +
         "CAST(ROW_NUMBER() OVER (PARTITION BY stage, substring(hh, 1, 1) " +
         "ORDER BY hh, doc_id) AS BIGINT) AS pos " +
-        "FROM sh ORDER BY doc_id")
+        "FROM sh ORDER BY doc_id"),
+    // link graph: per-node degrees over the shared edge chain — exact
+    // integer compare
+    "q_link_graph_degrees" ->
+      (s"$linkGraphCteSql " +
+        "SELECT doc_id, COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg " +
+        "FROM documents LEFT JOIN od ON doc_id = od.src LEFT JOIN ideg ON doc_id = ideg.dst " +
+        "ORDER BY doc_id"),
+    // PageRank: 4 exact-integer iterations, bit-identical replay
+    "q_pagerank" -> pagerankSql,
+    // classifier training: the full unrolled gradient descent
+    "q_train_classifier" -> trainClassifierSql
     // No oracle (rows-only checks) — the authoritative list is
     // `queries.keySet -- oracleSql.keySet` (don't trust a hardcoded
     // enumeration here); currently that's the xxhash64-based dedup

@@ -1,0 +1,192 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Link-graph analytics over the crawl frontier.
+  *
+  * The reference pipeline is a crawler (`/root/reference/crawler`): its
+  * link sink records, per fetched page, the outgoing URLs the fetch
+  * discovered. The engine-side operator a crawl corpus needs on top of
+  * that sink is graph analytics over the page graph — which pages are
+  * hubs, the in/out-degree distribution, and an importance measure
+  * (PageRank, Page et al. 1999) a crawl scheduler or quality filter can
+  * consume. The fixture tables carry no URL column, so the edge set is
+  * derived deterministically from document content (the
+  * [[Cleaning.urlDocs]] discipline): every distinct token BIGRAM of a
+  * document links it to frontier slot `md5_60(bigram) mod D`. Common
+  * bigrams concentrate onto the same targets, so the synthetic graph
+  * has the hub-and-spoke in-degree skew a real web graph has. The
+  * driver tables keep doc_id contiguous in [0, D) (asserted in
+  * GraphSpec), so every target resolves to a real node.
+  *
+  * Exactness discipline (why rank is a BIGINT, not a DOUBLE): every
+  * AGGREGATE in the PageRank recurrence sums integers — per-edge
+  * contributions are snapped to nano-rank units (floor(x + 0.5) of a
+  * per-row scalar double) BEFORE the sum, so no floating sum order can
+  * differ between engines or between partitionings of the same data.
+  * Per-row scalar double arithmetic (division by out-degree, the 0.85
+  * damping multiply) is IEEE-754-deterministic everywhere; only float
+  * SUMS are order-sensitive, and there are none. The DuckDB oracle
+  * replays the identical recurrence and must match bit-for-bit — the
+  * micro-nat-snap idiom (q_dsir_weights) extended to a fixpoint
+  * iteration.
+  *
+  * Scale shape (100 TB / 1e11-page frontier):
+  *  - Edge derivation: one narrow tokenize→bigram→hash pass, one
+  *    (src,dst) distinct exchange. Edge count is bounded by total
+  *    bigram count, never O(n²).
+  *  - Degrees: one aggregation over the unpivoted edge stream — the
+  *    corpus-sized edge subtree appears exactly once in the plan
+  *    (structural, not reuse-dependent; asserted in GraphSpec).
+  *  - PageRank iterations: the edge table and each iteration's rank
+  *    table are materialized via eager `localCheckpoint` — the GraphX
+  *    lineage-truncation discipline for iterative graph algorithms.
+  *    Without it, iteration i references iteration i-1 three times
+  *    (contributions, dangling mass, carry-through) and the lazy plan
+  *    re-evaluates the whole prefix 3^iters times — the exact
+  *    re-evaluated-subtree defect the smoothedStatTable restructure
+  *    removed from the LM family. With it, each iteration is one
+  *    ranks⋈edges keyed join + one groupBy(dst) exchange + a 1-row
+  *    dangling aggregate over a few-MB-per-1e9-nodes state table.
+  *    This makes [[pagerankDf]] an EAGER builder (it runs `iters`
+  *    small jobs at build time), the [[Clustering.kmeansCentroids]]
+  *    precedent — but state stays distributed; nothing per-node ever
+  *    reaches the driver.
+  */
+object Graph {
+
+  /** Damping factor — the standard 0.85 (Page et al. 1999). */
+  private val Damping = 0.85
+
+  /** Rank is carried in integer NANO-rank units: sum(rank) ≈ 1e9. */
+  private val Unit = 1e9
+
+  /** 60-bit bucket of an md5 hex prefix — mirrors DuckDB
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT`. `conv` returns the
+    * decimal digits as a string; 15 hex chars < 2^60 so the cast back
+    * to long is loss-free and non-negative.
+    */
+  private[ext] def md5Bucket60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** floor(x + 0.5) as BIGINT — the nano-rank snap. */
+  private def snap(c: Column): Column = floor(c + lit(0.5)).cast("long")
+
+  /** Deterministic synthetic edge set: for each document with text,
+    * each distinct token bigram links it to frontier slot
+    * `md5_60(bigram) mod D`; self-links are dropped. One narrow pass +
+    * one distinct exchange.
+    */
+  def linkEdgesDf(docs: DataFrame): DataFrame = {
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val toks = split(trim(col("text")), "\\s+")
+    val bigrams = docs.filter(col("text").isNotNull)
+      .select(col("doc_id").as("src"), toks.as("t"))
+      .select(col("src"), explode(
+        zip_with(slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    bigrams.crossJoin(total)
+      .select(col("src"),
+        pmod(md5Bucket60(col("bigram")), col("n_total")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Per-node degree table over the full frontier: (doc_id, out_deg,
+    * in_deg), zero-filled for nodes on neither side of an edge.
+    */
+  def linkGraphDegrees(spark: SparkSession, d: String): DataFrame =
+    linkGraphDegreesDf(Tables.fanOut(Tables.documents(spark, d)))
+
+  def linkGraphDegreesDf(docs: DataFrame): DataFrame = {
+    // both degrees from ONE aggregation over an unpivoted edge stream —
+    // two separate groupBys would reference the corpus-sized edge
+    // subtree twice, and exchange reuse across those copies is an
+    // optimizer courtesy, not a guarantee (the smoothedStatTable
+    // lesson: make single evaluation STRUCTURAL)
+    val deg = linkEdgesDf(docs).select(explode(array(
+        struct(col("src").as("doc_id"), lit(1L).as("o"), lit(0L).as("i")),
+        struct(col("dst").as("doc_id"), lit(0L).as("o"), lit(1L).as("i")))).as("x"))
+      .select(col("x.doc_id").as("doc_id"), col("x.o").as("o"), col("x.i").as("i"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("o")).as("od"), sum(col("i")).as("id"))
+    docs.select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("od"), lit(0L)).as("out_deg"),
+        coalesce(col("id"), lit(0L)).as("in_deg"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PageRank over the synthetic link graph, `iters` exact integer
+    * iterations, returning the top `topK` pages:
+    * (doc_id, rank_nano, out_deg, in_deg).
+    *
+    * Recurrence (all aggregates over nano-rank BIGINTs;
+    * snap(x) = floor(x + 0.5)):
+    * {{{
+    *   r0        = snap(1e9 / D)                        — per node
+    *   contrib_e = snap(r(src) / out_deg(src))          — per edge
+    *   inflow(v) = Σ contrib_e over in-edges            — exact int sum
+    *   dang      = Σ r(u) over out_deg(u) = 0           — exact int sum
+    *   r'(v)     = snap(0.15e9 / D)
+    *             + snap(0.85 * (inflow(v) + snap(dang / D)))
+    * }}}
+    */
+  def pagerank(spark: SparkSession, d: String, iters: Int = 4,
+               topK: Int = 100): DataFrame =
+    pagerankDf(Tables.fanOut(Tables.documents(spark, d)), iters, topK)
+
+  def pagerankDf(docs: DataFrame, iters: Int = 4, topK: Int = 100): DataFrame = {
+    require(iters >= 1, s"pagerank needs >= 1 iteration, got $iters")
+    val edges = linkEdgesDf(docs).localCheckpoint()
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    // per-node state: (doc_id, out_deg, n_total, rank_nano); the 1-row
+    // frontier size rides along as a column (broadcast cross join — the
+    // at-scale form of a driver-side scalar)
+    var ranks = docs.select(col("doc_id"))
+      .join(outDeg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+      .crossJoin(total)
+      .select(col("doc_id"), col("out_deg"), col("n_total"),
+        snap(lit(Unit) / col("n_total")).as("rank_nano"))
+      .localCheckpoint()
+
+    for (_ <- 1 to iters) {
+      val contribs = ranks.filter(col("out_deg") > 0)
+        .select(col("doc_id").as("src"),
+          snap(col("rank_nano").cast("double") / col("out_deg")).as("c"))
+        .join(edges, Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum(col("c")).as("inflow"))
+      val dang = ranks
+        .agg(coalesce(sum(when(col("out_deg") === 0, col("rank_nano"))),
+          lit(0L)).as("dang"))
+      // the old checkpoint's blocks are freed by the ContextCleaner once
+      // unreferenced — no manual unpersist (localCheckpoint blocks are
+      // not in the cache manager; Dataset.unpersist would be a no-op)
+      ranks = ranks.select(col("doc_id"), col("out_deg"), col("n_total"))
+        .join(contribs, Seq("doc_id"), "left")
+        .crossJoin(dang)
+        .select(col("doc_id"), col("out_deg"), col("n_total"),
+          (snap(lit((1.0 - Damping) * Unit) / col("n_total")) +
+            snap(lit(Damping) *
+              (coalesce(col("inflow"), lit(0L)) +
+                snap(col("dang").cast("double") / col("n_total")))
+                .cast("double"))).as("rank_nano"))
+        .localCheckpoint()
+    }
+
+    val inDeg = edges.groupBy(col("dst").as("doc_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    ranks.join(inDeg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("rank_nano"), col("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .orderBy(col("rank_nano").desc, col("doc_id"))
+      .limit(topK)
+  }
+}

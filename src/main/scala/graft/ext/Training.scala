@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distributed training of the quality classifier — the missing half of
+  * [[TextAnalysis.modelQualityFilter]], whose fixed literal weights
+  * stand in for "a trained model". This operator TRAINS that model:
+  * full-batch logistic-regression gradient descent that distills the
+  * rule-based quality verdict (the fastText-style pattern: cheap rule
+  * labels → differentiable scorer you can threshold, calibrate and
+  * audit — Joulin et al. 2016; the CCNet/RefinedWeb quality-model
+  * stage).
+  *
+  * Execution shape (the part that matters at 100 TB):
+  *  - the feature kernel (tokenize + regex) runs ONCE into a
+  *    checkpointed (sr, pr, lt, al, y) frame — 5 doubles/doc, ~40 B/doc
+  *    at any corpus size;
+  *  - standardization is two exact aggregate passes (mean, then
+  *    variance against the exact mean — two passes instead of the
+  *    E[x²]−m² one-pass form, which cancels catastrophically);
+  *  - each epoch is ONE corpus pass: map-side partial aggregation
+  *    reduces every partition to 5 gradient longs + 2 counters before
+  *    the exchange, so per-epoch driver traffic is 7 longs per
+  *    partition — the [[Clustering.kmeansCentroids]] sync discipline.
+  *    Weights (5 doubles) are the only driver-side state.
+  *
+  * Exactness discipline (the [[Graph]] contract): every aggregate sums
+  * BIGINTs — per-row gradient contributions are micro-snapped
+  * (floor(g·1e6 + 0.5)) BEFORE the sum, so no float summation order
+  * exists anywhere; all remaining arithmetic is per-row/scalar IEEE
+  * double ops. The DuckDB oracle replays the whole descent (unrolled
+  * epochs) and must match bit-for-bit at 6 dp.
+  */
+object Training {
+
+  private val Lr = 2.0
+  private val Epochs = 4
+
+  /** Σ floor(c · 1e6 + 0.5) as BIGINT — the micro-snap aggregate. */
+  private def snapSum(c: Column): Column =
+    sum(floor(c * lit(1e6) + lit(0.5)).cast("long"))
+
+  def trainQualityClassifier(spark: SparkSession, d: String): DataFrame =
+    trainQualityClassifierDf(spark, Tables.fanOut(Tables.documents(spark, d)))
+
+  def trainQualityClassifierDf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    // raw features — the qualityScores fragments verbatim; lt is the
+    // log-token term the rule model itself uses. Empty texts are
+    // excluded on both sides (the 0/0 Spark-NULL vs DuckDB-NaN parity
+    // trap recorded at modelQualityFilter).
+    val t = TextAnalysis.tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val sr = TextAnalysis.stopwordCount(col("text")).cast("double") / nTok
+    val pr = TextAnalysis.punctCount(col("text")).cast("double") / length(col("text"))
+    val lt = log(nTok + lit(1.0))
+    val al = length(col("text")).cast("double") / nTok
+    val y = when(TextAnalysis.qualityScoreCol >= lit(0.5), lit(1.0))
+      .otherwise(lit(0.0))
+    val feats = docs.filter(length(col("text")) > 0)
+      .select(sr.as("sr"), pr.as("pr"), lt.as("lt"), al.as("al"), y.as("y"))
+      .localCheckpoint() // kernel runs once, not once per pass
+
+    // pass 1+2: exact standardization (mean, then variance vs the mean)
+    val fNames = Seq("sr", "pr", "lt", "al")
+    val mRow = feats.agg(snapSum(col("sr")), snapSum(col("pr")),
+      snapSum(col("lt")), snapSum(col("al")), count(lit(1))).head()
+    val n = mRow.getLong(4)
+    require(n > 0, "trainQualityClassifier: empty corpus")
+    val means = (0 to 3).map(i => (mRow.getLong(i) / 1e6) / n)
+    val vRow = feats.agg(
+      snapSum((col("sr") - lit(means(0))) * (col("sr") - lit(means(0)))),
+      snapSum((col("pr") - lit(means(1))) * (col("pr") - lit(means(1)))),
+      snapSum((col("lt") - lit(means(2))) * (col("lt") - lit(means(2)))),
+      snapSum((col("al") - lit(means(3))) * (col("al") - lit(means(3))))).head()
+    val stds = (0 to 3).map { i =>
+      val v = (vRow.getLong(i) / 1e6) / n
+      if (v > 0) math.sqrt(v) else 1.0 // constant feature → weight stays 0
+    }
+    val std = feats.select(
+      ((col("sr") - lit(means(0))) / lit(stds(0))).as("zsr"),
+      ((col("pr") - lit(means(1))) / lit(stds(1))).as("zpr"),
+      ((col("lt") - lit(means(2))) / lit(stds(2))).as("zlt"),
+      ((col("al") - lit(means(3))) / lit(stds(3))).as("zal"),
+      col("y"))
+
+    // the descent: one aggregate pass per epoch
+    val w = Array(0.0, 0.0, 0.0, 0.0, 0.0)
+    val epochs = (1 to Epochs).map { ep =>
+      val z = lit(w(0)) + lit(w(1)) * col("zsr") + lit(w(2)) * col("zpr") +
+        lit(w(3)) * col("zlt") + lit(w(4)) * col("zal")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val dlt = p - col("y")
+      val g = std.agg(
+        snapSum(dlt),
+        snapSum(dlt * col("zsr")),
+        snapSum(dlt * col("zpr")),
+        snapSum(dlt * col("zlt")),
+        snapSum(dlt * col("zal")),
+        sum(when((p >= lit(0.5)) === (col("y") === lit(1.0)), 1L)
+          .otherwise(0L)).as("ncorr")).head()
+      for (j <- 0 to 4) w(j) = w(j) - Lr * ((g.getLong(j) / 1e6) / n)
+      (ep.toLong, g.getLong(5), n, w(0), w(1), w(2), w(3), w(4))
+    }
+
+    import spark.implicits._
+    epochs.toDF("epoch", "n_correct", "n",
+        "w_bias", "w_sr", "w_pr", "w_lt", "w_al")
+      .select(col("epoch"), col("n_correct"), col("n"),
+        round(col("w_bias"), 6).as("w_bias"), round(col("w_sr"), 6).as("w_sr"),
+        round(col("w_pr"), 6).as("w_pr"), round(col("w_lt"), 6).as("w_lt"),
+        round(col("w_al"), 6).as("w_al"))
+      .orderBy(col("epoch"))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics: exactness of the integer PageRank recurrence
+  * (against an independent driver-side replay), the dangling-mass path,
+  * partition invariance, the contiguity assumption the edge derivation
+  * rests on, and plan shape.
+  */
+class GraphSpec extends SparkTestBase {
+
+  private def docs = graft.Tables.documents(spark, sfDir)
+
+  test("doc_id frontier is contiguous [0, D) — the md5-mod edge targets rely on it") {
+    val r = docs.agg(count(lit(1)).as("n"), min(col("doc_id")).as("mn"),
+      max(col("doc_id")).as("mx"),
+      countDistinct(col("doc_id")).as("nd")).head()
+    assert(r.getLong(1) == 0L && r.getLong(2) == r.getLong(0) - 1 &&
+      r.getLong(3) == r.getLong(0),
+      s"doc_id not contiguous: $r — Graph.linkEdgesDf's mod-D targets would dangle")
+  }
+
+  test("pagerank matches an exact driver-side replay on a planted graph with a dangling node") {
+    import spark.implicits._
+    // doc 9 is a single token: no bigrams → no out-edges → dangling
+    val fixture = Seq(
+      0L -> "alpha beta gamma delta", 1L -> "beta gamma epsilon zeta",
+      2L -> "gamma delta alpha beta", 3L -> "zeta eta theta iota",
+      4L -> "iota kappa alpha gamma", 5L -> "kappa lambda mu nu",
+      6L -> "mu nu alpha beta gamma", 7L -> "nu xi omicron pi",
+      8L -> "pi rho alpha delta",     9L -> "solo"
+    ).toDF("doc_id", "text")
+    val d = fixture.count()
+    val edges = Graph.linkEdgesDf(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    assert(!outDeg.contains(9L), "doc 9 must be dangling (no out-edges)")
+
+    def snap(x: Double): Long = math.floor(x + 0.5).toLong
+    var r = (0L until d).map(i => i -> snap(1e9 / d)).toMap
+    for (_ <- 1 to 4) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => snap(r(e._1).toDouble / outDeg(e._1))).sum
+      }
+      val dang = r.collect { case (u, ru) if !outDeg.contains(u) => ru }.sum
+      r = r.map { case (v, _) =>
+        v -> (snap((1.0 - 0.85) * 1e9 / d) +
+          snap(0.85 * (contrib.getOrElse(v, 0L) + snap(dang.toDouble / d)).toDouble))
+      }
+    }
+    val got = Graph.pagerankDf(fixture, iters = 4, topK = 10).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(got == r, s"spark=$got replay=$r")
+    // the dangling node's mass was redistributed, not dropped
+    assert(math.abs(r.values.sum - 1000000000L) < 1000000L,
+      s"mass not conserved: ${r.values.sum}")
+  }
+
+  test("pagerank on fixture data: mass conserved, hubs outrank the base") {
+    val n = docs.count().toInt
+    val all = Graph.pagerankDf(graft.Tables.documents(spark, sfDir), 4, n).collect()
+    assert(all.length == n)
+    val total = all.map(_.getLong(1)).sum
+    // snapping loses/gains < 0.5 nano per edge contribution per round
+    assert(math.abs(total - 1000000000L) < 2000000L, s"mass drifted: $total")
+    val byRank = all.sortBy(-_.getLong(1))
+    val topInDeg = all.map(_.getLong(3)).max
+    assert(byRank.head.getLong(3) > 0, "top-ranked page should have in-links")
+    assert(topInDeg > 10, s"hub skew missing: max in_deg $topInDeg")
+    // nodes with no in-links sit at the base rank floor
+    val base = all.filter(_.getLong(3) == 0).map(_.getLong(1))
+    if (base.nonEmpty)
+      assert(base.distinct.length == 1 && base.head < byRank.head.getLong(1))
+  }
+
+  test("pagerank is partition-invariant (the integer-aggregate discipline)") {
+    val a = Graph.pagerankDf(docs.repartition(1), 3, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val b = Graph.pagerankDf(docs.repartition(7), 3, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("degrees: out_deg sums to |E| and equals in_deg total; zero-filled nodes present") {
+    val deg = Graph.linkGraphDegreesDf(docs).collect()
+    val nEdges = Graph.linkEdgesDf(docs).count()
+    assert(deg.map(_.getLong(1)).sum == nEdges)
+    assert(deg.map(_.getLong(2)).sum == nEdges)
+    assert(deg.length == docs.count())
+  }
+
+  test("plan shape: no cartesian products; degree query stays within its exchange budget") {
+    def plan(q: String): String =
+      graft.SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+    val pd = plan("q_link_graph_degrees")
+    assert(!pd.contains("CartesianProduct"), s"cartesian in degrees:\n$pd")
+    // SinglePartition exchanges are 1-row scalar aggregates (the
+    // frontier count), not data shuffles — excluded like round-robin
+    def keyedExchanges(p: String): Int = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")
+        && !l.contains("Reused") && !l.contains("RoundRobinPartitioning")
+        && !l.contains("SinglePartition"))
+    // the corpus-sized distinct(src,dst) exchange must appear exactly
+    // once (degrees come from ONE unpivoted aggregation — a second copy
+    // means the edge subtree is being re-evaluated)
+    val distincts = pd.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(src") && l.contains("dst"))
+    assert(distincts == 1, s"edge subtree evaluated $distincts times:\n$pd")
+    // + groupBy(node) + final sort (the node join broadcasts at fixture
+    // scale; at 100 TB it is one more doc_id-keyed pair)
+    val keyed = keyedExchanges(pd)
+    assert(keyed <= 4, s"degree exchanges regressed ($keyed):\n$pd")
+    // pagerank's final frame reads checkpointed per-iteration state —
+    // only the in-degree join + top-K sort may shuffle
+    val pp = plan("q_pagerank")
+    assert(!pp.contains("CartesianProduct"), s"cartesian in pagerank:\n$pp")
+    val pKeyed = keyedExchanges(pp)
+    assert(pKeyed <= 3, s"pagerank final-frame exchanges regressed ($pKeyed):\n$pp")
+  }
+}
