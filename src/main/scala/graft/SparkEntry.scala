@@ -262,7 +262,8 @@ object SparkEntry {
     "q_layout_compare"    -> ((s: SparkSession, d: String) => storage.ZOrder.layoutCompare(s, d)),
     "q_link_graph_degrees" -> ((s: SparkSession, d: String) => ext.Graph.linkGraphDegrees(s, d)),
     "q_pagerank"          -> ((s: SparkSession, d: String) => ext.Graph.pagerank(s, d)),
-    "q_train_classifier"  -> ((s: SparkSession, d: String) => ext.Training.trainQualityClassifier(s, d))
+    "q_train_classifier"  -> ((s: SparkSession, d: String) => ext.Training.trainQualityClassifier(s, d)),
+    "q_distilled_scores"  -> ((s: SparkSession, d: String) => ext.Training.distilledScores(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -273,16 +274,16 @@ object SparkEntry {
   // full-batch GD epochs — every aggregate sums micro-snapped BIGINTs
   // (Training.scala's exactness discipline), so the descent replays
   // bit-identically
-  private lazy val trainClassifierSql = {
+  private lazy val classifierChainSql = {
     val header =
-      "WITH f0 AS (SELECT " +
+      "WITH f0 AS (SELECT doc_id, " +
         s"CAST(len(list_filter($toks, t -> t IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) " +
         s"/ len($toks) AS sr, " +
         "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS pr, " +
         s"ln(CAST(len($toks) AS DOUBLE) + 1.0) AS lt, " +
         s"CAST(length(text) AS DOUBLE) / len($toks) AS al " +
         "FROM documents WHERE length(text) > 0), " + // 0/0 parity guard
-        "f AS (SELECT sr, pr, lt, al, " +
+        "f AS (SELECT doc_id, sr, pr, lt, al, " +
         "CASE WHEN round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * sr - 8.0 * pr + 0.9 * lt - 0.35 * al))), 6) >= 0.5 " +
         "THEN 1.0 ELSE 0.0 END AS y FROM f0), " +
         "m0 AS (SELECT CAST(SUM(CAST(floor(sr * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ssr, " +
@@ -305,7 +306,7 @@ object SparkEntry {
         "CASE WHEN (vlt / 1000000.0) / n > 0 THEN sqrt((vlt / 1000000.0) / n) ELSE 1.0 END AS dlt, " +
         "CASE WHEN (val / 1000000.0) / n > 0 THEN sqrt((val / 1000000.0) / n) ELSE 1.0 END AS dal, " +
         "msr, mpr, mlt, mal FROM v0), " +
-        "s AS (SELECT (sr - msr) / dsr AS zsr, (pr - mpr) / dpr AS zpr, " +
+        "s AS (SELECT doc_id, (sr - msr) / dsr AS zsr, (pr - mpr) / dpr AS zpr, " +
         "(lt - mlt) / dlt AS zlt, (al - mal) / dal AS zal, y FROM f CROSS JOIN v), " +
         "w0 AS (SELECT 0.0 AS wb, 0.0 AS ws, 0.0 AS wp, 0.0 AS wl, 0.0 AS wa)"
     val epochs = (1 to 4).map { k =>
@@ -327,12 +328,29 @@ object SparkEntry {
         "w.wa - 2.0 * ((g.ga / 1000000.0) / g.n) AS wa, " +
         s"g.ncorr AS ncorr, g.n AS n FROM g$k g CROSS JOIN w${k - 1} w)"
     }.mkString(", ")
+    s"$header, $epochs"
+  }
+
+  private lazy val trainClassifierSql = {
     val rows = (1 to 4).map { k =>
       s"SELECT CAST($k AS BIGINT) AS epoch, ncorr AS n_correct, n, " +
         "round(wb, 6) AS w_bias, round(ws, 6) AS w_sr, round(wp, 6) AS w_pr, " +
         s"round(wl, 6) AS w_lt, round(wa, 6) AS w_al FROM w$k"
     }.mkString(" UNION ALL ")
-    s"$header, $epochs $rows ORDER BY epoch"
+    s"$classifierChainSql $rows ORDER BY epoch"
+  }
+
+  // train (the shared chain), then score every document with the FINAL
+  // (unrounded) weights — the sigmoid expression is spelled identically
+  // wherever the score is consumed, so every engine computes one value
+  private lazy val distilledScoresSql = {
+    val sig = "1.0 / (1.0 + exp(-(wb + ws * zsr + wp * zpr + wl * zlt + wa * zal)))"
+    s"$classifierChainSql " +
+      s"SELECT doc_id, round($sig, 6) AS model_score, " +
+      s"CAST($sig >= 0.5 AS INT) AS model_kept, " +
+      "CAST(y = 1.0 AS INT) AS rule_kept, " +
+      s"CAST(($sig >= 0.5) = (y = 1.0) AS INT) AS agree " +
+      "FROM s CROSS JOIN w4 ORDER BY doc_id"
   }
 
   // the link-graph chain (nn → t0 → bg → e0 → e → od → ideg), shared
@@ -2279,7 +2297,10 @@ object SparkEntry {
     // PageRank: 4 exact-integer iterations, bit-identical replay
     "q_pagerank" -> pagerankSql,
     // classifier training: the full unrolled gradient descent
-    "q_train_classifier" -> trainClassifierSql
+    "q_train_classifier" -> trainClassifierSql,
+    // distillation end-to-end: the corpus scored with the weights the
+    // chain just trained
+    "q_distilled_scores" -> distilledScoresSql
     // No oracle (rows-only checks) — the authoritative list is
     // `queries.keySet -- oracleSql.keySet` (don't trust a hardcoded
     // enumeration here); currently that's the xxhash64-based dedup

@@ -11,11 +11,13 @@ import graft.Tables
   * rule-based quality verdict (the fastText-style pattern: cheap rule
   * labels → differentiable scorer you can threshold, calibrate and
   * audit — Joulin et al. 2016; the CCNet/RefinedWeb quality-model
-  * stage).
+  * stage). [[distilledScores]] closes the loop: the corpus scored with
+  * the weights that were just trained on it — the production
+  * model-based filter with a model that actually came from training.
   *
   * Execution shape (the part that matters at 100 TB):
   *  - the feature kernel (tokenize + regex) runs ONCE into a
-  *    checkpointed (sr, pr, lt, al, y) frame — 5 doubles/doc, ~40 B/doc
+  *    checkpointed (doc_id, sr, pr, lt, al, y) frame — 5 doubles/doc
   *    at any corpus size;
   *  - standardization is two exact aggregate passes (mean, then
   *    variance against the exact mean — two passes instead of the
@@ -25,6 +27,7 @@ import graft.Tables
   *    the exchange, so per-epoch driver traffic is 7 longs per
   *    partition — the [[Clustering.kmeansCentroids]] sync discipline.
   *    Weights (5 doubles) are the only driver-side state.
+  *  - scoring is a narrow per-row map over the checkpointed features.
   *
   * Exactness discipline (the [[Graph]] contract): every aggregate sums
   * BIGINTs — per-row gradient contributions are micro-snapped
@@ -42,10 +45,16 @@ object Training {
   private def snapSum(c: Column): Column =
     sum(floor(c * lit(1e6) + lit(0.5)).cast("long"))
 
-  def trainQualityClassifier(spark: SparkSession, d: String): DataFrame =
-    trainQualityClassifierDf(spark, Tables.fanOut(Tables.documents(spark, d)))
+  /** The fitted state: standardized features (with doc_id + label) and
+    * the weight/accuracy trajectory. Weights are UNROUNDED — rounding
+    * is presentation only.
+    */
+  private[ext] case class Fit(
+      std: DataFrame,
+      epochs: Seq[(Long, Long, Long, Double, Double, Double, Double, Double)],
+      weights: Array[Double])
 
-  def trainQualityClassifierDf(spark: SparkSession, docs: DataFrame): DataFrame = {
+  private def fit(docs: DataFrame): Fit = {
     // raw features — the qualityScores fragments verbatim; lt is the
     // log-token term the rule model itself uses. Empty texts are
     // excluded on both sides (the 0/0 Spark-NULL vs DuckDB-NaN parity
@@ -59,11 +68,11 @@ object Training {
     val y = when(TextAnalysis.qualityScoreCol >= lit(0.5), lit(1.0))
       .otherwise(lit(0.0))
     val feats = docs.filter(length(col("text")) > 0)
-      .select(sr.as("sr"), pr.as("pr"), lt.as("lt"), al.as("al"), y.as("y"))
+      .select(col("doc_id"), sr.as("sr"), pr.as("pr"), lt.as("lt"),
+        al.as("al"), y.as("y"))
       .localCheckpoint() // kernel runs once, not once per pass
 
     // pass 1+2: exact standardization (mean, then variance vs the mean)
-    val fNames = Seq("sr", "pr", "lt", "al")
     val mRow = feats.agg(snapSum(col("sr")), snapSum(col("pr")),
       snapSum(col("lt")), snapSum(col("al")), count(lit(1))).head()
     val n = mRow.getLong(4)
@@ -78,7 +87,7 @@ object Training {
       val v = (vRow.getLong(i) / 1e6) / n
       if (v > 0) math.sqrt(v) else 1.0 // constant feature → weight stays 0
     }
-    val std = feats.select(
+    val std = feats.select(col("doc_id"),
       ((col("sr") - lit(means(0))) / lit(stds(0))).as("zsr"),
       ((col("pr") - lit(means(1))) / lit(stds(1))).as("zpr"),
       ((col("lt") - lit(means(2))) / lit(stds(2))).as("zlt"),
@@ -87,10 +96,8 @@ object Training {
 
     // the descent: one aggregate pass per epoch
     val w = Array(0.0, 0.0, 0.0, 0.0, 0.0)
-    val epochs = (1 to Epochs).map { ep =>
-      val z = lit(w(0)) + lit(w(1)) * col("zsr") + lit(w(2)) * col("zpr") +
-        lit(w(3)) * col("zlt") + lit(w(4)) * col("zal")
-      val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val trajectory = (1 to Epochs).map { ep =>
+      val p = sigmoid(w)
       val dlt = p - col("y")
       val g = std.agg(
         snapSum(dlt),
@@ -103,14 +110,53 @@ object Training {
       for (j <- 0 to 4) w(j) = w(j) - Lr * ((g.getLong(j) / 1e6) / n)
       (ep.toLong, g.getLong(5), n, w(0), w(1), w(2), w(3), w(4))
     }
+    Fit(std, trajectory, w)
+  }
 
+  /** σ(w·x) over the standardized columns — term order pinned to the
+    * oracle's `wb + ws*zsr + wp*zpr + wl*zlt + wa*zal`.
+    */
+  private def sigmoid(w: Array[Double]): Column = {
+    val z = lit(w(0)) + lit(w(1)) * col("zsr") + lit(w(2)) * col("zpr") +
+      lit(w(3)) * col("zlt") + lit(w(4)) * col("zal")
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** The training ledger: one row per epoch with the post-update
+    * weights (6 dp) and the accuracy the PRE-update weights scored on
+    * the gradient pass (epoch 1's n_correct is the all-positive
+    * baseline: w=0 → σ=0.5 → everything predicted positive).
+    */
+  def trainQualityClassifier(spark: SparkSession, d: String): DataFrame =
+    trainQualityClassifierDf(spark, Tables.fanOut(Tables.documents(spark, d)))
+
+  def trainQualityClassifierDf(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    epochs.toDF("epoch", "n_correct", "n",
+    fit(docs).epochs.toDF("epoch", "n_correct", "n",
         "w_bias", "w_sr", "w_pr", "w_lt", "w_al")
       .select(col("epoch"), col("n_correct"), col("n"),
         round(col("w_bias"), 6).as("w_bias"), round(col("w_sr"), 6).as("w_sr"),
         round(col("w_pr"), 6).as("w_pr"), round(col("w_lt"), 6).as("w_lt"),
         round(col("w_al"), 6).as("w_al"))
       .orderBy(col("epoch"))
+  }
+
+  /** Train, then score the corpus with the final weights: per-doc model
+    * score, the model's keep verdict, the rule verdict it distilled,
+    * and their agreement — the production model-filter shape plus its
+    * audit column in one pass over the checkpointed features.
+    */
+  def distilledScores(spark: SparkSession, d: String): DataFrame =
+    distilledScoresDf(Tables.fanOut(Tables.documents(spark, d)))
+
+  def distilledScoresDf(docs: DataFrame): DataFrame = {
+    val f = fit(docs)
+    val p = sigmoid(f.weights)
+    f.std.select(col("doc_id"),
+        round(p, 6).as("model_score"),
+        (p >= lit(0.5)).cast("int").as("model_kept"),
+        (col("y") === lit(1.0)).cast("int").as("rule_kept"),
+        ((p >= lit(0.5)) === (col("y") === lit(1.0))).cast("int").as("agree"))
+      .orderBy(col("doc_id"))
   }
 }

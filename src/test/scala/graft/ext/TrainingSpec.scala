@@ -41,6 +41,18 @@ class TrainingSpec extends SparkTestBase {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("distilledScores: verdicts self-consistent, scores in [0,1], high agreement") {
+    val rows = Training.distilledScoresDf(docs).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (score, mk, rk, ag) = (r.getDouble(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(score >= 0.0 && score <= 1.0)
+      assert(ag == (if (mk == rk) 1 else 0), s"agree column inconsistent: $r")
+    }
+    val rate = rows.map(_.getInt(4)).sum.toDouble / rows.length
+    assert(rate > 0.9, s"distilled agreement only $rate")
+  }
+
   test("the trained model reproduces the rule verdict it distilled") {
     // score the corpus with the FINAL weights (re-deriving the same
     // standardized features) and compare against the rule labels: the
