@@ -263,7 +263,8 @@ object SparkEntry {
     "q_link_graph_degrees" -> ((s: SparkSession, d: String) => ext.Graph.linkGraphDegrees(s, d)),
     "q_pagerank"          -> ((s: SparkSession, d: String) => ext.Graph.pagerank(s, d)),
     "q_train_classifier"  -> ((s: SparkSession, d: String) => ext.Training.trainQualityClassifier(s, d)),
-    "q_distilled_scores"  -> ((s: SparkSession, d: String) => ext.Training.distilledScores(s, d))
+    "q_distilled_scores"  -> ((s: SparkSession, d: String) => ext.Training.distilledScores(s, d)),
+    "q_link_components"   -> ((s: SparkSession, d: String) => ext.Graph.linkComponents(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -395,6 +396,27 @@ object SparkEntry {
       "SELECT r4.doc_id, r4.r AS rank_nano, r4.out_deg, COALESCE(in_deg, 0) AS in_deg " +
       "FROM r4 LEFT JOIN ideg ON r4.doc_id = ideg.dst " +
       "ORDER BY rank_nano DESC, r4.doc_id LIMIT 100"
+  }
+
+  // weakly-connected components: 8 unrolled min-label-propagation
+  // rounds over the undirected edge set — pure integer MIN, no
+  // snapping needed (order-independent by algebra)
+  private lazy val linkComponentsSql = {
+    val roundsSql = (1 to 8).map { k =>
+      val p = s"l${k - 1}"
+      s"nm$k AS (SELECT e.dst AS doc_id, MIN(l.component) AS nbr_min " +
+        s"FROM $p l JOIN und e ON l.doc_id = e.src GROUP BY e.dst), " +
+        s"l$k AS (SELECT l.doc_id, least(l.component, COALESCE(n.nbr_min, l.component)) AS component " +
+        s"FROM $p l LEFT JOIN nm$k n ON l.doc_id = n.doc_id)"
+    }.mkString(", ")
+    s"$linkGraphCteSql, " +
+      "und AS (SELECT DISTINCT src, dst FROM " +
+      "(SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)), " +
+      "l0 AS (SELECT doc_id, doc_id AS component FROM documents), " +
+      s"$roundsSql, " +
+      "sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS component_size FROM l8 GROUP BY component) " +
+      "SELECT l8.doc_id, l8.component, sz.component_size " +
+      "FROM l8 JOIN sz ON l8.component = sz.component ORDER BY l8.doc_id"
   }
 
   // the 8-bit Morton interleave as explicit shift/mask arithmetic —
@@ -2300,7 +2322,9 @@ object SparkEntry {
     "q_train_classifier" -> trainClassifierSql,
     // distillation end-to-end: the corpus scored with the weights the
     // chain just trained
-    "q_distilled_scores" -> distilledScoresSql
+    "q_distilled_scores" -> distilledScoresSql,
+    // connected components: exact integer min-label propagation
+    "q_link_components" -> linkComponentsSql
     // No oracle (rows-only checks) — the authoritative list is
     // `queries.keySet -- oracleSql.keySet` (don't trust a hardcoded
     // enumeration here); currently that's the xxhash64-based dedup

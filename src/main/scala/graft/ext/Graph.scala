@@ -189,4 +189,64 @@ object Graph {
       .orderBy(col("rank_nano").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Weakly-connected components of the link graph by min-label
+    * propagation: every node starts labelled with its own id; each
+    * round, a node adopts the smallest label among itself and its
+    * (undirected) neighbours. After `rounds` rounds the label is the
+    * component's minimum doc_id for every node whose eccentricity from
+    * that minimum is ≤ rounds. All arithmetic is integer MIN — order-
+    * independent by algebra, so no snapping is needed and the unrolled
+    * DuckDB replay is exact.
+    *
+    * Returns (doc_id, component, component_size) for the whole
+    * frontier; isolated nodes are singleton components.
+    *
+    * Scale shape: the undirected edge table is checkpointed once; each
+    * round is one labels⋈edges keyed join + one groupBy(dst) MIN + a
+    * doc_id-keyed combine — the standard Pregel-without-Pregel shape
+    * (GraphX connectedComponents does exactly this under the hood).
+    * The loop exits at the fixpoint (a cheap changed-count against the
+    * checkpointed round result), capped at `rounds`; the oracle's
+    * fixed 8-round unroll agrees either way — it runs at least as many
+    * rounds and post-fixpoint rounds are identities. The link graph's
+    * hub structure keeps real eccentricities tiny (GraphSpec asserts
+    * one extra round is a fixpoint at fixture scale).
+    */
+  def linkComponents(spark: SparkSession, d: String, rounds: Int = 8): DataFrame =
+    linkComponentsDf(Tables.fanOut(Tables.documents(spark, d)), rounds)
+
+  def linkComponentsDf(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1, s"linkComponents needs >= 1 round, got $rounds")
+    val e = linkEdgesDf(docs)
+    val und = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint()
+    // iterate to fixpoint, capped at `rounds` — the early exit is free
+    // parity-wise: the oracle's fixed unroll runs ≥ as many rounds, and
+    // every post-fixpoint round is the identity
+    var converged = false
+    var r = 0
+    while (!converged && r < rounds) {
+      val neighborMin = labels.join(und, labels("doc_id") === und("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("component")).as("nbr_min"))
+      val upd = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("component").as("old_c"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      converged = upd.filter(col("component") =!= col("old_c")).isEmpty
+      labels = upd.select(col("doc_id"), col("component"))
+      r += 1
+    }
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("component_size"))
+    labels.join(sizes, Seq("component"))
+      .select(col("doc_id"), col("component"), col("component_size"))
+      .orderBy(col("doc_id"))
+  }
 }

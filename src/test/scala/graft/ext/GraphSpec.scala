@@ -90,6 +90,46 @@ class GraphSpec extends SparkTestBase {
     assert(deg.length == docs.count())
   }
 
+  test("linkComponents matches a driver-side union-find on the planted graph") {
+    import spark.implicits._
+    val fixture = Seq(
+      0L -> "alpha beta gamma delta", 1L -> "beta gamma epsilon zeta",
+      2L -> "gamma delta alpha beta", 3L -> "zeta eta theta iota",
+      4L -> "iota kappa alpha gamma", 5L -> "kappa lambda mu nu",
+      6L -> "mu nu alpha beta gamma", 7L -> "nu xi omicron pi",
+      8L -> "pi rho alpha delta",     9L -> "solo"
+    ).toDF("doc_id", "text")
+    val edges = Graph.linkEdgesDf(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map((0L to 9L).map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0L to 9L).map { i =>
+      // path-compress to the component minimum
+      var r = find(i)
+      i -> r
+    }.toMap
+    val sizes = expected.values.groupBy(identity).map { case (c, vs) => c -> vs.size.toLong }
+    val got = Graph.linkComponentsDf(fixture, rounds = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected.map { case (d, c) => d -> (c, sizes(c)) },
+      s"got=$got expected labels=$expected sizes=$sizes")
+  }
+
+  test("linkComponents converged at fixture scale (one more round is a fixpoint)") {
+    val a = Graph.linkComponentsDf(docs, rounds = 8).collect().map(_.toSeq).toSeq
+    val b = Graph.linkComponentsDf(docs, rounds = 9).collect().map(_.toSeq).toSeq
+    assert(a == b, "label propagation had not converged after 8 rounds")
+    // every component is labelled by its own minimum doc_id
+    val byComp = a.groupBy(_(1).asInstanceOf[Long])
+    for ((c, rows) <- byComp)
+      assert(rows.map(_(0).asInstanceOf[Long]).min == c)
+  }
+
   test("plan shape: no cartesian products; degree query stays within its exchange budget") {
     def plan(q: String): String =
       graft.SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
