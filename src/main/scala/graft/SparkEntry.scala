@@ -264,7 +264,8 @@ object SparkEntry {
     "q_pagerank"          -> ((s: SparkSession, d: String) => ext.Graph.pagerank(s, d)),
     "q_train_classifier"  -> ((s: SparkSession, d: String) => ext.Training.trainQualityClassifier(s, d)),
     "q_distilled_scores"  -> ((s: SparkSession, d: String) => ext.Training.distilledScores(s, d)),
-    "q_link_components"   -> ((s: SparkSession, d: String) => ext.Graph.linkComponents(s, d))
+    "q_link_components"   -> ((s: SparkSession, d: String) => ext.Graph.linkComponents(s, d)),
+    "q_trustrank"         -> ((s: SparkSession, d: String) => ext.Graph.trustrank(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -370,33 +371,41 @@ object SparkEntry {
       "od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY src), " +
       "ideg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_deg FROM e GROUP BY dst)"
 
-  // the PageRank recurrence, 4 unrolled exact-integer iterations —
-  // every aggregate sums BIGINTs (contributions nano-snapped per row
-  // BEFORE the sum), so the replay is bit-identical to the Spark loop
-  // regardless of engine or partitioning (Graph.scala's exactness
-  // discipline)
-  private lazy val pagerankSql = {
+  // the seeded-teleport rank recurrence, 4 unrolled exact-integer
+  // iterations — every aggregate sums BIGINTs (contributions
+  // nano-snapped per row BEFORE the sum), so the replay is
+  // bit-identical to the Spark loop regardless of engine or
+  // partitioning (Graph.scala's exactness discipline). ONE builder
+  // serves vanilla PageRank (seed = TRUE: s ≡ 1, |S| = D reduces the
+  // recurrence to the classic form term by term) and TrustRank
+  // (seed = a trusted source) — a single definition, no drift.
+  private def seededRankSql(seedCond: String, includeSeedCol: Boolean): String = {
     val iters = (1 to 4).map { k =>
       val p = s"r${k - 1}"
       s"c$k AS (SELECT dst AS doc_id, CAST(SUM(CAST(floor(CAST(r AS DOUBLE) / out_deg + 0.5) AS BIGINT)) AS BIGINT) AS inflow " +
         s"FROM $p JOIN e ON $p.doc_id = e.src WHERE out_deg > 0 GROUP BY dst), " +
         s"d$k AS (SELECT CAST(COALESCE(SUM(CASE WHEN out_deg = 0 THEN r END), 0) AS BIGINT) AS dang FROM $p), " +
-        s"r$k AS (SELECT n.doc_id, n.out_deg, n.d, " +
-        "CAST(floor((1.0 - 0.85) * 1000000000.0 / n.d + 0.5) AS BIGINT) + " +
+        s"r$k AS (SELECT n.doc_id, n.s, n.out_deg, n.ns, " +
+        "n.s * CAST(floor((1.0 - 0.85) * 1000000000.0 / n.ns + 0.5) AS BIGINT) + " +
         "CAST(floor(0.85 * CAST(COALESCE(inflow, 0) + " +
-        "CAST(floor(CAST(dang AS DOUBLE) / n.d + 0.5) AS BIGINT) AS DOUBLE) + 0.5) AS BIGINT) AS r " +
+        "n.s * CAST(floor(CAST(dang AS DOUBLE) / n.ns + 0.5) AS BIGINT) AS DOUBLE) + 0.5) AS BIGINT) AS r " +
         s"FROM $p n LEFT JOIN c$k ON n.doc_id = c$k.doc_id CROSS JOIN d$k)"
     }.mkString(", ")
+    val seedOut = if (includeSeedCol) "CAST(r4.s AS BIGINT) AS is_seed, " else ""
     s"$linkGraphCteSql, " +
-      "nd AS (SELECT doc_id, COALESCE(out_deg, 0) AS out_deg, d " +
-      "FROM documents LEFT JOIN od ON doc_id = od.src CROSS JOIN nn), " +
-      "r0 AS (SELECT doc_id, out_deg, d, " +
-      "CAST(floor(1000000000.0 / d + 0.5) AS BIGINT) AS r FROM nd), " +
+      s"sn AS (SELECT CAST(SUM(CASE WHEN $seedCond THEN 1 ELSE 0 END) AS BIGINT) AS ns FROM documents), " +
+      s"nd AS (SELECT doc_id, CASE WHEN $seedCond THEN 1 ELSE 0 END AS s, COALESCE(out_deg, 0) AS out_deg, ns " +
+      "FROM documents LEFT JOIN od ON doc_id = od.src CROSS JOIN sn), " +
+      "r0 AS (SELECT doc_id, s, out_deg, ns, " +
+      "s * CAST(floor(1000000000.0 / ns + 0.5) AS BIGINT) AS r FROM nd), " +
       s"$iters " +
-      "SELECT r4.doc_id, r4.r AS rank_nano, r4.out_deg, COALESCE(in_deg, 0) AS in_deg " +
+      s"SELECT r4.doc_id, r4.r AS rank_nano, ${seedOut}r4.out_deg, COALESCE(in_deg, 0) AS in_deg " +
       "FROM r4 LEFT JOIN ideg ON r4.doc_id = ideg.dst " +
       "ORDER BY rank_nano DESC, r4.doc_id LIMIT 100"
   }
+
+  private lazy val pagerankSql = seededRankSql("TRUE", includeSeedCol = false)
+  private lazy val trustrankSql = seededRankSql("source = 'src0'", includeSeedCol = true)
 
   // weakly-connected components: 8 unrolled min-label-propagation
   // rounds over the undirected edge set — pure integer MIN, no
@@ -2324,7 +2333,9 @@ object SparkEntry {
     // chain just trained
     "q_distilled_scores" -> distilledScoresSql,
     // connected components: exact integer min-label propagation
-    "q_link_components" -> linkComponentsSql
+    "q_link_components" -> linkComponentsSql,
+    // TrustRank: the seeded-teleport recurrence, seeds = the vetted source
+    "q_trustrank" -> trustrankSql
     // No oracle (rows-only checks) — the authoritative list is
     // `queries.keySet -- oracleSql.keySet` (don't trust a hardcoded
     // enumeration here); currently that's the xxhash64-based dedup

@@ -140,20 +140,60 @@ object Graph {
                topK: Int = 100): DataFrame =
     pagerankDf(Tables.fanOut(Tables.documents(spark, d)), iters, topK)
 
-  def pagerankDf(docs: DataFrame, iters: Int = 4, topK: Int = 100): DataFrame = {
-    require(iters >= 1, s"pagerank needs >= 1 iteration, got $iters")
+  /** Vanilla PageRank = the rank loop with the whole frontier as the
+    * teleport set (|S| = D reduces the seeded recurrence to the
+    * classic one term for term).
+    */
+  def pagerankDf(docs: DataFrame, iters: Int = 4, topK: Int = 100): DataFrame =
+    rankLoop(docs, lit(true), iters, topK)
+      .select(col("doc_id"), col("rank_nano"), col("out_deg"), col("in_deg"))
+
+  /** TrustRank (Gyöngyi et al., "Combating Web Spam with TrustRank",
+    * VLDB 2004): PageRank whose teleport — both the restart mass and
+    * the dangling mass — lands only on a trusted SEED set, so rank
+    * flows outward from vetted pages and spam farms far from the seeds
+    * score near zero. The crawl-quality signal a scheduler feeds on.
+    * The registered query seeds the 'src0' source (a vetted
+    * domain's pages).
+    */
+  def trustrank(spark: SparkSession, d: String, iters: Int = 4,
+                topK: Int = 100): DataFrame =
+    trustrankDf(Tables.fanOut(Tables.documents(spark, d)),
+      col("source") === lit("src0"), iters, topK)
+
+  def trustrankDf(docs: DataFrame, seed: Column, iters: Int = 4,
+                  topK: Int = 100): DataFrame =
+    rankLoop(docs, seed, iters, topK)
+
+  /** The shared seeded-teleport rank loop. Recurrence (nano BIGINTs;
+    * s(v) ∈ {0,1} the seed indicator, |S| the seed count):
+    * {{{
+    *   r0(v)     = s(v) · snap(1e9 / |S|)
+    *   contrib_e = snap(r(src) / out_deg(src))
+    *   inflow(v) = Σ contrib_e over in-edges            — exact int sum
+    *   dang      = Σ r(u) over out_deg(u) = 0           — exact int sum
+    *   r'(v)     = s(v) · snap(0.15e9 / |S|)
+    *             + snap(0.85 · (inflow(v) + s(v) · snap(dang / |S|)))
+    * }}}
+    */
+  private def rankLoop(docs: DataFrame, seed: Column, iters: Int,
+                       topK: Int): DataFrame = {
+    require(iters >= 1, s"rank loop needs >= 1 iteration, got $iters")
     val edges = linkEdgesDf(docs).localCheckpoint()
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-    val total = docs.agg(count(lit(1)).as("n_total"))
-    // per-node state: (doc_id, out_deg, n_total, rank_nano); the 1-row
-    // frontier size rides along as a column (broadcast cross join — the
-    // at-scale form of a driver-side scalar)
-    var ranks = docs.select(col("doc_id"))
+    // the 1-row seed count rides along as a column (broadcast cross
+    // join — the at-scale form of a driver-side scalar)
+    val nSeed = docs.agg(
+      sum(when(seed, lit(1L)).otherwise(lit(0L))).as("n_seed"))
+    // per-node state: (doc_id, is_seed, out_deg, n_seed, rank_nano)
+    var ranks = docs.select(col("doc_id"),
+        when(seed, lit(1L)).otherwise(lit(0L)).as("is_seed"))
       .join(outDeg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("out_deg"), lit(0L)).as("out_deg"))
-      .crossJoin(total)
-      .select(col("doc_id"), col("out_deg"), col("n_total"),
-        snap(lit(Unit) / col("n_total")).as("rank_nano"))
+      .select(col("doc_id"), col("is_seed"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+      .crossJoin(nSeed)
+      .select(col("doc_id"), col("is_seed"), col("out_deg"), col("n_seed"),
+        (col("is_seed") * snap(lit(Unit) / col("n_seed"))).as("rank_nano"))
       .localCheckpoint()
 
     for (_ <- 1 to iters) {
@@ -169,14 +209,15 @@ object Graph {
       // the old checkpoint's blocks are freed by the ContextCleaner once
       // unreferenced — no manual unpersist (localCheckpoint blocks are
       // not in the cache manager; Dataset.unpersist would be a no-op)
-      ranks = ranks.select(col("doc_id"), col("out_deg"), col("n_total"))
+      ranks = ranks.select(col("doc_id"), col("is_seed"), col("out_deg"),
+          col("n_seed"))
         .join(contribs, Seq("doc_id"), "left")
         .crossJoin(dang)
-        .select(col("doc_id"), col("out_deg"), col("n_total"),
-          (snap(lit((1.0 - Damping) * Unit) / col("n_total")) +
+        .select(col("doc_id"), col("is_seed"), col("out_deg"), col("n_seed"),
+          (col("is_seed") * snap(lit((1.0 - Damping) * Unit) / col("n_seed")) +
             snap(lit(Damping) *
               (coalesce(col("inflow"), lit(0L)) +
-                snap(col("dang").cast("double") / col("n_total")))
+                col("is_seed") * snap(col("dang").cast("double") / col("n_seed")))
                 .cast("double"))).as("rank_nano"))
         .localCheckpoint()
     }
@@ -184,7 +225,7 @@ object Graph {
     val inDeg = edges.groupBy(col("dst").as("doc_id"))
       .agg(count(lit(1)).as("in_deg"))
     ranks.join(inDeg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("rank_nano"), col("out_deg"),
+      .select(col("doc_id"), col("rank_nano"), col("is_seed"), col("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
       .orderBy(col("rank_nano").desc, col("doc_id"))
       .limit(topK)

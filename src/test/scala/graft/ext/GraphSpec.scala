@@ -90,6 +90,47 @@ class GraphSpec extends SparkTestBase {
     assert(deg.length == docs.count())
   }
 
+  test("trustrank matches an exact driver-side replay (seeded teleport + dangling-to-seeds)") {
+    import spark.implicits._
+    val fixture = Seq(
+      0L -> "alpha beta gamma delta", 1L -> "beta gamma epsilon zeta",
+      2L -> "gamma delta alpha beta", 3L -> "zeta eta theta iota",
+      4L -> "iota kappa alpha gamma", 5L -> "kappa lambda mu nu",
+      6L -> "mu nu alpha beta gamma", 7L -> "nu xi omicron pi",
+      8L -> "pi rho alpha delta",     9L -> "solo"
+    ).toDF("doc_id", "text")
+    val seeds = (0L to 9L).filter(_ % 2 == 0).toSet // doc 9 (dangling) is NOT a seed
+    val edges = Graph.linkEdgesDf(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    def snap(x: Double): Long = math.floor(x + 0.5).toLong
+    val nS = seeds.size
+    var r = (0L until 10L).map(i =>
+      i -> (if (seeds(i)) snap(1e9 / nS) else 0L)).toMap
+    for (_ <- 1 to 4) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.filter(e => outDeg.contains(e._1))
+          .map(e => snap(r(e._1).toDouble / outDeg(e._1))).sum
+      }
+      val dang = r.collect { case (u, ru) if !outDeg.contains(u) => ru }.sum
+      r = r.map { case (v, _) =>
+        val sv = if (seeds(v)) 1L else 0L
+        v -> (sv * snap((1.0 - 0.85) * 1e9 / nS) +
+          snap(0.85 * (contrib.getOrElse(v, 0L) + sv * snap(dang.toDouble / nS)).toDouble))
+      }
+    }
+    val got = Graph.trustrankDf(fixture, col("doc_id") % 2 === 0, 4, 10).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(got == r, s"spark=$got replay=$r")
+  }
+
+  test("trustrank with the full frontier as seeds IS pagerank") {
+    val pr = Graph.pagerankDf(docs, 3, 50).collect().map(_.toSeq)
+    val tr = Graph.trustrankDf(docs, lit(true), 3, 50).collect()
+      .map(r => Seq(r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(pr.toSeq == tr.toSeq)
+  }
+
   test("linkComponents matches a driver-side union-find on the planted graph") {
     import spark.implicits._
     val fixture = Seq(
