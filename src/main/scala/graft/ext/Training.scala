@@ -45,20 +45,31 @@ object Training {
   private def snapSum(c: Column): Column =
     sum(floor(c * lit(1e6) + lit(0.5)).cast("long"))
 
-  /** The fitted state: standardized features (with doc_id + label) and
-    * the weight/accuracy trajectory. Weights are UNROUNDED — rounding
-    * is presentation only.
+  /** The trained artifact: standardization constants + weights — 13
+    * doubles, deliberately NOT a frozen table ([[Freeze]]): a model
+    * this small rides in the scoring expression as plan-resident
+    * literals (the domain-blocklist discipline).
+    */
+  case class QualityModel(means: Seq[Double], stds: Seq[Double],
+                          weights: Array[Double])
+
+  /** The fitted state: standardized features (with doc_id + label), the
+    * weight/accuracy trajectory, and the model. Weights are UNROUNDED —
+    * rounding is presentation only.
     */
   private[ext] case class Fit(
       std: DataFrame,
       epochs: Seq[(Long, Long, Long, Double, Double, Double, Double, Double)],
-      weights: Array[Double])
+      model: QualityModel) {
+    def weights: Array[Double] = model.weights
+  }
 
-  private def fit(docs: DataFrame): Fit = {
-    // raw features — the qualityScores fragments verbatim; lt is the
-    // log-token term the rule model itself uses. Empty texts are
-    // excluded on both sides (the 0/0 Spark-NULL vs DuckDB-NaN parity
-    // trap recorded at modelQualityFilter).
+  /** Raw features — the qualityScores fragments verbatim; lt is the
+    * log-token term the rule model itself uses. Empty texts are
+    * excluded on both sides (the 0/0 Spark-NULL vs DuckDB-NaN parity
+    * trap recorded at modelQualityFilter).
+    */
+  private def rawFeatures(docs: DataFrame): DataFrame = {
     val t = TextAnalysis.tokens(col("text"))
     val nTok = size(t).cast("double")
     val sr = TextAnalysis.stopwordCount(col("text")).cast("double") / nTok
@@ -67,9 +78,22 @@ object Training {
     val al = length(col("text")).cast("double") / nTok
     val y = when(TextAnalysis.qualityScoreCol >= lit(0.5), lit(1.0))
       .otherwise(lit(0.0))
-    val feats = docs.filter(length(col("text")) > 0)
+    docs.filter(length(col("text")) > 0)
       .select(col("doc_id"), sr.as("sr"), pr.as("pr"), lt.as("lt"),
         al.as("al"), y.as("y"))
+  }
+
+  /** Standardized columns under a model's constants. */
+  private def standardize(feats: DataFrame, m: QualityModel): DataFrame =
+    feats.select(col("doc_id"),
+      ((col("sr") - lit(m.means(0))) / lit(m.stds(0))).as("zsr"),
+      ((col("pr") - lit(m.means(1))) / lit(m.stds(1))).as("zpr"),
+      ((col("lt") - lit(m.means(2))) / lit(m.stds(2))).as("zlt"),
+      ((col("al") - lit(m.means(3))) / lit(m.stds(3))).as("zal"),
+      col("y"))
+
+  private def fit(docs: DataFrame): Fit = {
+    val feats = rawFeatures(docs)
       .localCheckpoint() // kernel runs once, not once per pass
 
     // pass 1+2: exact standardization (mean, then variance vs the mean)
@@ -87,15 +111,10 @@ object Training {
       val v = (vRow.getLong(i) / 1e6) / n
       if (v > 0) math.sqrt(v) else 1.0 // constant feature → weight stays 0
     }
-    val std = feats.select(col("doc_id"),
-      ((col("sr") - lit(means(0))) / lit(stds(0))).as("zsr"),
-      ((col("pr") - lit(means(1))) / lit(stds(1))).as("zpr"),
-      ((col("lt") - lit(means(2))) / lit(stds(2))).as("zlt"),
-      ((col("al") - lit(means(3))) / lit(stds(3))).as("zal"),
-      col("y"))
+    val w = Array(0.0, 0.0, 0.0, 0.0, 0.0)
+    val std = standardize(feats, QualityModel(means, stds, w))
 
     // the descent: one aggregate pass per epoch
-    val w = Array(0.0, 0.0, 0.0, 0.0, 0.0)
     val trajectory = (1 to Epochs).map { ep =>
       val p = sigmoid(w)
       val dlt = p - col("y")
@@ -110,7 +129,48 @@ object Training {
       for (j <- 0 to 4) w(j) = w(j) - Lr * ((g.getLong(j) / 1e6) / n)
       (ep.toLong, g.getLong(5), n, w(0), w(1), w(2), w(3), w(4))
     }
-    Fit(std, trajectory, w)
+    Fit(std, trajectory, QualityModel(means, stds, w))
+  }
+
+  /** Train on a (static) corpus and return just the model. */
+  def fitModel(docs: DataFrame): QualityModel = fit(docs).model
+
+  /** Score arbitrary documents under an already-trained model — a
+    * narrow per-row map (features + standardization + sigmoid in one
+    * projection; no shuffle, no aggregate). The production inference
+    * shape shared by [[qualityModelSink]].
+    */
+  def scoreWith(docs: DataFrame, m: QualityModel,
+                threshold: Double = 0.5): DataFrame = {
+    val p = sigmoid(m.weights)
+    standardize(rawFeatures(docs), m)
+      .select(col("doc_id"), round(p, 6).as("model_score"),
+        (p >= lit(threshold)).cast("int").as("kept"))
+  }
+
+  /** Streaming model-based quality filter: the model is trained ONCE on
+    * the static base corpus at sink construction (train offline / serve
+    * online — the production distillation split), then every arriving
+    * micro-batch is scored with the plan-resident weights and appended
+    * with its verdict. No frozen table: 13 doubles ride in the
+    * expression, so there is nothing to pin or release.
+    */
+  def qualityModelSink(docStream: DataFrame, baseDocs: DataFrame,
+                       outPath: String, checkpoint: String,
+                       threshold: Double = 0.5, triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val model = fitModel(baseDocs)
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          scoreWith(batch, model, threshold)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
   }
 
   /** σ(w·x) over the standardized columns — term order pinned to the

