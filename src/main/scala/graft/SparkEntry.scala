@@ -265,7 +265,8 @@ object SparkEntry {
     "q_train_classifier"  -> ((s: SparkSession, d: String) => ext.Training.trainQualityClassifier(s, d)),
     "q_distilled_scores"  -> ((s: SparkSession, d: String) => ext.Training.distilledScores(s, d)),
     "q_link_components"   -> ((s: SparkSession, d: String) => ext.Graph.linkComponents(s, d)),
-    "q_trustrank"         -> ((s: SparkSession, d: String) => ext.Graph.trustrank(s, d))
+    "q_trustrank"         -> ((s: SparkSession, d: String) => ext.Graph.trustrank(s, d)),
+    "q_corpus_card"       -> ((s: SparkSession, d: String) => ext.Corpus.corpusCard(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -2335,7 +2336,31 @@ object SparkEntry {
     // connected components: exact integer min-label propagation
     "q_link_components" -> linkComponentsSql,
     // TrustRank: the seeded-teleport recurrence, seeds = the vetted source
-    "q_trustrank" -> trustrankSql
+    "q_trustrank" -> trustrankSql,
+    // the corpus card: one scan, one source-keyed aggregate; rates use
+    // the exact-integer-ratio snap (floor(x*1e6+0.5)/1e6)
+    "q_corpus_card" ->
+      (s"WITH c0 AS (SELECT source, lang, text, " +
+        s"COALESCE(len($toks), 0) AS n_tok_all, " +
+        "md5(nfc_normalize(text)) AS h, " +
+        s"CAST(len(list_filter($toks, t -> t IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) " +
+        s"/ len($toks) AS stop_r, " +
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_r, " +
+        s"CAST(len($toks) AS DOUBLE) AS n_tok, " +
+        s"CAST(length(text) AS DOUBLE) / len($toks) AS avg_len " +
+        "FROM documents), " +
+        "c AS (SELECT source, lang, n_tok_all, h, " +
+        "CASE WHEN length(text) > 0 AND round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * stop_r - 8.0 * punct_r " +
+        "+ 0.9 * ln(n_tok + 1.0) - 0.35 * avg_len))), 6) >= 0.5 THEN 1 ELSE 0 END AS kept FROM c0), " +
+        "g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_tok_all) AS BIGINT) AS n_tokens, " +
+        "CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_texts, " +
+        "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, " +
+        "CAST(SUM(kept) AS BIGINT) AS n_kept FROM c GROUP BY source) " +
+        "SELECT source, n_docs, n_tokens, n_distinct_texts, n_langs, " +
+        "floor(CAST(n_kept AS DOUBLE) / n_docs * 1000000.0 + 0.5) / 1000000.0 AS kept_rate, " +
+        "floor(CAST(n_tokens AS DOUBLE) / n_docs * 1000000.0 + 0.5) / 1000000.0 AS avg_tokens " +
+        "FROM g ORDER BY source")
     // No oracle (rows-only checks) — the authoritative list is
     // `queries.keySet -- oracleSql.keySet` (don't trust a hardcoded
     // enumeration here); currently that's the xxhash64-based dedup

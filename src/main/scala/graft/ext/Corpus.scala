@@ -1850,4 +1850,38 @@ object Corpus {
         }
       }
   }
+
+  /** The corpus card: the one-pass per-source summary a data consumer
+    * reads before anything else (the "datasheet" row — docs, tokens,
+    * content diversity, language spread, rule-quality keep rate,
+    * average length). Composes the established kernels — token count,
+    * NFC content hash, the quality sigmoid — into a single groupBy, so
+    * at 100 TB the whole card is ONE corpus scan + one source-keyed
+    * aggregate. Rates snap at 6 dp via the exact-integer-ratio pattern
+    * (layout_compare precedent).
+    */
+  def corpusCard(spark: SparkSession, d: String): DataFrame =
+    corpusCardDf(Tables.fanOut(Tables.documents(spark, d)))
+
+  def corpusCardDf(docs: DataFrame): DataFrame = {
+    import graft.ext.{Dedup, TextAnalysis}
+    val nTok = coalesce(size(TextAnalysis.tokens(col("text"))).cast("long"), lit(0L))
+    // empty/null texts cannot be "kept": the length guard also kills the
+    // NaN-total-order divergence (Spark NaN>=x false, DuckDB true)
+    val kept = when(length(col("text")) > 0 &&
+      TextAnalysis.qualityScoreCol >= lit(0.5), 1L).otherwise(0L)
+    def snap6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTok).as("n_tokens"),
+        countDistinct(Dedup.contentHash(col("text"))).as("n_distinct_texts"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(kept).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_distinct_texts"), col("n_langs"),
+        snap6(col("n_kept").cast("double") / col("n_docs")).as("kept_rate"),
+        snap6(col("n_tokens").cast("double") / col("n_docs")).as("avg_tokens"))
+      .orderBy(col("source"))
+  }
 }
