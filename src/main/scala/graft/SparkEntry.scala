@@ -266,7 +266,8 @@ object SparkEntry {
     "q_distilled_scores"  -> ((s: SparkSession, d: String) => ext.Training.distilledScores(s, d)),
     "q_link_components"   -> ((s: SparkSession, d: String) => ext.Graph.linkComponents(s, d)),
     "q_trustrank"         -> ((s: SparkSession, d: String) => ext.Graph.trustrank(s, d)),
-    "q_corpus_card"       -> ((s: SparkSession, d: String) => ext.Corpus.corpusCard(s, d))
+    "q_corpus_card"       -> ((s: SparkSession, d: String) => ext.Corpus.corpusCard(s, d)),
+    "q_hits"              -> ((s: SparkSession, d: String) => ext.Graph.hits(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -286,7 +287,7 @@ object SparkEntry {
         s"ln(CAST(len($toks) AS DOUBLE) + 1.0) AS lt, " +
         s"CAST(length(text) AS DOUBLE) / len($toks) AS al " +
         "FROM documents WHERE length(text) > 0), " + // 0/0 parity guard
-        "f AS (SELECT doc_id, sr, pr, lt, al, " +
+        "f AS MATERIALIZED (SELECT doc_id, sr, pr, lt, al, " +
         "CASE WHEN round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * sr - 8.0 * pr + 0.9 * lt - 0.35 * al))), 6) >= 0.5 " +
         "THEN 1.0 ELSE 0.0 END AS y FROM f0), " +
         "m0 AS (SELECT CAST(SUM(CAST(floor(sr * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ssr, " +
@@ -309,7 +310,7 @@ object SparkEntry {
         "CASE WHEN (vlt / 1000000.0) / n > 0 THEN sqrt((vlt / 1000000.0) / n) ELSE 1.0 END AS dlt, " +
         "CASE WHEN (val / 1000000.0) / n > 0 THEN sqrt((val / 1000000.0) / n) ELSE 1.0 END AS dal, " +
         "msr, mpr, mlt, mal FROM v0), " +
-        "s AS (SELECT doc_id, (sr - msr) / dsr AS zsr, (pr - mpr) / dpr AS zpr, " +
+        "s AS MATERIALIZED (SELECT doc_id, (sr - msr) / dsr AS zsr, (pr - mpr) / dpr AS zpr, " +
         "(lt - mlt) / dlt AS zlt, (al - mal) / dal AS zal, y FROM f CROSS JOIN v), " +
         "w0 AS (SELECT 0.0 AS wb, 0.0 AS ws, 0.0 AS wp, 0.0 AS wl, 0.0 AS wa)"
     val epochs = (1 to 4).map { k =>
@@ -368,7 +369,7 @@ object SparkEntry {
       "i -> t[i] || ' ' || t[i+1])) AS bigram FROM t0), " +
       "e0 AS (SELECT src, (('0x' || substr(md5(bigram), 1, 15))::BIGINT) % d AS dst " +
       "FROM bg CROSS JOIN nn), " +
-      "e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst), " +
+      "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst), " +
       "od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY src), " +
       "ideg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_deg FROM e GROUP BY dst)"
 
@@ -386,7 +387,7 @@ object SparkEntry {
       s"c$k AS (SELECT dst AS doc_id, CAST(SUM(CAST(floor(CAST(r AS DOUBLE) / out_deg + 0.5) AS BIGINT)) AS BIGINT) AS inflow " +
         s"FROM $p JOIN e ON $p.doc_id = e.src WHERE out_deg > 0 GROUP BY dst), " +
         s"d$k AS (SELECT CAST(COALESCE(SUM(CASE WHEN out_deg = 0 THEN r END), 0) AS BIGINT) AS dang FROM $p), " +
-        s"r$k AS (SELECT n.doc_id, n.s, n.out_deg, n.ns, " +
+        s"r$k AS MATERIALIZED (SELECT n.doc_id, n.s, n.out_deg, n.ns, " +
         "n.s * CAST(floor((1.0 - 0.85) * 1000000000.0 / n.ns + 0.5) AS BIGINT) + " +
         "CAST(floor(0.85 * CAST(COALESCE(inflow, 0) + " +
         "n.s * CAST(floor(CAST(dang AS DOUBLE) / n.ns + 0.5) AS BIGINT) AS DOUBLE) + 0.5) AS BIGINT) AS r " +
@@ -397,12 +398,38 @@ object SparkEntry {
       s"sn AS (SELECT CAST(SUM(CASE WHEN $seedCond THEN 1 ELSE 0 END) AS BIGINT) AS ns FROM documents), " +
       s"nd AS (SELECT doc_id, CASE WHEN $seedCond THEN 1 ELSE 0 END AS s, COALESCE(out_deg, 0) AS out_deg, ns " +
       "FROM documents LEFT JOIN od ON doc_id = od.src CROSS JOIN sn), " +
-      "r0 AS (SELECT doc_id, s, out_deg, ns, " +
+      "r0 AS MATERIALIZED (SELECT doc_id, s, out_deg, ns, " +
       "s * CAST(floor(1000000000.0 / ns + 0.5) AS BIGINT) AS r FROM nd), " +
       s"$iters " +
       s"SELECT r4.doc_id, r4.r AS rank_nano, ${seedOut}r4.out_deg, COALESCE(in_deg, 0) AS in_deg " +
       "FROM r4 LEFT JOIN ideg ON r4.doc_id = ideg.dst " +
       "ORDER BY rank_nano DESC, r4.doc_id LIMIT 100"
+  }
+
+  // HITS: 4 unrolled rounds — integer sums + integer MAX; the only
+  // float op is the per-row max-normalization division, identical on
+  // both engines (Graph.hitsDf's exactness note)
+  private lazy val hitsSql = {
+    val rounds = (1 to 4).map { k =>
+      val p = s"s${k - 1}"
+      s"ar$k AS MATERIALIZED (SELECT e.dst AS doc_id, CAST(SUM(s.hub) AS BIGINT) AS a_raw " +
+        s"FROM $p s JOIN e ON s.doc_id = e.src GROUP BY e.dst), " +
+        s"am$k AS (SELECT MAX(a_raw) AS a_max FROM ar$k), " +
+        s"an$k AS MATERIALIZED (SELECT doc_id, CAST(floor(CAST(a_raw AS DOUBLE) / a_max * 1000000.0 + 0.5) AS BIGINT) AS auth " +
+        s"FROM ar$k CROSS JOIN am$k), " +
+        s"hr$k AS MATERIALIZED (SELECT e.src AS doc_id, CAST(SUM(a.auth) AS BIGINT) AS h_raw " +
+        s"FROM an$k a JOIN e ON a.doc_id = e.dst GROUP BY e.src), " +
+        s"hm$k AS (SELECT MAX(h_raw) AS h_max FROM hr$k), " +
+        s"hn$k AS MATERIALIZED (SELECT doc_id, CAST(floor(CAST(h_raw AS DOUBLE) / h_max * 1000000.0 + 0.5) AS BIGINT) AS hub " +
+        s"FROM hr$k CROSS JOIN hm$k), " +
+        s"s$k AS MATERIALIZED (SELECT s.doc_id, COALESCE(an$k.auth, 0) AS auth, COALESCE(hn$k.hub, 0) AS hub " +
+        s"FROM $p s LEFT JOIN an$k ON s.doc_id = an$k.doc_id " +
+        s"LEFT JOIN hn$k ON s.doc_id = hn$k.doc_id)"
+    }.mkString(", ")
+    s"$linkGraphCteSql, " +
+      "s0 AS MATERIALIZED (SELECT doc_id, CAST(1000000 AS BIGINT) AS auth, CAST(1000000 AS BIGINT) AS hub FROM documents), " +
+      s"$rounds " +
+      "SELECT doc_id, auth, hub FROM s4 ORDER BY auth DESC, doc_id LIMIT 100"
   }
 
   private lazy val pagerankSql = seededRankSql("TRUE", includeSeedCol = false)
@@ -416,13 +443,13 @@ object SparkEntry {
       val p = s"l${k - 1}"
       s"nm$k AS (SELECT e.dst AS doc_id, MIN(l.component) AS nbr_min " +
         s"FROM $p l JOIN und e ON l.doc_id = e.src GROUP BY e.dst), " +
-        s"l$k AS (SELECT l.doc_id, least(l.component, COALESCE(n.nbr_min, l.component)) AS component " +
+        s"l$k AS MATERIALIZED (SELECT l.doc_id, least(l.component, COALESCE(n.nbr_min, l.component)) AS component " +
         s"FROM $p l LEFT JOIN nm$k n ON l.doc_id = n.doc_id)"
     }.mkString(", ")
     s"$linkGraphCteSql, " +
-      "und AS (SELECT DISTINCT src, dst FROM " +
+      "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM " +
       "(SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)), " +
-      "l0 AS (SELECT doc_id, doc_id AS component FROM documents), " +
+      "l0 AS MATERIALIZED (SELECT doc_id, doc_id AS component FROM documents), " +
       s"$roundsSql, " +
       "sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS component_size FROM l8 GROUP BY component) " +
       "SELECT l8.doc_id, l8.component, sz.component_size " +
@@ -2337,6 +2364,8 @@ object SparkEntry {
     "q_link_components" -> linkComponentsSql,
     // TrustRank: the seeded-teleport recurrence, seeds = the vetted source
     "q_trustrank" -> trustrankSql,
+    // HITS hubs/authorities: exact integer replay
+    "q_hits" -> hitsSql,
     // the corpus card: one scan, one source-keyed aggregate; rates use
     // the exact-integer-ratio snap (floor(x*1e6+0.5)/1e6)
     "q_corpus_card" ->

@@ -231,6 +231,78 @@ object Graph {
       .limit(topK)
   }
 
+  /** HITS hubs & authorities (Kleinberg, "Authoritative Sources in a
+    * Hyperlinked Environment", JACM 1999) — the complement of PageRank
+    * for crawl curation: authorities are the pages good hubs point AT
+    * (content worth keeping), hubs are the pages that point at good
+    * authorities (link directories worth crawling frequently, rarely
+    * worth keeping as training text).
+    *
+    * Exact-integer replay form: scores live in micro-units; each round
+    *   a'(v) = Σ h(u) over in-edges            — exact int sum
+    *   a''(v) = snap(a'(v) / max(a') · 1e6)    — per-row scalar double
+    *   h'(v) = Σ a''(u) over out-edges         — exact int sum
+    *   h''(v) = snap(h'(v) / max(h') · 1e6)
+    * Max-normalization replaces the textbook L2 norm: MAX is an exact
+    * integer aggregate (order-independent), where an L2 norm would sum
+    * floats — the one thing the exactness discipline forbids. Rankings
+    * are identical (normalization is monotone); only the scale label
+    * changes. The normalized division converts BIGINT→DOUBLE, which
+    * both engines do identically, so the DuckDB unroll is bit-exact.
+    *
+    * Scale shape: per round, two keyed joins against the checkpointed
+    * edge table + two groupBys + two 1-row MAX aggregates; state is
+    * (doc_id, a, h) — the PageRank loop's footprint with one extra
+    * column. Cost at fixture scale is orchestration (12 materialization
+    * jobs for 4 rounds on a 5000-node graph); at 100 TB the two keyed
+    * joins per round dominate, which is the right asymptote.
+    */
+  def hits(spark: SparkSession, d: String, iters: Int = 4,
+           topK: Int = 100): DataFrame =
+    hitsDf(Tables.fanOut(Tables.documents(spark, d)), iters, topK)
+
+  def hitsDf(docs: DataFrame, iters: Int = 4, topK: Int = 100): DataFrame = {
+    require(iters >= 1, s"hits needs >= 1 iteration, got $iters")
+    val edges = linkEdgesDf(docs).localCheckpoint()
+    var scores = docs.select(col("doc_id"),
+        lit(1000000L).as("auth"), lit(1000000L).as("hub"))
+      .localCheckpoint()
+
+    def renorm(raw: Column, mx: Column): Column =
+      snap(raw.cast("double") / mx * lit(1e6))
+
+    for (_ <- 1 to iters) {
+      // raw sums are checkpointed so the self-referencing max
+      // normalization (frame ⨯ its own 1-row MAX) reads one
+      // materialization instead of re-running the join+aggregate
+      // (measured: leaving aRaw lazy is ~0.4 s SLOWER at sf0.1 — the
+      // re-evaluations outweigh the saved job)
+      val aRaw = scores.select(col("doc_id").as("src"), col("hub"))
+        .join(edges, Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum(col("hub")).as("a_raw"))
+        .localCheckpoint()
+      val aNorm = aRaw.crossJoin(aRaw.agg(max(col("a_raw")).as("a_max")))
+        .select(col("doc_id"), renorm(col("a_raw"), col("a_max")).as("auth"))
+      val hRaw = aNorm.select(col("doc_id").as("dst"), col("auth"))
+        .join(edges, Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(sum(col("auth")).as("h_raw"))
+        .localCheckpoint()
+      val hNorm = hRaw.crossJoin(hRaw.agg(max(col("h_raw")).as("h_max")))
+        .select(col("doc_id"), renorm(col("h_raw"), col("h_max")).as("hub"))
+      scores = scores.select(col("doc_id"))
+        .join(aNorm, Seq("doc_id"), "left")
+        .join(hNorm, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("auth"), lit(0L)).as("auth"),
+          coalesce(col("hub"), lit(0L)).as("hub"))
+        .localCheckpoint()
+    }
+
+    scores.orderBy(col("auth").desc, col("doc_id")).limit(topK)
+  }
+
   /** Weakly-connected components of the link graph by min-label
     * propagation: every node starts labelled with its own id; each
     * round, a node adopts the smallest label among itself and its

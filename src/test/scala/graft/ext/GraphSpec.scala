@@ -131,6 +131,41 @@ class GraphSpec extends SparkTestBase {
     assert(pr.toSeq == tr.toSeq)
   }
 
+  test("hits matches an exact driver-side replay on the planted graph") {
+    import spark.implicits._
+    val fixture = Seq(
+      0L -> "alpha beta gamma delta", 1L -> "beta gamma epsilon zeta",
+      2L -> "gamma delta alpha beta", 3L -> "zeta eta theta iota",
+      4L -> "iota kappa alpha gamma", 5L -> "kappa lambda mu nu",
+      6L -> "mu nu alpha beta gamma", 7L -> "nu xi omicron pi",
+      8L -> "pi rho alpha delta",     9L -> "solo"
+    ).toDF("doc_id", "text")
+    val edges = Graph.linkEdgesDf(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def snap(x: Double): Long = math.floor(x + 0.5).toLong
+    var auth = (0L to 9L).map(_ -> 1000000L).toMap
+    var hub = (0L to 9L).map(_ -> 1000000L).toMap
+    for (_ <- 1 to 4) {
+      val aRaw = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => hub(e._1)).sum }
+      val aMax = aRaw.values.max
+      val aN = aRaw.map { case (d, v) => d -> snap(v.toDouble / aMax * 1e6) }
+      val hRaw = edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(e => aN.getOrElse(e._2, 0L)).sum }
+      val hMax = hRaw.values.max
+      val hN = hRaw.map { case (s, v) => s -> snap(v.toDouble / hMax * 1e6) }
+      auth = (0L to 9L).map(i => i -> aN.getOrElse(i, 0L)).toMap
+      hub = (0L to 9L).map(i => i -> hN.getOrElse(i, 0L)).toMap
+    }
+    val got = Graph.hitsDf(fixture, iters = 4, topK = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = (0L to 9L).map(i => i -> (auth(i), hub(i))).toMap
+    assert(got == expected, s"spark=$got replay=$expected")
+    // the dangling solo doc is no hub; the best authority is max-normalized to 1e6
+    assert(hub(9L) == 0L)
+    assert(got.values.map(_._1).max == 1000000L)
+  }
+
   test("linkComponents matches a driver-side union-find on the planted graph") {
     import spark.implicits._
     val fixture = Seq(
