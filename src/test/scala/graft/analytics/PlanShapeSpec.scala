@@ -96,6 +96,25 @@ class PlanShapeSpec extends SparkTestBase {
       s"json-stats plan grew a shuffle:\n${plan("q_json_extract_stats")}")
   }
 
+  test("corpus card is ONE documents scan + one keyed aggregate; distilled scoring stays narrow") {
+    // the card's claim is "the whole datasheet in one corpus pass" —
+    // a second FileScan of documents means a kernel got un-shared
+    val pc = plan("q_corpus_card")
+    assert(pc.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"corpus card re-scans documents:\n$pc")
+    // two COUNT(DISTINCT) columns plan as Expand + a (source,…,gid)
+    // partial-distinct exchange + the final source agg + result sort —
+    // the standard multi-distinct shape; data still moves ≤ once per
+    // stage and the corpus is read once
+    assert(shuffleExchanges("q_corpus_card") <= 3,
+      s"corpus card grew a shuffle:\n$pc")
+    // distilled scoring = checkpointed-feature narrow map + the
+    // presentation sort; a keyed exchange would mean an aggregate
+    // sneaked into the inference path
+    assert(shuffleExchanges("q_distilled_scores") <= 1,
+      s"distilled scoring grew a shuffle:\n${plan("q_distilled_scores")}")
+  }
+
   test("q_large_qty_orders / q_late_priority_counts: HAVING/EXISTS plan as semi-joins") {
     val p18 = plan("q_large_qty_orders")
     assert(p18.contains("LeftSemi"), s"IN+HAVING must plan as LeftSemi:\n$p18")
