@@ -181,19 +181,25 @@ object Graph {
     require(iters >= 1, s"rank loop needs >= 1 iteration, got $iters")
     val edges = linkEdgesDf(docs).localCheckpoint()
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-    // the 1-row seed count rides along as a column (broadcast cross
-    // join — the at-scale form of a driver-side scalar)
+    // the loop is already an eager builder, so the seed count is a
+    // plain collected scalar (2-scalar-aggregate precedent) — and an
+    // EMPTY seed set fails loudly here instead of silently dividing
+    // rank by zero
     val nSeed = docs.agg(
-      sum(when(seed, lit(1L)).otherwise(lit(0L))).as("n_seed"))
+      coalesce(sum(when(seed, lit(1L)).otherwise(lit(0L))), lit(0L)))
+      .head().getLong(0)
+    require(nSeed > 0,
+      "rankLoop: the teleport seed set is empty — no document matches " +
+        "the seed predicate, every rank would be 0/0")
     // per-node state: (doc_id, is_seed, out_deg, n_seed, rank_nano)
     var ranks = docs.select(col("doc_id"),
         when(seed, lit(1L)).otherwise(lit(0L)).as("is_seed"))
       .join(outDeg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("is_seed"),
         coalesce(col("out_deg"), lit(0L)).as("out_deg"))
-      .crossJoin(nSeed)
-      .select(col("doc_id"), col("is_seed"), col("out_deg"), col("n_seed"),
-        (col("is_seed") * snap(lit(Unit) / col("n_seed"))).as("rank_nano"))
+      .select(col("doc_id"), col("is_seed"), col("out_deg"),
+        lit(nSeed).as("n_seed"),
+        (col("is_seed") * snap(lit(Unit) / lit(nSeed))).as("rank_nano"))
       .localCheckpoint()
 
     for (_ <- 1 to iters) {

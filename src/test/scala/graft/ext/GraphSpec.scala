@@ -124,6 +124,13 @@ class GraphSpec extends SparkTestBase {
     assert(got == r, s"spark=$got replay=$r")
   }
 
+  test("trustrank refuses an empty seed set loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Graph.trustrankDf(docs, col("source") === lit("no_such_source"), 2, 10)
+    }
+    assert(e.getMessage.contains("seed set is empty"))
+  }
+
   test("trustrank with the full frontier as seeds IS pagerank") {
     val pr = Graph.pagerankDf(docs, 3, 50).collect().map(_.toSeq)
     val tr = Graph.trustrankDf(docs, lit(true), 3, 50).collect()
