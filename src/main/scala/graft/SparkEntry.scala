@@ -325,7 +325,7 @@ object SparkEntry {
         "CAST(SUM(CAST(floor((p - y) * zal * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ga, " +
         "CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS ncorr, " +
         s"CAST(COUNT(*) AS BIGINT) AS n FROM p$k), " +
-        s"w$k AS (SELECT w.wb - 2.0 * ((g.gb / 1000000.0) / g.n) AS wb, " +
+        s"w$k AS MATERIALIZED (SELECT w.wb - 2.0 * ((g.gb / 1000000.0) / g.n) AS wb, " +
         "w.ws - 2.0 * ((g.gs / 1000000.0) / g.n) AS ws, " +
         "w.wp - 2.0 * ((g.gp / 1000000.0) / g.n) AS wp, " +
         "w.wl - 2.0 * ((g.gl / 1000000.0) / g.n) AS wl, " +

@@ -81,7 +81,7 @@ object Graph {
     */
   def linkEdgesDf(docs: DataFrame): DataFrame = {
     val total = docs.agg(count(lit(1)).as("n_total"))
-    val toks = split(trim(col("text")), "\\s+")
+    val toks = TextAnalysis.tokens(col("text"))
     val bigrams = docs.filter(col("text").isNotNull)
       .select(col("doc_id").as("src"), toks.as("t"))
       .select(col("src"), explode(
@@ -337,7 +337,10 @@ object Graph {
 
   def linkComponentsDf(docs: DataFrame, rounds: Int = 8): DataFrame = {
     require(rounds >= 1, s"linkComponents needs >= 1 round, got $rounds")
-    val e = linkEdgesDf(docs)
+    // checkpoint before the two-branch union: the corpus-sized edge
+    // derivation must not ride into both branches (the rankLoop/hitsDf
+    // discipline; exchange reuse across the copies is not guaranteed)
+    val e = linkEdgesDf(docs).localCheckpoint()
     val und = e.select(col("src"), col("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
