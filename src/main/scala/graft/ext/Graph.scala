@@ -270,43 +270,46 @@ object Graph {
   def hitsDf(docs: DataFrame, iters: Int = 4, topK: Int = 100): DataFrame = {
     require(iters >= 1, s"hits needs >= 1 iteration, got $iters")
     val edges = linkEdgesDf(docs).localCheckpoint()
-    var scores = docs.select(col("doc_id"),
-        lit(1000000L).as("auth"), lit(1000000L).as("hub"))
-      .localCheckpoint()
 
     def renorm(raw: Column, mx: Column): Column =
       snap(raw.cast("double") / mx * lit(1e6))
 
+    // the loop carries SPARSE score tables (only nodes on the relevant
+    // edge side — absent nodes are exactly the zero scores and
+    // contribute nothing to the next sum), so there is no per-round
+    // full-frontier combine: 2 materialization jobs per round instead
+    // of 3, one zero-filling combine at the end. The raw sums are
+    // checkpointed so the self-referencing max normalization
+    // (frame ⨯ its own 1-row MAX) reads one materialization
+    // (measured: leaving them lazy is ~0.4 s slower at sf0.1 — the
+    // re-evaluations outweigh the saved job).
+    var hubs = docs.select(col("doc_id"), lit(1000000L).as("hub"))
+      .localCheckpoint()
+    var auths = docs.select(col("doc_id"), lit(1000000L).as("auth"))
     for (_ <- 1 to iters) {
-      // raw sums are checkpointed so the self-referencing max
-      // normalization (frame ⨯ its own 1-row MAX) reads one
-      // materialization instead of re-running the join+aggregate
-      // (measured: leaving aRaw lazy is ~0.4 s SLOWER at sf0.1 — the
-      // re-evaluations outweigh the saved job)
-      val aRaw = scores.select(col("doc_id").as("src"), col("hub"))
+      val aRaw = hubs.select(col("doc_id").as("src"), col("hub"))
         .join(edges, Seq("src"))
         .groupBy(col("dst").as("doc_id"))
         .agg(sum(col("hub")).as("a_raw"))
         .localCheckpoint()
-      val aNorm = aRaw.crossJoin(aRaw.agg(max(col("a_raw")).as("a_max")))
+      auths = aRaw.crossJoin(aRaw.agg(max(col("a_raw")).as("a_max")))
         .select(col("doc_id"), renorm(col("a_raw"), col("a_max")).as("auth"))
-      val hRaw = aNorm.select(col("doc_id").as("dst"), col("auth"))
+      val hRaw = auths.select(col("doc_id").as("dst"), col("auth"))
         .join(edges, Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(sum(col("auth")).as("h_raw"))
         .localCheckpoint()
-      val hNorm = hRaw.crossJoin(hRaw.agg(max(col("h_raw")).as("h_max")))
+      hubs = hRaw.crossJoin(hRaw.agg(max(col("h_raw")).as("h_max")))
         .select(col("doc_id"), renorm(col("h_raw"), col("h_max")).as("hub"))
-      scores = scores.select(col("doc_id"))
-        .join(aNorm, Seq("doc_id"), "left")
-        .join(hNorm, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("auth"), lit(0L)).as("auth"),
-          coalesce(col("hub"), lit(0L)).as("hub"))
-        .localCheckpoint()
     }
 
-    scores.orderBy(col("auth").desc, col("doc_id")).limit(topK)
+    docs.select(col("doc_id"))
+      .join(auths, Seq("doc_id"), "left")
+      .join(hubs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("auth"), lit(0L)).as("auth"),
+        coalesce(col("hub"), lit(0L)).as("hub"))
+      .orderBy(col("auth").desc, col("doc_id")).limit(topK)
   }
 
   /** Weakly-connected components of the link graph by min-label
