@@ -267,7 +267,8 @@ object SparkEntry {
     "q_link_components"   -> ((s: SparkSession, d: String) => ext.Graph.linkComponents(s, d)),
     "q_trustrank"         -> ((s: SparkSession, d: String) => ext.Graph.trustrank(s, d)),
     "q_corpus_card"       -> ((s: SparkSession, d: String) => ext.Corpus.corpusCard(s, d)),
-    "q_hits"              -> ((s: SparkSession, d: String) => ext.Graph.hits(s, d))
+    "q_hits"              -> ((s: SparkSession, d: String) => ext.Graph.hits(s, d)),
+    "q_pagerank_converge" -> ((s: SparkSession, d: String) => ext.Graph.pagerankConvergence(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -382,6 +383,16 @@ object SparkEntry {
   // recurrence to the classic form term by term) and TrustRank
   // (seed = a trusted source) — a single definition, no drift.
   private def seededRankSql(seedCond: String, includeSeedCol: Boolean): String = {
+    val seedOut = if (includeSeedCol) "CAST(r4.s AS BIGINT) AS is_seed, " else ""
+    s"${seededRankChainSql(seedCond)} " +
+      s"SELECT r4.doc_id, r4.r AS rank_nano, ${seedOut}r4.out_deg, COALESCE(in_deg, 0) AS in_deg " +
+      "FROM r4 LEFT JOIN ideg ON r4.doc_id = ideg.dst " +
+      "ORDER BY rank_nano DESC, r4.doc_id LIMIT 100"
+  }
+
+  // the CTE chain alone (nodes → r0..r4), shared by the rank queries and
+  // the convergence audit
+  private def seededRankChainSql(seedCond: String): String = {
     val iters = (1 to 4).map { k =>
       val p = s"r${k - 1}"
       s"c$k AS (SELECT dst AS doc_id, CAST(SUM(CAST(floor(CAST(r AS DOUBLE) / out_deg + 0.5) AS BIGINT)) AS BIGINT) AS inflow " +
@@ -393,17 +404,24 @@ object SparkEntry {
         "n.s * CAST(floor(CAST(dang AS DOUBLE) / n.ns + 0.5) AS BIGINT) AS DOUBLE) + 0.5) AS BIGINT) AS r " +
         s"FROM $p n LEFT JOIN c$k ON n.doc_id = c$k.doc_id CROSS JOIN d$k)"
     }.mkString(", ")
-    val seedOut = if (includeSeedCol) "CAST(r4.s AS BIGINT) AS is_seed, " else ""
     s"$linkGraphCteSql, " +
       s"sn AS (SELECT CAST(SUM(CASE WHEN $seedCond THEN 1 ELSE 0 END) AS BIGINT) AS ns FROM documents), " +
       s"nd AS (SELECT doc_id, CASE WHEN $seedCond THEN 1 ELSE 0 END AS s, COALESCE(out_deg, 0) AS out_deg, ns " +
       "FROM documents LEFT JOIN od ON doc_id = od.src CROSS JOIN sn), " +
       "r0 AS MATERIALIZED (SELECT doc_id, s, out_deg, ns, " +
       "s * CAST(floor(1000000000.0 / ns + 0.5) AS BIGINT) AS r FROM nd), " +
-      s"$iters " +
-      s"SELECT r4.doc_id, r4.r AS rank_nano, ${seedOut}r4.out_deg, COALESCE(in_deg, 0) AS in_deg " +
-      "FROM r4 LEFT JOIN ideg ON r4.doc_id = ideg.dst " +
-      "ORDER BY rank_nano DESC, r4.doc_id LIMIT 100"
+      s"$iters"
+  }
+
+  // convergence audit: exact per-iteration L1 / max rank movement
+  private lazy val pagerankConvergeSql = {
+    val rows = (1 to 4).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS iter, " +
+        s"CAST(SUM(ABS(a.r - b.r)) AS BIGINT) AS l1_delta_nano, " +
+        s"CAST(MAX(ABS(a.r - b.r)) AS BIGINT) AS max_delta_nano " +
+        s"FROM r$k a JOIN r${k - 1} b ON a.doc_id = b.doc_id"
+    }.mkString(" UNION ALL ")
+    s"${seededRankChainSql("TRUE")} $rows ORDER BY iter"
   }
 
   // HITS: 4 unrolled rounds — integer sums + integer MAX; the only
@@ -2366,6 +2384,8 @@ object SparkEntry {
     "q_trustrank" -> trustrankSql,
     // HITS hubs/authorities: exact integer replay
     "q_hits" -> hitsSql,
+    // rank convergence audit: exact per-iteration movement
+    "q_pagerank_converge" -> pagerankConvergeSql,
     // the corpus card: one scan, one source-keyed aggregate; rates use
     // the exact-integer-ratio snap (floor(x*1e6+0.5)/1e6)
     "q_corpus_card" ->

@@ -138,6 +138,18 @@ class GraphSpec extends SparkTestBase {
     assert(pr.toSeq == tr.toSeq)
   }
 
+  test("pagerank convergence audit: movement decays monotonically to near-fixpoint") {
+    val rows = Graph.pagerankConvergenceDf(spark, docs, iters = 4).collect()
+    assert(rows.length == 4)
+    val l1 = rows.map(_.getLong(1))
+    assert(l1.zip(l1.tail).forall { case (a, b) => b < a },
+      s"L1 movement not decaying: ${l1.toSeq}")
+    // after 4 rounds on the hub-skewed fixture the residual movement is
+    // a tiny fraction of the 1e9 total mass
+    assert(l1.last < 20000000L, s"still moving after 4 iters: ${l1.last}")
+    assert(rows.map(_.getLong(2)).last <= l1.last)
+  }
+
   test("hits matches an exact driver-side replay on the planted graph") {
     import spark.implicits._
     val fixture = Seq(
