@@ -268,7 +268,8 @@ object SparkEntry {
     "q_trustrank"         -> ((s: SparkSession, d: String) => ext.Graph.trustrank(s, d)),
     "q_corpus_card"       -> ((s: SparkSession, d: String) => ext.Corpus.corpusCard(s, d)),
     "q_hits"              -> ((s: SparkSession, d: String) => ext.Graph.hits(s, d)),
-    "q_pagerank_converge" -> ((s: SparkSession, d: String) => ext.Graph.pagerankConvergence(s, d))
+    "q_pagerank_converge" -> ((s: SparkSession, d: String) => ext.Graph.pagerankConvergence(s, d)),
+    "q_random_walks"      -> ((s: SparkSession, d: String) => ext.Graph.randomWalks(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -448,6 +449,28 @@ object SparkEntry {
       "s0 AS MATERIALIZED (SELECT doc_id, CAST(1000000 AS BIGINT) AS auth, CAST(1000000 AS BIGINT) AS hub FROM documents), " +
       s"$rounds " +
       "SELECT doc_id, auth, hub FROM s4 ORDER BY auth DESC, doc_id LIMIT 100"
+  }
+
+  // deterministic random walks: hash-argmin next-hop election, 4
+  // unrolled steps; MIN over md5 strings is order-independent, so no
+  // snapping is needed anywhere
+  private lazy val randomWalksSql = {
+    val stepsSql = (1 to 4).map { k =>
+      val p = s"w${k - 1}"
+      s"c$k AS (SELECT p.start_id, p.walk_seed, e.dst, " +
+        s"md5(concat_ws(':', p.walk_seed, p.start_id, $k, e.src, e.dst)) AS h " +
+        s"FROM $p p JOIN e ON p.node_id = e.src), " +
+        s"b$k AS (SELECT start_id, walk_seed, MIN(h) AS mh FROM c$k GROUP BY start_id, walk_seed), " +
+        s"w$k AS MATERIALIZED (SELECT c.start_id, c.walk_seed, c.dst AS node_id " +
+        s"FROM c$k c JOIN b$k b ON c.start_id = b.start_id AND c.walk_seed = b.walk_seed AND c.h = b.mh)"
+    }.mkString(", ")
+    val rows = (0 to 4).map { k =>
+      s"SELECT start_id, walk_seed, CAST($k AS BIGINT) AS step, node_id FROM w$k"
+    }.mkString(" UNION ALL ")
+    s"$linkGraphCteSql, " +
+      "w0 AS MATERIALIZED (SELECT doc_id AS start_id, CAST(unnest(range(1, 3)) AS BIGINT) AS walk_seed, " +
+      "doc_id AS node_id FROM documents WHERE doc_id % 79 = 0), " +
+      s"$stepsSql $rows ORDER BY start_id, walk_seed, step"
   }
 
   private lazy val pagerankSql = seededRankSql("TRUE", includeSeedCol = false)
@@ -2386,6 +2409,8 @@ object SparkEntry {
     "q_hits" -> hitsSql,
     // rank convergence audit: exact per-iteration movement
     "q_pagerank_converge" -> pagerankConvergeSql,
+    // deterministic random walks (DeepWalk context generation)
+    "q_random_walks" -> randomWalksSql,
     // the corpus card: one scan, one source-keyed aggregate; rates use
     // the exact-integer-ratio snap (floor(x*1e6+0.5)/1e6)
     "q_corpus_card" ->

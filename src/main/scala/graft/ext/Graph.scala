@@ -357,6 +357,62 @@ object Graph {
       .orderBy(col("auth").desc, col("doc_id")).limit(topK)
   }
 
+  /** Deterministic random walks over the link graph — the context
+    * generator of DeepWalk/node2vec (Perozzi et al. KDD 2014): walk
+    * windows become skip-gram training pairs for graph embeddings.
+    * "Random" is an md5 hash-argmin election per step — the corpus-prep
+    * RNG-free discipline ([[Corpus]] content-hash keeps): the next hop
+    * from `cur` is the out-edge minimizing
+    * `md5(seed:start:step:cur:dst)`, so runs, replays and both engines
+    * agree exactly, while distinct (seed, start, step) triples
+    * decorrelate the choices like independent draws.
+    *
+    * Returns (start_id, walk_seed, step, node_id), step 0 = the start
+    * itself; a walk that reaches a node with no out-edges simply ends.
+    *
+    * Scale shape: positions are one row per live walk; each step is one
+    * positions⋈edges keyed join + a (walk)-keyed MIN election + the
+    * equality join-back (the keeper-election idiom), checkpointed per
+    * step. Walk count — not corpus size — bounds the state.
+    */
+  def randomWalks(spark: SparkSession, d: String, steps: Int = 4,
+                  seeds: Int = 2, startEvery: Int = 79): DataFrame =
+    randomWalksDf(Tables.fanOut(Tables.documents(spark, d)), steps, seeds,
+      startEvery)
+
+  def randomWalksDf(docs: DataFrame, steps: Int = 4, seeds: Int = 2,
+                    startEvery: Int = 79): DataFrame = {
+    require(steps >= 1 && seeds >= 1 && startEvery >= 1,
+      s"need steps/seeds/startEvery >= 1, got $steps/$seeds/$startEvery")
+    val edges = linkEdgesDf(docs).localCheckpoint()
+    var pos = docs.select(col("doc_id"))
+      .filter(col("doc_id") % startEvery === 0)
+      .select(col("doc_id").as("start_id"),
+        explode(sequence(lit(1), lit(seeds))).as("seed0"),
+        col("doc_id").as("node_id"))
+      .select(col("start_id"), col("seed0").cast("long").as("walk_seed"),
+        col("node_id"))
+      .localCheckpoint()
+    val acc = scala.collection.mutable.ListBuffer(
+      pos.withColumn("step", lit(0L)))
+    for (k <- 1 to steps) {
+      val cand = pos.join(edges, pos("node_id") === edges("src"))
+        .select(col("start_id"), col("walk_seed"), col("dst"),
+          md5(concat_ws(":", col("walk_seed"), col("start_id"), lit(k),
+            col("src"), col("dst"))).as("h"))
+      val best = cand.groupBy(col("start_id"), col("walk_seed"))
+        .agg(min(col("h")).as("mh"))
+      pos = cand.join(best, Seq("start_id", "walk_seed"))
+        .filter(col("h") === col("mh"))
+        .select(col("start_id"), col("walk_seed"), col("dst").as("node_id"))
+        .localCheckpoint()
+      acc += pos.withColumn("step", lit(k.toLong))
+    }
+    acc.reduce(_ unionByName _)
+      .select(col("start_id"), col("walk_seed"), col("step"), col("node_id"))
+      .orderBy(col("start_id"), col("walk_seed"), col("step"))
+  }
+
   /** Weakly-connected components of the link graph by min-label
     * propagation: every node starts labelled with its own id; each
     * round, a node adopts the smallest label among itself and its

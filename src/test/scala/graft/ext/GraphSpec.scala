@@ -150,6 +150,50 @@ class GraphSpec extends SparkTestBase {
     assert(rows.map(_.getLong(2)).last <= l1.last)
   }
 
+  test("random walks follow real edges, elect the md5-argmin hop, and end at dead ends") {
+    import spark.implicits._
+    val fixture = Seq(
+      0L -> "alpha beta gamma delta", 1L -> "beta gamma epsilon zeta",
+      2L -> "gamma delta alpha beta", 3L -> "zeta eta theta iota",
+      4L -> "iota kappa alpha gamma", 5L -> "kappa lambda mu nu",
+      6L -> "mu nu alpha beta gamma", 7L -> "nu xi omicron pi",
+      8L -> "pi rho alpha delta",     9L -> "solo"
+    ).toDF("doc_id", "text")
+    val edges = Graph.linkEdgesDf(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bySrc = edges.groupBy(_._1)
+    val walks = Graph.randomWalksDf(fixture, steps = 3, seeds = 2, startEvery = 1)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3)))
+    val byWalk = walks.groupBy(_._1).map { case (w, rs) =>
+      w -> rs.sortBy(_._2).map(_._3).toSeq }
+    // every walk starts at its start node and every hop is a real edge,
+    // specifically the md5-argmin one
+    def h(seed: Long, start: Long, step: Int, src: Long, dst: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"$seed:$start:$step:$src:$dst".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    for (((start, seed), path) <- byWalk) {
+      assert(path.head == start)
+      for (i <- 1 until path.length) {
+        val (src, dst) = (path(i - 1), path(i))
+        assert(edges.contains((src, dst)), s"walk used a non-edge $src->$dst")
+        val expected = bySrc(src).minBy(e => h(seed, start, i, src, e._2))._2
+        assert(dst == expected, s"hop $i of ($start,$seed) not the argmin")
+      }
+      // a full walk has steps+1 nodes unless it hit a dead end
+      if (path.length < 4)
+        assert(!bySrc.contains(path.last), "walk ended early without a dead end")
+    }
+    // the dangling solo doc walks only step 0
+    assert(byWalk((9L, 1L)) == Seq(9L) && byWalk((9L, 2L)) == Seq(9L))
+    // and the two seeds actually diverge somewhere
+    assert(byWalk.keys.filter(_._2 == 1L).exists(k =>
+      byWalk.get((k._1, 2L)).exists(_ != byWalk(k))),
+      "both seeds produced identical walks everywhere")
+  }
+
   test("hits matches an exact driver-side replay on the planted graph") {
     import spark.implicits._
     val fixture = Seq(
