@@ -269,6 +269,20 @@ class GraphSpec extends SparkTestBase {
       assert(rows.map(_(0).asInstanceOf[Long]).min == c)
   }
 
+  test("rank loop is broadcast-independent (the at-scale SMJ regime computes identical ranks)") {
+    // locally the doc_id-keyed state joins broadcast; at 1e11 nodes they
+    // are sort-merge joins — the integer exactness claim must not
+    // depend on the join strategy
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val normal = Graph.pagerankDf(docs, 3, 50).collect().map(_.toSeq).toSeq
+    try {
+      spark.conf.set(key, "-1")
+      val smj = Graph.pagerankDf(docs, 3, 50).collect().map(_.toSeq).toSeq
+      assert(smj == normal, "ranks changed under the no-broadcast regime")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("plan shape: no cartesian products; degree query stays within its exchange budget") {
     def plan(q: String): String =
       graft.SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
