@@ -269,7 +269,8 @@ object SparkEntry {
     "q_corpus_card"       -> ((s: SparkSession, d: String) => ext.Corpus.corpusCard(s, d)),
     "q_hits"              -> ((s: SparkSession, d: String) => ext.Graph.hits(s, d)),
     "q_pagerank_converge" -> ((s: SparkSession, d: String) => ext.Graph.pagerankConvergence(s, d)),
-    "q_random_walks"      -> ((s: SparkSession, d: String) => ext.Graph.randomWalks(s, d))
+    "q_random_walks"      -> ((s: SparkSession, d: String) => ext.Graph.randomWalks(s, d)),
+    "q_walk_context_pairs" -> ((s: SparkSession, d: String) => ext.Graph.walkContextPairs(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -454,7 +455,7 @@ object SparkEntry {
   // deterministic random walks: hash-argmin next-hop election, 4
   // unrolled steps; MIN over md5 strings is order-independent, so no
   // snapping is needed anywhere
-  private lazy val randomWalksSql = {
+  private lazy val randomWalksCtesSql = {
     val stepsSql = (1 to 4).map { k =>
       val p = s"w${k - 1}"
       s"c$k AS (SELECT p.start_id, p.walk_seed, e.dst, " +
@@ -464,13 +465,17 @@ object SparkEntry {
         s"w$k AS MATERIALIZED (SELECT c.start_id, c.walk_seed, c.dst AS node_id " +
         s"FROM c$k c JOIN b$k b ON c.start_id = b.start_id AND c.walk_seed = b.walk_seed AND c.h = b.mh)"
     }.mkString(", ")
-    val rows = (0 to 4).map { k =>
-      s"SELECT start_id, walk_seed, CAST($k AS BIGINT) AS step, node_id FROM w$k"
-    }.mkString(" UNION ALL ")
     s"$linkGraphCteSql, " +
       "w0 AS MATERIALIZED (SELECT doc_id AS start_id, CAST(unnest(range(1, 3)) AS BIGINT) AS walk_seed, " +
       "doc_id AS node_id FROM documents WHERE doc_id % 79 = 0), " +
-      s"$stepsSql $rows ORDER BY start_id, walk_seed, step"
+      s"$stepsSql"
+  }
+
+  private lazy val randomWalksSql = {
+    val rows = (0 to 4).map { k =>
+      s"SELECT start_id, walk_seed, CAST($k AS BIGINT) AS step, node_id FROM w$k"
+    }.mkString(" UNION ALL ")
+    s"$randomWalksCtesSql $rows ORDER BY start_id, walk_seed, step"
   }
 
   private lazy val pagerankSql = seededRankSql("TRUE", includeSeedCol = false)
@@ -2411,6 +2416,17 @@ object SparkEntry {
     "q_pagerank_converge" -> pagerankConvergeSql,
     // deterministic random walks (DeepWalk context generation)
     "q_random_walks" -> randomWalksSql,
+    // skip-gram co-occurrence pairs over the walks (window 2)
+    "q_walk_context_pairs" ->
+      (s"${randomWalksCtesSql} " +
+        ", wk AS MATERIALIZED (" +
+        (0 to 4).map { k =>
+          s"SELECT start_id, walk_seed, CAST($k AS BIGINT) AS step, node_id FROM w$k"
+        }.mkString(" UNION ALL ") + ") " +
+        "SELECT a.node_id AS center, b.node_id AS context, CAST(COUNT(*) AS BIGINT) AS n_cooc " +
+        "FROM wk a JOIN wk b ON a.start_id = b.start_id AND a.walk_seed = b.walk_seed " +
+        "WHERE a.step <> b.step AND ABS(a.step - b.step) <= 2 " +
+        "GROUP BY a.node_id, b.node_id ORDER BY center, context"),
     // the corpus card: one scan, one source-keyed aggregate; rates use
     // the exact-integer-ratio snap (floor(x*1e6+0.5)/1e6)
     "q_corpus_card" ->

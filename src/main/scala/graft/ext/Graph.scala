@@ -413,6 +413,36 @@ object Graph {
       .orderBy(col("start_id"), col("walk_seed"), col("step"))
   }
 
+  /** Skip-gram context pairs from the deterministic walks — the actual
+    * training-pair table DeepWalk feeds to word2vec: within each walk,
+    * every ordered (center, context) pair at distance ≤ `window`,
+    * aggregated to co-occurrence counts. One walk self-join keyed on
+    * the walk identity + a (center, context) count — both bounded by
+    * walk volume, not corpus size.
+    */
+  def walkContextPairs(spark: SparkSession, d: String, window: Int = 2,
+                       steps: Int = 4, seeds: Int = 2,
+                       startEvery: Int = 79): DataFrame =
+    walkContextPairsDf(Tables.fanOut(Tables.documents(spark, d)), window,
+      steps, seeds, startEvery)
+
+  def walkContextPairsDf(docs: DataFrame, window: Int = 2, steps: Int = 4,
+                         seeds: Int = 2, startEvery: Int = 79): DataFrame = {
+    require(window >= 1, s"need window >= 1, got $window")
+    val walks = randomWalksDf(docs, steps, seeds, startEvery)
+      .localCheckpoint() // the eager walk loop runs once, not per side
+    val a = walks.select(col("start_id"), col("walk_seed"),
+      col("step").as("step_a"), col("node_id").as("center"))
+    val b = walks.select(col("start_id"), col("walk_seed"),
+      col("step").as("step_b"), col("node_id").as("context"))
+    a.join(b, Seq("start_id", "walk_seed"))
+      .filter(col("step_a") =!= col("step_b") &&
+        abs(col("step_a") - col("step_b")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_cooc"))
+      .orderBy(col("center"), col("context"))
+  }
+
   /** Weakly-connected components of the link graph by min-label
     * propagation: every node starts labelled with its own id; each
     * round, a node adopts the smallest label among itself and its
