@@ -270,7 +270,8 @@ object SparkEntry {
     "q_hits"              -> ((s: SparkSession, d: String) => ext.Graph.hits(s, d)),
     "q_pagerank_converge" -> ((s: SparkSession, d: String) => ext.Graph.pagerankConvergence(s, d)),
     "q_random_walks"      -> ((s: SparkSession, d: String) => ext.Graph.randomWalks(s, d)),
-    "q_walk_context_pairs" -> ((s: SparkSession, d: String) => ext.Graph.walkContextPairs(s, d))
+    "q_walk_context_pairs" -> ((s: SparkSession, d: String) => ext.Graph.walkContextPairs(s, d)),
+    "q_event_transitions" -> (ExtraQueries.eventTransitions _)
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -808,6 +809,16 @@ object SparkEntry {
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey " +
         "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
         "AS cum_spend FROM orders ORDER BY o_custkey, o_orderkey"),
+    // event-type Markov transitions: lag window -> (prev, next) counts,
+    // probability = exact-integer ratio snapped at 6 dp
+    "q_event_transitions" ->
+      ("WITH t AS (SELECT LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, " +
+        "event_type AS next_type FROM events), " +
+        "g AS (SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions " +
+        "FROM t WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type) " +
+        "SELECT prev_type, next_type, n_transitions, " +
+        "floor(CAST(n_transitions AS DOUBLE) / (SUM(n_transitions) OVER (PARTITION BY prev_type)) * 1000000.0 + 0.5) / 1000000.0 AS p_transition " +
+        "FROM g ORDER BY prev_type, next_type"),
     "q_window_lag" ->
       ("SELECT event_id, user_id, ts, event_type, " +
         "LAG(event_id, 1) OVER w AS prev_event_id, LAG(ts, 1) OVER w AS prev_ts " +

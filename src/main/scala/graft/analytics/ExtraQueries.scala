@@ -13,6 +13,33 @@ import graft.extract.{HtmlToMarkdown, TextExtract}
   */
 object ExtraQueries {
 
+  /** User-behavior Markov model: event-type transition counts and
+    * probabilities over each user's time-ordered event stream — the
+    * bigram LM idea applied to the events table (session-modeling /
+    * next-action-prediction features; transition probability snapped
+    * at 6 dp via the exact-integer-ratio pattern). One lag window per
+    * user + one (prev, next) aggregate; the probability denominator
+    * rides a prev-keyed window over the ALREADY-aggregated transition
+    * table (|event types|² rows), so nothing corpus-sized shuffles
+    * twice.
+    */
+  def eventTransitions(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prev_type"))
+    Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p_transition",
+        floor(col("n_transitions").cast("double") /
+          sum(col("n_transitions")).over(wp) * lit(1e6) + lit(0.5)) / lit(1e6))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   /** S3: the reference's declared ad-hoc SQL surface
     * (`spark/visualize.py:27` — which never worked there, §2.12): register
     * the corpus as a temp view and run SQL text against it.
