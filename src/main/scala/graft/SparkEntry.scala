@@ -271,7 +271,8 @@ object SparkEntry {
     "q_pagerank_converge" -> ((s: SparkSession, d: String) => ext.Graph.pagerankConvergence(s, d)),
     "q_random_walks"      -> ((s: SparkSession, d: String) => ext.Graph.randomWalks(s, d)),
     "q_walk_context_pairs" -> ((s: SparkSession, d: String) => ext.Graph.walkContextPairs(s, d)),
-    "q_event_transitions" -> (ExtraQueries.eventTransitions _)
+    "q_event_transitions" -> (ExtraQueries.eventTransitions _),
+    "q_transition_entropy" -> (ExtraQueries.transitionEntropy _)
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -819,6 +820,18 @@ object SparkEntry {
         "SELECT prev_type, next_type, n_transitions, " +
         "floor(CAST(n_transitions AS DOUBLE) / (SUM(n_transitions) OVER (PARTITION BY prev_type)) * 1000000.0 + 0.5) / 1000000.0 AS p_transition " +
         "FROM g ORDER BY prev_type, next_type"),
+    // conditional next-action entropy: micro-nat-snapped -p*ln(p) terms
+    // summed as BIGINTs per source state
+    "q_transition_entropy" ->
+      ("WITH t AS (SELECT LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, " +
+        "event_type AS next_type FROM events), " +
+        "g AS (SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM t WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type), " +
+        "pr AS (SELECT prev_type, n, CAST(n AS DOUBLE) / (SUM(n) OVER (PARTITION BY prev_type)) AS p FROM g), " +
+        "tm AS (SELECT prev_type, n, CAST(floor(-(p * ln(p)) * 1000000.0 + 0.5) AS BIGINT) AS term FROM pr) " +
+        "SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from, CAST(COUNT(*) AS BIGINT) AS n_branches, " +
+        "CAST(SUM(term) AS BIGINT) AS entropy_micronat " +
+        "FROM tm GROUP BY prev_type ORDER BY prev_type"),
     "q_window_lag" ->
       ("SELECT event_id, user_id, ts, event_type, " +
         "LAG(event_id, 1) OVER w AS prev_event_id, LAG(ts, 1) OVER w AS prev_ts " +

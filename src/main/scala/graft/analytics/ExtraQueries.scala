@@ -40,6 +40,34 @@ object ExtraQueries {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** Conditional next-action entropy of the [[eventTransitions]] model,
+    * per source state: H(next | prev) in micro-nats — how predictable a
+    * user's next event is given the current one (the behavior-model
+    * quality audit). Per-branch terms −p·ln(p) are micro-nat snapped
+    * BEFORE the sum (the q_dsir_weights discipline), so the per-state
+    * entropy is an exact BIGINT on both engines.
+    */
+  def transitionEntropy(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prev_type"))
+    Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") / sum(col("n")).over(wp))
+      .withColumn("term",
+        floor(-(col("p") * log(col("p"))) * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("n_from"),
+        count(lit(1)).as("n_branches"),
+        sum(col("term")).as("entropy_micronat"))
+      .orderBy(col("prev_type"))
+  }
+
   /** S3: the reference's declared ad-hoc SQL surface
     * (`spark/visualize.py:27` — which never worked there, §2.12): register
     * the corpus as a temp view and run SQL text against it.
