@@ -138,6 +138,35 @@ class GraphSpec extends SparkTestBase {
     assert(pr.toSeq == tr.toSeq)
   }
 
+  test("edge derivation invariants hold across corpus shapes") {
+    import spark.implicits._
+    // single-token docs (no bigrams), empty strings, duplicate texts,
+    // and a normal mix — the shapes a real crawl hands the deriver
+    val shapes = Seq(
+      Seq(0L -> "one", 1L -> "two", 2L -> "three"),
+      Seq(0L -> "", 1L -> "a b c", 2L -> "a b c", 3L -> "x"),
+      (0L to 19L).map(i => i -> s"w$i common w${i + 1} common tail")
+    )
+    for (docs <- shapes) {
+      val df = docs.toDF("doc_id", "text")
+      val d = docs.length
+      val edges = Graph.linkEdgesDf(df).collect().map(r => (r.getLong(0), r.getLong(1)))
+      // all targets inside the frontier, no self loops, no duplicates
+      assert(edges.forall { case (s, t) => t >= 0 && t < d && s != t },
+        s"edge out of frontier or self-loop: ${edges.toSeq}")
+      assert(edges.distinct.length == edges.length)
+      // derivation is deterministic across partitionings
+      val again = Graph.linkEdgesDf(df.repartition(5)).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(edges.toSet == again.toSet)
+      // degree table covers the whole frontier and balances
+      val deg = Graph.linkGraphDegreesDf(df).collect()
+      assert(deg.length == d)
+      assert(deg.map(_.getLong(1)).sum == edges.length)
+      assert(deg.map(_.getLong(2)).sum == edges.length)
+    }
+  }
+
   test("pagerank convergence audit: movement decays monotonically to near-fixpoint") {
     val rows = Graph.pagerankConvergenceDf(spark, docs, iters = 4).collect()
     assert(rows.length == 4)
