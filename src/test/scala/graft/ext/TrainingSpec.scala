@@ -53,6 +53,28 @@ class TrainingSpec extends SparkTestBase {
     assert(rate > 0.9, s"distilled agreement only $rate")
   }
 
+  test("degenerate corpora: identical texts and a single doc train without NaN") {
+    import spark.implicits._
+    // all-identical docs: every feature has zero variance → the std
+    // guard must hold every standardized column at 0; only the bias can
+    // move and the model predicts the (unanimous) label perfectly
+    val same = Seq.tabulate(3)(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val r1 = Training.trainQualityClassifierDf(spark, same).collect()
+    for (r <- r1; j <- 3 to 7)
+      assert(!r.getDouble(j).isNaN && !r.getDouble(j).isInfinite)
+    for (r <- r1; j <- 4 to 7)
+      assert(r.getDouble(j) == 0.0, s"zero-variance feature weight moved: $r")
+    assert(r1.last.getLong(1) == 3L, "unanimous label not learned")
+    // a single-document corpus must also survive (n = 1 denominators)
+    val one = Seq((0L, "just one document here")).toDF("doc_id", "text")
+    val r2 = Training.trainQualityClassifierDf(spark, one).collect()
+    assert(r2.length == 4)
+    for (r <- r2; j <- 3 to 7)
+      assert(!r.getDouble(j).isNaN && !r.getDouble(j).isInfinite)
+  }
+
   test("qualityModelSink: train-offline/serve-online parity with the batch scorer") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
