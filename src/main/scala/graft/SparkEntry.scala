@@ -362,6 +362,12 @@ object SparkEntry {
       "FROM s CROSS JOIN w4 ORDER BY doc_id"
   }
 
+  // the event-transition lag CTE, shared by q_event_transitions and
+  // q_transition_entropy (one definition, no drift)
+  private lazy val transitionCteSql =
+    "WITH t AS (SELECT LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, " +
+      "event_type AS next_type FROM events)"
+
   // the link-graph chain (nn → t0 → bg → e0 → e → od → ideg), shared
   // by q_link_graph_degrees and q_pagerank so the edge derivation
   // cannot drift between them (the cdcChainSql discipline). Mirrors
@@ -813,8 +819,7 @@ object SparkEntry {
     // event-type Markov transitions: lag window -> (prev, next) counts,
     // probability = exact-integer ratio snapped at 6 dp
     "q_event_transitions" ->
-      ("WITH t AS (SELECT LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, " +
-        "event_type AS next_type FROM events), " +
+      (s"$transitionCteSql, " +
         "g AS (SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions " +
         "FROM t WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type) " +
         "SELECT prev_type, next_type, n_transitions, " +
@@ -823,8 +828,7 @@ object SparkEntry {
     // conditional next-action entropy: micro-nat-snapped -p*ln(p) terms
     // summed as BIGINTs per source state
     "q_transition_entropy" ->
-      ("WITH t AS (SELECT LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, " +
-        "event_type AS next_type FROM events), " +
+      (s"$transitionCteSql, " +
         "g AS (SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n " +
         "FROM t WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type), " +
         "pr AS (SELECT prev_type, n, CAST(n AS DOUBLE) / (SUM(n) OVER (PARTITION BY prev_type)) AS p FROM g), " +

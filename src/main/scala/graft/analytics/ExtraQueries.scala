@@ -24,20 +24,29 @@ object ExtraQueries {
     * twice.
     */
   def eventTransitions(spark: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy(col("prev_type"))
+    transitionCounts(spark, d)
+      .withColumnRenamed("n", "n_transitions")
+      .withColumn("p_transition",
+        floor(col("n_transitions").cast("double") /
+          sum(col("n_transitions")).over(wp) * lit(1e6) + lit(0.5)) / lit(1e6))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** The (prev_type, next_type, n) transition-count table — the shared
+    * core of [[eventTransitions]] and [[transitionEntropy]] (one
+    * definition, no drift; mirrored by the shared t/g oracle CTEs).
+    */
+  private def transitionCounts(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(spark, d)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
-      .agg(count(lit(1)).as("n_transitions"))
-      .withColumn("p_transition",
-        floor(col("n_transitions").cast("double") /
-          sum(col("n_transitions")).over(wp) * lit(1e6) + lit(0.5)) / lit(1e6))
-      .orderBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
   }
 
   /** Conditional next-action entropy of the [[eventTransitions]] model,
@@ -48,16 +57,9 @@ object ExtraQueries {
     * entropy is an exact BIGINT on both engines.
     */
   def transitionEntropy(spark: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy(col("prev_type"))
-    Tables.events(spark, d)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-      .filter(col("prev_type").isNotNull)
-      .groupBy(col("prev_type"), col("event_type").as("next_type"))
-      .agg(count(lit(1)).as("n"))
+    transitionCounts(spark, d)
       .withColumn("p", col("n").cast("double") / sum(col("n")).over(wp))
       .withColumn("term",
         floor(-(col("p") * log(col("p"))) * lit(1e6) + lit(0.5)).cast("long"))

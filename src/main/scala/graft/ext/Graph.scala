@@ -176,9 +176,11 @@ object Graph {
     *             + snap(0.85 · (inflow(v) + s(v) · snap(dang / |S|)))
     * }}}
     */
-  private def rankLoop(docs: DataFrame, seed: Column, iters: Int,
-                       topK: Int): DataFrame = {
-    require(iters >= 1, s"rank loop needs >= 1 iteration, got $iters")
+  /** Checkpointed edges + the seeded initial state — shared by
+    * [[rankLoop]] and [[pagerankConvergenceDf]] so the r0 definition
+    * cannot drift between the ranks and the audit of those ranks.
+    */
+  private def rankInit(docs: DataFrame, seed: Column): (DataFrame, DataFrame) = {
     val edges = linkEdgesDf(docs).localCheckpoint()
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     // the loop is already an eager builder, so the seed count is a
@@ -192,7 +194,7 @@ object Graph {
       "rankLoop: the teleport seed set is empty — no document matches " +
         "the seed predicate, every rank would be 0/0")
     // per-node state: (doc_id, is_seed, out_deg, n_seed, rank_nano)
-    var ranks = docs.select(col("doc_id"),
+    val r0 = docs.select(col("doc_id"),
         when(seed, lit(1L)).otherwise(lit(0L)).as("is_seed"))
       .join(outDeg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("is_seed"),
@@ -201,6 +203,14 @@ object Graph {
         lit(nSeed).as("n_seed"),
         (col("is_seed") * snap(lit(Unit) / lit(nSeed))).as("rank_nano"))
       .localCheckpoint()
+    (edges, r0)
+  }
+
+  private def rankLoop(docs: DataFrame, seed: Column, iters: Int,
+                       topK: Int): DataFrame = {
+    require(iters >= 1, s"rank loop needs >= 1 iteration, got $iters")
+    val (edges, r0) = rankInit(docs, seed)
+    var ranks = r0
 
     for (_ <- 1 to iters)
       // the old checkpoint's blocks are freed by the ContextCleaner once
@@ -256,18 +266,8 @@ object Graph {
   def pagerankConvergenceDf(spark: SparkSession, docs: DataFrame,
                             iters: Int = 4): DataFrame = {
     require(iters >= 1, s"convergence audit needs >= 1 iteration, got $iters")
-    val edges = linkEdgesDf(docs).localCheckpoint()
-    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-    val nTotal = docs.count()
-    require(nTotal > 0, "pagerankConvergence: empty corpus")
-    var ranks = docs.select(col("doc_id"), lit(1L).as("is_seed"))
-      .join(outDeg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("is_seed"),
-        coalesce(col("out_deg"), lit(0L)).as("out_deg"))
-      .select(col("doc_id"), col("is_seed"), col("out_deg"),
-        lit(nTotal).as("n_seed"),
-        (col("is_seed") * snap(lit(Unit) / lit(nTotal))).as("rank_nano"))
-      .localCheckpoint()
+    val (edges, r0) = rankInit(docs, lit(true))
+    var ranks = r0
     val deltas = (1 to iters).map { k =>
       val next = rankStep(ranks, edges).localCheckpoint()
       val d = next.select(col("doc_id"), col("rank_nano").as("r_new"))
@@ -330,7 +330,10 @@ object Graph {
     // re-evaluations outweigh the saved job).
     var hubs = docs.select(col("doc_id"), lit(1000000L).as("hub"))
       .localCheckpoint()
-    var auths = docs.select(col("doc_id"), lit(1000000L).as("auth"))
+    // auths is always computed from the first round's aRaw before any
+    // read (iters >= 1) — only the hub seed participates in the
+    // recurrence
+    var auths: DataFrame = null
     for (_ <- 1 to iters) {
       val aRaw = hubs.select(col("doc_id").as("src"), col("hub"))
         .join(edges, Seq("src"))
@@ -381,7 +384,16 @@ object Graph {
       startEvery)
 
   def randomWalksDf(docs: DataFrame, steps: Int = 4, seeds: Int = 2,
-                    startEvery: Int = 79): DataFrame = {
+                    startEvery: Int = 79): DataFrame =
+    randomWalksUnorderedDf(docs, steps, seeds, startEvery)
+      .orderBy(col("start_id"), col("walk_seed"), col("step"))
+
+  /** The walk table without the presentation sort — for consumers
+    * (the context-pair self-join) whose next operation destroys any
+    * ordering (the minhashCandidatePairsUnordered discipline).
+    */
+  def randomWalksUnorderedDf(docs: DataFrame, steps: Int = 4, seeds: Int = 2,
+                             startEvery: Int = 79): DataFrame = {
     require(steps >= 1 && seeds >= 1 && startEvery >= 1,
       s"need steps/seeds/startEvery >= 1, got $steps/$seeds/$startEvery")
     val edges = linkEdgesDf(docs).localCheckpoint()
@@ -410,7 +422,6 @@ object Graph {
     }
     acc.reduce(_ unionByName _)
       .select(col("start_id"), col("walk_seed"), col("step"), col("node_id"))
-      .orderBy(col("start_id"), col("walk_seed"), col("step"))
   }
 
   /** Skip-gram context pairs from the deterministic walks — the actual
@@ -429,7 +440,7 @@ object Graph {
   def walkContextPairsDf(docs: DataFrame, window: Int = 2, steps: Int = 4,
                          seeds: Int = 2, startEvery: Int = 79): DataFrame = {
     require(window >= 1, s"need window >= 1, got $window")
-    val walks = randomWalksDf(docs, steps, seeds, startEvery)
+    val walks = randomWalksUnorderedDf(docs, steps, seeds, startEvery)
       .localCheckpoint() // the eager walk loop runs once, not per side
     val a = walks.select(col("start_id"), col("walk_seed"),
       col("step").as("step_a"), col("node_id").as("center"))
