@@ -318,7 +318,10 @@ object SparkEntry {
         "s AS MATERIALIZED (SELECT doc_id, (sr - msr) / dsr AS zsr, (pr - mpr) / dpr AS zpr, " +
         "(lt - mlt) / dlt AS zlt, (al - mal) / dal AS zal, y FROM f CROSS JOIN v), " +
         "w0 AS (SELECT 0.0 AS wb, 0.0 AS ws, 0.0 AS wp, 0.0 AS wl, 0.0 AS wa)"
-    val epochs = (1 to 4).map { k =>
+    // epoch count + learning rate interpolated from ext.Training's own
+    // constants — operator and oracle share ONE definition (the shared
+    // CTE-chain discipline applied to constants)
+    val epochs = (1 to ext.Training.Epochs).map { k =>
       s"p$k AS (SELECT zsr, zpr, zlt, zal, y, " +
         "1.0 / (1.0 + exp(-(wb + ws * zsr + wp * zpr + wl * zlt + wa * zal))) AS p " +
         s"FROM s CROSS JOIN w${k - 1}), " +
@@ -330,18 +333,18 @@ object SparkEntry {
         "CAST(SUM(CAST(floor((p - y) * zal * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ga, " +
         "CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS ncorr, " +
         s"CAST(COUNT(*) AS BIGINT) AS n FROM p$k), " +
-        s"w$k AS MATERIALIZED (SELECT w.wb - 2.0 * ((g.gb / 1000000.0) / g.n) AS wb, " +
-        "w.ws - 2.0 * ((g.gs / 1000000.0) / g.n) AS ws, " +
-        "w.wp - 2.0 * ((g.gp / 1000000.0) / g.n) AS wp, " +
-        "w.wl - 2.0 * ((g.gl / 1000000.0) / g.n) AS wl, " +
-        "w.wa - 2.0 * ((g.ga / 1000000.0) / g.n) AS wa, " +
+        s"w$k AS MATERIALIZED (SELECT w.wb - ${ext.Training.Lr} * ((g.gb / 1000000.0) / g.n) AS wb, " +
+        s"w.ws - ${ext.Training.Lr} * ((g.gs / 1000000.0) / g.n) AS ws, " +
+        s"w.wp - ${ext.Training.Lr} * ((g.gp / 1000000.0) / g.n) AS wp, " +
+        s"w.wl - ${ext.Training.Lr} * ((g.gl / 1000000.0) / g.n) AS wl, " +
+        s"w.wa - ${ext.Training.Lr} * ((g.ga / 1000000.0) / g.n) AS wa, " +
         s"g.ncorr AS ncorr, g.n AS n FROM g$k g CROSS JOIN w${k - 1} w)"
     }.mkString(", ")
     s"$header, $epochs"
   }
 
   private lazy val trainClassifierSql = {
-    val rows = (1 to 4).map { k =>
+    val rows = (1 to ext.Training.Epochs).map { k =>
       s"SELECT CAST($k AS BIGINT) AS epoch, ncorr AS n_correct, n, " +
         "round(wb, 6) AS w_bias, round(ws, 6) AS w_sr, round(wp, 6) AS w_pr, " +
         s"round(wl, 6) AS w_lt, round(wa, 6) AS w_al FROM w$k"
@@ -359,7 +362,7 @@ object SparkEntry {
       s"CAST($sig >= 0.5 AS INT) AS model_kept, " +
       "CAST(y = 1.0 AS INT) AS rule_kept, " +
       s"CAST(($sig >= 0.5) = (y = 1.0) AS INT) AS agree " +
-      "FROM s CROSS JOIN w4 ORDER BY doc_id"
+      s"FROM s CROSS JOIN w${ext.Training.Epochs} ORDER BY doc_id"
   }
 
   // the event-transition lag CTE, shared by q_event_transitions and
@@ -393,24 +396,26 @@ object SparkEntry {
   // recurrence to the classic form term by term) and TrustRank
   // (seed = a trusted source) — a single definition, no drift.
   private def seededRankSql(seedCond: String, includeSeedCol: Boolean): String = {
-    val seedOut = if (includeSeedCol) "CAST(r4.s AS BIGINT) AS is_seed, " else ""
+    val rN = s"r${ext.Graph.RankIters}"
+    val seedOut = if (includeSeedCol) s"CAST($rN.s AS BIGINT) AS is_seed, " else ""
     s"${seededRankChainSql(seedCond)} " +
-      s"SELECT r4.doc_id, r4.r AS rank_nano, ${seedOut}r4.out_deg, COALESCE(in_deg, 0) AS in_deg " +
-      "FROM r4 LEFT JOIN ideg ON r4.doc_id = ideg.dst " +
-      "ORDER BY rank_nano DESC, r4.doc_id LIMIT 100"
+      s"SELECT $rN.doc_id, $rN.r AS rank_nano, $seedOut$rN.out_deg, COALESCE(in_deg, 0) AS in_deg " +
+      s"FROM $rN LEFT JOIN ideg ON $rN.doc_id = ideg.dst " +
+      s"ORDER BY rank_nano DESC, $rN.doc_id LIMIT 100"
   }
 
   // the CTE chain alone (nodes → r0..r4), shared by the rank queries and
   // the convergence audit
   private def seededRankChainSql(seedCond: String): String = {
-    val iters = (1 to 4).map { k =>
+    val damp = ext.Graph.Damping
+    val iters = (1 to ext.Graph.RankIters).map { k =>
       val p = s"r${k - 1}"
       s"c$k AS (SELECT dst AS doc_id, CAST(SUM(CAST(floor(CAST(r AS DOUBLE) / out_deg + 0.5) AS BIGINT)) AS BIGINT) AS inflow " +
         s"FROM $p JOIN e ON $p.doc_id = e.src WHERE out_deg > 0 GROUP BY dst), " +
         s"d$k AS (SELECT CAST(COALESCE(SUM(CASE WHEN out_deg = 0 THEN r END), 0) AS BIGINT) AS dang FROM $p), " +
         s"r$k AS MATERIALIZED (SELECT n.doc_id, n.s, n.out_deg, n.ns, " +
-        "n.s * CAST(floor((1.0 - 0.85) * 1000000000.0 / n.ns + 0.5) AS BIGINT) + " +
-        "CAST(floor(0.85 * CAST(COALESCE(inflow, 0) + " +
+        s"n.s * CAST(floor((1.0 - $damp) * 1000000000.0 / n.ns + 0.5) AS BIGINT) + " +
+        s"CAST(floor($damp * CAST(COALESCE(inflow, 0) + " +
         "n.s * CAST(floor(CAST(dang AS DOUBLE) / n.ns + 0.5) AS BIGINT) AS DOUBLE) + 0.5) AS BIGINT) AS r " +
         s"FROM $p n LEFT JOIN c$k ON n.doc_id = c$k.doc_id CROSS JOIN d$k)"
     }.mkString(", ")
@@ -425,7 +430,7 @@ object SparkEntry {
 
   // convergence audit: exact per-iteration L1 / max rank movement
   private lazy val pagerankConvergeSql = {
-    val rows = (1 to 4).map { k =>
+    val rows = (1 to ext.Graph.RankIters).map { k =>
       s"SELECT CAST($k AS BIGINT) AS iter, " +
         s"CAST(SUM(ABS(a.r - b.r)) AS BIGINT) AS l1_delta_nano, " +
         s"CAST(MAX(ABS(a.r - b.r)) AS BIGINT) AS max_delta_nano " +
@@ -438,7 +443,7 @@ object SparkEntry {
   // float op is the per-row max-normalization division, identical on
   // both engines (Graph.hitsDf's exactness note)
   private lazy val hitsSql = {
-    val rounds = (1 to 4).map { k =>
+    val rounds = (1 to ext.Graph.HitsIters).map { k =>
       val p = s"s${k - 1}"
       s"ar$k AS MATERIALIZED (SELECT e.dst AS doc_id, CAST(SUM(s.hub) AS BIGINT) AS a_raw " +
         s"FROM $p s JOIN e ON s.doc_id = e.src GROUP BY e.dst), " +
@@ -457,14 +462,14 @@ object SparkEntry {
     s"$linkGraphCteSql, " +
       "s0 AS MATERIALIZED (SELECT doc_id, CAST(1000000 AS BIGINT) AS auth, CAST(1000000 AS BIGINT) AS hub FROM documents), " +
       s"$rounds " +
-      "SELECT doc_id, auth, hub FROM s4 ORDER BY auth DESC, doc_id LIMIT 100"
+      s"SELECT doc_id, auth, hub FROM s${ext.Graph.HitsIters} ORDER BY auth DESC, doc_id LIMIT 100"
   }
 
   // deterministic random walks: hash-argmin next-hop election, 4
   // unrolled steps; MIN over md5 strings is order-independent, so no
   // snapping is needed anywhere
   private lazy val randomWalksCtesSql = {
-    val stepsSql = (1 to 4).map { k =>
+    val stepsSql = (1 to ext.Graph.WalkSteps).map { k =>
       val p = s"w${k - 1}"
       s"c$k AS (SELECT p.start_id, p.walk_seed, e.dst, " +
         s"md5(concat_ws(':', p.walk_seed, p.start_id, $k, e.src, e.dst)) AS h " +
@@ -474,13 +479,13 @@ object SparkEntry {
         s"FROM c$k c JOIN b$k b ON c.start_id = b.start_id AND c.walk_seed = b.walk_seed AND c.h = b.mh)"
     }.mkString(", ")
     s"$linkGraphCteSql, " +
-      "w0 AS MATERIALIZED (SELECT doc_id AS start_id, CAST(unnest(range(1, 3)) AS BIGINT) AS walk_seed, " +
-      "doc_id AS node_id FROM documents WHERE doc_id % 79 = 0), " +
+      s"w0 AS MATERIALIZED (SELECT doc_id AS start_id, CAST(unnest(range(1, ${ext.Graph.WalkSeeds + 1})) AS BIGINT) AS walk_seed, " +
+      s"doc_id AS node_id FROM documents WHERE doc_id % ${ext.Graph.WalkStartEvery} = 0), " +
       s"$stepsSql"
   }
 
   private lazy val randomWalksSql = {
-    val rows = (0 to 4).map { k =>
+    val rows = (0 to ext.Graph.WalkSteps).map { k =>
       s"SELECT start_id, walk_seed, CAST($k AS BIGINT) AS step, node_id FROM w$k"
     }.mkString(" UNION ALL ")
     s"$randomWalksCtesSql $rows ORDER BY start_id, walk_seed, step"
@@ -493,7 +498,8 @@ object SparkEntry {
   // rounds over the undirected edge set — pure integer MIN, no
   // snapping needed (order-independent by algebra)
   private lazy val linkComponentsSql = {
-    val roundsSql = (1 to 8).map { k =>
+    val lN = s"l${ext.Graph.ComponentRounds}"
+    val roundsSql = (1 to ext.Graph.ComponentRounds).map { k =>
       val p = s"l${k - 1}"
       s"nm$k AS (SELECT e.dst AS doc_id, MIN(l.component) AS nbr_min " +
         s"FROM $p l JOIN und e ON l.doc_id = e.src GROUP BY e.dst), " +
@@ -505,9 +511,9 @@ object SparkEntry {
       "(SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)), " +
       "l0 AS MATERIALIZED (SELECT doc_id, doc_id AS component FROM documents), " +
       s"$roundsSql, " +
-      "sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS component_size FROM l8 GROUP BY component) " +
-      "SELECT l8.doc_id, l8.component, sz.component_size " +
-      "FROM l8 JOIN sz ON l8.component = sz.component ORDER BY l8.doc_id"
+      s"sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS component_size FROM $lN GROUP BY component) " +
+      s"SELECT $lN.doc_id, $lN.component, sz.component_size " +
+      s"FROM $lN JOIN sz ON $lN.component = sz.component ORDER BY $lN.doc_id"
   }
 
   // the 8-bit Morton interleave as explicit shift/mask arithmetic —
@@ -2448,12 +2454,12 @@ object SparkEntry {
     "q_walk_context_pairs" ->
       (s"${randomWalksCtesSql} " +
         ", wk AS MATERIALIZED (" +
-        (0 to 4).map { k =>
+        (0 to ext.Graph.WalkSteps).map { k =>
           s"SELECT start_id, walk_seed, CAST($k AS BIGINT) AS step, node_id FROM w$k"
         }.mkString(" UNION ALL ") + ") " +
         "SELECT a.node_id AS center, b.node_id AS context, CAST(COUNT(*) AS BIGINT) AS n_cooc " +
         "FROM wk a JOIN wk b ON a.start_id = b.start_id AND a.walk_seed = b.walk_seed " +
-        "WHERE a.step <> b.step AND ABS(a.step - b.step) <= 2 " +
+        s"WHERE a.step <> b.step AND ABS(a.step - b.step) <= ${ext.Graph.WalkWindow} " +
         "GROUP BY a.node_id, b.node_id ORDER BY center, context"),
     // the corpus card: one scan, one source-keyed aggregate; rates use
     // the exact-integer-ratio snap (floor(x*1e6+0.5)/1e6)

@@ -57,8 +57,23 @@ import graft.Tables
   */
 object Graph {
 
-  /** Damping factor — the standard 0.85 (Page et al. 1999). */
-  private val Damping = 0.85
+  /** Damping factor — the standard 0.85 (Page et al. 1999). Exposed to
+    * the package so [[graft.SparkEntry]]'s oracle SQL builders
+    * interpolate THIS value — operator and oracle share one definition
+    * and cannot drift (the shared-CTE discipline applied to constants).
+    */
+  private[graft] val Damping = 0.85
+
+  /** Default iteration/parameter constants, shared with the oracle SQL
+    * builders for the same one-definition reason.
+    */
+  private[graft] val RankIters = 4
+  private[graft] val HitsIters = 4
+  private[graft] val WalkSteps = 4
+  private[graft] val WalkSeeds = 2
+  private[graft] val WalkStartEvery = 79
+  private[graft] val WalkWindow = 2
+  private[graft] val ComponentRounds = 8
 
   /** Rank is carried in integer NANO-rank units: sum(rank) ≈ 1e9. */
   private val Unit = 1e9
@@ -136,7 +151,7 @@ object Graph {
     *             + snap(0.85 * (inflow(v) + snap(dang / D)))
     * }}}
     */
-  def pagerank(spark: SparkSession, d: String, iters: Int = 4,
+  def pagerank(spark: SparkSession, d: String, iters: Int = RankIters,
                topK: Int = 100): DataFrame =
     pagerankDf(Tables.fanOut(Tables.documents(spark, d)), iters, topK)
 
@@ -144,7 +159,7 @@ object Graph {
     * teleport set (|S| = D reduces the seeded recurrence to the
     * classic one term for term).
     */
-  def pagerankDf(docs: DataFrame, iters: Int = 4, topK: Int = 100): DataFrame =
+  def pagerankDf(docs: DataFrame, iters: Int = RankIters, topK: Int = 100): DataFrame =
     rankLoop(docs, lit(true), iters, topK)
       .select(col("doc_id"), col("rank_nano"), col("out_deg"), col("in_deg"))
 
@@ -156,12 +171,12 @@ object Graph {
     * The registered query seeds the 'src0' source (a vetted
     * domain's pages).
     */
-  def trustrank(spark: SparkSession, d: String, iters: Int = 4,
+  def trustrank(spark: SparkSession, d: String, iters: Int = RankIters,
                 topK: Int = 100): DataFrame =
     trustrankDf(Tables.fanOut(Tables.documents(spark, d)),
       col("source") === lit("src0"), iters, topK)
 
-  def trustrankDf(docs: DataFrame, seed: Column, iters: Int = 4,
+  def trustrankDf(docs: DataFrame, seed: Column, iters: Int = RankIters,
                   topK: Int = 100): DataFrame =
     rankLoop(docs, seed, iters, topK)
 
@@ -260,11 +275,11 @@ object Graph {
     * hub-skewed fixture (GraphSpec asserts monotone decay).
     */
   def pagerankConvergence(spark: SparkSession, d: String,
-                          iters: Int = 4): DataFrame =
+                          iters: Int = RankIters): DataFrame =
     pagerankConvergenceDf(spark, Tables.fanOut(Tables.documents(spark, d)), iters)
 
   def pagerankConvergenceDf(spark: SparkSession, docs: DataFrame,
-                            iters: Int = 4): DataFrame = {
+                            iters: Int = RankIters): DataFrame = {
     require(iters >= 1, s"convergence audit needs >= 1 iteration, got $iters")
     val (edges, r0) = rankInit(docs, lit(true))
     var ranks = r0
@@ -308,11 +323,11 @@ object Graph {
     * jobs for 4 rounds on a 5000-node graph); at 100 TB the two keyed
     * joins per round dominate, which is the right asymptote.
     */
-  def hits(spark: SparkSession, d: String, iters: Int = 4,
+  def hits(spark: SparkSession, d: String, iters: Int = HitsIters,
            topK: Int = 100): DataFrame =
     hitsDf(Tables.fanOut(Tables.documents(spark, d)), iters, topK)
 
-  def hitsDf(docs: DataFrame, iters: Int = 4, topK: Int = 100): DataFrame = {
+  def hitsDf(docs: DataFrame, iters: Int = HitsIters, topK: Int = 100): DataFrame = {
     require(iters >= 1, s"hits needs >= 1 iteration, got $iters")
     val edges = linkEdgesDf(docs).localCheckpoint()
 
@@ -378,13 +393,13 @@ object Graph {
     * equality join-back (the keeper-election idiom), checkpointed per
     * step. Walk count — not corpus size — bounds the state.
     */
-  def randomWalks(spark: SparkSession, d: String, steps: Int = 4,
-                  seeds: Int = 2, startEvery: Int = 79): DataFrame =
+  def randomWalks(spark: SparkSession, d: String, steps: Int = WalkSteps,
+                  seeds: Int = WalkSeeds, startEvery: Int = WalkStartEvery): DataFrame =
     randomWalksDf(Tables.fanOut(Tables.documents(spark, d)), steps, seeds,
       startEvery)
 
-  def randomWalksDf(docs: DataFrame, steps: Int = 4, seeds: Int = 2,
-                    startEvery: Int = 79): DataFrame =
+  def randomWalksDf(docs: DataFrame, steps: Int = WalkSteps, seeds: Int = WalkSeeds,
+                    startEvery: Int = WalkStartEvery): DataFrame =
     randomWalksUnorderedDf(docs, steps, seeds, startEvery)
       .orderBy(col("start_id"), col("walk_seed"), col("step"))
 
@@ -392,8 +407,8 @@ object Graph {
     * (the context-pair self-join) whose next operation destroys any
     * ordering (the minhashCandidatePairsUnordered discipline).
     */
-  def randomWalksUnorderedDf(docs: DataFrame, steps: Int = 4, seeds: Int = 2,
-                             startEvery: Int = 79): DataFrame = {
+  def randomWalksUnorderedDf(docs: DataFrame, steps: Int = WalkSteps, seeds: Int = WalkSeeds,
+                             startEvery: Int = WalkStartEvery): DataFrame = {
     require(steps >= 1 && seeds >= 1 && startEvery >= 1,
       s"need steps/seeds/startEvery >= 1, got $steps/$seeds/$startEvery")
     val edges = linkEdgesDf(docs).localCheckpoint()
@@ -408,10 +423,16 @@ object Graph {
     val acc = scala.collection.mutable.ListBuffer(
       pos.withColumn("step", lit(0L)))
     for (k <- 1 to steps) {
+      // checkpointed: cand feeds BOTH the argmin groupBy and the
+      // equality join-back — without the checkpoint each step pays the
+      // pos⋈edges keyed join twice unless AQE happens to reuse the
+      // exchange (single evaluation must be structural, the
+      // smoothedStatTable lesson)
       val cand = pos.join(edges, pos("node_id") === edges("src"))
         .select(col("start_id"), col("walk_seed"), col("dst"),
           md5(concat_ws(":", col("walk_seed"), col("start_id"), lit(k),
             col("src"), col("dst"))).as("h"))
+        .localCheckpoint()
       val best = cand.groupBy(col("start_id"), col("walk_seed"))
         .agg(min(col("h")).as("mh"))
       pos = cand.join(best, Seq("start_id", "walk_seed"))
@@ -431,14 +452,14 @@ object Graph {
     * the walk identity + a (center, context) count — both bounded by
     * walk volume, not corpus size.
     */
-  def walkContextPairs(spark: SparkSession, d: String, window: Int = 2,
-                       steps: Int = 4, seeds: Int = 2,
-                       startEvery: Int = 79): DataFrame =
+  def walkContextPairs(spark: SparkSession, d: String, window: Int = WalkWindow,
+                       steps: Int = WalkSteps, seeds: Int = WalkSeeds,
+                       startEvery: Int = WalkStartEvery): DataFrame =
     walkContextPairsDf(Tables.fanOut(Tables.documents(spark, d)), window,
       steps, seeds, startEvery)
 
-  def walkContextPairsDf(docs: DataFrame, window: Int = 2, steps: Int = 4,
-                         seeds: Int = 2, startEvery: Int = 79): DataFrame = {
+  def walkContextPairsDf(docs: DataFrame, window: Int = WalkWindow, steps: Int = WalkSteps,
+                         seeds: Int = WalkSeeds, startEvery: Int = WalkStartEvery): DataFrame = {
     require(window >= 1, s"need window >= 1, got $window")
     val walks = randomWalksUnorderedDf(docs, steps, seeds, startEvery)
       .localCheckpoint() // the eager walk loop runs once, not per side
@@ -477,10 +498,10 @@ object Graph {
     * hub structure keeps real eccentricities tiny (GraphSpec asserts
     * one extra round is a fixpoint at fixture scale).
     */
-  def linkComponents(spark: SparkSession, d: String, rounds: Int = 8): DataFrame =
+  def linkComponents(spark: SparkSession, d: String, rounds: Int = ComponentRounds): DataFrame =
     linkComponentsDf(Tables.fanOut(Tables.documents(spark, d)), rounds)
 
-  def linkComponentsDf(docs: DataFrame, rounds: Int = 8): DataFrame = {
+  def linkComponentsDf(docs: DataFrame, rounds: Int = ComponentRounds): DataFrame = {
     require(rounds >= 1, s"linkComponents needs >= 1 round, got $rounds")
     // checkpoint before the two-branch union: the corpus-sized edge
     // derivation must not ride into both branches (the rankLoop/hitsDf

@@ -38,8 +38,12 @@ import graft.Tables
   */
 object Training {
 
-  private val Lr = 2.0
-  private val Epochs = 4
+  /** Learning rate / epoch count — `private[graft]` so the oracle SQL
+    * builders in [[graft.SparkEntry]] interpolate THESE values; a
+    * changed default cannot silently diverge the oracle.
+    */
+  private[graft] val Lr = 2.0
+  private[graft] val Epochs = 4
 
   /** Σ floor(c · 1e6 + 0.5) as BIGINT — the micro-snap aggregate. */
   private def snapSum(c: Column): Column =
@@ -139,13 +143,28 @@ object Training {
     * narrow per-row map (features + standardization + sigmoid in one
     * projection; no shuffle, no aggregate). The production inference
     * shape shared by [[qualityModelSink]].
+    *
+    * Every input doc_id gets a verdict row: docs the feature kernel
+    * cannot score (null/empty text — excluded by [[rawFeatures]]) come
+    * back as kept=0 with a NULL model_score, so a sink consumer can
+    * distinguish "model rejected" (kept=0, score present) from "never
+    * scorable" (kept=0, score NULL) — without this, empty-text
+    * micro-batch docs silently vanished from the scored sink.
     */
   def scoreWith(docs: DataFrame, m: QualityModel,
                 threshold: Double = 0.5): DataFrame = {
     val p = sigmoid(m.weights)
-    standardize(rawFeatures(docs), m)
+    val scored = standardize(rawFeatures(docs), m)
       .select(col("doc_id"), round(p, 6).as("model_score"),
         (p >= lit(threshold)).cast("int").as("kept"))
+    // two narrow filters + union, NOT a doc_id join-back: the input is
+    // scanned twice but nothing shuffles, so the sink's per-batch score
+    // stays a map-only plan
+    val unscorable = docs
+      .filter(col("text").isNull || length(col("text")) === 0)
+      .select(col("doc_id"), lit(null).cast("double").as("model_score"),
+        lit(0).as("kept"))
+    scored.unionByName(unscorable)
   }
 
   /** Streaming model-based quality filter: the model is trained ONCE on

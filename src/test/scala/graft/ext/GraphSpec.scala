@@ -12,6 +12,22 @@ class GraphSpec extends SparkTestBase {
 
   private def docs = graft.Tables.documents(spark, sfDir)
 
+  /** The ONE planted 10-doc graph every replay test runs on: hub-linked
+    * alpha/beta/gamma corpus plus doc 9 ("solo", a single token — no
+    * bigrams, no out-edges, the dangling node). Shared so the ground
+    * truth cannot drift between the five tests that replay it.
+    */
+  private def plantedDocs = {
+    import spark.implicits._
+    Seq(
+      0L -> "alpha beta gamma delta", 1L -> "beta gamma epsilon zeta",
+      2L -> "gamma delta alpha beta", 3L -> "zeta eta theta iota",
+      4L -> "iota kappa alpha gamma", 5L -> "kappa lambda mu nu",
+      6L -> "mu nu alpha beta gamma", 7L -> "nu xi omicron pi",
+      8L -> "pi rho alpha delta",     9L -> "solo"
+    ).toDF("doc_id", "text")
+  }
+
   test("doc_id frontier is contiguous [0, D) — the md5-mod edge targets rely on it") {
     val r = docs.agg(count(lit(1)).as("n"), min(col("doc_id")).as("mn"),
       max(col("doc_id")).as("mx"),
@@ -24,13 +40,7 @@ class GraphSpec extends SparkTestBase {
   test("pagerank matches an exact driver-side replay on a planted graph with a dangling node") {
     import spark.implicits._
     // doc 9 is a single token: no bigrams → no out-edges → dangling
-    val fixture = Seq(
-      0L -> "alpha beta gamma delta", 1L -> "beta gamma epsilon zeta",
-      2L -> "gamma delta alpha beta", 3L -> "zeta eta theta iota",
-      4L -> "iota kappa alpha gamma", 5L -> "kappa lambda mu nu",
-      6L -> "mu nu alpha beta gamma", 7L -> "nu xi omicron pi",
-      8L -> "pi rho alpha delta",     9L -> "solo"
-    ).toDF("doc_id", "text")
+    val fixture = plantedDocs
     val d = fixture.count()
     val edges = Graph.linkEdgesDf(fixture).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -92,13 +102,7 @@ class GraphSpec extends SparkTestBase {
 
   test("trustrank matches an exact driver-side replay (seeded teleport + dangling-to-seeds)") {
     import spark.implicits._
-    val fixture = Seq(
-      0L -> "alpha beta gamma delta", 1L -> "beta gamma epsilon zeta",
-      2L -> "gamma delta alpha beta", 3L -> "zeta eta theta iota",
-      4L -> "iota kappa alpha gamma", 5L -> "kappa lambda mu nu",
-      6L -> "mu nu alpha beta gamma", 7L -> "nu xi omicron pi",
-      8L -> "pi rho alpha delta",     9L -> "solo"
-    ).toDF("doc_id", "text")
+    val fixture = plantedDocs
     val seeds = (0L to 9L).filter(_ % 2 == 0).toSet // doc 9 (dangling) is NOT a seed
     val edges = Graph.linkEdgesDf(fixture).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -181,13 +185,7 @@ class GraphSpec extends SparkTestBase {
 
   test("random walks follow real edges, elect the md5-argmin hop, and end at dead ends") {
     import spark.implicits._
-    val fixture = Seq(
-      0L -> "alpha beta gamma delta", 1L -> "beta gamma epsilon zeta",
-      2L -> "gamma delta alpha beta", 3L -> "zeta eta theta iota",
-      4L -> "iota kappa alpha gamma", 5L -> "kappa lambda mu nu",
-      6L -> "mu nu alpha beta gamma", 7L -> "nu xi omicron pi",
-      8L -> "pi rho alpha delta",     9L -> "solo"
-    ).toDF("doc_id", "text")
+    val fixture = plantedDocs
     val edges = Graph.linkEdgesDf(fixture).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val bySrc = edges.groupBy(_._1)
@@ -225,13 +223,7 @@ class GraphSpec extends SparkTestBase {
 
   test("hits matches an exact driver-side replay on the planted graph") {
     import spark.implicits._
-    val fixture = Seq(
-      0L -> "alpha beta gamma delta", 1L -> "beta gamma epsilon zeta",
-      2L -> "gamma delta alpha beta", 3L -> "zeta eta theta iota",
-      4L -> "iota kappa alpha gamma", 5L -> "kappa lambda mu nu",
-      6L -> "mu nu alpha beta gamma", 7L -> "nu xi omicron pi",
-      8L -> "pi rho alpha delta",     9L -> "solo"
-    ).toDF("doc_id", "text")
+    val fixture = plantedDocs
     val edges = Graph.linkEdgesDf(fixture).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     def snap(x: Double): Long = math.floor(x + 0.5).toLong
@@ -260,13 +252,7 @@ class GraphSpec extends SparkTestBase {
 
   test("linkComponents matches a driver-side union-find on the planted graph") {
     import spark.implicits._
-    val fixture = Seq(
-      0L -> "alpha beta gamma delta", 1L -> "beta gamma epsilon zeta",
-      2L -> "gamma delta alpha beta", 3L -> "zeta eta theta iota",
-      4L -> "iota kappa alpha gamma", 5L -> "kappa lambda mu nu",
-      6L -> "mu nu alpha beta gamma", 7L -> "nu xi omicron pi",
-      8L -> "pi rho alpha delta",     9L -> "solo"
-    ).toDF("doc_id", "text")
+    val fixture = plantedDocs
     val edges = Graph.linkEdgesDf(fixture).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     // driver-side union-find ground truth
