@@ -516,6 +516,78 @@ object SparkEntry {
       s"FROM $lN JOIN sz ON $lN.component = sz.component ORDER BY $lN.doc_id"
   }
 
+
+  // ------------------------------------------------------------------
+  // MinHash near-dup family — fully oracle-checkable since the
+  // signature kernel moved to the md5-prefix universal-hash family
+  // (ext.Dedup.minhashSigUdf): every coefficient below interpolates
+  // from ext.Dedup's OWN constants, so operator and oracle share one
+  // definition. The oracle joins band buckets on the band's VALUE
+  // slice; the Spark side keys the same buckets by xxhash64 of that
+  // slice — injective up to 2^-64 collisions (the documented
+  // decontamination bound), so the emitted pair sets are identical.
+
+  /** Signature + banding chain: msig = 32-plane signatures over
+    * 3-shingles, mbk = 8 banded rows per doc keyed by the value slice.
+    */
+  private lazy val minhashCtesSql: String = {
+    val mins = (0 until 32).map(s =>
+      s"MIN((${ext.Dedup.MinhashA(s)} * h + ${ext.Dedup.MinhashB(s)}) % ${ext.Dedup.MinhashPrime})")
+      .mkString(", ")
+    s"mt AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
+      "msh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1), " +
+      "i -> array_to_string(t[i:i+2], ' '))) AS sh FROM mt), " +
+      "mhh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h FROM msh), " +
+      s"msig AS MATERIALIZED (SELECT doc_id, [$mins] AS sig FROM mhh GROUP BY doc_id), " +
+      "mbk AS MATERIALIZED (SELECT doc_id, sig, band, " +
+      "array_to_string(sig[band*4+1:band*4+4], ',') AS bk " +
+      "FROM (SELECT doc_id, sig, unnest(range(0, 8)) AS band FROM msig))"
+  }
+
+  /** Signature-agreement fraction of two sig arrays bound as sa/sb. */
+  private val minhashEstSql =
+    "CAST(len(list_filter(range(1, 33), i -> sa[i] = sb[i])) AS DOUBLE) / 32"
+
+  /** All-pairs candidate CTE (id_a < id_b, distinct, est_jaccard). */
+  private lazy val minhashPairsCteSql: String =
+    s"$minhashCtesSql, " +
+      s"mpr AS MATERIALIZED (SELECT DISTINCT id_a, id_b, $minhashEstSql AS est_jaccard " +
+      "FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb " +
+      "FROM mbk a JOIN mbk b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id))"
+
+  /** The ext.Dedup.dedupClusters min-label propagation unrolled over a
+    * pair CTE: symmetric edge list, then ClusterMaxIter exact-integer
+    * MIN rounds (the q_link_components discipline). Parity holds
+    * UNCONDITIONALLY: both engines run the identical recurrence, the
+    * Spark side's fixpoint early-exit only skips identity rounds, and
+    * if propagation hasn't converged by the cap both have run exactly
+    * ClusterMaxIter rounds. Emits CTEs `<p>ed`, `<p>l0..<p>lN`.
+    */
+  private def clusterUnrollSql(pairsCte: String, prefix: String): String = {
+    val thr = ext.Dedup.NearDupThreshold
+    val rounds = (1 to ext.Dedup.ClusterMaxIter).map { k =>
+      val pl = s"${prefix}l${k - 1}"
+      s"${prefix}n$k AS (SELECT e.dst AS id, MIN(l.label) AS m FROM $pl l " +
+        s"JOIN ${prefix}ed e ON l.id = e.src GROUP BY e.dst), " +
+        s"${prefix}l$k AS MATERIALIZED (SELECT l.id, " +
+        s"least(l.label, COALESCE(n.m, l.label)) AS label " +
+        s"FROM $pl l LEFT JOIN ${prefix}n$k n ON l.id = n.id)"
+    }.mkString(", ")
+    s"${prefix}ed AS MATERIALIZED (" +
+      s"SELECT id_a AS src, id_b AS dst FROM $pairsCte WHERE est_jaccard >= $thr " +
+      s"UNION ALL SELECT id_b AS src, id_a AS dst FROM $pairsCte WHERE est_jaccard >= $thr), " +
+      s"${prefix}l0 AS MATERIALIZED (SELECT DISTINCT dst AS id, dst AS label FROM ${prefix}ed), " +
+      rounds
+  }
+
+  /** Name of the final label CTE a clusterUnrollSql(_, prefix) emits. */
+  private def clusterFinalCte(prefix: String): String =
+    s"${prefix}l${ext.Dedup.ClusterMaxIter}"
+
+  /** The split rule of Corpus.splitAssignments over a bucket column. */
+  private def splitCaseSql(bucket: String): String =
+    s"CASE WHEN $bucket < 'e6' THEN 'train' WHEN $bucket < 'f3' THEN 'val' ELSE 'test' END"
+
   // the 8-bit Morton interleave as explicit shift/mask arithmetic —
   // generated here so the Spark expression (ZOrder.interleave) and the
   // oracle cannot drift in term count
@@ -1307,6 +1379,99 @@ object SparkEntry {
         "COALESCE(k.base_keeper, arr.doc_id) AS keeper_id, " +
         "k.base_keeper IS NOT NULL AS dup " +
         "FROM arr LEFT JOIN k USING (content_hash) ORDER BY doc_id"),
+    // LSH candidate pairs: the md5-family signature chain replayed in
+    // full; bucket join on band value slices
+    "q_minhash_pairs" ->
+      (s"WITH $minhashPairsCteSql " +
+        "SELECT id_a, id_b, est_jaccard FROM mpr ORDER BY id_a, id_b"),
+    // near-dup clusters: pairs >= threshold -> min-label unroll
+    "q_neardup_clusters" ->
+      (s"WITH $minhashPairsCteSql, ${clusterUnrollSql("mpr", "c")} " +
+        s"SELECT id AS doc_id, label AS canonical_id FROM ${clusterFinalCte("c")} " +
+        "ORDER BY doc_id"),
+    // cluster size distribution over the same unroll
+    "q_cluster_sizes" ->
+      (s"WITH $minhashPairsCteSql, ${clusterUnrollSql("mpr", "c")}, " +
+        "csz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cluster_size " +
+        s"FROM ${clusterFinalCte("c")} GROUP BY label) " +
+        "SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters, " +
+        "CAST(SUM(cluster_size) AS BIGINT) AS n_docs " +
+        "FROM csz GROUP BY cluster_size ORDER BY cluster_size DESC"),
+    // quality-argmax keeper election per cluster: max quality, then
+    // min doc_id on ties — mirrors the (quality, -doc_id) struct max
+    "q_neardup_keepers" ->
+      (s"WITH $minhashPairsCteSql, ${clusterUnrollSql("mpr", "c")}, " +
+        "mfq AS (SELECT doc_id, " +
+        s"CAST(len(list_filter($toks, t -> t IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) " +
+        s"/ len($toks) AS stop_r, " +
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_r, " +
+        s"CAST(len($toks) AS DOUBLE) AS n_tok, " +
+        s"CAST(length(text) AS DOUBLE) / len($toks) AS avg_len " +
+        "FROM documents WHERE length(text) > 0), " +
+        "mq AS (SELECT doc_id, round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * stop_r - 8.0 * punct_r " +
+        "+ 0.9 * ln(n_tok + 1.0) - 0.35 * avg_len))), 6) AS quality FROM mfq), " +
+        s"mem AS MATERIALIZED (SELECT l.label AS cluster, l.id AS doc_id, " +
+        s"COALESCE(q.quality, 0.0) AS quality FROM ${clusterFinalCte("c")} l " +
+        "LEFT JOIN mq q ON l.id = q.doc_id), " +
+        "mk1 AS (SELECT cluster, MAX(quality) AS keeper_quality FROM mem GROUP BY cluster), " +
+        "mk2 AS (SELECT m.cluster, MIN(m.doc_id) AS keeper_id FROM mem m " +
+        "JOIN mk1 k ON m.cluster = k.cluster AND m.quality = k.keeper_quality GROUP BY m.cluster) " +
+        "SELECT m.cluster, m.doc_id, m.quality, mk2.keeper_id, mk1.keeper_quality, " +
+        "(m.doc_id = mk2.keeper_id) AS keep " +
+        "FROM mem m JOIN mk1 ON m.cluster = mk1.cluster JOIN mk2 ON m.cluster = mk2.cluster " +
+        "ORDER BY m.cluster, m.doc_id"),
+    // incremental near-dup: arrival bands (doc_id % 4 = 0) probe base
+    // bands — signatures are per-doc functions, so one shared sig CTE
+    // filtered per side replays both subsets exactly
+    "q_minhash_incremental" ->
+      (s"WITH $minhashCtesSql, " +
+        s"mpi AS (SELECT DISTINCT id_new, id_base, $minhashEstSql AS est_jaccard " +
+        "FROM (SELECT a.doc_id AS id_new, b.doc_id AS id_base, a.sig AS sa, b.sig AS sb " +
+        "FROM mbk a JOIN mbk b ON a.band = b.band AND a.bk = b.bk " +
+        "WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0)) " +
+        "SELECT id_new, id_base, est_jaccard FROM mpi ORDER BY id_new, id_base"),
+    // leakage-safe splits: every doc inherits its cluster canonical's
+    // content-hash split; unclustered docs are their own canonical
+    "q_leakage_safe_splits" ->
+      (s"WITH $minhashPairsCteSql, ${clusterUnrollSql("mpr", "c")}, " +
+        "mcn AS (SELECT d.doc_id, COALESCE(c.label, d.doc_id) AS canonical_id " +
+        s"FROM documents d LEFT JOIN ${clusterFinalCte("c")} c ON d.doc_id = c.id), " +
+        "mcb AS (SELECT doc_id AS canonical_id, substring(md5(text), 1, 2) AS bucket FROM documents) " +
+        s"SELECT mcn.doc_id, mcn.canonical_id, ${splitCaseSql("bucket")} AS split " +
+        "FROM mcn JOIN mcb ON mcn.canonical_id = mcb.canonical_id ORDER BY mcn.doc_id"),
+    // split inheritance: base-only clusters -> base leakage-safe
+    // splits; arrivals anchor to their strongest base near-dup
+    // (max est, min id_base on ties) and inherit its split, fresh
+    // content falls back to the content-hash rule
+    "q_split_inheritance" ->
+      (s"WITH $minhashCtesSql, " +
+        s"bpr AS MATERIALIZED (SELECT DISTINCT id_a, id_b, $minhashEstSql AS est_jaccard " +
+        "FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb " +
+        "FROM mbk a JOIN mbk b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id " +
+        "WHERE a.doc_id % 4 <> 0 AND b.doc_id % 4 <> 0)), " +
+        s"${clusterUnrollSql("bpr", "b")}, " +
+        "bcn AS (SELECT d.doc_id, COALESCE(c.label, d.doc_id) AS canonical_id " +
+        s"FROM documents d LEFT JOIN ${clusterFinalCte("b")} c ON d.doc_id = c.id " +
+        "WHERE d.doc_id % 4 <> 0), " +
+        "bcb AS (SELECT doc_id AS canonical_id, substring(md5(text), 1, 2) AS bucket " +
+        "FROM documents WHERE doc_id % 4 <> 0), " +
+        s"bsp AS MATERIALIZED (SELECT bcn.doc_id, ${splitCaseSql("bucket")} AS split " +
+        "FROM bcn JOIN bcb ON bcn.canonical_id = bcb.canonical_id), " +
+        s"apc AS MATERIALIZED (SELECT DISTINCT id_new, id_base, $minhashEstSql AS est_jaccard " +
+        "FROM (SELECT a.doc_id AS id_new, b.doc_id AS id_base, a.sig AS sa, b.sig AS sb " +
+        "FROM mbk a JOIN mbk b ON a.band = b.band AND a.bk = b.bk " +
+        "WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0)), " +
+        s"ab1 AS (SELECT id_new, MAX(est_jaccard) AS me FROM apc " +
+        s"WHERE est_jaccard >= ${ext.Dedup.NearDupThreshold} GROUP BY id_new), " +
+        "ab2 AS (SELECT a.id_new AS doc_id, MIN(a.id_base) AS anchor_id FROM apc a " +
+        "JOIN ab1 ON a.id_new = ab1.id_new AND a.est_jaccard = ab1.me GROUP BY a.id_new), " +
+        "anc AS (SELECT ab2.doc_id, ab2.anchor_id, bsp.split AS anchor_split " +
+        "FROM ab2 JOIN bsp ON ab2.anchor_id = bsp.doc_id) " +
+        "SELECT d.doc_id, anc.anchor_id IS NOT NULL AS inherited, " +
+        "COALESCE(anc.anchor_id, d.doc_id) AS anchor_id, " +
+        s"COALESCE(anc.anchor_split, ${splitCaseSql("substring(md5(d.text), 1, 2)")}) AS split " +
+        "FROM documents d LEFT JOIN anc ON d.doc_id = anc.doc_id " +
+        "WHERE d.doc_id % 4 = 0 AND d.text IS NOT NULL ORDER BY d.doc_id"),
     "q_ngram_jaccard" ->
       ("WITH g AS (SELECT doc_id, list_distinct(list_transform(" +
         "generate_series(1, greatest(len(" + toks + ") - 2, 1)), " +

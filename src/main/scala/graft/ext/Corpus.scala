@@ -1715,7 +1715,7 @@ object Corpus {
     * table arrives materialized (localCheckpoint leaf).
     */
   def leakageSafeSplits(spark: SparkSession, d: String,
-                        threshold: Double = 0.7): DataFrame =
+                        threshold: Double = Dedup.NearDupThreshold): DataFrame =
     leakageSafeSplitsDf(Tables.documents(spark, d), threshold)
 
   /** DataFrame form (docs must have doc_id + text); see
@@ -1766,7 +1766,7 @@ object Corpus {
     */
   def splitAssignAgainst(docs: DataFrame, index: DataFrame,
                          baseSplits: DataFrame,
-                         threshold: Double = 0.7): DataFrame = {
+                         threshold: Double = Dedup.NearDupThreshold): DataFrame = {
     val best = Dedup.minhashNearDupsAgainst(docs, index)
       .filter(col("est_jaccard") >= threshold)
       .groupBy(col("id_new"))
@@ -1796,7 +1796,7 @@ object Corpus {
     * election over the indexed base.
     */
   def splitInheritance(spark: SparkSession, d: String,
-                       threshold: Double = 0.7): DataFrame = {
+                       threshold: Double = Dedup.NearDupThreshold): DataFrame = {
     val docs = Tables.documents(spark, d)
     val base = docs.filter(col("doc_id") % 4 =!= 0)
     val arrivals = docs.filter(col("doc_id") % 4 === 0)
@@ -1825,7 +1825,7 @@ object Corpus {
     */
   def splitAssignSink(docStream: DataFrame, baseDocs: DataFrame,
                       outPath: String, checkpoint: String,
-                      threshold: Double = 0.7, triggerMs: Long = 10000L)
+                      threshold: Double = Dedup.NearDupThreshold, triggerMs: Long = 10000L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // the index freezes FIRST and the split table derives its candidate
     // pairs from the frozen (cached) table — the base signature kernel

@@ -200,43 +200,110 @@ object Dedup {
                         numHashes: Int = 32): DataFrame =
     minhashSignaturesDf(Tables.documents(spark, d), numHashes)
 
-  /** One-pass signature kernel: per doc, build each 3-shingle once, hash
-    * the shingle string once (seed 42), then derive the `numHashes`
-    * seeded variants as cheap int-mixes — the exact value chain of the
-    * SQL `xxhash64(shingle, seed)` expression (hash(seed, hash(sh, 42))),
-    * so results are bit-identical to the expression form it replaces.
+  /** Prime modulus of the minhash permutation family — largest prime
+    * below 2^29, so `a·h + b` with a,b < P and the 28-bit shingle hash
+    * h stays under 2^58: plain BIGINT arithmetic, overflow-free and
+    * bit-identical in every engine. `private[graft]` because the
+    * DuckDB oracle builders in [[graft.SparkEntry]] interpolate the
+    * SAME constants — operator and oracle share one definition.
+    */
+  private[graft] val MinhashPrime = 536870909L
+
+  /** Per-plane universal-hash coefficients, a_s ∈ [1, P), b_s ∈ [0, P),
+    * derived from md5 of a fixed tag so they are reproducible anywhere
+    * (including inside the oracle SQL, where they appear as literals).
+    */
+  private[graft] val MinhashA: IndexedSeq[Long] =
+    (0 until 64).map(s => md5Tag56(s"graft-minhash-a-$s") % (MinhashPrime - 1) + 1)
+  private[graft] val MinhashB: IndexedSeq[Long] =
+    (0 until 64).map(s => md5Tag56(s"graft-minhash-b-$s") % MinhashPrime)
+
+  /** First 56 bits of md5(tag) as a non-negative long. */
+  private def md5Tag56(tag: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    BigInt(1, d.take(7)).toLong
+  }
+
+  /** Estimated-Jaccard threshold the near-dup cluster/keeper/split
+    * family prunes candidate pairs at, and the propagation-round cap of
+    * [[dedupClusters]] — shared with the oracle builders.
+    */
+  private[graft] val NearDupThreshold = 0.7
+  private[graft] val ClusterMaxIter = 10
+
+  /** One-pass signature kernel: per doc, build each 3-shingle once,
+    * take the 28-bit md5 prefix as the shingle hash h, then derive the
+    * `numHashes` planes as universal hashes `(a_s·h + b_s) mod P` —
+    * the exact value chain of the SQL expression
+    * `conv(substring(md5(sh), 1, 7), 16, 10)` followed by the
+    * multiply-add-mod, so the DuckDB oracle replays the whole
+    * signature bit-for-bit (md5 instead of xxhash64 is what makes the
+    * downstream pair/cluster/keeper/split family FULLY oracle-checkable
+    * — xxhash64 exists only in Spark). 28-bit shingle hashes collide at
+    * ~|shingles|²/2^29 per doc (≪ 1 at ~50 shingles/doc), folding two
+    * shingles into one — harmless to a min-based estimate.
     *
-    * Scale shape: the signature stage is now a NARROW MAP over the scan —
+    * Scale shape: the signature stage is a NARROW MAP over the scan —
     * no explode, no shuffle; the only shuffle left in the dedup pipeline
     * is the band-bucket self-join. (The previous explode+groupBy form
     * shuffled one row per shingle and burned ~9 s of codegen JIT on a
     * 32-aggregate hash-agg plan.)
     */
-  private def minhashSigUdf(numHashes: Int) =
+  private def minhashSigUdf(numHashes: Int) = {
+    require(numHashes <= MinhashA.length,
+      s"minhash supports up to ${MinhashA.length} planes, got $numHashes")
+    val as = MinhashA.take(numHashes).toArray
+    val bs = MinhashB.take(numHashes).toArray
+    val p = MinhashPrime
     udf { toks: scala.collection.Seq[String] =>
-      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-      import org.apache.spark.sql.types.{IntegerType, StringType}
-      import org.apache.spark.unsafe.types.UTF8String
+      // thread-local digest: getInstance per row costs a provider
+      // lookup + allocation; MessageDigest is not thread-safe, so one
+      // per local[] thread, reset implicitly by digest()
+      val md = Dedup.localMd5.get()
       val sigs = Array.fill(numHashes)(Long.MaxValue)
       val n = toks.length
       val m = math.max(n - 2, 1)
+      // each token is UTF-8-encoded ONCE (it appears in up to 3
+      // shingles); the shingle digest streams token bytes + the space
+      // separator straight into the digest — no StringBuilder, no
+      // per-shingle string/byte[] allocation. digest(update stream)
+      // equals digest(concatenated bytes), so the value chain is still
+      // exactly md5 of the space-joined shingle string.
+      val enc = new Array[Array[Byte]](n)
+      var t = 0
+      while (t < n) {
+        enc(t) = toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        t += 1
+      }
       var i = 0
       while (i < m) {
         val end = math.min(i + 3, n)
-        val sb = new java.lang.StringBuilder
         var j = i
-        while (j < end) { if (j > i) sb.append(' '); sb.append(toks(j)); j += 1 }
-        val h1 = XxHash64Function.hash(UTF8String.fromString(sb.toString), StringType, 42L)
+        while (j < end) {
+          if (j > i) md.update(' '.toByte)
+          md.update(enc(j))
+          j += 1
+        }
+        val dg = md.digest()
+        // first 7 hex chars of the digest = top 28 bits
+        val h = ((dg(0) & 0xffL) << 20) | ((dg(1) & 0xffL) << 12) |
+          ((dg(2) & 0xffL) << 4) | ((dg(3) & 0xffL) >>> 4)
         var s = 0
         while (s < numHashes) {
-          val h = XxHash64Function.hash(s, IntegerType, h1)
-          if (h < sigs(s)) sigs(s) = h
+          val v = (as(s) * h + bs(s)) % p
+          if (v < sigs(s)) sigs(s) = v
           s += 1
         }
         i += 1
       }
       sigs
     }
+  }
+
+  /** One MD5 digest per executor thread (see [[minhashSigUdf]]). */
+  private val localMd5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   /** DISTINCT xxhash64 values of a doc's word n-shingles, computed in
     * one kernel pass — for consumers that only ever compare shingle
@@ -493,7 +560,7 @@ object Dedup {
     * unpersisted, keeping lineage flat (at very large scale, swap
     * persist for periodic checkpoints).
     */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIter: Int = ClusterMaxIter): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     // persist the edge list: every propagation round joins against it,
     // and without the persist each round would re-run the whole upstream
@@ -587,7 +654,7 @@ object Dedup {
     * doc_id != canonical_id marks a document to drop.
     */
   def nearDupKeepList(spark: SparkSession, d: String,
-                      threshold: Double = 0.7): DataFrame =
+                      threshold: Double = NearDupThreshold): DataFrame =
     dedupClusters(
       minhashCandidatePairsUnordered(Tables.documents(spark, d))
         .filter(col("est_jaccard") >= threshold))
@@ -610,7 +677,7 @@ object Dedup {
     * generation itself.
     */
   def clusterSizes(spark: SparkSession, d: String,
-                   threshold: Double = 0.7): DataFrame =
+                   threshold: Double = NearDupThreshold): DataFrame =
     clusterSizesDf(dedupClusters(
       minhashCandidatePairsUnordered(Tables.documents(spark, d))
         .filter(col("est_jaccard") >= threshold)))
@@ -645,7 +712,7 @@ object Dedup {
     * paragraph-dedup diamond lesson).
     */
   def nearDupQualityKeepers(spark: SparkSession, d: String,
-                            threshold: Double = 0.7): DataFrame = {
+                            threshold: Double = NearDupThreshold): DataFrame = {
     val docs = Tables.documents(spark, d)
     nearDupQualityKeepersDf(
       dedupClusters(minhashCandidatePairsUnordered(docs)
