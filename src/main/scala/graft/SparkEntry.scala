@@ -588,6 +588,69 @@ object SparkEntry {
   private def splitCaseSql(bucket: String): String =
     s"CASE WHEN $bucket < 'e6' THEN 'train' WHEN $bucket < 'f3' THEN 'val' ELSE 'test' END"
 
+  /** The three-way synthetic URL presentation of Cleaning.urlCol (the
+    * CASE branches after an optional override branch; expects an `art`
+    * column in scope).
+    */
+  private val urlCaseBranchesSql =
+    "WHEN doc_id % 3 = 0 THEN 'https://news.example.com' || art || '?a=1&b=2' " +
+      "WHEN doc_id % 3 = 1 THEN 'HTTPS://News.Example.COM:443' || art || '/?b=2&a=1&utm_source=feed#frag' " +
+      "ELSE 'https://news.example.com' || art || '/?a=1&utm_medium=email&b=2' END"
+
+  /** Cleaning.canonicalUrl as CTE steps over a (doc_id, url) CTE named
+    * `src` — emits `<p>1..<p>5`, the last carrying
+    * (doc_id, url, canon_url). ONE definition shared by q_url_dedup
+    * and the cascade/gate oracles so the canonicalization chain cannot
+    * drift between them.
+    */
+  private def canonUrlStepsSql(src: String, p: String): String =
+    s"${p}1 AS (SELECT doc_id, url, " +
+      "regexp_replace(url, '#.*$', '') AS nofrag FROM " + src + "), " +
+      s"${p}2 AS (SELECT doc_id, url, " +
+      "regexp_replace(lower(regexp_extract(nofrag, '^([a-zA-Z]+://[^/?#]+)', 1)), ':(443|80)$', '') AS hostpart, " +
+      "regexp_replace(nofrag, '^[a-zA-Z]+://[^/?#]+', '') AS rem FROM " + s"${p}1), " +
+      s"${p}3 AS (SELECT doc_id, url, hostpart, " +
+      "regexp_replace(regexp_replace(rem, '\\?.*$', ''), '/$', '') AS path, " +
+      "CASE WHEN contains(rem, '?') THEN regexp_replace(rem, '^[^?]*\\?', '') ELSE '' END AS query FROM " + s"${p}2), " +
+      s"${p}4 AS (SELECT doc_id, url, hostpart, path, " +
+      "list_sort(list_filter(string_split(query, '&'), " +
+      "p -> length(p) > 0 AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)='))) AS kept FROM " + s"${p}3), " +
+      s"${p}5 AS (SELECT doc_id, url, hostpart || path || " +
+      "CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS canon_url FROM " + s"${p}4)"
+
+  /** The dedup-cascade / ingest-gate URL synthesis + canonicalization +
+    * base-keeper + arrival-verdict chain (Dedup.cascadeUrls over the
+    * %4 snapshot/delta split) — emits `cuv` with (doc_id, url_dup) for
+    * arrivals. Shared by q_dedup_cascade and q_ingest_gate.
+    */
+  private lazy val cascadeUrlVerdictSql: String =
+    "cu0 AS (SELECT doc_id, '/articles/' || CAST(doc_id // 3 AS VARCHAR) AS art " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "cu AS (SELECT doc_id, CASE WHEN doc_id % 48 = 0 " +
+      "THEN 'https://news.example.com/articles/solo-' || CAST(doc_id AS VARCHAR) " +
+      urlCaseBranchesSql + " AS url FROM cu0), " +
+      canonUrlStepsSql("cu", "uc") + ", " +
+      "cuk AS (SELECT canon_url, MIN(doc_id) AS keeper FROM uc5 WHERE doc_id % 4 <> 0 GROUP BY canon_url), " +
+      "cuv AS (SELECT c.doc_id, (cuk.keeper IS NOT NULL) AS url_dup FROM uc5 c " +
+      "LEFT JOIN cuk ON c.canon_url = cuk.canon_url WHERE c.doc_id % 4 = 0)"
+
+  /** Exact-content arrival verdict over the %4 split — emits `cev`
+    * with (doc_id, exact_dup); shared by the same two oracles.
+    */
+  private lazy val cascadeExactVerdictSql: String =
+    "cek AS (SELECT md5(nfc_normalize(text)) AS ch, MIN(doc_id) AS keeper FROM documents " +
+      "WHERE text IS NOT NULL AND doc_id % 4 <> 0 GROUP BY ch), " +
+      "cev AS (SELECT a.doc_id, (cek.keeper IS NOT NULL) AS exact_dup FROM " +
+      "(SELECT doc_id, md5(nfc_normalize(text)) AS ch FROM documents " +
+      "WHERE text IS NOT NULL AND doc_id % 4 = 0) a LEFT JOIN cek ON a.ch = cek.ch)"
+
+  /** MinHash arrival near-dup id set over the %4 split — emits `cnv`
+    * (doc_id); rides the minhashCtesSql band table.
+    */
+  private lazy val cascadeNearVerdictSql: String =
+    "cnv AS (SELECT DISTINCT a.doc_id FROM mbk a JOIN mbk b " +
+      "ON a.band = b.band AND a.bk = b.bk WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0)"
+
   // the 8-bit Morton interleave as explicit shift/mask arithmetic —
   // generated here so the Spark expression (ZOrder.interleave) and the
   // oracle cannot drift in term count
@@ -1472,6 +1535,57 @@ object SparkEntry {
         s"COALESCE(anc.anchor_split, ${splitCaseSql("substring(md5(d.text), 1, 2)")}) AS split " +
         "FROM documents d LEFT JOIN anc ON d.doc_id = anc.doc_id " +
         "WHERE d.doc_id % 4 = 0 AND d.text IS NOT NULL ORDER BY d.doc_id"),
+    // the dedup cascade audit: the three Against verdicts (URL / exact
+    // / minhash) replayed from their shared chains over the %4 split
+    "q_dedup_cascade" ->
+      (s"WITH $minhashCtesSql, $cascadeUrlVerdictSql, $cascadeExactVerdictSql, " +
+        s"$cascadeNearVerdictSql " +
+        "SELECT d.doc_id, COALESCE(cuv.url_dup, FALSE) AS url_dup, " +
+        "COALESCE(cev.exact_dup, FALSE) AS exact_dup, " +
+        "(cnv.doc_id IS NOT NULL) AS near_dup, " +
+        "CASE WHEN COALESCE(cuv.url_dup, FALSE) THEN 'url_dup' " +
+        "WHEN COALESCE(cev.exact_dup, FALSE) THEN 'exact_dup' " +
+        "WHEN cnv.doc_id IS NOT NULL THEN 'near_dup' ELSE 'clean' END AS verdict " +
+        "FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 0) d " +
+        "LEFT JOIN cuv ON d.doc_id = cuv.doc_id " +
+        "LEFT JOIN cev ON d.doc_id = cev.doc_id " +
+        "LEFT JOIN cnv ON d.doc_id = cnv.doc_id ORDER BY d.doc_id"),
+    // the full ingest gate: cascade verdicts + CDC owned fraction +
+    // the quality gate, one admission bit per arrival
+    "q_ingest_gate" ->
+      (cdcChainSql + ", " +
+        s"$minhashCtesSql, $cascadeUrlVerdictSql, $cascadeExactVerdictSql, " +
+        s"$cascadeNearVerdictSql, " +
+        "gc AS (SELECT doc_id, CAST(p.e - p.s + 1 AS BIGINT) AS n_toks, " +
+        "md5(array_to_string(list_slice(t, p.s, p.e), ' ')) AS chunk_md5 FROM e), " +
+        "gb AS (SELECT DISTINCT chunk_md5 FROM gc WHERE doc_id % 4 <> 0), " +
+        "garr AS (SELECT gc.doc_id, gc.n_toks, (gb.chunk_md5 IS NOT NULL) AS owned " +
+        "FROM gc LEFT JOIN gb ON gc.chunk_md5 = gb.chunk_md5 WHERE gc.doc_id % 4 = 0), " +
+        "gcdc AS (SELECT doc_id, floor(CAST(SUM(CASE WHEN owned THEN n_toks ELSE 0 END) AS DOUBLE) " +
+        "/ CAST(SUM(n_toks) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cdc_owned_frac FROM garr GROUP BY doc_id), " +
+        "gf AS (SELECT doc_id, " +
+        s"CAST(len(list_filter($toks, t -> t IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) " +
+        s"/ len($toks) AS stop_r, " +
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_r, " +
+        s"CAST(len($toks) AS DOUBLE) AS n_tok, " +
+        s"CAST(length(text) AS DOUBLE) / len($toks) AS avg_len " +
+        "FROM documents WHERE length(text) > 0 AND doc_id % 4 = 0), " +
+        "gq AS (SELECT doc_id, round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * stop_r - 8.0 * punct_r " +
+        "+ 0.9 * ln(n_tok + 1.0) - 0.35 * avg_len))), 6) >= 0.5 AS quality_pass FROM gf) " +
+        "SELECT d.doc_id, COALESCE(cuv.url_dup, FALSE) AS url_dup, " +
+        "COALESCE(cev.exact_dup, FALSE) AS exact_dup, " +
+        "(cnv.doc_id IS NOT NULL) AS near_dup, " +
+        "COALESCE(gcdc.cdc_owned_frac, 0.0) AS cdc_owned_frac, " +
+        "COALESCE(gq.quality_pass, FALSE) AS quality_pass, " +
+        "(NOT COALESCE(cuv.url_dup, FALSE) AND NOT COALESCE(cev.exact_dup, FALSE) " +
+        "AND cnv.doc_id IS NULL AND COALESCE(gcdc.cdc_owned_frac, 0.0) < 0.5 " +
+        "AND COALESCE(gq.quality_pass, FALSE)) AS admitted " +
+        "FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 0) d " +
+        "LEFT JOIN cuv ON d.doc_id = cuv.doc_id " +
+        "LEFT JOIN cev ON d.doc_id = cev.doc_id " +
+        "LEFT JOIN cnv ON d.doc_id = cnv.doc_id " +
+        "LEFT JOIN gcdc ON d.doc_id = gcdc.doc_id " +
+        "LEFT JOIN gq ON d.doc_id = gq.doc_id ORDER BY d.doc_id"),
     "q_ngram_jaccard" ->
       ("WITH g AS (SELECT doc_id, list_distinct(list_transform(" +
         "generate_series(1, greatest(len(" + toks + ") - 2, 1)), " +
@@ -1831,27 +1945,12 @@ object SparkEntry {
     "q_url_dedup" ->
       ("WITH u0 AS (SELECT doc_id, '/articles/' || CAST(doc_id // 3 AS VARCHAR) AS art " +
         "FROM documents WHERE text IS NOT NULL), " +
-        "u AS (SELECT doc_id, CASE " +
-        "WHEN doc_id % 3 = 0 THEN 'https://news.example.com' || art || '?a=1&b=2' " +
-        "WHEN doc_id % 3 = 1 THEN 'HTTPS://News.Example.COM:443' || art || '/?b=2&a=1&utm_source=feed#frag' " +
-        "ELSE 'https://news.example.com' || art || '/?a=1&utm_medium=email&b=2' END AS url FROM u0), " +
-        "c AS (SELECT doc_id, url, " +
-        "regexp_replace(url, '#.*$', '') AS nofrag FROM u), " +
-        "c2 AS (SELECT doc_id, url, " +
-        "regexp_replace(lower(regexp_extract(nofrag, '^([a-zA-Z]+://[^/?#]+)', 1)), ':(443|80)$', '') AS hostpart, " +
-        "regexp_replace(nofrag, '^[a-zA-Z]+://[^/?#]+', '') AS rem FROM c), " +
-        "c3 AS (SELECT doc_id, url, hostpart, " +
-        "regexp_replace(regexp_replace(rem, '\\?.*$', ''), '/$', '') AS path, " +
-        "CASE WHEN contains(rem, '?') THEN regexp_replace(rem, '^[^?]*\\?', '') ELSE '' END AS query FROM c2), " +
-        "c4 AS (SELECT doc_id, url, hostpart, path, " +
-        "list_sort(list_filter(string_split(query, '&'), " +
-        "p -> length(p) > 0 AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)='))) AS kept FROM c3), " +
-        "c5 AS (SELECT doc_id, url, hostpart || path || " +
-        "CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS canon_url FROM c4) " +
+        "u AS (SELECT doc_id, CASE " + urlCaseBranchesSql + " AS url FROM u0), " +
+        canonUrlStepsSql("u", "uc") + " " +
         "SELECT doc_id, url, canon_url, " +
         "MIN(doc_id) OVER (PARTITION BY canon_url) AS keeper_id, " +
         "doc_id <> MIN(doc_id) OVER (PARTITION BY canon_url) AS dup " +
-        "FROM c5 ORDER BY doc_id"),
+        "FROM uc5 ORDER BY doc_id"),
     // length-bucketed batching: all-integer bucket math, exact compare
     "q_length_buckets" ->
       (s"WITH t AS (SELECT len($toks) AS n FROM documents WHERE text IS NOT NULL), " +
