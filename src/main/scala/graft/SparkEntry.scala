@@ -1586,6 +1586,23 @@ object SparkEntry {
         "LEFT JOIN cnv ON d.doc_id = cnv.doc_id " +
         "LEFT JOIN gcdc ON d.doc_id = gcdc.doc_id " +
         "LEFT JOIN gq ON d.doc_id = gq.doc_id ORDER BY d.doc_id"),
+    // 60-bit md5-prefix SimHash: 60 conditional-sign sums per doc, 4
+    // pigeonhole chunks of 15 bits, hamming = bit_count(xor) on
+    // strictly positive BIGINTs (the 60-bit choice makes every shift /
+    // popcount identical across engines)
+    "q_simhash_near_dups" ->
+      (s"WITH st AS (SELECT doc_id, unnest($toks) AS tok FROM documents WHERE text IS NOT NULL), " +
+        "sth AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM st), " +
+        "ssig AS MATERIALIZED (SELECT doc_id, " +
+        (0 until ext.Dedup.SimhashBits).map { b =>
+          s"(CASE WHEN SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ") + " AS simhash FROM sth GROUP BY doc_id), " +
+        "sch AS MATERIALIZED (SELECT doc_id, simhash, chunk, (simhash >> (chunk * 15)) & 32767 AS chunk_val " +
+        "FROM (SELECT doc_id, simhash, unnest(range(0, 4)) AS chunk FROM ssig)) " +
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming " +
+        "FROM sch a JOIN sch b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY id_a, id_b"),
     "q_ngram_jaccard" ->
       ("WITH g AS (SELECT doc_id, list_distinct(list_transform(" +
         "generate_series(1, greatest(len(" + toks + ") - 2, 1)), " +

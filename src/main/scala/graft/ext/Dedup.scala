@@ -12,8 +12,8 @@ import graft.Tables
   *  - MinHash+LSH: per-doc signature is a narrow map (no shuffle); banding
   *    explodes to (band, band-hash) keys and self-joins within buckets, so
   *    comparison cost is ~|candidate pairs|, never O(n²).
-  *  - SimHash: 64-bit signature per doc; near-dup = small Hamming distance;
-  *    bucket by 16-bit chunks (pigeonhole: dist ≤ 3 ⇒ some chunk equal).
+  *  - SimHash: 60-bit signature per doc; near-dup = small Hamming distance;
+  *    bucket by 15-bit chunks (pigeonhole: dist ≤ 3 ⇒ some chunk equal).
   *  - n-gram Jaccard: exact verification on candidate pairs only.
   */
 object Dedup {
@@ -744,35 +744,44 @@ object Dedup {
 
   // ------------------------------------------------------------ SimHash
 
-  /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by
-    * token-hash bit; sign → bit.
+  /** 60-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by
+    * token-hash bit; sign → bit. The token hash is the 60-bit md5
+    * prefix (the [[graft.ext.Graph.md5Bucket60]] value chain), so the
+    * signature — and through it the whole near-dup query — replays
+    * exactly in DuckDB: 60 bits instead of 64 keeps every value
+    * strictly positive, sidestepping cross-engine arithmetic-shift /
+    * bit_count-on-negative semantics entirely, at no detection cost (a
+    * fingerprint loses nothing meaningful going 64 → 60 bits).
     *
     * One narrow-map kernel per document — the signature is a pure
     * function of the doc's own tokens, so the previous explode +
     * 64-sum-column groupBy (512 B of agg state and a shuffle keyed by
     * doc_id) was paying for a distribution the problem doesn't have.
-    * (A typed Aggregator with a long[64] buffer would narrow that agg;
-    * removing the aggregation entirely is strictly better.) Values are
-    * bit-identical to the aggregate form: same tokenizer, same
-    * SQL-xxhash64 (seed 42) per token, same sign rule; docs with null
-    * text are dropped exactly as explode dropped them.
+    * Values are bit-identical to the aggregate/SQL expression form:
+    * same tokenizer, same md5 prefix per token, same sign rule; docs
+    * with null text are dropped exactly as explode dropped them.
     */
+  private[graft] val SimhashBits = 60
+
   private val simhashUdf = udf { toks: scala.collection.Seq[String] =>
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    import org.apache.spark.sql.types.StringType
-    import org.apache.spark.unsafe.types.UTF8String
-    val counts = new Array[Int](64)
+    val md = Dedup.localMd5.get()
+    val counts = new Array[Int](60)
     toks.foreach { t =>
-      val h = XxHash64Function.hash(UTF8String.fromString(t), StringType, 42L)
+      val dg = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = top 60 bits of the digest
+      val h = ((dg(0) & 0xffL) << 52) | ((dg(1) & 0xffL) << 44) |
+        ((dg(2) & 0xffL) << 36) | ((dg(3) & 0xffL) << 28) |
+        ((dg(4) & 0xffL) << 20) | ((dg(5) & 0xffL) << 12) |
+        ((dg(6) & 0xffL) << 4) | ((dg(7) & 0xffL) >>> 4)
       var b = 0
-      while (b < 64) {
+      while (b < 60) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
         b += 1
       }
     }
     var sig = 0L
     var b = 0
-    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    while (b < 60) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
     sig
   }
 
@@ -790,11 +799,14 @@ object Dedup {
     */
   def simhashNearDups(spark: SparkSession, d: String, maxDist: Int = 3): DataFrame = {
     val sigs = simhashSignatures(spark, d)
+    // 4 pigeonhole chunks of 15 bits each (60-bit signature): hamming
+    // <= 3 implies at least one chunk is untouched, so the chunk-keyed
+    // bucket join is an EXACT candidate generator for maxDist <= 3
     val chunked = sigs.select(
       col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("chunk")
     ).withColumn("chunk_val",
-      expr("simhash >> (chunk * 16)").bitwiseAND(0xFFFF))
+      expr("simhash >> (chunk * 15)").bitwiseAND(0x7FFF))
     val a = chunked.as("a")
     val b = chunked.as("b")
     val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))

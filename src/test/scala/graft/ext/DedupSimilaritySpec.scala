@@ -216,14 +216,15 @@ class DedupSimilaritySpec extends SparkTestBase {
   test("simhash kernel is bit-identical to the explode+groupBy aggregate form") {
     val df = Seq((0L, base), (1L, base), (2L, unrelated), (3L, ""), (4L, "one"))
       .toDF("doc_id", "text")
-    // reference: per-bit ±1 sums over exploded SQL-xxhash64 token hashes
+    // reference: per-bit ±1 sums over exploded 60-bit md5-prefix token
+    // hashes (the kernel's exact value chain, expression form)
     val toks = df.select($"doc_id", explode(TextAnalysis.tokens($"text")).as("tok"))
-      .select($"doc_id", xxhash64($"tok").as("h"))
-    val bitCols = (0 until 64).map { b =>
+      .select($"doc_id", conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long").as("h"))
+    val bitCols = (0 until Dedup.SimhashBits).map { b =>
       sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
     val agg = toks.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
-    val sig = (0 until 64).map { b =>
+    val sig = (0 until Dedup.SimhashBits).map { b =>
       when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
     val expected = agg.select($"doc_id", sig.as("simhash")).collect()
