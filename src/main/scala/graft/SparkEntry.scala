@@ -580,6 +580,24 @@ object SparkEntry {
       rounds
   }
 
+  /** The exact containment-scoring tail over a candidate CTE carrying
+    * (id_a, id_b): distinct-shingle sets attach per side, then
+    * intersection/containment/jaccard at 6 dp — mirrors
+    * ext.Dedup.containmentScoreTail. Emits the final SELECT (no CTE).
+    */
+  private def containmentTailSql(candCte: String): String =
+    "cts AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(" +
+      "range(1, greatest(len(t) - 2, 1) + 1), i -> array_to_string(t[i:i+2], ' '))) AS sh FROM mt), " +
+      s"ctp AS (SELECT p.id_a, p.id_b, a.sh AS sa, b.sh AS sb FROM $candCte p " +
+      "JOIN cts a ON p.id_a = a.doc_id JOIN cts b ON p.id_b = b.doc_id), " +
+      "ctf AS (SELECT id_a, id_b, " +
+      "round(CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(sa), 6) AS contain_a, " +
+      "round(CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(sb), 6) AS contain_b, " +
+      "round(CAST(len(list_intersect(sa, sb)) AS DOUBLE) / " +
+      "(len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard FROM ctp) " +
+      "SELECT id_a, id_b, contain_a, contain_b, jaccard FROM ctf " +
+      "WHERE contain_a > 0.5 OR contain_b > 0.5 ORDER BY id_a, id_b"
+
   /** Name of the final label CTE a clusterUnrollSql(_, prefix) emits. */
   private def clusterFinalCte(prefix: String): String =
     s"${prefix}l${ext.Dedup.ClusterMaxIter}"
@@ -1603,6 +1621,29 @@ object SparkEntry {
         "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming " +
         "FROM sch a JOIN sch b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY id_a, id_b"),
+    // corpus-wide containment: LSH candidates (the shared pair CTE,
+    // unfiltered) scored by exact shingle-set algebra
+    "q_ngram_containment_corpus" ->
+      (s"WITH $minhashPairsCteSql, " + containmentTailSql("mpr")),
+    // LSH-Ensemble stratified containment: 3 band layouts (rows 4/2/1)
+    // gated by stratum distance; strata are exact integer bit-length
+    // buckets (growth 4 -> floor(log2(len)) div 2)
+    "q_ngram_containment_stratified" ->
+      (s"WITH $minhashCtesSql, " +
+        "sgx AS MATERIALIZED (SELECT s.doc_id, s.sig, " +
+        "CAST((length(format('{:b}', greatest(len(t.t), 1))) - 1) // 2 AS INT) AS stratum " +
+        "FROM msig s JOIN mt t ON s.doc_id = t.doc_id), " +
+        "sly AS MATERIALIZED (SELECT doc_id, stratum, layout, band, " +
+        "array_to_string(sig[band*rows+1:band*rows+rows], ',') AS bk " +
+        "FROM (SELECT doc_id, stratum, sig, ly.layout AS layout, ly.rows AS rows, " +
+        "unnest(range(0, 32 // ly.rows)) AS band " +
+        "FROM sgx CROSS JOIN (VALUES (0, 4), (1, 2), (2, 1)) ly(layout, rows))), " +
+        "scd AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM sly a JOIN sly b ON a.layout = b.layout AND a.band = b.band " +
+        "AND a.bk = b.bk AND a.doc_id < b.doc_id AND " +
+        "(CASE WHEN a.layout = 2 THEN abs(a.stratum - b.stratum) >= 2 " +
+        "ELSE abs(a.stratum - b.stratum) = a.layout END)), " +
+        containmentTailSql("scd")),
     "q_ngram_jaccard" ->
       ("WITH g AS (SELECT doc_id, list_distinct(list_transform(" +
         "generate_series(1, greatest(len(" + toks + ") - 2, 1)), " +

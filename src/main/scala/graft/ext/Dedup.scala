@@ -1022,15 +1022,24 @@ object Dedup {
     val baseRows = numHashes / baseBands
     require(baseRows > 0 && (baseRows & (baseRows - 1)) == 0,
       s"numHashes/baseBands must be a positive power of two, got $baseRows")
-    require(strataGrowth > 1.0, s"strataGrowth must exceed 1, got $strataGrowth")
+    // growth must be a power of two: the stratum is then EXACT integer
+    // arithmetic — floor(log_growth(len)) = floor(log2(len)) div g via
+    // the binary bit length, identical in every engine (an FP
+    // ln(x)/ln(growth) risks a ±1-ulp floor flip at stratum boundaries
+    // len = growth^k, which would silently shift candidate classes
+    // between engines/platforms — and mathematically
+    // floor(log2(x)/g) == floor(floor(log2(x))/g), so nothing changes)
+    val g = java.lang.Long.numberOfTrailingZeros(strataGrowth.toLong)
+    require(strataGrowth > 1.0 && strataGrowth == (1L << g).toDouble,
+      s"strataGrowth must be a power of two > 1, got $strataGrowth")
     // layouts: rows halve per stratum-distance class down to 1
     val nLayouts = java.lang.Integer.numberOfTrailingZeros(baseRows) + 1
     val sigs = Tables.fanOut(docsIn)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"), minhashSigUdf(numHashes)(col("toks")).as("sig"),
-        floor(log(strataGrowth,
-          greatest(size(col("toks")).cast("double"), lit(1.0)))).cast("int")
+        floor((length(bin(greatest(size(col("toks")), lit(1)).cast("long")))
+          - lit(1)).cast("double") / lit(g)).cast("int")
           .as("stratum"))
     // every layout's band keys in ONE generator over one signature pass
     val layouts = (0 until nLayouts).map { dclass =>
