@@ -266,6 +266,11 @@ object SparkEntry {
     "q_distilled_scores"  -> ((s: SparkSession, d: String) => ext.Training.distilledScores(s, d)),
     "q_link_components"   -> ((s: SparkSession, d: String) => ext.Graph.linkComponents(s, d)),
     "q_trustrank"         -> ((s: SparkSession, d: String) => ext.Graph.trustrank(s, d)),
+    // personalized PageRank: the same rank loop seeded by a topic
+    // predicate (English-language pages)
+    "q_ppr_topic"         -> ((s: SparkSession, d: String) => ext.Graph.pprTopic(s, d)),
+    // strongly-connected components: forward/backward min-label peeling
+    "q_link_scc"          -> ((s: SparkSession, d: String) => ext.Graph.linkScc(s, d)),
     "q_corpus_card"       -> ((s: SparkSession, d: String) => ext.Corpus.corpusCard(s, d)),
     "q_hits"              -> ((s: SparkSession, d: String) => ext.Graph.hits(s, d)),
     "q_pagerank_converge" -> ((s: SparkSession, d: String) => ext.Graph.pagerankConvergence(s, d)),
@@ -668,6 +673,56 @@ object SparkEntry {
   private lazy val cascadeNearVerdictSql: String =
     "cnv AS (SELECT DISTINCT a.doc_id FROM mbk a JOIN mbk b " +
       "ON a.band = b.band AND a.bk = b.bk WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0)"
+
+  // strongly-connected components: the nested peel unroll — per peel,
+  // ComponentRounds forward min-label rounds then ComponentRounds
+  // backward root-flow rounds over the still-unassigned subgraph
+  // (ext.Graph.linkSccDf's exact recurrence; Spark's fixpoint
+  // early-exits only skip identity rounds/peels, so parity is
+  // unconditional)
+  private lazy val linkSccSql: String = {
+    val R = ext.Graph.ComponentRounds
+    def peelCtes(p: Int, prevState: String): String = {
+      val pre = s"p$p"
+      val fRounds = (1 to R).map { k =>
+        val prev = s"${pre}f${k - 1}"
+        s"${pre}fn$k AS (SELECT e.dst AS doc_id, MIN(l.flabel) AS m FROM $prev l " +
+          s"JOIN ${pre}e e ON l.doc_id = e.src GROUP BY e.dst), " +
+          s"${pre}f$k AS MATERIALIZED (SELECT l.doc_id, " +
+          s"least(l.flabel, COALESCE(n.m, l.flabel)) AS flabel " +
+          s"FROM $prev l LEFT JOIN ${pre}fn$k n ON l.doc_id = n.doc_id)"
+      }.mkString(", ")
+      val bRounds = (1 to R).map { k =>
+        val prev = s"${pre}b${k - 1}"
+        s"${pre}bp$k AS (SELECT e.src AS doc_id, MIN(b.blabel) AS bm FROM $prev b " +
+          s"JOIN ${pre}e e ON b.doc_id = e.dst WHERE b.blabel IS NOT NULL GROUP BY e.src), " +
+          s"${pre}b$k AS MATERIALIZED (SELECT b.doc_id, b.flabel, " +
+          s"COALESCE(b.blabel, CASE WHEN p.bm = b.flabel THEN p.bm END) AS blabel " +
+          s"FROM $prev b LEFT JOIN ${pre}bp$k p ON b.doc_id = p.doc_id)"
+      }.mkString(", ")
+      s"${pre}u AS (SELECT doc_id FROM $prevState WHERE scc IS NULL), " +
+        s"${pre}e AS MATERIALIZED (SELECT src, dst FROM e " +
+        s"WHERE src IN (SELECT doc_id FROM ${pre}u) AND dst IN (SELECT doc_id FROM ${pre}u)), " +
+        s"${pre}f0 AS MATERIALIZED (SELECT doc_id, doc_id AS flabel FROM ${pre}u), " +
+        fRounds + ", " +
+        s"${pre}b0 AS MATERIALIZED (SELECT doc_id, flabel, " +
+        s"CASE WHEN flabel = doc_id THEN doc_id END AS blabel FROM ${pre}f$R), " +
+        bRounds + ", " +
+        s"${pre}s AS MATERIALIZED (SELECT st.doc_id, COALESCE(st.scc, b.blabel) AS scc " +
+        s"FROM $prevState st LEFT JOIN ${pre}b$R b ON st.doc_id = b.doc_id)"
+    }
+    var state = "s0"
+    val peels = (1 to ext.Graph.SccPeels).map { p =>
+      val c = peelCtes(p, state); state = s"p${p}s"; c
+    }.mkString(", ")
+    s"$linkGraphCteSql, " +
+      "s0 AS (SELECT doc_id, CAST(NULL AS BIGINT) AS scc FROM documents), " +
+      peels + ", " +
+      s"fin AS MATERIALIZED (SELECT doc_id, COALESCE(scc, doc_id) AS scc_id FROM $state), " +
+      "fsz AS (SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size FROM fin GROUP BY scc_id) " +
+      "SELECT fin.doc_id, fin.scc_id, fsz.scc_size FROM fin " +
+      "JOIN fsz ON fin.scc_id = fsz.scc_id ORDER BY fin.doc_id"
+  }
 
   // the 8-bit Morton interleave as explicit shift/mask arithmetic —
   // generated here so the Spark expression (ZOrder.interleave) and the
@@ -2766,6 +2821,10 @@ object SparkEntry {
     "q_link_components" -> linkComponentsSql,
     // TrustRank: the seeded-teleport recurrence, seeds = the vetted source
     "q_trustrank" -> trustrankSql,
+    // personalized PageRank: the seeded-rank chain, topic = English
+    "q_ppr_topic" -> seededRankSql("lang = 'en'", includeSeedCol = true),
+    // strongly-connected components: nested peel unroll
+    "q_link_scc" -> linkSccSql,
     // HITS hubs/authorities: exact integer replay
     "q_hits" -> hitsSql,
     // rank convergence audit: exact per-iteration movement

@@ -326,4 +326,89 @@ class GraphSpec extends SparkTestBase {
     val pKeyed = keyedExchanges(pp)
     assert(pKeyed <= 3, s"pagerank final-frame exchanges regressed ($pKeyed):\n$pp")
   }
+
+  test("personalized pagerank specializes to vanilla pagerank and trustrank") {
+    val docs = plantedDocs
+    // topic = everything -> the vanilla recurrence term for term
+    val vanilla = Graph.pagerankDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pprAll = Graph.personalizedPagerankDf(docs, lit(true)).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("rank_nano"))).toMap
+    assert(pprAll == vanilla)
+    // topic = a seed predicate -> trustrank IS personalized pagerank
+    val seed = col("doc_id") % 2 === 0
+    val tr = Graph.trustrankDf(docs, seed).collect().map(_.toSeq).toSet
+    val ppr = Graph.personalizedPagerankDf(docs, seed).collect().map(_.toSeq).toSet
+    assert(ppr == tr)
+  }
+
+  test("sccDf labels a planted cycle-vs-path graph exactly (SCC != WCC)") {
+    import spark.implicits._
+    // 1 -> 2 -> 3 -> 1 (a 3-cycle), 0 -> 1 (tendril in), 3 -> 4 (tendril
+    // out), 5 isolated: one weak component {0..4} + {5}, but five SCCs
+    val nodes = (0L to 5L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (0L, 1L), (3L, 4L))
+      .toDF("src", "dst").localCheckpoint()
+    val out = Graph.sccDf(nodes, edges).collect()
+      .map(r => r.getLong(1) -> (r.getLong(0), r.getLong(2)))
+    val byDoc = out.map { case (scc, (doc, size)) => doc -> (scc, size) }.toMap
+    assert(byDoc(1L) == (1L, 3L) && byDoc(2L) == (1L, 3L) && byDoc(3L) == (1L, 3L),
+      s"cycle must collapse to SCC 1: $byDoc")
+    assert(byDoc(0L) == (0L, 1L) && byDoc(4L) == (4L, 1L) && byDoc(5L) == (5L, 1L),
+      s"tendrils/isolated stay singletons: $byDoc")
+  }
+
+  test("linkScc matches a driver-side Tarjan on the planted corpus") {
+    val docs = plantedDocs
+    val edges = Graph.linkEdgesDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = docs.count().toInt
+    // iterative Tarjan, canonicalized to min-member labels
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStk = scala.collection.mutable.Set.empty[Long]
+    val stk = scala.collection.mutable.Stack.empty[Long]
+    var counter = 0
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    for (root <- 0L until n.toLong if !index.contains(root)) {
+      var work = List((root, 0))
+      while (work.nonEmpty) {
+        val (v, pi) = work.head
+        if (pi == 0) {
+          index(v) = counter; low(v) = counter; counter += 1
+          stk.push(v); onStk += v
+        }
+        val nbrs = adj.getOrElse(v, Array.empty[Long])
+        var i = pi
+        var descended = false
+        while (i < nbrs.length && !descended) {
+          val w = nbrs(i)
+          if (!index.contains(w)) {
+            work = (w, 0) :: (v, i + 1) :: work.tail
+            descended = true
+          } else {
+            if (onStk(w)) low(v) = math.min(low(v), index(w))
+            i += 1
+          }
+        }
+        if (!descended) {
+          if (low(v) == index(v)) {
+            val comp = scala.collection.mutable.Buffer.empty[Long]
+            var w = -1L
+            while (w != v) { w = stk.pop(); onStk -= w; comp += w }
+            val m = comp.min
+            comp.foreach(label(_) = m)
+          }
+          work = work.tail
+          work.headOption.foreach { case (u, _) =>
+            low(u) = math.min(low(u), low(v))
+          }
+        }
+      }
+    }
+    val got = Graph.linkSccDf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == label.toMap, "peel labels must equal Tarjan's components")
+  }
 }
