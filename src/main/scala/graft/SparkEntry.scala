@@ -275,6 +275,8 @@ object SparkEntry {
     "q_hits"              -> ((s: SparkSession, d: String) => ext.Graph.hits(s, d)),
     "q_pagerank_converge" -> ((s: SparkSession, d: String) => ext.Graph.pagerankConvergence(s, d)),
     "q_random_walks"      -> ((s: SparkSession, d: String) => ext.Graph.randomWalks(s, d)),
+    // node2vec biased walks (DFS-like p=4 q=0.25)
+    "q_node2vec_walks"    -> ((s: SparkSession, d: String) => ext.Graph.node2vecWalks(s, d)),
     "q_walk_context_pairs" -> ((s: SparkSession, d: String) => ext.Graph.walkContextPairs(s, d)),
     "q_event_transitions" -> (ExtraQueries.eventTransitions _),
     "q_transition_entropy" -> (ExtraQueries.transitionEntropy _)
@@ -494,6 +496,39 @@ object SparkEntry {
       s"SELECT start_id, walk_seed, CAST($k AS BIGINT) AS step, node_id FROM w$k"
     }.mkString(" UNION ALL ")
     s"$randomWalksCtesSql $rows ORDER BY start_id, walk_seed, step"
+  }
+
+  // node2vec-biased walks (p = 4, q = 0.25): the uniform walk chain
+  // plus a per-step (prev, dst)-adjacency probe; election is
+  // lexicographic (class priority, hash) — two-stage MIN mirrors
+  // Spark's min(struct(pr, h)) exactly
+  private lazy val node2vecWalksSql: String = {
+    val (prR, prL, prO) = ext.Graph.node2vecPriorities(4.0, 0.25)
+    val stepsSql = (1 to ext.Graph.WalkSteps).map { k =>
+      val prev = s"nv${k - 1}"
+      s"nc$k AS MATERIALIZED (SELECT p.start_id, p.walk_seed, p.node_id, p.prev_id, e.dst, " +
+        s"md5(concat_ws(':', p.walk_seed, p.start_id, $k, e.src, e.dst)) AS h, " +
+        s"CASE WHEN p.prev_id IS NULL THEN $prL WHEN e.dst = p.prev_id THEN $prR " +
+        s"WHEN pe.src IS NOT NULL THEN $prL ELSE $prO END AS pr " +
+        s"FROM $prev p JOIN e ON p.node_id = e.src " +
+        "LEFT JOIN e pe ON pe.src = p.prev_id AND pe.dst = e.dst), " +
+        s"nb$k AS (SELECT start_id, walk_seed, MIN(pr) AS mp FROM nc$k GROUP BY start_id, walk_seed), " +
+        s"nb2$k AS (SELECT c.start_id, c.walk_seed, c.pr, MIN(c.h) AS mh FROM nc$k c " +
+        s"JOIN nb$k b ON c.start_id = b.start_id AND c.walk_seed = b.walk_seed AND c.pr = b.mp " +
+        "GROUP BY c.start_id, c.walk_seed, c.pr), " +
+        s"nv$k AS MATERIALIZED (SELECT c.start_id, c.walk_seed, c.dst AS node_id, c.node_id AS prev_id " +
+        s"FROM nc$k c JOIN nb2$k b ON c.start_id = b.start_id AND c.walk_seed = b.walk_seed " +
+        "AND c.pr = b.pr AND c.h = b.mh)"
+    }.mkString(", ")
+    val rows = (0 to ext.Graph.WalkSteps).map { k =>
+      s"SELECT start_id, walk_seed, CAST($k AS BIGINT) AS step, node_id FROM nv$k"
+    }.mkString(" UNION ALL ")
+    s"$linkGraphCteSql, " +
+      s"nv0 AS MATERIALIZED (SELECT doc_id AS start_id, " +
+      s"CAST(unnest(range(1, ${ext.Graph.WalkSeeds + 1})) AS BIGINT) AS walk_seed, " +
+      s"doc_id AS node_id, CAST(NULL AS BIGINT) AS prev_id " +
+      s"FROM documents WHERE doc_id % ${ext.Graph.WalkStartEvery} = 0), " +
+      s"$stepsSql $rows ORDER BY start_id, walk_seed, step"
   }
 
   private lazy val pagerankSql = seededRankSql("TRUE", includeSeedCol = false)
@@ -2831,6 +2866,8 @@ object SparkEntry {
     "q_pagerank_converge" -> pagerankConvergeSql,
     // deterministic random walks (DeepWalk context generation)
     "q_random_walks" -> randomWalksSql,
+    // node2vec biased walks: lexicographic (class, hash) election
+    "q_node2vec_walks" -> node2vecWalksSql,
     // skip-gram co-occurrence pairs over the walks (window 2)
     "q_walk_context_pairs" ->
       (s"${randomWalksCtesSql} " +

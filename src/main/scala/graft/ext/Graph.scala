@@ -468,6 +468,101 @@ object Graph {
       .select(col("start_id"), col("walk_seed"), col("step"), col("node_id"))
   }
 
+  /** node2vec-BIASED deterministic walks (Grover & Leskovec, KDD 2016):
+    * the 2nd-order walk whose next-hop distribution prefers returning
+    * to the previous node (weight 1/p), staying in its neighbourhood
+    * (weight 1), or moving outward (weight 1/q). The RNG-free analog
+    * of the biased draw keeps the md5-argmin election but makes it
+    * LEXICOGRAPHIC on (class priority, hash): candidates are ranked
+    * into the three node2vec distance classes of the PREVIOUS node —
+    * return (x = prev), local (prev → x is an edge), outward — classes
+    * are ordered by descending weight, and the hash only tie-breaks
+    * within the winning class. Equal weights collapse to equal
+    * priority, so p = q = 1 reproduces [[randomWalksUnorderedDf]]
+    * EXACTLY (asserted in GraphSpec), the way the continuous sampler
+    * degenerates to the uniform walk. The registered query runs the
+    * DFS-like parameterization p = 4, q = 0.25 (outward class wins).
+    *
+    * Returns (start_id, walk_seed, step, node_id) — the
+    * [[randomWalks]] schema, so the context-pair consumer composes
+    * unchanged.
+    *
+    * Scale shape: the uniform walk loop plus ONE extra keyed join per
+    * step — the (prev, dst)-adjacency probe against the checkpointed
+    * edge table — and the same walk-keyed election. State adds one
+    * prev_id column.
+    */
+  def node2vecWalks(spark: SparkSession, d: String, p: Double = 4.0,
+                    q: Double = 0.25, steps: Int = WalkSteps,
+                    seeds: Int = WalkSeeds,
+                    startEvery: Int = WalkStartEvery): DataFrame =
+    node2vecWalksDf(Tables.fanOut(Tables.documents(spark, d)), p, q, steps,
+      seeds, startEvery)
+      .orderBy(col("start_id"), col("walk_seed"), col("step"))
+
+  /** Class priorities of the (return, local, outward) weights
+    * (1/p, 1, 1/q): rank of the class's weight among the DISTINCT
+    * weights descending — equal weights share a priority, which is
+    * what makes p = q = 1 degenerate to the uniform election. Shared
+    * with the oracle builder.
+    */
+  private[graft] def node2vecPriorities(p: Double, q: Double): (Int, Int, Int) = {
+    require(p > 0 && q > 0, s"node2vec needs p, q > 0, got $p/$q")
+    val wr = 1.0 / p; val wl = 1.0; val wo = 1.0 / q
+    val order = Seq(wr, wl, wo).distinct.sorted(Ordering[Double].reverse)
+    (order.indexOf(wr), order.indexOf(wl), order.indexOf(wo))
+  }
+
+  def node2vecWalksDf(docs: DataFrame, p: Double = 4.0, q: Double = 0.25,
+                      steps: Int = WalkSteps, seeds: Int = WalkSeeds,
+                      startEvery: Int = WalkStartEvery): DataFrame = {
+    require(steps >= 1 && seeds >= 1 && startEvery >= 1,
+      s"need steps/seeds/startEvery >= 1, got $steps/$seeds/$startEvery")
+    val (prReturn, prLocal, prOut) = node2vecPriorities(p, q)
+    val edges = linkEdgesDf(docs).localCheckpoint()
+    // adjacency probe side: (prev_id, dst) — renamed once, reused per step
+    val adj = edges.select(col("src").as("prev_id"), col("dst").as("dst"),
+      lit(1).as("is_local"))
+    var pos = docs.select(col("doc_id"))
+      .filter(col("doc_id") % startEvery === 0)
+      .select(col("doc_id").as("start_id"),
+        explode(sequence(lit(1), lit(seeds))).as("seed0"),
+        col("doc_id").as("node_id"))
+      .select(col("start_id"), col("seed0").cast("long").as("walk_seed"),
+        col("node_id"), lit(null).cast("long").as("prev_id"))
+      .localCheckpoint()
+    val acc = scala.collection.mutable.ListBuffer(
+      pos.select(col("start_id"), col("walk_seed"), col("node_id"))
+        .withColumn("step", lit(0L)))
+    for (k <- 1 to steps) {
+      // candidates + their node2vec class priority; checkpointed (the
+      // randomWalksUnorderedDf discipline: cand feeds the election AND
+      // the join-back)
+      val cand = pos.join(edges, pos("node_id") === edges("src"))
+        .join(adj, Seq("prev_id", "dst"), "left")
+        .select(col("start_id"), col("walk_seed"), col("node_id"),
+          col("prev_id"), col("dst"),
+          md5(concat_ws(":", col("walk_seed"), col("start_id"), lit(k),
+            col("src"), col("dst"))).as("h"),
+          when(col("prev_id").isNull, lit(prLocal))
+            .when(col("dst") === col("prev_id"), lit(prReturn))
+            .when(col("is_local").isNotNull, lit(prLocal))
+            .otherwise(lit(prOut)).as("pr"))
+        .localCheckpoint()
+      val best = cand.groupBy(col("start_id"), col("walk_seed"))
+        .agg(min(struct(col("pr"), col("h"))).as("m"))
+      pos = cand.join(best, Seq("start_id", "walk_seed"))
+        .filter(col("pr") === col("m.pr") && col("h") === col("m.h"))
+        .select(col("start_id"), col("walk_seed"), col("dst").as("node_id"),
+          col("node_id").as("prev_id"))
+        .localCheckpoint()
+      acc += pos.select(col("start_id"), col("walk_seed"), col("node_id"))
+        .withColumn("step", lit(k.toLong))
+    }
+    acc.reduce(_ unionByName _)
+      .select(col("start_id"), col("walk_seed"), col("step"), col("node_id"))
+  }
+
   /** Skip-gram context pairs from the deterministic walks — the actual
     * training-pair table DeepWalk feeds to word2vec: within each walk,
     * every ordered (center, context) pair at distance ≤ `window`,

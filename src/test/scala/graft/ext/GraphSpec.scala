@@ -411,4 +411,41 @@ class GraphSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == label.toMap, "peel labels must equal Tarjan's components")
   }
+
+  test("node2vec with p = q = 1 degenerates to the uniform walk exactly") {
+    val docs = plantedDocs
+    val uniform = Graph.randomWalksDf(docs, startEvery = 2).collect().map(_.toSeq).toSet
+    val unbiased = Graph.node2vecWalksDf(docs, p = 1.0, q = 1.0, startEvery = 2)
+      .collect().map(_.toSeq).toSet
+    assert(unbiased == uniform,
+      "equal class weights must reproduce the md5-argmin uniform election")
+  }
+
+  test("node2vec bias is honored: return-preferring walks backtrack when they can") {
+    val docs = plantedDocs
+    val edges = Graph.linkEdgesDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // p tiny -> return class has top priority: whenever cur -> prev is
+    // an edge, the elected hop MUST be prev
+    val walks = Graph.node2vecWalksDf(docs, p = 0.01, q = 1.0, startEvery = 2)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2) -> r.getLong(3)))
+      .groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(_._2).sortBy(_._1).map(_._2)
+      }
+    var checked = 0
+    walks.values.foreach { path =>
+      path.sliding(3).filter(_.length == 3).foreach { w =>
+        val (prev, cur, nxt) = (w(0), w(1), w(2))
+        if (edges.contains(cur -> prev)) { assert(nxt == prev); checked += 1 }
+      }
+    }
+    assert(checked > 0, "fixture must exercise at least one return opportunity")
+    // and the DFS-like registered parameterization must differ from
+    // uniform on this graph (the bias is visible, not a no-op)
+    val uniform = Graph.randomWalksDf(docs, startEvery = 2).collect().map(_.toSeq).toSet
+    val dfs = Graph.node2vecWalksDf(docs, p = 4.0, q = 0.25, startEvery = 2)
+      .collect().map(_.toSeq).toSet
+    assert(dfs != uniform, "outward bias must visibly shift the walks")
+  }
 }
