@@ -74,6 +74,8 @@ object Graph {
   private[graft] val WalkStartEvery = 79
   private[graft] val WalkWindow = 2
   private[graft] val ComponentRounds = 8
+  private[graft] val EmbedEpochs = 4
+  private[graft] val EmbedLr = 1.0
 
   /** Rank is carried in integer NANO-rank units: sum(rank) ≈ 1e9. */
   private val Unit = 1e9
@@ -220,6 +222,15 @@ object Graph {
     */
   private def rankInit(docs: DataFrame, seed: Column): (DataFrame, DataFrame) = {
     val edges = linkEdgesDf(docs).localCheckpoint()
+    (edges, rankSeedState(docs, edges, seed))
+  }
+
+  /** The seeded r0 over an already-checkpointed edge table — split out
+    * of [[rankInit]] so [[rankServeState]] can run BOTH its loops over
+    * ONE edge derivation (the corpus-sized half of the job).
+    */
+  private def rankSeedState(docs: DataFrame, edges: DataFrame,
+                            seed: Column): DataFrame = {
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     // the loop is already an eager builder, so the seed count is a
     // plain collected scalar (2-scalar-aggregate precedent) — and an
@@ -241,21 +252,12 @@ object Graph {
         lit(nSeed).as("n_seed"),
         (col("is_seed") * snap(lit(Unit) / lit(nSeed))).as("rank_nano"))
       .localCheckpoint()
-    (edges, r0)
+    r0
   }
 
   private def rankLoop(docs: DataFrame, seed: Column, iters: Int,
                        topK: Int): DataFrame = {
-    require(iters >= 1, s"rank loop needs >= 1 iteration, got $iters")
-    val (edges, r0) = rankInit(docs, seed)
-    var ranks = r0
-
-    for (_ <- 1 to iters)
-      // the old checkpoint's blocks are freed by the ContextCleaner once
-      // unreferenced — no manual unpersist (localCheckpoint blocks are
-      // not in the cache manager; Dataset.unpersist would be a no-op)
-      ranks = rankStep(ranks, edges).localCheckpoint()
-
+    val (ranks, edges) = rankLoopState(docs, seed, iters)
     val inDeg = edges.groupBy(col("dst").as("doc_id"))
       .agg(count(lit(1)).as("in_deg"))
     ranks.join(inDeg, Seq("doc_id"), "left")
@@ -263,6 +265,152 @@ object Graph {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
       .orderBy(col("rank_nano").desc, col("doc_id"))
       .limit(topK)
+  }
+
+  /** The converged full-frontier rank state + the checkpointed edge
+    * table — the presentation-free core [[rankLoop]] tops with the
+    * in-degree/sort/limit tail and [[rankServeTableDf]] reads whole.
+    */
+  private def rankLoopState(docs: DataFrame, seed: Column,
+                            iters: Int): (DataFrame, DataFrame) = {
+    val edges = linkEdgesDf(docs).localCheckpoint()
+    (rankLoopStateOn(docs, edges, seed, iters), edges)
+  }
+
+  private def rankLoopStateOn(docs: DataFrame, edges: DataFrame,
+                              seed: Column, iters: Int): DataFrame = {
+    require(iters >= 1, s"rank loop needs >= 1 iteration, got $iters")
+    var ranks = rankSeedState(docs, edges, seed)
+    for (_ <- 1 to iters) {
+      val next = rankStep(ranks, edges).localCheckpoint()
+      // round k-1's state is dead once round k is materialized —
+      // release it NOW (deterministic), not whenever the ContextCleaner
+      // notices the weak ref: at frontier scale each round pins a full
+      // per-node table and a long session would hold iters copies
+      org.apache.spark.sql.GraftSql.releaseCheckpoint(ranks)
+      ranks = next
+    }
+    ranks
+  }
+
+  /** The SERVING artifact of the rank family: the FULL per-node
+    * (doc_id, rank_nano, trust_nano) table — vanilla PageRank plus the
+    * seeded TrustRank in one frame — that [[trustRankSink]] freezes
+    * and [[crawlPriorityAgainst]] probes. Unlike the top-K audit
+    * queries this keeps every node: a crawl scheduler needs the rank
+    * of WHATEVER an arrival links at, not just the leaders. 24 bytes
+    * per frontier node at any scale.
+    */
+  def rankServeTableDf(docs: DataFrame, trustSeed: Column,
+                       iters: Int = RankIters): DataFrame =
+    rankServeState(docs, trustSeed, iters)._1
+
+  /** [[rankServeTableDf]] plus the checkpoint frames backing it (the
+    * two converged rank states + the ONE shared edge table both loops
+    * ran over) — a caller that eagerly materializes the serve frame
+    * (the Freeze pin in [[trustRankSink]]) releases them immediately;
+    * a lazy caller must keep them live.
+    */
+  private[ext] def rankServeState(docs: DataFrame, trustSeed: Column,
+                                  iters: Int = RankIters)
+      : (DataFrame, Seq[DataFrame]) = {
+    val edges = linkEdgesDf(docs).localCheckpoint()
+    val pr = rankLoopStateOn(docs, edges, lit(true), iters)
+    val tr = rankLoopStateOn(docs, edges, trustSeed, iters)
+    val serve = pr.select(col("doc_id"), col("rank_nano"))
+      .join(tr.select(col("doc_id"), col("rank_nano").as("trust_nano")),
+        Seq("doc_id"))
+    (serve, Seq(pr, tr, edges))
+  }
+
+  /** CRAWL-PRIORITY scoring against a frozen rank/trust table — the
+    * serving shape of the graph family (the smoothedScoreAgainst
+    * contract at graph granularity): an arriving page's outbound link
+    * targets derive with the SAME bigram → md5-mod-D expression the
+    * base graph was built under (D = the frozen table's frontier
+    * size, so arrival buckets land exactly where the base edges do),
+    * and its priority is the rank/trust mass of what it links at — a
+    * page pointing at high-trust territory is worth crawling from.
+    * Every input doc with text gets a row; pages with no resolvable
+    * links score (0, 0, 0) — the scoreWith never-scored contract.
+    *
+    * Scale shape: one narrow bigram pass over the batch, one
+    * target-keyed probe join into the frozen table, one doc-keyed
+    * aggregate — probe work proportional to the batch, never
+    * |batch| × |frontier|. All masses are exact BIGINT sums of
+    * nano-rank units.
+    */
+  def crawlPriorityAgainst(docs: DataFrame, serve: DataFrame): DataFrame = {
+    val total = serve.agg(count(lit(1)).as("n_total"))
+    val toks = TextAnalysis.tokens(col("text"))
+    val targets = docs.filter(col("text").isNotNull)
+      .select(col("doc_id").as("src"), toks.as("t"))
+      .select(col("src"), explode(
+        zip_with(slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .crossJoin(total)
+      .select(col("src"),
+        pmod(md5Bucket60(col("bigram")), col("n_total")).as("target"))
+      .filter(col("src") =!= col("target"))
+      .distinct()
+    val mass = targets
+      .join(serve.withColumnRenamed("doc_id", "target"), Seq("target"))
+      .groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("n_links"),
+        sum(col("rank_nano")).as("rank_mass_nano"),
+        sum(col("trust_nano")).as("trust_mass_nano"))
+    docs.filter(col("text").isNotNull).select(col("doc_id"))
+      .join(mass, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_links"), lit(0L)).as("n_links"),
+        coalesce(col("rank_mass_nano"), lit(0L)).as("rank_mass_nano"),
+        coalesce(col("trust_mass_nano"), lit(0L)).as("trust_mass_nano"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Registered composition: the whole corpus scored against its own
+    * frontier's serve table — each page's outbound rank/trust mass,
+    * the batch self-audit of the serving path (targets reproduce the
+    * edge table by construction, so the oracle replays it exactly).
+    */
+  def crawlPriority(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, d))
+    crawlPriorityAgainst(docs,
+      rankServeTableDf(docs, col("source") === lit("src0")))
+  }
+
+  /** Streaming crawl-priority sink (foreachBatch stage): the base
+    * corpus's full rank/trust serve table is FROZEN once — the two
+    * eager rank loops run at sink construction, train-offline /
+    * serve-online — and each micro-batch of arriving pages appends its
+    * (n_links, rank_mass, trust_mass) priorities tagged with the batch
+    * id. Completes the batch/streaming symmetry of the graph family
+    * (the backoffScoreSink shape).
+    */
+  def trustRankSink(docStream: DataFrame, baseDocs: DataFrame,
+                    outPath: String, checkpoint: String,
+                    triggerMs: Long = 10000L,
+                    trustSeed: Column = col("source") === lit("src0"))
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val (serve, backing) = rankServeState(baseDocs, trustSeed)
+    val frozen = Freeze.scoped(checkpoint, serve)
+    // the Freeze pin is eager (persist + count), so the rank state and
+    // edge table behind the serve frame are dead the moment it returns
+    backing.foreach(org.apache.spark.sql.GraftSql.releaseCheckpoint)
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // per-batch presentation sort stripped (spanDedupSink note)
+          org.apache.spark.sql.GraftSql.unordered(
+            crawlPriorityAgainst(batch, frozen))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
   }
 
   /** One rank-recurrence iteration over the carried state — shared by
@@ -313,6 +461,8 @@ object Graph {
           Seq("doc_id"))
         .agg(sum(abs(col("r_new") - col("r_old"))).as("l1"),
           max(abs(col("r_new") - col("r_old"))).as("mx")).head()
+      // the delta head() was round k-1's last reader
+      org.apache.spark.sql.GraftSql.releaseCheckpoint(ranks)
       ranks = next
       (k.toLong, d.getLong(0), d.getLong(1))
     }
@@ -372,6 +522,12 @@ object Graph {
     // read (iters >= 1) — only the hub seed participates in the
     // recurrence
     var auths: DataFrame = null
+    // the checkpoints a finished round leaves dead (the rankLoopStateOn
+    // release discipline): the hub state consumed by this round's aRaw,
+    // and the PREVIOUS round's aRaw once this round's replaces it in
+    // the auths var — the FINAL round's pair stays live for the tail
+    var prevA: DataFrame = null
+    var prevH: DataFrame = hubs
     for (_ <- 1 to iters) {
       val aRaw = hubs.select(col("doc_id").as("src"), col("hub"))
         .join(edges, Seq("src"))
@@ -380,6 +536,9 @@ object Graph {
         .localCheckpoint()
       auths = aRaw.crossJoin(aRaw.agg(max(col("a_raw")).as("a_max")))
         .select(col("doc_id"), renorm(col("a_raw"), col("a_max")).as("auth"))
+      org.apache.spark.sql.GraftSql.releaseCheckpoint(prevH)
+      if (prevA ne null)
+        org.apache.spark.sql.GraftSql.releaseCheckpoint(prevA)
       val hRaw = auths.select(col("doc_id").as("dst"), col("auth"))
         .join(edges, Seq("dst"))
         .groupBy(col("src").as("doc_id"))
@@ -387,6 +546,8 @@ object Graph {
         .localCheckpoint()
       hubs = hRaw.crossJoin(hRaw.agg(max(col("h_raw")).as("h_max")))
         .select(col("doc_id"), renorm(col("h_raw"), col("h_max")).as("hub"))
+      prevA = aRaw
+      prevH = hRaw
     }
 
     docs.select(col("doc_id"))
@@ -462,6 +623,10 @@ object Graph {
         .filter(col("h") === col("mh"))
         .select(col("start_id"), col("walk_seed"), col("dst").as("node_id"))
         .localCheckpoint()
+      // the elected positions are materialized: the step's candidate
+      // table has no reader left (the per-step pos frames DO stay live
+      // — the final union reads every one)
+      org.apache.spark.sql.GraftSql.releaseCheckpoint(cand)
       acc += pos.withColumn("step", lit(k.toLong))
     }
     acc.reduce(_ unionByName _)
@@ -556,6 +721,8 @@ object Graph {
         .select(col("start_id"), col("walk_seed"), col("dst").as("node_id"),
           col("node_id").as("prev_id"))
         .localCheckpoint()
+      // elected → this step's candidate table is dead (walk discipline)
+      org.apache.spark.sql.GraftSql.releaseCheckpoint(cand)
       acc += pos.select(col("start_id"), col("walk_seed"), col("node_id"))
         .withColumn("step", lit(k.toLong))
     }
@@ -577,7 +744,16 @@ object Graph {
       steps, seeds, startEvery)
 
   def walkContextPairsDf(docs: DataFrame, window: Int = WalkWindow, steps: Int = WalkSteps,
-                         seeds: Int = WalkSeeds, startEvery: Int = WalkStartEvery): DataFrame = {
+                         seeds: Int = WalkSeeds, startEvery: Int = WalkStartEvery): DataFrame =
+    walkContextPairsUnorderedDf(docs, window, steps, seeds, startEvery)
+      .orderBy(col("center"), col("context"))
+
+  /** The pair table without the presentation sort — the embedding
+    * trainer's input (its epoch joins destroy any ordering).
+    */
+  def walkContextPairsUnorderedDf(docs: DataFrame, window: Int = WalkWindow,
+                                  steps: Int = WalkSteps, seeds: Int = WalkSeeds,
+                                  startEvery: Int = WalkStartEvery): DataFrame = {
     require(window >= 1, s"need window >= 1, got $window")
     val walks = randomWalksUnorderedDf(docs, steps, seeds, startEvery)
       .localCheckpoint() // the eager walk loop runs once, not per side
@@ -590,7 +766,113 @@ object Graph {
         abs(col("step_a") - col("step_b")) <= window)
       .groupBy(col("center"), col("context"))
       .agg(count(lit(1)).as("n_cooc"))
-      .orderBy(col("center"), col("context"))
+  }
+
+  /** Node embeddings trained on the walk-context pairs — the step that
+    * closes the DeepWalk loop (Perozzi et al. KDD 2014: walks →
+    * skip-gram pairs → embedding training). In place of sequential
+    * SGD — whose per-sample update order no BSP engine can reproduce —
+    * the trainer runs full-batch gradient descent on the symmetric
+    * factorization loss
+    *   Σ_pairs n · (e_c · e_o / 1e6 − y)²,   y = 1e6 pos / 0 neg,
+    * with one hash-derived negative per positive pair (the corpus-prep
+    * RNG-free discipline: the negative's target is
+    * `md5(center:context:n) mod D`, deterministic and replayable).
+    * Full-batch makes the gradient a pure keyed SUM — order-free — so
+    * the [[Training]] exactness ladder applies: embeddings live in
+    * BIGINT micro-units, every per-pair gradient contribution is
+    * micro-snapped BEFORE the sum, and the update divides by the
+    * node's pair weight (a per-row scalar) — the DuckDB unrolled-epoch
+    * replay is bit-identical.
+    *
+    * Dimensions are fixed at 4 (x0..x3): wide enough to separate
+    * planted cluster structure (GraphSpec asserts a cosine margin),
+    * small enough that the unrolled oracle stays readable. Ordered
+    * pairs appear in both directions, so updating centers from
+    * contexts trains both sides symmetrically.
+    *
+    * Scale shape: state is one (node, 4×BIGINT) table over the
+    * WALK-VISITED nodes (walk volume bounds it, not corpus size — the
+    * randomWalks contract); each epoch is two embedding-keyed probe
+    * joins into the pair table + one center-keyed SUM + the update
+    * join, all checkpointed per round with the dead round released
+    * (the rankLoopStateOn discipline). No driver-side weight state at
+    * all — unlike [[Training.fit]]'s 13 scalars, per-node state stays
+    * distributed.
+    */
+  def nodeEmbeddings(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, d))
+    // checkpointed: the pair table feeds every epoch AND the n_pairs
+    // tail — without this the walk-pair groupBy re-evaluates per reader
+    val pairs = walkContextPairsUnorderedDf(docs).localCheckpoint()
+    nodeEmbeddingsOnPairs(pairs, docs.count())
+  }
+
+  /** The trainer core over an explicit (center, context, n_cooc) pair
+    * table; `nTotal` is the frontier size the hash-derived negative
+    * targets are bucketed into. Returns (doc_id, n_pairs, x0..x3) for
+    * every node that appears as a pair center, micro-unit BIGINTs.
+    */
+  private[graft] def nodeEmbeddingsOnPairs(pairs: DataFrame, nTotal: Long,
+                                           epochs: Int = EmbedEpochs,
+                                           lr: Double = EmbedLr): DataFrame = {
+    require(epochs >= 1, s"embedding training needs >= 1 epoch, got $epochs")
+    require(nTotal >= 1, s"need a positive frontier size, got $nTotal")
+    // positives + one deterministic negative each; negatives whose
+    // target is the center itself, or a node no walk visited, drop out
+    // (the latter via the inner probe join below) — both engines agree
+    val pos = pairs.select(col("center"), col("context").as("other"),
+      col("n_cooc").as("n"), lit(1000000.0).as("y"))
+    val neg = pairs.select(col("center"),
+        pmod(md5Bucket60(concat_ws(":", col("center"), col("context"), lit("n"))),
+          lit(nTotal)).as("other"),
+        col("n_cooc").as("n"), lit(0.0).as("y"))
+      .filter(col("other") =!= col("center"))
+    val pp = pos.unionByName(neg).localCheckpoint()
+    // deterministic init: each coordinate is md5(node:dim) folded into
+    // [-500000, 500000] micro-units — i.i.d.-looking directions, zero RNG
+    def initDim(j: Int): Column =
+      (pmod(md5Bucket60(concat_ws(":", col("doc_id"), lit(j.toString))),
+        lit(1000001L)) - lit(500000L)).as(s"x$j")
+    var emb = pp.select(col("center").as("doc_id")).distinct()
+      .select(col("doc_id"), initDim(0), initDim(1), initDim(2), initDim(3))
+      .localCheckpoint()
+    for (_ <- 1 to epochs) {
+      val ce = emb.select(col("doc_id").as("center"), col("x0").as("c0"),
+        col("x1").as("c1"), col("x2").as("c2"), col("x3").as("c3"))
+      val xe = emb.select(col("doc_id").as("other"), col("x0").as("o0"),
+        col("x1").as("o1"), col("x2").as("o2"), col("x3").as("o3"))
+      val j = pp.join(ce, Seq("center")).join(xe, Seq("other"))
+      // residual in micro-units: dot is an exact BIGINT sum, the /1e6
+      // and the subtraction are per-row IEEE ops (identical on both
+      // engines); each per-pair gradient term is snapped BEFORE the SUM
+      val r = (col("c0") * col("o0") + col("c1") * col("o1") +
+        col("c2") * col("o2") + col("c3") * col("o3")) / lit(1000000.0) -
+        col("y")
+      def g(d: Int): Column =
+        sum(snap(col("n") * r * col(s"o$d") / lit(1000000.0))).as(s"g$d")
+      val grad = j.groupBy(col("center"))
+        .agg(g(0), g(1), g(2), g(3), sum(col("n")).as("m"))
+        .withColumnRenamed("center", "doc_id")
+      val next = emb.join(grad, Seq("doc_id"))
+        .select(col("doc_id"),
+          (col("x0") - snap(lit(lr) * (col("g0") / col("m")))).as("x0"),
+          (col("x1") - snap(lit(lr) * (col("g1") / col("m")))).as("x1"),
+          (col("x2") - snap(lit(lr) * (col("g2") / col("m")))).as("x2"),
+          (col("x3") - snap(lit(lr) * (col("g3") / col("m")))).as("x3"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftSql.releaseCheckpoint(emb)
+      emb = next
+    }
+    // the pair table is dead once the last epoch is materialized
+    org.apache.spark.sql.GraftSql.releaseCheckpoint(pp)
+    val np = pairs.groupBy(col("center"))
+      .agg(sum(col("n_cooc")).as("n_pairs"))
+      .withColumnRenamed("center", "doc_id")
+    emb.join(np, Seq("doc_id"))
+      .select(col("doc_id"), col("n_pairs"), col("x0"), col("x1"),
+        col("x2"), col("x3"))
+      .orderBy(col("doc_id"))
   }
 
   /** Weakly-connected components of the link graph by min-label
@@ -629,6 +911,8 @@ object Graph {
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
+    // only und is read from here on — the directed table is dead
+    org.apache.spark.sql.GraftSql.releaseCheckpoint(e)
     var labels = docs.select(col("doc_id"), col("doc_id").as("component"))
       .localCheckpoint()
     // iterate to fixpoint, capped at `rounds` — the early exit is free
@@ -636,6 +920,10 @@ object Graph {
     // every post-fixpoint round is the identity
     var converged = false
     var r = 0
+    // the checkpoint backing the current labels frame — released once
+    // the next round's state is materialized (rankLoopStateOn
+    // discipline); the final round's stays live for the size tail
+    var labelsCk = labels
     while (!converged && r < rounds) {
       val neighborMin = labels.join(und, labels("doc_id") === und("src"))
         .groupBy(col("dst").as("doc_id"))
@@ -645,6 +933,8 @@ object Graph {
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
         .localCheckpoint()
+      org.apache.spark.sql.GraftSql.releaseCheckpoint(labelsCk)
+      labelsCk = upd
       converged = upd.filter(col("component") =!= col("old_c")).isEmpty
       labels = upd.select(col("doc_id"), col("component"))
       r += 1
@@ -729,6 +1019,7 @@ object Graph {
       // forward min-label over the live subgraph, early-exit at fixpoint
       var f = un.select(col("doc_id"), col("doc_id").as("flabel"))
         .localCheckpoint()
+      var fCk = f
       var fConverged = false
       var r = 0
       while (!fConverged && r < rounds) {
@@ -739,6 +1030,8 @@ object Graph {
           .select(col("doc_id"), col("flabel").as("old_f"),
             least(col("flabel"), coalesce(col("m"), col("flabel"))).as("flabel"))
           .localCheckpoint()
+        org.apache.spark.sql.GraftSql.releaseCheckpoint(fCk)
+        fCk = upd
         fConverged = upd.filter(col("flabel") =!= col("old_f")).isEmpty
         f = upd.select(col("doc_id"), col("flabel"))
         r += 1
@@ -749,6 +1042,9 @@ object Graph {
       var b = f.select(col("doc_id"), col("flabel"),
           when(col("flabel") === col("doc_id"), col("doc_id")).as("blabel"))
         .localCheckpoint()
+      // the b seed consumed the converged forward state
+      org.apache.spark.sql.GraftSql.releaseCheckpoint(fCk)
+      var bCk = b
       var bConverged = false
       r = 0
       while (!bConverged && r < rounds) {
@@ -762,16 +1058,24 @@ object Graph {
             coalesce(col("blabel"),
               when(col("bm") === col("flabel"), col("bm"))).as("blabel"))
           .localCheckpoint()
+        org.apache.spark.sql.GraftSql.releaseCheckpoint(bCk)
+        bCk = upd
         bConverged = upd.filter(
           col("blabel").isNotNull && col("old_b").isNull).isEmpty
         b = upd.select(col("doc_id"), col("flabel"), col("blabel"))
         r += 1
       }
-      state = state
+      val nextState = state
         .join(b.select(col("doc_id"), col("blabel")), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("scc_id"), col("blabel")).as("scc_id"))
         .localCheckpoint()
+      // the new peel state absorbed everything this peel built: the
+      // old state, the confirmed backward labels, the live subgraph
+      org.apache.spark.sql.GraftSql.releaseCheckpoint(state)
+      org.apache.spark.sql.GraftSql.releaseCheckpoint(bCk)
+      org.apache.spark.sql.GraftSql.releaseCheckpoint(e)
+      state = nextState
       anyLeft = !state.filter(col("scc_id").isNull).isEmpty
       p += 1
     }

@@ -62,6 +62,30 @@ object GraftSql {
       case _ => df
     }
 
+  /** Unpersist the RDD behind an eager `localCheckpoint()` result.
+    *
+    * `Dataset.unpersist` is a no-op on checkpointed frames (the RDD is
+    * pinned by the checkpoint, not the cache manager), so iterative
+    * loops that checkpoint per round — the GraphX discipline — leak one
+    * persisted per-node table per iteration for the session's lifetime:
+    * real executor storage at frontier scale. Matches ONLY a frame
+    * whose analyzed plan IS the checkpoint's `LogicalRDD` leaf (the
+    * exact shape `localCheckpoint` returns) — a derived frame that
+    * merely CONTAINS checkpoint leaves (e.g. anything joining the
+    * loop's edge table) is left alone, so a release can never reach
+    * through a projection and kill a sibling's live state.
+    *
+    * Only for checkpoints that are DEAD — fully consumed by a later
+    * eager materialization (the next round's checkpoint, a Freeze
+    * pin). The released RDD has no lineage to recompute from; that is
+    * the same recompute-on-loss trade `localCheckpoint` itself makes.
+    */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Register a builder-based SQL function into a RUNNING session's
     * function registry (the extensions path only applies at session
     * construction).

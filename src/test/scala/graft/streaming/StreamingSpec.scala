@@ -1152,4 +1152,73 @@ class StreamingSpec extends SparkTestBase {
       s"offset-shifted recrawl must be mostly owned by the base: $byDoc")
     assert(byDoc(2L) == 0.0, s"novel doc must own all its chunks: $byDoc")
   }
+
+  test("streaming crawl-priority: frozen rank/trust serve table, batch parity, zero-link contract") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the GraphSpec planted graph, tagged so docs 0-2 seed the trust set
+    val base = Seq(
+      0L -> "alpha beta gamma delta", 1L -> "beta gamma epsilon zeta",
+      2L -> "gamma delta alpha beta", 3L -> "zeta eta theta iota",
+      4L -> "iota kappa alpha gamma", 5L -> "kappa lambda mu nu",
+      6L -> "mu nu alpha beta gamma", 7L -> "nu xi omicron pi",
+      8L -> "pi rho alpha delta",     9L -> "solo"
+    ).toDF("doc_id", "text")
+      .withColumn("source", when($"doc_id" < 3, "src0").otherwise("srcX"))
+    val arrivals = Seq(
+      100L -> "alpha beta gamma delta", // base bigrams: resolvable targets
+      101L -> "solo")                   // one token, no bigrams: zero row
+    // the batch expectation runs FIRST: as a lazy caller of the serve
+    // table it legitimately keeps its rank-loop finals checkpointed, so
+    // the sink's leak baseline is captured after it
+    val serve = graft.ext.Graph.rankServeTableDf(
+      base, $"source" === lit("src0"))
+    val batch = graft.ext.Graph
+      .crawlPriorityAgainst(arrivals.toDF("doc_id", "text"), serve)
+      .collect().map(_.toSeq).toSet
+    val trustTotal = serve.agg(sum($"trust_nano")).collect()(0).getLong(0)
+    assert(trustTotal > 0L, "seeded serve table must carry trust mass")
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("tr_out").toString
+    val ckpt = Files.createTempDirectory("tr_ckpt").toString
+    // leak accounting by RDD ID, not count: earlier tests' non-blocking
+    // unpersists may still drain concurrently, but they can only remove
+    // BASELINE ids — anything NEW after this point is this sink's
+    val beforeIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def newIds = spark.sparkContext.getPersistentRDDs.keySet.toSet -- beforeIds
+    val query = graft.ext.Graph.trustRankSink(
+      input.toDF().toDF("doc_id", "text"), base, out, ckpt,
+      triggerMs = 50L).start()
+    try {
+      // while the stream runs, the frozen serve table stays pinned
+      assert(newIds.nonEmpty,
+        "running sink must hold its frozen serve table pinned")
+      input.addData(arrivals(0))
+      query.processAllAvailable()
+      input.addData(arrivals(1))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    val byDoc = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // an arrival sharing the hub bigrams links at real frontier mass
+    assert(byDoc(100L)._1 > 0 && byDoc(100L)._2 > 0,
+      s"bigram-bearing arrival must land rank mass: $byDoc")
+    // the never-scored contract: a linkless page still gets its row
+    assert(byDoc(101L) == ((0L, 0L, 0L)),
+      s"no-bigram arrival must score (0, 0, 0): $byDoc")
+    // query termination auto-releases the pinned serve table AND the
+    // sink must have released the rank/edge checkpoints behind it
+    // (bounded wait: the termination event and unpersists are async)
+    val deadline = System.currentTimeMillis + 20000
+    while (newIds.nonEmpty && System.currentTimeMillis < deadline)
+      Thread.sleep(50)
+    assert(newIds.isEmpty,
+      s"sink must leave no persisted RDD behind, leaked ids: $newIds")
+    assert(!graft.ext.Freeze.pinnedScopes.contains(
+        java.nio.file.Paths.get(ckpt).toAbsolutePath.normalize.toString),
+      "terminated sink must leave no registered scope behind")
+  }
 }
