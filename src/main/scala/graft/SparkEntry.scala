@@ -277,7 +277,11 @@ object SparkEntry {
     "q_random_walks"      -> ((s: SparkSession, d: String) => ext.Graph.randomWalks(s, d)),
     // node2vec biased walks (DFS-like p=4 q=0.25)
     "q_node2vec_walks"    -> ((s: SparkSession, d: String) => ext.Graph.node2vecWalks(s, d)),
+    // crawl-priority serving self-audit: outbound rank/trust mass
+    "q_crawl_priority"    -> ((s: SparkSession, d: String) => ext.Graph.crawlPriority(s, d)),
     "q_walk_context_pairs" -> ((s: SparkSession, d: String) => ext.Graph.walkContextPairs(s, d)),
+    // DeepWalk closure: 4-dim embeddings from the walk-context pairs
+    "q_node_embeddings"   -> ((s: SparkSession, d: String) => ext.Graph.nodeEmbeddings(s, d)),
     "q_event_transitions" -> (ExtraQueries.eventTransitions _),
     "q_transition_entropy" -> (ExtraQueries.transitionEntropy _)
   )
@@ -413,26 +417,52 @@ object SparkEntry {
 
   // the CTE chain alone (nodes → r0..r4), shared by the rank queries and
   // the convergence audit
-  private def seededRankChainSql(seedCond: String): String = {
+  private def seededRankChainSql(seedCond: String): String =
+    s"$linkGraphCteSql, ${seedRankCtesSql(seedCond, "")}"
+
+  // the per-seed recurrence CTEs with an optional name prefix — the
+  // crawl-priority serve table runs TWO of these (vanilla + trusted)
+  // over one shared edge chain
+  private def seedRankCtesSql(seedCond: String, px: String): String = {
     val damp = ext.Graph.Damping
     val iters = (1 to ext.Graph.RankIters).map { k =>
-      val p = s"r${k - 1}"
-      s"c$k AS (SELECT dst AS doc_id, CAST(SUM(CAST(floor(CAST(r AS DOUBLE) / out_deg + 0.5) AS BIGINT)) AS BIGINT) AS inflow " +
+      val p = s"${px}r${k - 1}"
+      s"${px}c$k AS (SELECT dst AS doc_id, CAST(SUM(CAST(floor(CAST(r AS DOUBLE) / out_deg + 0.5) AS BIGINT)) AS BIGINT) AS inflow " +
         s"FROM $p JOIN e ON $p.doc_id = e.src WHERE out_deg > 0 GROUP BY dst), " +
-        s"d$k AS (SELECT CAST(COALESCE(SUM(CASE WHEN out_deg = 0 THEN r END), 0) AS BIGINT) AS dang FROM $p), " +
-        s"r$k AS MATERIALIZED (SELECT n.doc_id, n.s, n.out_deg, n.ns, " +
+        s"${px}d$k AS (SELECT CAST(COALESCE(SUM(CASE WHEN out_deg = 0 THEN r END), 0) AS BIGINT) AS dang FROM $p), " +
+        s"${px}r$k AS MATERIALIZED (SELECT n.doc_id, n.s, n.out_deg, n.ns, " +
         s"n.s * CAST(floor((1.0 - $damp) * 1000000000.0 / n.ns + 0.5) AS BIGINT) + " +
         s"CAST(floor($damp * CAST(COALESCE(inflow, 0) + " +
         "n.s * CAST(floor(CAST(dang AS DOUBLE) / n.ns + 0.5) AS BIGINT) AS DOUBLE) + 0.5) AS BIGINT) AS r " +
-        s"FROM $p n LEFT JOIN c$k ON n.doc_id = c$k.doc_id CROSS JOIN d$k)"
+        s"FROM $p n LEFT JOIN ${px}c$k ON n.doc_id = ${px}c$k.doc_id CROSS JOIN ${px}d$k)"
     }.mkString(", ")
-    s"$linkGraphCteSql, " +
-      s"sn AS (SELECT CAST(SUM(CASE WHEN $seedCond THEN 1 ELSE 0 END) AS BIGINT) AS ns FROM documents), " +
-      s"nd AS (SELECT doc_id, CASE WHEN $seedCond THEN 1 ELSE 0 END AS s, COALESCE(out_deg, 0) AS out_deg, ns " +
-      "FROM documents LEFT JOIN od ON doc_id = od.src CROSS JOIN sn), " +
-      "r0 AS MATERIALIZED (SELECT doc_id, s, out_deg, ns, " +
-      "s * CAST(floor(1000000000.0 / ns + 0.5) AS BIGINT) AS r FROM nd), " +
+    s"${px}sn AS (SELECT CAST(SUM(CASE WHEN $seedCond THEN 1 ELSE 0 END) AS BIGINT) AS ns FROM documents), " +
+      s"${px}nd AS (SELECT doc_id, CASE WHEN $seedCond THEN 1 ELSE 0 END AS s, COALESCE(out_deg, 0) AS out_deg, ns " +
+      s"FROM documents LEFT JOIN od ON doc_id = od.src CROSS JOIN ${px}sn), " +
+      s"${px}r0 AS MATERIALIZED (SELECT doc_id, s, out_deg, ns, " +
+      "s * CAST(floor(1000000000.0 / ns + 0.5) AS BIGINT) AS r FROM " + s"${px}nd), " +
       s"$iters"
+  }
+
+  // crawl-priority serving: the full-frontier rank + trust serve table
+  // (two seeded recurrences over ONE edge chain), then every page's
+  // outbound rank/trust mass — targets reproduce the edge table by
+  // construction, so the probe is e itself
+  private lazy val crawlPrioritySql: String = {
+    val rN = ext.Graph.RankIters
+    s"$linkGraphCteSql, ${seedRankCtesSql("TRUE", "pg")}, " +
+      s"${seedRankCtesSql("source = 'src0'", "tt")}, " +
+      s"serve AS MATERIALIZED (SELECT p.doc_id, p.r AS rank_nano, t.r AS trust_nano " +
+      s"FROM pgr$rN p JOIN ttr$rN t ON p.doc_id = t.doc_id), " +
+      "cmass AS (SELECT e.src AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_links, " +
+      "CAST(SUM(s.rank_nano) AS BIGINT) AS rank_mass_nano, " +
+      "CAST(SUM(s.trust_nano) AS BIGINT) AS trust_mass_nano " +
+      "FROM e JOIN serve s ON e.dst = s.doc_id GROUP BY e.src) " +
+      "SELECT d.doc_id, CAST(COALESCE(c.n_links, 0) AS BIGINT) AS n_links, " +
+      "CAST(COALESCE(c.rank_mass_nano, 0) AS BIGINT) AS rank_mass_nano, " +
+      "CAST(COALESCE(c.trust_mass_nano, 0) AS BIGINT) AS trust_mass_nano " +
+      "FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d " +
+      "LEFT JOIN cmass c ON d.doc_id = c.doc_id ORDER BY d.doc_id"
   }
 
   // convergence audit: exact per-iteration L1 / max rank movement
@@ -496,6 +526,60 @@ object SparkEntry {
       s"SELECT start_id, walk_seed, CAST($k AS BIGINT) AS step, node_id FROM w$k"
     }.mkString(" UNION ALL ")
     s"$randomWalksCtesSql $rows ORDER BY start_id, walk_seed, step"
+  }
+
+  // the walk chain + the skip-gram co-occurrence pair table `wp` —
+  // shared by q_walk_context_pairs and the embedding trainer's oracle
+  private lazy val walkPairsCtesSql: String =
+    s"$randomWalksCtesSql, wk AS MATERIALIZED (" +
+      (0 to ext.Graph.WalkSteps).map { k =>
+        s"SELECT start_id, walk_seed, CAST($k AS BIGINT) AS step, node_id FROM w$k"
+      }.mkString(" UNION ALL ") + "), " +
+      "wp AS MATERIALIZED (SELECT a.node_id AS center, b.node_id AS context, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_cooc " +
+      "FROM wk a JOIN wk b ON a.start_id = b.start_id AND a.walk_seed = b.walk_seed " +
+      s"WHERE a.step <> b.step AND ABS(a.step - b.step) <= ${ext.Graph.WalkWindow} " +
+      "GROUP BY a.node_id, b.node_id)"
+
+  // full-batch factorization descent over the walk pairs: unrolled
+  // epochs, per-pair gradient terms micro-snapped before BIGINT SUMs,
+  // the residual's /1e6 and the lr update per-row IEEE — bit-exact
+  private lazy val nodeEmbeddingsSql: String = {
+    val lr = ext.Graph.EmbedLr
+    def md5b(s: String) = s"(('0x' || substr(md5($s), 1, 15))::BIGINT)"
+    val dot = "(c.x0*x.x0 + c.x1*x.x1 + c.x2*x.x2 + c.x3*x.x3) / 1000000.0"
+    val epochs = (1 to ext.Graph.EmbedEpochs).map { k =>
+      val p = s"em${k - 1}"
+      val gs = (0 to 3).map { d =>
+        s"SUM(CAST(floor(p.n * ($dot - p.y) * x.x$d / 1000000.0 + 0.5) AS BIGINT)) AS g$d"
+      }.mkString(", ")
+      val us = (0 to 3).map { d =>
+        s"e.x$d - CAST(floor($lr * (g.g$d / g.m) + 0.5) AS BIGINT) AS x$d"
+      }.mkString(", ")
+      s"gr$k AS (SELECT p.center AS doc_id, $gs, SUM(p.n) AS m " +
+        s"FROM pp p JOIN $p c ON p.center = c.doc_id JOIN $p x ON p.other = x.doc_id " +
+        "GROUP BY p.center), " +
+        s"em$k AS MATERIALIZED (SELECT e.doc_id, $us " +
+        s"FROM $p e JOIN gr$k g ON e.doc_id = g.doc_id)"
+    }.mkString(", ")
+    val inits = (0 to 3).map { d =>
+      s"${md5b(s"doc_id || ':$d'")} % 1000001 - 500000 AS x$d"
+    }.mkString(", ")
+    s"$walkPairsCtesSql, " +
+      "pp AS MATERIALIZED (" +
+      "SELECT center, context AS other, n_cooc AS n, 1000000.0 AS y FROM wp " +
+      "UNION ALL " +
+      s"SELECT center, other, n, 0.0 AS y FROM (SELECT center, " +
+      s"${md5b("center || ':' || context || ':n'")} % d AS other, n_cooc AS n " +
+      "FROM wp CROSS JOIN nn) WHERE other <> center), " +
+      "em0 AS MATERIALIZED (SELECT doc_id, " + inits +
+      " FROM (SELECT DISTINCT center AS doc_id FROM wp)), " +
+      s"$epochs " +
+      s"SELECT e.doc_id, np.n_pairs, e.x0, e.x1, e.x2, e.x3 " +
+      s"FROM em${ext.Graph.EmbedEpochs} e JOIN " +
+      "(SELECT center AS doc_id, CAST(SUM(n_cooc) AS BIGINT) AS n_pairs " +
+      "FROM wp GROUP BY center) np ON e.doc_id = np.doc_id " +
+      "ORDER BY e.doc_id"
   }
 
   // node2vec-biased walks (p = 4, q = 0.25): the uniform walk chain
@@ -2868,17 +2952,14 @@ object SparkEntry {
     "q_random_walks" -> randomWalksSql,
     // node2vec biased walks: lexicographic (class, hash) election
     "q_node2vec_walks" -> node2vecWalksSql,
+    // serving: rank/trust mass of each page's outbound targets
+    "q_crawl_priority" -> crawlPrioritySql,
     // skip-gram co-occurrence pairs over the walks (window 2)
     "q_walk_context_pairs" ->
-      (s"${randomWalksCtesSql} " +
-        ", wk AS MATERIALIZED (" +
-        (0 to ext.Graph.WalkSteps).map { k =>
-          s"SELECT start_id, walk_seed, CAST($k AS BIGINT) AS step, node_id FROM w$k"
-        }.mkString(" UNION ALL ") + ") " +
-        "SELECT a.node_id AS center, b.node_id AS context, CAST(COUNT(*) AS BIGINT) AS n_cooc " +
-        "FROM wk a JOIN wk b ON a.start_id = b.start_id AND a.walk_seed = b.walk_seed " +
-        s"WHERE a.step <> b.step AND ABS(a.step - b.step) <= ${ext.Graph.WalkWindow} " +
-        "GROUP BY a.node_id, b.node_id ORDER BY center, context"),
+      (s"$walkPairsCtesSql " +
+        "SELECT center, context, n_cooc FROM wp ORDER BY center, context"),
+    // DeepWalk closure: unrolled full-batch factorization descent
+    "q_node_embeddings" -> nodeEmbeddingsSql,
     // the corpus card: one scan, one source-keyed aggregate; rates use
     // the exact-integer-ratio snap (floor(x*1e6+0.5)/1e6)
     "q_corpus_card" ->

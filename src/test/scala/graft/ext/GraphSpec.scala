@@ -448,4 +448,57 @@ class GraphSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(dfs != uniform, "outward bias must visibly shift the walks")
   }
+
+  /** Collect (doc_id -> x0..x3 as doubles) from an embedding frame. */
+  private def embMap(df: org.apache.spark.sql.DataFrame): Map[Long, Array[Double]] =
+    df.collect().map { r =>
+      r.getLong(0) -> Array(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        .map(_.toDouble)
+    }.toMap
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  }
+
+  test("node embeddings separate a planted two-cluster pair graph (cosine margin)") {
+    import spark.implicits._
+    // two disjoint 4-cliques in the co-occurrence graph — walks in one
+    // cluster never emit a cross-cluster pair, so training must pull
+    // each clique toward its own consensus direction
+    val cliques = Seq(Seq(0L, 1L, 2L, 3L), Seq(4L, 5L, 6L, 7L))
+    val pairs = (for { c <- cliques; x <- c; y <- c if x != y }
+      yield (x, y, 25L)).toDF("center", "context", "n_cooc")
+    val emb = embMap(Graph.nodeEmbeddingsOnPairs(pairs, nTotal = 8))
+    assert(emb.keySet == (0L to 7L).toSet)
+    val intra = for { c <- cliques; x <- c; y <- c if x < y }
+      yield cosine(emb(x), emb(y))
+    val inter = for { x <- cliques.head; y <- cliques(1) }
+      yield cosine(emb(x), emb(y))
+    val (mi, mx) = (intra.sum / intra.size, inter.sum / inter.size)
+    assert(mi > mx + 0.3,
+      s"clusters not separated: mean intra cosine $mi vs mean inter $mx")
+  }
+
+  test("node embeddings are partition-invariant (micro-snapped gradient sums)") {
+    import spark.implicits._
+    val pairs = (for { x <- 0L to 5L; y <- 0L to 5L if x != y }
+      yield (x, y, 1L + (x * 7 + y) % 5)).toDF("center", "context", "n_cooc")
+    val a = embMap(Graph.nodeEmbeddingsOnPairs(pairs.repartition(1), nTotal = 6))
+    val b = embMap(Graph.nodeEmbeddingsOnPairs(pairs.repartition(7), nTotal = 6))
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) => assert(v.sameElements(b(k)), s"node $k drifted") }
+  }
+
+  test("node embeddings on the planted corpus cover exactly the walk-pair centers") {
+    val docs = plantedDocs
+    val pairs = Graph.walkContextPairsDf(docs, startEvery = 2).localCheckpoint()
+    val emb = Graph.nodeEmbeddingsOnPairs(pairs, nTotal = docs.count()).collect()
+    val centers = pairs.select("center").distinct().collect().map(_.getLong(0)).toSet
+    assert(emb.map(_.getLong(0)).toSet == centers, "one embedding row per pair center")
+    // n_pairs is the node's total pair weight — the gradient normalizer
+    val np = pairs.groupBy(col("center")).agg(sum(col("n_cooc")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    emb.foreach(r => assert(r.getLong(1) == np(r.getLong(0))))
+  }
 }
