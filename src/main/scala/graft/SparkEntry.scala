@@ -282,6 +282,10 @@ object SparkEntry {
     "q_walk_context_pairs" -> ((s: SparkSession, d: String) => ext.Graph.walkContextPairs(s, d)),
     // DeepWalk closure: 4-dim embeddings from the walk-context pairs
     "q_node_embeddings"   -> ((s: SparkSession, d: String) => ext.Graph.nodeEmbeddings(s, d)),
+    // triangle family: per-node count + local clustering coefficient,
+    // degree-ordered orientation (the at-scale wedge bound)
+    "q_clustering_coefficient" -> ((s: SparkSession, d: String) => ext.Graph.clusteringCoefficient(s, d)),
+    "q_graph_transitivity" -> ((s: SparkSession, d: String) => ext.Graph.graphTransitivity(s, d)),
     "q_event_transitions" -> (ExtraQueries.eventTransitions _),
     "q_transition_entropy" -> (ExtraQueries.transitionEntropy _)
   )
@@ -397,6 +401,27 @@ object SparkEntry {
       "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst), " +
       "od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY src), " +
       "ideg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_deg FROM e GROUP BY dst)"
+
+  // the triangle family's shared chain: undirected simple edges,
+  // per-node undirected degrees, the (degree, id) orientation, the
+  // wedge-closing triangle join, per-node triangle counts — mirrors
+  // Graph.orientEdges/triangleRows term by term (all integer)
+  private lazy val triangleCtesSql: String =
+    s"$linkGraphCteSql, " +
+      "u AS MATERIALIZED (SELECT DISTINCT src, dst FROM " +
+      "(SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)), " +
+      "ud AS MATERIALIZED (SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS udeg " +
+      "FROM u GROUP BY src), " +
+      "oe AS MATERIALIZED (SELECT u.src, u.dst, s.udeg AS sdeg, t.udeg AS ddeg " +
+      "FROM u JOIN ud s ON u.src = s.doc_id JOIN ud t ON u.dst = t.doc_id " +
+      "WHERE s.udeg < t.udeg OR (s.udeg = t.udeg AND u.src < u.dst)), " +
+      "tri AS MATERIALIZED (SELECT w1.src AS a, w1.dst AS b, w2.dst AS c " +
+      "FROM oe w1 JOIN oe w2 ON w1.src = w2.src " +
+      "JOIN oe w3 ON w3.src = w1.dst AND w3.dst = w2.dst " +
+      "WHERE w1.ddeg < w2.ddeg OR (w1.ddeg = w2.ddeg AND w1.dst < w2.dst)), " +
+      "tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM " +
+      "(SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) " +
+      "GROUP BY doc_id)"
 
   // the seeded-teleport rank recurrence, 4 unrolled exact-integer
   // iterations — every aggregate sums BIGINTs (contributions
@@ -2960,6 +2985,28 @@ object SparkEntry {
         "SELECT center, context, n_cooc FROM wp ORDER BY center, context"),
     // DeepWalk closure: unrolled full-batch factorization descent
     "q_node_embeddings" -> nodeEmbeddingsSql,
+    // triangle family: degree-ordered orientation makes every wedge
+    // and every triangle appear exactly once — pure integer joins,
+    // only the final lcc ratio is FP (exact-ratio 6-dp snap)
+    "q_clustering_coefficient" ->
+      (s"$triangleCtesSql " +
+        "SELECT d.doc_id, COALESCE(ud.udeg, 0) AS und_deg, " +
+        "COALESCE(tc.n_triangles, 0) AS n_triangles, " +
+        "CASE WHEN COALESCE(ud.udeg, 0) >= 2 THEN " +
+        "floor(2000000.0 * COALESCE(tc.n_triangles, 0) / (ud.udeg * (ud.udeg - 1)) + 0.5) / 1000000.0 " +
+        "ELSE 0.0 END AS lcc " +
+        "FROM documents d LEFT JOIN ud ON d.doc_id = ud.doc_id " +
+        "LEFT JOIN tc ON d.doc_id = tc.doc_id ORDER BY d.doc_id"),
+    "q_graph_transitivity" ->
+      (s"$triangleCtesSql " +
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_nodes, " +
+        "(SELECT CAST(SUM(udeg) / 2 AS BIGINT) FROM ud) AS n_und_edges, " +
+        "(SELECT CAST(SUM(udeg * (udeg - 1)) / 2 AS BIGINT) FROM ud) AS n_wedges, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles, " +
+        "CASE WHEN (SELECT SUM(udeg * (udeg - 1)) FROM ud) > 0 THEN " +
+        "floor(3000000.0 * (SELECT COUNT(*) FROM tri) / " +
+        "(SELECT CAST(SUM(udeg * (udeg - 1)) / 2 AS BIGINT) FROM ud) + 0.5) / 1000000.0 " +
+        "ELSE 0.0 END AS transitivity"),
     // the corpus card: one scan, one source-keyed aggregate; rates use
     // the exact-integer-ratio snap (floor(x*1e6+0.5)/1e6)
     "q_corpus_card" ->

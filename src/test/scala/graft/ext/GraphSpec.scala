@@ -490,6 +490,38 @@ class GraphSpec extends SparkTestBase {
     a.foreach { case (k, v) => assert(v.sameElements(b(k)), s"node $k drifted") }
   }
 
+  test("triangle family matches a brute-force enumeration on the planted graph") {
+    val fixture = plantedDocs
+    val e = Graph.linkEdgesDf(fixture).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val adj = und.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nodes = (0L until fixture.count()).toSeq
+    def tri(v: Long): Long = {
+      val ns = adj.getOrElse(v, Set.empty).toSeq
+      (for { i <- ns.indices; j <- i + 1 until ns.size
+             if adj(ns(i)).contains(ns(j)) } yield 1L).sum
+    }
+    val expected = nodes.map(v => v -> tri(v)).toMap
+    val got = Graph.clusteringCoefficientDf(fixture).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { v =>
+      val (k, t, lcc) = got(v)
+      assert(k == adj.getOrElse(v, Set.empty).size.toLong, s"degree of $v")
+      assert(t == expected(v), s"triangles of $v: got $t want ${expected(v)}")
+      val want = if (k >= 2) math.floor(2e6 * t / (k * (k - 1)) + 0.5) / 1e6 else 0.0
+      assert(lcc == want, s"lcc of $v")
+    }
+    // global identities: Σ per-node T = 3 · total; transitivity = 3T/W
+    val g = Graph.graphTransitivityDf(fixture).head()
+    assert(g.getLong(3) * 3 == expected.values.sum, "each triangle counted at 3 nodes")
+    assert(g.getLong(1) == und.length / 2, "undirected edge count")
+    val w = nodes.map(v => { val k = adj.getOrElse(v, Set.empty).size.toLong; k * (k - 1) / 2 }).sum
+    assert(g.getLong(2) == w, "wedge count")
+    if (w > 0)
+      assert(g.getDouble(4) == math.floor(3e6 * g.getLong(3) / w + 0.5) / 1e6)
+  }
+
   test("node embeddings on the planted corpus cover exactly the walk-pair centers") {
     val docs = plantedDocs
     val pairs = Graph.walkContextPairsDf(docs, startEvery = 2).localCheckpoint()
