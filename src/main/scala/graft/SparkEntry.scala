@@ -286,6 +286,9 @@ object SparkEntry {
     // degree-ordered orientation (the at-scale wedge bound)
     "q_clustering_coefficient" -> ((s: SparkSession, d: String) => ext.Graph.clusteringCoefficient(s, d)),
     "q_graph_transitivity" -> ((s: SparkSession, d: String) => ext.Graph.graphTransitivity(s, d)),
+    // embedding evaluation: reconstruction AUC (edges vs hash-derived
+    // non-edges scored by the trained embedding dot)
+    "q_link_prediction_auc" -> ((s: SparkSession, d: String) => ext.Graph.linkPredictionAuc(s, d)),
     "q_event_transitions" -> (ExtraQueries.eventTransitions _),
     "q_transition_entropy" -> (ExtraQueries.transitionEntropy _)
   )
@@ -569,7 +572,9 @@ object SparkEntry {
   // full-batch factorization descent over the walk pairs: unrolled
   // epochs, per-pair gradient terms micro-snapped before BIGINT SUMs,
   // the residual's /1e6 and the lr update per-row IEEE — bit-exact
-  private lazy val nodeEmbeddingsSql: String = {
+  // the embedding-training CTE chain through em{EmbedEpochs} — shared
+  // by q_node_embeddings and the link-prediction evaluation
+  private lazy val nodeEmbeddingsCtesSql: String = {
     val lr = ext.Graph.EmbedLr
     def md5b(s: String) = s"(('0x' || substr(md5($s), 1, 15))::BIGINT)"
     val dot = "(c.x0*x.x0 + c.x1*x.x1 + c.x2*x.x2 + c.x3*x.x3) / 1000000.0"
@@ -599,12 +604,46 @@ object SparkEntry {
       "FROM wp CROSS JOIN nn) WHERE other <> center), " +
       "em0 AS MATERIALIZED (SELECT doc_id, " + inits +
       " FROM (SELECT DISTINCT center AS doc_id FROM wp)), " +
-      s"$epochs " +
+      s"$epochs"
+  }
+
+  private lazy val nodeEmbeddingsSql: String =
+    s"$nodeEmbeddingsCtesSql " +
       s"SELECT e.doc_id, np.n_pairs, e.x0, e.x1, e.x2, e.x3 " +
       s"FROM em${ext.Graph.EmbedEpochs} e JOIN " +
       "(SELECT center AS doc_id, CAST(SUM(n_cooc) AS BIGINT) AS n_pairs " +
       "FROM wp GROUP BY center) np ON e.doc_id = np.doc_id " +
       "ORDER BY e.doc_id"
+
+  // link-prediction (reconstruction) AUC of the trained embeddings:
+  // positives = directed edges with both endpoints embedded, one
+  // hash-derived non-edge candidate per positive; score = sigmoid of
+  // the exact integer dot (micro-units² → /1e12), 6-dp-snapped; AUC by
+  // the q_quality_auc histogram-midrank replay
+  private lazy val linkPredictionAucSql: String = {
+    val emN = s"em${ext.Graph.EmbedEpochs}"
+    val dot = "(a.x0*b.x0 + a.x1*b.x1 + a.x2*b.x2 + a.x3*b.x3) / 1000000000000.0"
+    s"$nodeEmbeddingsCtesSql, " +
+      "lp_pos AS (SELECT src, dst, 1 AS pos FROM e), " +
+      "lp_negc AS (SELECT src, (('0x' || substr(md5(src || ':' || dst || ':neg'), 1, 15))::BIGINT) % d AS dst " +
+      "FROM e CROSS JOIN nn), " +
+      "lp_neg AS (SELECT n.src, n.dst, 0 AS pos FROM lp_negc n " +
+      "WHERE n.dst <> n.src AND NOT EXISTS " +
+      "(SELECT 1 FROM e WHERE e.src = n.src AND e.dst = n.dst)), " +
+      "lp_lab AS (SELECT * FROM lp_pos UNION ALL SELECT * FROM lp_neg), " +
+      s"lp_sc AS (SELECT round(1.0 / (1.0 + exp(-($dot))), 6) AS score, pos " +
+      s"FROM lp_lab JOIN $emN a ON lp_lab.src = a.doc_id " +
+      s"JOIN $emN b ON lp_lab.dst = b.doc_id), " +
+      "lp_hist AS (SELECT score, COUNT(*) AS n_s, SUM(pos) AS npos_s FROM lp_sc GROUP BY score), " +
+      "lp_c AS (SELECT n_s, npos_s, COALESCE(SUM(n_s) OVER " +
+      "(ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM lp_hist), " +
+      "lp_a AS (SELECT CAST(SUM(npos_s) AS BIGINT) AS n_pos, " +
+      "CAST(SUM(n_s - npos_s) AS BIGINT) AS n_neg, " +
+      "CAST(SUM(CAST(npos_s AS HUGEINT) * (2 * cum + n_s + 1)) AS HUGEINT) AS sr2 FROM lp_c) " +
+      "SELECT n_pos, n_neg, CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.5 ELSE " +
+      "round(CAST(sr2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE) " +
+      "/ CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE), 6) END AS auc " +
+      "FROM lp_a"
   }
 
   // node2vec-biased walks (p = 4, q = 0.25): the uniform walk chain
@@ -2985,6 +3024,9 @@ object SparkEntry {
         "SELECT center, context, n_cooc FROM wp ORDER BY center, context"),
     // DeepWalk closure: unrolled full-batch factorization descent
     "q_node_embeddings" -> nodeEmbeddingsSql,
+    // embedding evaluation: histogram-midrank AUC over sigmoid-scored
+    // edges vs hash-derived non-edges (the q_quality_auc replay)
+    "q_link_prediction_auc" -> linkPredictionAucSql,
     // triangle family: degree-ordered orientation makes every wedge
     // and every triangle appear exactly once — pure integer joins,
     // only the final lcc ratio is FP (exact-ratio 6-dp snap)

@@ -592,10 +592,19 @@ object Graph {
     * ordering (the minhashCandidatePairsUnordered discipline).
     */
   def randomWalksUnorderedDf(docs: DataFrame, steps: Int = WalkSteps, seeds: Int = WalkSeeds,
-                             startEvery: Int = WalkStartEvery): DataFrame = {
+                             startEvery: Int = WalkStartEvery): DataFrame =
+    randomWalksUnorderedOnEdges(docs, linkEdgesDf(docs).localCheckpoint(),
+      steps, seeds, startEvery)
+
+  /** The walk loop over an ALREADY-CHECKPOINTED edge table — callers
+    * that also consume the edges themselves (link prediction) pass the
+    * shared checkpoint so the corpus-sized bigram derivation runs once.
+    */
+  private[graft] def randomWalksUnorderedOnEdges(docs: DataFrame, edges: DataFrame,
+                                                 steps: Int = WalkSteps, seeds: Int = WalkSeeds,
+                                                 startEvery: Int = WalkStartEvery): DataFrame = {
     require(steps >= 1 && seeds >= 1 && startEvery >= 1,
       s"need steps/seeds/startEvery >= 1, got $steps/$seeds/$startEvery")
-    val edges = linkEdgesDf(docs).localCheckpoint()
     var pos = docs.select(col("doc_id"))
       .filter(col("doc_id") % startEvery === 0)
       .select(col("doc_id").as("start_id"),
@@ -753,9 +762,19 @@ object Graph {
     */
   def walkContextPairsUnorderedDf(docs: DataFrame, window: Int = WalkWindow,
                                   steps: Int = WalkSteps, seeds: Int = WalkSeeds,
-                                  startEvery: Int = WalkStartEvery): DataFrame = {
+                                  startEvery: Int = WalkStartEvery): DataFrame =
+    walkContextPairsUnorderedOnEdges(docs, linkEdgesDf(docs).localCheckpoint(),
+      window, steps, seeds, startEvery)
+
+  /** Pair table over a shared pre-checkpointed edge table — see
+    * [[randomWalksUnorderedOnEdges]].
+    */
+  private[graft] def walkContextPairsUnorderedOnEdges(docs: DataFrame, edges: DataFrame,
+                                                      window: Int = WalkWindow,
+                                                      steps: Int = WalkSteps, seeds: Int = WalkSeeds,
+                                                      startEvery: Int = WalkStartEvery): DataFrame = {
     require(window >= 1, s"need window >= 1, got $window")
-    val walks = randomWalksUnorderedDf(docs, steps, seeds, startEvery)
+    val walks = randomWalksUnorderedOnEdges(docs, edges, steps, seeds, startEvery)
       .localCheckpoint() // the eager walk loop runs once, not per side
     val a = walks.select(col("start_id"), col("walk_seed"),
       col("step").as("step_a"), col("node_id").as("center"))
@@ -1086,6 +1105,59 @@ object Graph {
     labeled.join(sizes, Seq("scc_id"))
       .select(col("doc_id"), col("scc_id"), col("scc_size"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Link-prediction (reconstruction) AUC of the trained node
+    * embeddings — the evaluation that closes the DeepWalk loop: does
+    * the factorization actually score true links above non-links?
+    * Positives are the directed edges whose both endpoints got an
+    * embedding; each positive contributes one hash-derived non-edge
+    * candidate (`md5(src:dst:neg) mod D`, the corpus-prep RNG-free
+    * negative discipline), kept only if it is not itself an edge and
+    * its endpoint is embedded. Score = sigmoid of the exact integer
+    * dot product (micro-units² → /1e12, per-row IEEE both engines),
+    * 6-dp-snapped for [[TextAnalysis.aucOfScores]]'s histogram-midrank
+    * AUC. Returns one row (n_pos, n_neg, auc).
+    *
+    * Scale shape: the edge table is the only corpus-sized frame; the
+    * embedding table is walk-frontier-sized. Two embedding probe joins
+    * + one ≤1e6-row score histogram — no per-pair state, no windows
+    * over the corpus.
+    */
+  def linkPredictionAuc(spark: SparkSession, d: String): DataFrame =
+    linkPredictionAucDf(Tables.fanOut(Tables.documents(spark, d)))
+
+  def linkPredictionAucDf(docs: DataFrame,
+                          startEvery: Int = WalkStartEvery): DataFrame = {
+    val nTotal = docs.count()
+    val e = linkEdgesDf(docs).localCheckpoint()
+    // the walk chain probes the SAME edge checkpoint the pos/neg labels
+    // read — the corpus-sized bigram derivation runs exactly once
+    val pairs = walkContextPairsUnorderedOnEdges(docs, e, startEvery = startEvery)
+      .localCheckpoint()
+    val em = nodeEmbeddingsOnPairs(pairs, nTotal)
+      .select(col("doc_id"), col("x0"), col("x1"), col("x2"), col("x3"))
+      .localCheckpoint()
+    org.apache.spark.sql.GraftSql.releaseCheckpoint(pairs)
+    val pos = e.select(col("src"), col("dst"), lit(1L).as("pos"))
+    val neg = e.select(col("src"),
+        pmod(md5Bucket60(concat_ws(":", col("src"), col("dst"), lit("neg"))),
+          lit(nTotal)).as("dst"))
+      .filter(col("dst") =!= col("src"))
+      .join(e, Seq("src", "dst"), "left_anti")
+      .select(col("src"), col("dst"), lit(0L).as("pos"))
+    val a = em.select(col("doc_id").as("src"), col("x0").as("a0"),
+      col("x1").as("a1"), col("x2").as("a2"), col("x3").as("a3"))
+    val b = em.select(col("doc_id").as("dst"), col("x0").as("b0"),
+      col("x1").as("b1"), col("x2").as("b2"), col("x3").as("b3"))
+    val dot = (col("a0") * col("b0") + col("a1") * col("b1") +
+      col("a2") * col("b2") + col("a3") * col("b3")).cast("double") /
+      lit(1000000000000.0)
+    val scored = pos.unionByName(neg)
+      .join(a, Seq("src")).join(b, Seq("dst"))
+      .select(round(lit(1.0) / (lit(1.0) + exp(-dot)), 6).as("score"),
+        col("pos"))
+    TextAnalysis.aucOfScores(scored)
   }
 
   /** The undirected simple edge table (both directions, distinct) and

@@ -490,6 +490,18 @@ class GraphSpec extends SparkTestBase {
     a.foreach { case (k, v) => assert(v.sameElements(b(k)), s"node $k drifted") }
   }
 
+  test("link-prediction AUC: well-formed, partition-invariant, replayed driver-side") {
+    val fixture = plantedDocs
+    val r = Graph.linkPredictionAucDf(fixture, startEvery = 1).collect()
+    assert(r.length == 1)
+    val (np, nn, auc) = (r(0).getLong(0), r(0).getLong(1), r(0).getDouble(2))
+    assert(np > 0, "dense walks must embed enough endpoints for positives")
+    assert(auc >= 0.0 && auc <= 1.0)
+    val b = Graph.linkPredictionAucDf(fixture.repartition(7), startEvery = 1).head()
+    assert((b.getLong(0), b.getLong(1), b.getDouble(2)) == ((np, nn, auc)),
+      "AUC must be partition-invariant (snapped scores, integer rank sums)")
+  }
+
   test("triangle family matches a brute-force enumeration on the planted graph") {
     val fixture = plantedDocs
     val e = Graph.linkEdgesDf(fixture).collect().map(r => (r.getLong(0), r.getLong(1)))
