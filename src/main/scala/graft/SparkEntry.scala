@@ -289,6 +289,8 @@ object SparkEntry {
     // embedding evaluation: reconstruction AUC (edges vs hash-derived
     // non-edges scored by the trained embedding dot)
     "q_link_prediction_auc" -> ((s: SparkSession, d: String) => ext.Graph.linkPredictionAuc(s, d)),
+    // entity resolution: FastSS deletion-neighborhood fuzzy join
+    "q_fuzzy_entity_match" -> ((s: SparkSession, d: String) => ext.EntityResolution.fuzzyCustomerMatch(s, d)),
     "q_event_transitions" -> (ExtraQueries.eventTransitions _),
     "q_transition_entropy" -> (ExtraQueries.transitionEntropy _)
   )
@@ -3027,6 +3029,29 @@ object SparkEntry {
     // embedding evaluation: histogram-midrank AUC over sigmoid-scored
     // edges vs hash-derived non-edges (the q_quality_auc replay)
     "q_link_prediction_auc" -> linkPredictionAucSql,
+    // entity resolution: FastSS k=1 deletion-neighborhood blocking,
+    // levenshtein <= 1 verification, (distance, key) argmin election —
+    // all string/integer ops, engine-identical
+    "q_fuzzy_entity_match" ->
+      ("WITH cust AS (SELECT c_custkey AS key, c_name AS name FROM customer), " +
+        "pr AS (SELECT key AS probe_id, " +
+        "substr(name, 1, CAST((('0x' || substr(md5(name), 1, 15))::BIGINT) % length(name) AS INT)) || " +
+        "substr(name, CAST((('0x' || substr(md5(name), 1, 15))::BIGINT) % length(name) AS INT) + 2) AS probe_name " +
+        "FROM cust), " +
+        "pk AS (SELECT probe_id, probe_name, unnest(list_distinct(list_prepend(probe_name, " +
+        "list_transform(range(1, length(probe_name) + 1), i -> " +
+        "substr(probe_name, 1, i - 1) || substr(probe_name, i + 1))))) AS k FROM pr), " +
+        "tk AS (SELECT key, name, unnest(list_distinct(list_prepend(name, " +
+        "list_transform(range(1, length(name) + 1), i -> " +
+        "substr(name, 1, i - 1) || substr(name, i + 1))))) AS k FROM cust), " +
+        "cand AS (SELECT DISTINCT probe_id, probe_name, key, name FROM pk JOIN tk USING (k)), " +
+        "m AS (SELECT probe_id, probe_name, key, name, " +
+        "CAST(levenshtein(probe_name, name) AS BIGINT) AS d FROM cand " +
+        "WHERE levenshtein(probe_name, name) <= 1) " +
+        "SELECT probe_id, probe_name, key AS match_key, name AS match_name, " +
+        "d AS edit_dist, CAST(COUNT(*) OVER (PARTITION BY probe_id) AS BIGINT) AS n_matches " +
+        "FROM m QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY d, key) = 1 " +
+        "ORDER BY probe_id"),
     // triangle family: degree-ordered orientation makes every wedge
     // and every triangle appear exactly once — pure integer joins,
     // only the final lcc ratio is FP (exact-ratio 6-dp snap)
