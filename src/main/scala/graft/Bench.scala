@@ -13,7 +13,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = LocalSession.build()
     BenchKit.warmUp(spark, sfDir)
+    // every registered query is a resident unless SparkEntry explicitly
+    // demoted it to correctness-only (the displace-rule ledger in
+    // BASELINE.md); Verify still runs the full surface
     val results = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(SparkEntry.correctnessOnly)
       .map(n => n -> BenchKit.best(spark, n, sfDir))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

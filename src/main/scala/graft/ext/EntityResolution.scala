@@ -56,12 +56,23 @@ object EntityResolution {
     * (probe_id, probe_name, match_key, match_name, edit_dist,
     * n_matches).
     */
-  def fuzzyJoinDf(probes: DataFrame, target: DataFrame): DataFrame = {
+  def fuzzyJoinDf(probes: DataFrame, target: DataFrame): DataFrame =
+    fuzzyJoinAgainstIndex(probes, targetIndexDf(target))
+
+  /** The exploded deletion-key index of a (key, name) target table —
+    * the frozen artifact the serving sink probes: (k, key, name). Size
+    * = Σ (|name|+1) rows; at scale this is the thing you build once
+    * and keep, not per batch.
+    */
+  def targetIndexDf(target: DataFrame): DataFrame =
+    target.select(col("key"), col("name"),
+      explode(deletionKeys(col("name"))).as("k"))
+
+  /** The join core over a prebuilt (possibly frozen) index. */
+  def fuzzyJoinAgainstIndex(probes: DataFrame, index: DataFrame): DataFrame = {
     val pk = probes.select(col("probe_id"), col("probe_name"),
       explode(deletionKeys(col("probe_name"))).as("k"))
-    val tk = target.select(col("key"), col("name"),
-      explode(deletionKeys(col("name"))).as("k"))
-    val cand = pk.join(tk, Seq("k"))
+    val cand = pk.join(index, Seq("k"))
       .select(col("probe_id"), col("probe_name"), col("key"), col("name"))
       .distinct()
     cand.filter(levenshtein(col("probe_name"), col("name")) <= 1)
@@ -88,5 +99,34 @@ object EntityResolution {
     val probes = cust.select(col("key").as("probe_id"),
       corrupt(col("name")).as("probe_name"))
     fuzzyJoinDf(probes, cust)
+  }
+
+  /** Streaming half of the family: resolve arriving mentions
+    * (probe_id, probe_name) against the deletion-key index of a FROZEN
+    * target table — the serve shape of every other family
+    * (trustRankSink / qualityModelSink precedent). The index is built
+    * once, pinned under the sink's checkpoint scope (release via
+    * `Freeze.release(checkpoint)` after stop), and probed per
+    * micro-batch with the exact batch join core, so batch and stream
+    * verdicts cannot drift.
+    */
+  def fuzzyMatchSink(mentionStream: DataFrame, target: DataFrame,
+                     outPath: String, checkpoint: String,
+                     triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val frozen = Freeze.scoped(checkpoint, targetIndexDf(target))
+    mentionStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // per-batch presentation sort stripped (spanDedupSink note)
+          org.apache.spark.sql.GraftSql.unordered(
+            fuzzyJoinAgainstIndex(batch, frozen))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
   }
 }

@@ -314,13 +314,64 @@ object Graph {
   private[ext] def rankServeState(docs: DataFrame, trustSeed: Column,
                                   iters: Int = RankIters)
       : (DataFrame, Seq[DataFrame]) = {
+    require(iters >= 1, s"rank loop needs >= 1 iteration, got $iters")
     val edges = linkEdgesDf(docs).localCheckpoint()
-    val pr = rankLoopStateOn(docs, edges, lit(true), iters)
-    val tr = rankLoopStateOn(docs, edges, trustSeed, iters)
-    val serve = pr.select(col("doc_id"), col("rank_nano"))
-      .join(tr.select(col("doc_id"), col("rank_nano").as("trust_nano")),
-        Seq("doc_id"))
-    (serve, Seq(pr, tr, edges))
+    // FUSED dual recurrence: the vanilla and the seeded rank ride ONE
+    // state frame — one edge join, one dangling aggregate, one
+    // checkpoint per round instead of two of each. Per column the
+    // arithmetic is rankStep's recurrence verbatim (same snaps, same
+    // order), so the fusion is plan-shape-only: GraphSpec asserts the
+    // serve table equals the two single-seed loops bit-for-bit, and
+    // the q_crawl_priority oracle replays both columns unchanged.
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val nAll = docs.count()
+    val nTrust = docs.agg(
+      coalesce(sum(when(trustSeed, lit(1L)).otherwise(lit(0L))), lit(0L)))
+      .head().getLong(0)
+    require(nTrust > 0,
+      "rankServeState: the trust seed set is empty — no document " +
+        "matches the seed predicate, every trust rank would be 0/0")
+    var st = docs.select(col("doc_id"),
+        when(trustSeed, lit(1L)).otherwise(lit(0L)).as("s_t"))
+      .join(outDeg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("s_t"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        snap(lit(Unit) / lit(nAll)).as("rank_nano"),
+        (col("s_t") * snap(lit(Unit) / lit(nTrust))).as("trust_nano"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = st.filter(col("out_deg") > 0)
+        .select(col("doc_id").as("src"),
+          snap(col("rank_nano").cast("double") / col("out_deg")).as("cp"),
+          snap(col("trust_nano").cast("double") / col("out_deg")).as("ct"))
+        .join(edges, Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum(col("cp")).as("inflow_p"), sum(col("ct")).as("inflow_t"))
+      val dang = st.agg(
+        coalesce(sum(when(col("out_deg") === 0, col("rank_nano"))), lit(0L))
+          .as("dang_p"),
+        coalesce(sum(when(col("out_deg") === 0, col("trust_nano"))), lit(0L))
+          .as("dang_t"))
+      val next = st.select(col("doc_id"), col("s_t"), col("out_deg"))
+        .join(contribs, Seq("doc_id"), "left")
+        .crossJoin(dang)
+        .select(col("doc_id"), col("s_t"), col("out_deg"),
+          (snap(lit((1.0 - Damping) * Unit) / lit(nAll)) +
+            snap(lit(Damping) *
+              (coalesce(col("inflow_p"), lit(0L)) +
+                snap(col("dang_p").cast("double") / lit(nAll)))
+                .cast("double"))).as("rank_nano"),
+          (col("s_t") * snap(lit((1.0 - Damping) * Unit) / lit(nTrust)) +
+            snap(lit(Damping) *
+              (coalesce(col("inflow_t"), lit(0L)) +
+                col("s_t") * snap(col("dang_t").cast("double") / lit(nTrust)))
+                .cast("double"))).as("trust_nano"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftSql.releaseCheckpoint(st)
+      st = next
+    }
+    val serve = st.select(col("doc_id"), col("rank_nano"), col("trust_nano"))
+    (serve, Seq(st, edges))
   }
 
   /** CRAWL-PRIORITY scoring against a frozen rank/trust table — the
@@ -1104,6 +1155,86 @@ object Graph {
       .agg(count(lit(1)).as("scc_size"))
     labeled.join(sizes, Seq("scc_id"))
       .select(col("doc_id"), col("scc_id"), col("scc_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Peel-round cap of [[kcoreMembership]] — shared with the oracle
+    * builder (post-fixpoint rounds are identities, so the oracle's
+    * fixed unroll and the Spark loop's early exit agree).
+    */
+  private[graft] val KcoreRounds = 8
+
+  /** k-core membership of the undirected link graph: repeatedly peel
+    * nodes whose degree WITHIN the surviving subgraph falls below k,
+    * to a fixpoint (capped at [[KcoreRounds]]). The survivors are the
+    * k-core — the densely-engaged region of the crawl frontier; web
+    * spam/quality pipelines read core membership as a robustness
+    * signal that single-shot degree cannot fake (a hub wired to
+    * leaves peels with its leaves).
+    *
+    * k is data-adaptive: ⌊(5/8)·mean undirected degree⌋ (mean over
+    * degree-carrying nodes). The fraction matters: k at the mean
+    * UNRAVELS a near-regular graph to an empty core (peeling the
+    * below-mean nodes drags the survivors' degrees down, which peels
+    * more — the Erdős–Rényi core-collapse effect; measured empty at
+    * every sf), while k near the minimum keeps everything. 5/8 sits
+    * below the unravel point for the near-Poisson degree profile the
+    * md5-mod edges produce, so the peel SEPARATES (393–446 of 500
+    * in-core at sf0.001/0.01). k rides the plan as a 1-row
+    * cross-joined scalar, identical in the oracle.
+    *
+    * Returns (doc_id, und_deg, k_threshold, in_kcore) over the full
+    * frontier; und_deg is the ORIGINAL undirected degree.
+    *
+    * Scale shape: the undirected edge table is checkpointed once; each
+    * round is two alive-set semi-joins + one degree aggregate —
+    * per-round cost ∝ surviving edges, strictly shrinking; dead round
+    * state is released (the rankLoopStateOn discipline).
+    */
+  def kcoreMembership(spark: SparkSession, d: String,
+                      rounds: Int = KcoreRounds): DataFrame =
+    kcoreMembershipDf(Tables.fanOut(Tables.documents(spark, d)), rounds)
+
+  def kcoreMembershipDf(docs: DataFrame, rounds: Int = KcoreRounds): DataFrame = {
+    require(rounds >= 1, s"kcore needs >= 1 round, got $rounds")
+    val (und, udeg0) = undirectedWithDegrees(docs)
+    val udeg = udeg0.localCheckpoint()
+    // k = floor(5 * sum / (8 * count)) — both products exact in
+    // doubles (sums < 2^50), one IEEE division, identical in DuckDB
+    val kRow = udeg.agg(
+      floor(lit(5.0) * sum(col("udeg")) / (lit(8.0) * count(lit(1))))
+        .cast("long").as("k_threshold"))
+      .localCheckpoint()
+    var alive = udeg.select(col("doc_id"))
+      .localCheckpoint()
+    var aliveCk = alive
+    var converged = false
+    var r = 0
+    while (!converged && r < rounds) {
+      val e2 = und
+        .join(alive.select(col("doc_id").as("src")), Seq("src"))
+        .join(alive.select(col("doc_id").as("dst")), Seq("dst"))
+      val deg = e2.groupBy(col("src").as("doc_id"))
+        .agg(count(lit(1)).as("d"))
+      val next = alive.join(deg, Seq("doc_id"), "left")
+        .crossJoin(kRow)
+        .filter(coalesce(col("d"), lit(0L)) >= col("k_threshold"))
+        .select(col("doc_id"))
+        .localCheckpoint()
+      converged = next.count() == alive.count()
+      org.apache.spark.sql.GraftSql.releaseCheckpoint(aliveCk)
+      aliveCk = next
+      alive = next
+      r += 1
+    }
+    org.apache.spark.sql.GraftSql.releaseCheckpoint(und)
+    docs.select(col("doc_id"))
+      .join(udeg, Seq("doc_id"), "left")
+      .join(alive.withColumn("in_kcore", lit(true)), Seq("doc_id"), "left")
+      .crossJoin(kRow)
+      .select(col("doc_id"), coalesce(col("udeg"), lit(0L)).as("und_deg"),
+        col("k_threshold"),
+        coalesce(col("in_kcore"), lit(false)).as("in_kcore"))
       .orderBy(col("doc_id"))
   }
 

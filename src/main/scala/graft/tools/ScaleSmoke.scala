@@ -92,6 +92,15 @@ object ScaleSmoke {
     // would look superlinear for data reasons, not engine reasons.
     require(replicas >= 1 && replicas <= 13,
       s"replicas must be in [1, 13] to keep replica texts/vectors distinct, got $replicas")
+    // the work dir is OVERWRITTEN — refuse the driver's read-only
+    // dataset tree outright (r13 incident: a transposed-argument call
+    // `ScaleSmoke <small-sf> /root/testdata/sf0.1 10 q_...` clobbered
+    // the real sf0.1 with a 10x replication of sf0.01; the positional
+    // workDir made the mistake one argument away)
+    require(!java.nio.file.Paths.get(work).toAbsolutePath.normalize
+        .startsWith("/root/testdata"),
+      s"workDir $work is inside the read-only testdata tree — " +
+        "ScaleSmoke OVERWRITES its workDir; use /tmp")
     val spark = graft.LocalSession.build()
 
     // resume guard: every table's _SUCCESS marker AND a matching replica

@@ -534,6 +534,55 @@ class GraphSpec extends SparkTestBase {
       assert(g.getDouble(4) == math.floor(3e6 * g.getLong(3) / w + 0.5) / 1e6)
   }
 
+  test("fused dual-rank serve table equals the two single-seed loops bit-for-bit") {
+    val docs = plantedDocs.withColumn("source",
+      when(col("doc_id") < 3, lit("src0")).otherwise(lit("srcX")))
+    val serve = Graph.rankServeTableDf(docs, col("source") === lit("src0"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val pr = Graph.pagerankDf(docs, topK = 100).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tr = Graph.trustrankDf(docs, col("source") === lit("src0"), topK = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(serve.keySet == pr.keySet && serve.keySet == tr.keySet)
+    serve.foreach { case (v, (rp, rt)) =>
+      assert(rp == pr(v), s"fused rank of $v drifted: $rp vs ${pr(v)}")
+      assert(rt == tr(v), s"fused trust of $v drifted: $rt vs ${tr(v)}")
+    }
+  }
+
+  test("k-core membership matches a driver-side peel on the planted graph") {
+    val fixture = plantedDocs
+    val e = Graph.linkEdgesDf(fixture).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val deg0 = und.groupBy(_._1).map { case (v, es) => v -> es.length.toLong }
+    val k = math.floor(5.0 * deg0.values.sum / (8.0 * deg0.size)).toLong
+    var alive = deg0.keySet
+    var changed = true
+    while (changed) {
+      val d = und.filter { case (a, b) => alive(a) && alive(b) }
+        .groupBy(_._1).map { case (v, es) => v -> es.length.toLong }
+      val next = alive.filter(v => d.getOrElse(v, 0L) >= k)
+      changed = next != alive
+      alive = next
+    }
+    val got = Graph.kcoreMembershipDf(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == (0L until fixture.count()).toSet)
+    got.foreach { case (v, (ud, kt, in)) =>
+      assert(kt == k, s"threshold: got $kt want $k")
+      assert(ud == deg0.getOrElse(v, 0L), s"degree of $v")
+      assert(in == alive(v), s"membership of $v: got $in want ${alive(v)}")
+    }
+    // separation is a corpus-scale property (the 10-node fixture may
+    // legitimately peel to empty): on the real table the 5/8 threshold
+    // must keep a nonempty core AND peel a nonempty tail
+    val corpus = Graph.kcoreMembership(spark, sfDir)
+      .groupBy(col("in_kcore")).agg(count(lit(1)))
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(corpus.getOrElse(true, 0L) > 0 && corpus.getOrElse(false, 0L) > 0,
+      s"peel must separate at corpus scale: $corpus")
+  }
+
   test("node embeddings on the planted corpus cover exactly the walk-pair centers") {
     val docs = plantedDocs
     val pairs = Graph.walkContextPairsDf(docs, startEvery = 2).localCheckpoint()

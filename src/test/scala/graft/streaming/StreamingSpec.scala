@@ -1221,4 +1221,36 @@ class StreamingSpec extends SparkTestBase {
         java.nio.file.Paths.get(ckpt).toAbsolutePath.normalize.toString),
       "terminated sink must leave no registered scope behind")
   }
+
+  test("streaming fuzzy-match sink: frozen deletion-key index, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val target = Seq(1L -> "carrot", 2L -> "parrot", 3L -> "banana")
+      .toDF("key", "name")
+    val arrivals = Seq(
+      10L -> "carot",   // deletion of carrot: matches 1 (and parrot? lev(carot,parrot)=2 no)
+      11L -> "banana",  // exact
+      12L -> "zzz")     // no match: no output row
+    val batch = graft.ext.EntityResolution
+      .fuzzyJoinDf(arrivals.toDF("probe_id", "probe_name"), target)
+      .collect().map(_.toSeq).toSet
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("fz_out").toString
+    val ckpt = Files.createTempDirectory("fz_ckpt").toString
+    val query = graft.ext.EntityResolution.fuzzyMatchSink(
+      input.toDF().toDF("probe_id", "probe_name"), target, out, ckpt,
+      triggerMs = 50L).start()
+    try {
+      input.addData(arrivals(0), arrivals(1))
+      query.processAllAvailable()
+      input.addData(arrivals(2))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    // the no-match arrival produced NO row — the sink's sparse contract
+    assert(!streamed.exists(_.head == 12L))
+    assert(streamed.exists(_.head == 10L) && streamed.exists(_.head == 11L))
+  }
 }
