@@ -305,7 +305,11 @@ object SparkEntry {
     // k-core peel to a fixpoint (data-adaptive k = floor mean degree)
     "q_kcore_membership"  -> ((s: SparkSession, d: String) => ext.Graph.kcoreMembership(s, d)),
     "q_event_transitions" -> (ExtraQueries.eventTransitions _),
-    "q_transition_entropy" -> (ExtraQueries.transitionEntropy _)
+    "q_transition_entropy" -> (ExtraQueries.transitionEntropy _),
+    // ordered product-analytics funnel (view -> click -> purchase)
+    "q_event_funnel"      -> (ExtraQueries.eventFunnel _),
+    // weekly cohort retention triangle
+    "q_cohort_retention"  -> (ExtraQueries.cohortRetention _)
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -1278,6 +1282,48 @@ object SparkEntry {
         "SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from, CAST(COUNT(*) AS BIGINT) AS n_branches, " +
         "CAST(SUM(term) AS BIGINT) AS entropy_micronat " +
         "FROM tm GROUP BY prev_type ORDER BY prev_type"),
+    // ordered funnel: chained per-user MIN-after-previous-step frames —
+    // mirrors the Spark step fold CTE for CTE (timestamps are exact
+    // microsecond integers in both engines)
+    "q_event_funnel" -> {
+      val steps = ExtraQueries.FunnelSteps
+      val chain = steps.zipWithIndex.map { case (s, i) =>
+        if (i == 0)
+          s"fr1 AS MATERIALIZED (SELECT user_id, MIN(ts) AS t FROM events " +
+            s"WHERE event_type = '$s' GROUP BY user_id)"
+        else
+          s"fr${i + 1} AS MATERIALIZED (SELECT e.user_id, MIN(e.ts) AS t " +
+            s"FROM events e JOIN fr$i p ON e.user_id = p.user_id " +
+            s"WHERE e.event_type = '$s' AND e.ts > p.t GROUP BY e.user_id)"
+      }.mkString(", ")
+      val rows = steps.zipWithIndex.map { case (s, i) =>
+        s"SELECT ${i + 1} AS step, '$s' AS event_type, " +
+          s"(SELECT CAST(COUNT(*) AS BIGINT) FROM fr${i + 1}) AS n_users"
+      }.mkString(" UNION ALL ")
+      s"WITH $chain, fsteps AS ($rows) " +
+        "SELECT step, event_type, n_users, " +
+        "CASE WHEN first_value(n_users) OVER wt > 0 THEN " +
+        "floor(CAST(n_users AS DOUBLE) / first_value(n_users) OVER wt * 1000000.0 + 0.5) / 1000000.0 " +
+        "ELSE 0.0 END AS conversion_from_top, " +
+        "CASE WHEN COALESCE(lag(n_users, 1) OVER wt, n_users) > 0 THEN " +
+        "floor(CAST(n_users AS DOUBLE) / COALESCE(lag(n_users, 1) OVER wt, n_users) * 1000000.0 + 0.5) / 1000000.0 " +
+        "ELSE 0.0 END AS conversion_from_prev " +
+        "FROM fsteps WINDOW wt AS (ORDER BY step) ORDER BY step"
+    },
+    // weekly cohort retention triangle: Monday-truncated weeks in both
+    // engines, exact day-difference offsets, 6-dp exact-ratio snaps
+    "q_cohort_retention" ->
+      ("WITH co AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week " +
+        "FROM events GROUP BY user_id), " +
+        "ac AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events), " +
+        "sz AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM co GROUP BY cohort_week), " +
+        "re AS (SELECT co.cohort_week, CAST((ac.week - co.cohort_week) / 7 AS BIGINT) AS week_offset, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_active " +
+        "FROM ac JOIN co ON ac.user_id = co.user_id GROUP BY co.cohort_week, week_offset) " +
+        "SELECT CAST(re.cohort_week AS VARCHAR) AS cohort_week, week_offset, n_active, n_cohort, " +
+        "floor(CAST(n_active AS DOUBLE) / n_cohort * 1000000.0 + 0.5) / 1000000.0 AS retention " +
+        "FROM re JOIN sz ON re.cohort_week = sz.cohort_week " +
+        "ORDER BY cohort_week, week_offset"),
     "q_window_lag" ->
       ("SELECT event_id, user_id, ts, event_type, " +
         "LAG(event_id, 1) OVER w AS prev_event_id, LAG(ts, 1) OVER w AS prev_ts " +

@@ -452,4 +452,106 @@ object ExtraQueries {
         TextExtract.parseVnDate(col("vn_text")).as("issue_date"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** The commerce funnel steps of [[eventFunnel]] — shared with the
+    * oracle builder so the step list exists once.
+    */
+  private[graft] val FunnelSteps = Seq("view", "click", "purchase")
+
+  /** Ordered-funnel analysis over the events table: per step, how many
+    * users reached it IN ORDER (each step's event strictly after the
+    * user's entry into the previous step — the classic product-
+    * analytics funnel, not a mere per-type distinct count: a user who
+    * purchased before ever viewing does NOT convert here). Conversion
+    * rates from the top of the funnel and from the previous step, 6-dp
+    * exact-ratio snapped.
+    *
+    * Scale shape: one user-keyed aggregate per step, each computing the
+    * earliest qualifying timestamp (MIN over a per-row predicate —
+    * map-side combined), chained by a user-keyed join; step count is a
+    * plan constant, so the whole funnel is |steps| keyed exchanges over
+    * per-user rows, never a self-join of the raw event table. Timestamp
+    * comparisons are exact (microsecond integers in both engines).
+    */
+  def eventFunnel(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    // reached(k): per user, earliest time of step k's event strictly
+    // after reached(k-1) — fold the step chain into per-user frames
+    // each step frame is read TWICE (its own count + the next step's
+    // chain) — checkpoint per step so single evaluation is structural
+    // (the smoothedStatTable lesson); the frames are per-user rows,
+    // tiny next to the event table they fold away
+    var reached = ev.filter(col("event_type") === lit(FunnelSteps.head))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t"))
+      .localCheckpoint()
+    val counts = scala.collection.mutable.ListBuffer(
+      reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(1L).as("step"), lit(FunnelSteps.head).as("event_type"),
+          col("n_users")))
+    FunnelSteps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      val prev = reached.withColumnRenamed("t", "t_prev")
+      reached = ev.filter(col("event_type") === lit(step))
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") > col("t_prev"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t"))
+        .localCheckpoint()
+      counts += reached.agg(count(lit(1)).as("n_users"))
+        .select(lit((i + 1).toLong).as("step"), lit(step).as("event_type"),
+          col("n_users"))
+    }
+    val steps = counts.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("step")).rowsBetween(-1, -1)
+    val top = org.apache.spark.sql.expressions.Window
+      .orderBy(col("step"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    def pct(num: org.apache.spark.sql.Column,
+            den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(den > 0, floor(num.cast("double") / den * lit(1e6) + lit(0.5)) / lit(1e6))
+        .otherwise(lit(0.0))
+    steps
+      .withColumn("conversion_from_top",
+        pct(col("n_users"), first(col("n_users")).over(top)))
+      .withColumn("conversion_from_prev",
+        pct(col("n_users"),
+          coalesce(first(col("n_users")).over(w), col("n_users"))))
+      .orderBy(col("step"))
+  }
+
+  /** Weekly cohort retention over the events table: users grouped by
+    * the ISO week of their FIRST event; per (cohort, week offset), how
+    * many of the cohort were active — the standard retention triangle.
+    * All counts exact; retention 6-dp exact-ratio snapped. `date_trunc
+    * ('week', ts)` starts Monday in both engines; offsets are exact
+    * day-difference divisions (always multiples of 7).
+    *
+    * Scale shape: one user-keyed aggregate for cohort assignment, one
+    * distinct (user, week) projection, one keyed join, one
+    * (cohort, offset) aggregate — no windows over the event table.
+    */
+  def cohortRetention(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d).select(col("user_id"), col("ts"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort"))
+    active.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / lit(7)).cast("long")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week").cast("string").as("cohort_week"),
+        col("week_offset"), col("n_active"), col("n_cohort"),
+        (floor(col("n_active").cast("double") / col("n_cohort") * lit(1e6) +
+          lit(0.5)) / lit(1e6)).as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
 }
