@@ -231,6 +231,8 @@ object SparkEntry {
     // rows-only: the planted perturbation is Dataset-typed byte math;
     // planted-pair recall is asserted exactly in CorpusAndSinksSpec
     "q_media_neardup_pairs" -> (ExtraQueries.mediaNearDupPairs _),
+    // multimodal dedup closure: min-label clusters over the phash pairs
+    "q_media_dedup_clusters" -> (ExtraQueries.mediaDedupClusters _),
     "q_embedding_coverage" -> ((s: SparkSession, d: String) => Similarity.embeddingCoverage(s, d)),
     "q_semantic_outliers" -> ((s: SparkSession, d: String) => Similarity.semanticOutliers(s, d)),
     // rows-only: shares bpeStats' non-SQL-expressible merge loop
@@ -449,6 +451,40 @@ object SparkEntry {
       "tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM " +
       "(SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) " +
       "GROUP BY doc_id)"
+
+  // the planted-media near-dup chain: dHash grids for originals and
+  // their byte-0-low-bit-flipped copies (the copy's grid differs from
+  // the original's at cell 0 ALONE once len >= 72 — the same pinning
+  // argument the planted generator documents), gradient phashes, and
+  // the 16-bit pigeonhole chunk self-join with exact hamming — shared
+  // by the pairs query and the cluster unroll
+  private lazy val mediaPairsCtesSql: String =
+    "WITH mb AS (SELECT doc_id AS media_id, encode(text)::BIT AS bits, " +
+      "octet_length(encode(text)) AS len FROM documents " +
+      "WHERE text IS NOT NULL AND octet_length(encode(text)) >= 72), " +
+      "mg0 AS (SELECT media_id, i, " +
+      "get_bit(bits, bi+0)*128 + get_bit(bits, bi+1)*64 + " +
+      "get_bit(bits, bi+2)*32 + get_bit(bits, bi+3)*16 + " +
+      "get_bit(bits, bi+4)*8 + get_bit(bits, bi+5)*4 + " +
+      "get_bit(bits, bi+6)*2 + get_bit(bits, bi+7) AS v " +
+      "FROM (SELECT media_id, bits, i, " +
+      "CAST(LEAST(CAST(floor(i * (CAST(len AS DOUBLE) / 72)) AS BIGINT), len - 1) * 8 AS INT) AS bi " +
+      "FROM mb, (SELECT CAST(unnest(range(72)) AS INT) AS i))), " +
+      "mg AS (SELECT media_id, i, v FROM mg0 UNION ALL " +
+      "SELECT media_id + 10000000, i, CASE WHEN i = 0 THEN xor(v, 1::BIGINT) ELSE v END FROM mg0), " +
+      "mm AS (SELECT media_id FROM mb UNION ALL SELECT media_id + 10000000 FROM mb), " +
+      "mph AS MATERIALIZED (SELECT a.media_id, CAST(SUM(CASE WHEN a.v < b.v THEN " +
+      "CASE WHEN (a.i // 9) * 8 + (a.i % 9) = 63 THEN -9223372036854775808 " +
+      "ELSE (1::BIGINT << CAST((a.i // 9) * 8 + (a.i % 9) AS INT)) END " +
+      "ELSE 0 END) AS BIGINT) AS phash " +
+      "FROM mg a JOIN mg b ON a.media_id = b.media_id AND b.i = a.i + 1 AND a.i % 9 < 8 " +
+      "GROUP BY 1), " +
+      "mck AS (SELECT media_id, phash, c AS chunk, (phash >> (c * 16)) & 65535 AS chunk_val " +
+      "FROM mph, (SELECT CAST(unnest(range(4)) AS INT) AS c)), " +
+      "mp AS MATERIALIZED (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, " +
+      "CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming " +
+      "FROM mck a JOIN mck b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val " +
+      "AND a.media_id < b.media_id)"
 
   // the k-core peel, KcoreRounds unrolled rounds: each round keeps the
   // alive nodes whose degree WITHIN the alive subgraph clears the
@@ -2029,6 +2065,37 @@ object SparkEntry {
     // byte-subsample grid and the 64 row-major comparisons from the
     // SAME UTF-8 payload bytes via BIT-string bit extraction (bit 63's
     // contribution is written signed; DuckDB's << overflows at 63)
+    // the planted near-dup media pairs, replayed end to end: dHash
+    // grids for originals AND their low-bit-flipped copies (len >= 72
+    // pins the flip to grid cell 0 alone — Multimodal scaladoc), row-
+    // major gradient phash, 16-bit pigeonhole chunk join, hamming <= 3.
+    // Shift/bit_count semantics match Spark (arithmetic >> on signed
+    // BIGINT, probed before use).
+    "q_media_neardup_pairs" ->
+      (s"$mediaPairsCtesSql SELECT id_a, id_b, hamming FROM mp " +
+        "WHERE hamming <= 3 ORDER BY id_a, id_b"),
+    // multimodal dedup closure: min-label components over the pair
+    // graph — the q_link_components unroll on media ids
+    "q_media_dedup_clusters" -> {
+      val rounds = ext.Graph.ComponentRounds
+      val roundsSql = (1 to rounds).map { k =>
+        val p = s"mc${k - 1}"
+        s"mnm$k AS (SELECT e.dst AS media_id, MIN(l.cluster) AS nbr_min " +
+          s"FROM $p l JOIN mund e ON l.media_id = e.src GROUP BY e.dst), " +
+          s"mc$k AS MATERIALIZED (SELECT l.media_id, least(l.cluster, COALESCE(n.nbr_min, l.cluster)) AS cluster " +
+          s"FROM $p l LEFT JOIN mnm$k n ON l.media_id = n.media_id)"
+      }.mkString(", ")
+      s"$mediaPairsCtesSql, " +
+        "mpe AS (SELECT id_a, id_b FROM mp WHERE hamming <= 3), " +
+        "mund AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM mpe " +
+        "UNION ALL SELECT id_b AS src, id_a AS dst FROM mpe), " +
+        "mc0 AS MATERIALIZED (SELECT media_id, media_id AS cluster FROM mm), " +
+        s"$roundsSql, " +
+        s"msz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM mc$rounds GROUP BY cluster) " +
+        s"SELECT mc$rounds.media_id, mc$rounds.cluster, msz.cluster_size " +
+        s"FROM mc$rounds JOIN msz ON mc$rounds.cluster = msz.cluster " +
+        s"ORDER BY mc$rounds.media_id"
+    },
     "q_media_phash" ->
       ("WITH m AS (SELECT doc_id AS media_id, 'image' AS kind, " +
         "encode(text)::BIT AS bits, octet_length(encode(text)) AS len " +

@@ -433,6 +433,36 @@ object ExtraQueries {
       Multimodal.plantedNearDupMedia(Tables.documents(spark, d)))
   }
 
+  /** Media dedup clusters: min-label connected components over the
+    * [[mediaNearDupPairs]] near-dup graph — the multimodal analogue of
+    * the text-side q_neardup_clusters, sharing the graph family's ONE
+    * propagation loop ([[graft.ext.Graph.minLabelComponentsOn]]).
+    * Singleton media (nothing within the hamming radius) are their own
+    * clusters; planted copy-pairs form 2-clusters unless chained by a
+    * real near-dup.
+    *
+    * Scale shape: the pair table is banded (never all-pairs — the
+    * phashNearDups pigeonhole join); propagation is O(diameter) keyed
+    * rounds over pair-incident media only, frontier join-back at the
+    * end.
+    */
+  def mediaDedupClusters(spark: SparkSession, d: String): DataFrame = {
+    import graft.ext.Multimodal
+    val media = Multimodal.plantedNearDupMedia(Tables.documents(spark, d))
+    val pairs = Multimodal.phashNearDups(media)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint() // feeds both union branches — one evaluation
+    val und = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    org.apache.spark.sql.GraftSql.releaseCheckpoint(pairs)
+    graft.ext.Graph.minLabelComponentsOn(
+        media.select(col("media_id").as("doc_id")).toDF(), und,
+        graft.ext.Graph.ComponentRounds)
+      .select(col("doc_id").as("media_id"), col("component").as("cluster"),
+        col("component_size").as("cluster_size"))
+  }
+
   /** parse_vn_date + stripDashRuns wired to a query: construct Vietnamese
     * legal-date strings from order dates (with a dash-run artifact),
     * normalize, parse back to DateType.

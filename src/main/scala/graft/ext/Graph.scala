@@ -1005,11 +1005,22 @@ object Graph {
       .localCheckpoint()
     // only und is read from here on — the directed table is dead
     org.apache.spark.sql.GraftSql.releaseCheckpoint(e)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("component"))
+    minLabelComponentsOn(docs.select(col("doc_id")), und, rounds)
+  }
+
+  /** The min-label propagation core over an explicit node frontier and
+    * an ALREADY-CHECKPOINTED undirected edge table — shared by
+    * [[linkComponentsDf]] and the media dedup-cluster query (one loop,
+    * no drift). Iterates to a fixpoint, capped at `rounds`; the early
+    * exit is free parity-wise (the oracle's fixed unroll runs ≥ as
+    * many rounds, post-fixpoint rounds are identities). Returns
+    * (doc_id, component, component_size) ordered by doc_id.
+    */
+  private[graft] def minLabelComponentsOn(nodes: DataFrame, und: DataFrame,
+                                          rounds: Int): DataFrame = {
+    require(rounds >= 1, s"min-label components need >= 1 round, got $rounds")
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
       .localCheckpoint()
-    // iterate to fixpoint, capped at `rounds` — the early exit is free
-    // parity-wise: the oracle's fixed unroll runs ≥ as many rounds, and
-    // every post-fixpoint round is the identity
     var converged = false
     var r = 0
     // the checkpoint backing the current labels frame — released once

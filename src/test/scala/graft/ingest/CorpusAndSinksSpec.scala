@@ -186,6 +186,25 @@ class CorpusAndSinksSpec extends SparkTestBase {
       "sub-72-byte docs are not planted")
   }
 
+  test("multimodal: dedup clusters co-cluster every planted copy with its original") {
+    val got = graft.analytics.ExtraQueries.mediaDedupClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty)
+    // every planted copy (id + 10000000) shares its original's cluster,
+    // and cluster sizes count the full membership
+    val copies = got.keys.filter(_ >= 10000000L)
+    assert(copies.nonEmpty, "planted copies must be in the frontier")
+    copies.foreach { c =>
+      val orig = c - 10000000L
+      assert(got(c)._1 == got(orig)._1, s"pair ($orig, $c) split across clusters")
+      assert(got(c)._2 >= 2L, s"a planted pair's cluster has at least 2 members")
+    }
+    val bySize = got.values.groupBy(_._1).map { case (cl, ms) => cl -> ms.size }
+    got.foreach { case (id, (cl, sz)) =>
+      assert(sz == bySize(cl).toLong, s"cluster size mismatch at $id")
+    }
+  }
+
   test("multimodal: resize stub bounds payloads and updates metadata deterministically") {
     import spark.implicits._
     val big = Array.tabulate(100)(i => i.toByte)
