@@ -306,6 +306,8 @@ object SparkEntry {
     "q_fuzzy_entity_match" -> ((s: SparkSession, d: String) => ext.EntityResolution.fuzzyCustomerMatch(s, d)),
     // k-core peel to a fixpoint (data-adaptive k = floor mean degree)
     "q_kcore_membership"  -> ((s: SparkSession, d: String) => ext.Graph.kcoreMembership(s, d)),
+    // semi-supervised label propagation with held-out eval columns
+    "q_label_propagation" -> ((s: SparkSession, d: String) => ext.Graph.labelPropagation(s, d)),
     "q_event_transitions" -> (ExtraQueries.eventTransitions _),
     "q_transition_entropy" -> (ExtraQueries.transitionEntropy _),
     // ordered product-analytics funnel (view -> click -> purchase)
@@ -509,6 +511,32 @@ object SparkEntry {
       "FROM documents d LEFT JOIN ud ON d.doc_id = ud.doc_id " +
       s"LEFT JOIN ka${ext.Graph.KcoreRounds} ON d.doc_id = ka${ext.Graph.KcoreRounds}.doc_id " +
       "CROSS JOIN kk ORDER BY d.doc_id"
+  }
+
+  // label propagation, LabelPropRounds unrolled synchronous rounds:
+  // majority vote of labeled neighbors (integer counts, ROW_NUMBER
+  // over n DESC, label = Spark's min(struct(-n, label)) argmax),
+  // seeds clamped, held-out truth carried for the eval columns
+  private lazy val labelPropagationSql: String = {
+    val rounds = ext.Graph.LabelPropRounds
+    val chain = (1 to rounds).map { k =>
+      val p = s"lp${k - 1}"
+      s"lv$k AS (SELECT u.dst AS doc_id, l.label, CAST(COUNT(*) AS BIGINT) AS n " +
+        s"FROM $p l JOIN u ON l.doc_id = u.src WHERE l.label IS NOT NULL " +
+        "GROUP BY u.dst, l.label), " +
+        s"lb$k AS (SELECT doc_id, label AS vote FROM lv$k " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, label) = 1), " +
+        s"lp$k AS MATERIALIZED (SELECT l.doc_id, l.lang, l.is_seed, " +
+        "CASE WHEN l.is_seed THEN l.label ELSE COALESCE(b.vote, l.label) END AS label " +
+        s"FROM $p l LEFT JOIN lb$k b ON l.doc_id = b.doc_id)"
+    }.mkString(", ")
+    s"$undirectedCtesSql, " +
+      "lp0 AS MATERIALIZED (SELECT doc_id, lang, (doc_id % 3 = 0) AS is_seed, " +
+      "CASE WHEN doc_id % 3 = 0 THEN lang END AS label FROM documents), " +
+      s"$chain " +
+      s"SELECT doc_id, lang, is_seed, label AS predicted_lang, " +
+      "CASE WHEN NOT is_seed AND label IS NOT NULL THEN (label = lang) END AS correct " +
+      s"FROM lp$rounds ORDER BY doc_id"
   }
 
   // the seeded-teleport rank recurrence, 4 unrolled exact-integer
@@ -3222,6 +3250,8 @@ object SparkEntry {
         "LEFT JOIN tc ON d.doc_id = tc.doc_id ORDER BY d.doc_id"),
     // k-core: unrolled simultaneous peel, integer degree counts only
     "q_kcore_membership" -> kcoreMembershipSql,
+    // label propagation: unrolled majority-vote rounds, clamped seeds
+    "q_label_propagation" -> labelPropagationSql,
     "q_graph_transitivity" ->
       (s"$triangleCtesSql " +
         "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_nodes, " +

@@ -1197,6 +1197,85 @@ object Graph {
     */
   private[graft] val KcoreRounds = 8
 
+  /** Round count of [[labelPropagation]] — shared with the oracle. */
+  private[graft] val LabelPropRounds = 4
+
+  /** Semi-supervised LABEL PROPAGATION (Zhu & Ghahramani 2002; the
+    * Raghavan 2007 majority-vote form) over the link graph, with a
+    * BUILT-IN HELD-OUT EVALUATION: every third document keeps its
+    * `lang` label (the clamped seed third — `doc_id % 3 = 0`, the
+    * content-hash-free deterministic mask), the other two thirds are
+    * blinded and re-labeled from their neighbors — each round, a
+    * non-seed adopts the majority label among its labeled (undirected)
+    * neighbors, ties broken by the lexicographically smallest label,
+    * keeping its previous label when no neighbor is labeled. Seeds
+    * never move. After [[LabelPropRounds]] synchronous rounds the
+    * output carries the held-out truth next to the prediction:
+    * (doc_id, lang, is_seed, predicted_lang, correct) — `correct` is
+    * NULL for seeds and never-reached nodes, so accuracy is one
+    * aggregate away. The metadata-completion shape of a curation
+    * pipeline: sparse labels (language, topic, license) densified from
+    * link structure, WITH the eval that says whether to trust it.
+    *
+    * Exactness: votes are integer counts; the argmax is
+    * min(struct(-n, label)) — order-free algebra, so the unrolled
+    * DuckDB replay (ROW_NUMBER over n DESC, label) is bit-identical.
+    *
+    * Scale shape: the undirected edge table is checkpointed once;
+    * each round is one labeled-state⋈edges keyed join, one
+    * (node, label) count, one per-node argmin and one state join —
+    * per-round cost ∝ |E|, state one row per node; dead rounds
+    * released (the rankLoopStateOn discipline).
+    */
+  def labelPropagation(spark: SparkSession, d: String,
+                       rounds: Int = LabelPropRounds): DataFrame =
+    labelPropagationDf(Tables.fanOut(Tables.documents(spark, d)), rounds)
+
+  def labelPropagationDf(docs: DataFrame, rounds: Int = LabelPropRounds): DataFrame = {
+    require(rounds >= 1, s"label propagation needs >= 1 round, got $rounds")
+    val (und, _) = undirectedWithDegrees(docs)
+    var st = docs.select(col("doc_id"), col("lang"),
+        (col("doc_id") % 3 === 0).as("is_seed"))
+      .select(col("doc_id"), col("lang"), col("is_seed"),
+        when(col("is_seed"), col("lang")).as("label"))
+      .localCheckpoint()
+    var stCk = st
+    var converged = false
+    var r = 0
+    while (!converged && r < rounds) {
+      val votes = st.filter(col("label").isNotNull)
+        .select(col("doc_id").as("src"), col("label"))
+        .join(und, Seq("src"))
+        .groupBy(col("dst").as("doc_id"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val best = votes
+        .select(col("doc_id"),
+          struct((lit(0L) - col("n")).as("neg_n"), col("label")).as("m"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("m")).as("b"))
+        .select(col("doc_id"), col("b.label").as("vote"))
+      val next = st.join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("is_seed"),
+          col("label").as("old_l"),
+          when(col("is_seed"), col("label"))
+            .otherwise(coalesce(col("vote"), col("label"))).as("label"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftSql.releaseCheckpoint(stCk)
+      stCk = next
+      converged = next.filter(
+        coalesce(col("label") =!= col("old_l"),
+          col("label").isNotNull =!= col("old_l").isNotNull)).isEmpty
+      st = next.select(col("doc_id"), col("lang"), col("is_seed"), col("label"))
+      r += 1
+    }
+    org.apache.spark.sql.GraftSql.releaseCheckpoint(und)
+    st.select(col("doc_id"), col("lang"), col("is_seed"),
+        col("label").as("predicted_lang"),
+        when(!col("is_seed") && col("label").isNotNull,
+          col("label") === col("lang")).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
   /** k-core membership of the undirected link graph: repeatedly peel
     * nodes whose degree WITHIN the surviving subgraph falls below k,
     * to a fixpoint (capped at [[KcoreRounds]]). The survivors are the

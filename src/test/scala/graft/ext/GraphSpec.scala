@@ -534,6 +534,44 @@ class GraphSpec extends SparkTestBase {
       assert(g.getDouble(4) == math.floor(3e6 * g.getLong(3) / w + 0.5) / 1e6)
   }
 
+  test("label propagation matches a driver-side synchronous replay on the planted graph") {
+    val fixture = plantedDocs.withColumn("lang",
+      when(col("doc_id") < 5, lit("aa")).otherwise(lit("bb")))
+    val e = Graph.linkEdgesDf(fixture).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val adj = und.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val truth = (0L until 10L).map(v => v -> (if (v < 5) "aa" else "bb")).toMap
+    var label: Map[Long, Option[String]] =
+      truth.map { case (v, l) => v -> (if (v % 3 == 0) Some(l) else None) }
+    for (_ <- 1 to Graph.LabelPropRounds) {
+      val next = label.map { case (v, old) =>
+        if (v % 3 == 0) v -> old
+        else {
+          val votes = adj.getOrElse(v, Set.empty).toSeq
+            .flatMap(u => label(u)).groupBy(identity)
+            .map { case (l, xs) => (l, xs.size) }
+          if (votes.isEmpty) v -> old
+          else v -> Some(votes.toSeq.minBy { case (l, n) => (-n, l) }._1)
+        }
+      }
+      label = next
+    }
+    val got = Graph.labelPropagationDf(fixture).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(2), Option(r.getString(3)),
+          if (r.isNullAt(4)) None else Some(r.getBoolean(4))))).toMap
+    assert(got.keySet == truth.keySet)
+    got.foreach { case (v, (seed, pred, correct)) =>
+      assert(seed == (v % 3 == 0))
+      assert(pred == label(v), s"prediction of $v: got $pred want ${label(v)}")
+      val want = if (seed || pred.isEmpty) None else Some(pred.get == truth(v))
+      assert(correct == want, s"correct flag of $v")
+    }
+    // the fixture must actually exercise propagation: some non-seed
+    // reached a prediction
+    assert(got.exists { case (v, (s, p, _)) => !s && p.isDefined })
+  }
+
   test("fused dual-rank serve table equals the two single-seed loops bit-for-bit") {
     val docs = plantedDocs.withColumn("source",
       when(col("doc_id") < 3, lit("src0")).otherwise(lit("srcX")))
