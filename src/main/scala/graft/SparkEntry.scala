@@ -312,6 +312,8 @@ object SparkEntry {
     "q_transition_entropy" -> (ExtraQueries.transitionEntropy _),
     // ordered product-analytics funnel (view -> click -> purchase)
     "q_event_funnel"      -> (ExtraQueries.eventFunnel _),
+    // time-to-convert stats over the funnel chain
+    "q_funnel_latency"    -> (ExtraQueries.funnelLatency _),
     // weekly cohort retention triangle
     "q_cohort_retention"  -> (ExtraQueries.cohortRetention _)
   )
@@ -512,6 +514,20 @@ object SparkEntry {
       s"LEFT JOIN ka${ext.Graph.KcoreRounds} ON d.doc_id = ka${ext.Graph.KcoreRounds}.doc_id " +
       "CROSS JOIN kk ORDER BY d.doc_id"
   }
+
+  // the ordered-funnel reached chain fr1..frN — per-user earliest
+  // qualifying times per step, shared by the step counts and the
+  // latency stats (mirrors ExtraQueries.funnelReached CTE for CTE)
+  private lazy val funnelChainSql: String =
+    ExtraQueries.FunnelSteps.zipWithIndex.map { case (s, i) =>
+      if (i == 0)
+        s"fr1 AS MATERIALIZED (SELECT user_id, MIN(ts) AS t FROM events " +
+          s"WHERE event_type = '$s' GROUP BY user_id)"
+      else
+        s"fr${i + 1} AS MATERIALIZED (SELECT e.user_id, MIN(e.ts) AS t " +
+          s"FROM events e JOIN fr$i p ON e.user_id = p.user_id " +
+          s"WHERE e.event_type = '$s' AND e.ts > p.t GROUP BY e.user_id)"
+    }.mkString(", ")
 
   // label propagation, LabelPropRounds unrolled synchronous rounds:
   // majority vote of labeled neighbors (integer counts, ROW_NUMBER
@@ -1351,20 +1367,11 @@ object SparkEntry {
     // microsecond integers in both engines)
     "q_event_funnel" -> {
       val steps = ExtraQueries.FunnelSteps
-      val chain = steps.zipWithIndex.map { case (s, i) =>
-        if (i == 0)
-          s"fr1 AS MATERIALIZED (SELECT user_id, MIN(ts) AS t FROM events " +
-            s"WHERE event_type = '$s' GROUP BY user_id)"
-        else
-          s"fr${i + 1} AS MATERIALIZED (SELECT e.user_id, MIN(e.ts) AS t " +
-            s"FROM events e JOIN fr$i p ON e.user_id = p.user_id " +
-            s"WHERE e.event_type = '$s' AND e.ts > p.t GROUP BY e.user_id)"
-      }.mkString(", ")
       val rows = steps.zipWithIndex.map { case (s, i) =>
         s"SELECT ${i + 1} AS step, '$s' AS event_type, " +
           s"(SELECT CAST(COUNT(*) AS BIGINT) FROM fr${i + 1}) AS n_users"
       }.mkString(" UNION ALL ")
-      s"WITH $chain, fsteps AS ($rows) " +
+      s"WITH $funnelChainSql, fsteps AS ($rows) " +
         "SELECT step, event_type, n_users, " +
         "CASE WHEN first_value(n_users) OVER wt > 0 THEN " +
         "floor(CAST(n_users AS DOUBLE) / first_value(n_users) OVER wt * 1000000.0 + 0.5) / 1000000.0 " +
@@ -1373,6 +1380,25 @@ object SparkEntry {
         "floor(CAST(n_users AS DOUBLE) / COALESCE(lag(n_users, 1) OVER wt, n_users) * 1000000.0 + 0.5) / 1000000.0 " +
         "ELSE 0.0 END AS conversion_from_prev " +
         "FROM fsteps WINDOW wt AS (ORDER BY step) ORDER BY step"
+    },
+    // funnel latency: exact microsecond gaps, lower median by rank
+    // (floor((n+1)/2) in BOTH engines — DuckDB's double→int cast
+    // rounds, so the floor is explicit), mean micro-snapped
+    "q_funnel_latency" -> {
+      val last = s"fr${ExtraQueries.FunnelSteps.size}"
+      s"WITH $funnelChainSql, " +
+        s"lt AS (SELECT f1.user_id, epoch_us(fl.t) - epoch_us(f1.t) AS latency_micros " +
+        s"FROM fr1 f1 JOIN $last fl ON f1.user_id = fl.user_id), " +
+        "lr AS MATERIALIZED (SELECT latency_micros, " +
+        "ROW_NUMBER() OVER (ORDER BY latency_micros, user_id) AS rk FROM lt), " +
+        "la AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_converted, " +
+        "MIN(latency_micros) AS min_micros, MAX(latency_micros) AS max_micros, " +
+        "floor(CAST(SUM(latency_micros) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS mean_seconds " +
+        "FROM lr) " +
+        "SELECT n_converted, min_micros, max_micros, " +
+        "(SELECT latency_micros FROM lr CROSS JOIN la " +
+        "WHERE rk = CAST(floor((n_converted + 1) / 2.0) AS INT)) AS median_micros, " +
+        "mean_seconds FROM la"
     },
     // weekly cohort retention triangle: Monday-truncated weeks in both
     // engines, exact day-difference offsets, 6-dp exact-ratio snaps

@@ -503,24 +503,24 @@ object ExtraQueries {
     * per-user rows, never a self-join of the raw event table. Timestamp
     * comparisons are exact (microsecond integers in both engines).
     */
-  def eventFunnel(spark: SparkSession, d: String): DataFrame = {
+  /** The per-step reached frames of the funnel fold: element k is the
+    * per-user (user_id, t) table of users who reached step k in order,
+    * with t their earliest qualifying time. Each frame is read twice
+    * downstream (its own consumer + the next step's chain), so every
+    * one is checkpointed — single evaluation structural (the
+    * smoothedStatTable lesson); the frames are per-user rows, tiny
+    * next to the event table they fold away. Shared by [[eventFunnel]]
+    * and [[funnelLatency]] — one fold, no drift.
+    */
+  private def funnelReached(spark: SparkSession, d: String): Seq[DataFrame] = {
     val ev = Tables.events(spark, d)
       .select(col("user_id"), col("event_type"), col("ts"))
-    // reached(k): per user, earliest time of step k's event strictly
-    // after reached(k-1) — fold the step chain into per-user frames
-    // each step frame is read TWICE (its own count + the next step's
-    // chain) — checkpoint per step so single evaluation is structural
-    // (the smoothedStatTable lesson); the frames are per-user rows,
-    // tiny next to the event table they fold away
     var reached = ev.filter(col("event_type") === lit(FunnelSteps.head))
       .groupBy(col("user_id"))
       .agg(min(col("ts")).as("t"))
       .localCheckpoint()
-    val counts = scala.collection.mutable.ListBuffer(
-      reached.agg(count(lit(1)).as("n_users"))
-        .select(lit(1L).as("step"), lit(FunnelSteps.head).as("event_type"),
-          col("n_users")))
-    FunnelSteps.zipWithIndex.drop(1).foreach { case (step, i) =>
+    val acc = scala.collection.mutable.ListBuffer(reached)
+    FunnelSteps.drop(1).foreach { step =>
       val prev = reached.withColumnRenamed("t", "t_prev")
       reached = ev.filter(col("event_type") === lit(step))
         .join(prev, Seq("user_id"))
@@ -528,11 +528,19 @@ object ExtraQueries {
         .groupBy(col("user_id"))
         .agg(min(col("ts")).as("t"))
         .localCheckpoint()
-      counts += reached.agg(count(lit(1)).as("n_users"))
-        .select(lit((i + 1).toLong).as("step"), lit(step).as("event_type"),
-          col("n_users"))
+      acc += reached
     }
-    val steps = counts.reduce(_ unionByName _)
+    acc.toSeq
+  }
+
+  def eventFunnel(spark: SparkSession, d: String): DataFrame = {
+    val frames = funnelReached(spark, d)
+    val steps = frames.zip(FunnelSteps).zipWithIndex.map {
+      case ((f, step), i) =>
+        f.agg(count(lit(1)).as("n_users"))
+          .select(lit((i + 1).toLong).as("step"), lit(step).as("event_type"),
+            col("n_users"))
+    }.reduce(_ unionByName _)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("step")).rowsBetween(-1, -1)
     val top = org.apache.spark.sql.expressions.Window
@@ -550,6 +558,47 @@ object ExtraQueries {
         pct(col("n_users"),
           coalesce(first(col("n_users")).over(w), col("n_users"))))
       .orderBy(col("step"))
+  }
+
+  /** Time-to-convert statistics of the [[eventFunnel]]: over users who
+    * completed the whole funnel, the elapsed time from their FIRST-step
+    * entry to their final-step conversion — the product-analytics
+    * latency companion to the step counts. One row:
+    * (n_converted, min/max/median latency in exact microseconds, mean
+    * 6-dp-snapped seconds). The median is the LOWER median (element at
+    * rank ⌈n/2⌉ of the ascending sort) — deterministic in both engines,
+    * no interpolation.
+    *
+    * Scale shape: two per-user frames joined user-keyed, one global
+    * aggregate; the median rank window runs over converted users only
+    * (funnel output, not the event table).
+    */
+  def funnelLatency(spark: SparkSession, d: String): DataFrame = {
+    val frames = funnelReached(spark, d)
+    val first = frames.head.withColumnRenamed("t", "t_first")
+    val last = frames.last.withColumnRenamed("t", "t_last")
+    val lat = first.join(last, Seq("user_id"))
+      .select(col("user_id"),
+        (unix_micros(col("t_last")) - unix_micros(col("t_first")))
+          .as("latency_micros"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("latency_micros"), col("user_id"))
+    val ranked = lat
+      .withColumn("rk", row_number().over(w))
+      .localCheckpoint() // read by the aggregate AND the median probe
+    val agg = ranked.agg(
+      count(lit(1)).as("n_converted"),
+      min(col("latency_micros")).as("min_micros"),
+      max(col("latency_micros")).as("max_micros"),
+      (floor(sum(col("latency_micros")).cast("double") / count(lit(1)) +
+        lit(0.5)) / lit(1e6)).as("mean_seconds"))
+    val med = ranked.crossJoin(agg.select(col("n_converted").as("nn")))
+      .filter(col("rk") ===
+        floor((col("nn") + 1).cast("double") / lit(2.0)).cast("int"))
+      .select(col("latency_micros").as("median_micros"))
+    agg.crossJoin(med)
+      .select(col("n_converted"), col("min_micros"), col("max_micros"),
+        col("median_micros"), col("mean_seconds"))
   }
 
   /** Weekly cohort retention over the events table: users grouped by
