@@ -308,6 +308,9 @@ object SparkEntry {
     "q_kcore_membership"  -> ((s: SparkSession, d: String) => ext.Graph.kcoreMembership(s, d)),
     // semi-supervised label propagation with held-out eval columns
     "q_label_propagation" -> ((s: SparkSession, d: String) => ext.Graph.labelPropagation(s, d)),
+    // retrieval: probe-term postings audit + BM25 top-k serving query
+    "q_term_postings"     -> ((s: SparkSession, d: String) => ext.Search.termPostings(s, d)),
+    "q_bm25_topk"         -> ((s: SparkSession, d: String) => ext.Search.bm25TopK(s, d)),
     "q_event_transitions" -> (ExtraQueries.eventTransitions _),
     "q_transition_entropy" -> (ExtraQueries.transitionEntropy _),
     // ordered product-analytics funnel (view -> click -> purchase)
@@ -3278,6 +3281,44 @@ object SparkEntry {
     "q_kcore_membership" -> kcoreMembershipSql,
     // label propagation: unrolled majority-vote rounds, clamped seeds
     "q_label_propagation" -> labelPropagationSql,
+    // retrieval: the probe-term postings audit — integer tf/df only
+    "q_term_postings" -> {
+      val probe = ext.Search.ProbeTerms.map(t => s"'$t'").mkString(", ")
+      s"WITH sp AS MATERIALIZED (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf " +
+        s"FROM (SELECT doc_id, unnest($toks) AS term FROM documents WHERE text IS NOT NULL) " +
+        s"WHERE term IN ($probe) GROUP BY doc_id, term), " +
+        "st AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf " +
+        "FROM sp GROUP BY term), " +
+        "sr AS (SELECT term, doc_id, tf, ROW_NUMBER() OVER " +
+        "(PARTITION BY term ORDER BY tf DESC, doc_id) AS rank FROM sp) " +
+        "SELECT sr.term, st.df, st.total_tf, CAST(sr.rank AS BIGINT) AS rank, " +
+        "sr.doc_id, sr.tf FROM sr JOIN st ON sr.term = st.term " +
+        "WHERE sr.rank <= 3 ORDER BY sr.term, sr.rank"
+    },
+    // BM25: per-(doc, term) contributions micro-snapped BEFORE the
+    // per-doc sum — expression structure (operator order, literal
+    // values) mirrors Search.bm25Against term for term
+    "q_bm25_topk" -> {
+      val probe = ext.Search.ProbeTerms.map(t => s"'$t'").mkString(", ")
+      val k1 = ext.Search.K1
+      val b = ext.Search.B
+      s"WITH sb AS (SELECT doc_id, len($toks) AS dl, unnest($toks) AS term " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        s"sp AS MATERIALIZED (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, " +
+        s"ANY_VALUE(dl) AS dl FROM sb WHERE term IN ($probe) GROUP BY doc_id, term), " +
+        s"cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len($toks)) AS BIGINT) AS s " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "sdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM sp GROUP BY term), " +
+        "ssc AS (SELECT doc_id, CAST(SUM(CAST(floor(" +
+        "ln(1.0 + (CAST(n AS DOUBLE) - df_t + 0.5) / (df_t + 0.5)) * tf / " +
+        s"(tf + $k1 * (${1.0 - b} + $b * dl / (CAST(s AS DOUBLE) / n))) " +
+        "* 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_terms_hit " +
+        "FROM sp JOIN sdf ON sp.term = sdf.term CROSS JOIN cs GROUP BY doc_id) " +
+        "SELECT doc_id, score_micro, n_terms_hit, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank " +
+        "FROM ssc ORDER BY score_micro DESC, doc_id LIMIT 10"
+    },
     "q_graph_transitivity" ->
       (s"$triangleCtesSql " +
         "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_nodes, " +

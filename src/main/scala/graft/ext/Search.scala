@@ -1,0 +1,163 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Full-text retrieval over the corpus: an inverted-index shape
+  * (term-keyed postings with term frequencies and document lengths)
+  * and BM25 ranking (Robertson & Walker 1994; the Lucene idf variant
+  * `ln(1 + (N − df + 0.5)/(df + 0.5))`, always positive) — the serving
+  * side of a data-curation engine: once a corpus is cleaned and
+  * deduplicated, the next consumer is usually a retrieval pass
+  * (RAG indexing, eval-set mining, near-query audits).
+  *
+  * Exactness ladder: tf/df/len are integer counts; avgdl is one exact
+  * 2-scalar ratio; each per-(doc, term) BM25 contribution is
+  * MICRO-SNAPPED (floor(x·1e6 + 0.5), per-row IEEE — engine-identical)
+  * BEFORE the per-doc sum, so document scores are exact BIGINT
+  * micro-units and ranking ties break on doc_id — the unrolled DuckDB
+  * replay is bit-identical (the [[TextAnalysis]] discipline).
+  *
+  * Scale shape: the postings table is ONE (doc, term)-grained
+  * aggregate off a narrow token explode — term-partitioned at scale,
+  * the classic sharded inverted index; query scoring joins only the
+  * probed terms' postings (|terms| keyed lookups, never a corpus
+  * scan) with the |terms|-row df table broadcast; finals are bounded
+  * top-k.
+  */
+object Search {
+
+  /** The registered probe query — plan-resident literals, the
+    * domain-blocklist discipline.
+    */
+  private[graft] val ProbeTerms = Seq("hash", "join", "scan", "window", "merge")
+
+  /** BM25 shape parameters (the standard defaults). */
+  private[graft] val K1 = 1.2
+  private[graft] val B = 0.75
+
+  /** The (doc_id, term, tf, dl) postings table over docs with text —
+    * dl is the document's token count. One explode + one keyed
+    * aggregate; restricting to `terms` (when given) pushes the filter
+    * below the aggregate.
+    */
+  def postingsDf(docs: DataFrame, terms: Option[Seq[String]] = None): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
+    val hit = terms.map(t => base.filter(col("term").isin(t: _*))).getOrElse(base)
+    hit.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+  }
+
+  /** Per-probe-term postings audit: document frequency, total term
+    * frequency, and the top 3 documents by (tf, doc_id) — the bounded
+    * summary a pipeline reads to sanity-check an index build (posting
+    * skew, stopword-like terms, empty terms).
+    */
+  def termPostings(spark: SparkSession, d: String): DataFrame = {
+    val p = postingsDf(Tables.fanOut(Tables.documents(spark, d)), Some(ProbeTerms))
+      .localCheckpoint() // feeds the df aggregate AND the rank window
+    val stats = p.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id"))
+    p.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .join(stats, Seq("term"))
+      .select(col("term"), col("df"), col("total_tf"),
+        col("rank").cast("long").as("rank"), col("doc_id"), col("tf"))
+      .orderBy(col("term"), col("rank"))
+  }
+
+  /** BM25 top-k for one term set against a postings index ([[postingsDf]]
+    * output restricted to the query's terms) and its corpus stats
+    * (n_docs, avgdl). Returns (doc_id, score_micro, n_terms_hit,
+    * rank), ranking by exact micro-unit score then doc_id.
+    */
+  def bm25Against(index: DataFrame, terms: Seq[String], nDocs: Long,
+                  avgdl: Double, k: Int): DataFrame = {
+    val p = index.filter(col("term").isin(terms: _*))
+    val dfT = p.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("df_t") + lit(0.5)) /
+      (col("df_t") + lit(0.5)))
+    val norm = lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl))
+    val contrib = idf * col("tf") / (col("tf") + norm)
+    p.join(dfT, Seq("term"))
+      .select(col("doc_id"),
+        floor(contrib * lit(1e6) + lit(0.5)).cast("long").as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("score_micro"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+  }
+
+  /** The registered BM25 query: the probe term set, top 10. */
+  def bm25TopK(spark: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, d))
+    val stats = docs.filter(col("text").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(size(TextAnalysis.tokens(col("text")))).as("s"))
+      .head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    bm25Against(postingsDf(docs, Some(ProbeTerms)), ProbeTerms, nDocs, avgdl, k)
+  }
+
+  /** Streaming retrieval serving: arriving queries (query_id, query
+    * text) are tokenized and BM25-scored against the FROZEN postings
+    * index of a base corpus — the index is built once at sink
+    * construction (train-offline / serve-online, the annServeSink
+    * shape), each micro-batch appends its per-query top-k. Scoring
+    * reuses [[bm25Against]] per batch via a query-keyed variant of the
+    * same snapped arithmetic, so batch and stream rankings cannot
+    * drift.
+    */
+  def bm25ServeSink(queryStream: DataFrame, baseDocs: DataFrame,
+                    outPath: String, checkpoint: String, k: Int = 5,
+                    triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val stats = baseDocs.filter(col("text").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(size(TextAnalysis.tokens(col("text")))).as("s"))
+      .head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    val index = Freeze.scoped(checkpoint, postingsDf(baseDocs))
+    val dfAll = Freeze.scoped(checkpoint,
+      index.groupBy(col("term")).agg(count(lit(1)).as("df_t")))
+    queryStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val qt = batch
+            .select(col("query_id"),
+              explode(array_distinct(TextAnalysis.tokens(col("query_text"))))
+                .as("term"))
+          val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("df_t") + lit(0.5)) /
+            (col("df_t") + lit(0.5)))
+          val norm = lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl))
+          val contrib = idf * col("tf") / (col("tf") + norm)
+          val scored = qt.join(index, Seq("term"))
+            .join(dfAll, Seq("term"))
+            .select(col("query_id"), col("doc_id"),
+              floor(contrib * lit(1e6) + lit(0.5)).cast("long").as("c"))
+            .groupBy(col("query_id"), col("doc_id"))
+            .agg(sum(col("c")).as("score_micro"), count(lit(1)).as("n_terms_hit"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("score_micro").desc, col("doc_id"))
+          scored.withColumn("rank", row_number().over(w).cast("long"))
+            .filter(col("rank") <= k)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+  }
+}

@@ -1,0 +1,107 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+
+/** BM25 retrieval: exact-score replay against a driver-side
+  * computation on a planted corpus, the postings audit contract, and
+  * the frozen-index serving sink's batch parity.
+  */
+class SearchSpec extends SparkTestBase {
+
+  private def plantedDocs = {
+    import spark.implicits._
+    Seq(
+      1L -> "hash join hash join hash",   // tf(hash)=3, tf(join)=2, dl=5
+      2L -> "hash scan scan",             // tf(hash)=1, tf(scan)=2, dl=3
+      3L -> "merge sort sort sort merge", // no probe overlap with {hash,join}
+      4L -> "join",                       // tf(join)=1, dl=1
+      5L -> "alpha beta gamma"
+    ).toDF("doc_id", "text")
+  }
+
+  /** Driver-side BM25 with the operator's exact snapping. */
+  private def bm25Replay(docs: Seq[(Long, String)], terms: Seq[String]): Map[Long, (Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val n = docs.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val tf = for { (id, ts) <- toks.toSeq; t <- terms
+                   c = ts.count(_ == t) if c > 0 } yield (id, t, c)
+    val df = tf.groupBy(_._2).map { case (t, xs) => t -> xs.size }
+    tf.groupBy(_._1).map { case (id, xs) =>
+      val score = xs.map { case (_, t, c) =>
+        val idf = math.log(1.0 + (n.toDouble - df(t) + 0.5) / (df(t) + 0.5))
+        val norm = Search.K1 * ((1.0 - Search.B) + Search.B * toks(id).size / avgdl)
+        math.floor(idf * c / (c + norm) * 1e6 + 0.5).toLong
+      }.sum
+      id -> ((score, xs.size.toLong))
+    }
+  }
+
+  test("bm25 matches a driver-side exact-snap replay on a planted corpus") {
+    val docsSeq = Seq(1L -> "hash join hash join hash", 2L -> "hash scan scan",
+      3L -> "merge sort sort sort merge", 4L -> "join", 5L -> "alpha beta gamma")
+    val terms = Seq("hash", "join")
+    val docs = plantedDocs
+    val stats = docs.agg(count(lit(1)), sum(size(split(trim(col("text")), "\\s+"))))
+      .head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val got = Search.bm25Against(Search.postingsDf(docs, Some(terms)), terms, n, avgdl, 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = bm25Replay(docsSeq, terms)
+    assert(got == want, s"got $got want $want")
+    // doc 1 (dense in both terms) must outrank the single-term docs
+    assert(got(1L)._1 > got(2L)._1 && got(1L)._1 > got(4L)._1)
+    assert(!got.contains(3L) && !got.contains(5L), "no-overlap docs don't score")
+  }
+
+  test("postings audit: df/total_tf consistent, ranks dense per term") {
+    val rows = Search.termPostings(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byTerm = rows.groupBy(_.getString(0))
+    assert(byTerm.keySet == Search.ProbeTerms.toSet,
+      "every probe term appears at fixture scale")
+    byTerm.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length).toSeq)
+      // top doc's tf bounded by the term's total
+      assert(rs.map(_.getLong(5)).max <= rs.head.getLong(2))
+      assert(rs.head.getLong(1) >= rs.length, "df covers at least the listed docs")
+    }
+  }
+
+  test("bm25 serving sink: frozen postings index, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = plantedDocs
+    val queries = Seq((10L, "hash join"), (11L, "merge"), (12L, "zzz nohit"))
+    // batch expectation: score each query with the batch core
+    val stats = base.agg(count(lit(1)), sum(size(split(trim(col("text")), "\\s+")))).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val expect = queries.flatMap { case (qid, qtext) =>
+      val terms = qtext.split("\\s+").toSeq.distinct
+      Search.bm25Against(Search.postingsDf(base, Some(terms)), terms, n, avgdl, 5)
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }.toSet
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("bm_out").toString
+    val ckpt = Files.createTempDirectory("bm_ckpt").toString
+    val query = Search.bm25ServeSink(
+      input.toDF().toDF("query_id", "query_text"), base, out, ckpt,
+      k = 5, triggerMs = 50L).start()
+    try {
+      input.addData(queries(0), queries(1))
+      query.processAllAvailable()
+      input.addData(queries(2))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(streamed == expect, s"streamed $streamed != batch $expect")
+    assert(!streamed.exists(_._1 == 12L), "no-hit query emits no rows")
+  }
+}
