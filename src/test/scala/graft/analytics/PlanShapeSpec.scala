@@ -655,4 +655,63 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!pi.contains("CartesianProduct") && !pi.contains("BroadcastNestedLoopJoin"),
       s"split inheritance must probe through keyed joins:\n$pi")
   }
+
+  test("triangle family: keyed wedge joins only — no all-pairs over the edge table") {
+    // the degree-ordered orientation makes both self-joins equi-joins
+    // on (a) and (b, c); any nested loop means the orientation filter
+    // fell out of the join condition and wedges went quadratic
+    for (q <- Seq("q_clustering_coefficient", "q_graph_transitivity")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q wedge join must stay keyed:\n$p")
+    }
+  }
+
+  test("q_fuzzy_entity_match: deletion-key blocking joins stay keyed") {
+    // FastSS candidates come from the key equi-join; the levenshtein
+    // verify runs per candidate row — a nested loop would mean the
+    // blocking key dropped out and the join went all-pairs
+    val p = plan("q_fuzzy_entity_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy match must block on deletion keys:\n$p")
+  }
+
+  test("q_bm25_topk: probe-term filter sits below the postings aggregate; final is a TakeOrdered") {
+    // the term IN (...) restriction must prune the exploded stream
+    // BEFORE the (doc, term) aggregate — scoring only ever aggregates
+    // the probed terms' postings — and the top-10 must be a bounded
+    // TakeOrdered, never a full sort of the scored corpus
+    val p = plan("q_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be bounded:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bm25 joins must stay keyed:\n$p")
+    assert(p.contains("hash,join,scan,window,merge"),
+      s"probe-term filter missing from the plan:\n$p")
+  }
+
+  test("q_event_funnel and q_funnel_latency: chained keyed joins, no event self-join") {
+    // every step joins the EVENT table to a per-user frame on user_id;
+    // an event-to-event join (the naive funnel) would explode
+    // quadratically in per-user activity. The latency query's scalar
+    // crossJoins (1-row aggregate broadcasts for n/median) surface as
+    // IdentityBroadcastMode nested loops — those are the intended
+    // scalar shape, not all-pairs; a nested loop WITHOUT the identity
+    // broadcast would be.
+    for (q <- Seq("q_event_funnel", "q_funnel_latency")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went all-pairs:\n$p")
+      val nested = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+      val scalarBroadcasts = p.linesIterator.count(_.contains("IdentityBroadcastMode"))
+      assert(nested <= scalarBroadcasts,
+        s"$q has a non-scalar nested loop ($nested loops, $scalarBroadcasts scalar broadcasts):\n$p")
+    }
+  }
+
+  test("q_cohort_retention: two keyed aggregates and one keyed join — bounded output") {
+    val p = plan("q_cohort_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cohort retention must stay keyed:\n$p")
+    assert(shuffleExchanges("q_cohort_retention") <= 7,
+      s"cohort retention grew a shuffle:\n$p")
+  }
 }
