@@ -311,6 +311,9 @@ object SparkEntry {
     // retrieval: probe-term postings audit + BM25 top-k serving query
     "q_term_postings"     -> ((s: SparkSession, d: String) => ext.Search.termPostings(s, d)),
     "q_bm25_topk"         -> ((s: SparkSession, d: String) => ext.Search.bm25TopK(s, d)),
+    // query-likelihood (Dirichlet) ranking + exact phrase search
+    "q_query_likelihood_topk" -> ((s: SparkSession, d: String) => ext.Search.queryLikelihoodTopK(s, d)),
+    "q_phrase_hits"       -> ((s: SparkSession, d: String) => ext.Search.phraseHits(s, d)),
     "q_event_transitions" -> (ExtraQueries.eventTransitions _),
     "q_transition_entropy" -> (ExtraQueries.transitionEntropy _),
     // ordered product-analytics funnel (view -> click -> purchase)
@@ -1402,6 +1405,39 @@ object SparkEntry {
         "(SELECT latency_micros FROM lr CROSS JOIN la " +
         "WHERE rk = CAST(floor((n_converted + 1) / 2.0) AS INT)) AS median_micros, " +
         "mean_seconds FROM la"
+    },
+    // query-likelihood with Dirichlet smoothing: candidate x term grid
+    // (zero-tf terms still contribute smoothing mass), micro-snapped
+    // log contributions — expression mirrored term for term
+    "q_query_likelihood_topk" -> {
+      val probe = ext.Search.ProbeTerms.map(t => s"'$t'").mkString(", ")
+      val mu = ext.Search.Mu
+      s"WITH sp AS MATERIALIZED (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, " +
+        s"ANY_VALUE(dl) AS dl FROM (SELECT doc_id, len($toks) AS dl, unnest($toks) AS term " +
+        s"FROM documents WHERE text IS NOT NULL) WHERE term IN ($probe) GROUP BY doc_id, term), " +
+        s"qc AS (SELECT CAST(SUM(len($toks)) AS BIGINT) AS c_total FROM documents WHERE text IS NOT NULL), " +
+        "qcf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf_t FROM sp GROUP BY term), " +
+        "qcand AS (SELECT DISTINCT doc_id, dl FROM sp), " +
+        "qsc AS (SELECT g.doc_id, CAST(SUM(CAST(floor(" +
+        s"ln((COALESCE(sp.tf, 0) + $mu * g.cf_t / CAST(g.c_total AS DOUBLE)) / (g.dl + $mu)) " +
+        "* 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro " +
+        "FROM (SELECT qcand.doc_id, qcand.dl, qcf.term, qcf.cf_t, qc.c_total " +
+        "FROM qcand CROSS JOIN qcf CROSS JOIN qc) g " +
+        "LEFT JOIN sp ON g.doc_id = sp.doc_id AND g.term = sp.term " +
+        "GROUP BY g.doc_id) " +
+        "SELECT doc_id, score_micro, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank " +
+        "FROM qsc ORDER BY score_micro DESC, doc_id LIMIT 10"
+    },
+    // exact phrase search: adjacent-token pair filter, one narrow pass
+    "q_phrase_hits" -> {
+      val phrase = ext.Search.ProbePhrase.mkString(" ")
+      s"SELECT doc_id, CAST(len(list_filter(list_transform(range(1, len($toks)), " +
+        s"i -> $toks[i] || ' ' || $toks[i+1]), x -> x = '$phrase')) AS BIGINT) AS n_occurrences " +
+        "FROM documents WHERE text IS NOT NULL " +
+        s"AND len(list_filter(list_transform(range(1, len($toks)), " +
+        s"i -> $toks[i] || ' ' || $toks[i+1]), x -> x = '$phrase')) > 0 " +
+        "ORDER BY doc_id"
     },
     // weekly cohort retention triangle: Monday-truncated weeks in both
     // engines, exact day-difference offsets, 6-dp exact-ratio snaps

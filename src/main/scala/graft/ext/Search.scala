@@ -108,6 +108,71 @@ object Search {
     bm25Against(postingsDf(docs, Some(ProbeTerms)), ProbeTerms, nDocs, avgdl, k)
   }
 
+  /** Dirichlet smoothing mass of [[queryLikelihoodTopK]]. */
+  private[graft] val Mu = 300.0
+
+  /** The registered phrase — adjacent-token exact match. */
+  private[graft] val ProbePhrase = Seq("hash", "join")
+
+  /** QUERY-LIKELIHOOD retrieval with Dirichlet smoothing (Ponte &
+    * Croft 1998; Zhai & Lafferty 2001) — the language-model ranking
+    * alternative to [[bm25TopK]], sharing the same postings shape:
+    * score(d) = Σ_t ln((tf + μ·cf_t/C) / (dl + μ)) over the query
+    * terms, candidates = documents containing at least one query term
+    * (the standard candidate shortcut, documented contract — smoothing
+    * mass still flows through every query term via the candidate ×
+    * term grid). Per-term log contributions micro-snapped before the
+    * per-doc sum: exact BIGINT ranking, doc_id tiebreak.
+    *
+    * Scale shape: candidates bounded by the probed postings; the grid
+    * is candidates × |terms| (a broadcast of the |terms|-row
+    * cf table), the final a bounded top-k.
+    */
+  def queryLikelihoodTopK(spark: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, d))
+    val corpus = docs.filter(col("text").isNotNull)
+      .agg(sum(size(TextAnalysis.tokens(col("text")))).as("c_total"))
+      .head().getLong(0)
+    val p = postingsDf(docs, Some(ProbeTerms)).localCheckpoint()
+    val cf = p.groupBy(col("term")).agg(sum(col("tf")).as("cf_t"))
+    val cand = p.select(col("doc_id"), col("dl")).distinct()
+    val contrib = log((coalesce(col("tf"), lit(0L)) +
+      lit(Mu) * col("cf_t") / lit(corpus.toDouble)) / (col("dl") + lit(Mu)))
+    cand.crossJoin(broadcast(cf))
+      .join(p.select(col("doc_id"), col("term"), col("tf")),
+        Seq("doc_id", "term"), "left")
+      .select(col("doc_id"),
+        floor(contrib * lit(1e6) + lit(0.5)).cast("long").as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+  }
+
+  /** Exact PHRASE search: documents containing the probe phrase as
+    * adjacent tokens, with occurrence counts — one narrow
+    * adjacent-pair pass (the link-graph bigram idiom), no positional
+    * index materialized. Returns (doc_id, n_occurrences) for matching
+    * docs.
+    */
+  def phraseHits(spark: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val phrase = ProbePhrase.mkString(" ")
+    Tables.fanOut(Tables.documents(spark, d))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(filter(
+          zip_with(slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => concat(a, lit(" "), b)),
+          x => x === lit(phrase))).cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming retrieval serving: arriving queries (query_id, query
     * text) are tokenized and BM25-scored against the FROZEN postings
     * index of a base corpus — the index is built once at sink

@@ -72,6 +72,46 @@ class SearchSpec extends SparkTestBase {
     }
   }
 
+  test("query-likelihood ranks exactly like a driver-side Dirichlet replay") {
+    val rows = Search.queryLikelihoodTopK(spark, sfDir).collect()
+    assert(rows.length == 10)
+    // ranks dense, ordering by (score desc, doc_id)
+    assert(rows.map(_.getLong(2)).toSeq == (1L to 10L))
+    val ordered = rows.map(r => (r.getLong(1), r.getLong(0)))
+    assert(ordered.zip(ordered.tail).forall { case ((s1, d1), (s2, d2)) =>
+      s1 > s2 || (s1 == s2 && d1 < d2) })
+    // replay the top doc's exact score driver-side from the raw corpus
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    val c = docs.values.map(_.size).sum.toLong
+    val cf = Search.ProbeTerms.map(t =>
+      t -> docs.values.map(_.count(_ == t)).sum.toLong).toMap
+    def score(id: Long): Long = Search.ProbeTerms.map { t =>
+      val tf = docs(id).count(_ == t)
+      math.floor(math.log((tf + Search.Mu * cf(t) / c.toDouble) /
+        (docs(id).size + Search.Mu)) * 1e6 + 0.5).toLong
+    }.sum
+    rows.foreach(r => assert(r.getLong(1) == score(r.getLong(0)),
+      s"score of doc ${r.getLong(0)} drifted"))
+  }
+
+  test("phrase hits count exact adjacent occurrences") {
+    import spark.implicits._
+    val rows = Search.phraseHits(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the probe phrase occurs at fixture scale")
+    // replay: count adjacent (hash, join) pairs driver-side
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    val want = docs.map { case (id, ts) =>
+      id -> ts.sliding(2).count(_ == Search.ProbePhrase)
+    }.filter(_._2 > 0)
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1).toInt).toMap == want)
+  }
+
   test("bm25 serving sink: frozen postings index, batch parity") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
