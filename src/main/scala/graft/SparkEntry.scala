@@ -299,6 +299,7 @@ object SparkEntry {
     // degree-ordered orientation (the at-scale wedge bound)
     "q_clustering_coefficient" -> ((s: SparkSession, d: String) => ext.Graph.clusteringCoefficient(s, d)),
     "q_graph_transitivity" -> ((s: SparkSession, d: String) => ext.Graph.graphTransitivity(s, d)),
+    "q_degree_assortativity" -> ((s: SparkSession, d: String) => ext.Graph.degreeAssortativity(s, d)),
     // embedding evaluation: reconstruction AUC (edges vs hash-derived
     // non-edges scored by the trained embedding dot)
     "q_link_prediction_auc" -> ((s: SparkSession, d: String) => ext.Graph.linkPredictionAuc(s, d)),
@@ -321,7 +322,11 @@ object SparkEntry {
     // time-to-convert stats over the funnel chain
     "q_funnel_latency"    -> (ExtraQueries.funnelLatency _),
     // weekly cohort retention triangle
-    "q_cohort_retention"  -> (ExtraQueries.cohortRetention _)
+    "q_cohort_retention"  -> (ExtraQueries.cohortRetention _),
+    // RFM customer segmentation (exact NTILE quintiles)
+    "q_rfm_segments"      -> (ExtraQueries.rfmSegments _),
+    // per-user activity anomalies (integer median/MAD, no FP at all)
+    "q_activity_anomalies" -> (ExtraQueries.activityAnomalies _)
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -1439,6 +1444,41 @@ object SparkEntry {
         s"i -> $toks[i] || ' ' || $toks[i+1]), x -> x = '$phrase')) > 0 " +
         "ORDER BY doc_id"
     },
+    // RFM: per-event values micro-snapped before the spend sum, exact
+    // NTILE quintiles with a user_id tiebreak
+    "q_rfm_segments" ->
+      ("WITH ra AS (SELECT CAST(MAX(ts) AS DATE) AS a FROM events), " +
+        "ru AS (SELECT user_id, CAST(date_diff('day', CAST(MAX(ts) AS DATE), a) AS BIGINT) AS recency_days, " +
+        "CAST(COUNT(*) AS BIGINT) AS frequency, " +
+        "CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_micro " +
+        "FROM events CROSS JOIN ra WHERE event_type = 'purchase' GROUP BY user_id, a) " +
+        "SELECT user_id, recency_days, frequency, monetary_micro, " +
+        "CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT) AS r_score, " +
+        "CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_score, " +
+        "CAST(NTILE(5) OVER (ORDER BY monetary_micro, user_id) AS BIGINT) AS m_score, " +
+        "CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS VARCHAR) || " +
+        "CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS VARCHAR) || " +
+        "CAST(NTILE(5) OVER (ORDER BY monetary_micro, user_id) AS VARCHAR) AS segment " +
+        "FROM ru ORDER BY user_id"),
+    // activity anomalies: integer median/MAD per user, lower medians
+    // by explicit-floor rank, threshold 3*max(MAD,1) — zero FP
+    "q_activity_anomalies" ->
+      ("WITH ad AS (SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events " +
+        "FROM events GROUP BY user_id, day), " +
+        "amed AS (SELECT user_id, n_events AS med FROM (" +
+        "SELECT user_id, n_events, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events, day) AS rk, " +
+        "COUNT(*) OVER (PARTITION BY user_id) AS cnt FROM ad) " +
+        "WHERE rk = CAST(floor((cnt + 1) / 2.0) AS INT)), " +
+        "adev AS (SELECT ad.user_id, ad.day, ad.n_events, amed.med, " +
+        "ABS(ad.n_events - amed.med) AS dev FROM ad JOIN amed ON ad.user_id = amed.user_id), " +
+        "amad AS (SELECT user_id, dev AS mad FROM (" +
+        "SELECT user_id, dev, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dev, day) AS rk, " +
+        "COUNT(*) OVER (PARTITION BY user_id) AS cnt FROM adev) " +
+        "WHERE rk = CAST(floor((cnt + 1) / 2.0) AS INT)) " +
+        "SELECT adev.user_id, CAST(adev.day AS VARCHAR) AS day, adev.n_events, adev.med, amad.mad " +
+        "FROM adev JOIN amad ON adev.user_id = amad.user_id " +
+        "WHERE adev.dev > 3 * GREATEST(amad.mad, 1) " +
+        "ORDER BY adev.user_id, adev.day"),
     // weekly cohort retention triangle: Monday-truncated weeks in both
     // engines, exact day-difference offsets, 6-dp exact-ratio snaps
     "q_cohort_retention" ->
@@ -3355,6 +3395,26 @@ object SparkEntry {
         "CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank " +
         "FROM ssc ORDER BY score_micro DESC, doc_id LIMIT 10"
     },
+    // Newman degree assortativity: three exact BIGINT edge sums, one
+    // shared closed-form FP expression
+    "q_degree_assortativity" ->
+      (s"$undirectedCtesSql, " +
+        "oeA AS (SELECT s.udeg AS sdeg, t.udeg AS ddeg " +
+        "FROM u JOIN ud s ON u.src = s.doc_id JOIN ud t ON u.dst = t.doc_id " +
+        "WHERE s.udeg < t.udeg OR (s.udeg = t.udeg AND u.src < u.dst)), " +
+        "ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_und_edges, " +
+        "CAST(SUM(sdeg * ddeg) AS BIGINT) AS sum_jk, " +
+        "CAST(SUM(sdeg + ddeg) AS BIGINT) AS sum_j_plus_k, " +
+        "CAST(SUM(sdeg * sdeg + ddeg * ddeg) AS BIGINT) AS sum_j2_plus_k2 FROM oeA) " +
+        "SELECT n_und_edges, sum_jk, sum_j_plus_k, sum_j2_plus_k2, " +
+        "CASE WHEN n_und_edges > 0 THEN floor(" +
+        "(CAST(sum_jk AS DOUBLE) / CAST(n_und_edges AS DOUBLE) - " +
+        "(CAST(sum_j_plus_k AS DOUBLE) / (2.0 * CAST(n_und_edges AS DOUBLE))) * " +
+        "(CAST(sum_j_plus_k AS DOUBLE) / (2.0 * CAST(n_und_edges AS DOUBLE)))) / " +
+        "(CAST(sum_j2_plus_k2 AS DOUBLE) / (2.0 * CAST(n_und_edges AS DOUBLE)) - " +
+        "(CAST(sum_j_plus_k AS DOUBLE) / (2.0 * CAST(n_und_edges AS DOUBLE))) * " +
+        "(CAST(sum_j_plus_k AS DOUBLE) / (2.0 * CAST(n_und_edges AS DOUBLE)))) " +
+        "* 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END AS assortativity FROM ag"),
     "q_graph_transitivity" ->
       (s"$triangleCtesSql " +
         "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_nodes, " +

@@ -601,6 +601,91 @@ object ExtraQueries {
         col("median_micros"), col("mean_seconds"))
   }
 
+  /** RFM SEGMENTATION over the events table (the classic
+    * recency/frequency/monetary customer segmentation): per purchasing
+    * user, days since last purchase (anchored at the corpus' max event
+    * date — deterministic, no wall clock), purchase count, and micro-
+    * snapped spend; each dimension scored 1–5 by exact NTILE with a
+    * user_id tiebreak (5 = most recent / most frequent / top spend),
+    * concatenated into the segment code ("555" = champions).
+    *
+    * Exactness: recency/frequency are integers; spend snaps each
+    * event's DOUBLE value to micro-units BEFORE the sum (order-free
+    * BIGINT); NTILE over (metric, user_id) is engine-identical.
+    *
+    * Scale shape: one event aggregate to a per-user frame (orders of
+    * magnitude smaller than the event table), then three rank windows
+    * over THAT frame; at extreme user counts the scores would come
+    * from broadcast quantile thresholds (the q_curriculum_order
+    * idiom) — the exact-NTILE form is the analytics/audit shape.
+    */
+  def rfmSegments(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val anchor = ev.agg(max(col("ts")).cast("date").as("a"))
+    val users = ev.filter(col("event_type") === lit("purchase"))
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).cast("date").as("last_purchase"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+          .as("monetary_micro"))
+      .crossJoin(anchor)
+      .select(col("user_id"),
+        datediff(col("a"), col("last_purchase")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary_micro"))
+    def sc(order: org.apache.spark.sql.Column*) =
+      ntile(5).over(org.apache.spark.sql.expressions.Window.orderBy(order: _*))
+        .cast("long")
+    users
+      .withColumn("r_score", sc(col("recency_days").desc, col("user_id")))
+      .withColumn("f_score", sc(col("frequency"), col("user_id")))
+      .withColumn("m_score", sc(col("monetary_micro"), col("user_id")))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .orderBy(col("user_id"))
+  }
+
+  /** Per-user ACTIVITY ANOMALIES: days where a user's event count
+    * deviates from their own baseline by more than 3 robust deviations
+    * — median/MAD (both LOWER medians, rank ⌈n/2⌉ with a day tiebreak)
+    * instead of mean/stddev, so one burst day cannot inflate its own
+    * threshold. The abuse/ingest-spike audit, ENTIRELY in integers:
+    * counts, medians, absolute deviations and the 3·max(MAD, 1)
+    * threshold are all BIGINT — no FP anywhere, the replay is exact by
+    * construction.
+    *
+    * Scale shape: one (user, day) aggregate off the event table, then
+    * two per-user rank windows over the per-user-day frame (bounded by
+    * days-per-user, never the raw events) and two keyed joins; output
+    * only the flagged rows.
+    */
+  def activityAnomalies(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint() // read by the median pass, the dev pass, the output
+    def lowerMedian(df: DataFrame, value: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col(value), col("day"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+      df.withColumn("rk", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .filter(col("rk") ===
+          floor((col("cnt") + 1).cast("double") / lit(2.0)).cast("int"))
+        .select(col("user_id"), col(value).as(out))
+    }
+    val med = lowerMedian(daily, "n_events", "med")
+    val dev = daily.join(med, Seq("user_id"))
+      .withColumn("dev", abs(col("n_events") - col("med")))
+    val mad = lowerMedian(dev.select(col("user_id"), col("day"), col("dev")),
+      "dev", "mad")
+    dev.join(mad, Seq("user_id"))
+      .filter(col("dev") > lit(3L) * greatest(col("mad"), lit(1L)))
+      .select(col("user_id"), col("day").cast("string").as("day"),
+        col("n_events"), col("med"), col("mad"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** Weekly cohort retention over the events table: users grouped by
     * the ISO week of their FIRST event; per (cohort, week offset), how
     * many of the cohort were active — the standard retention triangle.

@@ -1521,6 +1521,47 @@ object Graph {
       .orderBy(col("doc_id"))
   }
 
+  /** Degree ASSORTATIVITY of the undirected link graph (Newman 2002,
+    * eq. 4): the Pearson correlation of endpoint degrees over edges —
+    * positive means hubs link hubs (social-network shape), negative
+    * means hubs link leaves (web/biological shape). One row:
+    * (n_und_edges, sum_jk, sum_j_plus_k, sum_j2_plus_k2,
+    * assortativity) with
+    * r = (Sjk/M − b²) / (Ssq/(2M) − b²), b = Sjpk/(2M).
+    * The three sums are exact BIGINTs over the oriented edge table
+    * (each undirected edge exactly once); only the final closed form
+    * is FP — one shared expression, 6-dp snapped.
+    *
+    * Scale shape: the [[orientEdges]] table already carries both
+    * endpoint degrees, so this is ONE map-side-combined aggregate over
+    * edges — no joins beyond the orientation's.
+    */
+  def degreeAssortativity(spark: SparkSession, d: String): DataFrame =
+    degreeAssortativityDf(Tables.fanOut(Tables.documents(spark, d)))
+
+  def degreeAssortativityDf(docs: DataFrame): DataFrame = {
+    val (und, udeg) = undirectedWithDegrees(docs)
+    val oe = orientEdges(und, udeg)
+    val agg = oe.agg(
+      count(lit(1)).as("n_und_edges"),
+      sum(col("sdeg") * col("ddeg")).as("sum_jk"),
+      sum(col("sdeg") + col("ddeg")).as("sum_j_plus_k"),
+      sum(col("sdeg") * col("sdeg") + col("ddeg") * col("ddeg"))
+        .as("sum_j2_plus_k2"))
+    val m = col("n_und_edges").cast("double")
+    val b = col("sum_j_plus_k").cast("double") / (lit(2.0) * m)
+    val r = (col("sum_jk").cast("double") / m - b * b) /
+      (col("sum_j2_plus_k2").cast("double") / (lit(2.0) * m) - b * b)
+    val out = agg.select(col("n_und_edges"), col("sum_jk"),
+        col("sum_j_plus_k"), col("sum_j2_plus_k2"),
+        when(col("n_und_edges") > 0,
+          floor(r * lit(1e6) + lit(0.5)) / lit(1e6))
+          .otherwise(lit(0.0)).as("assortativity"))
+      .localCheckpoint()
+    org.apache.spark.sql.GraftSql.releaseCheckpoint(und)
+    out
+  }
+
   /** Global transitivity of the link graph — one row:
     * (n_nodes, n_und_edges, n_wedges, n_triangles, transitivity) with
     * transitivity = 3T / W, W = Σ k(k−1)/2 (the closed-wedge fraction),

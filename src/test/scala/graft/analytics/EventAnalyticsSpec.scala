@@ -55,6 +55,47 @@ class EventAnalyticsSpec extends SparkTestBase {
       "only user 1 purchased AFTER clicking — user 2's early purchase must not count")
   }
 
+  test("rfm: quintiles balanced, scores track the metrics, segment composes them") {
+    val rows = ExtraQueries.rfmSegments(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (i <- Seq(4, 5, 6)) {
+      val byScore = rows.groupBy(_.getLong(i))
+      assert(byScore.keySet.subsetOf((1L to 5L).toSet))
+      // NTILE balance: bucket sizes differ by at most one
+      val sizes = byScore.values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"unbalanced quintiles at col $i: $byScore")
+    }
+    rows.foreach { r =>
+      assert(r.getString(7) ==
+        s"${r.getLong(4)}${r.getLong(5)}${r.getLong(6)}")
+    }
+    // monotone: every f_score=5 user purchases at least as often as
+    // every f_score=1 user
+    val f5 = rows.filter(_.getLong(5) == 5L).map(_.getLong(2))
+    val f1 = rows.filter(_.getLong(5) == 1L).map(_.getLong(2))
+    assert(f5.min >= f1.max, "frequency quintiles out of order")
+  }
+
+  test("activity anomalies: a planted burst day is flagged, stable users are not") {
+    import spark.implicits._
+    // user 1: 9 days at 2 events + one 30-event burst; user 2: flat
+    val ev = (1 to 9).flatMap(dy => Seq.tabulate(2)(i =>
+        (dy * 100L + i, f"2024-01-$dy%02d 10:0$i:00", 1L, "view"))) ++
+      Seq.tabulate(30)(i => (9000L + i, f"2024-01-10 11:${i % 60}%02d:00", 1L, "view")) ++
+      (1 to 10).flatMap(dy => Seq.tabulate(3)(i =>
+        (20000L + dy * 10 + i, f"2024-01-$dy%02d 09:0$i:00", 2L, "view")))
+    val dir = java.nio.file.Files.createTempDirectory("anom_fx").toString
+    ev.toDF("event_id", "ts_s", "user_id", "event_type")
+      .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = ExtraQueries.activityAnomalies(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, "2024-01-10", 30L, 2L, 0L)),
+      s"exactly the burst day flags (med 2, MAD 0 -> threshold 3): $got")
+  }
+
   test("cohort retention: offsets are non-negative, week 0 is full, counts bounded") {
     val rows = ExtraQueries.cohortRetention(spark, sfDir).collect()
     assert(rows.nonEmpty)

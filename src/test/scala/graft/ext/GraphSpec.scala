@@ -588,6 +588,27 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("degree assortativity matches a driver-side Newman replay on the planted graph") {
+    val fixture = plantedDocs
+    val e = Graph.linkEdgesDf(fixture).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val deg = und.groupBy(_._1).map { case (v, es) => v -> es.length.toLong }
+    val once = und.filter { case (a, b) => // the orientation: each edge once
+      deg(a) < deg(b) || (deg(a) == deg(b) && a < b) }
+    val m = once.length.toLong
+    val sjk = once.map { case (a, b) => deg(a) * deg(b) }.sum
+    val sjpk = once.map { case (a, b) => deg(a) + deg(b) }.sum
+    val ssq = once.map { case (a, b) => deg(a) * deg(a) + deg(b) * deg(b) }.sum
+    val b = sjpk.toDouble / (2.0 * m)
+    val want = math.floor((sjk.toDouble / m - b * b) /
+      (ssq.toDouble / (2.0 * m) - b * b) * 1e6 + 0.5) / 1e6
+    val r = Graph.degreeAssortativityDf(fixture).head()
+    assert(r.getLong(0) == m && r.getLong(1) == sjk &&
+      r.getLong(2) == sjpk && r.getLong(3) == ssq)
+    assert(r.getDouble(4) == want, s"got ${r.getDouble(4)} want $want")
+    assert(r.getDouble(4) >= -1.0 && r.getDouble(4) <= 1.0)
+  }
+
   test("k-core membership matches a driver-side peel on the planted graph") {
     val fixture = plantedDocs
     val e = Graph.linkEdgesDf(fixture).collect().map(r => (r.getLong(0), r.getLong(1)))
