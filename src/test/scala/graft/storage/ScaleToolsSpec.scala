@@ -162,6 +162,40 @@ class ScaleToolsSpec extends SparkTestBase {
     assert(rows.contains(("a", 1L, 3L, 7L)), "state must carry across batches")
   }
 
+  test("streaming funnel: stateful step machine equals the batch MIN-chain semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Long)]
+    val events = input.toDF().toDF("user_id", "event_type", "ts_s", "event_id")
+      .selectExpr("user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts", "event_id")
+    val updates = StatefulStreams.streamingFunnel(events)
+    val query = updates.writeStream.format("memory")
+      .queryName("funnel_state_test").outputMode("append").start()
+    try {
+      // batch 1, deliberately DISORDERED within the batch: the fold
+      // must sort by (ts, event_id) before advancing. user 2's
+      // purchase precedes its click in event time — it must not count.
+      input.addData(
+        (1L, "click", "2024-01-01 11:00:00", 2L),
+        (1L, "view", "2024-01-01 10:00:00", 1L),
+        (2L, "view", "2024-01-02 10:00:00", 4L),
+        (2L, "purchase", "2024-01-02 10:30:00", 5L),
+        (2L, "click", "2024-01-02 11:00:00", 6L),
+        (3L, "view", "2024-01-03 10:00:00", 7L))
+      query.processAllAvailable()
+      // batch 2: user 1 converts across the batch boundary (state carry)
+      input.addData((1L, "purchase", "2024-01-01 12:00:00", 3L))
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("funnel_state_test").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val want = Set(
+      (1L, 1, "view"), (1L, 2, "click"), (1L, 3, "purchase"),
+      (2L, 1, "view"), (2L, 2, "click"),
+      (3L, 1, "view"))
+    assert(rows == want,
+      s"streamed advances $rows != batch MIN-chain semantics $want")
+  }
+
   test("z-order: interleave round-trips known Morton codes; buckets bound BOTH dimensions") {
     // hand-checked Morton codes: x even bits, y odd bits
     val codes = Seq((0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L),
