@@ -326,7 +326,9 @@ object SparkEntry {
     // RFM customer segmentation (exact NTILE quintiles)
     "q_rfm_segments"      -> (ExtraQueries.rfmSegments _),
     // per-user activity anomalies (integer median/MAD, no FP at all)
-    "q_activity_anomalies" -> (ExtraQueries.activityAnomalies _)
+    "q_activity_anomalies" -> (ExtraQueries.activityAnomalies _),
+    // market-basket association rules (support/confidence/lift)
+    "q_copurchase_rules"  -> ((s: SparkSession, d: String) => ExtraQueries.copurchaseRules(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -1460,6 +1462,20 @@ object SparkEntry {
         "CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS VARCHAR) || " +
         "CAST(NTILE(5) OVER (ORDER BY monetary_micro, user_id) AS VARCHAR) AS segment " +
         "FROM ru ORDER BY user_id"),
+    // market basket: order-keyed pair join (per-basket fan-out),
+    // exact counts, 6-dp exact-ratio confidence/lift, keyed tiebreaks
+    "q_copurchase_rules" ->
+      ("WITH bl AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "bn AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM bl), " +
+        "bc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_p FROM bl GROUP BY p), " +
+        "bp AS (SELECT a.p AS part_a, b.p AS part_b, CAST(COUNT(*) AS BIGINT) AS support " +
+        "FROM bl a JOIN bl b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2) " +
+        "SELECT part_a, part_b, support, ca.n_p AS n_a, cb.n_p AS n_b, " +
+        "floor(CAST(support AS DOUBLE) / ca.n_p * 1000000.0 + 0.5) / 1000000.0 AS confidence_ab, " +
+        "floor(CAST(n_orders AS DOUBLE) * support / (ca.n_p * cb.n_p) * 1000000.0 + 0.5) / 1000000.0 AS lift " +
+        "FROM bp JOIN bc ca ON bp.part_a = ca.p JOIN bc cb ON bp.part_b = cb.p " +
+        "CROSS JOIN bn " +
+        "ORDER BY lift DESC, support DESC, part_a, part_b LIMIT 20"),
     // activity anomalies: integer median/MAD per user, lower medians
     // by explicit-floor rank, threshold 3*max(MAD,1) — zero FP
     "q_activity_anomalies" ->

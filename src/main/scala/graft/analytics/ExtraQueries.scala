@@ -601,6 +601,46 @@ object ExtraQueries {
         col("median_micros"), col("mean_seconds"))
   }
 
+  /** MARKET-BASKET association rules over lineitem (Agrawal & Srikant
+    * 1994's support/confidence plus lift): part pairs co-purchased in
+    * the same order, support ≥ 2, top 20 by (lift, support, keys).
+    * Counts are exact integers; confidence and lift are exact-ratio
+    * 6-dp snaps, ordered with full key tiebreaks so ranking is
+    * engine-deterministic.
+    *
+    * Scale shape: the pair generator self-joins the DISTINCT
+    * (order, part) table ON THE ORDER KEY — fan-out is C(items per
+    * order, 2), a per-basket constant (TPC-H ≤ 7), never parts²; the
+    * per-part counts join back keyed; the final is a bounded top-k.
+    */
+  def copurchaseRules(spark: SparkSession, d: String,
+                      minSupport: Long = 2, k: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint() // read by the pair join (twice), counts, total
+    val nOrders = li.select(col("o")).distinct().count()
+    val partCnt = li.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val a = li.select(col("o"), col("p").as("part_a"))
+    val b = li.select(col("o"), col("p").as("part_b"))
+    val pairs = a.join(b, Seq("o"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    def snap6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    pairs
+      .join(partCnt.select(col("p").as("part_a"), col("n_p").as("n_a")), Seq("part_a"))
+      .join(partCnt.select(col("p").as("part_b"), col("n_p").as("n_b")), Seq("part_b"))
+      .select(col("part_a"), col("part_b"), col("support"), col("n_a"), col("n_b"),
+        snap6(col("support").cast("double") / col("n_a")).as("confidence_ab"),
+        snap6(lit(nOrders.toDouble) * col("support") /
+          (col("n_a") * col("n_b"))).as("lift"))
+      .orderBy(col("lift").desc, col("support").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
   /** RFM SEGMENTATION over the events table (the classic
     * recency/frequency/monetary customer segmentation): per purchasing
     * user, days since last purchase (anchored at the corpus' max event

@@ -96,6 +96,26 @@ class EventAnalyticsSpec extends SparkTestBase {
       s"exactly the burst day flags (med 2, MAD 0 -> threshold 3): $got")
   }
 
+  test("copurchase rules: hand-checked support/confidence/lift on a planted basket set") {
+    import spark.implicits._
+    // baskets: {A,B} x2, {A,C}, {B,C}, {A,B,C} -> AB sup 3, AC/BC sup 2
+    val li = Seq(
+      (1L, 100L), (1L, 200L), (2L, 100L), (2L, 200L), (3L, 100L), (3L, 300L),
+      (4L, 200L), (4L, 300L), (5L, 100L), (5L, 200L), (5L, 300L)
+    ).toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("basket_fx").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = ExtraQueries.copurchaseRules(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // lift(AB) = 5*3/(4*4) = 0.9375; lift(AC) = lift(BC) = 5*2/12,
+    // tie broken by keys
+    assert(rows.toSeq == Seq(
+      (100L, 200L, 3L, 4L, 4L, 0.75, 0.9375),
+      (100L, 300L, 2L, 4L, 3L, 0.5, 0.833333),
+      (200L, 300L, 2L, 4L, 3L, 0.5, 0.833333)), s"got ${rows.toSeq}")
+  }
+
   test("cohort retention: offsets are non-negative, week 0 is full, counts bounded") {
     val rows = ExtraQueries.cohortRetention(spark, sfDir).collect()
     assert(rows.nonEmpty)
