@@ -504,9 +504,7 @@ class GraphSpec extends SparkTestBase {
 
   test("triangle family matches a brute-force enumeration on the planted graph") {
     val fixture = plantedDocs
-    val e = Graph.linkEdgesDf(fixture).collect().map(r => (r.getLong(0), r.getLong(1)))
-    val und = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
-    val adj = und.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val (und, adj, _) = undirectedView(fixture)
     val nodes = (0L until fixture.count()).toSeq
     def tri(v: Long): Long = {
       val ns = adj.getOrElse(v, Set.empty).toSeq
@@ -534,12 +532,23 @@ class GraphSpec extends SparkTestBase {
       assert(g.getDouble(4) == math.floor(3e6 * g.getLong(3) / w + 0.5) / 1e6)
   }
 
+  /** Driver-side undirected view of a fixture's link graph — the
+    * scaffolding every undirected replay shares: (und edge list both
+    * directions, adjacency sets, degree map).
+    */
+  private def undirectedView(fixture: org.apache.spark.sql.DataFrame)
+      : (Seq[(Long, Long)], Map[Long, Set[Long]], Map[Long, Long]) = {
+    val e = Graph.linkEdgesDf(fixture).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct.toSeq
+    val adj = und.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val deg = adj.map { case (k, vs) => k -> vs.size.toLong }
+    (und, adj, deg)
+  }
+
   test("label propagation matches a driver-side synchronous replay on the planted graph") {
     val fixture = plantedDocs.withColumn("lang",
       when(col("doc_id") < 5, lit("aa")).otherwise(lit("bb")))
-    val e = Graph.linkEdgesDf(fixture).collect().map(r => (r.getLong(0), r.getLong(1)))
-    val und = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
-    val adj = und.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val (und, adj, _) = undirectedView(fixture)
     val truth = (0L until 10L).map(v => v -> (if (v < 5) "aa" else "bb")).toMap
     var label: Map[Long, Option[String]] =
       truth.map { case (v, l) => v -> (if (v % 3 == 0) Some(l) else None) }
@@ -590,9 +599,7 @@ class GraphSpec extends SparkTestBase {
 
   test("degree assortativity matches a driver-side Newman replay on the planted graph") {
     val fixture = plantedDocs
-    val e = Graph.linkEdgesDf(fixture).collect().map(r => (r.getLong(0), r.getLong(1)))
-    val und = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
-    val deg = und.groupBy(_._1).map { case (v, es) => v -> es.length.toLong }
+    val (und, _, deg) = undirectedView(fixture)
     val once = und.filter { case (a, b) => // the orientation: each edge once
       deg(a) < deg(b) || (deg(a) == deg(b) && a < b) }
     val m = once.length.toLong
@@ -611,9 +618,7 @@ class GraphSpec extends SparkTestBase {
 
   test("k-core membership matches a driver-side peel on the planted graph") {
     val fixture = plantedDocs
-    val e = Graph.linkEdgesDf(fixture).collect().map(r => (r.getLong(0), r.getLong(1)))
-    val und = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
-    val deg0 = und.groupBy(_._1).map { case (v, es) => v -> es.length.toLong }
+    val (und, _, deg0) = undirectedView(fixture)
     val k = math.floor(5.0 * deg0.values.sum / (8.0 * deg0.size)).toLong
     var alive = deg0.keySet
     var changed = true
