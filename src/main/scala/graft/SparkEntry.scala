@@ -1135,8 +1135,8 @@ object SparkEntry {
       "- CAST(floor(ln(CAST(cr + 1 AS DOUBLE) / (tr + 4096)) * 1e6 + 0.5) AS BIGINT) AS dm " +
       "FROM c CROSS JOIN t2)"
   // Exact span-dedup oracle (string-keyed ROW_NUMBER election over all
-  // spans) — shared verbatim by q_span_dedup and q_winnow_span_dedup
-  // (see the latter's registration note for why sharing is the point)
+  // spans) — q_span_dedup. (q_winnow_span_dedup replays its RELAXED
+  // verdicts through the winnow CTE chain below, not this oracle.)
   private lazy val spanDedupOracleSql =
     s"WITH docs AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
       "sp AS (SELECT doc_id, unnest(generate_series(1, greatest(len(t)-4, 0))) AS pos, t FROM docs), " +
@@ -1151,6 +1151,33 @@ object SparkEntry {
       "CASE WHEN n_spans > 0 THEN round(n_removed / CAST(n_spans AS DOUBLE), 6) ELSE 0.0 END AS dup_frac, " +
       "CASE WHEN n_spans > 0 THEN round(n_removed / CAST(n_spans AS DOUBLE), 6) ELSE 0.0 END <= 0.2 AS keep " +
       "FROM sel ORDER BY doc_id"
+
+  // Winnow-family oracle chain: md5-60 span hashes (the operator's own
+  // hash — Cleaning.winnowSpanHashesOf switched the winnow family to
+  // the md5 prefix precisely so the hash-ORDER-dependent selection is
+  // replayable; xxhash64 exists only in Spark). The per-window
+  // rightmost-min selection collapses to ONE aggregate per window
+  // start: min over `h*8 + (w-1 - (pos-s)) + (8-w)` — the low 3 bits
+  // carry the reversed in-window offset, so MIN picks the smallest
+  // hash and, on hash ties, the LARGEST position (the WinnowKernel
+  // `<=` scan). A dropped position can never be re-selected (the
+  // kernel's consecutive-dedup therefore equals global DISTINCT), so
+  // `wfp` is exactly the selected fingerprint set.
+  private def winnowCteSql(docFilter: String): String = {
+    val n = ext.Cleaning.WinnowN
+    val w = ext.Cleaning.WinnowW
+    require(w <= 8, s"winnow oracle offset encoding assumes w <= 8, got $w")
+    s"wdocs AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL$docFilter), " +
+      s"wsp AS MATERIALIZED (SELECT doc_id, pos, array_to_string(t[pos:pos+${n - 1}], ' ') AS gram " +
+      s"FROM (SELECT doc_id, unnest(generate_series(1, greatest(len(t)-${n - 1}, 0))) AS pos, t FROM wdocs)), " +
+      "wsh AS MATERIALIZED (SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h FROM wsp), " +
+      "wnn AS (SELECT doc_id, COUNT(*) AS nsp FROM wsh GROUP BY doc_id), " +
+      s"wws AS (SELECT doc_id, unnest(generate_series(1, greatest(nsp - $w, 0) + 1)) AS s FROM wnn), " +
+      s"wsel AS (SELECT ws.doc_id, ws.s, MIN(sh.h * 8 + 7 - (sh.pos - ws.s)) AS mo " +
+      s"FROM wws ws JOIN wsh sh ON sh.doc_id = ws.doc_id AND sh.pos BETWEEN ws.s AND ws.s + ${w - 1} " +
+      "GROUP BY ws.doc_id, ws.s), " +
+      "wfp AS MATERIALIZED (SELECT DISTINCT doc_id, s + 7 - (mo % 8) AS pos, mo // 8 AS h FROM wsel)"
+  }
 
   // Smoothed-LM oracle generator (Witten-Bell / Kneser-Ney): the
   // per-level suffix-slice chain over the 5-gram type table — raw
@@ -1929,6 +1956,15 @@ object SparkEntry {
         "cnt AS (SELECT source, term, COUNT(*) AS cnt FROM terms GROUP BY source, term) " +
         "SELECT c.source, c.term, c.cnt FROM cnt c JOIN tot t USING (source) " +
         "WHERE c.cnt * 50 > t.n_terms ORDER BY c.source, c.cnt DESC, c.term"),
+    // rolling 8-char-gram min-fingerprint: the kernel's md5-60 value
+    // chain replayed window for window (code-point substr on both
+    // engines; docs shorter than 8 chars hash their whole text once)
+    "q_fingerprints" ->
+      ("WITH fw AS (SELECT doc_id, unnest(generate_series(1, greatest(length(text)-7, 1))) AS i, text " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "fh AS (SELECT doc_id, MIN(('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT) AS fingerprint " +
+        "FROM fw GROUP BY doc_id) " +
+        "SELECT d.doc_id, fh.fingerprint FROM documents d LEFT JOIN fh USING (doc_id) ORDER BY doc_id"),
     "q_tfidf_top_terms" ->
       (s"WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents), " +
         "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term), " +
@@ -2566,14 +2602,49 @@ object SparkEntry {
         "CAST(SUM(n - kept) AS BIGINT) AS trunc_loss, " +
         "round(CAST(SUM(kept) AS DOUBLE) / (bucket_capacity * COUNT(*)), 6) AS efficiency " +
         "FROM b GROUP BY bucket_capacity ORDER BY bucket_capacity"),
-    // q_winnow_span_dedup is deliberately NOT here: its verdicts equal
-    // the exact operator's only where duplicated passages reach the
-    // w + n - 1 winnowing guarantee, and the sf0.01 documents table
-    // contains 7 docs whose only duplication is shorter (measured r10 —
-    // sharing spanDedupOracleSql fails on exactly those rows). Parity
-    // is asserted where it is PROVABLE: planted-fixture equality with
-    // spanDedupStatsDf in CleaningSpec, plus a pinned sub-guarantee
-    // miss so the relaxation stays visible.
+    // The winnow family, fully replayed (md5-60 span hashes + the
+    // window-argmin selection — see winnowCteSql). q_winnow_span_dedup
+    // deliberately does NOT share spanDedupOracleSql: its verdicts
+    // equal the exact operator's only where duplicated passages reach
+    // the w + n - 1 winnowing guarantee; this oracle replays the
+    // RELAXED candidate gate itself, so sub-guarantee misses match too
+    // (the pinned CleaningSpec miss fixture keeps the relaxation
+    // visible; planted-fixture parity with spanDedupStatsDf covers the
+    // guarantee regime).
+    "q_winnow_stats" ->
+      (s"WITH ${winnowCteSql("")}, " +
+        "wnf AS (SELECT doc_id, COUNT(*) AS nf FROM wfp GROUP BY doc_id) " +
+        s"SELECT d.doc_id, CAST(greatest(len(d.t)-${ext.Cleaning.WinnowN - 1}, 0) AS BIGINT) AS n_spans, " +
+        "CAST(COALESCE(wnf.nf, 0) AS BIGINT) AS n_fingerprints, " +
+        s"CASE WHEN len(d.t) >= ${ext.Cleaning.WinnowN} THEN " +
+        s"round(COALESCE(wnf.nf, 0) / CAST(len(d.t)-${ext.Cleaning.WinnowN - 1} AS DOUBLE), 6) " +
+        "ELSE 0.0 END AS density " +
+        "FROM wdocs d LEFT JOIN wnf USING (doc_id) ORDER BY doc_id"),
+    "q_winnow_matches" ->
+      (s"WITH ${winnowCteSql(s" AND doc_id < ${ext.Cleaning.WinnowIdLimit}")}, " +
+        "wdf AS (SELECT DISTINCT doc_id, h FROM wfp) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared " +
+        "FROM wdf a JOIN wdf b ON a.h = b.h AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 ORDER BY id_a, id_b"),
+    "q_winnow_span_dedup" ->
+      (s"WITH ${winnowCteSql("")}, " +
+        // candidate gate: a selected fingerprint hash at > 1 selected
+        // positions corpus-wide marks every doc holding it (the count
+        // is over selected POSITIONS, same-doc repeats included —
+        // mirrors the Spark window count over the exploded selection)
+        "wcand AS (SELECT DISTINCT doc_id FROM " +
+        "(SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS cnt FROM wfp) WHERE cnt > 1), " +
+        // exact string-keyed election over CANDIDATE docs' spans only
+        "wg AS (SELECT s.doc_id, s.pos, s.gram FROM wsp s JOIN wcand USING (doc_id)), " +
+        "ww AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM wg), " +
+        "wrm AS (SELECT doc_id, SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_removed FROM ww GROUP BY doc_id), " +
+        s"wfull AS (SELECT d.doc_id, CAST(greatest(len(d.t)-${ext.Cleaning.WinnowN - 1}, 0) AS BIGINT) AS n_spans, " +
+        "CAST(COALESCE(wrm.n_removed, 0) AS BIGINT) AS n_removed " +
+        "FROM wdocs d LEFT JOIN wrm USING (doc_id)) " +
+        "SELECT doc_id, n_spans, n_removed, " +
+        "CASE WHEN n_spans > 0 THEN round(n_removed / CAST(n_spans AS DOUBLE), 6) ELSE 0.0 END AS dup_frac, " +
+        s"CASE WHEN n_spans > 0 THEN round(n_removed / CAST(n_spans AS DOUBLE), 6) ELSE 0.0 END <= ${ext.Cleaning.SpanMaxDupFrac} AS keep " +
+        "FROM wfull ORDER BY doc_id"),
     // perplexity buckets: NTILE(3) per source over the micro-nat-snapped
     // unigram score (CTE = the q_unigram_logprob oracle verbatim); the
     // doc_id tiebreak makes the split order engine-exact

@@ -17,6 +17,17 @@ import graft.functions.{WinnowExpression, WinnowKernel}
   */
 object Cleaning {
 
+  /** Winnow-family parameters (span n-gram width, winnowing window,
+    * the match query's audit id range, and the dedup keep threshold) —
+    * `private[graft]` because the DuckDB oracle builders in
+    * [[graft.SparkEntry]] interpolate the SAME values: operator and
+    * oracle share one definition (the round-12 ADVICE discipline).
+    */
+  private[graft] val WinnowN = 5
+  private[graft] val WinnowW = 4
+  private[graft] val WinnowIdLimit = 200
+  private[graft] val SpanMaxDupFrac = 0.2
+
   /** Rule-based document filter battery (Gopher-style): per-document
     * features — word count, mean word length, alphabetic-word fraction,
     * distinct-stopword hits, symbol ratio — each thresholded into a
@@ -403,6 +414,23 @@ object Cleaning {
   private def nSpansOf(t: Column, n: Int): Column =
     greatest(size(t) - (n - 1), lit(0)).cast("long")
 
+  /** Positional span hashes for the WINNOW family: the 60-bit md5
+    * prefix ([[Graph.md5Bucket60]]) of each n-token span instead of
+    * xxhash64. Winnowing SELECTS by hash ORDER, so a DuckDB oracle can
+    * only replay the selection if both engines compute the identical
+    * hash — md5 exists in both, xxhash64 only in Spark (the same trade
+    * [[Dedup]]'s minhash kernel made in round 13). Still a codegen'd
+    * builtin expression chain over the token slice; the exact span
+    * ELECTIONS ([[spanDedupStatsDf]] and winnow stage 3) keep the
+    * cheaper xxhash64 spans — their verdicts depend only on hash
+    * EQUALITY and their oracles replay on gram strings.
+    */
+  private def winnowSpanHashesOf(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => Graph.md5Bucket60(concat_ws(" ", slice(t, i, lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
+
   /** DISTINCT span hashes of a static base corpus — the keeper set the
     * streaming form of span dedup checks arrivals against. One corpus
     * pass, one distinct on the 8-byte hash.
@@ -528,15 +556,15 @@ object Cleaning {
     * shuffles above the scan beyond the presentation sort.
     */
   def winnowFingerprintStats(spark: SparkSession, d: String,
-                             n: Int = 5, w: Int = 4): DataFrame =
+                             n: Int = WinnowN, w: Int = WinnowW): DataFrame =
     winnowFingerprintStatsDf(Tables.documents(spark, d), n, w)
 
   /** DataFrame form (docs must have doc_id + text). */
-  def winnowFingerprintStatsDf(docs: DataFrame, n: Int = 5, w: Int = 4): DataFrame =
+  def winnowFingerprintStatsDf(docs: DataFrame, n: Int = WinnowN, w: Int = WinnowW): DataFrame =
     Tables.fanOut(docs).filter(col("text").isNotNull)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
       .select(col("doc_id"), nSpansOf(col("t"), n).as("n_spans"),
-        size(winnowFps(spanHashesOf(col("t"), n), w)).cast("long").as("n_fingerprints"))
+        size(winnowFps(winnowSpanHashesOf(col("t"), n), w)).cast("long").as("n_fingerprints"))
       .withColumn("density",
         when(col("n_spans") > 0,
           round(col("n_fingerprints").cast("double") / col("n_spans"), 6))
@@ -556,17 +584,17 @@ object Cleaning {
     * fingerprints are ~2/(w+1) of spans — winnowing IS the payload
     * reduction).
     */
-  def winnowMatches(spark: SparkSession, d: String, n: Int = 5, w: Int = 4,
-                    idLimit: Int = 200): DataFrame =
+  def winnowMatches(spark: SparkSession, d: String, n: Int = WinnowN, w: Int = WinnowW,
+                    idLimit: Int = WinnowIdLimit): DataFrame =
     winnowMatchesDf(Tables.documents(spark, d), n, w, idLimit)
 
   /** DataFrame form (docs must have doc_id + text). */
-  def winnowMatchesDf(docs: DataFrame, n: Int = 5, w: Int = 4,
-                      idLimit: Int = 200): DataFrame = {
+  def winnowMatchesDf(docs: DataFrame, n: Int = WinnowN, w: Int = WinnowW,
+                      idLimit: Int = WinnowIdLimit): DataFrame = {
     val fps = docs
       .filter(col("text").isNotNull && col("doc_id") < idLimit)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
-      .select(col("doc_id"), explode(winnowFps(spanHashesOf(col("t"), n), w)).as("h"))
+      .select(col("doc_id"), explode(winnowFps(winnowSpanHashesOf(col("t"), n), w)).as("h"))
       .distinct()
     val a = fps.as("a")
     val b = fps.as("b")
@@ -846,13 +874,13 @@ object Cleaning {
     * that regime (the spec pins one such miss so the relaxation stays
     * visible).
     */
-  def winnowSpanDedupStats(spark: SparkSession, d: String, n: Int = 5,
-                           w: Int = 4, maxDupFrac: Double = 0.2): DataFrame =
+  def winnowSpanDedupStats(spark: SparkSession, d: String, n: Int = WinnowN,
+                           w: Int = WinnowW, maxDupFrac: Double = SpanMaxDupFrac): DataFrame =
     winnowSpanDedupStatsDf(Tables.documents(spark, d), n, w, maxDupFrac)
 
   /** DataFrame form (docs must have doc_id + text). */
-  def winnowSpanDedupStatsDf(docs: DataFrame, n: Int = 5, w: Int = 4,
-                             maxDupFrac: Double = 0.2): DataFrame = {
+  def winnowSpanDedupStatsDf(docs: DataFrame, n: Int = WinnowN, w: Int = WinnowW,
+                             maxDupFrac: Double = SpanMaxDupFrac): DataFrame = {
     val toksed = packGuardedTokens(docs, n)
     val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     // the explode is FUSED over the winnow expression (no intermediate
@@ -863,7 +891,7 @@ object Cleaning {
     // A fused (expensive-expression) generator child is exempt from the
     // inference, keeping one evaluation inside one codegen stage.
     val candidates = toksed
-      .select(col("doc_id"), explode(winnowFps(spanHashesOf(col("t"), n), w)).as("h"))
+      .select(col("doc_id"), explode(winnowFps(winnowSpanHashesOf(col("t"), n), w)).as("h"))
       .withColumn("cnt", count(lit(1)).over(wh))
       .filter(col("cnt") > 1)
       .select(col("doc_id")).distinct()
@@ -890,10 +918,10 @@ object Cleaning {
     * span dedup checks arrivals against (~2/(w+1) the size of
     * [[keeperSpanHashes]]).
     */
-  def winnowKeeperFingerprints(docs: DataFrame, n: Int = 5, w: Int = 4): DataFrame =
+  def winnowKeeperFingerprints(docs: DataFrame, n: Int = WinnowN, w: Int = WinnowW): DataFrame =
     Tables.fanOut(docs).filter(col("text").isNotNull)
       .select(TextAnalysis.tokens(col("text")).as("t"))
-      .select(explode(winnowFps(spanHashesOf(col("t"), n), w)).as("h"))
+      .select(explode(winnowFps(winnowSpanHashesOf(col("t"), n), w)).as("h"))
       .distinct()
 
   /** Winnow-accelerated span-dedup stats AGAINST a static base: an
@@ -909,12 +937,12 @@ object Cleaning {
     */
   def winnowSpanDedupStatsAgainst(docs: DataFrame, baseFps: DataFrame,
                                   keeperSpans: DataFrame, n: Int = 5,
-                                  w: Int = 4, maxDupFrac: Double = 0.2): DataFrame = {
+                                  w: Int = WinnowW, maxDupFrac: Double = SpanMaxDupFrac): DataFrame = {
     val toksed = Tables.fanOut(docs).filter(col("text").isNotNull)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
     // fused explode — see winnowSpanDedupStatsDf's candidates note
     val candidates = toksed
-      .select(col("doc_id"), explode(winnowFps(spanHashesOf(col("t"), n), w)).as("h"))
+      .select(col("doc_id"), explode(winnowFps(winnowSpanHashesOf(col("t"), n), w)).as("h"))
       .join(baseFps.select(col("h")), Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
     val removedPerDoc = toksed.join(candidates, Seq("doc_id"))
@@ -939,7 +967,7 @@ object Cleaning {
     */
   def winnowSpanDedupSink(docStream: DataFrame, baseDocs: DataFrame,
                           outPath: String, checkpoint: String, n: Int = 5,
-                          w: Int = 4, maxDupFrac: Double = 0.2,
+                          w: Int = WinnowW, maxDupFrac: Double = SpanMaxDupFrac,
                           triggerMs: Long = 10000L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val fps = Freeze.scoped(checkpoint, winnowKeeperFingerprints(baseDocs, n, w))

@@ -301,8 +301,10 @@ object Dedup {
     }
   }
 
-  /** One MD5 digest per executor thread (see [[minhashSigUdf]]). */
-  private val localMd5: ThreadLocal[java.security.MessageDigest] =
+  /** One MD5 digest per executor thread (see [[minhashSigUdf]];
+    * `private[ext]` so [[TextAnalysis]]'s fingerprint kernel shares it).
+    */
+  private[ext] val localMd5: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   /** DISTINCT xxhash64 values of a doc's word n-shingles, computed in

@@ -164,17 +164,21 @@ object TextAnalysis {
     * min — a winnowing-style content fingerprint that is stable under
     * document reordering within a corpus.
     *
-    * Tight-loop kernel over UTF8String windows (one JIT'd pass per doc)
-    * replacing the interpreted `transform(sequence(...), xxhash64(substr))`
-    * form, which allocated + hashed per character position at interpreter
-    * speed. Values are identical: same substring windows (code-point
-    * semantics), same single-arg xxhash64 seed (42).
+    * Tight-loop kernel over UTF-8 code-point windows (one JIT'd pass
+    * per doc, thread-local digest — no per-window string allocation).
+    * The hash is the 60-bit md5 prefix, NOT xxhash64: min-of-hashes
+    * depends on hash ORDER, so a DuckDB oracle can only replay the
+    * fingerprint if both engines compute the identical hash (the
+    * [[Dedup]] minhash / [[Cleaning]] winnow precedent). The value
+    * chain mirrors DuckDB's
+    * `('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT` —
+    * code-point `substr` semantics on both sides, first 15 hex chars =
+    * the big-endian first 8 digest bytes shifted right 4 bits.
     */
   private val fingerprintUdf = udf { text: String =>
     if (text == null) Option.empty[Long]
     else {
-      import org.apache.spark.sql.catalyst.expressions.XXH64
-      import org.apache.spark.unsafe.Platform
+      val md = Dedup.localMd5.get()
       val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       // code-point start offsets in one pass (substringSQL would rescan
       // from byte 0 per window — O(n²) per doc, measured ~10× slower)
@@ -192,8 +196,13 @@ object TextAnalysis {
       while (i < m) {
         val s = starts(i)
         val e = if (i + 8 <= ncp) starts(i + 8) else bytes.length
-        // same bytes + seed as xxhash64(substring): identical values
-        val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + s, e - s, 42L)
+        md.reset()
+        md.update(bytes, s, e - s)
+        val d = md.digest()
+        val h = (((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+          ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+          ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+          ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) >>> 4
         if (h < best) best = h
         i += 1
       }

@@ -248,7 +248,7 @@ class CleaningSpec extends SparkTestBase {
     // it does NOT (verified below against the exact operator), pinning
     // the documented relaxation: winnow-accelerated output may undercount
     // sub-guarantee duplication, and the exact operator audits that.
-    val short = "s1 s2 s3 s4 s5"
+    val short = "s0a s0b s0c s0d s0e"
     val df = docsDf(
       1L -> s"$short a1 a2 a3 a4 a5 a6 a7 a8 a9",
       2L -> s"b1 b2 b3 b4 b5 b6 b7 b8 b9 $short")
