@@ -109,6 +109,7 @@ object SparkEntry {
     "q_language_id"       -> (TextAnalysis.languageId _),
     "q_fingerprints"      -> (TextAnalysis.fingerprints _),
     "q_tfidf_top_terms"   -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
+    "q_textrank_keywords" -> ((s: SparkSession, d: String) => TextAnalysis.textrankKeywords(s, d)),
     "q_hot_terms"         -> ((s: SparkSession, d: String) => TextAnalysis.hotTermsPerSource(s, d)),
     "q_hot_terms_exact"   -> ((s: SparkSession, d: String) => TextAnalysis.hotTermsExact(s, d)),
     "q_pii_redaction"     -> (TextAnalysis.piiRedactionStats _),
@@ -1152,6 +1153,51 @@ object SparkEntry {
       "CASE WHEN n_spans > 0 THEN round(n_removed / CAST(n_spans AS DOUBLE), 6) ELSE 0.0 END <= 0.2 AS keep " +
       "FROM sel ORDER BY doc_id"
 
+  // TextRank keywords: per-document PageRank over the adjacent-word
+  // graph, RankIters unrolled exact-integer iterations — the
+  // seedRankCtesSql discipline (contributions nano-snapped per edge
+  // BEFORE the BIGINT sum, isolated-node mass redistributed per doc),
+  // replayed with (doc_id, tok) node keys. Shares Graph.Damping /
+  // Graph.RankIters / TextAnalysis.TextrankMinLen / TextrankTopK with
+  // the operator — one definition, no drift.
+  private lazy val textrankSql: String = {
+    val iters = ext.Graph.RankIters
+    val damp = ext.Graph.Damping
+    val minLen = ext.TextAnalysis.TextrankMinLen
+    val topK = ext.TextAnalysis.TextrankTopK
+    val chain = (1 to iters).map { k =>
+      val p = s"ts${k - 1}"
+      s"tc$k AS (SELECT ed.doc_id, ed.b AS tok, " +
+        "CAST(SUM(CAST(floor(CAST(r AS DOUBLE) / deg + 0.5) AS BIGINT)) AS BIGINT) AS inflow " +
+        s"FROM $p s JOIN ed ON s.doc_id = ed.doc_id AND s.tok = ed.a GROUP BY ed.doc_id, ed.b), " +
+        s"td$k AS (SELECT doc_id, CAST(COALESCE(SUM(CASE WHEN deg = 0 THEN r END), 0) AS BIGINT) AS dang " +
+        s"FROM $p GROUP BY doc_id), " +
+        s"ts$k AS MATERIALIZED (SELECT s.doc_id, s.tok, s.deg, s.n, " +
+        s"CAST(floor((1.0 - $damp) * 1000000000.0 / s.n + 0.5) AS BIGINT) + " +
+        s"CAST(floor($damp * CAST(COALESCE(c.inflow, 0) + " +
+        "CAST(floor(CAST(COALESCE(d.dang, 0) AS DOUBLE) / s.n + 0.5) AS BIGINT) AS DOUBLE) + 0.5) AS BIGINT) AS r " +
+        s"FROM $p s LEFT JOIN tc$k c ON s.doc_id = c.doc_id AND s.tok = c.tok " +
+        s"LEFT JOIN td$k d ON s.doc_id = d.doc_id)"
+    }.mkString(", ")
+    s"WITH twd AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
+      "tpr AS (SELECT doc_id, t[i] AS a, t[i+1] AS b " +
+      "FROM (SELECT doc_id, unnest(range(1, len(t))) AS i, t FROM twd) " +
+      s"WHERE length(t[i]) >= $minLen AND length(t[i+1]) >= $minLen AND t[i] <> t[i+1]), " +
+      "ed AS MATERIALIZED (SELECT DISTINCT doc_id, a, b FROM " +
+      "(SELECT doc_id, a, b FROM tpr UNION ALL SELECT doc_id, b AS a, a AS b FROM tpr)), " +
+      s"tnd AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(t) AS tok FROM twd) " +
+      s"WHERE length(tok) >= $minLen), " +
+      "tnn AS (SELECT doc_id, COUNT(*) AS n FROM tnd GROUP BY doc_id), " +
+      "tdg AS (SELECT doc_id, a AS tok, COUNT(*) AS deg FROM ed GROUP BY doc_id, a), " +
+      "ts0 AS MATERIALIZED (SELECT nd.doc_id, nd.tok, COALESCE(dg.deg, 0) AS deg, nn.n, " +
+      "CAST(floor(1000000000.0 / nn.n + 0.5) AS BIGINT) AS r " +
+      "FROM tnd nd JOIN tnn nn USING (doc_id) LEFT JOIN tdg dg ON nd.doc_id = dg.doc_id AND nd.tok = dg.tok), " +
+      s"$chain " +
+      "SELECT doc_id, rk, term, rank_nano FROM (SELECT doc_id, tok AS term, r AS rank_nano, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY r DESC, tok) AS INTEGER) AS rk " +
+      s"FROM ts$iters) WHERE rk <= $topK ORDER BY doc_id, rk"
+  }
+
   // Winnow-family oracle chain: md5-60 span hashes (the operator's own
   // hash — Cleaning.winnowSpanHashesOf switched the winnow family to
   // the md5 prefix precisely so the hash-ORDER-dependent selection is
@@ -1965,6 +2011,7 @@ object SparkEntry {
         "fh AS (SELECT doc_id, MIN(('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT) AS fingerprint " +
         "FROM fw GROUP BY doc_id) " +
         "SELECT d.doc_id, fh.fingerprint FROM documents d LEFT JOIN fh USING (doc_id) ORDER BY doc_id"),
+    "q_textrank_keywords" -> textrankSql,
     "q_tfidf_top_terms" ->
       (s"WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents), " +
         "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term), " +

@@ -88,8 +88,11 @@ object Graph {
   private[ext] def md5Bucket60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** floor(x + 0.5) as BIGINT — the nano-rank snap. */
-  private def snap(c: Column): Column = floor(c + lit(0.5)).cast("long")
+  /** floor(x + 0.5) as BIGINT — the nano-rank snap (`private[ext]` so
+    * [[TextAnalysis.textrankKeywordsDf]] runs the identical recurrence
+    * arithmetic over its per-document word graphs).
+    */
+  private[ext] def snap(c: Column): Column = floor(c + lit(0.5)).cast("long")
 
   /** Deterministic synthetic edge set: for each document with text,
     * each distinct token bigram links it to frontier slot

@@ -215,6 +215,110 @@ object TextAnalysis {
       .select(col("doc_id"), fingerprintUdf(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** TextRank parameters — shared with the DuckDB oracle builder in
+    * [[graft.SparkEntry]] (one definition, no drift): minimum token
+    * length for a word to enter the graph (the POS-filter proxy — no
+    * tagger in a portable engine, and short function words are exactly
+    * what a length floor drops), and keywords kept per document.
+    */
+  private[graft] val TextrankMinLen = 4
+  private[graft] val TextrankTopK = 3
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): per
+    * document, PageRank over the word co-occurrence graph — nodes are
+    * the document's distinct tokens of length >= `minLen`, undirected
+    * edges link tokens ADJACENT in the original sequence (window 2),
+    * and the top-`topK` ranked words are the document's keywords.
+    *
+    * The recurrence is [[Graph]]'s exact-integer nano-rank discipline
+    * verbatim, run over ALL documents' graphs at once with (doc_id,
+    * term) node keys: per-edge contributions snapped to BIGINT nanos
+    * BEFORE the sum, isolated nodes' mass redistributed per doc like
+    * dangling pages, so the DuckDB unroll replays bit-for-bit and the
+    * result is partitioning-independent.
+    *
+    * Scale shape: state and edges are token-stream-sized, keyed on
+    * (doc_id, term) — every per-iteration join co-partitions on that
+    * key and no per-doc work ever touches the driver. Iterations are
+    * localCheckpoint-truncated (the GraphX lineage discipline), each
+    * releasing its predecessor deterministically.
+    */
+  def textrankKeywords(spark: SparkSession, d: String,
+                       iters: Int = Graph.RankIters,
+                       topK: Int = TextrankTopK,
+                       minLen: Int = TextrankMinLen): DataFrame =
+    textrankKeywordsDf(Tables.fanOut(Tables.documents(spark, d)), iters, topK, minLen)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def textrankKeywordsDf(docs: DataFrame, iters: Int = Graph.RankIters,
+                         topK: Int = TextrankTopK,
+                         minLen: Int = TextrankMinLen): DataFrame = {
+    require(iters >= 1, s"textrank needs >= 1 iteration, got $iters")
+    val toksed = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    // adjacent co-occurrence pairs over the ORIGINAL sequence, then
+    // the length floor and self-loop drop; undirected = both directions
+    val pairs = toksed.filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .filter(length(col("a")) >= minLen && length(col("b")) >= minLen &&
+        col("a") =!= col("b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_id"), col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    val nodes = toksed
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .filter(length(col("tok")) >= minLen)
+      .distinct()
+    val nn = nodes.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dg = edges.groupBy(col("doc_id"), col("a").as("tok"))
+      .agg(count(lit(1)).as("deg"))
+    // per-node state: (doc_id, tok, deg, n, rank_nano); r0 = snap(1e9/n)
+    var state = nodes.join(nn, Seq("doc_id"))
+      .join(dg, Seq("doc_id", "tok"), "left")
+      .select(col("doc_id"), col("tok"),
+        coalesce(col("deg"), lit(0L)).as("deg"), col("n"),
+        Graph.snap(lit(1e9) / col("n")).as("rank_nano"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = state.filter(col("deg") > 0)
+        .select(col("doc_id"), col("tok").as("a"),
+          Graph.snap(col("rank_nano").cast("double") / col("deg")).as("c"))
+        .join(edges, Seq("doc_id", "a"))
+        .groupBy(col("doc_id"), col("b").as("tok"))
+        .agg(sum(col("c")).as("inflow"))
+      val dang = state.groupBy(col("doc_id"))
+        .agg(coalesce(sum(when(col("deg") === 0, col("rank_nano"))), lit(0L))
+          .as("dang"))
+      val next = state.select(col("doc_id"), col("tok"), col("deg"), col("n"))
+        .join(contribs, Seq("doc_id", "tok"), "left")
+        .join(dang, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("tok"), col("deg"), col("n"),
+          (Graph.snap(lit((1.0 - Graph.Damping) * 1e9) / col("n")) +
+            Graph.snap(lit(Graph.Damping) *
+              (coalesce(col("inflow"), lit(0L)) +
+                Graph.snap(coalesce(col("dang"), lit(0L)).cast("double") / col("n")))
+                .cast("double"))).as("rank_nano"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftSql.releaseCheckpoint(state)
+      state = next
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("rank_nano").desc, col("term"))
+    val out = state
+      .select(col("doc_id"), col("tok").as("term"), col("rank_nano"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("rk"), col("term"), col("rank_nano"))
+      .orderBy(col("doc_id"), col("rk"))
+    org.apache.spark.sql.GraftSql.releaseCheckpoint(edges)
+    out
+  }
+
   /** Per-doc (n_bigrams, top_count, dup_count) over adjacent word
     * pairs in ONE kernel pass — a local hash map per document, so the
     * repetition signal needs no (doc, bigram) shuffle at any scale.

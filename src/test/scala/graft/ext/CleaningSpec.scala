@@ -187,6 +187,31 @@ class CleaningSpec extends SparkTestBase {
     }
   }
 
+  test("textrank keywords: hub word wins; isolated nodes keep teleport mass; filtered docs absent") {
+    val df = docsDf(
+      // 'nexus' is adjacent to five distinct long words — highest
+      // degree, must out-rank every peripheral word
+      1L -> "alpha nexus bravo nexus charlie nexus delta nexus echoes",
+      // only sub-minLen tokens: opens no node, must be ABSENT
+      2L -> "a b c d e f",
+      // two qualifying words, never adjacent to each other (separated
+      // by short words): both isolated, equal rank, alphabetic order
+      3L -> "an apple on a tree")
+    val out = TextAnalysis.textrankKeywordsDf(df).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc(1L).head.getString(2) == "nexus",
+      s"hub word must rank first: ${byDoc(1L).toSeq}")
+    assert(!byDoc.contains(2L), s"no-node doc must be absent: ${out.toSeq}")
+    val d3 = byDoc(3L).sortBy(_.getInt(1))
+    assert(d3.map(_.getString(2)).toSeq == Seq("apple", "tree") &&
+      d3.map(_.getLong(3)).distinct.length == 1,
+      s"isolated nodes: equal rank, term tiebreak: ${d3.toSeq}")
+    // determinism on the real table (partitioning-independent integers)
+    val a = TextAnalysis.textrankKeywords(spark, sfDir).collect()
+    val b = TextAnalysis.textrankKeywords(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq && a.nonEmpty)
+  }
+
   test("winnowing stats and matches: planted passage must surface; density in band") {
     val passage = (1 to 12).map(i => s"shared$i").mkString(" ") // 12 tokens >= w+n-1 = 8
     val df = docsDf(
