@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analytics.{CoreQueries, ExtraQueries, RelationalQueries}
+import graft.analytics.{CoreQueries, Expectations, ExtraQueries, RelationalQueries}
 import graft.extract.TextExtract
 import graft.ext.{Cleaning, Clustering, Dedup, Similarity, TextAnalysis}
 import graft.ingest.CorpusSource
@@ -329,7 +329,11 @@ object SparkEntry {
     // per-user activity anomalies (integer median/MAD, no FP at all)
     "q_activity_anomalies" -> (ExtraQueries.activityAnomalies _),
     // market-basket association rules (support/confidence/lift)
-    "q_copurchase_rules"  -> ((s: SparkSession, d: String) => ExtraQueries.copurchaseRules(s, d))
+    "q_copurchase_rules"  -> ((s: SparkSession, d: String) => ExtraQueries.copurchaseRules(s, d)),
+    // frequent contiguous 2/3-step event sequences with user support
+    "q_event_sequences"   -> ((s: SparkSession, d: String) => ExtraQueries.frequentEventSequences(s, d)),
+    // Deequ-style data-quality expectations battery over the tables
+    "q_data_quality_audit" -> (Expectations.dataQualityAudit _)
   )
 
   // Shared SQL fragments for the DuckDB oracles
@@ -1437,6 +1441,56 @@ object SparkEntry {
         "SELECT prev_type, next_type, n_transitions, " +
         "floor(CAST(n_transitions AS DOUBLE) / (SUM(n_transitions) OVER (PARTITION BY prev_type)) * 1000000.0 + 0.5) / 1000000.0 AS p_transition " +
         "FROM g ORDER BY prev_type, next_type"),
+    // frequent contiguous 2/3-step sequences: two leads over the shared
+    // per-user order, pattern aggregate, micro-snapped user support
+    "q_event_sequences" ->
+      ("WITH s AS (SELECT user_id, event_type AS a, " +
+        "LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b, " +
+        "LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c FROM events), " +
+        "tu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM events), " +
+        "p AS (SELECT user_id, 2 AS k, a || '>' || b AS pattern FROM s WHERE b IS NOT NULL " +
+        "UNION ALL SELECT user_id, 3 AS k, a || '>' || b || '>' || c AS pattern FROM s WHERE c IS NOT NULL), " +
+        "g AS (SELECT k, pattern, CAST(COUNT(*) AS BIGINT) AS n_occurrences, " +
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM p GROUP BY k, pattern) " +
+        "SELECT k, pattern, n_occurrences, n_users, " +
+        "floor(CAST(n_users AS DOUBLE) / nu * 1000000.0 + 0.5) / 1000000.0 AS support " +
+        "FROM g CROSS JOIN tu " +
+        "WHERE floor(CAST(n_users AS DOUBLE) / nu * 1000000.0 + 0.5) / 1000000.0 >= 0.02 " +
+        "ORDER BY k, n_users DESC, pattern"),
+    // data-quality expectations: one conditional-sum battery per table
+    // + anti-join orphan counts, 6-dp pass rates
+    "q_data_quality_audit" ->
+      ("WITH li AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty, " +
+        "CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price, " +
+        "CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc FROM lineitem), " +
+        "oo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_dup, " +
+        "CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_total FROM orders), " +
+        "dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null, " +
+        "CAST(SUM(CASE WHEN COALESCE(length(text), 0) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS v_nchars FROM documents), " +
+        "ee AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN event_type IS NULL OR ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_key FROM events), " +
+        "rlo AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS v), " +
+        "roc AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM orders o WHERE NOT EXISTS " +
+        "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS v), " +
+        "rows_ AS (SELECT 'lineitem.quantity_in_1_50' AS rule, n AS n_checked, v_qty AS n_violations FROM li " +
+        "UNION ALL SELECT 'lineitem.extendedprice_nonneg', n, v_price FROM li " +
+        "UNION ALL SELECT 'lineitem.discount_in_0_1', n, v_disc FROM li " +
+        "UNION ALL SELECT 'orders.orderkey_unique', n, v_dup FROM oo " +
+        "UNION ALL SELECT 'orders.totalprice_nonneg', n, v_total FROM oo " +
+        "UNION ALL SELECT 'documents.text_complete', n, v_null FROM dd " +
+        "UNION ALL SELECT 'documents.nchars_matches_text', n, v_nchars FROM dd " +
+        "UNION ALL SELECT 'events.type_and_ts_complete', n, v_key FROM ee " +
+        "UNION ALL SELECT 'lineitem.orderkey_refs_orders', n, v FROM rlo " +
+        "UNION ALL SELECT 'orders.custkey_refs_customer', n, v FROM roc) " +
+        "SELECT rule, n_checked, n_violations, " +
+        "CASE WHEN n_checked > 0 THEN floor(CAST(n_checked - n_violations AS DOUBLE) / n_checked * 1000000.0 + 0.5) / 1000000.0 ELSE 1.0 END AS pass_rate " +
+        "FROM rows_ ORDER BY rule"),
     // conditional next-action entropy: micro-nat-snapped -p*ln(p) terms
     // summed as BIGINTs per source state
     "q_transition_entropy" ->

@@ -70,6 +70,51 @@ object ExtraQueries {
       .orderBy(col("prev_type"))
   }
 
+  /** Frequent contiguous event sequences (the GSP flavor restricted to
+    * contiguous occurrences): length-2 and length-3 event-type patterns
+    * over each user's time-ordered stream, with occurrence counts,
+    * distinct-user counts, and user support (exact micro-snapped
+    * ratio). The sequence-MINING complement of [[eventTransitions]]:
+    * the transition model scores P(next | prev) for a known step, this
+    * surfaces WHICH multi-step behaviors are common — the
+    * funnel-discovery primitive (q_event_funnel then audits a chosen
+    * chain).
+    *
+    * Scale shape: ONE per-user window pass (two leads over the shared
+    * (ts, event_id) order), then aggregates on pattern keys bounded by
+    * \|event types\|³ — tiny however large the stream; the user total
+    * rides a 1-row broadcast. Patterns below `minSupport` are pruned.
+    */
+  def frequentEventSequences(spark: SparkSession, d: String,
+                             minSupport: Double = 0.02): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val s = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("a"))
+      .withColumn("b", lead(col("a"), 1).over(w))
+      .withColumn("c", lead(col("a"), 2).over(w))
+    val p2 = s.filter(col("b").isNotNull)
+      .select(col("user_id"), lit(2).as("k"),
+        concat_ws(">", col("a"), col("b")).as("pattern"))
+    val p3 = s.filter(col("c").isNotNull)
+      .select(col("user_id"), lit(3).as("k"),
+        concat_ws(">", col("a"), col("b"), col("c")).as("pattern"))
+    val totalUsers = Tables.events(spark, d)
+      .agg(countDistinct(col("user_id")).as("nu"))
+    p2.union(p3)
+      .groupBy(col("k"), col("pattern"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(broadcast(totalUsers))
+      .withColumn("support",
+        floor(col("n_users").cast("double") / col("nu") * lit(1e6) + lit(0.5)) / lit(1e6))
+      .filter(col("support") >= minSupport)
+      .select(col("k"), col("pattern"), col("n_occurrences"),
+        col("n_users"), col("support"))
+      .orderBy(col("k"), col("n_users").desc, col("pattern"))
+  }
+
   /** S3: the reference's declared ad-hoc SQL surface
     * (`spark/visualize.py:27` — which never worked there, §2.12): register
     * the corpus as a temp view and run SQL text against it.

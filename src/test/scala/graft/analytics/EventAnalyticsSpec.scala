@@ -55,6 +55,56 @@ class EventAnalyticsSpec extends SparkTestBase {
       "only user 1 purchased AFTER clicking — user 2's early purchase must not count")
   }
 
+  test("event sequences: contiguity is strict; support counts users once") {
+    import spark.implicits._
+    // user 1 does view>click>purchase twice (4 occurrences of 2-step
+    // pairs, but user-support must count user 1 ONCE per pattern);
+    // user 2 does view ... purchase with a click of a DIFFERENT page
+    // between — view>purchase is NOT contiguous for anyone
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:01:00", 1L, "click"),
+      (3L, "2024-01-01 10:02:00", 1L, "view"),
+      (4L, "2024-01-01 10:03:00", 1L, "click"),
+      (5L, "2024-01-02 10:00:00", 2L, "view"),
+      (6L, "2024-01-02 10:01:00", 2L, "scroll"),
+      (7L, "2024-01-02 10:02:00", 2L, "purchase")
+    ).toDF("event_id", "ts_s", "user_id", "event_type")
+      .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+    val dir = java.nio.file.Files.createTempDirectory("seq_fx").toString
+    ev.withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = ExtraQueries.frequentEventSequences(spark, dir, minSupport = 0.0)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got("view>click") == (2L, 1L),
+      s"two occurrences, ONE supporting user: $got")
+    assert(!got.contains("view>purchase"),
+      s"non-contiguous pattern must not appear: $got")
+    assert(got("view>scroll>purchase") == (1L, 1L), s"3-step: $got")
+    assert(got("view>click>view") == (1L, 1L), s"cross-repeat 3-step: $got")
+    // support = users/total at 6dp: user 1 of 2 total
+    val sup = ExtraQueries.frequentEventSequences(spark, dir, minSupport = 0.0)
+      .collect().map(r => r.getString(1) -> r.getDouble(4)).toMap
+    assert(sup("view>click") == 0.5, s"support snap: $sup")
+  }
+
+  test("data-quality audit: planted violations are counted per rule") {
+    val rows = Expectations.dataQualityAudit(spark, sfDir).collect()
+    assert(rows.length == 10, s"one row per rule: ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, s"rule ${r.getString(0)} checked nothing")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+      val expect = math.floor((r.getLong(1) - r.getLong(2)).toDouble /
+        r.getLong(1) * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(3) == expect, s"pass_rate mismatch on ${r.getString(0)}")
+    }
+    // the synthetic tables are referentially intact — both FK rules pass clean
+    val byRule = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byRule("lineitem.orderkey_refs_orders") == 0L)
+    assert(byRule("orders.custkey_refs_customer") == 0L)
+  }
+
   test("rfm: quintiles balanced, scores track the metrics, segment composes them") {
     val rows = ExtraQueries.rfmSegments(spark, sfDir).collect()
     assert(rows.nonEmpty)
