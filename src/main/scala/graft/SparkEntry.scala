@@ -852,6 +852,57 @@ object SparkEntry {
   }
 
 
+  // k-means unroll: Clustering's integer micro-space Lloyd's replayed
+  // exactly — coordinates snap ONCE to floor(x*1e6+0.5) BIGINTs,
+  // distances are exact integer sums of squared deltas (summation
+  // order cannot matter), centroid updates floor(sum/count + 0.5)
+  // back to micro ints, ties to the LOWER cell via (d2, cell)
+  // row_number. Emits `kev` (vec_id, dim, x) and `kfa` (vec_id, cell,
+  // d2): the final assignment under the converged centroids, shared
+  // by q_kmeans and q_cluster_prune. Iteration/k/drop constants
+  // interpolate from ext.Clustering (one definition, no drift).
+  private lazy val kmeansCtesSql: String = {
+    val k = ext.Clustering.KmeansK
+    val iters = ext.Clustering.KmeansIters
+    def distCte(name: String, cents: String) =
+      s"$name AS (SELECT kev.vec_id, c.cell, SUM((kev.x - c.cx) * (kev.x - c.cx)) AS d2 " +
+        s"FROM kev JOIN $cents c ON kev.dim = c.dim GROUP BY kev.vec_id, c.cell)"
+    def argminCte(name: String, dists: String) =
+      s"$name AS MATERIALIZED (SELECT vec_id, cell, d2 FROM (SELECT vec_id, cell, d2, " +
+        s"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM $dists) WHERE rn = 1)"
+    val steps = (1 to iters).map { i =>
+      val p = s"kc${i - 1}"
+      distCte(s"kd$i", p) + ", " +
+        argminCte(s"ka$i", s"kd$i") + ", " +
+        s"ku$i AS (SELECT a.cell, kev.dim, " +
+        "CAST(floor(CAST(SUM(kev.x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS cx " +
+        s"FROM ka$i a JOIN kev ON kev.vec_id = a.vec_id GROUP BY a.cell, kev.dim), " +
+        s"kc$i AS MATERIALIZED (SELECT p.cell, p.dim, COALESCE(u.cx, p.cx) AS cx " +
+        s"FROM $p p LEFT JOIN ku$i u ON p.cell = u.cell AND p.dim = u.dim)"
+    }.mkString(", ")
+    "kev AS MATERIALIZED (SELECT vec_id, CAST(gs.pos - 1 AS INTEGER) AS dim, " +
+      "CAST(floor(CAST(emb[gs.pos] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x " +
+      "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings " +
+      "WHERE embedding IS NOT NULL) e, " +
+      "LATERAL (SELECT unnest(generate_series(1, len(emb))) AS pos) gs), " +
+      "ki AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell " +
+      s"FROM (SELECT DISTINCT vec_id FROM kev) ORDER BY vec_id LIMIT $k), " +
+      "kc0 AS MATERIALIZED (SELECT i.cell, kev.dim, kev.x AS cx " +
+      "FROM ki i JOIN kev ON kev.vec_id = i.vec_id), " +
+      steps + ", " +
+      distCte("kfd", s"kc$iters") + ", " +
+      argminCte("kfa", "kfd")
+  }
+
+  /** snap6(CAST(expr AS DOUBLE) / divisors...) with Spark's exact op
+    * order: each `/ d` applies left-to-right, then *1e6, +0.5, floor,
+    * /1e6 — identical IEEE doubles on both engines.
+    */
+  private def snap6Sql(expr: String, divisors: String*): String = {
+    val divided = divisors.foldLeft(s"CAST($expr AS DOUBLE)")((acc, d) => s"($acc / $d)")
+    s"floor($divided * 1000000.0 + 0.5) / 1000000.0"
+  }
+
   // ------------------------------------------------------------------
   // MinHash near-dup family — fully oracle-checkable since the
   // signature kernel moved to the md5-prefix universal-hash family
@@ -2331,6 +2382,27 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY source ORDER BY cos_centroid_r, vec_id) AS rnk FROM scored) " +
         "SELECT source, CAST(rnk AS BIGINT) AS rk, vec_id, cos_centroid_r " +
         "FROM r WHERE rnk <= 3 ORDER BY source, rk"),
+    // full Lloyd's replay (kmeansCtesSql): integer micro-space fit,
+    // per-cluster BIGINT inertia, 6-dp snapped unit conversions
+    "q_kmeans" ->
+      (s"WITH $kmeansCtesSql " +
+        "SELECT CAST(cell AS INTEGER) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors, " +
+        s"${snap6Sql("SUM(d2)", "1000000000000.0")} AS inertia, " +
+        s"${snap6Sql("SUM(d2)", "COUNT(*)", "1000000000000.0")} AS mean_sq_dist " +
+        "FROM kfa GROUP BY cell ORDER BY cluster"),
+    // D4-style prototype prune over the same fit: rank (d2, vec_id)
+    // within cluster, drop ranks <= floor(dropFrac * size)
+    "q_cluster_prune" ->
+      (s"WITH $kmeansCtesSql, " +
+        "pr AS (SELECT cell, vec_id, d2, " +
+        "ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d2, vec_id) AS rk, " +
+        "COUNT(*) OVER (PARTITION BY cell) AS cn FROM kfa), " +
+        s"pd AS (SELECT cell, d2, (rk <= floor(${ext.Clustering.PruneDropFrac} * cn)) AS dropped FROM pr) " +
+        "SELECT CAST(cell AS INTEGER) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors, " +
+        "CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped, " +
+        s"${snap6Sql("MAX(CASE WHEN dropped THEN d2 END)", "1000000000000.0")} AS cut_d2, " +
+        s"${snap6Sql("SUM(d2)", "COUNT(*)", "1000000000000.0")} AS mean_d2 " +
+        "FROM pd GROUP BY cell ORDER BY cluster"),
     // containment: same shingle sets as the jaccard oracle, both
     // asymmetric ratios + jaccard from the same intersection counts
     "q_ngram_containment" ->

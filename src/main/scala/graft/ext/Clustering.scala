@@ -15,49 +15,90 @@ import graft.Tables
   * vector votes in every round — for when cluster QUALITY is the
   * product, executed as Spark aggregations so it scales with the
   * cluster, not the driver.
+  *
+  * AUDIT-GRADE ARITHMETIC: the whole fit runs in integer MICRO-units —
+  * each float coordinate snaps ONCE to floor(x·1e6 + 0.5) (a 1e-6
+  * quantization, far below the embedding noise floor), distances are
+  * exact BIGINT sums of squared integer deltas, and centroid updates
+  * divide exact integer sums. Summation order therefore cannot perturb
+  * anything: the fit is partitioning-independent, and the DuckDB
+  * oracle replays every iteration bit-for-bit (the [[Graph]] /
+  * [[Training]] exactness discipline applied to Lloyd's — round 13
+  * flipped q_kmeans and q_cluster_prune from rows-only to full-oracle
+  * with this). Magnitudes: |x| < 0.53 → coords < 2^20, per-pair
+  * squared distance < 64·(2^21)² < 2^48, corpus inertia sums fit
+  * BIGINT through ~2^15 larger corpora than sf0.1; beyond that the
+  * same recurrence runs in DECIMAL.
   */
 object Clustering {
 
-  /** Full-corpus Lloyd's k-means, distributed:
+  /** Shared with the DuckDB oracle builders in [[graft.SparkEntry]]
+    * (one definition, no drift).
+    */
+  private[graft] val KmeansK = 8
+  private[graft] val KmeansIters = 4
+  private[graft] val PruneDropFrac = 0.25
+
+  /** floor(x·1e6 + 0.5) per coordinate — the one lossy step. */
+  private def snapVec(v: scala.collection.Seq[Float]): Array[Long] = {
+    val out = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) {
+      out(i) = math.floor(v(i).toDouble * 1e6 + 0.5).toLong
+      i += 1
+    }
+    out
+  }
+
+  /** Full-corpus Lloyd's k-means, distributed, integer micro-units:
     *
-    *  - init: the embeddings of the k smallest vec_ids (deterministic,
-    *    no RNG — runs and replays agree; k rows collected).
+    *  - init: the snapped embeddings of the k smallest vec_ids
+    *    (deterministic, no RNG — runs and replays agree; k rows
+    *    collected).
     *  - assignment: nearest-centroid argmin as a narrow map over the
-    *    corpus (broadcast k×dim doubles in the UDF closure).
-    *  - update: per-(cell, dimension) sums via posexplode + hash
+    *    corpus (broadcast k×dim longs in the UDF closure; exact BIGINT
+    *    distances, ties to the lower cell).
+    *  - update: per-(cell, dimension) BIGINT sums via posexplode + hash
     *    aggregation — map-side partials reduce every partition to
     *    ≤ k×dim rows BEFORE the exchange, so the shuffle carries
     *    O(k × dim × partitions) regardless of corpus size; the driver
     *    receives exactly k×dim (cell, dim, sum, count) rows per
     *    iteration (~a few KB), the textbook distributed-k-means sync.
+    *    New centroid = floor(sum/count + 0.5) — snapped back to micro
+    *    ints, so the next assignment is exact again.
     *
     * Cost: `iters` corpus passes + one k-row collect; per-iteration
-    * driver traffic is k×dim doubles. Empty cells keep their previous
+    * driver traffic is k×dim longs. Empty cells keep their previous
     * centroid (no respawn — deterministic). This is an eager model-
     * fitting call (it RUNS Spark jobs), not a lazy query builder —
     * callers embedding it in a query ([[kmeansStats]]) pay the fit at
     * build time by design, exactly like [[Similarity.trainIvfCentroids]].
     */
-  def kmeansCentroids(emb: DataFrame, k: Int = 8, iters: Int = 4): Array[Array[Double]] = {
+  def kmeansCentroids(emb: DataFrame, k: Int = KmeansK,
+                      iters: Int = KmeansIters): Array[Array[Long]] = {
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got $k, $iters")
-    var cents: Array[Array[Double]] = emb.filter(col("embedding").isNotNull)
+    var cents: Array[Array[Long]] = emb.filter(col("embedding").isNotNull)
       .orderBy(col("vec_id")).limit(k)
       .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(r => snapVec(r.getSeq[Float](0)))
     require(cents.length == k, s"need >= $k non-null vectors, got ${cents.length}")
     for (_ <- 0 until iters) {
       val assigned = emb.filter(col("embedding").isNotNull)
-        .select(Similarity.ivfCellUdf(cents)(col("embedding")).as("cell"),
+        .select(assignUdf(cents)(col("embedding")).getField("_1").as("cell"),
           col("embedding"))
       val rows = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("cell"),
+          posexplode(transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long")))
+            .as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
-        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("c"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
         .collect()
       val next = cents.map(_.clone())
       rows.foreach { r =>
         val (cell, dim) = (r.getInt(0), r.getInt(1))
-        next(cell)(dim) = r.getDouble(2) / r.getLong(3)
+        next(cell)(dim) =
+          math.floor(r.getLong(2).toDouble / r.getLong(3) + 0.5).toLong
       }
       cents = next
     }
@@ -68,20 +109,30 @@ object Clustering {
     * squared distances to the assigned centroid), and mean squared
     * distance per cluster — the numbers a curation pipeline reads to
     * pick which clusters to prune, balance, or inspect. One narrow
-    * assignment map + one k-row aggregation; floats are engine-local
-    * (rows-only correctness check, like the other cosine/L2 queries).
+    * assignment map + one k-row aggregation. Inertia aggregates exact
+    * BIGINT micro² distances; the ONLY float ops are the two per-group
+    * divisions back to embedding units, 6-dp snapped — fully
+    * oracle-replayed.
     */
   def kmeansStats(spark: SparkSession, d: String,
-                  k: Int = 8, iters: Int = 4): DataFrame = {
+                  k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
     val emb = Tables.embeddings(spark, d)
     val cents = kmeansCentroids(emb, k, iters)
     assigned(emb, cents)
       .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_vectors"),
-        round(sum(col("d2")), 6).as("inertia"),
-        round(avg(col("d2")), 6).as("mean_sq_dist"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("d2")).as("s"))
+      .select(col("cluster"), col("n_vectors"),
+        snap6(col("s").cast("double") / lit(1e12)).as("inertia"),
+        snap6(col("s").cast("double") / col("n_vectors") / lit(1e12))
+          .as("mean_sq_dist"))
       .orderBy(col("cluster"))
   }
+
+  /** floor(x·1e6 + 0.5) / 1e6 — the 6-dp output snap (floor + 0.5, not
+    * round: the HALF_UP/half-even tie rule differs between engines).
+    */
+  private def snap6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 
   /** Cluster-based pruning (the D4 / SSL-prototypes curation move,
     * Tirumala et al. 2023): within each k-means cluster, DROP the most
@@ -93,9 +144,10 @@ object Clustering {
     *
     * Drop rule: rank within cluster by (squared distance ASC, vec_id)
     * and drop ranks <= floor(dropFrac × cluster size) — deterministic,
-    * no RNG, exact per-cluster proportions. Output is the per-cluster
-    * audit (sizes, drops, the distance at the cut) plus totals a
-    * pipeline uses to confirm the prune hit its budget.
+    * no RNG, exact per-cluster proportions (the integer distances make
+    * the rank itself exact). Output is the per-cluster audit (sizes,
+    * drops, the distance at the cut) plus totals a pipeline uses to
+    * confirm the prune hit its budget.
     *
     * Scale shape: assignment + distance are the narrow map; ranking is
     * ONE window shuffle keyed on the cluster id over (cluster, d2,
@@ -105,8 +157,8 @@ object Clustering {
     * if a single cluster would exceed a task's memory for the sort.
     */
   def clusterPrune(spark: SparkSession, d: String,
-                   k: Int = 8, iters: Int = 4,
-                   dropFrac: Double = 0.25): DataFrame = {
+                   k: Int = KmeansK, iters: Int = KmeansIters,
+                   dropFrac: Double = PruneDropFrac): DataFrame = {
     require(dropFrac >= 0.0 && dropFrac <= 1.0, s"dropFrac in [0,1], got $dropFrac")
     val emb = Tables.embeddings(spark, d)
     val cents = kmeansCentroids(emb, k, iters)
@@ -121,8 +173,12 @@ object Clustering {
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vectors"),
         sum(col("dropped").cast("long")).as("n_dropped"),
-        round(max(when(col("dropped"), col("d2"))), 6).as("cut_d2"),
-        round(avg(col("d2")), 6).as("mean_d2"))
+        max(when(col("dropped"), col("d2"))).as("cut"),
+        sum(col("d2")).as("s"))
+      .select(col("cluster"), col("n_vectors"), col("n_dropped"),
+        snap6(col("cut").cast("double") / lit(1e12)).as("cut_d2"),
+        snap6(col("s").cast("double") / col("n_vectors") / lit(1e12))
+          .as("mean_d2"))
       .orderBy(col("cluster"))
   }
 
@@ -137,7 +193,7 @@ object Clustering {
     * column-wise union of per-batch histograms (asserted in
     * StreamingSpec) — the batch/streaming symmetry contract.
     */
-  def assignmentSink(vecStream: DataFrame, cents: Array[Array[Double]],
+  def assignmentSink(vecStream: DataFrame, cents: Array[Array[Long]],
                      outPath: String, checkpoint: String,
                      triggerMs: Long = 10000L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -156,17 +212,21 @@ object Clustering {
   /** Cell histogram of one (vec_id, embedding) frame under fixed
     * centroids — shared by [[assignmentSink]] and its batch-parity test.
     */
-  def batchHistogram(vecs: DataFrame, cents: Array[Array[Double]]): DataFrame =
+  def batchHistogram(vecs: DataFrame, cents: Array[Array[Long]]): DataFrame =
     assigned(vecs, cents)
       .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_vectors"), round(avg(col("d2")), 6).as("mean_sq_dist"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("d2")).as("s"))
+      .select(col("cluster"), col("n_vectors"),
+        snap6(col("s").cast("double") / col("n_vectors") / lit(1e12))
+          .as("mean_sq_dist"))
 
   /** (cluster, d2) assignment frame under fixed centroids — ONE fused
     * kernel pass (argmin cell and its squared distance fall out of the
     * same centroid loop; separate cell/distance UDFs would double the
-    * dominant O(k×dim) per-vector cost of every consumer).
+    * dominant O(k×dim) per-vector cost of every consumer). d2 is the
+    * exact BIGINT micro² distance.
     */
-  private def assigned(vecs: DataFrame, cents: Array[Array[Double]],
+  private def assigned(vecs: DataFrame, cents: Array[Array[Long]],
                        keepId: Boolean = false): DataFrame = {
     val a = assignUdf(cents)(col("embedding"))
     val base = vecs.filter(col("embedding").isNotNull)
@@ -177,21 +237,22 @@ object Clustering {
       base.select(a.getField("_1").as("cluster"), a.getField("_2").as("d2"))
   }
 
-  /** Fused nearest-centroid kernel: (argmin cell, squared distance) in
-    * one loop over the centroids (ties to the lower cell, matching
-    * [[Similarity.ivfCellUdf]]).
+  /** Fused nearest-centroid kernel: (argmin cell, squared micro²
+    * distance) in one exact-BIGINT loop over the centroids (ties to
+    * the lower cell — strict `<`).
     */
-  private def assignUdf(cents: Array[Array[Double]]) =
+  private def assignUdf(cents: Array[Array[Long]]) =
     udf { v: scala.collection.Seq[Float] =>
+      val xi = snapVec(v)
       var best = 0
-      var bestD = Double.MaxValue
+      var bestD = Long.MaxValue
       var c = 0
       while (c < cents.length) {
         val ctr = cents(c)
-        var d = 0.0
+        var d = 0L
         var i = 0
-        val n = math.min(ctr.length, v.length)
-        while (i < n) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+        val n = math.min(ctr.length, xi.length)
+        while (i < n) { val x = xi(i) - ctr(i); d += x * x; i += 1 }
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }

@@ -25,9 +25,17 @@ class ClusteringSpec extends SparkTestBase {
     rows.toDF("vec_id", "embedding")
   }
 
+  /** Micro-int centroids back to embedding units for the shared
+    * assignment UDF (1e-6 quantization is far below the planted
+    * separation, so assignments are unaffected).
+    */
+  private def toDouble(cents: Array[Array[Long]]): Array[Array[Double]] =
+    cents.map(_.map(_ / 1e6))
+
   private def assign(df: org.apache.spark.sql.DataFrame,
-                     cents: Array[Array[Double]]): Map[Long, Int] =
-    df.select(col("vec_id"), Similarity.ivfCellUdf(cents)(col("embedding")).as("cell"))
+                     cents: Array[Array[Long]]): Map[Long, Int] =
+    df.select(col("vec_id"),
+        Similarity.ivfCellUdf(toDouble(cents))(col("embedding")).as("cell"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
 
   test("kmeans recovers planted well-separated clusters exactly") {
@@ -42,7 +50,7 @@ class ClusteringSpec extends SparkTestBase {
     }
     assert(byPlanted.values.flatten.toSet.size == 3, "clusters merged")
     // converged centroids sit at the planted centers on axis 0
-    val axis0 = cents.map(_(0)).sorted
+    val axis0 = cents.map(_(0) / 1e6).sorted
     Seq(0.0, 10.0, 20.0).zip(axis0).foreach { case (want, got) =>
       assert(math.abs(want - got) < 0.01, s"centroid at $got, want $want")
     }
@@ -51,7 +59,7 @@ class ClusteringSpec extends SparkTestBase {
   test("kmeans inertia is non-increasing over iterations") {
     val df = planted()
     def inertia(iters: Int): Double = {
-      val cents = Clustering.kmeansCentroids(df, k = 3, iters = iters)
+      val cents = toDouble(Clustering.kmeansCentroids(df, k = 3, iters = iters))
       df.select(col("embedding")).collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
         .map { v =>
@@ -80,7 +88,9 @@ class ClusteringSpec extends SparkTestBase {
       .toDF("vec_id", "embedding")
     val cents = Clustering.kmeansCentroids(dup, k = 4, iters = 3)
     assert(cents.length == 4)
-    cents.foreach(c => c.foreach(x => assert(!x.isNaN && !x.isInfinite)))
+    // integer centroids cannot NaN — assert they stay in the coordinate
+    // envelope of the data instead (an empty cell inherits, not zeros out)
+    cents.foreach(c => c.foreach(x => assert(math.abs(x) <= 9L * 1000000L)))
   }
 
   test("cluster prune: drop counts are exact per-cluster floors, cut below mean tail") {

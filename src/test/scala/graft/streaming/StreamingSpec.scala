@@ -965,8 +965,8 @@ class StreamingSpec extends SparkTestBase {
 
   test("streaming k-means assignment: per-batch histograms match batch mode") {
     implicit val sqlCtx = spark.sqlContext
-    // fixed model: two centroids on the first axis
-    val cents = Array(Array(0.0, 0.0), Array(10.0, 0.0))
+    // fixed model: two centroids on the first axis (micro-int units)
+    val cents = Array(Array(0L, 0L), Array(10000000L, 0L))
     val vecs = Seq(
       1L -> Array(0.1f, 0f), 2L -> Array(9.8f, 0f),
       3L -> Array(0.4f, 0f), 4L -> Array(10.3f, 0f))
