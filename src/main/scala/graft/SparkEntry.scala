@@ -1495,7 +1495,7 @@ object SparkEntry {
     // frequent contiguous 2/3-step sequences: two leads over the shared
     // per-user order, pattern aggregate, micro-snapped user support
     "q_event_sequences" ->
-      ("WITH s AS (SELECT user_id, event_type AS a, " +
+      (s"WITH s AS (SELECT user_id, event_type AS a, " +
         "LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b, " +
         "LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c FROM events), " +
         "tu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM events), " +
@@ -1506,7 +1506,7 @@ object SparkEntry {
         "SELECT k, pattern, n_occurrences, n_users, " +
         "floor(CAST(n_users AS DOUBLE) / nu * 1000000.0 + 0.5) / 1000000.0 AS support " +
         "FROM g CROSS JOIN tu " +
-        "WHERE floor(CAST(n_users AS DOUBLE) / nu * 1000000.0 + 0.5) / 1000000.0 >= 0.02 " +
+        s"WHERE floor(CAST(n_users AS DOUBLE) / nu * 1000000.0 + 0.5) / 1000000.0 >= ${ExtraQueries.SeqMinSupport} " +
         "ORDER BY k, n_users DESC, pattern"),
     // data-quality expectations: one conditional-sum battery per table
     // + anti-join orphan counts, 6-dp pass rates

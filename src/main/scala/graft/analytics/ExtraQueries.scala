@@ -86,7 +86,7 @@ object ExtraQueries {
     * rides a 1-row broadcast. Patterns below `minSupport` are pruned.
     */
   def frequentEventSequences(spark: SparkSession, d: String,
-                             minSupport: Double = 0.02): DataFrame = {
+                             minSupport: Double = SeqMinSupport): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val s = Tables.events(spark, d)
@@ -533,6 +533,12 @@ object ExtraQueries {
     */
   private[graft] val FunnelSteps = Seq("view", "click", "purchase")
 
+  /** Shared support threshold for [[frequentEventSequences]] — the oracle
+    * SQL interpolates this same constant (the WinnowN discipline), so a
+    * changed default cannot silently diverge operator and oracle.
+    */
+  private[graft] val SeqMinSupport = 0.02
+
   /** Ordered-funnel analysis over the events table: per step, how many
     * users reached it IN ORDER (each step's event strictly after the
     * user's entry into the previous step — the classic product-
@@ -641,7 +647,11 @@ object ExtraQueries {
       .filter(col("rk") ===
         floor((col("nn") + 1).cast("double") / lit(2.0)).cast("int"))
       .select(col("latency_micros").as("median_micros"))
-    agg.crossJoin(med)
+    // LEFT join (not crossJoin): when zero users convert, `med` is empty
+    // and a cross join would drop the output row, while the DuckDB
+    // oracle's scalar subquery always yields 1 row with NULL stats —
+    // the left join keeps both engines at exactly one row.
+    agg.join(med, lit(true), "left")
       .select(col("n_converted"), col("min_micros"), col("max_micros"),
         col("median_micros"), col("mean_seconds"))
   }

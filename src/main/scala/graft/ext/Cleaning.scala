@@ -936,7 +936,7 @@ object Cleaning {
     * tokens (asserted in StreamingSpec).
     */
   def winnowSpanDedupStatsAgainst(docs: DataFrame, baseFps: DataFrame,
-                                  keeperSpans: DataFrame, n: Int = 5,
+                                  keeperSpans: DataFrame, n: Int = WinnowN,
                                   w: Int = WinnowW, maxDupFrac: Double = SpanMaxDupFrac): DataFrame = {
     val toksed = Tables.fanOut(docs).filter(col("text").isNotNull)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
@@ -966,7 +966,7 @@ object Cleaning {
     * with the candidate prefilter in front.
     */
   def winnowSpanDedupSink(docStream: DataFrame, baseDocs: DataFrame,
-                          outPath: String, checkpoint: String, n: Int = 5,
+                          outPath: String, checkpoint: String, n: Int = WinnowN,
                           w: Int = WinnowW, maxDupFrac: Double = SpanMaxDupFrac,
                           triggerMs: Long = 10000L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {

@@ -55,6 +55,28 @@ class EventAnalyticsSpec extends SparkTestBase {
       "only user 1 purchased AFTER clicking — user 2's early purchase must not count")
   }
 
+  test("funnel latency: zero conversions still yields exactly one NULL-stats row") {
+    import spark.implicits._
+    // nobody completes the funnel (views only) — the DuckDB oracle's
+    // scalar-subquery shape always emits 1 row with NULL stats, so the
+    // Spark side must too (left join, not crossJoin, on the median)
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-02 10:00:00", 2L, "view")
+    ).toDF("event_id", "ts_s", "user_id", "event_type")
+      .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+    val dir = java.nio.file.Files.createTempDirectory("funnel_empty_fx").toString
+    ev.withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = ExtraQueries.funnelLatency(spark, dir).collect()
+    assert(rows.length == 1, "empty-conversion funnel must emit exactly one row")
+    val r = rows.head
+    assert(r.getLong(0) == 0L)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4),
+      "all latency stats must be NULL when nobody converts")
+  }
+
   test("event sequences: contiguity is strict; support counts users once") {
     import spark.implicits._
     // user 1 does view>click>purchase twice (4 occurrences of 2-step
