@@ -895,13 +895,35 @@ object Graph {
     * all — unlike [[Training.fit]]'s 13 scalars, per-node state stays
     * distributed.
     */
-  def nodeEmbeddings(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.fanOut(Tables.documents(spark, d))
-    // checkpointed: the pair table feeds every epoch AND the n_pairs
-    // tail — without this the walk-pair groupBy re-evaluates per reader
-    val pairs = walkContextPairsUnorderedDf(docs).localCheckpoint()
-    nodeEmbeddingsOnPairs(pairs, docs.count())
-  }
+  def nodeEmbeddings(spark: SparkSession, d: String): DataFrame =
+    trainedNodeEmbeddings(spark, d)
+
+  /** Session-scoped trained-embedding artifact, shared by
+    * [[nodeEmbeddings]] and [[linkPredictionAuc]]: the two registry
+    * queries run the IDENTICAL deterministic descent (same walks, same
+    * pairs, same epochs), so training twice per session buys nothing —
+    * the r13 bench had the pair at 9.2 s with ~3.5 s of it duplicated
+    * work. The trainer is RNG-free and full-batch, so a cache hit is
+    * bit-identical to a retrain — the cache is a wall-clock artifact
+    * only, the [[graft.ext.Freeze]] frozen-artifact discipline scoped
+    * to the session instead of a checkpoint dir. The cached frame is
+    * localCheckpoint-materialized (walk-frontier-sized × 6 columns) and
+    * deliberately never released: it is the one cross-query artifact
+    * whose lifetime IS the session.
+    */
+  private val trainedEmbCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def trainedNodeEmbeddings(spark: SparkSession, d: String): DataFrame =
+    trainedEmbCache.computeIfAbsent((spark, d), _ => {
+      val docs = Tables.fanOut(Tables.documents(spark, d))
+      // checkpointed: the pair table feeds every epoch AND the n_pairs
+      // tail — without this the walk-pair groupBy re-evaluates per reader
+      val pairs = walkContextPairsUnorderedDf(docs).localCheckpoint()
+      val out = nodeEmbeddingsOnPairs(pairs, docs.count()).localCheckpoint()
+      org.apache.spark.sql.GraftSql.releaseCheckpoint(pairs)
+      out
+    })
 
   /** The trainer core over an explicit (center, context, n_cooc) pair
     * table; `nTotal` is the frontier size the hash-derived negative
@@ -1383,9 +1405,19 @@ object Graph {
     * + one ≤1e6-row score histogram — no per-pair state, no windows
     * over the corpus.
     */
-  def linkPredictionAuc(spark: SparkSession, d: String): DataFrame =
-    linkPredictionAucDf(Tables.fanOut(Tables.documents(spark, d)))
+  def linkPredictionAuc(spark: SparkSession, d: String): DataFrame = {
+    // reuse the session's trained embedding table ([[trainedNodeEmbeddings]]):
+    // the eval needs only the edge table (one corpus pass) on top of it
+    val docs = Tables.fanOut(Tables.documents(spark, d))
+    val em = trainedNodeEmbeddings(spark, d)
+      .select(col("doc_id"), col("x0"), col("x1"), col("x2"), col("x3"))
+    linkPredictionAucOnEmb(docs, em, docs.count())
+  }
 
+  /** Fixture-path variant that trains inline (no session cache) — the
+    * GraphSpec determinism/planted-structure harness drives this with
+    * non-default walk densities.
+    */
   def linkPredictionAucDf(docs: DataFrame,
                           startEvery: Int = WalkStartEvery): DataFrame = {
     val nTotal = docs.count()
@@ -1398,6 +1430,21 @@ object Graph {
       .select(col("doc_id"), col("x0"), col("x1"), col("x2"), col("x3"))
       .localCheckpoint()
     org.apache.spark.sql.GraftSql.releaseCheckpoint(pairs)
+    val out = linkPredictionAucOnEdges(e, em, nTotal)
+    out
+  }
+
+  /** The evaluation core over an explicit embedding table: derives the
+    * edge set and scores pos/neg candidate links against `em`.
+    */
+  private def linkPredictionAucOnEmb(docs: DataFrame, em: DataFrame,
+                                     nTotal: Long): DataFrame = {
+    val e = linkEdgesDf(docs).localCheckpoint()
+    linkPredictionAucOnEdges(e, em, nTotal)
+  }
+
+  private def linkPredictionAucOnEdges(e: DataFrame, em: DataFrame,
+                                       nTotal: Long): DataFrame = {
     val pos = e.select(col("src"), col("dst"), lit(1L).as("pos"))
     val neg = e.select(col("src"),
         pmod(md5Bucket60(concat_ws(":", col("src"), col("dst"), lit("neg"))),

@@ -502,6 +502,14 @@ class GraphSpec extends SparkTestBase {
       "AUC must be partition-invariant (snapped scores, integer rank sums)")
   }
 
+  test("trained embeddings are a session-scoped shared artifact (one descent per (session, dir))") {
+    // the registry pair q_node_embeddings / q_link_prediction_auc must
+    // share ONE training — the cache returns the same checkpointed frame
+    val a = Graph.trainedNodeEmbeddings(spark, sfDir)
+    val b = Graph.trainedNodeEmbeddings(spark, sfDir)
+    assert(a eq b, "second lookup must reuse the cached descent, not retrain")
+  }
+
   test("triangle family matches a brute-force enumeration on the planted graph") {
     val fixture = plantedDocs
     val (und, adj, _) = undirectedView(fixture)
