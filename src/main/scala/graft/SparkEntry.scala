@@ -1073,13 +1073,16 @@ object SparkEntry {
           s"least(l.flabel, COALESCE(n.m, l.flabel)) AS flabel " +
           s"FROM $prev l LEFT JOIN ${pre}fn$k n ON l.doc_id = n.doc_id)"
       }.mkString(", ")
+      // distinct (receiver, root) pairs with the class gate as a join
+      // key — mirrors sccDf's backward round exactly (a pre-gate MIN
+      // would shadow a receiver's own root with a smaller foreign one)
       val bRounds = (1 to R).map { k =>
         val prev = s"${pre}b${k - 1}"
-        s"${pre}bp$k AS (SELECT e.src AS doc_id, MIN(b.blabel) AS bm FROM $prev b " +
-          s"JOIN ${pre}e e ON b.doc_id = e.dst WHERE b.blabel IS NOT NULL GROUP BY e.src), " +
+        s"${pre}bp$k AS (SELECT DISTINCT e.src AS doc_id, b.blabel AS bm FROM $prev b " +
+          s"JOIN ${pre}e e ON b.doc_id = e.dst WHERE b.blabel IS NOT NULL), " +
           s"${pre}b$k AS MATERIALIZED (SELECT b.doc_id, b.flabel, " +
-          s"COALESCE(b.blabel, CASE WHEN p.bm = b.flabel THEN p.bm END) AS blabel " +
-          s"FROM $prev b LEFT JOIN ${pre}bp$k p ON b.doc_id = p.doc_id)"
+          s"COALESCE(b.blabel, p.bm) AS blabel " +
+          s"FROM $prev b LEFT JOIN ${pre}bp$k p ON b.doc_id = p.doc_id AND p.bm = b.flabel)"
       }.mkString(", ")
       s"${pre}u AS (SELECT doc_id FROM $prevState WHERE scc IS NULL), " +
         s"${pre}e AS MATERIALIZED (SELECT src, dst FROM e " +

@@ -358,6 +358,24 @@ class GraphSpec extends SparkTestBase {
       s"tendrils/isolated stay singletons: $byDoc")
   }
 
+  test("sccDf: a smaller foreign root must not shadow a node's own root (min-shadowing)") {
+    import spark.implicits._
+    // SCC {5,6,7} (5->7->6->5) and SCC {3,4} (3->4->3), plus the trap
+    // edge 7->4: node 4 confirms into SCC(3) in round 1, node 6 into
+    // SCC(5); in round 2 node 7 sees successor blabels {3 (via 4),
+    // 5 (via 6)} — a pre-gate MIN picks 3 ≠ flabel(7) = 5 and 7 would
+    // never confirm, ending a singleton. The pair-gated backward round
+    // must confirm 7 into SCC 5.
+    val nodes = Seq(3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val edges = Seq((5L, 7L), (7L, 6L), (6L, 5L), (3L, 4L), (4L, 3L), (7L, 4L))
+      .toDF("src", "dst").localCheckpoint()
+    val byDoc = Graph.sccDf(nodes, edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byDoc(5L) == (5L, 3L) && byDoc(6L) == (5L, 3L) && byDoc(7L) == (5L, 3L),
+      s"7 belongs to SCC 5 despite its edge into the smaller-rooted SCC 3: $byDoc")
+    assert(byDoc(3L) == (3L, 2L) && byDoc(4L) == (3L, 2L), s"SCC 3 intact: $byDoc")
+  }
+
   test("linkScc matches a driver-side Tarjan on the planted corpus") {
     val docs = plantedDocs
     val edges = Graph.linkEdgesDf(docs).collect()
