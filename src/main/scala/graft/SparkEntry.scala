@@ -861,8 +861,15 @@ object SparkEntry {
   // d2): the final assignment under the converged centroids, shared
   // by q_kmeans and q_cluster_prune. Iteration/k/drop constants
   // interpolate from ext.Clustering (one definition, no drift).
-  private lazy val kmeansCtesSql: String = {
-    val k = ext.Clustering.KmeansK
+  private lazy val kmeansCtesSql: String =
+    kmeansCtesSqlFor(ext.Clustering.KmeansK.toString)
+
+  /** The Lloyd's unroll with the cell count as a SQL expression —
+    * q_kmeans/q_cluster_prune interpolate the fixed KmeansK literal;
+    * q_quality_propagation passes its corpus-derived cap (the knnGraph
+    * nlist rule) as a scalar subquery.
+    */
+  private def kmeansCtesSqlFor(kCondSql: String): String = {
     val iters = ext.Clustering.KmeansIters
     def distCte(name: String, cents: String) =
       s"$name AS (SELECT kev.vec_id, c.cell, SUM((kev.x - c.cx) * (kev.x - c.cx)) AS d2 " +
@@ -885,8 +892,9 @@ object SparkEntry {
       "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings " +
       "WHERE embedding IS NOT NULL) e, " +
       "LATERAL (SELECT unnest(generate_series(1, len(emb))) AS pos) gs), " +
-      "ki AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell " +
-      s"FROM (SELECT DISTINCT vec_id FROM kev) ORDER BY vec_id LIMIT $k), " +
+      "ki AS (SELECT vec_id, CAST(rn - 1 AS INTEGER) AS cell FROM " +
+      "(SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn " +
+      s"FROM (SELECT DISTINCT vec_id FROM kev)) WHERE rn <= ($kCondSql)), " +
       "kc0 AS MATERIALIZED (SELECT i.cell, kev.dim, kev.x AS cx " +
       "FROM ki i JOIN kev ON kev.vec_id = i.vec_id), " +
       steps + ", " +
@@ -2406,6 +2414,43 @@ object SparkEntry {
         s"${snap6Sql("MAX(CASE WHEN dropped THEN d2 END)", "1000000000000.0")} AS cut_d2, " +
         s"${snap6Sql("SUM(d2)", "COUNT(*)", "1000000000000.0")} AS mean_d2 " +
         "FROM pd GROUP BY cell ORDER BY cluster"),
+    // quality propagation: the Lloyd unroll with the corpus-derived
+    // cell count (the knnGraph nlist rule) assigns cells; same-cell
+    // cosine pairs under the (score DESC, id) rank discipline pick the
+    // top-k; the neighbor mean aggregates micro-int quality (order-free
+    // BIGINT sum); the blend's term order mirrors the Spark column
+    "q_quality_propagation" -> {
+      val k = ext.Similarity.QualityPropK
+      val a = ext.Similarity.QualityPropAlpha
+      val blend = s"floor(($a * q.quality + ${1.0 - a} * m.neighbor_quality) " +
+        "* 1000000.0 + 0.5) / 1000000.0"
+      s"WITH qpk AS (SELECT LEAST(LEAST((COUNT(*) + 511) // 512, 1024), COUNT(*)) AS kk " +
+        "FROM embeddings WHERE embedding IS NOT NULL), " +
+        kmeansCtesSqlFor("SELECT kk FROM qpk") + ", " +
+        "qpv AS MATERIALIZED (SELECT f.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, f.cell " +
+        "FROM embeddings e JOIN kfa f ON e.vec_id = f.vec_id), " +
+        "qps AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "round(list_cosine_similarity(a.emb, b.emb), 6) AS cs " +
+        "FROM qpv a JOIN qpv b ON a.cell = b.cell AND a.vec_id <> b.vec_id), " +
+        "qpt AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn FROM qps) " +
+        s"WHERE rn <= $k), " +
+        "qpq AS MATERIALIZED (SELECT doc_id, round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * stop_r - 8.0 * punct_r " +
+        "+ 0.9 * ln(n_tok + 1.0) - 0.35 * avg_len))), 6) AS quality FROM " +
+        s"(SELECT doc_id, CAST(len(list_filter($toks, t -> t IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) " +
+        s"/ len($toks) AS stop_r, " +
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_r, " +
+        s"CAST(len($toks) AS DOUBLE) AS n_tok, CAST(length(text) AS DOUBLE) / len($toks) AS avg_len " +
+        "FROM documents WHERE length(text) > 0)), " +
+        "qpm AS (SELECT t.query_id AS doc_id, " +
+        "floor(CAST(SUM(CAST(floor(q.quality * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) " +
+        "/ COUNT(*) + 0.5) / 1000000.0 AS neighbor_quality, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_neighbors " +
+        "FROM qpt t JOIN qpq q ON t.neighbor_id = q.doc_id GROUP BY t.query_id) " +
+        "SELECT q.doc_id, q.quality, m.neighbor_quality, m.n_neighbors, " +
+        s"$blend AS smoothed, ((q.quality >= 0.5) <> ($blend >= 0.5)) AS flipped " +
+        "FROM qpq q JOIN qpm m ON q.doc_id = m.doc_id ORDER BY q.doc_id"
+    },
     // containment: same shingle sets as the jaccard oracle, both
     // asymmetric ratios + jaccard from the same intersection counts
     "q_ngram_containment" ->

@@ -226,6 +226,16 @@ object Clustering {
     * dominant O(k×dim) per-vector cost of every consumer). d2 is the
     * exact BIGINT micro² distance.
     */
+  /** (vec_id, cell) under a fitted centroid set — the narrow assignment
+    * projection [[Similarity.qualityPropagationDf]] buckets its kNN
+    * candidates with (exact integer argmin, ties to the lower cell —
+    * the oracle's kfa CTE replays it bit-for-bit).
+    */
+  private[ext] def cellAssignments(vecs: DataFrame,
+                                   cents: Array[Array[Long]]): DataFrame =
+    assigned(vecs, cents, keepId = true)
+      .select(col("vec_id"), col("cluster").as("cell"))
+
   private def assigned(vecs: DataFrame, cents: Array[Array[Long]],
                        keepId: Boolean = false): DataFrame = {
     val a = assignUdf(cents)(col("embedding"))

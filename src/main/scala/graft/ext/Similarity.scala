@@ -1238,40 +1238,92 @@ object Similarity {
     * the labeled output marks exactly the docs whose keep verdict the
     * smoothing flips, which is the review queue a pipeline samples.
     *
-    * Scale shape: the kNN graph's cost dominates (see [[knnGraph]];
-    * linear at fixed cell geometry); on top of it one id-keyed join to
-    * the narrow quality projection, one query-keyed mean (map-side
-    * combined, ≤k rows per key), one id-keyed join back. No new
-    * corpus-pair term.
+    * ORACLE-EXACT by construction (flipped from rows-only in r14): the
+    * neighbor graph buckets candidates by [[Clustering.kmeansCentroids]]
+    * cells — the full-corpus integer micro-space Lloyd's the q_kmeans
+    * oracle already replays bit-for-bit — instead of the sampled
+    * [[trainIvfCentroids]] quantizer (driver-side float k-means, engine-
+    * local). Pair scores are the [[cosineTopK]] discipline (raw-float
+    * cosine, 6-dp snap, neighbor-id tiebreak); the neighbor mean
+    * aggregates micro-unit INTEGER quality (6-dp scores are exact
+    * micro ints, so the SUM is order-free) — every aggregate on the
+    * exactness ladder, so the DuckDB replay hash-matches.
+    *
+    * Scale shape: the Lloyd fit is `iters` corpus passes with k·dim
+    * driver sync (k = corpus/targetCellSize capped at 1024); the
+    * same-cell self-join fans out to ~targetCellSize candidates per
+    * vector — LINEAR at fixed cell geometry, never all-pairs; finals
+    * are the bounded [[graft.functions.TopKSample.topKByScore]]
+    * aggregator; on top, one id-keyed join to the narrow quality
+    * projection, one query-keyed integer mean (map-side combined,
+    * ≤k rows per key), one id-keyed join back. No new corpus-pair
+    * term. Versus the nprobe=2 IVF form this probes the OWN cell only
+    * (the [[semanticDedupDropList]] candidate geometry): boundary
+    * vectors may miss a cross-cell neighbor — the standard IVF recall
+    * trade, accepted here for audit-grade replayability.
     */
-  def qualityPropagation(spark: SparkSession, d: String, k: Int = 3,
-                         alpha: Double = 0.5): DataFrame =
+  /** Shared with the q_quality_propagation oracle builder (one
+    * definition, no drift — the SeqMinSupport discipline).
+    */
+  private[graft] val QualityPropK = 3
+  private[graft] val QualityPropAlpha = 0.5
+
+  def qualityPropagation(spark: SparkSession, d: String, k: Int = QualityPropK,
+                         alpha: Double = QualityPropAlpha): DataFrame =
     qualityPropagationDf(graft.Tables.documents(spark, d),
       graft.Tables.embeddings(spark, d), k, alpha)
 
   /** DataFrame form (docs: doc_id + text; emb: vec_id + embedding;
     * vec_id keys into doc_id — the [[embeddingCoverage]] correspondence).
+    * `nlist` > 0 pins the cell count (tests); 0 derives it from corpus
+    * size exactly as [[knnGraphDf]] does.
     */
   def qualityPropagationDf(docs: DataFrame, emb: DataFrame, k: Int = 3,
                            alpha: Double = 0.5, nlist: Int = 0,
-                           targetCellSize: Int = 512,
-                           nprobe: Int = 2): DataFrame = {
-    val g = knnGraphDf(emb, k, nlist, targetCellSize, nprobe)
+                           targetCellSize: Int = 512): DataFrame = {
+    val embN = emb.filter(col("embedding").isNotNull)
+    val kCells =
+      if (nlist > 0) nlist
+      else {
+        val n = embN.count()
+        require(n > 0, "quality propagation needs a non-empty embedding corpus")
+        (((n + targetCellSize - 1) / targetCellSize) max 1L min 1024L min n).toInt
+      }
+    val cents = Clustering.kmeansCentroids(emb, kCells)
+    val vec = embN
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .join(Clustering.cellAssignments(embN, cents), Seq("vec_id"))
+    val qside = vec.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("nrm").as("q_nrm"), col("cell"))
+    val nside = vec.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"), col("cell"))
+    val scored = qside.join(nside, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 6)
+          .as("cos_sim_r"))
+    val g = topKFinal(scored, "cos_sim_r", k)
+    // quality rides as its exact micro-unit integer so the neighbor
+    // mean is an order-free BIGINT sum (the exactness-ladder rule)
     val q = docs.filter(col("text").isNotNull && length(col("text")) > 0)
       .select(col("doc_id"), TextAnalysis.qualityScoreCol.as("quality"))
+      .withColumn("qm", floor(col("quality") * lit(1e6) + lit(0.5)).cast("long"))
     val nbrMean = g.select(col("query_id"),
         col("neighbor_id").as("doc_id"))
-      .join(q.withColumnRenamed("quality", "nq"), Seq("doc_id"))
+      .join(q.select(col("doc_id"), col("qm").as("nqm")), Seq("doc_id"))
       .groupBy(col("query_id"))
-      .agg(round(avg(col("nq")), 6).as("neighbor_quality"),
+      .agg((floor(sum(col("nqm")).cast("double") / count(lit(1)) + lit(0.5)) / lit(1e6))
+        .as("neighbor_quality"),
         count(lit(1)).as("n_neighbors"))
       .withColumnRenamed("query_id", "doc_id")
     q.join(nbrMean, Seq("doc_id"))
       .withColumn("smoothed",
-        round(lit(alpha) * col("quality") +
-          lit(1.0 - alpha) * col("neighbor_quality"), 6))
+        floor((lit(alpha) * col("quality") + lit(1.0 - alpha) * col("neighbor_quality"))
+          * lit(1e6) + lit(0.5)) / lit(1e6))
       .withColumn("flipped",
         (col("quality") >= 0.5) =!= (col("smoothed") >= 0.5))
+      .select(col("doc_id"), col("quality"), col("neighbor_quality"),
+        col("n_neighbors"), col("smoothed"), col("flipped"))
       .orderBy(col("doc_id"))
   }
 
