@@ -316,6 +316,7 @@ object SparkEntry {
     // query-likelihood (Dirichlet) ranking + exact phrase search
     "q_query_likelihood_topk" -> ((s: SparkSession, d: String) => ext.Search.queryLikelihoodTopK(s, d)),
     "q_phrase_hits"       -> ((s: SparkSession, d: String) => ext.Search.phraseHits(s, d)),
+    "q_hybrid_rrf"        -> ((s: SparkSession, d: String) => ext.Search.hybridRrf(s, d)),
     "q_event_transitions" -> (ExtraQueries.eventTransitions _),
     "q_transition_entropy" -> (ExtraQueries.transitionEntropy _),
     // ordered product-analytics funnel (view -> click -> purchase)
@@ -3702,6 +3703,47 @@ object SparkEntry {
         "SELECT doc_id, score_micro, n_terms_hit, " +
         "CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank " +
         "FROM ssc ORDER BY score_micro DESC, doc_id LIMIT 10"
+    },
+    // hybrid RRF: the bm25 chain at fusion depth + the single-probe
+    // cosine ranking, micro-snapped 1/(K+rank) contributions over a
+    // full-outer join — rank arithmetic end to end
+    "q_hybrid_rrf" -> {
+      val probe = ext.Search.ProbeTerms.map(t => s"'$t'").mkString(", ")
+      val k1 = ext.Search.K1
+      val b = ext.Search.B
+      val kc = ext.Search.RrfKConst
+      val depth = ext.Search.RrfDepth
+      val topK = ext.Search.RrfTopK
+      val pv = ext.Search.ProbeVecId
+      def c(r: String) =
+        s"COALESCE(CAST(floor(1000000.0 / ($kc + $r) + 0.5) AS BIGINT), 0)"
+      s"WITH sb AS (SELECT doc_id, len($toks) AS dl, unnest($toks) AS term " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        s"sp AS MATERIALIZED (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, " +
+        s"ANY_VALUE(dl) AS dl FROM sb WHERE term IN ($probe) GROUP BY doc_id, term), " +
+        s"cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len($toks)) AS BIGINT) AS s " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "sdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM sp GROUP BY term), " +
+        "ssc AS (SELECT doc_id, CAST(SUM(CAST(floor(" +
+        "ln(1.0 + (CAST(n AS DOUBLE) - df_t + 0.5) / (df_t + 0.5)) * tf / " +
+        s"(tf + $k1 * (${1.0 - b} + $b * dl / (CAST(s AS DOUBLE) / n))) " +
+        "* 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro " +
+        "FROM sp JOIN sdf ON sp.term = sdf.term CROSS JOIN cs GROUP BY doc_id), " +
+        "hlex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS lex_rank " +
+        s"FROM ssc ORDER BY score_micro DESC, doc_id LIMIT $depth), " +
+        "hq AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings " +
+        s"WHERE vec_id = $pv AND embedding IS NOT NULL), " +
+        "hs AS (SELECT c.vec_id AS doc_id, " +
+        "round(list_cosine_similarity(q, CAST(c.embedding AS DOUBLE[])), 6) AS cos_s " +
+        s"FROM embeddings c CROSS JOIN hq WHERE c.vec_id <> $pv AND c.embedding IS NOT NULL), " +
+        "hsem AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos_s DESC, doc_id) AS BIGINT) AS sem_rank " +
+        s"FROM hs ORDER BY cos_s DESC, doc_id LIMIT $depth), " +
+        "hfu AS (SELECT COALESCE(l.doc_id, se.doc_id) AS doc_id, l.lex_rank, se.sem_rank, " +
+        s"${c("l.lex_rank")} + ${c("se.sem_rank")} AS rrf_micro " +
+        "FROM hlex l FULL OUTER JOIN hsem se ON l.doc_id = se.doc_id) " +
+        "SELECT doc_id, lex_rank, sem_rank, rrf_micro, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank " +
+        s"FROM hfu ORDER BY rrf_micro DESC, doc_id LIMIT $topK"
     },
     // Newman degree assortativity: three exact BIGINT edge sums, one
     // shared closed-form FP expression

@@ -173,6 +173,94 @@ object Search {
       .orderBy(col("doc_id"))
   }
 
+  /** RRF constants — shared with the q_hybrid_rrf oracle builder (one
+    * definition, no drift). K = 60 is the Cormack/Clarke/Buettcher
+    * SIGIR 2009 default; depth bounds each input ranking; the fused
+    * final returns the top `RrfTopK`.
+    */
+  private[graft] val RrfKConst = 60
+  private[graft] val RrfDepth = 20
+  private[graft] val RrfTopK = 10
+
+  /** The semantic probe: the registered query fuses the lexical
+    * [[ProbeTerms]] ranking with the cosine ranking around this
+    * vector's embedding (the plan-resident-literal discipline).
+    */
+  private[graft] val ProbeVecId = 0L
+
+  /** HYBRID RETRIEVAL by reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher SIGIR 2009): fuse the BM25 lexical ranking and the
+    * cosine semantic ranking of the same corpus as
+    * Σ_rankers 1/(K + rank) — rank arithmetic only, so no score
+    * calibration between the two modalities is needed, and agreement
+    * across both dominates a single strong rank. This is the serving
+    * shape of a RAG stack (the reference stages embedding + chat
+    * ggufs, `.gitignore:76-77`): lexical recall for exact terminology,
+    * semantic recall for paraphrase, RRF as the standard first fusion.
+    *
+    * Exactness: both input ranks are already engine-exact (BM25's
+    * micro-snapped BIGINT scores; the cosine 6-dp snap + id tiebreak);
+    * each 1/(K + rank) contribution snaps to micro-units per row and
+    * the fused score is a ≤2-term integer sum — fully oracle-replayed.
+    *
+    * Scale shape: two bounded depth-`RrfDepth` rankings (each already
+    * scale-shaped: probed-postings BM25, broadcast-probe cosine), one
+    * ≤2·depth-row full-outer join, a bounded final. The rank windows
+    * run over ≤depth rows.
+    */
+  def hybridRrf(spark: SparkSession, d: String): DataFrame =
+    hybridRrfDf(Tables.fanOut(Tables.documents(spark, d)),
+      Tables.embeddings(spark, d))
+
+  def hybridRrfDf(docs: DataFrame, emb: DataFrame,
+                  terms: Seq[String] = ProbeTerms,
+                  probeVecId: Long = ProbeVecId,
+                  depth: Int = RrfDepth, k: Int = RrfTopK): DataFrame = {
+    val stats = docs.filter(col("text").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(size(TextAnalysis.tokens(col("text")))).as("s"))
+      .head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    val lex = bm25Against(postingsDf(docs, Some(terms)), terms, nDocs, avgdl, depth)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val e = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val probe = e.filter(col("vec_id") === probeVecId)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val semW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cs").desc, col("doc_id"))
+    val sem = e.filter(col("vec_id") =!= probeVecId)
+      .join(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        round(Similarity.dot(col("q_emb"), col("embedding"))
+          / (col("q_nrm") * col("nrm")), 6).as("cs"))
+      .orderBy(col("cs").desc, col("doc_id"))
+      .limit(depth)
+      .withColumn("sem_rank", row_number().over(semW).cast("long"))
+      .select(col("doc_id"), col("sem_rank"))
+    rrfFuse(lex, sem, k)
+  }
+
+  /** The fusion core over two bounded (doc_id, lex_rank/sem_rank)
+    * lists: micro-snapped 1/(K + rank) contributions, absent-side 0,
+    * (fused DESC, doc_id) final order.
+    */
+  private[graft] def rrfFuse(lex: DataFrame, sem: DataFrame, k: Int): DataFrame = {
+    def contrib(r: Column): Column = when(r.isNotNull,
+      floor(lit(1e6) / (lit(RrfKConst) + r) + lit(0.5)).cast("long"))
+      .otherwise(lit(0L))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        (contrib(col("lex_rank")) + contrib(col("sem_rank"))).as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_micro").desc, col("doc_id"))).cast("long"))
+  }
+
   /** Streaming retrieval serving: arriving queries (query_id, query
     * text) are tokenized and BM25-scored against the FROZEN postings
     * index of a base corpus — the index is built once at sink

@@ -112,6 +112,51 @@ class SearchSpec extends SparkTestBase {
     assert(rows.map(r => r.getLong(0) -> r.getLong(1).toInt).toMap == want)
   }
 
+  test("hybrid RRF: fusion beats each single ranker's recall@3 on a planted corpus") {
+    import spark.implicits._
+    // relevant docs 10..12 rank 2-4 in BOTH modalities; doc 1 is a
+    // term-stuffed lexical distractor (lexical rank 1), doc 2 an
+    // embedding near-clone of the probe (semantic rank 1). Each single
+    // ranker's top-3 holds 2/3 relevant; RRF's agreement bonus
+    // (2 moderate ranks beat 1 top rank: 2/(60+4) > 1/(60+1)) puts all
+    // three relevant docs on top.
+    val probeText = Search.ProbeTerms.mkString(" ")
+    val docs = Seq(
+      1L -> (probeText + " ") * 10,  // lexical distractor: tf 10 each
+      10L -> (probeText + " ") * 6,
+      11L -> (probeText + " ") * 5,
+      12L -> (probeText + " ") * 4,
+      2L -> "alpha beta gamma",      // semantic distractor: no probe terms
+      3L -> "delta epsilon zeta"
+    ).map { case (id, t) => (id, t.trim) }.toDF("doc_id", "text")
+    val emb = Seq(
+      0L -> Array(1.0f, 0.0f, 0.0f),       // the probe vector
+      2L -> Array(1.0f, 0.001f, 0.0f),     // semantic distractor: ~1.0
+      10L -> Array(0.98f, 0.2f, 0.0f),
+      11L -> Array(0.97f, 0.24f, 0.0f),
+      12L -> Array(0.96f, 0.28f, 0.0f),
+      1L -> Array(0.0f, 1.0f, 0.0f),       // lexical distractor: orthogonal
+      3L -> Array(0.0f, 0.0f, 1.0f)
+    ).toDF("vec_id", "embedding")
+    // depth = 4 so each distractor stays OUTSIDE the other modality's
+    // list (at the default 20 this 6-doc fixture lands everyone in both)
+    val out = Search.hybridRrfDf(docs, emb, depth = 4).collect()
+    val lexTop3 = out.filter(r => !r.isNullAt(1) && r.getLong(1) <= 3).map(_.getLong(0)).toSet
+    val semTop3 = out.filter(r => !r.isNullAt(2) && r.getLong(2) <= 3).map(_.getLong(0)).toSet
+    val fusedTop3 = out.filter(_.getLong(4) <= 3).map(_.getLong(0)).toSet
+    val relevant = Set(10L, 11L, 12L)
+    assert((lexTop3 & relevant).size == 2, s"lexical top-3 planted at 2/3: $lexTop3")
+    assert((semTop3 & relevant).size == 2, s"semantic top-3 planted at 2/3: $semTop3")
+    assert(fusedTop3 == relevant,
+      s"fusion must put all three relevant docs on top: $fusedTop3")
+    // the fused score is the exact micro sum of the two contributions
+    out.foreach { r =>
+      def c(i: Int) = if (r.isNullAt(i)) 0L
+        else math.floor(1e6 / (Search.RrfKConst + r.getLong(i)) + 0.5).toLong
+      assert(r.getLong(3) == c(1) + c(2), s"rrf_micro mismatch: $r")
+    }
+  }
+
   test("bm25 serving sink: frozen postings index, batch parity") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
