@@ -319,6 +319,30 @@ object TextAnalysis {
     out
   }
 
+  /** Streaming form of [[textrankKeywordsDf]] (foreachBatch stage):
+    * the TextRank iteration is PER-DOCUMENT self-contained — every
+    * join and aggregate keys on doc_id, no cross-document state — so
+    * scoring arriving documents batch-by-batch equals the batch
+    * operator on their union (the gopherFilterSink batch/streaming
+    * symmetry contract, asserted in StreamingSpec). Each micro-batch
+    * appends its per-doc top-k keyword rows tagged with the batch id.
+    */
+  def textrankSink(docStream: DataFrame, outPath: String, checkpoint: String,
+                   triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // per-batch presentation sort stripped (see spanDedupSink)
+          org.apache.spark.sql.GraftSql.unordered(textrankKeywordsDf(batch))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+
   /** Per-doc (n_bigrams, top_count, dup_count) over adjacent word
     * pairs in ONE kernel pass — a local hash map per document, so the
     * repetition signal needs no (doc, bigram) shuffle at any scale.

@@ -903,6 +903,37 @@ class StreamingSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(1L), "only the clean doc keeps")
   }
 
+  test("streaming textrank: per-batch keywords match batch mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      1L -> ("spark engine runs the spark plan while the engine keeps " +
+        "spark plan state inside engine memory"),
+      2L -> ("vector index probes vector cells then index probes merge " +
+        "vector cells again"),
+      3L -> "a bb cc",                                     // all tokens < minLen (4)
+      4L -> ("window frames order window rows and frames bound window " +
+        "rows by order"))
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("trk_out").toString
+    val ckpt = Files.createTempDirectory("trk_ckpt").toString
+    val query = graft.ext.TextAnalysis.textrankSink(
+      input.toDF().toDF("doc_id", "text"), out, ckpt, triggerMs = 50L).start()
+    try {
+      input.addData(docs(0), docs(1))
+      query.processAllAvailable()
+      input.addData(docs(2), docs(3))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ext.TextAnalysis
+      .textrankKeywordsDf(docs.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    assert(streamed.nonEmpty && !streamed.exists(_.head == 3L),
+      "the sub-minLen doc must emit no keywords; the others must")
+  }
+
   test("streaming BPE scoring: frozen merges, per-batch stats match batch mode") {
     implicit val sqlCtx = spark.sqlContext
     // base corpus rich in 'lowest'-family words: merges must bite on
