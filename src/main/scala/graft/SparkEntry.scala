@@ -36,11 +36,15 @@ object SparkEntry {
     * parameter-width variants of an already-priced policy. Current
     * set: q_kn_logprob_wide is Kneser-Ney at the 16-byte gram-key
     * width; q_kn_logprob already prices the KN policy itself, and the
-    * width switch is the auto-policy's job (BASELINE.md records the
-    * decision). Correctness coverage is unchanged: Verify runs EVERY
-    * query.
+    * width switch is the auto-policy's job. q_pagerank_converge
+    * (r14 ruling) re-runs the identical rank recurrence q_pagerank
+    * already prices, adding only the per-round movement diagnostic —
+    * a diagnostic variant, not a distinct capability (BASELINE.md
+    * records both decisions). Correctness coverage is unchanged:
+    * Verify runs EVERY query.
     */
-  val correctnessOnly: Set[String] = Set("q_kn_logprob_wide")
+  val correctnessOnly: Set[String] =
+    Set("q_kn_logprob_wide", "q_pagerank_converge")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference analytics surface (SURVEY §2.6–§2.8)
@@ -901,6 +905,30 @@ object SparkEntry {
       steps + ", " +
       distCte("kfd", s"kc$iters") + ", " +
       argminCte("kfa", "kfd")
+  }
+
+  /** The oracle-exact kNN-graph pair chain, shared by q_knn_graph and
+    * q_quality_propagation: corpus-derived cell count (the knnGraphDf
+    * nlist rule) into the Lloyd unroll, the exact nprobe probe ranking
+    * (ROW_NUMBER over (d2, cell) on the final distance table kfd —
+    * Clustering.probeAssignments' order), then cosine pairs over the
+    * probed cells. Emits `qps` (query_id, neighbor_id, cos_sim_r).
+    */
+  private lazy val knnPairsCtesSql: String = {
+    val cs = ext.Similarity.KnnTargetCellSize
+    val np = ext.Similarity.KnnNprobe
+    s"qpk AS (SELECT LEAST(LEAST((COUNT(*) + ${cs - 1}) // $cs, 1024), COUNT(*)) AS kk " +
+      "FROM embeddings WHERE embedding IS NOT NULL), " +
+      kmeansCtesSqlFor("SELECT kk FROM qpk") + ", " +
+      "kpb AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM kfd) " +
+      s"WHERE rn <= $np), " +
+      "qpv AS MATERIALIZED (SELECT f.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, f.cell " +
+      "FROM embeddings e JOIN kfa f ON e.vec_id = f.vec_id), " +
+      "qps AS MATERIALIZED (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      "round(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim_r " +
+      "FROM kpb p JOIN qpv q ON p.vec_id = q.vec_id " +
+      "JOIN qpv c ON c.cell = p.cell AND c.vec_id <> p.vec_id)"
   }
 
   /** snap6(CAST(expr AS DOUBLE) / divisors...) with Spark's exact op
@@ -2415,26 +2443,29 @@ object SparkEntry {
         s"${snap6Sql("MAX(CASE WHEN dropped THEN d2 END)", "1000000000000.0")} AS cut_d2, " +
         s"${snap6Sql("SUM(d2)", "COUNT(*)", "1000000000000.0")} AS mean_d2 " +
         "FROM pd GROUP BY cell ORDER BY cluster"),
-    // quality propagation: the Lloyd unroll with the corpus-derived
-    // cell count (the knnGraph nlist rule) assigns cells; same-cell
-    // cosine pairs under the (score DESC, id) rank discipline pick the
-    // top-k; the neighbor mean aggregates micro-int quality (order-free
-    // BIGINT sum); the blend's term order mirrors the Spark column
+    // kNN graph: the shared probed-cells pair chain ranked per query
+    // under (cos DESC, id) — the bounded-aggregator order
+    "q_knn_graph" -> {
+      val k = ext.Similarity.KnnK
+      s"WITH $knnPairsCtesSql, " +
+        "kr AS (SELECT query_id, neighbor_id, cos_sim_r, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim_r DESC, neighbor_id) AS rk FROM qps) " +
+        "SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, cos_sim_r " +
+        s"FROM kr WHERE rk <= $k ORDER BY query_id, rk"
+    },
+    // quality propagation: the shared kNN pair chain (Lloyd cells,
+    // nprobe=2) picks the top-k under the (score DESC, id) rank
+    // discipline; the neighbor mean aggregates micro-int quality
+    // (order-free BIGINT sum); the blend's term order mirrors the
+    // Spark column
     "q_quality_propagation" -> {
       val k = ext.Similarity.QualityPropK
       val a = ext.Similarity.QualityPropAlpha
       val blend = s"floor(($a * q.quality + ${1.0 - a} * m.neighbor_quality) " +
         "* 1000000.0 + 0.5) / 1000000.0"
-      s"WITH qpk AS (SELECT LEAST(LEAST((COUNT(*) + 511) // 512, 1024), COUNT(*)) AS kk " +
-        "FROM embeddings WHERE embedding IS NOT NULL), " +
-        kmeansCtesSqlFor("SELECT kk FROM qpk") + ", " +
-        "qpv AS MATERIALIZED (SELECT f.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, f.cell " +
-        "FROM embeddings e JOIN kfa f ON e.vec_id = f.vec_id), " +
-        "qps AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
-        "round(list_cosine_similarity(a.emb, b.emb), 6) AS cs " +
-        "FROM qpv a JOIN qpv b ON a.cell = b.cell AND a.vec_id <> b.vec_id), " +
+      s"WITH $knnPairsCtesSql, " +
         "qpt AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
-        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn FROM qps) " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim_r DESC, neighbor_id) AS rn FROM qps) " +
         s"WHERE rn <= $k), " +
         "qpq AS MATERIALIZED (SELECT doc_id, round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * stop_r - 8.0 * punct_r " +
         "+ 0.9 * ln(n_tok + 1.0) - 0.35 * avg_len))), 6) AS quality FROM " +

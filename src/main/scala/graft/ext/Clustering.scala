@@ -247,6 +247,52 @@ object Clustering {
       base.select(a.getField("_1").as("cluster"), a.getField("_2").as("d2"))
   }
 
+  /** The `nprobe` nearest cells per vector under the same exact
+    * (d2, cell) order as [[assignUdf]] — one (vec_id, probe_cell) row
+    * per probe. [[Similarity.knnGraphDf]] fans its candidate lookups
+    * out over these; the oracle's kpb CTE replays the ranking
+    * bit-for-bit (ROW_NUMBER over (d2, cell) on the kfd table).
+    */
+  private[ext] def probeAssignments(vecs: DataFrame,
+                                    cents: Array[Array[Long]],
+                                    nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"need nprobe >= 1, got $nprobe")
+    val p = probeUdf(cents, nprobe)(col("embedding"))
+    vecs.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), explode(p).as("probe_cell"))
+  }
+
+  /** The nprobe-smallest (d2, cell) cells as an ordered array — the
+    * multi-probe sibling of [[assignUdf]]'s argmin, same exact-BIGINT
+    * distances, same lower-cell tie rule (insertion keeps the first
+    * cell hit at equal d2 ahead, matching the (d2, cell) total order
+    * because cells scan in ascending order).
+    */
+  private def probeUdf(cents: Array[Array[Long]], nprobe: Int) =
+    udf { v: scala.collection.Seq[Float] =>
+      val xi = snapVec(v)
+      val k = math.min(nprobe, cents.length)
+      val bd = Array.fill(k)(Long.MaxValue)
+      val bc = Array.fill(k)(-1)
+      var c = 0
+      while (c < cents.length) {
+        val ctr = cents(c)
+        var d = 0L
+        var i = 0
+        val n = math.min(ctr.length, xi.length)
+        while (i < n) { val x = xi(i) - ctr(i); d += x * x; i += 1 }
+        // insert (d, c) if it beats the current k-th; strict < keeps
+        // the earlier (lower) cell on ties
+        var j = k - 1
+        if (d < bd(j)) {
+          while (j > 0 && d < bd(j - 1)) { bd(j) = bd(j - 1); bc(j) = bc(j - 1); j -= 1 }
+          bd(j) = d; bc(j) = c
+        }
+        c += 1
+      }
+      bc.filter(_ >= 0)
+    }
+
   /** Fused nearest-centroid kernel: (argmin cell, squared micro²
     * distance) in one exact-BIGINT loop over the centroids (ties to
     * the lower cell — strict `<`).

@@ -1185,7 +1185,7 @@ object Similarity {
     * is a query, so the probe side is corpus-sized and the join must
     * stay keyed.
     *
-    * Shape: vectors carry their IVF cell (narrow kernel); each vector
+    * Shape: vectors carry their cell (narrow kernel); each vector
     * probes its `nprobe` nearest cells; candidates join cell-keyed
     * (never all-pairs), exact cosine re-ranks inside the probed cells,
     * and every final is the bounded [[graft.functions.TopKByScore]]
@@ -1194,32 +1194,52 @@ object Similarity {
     * geometry. Approximate by construction (a true neighbor outside
     * the probed cells is missed); recall vs brute force is asserted on
     * a clustered fixture in DedupSimilaritySpec.
+    *
+    * ORACLE-EXACT since r14: the coarse quantizer is
+    * [[Clustering.kmeansCentroids]] (full-corpus integer micro-space
+    * Lloyd's — the q_kmeans oracle's own fit) instead of the sampled
+    * [[trainIvfCentroids]], cell assignment AND the nprobe probe
+    * ranking are exact (d2, cell) integer argmins, and pair scores are
+    * the [[cosineTopK]] snap discipline — so the whole graph replays
+    * in DuckDB (the sampled quantizer remains the ANN-serving family's
+    * scale seam, where the model only routes a handful of queries).
+    * [[qualityPropagationDf]] rides this same graph: ONE neighbor
+    * definition, no drift.
     */
-  def knnGraph(spark: SparkSession, d: String, k: Int = 3,
-               nlist: Int = 0, targetCellSize: Int = 512,
-               nprobe: Int = 2): DataFrame =
+  /** Shared with the q_knn_graph / q_quality_propagation oracle
+    * builders (one definition, no drift).
+    */
+  private[graft] val KnnK = 3
+  private[graft] val KnnNprobe = 2
+  private[graft] val KnnTargetCellSize = 512
+
+  def knnGraph(spark: SparkSession, d: String, k: Int = KnnK,
+               nlist: Int = 0, targetCellSize: Int = KnnTargetCellSize,
+               nprobe: Int = KnnNprobe): DataFrame =
     knnGraphDf(graft.Tables.embeddings(spark, d), k, nlist, targetCellSize, nprobe)
 
   /** DataFrame form (embRaw must have vec_id + embedding). */
-  def knnGraphDf(embRaw: DataFrame, k: Int = 3, nlist: Int = 0,
-                 targetCellSize: Int = 512, nprobe: Int = 2): DataFrame = {
+  def knnGraphDf(embRaw: DataFrame, k: Int = KnnK, nlist: Int = 0,
+                 targetCellSize: Int = KnnTargetCellSize,
+                 nprobe: Int = KnnNprobe): DataFrame = {
+    val emb = embRaw.filter(col("embedding").isNotNull)
     val kCells =
       if (nlist > 0) nlist
       else {
-        val n = embRaw.filter(col("embedding").isNotNull).count()
+        val n = emb.count()
         require(n > 0, "knn graph needs a non-empty embedding corpus")
         val derived = (n + targetCellSize - 1) / targetCellSize
         (derived max 1L min 1024L min n).toInt
       }
-    val cents = trainIvfCentroids(embRaw, kCells)
-    val emb = embRaw.filter(col("embedding").isNotNull)
+    val cents = Clustering.kmeansCentroids(embRaw, kCells)
     val cells = emb
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-        ivfCellUdf(cents)(col("embedding")).as("cell"))
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .join(Clustering.cellAssignments(emb, cents), Seq("vec_id"))
     val probes = emb
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        norm(col("embedding")).as("q_nrm"),
-        explode(ivfProbeUdf(cents, nprobe)(col("embedding"))).as("probe_cell"))
+        norm(col("embedding")).as("q_nrm"))
+      .join(Clustering.probeAssignments(emb, cents, nprobe)
+        .withColumnRenamed("vec_id", "query_id"), Seq("query_id"))
     val scored = probes.join(cells.as("c"),
         col("probe_cell") === col("c.cell") && col("query_id") =!= col("c.vec_id"))
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
@@ -1257,10 +1277,9 @@ object Similarity {
     * aggregator; on top, one id-keyed join to the narrow quality
     * projection, one query-keyed integer mean (map-side combined,
     * ≤k rows per key), one id-keyed join back. No new corpus-pair
-    * term. Versus the nprobe=2 IVF form this probes the OWN cell only
-    * (the [[semanticDedupDropList]] candidate geometry): boundary
-    * vectors may miss a cross-cell neighbor — the standard IVF recall
-    * trade, accepted here for audit-grade replayability.
+    * term. The neighbor graph IS [[knnGraphDf]] (Lloyd cells,
+    * nprobe=2) — one definition shared with q_knn_graph, both
+    * oracle-replayed.
     */
   /** Shared with the q_quality_propagation oracle builder (one
     * definition, no drift — the SeqMinSupport discipline).
@@ -1281,28 +1300,9 @@ object Similarity {
   def qualityPropagationDf(docs: DataFrame, emb: DataFrame, k: Int = 3,
                            alpha: Double = 0.5, nlist: Int = 0,
                            targetCellSize: Int = 512): DataFrame = {
-    val embN = emb.filter(col("embedding").isNotNull)
-    val kCells =
-      if (nlist > 0) nlist
-      else {
-        val n = embN.count()
-        require(n > 0, "quality propagation needs a non-empty embedding corpus")
-        (((n + targetCellSize - 1) / targetCellSize) max 1L min 1024L min n).toInt
-      }
-    val cents = Clustering.kmeansCentroids(emb, kCells)
-    val vec = embN
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      .join(Clustering.cellAssignments(embN, cents), Seq("vec_id"))
-    val qside = vec.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"), col("nrm").as("q_nrm"), col("cell"))
-    val nside = vec.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("n_emb"), col("nrm").as("n_nrm"), col("cell"))
-    val scored = qside.join(nside, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 6)
-          .as("cos_sim_r"))
-    val g = topKFinal(scored, "cos_sim_r", k)
+    // the ONE neighbor definition: the oracle-exact kNN graph
+    // ([[knnGraphDf]] — Lloyd cells, nprobe=2, cosine-topk discipline)
+    val g = knnGraphDf(emb, k, nlist, targetCellSize)
     // quality rides as its exact micro-unit integer so the neighbor
     // mean is an order-free BIGINT sum (the exactness-ladder rule)
     val q = docs.filter(col("text").isNotNull && length(col("text")) > 0)
