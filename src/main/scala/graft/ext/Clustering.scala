@@ -114,10 +114,25 @@ object Clustering {
     * divisions back to embedding units, 6-dp snapped — fully
     * oracle-replayed.
     */
+  /** Session-scoped cache of the (dataset, k, iters) Lloyd fit — the
+    * [[Similarity.knnGraph]] cache discipline one level down:
+    * q_kmeans and q_cluster_prune consume the identical deterministic
+    * centroids, so fitting twice per session buys nothing. k·dim longs
+    * per entry; a hit is bit-identical to a refit.
+    */
+  private val fitCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int),
+      Array[Array[Long]]]()
+
+  private def fittedCentroids(spark: SparkSession, d: String,
+                              k: Int, iters: Int): Array[Array[Long]] =
+    fitCache.computeIfAbsent((spark, d, k, iters),
+      _ => kmeansCentroids(Tables.embeddings(spark, d), k, iters))
+
   def kmeansStats(spark: SparkSession, d: String,
                   k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
     val emb = Tables.embeddings(spark, d)
-    val cents = kmeansCentroids(emb, k, iters)
+    val cents = fittedCentroids(spark, d, k, iters)
     assigned(emb, cents)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vectors"), sum(col("d2")).as("s"))
@@ -161,7 +176,7 @@ object Clustering {
                    dropFrac: Double = PruneDropFrac): DataFrame = {
     require(dropFrac >= 0.0 && dropFrac <= 1.0, s"dropFrac in [0,1], got $dropFrac")
     val emb = Tables.embeddings(spark, d)
-    val cents = kmeansCentroids(emb, k, iters)
+    val cents = fittedCentroids(spark, d, k, iters)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster"))
       .orderBy(col("d2").asc, col("vec_id").asc)

@@ -261,6 +261,129 @@ object Search {
           .orderBy(col("rrf_micro").desc, col("doc_id"))).cast("long"))
   }
 
+  /** Per-query form of [[rrfFuse]] over two (query_id, doc_id, *_rank)
+    * lists — the serving-batch fusion core.
+    */
+  private[graft] def rrfFusePerQuery(lex: DataFrame, sem: DataFrame,
+                                     k: Int): DataFrame = {
+    def contrib(r: Column): Column = when(r.isNotNull,
+      floor(lit(1e6) / (lit(RrfKConst) + r) + lit(0.5)).cast("long"))
+      .otherwise(lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+        (contrib(col("lex_rank")) + contrib(col("sem_rank"))).as("rrf_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** The hybrid scoring of ONE query batch against frozen serving
+    * artifacts — shared verbatim by [[hybridServeSink]]'s foreachBatch
+    * and its batch-parity test, so stream and batch rankings cannot
+    * drift. Queries carry (query_id, query_text, query_embedding);
+    * lexical ranks come from the frozen postings (the [[bm25ServeSink]]
+    * arithmetic), semantic ranks from probing the frozen cell table
+    * with the query embedding (the [[Similarity.knnGraphDf]] quantizer
+    * geometry), fused per query by [[rrfFusePerQuery]].
+    */
+  private[graft] def hybridScoreBatch(batch: DataFrame, index: DataFrame,
+                                      dfAll: DataFrame, nDocs: Long, avgdl: Double,
+                                      cellTable: DataFrame,
+                                      cents: Array[Array[Long]],
+                                      depth: Int, k: Int): DataFrame = {
+    val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("df_t") + lit(0.5)) /
+      (col("df_t") + lit(0.5)))
+    val bmNorm = lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl))
+    val bmContrib = idf * col("tf") / (col("tf") + bmNorm)
+    val qt = batch
+      .filter(col("query_text").isNotNull)
+      .select(col("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("query_text")))).as("term"))
+    val lexW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    val lex = qt.join(index, Seq("term")).join(dfAll, Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        floor(bmContrib * lit(1e6) + lit(0.5)).cast("long").as("c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("score_micro"))
+      .withColumn("lex_rank", row_number().over(lexW).cast("long"))
+      .filter(col("lex_rank") <= depth)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val probes = Clustering.probeAssignments(
+        batch.filter(col("query_embedding").isNotNull)
+          .select(col("query_id").as("vec_id"),
+            col("query_embedding").as("embedding")),
+        cents, Similarity.KnnNprobe)
+      .withColumnRenamed("vec_id", "query_id")
+    val qe = batch.filter(col("query_embedding").isNotNull)
+      .select(col("query_id"), col("query_embedding").as("q_emb"),
+        Similarity.norm(col("query_embedding")).as("q_nrm"))
+    val semW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim_r").desc, col("doc_id"))
+    val sem = probes.join(qe, Seq("query_id"))
+      .join(cellTable, col("probe_cell") === col("cell"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(Similarity.dot(col("q_emb"), col("embedding"))
+          / (col("q_nrm") * col("nrm")), 6).as("cos_sim_r"))
+      .withColumn("sem_rank", row_number().over(semW).cast("long"))
+      .filter(col("sem_rank") <= depth)
+      .select(col("query_id"), col("doc_id"), col("sem_rank"))
+    rrfFusePerQuery(lex, sem, k)
+  }
+
+  /** Streaming HYBRID serving (foreachBatch stage): the RAG front door.
+    * The base corpus's postings index, document-frequency table and
+    * Lloyd-cell vector table are FROZEN once at sink construction
+    * (train-offline / serve-online, the bm25ServeSink shape); each
+    * arriving query carries its text AND its embedding (the caller
+    * embeds — the documented codec seam), gets both modality rankings
+    * against the frozen artifacts, and appends its fused top-k tagged
+    * with the batch id. Scoring is [[hybridScoreBatch]], shared with
+    * the batch-parity test.
+    */
+  def hybridServeSink(queryStream: DataFrame, baseDocs: DataFrame,
+                      baseEmb: DataFrame, outPath: String, checkpoint: String,
+                      k: Int = RrfTopK, depth: Int = RrfDepth,
+                      targetCellSize: Int = Similarity.KnnTargetCellSize,
+                      triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val stats = baseDocs.filter(col("text").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(size(TextAnalysis.tokens(col("text")))).as("s"))
+      .head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    val index = Freeze.scoped(checkpoint, postingsDf(baseDocs))
+    val dfAll = Freeze.scoped(checkpoint,
+      index.groupBy(col("term")).agg(count(lit(1)).as("df_t")))
+    val emb = baseEmb.filter(col("embedding").isNotNull)
+    val n = emb.count()
+    require(n > 0, "hybrid serving needs a non-empty base embedding corpus")
+    val kCells = (((n + targetCellSize - 1) / targetCellSize) max 1L min 1024L min n).toInt
+    val cents = Clustering.kmeansCentroids(baseEmb, kCells)
+    val cellTable = Freeze.scoped(checkpoint,
+      emb.select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("nrm"))
+        .join(Clustering.cellAssignments(emb, cents), Seq("vec_id")))
+    queryStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          org.apache.spark.sql.GraftSql.unordered(
+            hybridScoreBatch(batch, index, dfAll, nDocs, avgdl,
+              cellTable, cents, depth, k))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+  }
+
   /** Streaming retrieval serving: arriving queries (query_id, query
     * text) are tokenized and BM25-scored against the FROZEN postings
     * index of a base corpus — the index is built once at sink

@@ -1213,10 +1213,27 @@ object Similarity {
   private[graft] val KnnNprobe = 2
   private[graft] val KnnTargetCellSize = 512
 
+  /** Session-scoped cache of the REGISTERED-parameter kNN graph — the
+    * [[graft.ext.Graph.trainedNodeEmbeddings]] discipline: q_knn_graph
+    * and q_quality_propagation consume the identical deterministic
+    * graph (same Lloyd fit, same probes, same top-k), so building it
+    * twice per session buys nothing (~4 s duplicated at sf0.1). The
+    * cached frame is localCheckpoint-materialized (corpus × k rows)
+    * and deliberately never released; a cache hit is bit-identical to
+    * a rebuild. Non-default parameters bypass the cache.
+    */
+  private val knnGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def knnGraph(spark: SparkSession, d: String, k: Int = KnnK,
                nlist: Int = 0, targetCellSize: Int = KnnTargetCellSize,
                nprobe: Int = KnnNprobe): DataFrame =
-    knnGraphDf(graft.Tables.embeddings(spark, d), k, nlist, targetCellSize, nprobe)
+    if (k == KnnK && nlist == 0 && targetCellSize == KnnTargetCellSize &&
+        nprobe == KnnNprobe)
+      knnGraphCache.computeIfAbsent((spark, d), _ =>
+        knnGraphDf(graft.Tables.embeddings(spark, d)).localCheckpoint())
+    else
+      knnGraphDf(graft.Tables.embeddings(spark, d), k, nlist, targetCellSize, nprobe)
 
   /** DataFrame form (embRaw must have vec_id + embedding). */
   def knnGraphDf(embRaw: DataFrame, k: Int = KnnK, nlist: Int = 0,
@@ -1289,8 +1306,14 @@ object Similarity {
 
   def qualityPropagation(spark: SparkSession, d: String, k: Int = QualityPropK,
                          alpha: Double = QualityPropAlpha): DataFrame =
-    qualityPropagationDf(graft.Tables.documents(spark, d),
-      graft.Tables.embeddings(spark, d), k, alpha)
+    if (k == KnnK)
+      // reuse the session's cached registered-parameter graph (shared
+      // with q_knn_graph — one build per session)
+      qualityPropagationOnGraph(graft.Tables.documents(spark, d),
+        knnGraph(spark, d), alpha)
+    else
+      qualityPropagationDf(graft.Tables.documents(spark, d),
+        graft.Tables.embeddings(spark, d), k, alpha)
 
   /** DataFrame form (docs: doc_id + text; emb: vec_id + embedding;
     * vec_id keys into doc_id — the [[embeddingCoverage]] correspondence).
@@ -1299,10 +1322,16 @@ object Similarity {
     */
   def qualityPropagationDf(docs: DataFrame, emb: DataFrame, k: Int = 3,
                            alpha: Double = 0.5, nlist: Int = 0,
-                           targetCellSize: Int = 512): DataFrame = {
+                           targetCellSize: Int = 512): DataFrame =
     // the ONE neighbor definition: the oracle-exact kNN graph
     // ([[knnGraphDf]] — Lloyd cells, nprobe=2, cosine-topk discipline)
-    val g = knnGraphDf(emb, k, nlist, targetCellSize)
+    qualityPropagationOnGraph(docs, knnGraphDf(emb, k, nlist, targetCellSize), alpha)
+
+  /** The blend core over a prebuilt (query_id, neighbor_id, ...) kNN
+    * graph frame.
+    */
+  private def qualityPropagationOnGraph(docs: DataFrame, g: DataFrame,
+                                        alpha: Double): DataFrame = {
     // quality rides as its exact micro-unit integer so the neighbor
     // mean is an order-free BIGINT sum (the exactness-ladder rule)
     val q = docs.filter(col("text").isNotNull && length(col("text")) > 0)

@@ -157,6 +157,58 @@ class SearchSpec extends SparkTestBase {
     }
   }
 
+  test("hybrid serving sink: frozen artifacts, batch parity, both modalities bite") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq(
+      1L -> "hash join hash join hash",
+      2L -> "hash scan scan",
+      3L -> "merge sort merge",
+      4L -> "alpha beta gamma").toDF("doc_id", "text")
+    val bemb = Seq(
+      1L -> Array(1.0f, 0.0f),
+      2L -> Array(0.9f, 0.3f),
+      3L -> Array(0.0f, 1.0f),
+      4L -> Array(0.1f, 0.995f)).toDF("vec_id", "embedding")
+    // query 101: lexical terms hit docs 1-2, embedding points at 3-4 —
+    // the fused list must carry BOTH modalities' docs
+    val queries = Seq(
+      (101L, "hash join", Array(0.0f, 1.0f)),
+      (102L, "merge", Array(1.0f, 0.05f)))
+    val input = MemoryStream[(Long, String, Array[Float])]
+    val out = Files.createTempDirectory("hybrid_out").toString
+    val ckpt = Files.createTempDirectory("hybrid_ckpt").toString
+    val query = Search.hybridServeSink(
+      input.toDF().toDF("query_id", "query_text", "query_embedding"),
+      base, bemb, out, ckpt, triggerMs = 50L).start()
+    try {
+      input.addData(queries(0))
+      query.processAllAvailable()
+      input.addData(queries(1))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    // batch replay: the same artifacts rebuilt deterministically
+    val stats = base.agg(count(lit(1)), sum(size(TextAnalysis.tokens(col("text"))))).head()
+    val (nDocs, avgdl) = (stats.getLong(0), stats.getLong(1).toDouble / stats.getLong(0))
+    val index = Search.postingsDf(base)
+    val dfAll = index.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val cents = Clustering.kmeansCentroids(bemb, 1)
+    val cellTable = bemb
+      .select(col("vec_id"), col("embedding"), Similarity.norm(col("embedding")).as("nrm"))
+      .join(Clustering.cellAssignments(bemb, cents), Seq("vec_id"))
+    val batch = Search.hybridScoreBatch(
+      queries.toDF("query_id", "query_text", "query_embedding"),
+      index, dfAll, nDocs, avgdl, cellTable, cents,
+      Search.RrfDepth, Search.RrfTopK)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    val q101 = streamed.filter(_.head == 101L).map(r => r(1).asInstanceOf[Long])
+    assert(q101.intersect(Set(1L, 2L)).nonEmpty && q101.intersect(Set(3L, 4L)).nonEmpty,
+      s"fused list must carry both lexical and semantic docs: $q101")
+  }
+
   test("bm25 serving sink: frozen postings index, batch parity") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
