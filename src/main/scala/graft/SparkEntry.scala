@@ -914,17 +914,25 @@ object SparkEntry {
     * Clustering.probeAssignments' order), then cosine pairs over the
     * probed cells. Emits `qps` (query_id, neighbor_id, cos_sim_r).
     */
-  private lazy val knnPairsCtesSql: String = {
+  /** The derived-cell Lloyd assignment alone — `qpv` (vec_id, emb,
+    * cell) under the knnGraphDf nlist rule; q_semantic_dedup's pair
+    * scan and the probe chain below both start here.
+    */
+  private lazy val knnCellsCtesSql: String = {
     val cs = ext.Similarity.KnnTargetCellSize
-    val np = ext.Similarity.KnnNprobe
     s"qpk AS (SELECT LEAST(LEAST((COUNT(*) + ${cs - 1}) // $cs, 1024), COUNT(*)) AS kk " +
       "FROM embeddings WHERE embedding IS NOT NULL), " +
       kmeansCtesSqlFor("SELECT kk FROM qpk") + ", " +
+      "qpv AS MATERIALIZED (SELECT f.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, f.cell " +
+      "FROM embeddings e JOIN kfa f ON e.vec_id = f.vec_id)"
+  }
+
+  private lazy val knnPairsCtesSql: String = {
+    val np = ext.Similarity.KnnNprobe
+    s"$knnCellsCtesSql, " +
       "kpb AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
       "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM kfd) " +
       s"WHERE rn <= $np), " +
-      "qpv AS MATERIALIZED (SELECT f.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, f.cell " +
-      "FROM embeddings e JOIN kfa f ON e.vec_id = f.vec_id), " +
       "qps AS MATERIALIZED (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, " +
       "round(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim_r " +
       "FROM kpb p JOIN qpv q ON p.vec_id = q.vec_id " +
@@ -2443,6 +2451,20 @@ object SparkEntry {
         s"${snap6Sql("MAX(CASE WHEN dropped THEN d2 END)", "1000000000000.0")} AS cut_d2, " +
         s"${snap6Sql("SUM(d2)", "COUNT(*)", "1000000000000.0")} AS mean_d2 " +
         "FROM pd GROUP BY cell ORDER BY cluster"),
+    // semantic dedup: the shared Lloyd-cell assignment, same-cell
+    // (a < b) pairs, snapped-cosine threshold, per-label keep audit
+    "q_semantic_dedup" -> {
+      val th = ext.Similarity.SemDedupThreshold
+      s"WITH $knnCellsCtesSql, " +
+        "sdp AS (SELECT DISTINCT b.vec_id FROM qpv a JOIN qpv b " +
+        "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        s"WHERE round(list_cosine_similarity(a.emb, b.emb), 6) > $th) " +
+        "SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_vecs, " +
+        "CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped, " +
+        "CAST(COUNT(*) - SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+        "FROM embeddings e LEFT JOIN sdp s ON e.vec_id = s.vec_id " +
+        "GROUP BY e.label ORDER BY e.label"
+    },
     // kNN graph: the shared probed-cells pair chain ranked per query
     // under (cos DESC, id) — the bounded-aggregator order
     "q_knn_graph" -> {

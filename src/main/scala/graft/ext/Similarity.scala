@@ -1356,25 +1356,40 @@ object Similarity {
       .orderBy(col("doc_id"))
   }
 
-  def semanticDedupDropList(emb: DataFrame, threshold: Double = 0.4,
+  /** Drop threshold of [[semanticDedupDropList]] — shared with the
+    * q_semantic_dedup oracle builder.
+    */
+  private[graft] val SemDedupThreshold = 0.4
+
+  /** ORACLE-EXACT since r14 (the [[knnGraphDf]] move): cells come from
+    * the full-corpus micro-space Lloyd's fit instead of the sampled
+    * IVF trainer, and the threshold compares the 6-dp-SNAPPED cosine
+    * (raw last-ulp FP differences between engines could flip a pair
+    * sitting exactly on the threshold; the snap makes the comparison
+    * engine-identical — the cosineTopK rank discipline applied to a
+    * filter). The PQ variant below keeps the sampled trainer and stays
+    * rows-only by design (its codebooks are a bounded driver sample).
+    */
+  def semanticDedupDropList(emb: DataFrame, threshold: Double = SemDedupThreshold,
                             nlist: Int = 0, targetCellSize: Int = 512): DataFrame = {
+    val embN = emb.filter(col("embedding").isNotNull)
     val k =
       if (nlist > 0) nlist
       else {
-        val n = emb.filter(col("embedding").isNotNull).count()
+        val n = embN.count()
         require(n > 0, "semantic dedup needs a non-empty embedding corpus")
         val derived = (n + targetCellSize - 1) / targetCellSize
         (derived max 1L min 1024L min n).toInt
       }
-    val cents = trainIvfCentroids(emb, k)
-    val cells = emb.filter(col("embedding").isNotNull)
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-        ivfCellUdf(cents)(col("embedding")).as("cell"))
+    val cents = Clustering.kmeansCentroids(emb, k)
+    val cells = embN
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .join(Clustering.cellAssignments(embN, cents), Seq("vec_id"))
     val a = cells.as("a")
     val b = cells.as("b")
     a.join(b, col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .filter(dot(col("a.embedding"), col("b.embedding"))
-        / (col("a.nrm") * col("b.nrm")) > threshold)
+      .filter(round(dot(col("a.embedding"), col("b.embedding"))
+        / (col("a.nrm") * col("b.nrm")), 6) > threshold)
       .select(col("b.vec_id").as("vec_id")).distinct()
   }
 
