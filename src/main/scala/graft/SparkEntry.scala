@@ -321,6 +321,8 @@ object SparkEntry {
     "q_query_likelihood_topk" -> ((s: SparkSession, d: String) => ext.Search.queryLikelihoodTopK(s, d)),
     "q_phrase_hits"       -> ((s: SparkSession, d: String) => ext.Search.phraseHits(s, d)),
     "q_hybrid_rrf"        -> ((s: SparkSession, d: String) => ext.Search.hybridRrf(s, d)),
+    "q_postings_incremental" -> ((s: SparkSession, d: String) => ext.Search.postingsIncremental(s, d)),
+    "q_query_expansion"   -> ((s: SparkSession, d: String) => ext.Search.queryExpansion(s, d)),
     "q_event_transitions" -> (ExtraQueries.eventTransitions _),
     "q_transition_entropy" -> (ExtraQueries.transitionEntropy _),
     // ordered product-analytics funnel (view -> click -> purchase)
@@ -3797,6 +3799,61 @@ object SparkEntry {
         "SELECT doc_id, lex_rank, sem_rank, rrf_micro, " +
         "CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank " +
         s"FROM hfu ORDER BY rrf_micro DESC, doc_id LIMIT $topK"
+    },
+    // incremental postings: disjoint % 4 doc-id spaces make merged
+    // stats pure sums — base/delta probed aggregates, one |terms| join
+    "q_postings_incremental" -> {
+      val probe = ext.Search.ProbeTerms.map(t => s"'$t'").mkString(", ")
+      def side(name: String, cond: String) =
+        s"$name AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS tft " +
+          "FROM (SELECT doc_id, term, COUNT(*) AS tf FROM " +
+          s"(SELECT doc_id, unnest($toks) AS term FROM documents " +
+          s"WHERE text IS NOT NULL AND $cond) " +
+          s"WHERE term IN ($probe) GROUP BY doc_id, term) GROUP BY term)"
+      s"WITH ${side("pb", "doc_id % 4 <> 0")}, ${side("pd", "doc_id % 4 = 0")} " +
+        "SELECT COALESCE(pb.term, pd.term) AS term, " +
+        "COALESCE(pb.df, 0) AS df_base, COALESCE(pd.df, 0) AS df_delta, " +
+        "COALESCE(pb.df, 0) + COALESCE(pd.df, 0) AS df_merged, " +
+        "COALESCE(pb.tft, 0) + COALESCE(pd.tft, 0) AS total_tf_merged, " +
+        "floor(CAST(COALESCE(pd.df, 0) AS DOUBLE) / (COALESCE(pb.df, 0) + COALESCE(pd.df, 0)) " +
+        "* 1000000.0 + 0.5) / 1000000.0 AS delta_share " +
+        "FROM pb FULL OUTER JOIN pd ON pb.term = pd.term ORDER BY term"
+    },
+    // query expansion (pseudo-relevance feedback): bm25 top-m feedback
+    // docs -> candidate terms scored idf * exact tf sum, micro-snapped
+    "q_query_expansion" -> {
+      val probe = ext.Search.ProbeTerms.map(t => s"'$t'").mkString(", ")
+      val k1 = ext.Search.K1
+      val b = ext.Search.B
+      val m = ext.Search.FbDocs
+      val topK = ext.Search.FbTerms
+      s"WITH sb AS (SELECT doc_id, len($toks) AS dl, unnest($toks) AS term " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        s"sp AS MATERIALIZED (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, " +
+        s"ANY_VALUE(dl) AS dl FROM sb WHERE term IN ($probe) GROUP BY doc_id, term), " +
+        s"cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len($toks)) AS BIGINT) AS s " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "sdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM sp GROUP BY term), " +
+        "ssc AS (SELECT doc_id, CAST(SUM(CAST(floor(" +
+        "ln(1.0 + (CAST(n AS DOUBLE) - df_t + 0.5) / (df_t + 0.5)) * tf / " +
+        s"(tf + $k1 * (${1.0 - b} + $b * dl / (CAST(s AS DOUBLE) / n))) " +
+        "* 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro " +
+        "FROM sp JOIN sdf ON sp.term = sdf.term CROSS JOIN cs GROUP BY doc_id), " +
+        s"fbd AS (SELECT doc_id FROM ssc ORDER BY score_micro DESC, doc_id LIMIT $m), " +
+        "fbp AS MATERIALIZED (SELECT term, CAST(SUM(tf) AS BIGINT) AS tf_fb, " +
+        "CAST(COUNT(*) AS BIGINT) AS df_fb FROM " +
+        "(SELECT t.doc_id, t.term, COUNT(*) AS tf FROM sb t JOIN fbd ON t.doc_id = fbd.doc_id " +
+        s"WHERE t.term NOT IN ($probe) GROUP BY t.doc_id, t.term) GROUP BY term), " +
+        "dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM " +
+        "(SELECT DISTINCT doc_id, term FROM sb) " +
+        "WHERE term IN (SELECT term FROM fbp) GROUP BY term) " +
+        "SELECT f.term, f.df_fb, f.tf_fb, d.df_t, " +
+        "CAST(floor(ln(1.0 + (CAST(cs.n AS DOUBLE) - d.df_t + 0.5) / (d.df_t + 0.5)) " +
+        "* f.tf_fb * 1000000.0 + 0.5) AS BIGINT) AS score_micro, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY CAST(floor(ln(1.0 + (CAST(cs.n AS DOUBLE) - d.df_t + 0.5) / (d.df_t + 0.5)) " +
+        "* f.tf_fb * 1000000.0 + 0.5) AS BIGINT) DESC, f.term) AS BIGINT) AS rank " +
+        "FROM fbp f JOIN dft d ON f.term = d.term CROSS JOIN cs " +
+        s"ORDER BY score_micro DESC, f.term LIMIT $topK"
     },
     // Newman degree assortativity: three exact BIGINT edge sums, one
     // shared closed-form FP expression

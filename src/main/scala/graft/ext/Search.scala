@@ -261,6 +261,106 @@ object Search {
           .orderBy(col("rrf_micro").desc, col("doc_id"))).cast("long"))
   }
 
+  /** INCREMENTAL POSTINGS maintenance audit: arriving documents
+    * (doc_id % 4 = 0, the corpus's established arrival split) index
+    * against the BASE postings (% 4 ≠ 0) without a rebuild — doc-id
+    * spaces are disjoint, so merged document frequencies and term
+    * frequencies are pure sums of the two indexes (the property that
+    * makes a sharded inverted index append-only at scale: a new
+    * segment's postings concatenate; only the df/cf statistics add).
+    * Per probe term: base/delta/merged df and total tf, plus the
+    * delta's share of the merged posting list — the number an index
+    * operator watches to decide when accumulated segments warrant a
+    * merge compaction. All integer counts + one 6-dp exact ratio.
+    *
+    * Scale shape: two probed-postings aggregates (|terms| keyed
+    * lookups each, the [[postingsDf]] restriction), one |terms|-row
+    * join — delta work is proportional to the DELTA, never the base.
+    */
+  def postingsIncremental(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, d))
+    val base = postingsDf(docs.filter(col("doc_id") % 4 =!= 0), Some(ProbeTerms))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df_base"), sum(col("tf")).as("tf_base"))
+    val delta = postingsDf(docs.filter(col("doc_id") % 4 === 0), Some(ProbeTerms))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df_delta"), sum(col("tf")).as("tf_delta"))
+    base.join(delta, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("df_base"), lit(0L)).as("df_base"),
+        coalesce(col("df_delta"), lit(0L)).as("df_delta"),
+        (coalesce(col("df_base"), lit(0L)) + coalesce(col("df_delta"), lit(0L)))
+          .as("df_merged"),
+        (coalesce(col("tf_base"), lit(0L)) + coalesce(col("tf_delta"), lit(0L)))
+          .as("total_tf_merged"),
+        (floor(coalesce(col("df_delta"), lit(0L)).cast("double") /
+          (coalesce(col("df_base"), lit(0L)) + coalesce(col("df_delta"), lit(0L)))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("delta_share"))
+      .orderBy(col("term"))
+  }
+
+  /** Feedback-set size and expansion-term count of [[queryExpansion]]
+    * — shared with the oracle builder.
+    */
+  private[graft] val FbDocs = 5
+  private[graft] val FbTerms = 10
+
+  /** QUERY EXPANSION by pseudo-relevance feedback (Rocchio 1971 /
+    * the RM1 family, Lavrenko & Croft 2001): run the probe query,
+    * take the BM25 top-[[FbDocs]] documents as the feedback set, and
+    * score every term they contain (minus the query's own terms) by
+    *   score(t) = idf(t) · Σ_{d ∈ fb} tf(t, d)
+    * — the terms that co-occur with the query's matches, weighted
+    * against stopword-like ubiquity by the same Lucene idf the ranker
+    * uses. The top-[[FbTerms]] are the expansion candidates a RAG
+    * stack appends for the second retrieval pass. The tf sum is an
+    * exact BIGINT; idf·sum is ONE per-row IEEE product, 6-dp snapped —
+    * fully oracle-replayed, (score, term) deterministic order.
+    *
+    * Scale shape: the feedback set is m ids (broadcast semi-join
+    * prunes the corpus BEFORE the posting explode); candidate-term
+    * document frequencies come from one corpus explode restricted to
+    * the candidate terms by a broadcast semi-join BEFORE the groupBy —
+    * the probed-postings shape with a data-derived probe set. Finals
+    * are bounded top-k.
+    */
+  def queryExpansion(spark: SparkSession, d: String,
+                     m: Int = FbDocs, topK: Int = FbTerms): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, d))
+    val stats = docs.filter(col("text").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(size(TextAnalysis.tokens(col("text")))).as("s"))
+      .head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    val fb = bm25Against(postingsDf(docs, Some(ProbeTerms)), ProbeTerms,
+        nDocs, avgdl, m)
+      .select(col("doc_id"))
+    // feedback postings: prune the corpus to the m feedback docs FIRST
+    val fbPost = postingsDf(docs.join(broadcast(fb), Seq("doc_id"), "left_semi"))
+      .filter(!col("term").isin(ProbeTerms: _*))
+    val cand = fbPost.groupBy(col("term"))
+      .agg(sum(col("tf")).as("tf_fb"), count(lit(1)).as("df_fb"))
+    // global df restricted to the candidate terms (broadcast semi-join
+    // below the aggregate — the probed-postings shape)
+    val toks = TextAnalysis.tokens(col("text"))
+    val dfT = docs.filter(col("text").isNotNull)
+      .select(explode(array_distinct(toks)).as("term"))
+      .join(broadcast(cand.select(col("term"))), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("df_t") + lit(0.5)) /
+      (col("df_t") + lit(0.5)))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_micro").desc, col("term"))
+    cand.join(dfT, Seq("term"))
+      .select(col("term"), col("df_fb"), col("tf_fb"), col("df_t"),
+        floor(idf * col("tf_fb") * lit(1e6) + lit(0.5)).cast("long")
+          .as("score_micro"))
+      .orderBy(col("score_micro").desc, col("term"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** Per-query form of [[rrfFuse]] over two (query_id, doc_id, *_rank)
     * lists — the serving-batch fusion core.
     */

@@ -157,6 +157,54 @@ class SearchSpec extends SparkTestBase {
     }
   }
 
+  test("incremental postings: merged stats are exact sums over the disjoint split") {
+    import spark.implicits._
+    // base docs (ids 1,2,3 — % 4 != 0) and arrivals (4, 8 — % 4 == 0)
+    val docs = Seq(
+      1L -> "hash join hash",   // base: tf(hash)=2, tf(join)=1
+      2L -> "hash scan",        // base: tf(hash)=1, tf(scan)=1
+      3L -> "merge merge",      // base: tf(merge)=2
+      4L -> "hash hash hash",   // delta: tf(hash)=3
+      8L -> "scan window"       // delta: tf(scan)=1, tf(window)=1
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pinc_fx").toString
+    docs.withColumn("source", lit("s")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Search.postingsIncremental(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("hash") == ((2L, 1L, 3L, 6L)), s"hash: ${got("hash")}")
+    assert(got("scan") == ((1L, 1L, 2L, 2L)), s"scan: ${got("scan")}")
+    assert(got("merge") == ((1L, 0L, 1L, 2L)), "base-only term merges unchanged")
+    assert(got("window") == ((0L, 1L, 1L, 1L)), "delta-only term appears with base df 0")
+  }
+
+  test("query expansion: feedback co-occurrence surfaces, query terms excluded, idf damps") {
+    import spark.implicits._
+    // docs 1-2 match the probe terms hard and share the distinctive
+    // term 'tungsten'; 'filler' appears EVERYWHERE (idf ~ 0 damps it);
+    // doc 9 never enters the feedback set so 'absent' cannot surface
+    val docs = Seq(
+      1L -> "hash join tungsten filler",
+      2L -> "hash join scan tungsten filler",
+      3L -> "merge window filler",
+      9L -> "absent filler unrelated"
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("qexp_fx").toString
+    docs.withColumn("source", lit("s")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Search.queryExpansion(spark, dir, m = 2).collect()
+    val terms = rows.map(_.getString(0)).toSeq
+    assert(!terms.exists(Search.ProbeTerms.contains),
+      s"query's own terms must be excluded: $terms")
+    assert(!terms.contains("absent"), "terms outside the feedback set cannot surface")
+    val score = rows.map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(score.contains("tungsten"), s"shared feedback term must surface: $terms")
+    assert(score("tungsten") > score.getOrElse("filler", 0L),
+      s"idf must damp the ubiquitous term: $score")
+  }
+
   test("hybrid serving sink: frozen artifacts, batch parity, both modalities bite") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
