@@ -289,6 +289,10 @@ object SparkEntry {
     "q_ppr_topic"         -> ((s: SparkSession, d: String) => ext.Graph.pprTopic(s, d)),
     // strongly-connected components: forward/backward min-label peeling
     "q_link_scc"          -> ((s: SparkSession, d: String) => ext.Graph.linkScc(s, d)),
+    // crawl depth: multi-source BFS hop distance from the trusted seeds
+    "q_crawl_depth"       -> ((s: SparkSession, d: String) => ext.Graph.crawlDepth(s, d)),
+    // incremental PageRank: warm-start refinement under an edge delta
+    "q_pagerank_incremental" -> ((s: SparkSession, d: String) => ext.Graph.pagerankIncremental(s, d)),
     "q_corpus_card"       -> ((s: SparkSession, d: String) => ext.Corpus.corpusCard(s, d)),
     "q_hits"              -> ((s: SparkSession, d: String) => ext.Graph.hits(s, d)),
     "q_pagerank_converge" -> ((s: SparkSession, d: String) => ext.Graph.pagerankConvergence(s, d)),
@@ -605,12 +609,27 @@ object SparkEntry {
   // the per-seed recurrence CTEs with an optional name prefix — the
   // crawl-priority serve table runs TWO of these (vanilla + trusted)
   // over one shared edge chain
-  private def seedRankCtesSql(seedCond: String, px: String): String = {
+  private def seedRankCtesSql(seedCond: String, px: String,
+                              eCte: String = "e", odCte: String = "od"): String = {
+    s"${px}sn AS (SELECT CAST(SUM(CASE WHEN $seedCond THEN 1 ELSE 0 END) AS BIGINT) AS ns FROM documents), " +
+      s"${px}nd AS (SELECT doc_id, CASE WHEN $seedCond THEN 1 ELSE 0 END AS s, COALESCE(out_deg, 0) AS out_deg, ns " +
+      s"FROM documents LEFT JOIN $odCte ON doc_id = $odCte.src CROSS JOIN ${px}sn), " +
+      s"${px}r0 AS MATERIALIZED (SELECT doc_id, s, out_deg, ns, " +
+      "s * CAST(floor(1000000000.0 / ns + 0.5) AS BIGINT) AS r FROM " + s"${px}nd), " +
+      rankRoundsSql(px, 1, ext.Graph.RankIters, eCte)
+  }
+
+  // the rank recurrence rounds `from..to` alone, reading ${px}r${from-1}
+  // as the start state — split out of seedRankCtesSql so the
+  // incremental oracle can run WARM rounds over a start CTE the base
+  // chain produced
+  private def rankRoundsSql(px: String, from: Int, to: Int,
+                            eCte: String): String = {
     val damp = ext.Graph.Damping
-    val iters = (1 to ext.Graph.RankIters).map { k =>
+    (from to to).map { k =>
       val p = s"${px}r${k - 1}"
-      s"${px}c$k AS (SELECT dst AS doc_id, CAST(SUM(CAST(floor(CAST(r AS DOUBLE) / out_deg + 0.5) AS BIGINT)) AS BIGINT) AS inflow " +
-        s"FROM $p JOIN e ON $p.doc_id = e.src WHERE out_deg > 0 GROUP BY dst), " +
+      s"${px}c$k AS (SELECT ec.dst AS doc_id, CAST(SUM(CAST(floor(CAST(r AS DOUBLE) / out_deg + 0.5) AS BIGINT)) AS BIGINT) AS inflow " +
+        s"FROM $p JOIN $eCte ec ON $p.doc_id = ec.src WHERE out_deg > 0 GROUP BY ec.dst), " +
         s"${px}d$k AS (SELECT CAST(COALESCE(SUM(CASE WHEN out_deg = 0 THEN r END), 0) AS BIGINT) AS dang FROM $p), " +
         s"${px}r$k AS MATERIALIZED (SELECT n.doc_id, n.s, n.out_deg, n.ns, " +
         s"n.s * CAST(floor((1.0 - $damp) * 1000000000.0 / n.ns + 0.5) AS BIGINT) + " +
@@ -618,12 +637,26 @@ object SparkEntry {
         "n.s * CAST(floor(CAST(dang AS DOUBLE) / n.ns + 0.5) AS BIGINT) AS DOUBLE) + 0.5) AS BIGINT) AS r " +
         s"FROM $p n LEFT JOIN ${px}c$k ON n.doc_id = ${px}c$k.doc_id CROSS JOIN ${px}d$k)"
     }.mkString(", ")
-    s"${px}sn AS (SELECT CAST(SUM(CASE WHEN $seedCond THEN 1 ELSE 0 END) AS BIGINT) AS ns FROM documents), " +
-      s"${px}nd AS (SELECT doc_id, CASE WHEN $seedCond THEN 1 ELSE 0 END AS s, COALESCE(out_deg, 0) AS out_deg, ns " +
-      s"FROM documents LEFT JOIN od ON doc_id = od.src CROSS JOIN ${px}sn), " +
-      s"${px}r0 AS MATERIALIZED (SELECT doc_id, s, out_deg, ns, " +
-      "s * CAST(floor(1000000000.0 / ns + 0.5) AS BIGINT) AS r FROM " + s"${px}nd), " +
-      s"$iters"
+  }
+
+  // incremental PageRank: base rounds on the pre-delta edge subset,
+  // then warm refinement rounds on the full edge set — two replays of
+  // the ONE rank-round builder, so the recurrences cannot drift
+  private lazy val pagerankIncrementalSql: String = {
+    val bN = s"bsr${ext.Graph.RankIters}"
+    val wN = s"wr${ext.Graph.IncrRefineIters}"
+    s"$linkGraphCteSql, " +
+      s"cutv AS (SELECT (${ext.Graph.IncrBaseNum} * COUNT(*)) // ${ext.Graph.IncrBaseDen} AS c FROM documents), " +
+      "eb AS MATERIALIZED (SELECT e.src, e.dst FROM e CROSS JOIN cutv WHERE e.src < cutv.c), " +
+      "odb AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM eb GROUP BY src), " +
+      s"${seedRankCtesSql("TRUE", "bs", "eb", "odb")}, " +
+      // warm r0: base rank mass, out-degrees rebound to the full edges
+      s"wr0 AS MATERIALIZED (SELECT b.doc_id, b.s, COALESCE(od.out_deg, 0) AS out_deg, b.ns, b.r " +
+      s"FROM $bN b LEFT JOIN od ON b.doc_id = od.src), " +
+      s"${rankRoundsSql("w", 1, ext.Graph.IncrRefineIters, "e")} " +
+      s"SELECT w.doc_id, w.r AS rank_nano, b.r AS base_rank_nano, w.r - b.r AS delta_nano " +
+      s"FROM $wN w JOIN $bN b ON w.doc_id = b.doc_id " +
+      "ORDER BY rank_nano DESC, w.doc_id LIMIT 100"
   }
 
   // crawl-priority serving: the full-frontier rank + trust serve table
@@ -839,6 +872,26 @@ object SparkEntry {
   // weakly-connected components: 8 unrolled min-label-propagation
   // rounds over the undirected edge set — pure integer MIN, no
   // snapping needed (order-independent by algebra)
+  // crawl depth: the integer min-plus BFS unroll — the components
+  // discipline with depth+1 in place of min-label, sentinel = unreached
+  private lazy val crawlDepthSql = {
+    val u = ext.Graph.BfsUnreached
+    val bN = s"b${ext.Graph.BfsRounds}"
+    val roundsSql = (1 to ext.Graph.BfsRounds).map { k =>
+      val p = s"b${k - 1}"
+      s"bn$k AS (SELECT e.dst AS doc_id, CAST(MIN(b.depth) + 1 AS BIGINT) AS nd " +
+        s"FROM $p b JOIN e ON b.doc_id = e.src WHERE b.depth < $u GROUP BY e.dst), " +
+        s"b$k AS MATERIALIZED (SELECT b.doc_id, least(b.depth, COALESCE(n.nd, b.depth)) AS depth " +
+        s"FROM $p b LEFT JOIN bn$k n ON b.doc_id = n.doc_id)"
+    }.mkString(", ")
+    s"$linkGraphCteSql, " +
+      s"b0 AS MATERIALIZED (SELECT doc_id, CAST(CASE WHEN source = 'src0' THEN 0 ELSE $u END AS BIGINT) AS depth FROM documents), " +
+      s"$roundsSql, " +
+      s"reach AS (SELECT doc_id, depth FROM $bN WHERE depth < $u), " +
+      "h AS (SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_at_depth FROM reach GROUP BY depth) " +
+      "SELECT r.doc_id, r.depth, h.n_at_depth FROM reach r JOIN h ON r.depth = h.depth ORDER BY r.doc_id"
+  }
+
   private lazy val linkComponentsSql = {
     val lN = s"l${ext.Graph.ComponentRounds}"
     val roundsSql = (1 to ext.Graph.ComponentRounds).map { k =>
@@ -3663,6 +3716,10 @@ object SparkEntry {
     "q_ppr_topic" -> seededRankSql("lang = 'en'", includeSeedCol = true),
     // strongly-connected components: nested peel unroll
     "q_link_scc" -> linkSccSql,
+    // crawl depth: min-plus BFS unroll from the trusted seed host
+    "q_crawl_depth" -> crawlDepthSql,
+    // incremental PageRank: base-chain + warm-refinement double unroll
+    "q_pagerank_incremental" -> pagerankIncrementalSql,
     // HITS hubs/authorities: exact integer replay
     "q_hits" -> hitsSql,
     // rank convergence audit: exact per-iteration movement

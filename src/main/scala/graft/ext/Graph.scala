@@ -546,6 +546,98 @@ object Graph {
     deltas.toDF("iter", "l1_delta_nano", "max_delta_nano").orderBy(col("iter"))
   }
 
+  /** Base-corpus fraction (numerator/denominator, integer arithmetic
+    * in BOTH engines) and refinement-round count of
+    * [[pagerankIncremental]] — shared with the oracle builder.
+    */
+  private[graft] val IncrBaseNum = 9
+  private[graft] val IncrBaseDen = 10
+  private[graft] val IncrRefineIters = 2
+
+  /** INCREMENTAL PageRank — rank maintenance under an edge delta, the
+    * dynamic-graph member of the engine's incremental family
+    * (exact-dedup/minhash/CDC/postings all keep a frozen base artifact
+    * and price only the delta; this does it for the rank recurrence).
+    * A crawl frontier grows continuously; recomputing rank from the
+    * uniform start costs [[RankIters]] full-graph rounds per batch,
+    * while warm-starting from the previous converged ranks reaches the
+    * new operating point in [[IncrRefineIters]] rounds (Desikan,
+    * Pathak, Srivastava & Kumar, WWW 2005 poster — incremental
+    * PageRank on evolving graphs; Bahmani, Chowdhury & Goel, VLDB
+    * 2011 §1 frames the same warm-start observation): the recurrence
+    * is a contraction with factor [[Damping]], so an iteration closes
+    * the remaining gap geometrically regardless of the start, and the
+    * previous fixpoint starts near the new one when the delta is
+    * small.
+    *
+    * The registered query splits the corpus at doc_id <
+    * [[IncrBaseNum]]/[[IncrBaseDen]] of the frontier ("pages crawled
+    * so far"): base ranks run [[RankIters]] rounds on the base pages'
+    * out-edges (targets stay frontier-wide — a crawler knows the ids
+    * it has SEEN, which is exactly the mod-D frontier), then the
+    * delta pages' edges arrive, out-degrees rebind to the full edge
+    * set, and [[IncrRefineIters]] warm rounds refine. Returns the
+    * top-100 by refined rank with the base rank and the delta the
+    * arrival caused — the audit a scheduler reads to see who the new
+    * pages promoted.
+    *
+    * Exactness: both chains are the [[rankStep]] integer recurrence
+    * (nano-snapped per-edge contributions, BIGINT sums), and the
+    * cutoff is pure integer arithmetic (9·D)/10 in both engines — the
+    * DuckDB oracle replays base rounds then warm rounds bit-for-bit.
+    *
+    * Scale shape: one edge derivation + one checkpoint each for the
+    * full and base edge tables; base rounds cost |E_base|-keyed joins,
+    * refine rounds |E|-keyed joins — per-batch total
+    * refine/[[RankIters]] of a cold recompute once the base artifact
+    * is frozen (here the base chain runs in-session because the
+    * fixture has no cross-session store; the frozen-artifact sink
+    * discipline of backoffScoreTable applies verbatim at deployment).
+    */
+  def pagerankIncremental(spark: SparkSession, d: String): DataFrame =
+    pagerankIncrementalDf(Tables.fanOut(Tables.documents(spark, d)))
+
+  def pagerankIncrementalDf(docs: DataFrame, iters: Int = RankIters,
+                            refine: Int = IncrRefineIters,
+                            topK: Int = 100): DataFrame = {
+    require(refine >= 1, s"incremental refine needs >= 1 round, got $refine")
+    val edges = linkEdgesDf(docs).localCheckpoint()
+    // eager-builder scalar (the rankSeedState precedent): the cutoff
+    // is integer arithmetic so both engines floor identically
+    val nTotal = docs.agg(count(lit(1))).head().getLong(0)
+    val cutoff = IncrBaseNum.toLong * nTotal / IncrBaseDen
+    val baseEdges = edges.filter(col("src") < lit(cutoff)).localCheckpoint()
+    val base = rankLoopStateOn(docs, baseEdges, lit(true), iters)
+    // the base state is checkpointed — its edge subset is dead
+    org.apache.spark.sql.GraftSql.releaseCheckpoint(baseEdges)
+    // warm start: rank mass carried over, out-degrees rebound to the
+    // FULL edge set — one keyed left join; the general contract even
+    // though this delta only ADDS sources (a recrawl could change a
+    // base page's out-edges too)
+    val outDegFull = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    var ranks = base
+      .select(col("doc_id"), col("is_seed"), col("n_seed"), col("rank_nano"))
+      .join(outDegFull.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_seed"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        col("n_seed"), col("rank_nano"))
+      .localCheckpoint()
+    var ck = ranks
+    for (_ <- 1 to refine) {
+      val next = rankStep(ranks, edges).localCheckpoint()
+      org.apache.spark.sql.GraftSql.releaseCheckpoint(ck)
+      ck = next
+      ranks = next
+    }
+    ranks
+      .join(base.select(col("doc_id"), col("rank_nano").as("base_rank_nano")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("rank_nano"), col("base_rank_nano"),
+        (col("rank_nano") - col("base_rank_nano")).as("delta_nano"))
+      .orderBy(col("rank_nano").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** HITS hubs & authorities (Kleinberg, "Authoritative Sources in a
     * Hyperlinked Environment", JACM 1999) — the complement of PageRank
     * for crawl curation: authorities are the pages good hubs point AT
@@ -1072,6 +1164,99 @@ object Graph {
     labels.join(sizes, Seq("component"))
       .select(col("doc_id"), col("component"), col("component_size"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Round cap / unreached sentinel of [[crawlDepth]] — shared with
+    * the oracle builder (one definition, no drift). The sentinel is
+    * far above any reachable hop count yet small enough that
+    * `sentinel + rounds` cannot overflow a BIGINT in either engine.
+    */
+  private[graft] val BfsRounds = 8
+  private[graft] val BfsUnreached = 1000000000L
+
+  /** CRAWL DEPTH — multi-source BFS hop distance from the trusted
+    * seed host (the [[trustrank]] seed, `source = 'src0'`) over the
+    * directed link graph. For a crawl corpus this is the standard
+    * frontier-depth audit: how many link hops separate each reachable
+    * page from the seeds (Najork & Wiener, WWW 2001 — breadth-first
+    * crawl ordering finds high-quality pages early), which both
+    * scopes a depth-capped recrawl and exposes orphaned strata no
+    * seed reaches. Returns (doc_id, depth, n_at_depth) for REACHED
+    * nodes only — the per-depth count rides along like
+    * [[linkComponents]]' component_size, so the depth histogram is
+    * read off the same result.
+    *
+    * Exactness: the recurrence is integer min-plus —
+    * depth(v) ← min(depth(v), 1 + min over in-neighbors u of
+    * depth(u)) with unreached carried as the [[BfsUnreached]]
+    * sentinel — order-independent by algebra (MIN over BIGINTs), so
+    * the unrolled DuckDB replay is exact with no snapping, the
+    * [[minLabelComponentsOn]] discipline verbatim. The loop early-
+    * exits at the distance fixpoint, capped at `rounds`; the oracle's
+    * fixed unroll runs ≥ as many rounds and post-fixpoint rounds are
+    * identities, so parity is unconditional. Eccentricities on the
+    * hub-skewed fixture are tiny (GraphSpec asserts one extra round
+    * is a fixpoint), matching the small-diameter shape of real web
+    * graphs.
+    *
+    * Scale shape: the edge table checkpoints once; each round is ONE
+    * frontier⋈edges keyed join + one groupBy(dst) MIN + a doc_id-keyed
+    * combine — the Pregel-without-Pregel shape again, with the
+    * reached-only pre-filter keeping the join input at the frontier
+    * size (sentinel rows never lower a minimum: least(U, U+1) = U, so
+    * the filter is free parity-wise and mirrored in the oracle).
+    * State is (doc_id, depth): 16 bytes per frontier node, rounds
+    * bounded by the cap, checkpoints released deterministically.
+    */
+  def crawlDepth(spark: SparkSession, d: String,
+                 rounds: Int = BfsRounds): DataFrame =
+    crawlDepthDf(Tables.fanOut(Tables.documents(spark, d)),
+      col("source") === lit("src0"), rounds)
+
+  def crawlDepthDf(docs: DataFrame, seed: Column,
+                   rounds: Int = BfsRounds): DataFrame = {
+    val e = linkEdgesDf(docs).localCheckpoint()
+    val d0 = docs.select(col("doc_id"),
+      when(seed, lit(0L)).otherwise(lit(BfsUnreached)).as("depth"))
+    val dist = hopDistancesOn(d0, e, rounds)
+    // the final state is checkpointed — the edge table is dead
+    org.apache.spark.sql.GraftSql.releaseCheckpoint(e)
+    val reached = dist.filter(col("depth") < lit(BfsUnreached))
+    val hist = reached.groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_at_depth"))
+    reached.join(hist, Seq("depth"))
+      .select(col("doc_id"), col("depth"), col("n_at_depth"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The min-plus BFS core over an explicit (doc_id, depth) init and
+    * an ALREADY-CHECKPOINTED edge table — split out so GraphSpec can
+    * plant exact-distance fixtures. Returns the CHECKPOINTED final
+    * (doc_id, depth) state.
+    */
+  private[graft] def hopDistancesOn(init: DataFrame, e: DataFrame,
+                                    rounds: Int): DataFrame = {
+    require(rounds >= 1, s"crawlDepth needs >= 1 round, got $rounds")
+    var dist = init.localCheckpoint()
+    var distCk = dist
+    var converged = false
+    var r = 0
+    while (!converged && r < rounds) {
+      val nd = dist.filter(col("depth") < lit(BfsUnreached))
+        .join(e, dist("doc_id") === e("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg((min(col("depth")) + lit(1L)).as("nd"))
+      val upd = dist.join(nd, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("depth").as("old_d"),
+          least(col("depth"), coalesce(col("nd"), col("depth"))).as("depth"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftSql.releaseCheckpoint(distCk)
+      distCk = upd
+      converged = upd.filter(col("depth") =!= col("old_d")).isEmpty
+      dist = upd.select(col("doc_id"), col("depth"))
+      r += 1
+    }
+    dist
   }
 
   /** Peel count of [[linkScc]] — shared with the oracle builder. */

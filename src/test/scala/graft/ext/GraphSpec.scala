@@ -684,4 +684,92 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     emb.foreach(r => assert(r.getLong(1) == np(r.getLong(0))))
   }
+
+  test("pagerankIncremental matches an exact driver-side replay of base + warm rounds") {
+    import spark.implicits._
+    // plantedDocs but doc 9 carries text (so the DELTA — docs with
+    // doc_id >= 9*10/10 = 9 — actually contributes out-edges)
+    val fixture = Seq(
+      0L -> "alpha beta gamma delta", 1L -> "beta gamma epsilon zeta",
+      2L -> "gamma delta alpha beta", 3L -> "zeta eta theta iota",
+      4L -> "iota kappa alpha gamma", 5L -> "kappa lambda mu nu",
+      6L -> "mu nu alpha beta gamma", 7L -> "nu xi omicron pi",
+      8L -> "pi rho alpha delta",     9L -> "alpha beta kappa lambda"
+    ).toDF("doc_id", "text")
+    val d = fixture.count()
+    val cutoff = Graph.IncrBaseNum.toLong * d / Graph.IncrBaseDen
+    val edges = Graph.linkEdgesDf(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baseEdges = edges.filter(_._1 < cutoff)
+    assert(baseEdges.length < edges.length,
+      "doc 9 must contribute delta edges or the test is vacuous")
+    def snap(x: Double): Long = math.floor(x + 0.5).toLong
+    def rounds(r0: Map[Long, Long], es: Array[(Long, Long)], n: Int): Map[Long, Long] = {
+      val outDeg = es.groupBy(_._1).map { case (s, g) => s -> g.length.toLong }
+      var r = r0
+      for (_ <- 1 to n) {
+        val contrib = es.groupBy(_._2).map { case (dst, g) =>
+          dst -> g.map(e => snap(r(e._1).toDouble / outDeg(e._1))).sum
+        }
+        val dang = r.collect { case (u, ru) if !outDeg.contains(u) => ru }.sum
+        r = r.map { case (v, _) =>
+          v -> (snap((1.0 - 0.85) * 1e9 / d) +
+            snap(0.85 * (contrib.getOrElse(v, 0L) + snap(dang.toDouble / d)).toDouble))
+        }
+      }
+      r
+    }
+    val uniform = (0L until d).map(i => i -> snap(1e9 / d)).toMap
+    val base = rounds(uniform, baseEdges, Graph.RankIters)
+    val warm = rounds(base, edges, Graph.IncrRefineIters)
+    val got = Graph.pagerankIncrementalDf(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == (0L until d).toSet)
+    got.foreach { case (v, (rw, rb, dl)) =>
+      assert(rw == warm(v), s"warm rank of $v: got $rw want ${warm(v)}")
+      assert(rb == base(v), s"base rank of $v: got $rb want ${base(v)}")
+      assert(dl == rw - rb, s"delta of $v")
+    }
+    // the delta doc's own targets gained rank mass from the arrival
+    val promoted = got.count { case (_, (_, _, dl)) => dl > 0 }
+    assert(promoted > 0, "some page must be promoted by the new edges")
+  }
+
+  test("hopDistancesOn: exact depths on a planted path + diamond, unreachable excluded") {
+    import spark.implicits._
+    // seeds {0}: path 0 -> 1 -> 2 -> 3 and diamond 1 -> 4 -> 3 both
+    // reach 3 in 3 hops, but the shortcut 0 -> 6 -> 3 wins with 2 —
+    // the MIN must pick it. Node 5 has no edges; node 7 only the
+    // wrong-direction 7 -> 0: both stay at the sentinel.
+    val init = (0L to 7L).toDF("doc_id")
+      .select(col("doc_id"),
+        when(col("doc_id") === 0L, 0L)
+          .otherwise(lit(Graph.BfsUnreached)).as("depth"))
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (1L, 4L), (4L, 3L),
+      (0L, 6L), (6L, 3L), (7L, 0L)).toDF("src", "dst").localCheckpoint()
+    val got = Graph.hopDistancesOn(init, e, Graph.BfsRounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L,
+      6L -> 1L, 5L -> Graph.BfsUnreached, 7L -> Graph.BfsUnreached)
+    assert(got == want, s"got $got")
+    // the cap is a fixpoint at fixture scale: one extra round is identical
+    val more = Graph.hopDistancesOn(init, e, Graph.BfsRounds + 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more == got, "extra round must be an identity past the fixpoint")
+  }
+
+  test("crawlDepth: seeds at depth 0, histogram consistent, reached-only rows") {
+    val out = Graph.crawlDepth(spark, sfDir).collect()
+    assert(out.nonEmpty, "the trusted host must reach someone")
+    val byDepth = out.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) < Graph.BfsUnreached, "reached rows only")
+      assert(r.getLong(2) == byDepth(r.getLong(1)).toLong,
+        s"n_at_depth must equal the per-depth row count: $r")
+    }
+    assert(byDepth.contains(0L), "the seed docs themselves sit at depth 0")
+    // depths form a contiguous prefix 0..max (BFS layers cannot skip)
+    val ds = byDepth.keySet
+    assert(ds == (0L to ds.max).toSet, s"BFS layers must be contiguous: $ds")
+  }
 }
