@@ -324,6 +324,10 @@ object SparkEntry {
     // query-likelihood (Dirichlet) ranking + exact phrase search
     "q_query_likelihood_topk" -> ((s: SparkSession, d: String) => ext.Search.queryLikelihoodTopK(s, d)),
     "q_phrase_hits"       -> ((s: SparkSession, d: String) => ext.Search.phraseHits(s, d)),
+    // snippet serving: first-hit position + context window per match
+    "q_search_snippets"   -> ((s: SparkSession, d: String) => ext.Search.searchSnippets(s, d)),
+    // directed-edge reciprocity: the graph-structure audit's third leg
+    "q_graph_reciprocity" -> ((s: SparkSession, d: String) => ext.Graph.graphReciprocity(s, d)),
     "q_hybrid_rrf"        -> ((s: SparkSession, d: String) => ext.Search.hybridRrf(s, d)),
     "q_postings_incremental" -> ((s: SparkSession, d: String) => ext.Search.postingsIncremental(s, d)),
     "q_query_expansion"   -> ((s: SparkSession, d: String) => ext.Search.queryExpansion(s, d)),
@@ -1727,6 +1731,29 @@ object SparkEntry {
         s"i -> $toks[i] || ' ' || $toks[i+1]), x -> x = '$phrase')) > 0 " +
         "ORDER BY doc_id"
     },
+    // snippet serving: first char-level hit + replace-shrinkage count +
+    // clamped context window — pure scalar string ops in both engines
+    "q_search_snippets" -> {
+      val phrase = ext.Search.ProbePhrase.mkString(" ")
+      val pl = phrase.length
+      val pad = ext.Search.SnippetPad
+      s"WITH sh AS (SELECT doc_id, text, CAST(strpos(lower(text), '$phrase') AS BIGINT) AS pos " +
+        s"FROM documents WHERE text IS NOT NULL AND strpos(lower(text), '$phrase') > 0) " +
+        "SELECT doc_id, pos, " +
+        s"CAST((length(text) - length(replace(lower(text), '$phrase', ''))) / $pl AS BIGINT) AS n_hits, " +
+        s"substring(text, CAST(greatest(1, pos - $pad) AS INT), " +
+        s"CAST(pos + ${pl + pad - 1} - greatest(1, pos - $pad) + 1 AS INT)) AS snippet " +
+        "FROM sh ORDER BY doc_id"
+    },
+    // reciprocity: one swapped semi-join over the distinct edge table
+    "q_graph_reciprocity" ->
+      (s"$linkGraphCteSql, " +
+        "rc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reciprocal FROM e " +
+        "WHERE EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)), " +
+        "ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e) " +
+        "SELECT n_edges, n_reciprocal, " +
+        "CASE WHEN n_edges > 0 THEN floor(1000000.0 * n_reciprocal / n_edges + 0.5) / 1000000.0 " +
+        "ELSE 0.0 END AS reciprocity FROM ne CROSS JOIN rc"),
     // RFM: per-event values micro-snapped before the spend sum, exact
     // NTILE quintiles with a user_id tiebreak
     "q_rfm_segments" ->

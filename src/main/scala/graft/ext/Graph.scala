@@ -1859,4 +1859,43 @@ object Graph {
     org.apache.spark.sql.GraftSql.releaseCheckpoint(oe)
     r
   }
+
+  /** Link RECIPROCITY of the directed graph (Garlaschelli & Loffredo,
+    * PRL 2004): the fraction of directed edges whose reverse edge also
+    * exists — the remaining member of the graph-structure audit
+    * battery beside transitivity and assortativity. On a web graph
+    * reciprocity separates mutual-citation cores from pure
+    * hub-and-spoke link farms (spam graphs skew extreme in either
+    * direction); on the synthetic bigram frontier it audits how often
+    * two pages link each other's slots.
+    *
+    * Exactness: both counts are exact BIGINTs off one keyed self-join
+    * (an edge is reciprocated iff (dst, src) ∈ E — E is DISTINCT by
+    * construction, so the join multiplicity is 0/1); the ratio is
+    * micro-snapped per the 6-dp discipline. Single-row output.
+    *
+    * Scale shape: one (src,dst)-keyed semi-join of the edge table
+    * against its swap — shuffle on the composite key, no fan-out, no
+    * windows; two scalar aggregates.
+    */
+  def graphReciprocity(spark: SparkSession, d: String): DataFrame =
+    graphReciprocityDf(Tables.fanOut(Tables.documents(spark, d)))
+
+  def graphReciprocityDf(docs: DataFrame): DataFrame = {
+    val e = linkEdgesDf(docs).localCheckpoint()
+    val recip = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_reciprocal"))
+    val out = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(recip)
+      .select(col("n_edges"), col("n_reciprocal"),
+        when(col("n_edges") > 0,
+          floor(lit(1000000.0) * col("n_reciprocal") / col("n_edges") +
+            lit(0.5)) / lit(1000000.0))
+          .otherwise(lit(0.0)).as("reciprocity"))
+    val r = out.localCheckpoint()
+    org.apache.spark.sql.GraftSql.releaseCheckpoint(e)
+    r
+  }
 }

@@ -182,6 +182,55 @@ object Search {
   private[graft] val RrfDepth = 20
   private[graft] val RrfTopK = 10
 
+  /** Context chars either side of a snippet match — shared with the
+    * oracle builder.
+    */
+  private[graft] val SnippetPad = 40
+
+  /** SNIPPET EXTRACTION — the result-presentation half of phrase
+    * serving: for every document containing the [[ProbePhrase]]
+    * (char-level, case-insensitive), the position of the FIRST
+    * occurrence, the total occurrence count, and a ±[[SnippetPad]]-char
+    * context window around the first hit — what a search results page
+    * renders under each title (the keyword-in-context / KWIC display,
+    * standard since Luhn 1960).
+    *
+    * Exactness: first-occurrence position via instr/strpos (1-based
+    * characters — the corpus is ASCII, and both engines count
+    * characters); the occurrence count is the replace-shrinkage
+    * identity (len − len(replace(lc, phrase, ''))) / len(phrase),
+    * exact integer arithmetic since the shrinkage is a multiple of
+    * the phrase length; the window is substring with both engines
+    * clamping identically at string end. No floats anywhere.
+    *
+    * Scale shape: one narrow projection + filter over the corpus scan
+    * (predicate and both computed columns are per-row scalar string
+    * ops — whole-stage-codegen'd, no UDF), no exchange before the
+    * presentation sort. Linear at scan speed, the q_c4_line_filter
+    * class.
+    */
+  def searchSnippets(spark: SparkSession, d: String): DataFrame =
+    searchSnippetsDf(Tables.fanOut(Tables.documents(spark, d)))
+
+  def searchSnippetsDf(docs: DataFrame): DataFrame = {
+    val phrase = ProbePhrase.mkString(" ")
+    val pl = phrase.length
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        instr(lower(col("text")), phrase).cast("long").as("pos"))
+      .filter(col("pos") > 0)
+      .select(col("doc_id"), col("pos"),
+        ((length(col("text")) -
+          length(replace(lower(col("text")), lit(phrase), lit("")))) /
+          lit(pl)).cast("long").as("n_hits"),
+        col("text").substr(
+          greatest(lit(1L), col("pos") - lit(SnippetPad.toLong)),
+          col("pos") + lit((pl + SnippetPad - 1).toLong) -
+            greatest(lit(1L), col("pos") - lit(SnippetPad.toLong)) + lit(1L))
+          .as("snippet"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The semantic probe: the registered query fuses the lexical
     * [[ProbeTerms]] ranking with the cosine ranking around this
     * vector's embedding (the plan-resident-literal discipline).

@@ -735,6 +735,20 @@ class GraphSpec extends SparkTestBase {
     assert(promoted > 0, "some page must be promoted by the new edges")
   }
 
+  test("graphReciprocity matches a driver-side swap count on the planted graph") {
+    val fixture = plantedDocs
+    val edges = Graph.linkEdgesDf(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantRecip = edges.count { case (s, d) => edges((d, s)) }.toLong
+    val r = Graph.graphReciprocityDf(fixture).collect()
+    assert(r.length == 1)
+    val (ne, nr, rec) = (r(0).getLong(0), r(0).getLong(1), r(0).getDouble(2))
+    assert(ne == edges.size.toLong, s"edge count: $ne vs ${edges.size}")
+    assert(nr == wantRecip, s"reciprocal count: $nr vs $wantRecip")
+    val want = if (ne > 0) math.floor(1e6 * nr / ne + 0.5) / 1e6 else 0.0
+    assert(rec == want, s"snapped ratio: $rec vs $want")
+  }
+
   test("hopDistancesOn: exact depths on a planted path + diamond, unreachable excluded") {
     import spark.implicits._
     // seeds {0}: path 0 -> 1 -> 2 -> 3 and diamond 1 -> 4 -> 3 both

@@ -289,4 +289,38 @@ class SearchSpec extends SparkTestBase {
     assert(streamed == expect, s"streamed $streamed != batch $expect")
     assert(!streamed.exists(_._1 == 12L), "no-hit query emits no rows")
   }
+
+  test("snippets: position, count, case-insensitivity, window clamps both ends") {
+    import spark.implicits._
+    val pad = Search.SnippetPad // 40
+    val phrase = Search.ProbePhrase.mkString(" ") // "hash join"
+    val midPrefix = "x" * 60
+    val docs = Seq(
+      // match at string start: window clamps left to char 1
+      0L -> s"$phrase then sixty more characters of trailing context follow here",
+      // mid-string match with full context both sides, uppercase form
+      1L -> (midPrefix + " HASH JOIN " + "y" * 60),
+      // match near the end: window clamps right at string end
+      2L -> ("z" * 30 + " " + phrase),
+      // two occurrences: pos is the FIRST, n_hits counts both
+      3L -> s"$phrase and later another $phrase occurs",
+      4L -> "no occurrence here at all"
+    ).toDF("doc_id", "text")
+    val got = Search.searchSnippetsDf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(!got.contains(4L), "non-matching docs emit no row")
+    val t0 = s"$phrase then sixty more characters of trailing context follow here"
+    assert(got(0L) == ((1L, 1L, t0.substring(0, phrase.length + pad))),
+      s"left clamp: ${got(0L)}")
+    // doc 1: pos = 62 (1-based), window = [22, 62+9+40-1=110]
+    val t1 = midPrefix + " HASH JOIN " + "y" * 60
+    assert(got(1L)._1 == 62L && got(1L)._2 == 1L)
+    assert(got(1L)._3 == t1.substring(21, 21 + pad + phrase.length + pad),
+      s"mid window: '${got(1L)._3}'")
+    // doc 2: pos = 32, text ends at 40 < pos+9+40-1 — right clamp
+    val t2 = "z" * 30 + " " + phrase
+    assert(got(2L) == ((32L, 1L, t2.substring(0, t2.length))),
+      s"right clamp: ${got(2L)}")
+    assert(got(3L)._1 == 1L && got(3L)._2 == 2L, s"first-pos + count: ${got(3L)}")
+  }
 }
