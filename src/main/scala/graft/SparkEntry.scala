@@ -2557,6 +2557,27 @@ object SparkEntry {
         "SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, cos_sim_r " +
         s"FROM kr WHERE rk <= $k ORDER BY query_id, rk"
     },
+    // IVF ANN: the fixed-nlist integer-Lloyd unroll routes the probes
+    // (exact (d2, cell) ranking over kfd), the probed-cell cosine
+    // re-rank is the cosineTopK snap + tiebreak discipline — flipped
+    // from rows-only in r14 via the q_knn_graph precedent
+    "q_ivf_ann_topk" -> {
+      val np = ext.Similarity.IvfNprobe
+      s"WITH ${kmeansCtesSqlFor(ext.Similarity.IvfNlist.toString)}, " +
+        "iv AS MATERIALIZED (SELECT f.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, f.cell " +
+        "FROM embeddings e JOIN kfa f ON e.vec_id = f.vec_id), " +
+        "ipb AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM kfd) " +
+        s"WHERE rn <= $np AND vec_id < 8), " +
+        "isc AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "round(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim_r " +
+        "FROM ipb p JOIN iv q ON p.vec_id = q.vec_id " +
+        "JOIN iv c ON c.cell = p.cell AND c.vec_id <> p.vec_id) " +
+        "SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, cos_sim_r FROM " +
+        "(SELECT query_id, neighbor_id, cos_sim_r, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim_r DESC, neighbor_id) AS rk FROM isc) " +
+        "WHERE rk <= 5 ORDER BY query_id, rk"
+    },
     // quality propagation: the shared kNN pair chain (Lloyd cells,
     // nprobe=2) picks the top-k under the (score DESC, id) rank
     // discipline; the neighbor mean aggregates micro-int quality

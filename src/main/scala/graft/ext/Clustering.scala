@@ -124,8 +124,8 @@ object Clustering {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int),
       Array[Array[Long]]]()
 
-  private def fittedCentroids(spark: SparkSession, d: String,
-                              k: Int, iters: Int): Array[Array[Long]] =
+  private[ext] def fittedCentroids(spark: SparkSession, d: String,
+                                   k: Int, iters: Int = KmeansIters): Array[Array[Long]] =
     fitCache.computeIfAbsent((spark, d, k, iters),
       _ => kmeansCentroids(Tables.embeddings(spark, d), k, iters))
 

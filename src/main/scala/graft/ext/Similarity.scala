@@ -339,24 +339,45 @@ object Similarity {
       }.sorted.take(nprobe).map(_._2).toArray
     }
 
+  /** Cell/probe counts of the registered IVF query — shared with the
+    * oracle builder (one definition, no drift).
+    */
+  private[graft] val IvfNlist = 16
+  private[graft] val IvfNprobe = 2
+
   /** IVF-bucketed ANN: corpus vectors carry their cell id (narrow map);
     * each query probes its nprobe nearest cells only, so the scan
     * fraction is ~nprobe/nlist of brute force. Exact re-rank inside the
     * probed cells. Recall vs brute force is asserted in tests.
+    *
+    * ORACLE-EXACT by construction (flipped from rows-only in r14, the
+    * q_knn_graph precedent): the quantizer is
+    * [[Clustering.kmeansCentroids]] — the full-corpus integer
+    * micro-space Lloyd's the q_kmeans oracle replays bit-for-bit —
+    * instead of the sampled [[trainIvfCentroids]] float fit (driver-
+    * local float summation, engine-local by nature; it remains the
+    * quantizer of the PQ family, whose codebooks are engine-local
+    * anyway). Cell assignment and the per-query nprobe ranking are
+    * exact-BIGINT (d2, cell) orders; in-cell re-ranking is the
+    * [[cosineTopK]] 6-dp-snap + id-tiebreak discipline; the final is
+    * the bounded aggregator. Every stage replays in DuckDB.
     */
   def ivfAnnTopK(spark: SparkSession, d: String,
                  nQueries: Int = 8, k: Int = 5,
-                 nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+                 nlist: Int = IvfNlist, nprobe: Int = IvfNprobe): DataFrame = {
     val embRaw = Tables.embeddings(spark, d)
-    val cents = trainIvfCentroids(embRaw, nlist)
-    val emb = embRaw.filter(col("embedding").isNotNull) // cell kernel is not null-tolerant
-      .select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nrm"), ivfCellUdf(cents)(col("embedding")).as("cell"))
+    val emb = embRaw.filter(col("embedding").isNotNull)
+    val cents = Clustering.fittedCentroids(spark, d, nlist)
+    val cells = emb
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .join(Clustering.cellAssignments(emb, cents), Seq("vec_id"))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"),
-        explode(ivfProbeUdf(cents, nprobe)(col("embedding"))).as("probe_cell"))
-    val scored = emb.as("c")
+        norm(col("embedding")).as("q_nrm"))
+      .join(Clustering.probeAssignments(emb.filter(col("vec_id") < nQueries),
+          cents, nprobe).withColumnRenamed("vec_id", "query_id"),
+        Seq("query_id"))
+    val scored = cells.as("c")
       .join(broadcast(queries),
         col("probe_cell") === col("c.cell") && col("query_id") =!= col("c.vec_id"))
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
@@ -581,8 +602,11 @@ object Similarity {
     * cosine), so ranking quality depends only on the rounding error
     * bound |x − s·c| ≤ s/2 per component.
     *
-    * SQ here is compression AND pruning: corpus codes carry an IVF
-    * cell id ([[ivfCellUdf]], same coarse quantizer as [[ivfAnnTopK]])
+    * SQ here is compression AND pruning: corpus codes carry a coarse
+    * cell id from the SAME quantizer as [[ivfAnnTopK]] (the
+    * [[Clustering.kmeansCentroids]] integer Lloyd fit since the r14
+    * IVF flip — routing stays candidate-identical to the float-scored
+    * IVF, so any recall gap between the two is int8 rounding alone)
     * and each query scores only its `nprobe` nearest cells, so the
     * int8 kernel runs over ~nprobe/nlist of the corpus instead of all
     * of it, and the bounded [[topKFinal]] never sees a corpus-sized
@@ -597,8 +621,10 @@ object Similarity {
     * assignment are narrow maps, the query side broadcasts CODES (4×
     * smaller than the float broadcast) × nprobe probe rows, and the
     * final shuffles ≤ k pairs per (query, partition). Rows-only check
-    * (int8 rounding isn't portably reproducible in SQL at hash
-    * precision); recall floors and the error bound live in ScalaTest.
+    * — the ROUTING is now oracle-replayable, but the int8 SCORE is
+    * float-rounded at encode time (m/127f and v/scale in FLOAT
+    * arithmetic), which isn't portably reproducible in SQL at hash
+    * precision; recall floors and the error bound live in ScalaTest.
     */
   def sqAnnTopK(spark: SparkSession, d: String,
                 nQueries: Int = 8, k: Int = 5,
@@ -609,15 +635,23 @@ object Similarity {
   def sqAnnTopKDf(embs: DataFrame, nQueries: Int = 8, k: Int = 5,
                   nlist: Int = 16, nprobe: Int = 2): DataFrame = {
     val embRaw = embs.filter(col("embedding").isNotNull)
-    val cents = trainIvfCentroids(embRaw, nlist)
+    // clamp like knnGraphDf: a corpus smaller than nlist trains one
+    // centroid per vector (degenerating to the exhaustive single-cell
+    // form) instead of hard-failing — the pre-flip trainIvfCentroids
+    // contract, preserved
+    val kk = math.min(nlist.toLong, embRaw.count()).toInt
+    require(kk >= 1, "sq ANN needs a non-empty embedding corpus")
+    val cents = Clustering.kmeansCentroids(embRaw, kk)
     val emb = embRaw.select(col("vec_id"),
-      ivfCellUdf(cents)(col("embedding")).as("cell"),
-      sqEncodeUdf(col("embedding")).getField("_2").as("codes"))
+        sqEncodeUdf(col("embedding")).getField("_2").as("codes"))
+      .join(Clustering.cellAssignments(embRaw, cents), Seq("vec_id"))
     val queries = embRaw.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
-        sqEncodeUdf(col("embedding")).getField("_2").as("q_codes"),
-        explode(ivfProbeUdf(cents, math.min(nprobe, nlist))(col("embedding")))
-          .as("probe_cell"))
+        sqEncodeUdf(col("embedding")).getField("_2").as("q_codes"))
+      .join(Clustering.probeAssignments(
+          embRaw.filter(col("vec_id") < nQueries), cents,
+          math.min(nprobe, kk)).withColumnRenamed("vec_id", "query_id"),
+        Seq("query_id"))
     val scored = emb.as("c")
       .join(broadcast(queries),
         col("probe_cell") === col("c.cell") && col("query_id") =!= col("c.vec_id"))
