@@ -2557,6 +2557,32 @@ object SparkEntry {
         "SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, cos_sim_r " +
         s"FROM kr WHERE rk <= $k ORDER BY query_id, rk"
     },
+    // LSH ANN: the hyperplane weight matrix interpolates as literal
+    // doubles (Double.toString round-trips IEEE), each plane's sign bit
+    // replays Spark's sequential fold via list_reduce, and the
+    // in-bucket re-rank is the cosineTopK discipline — flipped from
+    // rows-only in r14
+    "q_lsh_ann_topk" -> {
+      val bits = ext.Similarity.LshBits
+      val dim = ext.Similarity.LshDim
+      val w = ext.Similarity.lshWeights(dim, bits)
+      val planes = (0 until bits).map { p =>
+        val arr = w(p).mkString("[", ", ", "]")
+        s"(CASE WHEN list_reduce(list_transform(range(1, ${dim + 1}), " +
+          s"i -> emb[i] * ($arr)[i]), (s, x) -> s + x) >= 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      "WITH le AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
+        "FROM embeddings WHERE embedding IS NOT NULL), " +
+        s"lb AS MATERIALIZED (SELECT vec_id, emb, $planes AS bucket FROM le), " +
+        "lq AS (SELECT vec_id AS query_id, emb AS q_emb, bucket FROM lb WHERE vec_id < 8), " +
+        "lsc AS (SELECT q.query_id, c.vec_id AS neighbor_id, " +
+        "round(list_cosine_similarity(q.q_emb, c.emb), 6) AS cos_sim_r " +
+        "FROM lq q JOIN lb c ON c.bucket = q.bucket AND c.vec_id <> q.query_id) " +
+        "SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, cos_sim_r FROM " +
+        "(SELECT query_id, neighbor_id, cos_sim_r, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim_r DESC, neighbor_id) AS rk FROM lsc) " +
+        "WHERE rk <= 5 ORDER BY query_id, rk"
+    },
     // IVF ANN: the fixed-nlist integer-Lloyd unroll routes the probes
     // (exact (d2, cell) ranking over kfd), the probed-cell cosine
     // re-rank is the cosineTopK snap + tiebreak discipline — flipped

@@ -161,6 +161,27 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy(col("trunc_dim"))
   }
 
+  /** Bit/dim counts of the registered LSH query — shared with the
+    * oracle builder (one definition, no drift).
+    */
+  private[graft] val LshBits = 4
+  private[graft] val LshDim = 64
+
+  /** The deterministic hyperplane weight matrix of [[hyperplaneBucket]]
+    * — exposed so the q_lsh_ann_topk oracle builder interpolates the
+    * IDENTICAL doubles as SQL literals (Double.toString round-trips,
+    * so DuckDB parses back the same IEEE values).
+    */
+  private[graft] def lshWeights(dim: Int, bits: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.IntegerType
+    Array.tabulate(bits, dim) { (p, i) =>
+      val h1 = XxHash64Function.hash(i, IntegerType, 42L)
+      val h = XxHash64Function.hash(p, IntegerType, h1)
+      (((h % 2000001L) + 2000001L) % 2000001L).toDouble / 1000000.0 - 1.0
+    }
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of dot(v, h_p) for
     * deterministic pseudo-random hyperplanes h_p (weights derived from
     * xxhash64 of (dim-index, plane) — no RNG state, reproducible across
@@ -169,15 +190,16 @@ object Similarity {
     * kernel — the previous expression form re-hashed every (index, plane)
     * pair per vector at interpreter speed. Same hash chain → identical
     * bucket ids.
+    *
+    * ORACLE-EXACT (flipped from rows-only in r14): the per-plane dot is
+    * a sequential index-order double fold over the widened floats —
+    * DuckDB's list_reduce replays the identical partial-sum sequence
+    * (the 0.0 seed is exact: 0.0 + x = x), so the sign bits and hence
+    * the buckets match bit-for-bit; the in-bucket re-rank was already
+    * the [[cosineTopK]] discipline.
     */
   def hyperplaneBucket(v: Column, dim: Int, bits: Int): Column = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    import org.apache.spark.sql.types.IntegerType
-    val weights: Array[Array[Double]] = Array.tabulate(bits, dim) { (p, i) =>
-      val h1 = XxHash64Function.hash(i, IntegerType, 42L)
-      val h = XxHash64Function.hash(p, IntegerType, h1)
-      (((h % 2000001L) + 2000001L) % 2000001L).toDouble / 1000000.0 - 1.0
-    }
+    val weights = lshWeights(dim, bits)
     val bucketUdf = udf { vec: scala.collection.Seq[Float] =>
       var bucket = 0
       var p = 0
@@ -201,7 +223,8 @@ object Similarity {
     * where brute force stops being viable.
     */
   def lshAnnTopK(spark: SparkSession, d: String,
-                 nQueries: Int = 8, k: Int = 5, bits: Int = 4, dim: Int = 64): DataFrame = {
+                 nQueries: Int = 8, k: Int = 5,
+                 bits: Int = LshBits, dim: Int = LshDim): DataFrame = {
     val emb = Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull) // bucket kernel is not null-tolerant
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
