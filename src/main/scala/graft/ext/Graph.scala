@@ -1754,13 +1754,47 @@ object Graph {
     * Everything integer until the final per-row ratio; no windows, no
     * driver state.
     */
+  /** Session-scoped cache of the oriented-triangle artifacts — the
+    * trainedNodeEmbeddings discipline applied to the triangle family:
+    * [[clusteringCoefficient]] and [[graphTransitivity]] consume the
+    * IDENTICAL deterministic (oriented edges, undirected degrees)
+    * pair, so building it twice per session buys nothing (each build
+    * is an edge derivation + distinct + degree aggregate + orientation
+    * over the corpus). Whichever query runs first bills the build; the
+    * other replays — both oracles replay their own full chains, so
+    * parity is unaffected. |E| + |V| rows pinned per (session, dir).
+    */
+  private val triCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (DataFrame, DataFrame)]()
+
+  private def orientedTriangleState(spark: SparkSession,
+                                    d: String): (DataFrame, DataFrame) =
+    triCache.computeIfAbsent((spark, d), _ => {
+      val docs = Tables.fanOut(Tables.documents(spark, d))
+      val (und, udeg0) = undirectedWithDegrees(docs)
+      val udeg = udeg0.localCheckpoint()
+      val oe = orientEdges(und, udeg).localCheckpoint()
+      org.apache.spark.sql.GraftSql.releaseCheckpoint(und)
+      (oe, udeg)
+    })
+
   def clusteringCoefficient(spark: SparkSession, d: String): DataFrame =
-    clusteringCoefficientDf(Tables.fanOut(Tables.documents(spark, d)))
+    clusteringCoefficientOn(Tables.fanOut(Tables.documents(spark, d)),
+      orientedTriangleState(spark, d)._1)
 
   def clusteringCoefficientDf(docs: DataFrame): DataFrame = {
     val (und, udeg) = undirectedWithDegrees(docs)
     val oe = orientEdges(und, udeg).localCheckpoint()
     org.apache.spark.sql.GraftSql.releaseCheckpoint(und)
+    clusteringCoefficientOn(docs, oe)
+  }
+
+  /** The per-node tail over an ALREADY-CHECKPOINTED oriented edge
+    * table — shared by the standalone Df form and the session-cached
+    * registered query.
+    */
+  private def clusteringCoefficientOn(docs: DataFrame, oe: DataFrame): DataFrame = {
     val perNode = triangleRows(oe)
       .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy(col("doc_id"))
@@ -1832,19 +1866,34 @@ object Graph {
     * snapped to 6 dp. The corpus-level cohesion scalar next to
     * [[clusteringCoefficient]]'s per-node audit.
     */
-  def graphTransitivity(spark: SparkSession, d: String): DataFrame =
-    graphTransitivityDf(Tables.fanOut(Tables.documents(spark, d)))
+  def graphTransitivity(spark: SparkSession, d: String): DataFrame = {
+    val (oe, udeg) = orientedTriangleState(spark, d)
+    graphTransitivityOn(Tables.fanOut(Tables.documents(spark, d)), oe, udeg)
+  }
 
   def graphTransitivityDf(docs: DataFrame): DataFrame = {
-    val (und, udeg) = undirectedWithDegrees(docs)
+    val (und, udeg0) = undirectedWithDegrees(docs)
+    val udeg = udeg0.localCheckpoint()
     val oe = orientEdges(und, udeg).localCheckpoint()
+    org.apache.spark.sql.GraftSql.releaseCheckpoint(und)
+    val r = graphTransitivityOn(docs, oe, udeg).localCheckpoint()
+    org.apache.spark.sql.GraftSql.releaseCheckpoint(oe)
+    org.apache.spark.sql.GraftSql.releaseCheckpoint(udeg)
+    r
+  }
+
+  /** The scalar tail over ALREADY-CHECKPOINTED (oe, udeg) — shared by
+    * the standalone Df form and the session-cached registered query.
+    */
+  private def graphTransitivityOn(docs: DataFrame, oe: DataFrame,
+                                  udeg: DataFrame): DataFrame = {
     val nTri = triangleRows(oe).agg(count(lit(1)).as("n_triangles"))
     // W and |E_und| from the degree table: Σ k(k−1)/2 is exact (k(k−1)
     // always even), Σ k = 2|E|
     val wedges = udeg.agg(
       (sum(col("udeg") * (col("udeg") - 1)) / lit(2)).cast("long").as("n_wedges"),
       (sum(col("udeg")) / lit(2)).cast("long").as("n_und_edges"))
-    val out = docs.agg(count(lit(1)).as("n_nodes"))
+    docs.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(wedges).crossJoin(nTri)
       .select(col("n_nodes"), col("n_und_edges"), col("n_wedges"),
         col("n_triangles"),
@@ -1852,12 +1901,6 @@ object Graph {
           floor(lit(3000000.0) * col("n_triangles") / col("n_wedges") +
             lit(0.5)) / lit(1000000.0))
           .otherwise(lit(0.0)).as("transitivity"))
-    // und feeds both branches above; materialize the 1-row result
-    // before releasing it
-    val r = out.localCheckpoint()
-    org.apache.spark.sql.GraftSql.releaseCheckpoint(und)
-    org.apache.spark.sql.GraftSql.releaseCheckpoint(oe)
-    r
   }
 
   /** Link RECIPROCITY of the directed graph (Garlaschelli & Loffredo,

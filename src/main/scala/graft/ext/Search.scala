@@ -231,6 +231,29 @@ object Search {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming form of [[searchSnippetsDf]] — the snippet extraction
+    * is per-document stateless (one scalar string projection), so the
+    * stream is the identical kernel run per micro-batch and appended
+    * with its batch id (the textrankSink/gopherFilterSink contract);
+    * SearchSpec asserts batch parity. The serving story: a monitoring
+    * stream that emits a KWIC row the moment an arriving document
+    * mentions the watched phrase.
+    */
+  def snippetSink(docStream: DataFrame, outPath: String, checkpoint: String,
+                  triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          org.apache.spark.sql.GraftSql.unordered(searchSnippetsDf(batch))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+
   /** The semantic probe: the registered query fuses the lexical
     * [[ProbeTerms]] ranking with the cosine ranking around this
     * vector's embedding (the plan-resident-literal discipline).

@@ -934,6 +934,34 @@ class StreamingSpec extends SparkTestBase {
       "the sub-minLen doc must emit no keywords; the others must")
   }
 
+  test("streaming snippets: per-batch KWIC rows match batch mode, non-hits silent") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      1L -> ("the planner picked a hash join over the sort merge join " +
+        "because the build side fit in memory"),
+      2L -> "no watched phrase anywhere in this arrival",
+      3L -> "HASH JOIN leads this one so the window clamps left")
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("snip_out").toString
+    val ckpt = Files.createTempDirectory("snip_ckpt").toString
+    val query = graft.ext.Search.snippetSink(
+      input.toDF().toDF("doc_id", "text"), out, ckpt, triggerMs = 50L).start()
+    try {
+      input.addData(docs(0), docs(1))
+      query.processAllAvailable()
+      input.addData(docs(2))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ext.Search
+      .searchSnippetsDf(docs.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    assert(!streamed.exists(_.head == 2L), "the phrase-free doc emits no row")
+    assert(streamed.exists(_.head == 3L), "the uppercase hit emits a row")
+  }
+
   test("streaming BPE scoring: frozen merges, per-batch stats match batch mode") {
     implicit val sqlCtx = spark.sqlContext
     // base corpus rich in 'lowest'-family words: merges must bite on
