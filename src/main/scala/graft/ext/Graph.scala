@@ -115,6 +115,40 @@ object Graph {
       .distinct()
   }
 
+  /** Session-scoped cache of THE shared graph artifacts: the directed
+    * edge checkpoint and its undirected-distinct form. Every
+    * registered link-graph query consumes the identical deterministic
+    * edge table, and a real pipeline materializes it exactly once per
+    * frontier snapshot (the GraphX `Graph` construction) — deriving
+    * it per query re-ran the corpus-sized tokenize→bigram→hash→
+    * distinct chain ~14 times per session (~1.2 s each at sf0.1).
+    * The [[orientedTriangleState]]/trainedNodeEmbeddings discipline:
+    * whichever query runs first bills the build, the rest replay;
+    * every oracle replays its own full chain, so parity is
+    * unaffected. Consumers must treat the cached frames as READ-ONLY
+    * (never releaseCheckpoint them) — the standalone Df forms keep
+    * building and releasing their own copies, and the release-bearing
+    * cores take a flag or a seam so the shared table is never
+    * released. |E| (+ |E_und|) rows pinned per (session, dir).
+    */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val undCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[ext] def sessionEdges(spark: SparkSession, d: String): DataFrame =
+    edgeCache.computeIfAbsent((spark, d), _ =>
+      linkEdgesDf(Tables.fanOut(Tables.documents(spark, d))).localCheckpoint())
+
+  private[ext] def sessionUndirected(spark: SparkSession, d: String): DataFrame =
+    undCache.computeIfAbsent((spark, d), _ => {
+      val e = sessionEdges(spark, d)
+      e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .localCheckpoint()
+    })
+
   /** Per-node degree table over the full frontier: (doc_id, out_deg,
     * in_deg), zero-filled for nodes on neither side of an edge.
     */
@@ -158,7 +192,9 @@ object Graph {
     */
   def pagerank(spark: SparkSession, d: String, iters: Int = RankIters,
                topK: Int = 100): DataFrame =
-    pagerankDf(Tables.fanOut(Tables.documents(spark, d)), iters, topK)
+    rankLoopOn(Tables.fanOut(Tables.documents(spark, d)),
+      sessionEdges(spark, d), lit(true), iters, topK)
+      .select(col("doc_id"), col("rank_nano"), col("out_deg"), col("in_deg"))
 
   /** Vanilla PageRank = the rank loop with the whole frontier as the
     * teleport set (|S| = D reduces the seeded recurrence to the
@@ -178,8 +214,8 @@ object Graph {
     */
   def trustrank(spark: SparkSession, d: String, iters: Int = RankIters,
                 topK: Int = 100): DataFrame =
-    trustrankDf(Tables.fanOut(Tables.documents(spark, d)),
-      col("source") === lit("src0"), iters, topK)
+    rankLoopOn(Tables.fanOut(Tables.documents(spark, d)),
+      sessionEdges(spark, d), col("source") === lit("src0"), iters, topK)
 
   def trustrankDf(docs: DataFrame, seed: Column, iters: Int = RankIters,
                   topK: Int = 100): DataFrame =
@@ -200,8 +236,8 @@ object Graph {
     */
   def pprTopic(spark: SparkSession, d: String, iters: Int = RankIters,
                topK: Int = 100): DataFrame =
-    personalizedPagerankDf(Tables.fanOut(Tables.documents(spark, d)),
-      col("lang") === lit("en"), iters, topK)
+    rankLoopOn(Tables.fanOut(Tables.documents(spark, d)),
+      sessionEdges(spark, d), col("lang") === lit("en"), iters, topK)
 
   def personalizedPagerankDf(docs: DataFrame, topic: Column,
                              iters: Int = RankIters,
@@ -261,6 +297,19 @@ object Graph {
   private def rankLoop(docs: DataFrame, seed: Column, iters: Int,
                        topK: Int): DataFrame = {
     val (ranks, edges) = rankLoopState(docs, seed, iters)
+    rankLoopTail(ranks, edges, topK)
+  }
+
+  /** [[rankLoop]] over an ALREADY-CHECKPOINTED (shared) edge table —
+    * the registered rank queries run here so the session bills one
+    * edge derivation total ([[sessionEdges]]).
+    */
+  private def rankLoopOn(docs: DataFrame, edges: DataFrame, seed: Column,
+                         iters: Int, topK: Int): DataFrame =
+    rankLoopTail(rankLoopStateOn(docs, edges, seed, iters), edges, topK)
+
+  private def rankLoopTail(ranks: DataFrame, edges: DataFrame,
+                           topK: Int): DataFrame = {
     val inDeg = edges.groupBy(col("dst").as("doc_id"))
       .agg(count(lit(1)).as("in_deg"))
     ranks.join(inDeg, Seq("doc_id"), "left")
@@ -595,13 +644,24 @@ object Graph {
     * discipline of backoffScoreTable applies verbatim at deployment).
     */
   def pagerankIncremental(spark: SparkSession, d: String): DataFrame =
-    pagerankIncrementalDf(Tables.fanOut(Tables.documents(spark, d)))
+    pagerankIncrementalOn(Tables.fanOut(Tables.documents(spark, d)),
+      sessionEdges(spark, d))
 
   def pagerankIncrementalDf(docs: DataFrame, iters: Int = RankIters,
                             refine: Int = IncrRefineIters,
-                            topK: Int = 100): DataFrame = {
+                            topK: Int = 100): DataFrame =
+    pagerankIncrementalOn(docs, linkEdgesDf(docs).localCheckpoint(),
+      iters, refine, topK)
+
+  /** The base + warm chains over an ALREADY-CHECKPOINTED edge table
+    * (the shared-session seam; the base edge SUBSET is still this
+    * call's own checkpoint and is released as before).
+    */
+  private def pagerankIncrementalOn(docs: DataFrame, edges: DataFrame,
+                                    iters: Int = RankIters,
+                                    refine: Int = IncrRefineIters,
+                                    topK: Int = 100): DataFrame = {
     require(refine >= 1, s"incremental refine needs >= 1 round, got $refine")
-    val edges = linkEdgesDf(docs).localCheckpoint()
     // eager-builder scalar (the rankSeedState precedent): the cutoff
     // is integer arithmetic so both engines floor identically
     val nTotal = docs.agg(count(lit(1))).head().getLong(0)
@@ -666,11 +726,18 @@ object Graph {
     */
   def hits(spark: SparkSession, d: String, iters: Int = HitsIters,
            topK: Int = 100): DataFrame =
-    hitsDf(Tables.fanOut(Tables.documents(spark, d)), iters, topK)
+    hitsOn(Tables.fanOut(Tables.documents(spark, d)),
+      sessionEdges(spark, d), iters, topK)
 
-  def hitsDf(docs: DataFrame, iters: Int = HitsIters, topK: Int = 100): DataFrame = {
+  def hitsDf(docs: DataFrame, iters: Int = HitsIters, topK: Int = 100): DataFrame =
+    hitsOn(docs, linkEdgesDf(docs).localCheckpoint(), iters, topK)
+
+  /** The HITS loop over an ALREADY-CHECKPOINTED edge table — the
+    * [[rankLoopOn]] seam for the shared session edges.
+    */
+  private def hitsOn(docs: DataFrame, edges: DataFrame, iters: Int,
+                     topK: Int): DataFrame = {
     require(iters >= 1, s"hits needs >= 1 iteration, got $iters")
-    val edges = linkEdgesDf(docs).localCheckpoint()
 
     def renorm(raw: Column, mx: Column): Column =
       snap(raw.cast("double") / mx * lit(1e6))
@@ -747,8 +814,9 @@ object Graph {
     */
   def randomWalks(spark: SparkSession, d: String, steps: Int = WalkSteps,
                   seeds: Int = WalkSeeds, startEvery: Int = WalkStartEvery): DataFrame =
-    randomWalksDf(Tables.fanOut(Tables.documents(spark, d)), steps, seeds,
-      startEvery)
+    randomWalksUnorderedOnEdges(Tables.fanOut(Tables.documents(spark, d)),
+      sessionEdges(spark, d), steps, seeds, startEvery)
+      .orderBy(col("start_id"), col("walk_seed"), col("step"))
 
   def randomWalksDf(docs: DataFrame, steps: Int = WalkSteps, seeds: Int = WalkSeeds,
                     startEvery: Int = WalkStartEvery): DataFrame =
@@ -838,8 +906,8 @@ object Graph {
                     q: Double = 0.25, steps: Int = WalkSteps,
                     seeds: Int = WalkSeeds,
                     startEvery: Int = WalkStartEvery): DataFrame =
-    node2vecWalksDf(Tables.fanOut(Tables.documents(spark, d)), p, q, steps,
-      seeds, startEvery)
+    node2vecWalksOn(Tables.fanOut(Tables.documents(spark, d)),
+      sessionEdges(spark, d), p, q, steps, seeds, startEvery)
       .orderBy(col("start_id"), col("walk_seed"), col("step"))
 
   /** Class priorities of the (return, local, outward) weights
@@ -857,11 +925,19 @@ object Graph {
 
   def node2vecWalksDf(docs: DataFrame, p: Double = 4.0, q: Double = 0.25,
                       steps: Int = WalkSteps, seeds: Int = WalkSeeds,
-                      startEvery: Int = WalkStartEvery): DataFrame = {
+                      startEvery: Int = WalkStartEvery): DataFrame =
+    node2vecWalksOn(docs, linkEdgesDf(docs).localCheckpoint(), p, q, steps,
+      seeds, startEvery)
+
+  /** The biased-walk loop over an ALREADY-CHECKPOINTED edge table —
+    * the shared-session seam.
+    */
+  private def node2vecWalksOn(docs: DataFrame, edges: DataFrame,
+                              p: Double, q: Double, steps: Int, seeds: Int,
+                              startEvery: Int): DataFrame = {
     require(steps >= 1 && seeds >= 1 && startEvery >= 1,
       s"need steps/seeds/startEvery >= 1, got $steps/$seeds/$startEvery")
     val (prReturn, prLocal, prOut) = node2vecPriorities(p, q)
-    val edges = linkEdgesDf(docs).localCheckpoint()
     // adjacency probe side: (prev_id, dst) — renamed once, reused per step
     val adj = edges.select(col("src").as("prev_id"), col("dst").as("dst"),
       lit(1).as("is_local"))
@@ -917,8 +993,9 @@ object Graph {
   def walkContextPairs(spark: SparkSession, d: String, window: Int = WalkWindow,
                        steps: Int = WalkSteps, seeds: Int = WalkSeeds,
                        startEvery: Int = WalkStartEvery): DataFrame =
-    walkContextPairsDf(Tables.fanOut(Tables.documents(spark, d)), window,
-      steps, seeds, startEvery)
+    walkContextPairsUnorderedOnEdges(Tables.fanOut(Tables.documents(spark, d)),
+      sessionEdges(spark, d), window, steps, seeds, startEvery)
+      .orderBy(col("center"), col("context"))
 
   def walkContextPairsDf(docs: DataFrame, window: Int = WalkWindow, steps: Int = WalkSteps,
                          seeds: Int = WalkSeeds, startEvery: Int = WalkStartEvery): DataFrame =
@@ -1108,7 +1185,9 @@ object Graph {
     * one extra round is a fixpoint at fixture scale).
     */
   def linkComponents(spark: SparkSession, d: String, rounds: Int = ComponentRounds): DataFrame =
-    linkComponentsDf(Tables.fanOut(Tables.documents(spark, d)), rounds)
+    minLabelComponentsOn(
+      Tables.fanOut(Tables.documents(spark, d)).select(col("doc_id")),
+      sessionUndirected(spark, d), rounds)
 
   def linkComponentsDf(docs: DataFrame, rounds: Int = ComponentRounds): DataFrame = {
     require(rounds >= 1, s"linkComponents needs >= 1 round, got $rounds")
@@ -1209,9 +1288,13 @@ object Graph {
     * bounded by the cap, checkpoints released deterministically.
     */
   def crawlDepth(spark: SparkSession, d: String,
-                 rounds: Int = BfsRounds): DataFrame =
-    crawlDepthDf(Tables.fanOut(Tables.documents(spark, d)),
-      col("source") === lit("src0"), rounds)
+                 rounds: Int = BfsRounds): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, d))
+    val d0 = docs.select(col("doc_id"),
+      when(col("source") === lit("src0"), lit(0L))
+        .otherwise(lit(BfsUnreached)).as("depth"))
+    crawlDepthTail(hopDistancesOn(d0, sessionEdges(spark, d), rounds))
+  }
 
   def crawlDepthDf(docs: DataFrame, seed: Column,
                    rounds: Int = BfsRounds): DataFrame = {
@@ -1221,6 +1304,11 @@ object Graph {
     val dist = hopDistancesOn(d0, e, rounds)
     // the final state is checkpointed — the edge table is dead
     org.apache.spark.sql.GraftSql.releaseCheckpoint(e)
+    crawlDepthTail(dist)
+  }
+
+  /** Reached-only rows + the per-depth histogram off the final state. */
+  private def crawlDepthTail(dist: DataFrame): DataFrame = {
     val reached = dist.filter(col("depth") < lit(BfsUnreached))
     val hist = reached.groupBy(col("depth"))
       .agg(count(lit(1)).as("n_at_depth"))
@@ -1321,7 +1409,10 @@ object Graph {
     */
   def linkScc(spark: SparkSession, d: String, peels: Int = SccPeels,
               rounds: Int = ComponentRounds): DataFrame =
-    linkSccDf(Tables.fanOut(Tables.documents(spark, d)), peels, rounds)
+    // sccDf restricts and checkpoints its own per-peel subgraph and
+    // never releases the PASSED table — safe on the shared checkpoint
+    sccDf(Tables.fanOut(Tables.documents(spark, d)).select(col("doc_id")),
+      sessionEdges(spark, d), peels, rounds)
 
   def linkSccDf(docs: DataFrame, peels: Int = SccPeels,
                 rounds: Int = ComponentRounds): DataFrame =
@@ -1468,11 +1559,21 @@ object Graph {
     */
   def labelPropagation(spark: SparkSession, d: String,
                        rounds: Int = LabelPropRounds): DataFrame =
-    labelPropagationDf(Tables.fanOut(Tables.documents(spark, d)), rounds)
+    labelPropagationOn(Tables.fanOut(Tables.documents(spark, d)),
+      sessionUndirected(spark, d), rounds, releaseUnd = false)
 
   def labelPropagationDf(docs: DataFrame, rounds: Int = LabelPropRounds): DataFrame = {
-    require(rounds >= 1, s"label propagation needs >= 1 round, got $rounds")
     val (und, _) = undirectedWithDegrees(docs)
+    labelPropagationOn(docs, und, rounds, releaseUnd = true)
+  }
+
+  /** The propagation loop over an ALREADY-CHECKPOINTED undirected
+    * table — the registered query passes the shared [[sessionUndirected]]
+    * with `releaseUnd = false` (cached frames are read-only).
+    */
+  private def labelPropagationOn(docs: DataFrame, und: DataFrame,
+                                 rounds: Int, releaseUnd: Boolean): DataFrame = {
+    require(rounds >= 1, s"label propagation needs >= 1 round, got $rounds")
     var st = docs.select(col("doc_id"), col("lang"),
         (col("doc_id") % 3 === 0).as("is_seed"))
       .select(col("doc_id"), col("lang"), col("is_seed"),
@@ -1507,7 +1608,7 @@ object Graph {
       st = next.select(col("doc_id"), col("lang"), col("is_seed"), col("label"))
       r += 1
     }
-    org.apache.spark.sql.GraftSql.releaseCheckpoint(und)
+    if (releaseUnd) org.apache.spark.sql.GraftSql.releaseCheckpoint(und)
     st.select(col("doc_id"), col("lang"), col("is_seed"),
         col("label").as("predicted_lang"),
         when(!col("is_seed") && col("label").isNotNull,
@@ -1922,23 +2023,31 @@ object Graph {
     * windows; two scalar aggregates.
     */
   def graphReciprocity(spark: SparkSession, d: String): DataFrame =
-    graphReciprocityDf(Tables.fanOut(Tables.documents(spark, d)))
+    graphReciprocityOn(sessionEdges(spark, d))
 
   def graphReciprocityDf(docs: DataFrame): DataFrame = {
     val e = linkEdgesDf(docs).localCheckpoint()
+    // the 1-row result materializes before its edge copy is released
+    val r = graphReciprocityOn(e).localCheckpoint()
+    org.apache.spark.sql.GraftSql.releaseCheckpoint(e)
+    r
+  }
+
+  /** The two scalar aggregates over an ALREADY-CHECKPOINTED edge
+    * table — shared by the standalone Df form and the session-cached
+    * registered query.
+    */
+  private def graphReciprocityOn(e: DataFrame): DataFrame = {
     val recip = e.join(
         e.select(col("dst").as("src"), col("src").as("dst")),
         Seq("src", "dst"), "left_semi")
       .agg(count(lit(1)).as("n_reciprocal"))
-    val out = e.agg(count(lit(1)).as("n_edges"))
+    e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(recip)
       .select(col("n_edges"), col("n_reciprocal"),
         when(col("n_edges") > 0,
           floor(lit(1000000.0) * col("n_reciprocal") / col("n_edges") +
             lit(0.5)) / lit(1000000.0))
           .otherwise(lit(0.0)).as("reciprocity"))
-    val r = out.localCheckpoint()
-    org.apache.spark.sql.GraftSql.releaseCheckpoint(e)
-    r
   }
 }
