@@ -1969,7 +1969,10 @@ object Graph {
     */
   def graphTransitivity(spark: SparkSession, d: String): DataFrame = {
     val (oe, udeg) = orientedTriangleState(spark, d)
+    // materialize the 1-row result eagerly (the Df form's behavior):
+    // the scalar cross-joins collapse out of the presented plan
     graphTransitivityOn(Tables.fanOut(Tables.documents(spark, d)), oe, udeg)
+      .localCheckpoint()
   }
 
   def graphTransitivityDf(docs: DataFrame): DataFrame = {

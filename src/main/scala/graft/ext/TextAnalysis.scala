@@ -1238,7 +1238,10 @@ object TextAnalysis {
   def fivegramLogProb(spark: SparkSession, d: String,
                       minCount: Int = 2, alpha: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, d)
-    fivegramLogProbDf(docs, minCount, alpha, chooseWideKeys(docs))
+    val wide = chooseWideKeys(docs)
+    val n = sessionC5(spark, d, wide).agg(sum(col("c5")).as("n"))
+    fivegramScoreCore(docStream5(docs, wide),
+      sessionWindowCounts(spark, d, wide), n, minCount, alpha)
   }
 
   /** Key-width POLICY for the whole 5-gram scorer family — the piece
@@ -1308,17 +1311,66 @@ object TextAnalysis {
 
   private def fivegramCounts(docs: DataFrame, wide: Boolean = false)
       : (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val (stream, c5) = fivegramTypeTable(docs, wide)
+    val n = c5.agg(sum(col("c5")).as("n")) // scalar; broadcast by callers
+    (stream, fivegramWindowCounts(c5), n)
+  }
+
+  /** The stupid-backoff/JM window block over the type table — split
+    * out so the session cache can run it over the checkpointed c5.
+    */
+  private def fivegramWindowCounts(c5: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def wsum(key: String) = sum(col("c5")).over(Window.partitionBy(col(key)))
-    val withCounts = c5
+    c5
       .withColumn("ctx4", wsum("hc4")).withColumn("c4s", wsum("hs4"))
       .withColumn("ctx3", wsum("hm3")).withColumn("c3s", wsum("hs3"))
       .withColumn("ctx2", wsum("hm2")).withColumn("c2s", wsum("hs2"))
       .withColumn("ctx1", wsum("hm1")).withColumn("c1s", wsum("hs1"))
-    val n = c5.agg(sum(col("c5")).as("n")) // scalar; broadcast by callers
-    (stream, withCounts, n)
   }
+
+  /** Session-scoped caches of the 5-gram LM artifacts, keyed
+    * (session, dir, keyWidth) — the [[graft.ext.Graph]] sessionEdges
+    * discipline applied to the LM ladder: the type table (ONE corpus
+    * count shuffle), its backoff window block (q_fivegram/q_interp)
+    * and its smoothed stat block (q_wb/q_kn) are identical
+    * deterministic artifacts every scorer consumed yet re-built per
+    * query — and at deployment they ARE the frozen model tables the
+    * score sinks ship ([[wbScoreTable]]'s contract). Whichever scorer
+    * runs first bills each block; the occurrence STREAM is re-derived
+    * narrowly per query (it is token-sized — the one thing a pipeline
+    * does NOT freeze). Checkpointing c5 also retires the scalar
+    * branch's duplicate count exchange (n / n_bi now read the
+    * checkpoint). Every oracle replays its full chain, so parity is
+    * unaffected; cached frames are read-only (never released).
+    */
+  private val c5Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Boolean), DataFrame]()
+  private val cnts5Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Boolean), DataFrame]()
+  private val smoothCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Boolean), DataFrame]()
+
+  private def sessionC5(spark: SparkSession, d: String, wide: Boolean): DataFrame =
+    c5Cache.computeIfAbsent((spark, d, wide), _ =>
+      fivegramTypeTable(Tables.documents(spark, d), wide)._2.localCheckpoint())
+
+  private def sessionWindowCounts(spark: SparkSession, d: String,
+                                  wide: Boolean): DataFrame =
+    cnts5Cache.computeIfAbsent((spark, d, wide), _ =>
+      fivegramWindowCounts(sessionC5(spark, d, wide)).localCheckpoint())
+
+  private def sessionSmoothedStats(spark: SparkSession, d: String,
+                                   wide: Boolean): DataFrame =
+    smoothCache.computeIfAbsent((spark, d, wide), _ =>
+      smoothedStatTable(sessionC5(spark, d, wide)).localCheckpoint())
+
+  /** The per-query occurrence stream — narrow tokenize + hash, no
+    * shuffle; the join side of [[gramRollup]].
+    */
+  private def docStream5(docs: DataFrame, wide: Boolean): DataFrame =
+    fivegramStream(docs, Seq(col("doc_id")), wide)
+      .select(col("doc_id"), col("g.*"))
 
   /** Shared tail: score-table join on the gram-hash key + exact-BIGINT
     * per-doc rollup (the trigram and 5-gram scorers differ only in key
@@ -1339,6 +1391,12 @@ object TextAnalysis {
   def fivegramLogProbDf(docs: DataFrame, minCount: Int = 2,
                         alpha: Double = 0.5, wideKeys: Boolean = false): DataFrame = {
     val (stream, withCounts, n) = fivegramCounts(docs, wideKeys)
+    fivegramScoreCore(stream, withCounts, n, minCount, alpha)
+  }
+
+  private def fivegramScoreCore(stream: DataFrame, withCounts: DataFrame,
+                                n: DataFrame, minCount: Int,
+                                alpha: Double): DataFrame = {
     val a = lit(alpha)
     val score = when(col("c5") >= minCount,
       col("c5").cast("double") / col("ctx4"))
@@ -1371,13 +1429,21 @@ object TextAnalysis {
   def interpLogProb(spark: SparkSession, d: String,
                     lambda: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, d)
-    interpLogProbDf(docs, lambda, chooseWideKeys(docs))
+    val wide = chooseWideKeys(docs)
+    val n = sessionC5(spark, d, wide).agg(sum(col("c5")).as("n"))
+    interpScoreCore(docStream5(docs, wide),
+      sessionWindowCounts(spark, d, wide), n, lambda)
   }
 
   /** DataFrame form (docs must have doc_id + text). */
   def interpLogProbDf(docs: DataFrame, lambda: Double = 0.5,
                       wideKeys: Boolean = false): DataFrame = {
     val (stream, withCounts, n) = fivegramCounts(docs, wideKeys)
+    interpScoreCore(stream, withCounts, n, lambda)
+  }
+
+  private def interpScoreCore(stream: DataFrame, withCounts: DataFrame,
+                              n: DataFrame, lambda: Double): DataFrame = {
     val l = lit(lambda)
     val om = lit(1.0) - l
     def ml(c: String, ctx: String) = col(c).cast("double") / col(ctx)
@@ -1495,7 +1561,11 @@ object TextAnalysis {
     */
   def wbLogProb(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
-    wbLogProbDf(docs, chooseWideKeys(docs))
+    val wide = chooseWideKeys(docs)
+    val n = sessionC5(spark, d, wide).agg(sum(col("c5")).as("n"))
+    gramRollup(docStream5(docs, wide),
+      wbScoreFrom(sessionSmoothedStats(spark, d, wide), n),
+      "h5", "n_fivegrams")
   }
 
   /** DataFrame form (docs must have doc_id + text). */
@@ -1508,6 +1578,10 @@ object TextAnalysis {
       : (DataFrame, DataFrame) = {
     val (stream, c5t) = fivegramTypeTable(docs, wideKeys)
     val n = c5t.agg(sum(col("c5")).as("n")) // scalar; broadcast below
+    (stream, wbScoreFrom(smoothedStatTable(c5t), n))
+  }
+
+  private def wbScoreFrom(smoothed: DataFrame, n: DataFrame): DataFrame = {
     def wb(c: Column, cc: Column, tt: Column, p: Column) =
       (c.cast("double") + tt.cast("double") * p) /
         (cc.cast("double") + tt.cast("double"))
@@ -1519,9 +1593,8 @@ object TextAnalysis {
     val p3 = wb(col("c3s"), col("ccw3"), col("tt3"), p2)
     val p4 = wb(col("c4s"), col("ccw4"), col("tt4"), p3)
     val p5 = wb(col("c5"), col("cc5"), col("tt5"), p4)
-    val scoreTable = smoothedStatTable(c5t).crossJoin(broadcast(n))
+    smoothed.crossJoin(broadcast(n))
       .select(col("h5"), floor(log(p5) * 1e6 + 0.5).cast("long").as("mlp"))
-    (stream, scoreTable)
   }
 
   /** The Witten-Bell model AS A TABLE — (h5, mlp) over the base
@@ -1569,7 +1642,12 @@ object TextAnalysis {
   def knLogProb(spark: SparkSession, d: String,
                 discount: Double = 0.75): DataFrame = {
     val docs = Tables.documents(spark, d)
-    knLogProbDf(docs, discount, chooseWideKeys(docs))
+    val wide = chooseWideKeys(docs)
+    val nBi = sessionC5(spark, d, wide)
+      .agg(count_distinct(col("hs2")).as("n_bi"))
+    gramRollup(docStream5(docs, wide),
+      knScoreFrom(sessionSmoothedStats(spark, d, wide), nBi, discount),
+      "h5", "n_fivegrams")
   }
 
   /** DataFrame form (docs must have doc_id + text). */
@@ -1582,11 +1660,16 @@ object TextAnalysis {
   private def knParts(docs: DataFrame, discount: Double, wideKeys: Boolean)
       : (DataFrame, DataFrame) = {
     val (stream, c5t) = fivegramTypeTable(docs, wideKeys)
-    val dd = lit(discount)
     // continuation-unigram denominator: total distinct bigram types
     // (the one scalar; its branch re-derives the type table once — the
     // same duplicate-count-exchange budget as the other LM scalars)
     val nBi = c5t.agg(count_distinct(col("hs2")).as("n_bi"))
+    (stream, knScoreFrom(smoothedStatTable(c5t), nBi, discount))
+  }
+
+  private def knScoreFrom(smoothed: DataFrame, nBi: DataFrame,
+                          discount: Double): DataFrame = {
+    val dd = lit(discount)
     def kn(c: Column, cc: Column, tt: Column, p: Column) =
       (greatest(c.cast("double") - dd, lit(0.0)) +
         dd * tt.cast("double") * p) / cc.cast("double")
@@ -1598,9 +1681,8 @@ object TextAnalysis {
     val p3 = kn(col("k3"), col("cck3"), col("tt3"), p2)
     val p4 = kn(col("k4"), col("cck4"), col("tt4"), p3)
     val p5 = kn(col("c5"), col("cc5"), col("tt5"), p4)
-    val scoreTable = smoothedStatTable(c5t).crossJoin(broadcast(nBi))
+    smoothed.crossJoin(broadcast(nBi))
       .select(col("h5"), floor(log(p5) * 1e6 + 0.5).cast("long").as("mlp"))
-    (stream, scoreTable)
   }
 
   /** The Kneser-Ney model AS A TABLE — (h5, mlp) over the base
