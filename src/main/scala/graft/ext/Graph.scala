@@ -365,9 +365,20 @@ object Graph {
     */
   private[ext] def rankServeState(docs: DataFrame, trustSeed: Column,
                                   iters: Int = RankIters)
+      : (DataFrame, Seq[DataFrame]) =
+    rankServeStateOn(docs, linkEdgesDf(docs).localCheckpoint(), trustSeed,
+      iters, ownEdges = true)
+
+  /** The fused loop over an ALREADY-CHECKPOINTED edge table; with
+    * `ownEdges = false` (the [[sessionEdges]] path) the shared table
+    * is NOT part of the returned backing, so release-bearing callers
+    * cannot free it.
+    */
+  private def rankServeStateOn(docs: DataFrame, edges: DataFrame,
+                               trustSeed: Column, iters: Int,
+                               ownEdges: Boolean)
       : (DataFrame, Seq[DataFrame]) = {
     require(iters >= 1, s"rank loop needs >= 1 iteration, got $iters")
-    val edges = linkEdgesDf(docs).localCheckpoint()
     // FUSED dual recurrence: the vanilla and the seeded rank ride ONE
     // state frame — one edge join, one dangling aggregate, one
     // checkpoint per round instead of two of each. Per column the
@@ -423,7 +434,7 @@ object Graph {
       st = next
     }
     val serve = st.select(col("doc_id"), col("rank_nano"), col("trust_nano"))
-    (serve, Seq(st, edges))
+    (serve, if (ownEdges) Seq(st, edges) else Seq(st))
   }
 
   /** CRAWL-PRIORITY scoring against a frozen rank/trust table — the
@@ -488,8 +499,9 @@ object Graph {
     // of paying a second corpus-sized bigram pass. Arriving-batch
     // probes (the sink path) DO derive their targets:
     // [[crawlPriorityAgainst]], parity-tested in StreamingSpec.
-    val (serve, backing) = rankServeState(docs, col("source") === lit("src0"))
-    val e = backing.last // rankServeState returns Seq(state, edges)
+    val e = sessionEdges(spark, d)
+    val (serve, _) = rankServeStateOn(docs, e,
+      col("source") === lit("src0"), RankIters, ownEdges = false)
     val mass = e.select(col("src"), col("dst").as("target"))
       .join(serve.withColumnRenamed("doc_id", "target"), Seq("target"))
       .groupBy(col("src").as("doc_id"))
