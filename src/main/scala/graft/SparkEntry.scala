@@ -293,6 +293,8 @@ object SparkEntry {
     "q_crawl_depth"       -> ((s: SparkSession, d: String) => ext.Graph.crawlDepth(s, d)),
     // incremental PageRank: warm-start refinement under an edge delta
     "q_pagerank_incremental" -> ((s: SparkSession, d: String) => ext.Graph.pagerankIncremental(s, d)),
+    // web bow-tie: core/in/out/other census against the giant SCC
+    "q_web_bowtie"        -> ((s: SparkSession, d: String) => ext.Graph.webBowtie(s, d)),
     "q_corpus_card"       -> ((s: SparkSession, d: String) => ext.Corpus.corpusCard(s, d)),
     "q_hits"              -> ((s: SparkSession, d: String) => ext.Graph.hits(s, d)),
     "q_pagerank_converge" -> ((s: SparkSession, d: String) => ext.Graph.pagerankConvergence(s, d)),
@@ -881,16 +883,9 @@ object SparkEntry {
   private lazy val crawlDepthSql = {
     val u = ext.Graph.BfsUnreached
     val bN = s"b${ext.Graph.BfsRounds}"
-    val roundsSql = (1 to ext.Graph.BfsRounds).map { k =>
-      val p = s"b${k - 1}"
-      s"bn$k AS (SELECT e.dst AS doc_id, CAST(MIN(b.depth) + 1 AS BIGINT) AS nd " +
-        s"FROM $p b JOIN e ON b.doc_id = e.src WHERE b.depth < $u GROUP BY e.dst), " +
-        s"b$k AS MATERIALIZED (SELECT b.doc_id, least(b.depth, COALESCE(n.nd, b.depth)) AS depth " +
-        s"FROM $p b LEFT JOIN bn$k n ON b.doc_id = n.doc_id)"
-    }.mkString(", ")
     s"$linkGraphCteSql, " +
       s"b0 AS MATERIALIZED (SELECT doc_id, CAST(CASE WHEN source = 'src0' THEN 0 ELSE $u END AS BIGINT) AS depth FROM documents), " +
-      s"$roundsSql, " +
+      s"${bfsRoundsSql("b", "e")}, " +
       s"reach AS (SELECT doc_id, depth FROM $bN WHERE depth < $u), " +
       "h AS (SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_at_depth FROM reach GROUP BY depth) " +
       "SELECT r.doc_id, r.depth, h.n_at_depth FROM reach r JOIN h ON r.depth = h.depth ORDER BY r.doc_id"
@@ -1165,7 +1160,7 @@ object SparkEntry {
   // (ext.Graph.linkSccDf's exact recurrence; Spark's fixpoint
   // early-exits only skip identity rounds/peels, so parity is
   // unconditional)
-  private lazy val linkSccSql: String = {
+  private lazy val sccCtesSql: String = {
     val R = ext.Graph.ComponentRounds
     def peelCtes(p: Int, prevState: String): String = {
       val pre = s"p$p"
@@ -1207,9 +1202,47 @@ object SparkEntry {
       "s0 AS (SELECT doc_id, CAST(NULL AS BIGINT) AS scc FROM documents), " +
       peels + ", " +
       s"fin AS MATERIALIZED (SELECT doc_id, COALESCE(scc, doc_id) AS scc_id FROM $state), " +
-      "fsz AS (SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size FROM fin GROUP BY scc_id) " +
+      "fsz AS (SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size FROM fin GROUP BY scc_id)"
+  }
+
+  private lazy val linkSccSql: String =
+    s"$sccCtesSql " +
       "SELECT fin.doc_id, fin.scc_id, fsz.scc_size FROM fin " +
       "JOIN fsz ON fin.scc_id = fsz.scc_id ORDER BY fin.doc_id"
+
+  // the min-plus BFS rounds alone (the crawl-depth recurrence), with a
+  // name prefix and an edge-CTE parameter — the bow-tie oracle runs
+  // TWO of these (forward + reversed) off the SCC core seed
+  private def bfsRoundsSql(px: String, eCte: String): String = {
+    val u = ext.Graph.BfsUnreached
+    (1 to ext.Graph.BfsRounds).map { k =>
+      val p = s"$px${k - 1}"
+      s"${px}n$k AS (SELECT ec.dst AS doc_id, CAST(MIN(b.depth) + 1 AS BIGINT) AS nd " +
+        s"FROM $p b JOIN $eCte ec ON b.doc_id = ec.src WHERE b.depth < $u GROUP BY ec.dst), " +
+        s"$px$k AS MATERIALIZED (SELECT b.doc_id, least(b.depth, COALESCE(n.nd, b.depth)) AS depth " +
+        s"FROM $p b LEFT JOIN ${px}n$k n ON b.doc_id = n.doc_id)"
+    }.mkString(", ")
+  }
+
+  // web bow-tie: the SCC chain picks the giant core (size DESC, id —
+  // exact integers), two BFS unrolls classify in/out, the census
+  // rides along
+  private lazy val webBowtieSql: String = {
+    val u = ext.Graph.BfsUnreached
+    val R = ext.Graph.BfsRounds
+    s"$sccCtesSql, " +
+      "bcore AS (SELECT scc_id FROM fsz ORDER BY scc_size DESC, scc_id LIMIT 1), " +
+      "brev AS MATERIALIZED (SELECT dst AS src, src AS dst FROM e), " +
+      s"bfw0 AS MATERIALIZED (SELECT fin.doc_id, CAST(CASE WHEN fin.scc_id = (SELECT scc_id FROM bcore) THEN 0 ELSE $u END AS BIGINT) AS depth FROM fin), " +
+      bfsRoundsSql("bfw", "e") + ", " +
+      s"bbw0 AS MATERIALIZED (SELECT doc_id, depth FROM bfw0), " +
+      bfsRoundsSql("bbw", "brev") + ", " +
+      s"bcls AS (SELECT f.doc_id, CASE WHEN f.scc_id = (SELECT scc_id FROM bcore) THEN 'core' " +
+      s"WHEN bw.depth < $u THEN 'in' WHEN fw.depth < $u THEN 'out' ELSE 'other' END AS region " +
+      s"FROM fin f JOIN bfw$R fw ON f.doc_id = fw.doc_id JOIN bbw$R bw ON f.doc_id = bw.doc_id), " +
+      "brsz AS (SELECT region, CAST(COUNT(*) AS BIGINT) AS n_region FROM bcls GROUP BY region) " +
+      "SELECT bcls.doc_id, bcls.region, brsz.n_region FROM bcls " +
+      "JOIN brsz ON bcls.region = brsz.region ORDER BY bcls.doc_id"
   }
 
   // the 8-bit Morton interleave as explicit shift/mask arithmetic —
@@ -3794,6 +3827,8 @@ object SparkEntry {
     "q_crawl_depth" -> crawlDepthSql,
     // incremental PageRank: base-chain + warm-refinement double unroll
     "q_pagerank_incremental" -> pagerankIncrementalSql,
+    // web bow-tie: SCC chain + dual BFS unrolls off the giant core
+    "q_web_bowtie" -> webBowtieSql,
     // HITS hubs/authorities: exact integer replay
     "q_hits" -> hitsSql,
     // rank convergence audit: exact per-iteration movement

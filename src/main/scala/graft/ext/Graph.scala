@@ -1419,12 +1419,90 @@ object Graph {
     * against a fused loop's ~7 rounds of ~1.6× per-round cost: no cut.
     * What the evaluation DID surface is the min-shadowing fix above.
     */
+  /** Session-scoped cache of the converged SCC label table — shared
+    * by q_link_scc and [[webBowtie]] (whose core/in/out classification
+    * starts from the giant SCC); the peel loop is the family's most
+    * expensive build, and both consumers need the identical labels.
+    */
+  private val sccCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def sessionScc(spark: SparkSession, d: String): DataFrame =
+    sccCache.computeIfAbsent((spark, d), _ =>
+      // sccDf restricts and checkpoints its own per-peel subgraph and
+      // never releases the PASSED table — safe on the shared checkpoint
+      sccDf(Tables.fanOut(Tables.documents(spark, d)).select(col("doc_id")),
+        sessionEdges(spark, d), SccPeels, ComponentRounds).localCheckpoint())
+
   def linkScc(spark: SparkSession, d: String, peels: Int = SccPeels,
               rounds: Int = ComponentRounds): DataFrame =
-    // sccDf restricts and checkpoints its own per-peel subgraph and
-    // never releases the PASSED table — safe on the shared checkpoint
-    sccDf(Tables.fanOut(Tables.documents(spark, d)).select(col("doc_id")),
-      sessionEdges(spark, d), peels, rounds)
+    if (peels == SccPeels && rounds == ComponentRounds)
+      // the checkpoint preserves values, not presentation order —
+      // re-apply the contract sort (doc_id-sized rows, trivial)
+      sessionScc(spark, d).orderBy(col("doc_id"))
+    else
+      sccDf(Tables.fanOut(Tables.documents(spark, d)).select(col("doc_id")),
+        sessionEdges(spark, d), peels, rounds)
+
+  /** WEB BOW-TIE decomposition (Broder, Kumar, Maghoul, Raghavan,
+    * Rajagopalan, Stata, Tomkins & Wiener, "Graph structure in the
+    * Web", WWW 2000): classify every page against the giant strongly-
+    * connected CORE — 'core' (inside the largest SCC), 'in' (reaches
+    * the core but isn't in it — new/unlinked strata feeding inward),
+    * 'out' (reached from the core — sink territory), 'other'
+    * (tendrils and disconnected islands). THE structural census of a
+    * crawl frontier: the in/out/core balance tells a scheduler where
+    * discoverability breaks (a bloated OTHER region means the seeds
+    * miss whole strata), and the paper's asymmetry findings made this
+    * the standard first plot of any web-graph corpus.
+    *
+    * Pure composition of two already-oracle-exact recurrences: the
+    * [[linkScc]] labels pick the core (largest SCC, ties to the
+    * smaller id — exact integer ordering), then two [[hopDistancesOn]]
+    * min-plus BFS passes from the core seed set — forward along edges
+    * (OUT) and along reversed edges (IN). A page both reaching and
+    * reached by the core would sit in a cycle through it and is
+    * therefore already 'core' by SCC-ness, so the CASE ladder is
+    * exclusive. Returns (doc_id, region, n_region) — the census rides
+    * along like [[crawlDepth]]'s histogram. The DuckDB oracle replays
+    * the SCC peel chain and both BFS unrolls; parity is unconditional
+    * (fixed unrolls ≥ the capped early-exit loops, post-fixpoint
+    * rounds are identities).
+    *
+    * Scale shape: the SCC labels and edge table are session artifacts
+    * (built once, shared with q_link_scc); each BFS round is one
+    * frontier-keyed join + MIN; the reversed-edge table is one
+    * narrow projection over the edge checkpoint, checkpointed for the
+    * loop and released at return. State is 16 B/node per BFS.
+    */
+  def webBowtie(spark: SparkSession, d: String): DataFrame = {
+    val e = sessionEdges(spark, d)
+    val scc = sessionScc(spark, d)
+    val core = scc.select(col("scc_id"), col("scc_size"))
+      .orderBy(col("scc_size").desc, col("scc_id")).limit(1)
+      .head().getLong(0)
+    val seed0 = scc.select(col("doc_id"),
+      when(col("scc_id") === lit(core), lit(0L))
+        .otherwise(lit(BfsUnreached)).as("depth"))
+    val fw = hopDistancesOn(seed0, e, BfsRounds)
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      .localCheckpoint()
+    val bw = hopDistancesOn(seed0, rev, BfsRounds)
+    // both BFS loops are eager — the reversed copy is dead here
+    org.apache.spark.sql.GraftSql.releaseCheckpoint(rev)
+    val cls = scc.select(col("doc_id"), col("scc_id"))
+      .join(fw.withColumnRenamed("depth", "fw_d"), Seq("doc_id"))
+      .join(bw.withColumnRenamed("depth", "bw_d"), Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("scc_id") === lit(core), lit("core"))
+          .when(col("bw_d") < lit(BfsUnreached), lit("in"))
+          .when(col("fw_d") < lit(BfsUnreached), lit("out"))
+          .otherwise(lit("other")).as("region"))
+    val sz = cls.groupBy(col("region")).agg(count(lit(1)).as("n_region"))
+    cls.join(sz, Seq("region"))
+      .select(col("doc_id"), col("region"), col("n_region"))
+      .orderBy(col("doc_id"))
+  }
 
   def linkSccDf(docs: DataFrame, peels: Int = SccPeels,
                 rounds: Int = ComponentRounds): DataFrame =

@@ -735,6 +735,25 @@ class GraphSpec extends SparkTestBase {
     assert(promoted > 0, "some page must be promoted by the new edges")
   }
 
+  test("webBowtie: regions exclusive and exhaustive, census consistent, core = giant SCC") {
+    val rows = Graph.webBowtie(spark, sfDir).collect()
+    val n = docs.count()
+    assert(rows.length == n, "every doc classified exactly once")
+    val byRegion = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    rows.foreach(r => assert(r.getLong(2) == byRegion(r.getString(1)).toLong,
+      s"census column must equal the region row count: $r"))
+    assert(byRegion.keySet.subsetOf(Set("core", "in", "out", "other")))
+    // the core region is exactly the giant SCC
+    val scc = Graph.linkScc(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val giant = scc.values.maxBy { case (id, size) => (size, -id) }._1
+    val coreDocs = rows.filter(_.getString(1) == "core").map(_.getLong(0)).toSet
+    assert(coreDocs == scc.collect { case (d, (id, _)) if id == giant => d }.toSet,
+      "core must be the largest SCC's members")
+    // IN members must not be reachable FROM the core (else they'd be core/out)
+    assert(byRegion.getOrElse("core", 0) > 0, "a giant core must exist")
+  }
+
   test("graphReciprocity matches a driver-side swap count on the planted graph") {
     val fixture = plantedDocs
     val edges = Graph.linkEdgesDf(fixture).collect()
