@@ -938,13 +938,34 @@ object TextAnalysis {
     * final adaptive plan. Same FP discipline: per-pair ln snaps to
     * integer micro-nats, per-doc aggregation is exact BIGINT math.
     */
+  /** Session-scoped cache of the corpus bigram count table — the ONE
+    * (w1, w2) count shuffle q_bigram_logprob and q_top_collocations
+    * both run (identical grouping, no ids); the per-doc occurrence
+    * stream re-derives narrowly per consumer (the [[sessionC5]]
+    * discipline one order down).
+    */
+  private val c2Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def sessionBigramCounts(spark: SparkSession, d: String): DataFrame =
+    c2Cache.computeIfAbsent((spark, d), _ =>
+      bigramPairStream(Tables.documents(spark, d), Seq.empty)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        .localCheckpoint())
+
   def bigramLogProb(spark: SparkSession, d: String): DataFrame =
-    bigramLogProbDf(Tables.documents(spark, d))
+    bigramScoreCore(
+      bigramPairStream(Tables.documents(spark, d), Seq(col("doc_id"))),
+      sessionBigramCounts(spark, d))
 
   /** DataFrame form (docs must have doc_id + text). */
   def bigramLogProbDf(docs: DataFrame): DataFrame = {
     val pairs = bigramPairStream(docs, Seq(col("doc_id")))
-    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    bigramScoreCore(pairs,
+      pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")))
+  }
+
+  private def bigramScoreCore(pairs: DataFrame, c2: DataFrame): DataFrame = {
     // left-context totals as a WINDOW over the count table — not a
     // groupBy+join back, which would recompute the c2 subtree (exchange
     // reuse across the two branches is not guaranteed under AQE) and
@@ -2056,12 +2077,15 @@ object TextAnalysis {
     */
   def topCollocations(spark: SparkSession, d: String,
                       k: Int = 20, minCount: Int = 5): DataFrame =
-    topCollocationsDf(Tables.documents(spark, d), k, minCount)
+    topCollocationsCore(sessionBigramCounts(spark, d), k, minCount)
 
   /** DataFrame form (docs must have text). */
-  def topCollocationsDf(docs: DataFrame, k: Int = 20, minCount: Int = 5): DataFrame = {
-    val c2 = bigramPairStream(docs, Seq.empty)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+  def topCollocationsDf(docs: DataFrame, k: Int = 20, minCount: Int = 5): DataFrame =
+    topCollocationsCore(bigramPairStream(docs, Seq.empty)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")), k, minCount)
+
+  private def topCollocationsCore(c2: DataFrame, k: Int,
+                                  minCount: Int): DataFrame = {
     val r1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("r1"))
     val r2 = c2.groupBy(col("w2")).agg(sum(col("c2")).as("r2"))
     val n = c2.agg(sum(col("c2")).as("n")) // scalar; broadcast below
