@@ -1,0 +1,71 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+
+/** The session-artifact contract: every (spark, dir) entry point that
+  * consumes a session-scoped cached artifact (shared edge tables, the
+  * oriented-triangle pair, the SCC labels, the 5-gram LM blocks, the
+  * bigram counts) must return BIT-IDENTICAL rows to the standalone Df
+  * form that builds its own artifacts — the caches change where the
+  * work happens, never what is computed. The tri-scale DuckDB oracles
+  * gate the same property end-to-end; this spec pins it directly at
+  * unit granularity so a cache-keying or release bug fails here first,
+  * with a readable diff, instead of as a hash mismatch in the driver.
+  */
+class SessionArtifactSpec extends SparkTestBase {
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case null => "∅"
+      case x => x
+    }).toSet
+
+  private def docs = graft.Tables.fanOut(graft.Tables.documents(spark, sfDir))
+  private def rawDocs = graft.Tables.documents(spark, sfDir)
+
+  test("pagerank via sessionEdges equals the standalone Df form") {
+    val cached = Graph.pagerank(spark, sfDir)
+    val standalone = Graph.pagerankDf(docs)
+    assert(rows(cached) == rows(standalone))
+  }
+
+  test("link components via sessionUndirected equal the standalone Df form") {
+    assert(rows(Graph.linkComponents(spark, sfDir)) ==
+      rows(Graph.linkComponentsDf(docs)))
+  }
+
+  test("SCC via the session label cache equals the standalone Df form") {
+    assert(rows(Graph.linkScc(spark, sfDir)) == rows(Graph.linkSccDf(docs)))
+  }
+
+  test("transitivity and clustering coefficient via the shared triangle pair equal Df forms") {
+    assert(rows(Graph.graphTransitivity(spark, sfDir)) ==
+      rows(Graph.graphTransitivityDf(docs)))
+    assert(rows(Graph.clusteringCoefficient(spark, sfDir)) ==
+      rows(Graph.clusteringCoefficientDf(docs)))
+  }
+
+  test("crawl depth and reciprocity via sessionEdges equal Df forms") {
+    import org.apache.spark.sql.functions._
+    assert(rows(Graph.crawlDepth(spark, sfDir)) ==
+      rows(Graph.crawlDepthDf(docs, col("source") === lit("src0"))))
+    assert(rows(Graph.graphReciprocity(spark, sfDir)) ==
+      rows(Graph.graphReciprocityDf(docs)))
+  }
+
+  test("KN and WB scoring via the session LM blocks equal the Df forms") {
+    val wide = TextAnalysis.chooseWideKeys(rawDocs)
+    assert(rows(TextAnalysis.knLogProb(spark, sfDir)) ==
+      rows(TextAnalysis.knLogProbDf(rawDocs, wideKeys = wide)))
+    assert(rows(TextAnalysis.wbLogProb(spark, sfDir)) ==
+      rows(TextAnalysis.wbLogProbDf(rawDocs, wide)))
+  }
+
+  test("bigram scorer and collocations via the shared count table equal the Df forms") {
+    assert(rows(TextAnalysis.bigramLogProb(spark, sfDir)) ==
+      rows(TextAnalysis.bigramLogProbDf(rawDocs)))
+    assert(rows(TextAnalysis.topCollocations(spark, sfDir)) ==
+      rows(TextAnalysis.topCollocationsDf(rawDocs)))
+  }
+}
