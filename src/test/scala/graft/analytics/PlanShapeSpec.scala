@@ -714,4 +714,36 @@ class PlanShapeSpec extends SparkTestBase {
     assert(shuffleExchanges("q_cohort_retention") <= 7,
       s"cohort retention grew a shuffle:\n$p")
   }
+
+  test("q_search_snippets: one narrow projection — no join, no window, sort-only shuffles") {
+    val p = plan("q_search_snippets")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"snippets must stay a per-row projection:\n$p")
+    assert(shuffleExchanges("q_search_snippets") <= 2,
+      s"snippets grew a shuffle beyond the presentation sort:\n$p")
+  }
+
+  test("q_graph_reciprocity: keyed semi-join + the 1-row scalar cross only") {
+    val p = plan("q_graph_reciprocity")
+    assert(p.contains("LeftSemi"), s"swap test must be a semi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"reciprocity must stay keyed (scalar BNLJ cross excepted):\n$p")
+  }
+
+  test("q_crawl_depth / q_web_bowtie tails: keyed joins over the checkpointed state only") {
+    for (q <- Seq("q_crawl_depth", "q_web_bowtie")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+        && !p.contains("Window"),
+        s"$q tail must stay keyed:\n$p")
+    }
+  }
+
+  test("q_pagerank_incremental: bounded top-K final over a keyed join") {
+    val p = plan("q_pagerank_incremental")
+    assert(p.contains("TakeOrdered"),
+      s"incremental rank final must be a bounded TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"incremental rank tail must stay keyed:\n$p")
+  }
 }
