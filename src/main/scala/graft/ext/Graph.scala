@@ -674,11 +674,19 @@ object Graph {
                                     refine: Int = IncrRefineIters,
                                     topK: Int = 100): DataFrame = {
     require(refine >= 1, s"incremental refine needs >= 1 round, got $refine")
-    // eager-builder scalar (the rankSeedState precedent): the cutoff
-    // is integer arithmetic so both engines floor identically
-    val nTotal = docs.agg(count(lit(1))).head().getLong(0)
-    val cutoff = IncrBaseNum.toLong * nTotal / IncrBaseDen
-    val baseEdges = edges.filter(col("src") < lit(cutoff)).localCheckpoint()
+    // the cutoff scalar rides the base-edge materialization as a
+    // broadcast 1-row count instead of a separate driver action: with
+    // cutoff = floor(IncrBaseNum·n / IncrBaseDen), the predicate
+    // src < cutoff is equivalent to IncrBaseNum·n >= (src+1)·IncrBaseDen
+    // (floor(X/d) >= k ⟺ X >= k·d for integer k, d>0) — pure BIGINT
+    // arithmetic, no division, so both engines agree bit-for-bit and
+    // the oracle's replayed cutoff selects the identical edge subset
+    val nTotalDf = docs.agg(count(lit(1)).as("n_total"))
+    val baseEdges = edges.crossJoin(broadcast(nTotalDf))
+      .filter(lit(IncrBaseNum.toLong) * col("n_total") >=
+        (col("src") + lit(1L)) * lit(IncrBaseDen.toLong))
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
     val base = rankLoopStateOn(docs, baseEdges, lit(true), iters)
     // the base state is checkpointed — its edge subset is dead
     org.apache.spark.sql.GraftSql.releaseCheckpoint(baseEdges)
@@ -1478,12 +1486,17 @@ object Graph {
   def webBowtie(spark: SparkSession, d: String): DataFrame = {
     val e = sessionEdges(spark, d)
     val scc = sessionScc(spark, d)
-    val core = scc.select(col("scc_id"), col("scc_size"))
+    // the core SCC id rides as a broadcast 1-row frame (largest SCC,
+    // smaller-id tiebreak — exact integer ordering) instead of a
+    // separate driver .head(): the limit-1 subplan executes inside
+    // the first BFS materialization over the session label checkpoint
+    val coreDf = scc.select(col("scc_id"), col("scc_size"))
       .orderBy(col("scc_size").desc, col("scc_id")).limit(1)
-      .head().getLong(0)
-    val seed0 = scc.select(col("doc_id"),
-      when(col("scc_id") === lit(core), lit(0L))
-        .otherwise(lit(BfsUnreached)).as("depth"))
+      .select(col("scc_id").as("core_scc"))
+    val seed0 = scc.crossJoin(broadcast(coreDf))
+      .select(col("doc_id"),
+        when(col("scc_id") === col("core_scc"), lit(0L))
+          .otherwise(lit(BfsUnreached)).as("depth"))
     val fw = hopDistancesOn(seed0, e, BfsRounds)
     val rev = e.select(col("dst").as("src"), col("src").as("dst"))
       .localCheckpoint()
@@ -1491,10 +1504,11 @@ object Graph {
     // both BFS loops are eager — the reversed copy is dead here
     org.apache.spark.sql.GraftSql.releaseCheckpoint(rev)
     val cls = scc.select(col("doc_id"), col("scc_id"))
+      .crossJoin(broadcast(coreDf))
       .join(fw.withColumnRenamed("depth", "fw_d"), Seq("doc_id"))
       .join(bw.withColumnRenamed("depth", "bw_d"), Seq("doc_id"))
       .select(col("doc_id"),
-        when(col("scc_id") === lit(core), lit("core"))
+        when(col("scc_id") === col("core_scc"), lit("core"))
           .when(col("bw_d") < lit(BfsUnreached), lit("in"))
           .when(col("fw_d") < lit(BfsUnreached), lit("out"))
           .otherwise(lit("other")).as("region"))

@@ -96,17 +96,67 @@ object Search {
           .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
   }
 
-  /** The registered BM25 query: the probe term set, top 10. */
-  def bm25TopK(spark: SparkSession, d: String, k: Int = 10): DataFrame = {
-    val docs = Tables.fanOut(Tables.documents(spark, d))
-    val stats = docs.filter(col("text").isNotNull)
-      .agg(count(lit(1)).as("n"),
-        sum(size(TextAnalysis.tokens(col("text")))).as("s"))
-      .head()
-    val nDocs = stats.getLong(0)
-    val avgdl = stats.getLong(1).toDouble / nDocs
-    bm25Against(postingsDf(docs, Some(ProbeTerms)), ProbeTerms, nDocs, avgdl, k)
+  /** 1-row (cs_n, cs_s) corpus-stats frame — document count and total
+    * token count over docs with text. The LAZY carrier for nDocs/avgdl:
+    * query builders ride it as a broadcast scalar (crossJoin of a
+    * 1-row aggregate, the dsirDeltaTable pattern) instead of a
+    * plan-build `.head()`, so constructing a retrieval DataFrame
+    * launches zero Spark jobs (the r6 decontamination discipline) and
+    * `explain()` never runs the corpus pass. Values are IEEE-identical
+    * to the eager form: cs_n/cs_s are exact BIGINT counts, and
+    * avgdl = cast(cs_s)/cast(cs_n) is the same double division the
+    * driver-side `.toDouble /` performed.
+    */
+  private[graft] def corpusStatsDf(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .agg(count(lit(1)).as("cs_n"),
+        sum(size(TextAnalysis.tokens(col("text")))).as("cs_s"))
+
+  /** The n_docs double and avgdl double as COLUMNS over a
+    * [[corpusStatsDf]] crossJoin — one definition shared by every lazy
+    * builder so the arithmetic tree (and therefore the micro-snapped
+    * hashes) cannot drift from the scalar [[bm25Against]] form.
+    */
+  private def csNDocs: Column = col("cs_n").cast("double")
+  private def csAvgdl: Column = col("cs_s").cast("double") / col("cs_n").cast("double")
+
+  /** [[bm25Against]] with the corpus stats riding as a lazy broadcast
+    * 1-row frame instead of pre-collected scalars — identical
+    * arithmetic (same expression tree with `lit(nDocs)`/`lit(avgdl)`
+    * replaced by the equivalent stat columns), zero jobs at plan
+    * build.
+    */
+  private[graft] def bm25AgainstStats(index: DataFrame, terms: Seq[String],
+                                      stats: DataFrame, k: Int): DataFrame = {
+    val p = index.filter(col("term").isin(terms: _*))
+    val dfT = p.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val idf = log(lit(1.0) + (csNDocs - col("df_t") + lit(0.5)) /
+      (col("df_t") + lit(0.5)))
+    val norm = lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / csAvgdl)
+    val contrib = idf * col("tf") / (col("tf") + norm)
+    p.join(dfT, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(contrib * lit(1e6) + lit(0.5)).cast("long").as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("score_micro"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
   }
+
+  /** The registered BM25 query: the probe term set, top 10. Fully
+    * lazy — the corpus stats ride as a broadcast scalar
+    * ([[corpusStatsDf]]); SearchSpec asserts zero jobs at build.
+    */
+  def bm25TopK(spark: SparkSession, d: String, k: Int = 10): DataFrame =
+    bm25TopKDf(Tables.fanOut(Tables.documents(spark, d)), k)
+
+  def bm25TopKDf(docs: DataFrame, k: Int = 10): DataFrame =
+    bm25AgainstStats(postingsDf(docs, Some(ProbeTerms)), ProbeTerms,
+      corpusStatsDf(docs), k)
 
   /** Dirichlet smoothing mass of [[queryLikelihoodTopK]]. */
   private[graft] val Mu = 300.0
@@ -128,19 +178,25 @@ object Search {
     * is candidates × |terms| (a broadcast of the |terms|-row
     * cf table), the final a bounded top-k.
     */
-  def queryLikelihoodTopK(spark: SparkSession, d: String, k: Int = 10): DataFrame = {
-    val docs = Tables.fanOut(Tables.documents(spark, d))
-    val corpus = docs.filter(col("text").isNotNull)
-      .agg(sum(size(TextAnalysis.tokens(col("text")))).as("c_total"))
-      .head().getLong(0)
-    val p = postingsDf(docs, Some(ProbeTerms)).localCheckpoint()
+  def queryLikelihoodTopK(spark: SparkSession, d: String, k: Int = 10): DataFrame =
+    queryLikelihoodTopKDf(Tables.fanOut(Tables.documents(spark, d)), k)
+
+  def queryLikelihoodTopKDf(docs: DataFrame, k: Int = 10): DataFrame = {
+    // lazy persist (not localCheckpoint): the probed postings feed
+    // three consumers (cf aggregate, candidate distinct, tf lookup)
+    // and a checkpoint would run the corpus tokenize at PLAN BUILD;
+    // persist shares the tiny probed-terms table across consumers at
+    // execution time while the builder stays zero-jobs. The c_total
+    // corpus scalar rides as a broadcast 1-row frame the same way.
+    val p = postingsDf(docs, Some(ProbeTerms)).persist()
     val cf = p.groupBy(col("term")).agg(sum(col("tf")).as("cf_t"))
     val cand = p.select(col("doc_id"), col("dl")).distinct()
     val contrib = log((coalesce(col("tf"), lit(0L)) +
-      lit(Mu) * col("cf_t") / lit(corpus.toDouble)) / (col("dl") + lit(Mu)))
+      lit(Mu) * col("cf_t") / col("cs_s").cast("double")) / (col("dl") + lit(Mu)))
     cand.crossJoin(broadcast(cf))
       .join(p.select(col("doc_id"), col("term"), col("tf")),
         Seq("doc_id", "term"), "left")
+      .crossJoin(broadcast(corpusStatsDf(docs)))
       .select(col("doc_id"),
         floor(contrib * lit(1e6) + lit(0.5)).cast("long").as("c"))
       .groupBy(col("doc_id"))
@@ -288,13 +344,8 @@ object Search {
                   terms: Seq[String] = ProbeTerms,
                   probeVecId: Long = ProbeVecId,
                   depth: Int = RrfDepth, k: Int = RrfTopK): DataFrame = {
-    val stats = docs.filter(col("text").isNotNull)
-      .agg(count(lit(1)).as("n"),
-        sum(size(TextAnalysis.tokens(col("text")))).as("s"))
-      .head()
-    val nDocs = stats.getLong(0)
-    val avgdl = stats.getLong(1).toDouble / nDocs
-    val lex = bm25Against(postingsDf(docs, Some(terms)), terms, nDocs, avgdl, depth)
+    val lex = bm25AgainstStats(postingsDf(docs, Some(terms)), terms,
+        corpusStatsDf(docs), depth)
       .select(col("doc_id"), col("rank").as("lex_rank"))
     val e = emb.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"),
@@ -397,16 +448,13 @@ object Search {
     * are bounded top-k.
     */
   def queryExpansion(spark: SparkSession, d: String,
-                     m: Int = FbDocs, topK: Int = FbTerms): DataFrame = {
-    val docs = Tables.fanOut(Tables.documents(spark, d))
-    val stats = docs.filter(col("text").isNotNull)
-      .agg(count(lit(1)).as("n"),
-        sum(size(TextAnalysis.tokens(col("text")))).as("s"))
-      .head()
-    val nDocs = stats.getLong(0)
-    val avgdl = stats.getLong(1).toDouble / nDocs
-    val fb = bm25Against(postingsDf(docs, Some(ProbeTerms)), ProbeTerms,
-        nDocs, avgdl, m)
+                     m: Int = FbDocs, topK: Int = FbTerms): DataFrame =
+    queryExpansionDf(Tables.fanOut(Tables.documents(spark, d)), m, topK)
+
+  def queryExpansionDf(docs: DataFrame,
+                       m: Int = FbDocs, topK: Int = FbTerms): DataFrame = {
+    val fb = bm25AgainstStats(postingsDf(docs, Some(ProbeTerms)), ProbeTerms,
+        corpusStatsDf(docs), m)
       .select(col("doc_id"))
     // feedback postings: prune the corpus to the m feedback docs FIRST
     val fbPost = postingsDf(docs.join(broadcast(fb), Seq("doc_id"), "left_semi"))
@@ -420,11 +468,12 @@ object Search {
       .select(explode(array_distinct(toks)).as("term"))
       .join(broadcast(cand.select(col("term"))), Seq("term"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("df_t"))
-    val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("df_t") + lit(0.5)) /
+    val idf = log(lit(1.0) + (csNDocs - col("df_t") + lit(0.5)) /
       (col("df_t") + lit(0.5)))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score_micro").desc, col("term"))
     cand.join(dfT, Seq("term"))
+      .crossJoin(broadcast(corpusStatsDf(docs)))
       .select(col("term"), col("df_fb"), col("tf_fb"), col("df_t"),
         floor(idf * col("tf_fb") * lit(1e6) + lit(0.5)).cast("long")
           .as("score_micro"))

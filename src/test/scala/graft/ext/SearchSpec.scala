@@ -323,4 +323,53 @@ class SearchSpec extends SparkTestBase {
       s"right clamp: ${got(2L)}")
     assert(got(3L)._1 == 1L && got(3L)._2 == 2L, s"first-pos + count: ${got(3L)}")
   }
+
+  test("stats-frame BM25 equals the scalar form bit-for-bit") {
+    // bm25AgainstStats rides (cs_n, cs_s) as a broadcast 1-row frame;
+    // the arithmetic tree is bm25Against's with lit(nDocs)/lit(avgdl)
+    // replaced by the equivalent stat columns — scores must be
+    // IEEE-identical, not just close
+    val docs = plantedDocs
+    val terms = Seq("hash", "join")
+    val stats = docs.agg(count(lit(1)), sum(size(split(trim(col("text")), "\\s+"))))
+      .head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val scalar = Search.bm25Against(Search.postingsDf(docs, Some(terms)),
+      terms, n, avgdl, 10).collect().toSeq
+    val lazyF = Search.bm25AgainstStats(Search.postingsDf(docs, Some(terms)),
+      terms, Search.corpusStatsDf(docs), 10).collect().toSeq
+    assert(lazyF == scalar, s"lazy $lazyF vs scalar $scalar")
+  }
+
+  test("retrieval query builders launch zero Spark jobs at plan build") {
+    // the r6 decontamination discipline (CorpusSpec's laziness test):
+    // corpus stats ride as broadcast 1-row frames, the shared probed
+    // postings persist (lazily) instead of checkpointing — building
+    // any of the four registered retrieval queries runs nothing
+    val tracker = spark.sparkContext.statusTracker
+    def jobIds: Set[Int] = tracker.getJobIdsForGroup(null).toSet
+    def awaitNewJob(base: Set[Int]): Unit = {
+      val deadline = System.nanoTime() + 10e9.toLong
+      while ((jobIds -- base).isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(20)
+    }
+    // resolve the sources OUTSIDE the measured region (schema
+    // inference runs a footer-read job — a read-API cost, not builder
+    // eagerness; the CorpusSpec convention), then drain the async
+    // listener bus with a sentinel
+    val docs = graft.Tables.fanOut(graft.Tables.documents(spark, sfDir))
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    locally { val b = jobIds; spark.range(1).collect(); awaitNewJob(b) }
+    val before = jobIds
+    Search.bm25TopKDf(docs)
+    Search.queryLikelihoodTopKDf(docs)
+    Search.hybridRrfDf(docs, emb)
+    Search.queryExpansionDf(docs)
+    spark.range(1).collect() // sentinel: shuffle-free -> exactly 1 job
+    awaitNewJob(before)
+    val ran = (jobIds -- before).size
+    assert(ran == 1,
+      s"retrieval builders must be lazy — ${ran - 1} extra job(s) ran at plan build")
+  }
 }
