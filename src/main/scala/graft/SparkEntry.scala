@@ -961,6 +961,53 @@ object SparkEntry {
       argminCte("kfa", "kfd")
   }
 
+  /** Per-subspace integer PQ codebook unroll —
+    * ext.Similarity.trainPqCodebooksInt replayed exactly (the r15 PQ
+    * flip): the input CTE `in` provides (vec_id, sub, dim, x) micro-int
+    * subvector components (raw snapped dims or exact integer
+    * residuals); init = the subvectors of the kSub smallest vec_ids;
+    * each iteration assigns per-(vec, sub) the exact-BIGINT
+    * squared-distance argmin code (ties to the LOWER code via
+    * (d2, code) row_number) and updates centroids with
+    * floor(sum/count + 0.5) — the kmeansCtesSqlFor arithmetic keyed by
+    * (sub, code, dim). Emits `<p>c{PqIters}` (sub, code, dim, cx) and
+    * `<p>fa` (vec_id, sub, code): the converged codebooks and final
+    * code assignment. Iteration/kSub constants interpolate from
+    * ext.Similarity (one definition, no drift).
+    */
+  private def pqCodebookCtesSqlFor(p: String, in: String,
+                                   kSubSql: String): String = {
+    val iters = ext.Similarity.PqIters
+    def distCte(name: String, cents: String) =
+      s"$name AS (SELECT v.vec_id, v.sub, c.code, " +
+        "SUM((v.x - c.cx) * (v.x - c.cx)) AS d2 " +
+        s"FROM $in v JOIN $cents c ON v.sub = c.sub AND v.dim = c.dim " +
+        "GROUP BY v.vec_id, v.sub, c.code)"
+    def argminCte(name: String, dists: String) =
+      s"$name AS MATERIALIZED (SELECT vec_id, sub, code FROM " +
+        "(SELECT vec_id, sub, code, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn " +
+        s"FROM $dists) WHERE rn = 1)"
+    val steps = (1 to iters).map { i =>
+      val prev = s"${p}c${i - 1}"
+      distCte(s"${p}d$i", prev) + ", " + argminCte(s"${p}a$i", s"${p}d$i") + ", " +
+        s"${p}u$i AS (SELECT a.sub, a.code, v.dim, " +
+        "CAST(floor(CAST(SUM(v.x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS cx " +
+        s"FROM ${p}a$i a JOIN $in v ON v.vec_id = a.vec_id AND v.sub = a.sub " +
+        "GROUP BY a.sub, a.code, v.dim), " +
+        s"${p}c$i AS MATERIALIZED (SELECT q.sub, q.code, q.dim, COALESCE(u.cx, q.cx) AS cx " +
+        s"FROM $prev q LEFT JOIN ${p}u$i u " +
+        "ON q.sub = u.sub AND q.code = u.code AND q.dim = u.dim)"
+    }.mkString(", ")
+    s"${p}i AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn " +
+      s"FROM (SELECT DISTINCT vec_id FROM $in)), " +
+      s"${p}c0 AS MATERIALIZED (SELECT v.sub, CAST(i.rn - 1 AS INTEGER) AS code, " +
+      s"v.dim, v.x AS cx FROM ${p}i i JOIN $in v ON v.vec_id = i.vec_id " +
+      s"WHERE i.rn <= ($kSubSql)), " +
+      steps + ", " +
+      distCte(s"${p}fd", s"${p}c$iters") + ", " + argminCte(s"${p}fa", s"${p}fd")
+  }
+
   /** The oracle-exact kNN-graph pair chain, shared by q_knn_graph and
     * q_quality_propagation: corpus-derived cell count (the knnGraphDf
     * nlist rule) into the Lloyd unroll, the exact nprobe probe ranking
@@ -2636,6 +2683,92 @@ object SparkEntry {
         "(SELECT query_id, neighbor_id, cos_sim_r, " +
         "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim_r DESC, neighbor_id) AS rk FROM isc) " +
         "WHERE rk <= 5 ORDER BY query_id, rk"
+    },
+    // IVF-PQ ANN (flipped from rows-only in r15): the fixed-nlist
+    // integer-Lloyd unroll yields cells AND exact integer residuals;
+    // the per-subspace integer codebook unroll (pqCodebookCtesSqlFor)
+    // replays the codebook fit; the ADC score is replayed as the
+    // reconstruction dot SUM(q_d * (c_d + r̂_d)) — equal to Spark's
+    // ADC-table sum by integer associativity; norms are exact BIGINT
+    // micro², the only floats the final sqrt/divide/round-6
+    "q_ivf_pq_topk" -> {
+      val np = ext.Similarity.PqNprobe
+      val m = ext.Similarity.PqM
+      val ki = ext.Clustering.KmeansIters
+      val pi = ext.Similarity.PqIters
+      s"WITH ${kmeansCtesSqlFor(ext.Similarity.IvfNlist.toString)}, " +
+        s"psd AS (SELECT (MAX(dim) + 1) // $m AS sd FROM kev), " +
+        "rsb AS MATERIALIZED (SELECT kev.vec_id, " +
+        "CAST(kev.dim // psd.sd AS INTEGER) AS sub, " +
+        "CAST(kev.dim % psd.sd AS INTEGER) AS dim, kev.x - c.cx AS x " +
+        "FROM kev JOIN kfa f ON kev.vec_id = f.vec_id " +
+        s"JOIN kc$ki c ON c.cell = f.cell AND c.dim = kev.dim CROSS JOIN psd), " +
+        pqCodebookCtesSqlFor("pb", "rsb",
+          s"SELECT LEAST(${ext.Similarity.PqKSub}, COUNT(DISTINCT vec_id)) FROM rsb") + ", " +
+        "rcd AS MATERIALIZED (SELECT kev.vec_id, kev.dim, c.cx + cb.cx AS vx " +
+        "FROM kev JOIN kfa f ON kev.vec_id = f.vec_id " +
+        s"JOIN kc$ki c ON c.cell = f.cell AND c.dim = kev.dim " +
+        "CROSS JOIN psd " +
+        "JOIN pbfa a ON a.vec_id = kev.vec_id AND a.sub = kev.dim // psd.sd " +
+        s"JOIN pbc$pi cb ON cb.sub = a.sub AND cb.code = a.code " +
+        "AND cb.dim = kev.dim % psd.sd), " +
+        "prn AS (SELECT vec_id, SUM(vx * vx) AS r2 FROM rcd GROUP BY vec_id), " +
+        "pqn AS (SELECT vec_id, SUM(x * x) AS q2 FROM kev WHERE vec_id < 8 GROUP BY vec_id), " +
+        "ppb AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM kfd) " +
+        s"WHERE rn <= $np AND vec_id < 8), " +
+        "pdt AS (SELECT p.vec_id AS query_id, r.vec_id AS neighbor_id, " +
+        "SUM(qd.x * rd.vx) AS s FROM ppb p " +
+        "JOIN kfa r ON r.cell = p.cell AND r.vec_id <> p.vec_id " +
+        "JOIN kev qd ON qd.vec_id = p.vec_id " +
+        "JOIN rcd rd ON rd.vec_id = r.vec_id AND rd.dim = qd.dim " +
+        "GROUP BY p.vec_id, r.vec_id), " +
+        "psc AS (SELECT d.query_id, d.neighbor_id, " +
+        "CASE WHEN r.r2 > 0 AND q.q2 > 0 THEN " +
+        "round(CAST(d.s AS DOUBLE) / (sqrt(CAST(q.q2 AS DOUBLE)) * sqrt(CAST(r.r2 AS DOUBLE))), 6) " +
+        "ELSE 0.0 END AS cos_sim_pq " +
+        "FROM pdt d JOIN prn r ON r.vec_id = d.neighbor_id " +
+        "JOIN pqn q ON q.vec_id = d.query_id) " +
+        "SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, cos_sim_pq FROM " +
+        "(SELECT query_id, neighbor_id, cos_sim_pq, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim_pq DESC, neighbor_id) AS rk FROM psc) " +
+        "WHERE rk <= 5 ORDER BY query_id, rk"
+    },
+    // PQ-code semantic dedup (flipped from rows-only in r15): the
+    // shared derived-k Lloyd cells (knnCellsCtesSql — the
+    // q_semantic_dedup fit), raw snapped dims into the integer
+    // codebook unroll, SDC replayed as the exact-BIGINT dot of the
+    // two integer reconstructions, per-label audit tail shared with
+    // q_semantic_dedup
+    "q_semantic_dedup_pq" -> {
+      val m = ext.Similarity.PqM
+      val pi = ext.Similarity.PqIters
+      val th = ext.Similarity.SemDedupThreshold
+      s"WITH $knnCellsCtesSql, " +
+        s"psd AS (SELECT (MAX(dim) + 1) // $m AS sd FROM kev), " +
+        "srw AS (SELECT vec_id, CAST(dim // psd.sd AS INTEGER) AS sub, " +
+        "CAST(dim % psd.sd AS INTEGER) AS dim, x FROM kev CROSS JOIN psd), " +
+        pqCodebookCtesSqlFor("pb", "srw",
+          s"SELECT LEAST(${ext.Similarity.PqKSub}, COUNT(DISTINCT vec_id)) FROM srw") + ", " +
+        "rcd AS MATERIALIZED (SELECT a.vec_id, cb.sub, cb.dim, cb.cx FROM pbfa a " +
+        s"JOIN pbc$pi cb ON cb.sub = a.sub AND cb.code = a.code), " +
+        "prn AS (SELECT vec_id, SUM(cx * cx) AS r2 FROM rcd GROUP BY vec_id), " +
+        "spr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM kfa a JOIN kfa b " +
+        "ON a.cell = b.cell AND a.vec_id < b.vec_id), " +
+        "sdt AS (SELECT p.id_a, p.id_b, SUM(ra.cx * rb.cx) AS s FROM spr p " +
+        "JOIN rcd ra ON ra.vec_id = p.id_a " +
+        "JOIN rcd rb ON rb.vec_id = p.id_b AND rb.sub = ra.sub AND rb.dim = ra.dim " +
+        "GROUP BY p.id_a, p.id_b), " +
+        "sdp AS (SELECT DISTINCT d.id_b AS vec_id FROM sdt d " +
+        "JOIN prn na ON na.vec_id = d.id_a JOIN prn nb ON nb.vec_id = d.id_b " +
+        "WHERE CASE WHEN na.r2 > 0 AND nb.r2 > 0 THEN " +
+        "round(CAST(d.s AS DOUBLE) / (sqrt(CAST(na.r2 AS DOUBLE)) * sqrt(CAST(nb.r2 AS DOUBLE))), 6) " +
+        s"ELSE 0.0 END > $th) " +
+        "SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_vecs, " +
+        "CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped, " +
+        "CAST(COUNT(*) - SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+        "FROM embeddings e LEFT JOIN sdp s ON e.vec_id = s.vec_id " +
+        "GROUP BY e.label ORDER BY e.label"
     },
     // quality propagation: the shared kNN pair chain (Lloyd cells,
     // nprobe=2) picks the top-k under the (score DESC, id) rank

@@ -39,8 +39,11 @@ object Clustering {
   private[graft] val KmeansIters = 4
   private[graft] val PruneDropFrac = 0.25
 
-  /** floor(x·1e6 + 0.5) per coordinate — the one lossy step. */
-  private def snapVec(v: scala.collection.Seq[Float]): Array[Long] = {
+  /** floor(x·1e6 + 0.5) per coordinate — the one lossy step. Shared
+    * with [[Similarity]]'s integer-exact PQ family (one snap
+    * definition, no drift).
+    */
+  private[ext] def snapVec(v: scala.collection.Seq[Float]): Array[Long] = {
     val out = new Array[Long](v.length)
     var i = 0
     while (i < v.length) {

@@ -939,19 +939,129 @@ object Similarity {
     * see the data (cosine is rotation-invariant, so results rank
     * against the same exact ground truth).
     *
-    * Rows-only entry (the codebooks are engine-local models, like the
-    * LSH planes / IVF centroids); recall-vs-exact floor, per-pair
-    * score distortion, OPQ's strict recall/distortion improvement on
-    * a variance-concentrated fixture, and determinism are asserted in
-    * DedupSimilaritySpec.
+    * FULL ORACLE since r15: the registered query is the INTEGER-EXACT
+    * residual IVF-PQ below ([[ivfPqTopKInt]]) — coarse cells from the
+    * oracle-replayed integer Lloyd's, codebooks from the per-subspace
+    * integer Lloyd's ([[trainPqCodebooksInt]]), ADC scores exact
+    * BIGINT dots — every stage replays in DuckDB. The float/OPQ
+    * pipeline ([[ivfPqTopKDf]]) remains the serving-scale operator
+    * (its eigendecomposition/SVD rotation is genuinely engine-local
+    * float linear algebra); recall-vs-exact floor, per-pair score
+    * distortion, OPQ's strict recall/distortion improvement on a
+    * variance-concentrated fixture, and determinism are asserted in
+    * DedupSimilaritySpec for both paths.
     */
   def ivfPqTopK(spark: SparkSession, d: String,
                 nQueries: Int = 8, k: Int = 5,
-                nlist: Int = 16, nprobe: Int = 4,
-                m: Int = 16, kSub: Int = 256,
-                residual: Boolean = true): DataFrame =
-    ivfPqTopKDf(Tables.embeddings(spark, d), nQueries, k, nlist, nprobe,
-      m, kSub, residual, opq = true)
+                nlist: Int = IvfNlist, nprobe: Int = PqNprobe,
+                m: Int = PqM, kSub: Int = PqKSub): DataFrame =
+    ivfPqTopKInt(spark, d, nQueries, k, nlist, nprobe, m, kSub)
+
+  /** Session cache of the registered-parameter integer codebook fits,
+    * keyed (session, dir, variant) — the [[Clustering]] fitCache
+    * discipline: the fit is deterministic, so a hit is bit-identical
+    * to a refit; non-default parameters key separately.
+    */
+  private val pqIntFitCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
+      Array[Array[Array[Long]]]]()
+
+  /** INTEGER-EXACT residual IVF-PQ (the registered q_ivf_pq_topk):
+    * the [[ivfPqTopKDf]] topology — coarse cells route probes, codes
+    * quantize the residual v − centroid(cell), ADC scores the probed
+    * cells — with every model integer micro-space:
+    *
+    *  - coarse quantizer: [[Clustering.fittedCentroids]] (full-corpus
+    *    integer Lloyd's, k = nlist — the q_ivf_ann_topk fit, shared
+    *    via the session fit cache);
+    *  - residuals: x_micro − centroid_micro, exact BIGINT components
+    *    (no float subtraction anywhere);
+    *  - codebooks: [[trainPqCodebooksInt]] over the residuals;
+    *  - ADC: score = q·centroid(cell) + Σ_s q_s·r̂_s — exact BIGINT
+    *    (equal by integer associativity to the oracle's reconstruction
+    *    dot Σ_d q_d·(c_d + r̂_d)); reconstruction norms are exact
+    *    BIGINT micro²; the ONLY float ops are the final
+    *    sqrt/divide/round-6 — per-row IEEE, engine-identical.
+    *
+    * Scale shape unchanged from the float path: only (vec_id, cell,
+    * m-byte code, norm²) reach the probe join; queries are a bounded
+    * driver collect (the training-sample precedent) shipped as ADC
+    * closure tables; finals are the bounded aggregator.
+    */
+  def ivfPqTopKInt(spark: SparkSession, d: String,
+                   nQueries: Int = 8, k: Int = 5,
+                   nlist: Int = IvfNlist, nprobe: Int = PqNprobe,
+                   m: Int = PqM, kSub: Int = PqKSub): DataFrame = {
+    val emb = Tables.embeddings(spark, d).filter(col("embedding").isNotNull)
+    val cents = Clustering.fittedCentroids(spark, d, nlist)
+    val enc = emb
+      .select(col("vec_id"), residIntUdf(cents)(col("embedding")).as("cr"))
+      .select(col("vec_id"), col("cr._1").as("cell"), col("cr._2").as("rv"))
+    val cbs = pqIntFitCache.computeIfAbsent(
+      (spark, d, s"resid-$nlist-$m-$kSub"),
+      _ => trainPqCodebooksInt(enc.select(col("vec_id"), col("rv")), m, kSub))
+    val coded = enc
+      .select(col("vec_id"), col("cell"),
+        pqEncodeIntUdf(cbs, Some(cents))(col("cell"), col("rv")).as("pq"))
+      .select(col("vec_id"), col("cell"),
+        col("pq._1").as("code"), col("pq._2").as("rn2"))
+    val qRows = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id")).collect()
+    val qVecs: Array[(Long, Array[Long])] =
+      qRows.map(r => r.getLong(0) -> Clustering.snapVec(r.getSeq[Float](1)))
+    // per-query ADC tables (q_s · codebook entry), centroid dots and
+    // norms² — all exact BIGINT, nQueries × m × kSub longs of closure
+    val adcInt: Map[Long, Array[Array[Long]]] = qVecs.map { case (qid, q) =>
+      qid -> Array.tabulate(m) { s =>
+        val cb = cbs(s)
+        val sub = cb(0).length
+        val off = s * sub
+        Array.tabulate(cb.length) { c =>
+          var dp = 0L
+          var i = 0
+          while (i < sub) {
+            if (off + i < q.length) dp += q(off + i) * cb(c)(i)
+            i += 1
+          }
+          dp
+        }
+      }
+    }.toMap
+    val qCellDot: Map[Long, Array[Long]] = qVecs.map { case (qid, q) =>
+      qid -> cents.map { ctr =>
+        var dp = 0L
+        var i = 0
+        val n2 = math.min(ctr.length, q.length)
+        while (i < n2) { dp += q(i) * ctr(i); i += 1 }
+        dp
+      }
+    }.toMap
+    val qN2: Map[Long, Long] = qVecs.map { case (qid, q) =>
+      var s2 = 0L; var i = 0
+      while (i < q.length) { s2 += q(i) * q(i); i += 1 }
+      qid -> s2
+    }.toMap
+    val probes = Clustering.probeAssignments(
+        emb.filter(col("vec_id") < nQueries), cents, nprobe)
+      .withColumnRenamed("vec_id", "query_id")
+    val scoreUdf = udf { (qid: Long, cell: Int, code: Array[Byte]) =>
+      val t = adcInt(qid)
+      var s = qCellDot(qid)(cell)
+      var i = 0
+      while (i < code.length) { s += t(i)(code(i) & 0xFF); i += 1 }
+      s
+    }
+    val qn2Udf = udf { qid: Long => qN2(qid) }
+    val scored = coded.join(broadcast(probes),
+        col("probe_cell") === col("cell") && col("query_id") =!= col("vec_id"))
+      .withColumn("q_n2", qn2Udf(col("query_id")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        when(col("rn2") > 0 && col("q_n2") > 0,
+          round(scoreUdf(col("query_id"), col("cell"), col("code")).cast("double")
+            / (sqrt(col("q_n2").cast("double")) * sqrt(col("rn2").cast("double"))), 6))
+          .otherwise(lit(0.0)).as("cos_sim_pq"))
+    topKFinal(scored, "cos_sim_pq", k)
+  }
 
   /** Squared-L2 argmin cell of one vector (the [[ivfCellUdf]] kernel,
     * driver-side form for training/probe construction).
@@ -1192,6 +1302,187 @@ object Similarity {
       }
     }
 
+  // ----------------------------------- integer-exact PQ (the r15 flip)
+
+  /** Shared with the q_ivf_pq_topk / q_semantic_dedup_pq oracle
+    * builders (one definition, no drift): subspace count, codes per
+    * subspace, and the codebook Lloyd's iteration count.
+    */
+  private[graft] val PqM = 16
+  private[graft] val PqKSub = 256
+  private[graft] val PqIters = 2
+  private[graft] val PqNprobe = 4
+
+  /** FULL-CORPUS per-subspace integer micro-space Lloyd codebooks —
+    * the [[Clustering.kmeansCentroids]] discipline applied to product
+    * quantization (the r15 flip that moved q_ivf_pq_topk and
+    * q_semantic_dedup_pq from rows-only to full oracle): input vectors
+    * are already micro-int arrays (snapped once, or exact integer
+    * residuals), each of the `m` contiguous subspaces runs its own
+    * kSub-centroid Lloyd's where distances are exact BIGINT sums of
+    * squared integer deltas (summation order cannot matter, ties to
+    * the lower code), and centroid updates floor(sum/count + 0.5) back
+    * to micro ints — so the whole fit is partitioning-independent and
+    * the DuckDB oracle replays every iteration bit-for-bit.
+    *
+    * All m subspaces train in ONE corpus pass per iteration: the
+    * assignment UDF emits the m-code vector, the update is a single
+    * (sub, code, dim) hash aggregation whose map-side partials bound
+    * the exchange at m·kSub·subdim rows per partition, and the driver
+    * sync is m·kSub·subdim (sum, count) longs (~0.5 MB at the
+    * defaults) — the distributed-k-means shape, never a corpus
+    * collect. Init = the subvectors of the kSub smallest vec_ids
+    * (deterministic, no RNG); empty codes keep their centroid.
+    *
+    * Contrast [[trainPqCodebooksFrom]]: that is the bounded
+    * driver-sample FLOAT trainer the OPQ/serving family keeps (its
+    * codebooks are engine-local models); this is the oracle-replayable
+    * fit the registered audit queries run on.
+    */
+  private[ext] def trainPqCodebooksInt(vecs: DataFrame, m: Int = PqM,
+                                       kSub: Int = PqKSub,
+                                       iters: Int = PqIters): Array[Array[Array[Long]]] = {
+    val init = vecs.orderBy(col("vec_id")).limit(kSub)
+      .select(col("rv")).collect().map(_.getSeq[Long](0).toArray)
+    require(init.nonEmpty, "integer PQ training needs at least one vector")
+    val dim = init(0).length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    var cbs: Array[Array[Array[Long]]] = Array.tabulate(m) { s =>
+      init.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+    }
+    for (_ <- 0 until iters) {
+      val rows = vecs
+        .select(col("rv"), pqCodesIntUdf(cbs)(col("rv")).as("codes"))
+        .select(posexplode(col("rv")).as(Seq("dim", "x")), col("codes"))
+        .select(floor(col("dim") / lit(sub)).cast("int").as("sub"),
+          (col("dim") % lit(sub)).cast("int").as("sdim"), col("x"), col("codes"))
+        .select(col("sub"), element_at(col("codes"), col("sub") + 1).as("code"),
+          col("sdim"), col("x"))
+        .groupBy(col("sub"), col("code"), col("sdim"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
+        .collect()
+      val next = cbs.map(_.map(_.clone()))
+      rows.foreach { r =>
+        val (s, code, sd) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        next(s)(code)(sd) =
+          math.floor(r.getLong(3).toDouble / r.getLong(4) + 0.5).toLong
+      }
+      cbs = next
+    }
+    cbs
+  }
+
+  /** m-code assignment under integer codebooks: per subspace the exact
+    * BIGINT squared-distance argmin, ties to the lower code.
+    */
+  private def pqCodesIntUdf(cbs: Array[Array[Array[Long]]]) =
+    udf { rv: scala.collection.Seq[Long] =>
+      pqCodesIntOf(rv.toArray, cbs)
+    }
+
+  private def pqCodesIntOf(v: Array[Long],
+                           cbs: Array[Array[Array[Long]]]): Array[Int] = {
+    val m = cbs.length
+    val out = new Array[Int](m)
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val cb = cbs(s)
+      val sub = cb(0).length
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val e = cb(c)
+        var dd = 0L
+        var i = 0
+        while (i < sub) {
+          val x = (if (off + i < v.length) v(off + i) else 0L) - e(i)
+          dd += x * x
+          i += 1
+        }
+        if (dd < bestD) { bestD = dd; best = c }
+        c += 1
+      }
+      out(s) = best
+      off += sub
+      s += 1
+    }
+    out
+  }
+
+  /** Integer SDC tables: per subspace the kSub × kSub matrix of exact
+    * BIGINT sub-centroid dot products (micro² units) — [[sdcDotTables]]
+    * with no floats anywhere.
+    */
+  private[ext] def sdcDotTablesInt(cbs: Array[Array[Array[Long]]]): Array[Array[Array[Long]]] =
+    cbs.map { cb =>
+      Array.tabulate(cb.length, cb.length) { (a, b) =>
+        val x = cb(a); val y = cb(b)
+        var s = 0L; var i = 0
+        while (i < x.length) { s += x(i) * y(i); i += 1 }
+        s
+      }
+    }
+
+  /** (vec_id, snapped micro-int vector) projection — the one snap. */
+  private def snappedVecs(emb: DataFrame): DataFrame = {
+    val snapUdf = udf { v: scala.collection.Seq[Float] => Clustering.snapVec(v) }
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), snapUdf(col("embedding")).as("rv"))
+  }
+
+  /** (cell, exact integer residual) under an integer coarse quantizer:
+    * snap once, BIGINT argmin cell (ties lower — [[Clustering]]'s
+    * assignUdf order), residual = x − centroid, component-exact.
+    */
+  private def residIntUdf(cents: Array[Array[Long]]) =
+    udf { v: scala.collection.Seq[Float] =>
+      val x = Clustering.snapVec(v)
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val ctr = cents(c)
+        var d = 0L
+        var i = 0
+        val n = math.min(ctr.length, x.length)
+        while (i < n) { val dx = x(i) - ctr(i); d += dx * dx; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      val ctr = cents(best)
+      (best, Array.tabulate(x.length)(i =>
+        x(i) - (if (i < ctr.length) ctr(i) else 0L)))
+    }
+
+  /** (codes, |reconstruction|² in micro²) under integer codebooks plus
+    * an optional per-cell integer centroid (residual mode): the
+    * reconstruction is centroid + codebook entries, its squared norm an
+    * exact BIGINT sum.
+    */
+  private def pqEncodeIntUdf(cbs: Array[Array[Array[Long]]],
+                             cents: Option[Array[Array[Long]]]) =
+    udf { (cell: Int, rv: scala.collection.Seq[Long]) =>
+      val v = rv.toArray
+      val codes = pqCodesIntOf(v, cbs)
+      val dim = v.length
+      // reconstruction norm²: walk dims once, adding centroid + code entry
+      var rn2 = 0L
+      val sub = cbs(0)(0).length
+      var i = 0
+      while (i < dim) {
+        val s = i / sub
+        val cx = cents.map(cc => if (i < cc(cell).length) cc(cell)(i) else 0L).getOrElse(0L)
+        val rx = cbs(s)(codes(s))(i % sub)
+        val x = cx + rx
+        rn2 += x * x
+        i += 1
+      }
+      (codes.map(_.toByte), rn2)
+    }
+
   // --------------------------------------------------- semantic dedup
 
   /** Semantic dedup (SemDeDup-style, Abbas et al. 2023): cluster the
@@ -1424,8 +1715,8 @@ object Similarity {
     * (raw last-ulp FP differences between engines could flip a pair
     * sitting exactly on the threshold; the snap makes the comparison
     * engine-identical — the cosineTopK rank discipline applied to a
-    * filter). The PQ variant below keeps the sampled trainer and stays
-    * rows-only by design (its codebooks are a bounded driver sample).
+    * filter). The PQ variant below rides the same fit with integer
+    * codebooks — full oracle since r15.
     */
   def semanticDedupDropList(emb: DataFrame, threshold: Double = SemDedupThreshold,
                             nlist: Int = 0, targetCellSize: Int = 512): DataFrame = {
@@ -1470,29 +1761,36 @@ object Similarity {
     * in DedupSimilaritySpec. Same keep policy (lowest id per near-dup
     * group survives), same corpus-derived nlist rule, no RNG.
     */
-  def semanticDedupPqDropList(emb: DataFrame, threshold: Double = 0.4,
+  def semanticDedupPqDropList(emb: DataFrame, threshold: Double = SemDedupThreshold,
                               nlist: Int = 0, targetCellSize: Int = 512,
-                              m: Int = 16, kSub: Int = 256): DataFrame = {
+                              m: Int = PqM, kSub: Int = PqKSub): DataFrame = {
+    val embN = emb.filter(col("embedding").isNotNull)
     val k =
       if (nlist > 0) nlist
       else {
-        val n = emb.filter(col("embedding").isNotNull).count()
+        val n = embN.count()
         require(n > 0, "semantic dedup needs a non-empty embedding corpus")
         val derived = (n + targetCellSize - 1) / targetCellSize
         (derived max 1L min 1024L min n).toInt
       }
-    val sample = collectTrainSample(emb)
-    val cents = trainIvfCentroidsFrom(sample, k)
-    val cbs = trainPqCodebooksFrom(sample, m, kSub)
-    val enc = pqEncodeUdf(cbs)
-    val cells = emb.filter(col("embedding").isNotNull)
-      .select(col("vec_id"), ivfCellUdf(cents)(col("embedding")).as("cell"),
-        enc(col("embedding")).as("pq"))
+    // FULL ORACLE since r15: cells from the full-corpus integer
+    // Lloyd's (the semanticDedupDropList fit — the oracle reuses its
+    // qpv/kfa replay), codes from the per-subspace integer Lloyd's
+    // codebooks, SDC scores exact BIGINT dots of the integer
+    // reconstructions; the only float ops are the final
+    // sqrt/divide/round-6 per pair, engine-identical.
+    val cents = Clustering.kmeansCentroids(emb, k)
+    val snapped = snappedVecs(embN)
+    val cbs = trainPqCodebooksInt(snapped, m, kSub)
+    val enc = pqEncodeIntUdf(cbs, None)
+    val cells = snapped
+      .join(Clustering.cellAssignments(embN, cents), Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), enc(col("cell"), col("rv")).as("pq"))
       .select(col("vec_id"), col("cell"),
-        col("pq._1").as("code"), col("pq._2").as("rn"))
-    val sdc = sdcDotTables(cbs)
+        col("pq._1").as("code"), col("pq._2").as("rn2"))
+    val sdc = sdcDotTablesInt(cbs)
     val sdcUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
-      var s = 0.0
+      var s = 0L
       var i = 0
       while (i < a.length) { s += sdc(i)(a(i) & 0xFF)(b(i) & 0xFF); i += 1 }
       s
@@ -1501,20 +1799,22 @@ object Similarity {
     val b = cells.as("b")
     a.join(b, col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       // zero reconstruction norms score 0, not divide-by-zero (ANSI)
-      .filter(when(col("a.rn") > 0 && col("b.rn") > 0,
-        sdcUdf(col("a.code"), col("b.code")) / (col("a.rn") * col("b.rn")))
+      .filter(when(col("a.rn2") > 0 && col("b.rn2") > 0,
+        round(sdcUdf(col("a.code"), col("b.code")).cast("double")
+          / (sqrt(col("a.rn2").cast("double")) * sqrt(col("b.rn2").cast("double"))), 6))
         .otherwise(lit(0.0)) > threshold)
       .select(col("b.vec_id").as("vec_id")).distinct()
   }
 
   /** Per-label audit of [[semanticDedupPqDropList]] — the
-    * [[semanticDedupStats]] report over the PQ-code path (rows-only
-    * entry `q_semantic_dedup_pq`; parity with the float path is
-    * test-asserted, not oracle-checked, since both are engine-local
-    * models).
+    * [[semanticDedupStats]] report over the PQ-code path (full oracle
+    * since r15: integer Lloyd cells + integer codebooks + exact-BIGINT
+    * SDC replay end-to-end in DuckDB; float-path parity additionally
+    * test-asserted).
     */
   def semanticDedupStatsPq(spark: SparkSession, d: String,
-                           threshold: Double = 0.4, nlist: Int = 0): DataFrame = {
+                           threshold: Double = SemDedupThreshold,
+                           nlist: Int = 0): DataFrame = {
     val emb = Tables.embeddings(spark, d)
     val dropped = semanticDedupPqDropList(emb, threshold, nlist)
       .withColumn("is_dropped", lit(1L))
