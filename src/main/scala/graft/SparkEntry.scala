@@ -323,6 +323,7 @@ object SparkEntry {
     // retrieval: probe-term postings audit + BM25 top-k serving query
     "q_term_postings"     -> ((s: SparkSession, d: String) => ext.Search.termPostings(s, d)),
     "q_bm25_topk"         -> ((s: SparkSession, d: String) => ext.Search.bm25TopK(s, d)),
+    "q_chunk_bm25_topk"   -> ((s: SparkSession, d: String) => ext.Search.chunkBm25TopK(s, d)),
     // query-likelihood (Dirichlet) ranking + exact phrase search
     "q_query_likelihood_topk" -> ((s: SparkSession, d: String) => ext.Search.queryLikelihoodTopK(s, d)),
     "q_phrase_hits"       -> ((s: SparkSession, d: String) => ext.Search.phraseHits(s, d)),
@@ -4057,6 +4058,59 @@ object SparkEntry {
         "SELECT doc_id, score_micro, n_terms_hit, " +
         "CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank " +
         "FROM ssc ORDER BY score_micro DESC, doc_id LIMIT 10"
+    },
+    // chunk-granular BM25 (r15): the docChunks window algebra yields
+    // (chunk, cl, token slice); chunk-level BM25 with the q_bm25
+    // expression tree verbatim (chunk stats for N/avgdl/df);
+    // per-doc best chunk via (score DESC, chunk_id) rank; the winning
+    // chunk's KWIC snippet replays the q_search_snippets clamp
+    "q_chunk_bm25_topk" -> {
+      val probe = ext.Search.ProbeTerms.map(t => s"'$t'").mkString(", ")
+      val k1 = ext.Search.K1
+      val b = ext.Search.B
+      val cw = ext.Search.ChunkTok
+      val cs = ext.Search.ChunkStride
+      val pad = ext.Search.SnippetPad
+      val topK = ext.Search.ChunkTopK
+      val posCase = "CASE " + ext.Search.ProbeTerms.map(tm =>
+        s"WHEN strpos(lower(ct), '$tm') > 0 THEN CAST(strpos(lower(ct), '$tm') AS BIGINT)")
+        .mkString(" ") + " END"
+      val tlCase = "CASE " + ext.Search.ProbeTerms.map(tm =>
+        s"WHEN strpos(lower(ct), '$tm') > 0 THEN CAST(${tm.length} AS BIGINT)")
+        .mkString(" ") + " END"
+      s"WITH cf AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
+        "cj AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n, " +
+        s"unnest(range(0, CASE WHEN len(t) <= $cw THEN 1 " +
+        s"ELSE ((len(t) - $cw + ${cs - 1}) // $cs) + 1 END)) AS chunk_id FROM cf), " +
+        s"ck AS MATERIALIZED (SELECT doc_id, chunk_id, least($cw, n - chunk_id * $cs) AS cl, " +
+        s"list_slice(t, chunk_id * $cs + 1, chunk_id * $cs + least($cw, n - chunk_id * $cs)) AS ctoks FROM cj), " +
+        "cst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cl) AS BIGINT) AS s FROM ck), " +
+        "cp AS MATERIALIZED (SELECT doc_id, chunk_id, term, CAST(COUNT(*) AS BIGINT) AS tf, " +
+        "ANY_VALUE(cl) AS cl FROM (SELECT doc_id, chunk_id, cl, unnest(ctoks) AS term FROM ck) " +
+        s"WHERE term IN ($probe) GROUP BY doc_id, chunk_id, term), " +
+        "cdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM cp GROUP BY term), " +
+        "csc AS (SELECT doc_id, chunk_id, CAST(SUM(CAST(floor(" +
+        "ln(1.0 + (CAST(n AS DOUBLE) - df_t + 0.5) / (df_t + 0.5)) * tf / " +
+        s"(tf + $k1 * (${1.0 - b} + $b * cl / (CAST(s AS DOUBLE) / n))) " +
+        "* 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS chunk_score " +
+        "FROM cp JOIN cdf ON cp.term = cdf.term CROSS JOIN cst GROUP BY doc_id, chunk_id), " +
+        "cb AS (SELECT doc_id, chunk_id, chunk_score AS score_micro, n_chunks_hit FROM " +
+        "(SELECT doc_id, chunk_id, chunk_score, " +
+        "CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_chunks_hit, " +
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY chunk_score DESC, chunk_id) AS rn " +
+        "FROM csc) WHERE rn = 1), " +
+        "ctp AS (SELECT doc_id, chunk_id, score_micro, n_chunks_hit, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank " +
+        s"FROM cb ORDER BY score_micro DESC, doc_id LIMIT $topK), " +
+        "csn AS (SELECT p.rank, p.doc_id, p.chunk_id, p.score_micro, p.n_chunks_hit, " +
+        "array_to_string(k.ctoks, ' ') AS ct FROM ctp p " +
+        "JOIN ck k ON k.doc_id = p.doc_id AND k.chunk_id = p.chunk_id), " +
+        s"cs2 AS (SELECT rank, doc_id, chunk_id, score_micro, n_chunks_hit, ct, " +
+        s"$posCase AS pos, $tlCase AS tl FROM csn) " +
+        "SELECT rank, doc_id, chunk_id, score_micro, n_chunks_hit, " +
+        s"CASE WHEN pos IS NOT NULL THEN substring(ct, CAST(greatest(1, pos - $pad) AS INT), " +
+        s"CAST(pos + tl + ${pad - 1} - greatest(1, pos - $pad) + 1 AS INT)) ELSE '' END AS snippet " +
+        "FROM cs2 ORDER BY rank"
     },
     // hybrid RRF: the bm25 chain at fusion depth + the single-probe
     // cosine ranking, micro-snapped 1/(K+rank) contributions over a

@@ -422,6 +422,123 @@ object Search {
       .orderBy(col("term"))
   }
 
+  /** Chunk geometry of [[chunkBm25TopK]] — the [[graft.ext.Corpus]]
+    * docChunks defaults (64-token windows, stride 48), shared with
+    * the oracle builder.
+    */
+  private[graft] val ChunkTok = 64
+  private[graft] val ChunkStride = 48
+  private[graft] val ChunkTopK = 10
+
+  /** CHUNK-GRANULAR BM25 retrieval — the RAG indexing shape: score
+    * 64-token sliding-window chunks (the docChunks geometry) against
+    * the probe terms with chunk-level BM25 statistics (N = chunk
+    * count, avgdl = mean chunk length, df = chunk frequency), roll up
+    * per document to its BEST chunk (MAX over exact BIGINT chunk
+    * scores, ties to the lower chunk_id), rank documents by best-chunk
+    * score, and return the winning chunk's KWIC snippet (±SnippetPad
+    * chars around the first occurrence of the first probe term
+    * present, the [[searchSnippetsDf]] clamp arithmetic) as the result
+    * payload. This is what document-level BM25 structurally cannot do:
+    * a relevant passage buried in a long document is length-normalized
+    * into oblivion at doc granularity but scores at full strength in
+    * its 64-token chunk (fixture-asserted in SearchSpec).
+    *
+    * Exactness: chunk boundaries are exact integer arithmetic; per
+    * -(chunk, term) contributions micro-snap before the per-chunk sum,
+    * so chunk scores are exact BIGINT; the per-doc roll-up is an
+    * integer MAX over (score, −chunk_id) structs; the snippet is pure
+    * string ops — the whole chain replays in DuckDB.
+    *
+    * Scale shape: the chunk explode is a narrow generate; postings
+    * restrict to the probed terms before the (doc, chunk, term)
+    * aggregate; corpus stats ride as a lazy broadcast 1-row frame
+    * (the [[corpusStatsDf]] discipline — zero jobs at plan build);
+    * the roll-up is one keyed aggregate (no rank window); snippets
+    * re-derive chunk text ONLY for the k winners via a broadcast
+    * semi-join prune below the second scan (the [[queryExpansion]]
+    * pattern) — the corpus-sized path never carries chunk text.
+    */
+  def chunkBm25TopK(spark: SparkSession, d: String,
+                    k: Int = ChunkTopK): DataFrame =
+    chunkBm25TopKDf(Tables.fanOut(Tables.documents(spark, d)), k)
+
+  /** The (doc_id, chunk_id, cl, ctoks) sliding-window chunk frame —
+    * the docChunks arithmetic with the token slice kept (narrow
+    * generate, no shuffle).
+    */
+  private def chunkFrame(docs: DataFrame): DataFrame = {
+    val t = TextAnalysis.tokens(col("text"))
+    val nChunks = when(col("n") <= ChunkTok, lit(1L))
+      .otherwise(floor((col("n") - ChunkTok + (ChunkStride - 1)).cast("double")
+        / ChunkStride).cast("long") + 1)
+    val start = col("chunk_id") * ChunkStride + 1
+    val nTok = least(lit(ChunkTok.toLong), col("n") - col("chunk_id") * ChunkStride)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), t.as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"), nTok.as("cl"),
+        slice(col("t"), start.cast("int"), nTok.cast("int")).as("ctoks"))
+  }
+
+  def chunkBm25TopKDf(docs: DataFrame, k: Int = ChunkTopK): DataFrame = {
+    val chunks = chunkFrame(docs)
+    val stats = chunks.agg(count(lit(1)).as("cs_n"), sum(col("cl")).as("cs_s"))
+    val post = chunks
+      .select(col("doc_id"), col("chunk_id"), col("cl"),
+        explode(col("ctoks")).as("term"))
+      .filter(col("term").isin(ProbeTerms: _*))
+      .groupBy(col("doc_id"), col("chunk_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("cl")).as("cl"))
+    val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val idf = log(lit(1.0) + (col("cs_n").cast("double") - col("df_t") + lit(0.5)) /
+      (col("df_t") + lit(0.5)))
+    val norm = lit(K1) * (lit(1.0 - B) + lit(B) * col("cl") /
+      (col("cs_s").cast("double") / col("cs_n").cast("double")))
+    val contrib = idf * col("tf") / (col("tf") + norm)
+    val chunkScores = post.join(dfT, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("chunk_id"),
+        floor(contrib * lit(1e6) + lit(0.5)).cast("long").as("c"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(sum(col("c")).as("chunk_score"))
+    // per-doc best chunk: integer MAX over (score, −chunk_id) — the
+    // arg-max without a rank window
+    val best = chunkScores.groupBy(col("doc_id"))
+      .agg(max(struct(col("chunk_score"), (-col("chunk_id")).as("nci"))).as("b"),
+        count(lit(1)).as("n_chunks_hit"))
+      .select(col("doc_id"), col("b.chunk_score").as("score_micro"),
+        (-col("b.nci")).as("chunk_id"), col("n_chunks_hit"))
+    val top = best.orderBy(col("score_micro").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+    // snippet payload: re-derive chunk text for the k winners only
+    val winDocs = top.select(col("doc_id"))
+    val winChunks = chunkFrame(
+        docs.join(broadcast(winDocs), Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), col("chunk_id"), concat_ws(" ", col("ctoks")).as("ct"))
+    val lc = lower(col("ct"))
+    val hit = coalesce(ProbeTerms.map(tm =>
+      when(instr(lc, tm) > 0,
+        struct(instr(lc, tm).cast("long").as("pos"),
+          lit(tm.length.toLong).as("tl")))): _*)
+    val start2 = greatest(lit(1L), col("pos") - lit(SnippetPad.toLong))
+    top.join(winChunks, Seq("doc_id", "chunk_id"))
+      .withColumn("h", hit)
+      .select(col("rank"), col("doc_id"), col("chunk_id"), col("score_micro"),
+        col("n_chunks_hit"), col("ct"), col("h.pos").as("pos"), col("h.tl").as("tl"))
+      .select(col("rank"), col("doc_id"), col("chunk_id"), col("score_micro"),
+        col("n_chunks_hit"),
+        when(col("pos").isNotNull,
+          col("ct").substr(start2,
+            col("pos") + col("tl") + lit((SnippetPad - 1).toLong) - start2 + lit(1L)))
+          .otherwise(lit("")).as("snippet"))
+      .orderBy(col("rank"))
+  }
+
   /** Feedback-set size and expansion-term count of [[queryExpansion]]
     * — shared with the oracle builder.
     */

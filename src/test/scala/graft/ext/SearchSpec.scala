@@ -324,6 +324,41 @@ class SearchSpec extends SparkTestBase {
     assert(got(3L)._1 == 1L && got(3L)._2 == 2L, s"first-pos + count: ${got(3L)}")
   }
 
+  test("chunk BM25 surfaces a buried passage that doc-level BM25 misses") {
+    import spark.implicits._
+    // doc 1: a 400-token document with a dense "hash join hash join"
+    // passage at tokens 201-204 — at doc granularity dl=400 length-
+    // normalizes it below eleven 10-token single-hit docs (2..12), so
+    // it falls OUT of the doc-level top-10; at chunk granularity the
+    // passage sits inside one 64-token window at full strength
+    val longDoc = {
+      val toks = Array.tabulate(400)(i => s"w$i")
+      // dense passage, tf 3 per term, 0-based 200..205 (chunk 4)
+      for (i <- 0 until 3) { toks(200 + 2 * i) = "hash"; toks(201 + 2 * i) = "join" }
+      toks.mkString(" ")
+    }
+    // both probe terms in every short doc so idf can't single out the
+    // passage terms; dl 30 keeps the chunk-level mean close to 64
+    val shorts = (2L to 12L).map(i =>
+      i -> ("hash join " + (1 to 28).map(j => s"s$j").mkString(" ")))
+    val docs = ((1L -> longDoc) +: shorts).toDF("doc_id", "text")
+    val docTop = Search.bm25TopKDf(docs, 10).collect().map(_.getLong(0)).toSet
+    assert(!docTop.contains(1L),
+      s"fixture broken: the long doc must miss the doc-level top-10: $docTop")
+    val chunkTop = Search.chunkBm25TopKDf(docs, 10).collect()
+    val first = chunkTop.minBy(_.getAs[Long]("rank"))
+    assert(first.getAs[Long]("doc_id") == 1L,
+      s"the buried passage must rank FIRST at chunk granularity: ${first}")
+    // the passage (1-based tokens 201..206) is fully inside chunks 3
+    // (145..208) and 4 (193..256); equal scores tie to the LOWER id
+    assert(first.getAs[Long]("chunk_id") == 3L, s"wrong best chunk: $first")
+    assert(first.getAs[String]("snippet").contains("hash join"),
+      s"snippet must show the passage: ${first.getAs[String]("snippet")}")
+    // roll-up is per doc: no doc appears twice
+    val ids = chunkTop.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length, "one row per document")
+  }
+
   test("stats-frame BM25 equals the scalar form bit-for-bit") {
     // bm25AgainstStats rides (cs_n, cs_s) as a broadcast 1-row frame;
     // the arithmetic tree is bm25Against's with lit(nDocs)/lit(avgdl)
