@@ -324,6 +324,8 @@ object SparkEntry {
     "q_term_postings"     -> ((s: SparkSession, d: String) => ext.Search.termPostings(s, d)),
     "q_bm25_topk"         -> ((s: SparkSession, d: String) => ext.Search.bm25TopK(s, d)),
     "q_chunk_bm25_topk"   -> ((s: SparkSession, d: String) => ext.Search.chunkBm25TopK(s, d)),
+    "q_bm25_term_bounds"  -> ((s: SparkSession, d: String) => ext.Search.bm25TermBounds(s, d)),
+    "q_bm25_maxscore_topk" -> ((s: SparkSession, d: String) => ext.Search.bm25MaxScoreTopK(s, d)),
     // query-likelihood (Dirichlet) ranking + exact phrase search
     "q_query_likelihood_topk" -> ((s: SparkSession, d: String) => ext.Search.queryLikelihoodTopK(s, d)),
     "q_phrase_hits"       -> ((s: SparkSession, d: String) => ext.Search.phraseHits(s, d)),
@@ -1059,6 +1061,40 @@ object SparkEntry {
   // slice; the Spark side keys the same buckets by xxhash64 of that
   // slice — injective up to 2^-64 collisions (the documented
   // decontamination bound), so the emitted pair sets are identical.
+
+  /** The per-(doc, term) snapped BM25 contribution chain over the
+    * probed postings — ext.Search.bm25ContribAll replayed term for
+    * term. Emits `scc` (doc_id, term, df_t, c).
+    */
+  private lazy val bm25ContribCtesSql: String = {
+    val probe = ext.Search.ProbeTerms.map(t => s"'$t'").mkString(", ")
+    val k1 = ext.Search.K1
+    val b = ext.Search.B
+    s"sb AS (SELECT doc_id, len($toks) AS dl, unnest($toks) AS term " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      s"sp AS MATERIALIZED (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, " +
+      s"ANY_VALUE(dl) AS dl FROM sb WHERE term IN ($probe) GROUP BY doc_id, term), " +
+      s"cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len($toks)) AS BIGINT) AS s " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "sdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM sp GROUP BY term), " +
+      "scc AS MATERIALIZED (SELECT doc_id, sp.term AS term, sdf.df_t AS df_t, CAST(floor(" +
+      "ln(1.0 + (CAST(n AS DOUBLE) - df_t + 0.5) / (df_t + 0.5)) * tf / " +
+      s"(tf + $k1 * (${1.0 - b} + $b * dl / (CAST(s AS DOUBLE) / n))) " +
+      "* 1000000.0 + 0.5) AS BIGINT) AS c " +
+      "FROM sp JOIN sdf ON sp.term = sdf.term CROSS JOIN cs)"
+  }
+
+  /** Exhaustive probe-term BM25 top-10 — shared verbatim by
+    * q_bm25_topk AND q_bm25_maxscore_topk (the pruned path's oracle is
+    * the exhaustive ranking: hash parity proves pruning exact).
+    */
+  private lazy val bm25ExhaustiveSql: String =
+    s"WITH $bm25ContribCtesSql, " +
+      "ssc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_terms_hit FROM scc GROUP BY doc_id) " +
+      "SELECT doc_id, score_micro, n_terms_hit, " +
+      "CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank " +
+      "FROM ssc ORDER BY score_micro DESC, doc_id LIMIT 10"
 
   /** Signature + banding chain: msig = 32-plane signatures over
     * 3-shingles, mbk = 8 banded rows per doc keyed by the value slice.
@@ -4038,26 +4074,18 @@ object SparkEntry {
     // BM25: per-(doc, term) contributions micro-snapped BEFORE the
     // per-doc sum — expression structure (operator order, literal
     // values) mirrors Search.bm25Against term for term
-    "q_bm25_topk" -> {
-      val probe = ext.Search.ProbeTerms.map(t => s"'$t'").mkString(", ")
-      val k1 = ext.Search.K1
-      val b = ext.Search.B
-      s"WITH sb AS (SELECT doc_id, len($toks) AS dl, unnest($toks) AS term " +
-        "FROM documents WHERE text IS NOT NULL), " +
-        s"sp AS MATERIALIZED (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, " +
-        s"ANY_VALUE(dl) AS dl FROM sb WHERE term IN ($probe) GROUP BY doc_id, term), " +
-        s"cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len($toks)) AS BIGINT) AS s " +
-        "FROM documents WHERE text IS NOT NULL), " +
-        "sdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM sp GROUP BY term), " +
-        "ssc AS (SELECT doc_id, CAST(SUM(CAST(floor(" +
-        "ln(1.0 + (CAST(n AS DOUBLE) - df_t + 0.5) / (df_t + 0.5)) * tf / " +
-        s"(tf + $k1 * (${1.0 - b} + $b * dl / (CAST(s AS DOUBLE) / n))) " +
-        "* 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_terms_hit " +
-        "FROM sp JOIN sdf ON sp.term = sdf.term CROSS JOIN cs GROUP BY doc_id) " +
-        "SELECT doc_id, score_micro, n_terms_hit, " +
-        "CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank " +
-        "FROM ssc ORDER BY score_micro DESC, doc_id LIMIT 10"
+    "q_bm25_topk" -> bm25ExhaustiveSql,
+    // MaxScore-pruned BM25: the ORACLE IS the exhaustive SQL — the
+    // driver's hash gate is the pruned-vs-exhaustive parity proof
+    // (upper-bound pruning must be invisible in the result); the
+    // pruning-bites evidence lives in SearchSpec's planted fixture
+    "q_bm25_maxscore_topk" -> bm25ExhaustiveSql,
+    // WAND/MaxScore bound table: the per-(doc, term) snapped
+    // contribution chain (the bm25 tree verbatim), MAX per term
+    "q_bm25_term_bounds" -> {
+      s"WITH $bm25ContribCtesSql " +
+        "SELECT term, ANY_VALUE(df_t) AS df_t, MAX(c) AS u_micro " +
+        "FROM scc GROUP BY term ORDER BY term"
     },
     // chunk-granular BM25 (r15): the docChunks window algebra yields
     // (chunk, cl, token slice); chunk-level BM25 with the q_bm25

@@ -422,6 +422,115 @@ object Search {
       .orderBy(col("term"))
   }
 
+  /** MAXSCORE / WAND BOUND TABLE (Turtle & Flood 1995; Broder et al.
+    * CIKM 2003): per probe term, its document frequency and the
+    * MAXIMUM per-document BM25 contribution in exact micro-units —
+    * U_t = max_d floor(contrib(t, d)·1e6 + 0.5), an exact BIGINT MAX
+    * over the probed postings. This is the block-skip metadata a
+    * term-partitioned index stores beside each posting list at 100 TB:
+    * a document whose present-term bounds sum below the current
+    * top-k threshold θ can be skipped WITHOUT scoring (the
+    * [[bm25MaxScoreTopK]] pruning below), and per-block maxima skip
+    * whole blocks the same way. Fully lazy (broadcast stats frame),
+    * fully oracle-replayed.
+    */
+  def bm25TermBounds(spark: SparkSession, d: String): DataFrame =
+    bm25TermBoundsDf(Tables.fanOut(Tables.documents(spark, d)))
+
+  def bm25TermBoundsDf(docs: DataFrame): DataFrame =
+    bm25ContribAll(docs)
+      .groupBy(col("term"))
+      .agg(first(col("df_t")).as("df_t"), max(col("c")).as("u_micro"))
+      .orderBy(col("term"))
+
+  /** The per-(doc, term) snapped BM25 contribution frame over the
+    * probed postings — (doc_id, term, df_t, c) — shared by the bound
+    * table, the pruned evaluator and (arithmetically) the exhaustive
+    * ranker: one expression tree, no drift.
+    */
+  private def bm25ContribAll(docs: DataFrame): DataFrame = {
+    val p = postingsDf(docs, Some(ProbeTerms))
+    val dfT = p.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val idf = log(lit(1.0) + (csNDocs - col("df_t") + lit(0.5)) /
+      (col("df_t") + lit(0.5)))
+    val norm = lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / csAvgdl)
+    val contrib = idf * col("tf") / (col("tf") + norm)
+    p.join(dfT, Seq("term"))
+      .crossJoin(broadcast(corpusStatsDf(docs)))
+      .select(col("doc_id"), col("term"), col("df_t"),
+        floor(contrib * lit(1e6) + lit(0.5)).cast("long").as("c"))
+  }
+
+  /** MAXSCORE-PRUNED BM25 top-k — upper-bound pruning made a batch
+    * dataflow, returning EXACTLY the exhaustive [[bm25TopK]] result
+    * (its registered oracle IS the exhaustive SQL, so the driver's
+    * hash gate is the pruned-vs-exhaustive parity proof; SearchSpec
+    * additionally asserts the pruning bites on a planted fixture):
+    *
+    *  1. seed θ: fully score only the documents containing the
+    *     highest-bound term (ties to the lexicographically smaller
+    *     term) and take the k-th best seed score — a TRUE score of k
+    *     documents, so θ is a sound threshold; fewer than k seed
+    *     documents → θ = 0 (no pruning, still exact).
+    *  2. prune: per candidate document, B_d = Σ U_t over its present
+    *     probe terms (exact BIGINT). B_d < θ ⟹ true score ≤ B_d < θ
+    *     ≤ k true scores ⟹ d cannot reach the top-k even on ties —
+    *     drop it unscored.
+    *  3. score the survivors exhaustively, rank (score DESC, doc_id).
+    *
+    * Everything is exact micro-unit integer arithmetic, so the bound
+    * comparison can never mis-prune by a rounding flip. θ rides as a
+    * broadcast 1-row frame (fully lazy, zero jobs at build). At 100 TB
+    * the same algebra runs per posting block: block-max U replaces
+    * per-term U and the skip test is identical — this operator is the
+    * provably-exact kernel of that discipline.
+    */
+  def bm25MaxScoreTopK(spark: SparkSession, d: String,
+                       k: Int = 10): DataFrame =
+    bm25MaxScoreTopKDf(Tables.fanOut(Tables.documents(spark, d)), k)
+
+  def bm25MaxScoreTopKDf(docs: DataFrame, k: Int = 10): DataFrame = {
+    // lazy persist: the contribution frame feeds the bound table, the
+    // seed pass and the final scoring (the queryLikelihood discipline)
+    val ca = bm25ContribAll(docs).persist()
+    val kept = bm25MaxScoreBounds(ca, k)
+      .filter(col("bound_micro") >= col("theta"))
+      .select(col("doc_id"))
+    ca.join(kept, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("score_micro"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+  }
+
+  /** The (doc_id, bound_micro, theta) frame over a [[bm25ContribAll]]
+    * output — every candidate document's present-term bound sum beside
+    * the seed threshold. [[bm25MaxScoreTopKDf]] filters it; SearchSpec
+    * reads it to assert the pruning actually BITES (bound < theta for
+    * some candidate) on a fixture where parity still holds.
+    */
+  private[graft] def bm25MaxScoreBounds(ca: DataFrame, k: Int): DataFrame = {
+    val u = ca.groupBy(col("term")).agg(max(col("c")).as("u_micro"))
+    val tstar = u.orderBy(col("u_micro").desc, col("term")).limit(1)
+      .select(col("term"))
+    val seedDocs = ca.join(broadcast(tstar), Seq("term")).select(col("doc_id"))
+    val seedTop = ca.join(broadcast(seedDocs), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(k)
+    val theta = seedTop.agg(count(lit(1)).as("n"), min(col("s")).as("mn"))
+      .select(when(col("n") >= k, col("mn")).otherwise(lit(0L)).as("theta"))
+    ca.select(col("doc_id"), col("term"))
+      .join(broadcast(u), Seq("term"))
+      .groupBy(col("doc_id")).agg(sum(col("u_micro")).as("bound_micro"))
+      .crossJoin(broadcast(theta))
+  }
+
+  private[graft] def bm25ContribFrame(docs: DataFrame): DataFrame =
+    bm25ContribAll(docs)
+
   /** Chunk geometry of [[chunkBm25TopK]] — the [[graft.ext.Corpus]]
     * docChunks defaults (64-token windows, stride 48), shared with
     * the oracle builder.

@@ -359,6 +359,34 @@ class SearchSpec extends SparkTestBase {
     assert(ids.distinct.length == ids.length, "one row per document")
   }
 
+  test("MaxScore pruning: exact parity with exhaustive BM25, and the pruning bites") {
+    import spark.implicits._
+    // 3 strong docs carry all five probe terms (short → high scores);
+    // 20 weak docs carry a single 'merge' diluted in 30 fillers — each
+    // weak doc's present-term bound (U_merge alone) sits far below the
+    // k-th strong full score, so the bound filter must drop them
+    // UNSCORED while the final ranking stays bit-identical
+    val strong = (1L to 3L).map(i => i -> "hash join scan window merge")
+    val weak = (10L to 29L).map(i =>
+      i -> ("merge " + (1 to 30).map(j => s"f$j").mkString(" ")))
+    val docs = (strong ++ weak).toDF("doc_id", "text")
+    val k = 3
+    val pruned = Search.bm25MaxScoreTopKDf(docs, k).collect().toSeq
+    val exhaustive = Search.bm25TopKDf(docs, k).collect().toSeq
+    assert(pruned == exhaustive,
+      s"pruned and exhaustive rankings must be identical:\n$pruned\n$exhaustive")
+    // the pruning is not vacuous: some candidate's bound < theta
+    val bounds = Search.bm25MaxScoreBounds(Search.bm25ContribFrame(docs), k)
+      .collect()
+    val nPruned = bounds.count(r => r.getLong(1) < r.getLong(2))
+    assert(nPruned >= 20,
+      s"the weak docs must be pruned by the bound filter, pruned=$nPruned")
+    // parity must also hold on the real corpus
+    val p2 = Search.bm25MaxScoreTopK(spark, sfDir).collect().toSeq
+    val e2 = Search.bm25TopK(spark, sfDir).collect().toSeq
+    assert(p2 == e2, "corpus parity")
+  }
+
   test("stats-frame BM25 equals the scalar form bit-for-bit") {
     // bm25AgainstStats rides (cs_n, cs_s) as a broadcast 1-row frame;
     // the arithmetic tree is bm25Against's with lit(nDocs)/lit(avgdl)
@@ -401,6 +429,9 @@ class SearchSpec extends SparkTestBase {
     Search.queryLikelihoodTopKDf(docs)
     Search.hybridRrfDf(docs, emb)
     Search.queryExpansionDf(docs)
+    Search.bm25TermBoundsDf(docs)
+    Search.bm25MaxScoreTopKDf(docs)
+    Search.chunkBm25TopKDf(docs)
     spark.range(1).collect() // sentinel: shuffle-free -> exactly 1 job
     awaitNewJob(before)
     val ran = (jobIds -- before).size
