@@ -678,13 +678,14 @@ object Search {
     queryExpansionDf(Tables.fanOut(Tables.documents(spark, d)), m, topK)
 
   def queryExpansionDf(docs: DataFrame,
-                       m: Int = FbDocs, topK: Int = FbTerms): DataFrame = {
-    val fb = bm25AgainstStats(postingsDf(docs, Some(ProbeTerms)), ProbeTerms,
+                       m: Int = FbDocs, topK: Int = FbTerms,
+                       terms: Seq[String] = ProbeTerms): DataFrame = {
+    val fb = bm25AgainstStats(postingsDf(docs, Some(terms)), terms,
         corpusStatsDf(docs), m)
       .select(col("doc_id"))
     // feedback postings: prune the corpus to the m feedback docs FIRST
     val fbPost = postingsDf(docs.join(broadcast(fb), Seq("doc_id"), "left_semi"))
-      .filter(!col("term").isin(ProbeTerms: _*))
+      .filter(!col("term").isin(terms: _*))
     val cand = fbPost.groupBy(col("term"))
       .agg(sum(col("tf")).as("tf_fb"), count(lit(1)).as("df_fb"))
     // global df restricted to the candidate terms (broadcast semi-join
@@ -706,6 +707,92 @@ object Search {
       .orderBy(col("score_micro").desc, col("term"))
       .limit(topK)
       .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** The per-query expansion scoring of ONE query batch against frozen
+    * serving artifacts — shared verbatim by [[queryExpansionSink]]'s
+    * foreachBatch and its batch-parity test (the bm25ServeSink
+    * contract): per query, BM25 over the query's own terms against the
+    * frozen postings picks the top-m feedback documents; their
+    * postings (minus the query's terms, a per-query anti join) score
+    * candidates idf·Σtf with the frozen document-frequency table; the
+    * top-`topK` per query are the expansion terms. All arithmetic is
+    * the [[queryExpansionDf]] tree with the probe set replaced by the
+    * query's terms, so stream and batch expansions cannot drift.
+    */
+  private[graft] def queryExpansionScoreBatch(batch: DataFrame, index: DataFrame,
+                                              dfAll: DataFrame, nDocs: Long,
+                                              avgdl: Double, m: Int,
+                                              topK: Int): DataFrame = {
+    val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("df_t") + lit(0.5)) /
+      (col("df_t") + lit(0.5)))
+    val bmNorm = lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl))
+    val bmContrib = idf * col("tf") / (col("tf") + bmNorm)
+    val qt = batch.filter(col("query_text").isNotNull)
+      .select(col("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("query_text")))).as("term"))
+    val fbW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    val fb = qt.join(index, Seq("term")).join(dfAll, Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        floor(bmContrib * lit(1e6) + lit(0.5)).cast("long").as("c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("score_micro"))
+      .withColumn("fb_rank", row_number().over(fbW))
+      .filter(col("fb_rank") <= m)
+      .select(col("query_id"), col("doc_id"))
+    val fbPost = fb.join(index.select(col("doc_id"), col("term"), col("tf")),
+        Seq("doc_id"))
+      .join(qt, Seq("query_id", "term"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("term"))
+    fbPost.groupBy(col("query_id"), col("term"))
+      .agg(sum(col("tf")).as("tf_fb"), count(lit(1)).as("df_fb"))
+      .join(dfAll, Seq("term"))
+      .select(col("query_id"), col("term"), col("df_fb"), col("tf_fb"),
+        col("df_t"),
+        floor(idf * col("tf_fb") * lit(1e6) + lit(0.5)).cast("long")
+          .as("score_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Streaming QUERY EXPANSION serving (foreachBatch stage): the base
+    * corpus's postings index and document-frequency table FREEZE once
+    * at sink construction (train-offline / serve-online, the
+    * bm25ServeSink shape); each arriving query expands against the
+    * frozen feedback statistics and appends its top-`topK` expansion
+    * terms tagged with the batch id. Scoring is
+    * [[queryExpansionScoreBatch]], shared with the batch-parity test.
+    */
+  def queryExpansionSink(queryStream: DataFrame, baseDocs: DataFrame,
+                         outPath: String, checkpoint: String,
+                         m: Int = FbDocs, topK: Int = FbTerms,
+                         triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val stats = baseDocs.filter(col("text").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(size(TextAnalysis.tokens(col("text")))).as("s"))
+      .head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    val index = Freeze.scoped(checkpoint, postingsDf(baseDocs))
+    val dfAll = Freeze.scoped(checkpoint,
+      index.groupBy(col("term")).agg(count(lit(1)).as("df_t")))
+    queryStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          org.apache.spark.sql.GraftSql.unordered(
+            queryExpansionScoreBatch(batch, index, dfAll, nDocs, avgdl, m, topK))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
   }
 
   /** Per-query form of [[rrfFuse]] over two (query_id, doc_id, *_rank)

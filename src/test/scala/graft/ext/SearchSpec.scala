@@ -290,6 +290,40 @@ class SearchSpec extends SparkTestBase {
     assert(!streamed.exists(_._1 == 12L), "no-hit query emits no rows")
   }
 
+  test("query expansion sink: frozen feedback statistics, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = plantedDocs
+    val queries = Seq((20L, "hash"), (21L, "sort"), (22L, "zzz nohit"))
+    // batch expectation: the registered expansion kernel run with the
+    // query's own terms as the probe set
+    val expect = queries.flatMap { case (qid, qtext) =>
+      val terms = qtext.split("\\s+").toSeq.distinct
+      Search.queryExpansionDf(base, m = 2, topK = 5, terms = terms)
+        .collect().map(r => (qid, r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+    }.toSet
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("qe_out").toString
+    val ckpt = Files.createTempDirectory("qe_ckpt").toString
+    val query = Search.queryExpansionSink(
+      input.toDF().toDF("query_id", "query_text"), base, out, ckpt,
+      m = 2, topK = 5, triggerMs = 50L).start()
+    try {
+      input.addData(queries(0), queries(1))
+      query.processAllAvailable()
+      input.addData(queries(2))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    assert(streamed == expect, s"streamed $streamed != batch $expect")
+    assert(expect.nonEmpty, "fixture must produce expansions")
+    assert(!streamed.exists(_._1 == 22L), "no-hit query expands to nothing")
+  }
+
   test("snippets: position, count, case-insensitivity, window clamps both ends") {
     import spark.implicits._
     val pad = Search.SnippetPad // 40
