@@ -7,22 +7,83 @@ import java.nio.file.{Files, Paths}
   * the timed window) so Probe/ScaleSmoke measure exactly the same way.
   * The result JSON goes to stdout AND to bench_result.json (sbt buries
   * stdout in [info] noise).
+  *
+  * Two r15 ledger instruments:
+  *
+  *  - STALL RE-PASS: a query whose min-of-2 lands above 3× its prior
+  *    committed price (the bench_result.json on disk before this run
+  *    overwrites it) is re-measured once after the sweep and the
+  *    better min kept — a multi-minute ambient stall (hypervisor
+  *    co-tenancy, the r14 q_dsir_select 64.7 s phantom) otherwise
+  *    bills permanently to an innocent query. Every re-pass is
+  *    recorded in the output (`repass`), so the ledger shows both the
+  *    stalled first reading and the re-measured one.
+  *  - ARTIFACT SIDECAR: the session-artifact program's one-time builds
+  *    (shared edge checkpoints, LM blocks, Lloyd fits, …) bill to the
+  *    FIRST run of their first consumer and are discarded by the
+  *    min-of-2 — the warm headline structurally cannot answer "what
+  *    does a cold pipeline pay?". [[ArtifactLedger]] times each build
+  *    at its cache-miss site; the snapshot lands in the output as
+  *    `artifact_builds`/`artifact_total_sec`, decomposing the session
+  *    into resident cost + one-time builds.
   */
 object Bench {
+
+  /** Per-query prices of the PRIOR committed ledger (the
+    * bench_result.json present before this run) — the stall re-pass
+    * reference. Missing file / new queries → no reference, no re-pass.
+    */
+  private def refPrices(): Map[String, Double] = {
+    val p = Paths.get("bench_result.json")
+    if (!Files.exists(p)) return Map.empty
+    val s = Files.readString(p)
+    val i = s.indexOf("\"queries\":{")
+    if (i < 0) return Map.empty
+    val end = s.indexOf("}", i)
+    if (end < 0) return Map.empty
+    val body = s.substring(i + "\"queries\":{".length, end)
+    """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** min > 3× the prior committed price ⟹ suspect an ambient stall. */
+  private[graft] val StallFactor = 3.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val ref = refPrices()
     val spark = LocalSession.build()
+    ArtifactLedger.reset()
     BenchKit.warmUp(spark, sfDir)
     // every registered query is a resident unless SparkEntry explicitly
     // demoted it to correctness-only (the displace-rule ledger in
     // BASELINE.md); Verify still runs the full surface
-    val results = SparkEntry.queries.keys.toSeq.sorted
+    val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(SparkEntry.correctnessOnly)
-      .map(n => n -> BenchKit.best(spark, n, sfDir))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val first = names.map(n => n -> BenchKit.best(spark, n, sfDir))
+    val suspects = first.collect {
+      case (n, v) if v > 0 && ref.get(n).exists(r => r > 0 && v > StallFactor * r) => n
+    }
+    val reRun = suspects.map(n => n -> BenchKit.best(spark, n, sfDir)).toMap
+    val results = first.map { case (n, v) =>
+      n -> (reRun.get(n) match {
+        case Some(r2) if r2 >= 0 => math.min(v, r2)
+        case _ => v
+      })
+    }
+    def fmtMap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = fmtMap(results)
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val firstByName = first.toMap
+    val repass = reRun.toSeq.sortBy(_._1).map { case (n, r2) =>
+      "\"" + n + "\":{\"first\":" + firstByName(n) + ",\"re\":" + r2 + "}"
+    }.mkString("{", ",", "}")
+    val builds = ArtifactLedger.snapshot.toSeq.sortBy(_._1)
+    val artifactTotal = builds.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""repass":$repass,"artifact_builds":${fmtMap(builds)},""" +
+      s""""artifact_total_sec":$artifactTotal,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("bench_result.json"), json)
     spark.stop()

@@ -130,7 +130,8 @@ object Clustering {
   private[ext] def fittedCentroids(spark: SparkSession, d: String,
                                    k: Int, iters: Int = KmeansIters): Array[Array[Long]] =
     fitCache.computeIfAbsent((spark, d, k, iters),
-      _ => kmeansCentroids(Tables.embeddings(spark, d), k, iters))
+      _ => graft.ArtifactLedger.timed("kmeans_fit")(
+        kmeansCentroids(Tables.embeddings(spark, d), k, iters)))
 
   def kmeansStats(spark: SparkSession, d: String,
                   k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {

@@ -138,10 +138,11 @@ object Graph {
 
   private[ext] def sessionEdges(spark: SparkSession, d: String): DataFrame =
     edgeCache.computeIfAbsent((spark, d), _ =>
-      linkEdgesDf(Tables.fanOut(Tables.documents(spark, d))).localCheckpoint())
+      graft.ArtifactLedger.timed("graph_edges")(
+        linkEdgesDf(Tables.fanOut(Tables.documents(spark, d))).localCheckpoint()))
 
   private[ext] def sessionUndirected(spark: SparkSession, d: String): DataFrame =
-    undCache.computeIfAbsent((spark, d), _ => {
+    undCache.computeIfAbsent((spark, d), _ => graft.ArtifactLedger.timed("graph_undirected") {
       val e = sessionEdges(spark, d)
       e.select(col("src"), col("dst"))
         .union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -1104,7 +1105,7 @@ object Graph {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private[graft] def trainedNodeEmbeddings(spark: SparkSession, d: String): DataFrame =
-    trainedEmbCache.computeIfAbsent((spark, d), _ => {
+    trainedEmbCache.computeIfAbsent((spark, d), _ => graft.ArtifactLedger.timed("node_embeddings") {
       val docs = Tables.fanOut(Tables.documents(spark, d))
       // checkpointed: the pair table feeds every epoch AND the n_pairs
       // tail — without this the walk-pair groupBy re-evaluates per reader
@@ -1439,8 +1440,9 @@ object Graph {
     sccCache.computeIfAbsent((spark, d), _ =>
       // sccDf restricts and checkpoints its own per-peel subgraph and
       // never releases the PASSED table — safe on the shared checkpoint
-      sccDf(Tables.fanOut(Tables.documents(spark, d)).select(col("doc_id")),
-        sessionEdges(spark, d), SccPeels, ComponentRounds).localCheckpoint())
+      graft.ArtifactLedger.timed("scc_labels")(
+        sccDf(Tables.fanOut(Tables.documents(spark, d)).select(col("doc_id")),
+          sessionEdges(spark, d), SccPeels, ComponentRounds).localCheckpoint()))
 
   def linkScc(spark: SparkSession, d: String, peels: Int = SccPeels,
               rounds: Int = ComponentRounds): DataFrame =
@@ -1975,7 +1977,7 @@ object Graph {
 
   private def orientedTriangleState(spark: SparkSession,
                                     d: String): (DataFrame, DataFrame) =
-    triCache.computeIfAbsent((spark, d), _ => {
+    triCache.computeIfAbsent((spark, d), _ => graft.ArtifactLedger.timed("triangle_state") {
       val docs = Tables.fanOut(Tables.documents(spark, d))
       val (und, udeg0) = undirectedWithDegrees(docs)
       val udeg = udeg0.localCheckpoint()

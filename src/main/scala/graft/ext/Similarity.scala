@@ -999,7 +999,8 @@ object Similarity {
       .select(col("vec_id"), col("cr._1").as("cell"), col("cr._2").as("rv"))
     val cbs = pqIntFitCache.computeIfAbsent(
       (spark, d, s"resid-$nlist-$m-$kSub"),
-      _ => trainPqCodebooksInt(enc.select(col("vec_id"), col("rv")), m, kSub))
+      _ => graft.ArtifactLedger.timed("pq_codebooks")(
+        trainPqCodebooksInt(enc.select(col("vec_id"), col("rv")), m, kSub)))
     val coded = enc
       .select(col("vec_id"), col("cell"),
         pqEncodeIntUdf(cbs, Some(cents))(col("cell"), col("rv")).as("pq"))
@@ -1579,7 +1580,8 @@ object Similarity {
     if (k == KnnK && nlist == 0 && targetCellSize == KnnTargetCellSize &&
         nprobe == KnnNprobe)
       knnGraphCache.computeIfAbsent((spark, d), _ =>
-        knnGraphDf(graft.Tables.embeddings(spark, d)).localCheckpoint())
+        graft.ArtifactLedger.timed("knn_graph")(
+          knnGraphDf(graft.Tables.embeddings(spark, d)).localCheckpoint()))
     else
       knnGraphDf(graft.Tables.embeddings(spark, d), k, nlist, targetCellSize, nprobe)
 

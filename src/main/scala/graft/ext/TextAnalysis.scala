@@ -949,9 +949,10 @@ object TextAnalysis {
 
   private def sessionBigramCounts(spark: SparkSession, d: String): DataFrame =
     c2Cache.computeIfAbsent((spark, d), _ =>
-      bigramPairStream(Tables.documents(spark, d), Seq.empty)
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-        .localCheckpoint())
+      graft.ArtifactLedger.timed("lm_bigram_counts")(
+        bigramPairStream(Tables.documents(spark, d), Seq.empty)
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+          .localCheckpoint()))
 
   def bigramLogProb(spark: SparkSession, d: String): DataFrame =
     bigramScoreCore(
@@ -1374,17 +1375,20 @@ object TextAnalysis {
 
   private def sessionC5(spark: SparkSession, d: String, wide: Boolean): DataFrame =
     c5Cache.computeIfAbsent((spark, d, wide), _ =>
-      fivegramTypeTable(Tables.documents(spark, d), wide)._2.localCheckpoint())
+      graft.ArtifactLedger.timed("lm_5gram_types")(
+        fivegramTypeTable(Tables.documents(spark, d), wide)._2.localCheckpoint()))
 
   private def sessionWindowCounts(spark: SparkSession, d: String,
                                   wide: Boolean): DataFrame =
     cnts5Cache.computeIfAbsent((spark, d, wide), _ =>
-      fivegramWindowCounts(sessionC5(spark, d, wide)).localCheckpoint())
+      graft.ArtifactLedger.timed("lm_5gram_windows")(
+        fivegramWindowCounts(sessionC5(spark, d, wide)).localCheckpoint()))
 
   private def sessionSmoothedStats(spark: SparkSession, d: String,
                                    wide: Boolean): DataFrame =
     smoothCache.computeIfAbsent((spark, d, wide), _ =>
-      smoothedStatTable(sessionC5(spark, d, wide)).localCheckpoint())
+      graft.ArtifactLedger.timed("lm_5gram_smoothed")(
+        smoothedStatTable(sessionC5(spark, d, wide)).localCheckpoint()))
 
   /** The per-query occurrence stream — narrow tokenize + hash, no
     * shuffle; the join side of [[gramRollup]].
