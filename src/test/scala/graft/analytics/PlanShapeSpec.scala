@@ -683,8 +683,14 @@ class PlanShapeSpec extends SparkTestBase {
     // TakeOrdered, never a full sort of the scored corpus
     val p = plan("q_bm25_topk")
     assert(p.contains("TakeOrderedAndProject"), s"top-k must be bounded:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"bm25 joins must stay keyed:\n$p")
+    // since r15 the corpus stats ride as a 1-row broadcast (the lazy
+    // builder program) — an IdentityBroadcastMode nested loop is the
+    // intended scalar shape, any OTHER nested loop is a regression
+    assert(!p.contains("CartesianProduct"), s"bm25 went all-pairs:\n$p")
+    val nested = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    val scalarBroadcasts = p.linesIterator.count(_.contains("IdentityBroadcastMode"))
+    assert(nested <= scalarBroadcasts,
+      s"bm25 has a non-scalar nested loop ($nested loops, $scalarBroadcasts scalar):\n$p")
     assert(p.contains("hash,join,scan,window,merge"),
       s"probe-term filter missing from the plan:\n$p")
   }
@@ -731,11 +737,17 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("q_crawl_depth / q_web_bowtie tails: keyed joins over the checkpointed state only") {
+    // bow-tie's core-SCC id rides as a 1-row broadcast since r15 (the
+    // lazy builder program): identity-broadcast nested loops are that
+    // scalar shape, anything else all-pairs
     for (q <- Seq("q_crawl_depth", "q_web_bowtie")) {
       val p = plan(q)
-      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
-        && !p.contains("Window"),
+      assert(!p.contains("CartesianProduct") && !p.contains("Window"),
         s"$q tail must stay keyed:\n$p")
+      val nested = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+      val scalarBroadcasts = p.linesIterator.count(_.contains("IdentityBroadcastMode"))
+      assert(nested <= scalarBroadcasts,
+        s"$q has a non-scalar nested loop ($nested loops, $scalarBroadcasts scalar):\n$p")
     }
   }
 
@@ -745,5 +757,37 @@ class PlanShapeSpec extends SparkTestBase {
       s"incremental rank final must be a bounded TakeOrdered:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"),
       s"incremental rank tail must stay keyed:\n$p")
+  }
+
+  private def scalarNestedOnly(q: String): Unit = {
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"$q went all-pairs:\n$p")
+    val nested = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    val scalarBroadcasts = p.linesIterator.count(_.contains("IdentityBroadcastMode"))
+    assert(nested <= scalarBroadcasts,
+      s"$q has a non-scalar nested loop ($nested loops, $scalarBroadcasts scalar):\n$p")
+  }
+
+  test("q_chunk_bm25_topk: aggregate roll-up (no corpus rank window), bounded final") {
+    // the per-doc best chunk must be the MAX-struct AGGREGATE — one
+    // rank window only, over the <= k final rows; the chunk explode
+    // must never cartesian; stats are the scalar broadcast
+    val p = plan("q_chunk_bm25_topk")
+    assert(p.linesIterator.count(_.trim.startsWith("Window")) <= 1,
+      s"best-chunk roll-up must not be a corpus rank window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"doc top-k must be bounded:\n$p")
+    scalarNestedOnly("q_chunk_bm25_topk")
+  }
+
+  test("q_bm25_maxscore_topk: bound filter keyed, theta a scalar broadcast, bounded final") {
+    val p = plan("q_bm25_maxscore_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"pruned top-k must be bounded:\n$p")
+    scalarNestedOnly("q_bm25_maxscore_topk")
+  }
+
+  test("q_bm25_term_bounds: keyed aggregates only — no window, no all-pairs") {
+    val p = plan("q_bm25_term_bounds")
+    assert(!p.contains("Window"), s"bound table needs no window:\n$p")
+    scalarNestedOnly("q_bm25_term_bounds")
   }
 }
