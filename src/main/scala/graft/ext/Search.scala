@@ -422,6 +422,110 @@ object Search {
       .orderBy(col("term"))
   }
 
+  /** The chunk-granular scoring of ONE query batch against frozen
+    * serving artifacts — shared verbatim by [[chunkBm25ServeSink]]'s
+    * foreachBatch and its batch-parity test: per query, the arriving
+    * terms probe the frozen chunk postings, chunk scores micro-snap
+    * per (query, chunk), each document rolls up to its best chunk
+    * (MAX over (score, −chunk_id) structs), the per-query top-k ranks
+    * by (score DESC, doc_id), and the winning chunk's KWIC snippet
+    * anchors on the FIRST query term (query order) occurring in the
+    * chunk — the [[chunkBm25TopKDf]] rule with the probe list
+    * replaced by the query's own terms, so stream and batch results
+    * cannot drift.
+    */
+  private[graft] def chunkBm25ScoreBatch(batch: DataFrame, chunkPost: DataFrame,
+                                         dfAll: DataFrame, nChunks: Long,
+                                         avgcl: Double, chunkStore: DataFrame,
+                                         k: Int): DataFrame = {
+    val idf = log(lit(1.0) + (lit(nChunks.toDouble) - col("df_t") + lit(0.5)) /
+      (col("df_t") + lit(0.5)))
+    val norm = lit(K1) * (lit(1.0 - B) + lit(B) * col("cl") / lit(avgcl))
+    val contrib = idf * col("tf") / (col("tf") + norm)
+    val qt = batch.filter(col("query_text").isNotNull)
+      .select(col("query_id"),
+        posexplode(array_distinct(TextAnalysis.tokens(col("query_text"))))
+          .as(Seq("term_idx", "term")))
+    val chunkScores = qt.join(chunkPost, Seq("term")).join(dfAll, Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("chunk_id"),
+        floor(contrib * lit(1e6) + lit(0.5)).cast("long").as("c"))
+      .groupBy(col("query_id"), col("doc_id"), col("chunk_id"))
+      .agg(sum(col("c")).as("chunk_score"))
+    val best = chunkScores.groupBy(col("query_id"), col("doc_id"))
+      .agg(max(struct(col("chunk_score"), (-col("chunk_id")).as("nci"))).as("b"),
+        count(lit(1)).as("n_chunks_hit"))
+      .select(col("query_id"), col("doc_id"),
+        col("b.chunk_score").as("score_micro"),
+        (-col("b.nci")).as("chunk_id"), col("n_chunks_hit"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    val top = best.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+    // snippet: the winner chunks join the frozen chunk store, then the
+    // query's terms re-probe each winning chunk text — min
+    // (term_idx, pos, tl) picks the first query term present
+    val start2 = greatest(lit(1L), col("h.pos") - lit(SnippetPad.toLong))
+    top.join(chunkStore, Seq("doc_id", "chunk_id"))
+      .join(qt, Seq("query_id"))
+      .withColumn("pos", expr("CAST(instr(lower(ct), term) AS BIGINT)"))
+      .filter(col("pos") > 0)
+      .groupBy(col("query_id"), col("doc_id"), col("chunk_id"))
+      .agg(min(struct(col("term_idx"), col("pos"),
+          length(col("term")).cast("long").as("tl"))).as("h"),
+        first(col("rank")).as("rank"),
+        first(col("score_micro")).as("score_micro"),
+        first(col("n_chunks_hit")).as("n_chunks_hit"),
+        first(col("ct")).as("ct"))
+      .select(col("query_id"), col("rank"), col("doc_id"), col("chunk_id"),
+        col("score_micro"), col("n_chunks_hit"),
+        col("ct").substr(start2,
+          col("h.pos") + col("h.tl") + lit((SnippetPad - 1).toLong) - start2 + lit(1L))
+          .as("snippet"))
+  }
+
+  /** Streaming CHUNK-GRANULAR retrieval serving (foreachBatch stage) —
+    * the RAG front door at chunk granularity: the chunk postings
+    * index, chunk document-frequency table and chunk-text store FREEZE
+    * once at sink construction (train-offline / serve-online, the
+    * bm25ServeSink shape); each arriving query gets its per-query
+    * best-chunk-per-doc top-k with the passage snippet, tagged with
+    * the batch id. Scoring is [[chunkBm25ScoreBatch]], shared with the
+    * batch-parity test.
+    */
+  def chunkBm25ServeSink(queryStream: DataFrame, baseDocs: DataFrame,
+                         outPath: String, checkpoint: String,
+                         k: Int = ChunkTopK, triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val chunks = chunkFrame(baseDocs)
+    val stats = chunks.agg(count(lit(1)).as("n"), sum(col("cl")).as("s")).head()
+    val nChunks = stats.getLong(0)
+    val avgcl = stats.getLong(1).toDouble / nChunks
+    val chunkPost = Freeze.scoped(checkpoint, chunks
+      .select(col("doc_id"), col("chunk_id"), col("cl"),
+        explode(col("ctoks")).as("term"))
+      .groupBy(col("doc_id"), col("chunk_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("cl")).as("cl")))
+    val dfAll = Freeze.scoped(checkpoint,
+      chunkPost.groupBy(col("term")).agg(count(lit(1)).as("df_t")))
+    val chunkStore = Freeze.scoped(checkpoint,
+      chunks.select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", col("ctoks")).as("ct")))
+    queryStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          org.apache.spark.sql.GraftSql.unordered(
+            chunkBm25ScoreBatch(batch, chunkPost, dfAll, nChunks, avgcl,
+              chunkStore, k))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+  }
+
   /** MAXSCORE / WAND BOUND TABLE (Turtle & Flood 1995; Broder et al.
     * CIKM 2003): per probe term, its document frequency and the
     * MAXIMUM per-document BM25 contribution in exact micro-units —
@@ -592,13 +696,14 @@ object Search {
         slice(col("t"), start.cast("int"), nTok.cast("int")).as("ctoks"))
   }
 
-  def chunkBm25TopKDf(docs: DataFrame, k: Int = ChunkTopK): DataFrame = {
+  def chunkBm25TopKDf(docs: DataFrame, k: Int = ChunkTopK,
+                      terms: Seq[String] = ProbeTerms): DataFrame = {
     val chunks = chunkFrame(docs)
     val stats = chunks.agg(count(lit(1)).as("cs_n"), sum(col("cl")).as("cs_s"))
     val post = chunks
       .select(col("doc_id"), col("chunk_id"), col("cl"),
         explode(col("ctoks")).as("term"))
-      .filter(col("term").isin(ProbeTerms: _*))
+      .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("chunk_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("cl")).as("cl"))
     val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
@@ -630,7 +735,7 @@ object Search {
         docs.join(broadcast(winDocs), Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), col("chunk_id"), concat_ws(" ", col("ctoks")).as("ct"))
     val lc = lower(col("ct"))
-    val hit = coalesce(ProbeTerms.map(tm =>
+    val hit = coalesce(terms.map(tm =>
       when(instr(lc, tm) > 0,
         struct(instr(lc, tm).cast("long").as("pos"),
           lit(tm.length.toLong).as("tl")))): _*)

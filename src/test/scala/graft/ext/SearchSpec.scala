@@ -324,6 +324,46 @@ class SearchSpec extends SparkTestBase {
     assert(!streamed.exists(_._1 == 22L), "no-hit query expands to nothing")
   }
 
+  test("chunk BM25 serving sink: frozen chunk index + store, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // a base corpus where chunking matters: doc 1 long with a buried
+    // passage, short docs beside it (the chunk fixture's shape)
+    val longDoc = {
+      val toks = Array.tabulate(200)(i => s"w$i")
+      for (i <- 0 until 3) { toks(100 + 2 * i) = "hash"; toks(101 + 2 * i) = "join" }
+      toks.mkString(" ")
+    }
+    val base = ((1L -> longDoc) +: (2L to 6L).map(i =>
+      i -> ("hash join " + (1 to 20).map(j => s"s$j").mkString(" ")))).toDF("doc_id", "text")
+    val queries = Seq((30L, "hash join"), (31L, "join"), (32L, "zzz nohit"))
+    val expect = queries.flatMap { case (qid, qtext) =>
+      val terms = qtext.split("\\s+").toSeq.distinct
+      Search.chunkBm25TopKDf(base, k = 4, terms = terms)
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getString(5)))
+    }.toSet
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("cb_out").toString
+    val ckpt = Files.createTempDirectory("cb_ckpt").toString
+    val query = Search.chunkBm25ServeSink(
+      input.toDF().toDF("query_id", "query_text"), base, out, ckpt,
+      k = 4, triggerMs = 50L).start()
+    try {
+      input.addData(queries(0), queries(1))
+      query.processAllAvailable()
+      input.addData(queries(2))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+      .toSet
+    assert(streamed == expect, s"streamed $streamed != batch $expect")
+    assert(expect.nonEmpty, "fixture must retrieve chunks")
+    assert(!streamed.exists(_._1 == 32L), "no-hit query emits no rows")
+  }
+
   test("snippets: position, count, case-insensitivity, window clamps both ends") {
     import spark.implicits._
     val pad = Search.SnippetPad // 40
