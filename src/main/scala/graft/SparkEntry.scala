@@ -326,6 +326,8 @@ object SparkEntry {
     "q_chunk_bm25_topk"   -> ((s: SparkSession, d: String) => ext.Search.chunkBm25TopK(s, d)),
     "q_bm25_term_bounds"  -> ((s: SparkSession, d: String) => ext.Search.bm25TermBounds(s, d)),
     "q_bm25_maxscore_topk" -> ((s: SparkSession, d: String) => ext.Search.bm25MaxScoreTopK(s, d)),
+    "q_bm25_blockmax_bounds" -> ((s: SparkSession, d: String) => ext.Search.bm25BlockMaxBounds(s, d)),
+    "q_bm25_blockmax_topk" -> ((s: SparkSession, d: String) => ext.Search.bm25BlockMaxTopK(s, d)),
     // query-likelihood (Dirichlet) ranking + exact phrase search
     "q_query_likelihood_topk" -> ((s: SparkSession, d: String) => ext.Search.queryLikelihoodTopK(s, d)),
     "q_phrase_hits"       -> ((s: SparkSession, d: String) => ext.Search.phraseHits(s, d)),
@@ -4087,6 +4089,17 @@ object SparkEntry {
         "SELECT term, ANY_VALUE(df_t) AS df_t, MAX(c) AS u_micro " +
         "FROM scc GROUP BY term ORDER BY term"
     },
+    // block-max variant: per (term, 256-doc block) count + MAX —
+    // doc_id >> 8 replays as floor division
+    "q_bm25_blockmax_bounds" -> {
+      s"WITH $bm25ContribCtesSql " +
+        s"SELECT term, doc_id // ${ext.Search.BlockSize} AS block, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, MAX(c) AS bmax_micro " +
+        "FROM scc GROUP BY term, block ORDER BY term, block"
+    },
+    // block-max pruned evaluation: oracle = the exhaustive ranking
+    // (the q_bm25_maxscore_topk parity-by-oracle discipline)
+    "q_bm25_blockmax_topk" -> bm25ExhaustiveSql,
     // chunk-granular BM25 (r15): the docChunks window algebra yields
     // (chunk, cl, token slice); chunk-level BM25 with the q_bm25
     // expression tree verbatim (chunk stats for N/avgdl/df);

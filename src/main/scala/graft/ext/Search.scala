@@ -610,6 +610,22 @@ object Search {
           .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
   }
 
+  /** The sound pruning threshold: the k-th best TRUE score among the
+    * documents containing the highest-bound term (ties to the smaller
+    * term), as a lazy 1-row frame; fewer than k seed docs → 0.
+    */
+  private def seedTheta(ca: DataFrame, k: Int): DataFrame = {
+    val u = ca.groupBy(col("term")).agg(max(col("c")).as("u_micro"))
+    val tstar = u.orderBy(col("u_micro").desc, col("term")).limit(1)
+      .select(col("term"))
+    val seedDocs = ca.join(broadcast(tstar), Seq("term")).select(col("doc_id"))
+    val seedTop = ca.join(broadcast(seedDocs), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(k)
+    seedTop.agg(count(lit(1)).as("n"), min(col("s")).as("mn"))
+      .select(when(col("n") >= k, col("mn")).otherwise(lit(0L)).as("theta"))
+  }
+
   /** The (doc_id, bound_micro, theta) frame over a [[bm25ContribAll]]
     * output — every candidate document's present-term bound sum beside
     * the seed threshold. [[bm25MaxScoreTopKDf]] filters it; SearchSpec
@@ -618,22 +634,80 @@ object Search {
     */
   private[graft] def bm25MaxScoreBounds(ca: DataFrame, k: Int): DataFrame = {
     val u = ca.groupBy(col("term")).agg(max(col("c")).as("u_micro"))
-    val tstar = u.orderBy(col("u_micro").desc, col("term")).limit(1)
-      .select(col("term"))
-    val seedDocs = ca.join(broadcast(tstar), Seq("term")).select(col("doc_id"))
-    val seedTop = ca.join(broadcast(seedDocs), Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
-      .orderBy(col("s").desc, col("doc_id")).limit(k)
-    val theta = seedTop.agg(count(lit(1)).as("n"), min(col("s")).as("mn"))
-      .select(when(col("n") >= k, col("mn")).otherwise(lit(0L)).as("theta"))
     ca.select(col("doc_id"), col("term"))
       .join(broadcast(u), Seq("term"))
       .groupBy(col("doc_id")).agg(sum(col("u_micro")).as("bound_micro"))
-      .crossJoin(broadcast(theta))
+      .crossJoin(broadcast(seedTheta(ca, k)))
   }
 
   private[graft] def bm25ContribFrame(docs: DataFrame): DataFrame =
     bm25ContribAll(docs)
+
+  /** Documents per posting block: block id = doc_id >> 8 (256-doc
+    * ranges) — arithmetic shift, exact floor division in both engines.
+    * Shared with the oracle builder.
+    */
+  private[graft] val BlockShift = 8
+  private[graft] val BlockSize = 1L << BlockShift
+
+  /** BLOCK-MAX bound table (Ding & Suel SIGIR 2011, "Faster top-k
+    * document retrieval using block-max indexes"): per (term, posting
+    * block of [[BlockSize]] doc ids), the block's document count and
+    * its MAXIMUM snapped contribution — the per-block refinement of
+    * [[bm25TermBounds]] that production indexes store beside each
+    * compressed posting block. Exact BIGINT throughout, fully
+    * oracle-replayed.
+    */
+  def bm25BlockMaxBounds(spark: SparkSession, d: String): DataFrame =
+    bm25BlockMaxBoundsDf(Tables.fanOut(Tables.documents(spark, d)))
+
+  def bm25BlockMaxBoundsDf(docs: DataFrame): DataFrame =
+    bm25ContribAll(docs)
+      .groupBy(col("term"), shiftright(col("doc_id"), BlockShift).as("block"))
+      .agg(count(lit(1)).as("n_docs"), max(col("c")).as("bmax_micro"))
+      .orderBy(col("term"), col("block"))
+
+  /** BLOCK-MAX pruned BM25 top-k: the [[bm25MaxScoreTopKDf]] pipeline
+    * with each document bounded by its own BLOCK's per-term maxima
+    * instead of the global ones — B_d = Σ_t bmax(t, block(d)) over the
+    * document's present terms, a bound that is never looser and
+    * usually strictly tighter, so it prunes at least as many
+    * candidates (SearchSpec asserts both the dominance and parity;
+    * the registered oracle is again the exhaustive ranking). At 100 TB
+    * this is the actual skip structure: the (term, block) bound table
+    * is index metadata, and a block whose bound sum cannot reach θ is
+    * never decompressed.
+    */
+  def bm25BlockMaxTopK(spark: SparkSession, d: String,
+                       k: Int = 10): DataFrame =
+    bm25BlockMaxTopKDf(Tables.fanOut(Tables.documents(spark, d)), k)
+
+  def bm25BlockMaxTopKDf(docs: DataFrame, k: Int = 10): DataFrame = {
+    val ca = bm25ContribAll(docs).persist()
+    val kept = bm25BlockMaxBoundFrame(ca, k)
+      .filter(col("bound_micro") >= col("theta"))
+      .select(col("doc_id"))
+    ca.join(kept, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("score_micro"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+  }
+
+  /** (doc_id, bound_micro, theta) under BLOCK-granular maxima. */
+  private[graft] def bm25BlockMaxBoundFrame(ca: DataFrame, k: Int): DataFrame = {
+    val bmax = ca
+      .groupBy(col("term"), shiftright(col("doc_id"), BlockShift).as("block"))
+      .agg(max(col("c")).as("bmax_micro"))
+    ca.select(col("doc_id"), col("term"),
+        shiftright(col("doc_id"), BlockShift).as("block"))
+      .join(bmax, Seq("term", "block"))
+      .groupBy(col("doc_id")).agg(sum(col("bmax_micro")).as("bound_micro"))
+      .crossJoin(broadcast(seedTheta(ca, k)))
+  }
 
   /** Chunk geometry of [[chunkBm25TopK]] — the [[graft.ext.Corpus]]
     * docChunks defaults (64-token windows, stride 48), shared with

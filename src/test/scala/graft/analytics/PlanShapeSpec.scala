@@ -790,4 +790,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"bound table needs no window:\n$p")
     scalarNestedOnly("q_bm25_term_bounds")
   }
+
+  test("q_bm25_blockmax family: keyed (term, block) aggregates, bounded final") {
+    val pb = plan("q_bm25_blockmax_bounds")
+    assert(!pb.contains("Window"), s"block bound table needs no window:\n$pb")
+    scalarNestedOnly("q_bm25_blockmax_bounds")
+    val pt = plan("q_bm25_blockmax_topk")
+    assert(pt.contains("TakeOrderedAndProject"), s"block-max top-k must be bounded:\n$pt")
+    scalarNestedOnly("q_bm25_blockmax_topk")
+  }
 }

@@ -461,6 +461,38 @@ class SearchSpec extends SparkTestBase {
     assert(p2 == e2, "corpus parity")
   }
 
+  test("block-max pruning: bounds dominate global MaxScore, parity intact") {
+    import spark.implicits._
+    // same shape as the MaxScore fixture: strong docs clustered in low
+    // doc-id blocks, weak docs in a high block whose block-max for
+    // 'merge' is far below the global max (set by the strong docs) —
+    // the per-block bound must be tighter for every doc and prune at
+    // least as many
+    val strong = (1L to 3L).map(i => i -> "hash join scan window merge")
+    val weak = (1000L to 1019L).map(i =>
+      i -> ("merge " + (1 to 30).map(j => s"f$j").mkString(" ")))
+    val docs = (strong ++ weak).toDF("doc_id", "text")
+    val k = 3
+    val pruned = Search.bm25BlockMaxTopKDf(docs, k).collect().toSeq
+    val exhaustive = Search.bm25TopKDf(docs, k).collect().toSeq
+    assert(pruned == exhaustive,
+      s"block-max pruned ranking must equal exhaustive:\n$pruned\n$exhaustive")
+    val ca = Search.bm25ContribFrame(docs)
+    val global = Search.bm25MaxScoreBounds(ca, k).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val block = Search.bm25BlockMaxBoundFrame(ca, k).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(global.keySet == block.keySet, "same candidate sets")
+    block.foreach { case (id, (b, _)) =>
+      assert(b <= global(id)._1,
+        s"block bound must never exceed the global bound: doc $id $b > ${global(id)._1}")
+    }
+    val prunedGlobal = global.count { case (_, (b, th)) => b < th }
+    val prunedBlock = block.count { case (_, (b, th)) => b < th }
+    assert(prunedBlock >= prunedGlobal && prunedBlock >= 20,
+      s"block-max must prune at least as much: block=$prunedBlock global=$prunedGlobal")
+  }
+
   test("stats-frame BM25 equals the scalar form bit-for-bit") {
     // bm25AgainstStats rides (cs_n, cs_s) as a broadcast 1-row frame;
     // the arithmetic tree is bm25Against's with lit(nDocs)/lit(avgdl)
@@ -506,6 +538,8 @@ class SearchSpec extends SparkTestBase {
     Search.bm25TermBoundsDf(docs)
     Search.bm25MaxScoreTopKDf(docs)
     Search.chunkBm25TopKDf(docs)
+    Search.bm25BlockMaxBoundsDf(docs)
+    Search.bm25BlockMaxTopKDf(docs)
     spark.range(1).collect() // sentinel: shuffle-free -> exactly 1 job
     awaitNewJob(before)
     val ran = (jobIds -- before).size
