@@ -2773,6 +2773,43 @@ object SparkEntry {
         "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim_pq DESC, neighbor_id) AS rk FROM psc) " +
         "WHERE rk <= 5 ORDER BY query_id, rk"
     },
+    // SQ-int8 ANN (flipped from rows-only in r15): the derived-cell
+    // integer-Lloyd unroll routes probes; codes quantize in pure
+    // BIGINT arithmetic — m = MAX(ABS(micro x)) per vector,
+    // c = sign(x)·((2·|x|·127 + m) // (2m)), operands non-negative so
+    // both engines' truncating division IS floor — and the code cosine
+    // is the exact integer dot/norm chain, round-6 at the end
+    "q_sq_ann_topk" -> {
+      s"WITH sqk AS (SELECT LEAST(16, COUNT(*)) AS kk FROM embeddings " +
+        "WHERE embedding IS NOT NULL), " +
+        kmeansCtesSqlFor("SELECT kk FROM sqk") + ", " +
+        "sqm AS (SELECT vec_id, MAX(ABS(x)) AS mm FROM kev GROUP BY vec_id), " +
+        "sqc AS MATERIALIZED (SELECT kev.vec_id, kev.dim, " +
+        "CASE WHEN m.mm = 0 THEN 0 " +
+        "WHEN kev.x < 0 THEN -((2*ABS(kev.x)*127 + m.mm) // (2*m.mm)) " +
+        "ELSE (2*ABS(kev.x)*127 + m.mm) // (2*m.mm) END AS cd " +
+        "FROM kev JOIN sqm m ON m.vec_id = kev.vec_id), " +
+        "sqn AS (SELECT vec_id, SUM(cd*cd) AS n2 FROM sqc GROUP BY vec_id), " +
+        "spb AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM kfd) " +
+        "WHERE rn <= LEAST(2, (SELECT kk FROM sqk)) AND vec_id < 8), " +
+        "sdt2 AS (SELECT p.vec_id AS query_id, r.vec_id AS neighbor_id, " +
+        "SUM(qa.cd * rb.cd) AS dt FROM spb p " +
+        "JOIN kfa r ON r.cell = p.cell AND r.vec_id <> p.vec_id " +
+        "JOIN sqc qa ON qa.vec_id = p.vec_id " +
+        "JOIN sqc rb ON rb.vec_id = r.vec_id AND rb.dim = qa.dim " +
+        "GROUP BY p.vec_id, r.vec_id), " +
+        "ssq AS (SELECT d.query_id, d.neighbor_id, " +
+        "CASE WHEN qa.n2 > 0 AND rb.n2 > 0 THEN " +
+        "round(CAST(d.dt AS DOUBLE) / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(rb.n2 AS DOUBLE))), 6) " +
+        "ELSE 0.0 END AS cos_sim_sq " +
+        "FROM sdt2 d JOIN sqn qa ON qa.vec_id = d.query_id " +
+        "JOIN sqn rb ON rb.vec_id = d.neighbor_id) " +
+        "SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, cos_sim_sq FROM " +
+        "(SELECT query_id, neighbor_id, cos_sim_sq, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim_sq DESC, neighbor_id) AS rk FROM ssq) " +
+        "WHERE rk <= 5 ORDER BY query_id, rk"
+    },
     // PQ-code semantic dedup (flipped from rows-only in r15): the
     // shared derived-k Lloyd cells (knnCellsCtesSql — the
     // q_semantic_dedup fit), raw snapped dims into the integer

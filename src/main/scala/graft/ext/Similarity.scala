@@ -597,6 +597,36 @@ object Similarity {
     sqEncode(v.toArray)
   }
 
+  /** INTEGER max-abs int8 quantization (the r15 flip of the SERVING
+    * path): snap once to micro ints, m = max|x_micro|, then
+    * c_i = sign(x_i) · ⌊(2·|x_i|·127 + m) / (2m)⌋ — round-half-away on
+    * the exact rational x_i·127/m, computed entirely in BIGINTs whose
+    * truncating division both engines share (operands non-negative, so
+    * truncation IS floor). |c_i| ≤ 127 by construction (|x| ≤ m);
+    * zero vectors quantize to zero codes. The cosine over codes is
+    * already pure integer arithmetic ([[sqCosineUdf]]'s per-vector
+    * scales cancel), so the whole registered q_sq_ann_topk chain
+    * replays in DuckDB — the float [[sqEncode]] kernel stays as the
+    * reconstruction-bound operator (its scale matters only to callers
+    * that dequantize).
+    */
+  private val sqEncodeIntUdf = udf { v: scala.collection.Seq[Float] =>
+    val x = Clustering.snapVec(v)
+    var m = 0L
+    var i = 0
+    while (i < x.length) { val a = math.abs(x(i)); if (a > m) m = a; i += 1 }
+    val codes = new Array[Byte](x.length)
+    if (m > 0L) {
+      i = 0
+      while (i < x.length) {
+        val c = (2L * math.abs(x(i)) * 127L + m) / (2L * m)
+        codes(i) = (if (x(i) < 0L) -c else c).toByte
+        i += 1
+      }
+    }
+    codes
+  }
+
   /** Cosine of two int8 code vectors (integer dot + norms in one walk).
     * The per-vector scales CANCEL in cosine — s_a·s_b·Σc_a·c_b over
     * (s_a|c_a|)(s_b|c_b|) — so scoring needs no dequantization at all;
@@ -643,11 +673,13 @@ object Similarity {
     * Scale shape mirrors [[ivfAnnTopK]]: quantization + cell
     * assignment are narrow maps, the query side broadcasts CODES (4×
     * smaller than the float broadcast) × nprobe probe rows, and the
-    * final shuffles ≤ k pairs per (query, partition). Rows-only check
-    * — the ROUTING is now oracle-replayable, but the int8 SCORE is
-    * float-rounded at encode time (m/127f and v/scale in FLOAT
-    * arithmetic), which isn't portably reproducible in SQL at hash
-    * precision; recall floors and the error bound live in ScalaTest.
+    * final shuffles ≤ k pairs per (query, partition). FULL ORACLE
+    * since r15: encoding moved to the integer max-abs scheme
+    * ([[sqEncodeIntUdf]] — pure BIGINT round-half-away off the
+    * micro-snapped components), so routing, codes, and the integer
+    * code cosine all replay in DuckDB; the float [[sqEncode]] kernel
+    * keeps its reconstruction-error-bound contract for callers that
+    * dequantize, and the recall floors stay asserted in ScalaTest.
     */
   def sqAnnTopK(spark: SparkSession, d: String,
                 nQueries: Int = 8, k: Int = 5,
@@ -666,11 +698,11 @@ object Similarity {
     require(kk >= 1, "sq ANN needs a non-empty embedding corpus")
     val cents = Clustering.kmeansCentroids(embRaw, kk)
     val emb = embRaw.select(col("vec_id"),
-        sqEncodeUdf(col("embedding")).getField("_2").as("codes"))
+        sqEncodeIntUdf(col("embedding")).as("codes"))
       .join(Clustering.cellAssignments(embRaw, cents), Seq("vec_id"))
     val queries = embRaw.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
-        sqEncodeUdf(col("embedding")).getField("_2").as("q_codes"))
+        sqEncodeIntUdf(col("embedding")).as("q_codes"))
       .join(Clustering.probeAssignments(
           embRaw.filter(col("vec_id") < nQueries), cents,
           math.min(nprobe, kk)).withColumnRenamed("vec_id", "query_id"),
