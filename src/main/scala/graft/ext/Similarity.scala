@@ -1753,7 +1753,8 @@ object Similarity {
     * codebooks — full oracle since r15.
     */
   def semanticDedupDropList(emb: DataFrame, threshold: Double = SemDedupThreshold,
-                            nlist: Int = 0, targetCellSize: Int = 512): DataFrame = {
+                            nlist: Int = 0, targetCellSize: Int = 512,
+                            fitKey: Option[(SparkSession, String)] = None): DataFrame = {
     val embN = emb.filter(col("embedding").isNotNull)
     val k =
       if (nlist > 0) nlist
@@ -1763,7 +1764,14 @@ object Similarity {
         val derived = (n + targetCellSize - 1) / targetCellSize
         (derived max 1L min 1024L min n).toInt
       }
-    val cents = Clustering.kmeansCentroids(emb, k)
+    // the derived-k cells fit is deterministic and shared by both
+    // dedup variants — the registered wrappers ride the session fit
+    // cache (bit-identical to a refit); Df-form callers keep their
+    // standalone fits for planted fixtures
+    val cents = fitKey match {
+      case Some((sp, dd)) => Clustering.fittedCentroids(sp, dd, k)
+      case None => Clustering.kmeansCentroids(emb, k)
+    }
     val cells = embN
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       .join(Clustering.cellAssignments(embN, cents), Seq("vec_id"))
@@ -1797,7 +1805,8 @@ object Similarity {
     */
   def semanticDedupPqDropList(emb: DataFrame, threshold: Double = SemDedupThreshold,
                               nlist: Int = 0, targetCellSize: Int = 512,
-                              m: Int = PqM, kSub: Int = PqKSub): DataFrame = {
+                              m: Int = PqM, kSub: Int = PqKSub,
+                              fitKey: Option[(SparkSession, String)] = None): DataFrame = {
     val embN = emb.filter(col("embedding").isNotNull)
     val k =
       if (nlist > 0) nlist
@@ -1813,9 +1822,22 @@ object Similarity {
     // codebooks, SDC scores exact BIGINT dots of the integer
     // reconstructions; the only float ops are the final
     // sqrt/divide/round-6 per pair, engine-identical.
-    val cents = Clustering.kmeansCentroids(emb, k)
+    val cents = fitKey match {
+      case Some((sp, dd)) => Clustering.fittedCentroids(sp, dd, k)
+      case None => Clustering.kmeansCentroids(emb, k)
+    }
     val snapped = snappedVecs(embN)
-    val cbs = trainPqCodebooksInt(snapped, m, kSub)
+    // the raw-vector codebook fit is deterministic, so the registered
+    // (session, dir) wrapper shares it through the session fit cache
+    // (a hit is bit-identical to a refit; Df-form callers keep their
+    // standalone fits so planted-fixture tests are untouched)
+    val cbs = fitKey match {
+      case Some((sp, dd)) => pqIntFitCache.computeIfAbsent(
+        (sp, dd, s"raw-$m-$kSub"),
+        _ => graft.ArtifactLedger.timed("pq_codebooks")(
+          trainPqCodebooksInt(snapped, m, kSub)))
+      case None => trainPqCodebooksInt(snapped, m, kSub)
+    }
     val enc = pqEncodeIntUdf(cbs, None)
     val cells = snapped
       .join(Clustering.cellAssignments(embN, cents), Seq("vec_id"))
@@ -1850,7 +1872,8 @@ object Similarity {
                            threshold: Double = SemDedupThreshold,
                            nlist: Int = 0): DataFrame = {
     val emb = Tables.embeddings(spark, d)
-    val dropped = semanticDedupPqDropList(emb, threshold, nlist)
+    val dropped = semanticDedupPqDropList(emb, threshold, nlist,
+        fitKey = Some((spark, d)))
       .withColumn("is_dropped", lit(1L))
     emb.select(col("vec_id"), col("label"))
       .join(dropped, Seq("vec_id"), "left")
@@ -1873,7 +1896,8 @@ object Similarity {
   def semanticDedupStats(spark: SparkSession, d: String,
                          threshold: Double = 0.4, nlist: Int = 0): DataFrame = {
     val emb = Tables.embeddings(spark, d)
-    val dropped = semanticDedupDropList(emb, threshold, nlist)
+    val dropped = semanticDedupDropList(emb, threshold, nlist,
+        fitKey = Some((spark, d)))
       .withColumn("is_dropped", lit(1L))
     emb.select(col("vec_id"), col("label"))
       .join(dropped, Seq("vec_id"), "left")
