@@ -134,6 +134,8 @@ object SparkEntry {
     "q_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "q_lsh_ann_topk"      -> ((s: SparkSession, d: String) => Similarity.lshAnnTopK(s, d)),
     "q_ivf_ann_topk"      -> ((s: SparkSession, d: String) => Similarity.ivfAnnTopK(s, d)),
+    "q_ann_recall_audit"  -> ((s: SparkSession, d: String) => Similarity.annRecallAudit(s, d)),
+    "q_pq_distortion_audit" -> ((s: SparkSession, d: String) => Similarity.pqDistortionAudit(s, d)),
     "q_knn_graph"         -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "q_quality_propagation" -> ((s: SparkSession, d: String) => Similarity.qualityPropagation(s, d)),
     "q_embedding_near_dups" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d)),
@@ -1084,6 +1086,72 @@ object SparkEntry {
       s"(tf + $k1 * (${1.0 - b} + $b * dl / (CAST(s AS DOUBLE) / n))) " +
       "* 1000000.0 + 0.5) AS BIGINT) AS c " +
       "FROM sp JOIN sdf ON sp.term = sdf.term CROSS JOIN cs)"
+  }
+
+  /** The IVF-ANN scored-candidate chain (fixed-nlist integer-Lloyd
+    * unroll + exact (d2, cell) probe ranking + probed-cell snapped
+    * cosine) — emits `isc` (query_id, neighbor_id, cos_sim_r); shared
+    * by q_ivf_ann_topk and the r15 recall audit.
+    */
+  private lazy val ivfAnnCtesSql: String = {
+    val np = ext.Similarity.IvfNprobe
+    s"${kmeansCtesSqlFor(ext.Similarity.IvfNlist.toString)}, " +
+      "iv AS MATERIALIZED (SELECT f.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, f.cell " +
+      "FROM embeddings e JOIN kfa f ON e.vec_id = f.vec_id), " +
+      "ipb AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM kfd) " +
+      s"WHERE rn <= $np AND vec_id < 8), " +
+      "isc AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      "round(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim_r " +
+      "FROM ipb p JOIN iv q ON p.vec_id = q.vec_id " +
+      "JOIN iv c ON c.cell = p.cell AND c.vec_id <> p.vec_id)"
+  }
+
+  /** The integer-exact IVF-PQ scored-candidate chain (coarse
+    * integer-Lloyd unroll, exact residual subvectors, the integer
+    * codebook unroll, reconstruction dots) — emits `psc`
+    * (query_id, neighbor_id, cos_sim_pq); shared by q_ivf_pq_topk
+    * and the r15 distortion audit.
+    */
+  private lazy val ivfPqCtesSql: String = {
+
+      val np = ext.Similarity.PqNprobe
+      val m = ext.Similarity.PqM
+      val ki = ext.Clustering.KmeansIters
+      val pi = ext.Similarity.PqIters
+      s"${kmeansCtesSqlFor(ext.Similarity.IvfNlist.toString)}, " +
+        s"psd AS (SELECT (MAX(dim) + 1) // $m AS sd FROM kev), " +
+        "rsb AS MATERIALIZED (SELECT kev.vec_id, " +
+        "CAST(kev.dim // psd.sd AS INTEGER) AS sub, " +
+        "CAST(kev.dim % psd.sd AS INTEGER) AS dim, kev.x - c.cx AS x " +
+        "FROM kev JOIN kfa f ON kev.vec_id = f.vec_id " +
+        s"JOIN kc$ki c ON c.cell = f.cell AND c.dim = kev.dim CROSS JOIN psd), " +
+        pqCodebookCtesSqlFor("pb", "rsb",
+          s"SELECT LEAST(${ext.Similarity.PqKSub}, COUNT(DISTINCT vec_id)) FROM rsb") + ", " +
+        "rcd AS MATERIALIZED (SELECT kev.vec_id, kev.dim, c.cx + cb.cx AS vx " +
+        "FROM kev JOIN kfa f ON kev.vec_id = f.vec_id " +
+        s"JOIN kc$ki c ON c.cell = f.cell AND c.dim = kev.dim " +
+        "CROSS JOIN psd " +
+        "JOIN pbfa a ON a.vec_id = kev.vec_id AND a.sub = kev.dim // psd.sd " +
+        s"JOIN pbc$pi cb ON cb.sub = a.sub AND cb.code = a.code " +
+        "AND cb.dim = kev.dim % psd.sd), " +
+        "prn AS (SELECT vec_id, SUM(vx * vx) AS r2 FROM rcd GROUP BY vec_id), " +
+        "pqn AS (SELECT vec_id, SUM(x * x) AS q2 FROM kev WHERE vec_id < 8 GROUP BY vec_id), " +
+        "ppb AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM kfd) " +
+        s"WHERE rn <= $np AND vec_id < 8), " +
+        "pdt AS (SELECT p.vec_id AS query_id, r.vec_id AS neighbor_id, " +
+        "SUM(qd.x * rd.vx) AS s FROM ppb p " +
+        "JOIN kfa r ON r.cell = p.cell AND r.vec_id <> p.vec_id " +
+        "JOIN kev qd ON qd.vec_id = p.vec_id " +
+        "JOIN rcd rd ON rd.vec_id = r.vec_id AND rd.dim = qd.dim " +
+        "GROUP BY p.vec_id, r.vec_id), " +
+        "psc AS (SELECT d.query_id, d.neighbor_id, " +
+        "CASE WHEN r.r2 > 0 AND q.q2 > 0 THEN " +
+        "round(CAST(d.s AS DOUBLE) / (sqrt(CAST(q.q2 AS DOUBLE)) * sqrt(CAST(r.r2 AS DOUBLE))), 6) " +
+        "ELSE 0.0 END AS cos_sim_pq " +
+        "FROM pdt d JOIN prn r ON r.vec_id = d.neighbor_id " +
+        "JOIN pqn q ON q.vec_id = d.query_id)"
   }
 
   /** Exhaustive probe-term BM25 top-10 — shared verbatim by
@@ -2706,22 +2774,37 @@ object SparkEntry {
     // (exact (d2, cell) ranking over kfd), the probed-cell cosine
     // re-rank is the cosineTopK snap + tiebreak discipline — flipped
     // from rows-only in r14 via the q_knn_graph precedent
-    "q_ivf_ann_topk" -> {
-      val np = ext.Similarity.IvfNprobe
-      s"WITH ${kmeansCtesSqlFor(ext.Similarity.IvfNlist.toString)}, " +
-        "iv AS MATERIALIZED (SELECT f.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, f.cell " +
-        "FROM embeddings e JOIN kfa f ON e.vec_id = f.vec_id), " +
-        "ipb AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
-        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM kfd) " +
-        s"WHERE rn <= $np AND vec_id < 8), " +
-        "isc AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, " +
-        "round(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim_r " +
-        "FROM ipb p JOIN iv q ON p.vec_id = q.vec_id " +
-        "JOIN iv c ON c.cell = p.cell AND c.vec_id <> p.vec_id) " +
+    "q_ivf_ann_topk" ->
+      (s"WITH $ivfAnnCtesSql " +
         "SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, cos_sim_r FROM " +
         "(SELECT query_id, neighbor_id, cos_sim_r, " +
         "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim_r DESC, neighbor_id) AS rk FROM isc) " +
-        "WHERE rk <= 5 ORDER BY query_id, rk"
+        "WHERE rk <= 5 ORDER BY query_id, rk"),
+    // ANN recall audit (r15): both rankings are already engine-exact —
+    // the IVF chain and the brute-force cosine chain — so their
+    // per-query intersection count and the snapped recall replay
+    // unconditionally; this is the number a pipeline watches to tune
+    // nprobe/nlist
+    "q_ann_recall_audit" -> {
+      s"WITH $ivfAnnCtesSql, " +
+        "ivr AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim_r DESC, neighbor_id) AS rk FROM isc) " +
+        "WHERE rk <= 5), " +
+        "xq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "xs AS (SELECT query_id, c.vec_id AS neighbor_id, " +
+        "round(list_cosine_similarity(q_emb, CAST(c.embedding AS DOUBLE[])), 6) AS cs " +
+        "FROM embeddings c JOIN xq ON xq.query_id <> c.vec_id), " +
+        "xr AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk FROM xs) " +
+        "WHERE rk <= 5), " +
+        "exb AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM xr GROUP BY query_id), " +
+        "ovb AS (SELECT x.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap FROM xr x " +
+        "JOIN ivr i ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id " +
+        "GROUP BY x.query_id) " +
+        "SELECT e.query_id, e.n_exact, COALESCE(o.n_overlap, 0) AS n_overlap, " +
+        "floor(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / e.n_exact * 1000000.0 + 0.5) / 1000000.0 AS recall " +
+        "FROM exb e LEFT JOIN ovb o ON o.query_id = e.query_id ORDER BY e.query_id"
     },
     // IVF-PQ ANN (flipped from rows-only in r15): the fixed-nlist
     // integer-Lloyd unroll yields cells AND exact integer residuals;
@@ -2730,48 +2813,32 @@ object SparkEntry {
     // reconstruction dot SUM(q_d * (c_d + r̂_d)) — equal to Spark's
     // ADC-table sum by integer associativity; norms are exact BIGINT
     // micro², the only floats the final sqrt/divide/round-6
-    "q_ivf_pq_topk" -> {
-      val np = ext.Similarity.PqNprobe
-      val m = ext.Similarity.PqM
-      val ki = ext.Clustering.KmeansIters
-      val pi = ext.Similarity.PqIters
-      s"WITH ${kmeansCtesSqlFor(ext.Similarity.IvfNlist.toString)}, " +
-        s"psd AS (SELECT (MAX(dim) + 1) // $m AS sd FROM kev), " +
-        "rsb AS MATERIALIZED (SELECT kev.vec_id, " +
-        "CAST(kev.dim // psd.sd AS INTEGER) AS sub, " +
-        "CAST(kev.dim % psd.sd AS INTEGER) AS dim, kev.x - c.cx AS x " +
-        "FROM kev JOIN kfa f ON kev.vec_id = f.vec_id " +
-        s"JOIN kc$ki c ON c.cell = f.cell AND c.dim = kev.dim CROSS JOIN psd), " +
-        pqCodebookCtesSqlFor("pb", "rsb",
-          s"SELECT LEAST(${ext.Similarity.PqKSub}, COUNT(DISTINCT vec_id)) FROM rsb") + ", " +
-        "rcd AS MATERIALIZED (SELECT kev.vec_id, kev.dim, c.cx + cb.cx AS vx " +
-        "FROM kev JOIN kfa f ON kev.vec_id = f.vec_id " +
-        s"JOIN kc$ki c ON c.cell = f.cell AND c.dim = kev.dim " +
-        "CROSS JOIN psd " +
-        "JOIN pbfa a ON a.vec_id = kev.vec_id AND a.sub = kev.dim // psd.sd " +
-        s"JOIN pbc$pi cb ON cb.sub = a.sub AND cb.code = a.code " +
-        "AND cb.dim = kev.dim % psd.sd), " +
-        "prn AS (SELECT vec_id, SUM(vx * vx) AS r2 FROM rcd GROUP BY vec_id), " +
-        "pqn AS (SELECT vec_id, SUM(x * x) AS q2 FROM kev WHERE vec_id < 8 GROUP BY vec_id), " +
-        "ppb AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
-        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM kfd) " +
-        s"WHERE rn <= $np AND vec_id < 8), " +
-        "pdt AS (SELECT p.vec_id AS query_id, r.vec_id AS neighbor_id, " +
-        "SUM(qd.x * rd.vx) AS s FROM ppb p " +
-        "JOIN kfa r ON r.cell = p.cell AND r.vec_id <> p.vec_id " +
-        "JOIN kev qd ON qd.vec_id = p.vec_id " +
-        "JOIN rcd rd ON rd.vec_id = r.vec_id AND rd.dim = qd.dim " +
-        "GROUP BY p.vec_id, r.vec_id), " +
-        "psc AS (SELECT d.query_id, d.neighbor_id, " +
-        "CASE WHEN r.r2 > 0 AND q.q2 > 0 THEN " +
-        "round(CAST(d.s AS DOUBLE) / (sqrt(CAST(q.q2 AS DOUBLE)) * sqrt(CAST(r.r2 AS DOUBLE))), 6) " +
-        "ELSE 0.0 END AS cos_sim_pq " +
-        "FROM pdt d JOIN prn r ON r.vec_id = d.neighbor_id " +
-        "JOIN pqn q ON q.vec_id = d.query_id) " +
+    "q_ivf_pq_topk" ->
+      (s"WITH $ivfPqCtesSql " +
         "SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, cos_sim_pq FROM " +
         "(SELECT query_id, neighbor_id, cos_sim_pq, " +
         "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim_pq DESC, neighbor_id) AS rk FROM psc) " +
-        "WHERE rk <= 5 ORDER BY query_id, rk"
+        "WHERE rk <= 5 ORDER BY query_id, rk"),
+    // PQ distortion audit (r15): the integer-exact PQ top-k pairs
+    // re-scored with the exact float cosine (the q_cosine_topk
+    // discipline), deltas in exact micro ints before the mean — the
+    // quantization-quality metric, itself oracle-gated
+    "q_pq_distortion_audit" -> {
+      s"WITH $ivfPqCtesSql, " +
+        "pqt AS (SELECT query_id, neighbor_id, cos_sim_pq FROM " +
+        "(SELECT query_id, neighbor_id, cos_sim_pq, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim_pq DESC, neighbor_id) AS rk FROM psc) " +
+        "WHERE rk <= 5), " +
+        "pqe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings " +
+        "WHERE embedding IS NOT NULL), " +
+        "pex AS (SELECT t.query_id, " +
+        "CAST(floor(t.cos_sim_pq * 1000000.0 + 0.5) AS BIGINT) - " +
+        "CAST(floor(round(list_cosine_similarity(qe.emb, ne.emb), 6) * 1000000.0 + 0.5) AS BIGINT) AS dmicro " +
+        "FROM pqt t JOIN pqe qe ON qe.vec_id = t.query_id " +
+        "JOIN pqe ne ON ne.vec_id = t.neighbor_id) " +
+        "SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "floor(CAST(SUM(ABS(dmicro)) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS mean_abs_err " +
+        "FROM pex GROUP BY query_id ORDER BY query_id"
     },
     // SQ-int8 ANN (flipped from rows-only in r15): the derived-cell
     // integer-Lloyd unroll routes probes; codes quantize in pure

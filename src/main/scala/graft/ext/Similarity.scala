@@ -409,6 +409,35 @@ object Similarity {
     topKFinal(scored, "cos_sim_r", k)
   }
 
+  /** ANN RECALL AUDIT (r15): per query, how many of the exact
+    * brute-force top-k the IVF index recovered — recall@k, THE number
+    * a serving pipeline watches to tune nprobe/nlist (FAISS's own
+    * evaluation protocol). Pure composition of two already-exact
+    * rankings ([[cosineTopK]] and [[ivfAnnTopK]]), so the per-query
+    * intersection count and the 6-dp-snapped recall replay
+    * unconditionally in DuckDB — an EVALUATION HARNESS that is itself
+    * oracle-gated, unlike the spec-level recall floors.
+    *
+    * Scale shape: both inputs are bounded (nQueries × k rows); the
+    * overlap is one keyed semi-join + two tiny aggregates.
+    */
+  def annRecallAudit(spark: SparkSession, d: String,
+                     nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val exact = cosineTopK(spark, d, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfAnnTopK(spark, d, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val base = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+    val hit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    base.join(hit, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (floor(coalesce(col("n_overlap"), lit(0L)).cast("double")
+          / col("n_exact") * lit(1e6) + lit(0.5)) / lit(1e6)).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Embedding-coverage audit: per source, how many documents have a
     * vector in the embeddings table and how many are missing — the
     * feature-store completeness check a pipeline runs before any
@@ -1317,6 +1346,38 @@ object Similarity {
             (col("q_norm") * col("rec_norm")), 6))
           .otherwise(lit(0.0)).as("cos_sim_pq"))
     topKFinal(scored, "cos_sim_pq", k)
+  }
+
+  /** PQ DISTORTION AUDIT (r15): the integer-exact IVF-PQ top-k pairs
+    * re-scored with the exact cosine, per-query mean |Δcos| in exact
+    * micro units — the quantization-quality metric a pipeline watches
+    * to size m/kSub (the recall-vs-memory dial). Deltas compute on
+    * the 6-dp-snapped micro INTEGERS of both scores before the mean,
+    * so summation order cannot perturb anything and the whole audit
+    * replays in DuckDB — an oracle-gated evaluation harness, like
+    * [[annRecallAudit]].
+    */
+  def pqDistortionAudit(spark: SparkSession, d: String,
+                        nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val pq = ivfPqTopKInt(spark, d, nQueries, k)
+    val e = Tables.embeddings(spark, d).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    pq.join(e.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"),
+        (floor(col("cos_sim_pq") * lit(1e6) + lit(0.5)).cast("long") -
+          floor(round(dot(col("q_emb"), col("embedding"))
+            / (col("q_nrm") * col("nrm")), 6) * lit(1e6) + lit(0.5)).cast("long"))
+          .as("dmicro"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(abs(col("dmicro"))).as("sae"))
+      .select(col("query_id"), col("n_pairs"),
+        (floor(col("sae").cast("double") / col("n_pairs") + lit(0.5)) / lit(1e6))
+          .as("mean_abs_err"))
+      .orderBy(col("query_id"))
   }
 
   /** Symmetric-distance (SDC) dot tables: per subspace, the kSub × kSub
