@@ -902,6 +902,33 @@ class DedupSimilaritySpec extends SparkTestBase {
       "3-vector corpus must be servable with the default nlist=16")
   }
 
+  test("ANN audits: recall equals the rankings' intersection, distortion bounded") {
+    val exact = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val ivf = Similarity.ivfAnnTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val audit = Similarity.annRecallAudit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    exact.groupBy(_._1).foreach { case (qid, pairs) =>
+      val overlap = pairs.count(ivf.contains)
+      val (nExact, nOverlap, recall) = audit(qid)
+      assert(nExact == pairs.length && nOverlap == overlap,
+        s"audit counts wrong for $qid: $nExact/$nOverlap vs ${pairs.length}/$overlap")
+      val want = math.floor(overlap.toDouble / pairs.length * 1e6 + 0.5) / 1e6
+      assert(recall == want, s"recall snap mismatch for $qid: $recall vs $want")
+    }
+    assert(audit.keySet == exact.map(_._1).toSet, "one audit row per query")
+    // the distortion audit mirrors the spec's 0.2 per-pair bound in
+    // the mean: 16 subspaces x 256 codes track 64-dim cosines closely
+    val dist = Similarity.pqDistortionAudit(spark, sfDir).collect()
+    assert(dist.length == audit.size, "one distortion row per query")
+    dist.foreach { r =>
+      val err = r.getDouble(2)
+      assert(err >= 0.0 && err <= 0.2,
+        s"PQ mean distortion out of band for ${r.getLong(0)}: $err")
+    }
+  }
+
   test("topKFinal equals the rank-window oracle on ties, NaN, and real scores") {
     import spark.implicits._
     // -0.0 first, directly on the aggregator: normalized to 0.0 on
