@@ -68,4 +68,19 @@ class SessionArtifactSpec extends SparkTestBase {
     assert(rows(TextAnalysis.topCollocations(spark, sfDir)) ==
       rows(TextAnalysis.topCollocationsDf(rawDocs)))
   }
+
+  test("semantic dedup drop lists via the session fit caches equal standalone fits") {
+    // the r15 share: the registered wrappers take the derived-k cells
+    // fit (and the PQ raw codebooks) from the session caches; both
+    // fits are deterministic, so the drop lists must be IDENTICAL to
+    // a standalone refit — the fitKey=None path planted-fixture tests
+    // exercise
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    assert(rows(Similarity.semanticDedupDropList(emb,
+        fitKey = Some((spark, sfDir)))) ==
+      rows(Similarity.semanticDedupDropList(emb)))
+    assert(rows(Similarity.semanticDedupPqDropList(emb,
+        fitKey = Some((spark, sfDir)))) ==
+      rows(Similarity.semanticDedupPqDropList(emb)))
+  }
 }
