@@ -1048,6 +1048,15 @@ object Similarity {
     * m-byte code, norm²) reach the probe join; queries are a bounded
     * driver collect (the training-sample precedent) shipped as ADC
     * closure tables; finals are the bounded aggregator.
+    *
+    * LAZINESS EXEMPTION (explicit, the r15 advisor's consistency
+    * note): this builder runs jobs at DataFrame CONSTRUCTION — the
+    * coarse/codebook fits (session-cached, [[graft.ArtifactLedger]]
+    * -priced on first build) and the ≤nQueries-row query collect that
+    * becomes the plan-resident ADC tables. That is the documented
+    * training-sample/eager-builder precedent, NOT the retrieval
+    * family's zero-jobs-at-build contract — SearchSpec's listener test
+    * deliberately excludes the PQ/ANN builders for this reason.
     */
   def ivfPqTopKInt(spark: SparkSession, d: String,
                    nQueries: Int = 8, k: Int = 5,

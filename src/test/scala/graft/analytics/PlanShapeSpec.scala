@@ -742,12 +742,8 @@ class PlanShapeSpec extends SparkTestBase {
     // scalar shape, anything else all-pairs
     for (q <- Seq("q_crawl_depth", "q_web_bowtie")) {
       val p = plan(q)
-      assert(!p.contains("CartesianProduct") && !p.contains("Window"),
-        s"$q tail must stay keyed:\n$p")
-      val nested = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
-      val scalarBroadcasts = p.linesIterator.count(_.contains("IdentityBroadcastMode"))
-      assert(nested <= scalarBroadcasts,
-        s"$q has a non-scalar nested loop ($nested loops, $scalarBroadcasts scalar):\n$p")
+      assert(!p.contains("Window"), s"$q tail must stay keyed:\n$p")
+      scalarNestedOnly(q)
     }
   }
 
@@ -759,13 +755,48 @@ class PlanShapeSpec extends SparkTestBase {
       s"incremental rank tail must stay keyed:\n$p")
   }
 
+  /** Every BroadcastNestedLoopJoin in `q`'s physical plan must build
+    * from an IDENTITY broadcast (the 1-row scalar-frame crossJoin
+    * shape) — asserted PER JOIN against the join's actual build-side
+    * child, not by comparing global line counts (the r15 advisor's
+    * finding: a count comparison lets a genuine all-pairs nested loop
+    * pass whenever an unrelated scalar broadcast exists elsewhere).
+    */
   private def scalarNestedOnly(q: String): Unit = {
-    val p = plan(q)
-    assert(!p.contains("CartesianProduct"), s"$q went all-pairs:\n$p")
-    val nested = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
-    val scalarBroadcasts = p.linesIterator.count(_.contains("IdentityBroadcastMode"))
-    assert(nested <= scalarBroadcasts,
-      s"$q has a non-scalar nested loop ($nested loops, $scalarBroadcasts scalar):\n$p")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, BroadcastQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode
+    val root = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+    def all(p: SparkPlan): Seq[SparkPlan] = {
+      val deeper = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: BroadcastQueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      p +: deeper.flatMap(all)
+    }
+    val nodes = all(root)
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
+      s"$q went all-pairs:\n$root")
+    // the build side of a BNLJ is the broadcast child itself, modulo
+    // reuse/AQE-stage wrappers — unwrap those, then demand the
+    // identity (as-is rows, no hash relation) mode of a scalar frame
+    def scalarBuild(p: SparkPlan): Boolean = p match {
+      case b: BroadcastExchangeExec => b.mode == IdentityBroadcastMode
+      case r: ReusedExchangeExec => scalarBuild(r.child)
+      case s: BroadcastQueryStageExec => scalarBuild(s.plan)
+      case w if w.children.size == 1 => scalarBuild(w.children.head)
+      case _ => false
+    }
+    nodes.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+      val build = if (j.buildSide == BuildLeft) j.left else j.right
+      assert(scalarBuild(build),
+        s"$q has a BroadcastNestedLoopJoin whose build side is not an " +
+          s"identity (1-row scalar) broadcast:\n$j")
+    }
   }
 
   test("q_chunk_bm25_topk: aggregate roll-up (no corpus rank window), bounded final") {

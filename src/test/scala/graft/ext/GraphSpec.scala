@@ -129,10 +129,16 @@ class GraphSpec extends SparkTestBase {
   }
 
   test("trustrank refuses an empty seed set loudly") {
-    val e = intercept[IllegalArgumentException] {
+    // the guard is IN-PLAN since r16 (raise_error on the broadcast
+    // seed-count frame) — it fires at the r0 checkpoint
+    // materialization inside the eager builder, surfacing as a Spark
+    // job failure whose cause chain carries the message
+    val e = intercept[Exception] {
       Graph.trustrankDf(docs, col("source") === lit("no_such_source"), 2, 10)
     }
-    assert(e.getMessage.contains("seed set is empty"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("seed set is empty"), msgs)
   }
 
   test("trustrank with the full frontier as seeds IS pagerank") {
