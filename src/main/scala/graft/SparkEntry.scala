@@ -135,6 +135,7 @@ object SparkEntry {
     "q_lsh_ann_topk"      -> ((s: SparkSession, d: String) => Similarity.lshAnnTopK(s, d)),
     "q_ivf_ann_topk"      -> ((s: SparkSession, d: String) => Similarity.ivfAnnTopK(s, d)),
     "q_ann_recall_audit"  -> ((s: SparkSession, d: String) => Similarity.annRecallAudit(s, d)),
+    "q_ann_tuning_curve"  -> ((s: SparkSession, d: String) => Similarity.annTuningCurve(s, d)),
     "q_pq_distortion_audit" -> ((s: SparkSession, d: String) => Similarity.pqDistortionAudit(s, d)),
     "q_knn_graph"         -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "q_quality_propagation" -> ((s: SparkSession, d: String) => Similarity.qualityPropagation(s, d)),
@@ -2805,6 +2806,52 @@ object SparkEntry {
         "SELECT e.query_id, e.n_exact, COALESCE(o.n_overlap, 0) AS n_overlap, " +
         "floor(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / e.n_exact * 1000000.0 + 0.5) / 1000000.0 AS recall " +
         "FROM exb e LEFT JOIN ovb o ON o.query_id = e.query_id ORDER BY e.query_id"
+    },
+    // ANN tuning curve (r16): ONE scored pass at the grid maximum with
+    // the probe rank kept (ROW_NUMBER over (d2, cell) on kfd — the ipb
+    // discipline); each nprobe setting filters prank <= np, per-setting
+    // top-k under (cos DESC, id), micro recall + candidate cost per
+    // setting — the recall-vs-cost sweep, itself hash-gated
+    "q_ann_tuning_curve" -> {
+      val grid = ext.Similarity.TuneNprobes.mkString("[", ", ", "]")
+      val maxNp = ext.Similarity.TuneNprobes.max
+      s"WITH ${kmeansCtesSqlFor(ext.Similarity.IvfNlist.toString)}, " +
+        "gv AS MATERIALIZED (SELECT f.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, f.cell " +
+        "FROM embeddings e JOIN kfa f ON e.vec_id = f.vec_id), " +
+        "gpb AS (SELECT vec_id, cell, CAST(rn AS BIGINT) AS prank FROM " +
+        "(SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM kfd) " +
+        s"WHERE rn <= $maxNp AND vec_id < 8), " +
+        "gsc AS MATERIALIZED (SELECT p.vec_id AS query_id, p.prank, c.vec_id AS neighbor_id, " +
+        "round(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim_r " +
+        "FROM gpb p JOIN gv q ON p.vec_id = q.vec_id " +
+        "JOIN gv c ON c.cell = p.cell AND c.vec_id <> p.vec_id), " +
+        s"gst AS (SELECT CAST(unnest($grid) AS BIGINT) AS nprobe), " +
+        "gcand AS MATERIALIZED (SELECT s.nprobe, g.query_id, g.neighbor_id, g.cos_sim_r " +
+        "FROM gst s JOIN gsc g ON g.prank <= s.nprobe), " +
+        "gtop AS (SELECT nprobe, query_id, neighbor_id FROM " +
+        "(SELECT nprobe, query_id, neighbor_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY nprobe, query_id ORDER BY cos_sim_r DESC, neighbor_id) AS rk " +
+        "FROM gcand) WHERE rk <= 5), " +
+        // exact side: the q_ann_recall_audit xq/xs/xr chain verbatim
+        // (same null handling as cosineTopK), renamed to avoid CTE
+        // collisions with the audit if ever composed
+        "txq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "txs AS (SELECT query_id, c.vec_id AS neighbor_id, " +
+        "round(list_cosine_similarity(q_emb, CAST(c.embedding AS DOUBLE[])), 6) AS cs " +
+        "FROM embeddings c JOIN txq ON txq.query_id <> c.vec_id), " +
+        "txr AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk FROM txs) " +
+        "WHERE rk <= 5), " +
+        "gex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM txr), " +
+        "gnc AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM gcand GROUP BY nprobe), " +
+        "gov AS (SELECT t.nprobe, CAST(COUNT(*) AS BIGINT) AS n_overlap FROM gtop t " +
+        "JOIN txr x ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id GROUP BY t.nprobe) " +
+        "SELECT s.nprobe, COALESCE(gnc.n_candidates, 0) AS n_candidates, gex.n_exact, " +
+        "COALESCE(gov.n_overlap, 0) AS n_overlap, " +
+        "floor(CAST(COALESCE(gov.n_overlap, 0) AS DOUBLE) / gex.n_exact * 1000000.0 + 0.5) / 1000000.0 AS recall " +
+        "FROM gst s LEFT JOIN gnc ON gnc.nprobe = s.nprobe " +
+        "LEFT JOIN gov ON gov.nprobe = s.nprobe CROSS JOIN gex ORDER BY s.nprobe"
     },
     // IVF-PQ ANN (flipped from rows-only in r15): the fixed-nlist
     // integer-Lloyd unroll yields cells AND exact integer residuals;

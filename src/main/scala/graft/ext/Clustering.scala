@@ -281,6 +281,23 @@ object Clustering {
       .select(col("vec_id"), explode(p).as("probe_cell"))
   }
 
+  /** [[probeAssignments]] with the probe RANK kept (1-based position
+    * in the same exact (d2, cell) order) — one scored pass can then
+    * serve every nprobe setting of a tuning grid by filtering
+    * `prank <= nprobe` ([[Similarity.annTuningCurve]]); the oracle
+    * replays the rank as ROW_NUMBER over (d2, cell) on the kfd table.
+    */
+  private[ext] def probeAssignmentsRanked(vecs: DataFrame,
+                                          cents: Array[Array[Long]],
+                                          nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"need nprobe >= 1, got $nprobe")
+    val p = probeUdf(cents, nprobe)(col("embedding"))
+    vecs.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), posexplode(p).as(Seq("pos", "probe_cell")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("prank"),
+        col("probe_cell"))
+  }
+
   /** The nprobe-smallest (d2, cell) cells as an ordered array — the
     * multi-probe sibling of [[assignUdf]]'s argmin, same exact-BIGINT
     * distances, same lower-cell tie rule (insertion keeps the first

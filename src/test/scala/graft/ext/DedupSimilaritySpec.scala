@@ -266,6 +266,32 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(again == pairs)
   }
 
+  test("ANN tuning curve: one row per grid setting, monotone cost and recall") {
+    val rows = Similarity.annTuningCurve(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Similarity.TuneNprobes,
+      "one row per grid setting, grid order")
+    // widening the probe set can only ADD candidates, and the approx
+    // top-k over a superset can only get closer to the exact top-k's
+    // scores — candidates must be non-decreasing; recall in practice
+    // is too (a strict theorem only for candidate sets, so assert the
+    // weaker no-collapse form: the largest setting dominates the
+    // smallest)
+    val cands = rows.map(_.getAs[Long]("n_candidates")).toSeq
+    assert(cands == cands.sorted, s"candidate cost must be non-decreasing: $cands")
+    val recalls = rows.map(_.getAs[Double]("recall")).toSeq
+    assert(recalls.last >= recalls.head,
+      s"recall at the widest setting must dominate the narrowest: $recalls")
+    assert(rows.forall(r => r.getAs[Long]("n_overlap") <= r.getAs[Long]("n_exact")),
+      "overlap bounded by the exact set")
+    // the fixed audit point (nprobe = IvfNprobe) sits ON the curve:
+    // same recall as q_ann_recall_audit's aggregate
+    val audit = Similarity.annRecallAudit(spark, sfDir).collect()
+    val auditOverlap = audit.map(_.getAs[Long]("n_overlap")).sum
+    val curveAtAudit = rows.find(_.getAs[Long]("nprobe") == Similarity.IvfNprobe.toLong)
+    assert(curveAtAudit.exists(_.getAs[Long]("n_overlap") == auditOverlap),
+      s"curve at nprobe=${Similarity.IvfNprobe} must reproduce the audit overlap")
+  }
+
   test("knn graph: every vector reports <= k neighbors; recall on a clustered fixture") {
     // two tight clusters far apart: each member's true nearest neighbors
     // are its own cluster — the graph must recover them through the
