@@ -327,6 +327,8 @@ object SparkEntry {
     "q_term_postings"     -> ((s: SparkSession, d: String) => ext.Search.termPostings(s, d)),
     "q_bm25_topk"         -> ((s: SparkSession, d: String) => ext.Search.bm25TopK(s, d)),
     "q_chunk_bm25_topk"   -> ((s: SparkSession, d: String) => ext.Search.chunkBm25TopK(s, d)),
+    "q_section_chunks"    -> ((s: SparkSession, d: String) => ext.Search.sectionChunks(s, d)),
+    "q_section_bm25_topk" -> ((s: SparkSession, d: String) => ext.Search.sectionBm25TopK(s, d)),
     "q_bm25_term_bounds"  -> ((s: SparkSession, d: String) => ext.Search.bm25TermBounds(s, d)),
     "q_bm25_maxscore_topk" -> ((s: SparkSession, d: String) => ext.Search.bm25MaxScoreTopK(s, d)),
     "q_bm25_blockmax_bounds" -> ((s: SparkSession, d: String) => ext.Search.bm25BlockMaxBounds(s, d)),
@@ -1066,6 +1068,56 @@ object SparkEntry {
   // slice; the Spark side keys the same buckets by xxhash64 of that
   // slice — injective up to 2^-64 collisions (the documented
   // decontamination bound), so the emitted pair sets are identical.
+
+  /** The section-chunking chain — ext.Search.sectionChunksDf over the
+    * synthesized markdown (sectionMdFrame), replayed stage for stage:
+    * the two heading-trigger replaces, the trailing-empty-preserving
+    * newline split, the `#{1,} ` heading parse, the running
+    * section-id/per-level `lpad(pos)‖text` window maxima (ONE window),
+    * the section aggregate (ordered content join, heading, line
+    * count), and the active-heading path rule (level L active iff its
+    * latest position beats every shallower level's latest). Emits
+    * `ssx` (doc_id, section_id, level, heading, heading_path, n_lines,
+    * st, cl).
+    */
+  private lazy val sectionCtesSql: String = {
+    val h2 = ext.Search.SectionH2Term
+    val h3 = ext.Search.SectionH3Term
+    def hp(h: String) = s"CAST(substring($h, 1, 8) AS BIGINT)"
+    "smd AS (SELECT doc_id, '# DOC ' || doc_id || chr(10) || " +
+      s"replace(replace(text, ' $h2 ', chr(10) || '## $h2' || chr(10)), " +
+      s"' $h3 ', chr(10) || '### $h3' || chr(10)) AS md " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "sln AS (SELECT doc_id, CAST(gs.p - 1 AS BIGINT) AS pos, ls[gs.p] AS line " +
+      "FROM (SELECT doc_id, string_split(md, chr(10)) AS ls FROM smd) sm, " +
+      "LATERAL (SELECT unnest(generate_series(1, len(ls))) AS p) gs), " +
+      "spr AS (SELECT doc_id, pos, line, " +
+      "CAST(length(regexp_extract(line, '^(#+) ', 1)) AS BIGINT) AS level, " +
+      "trim(regexp_replace(line, '^#+[ ]*', '')) AS htext FROM sln), " +
+      "stg AS MATERIALIZED (SELECT doc_id, pos, line, level, htext, " +
+      "CAST(SUM(CASE WHEN level > 0 THEN 1 ELSE 0 END) OVER w AS BIGINT) AS section_id, " +
+      "MAX(CASE WHEN level = 1 THEN lpad(CAST(pos AS VARCHAR), 8, '0') || htext END) OVER w AS h1, " +
+      "MAX(CASE WHEN level = 2 THEN lpad(CAST(pos AS VARCHAR), 8, '0') || htext END) OVER w AS h2, " +
+      "MAX(CASE WHEN level = 3 THEN lpad(CAST(pos AS VARCHAR), 8, '0') || htext END) OVER w AS h3 " +
+      "FROM spr WINDOW w AS (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+      "sga AS (SELECT doc_id, section_id, MIN(pos) AS start_pos, " +
+      "CAST(COALESCE(MAX(CASE WHEN level > 0 THEN level END), 0) AS BIGINT) AS level, " +
+      "COALESCE(MAX(CASE WHEN level > 0 THEN htext END), '') AS heading, " +
+      "CAST(SUM(CASE WHEN level = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines, " +
+      "COALESCE(string_agg(CASE WHEN level = 0 THEN line END, ' ' ORDER BY pos), '') AS st, " +
+      "MAX(h1) AS h1, MAX(h2) AS h2, MAX(h3) AS h3 " +
+      "FROM stg GROUP BY doc_id, section_id), " +
+      "ssx AS MATERIALIZED (SELECT doc_id, section_id, level, heading, " +
+      "concat_ws(' > ', " +
+      "CASE WHEN h1 IS NOT NULL THEN substring(h1, 9) END, " +
+      s"CASE WHEN h2 IS NOT NULL AND ${hp("h2")} > COALESCE(${hp("h1")}, -1) THEN substring(h2, 9) END, " +
+      s"CASE WHEN h3 IS NOT NULL AND ${hp("h3")} > COALESCE(${hp("h1")}, -1) " +
+      s"AND ${hp("h3")} > COALESCE(${hp("h2")}, -1) THEN substring(h3, 9) END) AS heading_path, " +
+      "n_lines, st, " +
+      "CASE WHEN st = '' THEN 0 ELSE CAST(len(string_split_regex(trim(st), '\\s+')) AS BIGINT) END AS cl " +
+      "FROM sga)"
+  }
 
   /** The per-(doc, term) snapped BM25 contribution chain over the
     * probed postings — ext.Search.bm25ContribAll replayed term for
@@ -4303,6 +4355,58 @@ object SparkEntry {
         s"CASE WHEN pos IS NOT NULL THEN substring(ct, CAST(greatest(1, pos - $pad) AS INT), " +
         s"CAST(pos + tl + ${pad - 1} - greatest(1, pos - $pad) + 1 AS INT)) ELSE '' END AS snippet " +
         "FROM cs2 ORDER BY rank"
+    },
+    // section splitter (r16): the sectionChunksDf chain — heading
+    // parse, running window maxima, active-path rule — all exact
+    // string/integer ops
+    "q_section_chunks" ->
+      (s"WITH $sectionCtesSql " +
+        "SELECT doc_id, section_id, level, heading_path, n_lines, cl " +
+        "FROM ssx ORDER BY doc_id, section_id"),
+    // section-granular BM25 (r16): the chunk-BM25 expression tree over
+    // structure-derived sections, winner payload = heading path + KWIC
+    // snippet (the q_chunk_bm25_topk discipline)
+    "q_section_bm25_topk" -> {
+      val probe = ext.Search.ProbeTerms.map(t => s"'$t'").mkString(", ")
+      val k1 = ext.Search.K1
+      val b = ext.Search.B
+      val pad = ext.Search.SnippetPad
+      val topK = ext.Search.SectionTopK
+      val posCase = "CASE " + ext.Search.ProbeTerms.map(tm =>
+        s"WHEN strpos(lower(ct), '$tm') > 0 THEN CAST(strpos(lower(ct), '$tm') AS BIGINT)")
+        .mkString(" ") + " END"
+      val tlCase = "CASE " + ext.Search.ProbeTerms.map(tm =>
+        s"WHEN strpos(lower(ct), '$tm') > 0 THEN CAST(${tm.length} AS BIGINT)")
+        .mkString(" ") + " END"
+      s"WITH $sectionCtesSql, " +
+        "zst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cl) AS BIGINT) AS s FROM ssx), " +
+        "zp AS MATERIALIZED (SELECT doc_id, section_id, term, CAST(COUNT(*) AS BIGINT) AS tf, " +
+        "ANY_VALUE(cl) AS cl FROM (SELECT doc_id, section_id, cl, " +
+        "unnest(string_split_regex(trim(st), '\\s+')) AS term FROM ssx WHERE cl > 0) " +
+        s"WHERE term IN ($probe) GROUP BY doc_id, section_id, term), " +
+        "zdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM zp GROUP BY term), " +
+        "zsc AS (SELECT doc_id, section_id, CAST(SUM(CAST(floor(" +
+        "ln(1.0 + (CAST(n AS DOUBLE) - df_t + 0.5) / (df_t + 0.5)) * tf / " +
+        s"(tf + $k1 * (${1.0 - b} + $b * cl / (CAST(s AS DOUBLE) / n))) " +
+        "* 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS section_score " +
+        "FROM zp JOIN zdf ON zp.term = zdf.term CROSS JOIN zst GROUP BY doc_id, section_id), " +
+        "zb AS (SELECT doc_id, section_id, section_score AS score_micro, n_sections_hit FROM " +
+        "(SELECT doc_id, section_id, section_score, " +
+        "CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_sections_hit, " +
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY section_score DESC, section_id) AS rn " +
+        "FROM zsc) WHERE rn = 1), " +
+        "ztp AS (SELECT doc_id, section_id, score_micro, n_sections_hit, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank " +
+        s"FROM zb ORDER BY score_micro DESC, doc_id LIMIT $topK), " +
+        "zsn AS (SELECT p.rank, p.doc_id, p.section_id, x.heading_path, " +
+        "p.score_micro, p.n_sections_hit, x.st AS ct FROM ztp p " +
+        "JOIN ssx x ON x.doc_id = p.doc_id AND x.section_id = p.section_id), " +
+        s"zs2 AS (SELECT rank, doc_id, section_id, heading_path, score_micro, n_sections_hit, ct, " +
+        s"$posCase AS pos, $tlCase AS tl FROM zsn) " +
+        "SELECT rank, doc_id, section_id, heading_path, score_micro, n_sections_hit, " +
+        s"CASE WHEN pos IS NOT NULL THEN substring(ct, CAST(greatest(1, pos - $pad) AS INT), " +
+        s"CAST(pos + tl + ${pad - 1} - greatest(1, pos - $pad) + 1 AS INT)) ELSE '' END AS snippet " +
+        "FROM zs2 ORDER BY rank"
     },
     // hybrid RRF: the bm25 chain at fusion depth + the single-probe
     // cosine ranking, micro-snapped 1/(K+rank) contributions over a

@@ -810,6 +810,18 @@ class PlanShapeSpec extends SparkTestBase {
     scalarNestedOnly("q_chunk_bm25_topk")
   }
 
+  test("q_section_bm25_topk: one split window per pass, aggregate roll-up, bounded final") {
+    // window budget: the section splitter's ONE running-aggregate
+    // window (main pass + the winners-only re-derivation) plus the
+    // final rank window over <= k rows — the best-section roll-up must
+    // stay a MAX-struct aggregate, never a corpus rank window
+    val p = plan("q_section_bm25_topk")
+    assert(p.linesIterator.count(_.trim.startsWith("Window")) <= 3,
+      s"section roll-up grew a corpus rank window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"doc top-k must be bounded:\n$p")
+    scalarNestedOnly("q_section_bm25_topk")
+  }
+
   test("q_bm25_maxscore_topk: bound filter keyed, theta a scalar broadcast, bounded final") {
     val p = plan("q_bm25_maxscore_topk")
     assert(p.contains("TakeOrderedAndProject"), s"pruned top-k must be bounded:\n$p")
