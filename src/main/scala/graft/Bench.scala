@@ -87,12 +87,48 @@ object Bench {
   /** min > 3× the prior committed price ⟹ suspect an ambient stall. */
   private[graft] val StallFactor = 3.0
 
+  /** COLD MODE (`SPARK_GRAFT_COLD=1`, the r15 judge's validation
+    * item): every registered resident is measured ONCE with ALL
+    * session artifacts dropped first ([[SessionCaches.clearAll]]), so
+    * each price is the true standalone first-pass cost — artifact
+    * builds included — that the warm headline + `artifact_builds`
+    * sidecar only DERIVES. Output goes to cold_bench_result.json
+    * (`cold_queries` + the summed rebuild ledger) and never overwrites
+    * the warm ledger or triggers the stall re-pass.
+    */
+  private def coldMain(spark: org.apache.spark.sql.SparkSession,
+                       sfDir: String): Unit = {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(SparkEntry.correctnessOnly)
+    val results = names.map { n =>
+      SessionCaches.clearAll(spark)
+      System.gc()
+      n -> BenchKit.runOnce(spark, n, sfDir)
+    }
+    def fmtMap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val builds = ArtifactLedger.snapshot.toSeq.sortBy(_._1)
+    val json = s"""{"metric":"cold_total","value":$total,"unit":"sec",""" +
+      s""""cold_queries":${fmtMap(results)},""" +
+      s""""artifact_rebuild_sec":${builds.map(_._2).sum},""" +
+      s""""artifact_rebuilds":${fmtMap(builds)},"sf":"$sfDir"}"""
+    println(json)
+    Files.writeString(Paths.get("cold_bench_result.json"), json)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
     val ref = refPrices()
     val spark = LocalSession.build()
     ArtifactLedger.reset()
     BenchKit.warmUp(spark, sfDir)
+    if (cold) {
+      coldMain(spark, sfDir)
+      spark.stop()
+      return
+    }
     // every registered query is a resident unless SparkEntry explicitly
     // demoted it to correctness-only (the displace-rule ledger in
     // BASELINE.md); Verify still runs the full surface

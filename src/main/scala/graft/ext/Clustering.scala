@@ -127,6 +127,12 @@ object Clustering {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int),
       Array[Array[Long]]]()
 
+  /** Cold-bench hook ([[graft.SessionCaches]]): drop this session's
+    * Lloyd fits (driver-held arrays — nothing to release).
+    */
+  private[graft] def clearSessionCaches(spark: SparkSession): Unit =
+    graft.SessionCaches.dropSession(fitCache, spark)(_ => ())
+
   private[ext] def fittedCentroids(spark: SparkSession, d: String,
                                    k: Int, iters: Int = KmeansIters): Array[Array[Long]] =
     fitCache.computeIfAbsent((spark, d, k, iters),

@@ -136,6 +136,20 @@ object Graph {
   private val undCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Cold-bench hook ([[graft.SessionCaches]]): drop this session's
+    * graph artifacts — edge/undirected checkpoints, SCC labels,
+    * triangle state, trained embeddings — releasing their checkpoint
+    * RDDs; registered builders re-derive on demand.
+    */
+  private[graft] def clearSessionCaches(spark: SparkSession): Unit = {
+    import graft.SessionCaches.{dropSession, releaseFrame}
+    dropSession(edgeCache, spark)(releaseFrame)
+    dropSession(undCache, spark)(releaseFrame)
+    dropSession(trainedEmbCache, spark)(releaseFrame)
+    dropSession(sccCache, spark)(releaseFrame)
+    dropSession(triCache, spark) { case (a, b) => releaseFrame(a); releaseFrame(b) }
+  }
+
   private[ext] def sessionEdges(spark: SparkSession, d: String): DataFrame =
     edgeCache.computeIfAbsent((spark, d), _ =>
       graft.ArtifactLedger.timed("graph_edges")(

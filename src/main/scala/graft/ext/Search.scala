@@ -67,13 +67,19 @@ object Search {
     * finding): [[bm25BlockMaxBounds]] reads it whole and
     * [[bm25BlockMaxTopK]] bounds candidates with it, one build total.
     */
-  private[graft] def sessionBlockMax(spark: SparkSession, d: String): DataFrame =
+  private[graft] def sessionBlockMax(spark: SparkSession, d: String): DataFrame = {
+    // resolve the contribution artifact BEFORE computeIfAbsent: a
+    // nested insertion into the same ConcurrentHashMap is a recursive
+    // update (IllegalStateException) when the block-max consumer runs
+    // first in a cold session
+    val ca = sessionContrib(spark, d)
     sessionFrames.computeIfAbsent((spark, d, "blockmax_bounds"), _ =>
       graft.ArtifactLedger.timed("blockmax_bounds") {
-        val bm = blockMaxTable(sessionContrib(spark, d)).persist()
+        val bm = blockMaxTable(ca).persist()
         bm.count()
         bm
       })
+  }
 
   /** Test/cold-bench hook: drop this session's cached retrieval frames
     * (unpersisting them), so a cold-path measurement pays the builds.

@@ -1746,6 +1746,15 @@ object Similarity {
   private val knnGraphCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Cold-bench hook ([[graft.SessionCaches]]): drop this session's
+    * similarity artifacts (kNN graph frame, integer PQ codebook fits).
+    */
+  private[graft] def clearSessionCaches(spark: SparkSession): Unit = {
+    import graft.SessionCaches.{dropSession, releaseFrame}
+    dropSession(knnGraphCache, spark)(releaseFrame)
+    dropSession(pqIntFitCache, spark)(_ => ())
+  }
+
   def knnGraph(spark: SparkSession, d: String, k: Int = KnnK,
                nlist: Int = 0, targetCellSize: Int = KnnTargetCellSize,
                nprobe: Int = KnnNprobe): DataFrame =

@@ -947,6 +947,17 @@ object TextAnalysis {
   private val c2Cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Cold-bench hook ([[graft.SessionCaches]]): drop this session's
+    * LM-block artifacts (bigram counts + the 5-gram ladder).
+    */
+  private[graft] def clearSessionCaches(spark: SparkSession): Unit = {
+    import graft.SessionCaches.{dropSession, releaseFrame}
+    dropSession(c2Cache, spark)(releaseFrame)
+    dropSession(c5Cache, spark)(releaseFrame)
+    dropSession(cnts5Cache, spark)(releaseFrame)
+    dropSession(smoothCache, spark)(releaseFrame)
+  }
+
   private def sessionBigramCounts(spark: SparkSession, d: String): DataFrame =
     c2Cache.computeIfAbsent((spark, d), _ =>
       graft.ArtifactLedger.timed("lm_bigram_counts")(

@@ -83,4 +83,42 @@ class SessionArtifactSpec extends SparkTestBase {
         fitKey = Some((spark, sfDir)))) ==
       rows(Similarity.semanticDedupPqDropList(emb)))
   }
+
+  test("retrieval session frames equal the standalone Df forms") {
+    // r16: the registered bound-table/pruned evaluators ride the
+    // pinned contribution + block-max artifacts
+    assert(rows(Search.bm25TermBounds(spark, sfDir)) ==
+      rows(Search.bm25TermBoundsDf(docs)))
+    assert(rows(Search.bm25MaxScoreTopK(spark, sfDir)) ==
+      rows(Search.bm25MaxScoreTopKDf(docs)))
+    assert(rows(Search.bm25BlockMaxBounds(spark, sfDir)) ==
+      rows(Search.bm25BlockMaxBoundsDf(docs)))
+    assert(rows(Search.bm25BlockMaxTopK(spark, sfDir)) ==
+      rows(Search.bm25BlockMaxTopKDf(docs)))
+    assert(rows(Search.queryLikelihoodTopK(spark, sfDir)) ==
+      rows(Search.queryLikelihoodTopKDf(docs)))
+  }
+
+  test("clearing all session caches rebuilds bit-identical artifacts (cold-bench contract)") {
+    // SessionCaches.clearAll between two builds must be invisible in
+    // results: every artifact is deterministic, so the cold bench's
+    // per-query clears can only change WHERE time is spent
+    val before = Seq(
+      rows(Graph.pagerank(spark, sfDir)),
+      rows(Search.bm25BlockMaxTopK(spark, sfDir)),
+      rows(TextAnalysis.bigramLogProb(spark, sfDir)))
+    graft.SessionCaches.clearAll(spark)
+    val after = Seq(
+      rows(Graph.pagerank(spark, sfDir)),
+      rows(Search.bm25BlockMaxTopK(spark, sfDir)),
+      rows(TextAnalysis.bigramLogProb(spark, sfDir)))
+    assert(before == after, "clearAll must be result-invisible")
+    // regression: the block-max BOUNDS consumer as the FIRST build in
+    // a cold session once hit a recursive computeIfAbsent (its
+    // artifact derives from the contribution artifact in the same
+    // map) — rebuild it first-thing after a clear
+    graft.SessionCaches.clearAll(spark)
+    assert(rows(Search.bm25BlockMaxBounds(spark, sfDir)) ==
+      rows(Search.bm25BlockMaxBoundsDf(docs)))
+  }
 }
