@@ -329,6 +329,8 @@ object SparkEntry {
     "q_chunk_bm25_topk"   -> ((s: SparkSession, d: String) => ext.Search.chunkBm25TopK(s, d)),
     "q_section_chunks"    -> ((s: SparkSession, d: String) => ext.Search.sectionChunks(s, d)),
     "q_section_bm25_topk" -> ((s: SparkSession, d: String) => ext.Search.sectionBm25TopK(s, d)),
+    "q_section_stats"     -> ((s: SparkSession, d: String) => ext.Search.sectionStats(s, d)),
+    "q_section_dedup"     -> ((s: SparkSession, d: String) => ext.Search.sectionDedup(s, d)),
     "q_bm25_term_bounds"  -> ((s: SparkSession, d: String) => ext.Search.bm25TermBounds(s, d)),
     "q_bm25_maxscore_topk" -> ((s: SparkSession, d: String) => ext.Search.bm25MaxScoreTopK(s, d)),
     "q_bm25_blockmax_bounds" -> ((s: SparkSession, d: String) => ext.Search.bm25BlockMaxBounds(s, d)),
@@ -4407,6 +4409,27 @@ object SparkEntry {
         s"CASE WHEN pos IS NOT NULL THEN substring(ct, CAST(greatest(1, pos - $pad) AS INT), " +
         s"CAST(pos + tl + ${pad - 1} - greatest(1, pos - $pad) + 1 AS INT)) ELSE '' END AS snippet " +
         "FROM zs2 ORDER BY rank"
+    },
+    // section outline audit (r16): per-level counts + one snapped mean
+    "q_section_stats" ->
+      (s"WITH $sectionCtesSql " +
+        "SELECT level, CAST(COUNT(*) AS BIGINT) AS n_sections, " +
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN cl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty, " +
+        "CAST(SUM(cl) AS BIGINT) AS total_tokens, " +
+        "floor(CAST(SUM(cl) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_tokens " +
+        "FROM ssx GROUP BY level ORDER BY level"),
+    // section dedup (r16): boilerplate clauses — md5-keyed groups of
+    // non-empty section texts spanning > 1 document, bounded final
+    // under the (n, n_docs, clause) total order
+    "q_section_dedup" -> {
+      val k = ext.Search.SectionDedupTopK
+      s"WITH $sectionCtesSql, " +
+        "sdg AS (SELECT md5(st) AS clause_md5, CAST(COUNT(*) AS BIGINT) AS n_occurrences, " +
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, MIN(doc_id) AS first_doc_id, " +
+        "MAX(st) AS clause FROM ssx WHERE st <> '' GROUP BY md5(st)) " +
+        "SELECT clause_md5, n_occurrences, n_docs, first_doc_id, clause FROM sdg " +
+        s"WHERE n_docs > 1 ORDER BY n_occurrences DESC, n_docs DESC, clause LIMIT $k"
     },
     // hybrid RRF: the bm25 chain at fusion depth + the single-probe
     // cosine ranking, micro-snapped 1/(K+rank) contributions over a

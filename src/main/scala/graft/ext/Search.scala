@@ -630,6 +630,73 @@ object Search {
       }
   }
 
+  /** The section sink's LAZY artifact plans (the lexicalServePlans
+    * discipline at section granularity): postings over the non-empty
+    * sections, df FROM the postings plan, the section store (text +
+    * heading path), and the corpus stats FROM the store plan — after
+    * the postings/store freeze, the derived freezes read the pins.
+    * Exposed for SearchSpec's zero-jobs listener pin. Column names
+    * deliberately alias section_id as chunk_id so the frozen index
+    * feeds [[chunkBm25ScoreBatch]] verbatim — one serving kernel for
+    * both granularities, no arithmetic fork to drift.
+    */
+  private[ext] def sectionServePlans(baseDocs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val secs = sectionChunksDf(sectionMdFrame(baseDocs))
+    val post = secs.filter(col("cl") > 0)
+      .select(col("doc_id"), col("section_id").as("chunk_id"), col("cl"),
+        explode(TextAnalysis.tokens(col("section_text"))).as("term"))
+      .groupBy(col("doc_id"), col("chunk_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("cl")).as("cl"))
+    val dfAll = post.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val store = secs.select(col("doc_id"), col("section_id").as("chunk_id"),
+      col("heading_path"), col("section_text").as("ct"), col("cl"))
+    // N/avgdl count ALL sections incl. empty (the sectionBm25TopKDf
+    // stats rule) — derived from the store plan, which carries them
+    val stats = store.agg(count(lit(1)).as("cs_n"), sum(col("cl")).as("cs_s"))
+    (post, dfAll, stats, store)
+  }
+
+  /** Streaming SECTION-GRANULAR retrieval serving — the structured-RAG
+    * front door: the section postings index, df table, stats and the
+    * section store (text + HEADING PATH) freeze once at construction;
+    * each arriving query gets its per-query best-section top-k with
+    * the heading path and KWIC snippet as payload, tagged with the
+    * batch id. Scoring is [[chunkBm25ScoreBatch]] over the
+    * section-as-chunk index (shared kernel, no drift); SearchSpec
+    * asserts parity against [[sectionBm25TopKDf]] run with the
+    * query's own terms.
+    */
+  def sectionBm25ServeSink(queryStream: DataFrame, baseDocs: DataFrame,
+                           outPath: String, checkpoint: String,
+                           k: Int = SectionTopK, triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val (postPlan, dfPlan, statsPlan, storePlan) = sectionServePlans(baseDocs)
+    val post = Freeze.scoped(checkpoint, postPlan)
+    val dfAll = Freeze.scoped(checkpoint, dfPlan)
+    val store = Freeze.scoped(checkpoint, storePlan)
+    val stats = Freeze.scoped(checkpoint, statsPlan)
+    queryStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val scored = chunkBm25ScoreBatch(batch, post, dfAll, stats,
+            store.select(col("doc_id"), col("chunk_id"), col("ct")), k)
+          org.apache.spark.sql.GraftSql.unordered(
+            scored.join(store.select(col("doc_id"), col("chunk_id"),
+                col("heading_path")), Seq("doc_id", "chunk_id"))
+              .select(col("query_id"), col("rank"), col("doc_id"),
+                col("chunk_id").as("section_id"), col("heading_path"),
+                col("score_micro"),
+                col("n_chunks_hit").as("n_sections_hit"), col("snippet")))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+  }
+
   /** MAXSCORE / WAND BOUND TABLE (Turtle & Flood 1995; Broder et al.
     * CIKM 2003): per probe term, its document frequency and the
     * MAXIMUM per-document BM25 contribution in exact micro-units —
@@ -1144,6 +1211,56 @@ object Search {
           .otherwise(lit("")).as("snippet"))
       .orderBy(col("rank"))
   }
+
+  /** Result bound of [[sectionDedup]] — shared with the oracle. */
+  private[graft] val SectionDedupTopK = 20
+
+  /** SECTION OUTLINE AUDIT: per heading level, how many sections the
+    * corpus splits into, how many documents have one, how many are
+    * empty, and the token mass — the structure datasheet an operator
+    * reads after a markdown conversion (are documents actually
+    * structured? how deep? are sections RAG-sized or fragments?).
+    * Pure integer counts + one exact snapped mean.
+    */
+  def sectionStats(spark: SparkSession, d: String): DataFrame =
+    sectionChunksDf(sectionMdFrame(Tables.fanOut(Tables.documents(spark, d))))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_sections"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(when(col("cl") === 0, lit(1L)).otherwise(lit(0L))).as("n_empty"),
+        sum(col("cl")).as("total_tokens"),
+        (floor(sum(col("cl")).cast("double") / count(lit(1)) * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("mean_tokens"))
+      .orderBy(col("level"))
+
+  /** SECTION-GRANULAR DEDUP — the boilerplate-clause report: group
+    * non-empty section texts by md5 (the exact-dedup keeper
+    * discipline: the 16-byte key is what shuffles at 100 TB, never
+    * the clause text) and report the top repeated clauses appearing
+    * in MORE THAN ONE document — in a legal corpus these are the
+    * standard clauses ("điều khoản thi hành", boilerplate headers)
+    * that document-level dedup structurally cannot see because the
+    * surrounding documents differ. Deterministic total order
+    * (n_occurrences, n_docs, clause) bounds the final.
+    *
+    * Scale shape: the section split is narrow; ONE keyed exchange on
+    * the md5; the final is a bounded top-k.
+    */
+  def sectionDedup(spark: SparkSession, d: String,
+                   k: Int = SectionDedupTopK): DataFrame =
+    sectionDedupDf(Tables.fanOut(Tables.documents(spark, d)), k)
+
+  def sectionDedupDf(docs: DataFrame, k: Int = SectionDedupTopK): DataFrame =
+    sectionChunksDf(sectionMdFrame(docs))
+      .filter(col("section_text") =!= "")
+      .groupBy(md5(col("section_text")).as("clause_md5"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc_id"),
+        max(col("section_text")).as("clause"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("n_occurrences").desc, col("n_docs").desc, col("clause"))
+      .limit(k)
 
   /** Feedback-set size and expansion-term count of [[queryExpansion]]
     * — shared with the oracle builder.

@@ -434,6 +434,48 @@ class SearchSpec extends SparkTestBase {
       s"every fixed window truncates the passage: ${hits(winChunkText)}")
   }
 
+  test("section BM25 serving sink: frozen section index + path store, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the buried-passage corpus again: doc 1's ' table '-delimited
+    // section holds the dense passage; queries stream against the
+    // frozen section index and must reproduce the batch ranking WITH
+    // the heading-path payload
+    val passage = Seq.fill(10)("hash join").mkString(" ")
+    val base = ((1L -> ((1 to 20).map(i => s"f$i").mkString(" ") +
+      " table " + passage + " window " + (1 to 15).map(i => s"g$i").mkString(" "))) +:
+      (2L to 5L).map(i => i -> ("hash join " + (1 to 12).map(j => s"s$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val queries = Seq((40L, "hash join"), (41L, "join"), (42L, "zzz nohit"))
+    val expect = queries.flatMap { case (qid, qtext) =>
+      val terms = qtext.split("\\s+").toSeq.distinct
+      Search.sectionBm25TopKDf(base, k = 4, terms = terms)
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getLong(4), r.getLong(5), r.getString(6)))
+    }.toSet
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("sb_out").toString
+    val ckpt = Files.createTempDirectory("sb_ckpt").toString
+    val query = Search.sectionBm25ServeSink(
+      input.toDF().toDF("query_id", "query_text"), base, out, ckpt,
+      k = 4, triggerMs = 50L).start()
+    try {
+      input.addData(queries(0), queries(1))
+      query.processAllAvailable()
+      input.addData(queries(2))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getLong(6), r.getString(7)))
+      .toSet
+    assert(streamed == expect, s"streamed $streamed != batch $expect")
+    assert(expect.nonEmpty, "fixture must retrieve sections")
+    assert(streamed.exists(_._5.endsWith(Search.SectionH2Term)),
+      "winners carry heading paths")
+    assert(!streamed.exists(_._1 == 42L), "no-hit query emits no rows")
+  }
+
   test("snippets: position, count, case-insensitivity, window clamps both ends") {
     import spark.implicits._
     val pad = Search.SnippetPad // 40
@@ -616,6 +658,9 @@ class SearchSpec extends SparkTestBase {
     // finding) fails here
     Search.lexicalServePlans(docs)
     Search.chunkServePlans(docs)
+    Search.sectionServePlans(docs)
+    Search.sectionBm25TopKDf(docs)
+    Search.sectionDedupDf(docs)
     spark.range(1).collect() // sentinel: shuffle-free -> exactly 1 job
     awaitNewJob(before)
     val ran = (jobIds -- before).size
