@@ -96,6 +96,9 @@ object Bench {
     * (`cold_queries` + the summed rebuild ledger) and never overwrites
     * the warm ledger or triggers the stall re-pass.
     */
+  private def fmtMap(m: Seq[(String, Double)]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
   private def coldMain(spark: org.apache.spark.sql.SparkSession,
                        sfDir: String): Unit = {
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -105,8 +108,6 @@ object Bench {
       System.gc()
       n -> BenchKit.runOnce(spark, n, sfDir)
     }
-    def fmtMap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val builds = ArtifactLedger.snapshot.toSeq.sortBy(_._1)
     val json = s"""{"metric":"cold_total","value":$total,"unit":"sec",""" +
@@ -120,7 +121,6 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
-    val ref = refPrices()
     val spark = LocalSession.build()
     ArtifactLedger.reset()
     BenchKit.warmUp(spark, sfDir)
@@ -129,6 +129,9 @@ object Bench {
       spark.stop()
       return
     }
+    // the stall-re-pass reference is a WARM-mode concern — loading it
+    // in cold mode printed a misleading disabled-re-pass warning
+    val ref = refPrices()
     // every registered query is a resident unless SparkEntry explicitly
     // demoted it to correctness-only (the displace-rule ledger in
     // BASELINE.md); Verify still runs the full surface
@@ -145,8 +148,6 @@ object Bench {
         case _ => v
       })
     }
-    def fmtMap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = fmtMap(results)
     val total = results.map(_._2).filter(_ >= 0).sum
     val firstByName = first.toMap

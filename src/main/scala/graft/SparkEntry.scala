@@ -4319,10 +4319,10 @@ object SparkEntry {
       val pad = ext.Search.SnippetPad
       val topK = ext.Search.ChunkTopK
       val posCase = "CASE " + ext.Search.ProbeTerms.map(tm =>
-        s"WHEN strpos(lower(ct), '$tm') > 0 THEN CAST(strpos(lower(ct), '$tm') AS BIGINT)")
+        s"WHEN strpos(lower(ct), '${tm.toLowerCase}') > 0 THEN CAST(strpos(lower(ct), '${tm.toLowerCase}') AS BIGINT)")
         .mkString(" ") + " END"
       val tlCase = "CASE " + ext.Search.ProbeTerms.map(tm =>
-        s"WHEN strpos(lower(ct), '$tm') > 0 THEN CAST(${tm.length} AS BIGINT)")
+        s"WHEN strpos(lower(ct), '${tm.toLowerCase}') > 0 THEN CAST(${tm.length} AS BIGINT)")
         .mkString(" ") + " END"
       s"WITH cf AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
         "cj AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n, " +
@@ -4375,10 +4375,10 @@ object SparkEntry {
       val pad = ext.Search.SnippetPad
       val topK = ext.Search.SectionTopK
       val posCase = "CASE " + ext.Search.ProbeTerms.map(tm =>
-        s"WHEN strpos(lower(ct), '$tm') > 0 THEN CAST(strpos(lower(ct), '$tm') AS BIGINT)")
+        s"WHEN strpos(lower(ct), '${tm.toLowerCase}') > 0 THEN CAST(strpos(lower(ct), '${tm.toLowerCase}') AS BIGINT)")
         .mkString(" ") + " END"
       val tlCase = "CASE " + ext.Search.ProbeTerms.map(tm =>
-        s"WHEN strpos(lower(ct), '$tm') > 0 THEN CAST(${tm.length} AS BIGINT)")
+        s"WHEN strpos(lower(ct), '${tm.toLowerCase}') > 0 THEN CAST(${tm.length} AS BIGINT)")
         .mkString(" ") + " END"
       s"WITH $sectionCtesSql, " +
         "zst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cl) AS BIGINT) AS s FROM ssx), " +

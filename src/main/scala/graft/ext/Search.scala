@@ -82,15 +82,13 @@ object Search {
   }
 
   /** Test/cold-bench hook: drop this session's cached retrieval frames
-    * (unpersisting them), so a cold-path measurement pays the builds.
+    * (releasing their pins), so a cold-path measurement pays the
+    * builds — delegates to the shared eviction path like every other
+    * module (r16 review's duplication finding).
     */
-  private[graft] def clearSessionFrames(spark: SparkSession): Unit = {
-    val it = sessionFrames.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 eq spark) { e.getValue.unpersist(); it.remove() }
-    }
-  }
+  private[graft] def clearSessionFrames(spark: SparkSession): Unit =
+    graft.SessionCaches.dropSession(sessionFrames, spark)(
+      graft.SessionCaches.releaseFrame)
 
   /** BM25 shape parameters (the standard defaults). */
   private[graft] val K1 = 1.2
@@ -239,7 +237,19 @@ object Search {
     */
   def queryLikelihoodTopK(spark: SparkSession, d: String, k: Int = 10): DataFrame =
     queryLikelihoodTopKOn(sessionQlPostings(spark, d),
-      corpusStatsDf(Tables.fanOut(Tables.documents(spark, d))), k)
+      sessionCorpusStats(spark, d), k)
+
+  /** The 1-row corpus-stats frame as a session artifact — without it
+    * the registered QL re-ran a full corpus tokenize+sum per
+    * execution for one row (the r16 review's unpinned-scan finding).
+    */
+  private[graft] def sessionCorpusStats(spark: SparkSession, d: String): DataFrame =
+    sessionFrames.computeIfAbsent((spark, d, "ql_stats"), _ =>
+      graft.ArtifactLedger.timed("ql_stats") {
+        val st = corpusStatsDf(Tables.fanOut(Tables.documents(spark, d))).persist()
+        st.count()
+        st
+      })
 
   def queryLikelihoodTopKDf(docs: DataFrame, k: Int = 10): DataFrame =
     queryLikelihoodTopKOn(postingsDf(docs, Some(ProbeTerms)),
@@ -551,7 +561,11 @@ object Search {
     val start2 = greatest(lit(1L), col("h.pos") - lit(SnippetPad.toLong))
     top.join(chunkStore, Seq("doc_id", "chunk_id"))
       .join(qt, Seq("query_id"))
-      .withColumn("pos", expr("CAST(instr(lower(ct), term) AS BIGINT)"))
+      // KWIC anchoring is case-INSENSITIVE on both sides: the store
+      // text lowers AND the query term lowers (r16 review fix — a
+      // mixed-case token that matched the postings case-sensitively
+      // previously lost its snippet row entirely, breaking parity)
+      .withColumn("pos", expr("CAST(instr(lower(ct), lower(term)) AS BIGINT)"))
       .filter(col("pos") > 0)
       .groupBy(col("query_id"), col("doc_id"), col("chunk_id"))
       .agg(min(struct(col("term_idx"), col("pos"),
@@ -1010,8 +1024,8 @@ object Search {
       .select(col("doc_id"), col("chunk_id"), concat_ws(" ", col("ctoks")).as("ct"))
     val lc = lower(col("ct"))
     val hit = coalesce(terms.map(tm =>
-      when(instr(lc, tm) > 0,
-        struct(instr(lc, tm).cast("long").as("pos"),
+      when(instr(lc, tm.toLowerCase) > 0,
+        struct(instr(lc, tm.toLowerCase).cast("long").as("pos"),
           lit(tm.length.toLong).as("tl")))): _*)
     val start2 = greatest(lit(1L), col("pos") - lit(SnippetPad.toLong))
     top.join(winChunks, Seq("doc_id", "chunk_id"))
@@ -1089,6 +1103,11 @@ object Search {
     val htext = trim(regexp_replace(col("line"), "^#+[ ]*", ""))
     val parsed = lines.select(col("doc_id"), col("pos").cast("long").as("pos"),
       col("line"), lvl.as("level"), htext.as("htext"))
+    // 8-digit zero-padded position prefix: the running MAX then orders
+    // by position (then text) lexicographically. Both engines' lpad
+    // TRUNCATES past the width, so the encoding is documented-correct
+    // up to 10^8 - 1 lines per document — beyond any real document;
+    // a per-doc line budget is enforced upstream by chunking anyway
     val enc = concat(lpad(col("pos").cast("string"), 8, "0"), col("htext"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -1194,8 +1213,8 @@ object Search {
         col("section_text"))
     val lc = lower(col("section_text"))
     val hit = coalesce(terms.map(tm =>
-      when(instr(lc, tm) > 0,
-        struct(instr(lc, tm).cast("long").as("pos"),
+      when(instr(lc, tm.toLowerCase) > 0,
+        struct(instr(lc, tm.toLowerCase).cast("long").as("pos"),
           lit(tm.length.toLong).as("tl")))): _*)
     val start2 = greatest(lit(1L), col("pos") - lit(SnippetPad.toLong))
     top.join(winSecs, Seq("doc_id", "section_id"))

@@ -476,6 +476,33 @@ class SearchSpec extends SparkTestBase {
     assert(!streamed.exists(_._1 == 42L), "no-hit query emits no rows")
   }
 
+  test("serve-kernel KWIC anchors case-insensitively (mixed-case token regression)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // tokens keep their case through the postings (tokenizer does not
+    // lower), so a query term 'Hash' can WIN the scoring join yet —
+    // before the r16 review fix — lose its snippet row to the
+    // case-sensitive instr against the lowered store text, silently
+    // dropping the (query, doc) result from the sink output
+    val base = Seq(
+      1L -> "Hash Join alpha beta gamma delta",
+      2L -> "plain words only here").toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("cs_out").toString
+    val ckpt = Files.createTempDirectory("cs_ckpt").toString
+    val query = Search.sectionBm25ServeSink(
+      input.toDF().toDF("query_id", "query_text"), base, out, ckpt,
+      k = 3, triggerMs = 50L).start()
+    try {
+      input.addData((50L, "Hash"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.nonEmpty, "the mixed-case winner must keep its result row")
+    val snip = rows.head.getAs[String]("snippet")
+    assert(snip.contains("Hash"), s"snippet must anchor on the match: '$snip'")
+  }
+
   test("snippets: position, count, case-insensitivity, window clamps both ends") {
     import spark.implicits._
     val pad = Search.SnippetPad // 40
