@@ -81,6 +81,24 @@ object Search {
       })
   }
 
+  /** The session SECTION-CHUNKS frame over the synthesized-markdown
+    * corpus — shared by all four registered section queries
+    * (q_section_chunks / q_section_bm25_topk / q_section_stats /
+    * q_section_dedup previously each re-ran the splitter's generate +
+    * window + section aggregate from the raw scan; one split per
+    * session is the [[sessionContrib]] discipline at section
+    * granularity). The DataFrame (fixture) forms stay fully lazy and
+    * split their own inputs.
+    */
+  private[graft] def sessionSections(spark: SparkSession, d: String): DataFrame =
+    sessionFrames.computeIfAbsent((spark, d, "section_chunks"), _ =>
+      graft.ArtifactLedger.timed("section_chunks") {
+        val s = sectionChunksDf(sectionMdFrame(
+          Tables.fanOut(Tables.documents(spark, d)))).persist()
+        s.count()
+        s
+      })
+
   /** Test/cold-bench hook: drop this session's cached retrieval frames
     * (releasing their pins), so a cold-path measurement pays the
     * builds — delegates to the shared eviction path like every other
@@ -1148,7 +1166,7 @@ object Search {
     * paths over the synthesized-markdown corpus.
     */
   def sectionChunks(spark: SparkSession, d: String): DataFrame =
-    sectionChunksDf(sectionMdFrame(Tables.fanOut(Tables.documents(spark, d))))
+    sessionSections(spark, d)
       .select(col("doc_id"), col("section_id"), col("level"),
         col("heading_path"), col("n_lines"), col("cl"))
       .orderBy(col("doc_id"), col("section_id"))
@@ -1172,12 +1190,37 @@ object Search {
     * [[chunkBm25TopKDf]] winners-only rule).
     */
   def sectionBm25TopK(spark: SparkSession, d: String,
-                      k: Int = SectionTopK): DataFrame =
-    sectionBm25TopKDf(Tables.fanOut(Tables.documents(spark, d)), k)
+                      k: Int = SectionTopK): DataFrame = {
+    // registered form: the scoring pass AND the winners-only payload
+    // read the session section artifact (one splitter run per session);
+    // the payload is a broadcast semi-join against the cached frame —
+    // the same rows the fixture form's winner-only re-derivation yields
+    val secs = sessionSections(spark, d)
+    sectionBm25Ranked(secs, k, ProbeTerms, winDocs =>
+      secs.join(broadcast(winDocs), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("section_id"), col("heading_path"),
+          col("section_text")))
+  }
 
   def sectionBm25TopKDf(docs: DataFrame, k: Int = SectionTopK,
-                        terms: Seq[String] = ProbeTerms): DataFrame = {
-    val secs = sectionChunksDf(sectionMdFrame(docs))
+                        terms: Seq[String] = ProbeTerms): DataFrame =
+    // fixture form: fully lazy; the payload re-derives sections for the
+    // k winner documents only (semi-join BELOW the splitter), so the
+    // full split runs once in this plan
+    sectionBm25Ranked(sectionChunksDf(sectionMdFrame(docs)), k, terms,
+      winDocs => sectionChunksDf(sectionMdFrame(
+          docs.join(broadcast(winDocs), Seq("doc_id"), "left_semi")))
+        .select(col("doc_id"), col("section_id"), col("heading_path"),
+          col("section_text")))
+
+  /** The shared section-BM25 ranking core: score sections, roll up the
+    * per-document best section, rank the bounded top-k, and join the
+    * winners' payload (heading path + KWIC snippet) from `winSecs` —
+    * the payload SOURCE is the only difference between the registered
+    * (cached-artifact) and fixture (lazy re-derive) forms.
+    */
+  private def sectionBm25Ranked(secs: DataFrame, k: Int, terms: Seq[String],
+                                winSecs: DataFrame => DataFrame): DataFrame = {
     val stats = secs.agg(count(lit(1)).as("cs_n"), sum(col("cl")).as("cs_s"))
     val post = secs.filter(col("cl") > 0)
       .select(col("doc_id"), col("section_id"), col("cl"),
@@ -1205,19 +1248,16 @@ object Search {
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
-    // payload: re-derive sections for the k winner docs only
+    // payload: the k winner docs' sections only (source per form)
     val winDocs = top.select(col("doc_id"))
-    val winSecs = sectionChunksDf(sectionMdFrame(
-        docs.join(broadcast(winDocs), Seq("doc_id"), "left_semi")))
-      .select(col("doc_id"), col("section_id"), col("heading_path"),
-        col("section_text"))
+    val ws = winSecs(winDocs)
     val lc = lower(col("section_text"))
     val hit = coalesce(terms.map(tm =>
       when(instr(lc, tm.toLowerCase) > 0,
         struct(instr(lc, tm.toLowerCase).cast("long").as("pos"),
           lit(tm.length.toLong).as("tl")))): _*)
     val start2 = greatest(lit(1L), col("pos") - lit(SnippetPad.toLong))
-    top.join(winSecs, Seq("doc_id", "section_id"))
+    top.join(ws, Seq("doc_id", "section_id"))
       .withColumn("h", hit)
       .select(col("rank"), col("doc_id"), col("section_id"), col("heading_path"),
         col("score_micro"), col("n_sections_hit"), col("section_text"),
@@ -1242,7 +1282,7 @@ object Search {
     * Pure integer counts + one exact snapped mean.
     */
   def sectionStats(spark: SparkSession, d: String): DataFrame =
-    sectionChunksDf(sectionMdFrame(Tables.fanOut(Tables.documents(spark, d))))
+    sessionSections(spark, d)
       .groupBy(col("level"))
       .agg(count(lit(1)).as("n_sections"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -1267,10 +1307,13 @@ object Search {
     */
   def sectionDedup(spark: SparkSession, d: String,
                    k: Int = SectionDedupTopK): DataFrame =
-    sectionDedupDf(Tables.fanOut(Tables.documents(spark, d)), k)
+    sectionDedupOn(sessionSections(spark, d), k)
 
   def sectionDedupDf(docs: DataFrame, k: Int = SectionDedupTopK): DataFrame =
-    sectionChunksDf(sectionMdFrame(docs))
+    sectionDedupOn(sectionChunksDf(sectionMdFrame(docs)), k)
+
+  private def sectionDedupOn(secs: DataFrame, k: Int): DataFrame =
+    secs
       .filter(col("section_text") =!= "")
       .groupBy(md5(col("section_text")).as("clause_md5"))
       .agg(count(lit(1)).as("n_occurrences"),

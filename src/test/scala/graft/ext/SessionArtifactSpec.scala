@@ -97,6 +97,12 @@ class SessionArtifactSpec extends SparkTestBase {
       rows(Search.bm25BlockMaxTopKDf(docs)))
     assert(rows(Search.queryLikelihoodTopK(spark, sfDir)) ==
       rows(Search.queryLikelihoodTopKDf(docs)))
+    // r16 amendment: the registered section family (ranking AND the
+    // winners-only payload) rides the session section-chunks artifact
+    assert(rows(Search.sectionBm25TopK(spark, sfDir)) ==
+      rows(Search.sectionBm25TopKDf(docs)))
+    assert(rows(Search.sectionDedup(spark, sfDir)) ==
+      rows(Search.sectionDedupDf(docs)))
   }
 
   test("clearing all session caches rebuilds bit-identical artifacts (cold-bench contract)") {
