@@ -331,6 +331,12 @@ object SparkEntry {
     "q_section_bm25_topk" -> ((s: SparkSession, d: String) => ext.Search.sectionBm25TopK(s, d)),
     "q_section_stats"     -> ((s: SparkSession, d: String) => ext.Search.sectionStats(s, d)),
     "q_section_dedup"     -> ((s: SparkSession, d: String) => ext.Search.sectionDedup(s, d)),
+    // retrieval training pairs, effectiveness metrics, index sizing
+    "q_hard_negatives"    -> ((s: SparkSession, d: String) => ext.Search.hardNegatives(s, d)),
+    "q_retrieval_eval_audit" -> ((s: SparkSession, d: String) => ext.Search.retrievalEvalAudit(s, d)),
+    "q_postings_size_model" -> ((s: SparkSession, d: String) => ext.Search.postingsSizeModel(s, d)),
+    // privacy: quasi-identifier k-anonymity risk audit
+    "q_k_anonymity"       -> ((s: SparkSession, d: String) => ext.Cleaning.kAnonymityAudit(s, d)),
     "q_bm25_term_bounds"  -> ((s: SparkSession, d: String) => ext.Search.bm25TermBounds(s, d)),
     "q_bm25_maxscore_topk" -> ((s: SparkSession, d: String) => ext.Search.bm25MaxScoreTopK(s, d)),
     "q_bm25_blockmax_bounds" -> ((s: SparkSession, d: String) => ext.Search.bm25BlockMaxBounds(s, d)),
@@ -4305,6 +4311,100 @@ object SparkEntry {
     // block-max pruned evaluation: oracle = the exhaustive ranking
     // (the q_bm25_maxscore_topk parity-by-oracle discipline)
     "q_bm25_blockmax_topk" -> bm25ExhaustiveSql,
+    // hard-negative mining: per probe term (= training query) the
+    // top-1 doc is the positive; ranks 2..max+1 within the 2·neg >= pos
+    // margin are the hard negatives. The oracle replays the bounded
+    // aggregator as a per-term rank window over the scc contributions.
+    "q_hard_negatives" -> {
+      val maxN = ext.Search.MaxHardNegs
+      s"WITH $bm25ContribCtesSql, " +
+        "hnr AS (SELECT term, doc_id, c, ROW_NUMBER() OVER " +
+        "(PARTITION BY term ORDER BY c DESC, doc_id) AS rn FROM scc), " +
+        "hnp AS (SELECT term, doc_id AS pos_doc_id, c AS pos_score_micro " +
+        "FROM hnr WHERE rn = 1) " +
+        "SELECT s.term, CAST(s.rn - 1 AS BIGINT) AS neg_rank, s.doc_id, " +
+        "s.c AS neg_score_micro, p.pos_doc_id, p.pos_score_micro " +
+        "FROM hnr s JOIN hnp p ON s.term = p.term " +
+        s"WHERE s.rn >= 2 AND s.rn <= ${maxN + 1} " +
+        "AND s.c * 2 >= p.pos_score_micro ORDER BY s.term, neg_rank"
+    },
+    // retrieval effectiveness audit: nDCG@k / MRR / MAP@k of the BM25
+    // ranking against the label-free grade rel = n distinct query
+    // terms present. Discounts are a shared 10-entry double-constant
+    // CASE (zero libm exposure); gains micro-snapped per row, summed
+    // as exact BIGINTs; every division a single double op.
+    "q_retrieval_eval_audit" -> {
+      val k = ext.Search.EvalK
+      val rg = ext.Search.RelGrade
+      val discCase = "CASE r " + ext.Search.NdcgDiscounts.zipWithIndex.map {
+        case (dv, i) => s"WHEN ${i + 1} THEN $dv"
+      }.mkString(" ") + " ELSE 0.0 END"
+      val gain = s"CAST(floor(CAST((1 << rel) - 1 AS DOUBLE) * ($discCase) " +
+        "* 1000000.0 + 0.5) AS BIGINT)"
+      s"WITH $bm25ContribCtesSql, " +
+        "evc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro, " +
+        "CAST(COUNT(*) AS BIGINT) AS rel FROM scc GROUP BY doc_id), " +
+        "evs AS (SELECT doc_id, rel, CAST(ROW_NUMBER() OVER " +
+        "(ORDER BY score_micro DESC, doc_id) AS BIGINT) AS r " +
+        s"FROM evc ORDER BY score_micro DESC, doc_id LIMIT $k), " +
+        "evi AS (SELECT rel, CAST(ROW_NUMBER() OVER " +
+        "(ORDER BY rel DESC, doc_id) AS BIGINT) AS r " +
+        s"FROM evc ORDER BY rel DESC, doc_id LIMIT $k), " +
+        s"evg AS (SELECT COALESCE(CAST(SUM($gain) AS BIGINT), 0) AS dcg_micro FROM evs), " +
+        s"evh AS (SELECT COALESCE(CAST(SUM($gain) AS BIGINT), 0) AS idcg_micro FROM evi), " +
+        "evm AS (SELECT COALESCE(CAST(floor(1000000.0 / MIN(r) + 0.5) AS BIGINT), 0) " +
+        s"AS mrr_micro FROM evs WHERE rel >= $rg), " +
+        s"evp AS (SELECT r, rel, SUM(CASE WHEN rel >= $rg THEN 1 ELSE 0 END) " +
+        "OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS relcnt FROM evs), " +
+        "eva AS (SELECT COALESCE(CAST(SUM(CAST(floor(CAST(relcnt AS DOUBLE) " +
+        "* 1000000.0 / r + 0.5) AS BIGINT)) AS BIGINT), 0) AS sum_p_micro " +
+        s"FROM evp WHERE rel >= $rg), " +
+        s"evn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant FROM evc WHERE rel >= $rg), " +
+        "evt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM evc) " +
+        "SELECT n_candidates, n_relevant, dcg_micro, idcg_micro, " +
+        "CASE WHEN idcg_micro > 0 THEN floor(CAST(dcg_micro AS DOUBLE) / " +
+        "CAST(idcg_micro AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END AS ndcg_r, " +
+        "CAST(mrr_micro AS DOUBLE) / 1000000.0 AS mrr_r, " +
+        "CASE WHEN n_relevant > 0 THEN floor(CAST(sum_p_micro AS DOUBLE) / " +
+        s"CAST(LEAST(n_relevant, $k) AS DOUBLE) + 0.5) / 1000000.0 ELSE 0.0 END AS map_r " +
+        "FROM evt, evn, evg, evh, evm, eva"
+    },
+    // postings compression model: per-term delta-gap + LEB128 widths
+    // over the probed postings (sp from the shared contribution chain;
+    // first gap = doc_id + 1 via the -1 lag default)
+    "q_postings_size_model" -> {
+      def vb(e: String) = "CASE " + (1 to 8).map(b =>
+        s"WHEN $e < ${1L << (7 * b)} THEN $b").mkString(" ") + " ELSE 9 END"
+      s"WITH $bm25ContribCtesSql, " +
+        "psg AS (SELECT term, tf, doc_id - COALESCE(LAG(doc_id) OVER " +
+        "(PARTITION BY term ORDER BY doc_id), -1) AS gap FROM sp) " +
+        "SELECT term, CAST(COUNT(*) AS BIGINT) AS df, " +
+        s"CAST(SUM(${vb("gap")}) AS BIGINT) AS gap_bytes, " +
+        s"CAST(SUM(${vb("tf")}) AS BIGINT) AS tf_bytes, " +
+        "CAST(COUNT(*) * 16 AS BIGINT) AS raw_bytes, " +
+        s"floor(CAST(SUM(${vb("gap")}) + SUM(${vb("tf")}) AS DOUBLE) / " +
+        "CAST(COUNT(*) * 16 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 " +
+        "AS compressed_frac_r FROM psg GROUP BY term ORDER BY term"
+    },
+    // k-anonymity: quasi-identifier group sizes (lang × source ×
+    // 500-char length bucket), risk mass below k ∈ {2, 5, 10}
+    "q_k_anonymity" -> {
+      val lb = ext.Cleaning.KAnonLenBucket
+      def gl(k: Int) =
+        s"CAST(SUM(CASE WHEN gs < $k THEN 1 ELSE 0 END) AS BIGINT) AS groups_lt_$k"
+      def dl(k: Int) =
+        s"CAST(SUM(CASE WHEN gs < $k THEN gs ELSE 0 END) AS BIGINT) AS docs_lt_$k"
+      def rr(k: Int) =
+        s"floor(CAST(SUM(CASE WHEN gs < $k THEN gs ELSE 0 END) AS DOUBLE) / " +
+          s"CAST(SUM(gs) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS risk_pct_${k}_r"
+      s"WITH kag AS (SELECT CAST(COUNT(*) AS BIGINT) AS gs FROM documents " +
+        s"GROUP BY lang, source, floor(n_chars / $lb)) " +
+        "SELECT CAST(SUM(gs) AS BIGINT) AS n_docs, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_groups, " +
+        s"${gl(2)}, ${dl(2)}, ${rr(2)}, ${gl(5)}, ${dl(5)}, ${rr(5)}, " +
+        s"${gl(10)}, ${dl(10)}, ${rr(10)} FROM kag"
+    },
     // chunk-granular BM25 (r15): the docChunks window algebra yields
     // (chunk, cl, token slice); chunk-level BM25 with the q_bm25
     // expression tree verbatim (chunk stats for N/avgdl/df);

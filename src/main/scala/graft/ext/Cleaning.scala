@@ -1550,4 +1550,47 @@ object Cleaning {
         }
       }
   }
+
+  /** Quasi-identifier width of the length bucket in
+    * [[kAnonymityAudit]] — shared with the oracle.
+    */
+  private[graft] val KAnonLenBucket = 500L
+
+  /** K-ANONYMITY AUDIT (Sweeney 2002) — the privacy companion to PII
+    * redaction: redaction strips DIRECT identifiers, but a document
+    * remains re-identifiable when its quasi-identifier combination
+    * (language × source × length bucket here — the metadata a released
+    * corpus ships) is rare. Per the standard thresholds k ∈ {2, 5,
+    * 10}, reports how many QI groups fall below k and how many
+    * documents sit in them (the re-identification-risk mass a release
+    * review reads). One row, exact integer counts, risk fractions
+    * 6-dp-snapped.
+    *
+    * Scale shape: ONE keyed group-size aggregate + one scalar
+    * conditional-sum reduce — no threshold explode, no join; null QI
+    * values group as values (both engines agree).
+    */
+  def kAnonymityAudit(spark: SparkSession, d: String): DataFrame =
+    kAnonymityAuditDf(Tables.documents(spark, d))
+
+  def kAnonymityAuditDf(docs: DataFrame): DataFrame = {
+    val g = docs
+      .groupBy(col("lang"), col("source"),
+        floor(col("n_chars") / lit(KAnonLenBucket)).as("len_bucket"))
+      .agg(count(lit(1)).as("gs"))
+    def groupsLt(k: Int): Column =
+      sum(when(col("gs") < k, lit(1L)).otherwise(lit(0L))).as(s"groups_lt_$k")
+    def docsLt(k: Int): Column =
+      sum(when(col("gs") < k, col("gs")).otherwise(lit(0L))).as(s"docs_lt_$k")
+    def riskR(k: Int): Column =
+      (floor(col(s"docs_lt_$k").cast("double") / col("n_docs").cast("double")
+        * lit(1e6) + lit(0.5)) / lit(1e6)).as(s"risk_pct_$k${"_r"}")
+    g.agg(count(lit(1)).as("n_groups"), sum(col("gs")).as("n_docs"),
+        groupsLt(2), docsLt(2), groupsLt(5), docsLt(5),
+        groupsLt(10), docsLt(10))
+      .select(col("n_docs"), col("n_groups"),
+        col("groups_lt_2"), col("docs_lt_2"), riskR(2),
+        col("groups_lt_5"), col("docs_lt_5"), riskR(5),
+        col("groups_lt_10"), col("docs_lt_10"), riskR(10))
+  }
 }

@@ -1324,6 +1324,187 @@ object Search {
       .orderBy(col("n_occurrences").desc, col("n_docs").desc, col("clause"))
       .limit(k)
 
+  /** Negative-per-query cap of [[hardNegatives]] — shared with the
+    * oracle.
+    */
+  private[graft] val MaxHardNegs = 4
+
+  /** HARD-NEGATIVE MINING for retrieval-model training (the standard
+    * dense-retriever recipe — DPR, Karpukhin et al. 2020: train on
+    * (query, positive, hard negative) triples where the hard negatives
+    * are the lexical retriever's own near-misses). Each probe term is
+    * a training query; its BM25-top document is the positive, and
+    * ranks 2..[[MaxHardNegs]]+1 qualify as HARD negatives iff they
+    * score at least half the positive (2·neg ≥ pos, exact micro
+    * integers) — a low-scoring tail document teaches the model
+    * nothing. Emits the triple table a contrastive trainer consumes.
+    *
+    * Scale shape: per-term candidates collapse through the bounded
+    * [[graft.functions.TopKByScore]] aggregator (≤ k pairs per (term,
+    * partition) — never a rank window over a term's full postings,
+    * which for a common term is corpus-sized); the positive join is a
+    * broadcast of one row per query term.
+    */
+  def hardNegatives(spark: SparkSession, d: String): DataFrame =
+    hardNegativesOn(sessionContrib(spark, d))
+
+  def hardNegativesDf(docs: DataFrame): DataFrame =
+    hardNegativesOn(bm25ContribAll(docs))
+
+  private def hardNegativesOn(contrib: DataFrame): DataFrame = {
+    // c fits doubles exactly (micro-scores ≪ 2^53), so the double-keyed
+    // bounded aggregator ranks identically to (c DESC, doc_id ASC)
+    val top = contrib.groupBy(col("term"))
+      .agg(graft.functions.TopKSample.topKByScore(
+        col("c").cast("double"), col("doc_id"), MaxHardNegs + 1).as("tk"))
+      .select(col("term"), posexplode(col("tk")).as(Seq("i", "p")))
+      .select(col("term"), (col("i") + 1).cast("long").as("rn"),
+        col("p._2").as("doc_id"), col("p._1").cast("long").as("c"))
+    val pos = top.filter(col("rn") === 1)
+      .select(col("term"), col("doc_id").as("pos_doc_id"),
+        col("c").as("pos_score_micro"))
+    top.filter(col("rn") > 1)
+      .join(broadcast(pos), Seq("term"))
+      .filter(col("c") * 2 >= col("pos_score_micro"))
+      .select(col("term"), (col("rn") - 1).as("neg_rank"), col("doc_id"),
+        col("c").as("neg_score_micro"), col("pos_doc_id"),
+        col("pos_score_micro"))
+      .orderBy(col("term"), col("neg_rank"))
+  }
+
+  /** Evaluation cutoff and the binary-relevance grade floor of
+    * [[retrievalEvalAudit]] — shared with the oracle.
+    */
+  private[graft] val EvalK = 10
+  private[graft] val RelGrade = 2
+
+  /** Rank-r nDCG discount 1/log2(r+1) as a shared CONSTANT table
+    * (r = 1..[[EvalK]]): both engines read the identical double
+    * literals, so the metric carries zero libm exposure (the engines'
+    * log implementations may differ in the last ulp; a 10-entry
+    * constant table makes the question moot).
+    */
+  private[graft] val NdcgDiscounts: Seq[Double] =
+    (1 to EvalK).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  /** RETRIEVAL EFFECTIVENESS AUDIT — nDCG@k, MRR and MAP@k of the
+    * BM25 probe ranking, hash-gated (the q_ann_recall_audit
+    * discipline: the evaluation HARNESS itself sits behind the driver
+    * oracle, so a scoring regression or a metric-formula drift fails
+    * the gate, not just a fixture test). Graded relevance is
+    * deterministic and label-free: rel(d) = number of distinct query
+    * terms the document contains (0..|q|); binary relevance for
+    * MRR/MAP is rel ≥ [[RelGrade]]. DCG gains ((2^rel − 1) ·
+    * discount) are micro-snapped PER ROW then summed as exact BIGINTs;
+    * the discounts are the [[NdcgDiscounts]] constant table; every
+    * division is a single double op over exact integers — fully
+    * oracle-replayed.
+    *
+    * Scale shape: one keyed candidate aggregate; system and ideal
+    * top-k are bounded TakeOrderedAndProject finals; every metric
+    * reduces over ≤ k rows and rides as a broadcast 1-row frame.
+    */
+  def retrievalEvalAudit(spark: SparkSession, d: String): DataFrame =
+    retrievalEvalAuditOn(sessionContrib(spark, d))
+
+  def retrievalEvalAuditDf(docs: DataFrame): DataFrame =
+    retrievalEvalAuditOn(bm25ContribAll(docs))
+
+  private def retrievalEvalAuditOn(contrib: DataFrame): DataFrame = {
+    val cand = contrib.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("score_micro"), count(lit(1)).as("rel"))
+    val disc = NdcgDiscounts.zipWithIndex.foldLeft(lit(0.0)) {
+      case (acc, (dv, i)) => when(col("r") === (i + 1), lit(dv)).otherwise(acc)
+    }
+    // (2^rel - 1) via the integer shift (the Scala shiftleft helper
+    // only takes a literal bit count; the SQL form accepts a column)
+    val gainMicro = floor(
+      expr("cast(shiftleft(1, cast(rel as int)) - 1 as double)")
+        * disc * lit(1e6) + lit(0.5)).cast("long")
+    def ranked(ord: Seq[Column]): DataFrame =
+      cand.orderBy(ord: _*).limit(EvalK)
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(ord: _*)).cast("long"))
+    val sys = ranked(Seq(col("score_micro").desc, col("doc_id")))
+    val ideal = ranked(Seq(col("rel").desc, col("doc_id")))
+    val dcg = sys.agg(coalesce(sum(gainMicro), lit(0L)).as("dcg_micro"))
+    val idcg = ideal.agg(coalesce(sum(gainMicro), lit(0L)).as("idcg_micro"))
+    val mrr = sys.filter(col("rel") >= RelGrade)
+      .agg(coalesce(floor(lit(1e6) / min(col("r")) + lit(0.5)).cast("long"),
+        lit(0L)).as("mrr_micro"))
+    // AP@k: precision at each relevant rank, micro-snapped per row,
+    // summed exactly; the running relevant-count window spans ≤ k rows
+    val wRun = org.apache.spark.sql.expressions.Window.orderBy(col("r"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val sumP = sys
+      .withColumn("relcnt",
+        sum(when(col("rel") >= RelGrade, lit(1L)).otherwise(lit(0L))).over(wRun))
+      .filter(col("rel") >= RelGrade)
+      .agg(coalesce(sum(floor(col("relcnt").cast("double") * lit(1e6) /
+          col("r") + lit(0.5)).cast("long")), lit(0L)).as("sum_p_micro"))
+    val nRel = cand.filter(col("rel") >= RelGrade)
+      .agg(count(lit(1)).as("n_relevant"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    nCand.crossJoin(broadcast(nRel)).crossJoin(broadcast(dcg))
+      .crossJoin(broadcast(idcg)).crossJoin(broadcast(mrr))
+      .crossJoin(broadcast(sumP))
+      .select(col("n_candidates"), col("n_relevant"),
+        col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") > 0,
+          floor(col("dcg_micro").cast("double") / col("idcg_micro").cast("double")
+            * lit(1e6) + lit(0.5)) / lit(1e6)).otherwise(lit(0.0)).as("ndcg_r"),
+        (col("mrr_micro").cast("double") / lit(1e6)).as("mrr_r"),
+        when(col("n_relevant") > 0,
+          floor(col("sum_p_micro").cast("double") /
+            least(col("n_relevant"), lit(EvalK.toLong)).cast("double") + lit(0.5))
+            / lit(1e6)).otherwise(lit(0.0)).as("map_r"))
+  }
+
+  /** POSTINGS COMPRESSION MODEL — the index-size arithmetic an
+    * engineer runs before building a 100 TB inverted index: per term,
+    * sort the posting doc ids, delta-gap them (first gap = doc_id + 1,
+    * so every gap ≥ 1 for non-negative ids), and price each gap and
+    * each tf at its LEB128 varint width (⌈bits/7⌉ bytes — the
+    * standard postings encoding, e.g. Lucene's VByte). Reported
+    * against the raw 16-byte (id, tf) pair, the compressed fraction
+    * is exactly the skip-metadata sizing input. All integer CASE
+    * arithmetic — fully oracle-replayed.
+    *
+    * Scale shape: the lag runs term-partitioned (a term's postings
+    * list is the natural index shard); one keyed aggregate; output is
+    * |terms| rows.
+    */
+  def postingsSizeModel(spark: SparkSession, d: String): DataFrame =
+    postingsSizeModelDf(Tables.fanOut(Tables.documents(spark, d)))
+
+  def postingsSizeModelDf(docs: DataFrame): DataFrame = {
+    val p = postingsDf(docs, Some(ProbeTerms))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id"))
+    val gap = col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w), lit(-1L))
+    p.select(col("term"), col("tf"), gap.as("gap"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(varintBytes(col("gap"))).as("gap_bytes"),
+        sum(varintBytes(col("tf"))).as("tf_bytes"))
+      .select(col("term"), col("df"), col("gap_bytes"), col("tf_bytes"),
+        (col("df") * lit(16L)).as("raw_bytes"),
+        (floor((col("gap_bytes") + col("tf_bytes")).cast("double") /
+          (col("df") * lit(16L)).cast("double") * lit(1e6) + lit(0.5)) /
+          lit(1e6)).as("compressed_frac_r"))
+      .orderBy(col("term"))
+  }
+
+  /** LEB128 width in bytes of a positive BIGINT: b bytes cover values
+    * below 2^(7b); 9 bytes cover the full non-negative long range.
+    * A CASE ladder so the identical expression replays in the oracle.
+    */
+  private[graft] def varintBytes(c: Column): Column =
+    (1 to 8).foldRight(lit(9L): Column) { case (b, acc) =>
+      when(c < (1L << (7 * b)), lit(b.toLong)).otherwise(acc)
+    }
+
   /** Feedback-set size and expansion-term count of [[queryExpansion]]
     * — shared with the oracle builder.
     */

@@ -6,8 +6,8 @@ import graft.Tables
 
 /** Text / regex extraction operators (SURVEY.md §2.8, T3–T9), built from
   * Catalyst built-in expressions so they stay inside whole-stage codegen
-  * and are pushdown/pruning-friendly. (One exception: [[nfcNormalize]]
-  * wraps java.text.Normalizer as a UDF — no Catalyst built-in exists.)
+  * and are pushdown/pruning-friendly ([[nfcNormalize]] included — a
+  * native codegen'd expression since r16; it was the one UDF exception).
   *
   * Semantics mirror the reference's pure-Python extractors
   * (`crawl/1/extract_document_info.py`), applied to any string column.
@@ -84,13 +84,13 @@ object TextExtract {
     * of composed (U+1EBF) and decomposed (e + U+0302 + U+0301) forms;
     * every downstream equality — dedup hashes, regex literals, join
     * keys — silently misses across the two unless ingest canonicalizes.
-    * Java's Normalizer is the platform implementation; a UDF is the
-    * right vehicle (no Catalyst built-in exists).
+    * Since r16 a native codegen'd expression
+    * ([[graft.functions.NfcNormalizeExpr]]) rather than a UDF: same
+    * platform Normalizer and null semantics, but the already-normalized
+    * fast path is allocation-free and the content-hash projection stays
+    * in one whole-stage-codegen span.
     */
-  val nfcNormalize = udf { s: String =>
-    if (s == null) null
-    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
-  }
+  def nfcNormalize(c: Column): Column = graft.functions.NfcNormalizeExpr.nfc(c)
 
   /** Vietnamese date string → DateType: `ngày D tháng M năm Y` → make_date.
     * Natural extension (SURVEY §2.8 note): the reference keeps these raw.

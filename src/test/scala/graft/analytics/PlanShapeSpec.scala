@@ -822,6 +822,31 @@ class PlanShapeSpec extends SparkTestBase {
     scalarNestedOnly("q_section_bm25_topk")
   }
 
+  test("r16 retrieval additions: bounded finals, no postings rank window") {
+    // hard negatives: the per-term top-(k+1) collapses through the
+    // bounded aggregator — a rank window here would sort every common
+    // term's full postings list at corpus scale
+    val hn = plan("q_hard_negatives")
+    assert(!hn.linesIterator.exists(_.trim.startsWith("Window")),
+      s"hard negatives must use the bounded aggregator, not a window:\n$hn")
+    scalarNestedOnly("q_hard_negatives")
+    // eval audit: system/ideal top-k are bounded TakeOrderedAndProject
+    // finals; metric windows span <= k rows only
+    val ev = plan("q_retrieval_eval_audit")
+    assert(ev.contains("TakeOrderedAndProject"),
+      s"eval-audit top-k must be bounded:\n$ev")
+    scalarNestedOnly("q_retrieval_eval_audit")
+    // postings size model: exactly the term-partitioned lag window
+    // (one per branch of the shared gap projection), never a global one
+    val ps = plan("q_postings_size_model")
+    assert(ps.linesIterator.filter(_.trim.startsWith("Window"))
+        .forall(_.contains("term")),
+      s"size-model lag must stay term-partitioned:\n$ps")
+    // k-anonymity: two keyed aggregates, no join anywhere
+    val ka = plan("q_k_anonymity")
+    assert(!ka.contains("Join"), s"k-anonymity grew a join:\n$ka")
+  }
+
   test("q_bm25_maxscore_topk: bound filter keyed, theta a scalar broadcast, bounded final") {
     val p = plan("q_bm25_maxscore_topk")
     assert(p.contains("TakeOrderedAndProject"), s"pruned top-k must be bounded:\n$p")

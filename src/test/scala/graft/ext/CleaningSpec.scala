@@ -1241,4 +1241,25 @@ class CleaningSpec extends SparkTestBase {
     assert(out == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false),
       s"suffix semantics must be label-aligned: $out")
   }
+
+  test("k-anonymity audit counts quasi-identifier risk mass per threshold") {
+    // QI groups (lang, source, n_chars//500): sizes 1, 3, 6, 1 (null
+    // lang), 1 (bucket-1 split of the size-6 combination) = 12 docs
+    val rows =
+      Seq(("vi", "a", 10L)) ++
+      Seq.fill(3)(("vi", "b", 20L)) ++
+      Seq.fill(6)(("en", "a", 499L)) ++
+      Seq((null.asInstanceOf[String], "a", 10L)) ++
+      Seq(("en", "a", 600L)) // same (lang, source), different bucket
+    val docs = rows.toDF("lang", "source", "n_chars")
+    val r = Cleaning.kAnonymityAuditDf(docs).collect().head
+    assert(r.getLong(0) == 12L, "n_docs")
+    assert(r.getLong(1) == 5L, "n_groups")
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L, "lt_2 groups/docs")
+    assert(r.getDouble(4) == 0.25, s"risk_2 ${r.getDouble(4)}")
+    assert(r.getLong(5) == 4L && r.getLong(6) == 6L, "lt_5 groups/docs")
+    assert(r.getDouble(7) == 0.5, "risk_5")
+    assert(r.getLong(8) == 5L && r.getLong(9) == 12L, "lt_10 groups/docs")
+    assert(r.getDouble(10) == 1.0, "risk_10")
+  }
 }

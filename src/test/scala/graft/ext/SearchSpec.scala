@@ -688,6 +688,9 @@ class SearchSpec extends SparkTestBase {
     Search.sectionServePlans(docs)
     Search.sectionBm25TopKDf(docs)
     Search.sectionDedupDf(docs)
+    Search.hardNegativesDf(docs)
+    Search.retrievalEvalAuditDf(docs)
+    Search.postingsSizeModelDf(docs)
     spark.range(1).collect() // sentinel: shuffle-free -> exactly 1 job
     awaitNewJob(before)
     val ran = (jobIds -- before).size
@@ -714,5 +717,115 @@ class SearchSpec extends SparkTestBase {
         direct.getLong(1) == derived.getLong(1),
         s"derived stats $derived != corpus stats $direct")
     } finally pinned.unpersist()
+  }
+
+  /** Driver-side per-(term, doc) BM25 contribution with the operator's
+    * exact snapping — the ground truth for the hard-negative and
+    * eval-audit replays.
+    */
+  private def contribReplay(docs: Seq[(Long, String)],
+                            terms: Seq[String]): Seq[(String, Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val n = docs.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val tf = for { (id, ts) <- toks.toSeq; t <- terms
+                   c = ts.count(_ == t) if c > 0 } yield (id, t, c)
+    val df = tf.groupBy(_._2).map { case (t, xs) => t -> xs.size }
+    tf.map { case (id, t, c) =>
+      val idf = math.log(1.0 + (n.toDouble - df(t) + 0.5) / (df(t) + 0.5))
+      val norm = Search.K1 * ((1.0 - Search.B) + Search.B * toks(id).size / avgdl)
+      (t, id, math.floor(idf * c / (c + norm) * 1e6 + 0.5).toLong)
+    }
+  }
+
+  test("hard negatives: per-term positives, margin pruning, bounded rank order") {
+    import spark.implicits._
+    // doc 6 contains 'hash' diluted across 41 tokens — its contribution
+    // falls below half the dense positive's, so the margin MUST prune it
+    val docsSeq = Seq(
+      1L -> "hash join hash join hash", 2L -> "hash scan scan",
+      3L -> "merge sort sort sort merge", 4L -> "join", 5L -> "alpha beta gamma",
+      6L -> ("hash " + Seq.fill(40)("filler").mkString(" ")))
+    val docs = docsSeq.toDF("doc_id", "text")
+    val expected = contribReplay(docsSeq, Search.ProbeTerms)
+      .groupBy(_._1).flatMap { case (t, xs) =>
+        val sorted = xs.sortBy { case (_, id, c) => (-c, id) }
+        val (_, posId, posC) = sorted.head
+        sorted.tail.take(Search.MaxHardNegs).zipWithIndex.collect {
+          case ((_, id, c), i) if c * 2 >= posC =>
+            (t, (i + 1).toLong, id, c, posId, posC)
+        }
+      }.toSet
+    val got = Search.hardNegativesDf(docs).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected, s"got $got want $expected")
+    // the fixture must exercise the margin: doc 6 is a 'hash' candidate
+    // (rank <= MaxHardNegs + 1) yet absent from the mined negatives
+    val hashCands = contribReplay(docsSeq, Search.ProbeTerms).filter(_._1 == "hash")
+    assert(hashCands.exists(_._2 == 6L), "doc 6 must be a hash candidate")
+    assert(!got.exists(g => g._1 == "hash" && g._3 == 6L),
+      "the diluted candidate must be margin-pruned")
+    assert(got.nonEmpty, "the fixture must yield at least one negative")
+  }
+
+  test("retrieval eval audit matches a driver-side nDCG/MRR/MAP replay") {
+    import spark.implicits._
+    val docsSeq = Seq(
+      1L -> "hash join hash join hash", 2L -> "hash scan scan",
+      3L -> "merge sort sort sort merge", 4L -> "join", 5L -> "alpha beta gamma",
+      6L -> "hash join scan window merge merge")
+    val docs = docsSeq.toDF("doc_id", "text")
+    val cand = contribReplay(docsSeq, Search.ProbeTerms)
+      .groupBy(_._2).map { case (id, xs) =>
+        (id, xs.map(_._3).sum, xs.size.toLong)
+      }.toSeq
+    val sys = cand.sortBy { case (id, s, _) => (-s, id) }.take(Search.EvalK)
+    val ideal = cand.sortBy { case (id, _, r) => (-r, id) }.take(Search.EvalK)
+    def gm(rel: Long, r: Int): Long =
+      math.floor(((1L << rel) - 1).toDouble * Search.NdcgDiscounts(r - 1)
+        * 1e6 + 0.5).toLong
+    val dcg = sys.zipWithIndex.map { case ((_, _, rel), i) => gm(rel, i + 1) }.sum
+    val idcg = ideal.zipWithIndex.map { case ((_, _, rel), i) => gm(rel, i + 1) }.sum
+    val firstRel = sys.zipWithIndex.collectFirst {
+      case ((_, _, rel), i) if rel >= Search.RelGrade => i + 1 }
+    val mrrMicro = firstRel.map(r => math.floor(1e6 / r + 0.5).toLong).getOrElse(0L)
+    var relcnt = 0L
+    val sumP = sys.zipWithIndex.map { case ((_, _, rel), i) =>
+      if (rel >= Search.RelGrade) { relcnt += 1
+        math.floor(relcnt.toDouble * 1e6 / (i + 1) + 0.5).toLong
+      } else 0L
+    }.sum
+    val nRel = cand.count(_._3 >= Search.RelGrade).toLong
+    val row = Search.retrievalEvalAuditDf(docs).collect().head
+    assert(row.getLong(0) == cand.size.toLong, "n_candidates")
+    assert(row.getLong(1) == nRel, "n_relevant")
+    assert(row.getLong(2) == dcg, s"dcg ${row.getLong(2)} != $dcg")
+    assert(row.getLong(3) == idcg, s"idcg ${row.getLong(3)} != $idcg")
+    assert(row.getDouble(4) ==
+      math.floor(dcg.toDouble / idcg * 1e6 + 0.5) / 1e6, "ndcg_r")
+    assert(row.getDouble(5) == mrrMicro.toDouble / 1e6, "mrr_r")
+    assert(row.getDouble(6) ==
+      math.floor(sumP.toDouble / math.min(nRel, Search.EvalK) + 0.5) / 1e6,
+      "map_r")
+    // the graded fixture must spread: doc 6 hits all five probe terms,
+    // so the ideal head outranks every bi-term doc's grade
+    assert(cand.exists(_._3 == 5L) && cand.exists(_._3 == 2L))
+  }
+
+  test("postings size model prices delta gaps and tfs at LEB128 widths") {
+    import spark.implicits._
+    // gaps: 0-(-1)=1, 127, 1, 16272 -> 1+1+1+2 bytes; tfs 1,1,1,2 -> 4 bytes
+    val docs = Seq(0L -> "hash", 127L -> "hash", 128L -> "hash",
+      16400L -> "hash hash").toDF("doc_id", "text")
+    val rows = Search.postingsSizeModelDf(docs).collect()
+    assert(rows.length == 1, s"only 'hash' posts: ${rows.mkString}")
+    val r = rows.head
+    assert(r.getString(0) == "hash")
+    assert(r.getLong(1) == 4L, "df")
+    assert(r.getLong(2) == 5L, s"gap_bytes ${r.getLong(2)}")
+    assert(r.getLong(3) == 4L, "tf_bytes")
+    assert(r.getLong(4) == 64L, "raw_bytes")
+    assert(r.getDouble(5) == 0.140625, s"frac ${r.getDouble(5)}")
   }
 }

@@ -103,6 +103,12 @@ class SessionArtifactSpec extends SparkTestBase {
       rows(Search.sectionBm25TopKDf(docs)))
     assert(rows(Search.sectionDedup(spark, sfDir)) ==
       rows(Search.sectionDedupDf(docs)))
+    // r16 amendment: hard negatives + eval audit ride the session
+    // contribution frame
+    assert(rows(Search.hardNegatives(spark, sfDir)) ==
+      rows(Search.hardNegativesDf(docs)))
+    assert(rows(Search.retrievalEvalAudit(spark, sfDir)) ==
+      rows(Search.retrievalEvalAuditDf(docs)))
   }
 
   test("clearing all session caches rebuilds bit-identical artifacts (cold-bench contract)") {
