@@ -334,7 +334,10 @@ object SparkEntry {
     // retrieval training pairs, effectiveness metrics, index sizing
     "q_hard_negatives"    -> ((s: SparkSession, d: String) => ext.Search.hardNegatives(s, d)),
     "q_retrieval_eval_audit" -> ((s: SparkSession, d: String) => ext.Search.retrievalEvalAudit(s, d)),
+    "q_bm25_param_sweep"  -> ((s: SparkSession, d: String) => ext.Search.bm25ParamSweep(s, d)),
     "q_postings_size_model" -> ((s: SparkSession, d: String) => ext.Search.postingsSizeModel(s, d)),
+    // marketing-style first/last-touch conversion attribution
+    "q_conversion_attribution" -> ((s: SparkSession, d: String) => analytics.ExtraQueries.conversionAttribution(s, d)),
     // privacy: quasi-identifier k-anonymity risk audit
     "q_k_anonymity"       -> ((s: SparkSession, d: String) => ext.Cleaning.kAnonymityAudit(s, d)),
     "q_bm25_term_bounds"  -> ((s: SparkSession, d: String) => ext.Search.bm25TermBounds(s, d)),
@@ -1213,6 +1216,20 @@ object SparkEntry {
         "ELSE 0.0 END AS cos_sim_pq " +
         "FROM pdt d JOIN prn r ON r.vec_id = d.neighbor_id " +
         "JOIN pqn q ON q.vec_id = d.query_id)"
+  }
+
+  /** The nDCG gain of a (rel, r) row — (2^rel − 1) · discount(r),
+    * micro-snapped — with the discount CASE over the shared constant
+    * table (ext.Search.NdcgDiscounts): both engines read identical
+    * double literals, zero libm exposure. Shared by
+    * q_retrieval_eval_audit and q_bm25_param_sweep.
+    */
+  private lazy val ndcgGainSql: String = {
+    val discCase = "CASE r " + ext.Search.NdcgDiscounts.zipWithIndex.map {
+      case (dv, i) => s"WHEN ${i + 1} THEN $dv"
+    }.mkString(" ") + " ELSE 0.0 END"
+    s"CAST(floor(CAST((1 << rel) - 1 AS DOUBLE) * ($discCase) " +
+      "* 1000000.0 + 0.5) AS BIGINT)"
   }
 
   /** Exhaustive probe-term BM25 top-10 — shared verbatim by
@@ -4336,11 +4353,7 @@ object SparkEntry {
     "q_retrieval_eval_audit" -> {
       val k = ext.Search.EvalK
       val rg = ext.Search.RelGrade
-      val discCase = "CASE r " + ext.Search.NdcgDiscounts.zipWithIndex.map {
-        case (dv, i) => s"WHEN ${i + 1} THEN $dv"
-      }.mkString(" ") + " ELSE 0.0 END"
-      val gain = s"CAST(floor(CAST((1 << rel) - 1 AS DOUBLE) * ($discCase) " +
-        "* 1000000.0 + 0.5) AS BIGINT)"
+      val gain = ndcgGainSql
       s"WITH $bm25ContribCtesSql, " +
         "evc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro, " +
         "CAST(COUNT(*) AS BIGINT) AS rel FROM scc GROUP BY doc_id), " +
@@ -4369,6 +4382,73 @@ object SparkEntry {
         "CASE WHEN n_relevant > 0 THEN floor(CAST(sum_p_micro AS DOUBLE) / " +
         s"CAST(LEAST(n_relevant, $k) AS DOUBLE) + 0.5) / 1000000.0 ELSE 0.0 END AS map_r " +
         "FROM evt, evn, evg, evh, evm, eva"
+    },
+    // BM25 parameter sweep: per (k1, b) grid cell the contribution
+    // arithmetic replays with the cell's constants (one cross join of
+    // the VALUES grid); per-cell nDCG@k/MRR against the shared
+    // term-coverage grade; ideal ranking (and idcg) grid-independent
+    "q_bm25_param_sweep" -> {
+      val grid = ext.Search.BmSweepGrid.map { case (g, k1, b) =>
+        s"($g, CAST($k1 AS DOUBLE), CAST($b AS DOUBLE))" }.mkString(", ")
+      val k = ext.Search.EvalK
+      val rg = ext.Search.RelGrade
+      val gain = ndcgGainSql
+      s"WITH $bm25ContribCtesSql, " +
+        s"bsg AS (SELECT * FROM (VALUES $grid) AS g(gid, k1, b)), " +
+        "bsc AS MATERIALIZED (SELECT gid, k1, b, doc_id, CAST(floor(" +
+        "ln(1.0 + (CAST(n AS DOUBLE) - df_t + 0.5) / (df_t + 0.5)) * tf / " +
+        "(tf + k1 * (1.0 - b + b * dl / (CAST(s AS DOUBLE) / n))) " +
+        "* 1000000.0 + 0.5) AS BIGINT) AS c " +
+        "FROM sp JOIN sdf ON sp.term = sdf.term CROSS JOIN cs CROSS JOIN bsg), " +
+        "bsa AS (SELECT gid, k1, b, doc_id, CAST(SUM(c) AS BIGINT) AS score_micro " +
+        "FROM bsc GROUP BY gid, k1, b, doc_id), " +
+        "bsr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS rel FROM sp GROUP BY doc_id), " +
+        "bss AS (SELECT gid, k1, b, doc_id, r FROM (SELECT gid, k1, b, doc_id, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY gid ORDER BY score_micro DESC, doc_id) AS BIGINT) AS r " +
+        s"FROM bsa) WHERE r <= $k), " +
+        "bsj AS (SELECT s.gid, s.k1, s.b, s.r, t.rel FROM bss s " +
+        "JOIN bsr t ON s.doc_id = t.doc_id), " +
+        "bsi AS (SELECT rel, CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS BIGINT) AS r " +
+        s"FROM bsr ORDER BY rel DESC, doc_id LIMIT $k), " +
+        s"bsd AS (SELECT COALESCE(CAST(SUM($gain) AS BIGINT), 0) AS idcg_micro FROM bsi), " +
+        s"bsm AS (SELECT gid, k1, b, CAST(SUM($gain) AS BIGINT) AS dcg_micro, " +
+        s"MIN(CASE WHEN rel >= $rg THEN r END) AS minr " +
+        "FROM bsj GROUP BY gid, k1, b) " +
+        "SELECT k1, b, dcg_micro, idcg_micro, " +
+        "CASE WHEN idcg_micro > 0 THEN floor(CAST(dcg_micro AS DOUBLE) / " +
+        "CAST(idcg_micro AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END AS ndcg_r, " +
+        "CAST(COALESCE(CAST(floor(1000000.0 / minr + 0.5) AS BIGINT), 0) AS DOUBLE) " +
+        "/ 1000000.0 AS mrr_r " +
+        "FROM bsm CROSS JOIN bsd ORDER BY k1, b"
+    },
+    // conversion attribution: first/last-touch credit inside the
+    // lookback, the window predicate in the LEFT JOIN condition so
+    // no-touch conversions credit 'none'; picks are per-conversion
+    // rank windows with explicit NULLS LAST on both engines
+    "q_conversion_attribution" -> {
+      val h = analytics.ExtraQueries.AttributionLookbackH
+      val conv = analytics.ExtraQueries.AttributionConv
+      val touch = analytics.ExtraQueries.AttributionTouch
+        .map(t => s"'$t'").mkString(", ")
+      s"WITH cac AS (SELECT user_id, ts AS cts, event_id AS cid FROM events " +
+        s"WHERE event_type = '$conv'), " +
+        "cat2 AS (SELECT user_id AS tuid, ts AS tts, event_id AS tid, " +
+        s"event_type AS touch_type FROM events WHERE event_type IN ($touch)), " +
+        "caj AS MATERIALIZED (SELECT c.cid, t.tts, t.tid, t.touch_type " +
+        "FROM cac c LEFT JOIN cat2 t ON c.user_id = t.tuid " +
+        s"AND t.tts <= c.cts AND t.tts >= c.cts - INTERVAL $h HOURS), " +
+        "caf AS (SELECT 'first' AS model, COALESCE(touch_type, 'none') AS touch_type " +
+        "FROM (SELECT cid, touch_type, ROW_NUMBER() OVER (PARTITION BY cid " +
+        "ORDER BY tts ASC NULLS LAST, tid) AS rn FROM caj) WHERE rn = 1), " +
+        "cal AS (SELECT 'last' AS model, COALESCE(touch_type, 'none') AS touch_type " +
+        "FROM (SELECT cid, touch_type, ROW_NUMBER() OVER (PARTITION BY cid " +
+        "ORDER BY tts DESC NULLS LAST, tid DESC) AS rn FROM caj) WHERE rn = 1), " +
+        "can AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_conv FROM cac) " +
+        "SELECT model, touch_type, CAST(COUNT(*) AS BIGINT) AS n_conversions, " +
+        "floor(CAST(COUNT(*) AS DOUBLE) / CAST(n_conv AS DOUBLE) * 1000000.0 + 0.5) " +
+        "/ 1000000.0 AS share_r " +
+        "FROM (SELECT * FROM caf UNION ALL SELECT * FROM cal) CROSS JOIN can " +
+        "GROUP BY model, touch_type, n_conv ORDER BY model, touch_type"
     },
     // postings compression model: per-term delta-gap + LEB128 widths
     // over the probed postings (sp from the shared contribution chain;

@@ -813,4 +813,70 @@ object ExtraQueries {
           lit(0.5)) / lit(1e6)).as("retention"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
+
+  /** Attribution lookback window (hours) and the touch / conversion
+    * event types — shared with the oracle.
+    */
+  private[graft] val AttributionLookbackH = 24
+  private[graft] val AttributionConv = "purchase"
+  private[graft] val AttributionTouch = Seq("view", "click", "signup")
+
+  /** MARKETING-STYLE CONVERSION ATTRIBUTION — first-touch and
+    * last-touch: for every conversion (purchase), find the same
+    * user's touch events (view/click/signup) inside the
+    * [[AttributionLookbackH]]-hour lookback, credit the earliest
+    * (first-touch) and the latest (last-touch) one, and report per
+    * (model, touch_type) the attributed-conversion count and its
+    * share of ALL conversions — conversions with no in-window touch
+    * credit the 'none' bucket, so each model's shares sum to 1. Ties
+    * break on (ts, event_id), exact on both engines.
+    *
+    * Scale shape: the conversion×touch join is USER-KEYED (per-user
+    * event counts are bounded by app mechanics — the q_session_stats
+    * argument); the pick windows partition BY CONVERSION (≤ lookback
+    * touches per partition); the final is a tiny (model, type)
+    * aggregate. No event-table-wide window anywhere.
+    */
+  def conversionAttribution(spark: SparkSession, d: String): DataFrame =
+    conversionAttributionDf(Tables.events(spark, d))
+
+  def conversionAttributionDf(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"))
+    val conv = ev.filter(col("event_type") === AttributionConv)
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid"))
+    val touch = ev.filter(col("event_type").isin(AttributionTouch: _*))
+      .select(col("user_id").as("tuid"), col("ts").as("tts"),
+        col("event_id").as("tid"), col("event_type").as("touch_type"))
+    // the window predicate lives IN the join condition, so a
+    // conversion with zero in-window touches still emits its one
+    // unmatched (all-null) row and credits the 'none' bucket — a
+    // post-join filter would silently drop it when the user has
+    // out-of-window touches
+    val joined = conv.join(touch,
+      col("user_id") === col("tuid") &&
+        col("tts") <= col("cts") &&
+        col("tts") >= col("cts") - expr(s"INTERVAL $AttributionLookbackH HOURS"),
+      "left")
+    def pick(model: String,
+             ord: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cid")).orderBy(ord: _*)
+      joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(lit(model).as("model"),
+          coalesce(col("touch_type"), lit("none")).as("touch_type"))
+    }
+    val first = pick("first", Seq(col("tts").asc_nulls_last, col("tid")))
+    val last = pick("last", Seq(col("tts").desc_nulls_last, col("tid").desc))
+    val total = conv.agg(count(lit(1)).as("n_conv"))
+    first.unionByName(last)
+      .groupBy(col("model"), col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .crossJoin(broadcast(total))
+      .select(col("model"), col("touch_type"), col("n_conversions"),
+        (floor(col("n_conversions").cast("double") / col("n_conv").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("share_r"))
+      .orderBy(col("model"), col("touch_type"))
+  }
 }

@@ -1425,40 +1425,123 @@ object Search {
       cand.orderBy(ord: _*).limit(EvalK)
         .withColumn("r", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(ord: _*)).cast("long"))
-    val sys = ranked(Seq(col("score_micro").desc, col("doc_id")))
-    val ideal = ranked(Seq(col("rel").desc, col("doc_id")))
-    val dcg = sys.agg(coalesce(sum(gainMicro), lit(0L)).as("dcg_micro"))
-    val idcg = ideal.agg(coalesce(sum(gainMicro), lit(0L)).as("idcg_micro"))
-    val mrr = sys.filter(col("rel") >= RelGrade)
-      .agg(coalesce(floor(lit(1e6) / min(col("r")) + lit(0.5)).cast("long"),
-        lit(0L)).as("mrr_micro"))
-    // AP@k: precision at each relevant rank, micro-snapped per row,
-    // summed exactly; the running relevant-count window spans ≤ k rows
+    // ONE reduce over the ranked system rows computes all three
+    // rank-dependent metrics (DCG, first-relevant rank, the AP
+    // precision sum) — a branch per metric would re-derive the whole
+    // ranked top-k from the candidate aggregate three times over. The
+    // running relevant-count window spans ≤ k rows.
     val wRun = org.apache.spark.sql.expressions.Window.orderBy(col("r"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val sumP = sys
+    val sysAgg = ranked(Seq(col("score_micro").desc, col("doc_id")))
       .withColumn("relcnt",
         sum(when(col("rel") >= RelGrade, lit(1L)).otherwise(lit(0L))).over(wRun))
-      .filter(col("rel") >= RelGrade)
-      .agg(coalesce(sum(floor(col("relcnt").cast("double") * lit(1e6) /
-          col("r") + lit(0.5)).cast("long")), lit(0L)).as("sum_p_micro"))
-    val nRel = cand.filter(col("rel") >= RelGrade)
-      .agg(count(lit(1)).as("n_relevant"))
-    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-    nCand.crossJoin(broadcast(nRel)).crossJoin(broadcast(dcg))
-      .crossJoin(broadcast(idcg)).crossJoin(broadcast(mrr))
-      .crossJoin(broadcast(sumP))
+      .agg(coalesce(sum(gainMicro), lit(0L)).as("dcg_micro"),
+        min(when(col("rel") >= RelGrade, col("r"))).as("min_rel_r"),
+        coalesce(sum(when(col("rel") >= RelGrade,
+            floor(col("relcnt").cast("double") * lit(1e6) / col("r") + lit(0.5))
+              .cast("long")).otherwise(lit(0L))), lit(0L)).as("sum_p_micro"))
+    val idcg = ranked(Seq(col("rel").desc, col("doc_id")))
+      .agg(coalesce(sum(gainMicro), lit(0L)).as("idcg_micro"))
+    // one pass over the candidate aggregate for both counts
+    val counts = cand.agg(count(lit(1)).as("n_candidates"),
+      coalesce(sum(when(col("rel") >= RelGrade, lit(1L)).otherwise(lit(0L))),
+        lit(0L)).as("n_relevant"))
+    counts.crossJoin(broadcast(sysAgg)).crossJoin(broadcast(idcg))
       .select(col("n_candidates"), col("n_relevant"),
         col("dcg_micro"), col("idcg_micro"),
         when(col("idcg_micro") > 0,
           floor(col("dcg_micro").cast("double") / col("idcg_micro").cast("double")
             * lit(1e6) + lit(0.5)) / lit(1e6)).otherwise(lit(0.0)).as("ndcg_r"),
-        (col("mrr_micro").cast("double") / lit(1e6)).as("mrr_r"),
+        (coalesce(floor(lit(1e6) / col("min_rel_r") + lit(0.5)).cast("long"),
+          lit(0L)).cast("double") / lit(1e6)).as("mrr_r"),
         when(col("n_relevant") > 0,
           floor(col("sum_p_micro").cast("double") /
             least(col("n_relevant"), lit(EvalK.toLong)).cast("double") + lit(0.5))
             / lit(1e6)).otherwise(lit(0.0)).as("map_r"))
+  }
+
+  /** The (k1, b) grid of [[bm25ParamSweep]] — shared with the oracle.
+    * Standard sweep values around the Robertson defaults.
+    */
+  private[graft] val BmSweepK1: Seq[Double] = Seq(0.9, 1.2, 1.5)
+  private[graft] val BmSweepB: Seq[Double] = Seq(0.4, 0.75)
+  private[graft] val BmSweepGrid: Seq[(Int, Double, Double)] =
+    (for { k1 <- BmSweepK1; b <- BmSweepB } yield (k1, b))
+      .zipWithIndex.map { case ((k1, b), i) => (i, k1, b) }
+
+  /** BM25 PARAMETER SWEEP — the q_ann_tuning_curve discipline applied
+    * to the lexical ranker: score the probe query under every (k1, b)
+    * grid cell in ONE pass (the grid rides as a broadcast literal
+    * frame crossed into the contribution arithmetic), evaluate each
+    * cell's ranking with the [[retrievalEvalAudit]] metrics (nDCG@k
+    * against the label-free term-coverage grade, MRR), and emit the
+    * effectiveness-vs-parameters table an IR engineer reads before
+    * freezing ranker constants — hash-gated, so the whole tuning
+    * harness sits behind the driver oracle. The IDEAL ranking is
+    * grid-independent (grades don't move with k1/b), so idcg is one
+    * shared scalar.
+    *
+    * Scale shape: postings scan once; the grid multiplies the probed
+    * contribution rows by |grid| (6), never the corpus; per-cell
+    * finals collapse through the bounded aggregator; metrics reduce
+    * over ≤ |grid|·k rows.
+    */
+  def bm25ParamSweep(spark: SparkSession, d: String): DataFrame =
+    bm25ParamSweepOn(sessionQlPostings(spark, d), sessionCorpusStats(spark, d))
+
+  def bm25ParamSweepDf(docs: DataFrame): DataFrame =
+    bm25ParamSweepOn(postingsDf(docs, Some(ProbeTerms)), corpusStatsDf(docs))
+
+  private def bm25ParamSweepOn(p: DataFrame, stats: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val grid = BmSweepGrid.toDF("gid", "k1", "b")
+    val dfT = p.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val idf = log(lit(1.0) + (csNDocs - col("df_t") + lit(0.5)) /
+      (col("df_t") + lit(0.5)))
+    val norm = col("k1") * (lit(1.0) - col("b") + col("b") * col("dl") / csAvgdl)
+    val contrib = idf * col("tf") / (col("tf") + norm)
+    val cand = p.join(dfT, Seq("term"))
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(grid))
+      .select(col("gid"), col("k1"), col("b"), col("doc_id"),
+        floor(contrib * lit(1e6) + lit(0.5)).cast("long").as("c"))
+      .groupBy(col("gid"), col("k1"), col("b"), col("doc_id"))
+      .agg(sum(col("c")).as("score_micro"))
+    val rel = p.groupBy(col("doc_id")).agg(count(lit(1)).as("rel"))
+    val disc = NdcgDiscounts.zipWithIndex.foldLeft(lit(0.0)) {
+      case (acc, (dv, i)) => when(col("r") === (i + 1), lit(dv)).otherwise(acc)
+    }
+    val gainMicro = floor(
+      expr("cast(shiftleft(1, cast(rel as int)) - 1 as double)")
+        * disc * lit(1e6) + lit(0.5)).cast("long")
+    // per-cell system top-k through the bounded aggregator, grades
+    // joined back on the winner ids only
+    val sys = cand.groupBy(col("gid"), col("k1"), col("b"))
+      .agg(graft.functions.TopKSample.topKByScore(
+        col("score_micro").cast("double"), col("doc_id"), EvalK).as("tk"))
+      .select(col("gid"), col("k1"), col("b"),
+        posexplode(col("tk")).as(Seq("i", "pair")))
+      .select(col("gid"), col("k1"), col("b"), (col("i") + 1).cast("long").as("r"),
+        col("pair._2").as("doc_id"))
+      .join(rel, Seq("doc_id"))
+    // grid-independent ideal: top-k by grade, one shared idcg scalar
+    val ideal = rel.orderBy(col("rel").desc, col("doc_id")).limit(EvalK)
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rel").desc, col("doc_id"))).cast("long"))
+    val idcg = ideal.agg(coalesce(sum(gainMicro), lit(0L)).as("idcg_micro"))
+    sys.groupBy(col("gid"), col("k1"), col("b"))
+      .agg(sum(gainMicro).as("dcg_micro"),
+        min(when(col("rel") >= RelGrade, col("r"))).as("min_rel_r"))
+      .crossJoin(broadcast(idcg))
+      .select(col("k1"), col("b"), col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") > 0,
+          floor(col("dcg_micro").cast("double") / col("idcg_micro").cast("double")
+            * lit(1e6) + lit(0.5)) / lit(1e6)).otherwise(lit(0.0)).as("ndcg_r"),
+        (coalesce(floor(lit(1e6) / col("min_rel_r") + lit(0.5)).cast("long"),
+          lit(0L)).cast("double") / lit(1e6)).as("mrr_r"))
+      .orderBy(col("k1"), col("b"))
   }
 
   /** POSTINGS COMPRESSION MODEL — the index-size arithmetic an

@@ -204,4 +204,36 @@ class EventAnalyticsSpec extends SparkTestBase {
       assert(r.getLong(2) == r.getLong(3), s"week-0 must be full: $r")
     }
   }
+
+  test("attribution: first/last touch picks, lookback bound, none bucket") {
+    import spark.implicits._
+    // user 1: view -> click -> purchase (both in window): first=view,
+    //   last=click
+    // user 2: purchase with no touches at all: none
+    // user 3: a view 25h BEFORE the purchase (outside the 24h
+    //   lookback): none — the regression case for the join-condition
+    //   placement (a post-join filter would drop this conversion)
+    // user 4: a click AFTER the purchase only: none
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 11:00:00", 1L, "click"),
+      (3L, "2024-01-01 12:00:00", 1L, "purchase"),
+      (4L, "2024-01-02 12:00:00", 2L, "purchase"),
+      (5L, "2024-01-03 10:00:00", 3L, "view"),
+      (6L, "2024-01-04 11:00:00", 3L, "purchase"),
+      (7L, "2024-01-05 12:00:00", 4L, "click"),
+      (8L, "2024-01-05 11:00:00", 4L, "purchase")
+    ).toDF("event_id", "ts_s", "user_id", "event_type")
+      .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+    val got = ExtraQueries.conversionAttributionDf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val q = math.floor(1.0 / 4 * 1e6 + 0.5) / 1e6
+    val h = math.floor(3.0 / 4 * 1e6 + 0.5) / 1e6
+    assert(got == Map(
+      ("first", "view") -> ((1L, q)), ("first", "none") -> ((3L, h)),
+      ("last", "click") -> ((1L, q)), ("last", "none") -> ((3L, h))),
+      s"attribution table off: $got")
+  }
 }

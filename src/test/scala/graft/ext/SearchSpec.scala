@@ -723,8 +723,9 @@ class SearchSpec extends SparkTestBase {
     * exact snapping — the ground truth for the hard-negative and
     * eval-audit replays.
     */
-  private def contribReplay(docs: Seq[(Long, String)],
-                            terms: Seq[String]): Seq[(String, Long, Long)] = {
+  private def contribReplay(docs: Seq[(Long, String)], terms: Seq[String],
+                            k1: Double = Search.K1,
+                            b: Double = Search.B): Seq[(String, Long, Long)] = {
     val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
     val n = docs.size
     val avgdl = toks.values.map(_.size).sum.toDouble / n
@@ -733,7 +734,7 @@ class SearchSpec extends SparkTestBase {
     val df = tf.groupBy(_._2).map { case (t, xs) => t -> xs.size }
     tf.map { case (id, t, c) =>
       val idf = math.log(1.0 + (n.toDouble - df(t) + 0.5) / (df(t) + 0.5))
-      val norm = Search.K1 * ((1.0 - Search.B) + Search.B * toks(id).size / avgdl)
+      val norm = k1 * ((1.0 - b) + b * toks(id).size / avgdl)
       (t, id, math.floor(idf * c / (c + norm) * 1e6 + 0.5).toLong)
     }
   }
@@ -811,6 +812,50 @@ class SearchSpec extends SparkTestBase {
     // the graded fixture must spread: doc 6 hits all five probe terms,
     // so the ideal head outranks every bi-term doc's grade
     assert(cand.exists(_._3 == 5L) && cand.exists(_._3 == 2L))
+  }
+
+  test("bm25 param sweep: full per-cell metric replay, default cell = eval audit") {
+    import spark.implicits._
+    val docsSeq = Seq(
+      1L -> "hash join hash join hash", 2L -> "hash scan scan",
+      3L -> "merge sort sort sort merge", 4L -> "join", 5L -> "alpha beta gamma",
+      6L -> "hash join scan window merge merge")
+    val docs = docsSeq.toDF("doc_id", "text")
+    def metrics(k1: Double, b: Double): (Long, Long, Double, Double) = {
+      val cand = contribReplay(docsSeq, Search.ProbeTerms, k1, b)
+        .groupBy(_._2).map { case (id, xs) => (id, xs.map(_._3).sum, xs.size.toLong) }.toSeq
+      val rel = contribReplay(docsSeq, Search.ProbeTerms)
+        .groupBy(_._2).map { case (id, xs) => id -> xs.size.toLong }
+      val sys = cand.sortBy { case (id, s, _) => (-s, id) }.take(Search.EvalK)
+      val ideal = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(Search.EvalK)
+      def gm(r: Long, rk: Int): Long =
+        math.floor(((1L << r) - 1).toDouble * Search.NdcgDiscounts(rk - 1)
+          * 1e6 + 0.5).toLong
+      val dcg = sys.zipWithIndex.map { case ((_, _, r), i) => gm(r, i + 1) }.sum
+      val idcg = ideal.zipWithIndex.map { case ((_, r), i) => gm(r, i + 1) }.sum
+      val minr = sys.zipWithIndex.collectFirst {
+        case ((_, _, r), i) if r >= Search.RelGrade => i + 1 }
+      val ndcg = if (idcg > 0) math.floor(dcg.toDouble / idcg * 1e6 + 0.5) / 1e6 else 0.0
+      val mrr = minr.map(r => math.floor(1e6 / r + 0.5).toLong).getOrElse(0L).toDouble / 1e6
+      (dcg, idcg, ndcg, mrr)
+    }
+    val got = Search.bm25ParamSweepDf(docs).collect()
+    assert(got.length == Search.BmSweepGrid.size)
+    got.foreach { r =>
+      val (dcg, idcg, ndcg, mrr) = metrics(r.getDouble(0), r.getDouble(1))
+      assert(r.getLong(2) == dcg && r.getLong(3) == idcg &&
+        r.getDouble(4) == ndcg && r.getDouble(5) == mrr,
+        s"cell (${r.getDouble(0)}, ${r.getDouble(1)}): got $r want ($dcg, $idcg, $ndcg, $mrr)")
+    }
+    // the default cell must reproduce the standalone audit's metrics
+    val audit = Search.retrievalEvalAuditDf(docs).collect().head
+    val dflt = got.find(r =>
+      r.getDouble(0) == Search.K1 && r.getDouble(1) == Search.B).get
+    assert(dflt.getLong(2) == audit.getLong(2) &&
+      dflt.getLong(3) == audit.getLong(3) &&
+      dflt.getDouble(4) == audit.getDouble(4) &&
+      dflt.getDouble(5) == audit.getDouble(5),
+      s"default sweep cell $dflt drifted from the audit $audit")
   }
 
   test("postings size model prices delta gaps and tfs at LEB128 widths") {
