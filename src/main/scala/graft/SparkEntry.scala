@@ -336,6 +336,7 @@ object SparkEntry {
     "q_retrieval_eval_audit" -> ((s: SparkSession, d: String) => ext.Search.retrievalEvalAudit(s, d)),
     "q_bm25_param_sweep"  -> ((s: SparkSession, d: String) => ext.Search.bm25ParamSweep(s, d)),
     "q_postings_size_model" -> ((s: SparkSession, d: String) => ext.Search.postingsSizeModel(s, d)),
+    "q_mmr_diversify"     -> ((s: SparkSession, d: String) => ext.Search.mmrDiversify(s, d)),
     // marketing-style first/last-touch conversion attribution
     "q_conversion_attribution" -> ((s: SparkSession, d: String) => analytics.ExtraQueries.conversionAttribution(s, d)),
     // privacy: quasi-identifier k-anonymity risk audit
@@ -4449,6 +4450,45 @@ object SparkEntry {
         "/ 1000000.0 AS share_r " +
         "FROM (SELECT * FROM caf UNION ALL SELECT * FROM cal) CROSS JOIN can " +
         "GROUP BY model, touch_type, n_conv ORDER BY model, touch_type"
+    },
+    // MMR diversification: the greedy λ=1/2 recurrence unrolled round
+    // by round (the Lloyd-unroll discipline) — objective is pure
+    // integer micro arithmetic (score − max 3-gram Jaccard to the
+    // selected set), ties to doc_id
+    "q_mmr_diversify" -> {
+      val p = ext.Search.MmrPool
+      val kk = ext.Search.MmrK
+      val rounds = (2 to kk).map { i =>
+        val prev = s"msel${i - 1}"
+        s"mm$i AS (SELECT CAST($i AS BIGINT) AS round, p.doc_id, p.score_micro, " +
+          "COALESCE(s.ms, 0) AS max_sim_micro, " +
+          "p.score_micro - COALESCE(s.ms, 0) AS obj_micro " +
+          "FROM mmp p LEFT JOIN (SELECT ia, MAX(sim_micro) AS ms FROM mms " +
+          s"WHERE ib IN (SELECT doc_id FROM $prev) GROUP BY ia) s " +
+          "ON p.doc_id = s.ia " +
+          s"WHERE p.doc_id NOT IN (SELECT doc_id FROM $prev) " +
+          "ORDER BY obj_micro DESC, p.doc_id LIMIT 1), " +
+          s"msel$i AS (SELECT doc_id FROM $prev UNION ALL SELECT doc_id FROM mm$i)"
+      }.mkString(", ")
+      val unions = (1 to kk).map(i => s"SELECT * FROM mm$i").mkString(" UNION ALL ")
+      s"WITH $bm25ContribCtesSql, " +
+        "mmp AS MATERIALIZED (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro " +
+        s"FROM scc GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT $p), " +
+        "mmsh AS MATERIALIZED (SELECT d.doc_id, list_distinct(list_transform(" +
+        s"generate_series(1, greatest(len($toks) - 2, 1)), " +
+        s"i -> array_to_string(($toks)[i:i+2], ' '))) AS sh " +
+        "FROM documents d JOIN mmp p ON d.doc_id = p.doc_id WHERE d.text IS NOT NULL), " +
+        "mms AS MATERIALIZED (SELECT a.doc_id AS ia, b.doc_id AS ib, " +
+        "CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) * 1000000.0 / " +
+        "len(list_distinct(list_concat(a.sh, b.sh))) + 0.5) AS BIGINT) AS sim_micro " +
+        "FROM mmsh a JOIN mmsh b ON a.doc_id <> b.doc_id), " +
+        "mm1 AS (SELECT CAST(1 AS BIGINT) AS round, doc_id, score_micro, " +
+        "CAST(0 AS BIGINT) AS max_sim_micro, score_micro AS obj_micro " +
+        "FROM mmp ORDER BY score_micro DESC, doc_id LIMIT 1), " +
+        "msel1 AS (SELECT doc_id FROM mm1), " +
+        rounds +
+        s" SELECT round, doc_id, score_micro, max_sim_micro, obj_micro " +
+        s"FROM ($unions) ORDER BY round"
     },
     // postings compression model: per-term delta-gap + LEB128 widths
     // over the probed postings (sp from the shared contribution chain;

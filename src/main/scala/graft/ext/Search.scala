@@ -1544,6 +1544,101 @@ object Search {
       .orderBy(col("k1"), col("b"))
   }
 
+  /** Candidate-pool size and selection count of [[mmrDiversify]] —
+    * shared with the oracle. λ is FIXED at 1/2, which makes the MMR
+    * objective pure integer arithmetic: argmax λ·score − (1−λ)·maxSim
+    * = argmax (score_micro − max_sim_micro), no floats anywhere.
+    */
+  private[graft] val MmrPool = 20
+  private[graft] val MmrK = 5
+
+  /** MMR RESULT DIVERSIFICATION (Maximal Marginal Relevance,
+    * Carbonell & Goldstein 1998) — the answer-diversity pass a RAG
+    * stack runs between retrieval and the context window: from the
+    * BM25 top-[[MmrPool]] pool, greedily select [[MmrK]] documents,
+    * each round picking the candidate maximizing relevance MINUS its
+    * worst redundancy against the already-selected set (token-3-gram
+    * Jaccard, micro-snapped). A near-duplicate of an already-picked
+    * document gets crushed by the similarity term even when its BM25
+    * score is second-best — the planted fixture proves the demotion.
+    *
+    * Determinism: scores and similarities are exact micro BIGINTs,
+    * λ = 1/2 folds into integer subtraction, ties break on doc_id —
+    * the greedy recurrence replays bit-identically in the oracle's
+    * round-unrolled CTEs (the Lloyd-unroll discipline).
+    *
+    * Scale shape: the pool is a bounded top-k; shingles derive for
+    * the POOL'S documents only (broadcast semi-join below the shingle
+    * transform); the pairwise grid is pool² ≤ 400 rows; each greedy
+    * round is a bounded broadcast join — nothing corpus-sized after
+    * the pool selection.
+    */
+  def mmrDiversify(spark: SparkSession, d: String): DataFrame =
+    mmrDiversifyOn(sessionContrib(spark, d),
+      Tables.fanOut(Tables.documents(spark, d)))
+
+  def mmrDiversifyDf(docs: DataFrame): DataFrame =
+    mmrDiversifyOn(bm25ContribAll(docs), docs)
+
+  private def mmrDiversifyOn(contrib: DataFrame, docs: DataFrame): DataFrame = {
+    // GREEDY-RECURRENCE SHAPE: the corpus-scale stages (scoring, the
+    // winners-only shingle derivation, the pairwise grid) run
+    // distributed; the k-round greedy itself runs on the DRIVER over
+    // the collected pool scores + pool² similarities — ≤ MmrPool +
+    // MmrPool² bounded rows, the Lloyd-sync bounded-collect precedent
+    // (ext.Similarity's 16×256×4 codebook syncs). The pure-plan
+    // unroll was measured 111 s at sf0.1 (round i nests the selected
+    // union twice → 2^k copies of the pool/sim subtrees) and the
+    // per-round lazy-checkpoint form still paid ~10 tiny AQE stage
+    // rounds (4.6 s); two bounded collects + a LocalRelation result
+    // is the honest shape for a k·pool²-state recurrence.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pool = contrib.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(MmrPool)
+    val poolRows: Seq[(Long, Long)] = pool.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq // ≤ MmrPool rows
+    // the winners' ids ride back as a literal frame (zero extra jobs)
+    // and the ≤ pool-row shingle frame checkpoints lazily so the
+    // pairwise grid's two sides share ONE corpus scan
+    val poolIds = poolRows.map(_._1).toDF("doc_id")
+    val toks = TextAnalysis.tokens(col("text"))
+    val poolSh = docs.filter(col("text").isNotNull)
+      .join(broadcast(poolIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(Dedup.shinglesOfTokens(col("toks")))).as("sh"))
+      .localCheckpoint(false)
+    val a = poolSh.as("a")
+    val b = poolSh.as("b")
+    val oc = graft.functions.JaccardExpression.overlapCounts(col("a.sh"), col("b.sh"))
+    val union = col("o.n_a") + col("o.n_b") - col("o.n_inter")
+    val sim = a.join(broadcast(b), col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"), oc.as("o"))
+      .select(col("ia"), col("ib"),
+        when(union > 0,
+          floor(col("o.n_inter").cast("double") * lit(1e6) /
+            union.cast("double") + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)).as("sim_micro"))
+    val simRows: Map[(Long, Long), Long] = sim.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap // ≤ pool²
+    var selected = Vector.empty[(Long, Long, Long, Long, Long)]
+    for (i <- 1 to MmrK) {
+      val cand = poolRows.filterNot(p => selected.exists(_._2 == p._1))
+      if (cand.nonEmpty) {
+        val pick = cand.map { case (id, s) =>
+          val ms = if (selected.isEmpty) 0L
+            else selected.map(sel => simRows.getOrElse((id, sel._2), 0L)).max
+          (id, s, ms, s - ms)
+        }.minBy { case (id, _, _, obj) => (-obj, id) }
+        selected :+= ((i.toLong, pick._1, pick._2, pick._3, pick._4))
+      }
+    }
+    selected.toDF("round", "doc_id", "score_micro", "max_sim_micro",
+      "obj_micro").orderBy(col("round"))
+  }
+
   /** POSTINGS COMPRESSION MODEL — the index-size arithmetic an
     * engineer runs before building a 100 TB inverted index: per term,
     * sort the posting doc ids, delta-gap them (first gap = doc_id + 1,

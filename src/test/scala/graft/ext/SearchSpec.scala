@@ -858,6 +858,55 @@ class SearchSpec extends SparkTestBase {
       s"default sweep cell $dflt drifted from the audit $audit")
   }
 
+  test("MMR diversification: exact greedy replay, near-duplicate demoted") {
+    import spark.implicits._
+    // doc 2 is an EXACT duplicate of doc 1: pure BM25 ranks it second,
+    // MMR's similarity term must push it behind the dissimilar docs
+    val docsSeq = Seq(
+      1L -> "hash join hash join hash join hash window",
+      2L -> "hash join hash join hash join hash window",
+      3L -> "scan merge",
+      4L -> "window merge",
+      5L -> "alpha beta scan")
+    val docs = docsSeq.toDF("doc_id", "text")
+    val scores: Map[Long, Long] = contribReplay(docsSeq, Search.ProbeTerms)
+      .groupBy(_._2).map { case (id, xs) => id -> xs.map(_._3).sum }
+    val pool = scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(Search.MmrPool)
+    def shingles(t: String): Set[String] = {
+      val ts = t.split("\\s+").toSeq
+      (1 to math.max(ts.size - 2, 1))
+        .map(i => ts.slice(i - 1, i - 1 + 3).mkString(" ")).toSet
+    }
+    val sh = docsSeq.toMap.map { case (id, t) => id -> shingles(t) }
+    def simM(x: Long, y: Long): Long = {
+      val i = (sh(x) intersect sh(y)).size
+      val u = (sh(x) union sh(y)).size
+      if (u == 0) 0L else math.floor(i.toDouble * 1e6 / u + 0.5).toLong
+    }
+    var selected = Vector.empty[(Long, Long, Long, Long, Long)]
+    for (r <- 1 to Search.MmrK) {
+      val cand = pool.filterNot(p => selected.exists(_._2 == p._1))
+      if (cand.nonEmpty) {
+        val pick = cand.map { case (id, s) =>
+          val ms = if (selected.isEmpty) 0L
+            else selected.map(sel => simM(id, sel._2)).max
+          (id, s, ms, s - ms)
+        }.sortBy { case (id, _, _, obj) => (-obj, id) }.head
+        selected :+= ((r.toLong, pick._1, pick._2, pick._3, pick._4))
+      }
+    }
+    val got = Search.mmrDiversifyDf(docs).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toVector
+    assert(got == selected, s"got $got want $selected")
+    // the fixture bites: doc 2 is BM25-second yet not MMR-second, and
+    // when it finally enters, its redundancy term is total (sim = 1e6)
+    assert(pool(1)._1 == 2L, "fixture: the duplicate must rank second in BM25")
+    assert(got(1)._2 != 2L, "the near-duplicate must be demoted from slot 2")
+    val dup = got.find(_._2 == 2L).get
+    assert(dup._4 == 1000000L, s"duplicate's max sim must be total: $dup")
+  }
+
   test("postings size model prices delta gaps and tfs at LEB128 widths") {
     import spark.implicits._
     // gaps: 0-(-1)=1, 127, 1, 16272 -> 1+1+1+2 bytes; tfs 1,1,1,2 -> 4 bytes
