@@ -281,6 +281,7 @@ object SparkEntry {
     "q_ingest_gate"       -> ((s: SparkSession, d: String) => ext.Ingest.ingestGate(s, d)),
     "q_zorder_events"     -> ((s: SparkSession, d: String) => storage.ZOrder.zorderEvents(s, d)),
     "q_layout_compare"    -> ((s: SparkSession, d: String) => storage.ZOrder.layoutCompare(s, d)),
+    "q_hilbert_layout"    -> ((s: SparkSession, d: String) => storage.ZOrder.hilbertCompare(s, d)),
     "q_link_graph_degrees" -> ((s: SparkSession, d: String) => ext.Graph.linkGraphDegrees(s, d)),
     "q_pagerank"          -> ((s: SparkSession, d: String) => ext.Graph.pagerank(s, d)),
     "q_train_classifier"  -> ((s: SparkSession, d: String) => ext.Training.trainQualityClassifier(s, d)),
@@ -4113,6 +4114,48 @@ object SparkEntry {
         "CASE WHEN tr > 0 THEN floor(CAST(wt AS DOUBLE) / CAST(tn AS DOUBLE) " +
         "/ CAST(tr AS DOUBLE) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS ts_span_frac " +
         "FROM a ORDER BY layout"),
+    // Hilbert vs Morton curve bake-off: the xy->d quadrant-rotation
+    // recurrence unrolled as one CTE per level (levels reference the
+    // previous level's resolved x/y/d, mirroring the Spark chained
+    // projections); quadrant id as the CASE equivalent of (3rx)^ry
+    "q_hilbert_layout" -> {
+      val levels = (7 to 0 by -1).zipWithIndex.map { case (k, i) =>
+        val sq = (1L << k) * (1L << k)
+        val rx = s"((x >> $k) & 1)"
+        val ry = s"((y >> $k) & 1)"
+        val quad = s"CASE WHEN $rx = 0 AND $ry = 0 THEN 0 " +
+          s"WHEN $rx = 0 THEN 1 WHEN $ry = 1 THEN 2 ELSE 3 END"
+        s"hp${i + 1} AS (SELECT user_id, sec, ur, tr, " +
+          s"CASE WHEN $ry = 0 THEN CASE WHEN $rx = 1 THEN 255 - y ELSE y END ELSE x END AS x, " +
+          s"CASE WHEN $ry = 0 THEN CASE WHEN $rx = 1 THEN 255 - x ELSE x END ELSE y END AS y, " +
+          s"d + $sq * ($quad) AS d FROM hp$i)"
+      }.mkString(", ")
+      "WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events), " +
+        "m AS (SELECT MIN(user_id) AS minu, MAX(user_id) AS maxu, " +
+        "MIN(sec) AS mins, MAX(sec) AS maxs FROM e), " +
+        "hp0 AS (SELECT user_id, sec, maxu - minu AS ur, maxs - mins AS tr, " +
+        "CAST(floor(CAST(user_id - minu AS DOUBLE) * 256 / CAST(maxu - minu + 1 AS DOUBLE)) AS BIGINT) AS x, " +
+        "CAST(floor(CAST(sec - mins AS DOUBLE) * 256 / CAST(maxs - mins + 1 AS DOUBLE)) AS BIGINT) AS y, " +
+        "CAST(0 AS BIGINT) AS d FROM e CROSS JOIN m), " +
+        levels + ", " +
+        "bh AS (SELECT 'hilbert' AS layout, CAST(floor(CAST(d AS DOUBLE) / 2048) AS BIGINT) AS bucket, " +
+        "user_id, sec, ur, tr FROM hp8), " +
+        s"bm2 AS (SELECT 'morton', CAST(floor(CAST($zTerms AS DOUBLE) / 2048) AS BIGINT), " +
+        "user_id, sec, ur, tr FROM hp0), " +
+        "hab AS (SELECT * FROM bh UNION ALL SELECT * FROM bm2), " +
+        "hg AS (SELECT layout, bucket, COUNT(*) AS n, " +
+        "MAX(user_id) - MIN(user_id) AS usp, MAX(sec) - MIN(sec) AS tsp, " +
+        "MAX(ur) AS ur, MAX(tr) AS tr FROM hab GROUP BY layout, bucket), " +
+        "ha AS (SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_buckets, " +
+        "CAST(SUM(n * usp) AS BIGINT) AS wu, CAST(SUM(n * tsp) AS BIGINT) AS wt, " +
+        "CAST(SUM(n) AS BIGINT) AS tn, MAX(ur) AS ur, MAX(tr) AS tr FROM hg GROUP BY layout) " +
+        "SELECT layout, n_buckets, " +
+        "CASE WHEN ur > 0 THEN floor(CAST(wu AS DOUBLE) / CAST(tn AS DOUBLE) " +
+        "/ CAST(ur AS DOUBLE) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS user_span_frac, " +
+        "CASE WHEN tr > 0 THEN floor(CAST(wt AS DOUBLE) / CAST(tn AS DOUBLE) " +
+        "/ CAST(tr AS DOUBLE) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS ts_span_frac " +
+        "FROM ha ORDER BY layout"
+    },
     // sliding-window chunking: chunk count / start / length are exact
     // integer math; the chunk identity is md5 over the space-joined
     // token slice (1-based inclusive slicing on both engines)

@@ -136,4 +136,105 @@ object ZOrder {
       .unionAll(spansOf("user_sort", scaledTo(col("user_id"), col("minu"), col("maxu"), 64)))
       .orderBy(col("layout"))
   }
+
+  /** HILBERT xy→d (order `bits`; the public-domain quadrant-rotation
+    * algorithm) appended as column `out`, with the input columns
+    * `x`/`y` consumed and dropped. One chained projection PER LEVEL:
+    * each level's (d, x, y) reference the previous level's RESOLVED
+    * columns several times, which blocks CollapseProject from
+    * re-inlining the recurrence into one exponential expression tree
+    * (the interleave helper is a flat sum, but the Hilbert rotation is
+    * a genuine recurrence — inlined naively it grows 4^bits nodes).
+    * The quadrant id (3·rx) XOR ry is written as the equivalent CASE
+    * so the oracle replays it without bitwise-xor portability traps.
+    */
+  def withHilbert(df: DataFrame, x: String, y: String, bits: Int,
+                  out: String): DataFrame = {
+    val n = 1L << bits
+    var cur = df.withColumn("hx", col(x)).withColumn("hy", col(y))
+      .withColumn(out, lit(0L))
+    for (k <- (bits - 1) to 0 by -1) {
+      val s = 1L << k
+      val rx = shiftright(col("hx"), k).bitwiseAND(lit(1L))
+      val ry = shiftright(col("hy"), k).bitwiseAND(lit(1L))
+      val quad = when(rx === 0 && ry === 0, lit(0L))
+        .when(rx === 0, lit(1L))
+        .when(ry === 1, lit(2L))
+        .otherwise(lit(3L))
+      // rot: ry == 0 reflects (when rx == 1, within the FULL n side)
+      // and swaps the axes; ry == 1 leaves the frame unchanged
+      val nx = when(ry === 0,
+        when(rx === 1, lit(n - 1) - col("hy")).otherwise(col("hy")))
+        .otherwise(col("hx"))
+      val ny = when(ry === 0,
+        when(rx === 1, lit(n - 1) - col("hx")).otherwise(col("hx")))
+        .otherwise(col("hy"))
+      cur = cur
+        .withColumn("h_d2", col(out) + lit(s * s) * quad)
+        .withColumn("hx2", nx)
+        .withColumn("hy2", ny)
+        .drop(out, "hx", "hy")
+        .withColumnRenamed("h_d2", out)
+        .withColumnRenamed("hx2", "hx")
+        .withColumnRenamed("hy2", "hy")
+    }
+    cur.drop("hx", "hy")
+  }
+
+  /** HILBERT vs MORTON — the space-filling-curve bake-off as one
+    * hash-gated table (the q_layout_compare methodology, curve
+    * question isolated): the same events bucketed 32 ways under the
+    * Morton interleave and the Hilbert index, each reporting its
+    * event-weighted mean span FRACTION per dimension. The bucket
+    * count is deliberately NOT a power of 4: at 4^k-aligned
+    * boundaries both curves tile the identical k-level quadrants
+    * (measured equal at 64 buckets), while at the 2·4^k boundary each
+    * bucket spans TWO quadrants — Hilbert's no-jump property keeps
+    * those adjacent (balanced ~0.187/0.187 spans at sf0.1) where
+    * Morton's quadrant pairing is axis-lopsided (0.249/0.125): the
+    * WORST dimension, which is what bounds a dual-predicate scan, is
+    * ~25% tighter under Hilbert — the effect behind liquid
+    * clustering's move off Z-order. Same FP discipline: exact int64
+    * weighted sums in seconds, one snapped division per fraction.
+    */
+  def hilbertCompare(spark: SparkSession, d: String): DataFrame =
+    hilbertCompareDf(Tables.events(spark, d))
+
+  def hilbertCompareDf(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), unix_seconds(col("ts")).as("sec"))
+    val m = e.agg(
+      min(col("user_id")).as("minu"), max(col("user_id")).as("maxu"),
+      min(col("sec")).as("mins"), max(col("sec")).as("maxs"))
+    def scaledTo(v: Column, lo: Column, hi: Column, buckets: Int): Column =
+      floor((v - lo).cast("double") * buckets / (hi - lo + 1).cast("double"))
+        .cast("long")
+    val base = e.crossJoin(broadcast(m))
+      .withColumn("x", scaledTo(col("user_id"), col("minu"), col("maxu"), 256))
+      .withColumn("y", scaledTo(col("sec"), col("mins"), col("maxs"), 256))
+    def spansOf(layout: String, withBucket: DataFrame => DataFrame): DataFrame =
+      withBucket(base)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          (max(col("user_id")) - min(col("user_id"))).as("usp"),
+          (max(col("sec")) - min(col("sec"))).as("tsp"),
+          first(col("maxu") - col("minu")).as("ur"),
+          first(col("maxs") - col("mins")).as("tr"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("n") * col("usp")).as("wu"), sum(col("n") * col("tsp")).as("wt"),
+          sum(col("n")).as("tn"), first(col("ur")).as("ur"), first(col("tr")).as("tr"))
+        .select(lit(layout).as("layout"), col("n_buckets"),
+          when(col("ur") > 0, floor(col("wu").cast("double") / col("tn").cast("double")
+            / col("ur").cast("double") * 1e6 + 0.5) / 1e6).otherwise(lit(0.0))
+            .as("user_span_frac"),
+          when(col("tr") > 0, floor(col("wt").cast("double") / col("tn").cast("double")
+            / col("tr").cast("double") * 1e6 + 0.5) / 1e6).otherwise(lit(0.0))
+            .as("ts_span_frac"))
+    val hilbert = spansOf("hilbert", b =>
+      withHilbert(b, "x", "y", 8, "h")
+        .withColumn("bucket", floor(col("h").cast("double") / 2048).cast("long")))
+    val morton = spansOf("morton", b =>
+      b.withColumn("bucket",
+        floor(interleave(col("x"), col("y"), 8).cast("double") / 2048).cast("long")))
+    hilbert.unionAll(morton).orderBy(col("layout"))
+  }
 }

@@ -241,4 +241,37 @@ class ScaleToolsSpec extends SparkTestBase {
     assert(zu < tu && zt < ut,
       "z-order must beat each sort on its blind dimension")
   }
+
+  test("hilbert: bijective over the grid, consecutive d grid-adjacent, bounds both dims") {
+    // order-2 grid (16 cells): the index must be a bijection onto
+    // 0..15 and the traversal must have the NO-JUMP property —
+    // consecutive d values sit in grid-adjacent cells (|dx|+|dy| = 1),
+    // the defining Hilbert property Morton lacks (Morton jumps at
+    // every quadrant boundary)
+    val grid = (for { x <- 0L until 4L; y <- 0L until 4L } yield (x, y))
+      .toDF("x", "y")
+    val d = ZOrder.withHilbert(grid, "x", "y", 2, "h").collect()
+      .map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1)))).toMap
+    assert(d.keySet == (0L until 16L).toSet, s"not a bijection: ${d.keySet}")
+    (0L until 15L).foreach { i =>
+      val (x1, y1) = d(i)
+      val (x2, y2) = d(i + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump between d=$i ($x1,$y1) and d=${i + 1} ($x2,$y2)")
+    }
+    // the registered bake-off at 32 buckets (2·4^k — each bucket spans
+    // TWO quadrants, where the curves actually differ): Hilbert's
+    // buckets stay connected and BALANCED across dimensions; Morton's
+    // quadrant pairing is axis-lopsided, so its WORST dimension — the
+    // one that bounds a dual-predicate scan — is strictly looser
+    val rows = ZOrder.hilbertCompare(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val (hu, ht) = rows("hilbert")
+    val (mu, mt) = rows("morton")
+    assert(hu < 0.3 && ht < 0.3, s"hilbert must bound both: $hu/$ht")
+    assert(math.max(hu, ht) < math.max(mu, mt),
+      s"hilbert's worst dimension must beat morton's: h=$hu/$ht m=$mu/$mt")
+    assert(math.abs(hu - ht) < math.abs(mu - mt),
+      s"hilbert must be the more balanced curve: h=$hu/$ht m=$mu/$mt")
+  }
 }
