@@ -840,7 +840,13 @@ object ExtraQueries {
   def conversionAttribution(spark: SparkSession, d: String): DataFrame =
     conversionAttributionDf(Tables.events(spark, d))
 
-  def conversionAttributionDf(events: DataFrame): DataFrame = {
+  /** Per-conversion credit rows (model, cid, touch_type, touch_id) —
+    * the granularity the aggregate table rolls up, exposed so the
+    * STREAMING attribution's batch-parity test compares pick-by-pick
+    * (the streamingFunnel parity discipline), not just the counts.
+    * touch_id is −1 on the 'none' bucket.
+    */
+  private[graft] def attributionPicksDf(events: DataFrame): DataFrame = {
     val ev = events.select(col("user_id"), col("ts"), col("event_id"),
       col("event_type"))
     val conv = ev.filter(col("event_type") === AttributionConv)
@@ -864,13 +870,18 @@ object ExtraQueries {
         .partitionBy(col("cid")).orderBy(ord: _*)
       joined.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(lit(model).as("model"),
-          coalesce(col("touch_type"), lit("none")).as("touch_type"))
+        .select(lit(model).as("model"), col("cid"),
+          coalesce(col("touch_type"), lit("none")).as("touch_type"),
+          coalesce(col("tid"), lit(-1L)).as("touch_id"))
     }
-    val first = pick("first", Seq(col("tts").asc_nulls_last, col("tid")))
-    val last = pick("last", Seq(col("tts").desc_nulls_last, col("tid").desc))
-    val total = conv.agg(count(lit(1)).as("n_conv"))
-    first.unionByName(last)
+    pick("first", Seq(col("tts").asc_nulls_last, col("tid")))
+      .unionByName(pick("last", Seq(col("tts").desc_nulls_last, col("tid").desc)))
+  }
+
+  def conversionAttributionDf(events: DataFrame): DataFrame = {
+    val total = events.filter(col("event_type") === AttributionConv)
+      .agg(count(lit(1)).as("n_conv"))
+    attributionPicksDf(events)
       .groupBy(col("model"), col("touch_type"))
       .agg(count(lit(1)).as("n_conversions"))
       .crossJoin(broadcast(total))

@@ -75,6 +75,78 @@ object StatefulStreams {
       }
   }
 
+  case class TouchEvent(tsMicros: Long, eventId: Long, touchType: String)
+
+  case class TouchBuffer(touches: List[TouchEvent])
+
+  case class AttributionCredit(
+      userId: Long,
+      convId: Long,
+      model: String,
+      touchType: String,
+      touchId: Long)
+
+  /** STREAMING CONVERSION ATTRIBUTION — the stateful half of
+    * [[graft.analytics.ExtraQueries.conversionAttribution]]: per-user
+    * GroupState buffers the touch events still inside the lookback;
+    * each arriving conversion credits its first- and last-touch (tie
+    * order (ts, event_id), exactly the batch picks' window order) and
+    * emits two [[AttributionCredit]] rows — 'none' with touch_id −1
+    * when no in-window touch exists. The buffer prunes to the
+    * lookback behind the newest event processed, which is safe under
+    * the in-order-across-triggers contract (a later conversion's
+    * window can only start later); within a micro-batch rows sort by
+    * (ts, event_id) before folding, the streamingFunnel discipline.
+    * Batch parity is pick-by-pick against
+    * [[graft.analytics.ExtraQueries.attributionPicksDf]]
+    * (ScaleToolsSpec).
+    *
+    * Scale shape: state is the per-user in-lookback touch list —
+    * bounded by app mechanics (the q_session_stats argument); each
+    * trigger streams events through their user group once.
+    * `events` must have (user_id, event_type, ts, event_id).
+    */
+  def streamingAttribution(events: DataFrame,
+      lookbackH: Int = graft.analytics.ExtraQueries.AttributionLookbackH,
+      convType: String = graft.analytics.ExtraQueries.AttributionConv,
+      touchTypes: Seq[String] = graft.analytics.ExtraQueries.AttributionTouch)
+      : Dataset[AttributionCredit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val lookbackMicros = lookbackH.toLong * 3600L * 1000000L
+    events.selectExpr("user_id", "event_type",
+        "unix_micros(ts) AS ts_micros", "event_id")
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[TouchBuffer]) =>
+          var buf = state.getOption.getOrElse(TouchBuffer(Nil)).touches
+          val out = scala.collection.mutable.ListBuffer.empty[AttributionCredit]
+          rows.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, tpe, ts, id) =>
+            if (touchTypes.contains(tpe)) {
+              buf = TouchEvent(ts, id, tpe) :: buf
+            } else if (tpe == convType) {
+              val inWin = buf.filter(t =>
+                t.tsMicros <= ts && t.tsMicros >= ts - lookbackMicros)
+              if (inWin.isEmpty) {
+                out += AttributionCredit(uid, id, "first", "none", -1L)
+                out += AttributionCredit(uid, id, "last", "none", -1L)
+              } else {
+                val f = inWin.minBy(t => (t.tsMicros, t.eventId))
+                val l = inWin.maxBy(t => (t.tsMicros, t.eventId))
+                out += AttributionCredit(uid, id, "first", f.touchType, f.eventId)
+                out += AttributionCredit(uid, id, "last", l.touchType, l.eventId)
+              }
+              // prune: a later conversion's window starts no earlier
+              buf = buf.filter(_.tsMicros >= ts - lookbackMicros)
+            }
+          }
+          state.update(TouchBuffer(buf))
+          out.iterator
+      }
+  }
+
   /** docs must have (domain: string, content: string). */
   def runningDomainTotals(docs: DataFrame): Dataset[DomainUpdate] = {
     val spark = docs.sparkSession

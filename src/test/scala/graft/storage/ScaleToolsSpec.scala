@@ -196,6 +196,53 @@ class ScaleToolsSpec extends SparkTestBase {
       s"streamed advances $rows != batch MIN-chain semantics $want")
   }
 
+  test("streaming attribution: stateful credits equal the batch picks per conversion") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Long)]
+    val events = input.toDF().toDF("user_id", "event_type", "ts_s", "event_id")
+      .selectExpr("user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts",
+        "event_id")
+    val credits = StatefulStreams.streamingAttribution(events)
+    val query = credits.writeStream.format("memory")
+      .queryName("attr_state_test").outputMode("append").start()
+    val batch1 = Seq(
+      (1L, "view", "2024-01-01 10:00:00", 1L),
+      (1L, "click", "2024-01-01 11:00:00", 2L),
+      (1L, "purchase", "2024-01-01 12:00:00", 3L),
+      (3L, "view", "2024-01-03 10:00:00", 5L),
+      (2L, "purchase", "2024-01-02 12:00:00", 4L)) // no touches: none
+    val batch2 = Seq(
+      // user 3's only view is 25 h old — out of window across batches
+      (3L, "purchase", "2024-01-04 11:00:00", 6L),
+      // user 1 converts AGAIN: first = the batch-1 view (state carry),
+      // last = the fresh signup
+      (1L, "signup", "2024-01-01 12:30:00", 7L),
+      (1L, "purchase", "2024-01-01 13:00:00", 8L))
+    try {
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("attr_state_test").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSet
+    val all = (batch1 ++ batch2)
+      .toDF("user_id", "event_type", "ts_s", "event_id")
+      .selectExpr("user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts",
+        "event_id")
+    val want = graft.analytics.ExtraQueries.attributionPicksDf(all).collect()
+      .map(r => (r.getLong(1), r.getString(0), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == want, s"streamed credits $got != batch picks $want")
+    // the fixture exercises the interesting paths
+    assert(want.contains((6L, "first", "none", -1L)),
+      "out-of-window carry must credit none")
+    assert(want.contains((8L, "first", "view", 1L)) &&
+      want.contains((8L, "last", "signup", 7L)),
+      "cross-batch state must feed the second conversion's picks")
+  }
+
   test("z-order: interleave round-trips known Morton codes; buckets bound BOTH dimensions") {
     // hand-checked Morton codes: x even bits, y odd bits
     val codes = Seq((0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L),
