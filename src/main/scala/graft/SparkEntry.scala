@@ -340,6 +340,9 @@ object SparkEntry {
     "q_mmr_diversify"     -> ((s: SparkSession, d: String) => ext.Search.mmrDiversify(s, d)),
     // marketing-style first/last-touch conversion attribution
     "q_conversion_attribution" -> ((s: SparkSession, d: String) => analytics.ExtraQueries.conversionAttribution(s, d)),
+    // corpus novelty-decay curve + RNG-free weighted sampling
+    "q_dedup_curve"       -> ((s: SparkSession, d: String) => ext.Dedup.dedupCurve(s, d)),
+    "q_weighted_sample"   -> ((s: SparkSession, d: String) => ext.Corpus.weightedSample(s, d)),
     // privacy: quasi-identifier k-anonymity risk audit
     "q_k_anonymity"       -> ((s: SparkSession, d: String) => ext.Cleaning.kAnonymityAudit(s, d)),
     "q_bm25_term_bounds"  -> ((s: SparkSession, d: String) => ext.Search.bm25TermBounds(s, d)),
@@ -4114,6 +4117,49 @@ object SparkEntry {
         "CASE WHEN tr > 0 THEN floor(CAST(wt AS DOUBLE) / CAST(tn AS DOUBLE) " +
         "/ CAST(tr AS DOUBLE) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS ts_span_frac " +
         "FROM a ORDER BY layout"),
+    // novelty-decay curve: ingest-order slices (doc_id extent-scaled,
+    // the z-order pattern), content hashes credited to their FIRST
+    // slice, cumulative windows over <= buckets rows
+    "q_dedup_curve" -> {
+      val b = ext.Dedup.CurveBuckets
+      "WITH dcb AS (SELECT doc_id, md5(nfc_normalize(text)) AS ch " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "dcm AS (SELECT MIN(doc_id) AS mi, MAX(doc_id) AS ma FROM dcb), " +
+        "dcs AS (SELECT doc_id, ch, " +
+        s"CAST(floor(CAST(doc_id - mi AS DOUBLE) * $b / CAST(ma - mi + 1 AS DOUBLE)) AS BIGINT) AS slice " +
+        "FROM dcb CROSS JOIN dcm), " +
+        "dcd AS (SELECT slice, CAST(COUNT(*) AS BIGINT) AS n_docs FROM dcs GROUP BY slice), " +
+        "dck AS (SELECT kslice, CAST(COUNT(*) AS BIGINT) AS n_new FROM " +
+        "(SELECT ch, MIN(slice) AS kslice FROM dcs GROUP BY ch) GROUP BY kslice), " +
+        "dcj AS (SELECT d.slice, d.n_docs, COALESCE(k.n_new, 0) AS n_new " +
+        "FROM dcd d LEFT JOIN dck k ON d.slice = k.kslice), " +
+        "dcc AS (SELECT slice, n_docs, n_new, " +
+        "CAST(SUM(n_docs) OVER (ORDER BY slice ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs, " +
+        "CAST(SUM(n_new) OVER (ORDER BY slice ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_new " +
+        "FROM dcj) " +
+        "SELECT slice, n_docs, n_new, " +
+        "floor(CAST(n_new AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS novelty_r, " +
+        "cum_docs, cum_new, " +
+        "floor(CAST(cum_new AS DOUBLE) / CAST(cum_docs AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cum_unique_frac_r " +
+        "FROM dcc ORDER BY slice"
+    },
+    // RNG-free weighted sampling: u from the first 13 md5 hex digits
+    // (identical doubles both engines, 1e-18 floor), A-ES key
+    // -ln(u)/w, pico-snapped, bounded top-k
+    "q_weighted_sample" -> {
+      val k = ext.Corpus.WeightedSampleK
+      "WITH wsb AS (SELECT doc_id, " +
+        "GREATEST(COALESCE(n_chars, 1), 1) AS weight, " +
+        "GREATEST(CAST(('0x' || substr(md5(text), 1, 13))::BIGINT AS DOUBLE) " +
+        "/ 4503599627370496.0, 1e-18) AS u " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "wsk AS (SELECT doc_id, CAST(weight AS BIGINT) AS weight, " +
+        "CAST(floor((-ln(u)) / CAST(weight AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT) AS key_pico " +
+        "FROM wsb) " +
+        "SELECT doc_id, weight, key_pico, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY key_pico, doc_id) AS BIGINT) AS rank " +
+        s"FROM wsk ORDER BY key_pico, doc_id LIMIT $k"
+    },
     // Hilbert vs Morton curve bake-off: the xy->d quadrant-rotation
     // recurrence unrolled as one CTE per level (levels reference the
     // previous level's resolved x/y/d, mirroring the Spark chained

@@ -1884,4 +1884,45 @@ object Corpus {
         snap6(col("n_tokens").cast("double") / col("n_docs")).as("avg_tokens"))
       .orderBy(col("source"))
   }
+
+  /** Sample size of [[weightedSample]] — shared with the oracle. */
+  private[graft] val WeightedSampleK = 25
+
+  /** WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis & Spirakis
+    * 2006, the A-ES one-pass scheme) made RNG-FREE: each document's
+    * uniform comes from its content hash (the split/keep discipline —
+    * retry-stable, engine-portable), its weight is its size, and the
+    * sample is the k smallest keys −ln(u)/w. This is how a
+    * size-proportional training subsample is drawn at 100 TB: one
+    * narrow key computation, one bounded top-k — no RNG state, no
+    * coordination, rerunnable to the same sample on any cluster.
+    *
+    * Exactness: u = first 13 md5 hex digits / 2^52 (both engines
+    * compute the identical double), one ln, one divide, micro-nano
+    * snap (1e12 — keys are ~1e-5-scale) before the bounded top-k;
+    * ties break on doc_id.
+    */
+  def weightedSample(spark: SparkSession, d: String,
+                     k: Int = WeightedSampleK): DataFrame =
+    weightedSampleDf(Tables.fanOut(Tables.documents(spark, d)), k)
+
+  def weightedSampleDf(docs: DataFrame, k: Int = WeightedSampleK): DataFrame = {
+    // u floored at 1e-18 so the (probability 2^-52) all-zero hash
+    // prefix cannot drive ln to -inf — mirrored in the oracle
+    val u = greatest(
+      conv(substring(md5(col("text")), 1, 13), 16, 10)
+        .cast("long").cast("double") / lit(4503599627370496.0), // 2^52
+      lit(1e-18))
+    val w = greatest(coalesce(col("n_chars"), lit(1L)), lit(1L)).cast("double")
+    val key = -log(u) / w
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        greatest(coalesce(col("n_chars"), lit(1L)), lit(1L)).as("weight"),
+        floor(key * lit(1e12) + lit(0.5)).cast("long").as("key_pico"))
+      .orderBy(col("key_pico"), col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("key_pico"), col("doc_id"))).cast("long"))
+  }
 }

@@ -1074,4 +1074,59 @@ object Dedup {
       .distinct()
     containmentScoreTail(cands, docsIn, minContain)
   }
+
+  /** Ingest-order slice count of [[dedupCurve]] — shared with the
+    * oracle.
+    */
+  private[graft] val CurveBuckets = 10
+
+  /** NOVELTY-DECAY CURVE — "how fast does new data stop being new":
+    * slice the corpus into [[CurveBuckets]] ingest-order slices
+    * (doc_id is ingest order; the slice assignment is the z-order
+    * extent-scaling pattern, a broadcast 2-scalar aggregate), credit
+    * each distinct content hash to the slice of its FIRST occurrence,
+    * and report per slice the new-content count, the within-slice
+    * novelty rate and the cumulative unique fraction. This is the
+    * curve a data-acquisition plan reads before paying for the next
+    * crawl tranche: a flattening cum_unique_frac says the source is
+    * exhausted (the scaling-law data-curation view of dedup, e.g.
+    * Lee et al. 2022).
+    *
+    * Scale shape: ONE keyed exchange on the 16-byte content hash
+    * (keeper = MIN doc_id — the exact-dedup discipline), one slice
+    * aggregate each side, cumulative windows over ≤ buckets rows.
+    */
+  def dedupCurve(spark: SparkSession, d: String): DataFrame =
+    dedupCurveDf(Tables.fanOut(Tables.documents(spark, d)))
+
+  def dedupCurveDf(docs: DataFrame): DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), contentHash(col("text")).as("ch"))
+    val m = base.agg(min(col("doc_id")).as("mi"), max(col("doc_id")).as("ma"))
+    def sliceOf(id: Column): Column =
+      floor((id - col("mi")).cast("double") * CurveBuckets /
+        (col("ma") - col("mi") + 1).cast("double")).cast("long")
+    val withSlice = base.crossJoin(broadcast(m))
+      .select(col("doc_id"), col("ch"), sliceOf(col("doc_id")).as("slice"))
+    val perSlice = withSlice.groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_docs"))
+    val keepers = withSlice.groupBy(col("ch"))
+      .agg(min(col("slice")).as("kslice"))
+      .groupBy(col("kslice")).agg(count(lit(1)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("slice"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perSlice.join(keepers, col("slice") === col("kslice"), "left")
+      .select(col("slice"), col("n_docs"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_new", sum(col("n_new")).over(w))
+      .select(col("slice"), col("n_docs"), col("n_new"),
+        (floor(col("n_new").cast("double") / col("n_docs").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("novelty_r"),
+        col("cum_docs"), col("cum_new"),
+        (floor(col("cum_new").cast("double") / col("cum_docs").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("cum_unique_frac_r"))
+      .orderBy(col("slice"))
+  }
 }

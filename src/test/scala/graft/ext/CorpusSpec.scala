@@ -876,4 +876,33 @@ class CorpusSpec extends SparkTestBase {
         s"pos must be dense in $g")
     }
   }
+
+  test("weighted sample matches an exact A-ES key replay; heavier docs rank earlier") {
+    val docsSeq = (1L to 40L).map { i =>
+      // weights spread 10..4000 chars; text content drives the uniform
+      (i, "doc " + i + " " + Seq.fill((i % 5).toInt * 10 + 1)("w").mkString(" "),
+        i * 100L)
+    }
+    val docs = docsSeq.toDF("doc_id", "text", "n_chars")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = docsSeq.map { case (id, t, nc) =>
+      val u = math.max(
+        java.lang.Long.parseLong(md5hex(t).take(13), 16).toDouble /
+          4503599627370496.0, 1e-18)
+      val wgt = math.max(nc, 1L)
+      (id, wgt, math.floor(-math.log(u) / wgt * 1e12 + 0.5).toLong)
+    }.sortBy { case (id, _, k) => (k, id) }.take(Corpus.WeightedSampleK)
+      .zipWithIndex.map { case ((id, wgt, k), i) => (id, wgt, k, i + 1L) }
+    val got = Corpus.weightedSampleDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"got $got want $want")
+    // size-proportional in aggregate: the sampled mean weight must
+    // exceed the corpus mean (that is the point of A-ES weighting)
+    val sampledMean = got.map(_._2).sum.toDouble / got.size
+    val corpusMean = docsSeq.map(_._3).sum.toDouble / docsSeq.size
+    assert(sampledMean > corpusMean,
+      s"weighting must bias toward heavy docs: $sampledMean vs $corpusMean")
+  }
 }

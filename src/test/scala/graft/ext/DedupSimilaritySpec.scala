@@ -1237,4 +1237,27 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(sizes == Map(3L -> ((1L, 3L)), 2L -> ((1L, 2L))),
       s"planted distribution must be exactly one 3-cluster + one 2-cluster: $sizes")
   }
+
+  test("dedup curve credits content to its first slice; novelty decays on a repeating corpus") {
+    import spark.implicits._
+    // ids 0..9 land one per slice; content repeats with period 3 from
+    // slice 3 onward, so slices 0-2 are all-new and 3-9 all-seen
+    val docs = (0L to 9L).map(i => (i, "content " + (i % 3))).toDF("doc_id", "text")
+    val rows = Dedup.dedupCurveDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.length == Dedup.CurveBuckets)
+    assert(rows.take(3).forall(r => r._3 == 1L && r._4 == 1.0),
+      s"first three slices are all novel: ${rows.toSeq}")
+    assert(rows.drop(3).forall(r => r._3 == 0L && r._4 == 0.0),
+      s"later slices repeat earlier content: ${rows.toSeq}")
+    val last = rows.last
+    assert(last._5 == 10L && last._6 == 3L,
+      s"cumulative totals must close the corpus: $last")
+    assert(last._7 == 0.3, s"final unique fraction: $last")
+    // cum_unique_frac is non-increasing once novelty stops
+    val fracs = rows.map(_._7).toSeq
+    assert(fracs.drop(2).zip(fracs.drop(3)).forall { case (a, b) => b <= a },
+      s"novelty decay must be monotone after saturation: $fracs")
+  }
 }
