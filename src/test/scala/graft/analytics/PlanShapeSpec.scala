@@ -847,6 +847,40 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!ka.contains("Join"), s"k-anonymity grew a join:\n$ka")
   }
 
+  test("r16 second-wave additions: keyed joins, bounded finals, no corpus windows") {
+    // attribution: the conversion×touch join must be keyed on user_id
+    // (never a cartesian); the pick windows partition by conversion
+    val at = plan("q_conversion_attribution")
+    assert(!at.contains("CartesianProduct"), s"attribution went all-pairs:\n$at")
+    assert(at.linesIterator.filter(_.trim.startsWith("Window"))
+        .forall(_.contains("cid")),
+      s"attribution picks must stay per-conversion windows:\n$at")
+    // dedup curve static plan: per-slice doc agg + the content-hash
+    // keeper election + its kslice agg + the <= buckets-row
+    // single-partition window sort, with the shared base branch
+    // re-listed pre-AQE = 6; only the hash election is corpus-keyed
+    assert(shuffleExchanges("q_dedup_curve") <= 6,
+      s"dedup curve grew a shuffle:\n${plan("q_dedup_curve")}")
+    // weighted sample: one narrow key projection, a bounded top-k
+    val ws = plan("q_weighted_sample")
+    assert(ws.contains("TakeOrderedAndProject"),
+      s"weighted sample must be a bounded top-k:\n$ws")
+    // param sweep: per-cell finals collapse through the bounded
+    // aggregator (never a rank window over the full candidate set);
+    // the one retained window ranks <= grid*k joined winner rows
+    val psw = plan("q_bm25_param_sweep")
+    assert(psw.contains("TakeOrderedAndProject") ||
+      !psw.linesIterator.exists(l => l.trim.startsWith("Window") && l.contains("score_micro")),
+      s"sweep must not rank cells via corpus windows:\n$psw")
+    scalarNestedOnly("q_bm25_param_sweep")
+    // hilbert: chained projections only — no join beyond the scalar
+    // extent broadcast, no window
+    val hl = plan("q_hilbert_layout")
+    assert(!hl.linesIterator.exists(_.trim.startsWith("Window")),
+      s"hilbert bake-off must be window-free:\n$hl")
+    scalarNestedOnly("q_hilbert_layout")
+  }
+
   test("q_bm25_maxscore_topk: bound filter keyed, theta a scalar broadcast, bounded final") {
     val p = plan("q_bm25_maxscore_topk")
     assert(p.contains("TakeOrderedAndProject"), s"pruned top-k must be bounded:\n$p")
