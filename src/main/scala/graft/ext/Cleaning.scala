@@ -1584,7 +1584,7 @@ object Cleaning {
       sum(when(col("gs") < k, col("gs")).otherwise(lit(0L))).as(s"docs_lt_$k")
     def riskR(k: Int): Column =
       (floor(col(s"docs_lt_$k").cast("double") / col("n_docs").cast("double")
-        * lit(1e6) + lit(0.5)) / lit(1e6)).as(s"risk_pct_$k${"_r"}")
+        * lit(1e6) + lit(0.5)) / lit(1e6)).as(s"risk_pct_${k}_r")
     g.agg(count(lit(1)).as("n_groups"), sum(col("gs")).as("n_docs"),
         groupsLt(2), docsLt(2), groupsLt(5), docsLt(5),
         groupsLt(10), docsLt(10))

@@ -15,11 +15,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * a String encoder round-trip AND closed the whole-stage-codegen span
   * it appeared in — and it sits on the hottest kernel in the engine,
   * the canonical content hash (`md5(nfc(text))`) every exact-dedup
-  * query shuffles by. As an Expression the fast path is a single
-  * `Normalizer.isNormalized` scan returning the INPUT UTF8String
-  * untouched (crawled text is mostly already composed; the scan is
-  * allocation-free), and the codegen body is one static call, so the
-  * surrounding projection stays inside one codegen span.
+  * query shuffles by. As an Expression the fast paths return the
+  * INPUT UTF8String untouched: pure-ASCII input (NFC-invariant)
+  * short-circuits on a raw byte scan with no decode at all, and
+  * already-normalized non-ASCII input pays only the decode for the
+  * `Normalizer.isNormalized` check; the codegen body is one static
+  * call, so the surrounding projection stays inside one codegen span.
   *
   * Semantics are bit-identical to the UDF (same platform
   * `java.text.Normalizer`, NFC form, null -> null), so every oracle
@@ -48,11 +49,14 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
 }
 
 object NfcNormalizeExpr {
-  /** Shared by interpreted eval and codegen: already-NFC input (the
-    * overwhelmingly common case) returns the input reference without
-    * allocating.
+  /** Shared by interpreted eval and codegen. Two fast paths: pure
+    * ASCII (NFC-invariant by definition) returns the input from a raw
+    * byte scan with NO decode or allocation; otherwise the decoded
+    * string is checked with `Normalizer.isNormalized` (already-NFC
+    * returns the input reference, paying only the decode).
     */
   def normalize(s: UTF8String): UTF8String = {
+    if (s.isFullAscii) return s
     val j = s.toString
     if (java.text.Normalizer.isNormalized(j, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

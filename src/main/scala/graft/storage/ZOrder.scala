@@ -106,28 +106,9 @@ object ZOrder {
     val m = e.agg(
       min(col("user_id")).as("minu"), max(col("user_id")).as("maxu"),
       min(col("sec")).as("mins"), max(col("sec")).as("maxs"))
-    def scaledTo(v: Column, lo: Column, hi: Column, buckets: Int): Column =
-      floor((v - lo).cast("double") * buckets / (hi - lo + 1).cast("double"))
-        .cast("long")
     val base = e.crossJoin(broadcast(m))
     def spansOf(layout: String, bucket: Column): DataFrame =
-      base.withColumn("bucket", bucket)
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"),
-          (max(col("user_id")) - min(col("user_id"))).as("usp"),
-          (max(col("sec")) - min(col("sec"))).as("tsp"),
-          first(col("maxu") - col("minu")).as("ur"),
-          first(col("maxs") - col("mins")).as("tr"))
-        .agg(count(lit(1)).as("n_buckets"),
-          sum(col("n") * col("usp")).as("wu"), sum(col("n") * col("tsp")).as("wt"),
-          sum(col("n")).as("tn"), first(col("ur")).as("ur"), first(col("tr")).as("tr"))
-        .select(lit(layout).as("layout"), col("n_buckets"),
-          when(col("ur") > 0, floor(col("wu").cast("double") / col("tn").cast("double")
-            / col("ur").cast("double") * 1e6 + 0.5) / 1e6).otherwise(lit(0.0))
-            .as("user_span_frac"),
-          when(col("tr") > 0, floor(col("wt").cast("double") / col("tn").cast("double")
-            / col("tr").cast("double") * 1e6 + 0.5) / 1e6).otherwise(lit(0.0))
-            .as("ts_span_frac"))
+      spanFracs(layout, base.withColumn("bucket", bucket))
     val x8 = scaledTo(col("user_id"), col("minu"), col("maxu"), 256)
     val y8 = scaledTo(col("sec"), col("mins"), col("maxs"), 256)
     val zBucket = floor(interleave(x8, y8, 8).cast("double") / 1024).cast("long")
@@ -137,9 +118,44 @@ object ZOrder {
       .orderBy(col("layout"))
   }
 
+  /** Scale a dimension to 0..buckets−1 over its observed extent —
+    * shared by both comparison queries (and their oracles' mirrored
+    * arithmetic), so the extent scaling cannot drift between them.
+    */
+  private def scaledTo(v: Column, lo: Column, hi: Column, buckets: Int): Column =
+    floor((v - lo).cast("double") * buckets / (hi - lo + 1).cast("double"))
+      .cast("long")
+
+  /** The event-weighted per-dimension span-fraction aggregate over a
+    * bucketed base frame (must carry user_id, sec, the minu/maxu/
+    * mins/maxs extent columns and `bucket`) — ONE definition for
+    * [[layoutCompareDf]] and [[hilbertCompareDf]] so the exact-int64
+    * weighted sums and the snapped divisions stay identical across
+    * their hash-gated oracles.
+    */
+  private def spanFracs(layout: String, bucketed: DataFrame): DataFrame =
+    bucketed
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("user_id")) - min(col("user_id"))).as("usp"),
+        (max(col("sec")) - min(col("sec"))).as("tsp"),
+        first(col("maxu") - col("minu")).as("ur"),
+        first(col("maxs") - col("mins")).as("tr"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n") * col("usp")).as("wu"), sum(col("n") * col("tsp")).as("wt"),
+        sum(col("n")).as("tn"), first(col("ur")).as("ur"), first(col("tr")).as("tr"))
+      .select(lit(layout).as("layout"), col("n_buckets"),
+        when(col("ur") > 0, floor(col("wu").cast("double") / col("tn").cast("double")
+          / col("ur").cast("double") * 1e6 + 0.5) / 1e6).otherwise(lit(0.0))
+          .as("user_span_frac"),
+        when(col("tr") > 0, floor(col("wt").cast("double") / col("tn").cast("double")
+          / col("tr").cast("double") * 1e6 + 0.5) / 1e6).otherwise(lit(0.0))
+          .as("ts_span_frac"))
+
   /** HILBERT xy→d (order `bits`; the public-domain quadrant-rotation
-    * algorithm) appended as column `out`, with the input columns
-    * `x`/`y` consumed and dropped. One chained projection PER LEVEL:
+    * algorithm) appended as column `out`. The input columns `x`/`y`
+    * are LEFT IN PLACE (the recurrence runs over internal copies,
+    * which are dropped). One chained projection PER LEVEL:
     * each level's (d, x, y) reference the previous level's RESOLVED
     * columns several times, which blocks CollapseProject from
     * re-inlining the recurrence into one exponential expression tree
@@ -205,35 +221,14 @@ object ZOrder {
     val m = e.agg(
       min(col("user_id")).as("minu"), max(col("user_id")).as("maxu"),
       min(col("sec")).as("mins"), max(col("sec")).as("maxs"))
-    def scaledTo(v: Column, lo: Column, hi: Column, buckets: Int): Column =
-      floor((v - lo).cast("double") * buckets / (hi - lo + 1).cast("double"))
-        .cast("long")
     val base = e.crossJoin(broadcast(m))
       .withColumn("x", scaledTo(col("user_id"), col("minu"), col("maxu"), 256))
       .withColumn("y", scaledTo(col("sec"), col("mins"), col("maxs"), 256))
-    def spansOf(layout: String, withBucket: DataFrame => DataFrame): DataFrame =
-      withBucket(base)
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"),
-          (max(col("user_id")) - min(col("user_id"))).as("usp"),
-          (max(col("sec")) - min(col("sec"))).as("tsp"),
-          first(col("maxu") - col("minu")).as("ur"),
-          first(col("maxs") - col("mins")).as("tr"))
-        .agg(count(lit(1)).as("n_buckets"),
-          sum(col("n") * col("usp")).as("wu"), sum(col("n") * col("tsp")).as("wt"),
-          sum(col("n")).as("tn"), first(col("ur")).as("ur"), first(col("tr")).as("tr"))
-        .select(lit(layout).as("layout"), col("n_buckets"),
-          when(col("ur") > 0, floor(col("wu").cast("double") / col("tn").cast("double")
-            / col("ur").cast("double") * 1e6 + 0.5) / 1e6).otherwise(lit(0.0))
-            .as("user_span_frac"),
-          when(col("tr") > 0, floor(col("wt").cast("double") / col("tn").cast("double")
-            / col("tr").cast("double") * 1e6 + 0.5) / 1e6).otherwise(lit(0.0))
-            .as("ts_span_frac"))
-    val hilbert = spansOf("hilbert", b =>
-      withHilbert(b, "x", "y", 8, "h")
+    val hilbert = spanFracs("hilbert",
+      withHilbert(base, "x", "y", 8, "h")
         .withColumn("bucket", floor(col("h").cast("double") / 2048).cast("long")))
-    val morton = spansOf("morton", b =>
-      b.withColumn("bucket",
+    val morton = spanFracs("morton",
+      base.withColumn("bucket",
         floor(interleave(col("x"), col("y"), 8).cast("double") / 2048).cast("long")))
     hilbert.unionAll(morton).orderBy(col("layout"))
   }

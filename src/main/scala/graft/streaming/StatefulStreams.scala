@@ -92,12 +92,17 @@ object StatefulStreams {
     * each arriving conversion credits its first- and last-touch (tie
     * order (ts, event_id), exactly the batch picks' window order) and
     * emits two [[AttributionCredit]] rows — 'none' with touch_id −1
-    * when no in-window touch exists. The buffer prunes to the
-    * lookback behind the newest event processed, which is safe under
-    * the in-order-across-triggers contract (a later conversion's
-    * window can only start later); within a micro-batch rows sort by
-    * (ts, event_id) before folding, the streamingFunnel discipline.
-    * Batch parity is pick-by-pick against
+    * when no in-window touch exists. EVERY event prunes the buffer to
+    * the lookback behind its timestamp (safe under the
+    * in-order-across-triggers contract: a later conversion's window
+    * can only start later), so touch-only users — the common case —
+    * hold bounded state, not an ever-growing list. Within a
+    * micro-batch rows sort by (ts, TOUCHES-BEFORE-CONVERSIONS,
+    * event_id) before folding: the batch picks credit a touch with
+    * tts == cts, so an equal-timestamp touch must enter the buffer
+    * before the conversion at that instant is attributed (across
+    * triggers the in-order contract owns that case, as everywhere in
+    * this module). Batch parity is pick-by-pick against
     * [[graft.analytics.ExtraQueries.attributionPicksDf]]
     * (ScaleToolsSpec).
     *
@@ -123,7 +128,14 @@ object StatefulStreams {
          state: GroupState[TouchBuffer]) =>
           var buf = state.getOption.getOrElse(TouchBuffer(Nil)).touches
           val out = scala.collection.mutable.ListBuffer.empty[AttributionCredit]
-          rows.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, tpe, ts, id) =>
+          // ties: touches fold before conversions at the same instant
+          // (the batch join's tts <= cts includes equality)
+          val ordered = rows.toSeq.sortBy(r =>
+            (r._3, if (touchTypes.contains(r._2)) 0 else 1, r._4))
+          ordered.foreach { case (_, tpe, ts, id) =>
+            // prune on EVERY event: a later conversion's window starts
+            // no earlier, and touch-only users must not grow unbounded
+            buf = buf.filter(_.tsMicros >= ts - lookbackMicros)
             if (touchTypes.contains(tpe)) {
               buf = TouchEvent(ts, id, tpe) :: buf
             } else if (tpe == convType) {
@@ -138,8 +150,6 @@ object StatefulStreams {
                 out += AttributionCredit(uid, id, "first", f.touchType, f.eventId)
                 out += AttributionCredit(uid, id, "last", l.touchType, l.eventId)
               }
-              // prune: a later conversion's window starts no earlier
-              buf = buf.filter(_.tsMicros >= ts - lookbackMicros)
             }
           }
           state.update(TouchBuffer(buf))

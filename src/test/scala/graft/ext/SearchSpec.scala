@@ -691,6 +691,7 @@ class SearchSpec extends SparkTestBase {
     Search.hardNegativesDf(docs)
     Search.retrievalEvalAuditDf(docs)
     Search.postingsSizeModelDf(docs)
+    Search.bm25ParamSweepDf(docs)
     spark.range(1).collect() // sentinel: shuffle-free -> exactly 1 job
     awaitNewJob(before)
     val ran = (jobIds -- before).size

@@ -217,7 +217,12 @@ class ScaleToolsSpec extends SparkTestBase {
       // user 1 converts AGAIN: first = the batch-1 view (state carry),
       // last = the fresh signup
       (1L, "signup", "2024-01-01 12:30:00", 7L),
-      (1L, "purchase", "2024-01-01 13:00:00", 8L))
+      (1L, "purchase", "2024-01-01 13:00:00", 8L),
+      // user 4: the touch shares the conversion's TIMESTAMP (with a
+      // larger event_id) — the batch join's tts <= cts credits it, so
+      // the stream's tie order must fold the touch first
+      (4L, "purchase", "2024-01-05 09:00:00", 9L),
+      (4L, "view", "2024-01-05 09:00:00", 10L))
     try {
       input.addData(batch1: _*)
       query.processAllAvailable()
@@ -241,6 +246,8 @@ class ScaleToolsSpec extends SparkTestBase {
     assert(want.contains((8L, "first", "view", 1L)) &&
       want.contains((8L, "last", "signup", 7L)),
       "cross-batch state must feed the second conversion's picks")
+    assert(want.contains((9L, "first", "view", 10L)),
+      "an equal-timestamp touch must be credited (tts <= cts)")
   }
 
   test("z-order: interleave round-trips known Morton codes; buckets bound BOTH dimensions") {
