@@ -162,6 +162,7 @@ object SparkEntry {
     // ---- round 8: heuristic cleaning, span dedup, clustering, ppl buckets
     "q_gopher_filters"    -> ((s: SparkSession, d: String) => Cleaning.gopherFilters(s, d)),
     "q_span_dedup"        -> ((s: SparkSession, d: String) => Cleaning.spanDedupStats(s, d)),
+    "q_substring_dedup"   -> ((s: SparkSession, d: String) => Cleaning.substringDedup(s, d)),
     "q_paragraph_dedup"   -> ((s: SparkSession, d: String) => Cleaning.paragraphDedupStats(s, d)),
     "q_c4_line_filter"    -> ((s: SparkSession, d: String) => Cleaning.c4LineFilter(s, d)),
     "q_c4_cleaned_docs"   -> ((s: SparkSession, d: String) => Cleaning.c4CleanedCorpus(s, d)),
@@ -1233,7 +1234,7 @@ object SparkEntry {
     val discCase = "CASE r " + ext.Search.NdcgDiscounts.zipWithIndex.map {
       case (dv, i) => s"WHEN ${i + 1} THEN $dv"
     }.mkString(" ") + " ELSE 0.0 END"
-    s"CAST(floor(CAST((1 << rel) - 1 AS DOUBLE) * ($discCase) " +
+    s"CAST(floor(CAST(((1::BIGINT << rel)) - 1 AS DOUBLE) * ($discCase) " +
       "* 1000000.0 + 0.5) AS BIGINT)"
   }
 
@@ -3215,6 +3216,31 @@ object SparkEntry {
     // spans by xxhash64 — identical groups short of a 2^-64 collision
     // (the decontamination hashing caveat)
     "q_span_dedup" -> spanDedupOracleSql,
+    // exact substring dedup (Lee et al. ExactSubstr): anchors re-derived
+    // from gram STRINGS (the Spark side hashes with multi-arg xxhash64 —
+    // a collision would change the span set and fail this gate loudly),
+    // maximal islands of consecutive cross-document-duplicated k-gram
+    // positions, boundaries exact, span content proven by md5 over the
+    // identical space-joined token slice
+    "q_substring_dedup" -> {
+      val k = ext.Cleaning.SubstrK
+      s"WITH t AS (SELECT doc_id, $toks AS l FROM documents WHERE text IS NOT NULL), " +
+        s"a AS (SELECT doc_id, i AS pos, md5(array_to_string(l[i:i+${k - 1}], chr(1))) AS h " +
+        s"FROM t, LATERAL (SELECT unnest(generate_series(1, len(l) - ${k - 1})) AS i) s " +
+        s"WHERE len(l) >= $k), " +
+        "dup AS (SELECT h FROM a GROUP BY h HAVING min(doc_id) <> max(doc_id)), " +
+        "p AS (SELECT a.doc_id, a.pos FROM a JOIN dup USING (h)), " +
+        "m AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk FROM p), " +
+        "isl AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM m), " +
+        s"sp AS (SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + ${k - 1} AS end_tok " +
+        "FROM isl GROUP BY doc_id, island) " +
+        "SELECT sp.doc_id, sp.start_tok, sp.end_tok, " +
+        "sp.end_tok - sp.start_tok + 1 AS n_tokens, " +
+        "md5(array_to_string(t.l[sp.start_tok:sp.end_tok], ' ')) AS span_md5 " +
+        "FROM sp JOIN t ON sp.doc_id = t.doc_id " +
+        "ORDER BY sp.doc_id, sp.start_tok"
+    },
     // paragraph dedup: the structured-doc construction (4 members per
     // group ordered by doc_id, odd groups quoting the previous group's
     // first member) re-derived in SQL, then the string-keyed ROW_NUMBER

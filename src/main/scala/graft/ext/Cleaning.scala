@@ -987,6 +987,102 @@ object Cleaning {
       }
   }
 
+  // --------------------------------------- exact substring dedup (Lee et al.)
+
+  /** Anchor width of [[substringDedup]] — the minimum repeat length in
+    * tokens (Lee et al. 2022 use 50 BPE tokens; 20 whitespace tokens is
+    * the same operator fixture-scaled to the ~54-token corpus
+    * documents). `private[graft]`: the DuckDB oracle builder
+    * interpolates the SAME value.
+    */
+  private[graft] val SubstrK = 20
+
+  /** EXACT SUBSTRING DEDUP — the Lee et al. 2022 suffix-array operator
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr), re-expressed distributed: every MAXIMAL token span
+    * whose k-token windows each occur in at least one OTHER document,
+    * with EXACT token boundaries. A cross-document repeat of length
+    * L ≥ k duplicates all of its L−k+1 k-windows, and a maximal run of
+    * cross-duplicated windows is exactly a union of exact repeats — so
+    * anchoring on k-gram identity and merging consecutive duplicated
+    * anchor positions finds the ExactSubstr spans without a suffix
+    * array (a single-node structure; this is the distributed shape:
+    * one keyed aggregate + one keyed semi-join + one per-document
+    * window). The shingle/winnow span family ([[spanDedupStatsDf]],
+    * [[winnowSpanDedupStatsDf]]) reports per-document duplicated-mass
+    * fractions only; THIS operator localizes each repeat and its
+    * [start_tok, end_tok] boundaries — the cut list a Lee-et-al-style
+    * pipeline feeds to the span excision step.
+    *
+    * Anchor identity: Spark hashes each k-token slice with the
+    * multi-arg chained xxhash64 (the [[TextAnalysis]] gramHash
+    * discipline — element boundaries hashed exactly, no concatenated
+    * string ever materialized); the DuckDB oracle re-derives anchors
+    * from gram STRINGS, so an xxhash collision changes the span set
+    * and fails the driver hash gate loudly instead of passing
+    * silently (the backoffLogProbDf contract). The span_md5 output
+    * column re-hashes the ACTUAL span text on both engines, proving
+    * the boundaries delimit identical content.
+    *
+    * Scale shape: the anchor stream is |token positions| narrow rows
+    * (8 B hash + id + pos); ONE map-side-combined aggregate on the
+    * gram key (min/max doc id — cross-document iff they differ), ONE
+    * keyed semi-join back (build side = distinct duplicated grams
+    * only), ONE doc-keyed window pass for the island merge, and the
+    * excerpt join touches island rows only. Never all-pairs, no
+    * driver state, no skew trap (the aggregate combines partials;
+    * a corpus-hot phrase contributes one build-side row).
+    */
+  def substringDedup(spark: SparkSession, d: String, k: Int = SubstrK): DataFrame =
+    substringDedupOn(
+      TextAnalysis.sessionTokens(spark, d).select(col("doc_id"), col("toks").as("t")), k)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def substringDedupDf(docs: DataFrame, k: Int = SubstrK): DataFrame =
+    substringDedupOn(
+      Tables.fanOut(docs).filter(col("text").isNotNull)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t")), k)
+
+  private def substringDedupOn(toksed: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"substring dedup needs k >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    // one 8-byte anchor hash per token position: xxhash64 over the
+    // k-token slice, chained multi-arg inside the transform lambda
+    val gramHash = (1 to k).map(j => s"element_at(t, i + ${j - 1})").mkString(", ")
+    val anchors = toksed
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(t) - ${k - 1}), i -> xxhash64($gramHash))"))
+          .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+    // cross-document duplicated grams: min(doc) != max(doc) — one
+    // map-side-combined aggregate, build side of the semi-join below
+    val crossDup = anchors.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
+      .filter(col("dmin") =!= col("dmax"))
+      .select(col("h"))
+    val dupPos = anchors.join(crossDup, Seq("h"), "left_semi")
+    // island merge: consecutive duplicated anchor positions fuse into
+    // one maximal span [min pos, max pos + k - 1]
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = dupPos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) === 1, lit(0L)).otherwise(lit(1L)))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + (k - 1)).as("end_tok"))
+    spans.join(toksed, Seq("doc_id"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("t"), col("start_tok").cast("int"),
+            (col("end_tok") - col("start_tok") + 1).cast("int")))).as("span_md5"))
+      .orderBy(col("doc_id"), col("start_tok"))
+  }
+
   // ----------------------------------------------- C4 line-level cleaning
 
   /** A LINE-STRUCTURED view of the flat document table, built

@@ -1915,6 +1915,16 @@ object Corpus {
       lit(1e-18))
     val w = greatest(coalesce(col("n_chars"), lit(1L)), lit(1L)).cast("double")
     val key = -log(u) / w
+    // ACCEPTED libm exposure (the mixturePlanTemperature pow
+    // precedent): both engines evaluate ln over the IDENTICAL double
+    // u, so the only divergence channel is a cross-libm last-ulp
+    // difference in ln itself, which collapses under the 1e12 snap
+    // except exactly at a pico-boundary tie (~1e-3 pico of margin for
+    // the smallest weights). No integer-exact form of the exponential
+    // key exists — ordering by any libm-free surrogate (e.g. raw
+    // hash/weight) is NOT the Efraimidis–Spirakis distribution — so
+    // the snap + doc_id tiebreak is the documented trade, matching
+    // the NdcgDiscounts adjudication of the same exposure class.
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
         greatest(coalesce(col("n_chars"), lit(1L)), lit(1L)).as("weight"),

@@ -1378,6 +1378,14 @@ object Search {
   private[graft] val EvalK = 10
   private[graft] val RelGrade = 2
 
+  // the nDCG gain (2^rel − 1) shifts a LONG in both engines (see
+  // gainMicro / SparkEntry.ndcgGainSql); rel is bounded by the probe
+  // vocabulary, and the guard keeps a future probe-set widening from
+  // silently reaching the 63-bit shift ceiling where the engines'
+  // overflow behaviors need not agree
+  require(ProbeTerms.size < 63,
+    s"nDCG gain 2^rel-1 shifts a 64-bit long; rel <= ProbeTerms.size must stay < 63, got ${ProbeTerms.size}")
+
   /** Rank-r nDCG discount 1/log2(r+1) as a shared CONSTANT table
     * (r = 1..[[EvalK]]): both engines read the identical double
     * literals, so the metric carries zero libm exposure (the engines'
@@ -1419,7 +1427,7 @@ object Search {
     // (2^rel - 1) via the integer shift (the Scala shiftleft helper
     // only takes a literal bit count; the SQL form accepts a column)
     val gainMicro = floor(
-      expr("cast(shiftleft(1, cast(rel as int)) - 1 as double)")
+      expr("cast(shiftleft(cast(1 as bigint), cast(rel as int)) - 1 as double)")
         * disc * lit(1e6) + lit(0.5)).cast("long")
     def ranked(ord: Seq[Column]): DataFrame =
       cand.orderBy(ord: _*).limit(EvalK)
@@ -1513,7 +1521,7 @@ object Search {
       case (acc, (dv, i)) => when(col("r") === (i + 1), lit(dv)).otherwise(acc)
     }
     val gainMicro = floor(
-      expr("cast(shiftleft(1, cast(rel as int)) - 1 as double)")
+      expr("cast(shiftleft(cast(1 as bigint), cast(rel as int)) - 1 as double)")
         * disc * lit(1e6) + lit(0.5)).cast("long")
     // per-cell system top-k through the bounded aggregator, grades
     // joined back on the winner ids only

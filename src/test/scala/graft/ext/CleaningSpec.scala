@@ -1262,4 +1262,71 @@ class CleaningSpec extends SparkTestBase {
     assert(r.getLong(8) == 5L && r.getLong(9) == 12L, "lt_10 groups/docs")
     assert(r.getDouble(10) == 1.0, "risk_10")
   }
+
+  // ------------------------------------------ exact substring dedup
+
+  test("substring dedup: planted 60-token repeat at unaligned offsets, exact boundaries") {
+    val rep = (0 until 60).map(i => s"rep$i")
+    val d1 = ((1 to 7).map(i => s"a$i") ++ rep ++ (1 to 5).map(i => s"b$i")).mkString(" ")
+    val d2 = ((1 to 13).map(i => s"c$i") ++ rep ++ (1 to 9).map(i => s"e$i")).mkString(" ")
+    val d3 = (1 to 80).map(i => s"u$i").mkString(" ")              // no repeat
+    val short = (0 until Cleaning.SubstrK - 1).map(i => s"s$i")    // k-1 shared: below anchor width
+    val d4 = ((1 to 6).map(i => s"f$i") ++ short).mkString(" ")
+    val d5 = ((1 to 6).map(i => s"g$i") ++ short).mkString(" ")
+    val out = Cleaning.substringDedupDf(
+      docsDf(1L -> d1, 2L -> d2, 3L -> d3, 4L -> d4, 5L -> d5)).collect()
+    assert(out.length == 2, s"exactly the two planted spans, got ${out.mkString("; ")}")
+    val m = out.map(r => r.getLong(0) -> r).toMap
+    // exact boundaries: 1-based token positions of the 60-token block
+    assert(m(1L).getLong(1) == 8 && m(1L).getLong(2) == 67 && m(1L).getLong(3) == 60)
+    assert(m(2L).getLong(1) == 14 && m(2L).getLong(2) == 73 && m(2L).getLong(3) == 60)
+    // identical content behind the boundaries: same md5 of the span text
+    assert(m(1L).getString(4) == m(2L).getString(4))
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(rep.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(m(1L).getString(4) == expected, "span md5 must hash exactly the planted block")
+  }
+
+  test("substring dedup: islands fuse exactly when every window is cross-duplicated") {
+    val rep = (0 until Cleaning.SubstrK).map(i => s"r$i")
+    // doc 1 carries the k-block TWICE in a row; doc 2 carries it ONCE.
+    // Only the two block-aligned windows of doc 1 exist in doc 2 (the
+    // straddling windows r1..r19 r0 etc. do not), so the faithful
+    // ExactSubstr output is TWO abutting exact matches — no false
+    // fusion of a 2k run that is not itself repeated anywhere.
+    val d1 = ((1 to 3).map(i => s"x$i") ++ rep ++ rep).mkString(" ")
+    val d2 = ((1 to 11).map(i => s"y$i") ++ rep ++ (1 to 4).map(i => s"z$i")).mkString(" ")
+    val out = Cleaning.substringDedupDf(docsDf(1L -> d1, 2L -> d2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val k = Cleaning.SubstrK.toLong
+    assert(out == Set((1L, 4L, 3L + k), (1L, 4L + k, 3L + 2 * k), (2L, 12L, 11L + k)),
+      s"got $out")
+    // when doc 3 ALSO carries the doubled block, every straddling
+    // window is cross-duplicated and the run fuses into one maximal
+    // island of 2k tokens on both carriers
+    val d3 = ((1 to 5).map(i => s"w$i") ++ rep ++ rep).mkString(" ")
+    val fused = Cleaning.substringDedupDf(docsDf(1L -> d1, 2L -> d2, 3L -> d3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fused == Set((1L, 4L, 3L + 2 * k), (2L, 12L, 11L + k), (3L, 6L, 5L + 2 * k)),
+      s"got $fused")
+  }
+
+  test("substring dedup: corpus run — session artifact form equals the Df form, spans well-formed") {
+    val viaSession = Cleaning.substringDedup(spark, sfDir).collect()
+    val viaDf = Cleaning.substringDedupDf(graft.Tables.documents(spark, sfDir)).collect()
+    assert(viaSession.map(_.toString).toSeq == viaDf.map(_.toString).toSeq)
+    assert(viaSession.nonEmpty, "the fixture corpus carries natural cross-doc repeats")
+    viaSession.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(3) >= Cleaning.SubstrK &&
+        r.getLong(3) == r.getLong(2) - r.getLong(1) + 1)
+    }
+    // spans within a doc are disjoint and ordered (maximal islands)
+    viaSession.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(b.getLong(1) > a.getLong(2) - Cleaning.SubstrK + 1)
+        case _ =>
+      }
+    }
+  }
+
 }
