@@ -138,6 +138,7 @@ object SparkEntry {
     "q_ann_tuning_curve"  -> ((s: SparkSession, d: String) => Similarity.annTuningCurve(s, d)),
     "q_pq_distortion_audit" -> ((s: SparkSession, d: String) => Similarity.pqDistortionAudit(s, d)),
     "q_knn_graph"         -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
+    "q_graph_ann_topk"    -> ((s: SparkSession, d: String) => Similarity.graphAnnTopK(s, d)),
     "q_quality_propagation" -> ((s: SparkSession, d: String) => Similarity.qualityPropagation(s, d)),
     "q_embedding_near_dups" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d)),
     "q_semantic_dedup"    -> ((s: SparkSession, d: String) => Similarity.semanticDedupStats(s, d)),
@@ -147,6 +148,7 @@ object SparkEntry {
     "q_resample_counts"   -> ((s: SparkSession, d: String) => ext.Corpus.domainResample(s, d)),
     "q_split_counts"      -> ((s: SparkSession, d: String) => ext.Corpus.splitCounts(s, d)),
     "q_pack_stats"        -> ((s: SparkSession, d: String) => ext.Corpus.packStats(s, d)),
+    "q_pack_bucketed"     -> ((s: SparkSession, d: String) => ext.Corpus.packBucketedStats(s, d)),
     "q_decontamination"   -> ((s: SparkSession, d: String) => ext.Corpus.decontaminationStats(s, d)),
     // bloom-prefiltered variants: identical results to their exact
     // counterparts by construction (no false negatives; FPs killed by
@@ -240,6 +242,7 @@ object SparkEntry {
     // rows-only: the planted perturbation is Dataset-typed byte math;
     // planted-pair recall is asserted exactly in CorpusAndSinksSpec
     "q_media_neardup_pairs" -> (ExtraQueries.mediaNearDupPairs _),
+    "q_audio_neardup_pairs" -> (ExtraQueries.audioNearDupPairs _),
     // multimodal dedup closure: min-label clusters over the phash pairs
     "q_media_dedup_clusters" -> (ExtraQueries.mediaDedupClusters _),
     "q_embedding_coverage" -> ((s: SparkSession, d: String) => Similarity.embeddingCoverage(s, d)),
@@ -2833,6 +2836,44 @@ object SparkEntry {
     // replays Spark's sequential fold via list_reduce, and the
     // in-bucket re-rank is the cosineTopK discipline — flipped from
     // rows-only in r14
+    // graph-ANN beam search over the kNN graph: the knn pair chain
+    // (qps) builds the edge set, then GraphAnnRounds unrolled beam
+    // rounds — per round the top-GraphAnnBeamWidth visited nodes
+    // (snapped score DESC, id) expand one graph hop, unseen neighbors
+    // score exactly, and the union is the next visited set; final
+    // top-5 excludes the query itself (the cosineTopK convention).
+    // Entry point = MIN embedded id on both engines.
+    "q_graph_ann_topk" -> {
+      val kEdge = ext.Similarity.KnnK
+      val w = ext.Similarity.GraphAnnBeamWidth
+      val rounds = ext.Similarity.GraphAnnRounds
+      val chain = (1 to rounds).map { r =>
+        val p = s"gv${r - 1}"
+        s"gb${r - 1} AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
+          s"ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn FROM $p) WHERE rn <= $w), " +
+          s"gn$r AS (SELECT DISTINCT b.query_id, e.dst AS vec_id FROM gb${r - 1} b JOIN kge e ON b.vec_id = e.src " +
+          s"WHERE NOT EXISTS (SELECT 1 FROM $p v WHERE v.query_id = b.query_id AND v.vec_id = e.dst)), " +
+          s"gv$r AS MATERIALIZED (SELECT * FROM $p UNION ALL " +
+          s"SELECT n.query_id, n.vec_id, round(list_cosine_similarity(q.q_emb, c.emb), 6) AS s " +
+          s"FROM gn$r n JOIN gq q ON n.query_id = q.query_id JOIN qpv c ON c.vec_id = n.vec_id)"
+      }.mkString(", ")
+      s"WITH $knnPairsCtesSql, " +
+        "kgd AS (SELECT query_id AS src, neighbor_id AS dst FROM " +
+        "(SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        s"ORDER BY cos_sim_r DESC, neighbor_id) AS rk FROM qps) WHERE rk <= $kEdge), " +
+        "kge AS MATERIALIZED (SELECT src, dst FROM kgd " +
+        "UNION ALL SELECT dst AS src, src AS dst FROM kgd), " +
+        "gq AS (SELECT vec_id AS query_id, emb AS q_emb FROM qpv WHERE vec_id < 8), " +
+        "gentry AS (SELECT MIN(vec_id) AS v FROM qpv), " +
+        "gv0 AS MATERIALIZED (SELECT q.query_id, c.vec_id, " +
+        "round(list_cosine_similarity(q.q_emb, c.emb), 6) AS s " +
+        "FROM gq q CROSS JOIN gentry g JOIN qpv c ON c.vec_id = g.v), " +
+        s"$chain " +
+        "SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id AS neighbor_id, s AS cos_sim_r FROM " +
+        "(SELECT query_id, vec_id, s, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        s"ORDER BY s DESC, vec_id) AS rk FROM gv$rounds WHERE vec_id <> query_id) " +
+        "WHERE rk <= 5 ORDER BY query_id, rk"
+    },
     "q_lsh_ann_topk" -> {
       val bits = ext.Similarity.LshBits
       val dim = ext.Similarity.LshDim
@@ -3102,6 +3143,57 @@ object SparkEntry {
     "q_media_neardup_pairs" ->
       (s"$mediaPairsCtesSql SELECT id_a, id_b, hamming FROM mp " +
         "WHERE hamming <= 3 ORDER BY id_a, id_b"),
+    // audio fingerprint near-dups: frames, 4-byte band energies,
+    // Haitsma-Kalker sign bits, 28-bit windowed keys, stop-key cap and
+    // the shared-key threshold — all integer math replayed from the
+    // SAME UTF-8 payload bytes via BIT extraction (the media-dHash
+    // byte-parity precedent); planted one-hop-shifted copies replay as
+    // a byte-index offset over the same bit string (no blob surgery)
+    "q_audio_neardup_pairs" -> {
+      val fl = ext.Multimodal.AudioFrameLen
+      val hop = ext.Multimodal.AudioHop
+      val bands = ext.Multimodal.AudioBands
+      val bw = fl / bands
+      val cap = ext.Multimodal.AudioMaxBytes
+      val minB = ext.Multimodal.AudioPlantMinBytes
+      val shift = ext.Multimodal.AudioPlantShift
+      val minShared = ext.Multimodal.AudioMinSharedKeys
+      val freqCap = ext.Multimodal.AudioKeyFreqCap
+      // byte value at byte index J of a media's bit string
+      def byteVal(j: String): String =
+        (0 to 7).map(k => s"get_bit(m.bits, ($j)*8 + $k)*${1 << (7 - k)}").mkString(" + ")
+      s"WITH aum AS (SELECT doc_id AS media_id, encode(text)::BIT AS bits, " +
+        "octet_length(encode(text)) AS len FROM documents WHERE text IS NOT NULL), " +
+        "auv AS (SELECT media_id, media_id AS src_id, 0 AS boff, len FROM aum " +
+        s"UNION ALL SELECT media_id + 10000000, media_id, $shift, len - $shift " +
+        s"FROM aum WHERE len >= $minB), " +
+        "auf AS (SELECT media_id, src_id, boff, " +
+        s"CASE WHEN LEAST(len, $cap) >= $fl THEN (LEAST(len, $cap) - $fl) // $hop + 1 " +
+        "ELSE 0 END AS nf FROM auv), " +
+        "aue AS MATERIALIZED (SELECT v.media_id, ff.f, bb.b, " +
+        s"SUM(${byteVal(s"v.boff + ff.f*$hop + bb.b*$bw + ii.i")}) AS e " +
+        "FROM auf v JOIN aum m ON v.src_id = m.media_id " +
+        s"CROSS JOIN (SELECT CAST(unnest(range(${cap / hop})) AS INT) AS f) ff " +
+        s"CROSS JOIN (SELECT CAST(unnest(range($bands)) AS INT) AS b) bb " +
+        s"CROSS JOIN (SELECT CAST(unnest(range($bw)) AS INT) AS i) ii " +
+        "WHERE ff.f < v.nf GROUP BY 1, 2, 3), " +
+        "aud AS (SELECT c.media_id, c.f, c.b, c.e - n.e AS dd " +
+        "FROM aue c JOIN aue n ON n.media_id = c.media_id AND n.f = c.f " +
+        s"AND n.b = c.b + 1 WHERE c.b <= ${bands - 2}), " +
+        "ausf AS (SELECT c.media_id, c.f, " +
+        "CAST(SUM(CASE WHEN c.dd - p.dd > 0 THEN (1 << c.b) ELSE 0 END) AS BIGINT) AS fp " +
+        "FROM aud c JOIN aud p ON p.media_id = c.media_id AND p.f = c.f - 1 " +
+        "AND p.b = c.b WHERE c.f >= 1 GROUP BY 1, 2), " +
+        "auk AS (SELECT DISTINCT media_id, fp*2097152 + l1*16384 + l2*128 + l3 AS fp_key " +
+        "FROM (SELECT media_id, fp, lead(fp, 1) OVER w AS l1, lead(fp, 2) OVER w AS l2, " +
+        "lead(fp, 3) OVER w AS l3 FROM ausf " +
+        "WINDOW w AS (PARTITION BY media_id ORDER BY f)) WHERE l3 IS NOT NULL), " +
+        s"aukk AS (SELECT fp_key FROM auk GROUP BY fp_key HAVING COUNT(*) <= $freqCap), " +
+        "auks AS MATERIALIZED (SELECT auk.media_id, auk.fp_key FROM auk JOIN aukk USING (fp_key)) " +
+        "SELECT a.media_id AS id_a, b.media_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_keys " +
+        "FROM auks a JOIN auks b ON a.fp_key = b.fp_key AND a.media_id < b.media_id " +
+        s"GROUP BY 1, 2 HAVING COUNT(*) >= $minShared ORDER BY id_a, id_b"
+    },
     // multimodal dedup closure: min-label components over the pair
     // graph — the q_link_components unroll on media ids
     "q_media_dedup_clusters" -> {
@@ -3912,6 +4004,33 @@ object SparkEntry {
     // table (doc coverage, token conservation, overflow = oversized
     // single docs, zero budget violations); the engine computes them
     // FROM the packed output, so a packing defect mismatches
+    // deterministic bucketed packing: the capacity-ladder CASE, the
+    // (bucket, shard) rank windows, next-fit pack keys, and the 6-dp
+    // fill snap all replay exactly (pure integer assignment)
+    "q_pack_bucketed" -> {
+      val ladder = ext.Corpus.PackLadder
+      val shards = ext.Corpus.PackShards
+      val budget = ladder.last
+      val capCase = "CASE WHEN nt > " + budget + " THEN -1 " +
+        ladder.init.map(c => s"WHEN nt <= $c THEN $c").mkString(" ") +
+        s" ELSE $budget END"
+      s"WITH pd AS (SELECT doc_id, CAST(COALESCE(len($toks), 0) AS BIGINT) AS nt FROM documents), " +
+        s"pb AS (SELECT doc_id, nt, CAST($capCase AS BIGINT) AS bucket_cap, " +
+        s"doc_id % $shards AS shard FROM pd), " +
+        "pp AS (SELECT bucket_cap, shard, nt, " +
+        "ROW_NUMBER() OVER (PARTITION BY bucket_cap, shard ORDER BY nt DESC, doc_id) AS idx, " +
+        s"CASE WHEN bucket_cap = -1 THEN 1 ELSE $budget // bucket_cap END AS cap_docs FROM pb), " +
+        "ppk AS (SELECT bucket_cap, shard, nt, cap_docs, (idx - 1) // cap_docs AS pack_key FROM pp), " +
+        "pnp AS (SELECT bucket_cap, COUNT(*) AS n_packs FROM " +
+        "(SELECT DISTINCT bucket_cap, shard, pack_key FROM ppk) GROUP BY 1), " +
+        "pag AS (SELECT bucket_cap, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(MAX(cap_docs) AS BIGINT) AS pack_capacity_docs, " +
+        "CAST(SUM(nt) AS BIGINT) AS total_tokens FROM ppk GROUP BY 1) " +
+        "SELECT pag.bucket_cap, pag.n_docs, CAST(pnp.n_packs AS BIGINT) AS n_packs, " +
+        "pag.pack_capacity_docs, pag.total_tokens, " +
+        s"floor(CAST(pag.total_tokens AS DOUBLE) / (pnp.n_packs * $budget) * 1000000.0 + 0.5) / 1000000.0 AS mean_fill " +
+        "FROM pag JOIN pnp USING (bucket_cap) ORDER BY pag.bucket_cap"
+    },
     "q_pack_invariants" ->
       (s"WITH d AS (SELECT doc_id, COALESCE(len($toks), 0) AS nt FROM documents) " +
         "SELECT CAST(COUNT(*) AS BIGINT) AS docs_packed, " +

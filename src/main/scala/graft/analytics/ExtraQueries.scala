@@ -491,6 +491,24 @@ object ExtraQueries {
     * rounds over pair-incident media only, frontier join-back at the
     * end.
     */
+  /** Audio near-duplicate pairs over planted time-shifted media — the
+    * chromaprint-style fingerprint dedup next to the image family's
+    * dHash banding ([[mediaNearDupPairs]]): the corpus viewed as audio
+    * payloads through the codec seam, each long-enough document
+    * planted with a one-hop-shifted copy
+    * ([[graft.ext.Multimodal.plantedShiftedAudio]]), matched on shared
+    * 28-bit band-energy-delta fingerprint keys. Fully oracle-gated:
+    * the DuckDB side replays frames, band energies, Haitsma–Kalker
+    * sign bits, windowed keys, the stop-key cap, and the
+    * shared-key-count threshold byte for byte from the same UTF-8
+    * payloads.
+    */
+  def audioNearDupPairs(spark: SparkSession, d: String): DataFrame = {
+    import graft.ext.Multimodal
+    Multimodal.audioNearDupPairs(
+      Multimodal.plantedShiftedAudio(Tables.documents(spark, d)))
+  }
+
   def mediaDedupClusters(spark: SparkSession, d: String): DataFrame = {
     import graft.ext.Multimodal
     val media = Multimodal.plantedNearDupMedia(Tables.documents(spark, d))

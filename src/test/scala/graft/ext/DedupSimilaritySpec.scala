@@ -1260,4 +1260,28 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(fracs.drop(2).zip(fracs.drop(3)).forall { case (a, b) => b <= a },
       s"novelty decay must be monotone after saturation: $fracs")
   }
+
+  test("graph-ANN beam search: recall@5 floor vs brute force, exact schema parity") {
+    val brute = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val g = Similarity.graphAnnTopK(spark, sfDir)
+    val rows = g.collect()
+    assert(g.columns.toSeq == Seq("query_id", "rk", "neighbor_id", "cos_sim_r"))
+    assert(rows.length == 40, "8 queries x top-5")
+    // per-query ranks are 1..5 with scores non-increasing
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5))
+      assert(sorted.map(_.getDouble(3)).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true })
+    }
+    val ann = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    // measured 0.80 on the fixture (undirected degree-3 edges, one
+    // entry point, W=16, R=8) — the single-entry layer-0 honesty floor
+    assert(recall >= 0.7, s"graph-ANN recall fell below floor: $recall")
+    // beam never returns the query itself
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+  }
+
 }

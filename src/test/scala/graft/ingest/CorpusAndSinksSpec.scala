@@ -236,4 +236,47 @@ class CorpusAndSinksSpec extends SparkTestBase {
     assert(frames(3L) == ((1L, 0L)))
     assert(!frames.contains(2L)) // images produce no frames
   }
+
+  test("multimodal: audio fingerprints — planted one-hop-shifted copies all surface") {
+    import spark.implicits._
+    // varied-content docs >= 160 bytes (planted) plus one short doc
+    val docs = Seq(
+      (1L, (1 to 60).map(i => s"alpha$i word$i").mkString(" ")),
+      (2L, (1 to 60).map(i => s"beta${i * 7} tok${i % 13}").mkString(" ")),
+      (3L, (1 to 40).map(i => s"nội_dung$i câu${i * 3}").mkString(" ")),
+      // NOTE a perfectly PERIODIC text would collapse to too few
+      // distinct key values to clear MinSharedKeys — the documented
+      // repetitive-content caveat of any windowed fingerprint (the
+      // kernel test below pins the degenerate uniform case)
+      (9L, "short doc")).toDF("doc_id", "text")
+    val planted = Multimodal.plantedShiftedAudio(docs, offset = 1000L)
+    assert(planted.count() == 7, "3 long docs planted, short doc un-planted")
+    val pairs = Multimodal.audioNearDupPairs(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // every planted (original, one-hop copy) shares >= MinSharedKeys
+    // interior fingerprint keys by the frame-alignment geometry
+    for (id <- Seq(1L, 2L, 3L)) {
+      val hit = pairs.find(p => p._1 == id && p._2 == id + 1000L)
+      assert(hit.isDefined, s"planted shifted pair ($id, ${id + 1000L}) missing: $pairs")
+      assert(hit.get._3 >= Multimodal.AudioMinSharedKeys.toLong)
+    }
+    assert(!pairs.exists(p => p._1 == 9L || p._2 == 1009L), "short docs are not planted")
+  }
+
+  test("multimodal: audio fingerprint kernel — shift by one hop drops exactly the boundary keys") {
+    val payload = (1 to 500).map(i => ((i * 37 + i / 3) % 251).toByte).toArray
+    val orig = Multimodal.audioKeys(payload).toSet
+    val shifted = Multimodal.audioKeys(payload.drop(Multimodal.AudioPlantShift)).toSet
+    // shifted keys are (almost) a subset: each shifted key equals the
+    // original key one window later; only the final window (computed
+    // from frames past the original's prefix cap) can be new
+    assert((shifted -- orig).size <= 1, s"${(shifted -- orig).size} non-inherited keys")
+    assert(shifted.intersect(orig).size >= Multimodal.AudioMinSharedKeys)
+    // sub-frame payloads and nulls produce no keys, never throw
+    assert(Multimodal.audioKeys(null) == Nil)
+    assert(Multimodal.audioKeys(Array.fill(10)(1.toByte)) == Nil)
+    // uniform content collapses every subfingerprint to zero -> 1 key value
+    assert(Multimodal.audioKeys(Array.fill(300)(42.toByte)).distinct == Seq(0))
+  }
+
 }
