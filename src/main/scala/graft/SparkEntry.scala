@@ -165,6 +165,7 @@ object SparkEntry {
     "q_gopher_filters"    -> ((s: SparkSession, d: String) => Cleaning.gopherFilters(s, d)),
     "q_span_dedup"        -> ((s: SparkSession, d: String) => Cleaning.spanDedupStats(s, d)),
     "q_substring_dedup"   -> ((s: SparkSession, d: String) => Cleaning.substringDedup(s, d)),
+    "q_substring_excised" -> ((s: SparkSession, d: String) => Cleaning.substringExcised(s, d)),
     "q_paragraph_dedup"   -> ((s: SparkSession, d: String) => Cleaning.paragraphDedupStats(s, d)),
     "q_c4_line_filter"    -> ((s: SparkSession, d: String) => Cleaning.c4LineFilter(s, d)),
     "q_c4_cleaned_docs"   -> ((s: SparkSession, d: String) => Cleaning.c4CleanedCorpus(s, d)),
@@ -527,6 +528,30 @@ object SparkEntry {
   // argument the planted generator documents), gradient phashes, and
   // the 16-bit pigeonhole chunk self-join with exact hamming — shared
   // by the pairs query and the cluster unroll
+  /** The exact-substring anchor→island chain (Lee et al. ExactSubstr),
+    * shared by q_substring_dedup and q_substring_excised: anchors from
+    * gram STRINGS (the Spark side hashes with multi-arg xxhash64 — a
+    * collision would change the span set and fail the gate loudly),
+    * maximal islands of consecutive cross-document-duplicated k-gram
+    * positions, each span carrying its first anchor hash (`h0`, the
+    * excision keeper-election key). Emits `t` (doc_id, l) and `sp`
+    * (doc_id, start_tok, end_tok, h0).
+    */
+  private lazy val substringCtesSql: String = {
+    val k = ext.Cleaning.SubstrK
+    s"t AS (SELECT doc_id, $toks AS l FROM documents WHERE text IS NOT NULL), " +
+      s"a AS (SELECT doc_id, i AS pos, md5(array_to_string(l[i:i+${k - 1}], chr(1))) AS h " +
+      s"FROM t, LATERAL (SELECT unnest(generate_series(1, len(l) - ${k - 1})) AS i) s " +
+      s"WHERE len(l) >= $k), " +
+      "dup AS (SELECT h FROM a GROUP BY h HAVING min(doc_id) <> max(doc_id)), " +
+      "p AS (SELECT a.doc_id, a.pos, a.h FROM a JOIN dup USING (h)), " +
+      "m AS (SELECT doc_id, pos, h, CASE WHEN pos - lag(pos) OVER " +
+      "(PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk FROM p), " +
+      "isl AS (SELECT doc_id, pos, h, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM m), " +
+      s"sp AS MATERIALIZED (SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + ${k - 1} AS end_tok, " +
+      "arg_min(h, pos) AS h0 FROM isl GROUP BY doc_id, island)"
+  }
+
   private lazy val mediaPairsCtesSql: String =
     "WITH mb AS (SELECT doc_id AS media_id, encode(text)::BIT AS bits, " +
       "octet_length(encode(text)) AS len FROM documents " +
@@ -3314,25 +3339,38 @@ object SparkEntry {
     // maximal islands of consecutive cross-document-duplicated k-gram
     // positions, boundaries exact, span content proven by md5 over the
     // identical space-joined token slice
-    "q_substring_dedup" -> {
-      val k = ext.Cleaning.SubstrK
-      s"WITH t AS (SELECT doc_id, $toks AS l FROM documents WHERE text IS NOT NULL), " +
-        s"a AS (SELECT doc_id, i AS pos, md5(array_to_string(l[i:i+${k - 1}], chr(1))) AS h " +
-        s"FROM t, LATERAL (SELECT unnest(generate_series(1, len(l) - ${k - 1})) AS i) s " +
-        s"WHERE len(l) >= $k), " +
-        "dup AS (SELECT h FROM a GROUP BY h HAVING min(doc_id) <> max(doc_id)), " +
-        "p AS (SELECT a.doc_id, a.pos FROM a JOIN dup USING (h)), " +
-        "m AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER " +
-        "(PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk FROM p), " +
-        "isl AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM m), " +
-        s"sp AS (SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + ${k - 1} AS end_tok " +
-        "FROM isl GROUP BY doc_id, island) " +
+    "q_substring_dedup" ->
+      (s"WITH $substringCtesSql " +
         "SELECT sp.doc_id, sp.start_tok, sp.end_tok, " +
         "sp.end_tok - sp.start_tok + 1 AS n_tokens, " +
         "md5(array_to_string(t.l[sp.start_tok:sp.end_tok], ' ')) AS span_md5 " +
         "FROM sp JOIN t ON sp.doc_id = t.doc_id " +
-        "ORDER BY sp.doc_id, sp.start_tok"
-    },
+        "ORDER BY sp.doc_id, sp.start_tok"),
+    // span excision: keeper = min doc_id over the span's FIRST anchor
+    // hash; non-keeper spans cut (positions DISTINCT — abutting
+    // islands can overlap in token space), cleaned text re-joined in
+    // order and md5-proven
+    "q_substring_excised" ->
+      (s"WITH $substringCtesSql, " +
+        "kp AS (SELECT h0, MIN(doc_id) AS keeper FROM sp GROUP BY h0), " +
+        "ex AS (SELECT sp.doc_id, sp.start_tok, sp.end_tok FROM sp " +
+        "JOIN kp USING (h0) WHERE sp.doc_id <> kp.keeper), " +
+        "cut AS (SELECT DISTINCT doc_id, cs.pos FROM ex, " +
+        "LATERAL (SELECT unnest(generate_series(ex.start_tok, ex.end_tok)) AS pos) cs), " +
+        "tokp AS (SELECT doc_id, gi.i AS pos, l[gi.i] AS tok FROM t, " +
+        "LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) gi " +
+        "WHERE doc_id IN (SELECT doc_id FROM ex)), " +
+        "kept AS (SELECT tokp.doc_id, tokp.pos, tokp.tok FROM tokp " +
+        "WHERE NOT EXISTS (SELECT 1 FROM cut c WHERE c.doc_id = tokp.doc_id AND c.pos = tokp.pos)), " +
+        "ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_kept, " +
+        "md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5 FROM kept GROUP BY doc_id), " +
+        "st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans_excised FROM ex GROUP BY doc_id), " +
+        "ct AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tokens_removed FROM cut GROUP BY doc_id) " +
+        "SELECT st.doc_id, st.n_spans_excised, ct.tokens_removed, " +
+        "COALESCE(ka.n_tokens_kept, 0) AS n_tokens_kept, " +
+        "COALESCE(ka.cleaned_md5, md5('')) AS cleaned_md5 " +
+        "FROM st JOIN ct USING (doc_id) LEFT JOIN ka USING (doc_id) " +
+        "ORDER BY st.doc_id"),
     // paragraph dedup: the structured-doc construction (4 members per
     // group ordered by doc_id, odd groups quoting the previous group's
     // first member) re-derived in SQL, then the string-keyed ROW_NUMBER

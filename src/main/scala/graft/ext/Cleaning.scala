@@ -1044,6 +1044,22 @@ object Cleaning {
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t")), k)
 
   private def substringDedupOn(toksed: DataFrame, k: Int): DataFrame = {
+    val spans = substringSpans(toksed, k)
+    spans.join(toksed, Seq("doc_id"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("t"), col("start_tok").cast("int"),
+            (col("end_tok") - col("start_tok") + 1).cast("int")))).as("span_md5"))
+      .orderBy(col("doc_id"), col("start_tok"))
+  }
+
+  /** The shared anchor→island chain: maximal spans (doc_id, start_tok,
+    * end_tok) of consecutive cross-document-duplicated k-gram
+    * positions, each carrying its FIRST anchor's hash (`h0` — the
+    * excision keeper-election key).
+    */
+  private def substringSpans(toksed: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"substring dedup needs k >= 2, got $k")
     import org.apache.spark.sql.expressions.Window
     // one 8-byte anchor hash per token position: xxhash64 over the
@@ -1064,23 +1080,88 @@ object Cleaning {
       .select(col("h"))
     val dupPos = anchors.join(crossDup, Seq("h"), "left_semi")
     // island merge: consecutive duplicated anchor positions fuse into
-    // one maximal span [min pos, max pos + k - 1]
+    // one maximal span [min pos, max pos + k - 1]; min_by carries the
+    // first anchor's hash out of the same aggregate
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val spans = dupPos
+    dupPos
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(w) === 1, lit(0L)).otherwise(lit(1L)))
       .withColumn("island", sum(col("brk")).over(wRun))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("start_tok"),
-        (max(col("pos")) + (k - 1)).as("end_tok"))
-    spans.join(toksed, Seq("doc_id"))
-      .select(col("doc_id"), col("start_tok"), col("end_tok"),
-        (col("end_tok") - col("start_tok") + 1).as("n_tokens"),
+        (max(col("pos")) + (k - 1)).as("end_tok"),
+        min_by(col("h"), col("pos")).as("h0"))
+  }
+
+  /** SPAN EXCISION — the output half of the Lee et al. ExactSubstr
+    * pipeline ([[substringDedup]] is the cut list; this applies it):
+    * every flagged span is removed from every document EXCEPT the
+    * span's KEEPER — the minimum doc_id among documents whose spans
+    * start with the same first k-gram (the deterministic one-copy-
+    * survives election, the [[graft.ext.Dedup]] md5-keeper discipline
+    * applied to substrings; a keeper document keeps ALL its flagged
+    * spans, including within-document repeats of its own kept
+    * content). Output per affected document: spans excised, tokens
+    * removed/kept, and the md5 of the cleaned text — the excision is
+    * proven content-exact against the oracle's replay, not just
+    * counted.
+    *
+    * Scale shape: the span chain is [[substringSpans]] (anchor stream
+    * linear in tokens, two keyed exchanges); the keeper election is
+    * one aggregate on the first-anchor hash (span-count rows, tiny);
+    * the excision explodes span token ranges (bounded by document
+    * length), anti-joins the token stream, and re-joins in order —
+    * all doc-keyed.
+    */
+  def substringExcised(spark: SparkSession, d: String, k: Int = SubstrK): DataFrame =
+    substringExcisedOn(
+      TextAnalysis.sessionTokens(spark, d).select(col("doc_id"), col("toks").as("t")), k)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def substringExcisedDf(docs: DataFrame, k: Int = SubstrK): DataFrame =
+    substringExcisedOn(
+      Tables.fanOut(docs).filter(col("text").isNotNull)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t")), k)
+
+  private def substringExcisedOn(toksed: DataFrame, k: Int): DataFrame = {
+    // spans and the cut list are span-count-sized (<< corpus); lazy
+    // localCheckpoints let their many consumers below share ONE
+    // evaluation of the anchor chain instead of re-running it per
+    // reference (the mmrDiversify poolSh discipline) — measured 17
+    // keyed exchanges without, <= 8 with
+    val spans = substringSpans(toksed, k).localCheckpoint(false)
+    val keepers = spans.groupBy(col("h0")).agg(min(col("doc_id")).as("keeper"))
+    val excised = spans.join(keepers, Seq("h0"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"))
+      .localCheckpoint(false)
+    val cutPos = excised
+      .select(col("doc_id"),
+        explode(sequence(col("start_tok"), col("end_tok"))).as("pos"))
+      .distinct() // overlapping spans cannot double-cut a position
+    val toks = toksed
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    val kept = toks.join(cutPos, Seq("doc_id", "pos"), "left_anti")
+    // tokens_removed counts DISTINCT cut positions (abutting islands'
+    // spans can overlap in token space; a position cuts once)
+    val stats = excised.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans_excised"))
+      .join(cutPos.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("tokens_removed")), Seq("doc_id"))
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens_kept"),
         md5(concat_ws(" ",
-          slice(col("t"), col("start_tok").cast("int"),
-            (col("end_tok") - col("start_tok") + 1).cast("int")))).as("span_md5"))
-      .orderBy(col("doc_id"), col("start_tok"))
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")))).as("cleaned_md5"))
+    // affected docs only (the cut list's targets); a FULLY-excised doc
+    // has no kept rows and reports 0 kept tokens + the empty-text md5
+    stats.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans_excised"), col("tokens_removed"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
   }
 
   // ----------------------------------------------- C4 line-level cleaning

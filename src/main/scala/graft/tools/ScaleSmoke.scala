@@ -78,7 +78,12 @@ object ScaleSmoke {
     "q_filter_ensemble" /* one signal projection + content-hash window, the funnel's shape */,
     "q_ingest_gate" /* five frozen-artifact probes, all keyed; batch-proportional work */,
     "q_zorder_events" /* narrow bit math + one bucket groupBy; extents broadcast */,
-    "q_layout_compare" /* three 64-group bucket aggregates over one scan lineage */)
+    "q_layout_compare" /* three 64-group bucket aggregates over one scan lineage */,
+    "q_substring_dedup" /* anchor stream linear in tokens; one keyed agg + semi-join + doc window */,
+    "q_audio_neardup_pairs" /* keyed fingerprint inverted-index join; grows with planted-dup mass */,
+    "q_pack_bucketed" /* narrow token count + (bucket, shard) windows; one keyed agg */,
+    "q_graph_ann_topk" /* fixed query count: rounds x beam keyed probes of the kNN graph */,
+    "q_substring_excised" /* anchor chain + doc-keyed cut/rejoin; grows with duplicated mass */)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -901,4 +901,49 @@ class PlanShapeSpec extends SparkTestBase {
     assert(pt.contains("TakeOrderedAndProject"), s"block-max top-k must be bounded:\n$pt")
     scalarNestedOnly("q_bm25_blockmax_topk")
   }
+
+  test("q_substring_dedup: keyed anchor aggregate + semi-join + doc window — 3 keyed exchanges, no all-pairs") {
+    val p = plan("q_substring_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup must stay keyed:\n$p")
+    assert(shuffleExchanges("q_substring_dedup") <= 3,
+      s"anchor chain grew a shuffle:\n$p")
+  }
+
+  test("q_audio_neardup_pairs: keyed fingerprint joins only, bounded exchange budget") {
+    val p = plan("q_audio_neardup_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"audio matching must stay keyed (inverted-index join):\n$p")
+    assert(shuffleExchanges("q_audio_neardup_pairs") <= 8,
+      s"fingerprint chain grew a shuffle:\n$p")
+  }
+
+  test("q_pack_bucketed: sharded rank windows (never a global window), 3 keyed exchanges") {
+    val p = plan("q_pack_bucketed")
+    assert(!p.contains("CartesianProduct"), s"bucketed packing must stay keyed:\n$p")
+    assert(shuffleExchanges("q_pack_bucketed") <= 3,
+      s"bucketed packing grew a shuffle:\n$p")
+    // the rank windows must partition on (bucket_cap, shard) — a bare
+    // unpartitioned window would serialize the corpus on one task
+    assert(p.contains("bucket_cap") && p.contains("shard"),
+      s"window lost its shard salt:\n$p")
+  }
+
+  test("q_graph_ann_topk: bounded LocalTableScan final (beam state never corpus-sized)") {
+    // the recurrence runs its keyed probes eagerly at build (the
+    // documented greedy-recurrence exemption); the presented plan must
+    // be exactly the bounded driver-built result
+    val p = plan("q_graph_ann_topk")
+    assert(p.contains("LocalTableScan"), s"graph-ANN final must be the bounded beam:\n$p")
+  }
+
+
+  test("q_substring_excised: keyed chain end to end — no all-pairs, bounded exchange budget") {
+    val p = plan("q_substring_excised")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"excision must stay keyed:\n$p")
+    assert(shuffleExchanges("q_substring_excised") <= 8,
+      s"excision chain grew a shuffle:\n$p")
+  }
+
 }

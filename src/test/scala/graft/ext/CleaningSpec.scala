@@ -1329,4 +1329,47 @@ class CleaningSpec extends SparkTestBase {
     }
   }
 
+
+  test("substring excision: keeper keeps, non-keepers cut, tokens conserved") {
+    val rep = (0 until 60).map(i => s"rep$i")
+    val d1 = ((1 to 7).map(i => s"a$i") ++ rep ++ (1 to 5).map(i => s"b$i")).mkString(" ")
+    val d2 = ((1 to 13).map(i => s"c$i") ++ rep ++ (1 to 9).map(i => s"e$i")).mkString(" ")
+    val out = Cleaning.substringExcisedDf(docsDf(1L -> d1, 2L -> d2)).collect()
+    // doc 1 is the keeper (min doc_id over the shared first anchor):
+    // only doc 2 appears in the cut list
+    assert(out.length == 1 && out.head.getLong(0) == 2L, s"got ${out.mkString(";")}")
+    val r = out.head
+    assert(r.getLong(1) == 1L && r.getLong(2) == 60L, s"one 60-token span cut: $r")
+    assert(r.getLong(3) == 13L + 9L, "prefix+suffix tokens survive")
+    // the cleaned text is exactly the fillers, content-proven by md5
+    val cleaned = ((1 to 13).map(i => s"c$i") ++ (1 to 9).map(i => s"e$i")).mkString(" ")
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(cleaned.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getString(4) == expected, "excision must splice exactly the span out")
+  }
+
+  test("substring excision: a fully-duplicated document reports zero kept tokens") {
+    val rep = (0 until Cleaning.SubstrK).map(i => s"q$i")
+    val d1 = ((1 to 4).map(i => s"h$i") ++ rep).mkString(" ")
+    val d2 = rep.mkString(" ") // the ENTIRE doc is the duplicated span
+    val out = Cleaning.substringExcisedDf(docsDf(1L -> d1, 2L -> d2))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(2L), "doc 1 is the keeper")
+    assert(out(2L).getLong(3) == 0L, "every token cut")
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.empty[Byte]).map("%02x".format(_)).mkString
+    assert(out(2L).getString(4) == emptyMd5)
+  }
+
+  test("substring excision: corpus run — session form equals Df form, removal accounting exact") {
+    val viaSession = Cleaning.substringExcised(spark, sfDir).collect()
+    val viaDf = Cleaning.substringExcisedDf(graft.Tables.documents(spark, sfDir)).collect()
+    assert(viaSession.map(_.toString).toSeq == viaDf.map(_.toString).toSeq)
+    assert(viaSession.nonEmpty)
+    viaSession.foreach { r =>
+      assert(r.getLong(2) >= Cleaning.SubstrK, "each cut doc loses at least one k-span")
+      assert(r.getLong(1) >= 1L && r.getLong(3) >= 0L)
+    }
+  }
+
 }
