@@ -303,7 +303,11 @@ object Multimodal {
     */
   def audioNearDupPairs(ds: Dataset[MediaRecord],
                         minShared: Int = AudioMinSharedKeys): DataFrame = {
-    val keys = audioFingerprintKeys(ds)
+    // the key table is |media| x <=20 narrow rows and feeds BOTH the
+    // stop-key census and the semi-joined pair sides — a lazy
+    // localCheckpoint shares one fingerprint pass across the three
+    // references (the substringExcised discipline)
+    val keys = audioFingerprintKeys(ds).localCheckpoint(false)
     val kept = keys.groupBy(col("fp_key"))
       .agg(count(lit(1)).as("n_media"))
       .filter(col("n_media") <= AudioKeyFreqCap)

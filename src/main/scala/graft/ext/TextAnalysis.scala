@@ -306,9 +306,15 @@ object TextAnalysis {
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
       .filter(length(col("a")) >= minLen && length(col("b")) >= minLen &&
         col("a") =!= col("b"))
+    // the distinct's exchange hashes (doc_id, a, b); repartitioning on
+    // the ITERATION join key (doc_id, a) before the checkpoint lets all
+    // `iters` contribution joins reuse the stored partitioning instead
+    // of re-shuffling the edge table every round (checkpoint preserves
+    // outputPartitioning)
     val edges = pairs
       .union(pairs.select(col("doc_id"), col("b").as("a"), col("a").as("b")))
       .distinct()
+      .repartition(col("doc_id"), col("a"))
       .localCheckpoint()
     val nodes = toksed
       .select(col("doc_id"), explode(col("t")).as("tok"))
