@@ -166,6 +166,7 @@ object SparkEntry {
     "q_span_dedup"        -> ((s: SparkSession, d: String) => Cleaning.spanDedupStats(s, d)),
     "q_substring_dedup"   -> ((s: SparkSession, d: String) => Cleaning.substringDedup(s, d)),
     "q_substring_excised" -> ((s: SparkSession, d: String) => Cleaning.substringExcised(s, d)),
+    "q_substring_incremental" -> ((s: SparkSession, d: String) => Cleaning.substringIncremental(s, d)),
     "q_paragraph_dedup"   -> ((s: SparkSession, d: String) => Cleaning.paragraphDedupStats(s, d)),
     "q_c4_line_filter"    -> ((s: SparkSession, d: String) => Cleaning.c4LineFilter(s, d)),
     "q_c4_cleaned_docs"   -> ((s: SparkSession, d: String) => Cleaning.c4CleanedCorpus(s, d)),
@@ -189,6 +190,7 @@ object SparkEntry {
     "q_top_collocations"  -> ((s: SparkSession, d: String) => TextAnalysis.topCollocations(s, d)),
     "q_token_entropy"     -> ((s: SparkSession, d: String) => TextAnalysis.tokenEntropy(s, d)),
     // ---- round 9: backoff LM, product-quantized ANN
+    "q_moore_lewis"       -> ((s: SparkSession, d: String) => TextAnalysis.mooreLewisSelect(s, d)),
     "q_backoff_logprob"   -> ((s: SparkSession, d: String) => TextAnalysis.backoffLogProb(s, d)),
     "q_ivf_pq_topk"       -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
     "q_quality_calibration" -> ((s: SparkSession, d: String) => TextAnalysis.qualityCalibration(s, d)),
@@ -3346,6 +3348,30 @@ object SparkEntry {
         "md5(array_to_string(t.l[sp.start_tok:sp.end_tok], ' ')) AS span_md5 " +
         "FROM sp JOIN t ON sp.doc_id = t.doc_id " +
         "ORDER BY sp.doc_id, sp.start_tok"),
+    // incremental substring dedup: arrivals (doc_id % 4 = 0) anchor
+    // against the BASE corpus's distinct gram set; same island chain
+    // as the batch form, base membership instead of min/max-doc
+    "q_substring_incremental" -> {
+      val k = ext.Cleaning.SubstrK
+      s"WITH t AS (SELECT doc_id, $toks AS l FROM documents WHERE text IS NOT NULL), " +
+        s"bg AS (SELECT DISTINCT md5(array_to_string(l[i:i+${k - 1}], chr(1))) AS h " +
+        s"FROM t, LATERAL (SELECT unnest(generate_series(1, len(l) - ${k - 1})) AS i) s " +
+        s"WHERE doc_id % 4 <> 0 AND len(l) >= $k), " +
+        s"aa AS (SELECT doc_id, i AS pos, md5(array_to_string(l[i:i+${k - 1}], chr(1))) AS h " +
+        s"FROM t, LATERAL (SELECT unnest(generate_series(1, len(l) - ${k - 1})) AS i) s " +
+        s"WHERE doc_id % 4 = 0 AND len(l) >= $k), " +
+        "p AS (SELECT aa.doc_id, aa.pos FROM aa JOIN bg USING (h)), " +
+        "m AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk FROM p), " +
+        "isl AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM m), " +
+        s"sp AS (SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + ${k - 1} AS end_tok " +
+        "FROM isl GROUP BY doc_id, island) " +
+        "SELECT sp.doc_id, sp.start_tok, sp.end_tok, " +
+        "sp.end_tok - sp.start_tok + 1 AS n_tokens, " +
+        "md5(array_to_string(t.l[sp.start_tok:sp.end_tok], ' ')) AS span_md5 " +
+        "FROM sp JOIN t ON sp.doc_id = t.doc_id " +
+        "ORDER BY sp.doc_id, sp.start_tok"
+    },
     // span excision: keeper = min doc_id over the span's FIRST anchor
     // hash; non-keeper spans cut (positions DISTINCT — abutting
     // islands can overlap in token space), cleaned text re-joined in
@@ -3868,6 +3894,43 @@ object SparkEntry {
     // over count tables ALL derived from the trigram counts; alpha =
     // 0.5 so every constant is exactly representable in both engines'
     // arithmetic; ln micro-snapped, exact BIGINT per-doc aggregation
+    // Moore-Lewis: TWO stupid-backoff trigram tables (target slice /
+    // general pool) over one trigram stream, pool docs scored against
+    // both with the alpha^2/(N+1) OOV floor, ce_diff = difference of
+    // the two exact micro-nat means (identical IEEE operands)
+    "q_moore_lewis" -> {
+      def table(pfx: String, src: String) =
+        s"${pfx}c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM $src GROUP BY 1, 2, 3), " +
+          s"${pfx}wc AS (SELECT *, SUM(c3) OVER (PARTITION BY w1, w2) AS ctx2, " +
+          "SUM(c3) OVER (PARTITION BY w2, w3) AS cb, " +
+          "SUM(c3) OVER (PARTITION BY w2) AS ctx1, " +
+          s"SUM(c3) OVER (PARTITION BY w3) AS cu FROM ${pfx}c3), " +
+          s"${pfx}nn AS (SELECT SUM(c3) AS n FROM ${pfx}c3), " +
+          s"${pfx}st AS (SELECT w1, w2, w3, CAST(floor(ln(" +
+          "CASE WHEN c3 >= 2 THEN CAST(c3 AS DOUBLE) / ctx2 " +
+          "WHEN cb >= 2 THEN 0.5 * CAST(cb AS DOUBLE) / ctx1 " +
+          s"ELSE 0.5 * 0.5 * CAST(cu AS DOUBLE) / n END) * 1e6 + 0.5) AS BIGINT) AS mlp " +
+          s"FROM ${pfx}wc CROSS JOIN ${pfx}nn)"
+      def score(pfx: String) =
+        s"${pfx}sc AS (SELECT p.doc_id, COALESCE(${pfx}st.mlp, " +
+          s"CAST(floor(ln(0.25 / (${pfx}nn.n + 1)) * 1e6 + 0.5) AS BIGINT)) AS mlp " +
+          s"FROM pool p LEFT JOIN ${pfx}st USING (w1, w2, w3) CROSS JOIN ${pfx}nn)"
+      s"WITH f AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL), " +
+        "tg AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), " +
+        "i -> struct_pack(w1 := t[i], w2 := t[i+1], w3 := t[i+2]))) AS p FROM f WHERE len(t) >= 3), " +
+        "tris AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, p.w3 AS w3 FROM tg), " +
+        "pool AS MATERIALIZED (SELECT * FROM tris WHERE doc_id % 20 <> 7), " +
+        table("i", "tris WHERE doc_id % 20 = 7") + ", " +
+        table("g", "pool") + ", " +
+        score("i") + ", " + score("g") + ", " +
+        "ia AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams, " +
+        "floor(CAST(SUM(mlp) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS in_lp FROM isc GROUP BY doc_id), " +
+        "ga AS (SELECT doc_id, " +
+        "floor(CAST(SUM(mlp) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS gen_lp FROM gsc GROUP BY doc_id) " +
+        "SELECT ia.doc_id, ia.n_trigrams, ia.in_lp, ga.gen_lp, " +
+        "ia.in_lp - ga.gen_lp AS ce_diff, (ia.in_lp - ga.gen_lp) > 0 AS selected " +
+        "FROM ia JOIN ga USING (doc_id) ORDER BY ia.doc_id"
+    },
     "q_backoff_logprob" ->
       (s"WITH f AS (SELECT doc_id, $toks AS t FROM documents), " +
         "tg AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), " +

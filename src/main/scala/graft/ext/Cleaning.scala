@@ -1060,28 +1060,39 @@ object Cleaning {
     * excision keeper-election key).
     */
   private def substringSpans(toksed: DataFrame, k: Int): DataFrame = {
-    require(k >= 2, s"substring dedup needs k >= 2, got $k")
-    import org.apache.spark.sql.expressions.Window
-    // one 8-byte anchor hash per token position: xxhash64 over the
-    // k-token slice, chained multi-arg inside the transform lambda
-    val gramHash = (1 to k).map(j => s"element_at(t, i + ${j - 1})").mkString(", ")
-    val anchors = toksed
-      .filter(size(col("t")) >= k)
-      .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(1, size(t) - ${k - 1}), i -> xxhash64($gramHash))"))
-          .as(Seq("p0", "h")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+    val anchors = anchorStream(toksed, k)
     // cross-document duplicated grams: min(doc) != max(doc) — one
     // map-side-combined aggregate, build side of the semi-join below
     val crossDup = anchors.groupBy(col("h"))
       .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
       .filter(col("dmin") =!= col("dmax"))
       .select(col("h"))
-    val dupPos = anchors.join(crossDup, Seq("h"), "left_semi")
-    // island merge: consecutive duplicated anchor positions fuse into
-    // one maximal span [min pos, max pos + k - 1]; min_by carries the
-    // first anchor's hash out of the same aggregate
+    islandsOf(anchors.join(crossDup, Seq("h"), "left_semi"), k)
+  }
+
+  /** The (doc_id, pos, h) anchor stream: one 8-byte hash per token
+    * position — xxhash64 over the k-token slice, chained multi-arg
+    * inside the transform lambda.
+    */
+  private def anchorStream(toksed: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"substring dedup needs k >= 2, got $k")
+    val gramHash = (1 to k).map(j => s"element_at(t, i + ${j - 1})").mkString(", ")
+    toksed
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(t) - ${k - 1}), i -> xxhash64($gramHash))"))
+          .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+  }
+
+  /** Island merge: consecutive duplicated anchor positions fuse into
+    * one maximal span [min pos, max pos + k - 1]; min_by carries the
+    * first anchor's hash out of the same aggregate (the excision
+    * keeper-election key).
+    */
+  private def islandsOf(dupPos: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dupPos
@@ -1092,6 +1103,52 @@ object Cleaning {
       .agg(min(col("pos")).as("start_tok"),
         (max(col("pos")) + (k - 1)).as("end_tok"),
         min_by(col("h"), col("pos")).as("h0"))
+  }
+
+  /** The FROZEN duplicated-gram index of a base corpus: every distinct
+    * k-gram anchor hash the base contains — what an ingest gate holds
+    * resident to excise arriving documents' already-seen spans against
+    * (the [[keeperSpanHashes]] / minhashBandIndex freeze discipline
+    * applied to the ExactSubstr family).
+    */
+  def substringGramIndex(docs: DataFrame, k: Int = SubstrK): DataFrame =
+    anchorStream(
+      Tables.fanOut(docs).filter(col("text").isNotNull)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t")), k)
+      .select(col("h")).distinct()
+
+  /** Arriving documents' spans already present in a FROZEN base-corpus
+    * gram index — the delta half of incremental exact-substring dedup:
+    * maximal islands of arrival k-gram positions whose grams exist in
+    * the base (same schema as [[substringDedup]]). Never delta × base
+    * pairs: one keyed semi-join of the delta anchor stream against the
+    * index, then the per-document island window.
+    */
+  def substringDedupAgainst(arrivals: DataFrame, baseGrams: DataFrame,
+                            k: Int = SubstrK): DataFrame = {
+    val toksed = Tables.fanOut(arrivals).filter(col("text").isNotNull)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+    val spans = islandsOf(
+      anchorStream(toksed, k).join(baseGrams, Seq("h"), "left_semi"), k)
+    spans.join(toksed, Seq("doc_id"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("t"), col("start_tok").cast("int"),
+            (col("end_tok") - col("start_tok") + 1).cast("int")))).as("span_md5"))
+      .orderBy(col("doc_id"), col("start_tok"))
+  }
+
+  /** Incremental exact-substring dedup as a registered batch query:
+    * the corpus splits base (doc_id % 4 != 0) / arrivals (% 4 == 0) —
+    * the exactDedupIncremental split convention — and arrivals report
+    * their base-duplicated spans against the frozen gram index.
+    */
+  def substringIncremental(spark: SparkSession, d: String,
+                           k: Int = SubstrK): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    substringDedupAgainst(docs.filter(col("doc_id") % 4 === 0),
+      substringGramIndex(docs.filter(col("doc_id") % 4 =!= 0), k), k)
   }
 
   /** SPAN EXCISION — the output half of the Lee et al. ExactSubstr
@@ -1136,6 +1193,16 @@ object Cleaning {
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), col("start_tok"), col("end_tok"))
       .localCheckpoint(false)
+    exciseTail(toksed, excised)
+  }
+
+  /** The excision tail shared by the batch keeper-elected form and the
+    * streaming Against form: cut every (doc_id, start_tok, end_tok)
+    * span, re-join the survivors in order, report per-doc accounting +
+    * the cleaned-text md5. `excised` must be bounded/checkpointed by
+    * the caller (it is referenced three times).
+    */
+  private def exciseTail(toksed: DataFrame, excised: DataFrame): DataFrame = {
     val cutPos = excised
       .select(col("doc_id"),
         explode(sequence(col("start_tok"), col("end_tok"))).as("pos"))
@@ -1162,6 +1229,50 @@ object Cleaning {
         coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
         coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Excise arriving documents against a FROZEN base gram index: every
+    * span whose windows all exist in the base is cut — NO keeper
+    * election (the base holds the canonical copy by definition; this
+    * is exactly Lee et al.'s train-side excision against a dedup-ed
+    * reference corpus). Same output schema as [[substringExcised]].
+    */
+  def substringExciseAgainst(arrivals: DataFrame, baseGrams: DataFrame,
+                             k: Int = SubstrK): DataFrame = {
+    val toksed = Tables.fanOut(arrivals).filter(col("text").isNotNull)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+    val excised = islandsOf(
+      anchorStream(toksed, k).join(baseGrams, Seq("h"), "left_semi"), k)
+      .select(col("doc_id"), col("start_tok"), col("end_tok"))
+      .localCheckpoint(false)
+    exciseTail(toksed, excised)
+  }
+
+  /** Streaming substring excision (foreachBatch stage): the base
+    * corpus's duplicated-gram index is FROZEN once before the stream
+    * starts; each micro-batch of arriving documents is excised against
+    * the snapshot and appends its per-doc accounting tagged with the
+    * batch id — the [[spanDedupSink]] contract on the ExactSubstr
+    * family.
+    */
+  def substringExciseSink(docStream: DataFrame, baseDocs: DataFrame,
+                          outPath: String, checkpoint: String,
+                          k: Int = SubstrK, triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val frozen = Freeze.scoped(checkpoint, substringGramIndex(baseDocs, k))
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // per-batch presentation sort stripped (see spanDedupSink)
+          org.apache.spark.sql.GraftSql.unordered(
+            substringExciseAgainst(batch, frozen, k))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
   }
 
   // ----------------------------------------------- C4 line-level cleaning

@@ -1184,6 +1184,65 @@ object TextAnalysis {
         col("n"))
   }
 
+  /** MOORE–LEWIS cross-entropy-difference selection (Moore & Lewis
+    * 2010, "Intelligent Selection of Language Model Training Data") —
+    * the classical data-selection operator the DSIR family
+    * generalizes: score every pool document under TWO LMs — one
+    * trained on the in-domain target slice, one on the general pool —
+    * and rank by the per-gram log-likelihood difference. A document
+    * that the in-domain model likes more than the general model does
+    * (ce_diff > 0) "looks like the target"; thresholding the
+    * difference is the selection. Both models are the
+    * [[backoffScoreTable]] stupid-backoff trigram LM, scored through
+    * [[backoffScoreAgainst]]'s frozen-table semantics (unseen
+    * trigrams fall to the α²/(N+1) OOV floor — the pool contains
+    * grams the target never saw, so the OOV branch is load-bearing
+    * here, unlike the self-scoring batch form). Target slice =
+    * `doc_id % 20 = 7`, the [[graft.ext.Corpus.dsirWeights]] /
+    * decontamination eval-slice convention (a stand-in for a
+    * caller-supplied target corpus; the Df form takes the predicate).
+    *
+    * Exactness: both avg log-probs are the backoff scorer's exact
+    * micro-nat means (BIGINT sums, one snapped division); ce_diff
+    * subtracts two identically-derived doubles — the same IEEE
+    * operands on both engines, so the difference and the > 0 verdict
+    * replay exactly.
+    *
+    * Scale shape: two count chains (target-sized and pool-sized — the
+    * vocabulary-keyed shuffles of the backoff family) + two
+    * gram-keyed scoring joins over ONE shared trigram stream lineage;
+    * the per-doc rollup is map-side combined. Nothing pairwise,
+    * nothing driver-side.
+    */
+  def mooreLewisSelect(spark: SparkSession, d: String,
+                       minCount: Int = 2, alpha: Double = 0.5): DataFrame =
+    mooreLewisSelectDf(sessionTokens(spark, d), col("doc_id") % 20 === 7,
+      minCount, alpha)
+
+  /** DataFrame form (docs must have doc_id + text, or the pre-tokenized
+    * artifact schema).
+    */
+  def mooreLewisSelectDf(docs: DataFrame, targetPred: Column,
+                         minCount: Int = 2, alpha: Double = 0.5): DataFrame = {
+    val target = docs.filter(targetPred)
+    val pool = docs.filter(!targetPred)
+    // the two score tables are vocabulary-sized and each referenced
+    // twice by the Against scorer (scalar-N aggregate + the gram join);
+    // lazy checkpoints share one window-chain evaluation per table
+    // (measured 21 keyed exchanges without, 13 with)
+    val inTable = backoffScoreTable(target, minCount, alpha).localCheckpoint(false)
+    val genTable = backoffScoreTable(pool, minCount, alpha).localCheckpoint(false)
+    val sIn = backoffScoreAgainst(pool, inTable, alpha)
+      .select(col("doc_id"), col("n_trigrams"), col("avg_logprob").as("in_lp"))
+    val sGen = backoffScoreAgainst(pool, genTable, alpha)
+      .select(col("doc_id"), col("avg_logprob").as("gen_lp"))
+    sIn.join(sGen, Seq("doc_id"))
+      .select(col("doc_id"), col("n_trigrams"), col("in_lp"), col("gen_lp"),
+        (col("in_lp") - col("gen_lp")).as("ce_diff"))
+      .withColumn("selected", col("ce_diff") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** The positional trigram KEY stream: per position, the trigram hash
     * plus its four backoff-slice hashes (ctx2 / backoff-bigram / ctx1 /
     * unigram), all computed at explode time — [[fivegramStream]]'s

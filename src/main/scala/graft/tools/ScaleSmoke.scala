@@ -83,7 +83,9 @@ object ScaleSmoke {
     "q_audio_neardup_pairs" /* keyed fingerprint inverted-index join; grows with planted-dup mass */,
     "q_pack_bucketed" /* narrow token count + (bucket, shard) windows; one keyed agg */,
     "q_graph_ann_topk" /* fixed query count: rounds x beam keyed probes of the kNN graph */,
-    "q_substring_excised" /* anchor chain + doc-keyed cut/rejoin; grows with duplicated mass */)
+    "q_substring_excised" /* anchor chain + doc-keyed cut/rejoin; grows with duplicated mass */,
+    "q_substring_incremental" /* delta anchors semi-join the frozen base gram index */,
+    "q_moore_lewis" /* two vocab-keyed LM chains + gram-keyed scoring; linear in tokens */)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -946,4 +946,21 @@ class PlanShapeSpec extends SparkTestBase {
       s"excision chain grew a shuffle:\n$p")
   }
 
+
+  test("q_substring_incremental: delta anchors semi-join the base index — keyed only") {
+    val p = plan("q_substring_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental substring dedup must never delta-x-base:\n$p")
+    assert(shuffleExchanges("q_substring_incremental") <= 4,
+      s"incremental anchor chain grew a shuffle:\n$p")
+  }
+
+
+  test("q_moore_lewis: two vocabulary-keyed LM chains, gram-keyed scoring joins — no all-pairs") {
+    val p = plan("q_moore_lewis")
+    assert(!p.contains("CartesianProduct"), s"moore-lewis must stay keyed:\n$p")
+    assert(shuffleExchanges("q_moore_lewis") <= 13,
+      s"moore-lewis chain grew a shuffle:\n$p")
+  }
+
 }

@@ -1372,4 +1372,63 @@ class CleaningSpec extends SparkTestBase {
     }
   }
 
+
+  test("substring incremental: arrivals report spans against the frozen base gram index only") {
+    val k = Cleaning.SubstrK
+    val block = (0 until k).map(i => s"blk$i")
+    // base doc 1 owns the block; arrival doc 4 (doc_id % 4 == 0) repeats
+    // it; arrivals 8 and 12 share a block ONLY with each other — an
+    // arrival-internal repeat must NOT be reported against the base
+    val arrOnly = (0 until k).map(i => s"arr$i")
+    val docs = docsDf(
+      1L -> ((1 to 5).map(i => s"p$i") ++ block).mkString(" "),
+      4L -> ((1 to 3).map(i => s"q$i") ++ block ++ Seq("tail")).mkString(" "),
+      8L -> arrOnly.mkString(" "),
+      12L -> ((1 to 2).map(i => s"r$i") ++ arrOnly).mkString(" "))
+    val out = Cleaning.substringDedupAgainst(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 0),
+      Cleaning.substringGramIndex(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 4 =!= 0)))
+      .collect()
+    assert(out.length == 1 && out.head.getLong(0) == 4L, s"got ${out.mkString(";")}")
+    assert(out.head.getLong(1) == 4L && out.head.getLong(2) == (3 + k).toLong)
+  }
+
+
+  test("moore-lewis: in-domain lookalikes select, off-domain documents reject") {
+    import org.apache.spark.sql.functions.col
+    val domain = "neural language model training data selection pipeline"
+    // target slice (doc_id % 20 == 7 under the default predicate):
+    // a deterministic trigram chain — the in-domain model assigns its
+    // own continuations probability 1
+    val docs = docsDf(
+      7L  -> (domain + " ") * 6,
+      27L -> (domain + " ") * 5,
+      // pool: doc 1 IS the target chain; doc 3 reuses its contexts with
+      // DIFFERENT continuations, so the general model's probabilities
+      // for doc 1's trigrams split below 1 while the in-domain model's
+      // stay exact; doc 2 is off-domain (every trigram OOV in-domain)
+      1L  -> (domain + " ") * 4,
+      3L  -> "language model training nonsense data selection banana pipeline neural junk things",
+      2L  -> ("completely unrelated cooking recipe with garlic butter onions " * 4))
+    val out = TextAnalysis.mooreLewisSelectDf(docs, col("doc_id") % 20 === 7)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "target-slice docs are the model, not the pool")
+    assert(out(1L).getDouble(4) > 0 && out(1L).getBoolean(5),
+      s"domain lookalike must score above the general model: ${out(1L)}")
+    assert(out(2L).getDouble(4) < 0 && !out(2L).getBoolean(5),
+      s"off-domain text must fall to the in-domain OOV floor: ${out(2L)}")
+  }
+
+  test("moore-lewis: corpus run — session artifact form equals the Df form") {
+    import org.apache.spark.sql.functions.col
+    val viaSession = TextAnalysis.mooreLewisSelect(spark, sfDir).collect()
+    val viaDf = TextAnalysis.mooreLewisSelectDf(
+      graft.Tables.documents(spark, sfDir), col("doc_id") % 20 === 7).collect()
+    assert(viaSession.map(_.toString).toSeq == viaDf.map(_.toString).toSeq)
+    assert(viaSession.nonEmpty)
+    val sel = viaSession.count(_.getBoolean(5))
+    assert(sel < viaSession.length, "selection must discriminate, not pass everything")
+  }
+
 }

@@ -1312,4 +1312,44 @@ class StreamingSpec extends SparkTestBase {
     assert(!streamed.exists(_.head == 12L))
     assert(streamed.exists(_.head == 10L) && streamed.exists(_.head == 11L))
   }
+
+  test("streaming substring excision: per-batch accounting vs frozen gram index matches batch mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val k = graft.ext.Cleaning.SubstrK
+    val rep = (0 until k + 10).map(i => s"shared$i").mkString(" ")
+    val base = Seq(100L -> s"preamble $rep coda").toDF("doc_id", "text")
+    val arrivals = Seq(
+      1L -> (Seq("x1", "x2") ++ rep.split(" ") ++ Seq("y1")).mkString(" "), // one base span
+      2L -> (1 to 40).map(i => s"fresh$i").mkString(" "),                    // clean
+      3L -> rep)                                                             // fully excised
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("substr_out").toString
+    val ckpt = Files.createTempDirectory("substr_ckpt").toString
+    val query = graft.ext.Cleaning.substringExciseSink(
+      input.toDF().toDF("doc_id", "text"), base, out, ckpt,
+      triggerMs = 50L).start()
+    try {
+      input.addData(arrivals(0), arrivals(1))
+      query.processAllAvailable()
+      input.addData(arrivals(2))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    // per-doc results depend only on the doc and the frozen index, so
+    // the union of per-batch outputs must equal the one-shot batch run
+    val batch = graft.ext.Cleaning
+      .substringExciseAgainst(arrivals.toDF("doc_id", "text"),
+        graft.ext.Cleaning.substringGramIndex(base))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    val byDoc = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byDoc(1L) == ((1L, (k + 10).toLong, 3L)),
+      s"arrival 1 loses exactly the shared block: $byDoc")
+    assert(!byDoc.contains(2L), "clean docs are not in the cut list")
+    assert(byDoc(3L) == ((1L, (k + 10).toLong, 0L)), "full-dup arrival keeps nothing")
+  }
+
 }
