@@ -278,6 +278,7 @@ object SparkEntry {
     "q_cdc_incremental"   -> ((s: SparkSession, d: String) => ext.Corpus.cdcIncremental(s, d)),
     "q_unimax_execute"    -> ((s: SparkSession, d: String) => ext.Corpus.unimaxExecute(s, d)),
     "q_filter_ensemble"   -> ((s: SparkSession, d: String) => Cleaning.filterEnsemble(s, d)),
+    "q_filter_attribution" -> ((s: SparkSession, d: String) => Cleaning.filterAttribution(s, d)),
     // rows-only: rides the union-find cluster table (like
     // q_neardup_clusters); planted size distribution asserted in
     // DedupSimilaritySpec
@@ -530,6 +531,37 @@ object SparkEntry {
   // argument the planted generator documents), gradient phashes, and
   // the 16-bit pigeonhole chunk self-join with exact hamming — shared
   // by the pairs query and the cluster unroll
+  /** The independent filter-signal matrix chain, shared by
+    * q_filter_ensemble and q_filter_attribution — emits `dd` (doc_id,
+    * the four pass/dup bits).
+    */
+  private lazy val filterEnsembleCtesSql: String =
+      (s"f AS (SELECT doc_id, text, $toks AS t FROM documents WHERE length(text) > 0), " +
+        "feat AS (SELECT doc_id, text, t, " +
+        "len(t) AS n_words, " +
+        "round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t), 6) AS mean_word_len, " +
+        "round(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t), 6) AS alpha_frac, " +
+        "len(list_intersect(list_distinct(t), " +
+        "['the','a','of','and','to','in','is','on','for'])) AS stop_hits, " +
+        "round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(t), 6) AS symbol_ratio, " +
+        "CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) " +
+        "/ len(t) AS stop_r, " +
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_r, " +
+        "CAST(len(t) AS DOUBLE) AS n_tok, " +
+        "CAST(length(text) AS DOUBLE) / len(t) AS avg_len FROM f), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), " +
+        "i -> t[i] || ' ' || t[i+1])) AS bigram FROM f), " +
+        "bc AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2), " +
+        "ba AS (SELECT doc_id, SUM(cnt) AS nb, MAX(cnt) AS topc FROM bc GROUP BY 1), " +
+        "st AS (SELECT feat.doc_id, feat.text, " +
+        "(n_words BETWEEN 30 AND 50000) AND (mean_word_len BETWEEN 3.0 AND 10.0) " +
+        "AND alpha_frac >= 0.8 AND stop_hits >= 2 AND symbol_ratio <= 0.1 AS rules_pass, " +
+        "COALESCE(round(topc / CAST(nb AS DOUBLE), 6), 0.0) <= 0.20 AS repetition_pass, " +
+        "round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * stop_r - 8.0 * punct_r " +
+        "+ 0.9 * ln(n_tok + 1.0) - 0.35 * avg_len))), 6) >= 0.5 AS quality_pass " +
+        "FROM feat LEFT JOIN ba ON feat.doc_id = ba.doc_id), " +
+        "dd AS (SELECT *, doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup FROM st) ")
+
   /** The exact-substring anchor→island chain (Lee et al. ExactSubstr),
     * shared by q_substring_dedup and q_substring_excised: anchors from
     * gram STRINGS (the Spark side hashes with multi-arg xxhash64 — a
@@ -3787,32 +3819,34 @@ object SparkEntry {
         "UNION ALL SELECT 5, 'dedup', n4, t4 FROM agg ORDER BY stage"),
     // filter ensemble: the funnel's feat/bigram/st CTEs verbatim, but
     // signals UNCONDITIONED; dup = any smaller-id same-content copy
+    // filter attribution: one global aggregate over the ensemble
+    // matrix (same CTE prefix), stacked to 4 per-filter rows with the
+    // unique/shared split and a 6-dp marginal fraction
+    "q_filter_attribution" -> {
+      def row(name: String, f: String) =
+        s"SELECT '$name' AS filter, " +
+          s"CAST(SUM(CASE WHEN $f THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged, " +
+          s"CAST(SUM(CASE WHEN $f AND n_flags = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique " +
+          "FROM fm"
+      s"WITH $filterEnsembleCtesSql, " +
+        "fm AS (SELECT NOT rules_pass AS b1, NOT repetition_pass AS b2, " +
+        "NOT quality_pass AS b3, is_dup AS b4, " +
+        "(CASE WHEN NOT rules_pass THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN NOT repetition_pass THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN NOT quality_pass THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_flags FROM dd), " +
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN n_flags > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_any_flag FROM fm), " +
+        "rows_ AS (" + row("rules", "b1") + " UNION ALL " + row("repetition", "b2") +
+        " UNION ALL " + row("quality", "b3") + " UNION ALL " + row("duplicate", "b4") + ") " +
+        "SELECT filter, n_flagged, n_unique, n_flagged - n_unique AS n_shared, " +
+        "CASE WHEN n_flagged > 0 THEN floor(CAST(n_unique AS DOUBLE) / n_flagged * 1000000.0 + 0.5) / 1000000.0 " +
+        "ELSE 0.0 END AS marginal_frac, tot.n_docs, tot.n_any_flag " +
+        "FROM rows_ CROSS JOIN tot ORDER BY filter"
+    },
     "q_filter_ensemble" ->
-      (s"WITH f AS (SELECT doc_id, text, $toks AS t FROM documents WHERE length(text) > 0), " +
-        "feat AS (SELECT doc_id, text, t, " +
-        "len(t) AS n_words, " +
-        "round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t), 6) AS mean_word_len, " +
-        "round(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t), 6) AS alpha_frac, " +
-        "len(list_intersect(list_distinct(t), " +
-        "['the','a','of','and','to','in','is','on','for'])) AS stop_hits, " +
-        "round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(t), 6) AS symbol_ratio, " +
-        "CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for'))) AS DOUBLE) " +
-        "/ len(t) AS stop_r, " +
-        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_r, " +
-        "CAST(len(t) AS DOUBLE) AS n_tok, " +
-        "CAST(length(text) AS DOUBLE) / len(t) AS avg_len FROM f), " +
-        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), " +
-        "i -> t[i] || ' ' || t[i+1])) AS bigram FROM f), " +
-        "bc AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2), " +
-        "ba AS (SELECT doc_id, SUM(cnt) AS nb, MAX(cnt) AS topc FROM bc GROUP BY 1), " +
-        "st AS (SELECT feat.doc_id, feat.text, " +
-        "(n_words BETWEEN 30 AND 50000) AND (mean_word_len BETWEEN 3.0 AND 10.0) " +
-        "AND alpha_frac >= 0.8 AND stop_hits >= 2 AND symbol_ratio <= 0.1 AS rules_pass, " +
-        "COALESCE(round(topc / CAST(nb AS DOUBLE), 6), 0.0) <= 0.20 AS repetition_pass, " +
-        "round(1.0 / (1.0 + exp(-(-1.5 + 3.2 * stop_r - 8.0 * punct_r " +
-        "+ 0.9 * ln(n_tok + 1.0) - 0.35 * avg_len))), 6) >= 0.5 AS quality_pass " +
-        "FROM feat LEFT JOIN ba ON feat.doc_id = ba.doc_id), " +
-        "dd AS (SELECT *, doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup FROM st) " +
+      (s"WITH $filterEnsembleCtesSql " +
+
         "SELECT doc_id, rules_pass, repetition_pass, quality_pass, is_dup, " +
         "(CASE WHEN NOT rules_pass THEN 1 ELSE 0 END) + " +
         "(CASE WHEN NOT repetition_pass THEN 1 ELSE 0 END) + " +

@@ -220,6 +220,55 @@ object Cleaning {
       .orderBy(col("doc_id"))
   }
 
+  /** FILTER ATTRIBUTION — the marginal-removal audit over the
+    * [[filterEnsembleDf]] signal matrix: per filter, how many
+    * documents it flags (n_flagged), how many it flags ALONE
+    * (n_unique — exactly what the corpus loses if this filter is the
+    * only one running, and what it UNIQUELY contributes to the
+    * ensemble), the overlap (n_shared), and the marginal fraction.
+    * This is the ablation table a pipeline reads before paying for an
+    * expensive filter: a signal whose flags are ~all shared with
+    * cheaper rules earns nothing. Corpus totals (n_docs, n_any_flag)
+    * ride every row as the denominators.
+    *
+    * Scale shape: the ensemble matrix is one projection + one
+    * content-hash window (its own scaladoc); the attribution is ONE
+    * map-side-combined global aggregate stacked to 4 rows — no new
+    * corpus-sized exchange.
+    */
+  def filterAttribution(spark: SparkSession, d: String): DataFrame =
+    filterAttributionDf(Tables.documents(spark, d))
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def filterAttributionDf(docs: DataFrame): DataFrame = {
+    val fe = filterEnsembleDf(docs)
+    val f1 = !col("rules_pass")
+    val f2 = !col("repetition_pass")
+    val f3 = !col("quality_pass")
+    val f4 = col("is_dup")
+    def uniq(f: Column) = (f && col("n_flags") === 1).cast("long")
+    fe.agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("n_flags") > 0).cast("long")).as("n_any_flag"),
+        sum(f1.cast("long")).as("n1"), sum(uniq(f1)).as("u1"),
+        sum(f2.cast("long")).as("n2"), sum(uniq(f2)).as("u2"),
+        sum(f3.cast("long")).as("n3"), sum(uniq(f3)).as("u3"),
+        sum(f4.cast("long")).as("n4"), sum(uniq(f4)).as("u4"))
+      .select(col("n_docs"), col("n_any_flag"),
+        expr("stack(4, " +
+          "'rules', n1, u1, " +
+          "'repetition', n2, u2, " +
+          "'quality', n3, u3, " +
+          "'duplicate', n4, u4) AS (filter, n_flagged, n_unique)"))
+      .select(col("filter"), col("n_flagged"), col("n_unique"),
+        (col("n_flagged") - col("n_unique")).as("n_shared"),
+        when(col("n_flagged") > 0,
+          floor(col("n_unique").cast("double") / col("n_flagged") * lit(1e6) +
+            lit(0.5)) / lit(1e6)).otherwise(lit(0.0)).as("marginal_frac"),
+        col("n_docs"), col("n_any_flag"))
+      .orderBy(col("filter"))
+  }
+
   /** Streaming form of the filter battery (foreachBatch stage): each
     * micro-batch of documents is scored and its verdict rows append to
     * `outPath` tagged with the batch id. Verdicts are per-document

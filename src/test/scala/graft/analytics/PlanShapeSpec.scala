@@ -963,4 +963,13 @@ class PlanShapeSpec extends SparkTestBase {
       s"moore-lewis chain grew a shuffle:\n$p")
   }
 
+
+  test("q_filter_attribution: one global aggregate over the ensemble matrix — no new corpus exchange") {
+    val p = plan("q_filter_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"attribution must stay a stacked aggregate:\n$p")
+    assert(shuffleExchanges("q_filter_attribution") <= 2,
+      s"attribution grew a shuffle:\n$p")
+  }
+
 }

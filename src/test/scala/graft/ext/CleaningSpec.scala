@@ -1431,4 +1431,31 @@ class CleaningSpec extends SparkTestBase {
     assert(sel < viaSession.length, "selection must discriminate, not pass everything")
   }
 
+
+  test("filter attribution: unique/shared split conserves, singleton flags attribute exactly") {
+    import org.apache.spark.sql.functions.col
+    // hand-built matrix: doc 1 clean; doc 2 fails rules ONLY (few
+    // words); docs 3+4 identical text (4 is the dup) and both low
+    // quality -> the dup flag on 4 is SHARED with quality
+    val shortDoc = "tiny text"
+    val junk = (1 to 42).map(_ => "#?!").mkString(" ")
+    val docs = docsDf(
+      1L -> (Seq("the", "a") ++ (1 to 40).map(i => s"word$i")).mkString(" "),
+      2L -> shortDoc,
+      3L -> junk,
+      4L -> junk)
+    val out = Cleaning.filterAttributionDf(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("rules", "repetition", "quality", "duplicate"))
+    out.values.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), s"unique+shared=flagged at $r")
+      assert(r.getLong(5) == 4L, "n_docs rides every row")
+    }
+    assert(out("duplicate").getLong(1) == 1L && out("duplicate").getLong(2) == 0L,
+      s"doc 4's dup flag is shared with its quality flag: ${out("duplicate")}")
+    val viaSession = Cleaning.filterAttribution(spark, sfDir).collect()
+    assert(viaSession.length == 4 && viaSession.forall(r =>
+      r.getLong(1) == r.getLong(2) + r.getLong(3)))
+  }
+
 }
