@@ -3404,15 +3404,20 @@ object SparkEntry {
         "FROM sp JOIN t ON sp.doc_id = t.doc_id " +
         "ORDER BY sp.doc_id, sp.start_tok"
     },
-    // span excision: keeper = min doc_id over the span's FIRST anchor
-    // hash; non-keeper spans cut (positions DISTINCT — abutting
-    // islands can overlap in token space), cleaned text re-joined in
-    // order and md5-proven
+    // span excision: keeper = min doc_id over the span's CONTENT md5
+    // (a first-anchor election would let an X-only document own X·Y
+    // islands and excise Y everywhere — the r17 review fixture);
+    // non-keeper spans cut (positions DISTINCT — abutting islands can
+    // overlap in token space), cleaned text re-joined in order and
+    // md5-proven
     "q_substring_excised" ->
       (s"WITH $substringCtesSql, " +
-        "kp AS (SELECT h0, MIN(doc_id) AS keeper FROM sp GROUP BY h0), " +
-        "ex AS (SELECT sp.doc_id, sp.start_tok, sp.end_tok FROM sp " +
-        "JOIN kp USING (h0) WHERE sp.doc_id <> kp.keeper), " +
+        "spm AS (SELECT sp.doc_id, sp.start_tok, sp.end_tok, " +
+        "md5(array_to_string(t.l[sp.start_tok:sp.end_tok], ' ')) AS span_md5 " +
+        "FROM sp JOIN t ON sp.doc_id = t.doc_id), " +
+        "kp AS (SELECT span_md5, MIN(doc_id) AS keeper FROM spm GROUP BY span_md5), " +
+        "ex AS (SELECT spm.doc_id, spm.start_tok, spm.end_tok FROM spm " +
+        "JOIN kp USING (span_md5) WHERE spm.doc_id <> kp.keeper), " +
         "cut AS (SELECT DISTINCT doc_id, cs.pos FROM ex, " +
         "LATERAL (SELECT unnest(generate_series(ex.start_tok, ex.end_tok)) AS pos) cs), " +
         "tokp AS (SELECT doc_id, gi.i AS pos, l[gi.i] AS tok FROM t, " +

@@ -223,9 +223,9 @@ object Cleaning {
   /** FILTER ATTRIBUTION — the marginal-removal audit over the
     * [[filterEnsembleDf]] signal matrix: per filter, how many
     * documents it flags (n_flagged), how many it flags ALONE
-    * (n_unique — exactly what the corpus loses if this filter is the
-    * only one running, and what it UNIQUELY contributes to the
-    * ensemble), the overlap (n_shared), and the marginal fraction.
+    * (n_unique — the documents the ensemble would STOP removing if
+    * this filter were dropped, i.e. its marginal contribution), the
+    * overlap (n_shared), and the marginal fraction.
     * This is the ablation table a pipeline reads before paying for an
     * expensive filter: a signal whose flags are ~all shared with
     * cheaper rules earns nothing. Corpus totals (n_docs, n_any_flag)
@@ -1203,15 +1203,23 @@ object Cleaning {
   /** SPAN EXCISION — the output half of the Lee et al. ExactSubstr
     * pipeline ([[substringDedup]] is the cut list; this applies it):
     * every flagged span is removed from every document EXCEPT the
-    * span's KEEPER — the minimum doc_id among documents whose spans
-    * start with the same first k-gram (the deterministic one-copy-
-    * survives election, the [[graft.ext.Dedup]] md5-keeper discipline
-    * applied to substrings; a keeper document keeps ALL its flagged
-    * spans, including within-document repeats of its own kept
-    * content). Output per affected document: spans excised, tokens
-    * removed/kept, and the md5 of the cleaned text — the excision is
-    * proven content-exact against the oracle's replay, not just
-    * counted.
+    * span's KEEPER — the minimum doc_id among documents carrying a
+    * span with the IDENTICAL content (md5 of the span text: the
+    * [[graft.ext.Dedup]] md5-keeper discipline applied to substrings,
+    * so each distinct repeated span-content keeps exactly one copy;
+    * a keeper document keeps ALL its flagged spans, including
+    * within-document repeats of its own kept content). Electing on
+    * content — NOT on the span's first anchor — matters: maximal
+    * islands with the same leading k-gram can delimit DIFFERENT
+    * content (doc A carries block X alone; docs B and C carry X
+    * followed by Y, fusing into one X·Y island), and a first-anchor
+    * election would crown the X-only document keeper of the X·Y
+    * spans, excising content Y from every document that has it. The
+    * content key gives X·Y its own keeper (the fixture in
+    * CleaningSpec pins this). Output per affected document: spans
+    * excised, tokens removed/kept, and the md5 of the cleaned text —
+    * the excision is proven content-exact against the oracle's
+    * replay, not just counted.
     *
     * Scale shape: the span chain is [[substringSpans]] (anchor stream
     * linear in tokens, two keyed exchanges); the keeper election is
@@ -1236,9 +1244,15 @@ object Cleaning {
     // evaluation of the anchor chain instead of re-running it per
     // reference (the mmrDiversify poolSh discipline) — measured 17
     // keyed exchanges without, <= 8 with
-    val spans = substringSpans(toksed, k).localCheckpoint(false)
-    val keepers = spans.groupBy(col("h0")).agg(min(col("doc_id")).as("keeper"))
-    val excised = spans.join(keepers, Seq("h0"))
+    val spans = substringSpans(toksed, k)
+      .join(toksed, Seq("doc_id"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        md5(concat_ws(" ",
+          slice(col("t"), col("start_tok").cast("int"),
+            (col("end_tok") - col("start_tok") + 1).cast("int")))).as("span_md5"))
+      .localCheckpoint(false)
+    val keepers = spans.groupBy(col("span_md5")).agg(min(col("doc_id")).as("keeper"))
+    val excised = spans.join(keepers, Seq("span_md5"))
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), col("start_tok"), col("end_tok"))
       .localCheckpoint(false)
@@ -1252,11 +1266,17 @@ object Cleaning {
     * the caller (it is referenced three times).
     */
   private def exciseTail(toksed: DataFrame, excised: DataFrame): DataFrame = {
+    // only AFFECTED documents pay the explode/sort/md5 tail (the
+    // oracle's `WHERE doc_id IN (SELECT doc_id FROM ex)` mirror) —
+    // without the semi-join the per-doc rebuild ran corpus-wide and
+    // the left join below threw the unaffected 99% away
+    val affected = toksed.join(
+      excised.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
     val cutPos = excised
       .select(col("doc_id"),
         explode(sequence(col("start_tok"), col("end_tok"))).as("pos"))
       .distinct() // overlapping spans cannot double-cut a position
-    val toks = toksed
+    val toks = affected
       .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
     val kept = toks.join(cutPos, Seq("doc_id", "pos"), "left_anti")

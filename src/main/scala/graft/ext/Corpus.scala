@@ -222,14 +222,16 @@ object Corpus {
     * one task (the cost: ≤ ladder × shards partially-filled tail
     * packs, constant at any corpus size); one bucket-keyed aggregate.
     */
-  def packBucketedStats(spark: SparkSession, d: String,
-                        budget: Int = 2048): DataFrame =
-    packBucketedStatsDf(Tables.fanOut(Tables.documents(spark, d)), budget)
+  def packBucketedStats(spark: SparkSession, d: String): DataFrame =
+    packBucketedStatsDf(Tables.fanOut(Tables.documents(spark, d)))
 
-  /** DataFrame form (docs must have doc_id + text). */
-  def packBucketedStatsDf(docs: DataFrame, budget: Int = 2048): DataFrame = {
-    require(budget == PackLadder.last,
-      s"the capacity ladder tops out at the budget; got budget=$budget vs ladder ${PackLadder.last}")
+  /** DataFrame form (docs must have doc_id + text). The pack budget IS
+    * the ladder top ([[PackLadder]].last) by construction — a separate
+    * budget knob would either contradict the ladder or be rejected, so
+    * there isn't one; retune the ladder constant to retune the packer.
+    */
+  def packBucketedStatsDf(docs: DataFrame): DataFrame = {
+    val budget = PackLadder.last
     import org.apache.spark.sql.expressions.Window
     val n = coalesce(size(graft.ext.TextAnalysis.tokens(col("text"))), lit(0))
       .cast("long")

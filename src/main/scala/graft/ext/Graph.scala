@@ -2170,9 +2170,13 @@ object Graph {
 
   private[graft] def probeTriangleFamily(docs: DataFrame,
                                          und: DataFrame): (DataFrame, DataFrame) = {
+    // checkpoint udeg and oe exactly as the production path does
+    // (orientedTriangleState / the Df forms) — the counting tails
+    // reference both several times, and the probe must time the plan
+    // it adjudicates, not a re-derivation-inflated variant
     val udeg = und.groupBy(col("src").as("doc_id"))
-      .agg(count(lit(1)).as("udeg"))
-    val oe = orientEdges(und, udeg)
+      .agg(count(lit(1)).as("udeg")).localCheckpoint()
+    val oe = orientEdges(und, udeg).localCheckpoint()
     (graphTransitivityOn(docs, oe, udeg), clusteringCoefficientOn(docs, oe))
   }
 

@@ -2394,8 +2394,12 @@ object Similarity {
     require(k <= beamWidth, s"k=$k must fit in the beam (width $beamWidth)")
     val spark = embRaw.sparkSession
     import spark.implicits._
+    // the recurrence gathers candidate embeddings rounds+1 times; a
+    // lazy checkpoint makes every gather probe ONE materialized narrow
+    // frame instead of rescanning the embeddings table per round
     val emb = embRaw.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .localCheckpoint(false)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))

@@ -942,7 +942,10 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan("q_substring_excised")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"excision must stay keyed:\n$p")
-    assert(shuffleExchanges("q_substring_excised") <= 8,
+    // budget 10 since the content-keyed keeper election (span text
+    // md5 needs the toksed join) and the affected-docs semi-join (the
+    // corpus-tail saver) each add one keyed exchange over narrow rows
+    assert(shuffleExchanges("q_substring_excised") <= 10,
       s"excision chain grew a shuffle:\n$p")
   }
 

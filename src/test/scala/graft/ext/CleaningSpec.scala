@@ -1458,4 +1458,26 @@ class CleaningSpec extends SparkTestBase {
       r.getLong(1) == r.getLong(2) + r.getLong(3)))
   }
 
+
+  test("substring excision: content-keyed keepers — an X-only doc cannot excise X·Y content") {
+    val k = Cleaning.SubstrK
+    val x = (0 until k).map(i => s"x$i")
+    val y = (0 until k).map(i => s"y$i")
+    // doc 1 carries X alone; docs 5 and 7 carry the contiguous X·Y —
+    // every X·Y window is cross-duplicated between 5 and 7, fusing one
+    // island whose FIRST anchor is X's. A first-anchor election would
+    // crown doc 1 keeper of the X·Y spans and cut Y from the corpus;
+    // the content election keeps X·Y in doc 5
+    val docs = docsDf(
+      1L -> ((1 to 3).map(i => s"a$i") ++ x).mkString(" "),
+      5L -> ((1 to 2).map(i => s"b$i") ++ x ++ y).mkString(" "),
+      7L -> ((1 to 4).map(i => s"c$i") ++ x ++ y).mkString(" "))
+    val out = Cleaning.substringExcisedDf(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1 keeps X (its span content's min doc); doc 5 keeps X·Y
+    // (min doc of that content); ONLY doc 7 is cut
+    assert(out.keySet == Set(7L), s"content Y must survive in doc 5: $out")
+    assert(out(7L).getLong(2) == 2L * k, "doc 7 loses exactly the X·Y block")
+  }
+
 }
