@@ -567,23 +567,41 @@ object SparkEntry {
     * gram STRINGS (the Spark side hashes with multi-arg xxhash64 — a
     * collision would change the span set and fail the gate loudly),
     * maximal islands of consecutive cross-document-duplicated k-gram
-    * positions, each span carrying its first anchor hash (`h0`, the
-    * excision keeper-election key). Emits `t` (doc_id, l) and `sp`
-    * (doc_id, start_tok, end_tok, h0).
+    * positions. Emits `t` (doc_id, l) and `sp` (doc_id, start_tok,
+    * end_tok) — boundaries only; the excision keeper election
+    * downstream keys on span-content md5 (ADVICE r17: the old `h0`
+    * first-anchor column was computed on both engines and consumed by
+    * neither — dropped). Gram identity is boundary-exact via
+    * [[gramKey]].
     */
   private lazy val substringCtesSql: String = {
     val k = ext.Cleaning.SubstrK
     s"t AS (SELECT doc_id, $toks AS l FROM documents WHERE text IS NOT NULL), " +
-      s"a AS (SELECT doc_id, i AS pos, md5(array_to_string(l[i:i+${k - 1}], chr(1))) AS h " +
+      s"a AS (SELECT doc_id, i AS pos, $gramKey AS h " +
       s"FROM t, LATERAL (SELECT unnest(generate_series(1, len(l) - ${k - 1})) AS i) s " +
       s"WHERE len(l) >= $k), " +
       "dup AS (SELECT h FROM a GROUP BY h HAVING min(doc_id) <> max(doc_id)), " +
       "p AS (SELECT a.doc_id, a.pos, a.h FROM a JOIN dup USING (h)), " +
-      "m AS (SELECT doc_id, pos, h, CASE WHEN pos - lag(pos) OVER " +
+      "m AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER " +
       "(PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk FROM p), " +
-      "isl AS (SELECT doc_id, pos, h, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM m), " +
-      s"sp AS MATERIALIZED (SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + ${k - 1} AS end_tok, " +
-      "arg_min(h, pos) AS h0 FROM isl GROUP BY doc_id, island)"
+      "isl AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM m), " +
+      s"sp AS MATERIALIZED (SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + ${k - 1} AS end_tok " +
+      "FROM isl GROUP BY doc_id, island)"
+  }
+
+  /** Boundary-exact oracle k-gram identity over the slice
+    * l[i:i+k-1]: md5 of the CONCATENATED PER-TOKEN md5s. Each element
+    * contributes a fixed 32-hex block, so the encoding is injective on
+    * token sequences — `['a\x01b','c']` and `['a','b\x01c']` get
+    * different keys, unlike the old chr(1)-joined string whose
+    * separator could appear inside a token (ADVICE r17). The Spark
+    * side's multi-arg xxhash64 is boundary-exact by construction; this
+    * makes the oracle match that contract instead of assuming a
+    * \x01-free corpus.
+    */
+  private lazy val gramKey: String = {
+    val k = ext.Cleaning.SubstrK
+    s"md5(array_to_string(list_transform(l[i:i+${k - 1}], x -> md5(x)), ''))"
   }
 
   private lazy val mediaPairsCtesSql: String =
@@ -3386,10 +3404,10 @@ object SparkEntry {
     "q_substring_incremental" -> {
       val k = ext.Cleaning.SubstrK
       s"WITH t AS (SELECT doc_id, $toks AS l FROM documents WHERE text IS NOT NULL), " +
-        s"bg AS (SELECT DISTINCT md5(array_to_string(l[i:i+${k - 1}], chr(1))) AS h " +
+        s"bg AS (SELECT DISTINCT $gramKey AS h " +
         s"FROM t, LATERAL (SELECT unnest(generate_series(1, len(l) - ${k - 1})) AS i) s " +
         s"WHERE doc_id % 4 <> 0 AND len(l) >= $k), " +
-        s"aa AS (SELECT doc_id, i AS pos, md5(array_to_string(l[i:i+${k - 1}], chr(1))) AS h " +
+        s"aa AS (SELECT doc_id, i AS pos, $gramKey AS h " +
         s"FROM t, LATERAL (SELECT unnest(generate_series(1, len(l) - ${k - 1})) AS i) s " +
         s"WHERE doc_id % 4 = 0 AND len(l) >= $k), " +
         "p AS (SELECT aa.doc_id, aa.pos FROM aa JOIN bg USING (h)), " +

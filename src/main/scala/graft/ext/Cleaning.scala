@@ -1105,8 +1105,8 @@ object Cleaning {
 
   /** The shared anchor→island chain: maximal spans (doc_id, start_tok,
     * end_tok) of consecutive cross-document-duplicated k-gram
-    * positions, each carrying its FIRST anchor's hash (`h0` — the
-    * excision keeper-election key).
+    * positions. Boundaries only — the excision keeper election
+    * downstream keys on span-content md5, not on any anchor hash.
     */
   private def substringSpans(toksed: DataFrame, k: Int): DataFrame = {
     val anchors = anchorStream(toksed, k)
@@ -1136,9 +1136,8 @@ object Cleaning {
   }
 
   /** Island merge: consecutive duplicated anchor positions fuse into
-    * one maximal span [min pos, max pos + k - 1]; min_by carries the
-    * first anchor's hash out of the same aggregate (the excision
-    * keeper-election key).
+    * one maximal span [min pos, max pos + k - 1]. Boundaries only —
+    * keeper election happens on span-content md5 downstream.
     */
   private def islandsOf(dupPos: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1150,8 +1149,7 @@ object Cleaning {
       .withColumn("island", sum(col("brk")).over(wRun))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("start_tok"),
-        (max(col("pos")) + (k - 1)).as("end_tok"),
-        min_by(col("h"), col("pos")).as("h0"))
+        (max(col("pos")) + (k - 1)).as("end_tok"))
   }
 
   /** The FROZEN duplicated-gram index of a base corpus: every distinct

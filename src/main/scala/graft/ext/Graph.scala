@@ -2168,16 +2168,21 @@ object Graph {
   private[graft] def probeUndirectedEdges(docs: DataFrame): DataFrame =
     undirectedWithDegrees(docs)._1
 
-  private[graft] def probeTriangleFamily(docs: DataFrame,
-                                         und: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def probeTriangleFamily(docs: DataFrame, und: DataFrame)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
     // checkpoint udeg and oe exactly as the production path does
     // (orientedTriangleState / the Df forms) — the counting tails
     // reference both several times, and the probe must time the plan
-    // it adjudicates, not a re-derivation-inflated variant
+    // it adjudicates, not a re-derivation-inflated variant. The
+    // checkpointed frames are RETURNED so the caller releases them
+    // after each timed run (ADVICE r17: the probe invokes this 6+
+    // times per replica; leaked blocks would skew the larger-R
+    // timings the probe exists to adjudicate).
     val udeg = und.groupBy(col("src").as("doc_id"))
       .agg(count(lit(1)).as("udeg")).localCheckpoint()
     val oe = orientEdges(und, udeg).localCheckpoint()
-    (graphTransitivityOn(docs, oe, udeg), clusteringCoefficientOn(docs, oe))
+    (graphTransitivityOn(docs, oe, udeg), clusteringCoefficientOn(docs, oe),
+      Seq(udeg, oe))
   }
 
   /** Link RECIPROCITY of the directed graph (Garlaschelli & Loffredo,

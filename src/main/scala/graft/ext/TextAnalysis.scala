@@ -1226,6 +1226,15 @@ object TextAnalysis {
                          minCount: Int = 2, alpha: Double = 0.5): DataFrame = {
     val target = docs.filter(targetPred)
     val pool = docs.filter(!targetPred)
+    // a trigram-free target slice is a degenerate selection problem,
+    // and the two engines would otherwise diverge on it (Spark's
+    // backoffScoreAgainst raise_errors on the empty score table; the
+    // oracle's SUM propagates NULL rows) — fail loudly and identically
+    // HERE instead (ADVICE r17). The probe job is target-slice-sized.
+    require(!tokStream(target, Seq(col("doc_id")))
+        .filter(size(col("t")) >= 3).isEmpty,
+      "mooreLewisSelectDf: target slice has no document with >= 3 tokens — " +
+        "no in-domain trigram LM can be trained; widen targetPred")
     // the two score tables are vocabulary-sized and each referenced
     // twice by the Against scorer (scalar-N aggregate + the gram join);
     // lazy checkpoints share one window-chain evaluation per table

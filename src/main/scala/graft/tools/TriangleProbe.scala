@@ -40,17 +40,22 @@ object TriangleProbe {
         ids.select((col("doc_id") + k * offset).as("doc_id")))
         .reduce(_ unionAll _).localCheckpoint()
       def run(which: Int): (Double, Long) = {
-        // min-of-2, full orient+count chain timed (the per-query cost)
+        // min-of-2, full orient+count chain timed (the per-query cost);
+        // each run's checkpointed udeg/oe released before the next so
+        // leaked blocks can't skew the larger-R timings (ADVICE r17)
         val times = (1 to 2).map { _ =>
           System.gc()
           val t0 = System.nanoTime()
-          val (tr, cc) = graft.ext.Graph.probeTriangleFamily(docsR, undR)
+          val (tr, cc, held) = graft.ext.Graph.probeTriangleFamily(docsR, undR)
           val out = if (which == 0) tr else cc
           out.write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          held.foreach(org.apache.spark.sql.GraftSql.releaseCheckpoint)
+          dt
         }
-        val tri = graft.ext.Graph.probeTriangleFamily(docsR, undR)._1
-          .head().getLong(3)
+        val (trF, _, heldF) = graft.ext.Graph.probeTriangleFamily(docsR, undR)
+        val tri = trF.head().getLong(3)
+        heldF.foreach(org.apache.spark.sql.GraftSql.releaseCheckpoint)
         (times.min, tri)
       }
       val (tTr, tri) = run(0)
