@@ -252,6 +252,14 @@ object SparkEntry {
     "q_semantic_outliers" -> ((s: SparkSession, d: String) => Similarity.semanticOutliers(s, d)),
     // rows-only: shares bpeStats' non-SQL-expressible merge loop
     "q_bpe_fertility"     -> ((s: SparkSession, d: String) => TextAnalysis.bpeFertility(s, d)),
+    // rows-only trio (r18): the unigram-LM hard-EM training loop is
+    // iterative and not SQL-expressible (the BPE adjudication applied
+    // to the OTHER canonical subword scheme); Viterbi optimality,
+    // concat round-trip, determinism and char coverage are
+    // property-tested in UnigramKernelSpec
+    "q_unigram_vocab"     -> ((s: SparkSession, d: String) => TextAnalysis.unigramVocab(s, d)),
+    "q_unigram_tokenizer" -> ((s: SparkSession, d: String) => TextAnalysis.unigramStats(s, d)),
+    "q_unigram_fertility" -> ((s: SparkSession, d: String) => TextAnalysis.unigramFertility(s, d)),
     "q_shuffle_mix"       -> ((s: SparkSession, d: String) => ext.Corpus.shuffleMixAudit(s, d)),
     "q_repeat_schedule"   -> ((s: SparkSession, d: String) => ext.Corpus.repeatSchedule(s, d)),
     "q_truncation_loss"   -> ((s: SparkSession, d: String) => ext.Corpus.truncationLoss(s, d)),

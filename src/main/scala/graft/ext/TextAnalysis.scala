@@ -580,6 +580,160 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** The trained unigram-LM piece table as a DataFrame — rank, piece,
+    * and the micro-snapped log-prob (the [[bpeMerges]] companion: BPE
+    * is the merge-list subword scheme, this is the probabilistic one;
+    * a tokenizer bake-off needs both on the same corpus). Training is
+    * the [[trainUnigramDistributed]] substring-seed + hard-EM + prune
+    * ladder over the FULL corpus word-type table — unlike BPE's
+    * bounded-sample training, nothing here needs a sample cap, because
+    * every per-round sync is piece-table-sized, not corpus-sized.
+    *
+    * Rows-only check: the EM loop is iterative and not
+    * SQL-expressible (the bpeStats adjudication, SURVEY §8.4); kernel
+    * correctness is property-tested (Viterbi optimality vs brute
+    * force, concat round-trip, determinism, char-coverage) and the
+    * distributed trainer is asserted bit-equal to the driver-side
+    * reference on a fixture.
+    */
+  def unigramVocab(spark: SparkSession, d: String,
+                   targetVocab: Int = 2048): DataFrame = {
+    val pieces = trainUnigramDistributed(unigramWordFreqs(spark, d), targetVocab)
+    import spark.implicits._
+    pieces.zipWithIndex.map { case ((p, lp), i) =>
+      (i.toLong, p, math.floor(lp * 1e6 + 0.5).toLong / 1e6)
+    }.toSeq.toDF("rank", "piece", "logprob")
+  }
+
+  /** The corpus word-TYPE frequency table (word, cnt) off the shared
+    * tokenized artifact — the unigram trainer's input.
+    */
+  private def unigramWordFreqs(spark: SparkSession, d: String): DataFrame =
+    termStream(sessionTokens(spark, d), Seq.empty)
+      .select(col("term").as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** DISTRIBUTED unigram-LM training (Kudo 2018 shaped for a cluster):
+    * the E-step is a per-word-type Viterbi kernel (the current piece
+    * log-probs ride in the closure, O(vocab) per task) and the M-step
+    * is ONE keyed integer aggregate per round; the only driver state
+    * is the piece table itself (≤ maxSeed + alphabet rows — the Lloyd
+    * k·dim sync precedent, SURVEY §8.3). Word TYPES, not occurrences,
+    * pay the segmentation, and integer counts + total-order tie-breaks
+    * make the result bit-identical to the driver-side
+    * [[graft.functions.UnigramKernel.train]] reference regardless of
+    * partitioning (asserted in CorpusSpec). At 100 TB the word-type
+    * table is billions of rows — exactly why the E-step must stay a
+    * distributed aggregate while BPE's merge loop trains on a bounded
+    * sample.
+    */
+  private[graft] def trainUnigramDistributed(wordFreqs: DataFrame, targetVocab: Int,
+                                             emRounds: Int = 3,
+                                             maxSeed: Int = 8192): Vector[(String, Double)] = {
+    import graft.functions.UnigramKernel
+    require(targetVocab >= 1, s"targetVocab must be >= 1, got $targetVocab")
+    val live = wordFreqs.filter(length(col("word")) > 0)
+      .select(col("word"), col("cnt")).localCheckpoint(false)
+    def aggregate(pieces: Column): Map[String, Long] =
+      live.select(explode(pieces).as("piece"), col("cnt"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val seedUdf = udf { w: String => UnigramKernel.seedPiecesOf(w) }
+    var counts = UnigramKernel.capSeed(aggregate(seedUdf(col("word"))), maxSeed)
+    if (counts.isEmpty) return Vector.empty
+    def emRound(vocab: Map[String, Long]): Map[String, Long] = {
+      val logp = UnigramKernel.toLogp(vocab)
+      val segUdf = udf { w: String => UnigramKernel.viterbi(w, logp) }
+      UnigramKernel.withSingleFloor(
+        aggregate(segUdf(col("word"))), logp.keys)
+    }
+    var r = 0
+    while (r < emRounds) { counts = emRound(counts); r += 1 }
+    counts = emRound(UnigramKernel.pruneCounts(counts, targetVocab))
+    org.apache.spark.sql.GraftSql.releaseCheckpoint(live)
+    UnigramKernel.rankPieces(counts)
+  }
+
+  /** Per-document subword statistics under the trained unigram-LM
+    * vocabulary — the [[bpeStats]] audit under the OTHER canonical
+    * subword scheme, same schema (n_words / n_subword_tokens /
+    * chars_per_token) so the two tokenizers' budgets compare
+    * column-for-column on the same corpus.
+    *
+    * Scale shape: identical to bpeStats — each word TYPE is
+    * Viterbi-segmented once (the piece log-prob table rides in the
+    * closure, O(targetVocab) per task), per-doc rollup through the
+    * same (doc, word)-keyed join topology.
+    */
+  def unigramStats(spark: SparkSession, d: String,
+                   targetVocab: Int = 2048): DataFrame = {
+    val logp = trainUnigramDistributed(unigramWordFreqs(spark, d), targetVocab).toMap
+    unigramStatsWithVocab(Tables.fanOut(Tables.documents(spark, d)), logp)
+  }
+
+  /** DataFrame form scoring `docs` under an already-trained piece
+    * table — the frozen-model half (train once, score many), the
+    * [[bpeStatsWithRanks]] contract.
+    */
+  def unigramStatsWithVocab(docs: DataFrame,
+                            logp: Map[String, Double]): DataFrame = {
+    val segLen = udf { w: String =>
+      graft.functions.UnigramKernel.viterbi(w, logp).length.toLong
+    }
+    val live = docs.filter(col("text").isNotNull)
+    val wc = live
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+    val vocabEnc = wc.select(col("word")).distinct()
+      .select(col("word"), segLen(col("word")).as("enc_len"))
+    val perDoc = wc.join(vocabEnc, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("enc_len")).as("n_unigram_tokens"))
+    live.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_unigram_tokens"), lit(0L)).as("n_unigram_tokens"),
+        col("n_chars"))
+      .withColumn("chars_per_token",
+        when(col("n_unigram_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_unigram_tokens"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-SOURCE unigram-LM fertility — [[bpeFertility]]'s mirror under
+    * the probabilistic scheme, same schema (fertility /
+    * chars_per_subword by source) so a tokenizer bake-off reads the
+    * two schemes' shred rates off one union. Same trained vocabulary
+    * and segment-per-word-TYPE shape as [[unigramStats]].
+    */
+  def unigramFertility(spark: SparkSession, d: String,
+                       targetVocab: Int = 2048): DataFrame = {
+    val logp = trainUnigramDistributed(unigramWordFreqs(spark, d), targetVocab).toMap
+    val segLen = udf { w: String =>
+      graft.functions.UnigramKernel.viterbi(w, logp).length.toLong
+    }
+    val wc = Tables.fanOut(Tables.documents(spark, d))
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
+    val vocabEnc = wc.select(col("word")).distinct()
+      .select(col("word"), segLen(col("word")).as("enc_len"))
+    wc.join(vocabEnc, "word")
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("enc_len")).as("n_subword_tokens"),
+        sum(col("cnt") * length(col("word"))).as("n_word_chars"))
+      .select(col("source"), col("n_words"), col("n_subword_tokens"),
+        round(col("n_subword_tokens").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_word_chars").cast("double") / col("n_subword_tokens"), 6)
+          .as("chars_per_subword"))
+      .orderBy(col("source"))
+  }
+
   /** Streaming BPE subword audit (foreachBatch stage): merges are
     * trained ONCE from the static base corpus before the stream starts
     * (`trainBase` is consumed eagerly — the rank map is a driver-side

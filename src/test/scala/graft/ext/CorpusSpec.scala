@@ -412,6 +412,48 @@ class CorpusSpec extends SparkTestBase {
     assert(fert.map(_.getLong(2)).sum == docTotals.map(_.getLong(2)).sum)
   }
 
+  test("unigram: distributed trainer is bit-equal to the driver-side reference") {
+    import spark.implicits._
+    val words = Seq(
+      ("running", 30L), ("runner", 20L), ("run", 25L), ("jumped", 12L),
+      ("jumping", 18L), ("jump", 9L), ("ed", 3L), ("ingot", 4L), ("go", 7L))
+    val df = words.toDF("word", "cnt").repartition(7) // partitioning must not matter
+    val dist = TextAnalysis.trainUnigramDistributed(df, targetVocab = 24)
+    val ref = graft.functions.UnigramKernel.train(words.toMap, targetVocab = 24)
+    assert(dist == ref,
+      s"distributed and reference trainers diverged:\n$dist\nvs\n$ref")
+    assert(dist.nonEmpty && dist.exists(_._1.length > 1),
+      "training on a morphology-rich fixture must learn multi-char pieces")
+  }
+
+  test("unigram stats/fertility: bounds hold and the two schemes reconcile on words") {
+    val out = TextAnalysis.unigramStats(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.filter(_.getLong(1) > 0).foreach { r =>
+      val (words, sub, chars) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(sub >= words, s"each word is at least one piece: $r")
+      assert(sub <= chars, s"pieces cannot outnumber characters: $r")
+    }
+    val fert = TextAnalysis.unigramFertility(spark, sfDir).collect()
+    assert(fert.nonEmpty)
+    fert.foreach { r =>
+      assert(r.getDouble(3) >= 1.0, s"fertility below one piece per word: $r")
+      assert(r.getDouble(4) >= 1.0, s"chars per piece below 1: $r")
+    }
+    // the word totals must agree with the BPE audit exactly — same
+    // corpus, same whitespace words, different subword scheme
+    val bpe = TextAnalysis.bpeFertility(spark, sfDir).collect()
+    assert(fert.map(_.getLong(1)).sum == bpe.map(_.getLong(1)).sum,
+      "word totals must match the BPE fertility audit")
+    // and the vocab table is ranked + micro-snapped
+    val vocab = TextAnalysis.unigramVocab(spark, sfDir).collect()
+    assert(vocab.nonEmpty)
+    assert(vocab.map(_.getLong(0)).toSeq == (0L until vocab.length).toSeq)
+    assert(vocab.map(_.getDouble(2)).toSeq.sliding(2).forall {
+      case Seq(a, b) => a >= b; case _ => true
+    }, "vocab must be sorted by logprob desc")
+  }
+
   test("shuffle mix: hash order sits on the no-replacement baseline in aggregate") {
     val rows = Corpus.shuffleMixAudit(spark, sfDir).collect()
     assert(rows.nonEmpty)
