@@ -153,15 +153,18 @@ object Graph {
   private[ext] def sessionEdges(spark: SparkSession, d: String): DataFrame =
     edgeCache.computeIfAbsent((spark, d), _ =>
       graft.ArtifactLedger.timed("graph_edges")(
-        linkEdgesDf(Tables.fanOut(Tables.documents(spark, d))).localCheckpoint()))
+        graft.storage.ArtifactStore.cachedFrame(spark, "graph_edges", d)(
+          linkEdgesDf(Tables.fanOut(Tables.documents(spark, d))))
+          .localCheckpoint()))
 
   private[ext] def sessionUndirected(spark: SparkSession, d: String): DataFrame =
     undCache.computeIfAbsent((spark, d), _ => graft.ArtifactLedger.timed("graph_undirected") {
-      val e = sessionEdges(spark, d)
-      e.select(col("src"), col("dst"))
-        .union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-        .localCheckpoint()
+      graft.storage.ArtifactStore.cachedFrame(spark, "graph_undirected", d) {
+        val e = sessionEdges(spark, d)
+        e.select(col("src"), col("dst"))
+          .union(e.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+      }.localCheckpoint()
     })
 
   /** Per-node degree table over the full frontier: (doc_id, out_deg,

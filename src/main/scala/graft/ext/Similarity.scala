@@ -1762,7 +1762,8 @@ object Similarity {
         nprobe == KnnNprobe)
       knnGraphCache.computeIfAbsent((spark, d), _ =>
         graft.ArtifactLedger.timed("knn_graph")(
-          knnGraphDf(graft.Tables.embeddings(spark, d)).localCheckpoint()))
+          graft.storage.ArtifactStore.cachedFrame(spark, "knn_graph", d)(
+            knnGraphDf(graft.Tables.embeddings(spark, d))).localCheckpoint()))
     else
       knnGraphDf(graft.Tables.embeddings(spark, d), k, nlist, targetCellSize, nprobe)
 

@@ -1179,9 +1179,13 @@ object TextAnalysis {
   private[graft] def sessionTokens(spark: SparkSession, d: String): DataFrame =
     tokCache.computeIfAbsent((spark, d), _ =>
       graft.ArtifactLedger.timed("tokenized_docs") {
-        val df = Tables.fanOut(Tables.documents(spark, d))
-          .filter(col("text").isNotNull)
-          .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+        // cross-session persisted (ArtifactStore): a fresh JVM reads
+        // the tokenized frame back instead of re-tokenizing the corpus
+        val df = graft.storage.ArtifactStore.cachedFrame(spark, "tokenized_docs", d) {
+          Tables.fanOut(Tables.documents(spark, d))
+            .filter(col("text").isNotNull)
+            .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+        }
         // columnar cache, not localCheckpoint: consumers re-READ this
         // frame dozens of times, and the InMemoryRelation's compressed
         // column batches scan much faster than a checkpointed
@@ -1207,8 +1211,9 @@ object TextAnalysis {
   private def sessionBigramCounts(spark: SparkSession, d: String): DataFrame =
     c2Cache.computeIfAbsent((spark, d), _ =>
       graft.ArtifactLedger.timed("lm_bigram_counts")(
-        bigramPairStream(sessionTokens(spark, d), Seq.empty)
-          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        graft.storage.ArtifactStore.cachedFrame(spark, "lm_bigram_counts", d)(
+          bigramPairStream(sessionTokens(spark, d), Seq.empty)
+            .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")))
           .localCheckpoint()))
 
   def bigramLogProb(spark: SparkSession, d: String): DataFrame =
@@ -1698,19 +1703,25 @@ object TextAnalysis {
   private def sessionC5(spark: SparkSession, d: String, wide: Boolean): DataFrame =
     c5Cache.computeIfAbsent((spark, d, wide), _ =>
       graft.ArtifactLedger.timed("lm_5gram_types")(
-        fivegramTypeTable(sessionTokens(spark, d), wide)._2.localCheckpoint()))
+        graft.storage.ArtifactStore.cachedFrame(
+          spark, if (wide) "lm_5gram_types_wide" else "lm_5gram_types", d)(
+          fivegramTypeTable(sessionTokens(spark, d), wide)._2).localCheckpoint()))
 
   private def sessionWindowCounts(spark: SparkSession, d: String,
                                   wide: Boolean): DataFrame =
     cnts5Cache.computeIfAbsent((spark, d, wide), _ =>
       graft.ArtifactLedger.timed("lm_5gram_windows")(
-        fivegramWindowCounts(sessionC5(spark, d, wide)).localCheckpoint()))
+        graft.storage.ArtifactStore.cachedFrame(
+          spark, if (wide) "lm_5gram_windows_wide" else "lm_5gram_windows", d)(
+          fivegramWindowCounts(sessionC5(spark, d, wide))).localCheckpoint()))
 
   private def sessionSmoothedStats(spark: SparkSession, d: String,
                                    wide: Boolean): DataFrame =
     smoothCache.computeIfAbsent((spark, d, wide), _ =>
       graft.ArtifactLedger.timed("lm_5gram_smoothed")(
-        smoothedStatTable(sessionC5(spark, d, wide)).localCheckpoint()))
+        graft.storage.ArtifactStore.cachedFrame(
+          spark, if (wide) "lm_5gram_smoothed_wide" else "lm_5gram_smoothed", d)(
+          smoothedStatTable(sessionC5(spark, d, wide))).localCheckpoint()))
 
   /** The per-query occurrence stream — narrow tokenize + hash, no
     * shuffle; the join side of [[gramRollup]].
