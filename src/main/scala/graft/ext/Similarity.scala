@@ -2392,9 +2392,6 @@ object Similarity {
 
   private def graphAnnOn(embRaw: DataFrame, edges: DataFrame, nQueries: Int,
                          k: Int, beamWidth: Int, rounds: Int): DataFrame = {
-    require(k <= beamWidth, s"k=$k must fit in the beam (width $beamWidth)")
-    val spark = embRaw.sparkSession
-    import spark.implicits._
     // the recurrence gathers candidate embeddings rounds+1 times; a
     // lazy checkpoint makes every gather probe ONE materialized narrow
     // frame instead of rescanning the embeddings table per round
@@ -2407,6 +2404,27 @@ object Similarity {
     // deterministic entry point: the minimum embedded id (1-row scalar
     // collect — part of the documented recurrence exemption)
     val entry = emb.agg(min(col("vec_id"))).head().getLong(0)
+    // batch self-queries exclude their own id from the neighbor list;
+    // the serve sink's EXTERNAL queries keep it (annServeSink contract)
+    graphAnnCore(emb, edges, queries, entry, k, beamWidth, rounds,
+      excludeSelf = true)
+  }
+
+  /** The beam recurrence over an ALREADY-NARROWED (vec_id, embedding,
+    * nrm) frame, a caller-supplied query frame and entry point —
+    * shared by the batch entry points and [[graphAnnServeSink]] (one
+    * kernel, two call shapes, so serve and batch cannot drift).
+    * Driver state is bounded at |queries| × beamWidth × KnnK rows per
+    * round (SURVEY §8.3 recurrence inventory).
+    */
+  private def graphAnnCore(emb: DataFrame, edges: DataFrame, queries: DataFrame,
+                           entry: Long, k: Int, beamWidth: Int, rounds: Int,
+                           excludeSelf: Boolean): DataFrame = {
+    require(k <= beamWidth, s"k=$k must fit in the beam (width $beamWidth)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qids = queries.select(col("query_id")).collect()
+      .map(_.getLong(0)).toSeq.sorted
     // score a literal (query_id, vec_id) candidate frame: two keyed
     // joins (embedding gather + broadcast query vectors), 6-dp snap,
     // micro BIGINT back to the driver
@@ -2421,7 +2439,6 @@ object Similarity {
             .as("micro"))
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     }
-    val qids = (0L until nQueries.toLong)
     // visited: per query, vec_id -> micro score; beam = top beamWidth
     var visited: Map[Long, Map[Long, Long]] =
       score(qids.map(q => (q, entry))).groupBy(_._1._1)
@@ -2445,11 +2462,76 @@ object Similarity {
       }
     }
     val out = visited.toSeq.flatMap { case (q, m) =>
-      m.toSeq.filter(_._1 != q)
+      m.toSeq.filter { case (id, _) => !excludeSelf || id != q }
         .sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
         .map { case ((id, s), i) => (q, i + 1, id, s / 1e6) }
     }.sortBy { case (q, rk, _, _) => (q, rk) }
     out.toDF("query_id", "rk", "neighbor_id", "cos_sim_r")
+  }
+
+  /** Streaming GRAPH-ANN SERVING (foreachBatch stage) — the kNN-graph
+    * counterpart of [[annServeSink]]: the navigable graph (the session
+    * kNN edge table, both directions) and the narrow corpus embedding
+    * frame are FROZEN once at sink construction, plus the
+    * deterministic entry point (minimum corpus vec_id); each
+    * micro-batch of arriving QUERY vectors runs the identical
+    * [[graphAnnCore]] beam recurrence against the snapshot and appends
+    * its top-k tagged with the batch id. Arriving queries are
+    * EXTERNAL — no self-exclusion (an identical corpus vector is the
+    * ideal neighbor, the annServeSink contract). Per-query results
+    * depend only on the query and the frozen graph, so per-batch
+    * outputs union to the one-shot serve-mode result on the same
+    * queries (asserted in StreamingSpec). Driver state per trigger is
+    * |batch| × beamWidth × KnnK rows — the documented recurrence
+    * bound, now batch-sized; at real query volumes the batch itself
+    * is the shard unit. Release the pinned frames after the stream
+    * stops with `Freeze.release(checkpoint)`.
+    */
+  def graphAnnServeSink(queryStream: DataFrame, baseEmb: DataFrame,
+                        outPath: String, checkpoint: String,
+                        k: Int = 5, beamWidth: Int = GraphAnnBeamWidth,
+                        rounds: Int = GraphAnnRounds, triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val emb = Freeze.scoped(checkpoint, baseEmb
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")))
+    val edges = Freeze.scoped(checkpoint, undirectedEdges(knnGraphDf(baseEmb)))
+    val entry = emb.agg(min(col("vec_id"))).head().getLong(0)
+    queryStream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val queries = batch.filter(col("embedding").isNotNull)
+            .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+              norm(col("embedding")).as("q_nrm"))
+          // per-batch presentation sort stripped (see annServeSink)
+          org.apache.spark.sql.GraftSql.unordered(
+            graphAnnCore(emb, edges, queries, entry, k, beamWidth, rounds,
+              excludeSelf = false))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+  }
+
+  /** One-shot serve-mode parity reference for [[graphAnnServeSink]]
+    * (external queries, no self-exclusion) — what the union of the
+    * sink's batches must equal on the same query set.
+    */
+  def graphAnnServeOnce(queries: DataFrame, baseEmb: DataFrame, k: Int = 5,
+                        beamWidth: Int = GraphAnnBeamWidth,
+                        rounds: Int = GraphAnnRounds): DataFrame = {
+    val emb = baseEmb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .localCheckpoint(false)
+    val q = queries.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+    val entry = emb.agg(min(col("vec_id"))).head().getLong(0)
+    graphAnnCore(emb, undirectedEdges(knnGraphDf(baseEmb)), q, entry,
+      k, beamWidth, rounds, excludeSelf = false)
   }
 
   /** Per-vector norm stats — sanity analytics over the embedding table. */

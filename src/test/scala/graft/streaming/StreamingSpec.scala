@@ -744,6 +744,45 @@ class StreamingSpec extends SparkTestBase {
       s"wrong nearest neighbors: $top1")
   }
 
+  test("streaming graph-ANN serving: frozen kNN graph answers arriving queries, batch-split invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // three well-separated clusters; the kNN graph connects everything
+    // within 8 beam rounds, so the beam finds the exact neighbors
+    val base = Seq(
+      (0L, Array(10f, 0f, 0f)), (1L, Array(9f, 1f, 0f)),
+      (2L, Array(0f, 10f, 0f)), (3L, Array(1f, 9f, 0f)),
+      (4L, Array(0f, 0f, 10f)), (5L, Array(0f, 1f, 9f)))
+      .toDF("vec_id", "embedding")
+    val batch1 = Seq((100L, Array(1f, 0f, 0f)))
+    val batch2 = Seq((101L, Array(0f, 1f, 0f)), (102L, Array(0f, 0f, 1f)))
+    def serve(batches: Seq[Seq[(Long, Array[Float])]]): Set[Seq[Any]] = {
+      val input = MemoryStream[(Long, Array[Float])]
+      val out = Files.createTempDirectory("gann_out").toString
+      val ckpt = Files.createTempDirectory("gann_ckpt").toString
+      val query = graft.ext.Similarity.graphAnnServeSink(
+        input.toDF().toDF("vec_id", "embedding"), base, out, ckpt,
+        k = 2, triggerMs = 50L).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      } finally query.stop()
+      graft.ext.Freeze.release(ckpt)
+      spark.read.parquet(out).drop("batch_id").collect().map(_.toSeq).toSet
+    }
+    val split = serve(Seq(batch1, batch2))
+    val oneShot = serve(Seq(batch1 ++ batch2))
+    assert(split == oneShot, s"batch split changed results: $split vs $oneShot")
+    // union of batches equals the one-shot serve-mode reference kernel
+    val once = graft.ext.Similarity.graphAnnServeOnce(
+      (batch1 ++ batch2).toDF("vec_id", "embedding"), base, k = 2)
+      .collect().map(_.toSeq).toSet
+    assert(split == once, s"sink diverged from the one-shot kernel: $split vs $once")
+    // nearest cluster member ranks first for each query
+    val top1 = split.toSeq.filter(_(1) == 1).map(r => r(0) -> r(2)).toMap
+    assert(top1 == Map(100L -> 0L, 101L -> 2L, 102L -> 4L),
+      s"wrong nearest neighbors: $top1")
+  }
+
   test("streaming semantic decontamination: frozen eval slice, per-batch parity") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
