@@ -167,6 +167,7 @@ object SparkEntry {
     "q_substring_dedup"   -> ((s: SparkSession, d: String) => Cleaning.substringDedup(s, d)),
     "q_substring_excised" -> ((s: SparkSession, d: String) => Cleaning.substringExcised(s, d)),
     "q_substring_incremental" -> ((s: SparkSession, d: String) => Cleaning.substringIncremental(s, d)),
+    "q_substring_selfrepeat" -> ((s: SparkSession, d: String) => Cleaning.substringSelfRepeat(s, d)),
     "q_paragraph_dedup"   -> ((s: SparkSession, d: String) => Cleaning.paragraphDedupStats(s, d)),
     "q_c4_line_filter"    -> ((s: SparkSession, d: String) => Cleaning.c4LineFilter(s, d)),
     "q_c4_cleaned_docs"   -> ((s: SparkSession, d: String) => Cleaning.c4CleanedCorpus(s, d)),
@@ -607,9 +608,42 @@ object SparkEntry {
     * makes the oracle match that contract instead of assuming a
     * \x01-free corpus.
     */
-  private lazy val gramKey: String = {
-    val k = ext.Cleaning.SubstrK
+  private lazy val gramKey: String = gramKeyAt(ext.Cleaning.SubstrK)
+
+  private def gramKeyAt(k: Int): String =
     s"md5(array_to_string(list_transform(l[i:i+${k - 1}], x -> md5(x)), ''))"
+
+  /** Oracle chain for q_substring_selfrepeat: the substringCtesSql
+    * anchor→island shape with the duplication predicate keyed
+    * (doc_id, h) — a gram is an anchor iff it repeats WITHIN its own
+    * document — at the family's intra-doc width
+    * [[ext.Cleaning.SelfRepeatK]], over the SAME deterministic
+    * planted view as the Spark side (every third doc with >= 20
+    * tokens re-appends its first 12 — the synthetic corpus has no
+    * natural intra-doc repeats, measured at every k >= 2).
+    */
+  private lazy val selfRepeatSql: String = {
+    val k = ext.Cleaning.SelfRepeatK
+    val plant = ext.Cleaning.SelfPlantTokens
+    val minTok = ext.Cleaning.SelfPlantMinTokens
+    s"WITH t0 AS (SELECT doc_id, $toks AS l0 FROM documents WHERE text IS NOT NULL), " +
+      s"t AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 AND len(l0) >= $minTok " +
+      s"THEN l0 || l0[1:$plant] ELSE l0 END AS l FROM t0), " +
+      s"a AS (SELECT doc_id, i AS pos, ${gramKeyAt(k)} AS h " +
+      s"FROM t, LATERAL (SELECT unnest(generate_series(1, len(l) - ${k - 1})) AS i) s " +
+      s"WHERE len(l) >= $k), " +
+      "dup AS (SELECT doc_id, h FROM a GROUP BY doc_id, h HAVING COUNT(*) >= 2), " +
+      "p AS (SELECT a.doc_id, a.pos FROM a JOIN dup ON a.doc_id = dup.doc_id AND a.h = dup.h), " +
+      "m AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER " +
+      "(PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk FROM p), " +
+      "isl AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM m), " +
+      s"sp AS (SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + ${k - 1} AS end_tok " +
+      "FROM isl GROUP BY doc_id, island) " +
+      "SELECT sp.doc_id, sp.start_tok, sp.end_tok, " +
+      "sp.end_tok - sp.start_tok + 1 AS n_tokens, " +
+      "md5(array_to_string(t.l[sp.start_tok:sp.end_tok], ' ')) AS span_md5 " +
+      "FROM sp JOIN t ON sp.doc_id = t.doc_id " +
+      "ORDER BY sp.doc_id, sp.start_tok"
   }
 
   private lazy val mediaPairsCtesSql: String =
@@ -3436,6 +3470,10 @@ object SparkEntry {
     // non-keeper spans cut (positions DISTINCT — abutting islands can
     // overlap in token space), cleaned text re-joined in order and
     // md5-proven
+    // intra-document exact repeats: the dup predicate keys (doc_id, h)
+    // — a gram anchors iff it repeats within its own document — at the
+    // family's intra-doc width (SelfRepeatK)
+    "q_substring_selfrepeat" -> selfRepeatSql,
     "q_substring_excised" ->
       (s"WITH $substringCtesSql, " +
         "spm AS (SELECT sp.doc_id, sp.start_tok, sp.end_tok, " +

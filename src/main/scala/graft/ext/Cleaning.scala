@@ -1092,8 +1092,15 @@ object Cleaning {
       Tables.fanOut(docs).filter(col("text").isNotNull)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t")), k)
 
-  private def substringDedupOn(toksed: DataFrame, k: Int): DataFrame = {
-    val spans = substringSpans(toksed, k)
+  private def substringDedupOn(toksed: DataFrame, k: Int): DataFrame =
+    spanExcerpts(toksed, substringSpans(toksed, k))
+
+  /** The excerpt tail shared by the cross-document, incremental and
+    * self-repeat span queries: join each span back to its document's
+    * tokens, emit exact boundaries + the md5 of the actual span text
+    * (the content proof both engines replay).
+    */
+  private def spanExcerpts(toksed: DataFrame, spans: DataFrame): DataFrame =
     spans.join(toksed, Seq("doc_id"))
       .select(col("doc_id"), col("start_tok"), col("end_tok"),
         (col("end_tok") - col("start_tok") + 1).as("n_tokens"),
@@ -1101,6 +1108,71 @@ object Cleaning {
           slice(col("t"), col("start_tok").cast("int"),
             (col("end_tok") - col("start_tok") + 1).cast("int")))).as("span_md5"))
       .orderBy(col("doc_id"), col("start_tok"))
+
+  /** Anchor width of [[substringSelfRepeat]] — intra-document repeats
+    * are shorter than cross-document boilerplate (a doc repeating a
+    * 20-token run verbatim is rare even in template-heavy corpora;
+    * repeated 8-token runs are the classic generation-loop /
+    * navigation-chrome signal Lee et al. excise within documents).
+    * `private[graft]`: the oracle interpolates the same value.
+    */
+  private[graft] val SelfRepeatK = 8
+
+  /** INTRA-DOCUMENT exact repeats — the within-document half of the
+    * Lee et al. ExactSubstr operator ([[substringDedup]] localizes
+    * cross-document repeats; this localizes spans a document repeats
+    * WITHIN itself — generation loops, navigation chrome, copy-paste
+    * stutter): every maximal token span whose k-gram windows each
+    * occur at least twice in the SAME document, exact boundaries,
+    * span content md5-proven. Note both copies of a repeat surface
+    * (each window of each copy is duplicated; adjacent copies fuse
+    * into one maximal island) — an excision pass over this cut list
+    * would keep min-start per (doc, span_md5), the keeper discipline
+    * [[substringExcised]] applies across documents.
+    *
+    * Scale shape: the anchor stream is the same narrow
+    * (doc_id, pos, h) frame; ONE (doc, gram)-keyed count aggregate
+    * (map-side combined), one keyed semi-join back, one per-doc
+    * island window — never pairwise, no driver state. Unlike the
+    * cross-doc form the aggregate key includes doc_id, so the build
+    * side shards WITH the corpus and a corpus-hot phrase cannot hot-key
+    * the exchange at 100 TB.
+    */
+  /** Planted-fixture geometry of the REGISTERED q_substring_selfrepeat
+    * (the plantedShiftedAudio precedent: real corpora carry their own
+    * intra-doc repeats — generation loops, chrome — but the synthetic
+    * test corpus has NONE at any k ≥ 2, measured; a vacuous 0-row gate
+    * proves nothing, so the registered query plants deterministic
+    * self-repeats and the oracle replays the identical planting).
+    * Every third document with at least [[SelfPlantMinTokens]] tokens
+    * re-appends its first [[SelfPlantTokens]] tokens, creating exactly
+    * two repeated copies per planted doc.
+    */
+  private[graft] val SelfPlantTokens = 12
+  private[graft] val SelfPlantMinTokens = 20
+
+  def substringSelfRepeat(spark: SparkSession, d: String,
+                          k: Int = SelfRepeatK): DataFrame =
+    substringSelfRepeatOn(
+      TextAnalysis.sessionTokens(spark, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0 && size(col("toks")) >= SelfPlantMinTokens,
+            concat(col("toks"), slice(col("toks"), 1, SelfPlantTokens)))
+            .otherwise(col("toks")).as("t")), k)
+
+  /** DataFrame form (docs must have doc_id + text). */
+  def substringSelfRepeatDf(docs: DataFrame, k: Int = SelfRepeatK): DataFrame =
+    substringSelfRepeatOn(
+      Tables.fanOut(docs).filter(col("text").isNotNull)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t")), k)
+
+  private def substringSelfRepeatOn(toksed: DataFrame, k: Int): DataFrame = {
+    val anchors = anchorStream(toksed, k)
+    val selfDup = anchors.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("doc_id"), col("h"))
+    spanExcerpts(toksed,
+      islandsOf(anchors.join(selfDup, Seq("doc_id", "h"), "left_semi"), k))
   }
 
   /** The shared anchor→island chain: maximal spans (doc_id, start_tok,

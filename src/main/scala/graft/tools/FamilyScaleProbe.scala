@@ -1,0 +1,112 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Directed 100× scaling probes for the round-17 operator families
+  * (the TriangleProbe discipline: scale the INPUT STRUCTURE exactly,
+  * not a re-hashed replica corpus whose density confounds data growth
+  * with plan growth), settling the exponent question the 10× probes
+  * left open:
+  *
+  *  - substring dedup: R content-disjoint corpus copies — every token
+  *    carries a per-replica suffix, so gram hashes scatter per replica
+  *    and the cross-document island structure replicates EXACTLY R×
+  *    (same spans, same boundaries, offset ids).
+  *  - audio fingerprints: R content-disjoint copies via the SAME
+  *    token tagging — byte content differs throughout the payload,
+  *    so fingerprint keys scatter per replica and the planted
+  *    one-hop-shifted pairs replicate ~R×. (A prepended-pad variant
+  *    was tried first and REJECTED: byte shifts only have `hop`
+  *    distinct alignment classes mod the frame hop, so replicas
+  *    landing in the same class share every interior frame and
+  *    cross-match — measured 751× pair mass at R=100.)
+  *  - graph-ANN: R rotation-disjoint embedding copies — replica k
+  *    cyclically rotates coordinates by 7k, preserving every
+  *    within-replica cosine exactly; the fixed 8-query beam serves
+  *    against an R×-corpus (the serving question: does per-query cost
+  *    grow with corpus size?).
+  *
+  * Usage: runMain graft.tools.FamilyScaleProbe [srcDir] [replicas...]
+  */
+object FamilyScaleProbe {
+
+  private def timeIt(f: => DataFrame): (Double, Long) = {
+    System.gc()
+    val t0 = System.nanoTime()
+    val n = f.count()
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  private def minOf2(f: => DataFrame): (Double, Long) = {
+    val a = timeIt(f)
+    val b = timeIt(f)
+    (math.min(a._1, b._1), a._2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val reps = { val r = args.drop(1).map(_.toInt); if (r.nonEmpty) r.toSeq else Seq(1, 3, 10, 30, 100) }
+    val spark = graft.LocalSession.build()
+    import spark.implicits._
+    val docs = graft.Tables.fanOut(graft.Tables.documents(spark, src))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text")).localCheckpoint()
+    val emb = graft.Tables.embeddings(spark, src)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val dOff = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val vOff = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+
+    def docReplicas(r: Int): DataFrame =
+      (0 until r).map { k =>
+        val base = docs.select((col("doc_id") + k * dOff).as("doc_id"),
+          col("source"), col("text"))
+        if (k == 0) base
+        else
+          // per-token suffix: gram identities AND payload bytes
+          // scatter per replica (content disjointness)
+          base.withColumn("text", concat_ws(" ",
+            transform(graft.ext.TextAnalysis.tokens(col("text")),
+              x => concat(x, lit(s"_$k")))))
+      }.reduce(_ unionAll _).localCheckpoint()
+
+    def embReplicas(r: Int): DataFrame =
+      (0 until r).map { k =>
+        val rot = 7 * k % dim
+        emb.select((col("vec_id") + k * vOff).as("vec_id"),
+          (if (rot == 0) col("embedding")
+           else concat(slice(col("embedding"), rot + 1, dim - rot),
+             slice(col("embedding"), 1, rot))).as("embedding"))
+      }.reduce(_ unionAll _).localCheckpoint()
+
+    // prepare each replica input ONCE (checkpointed), time only the
+    // operator chain over it (min-of-2), release before the next R —
+    // the probeTriangleFamily leak lesson (ADVICE r17)
+    case class Family(name: String, prepare: Int => DataFrame,
+                      op: DataFrame => DataFrame)
+    val families = Seq(
+      Family("substring", r => docReplicas(r),
+        in => graft.ext.Cleaning.substringDedupDf(in)),
+      Family("audio", r => docReplicas(r),
+        in => graft.ext.Multimodal.audioNearDupPairs(
+          graft.ext.Multimodal.plantedShiftedAudio(in, offset = 100000000L))),
+      Family("graph_ann", r => embReplicas(r),
+        in => graft.ext.Similarity.graphAnnTopKDf(in)))
+    println(f"${"family"}%-12s ${"R"}%4s ${"rows"}%10s ${"sec"}%8s ${"ratio"}%8s")
+    families.foreach { fam =>
+      var base = -1.0
+      reps.foreach { r =>
+        val in = fam.prepare(r)
+        val (sec, rows) = minOf2(fam.op(in))
+        org.apache.spark.sql.GraftSql.releaseCheckpoint(in)
+        if (base < 0) base = sec
+        println(f"${fam.name}%-12s $r%4d $rows%10d $sec%8.2f ${sec / base}%8.2f")
+      }
+    }
+    org.apache.spark.sql.GraftSql.releaseCheckpoint(docs)
+    org.apache.spark.sql.GraftSql.releaseCheckpoint(emb)
+    spark.stop()
+  }
+}

@@ -1330,6 +1330,41 @@ class CleaningSpec extends SparkTestBase {
   }
 
 
+  test("substring self-repeat: both copies surface with exact boundaries; no false positives") {
+    val k = Cleaning.SelfRepeatK
+    val phrase = (0 until k + 2).map(i => s"p$i") // k+2 tokens: 3 windows per copy
+    // copy 1 at positions 4..(k+5), copy 2 after a 5-token gap
+    val gap = (1 to 5).map(i => s"g$i")
+    val d1 = ((1 to 3).map(i => s"a$i") ++ phrase ++ gap ++ phrase).mkString(" ")
+    val d2 = (1 to 40).map(i => s"u$i").mkString(" ")    // no intra repeat
+    // cross-doc repeat WITHOUT intra-doc repeat must NOT surface here
+    val shared = (0 until k + 1).map(i => s"s$i")
+    val d3 = ((1 to 2).map(i => s"b$i") ++ shared).mkString(" ")
+    val d4 = ((1 to 6).map(i => s"c$i") ++ shared).mkString(" ")
+    val out = Cleaning.substringSelfRepeatDf(
+      docsDf(1L -> d1, 2L -> d2, 3L -> d3, 4L -> d4)).collect()
+    assert(out.forall(_.getLong(0) == 1L),
+      s"only the self-repeating doc may report: ${out.mkString("; ")}")
+    val spans = out.map(r => (r.getLong(1), r.getLong(2))).toSet
+    val c1Start = 4L
+    val c2Start = c1Start + (k + 2) + 5
+    assert(spans == Set((c1Start, c1Start + k + 1), (c2Start, c2Start + k + 1)),
+      s"both copies with exact boundaries, got $spans")
+    // identical content: both spans hash the same phrase
+    assert(out.map(_.getString(4)).distinct.length == 1)
+  }
+
+  test("substring self-repeat: abutting copies split at the period boundary") {
+    val k = Cleaning.SelfRepeatK
+    val block = (0 until k).map(i => s"q$i")
+    // exactly "block block": only the two block-aligned windows repeat,
+    // so the faithful output is two abutting k-token spans
+    val d1 = ((1 to 2).map(i => s"w$i") ++ block ++ block).mkString(" ")
+    val out = Cleaning.substringSelfRepeatDf(docsDf(1L -> d1))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((3L, 2L + k), (3L + k, 2L + 2 * k)), s"got $out")
+  }
+
   test("substring excision: keeper keeps, non-keepers cut, tokens conserved") {
     val rep = (0 until 60).map(i => s"rep$i")
     val d1 = ((1 to 7).map(i => s"a$i") ++ rep ++ (1 to 5).map(i => s"b$i")).mkString(" ")
