@@ -950,6 +950,14 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
 
+  test("q_substring_selfrepeat: (doc, gram)-keyed aggregate + semi-join + doc window — keyed only") {
+    val p = plan("q_substring_selfrepeat")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"self-repeat detection must stay keyed:\n$p")
+    assert(shuffleExchanges("q_substring_selfrepeat") <= 3,
+      s"self-repeat anchor chain grew a shuffle:\n$p")
+  }
+
   test("q_substring_incremental: delta anchors semi-join the base index — keyed only") {
     val p = plan("q_substring_incremental")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
