@@ -113,7 +113,7 @@ object ArtifactStore {
                  (build: => DataFrame): DataFrame = {
     if (!enabled) return build
     val path = artifactPath(name, dir)
-    if (isComplete(path)) return spark.read.parquet(path.getPath)
+    if (isComplete(path)) return load(spark, path)
     val df = build
     try {
       val tmp = new File(path.getParent,
@@ -122,10 +122,27 @@ object ArtifactStore {
       df.write.mode("overwrite").parquet(tmp.getPath)
       if (!tmp.renameTo(path)) deleteRecursively(tmp) // lost a writer race
       prune(path.getParentFile, keep = 8)
-      if (isComplete(path)) spark.read.parquet(path.getPath) else df
+      if (isComplete(path)) load(spark, path) else df
     } catch {
       case scala.util.control.NonFatal(_) => df
     }
+  }
+
+  /** Load with the session's parallelism RESTORED: a small artifact's
+    * files pack into 1-2 scan partitions (the 4 MB file-open cost
+    * folds dozens of small files per split), and since every call
+    * site immediately checkpoints/persists the result, that collapsed
+    * partitioning would ride into EVERY consumer's narrow pre-shuffle
+    * work -- measured as a uniform ~2x on the LM family's per-position
+    * hash kernels when this path first landed without the
+    * repartition. Only small scans pay the one-time exchange; a scan
+    * already at session parallelism passes through untouched (at real
+    * scale files are split-sized and this branch never fires).
+    */
+  private def load(spark: SparkSession, path: File): DataFrame = {
+    val df = spark.read.parquet(path.getPath)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   /** Bound disk growth across recompiles/rounds: keep the `keep` most
