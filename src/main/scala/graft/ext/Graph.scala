@@ -1152,13 +1152,15 @@ object Graph {
 
   private[graft] def trainedNodeEmbeddings(spark: SparkSession, d: String): DataFrame =
     trainedEmbCache.computeIfAbsent((spark, d), _ => graft.ArtifactLedger.timed("node_embeddings") {
-      val docs = Tables.fanOut(Tables.documents(spark, d))
-      // checkpointed: the pair table feeds every epoch AND the n_pairs
-      // tail — without this the walk-pair groupBy re-evaluates per reader
-      val pairs = walkContextPairsUnorderedDf(docs).localCheckpoint()
-      val out = nodeEmbeddingsOnPairs(pairs, docs.count()).localCheckpoint()
-      org.apache.spark.sql.GraftSql.releaseCheckpoint(pairs)
-      out
+      graft.storage.ArtifactStore.cachedFrame(spark, "node_embeddings", d) {
+        val docs = Tables.fanOut(Tables.documents(spark, d))
+        // checkpointed: the pair table feeds every epoch AND the n_pairs
+        // tail — without this the walk-pair groupBy re-evaluates per reader
+        val pairs = walkContextPairsUnorderedDf(docs).localCheckpoint()
+        val out = nodeEmbeddingsOnPairs(pairs, docs.count()).localCheckpoint()
+        org.apache.spark.sql.GraftSql.releaseCheckpoint(pairs)
+        out
+      }.localCheckpoint()
     })
 
   /** The trainer core over an explicit (center, context, n_cooc) pair
@@ -1487,8 +1489,10 @@ object Graph {
       // sccDf restricts and checkpoints its own per-peel subgraph and
       // never releases the PASSED table — safe on the shared checkpoint
       graft.ArtifactLedger.timed("scc_labels")(
-        sccDf(Tables.fanOut(Tables.documents(spark, d)).select(col("doc_id")),
-          sessionEdges(spark, d), SccPeels, ComponentRounds).localCheckpoint()))
+        graft.storage.ArtifactStore.cachedFrame(spark, "scc_labels", d)(
+          sccDf(Tables.fanOut(Tables.documents(spark, d)).select(col("doc_id")),
+            sessionEdges(spark, d), SccPeels, ComponentRounds))
+          .localCheckpoint()))
 
   def linkScc(spark: SparkSession, d: String, peels: Int = SccPeels,
               rounds: Int = ComponentRounds): DataFrame =
@@ -2024,11 +2028,29 @@ object Graph {
   private def orientedTriangleState(spark: SparkSession,
                                     d: String): (DataFrame, DataFrame) =
     triCache.computeIfAbsent((spark, d), _ => graft.ArtifactLedger.timed("triangle_state") {
-      val docs = Tables.fanOut(Tables.documents(spark, d))
-      val (und, udeg0) = undirectedWithDegrees(docs)
-      val udeg = udeg0.localCheckpoint()
-      val oe = orientEdges(und, udeg).localCheckpoint()
-      org.apache.spark.sql.GraftSql.releaseCheckpoint(und)
+      // two store entries (different schemas); the build derives both
+      // at once, so a cold store pays ONE derivation — its scratch
+      // checkpoints are released after the store copies materialize
+      var scratch: Option[(DataFrame, DataFrame)] = None
+      lazy val derived = {
+        val docs = Tables.fanOut(Tables.documents(spark, d))
+        val (und, udeg0) = undirectedWithDegrees(docs)
+        val udeg = udeg0.localCheckpoint()
+        val oe = orientEdges(und, udeg).localCheckpoint()
+        org.apache.spark.sql.GraftSql.releaseCheckpoint(und)
+        scratch = Some((oe, udeg))
+        (oe, udeg)
+      }
+      val udeg = graft.storage.ArtifactStore.cachedFrame(
+        spark, "triangle_udeg", d)(derived._2).localCheckpoint()
+      val oe = graft.storage.ArtifactStore.cachedFrame(
+        spark, "triangle_oe", d)(derived._1).localCheckpoint()
+      scratch.foreach { case (a, b) =>
+        // safe unconditionally: the eager localCheckpoints above hold
+        // their own materialized RDDs by this point
+        org.apache.spark.sql.GraftSql.releaseCheckpoint(a)
+        org.apache.spark.sql.GraftSql.releaseCheckpoint(b)
+      }
       (oe, udeg)
     })
 

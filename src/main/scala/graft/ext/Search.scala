@@ -57,7 +57,8 @@ object Search {
   private[graft] def sessionContrib(spark: SparkSession, d: String): DataFrame =
     sessionFrames.computeIfAbsent((spark, d, "bm25_contrib"), _ =>
       graft.ArtifactLedger.timed("bm25_contrib") {
-        val ca = bm25ContribAll(Tables.fanOut(Tables.documents(spark, d))).persist()
+        val ca = graft.storage.ArtifactStore.cachedFrame(spark, "bm25_contrib", d)(
+          bm25ContribAll(Tables.fanOut(Tables.documents(spark, d)))).persist()
         ca.count()
         ca
       })
@@ -75,7 +76,8 @@ object Search {
     val ca = sessionContrib(spark, d)
     sessionFrames.computeIfAbsent((spark, d, "blockmax_bounds"), _ =>
       graft.ArtifactLedger.timed("blockmax_bounds") {
-        val bm = blockMaxTable(ca).persist()
+        val bm = graft.storage.ArtifactStore.cachedFrame(spark, "blockmax_bounds", d)(
+          blockMaxTable(ca)).persist()
         bm.count()
         bm
       })
@@ -93,8 +95,9 @@ object Search {
   private[graft] def sessionSections(spark: SparkSession, d: String): DataFrame =
     sessionFrames.computeIfAbsent((spark, d, "section_chunks"), _ =>
       graft.ArtifactLedger.timed("section_chunks") {
-        val s = sectionChunksDf(sectionMdFrame(
-          Tables.fanOut(Tables.documents(spark, d)))).persist()
+        val s = graft.storage.ArtifactStore.cachedFrame(spark, "section_chunks", d)(
+          sectionChunksDf(sectionMdFrame(
+            Tables.fanOut(Tables.documents(spark, d))))).persist()
         s.count()
         s
       })
@@ -264,7 +267,8 @@ object Search {
   private[graft] def sessionCorpusStats(spark: SparkSession, d: String): DataFrame =
     sessionFrames.computeIfAbsent((spark, d, "ql_stats"), _ =>
       graft.ArtifactLedger.timed("ql_stats") {
-        val st = corpusStatsDf(Tables.fanOut(Tables.documents(spark, d))).persist()
+        val st = graft.storage.ArtifactStore.cachedFrame(spark, "ql_stats", d)(
+          corpusStatsDf(Tables.fanOut(Tables.documents(spark, d)))).persist()
         st.count()
         st
       })
@@ -281,8 +285,9 @@ object Search {
   private[graft] def sessionQlPostings(spark: SparkSession, d: String): DataFrame =
     sessionFrames.computeIfAbsent((spark, d, "ql_postings"), _ =>
       graft.ArtifactLedger.timed("ql_postings") {
-        val p = postingsDf(Tables.fanOut(Tables.documents(spark, d)),
-          Some(ProbeTerms)).persist()
+        val p = graft.storage.ArtifactStore.cachedFrame(spark, "ql_postings", d)(
+          postingsDf(Tables.fanOut(Tables.documents(spark, d)),
+            Some(ProbeTerms))).persist()
         p.count()
         p
       })
