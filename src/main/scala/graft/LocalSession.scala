@@ -20,6 +20,13 @@ object LocalSession {
       .config("spark.sql.shuffle.partitions", n)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local NVMe has no per-file seek penalty worth 4 MB (the HDFS
+      // default): without this, the artifact store's small files pack
+      // into 1-2 scan partitions and every load pays a repartition
+      // exchange to restore parallelism (ArtifactStore.load). 64 KB
+      // lets a 32-file artifact split per file naturally. Cluster
+      // deployments keep the default — this is the LOCAL recipe.
+      .config("spark.sql.files.openCostInBytes", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
