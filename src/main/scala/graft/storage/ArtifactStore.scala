@@ -75,23 +75,48 @@ object ArtifactStore {
     */
   lazy val codeStamp: String =
     try {
-      val base = new File(
-        getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
-      if (base.isFile)
-        md5hex(base.getPath + "|" + base.length + "|" + base.lastModified)
-      else {
-        val sb = new StringBuilder
+      // The stamp must be CONTENT-derived, not location-derived: a
+      // forked sbt run repackages the project classes into a fresh
+      // per-run jar (target/bg-jobs/sbt_<rand>/...), so any path or
+      // mtime in the key made every JVM a store miss (caught when
+      // four benches in a row each wrote a new fp for an unchanged
+      // build). Resolve this class's real container via resource
+      // lookup, then hash the .class ENTRIES' (name, size, CRC32) —
+      // identical bytecode stamps identically however it is packaged.
+      val res = getClass.getResource("/graft/storage/ArtifactStore.class")
+      val sb = new StringBuilder
+      if (res.getProtocol == "jar") {
+        val jf = new java.util.jar.JarFile(new File(res.openConnection()
+          .asInstanceOf[java.net.JarURLConnection].getJarFileURL.toURI))
+        try {
+          val es = jf.entries()
+          val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (es.hasMoreElements) {
+            val e = es.nextElement()
+            if (e.getName.endsWith(".class"))
+              rows += s"${e.getName}|${e.getSize}|${e.getCrc}"
+          }
+          rows.sorted.foreach(r => sb.append(r).append('\n'))
+        } finally jf.close()
+      } else {
+        // strip /graft/storage/ArtifactStore.class -> the classes root
+        val base = new File(res.toURI)
+          .getParentFile.getParentFile.getParentFile
+        val crc = new java.util.zip.CRC32
         def walk(f: File): Unit =
           Option(f.listFiles()).getOrElse(Array.empty[File])
             .sortBy(_.getName).foreach { k =>
               if (k.isDirectory) walk(k)
-              else if (k.getName.endsWith(".class"))
-                sb.append(k.getPath).append('|').append(k.length)
-                  .append('|').append(k.lastModified).append('\n')
+              else if (k.getName.endsWith(".class")) {
+                crc.reset()
+                crc.update(Files.readAllBytes(k.toPath))
+                sb.append(k.getPath.stripPrefix(base.getPath)).append('|')
+                  .append(k.length).append('|').append(crc.getValue).append('\n')
+              }
             }
         walk(base)
-        md5hex(sb.toString)
       }
+      md5hex(sb.toString)
     } catch { case scala.util.control.NonFatal(_) => "nocode" }
 
   private def artifactPath(name: String, dir: String): File =
