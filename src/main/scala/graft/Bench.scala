@@ -146,6 +146,7 @@ object Bench {
       s""""cold_queries":${fmtMap(results)},""" +
       s""""artifact_rebuild_sec":${builds.map(_._2).sum},""" +
       s""""artifact_rebuilds":${fmtMap(builds)},""" +
+      s""""artifact_store":${graft.storage.ArtifactStore.enabled},""" +
       s""""idle_gate":"$idleGate",${loadJson("load_before", loadBefore)},""" +
       s"""${loadJson("load_after", loadAvg())},"sf":"$sfDir"}"""
     println(json)
@@ -206,6 +207,7 @@ object Bench {
       s""""repass":$repass,"repass_count":${reRun.size},""" +
       s""""artifact_builds":${fmtMap(builds)},""" +
       s""""artifact_total_sec":$artifactTotal,""" +
+      s""""artifact_store":${graft.storage.ArtifactStore.enabled},""" +
       s""""idle_gate":"$idleGate",${loadJson("load_before", loadBefore)},""" +
       s"""${loadJson("load_after", loadAvg())},""" +
       s""""ref_prices_loaded":${ref.size},"sf":"$sfDir"}"""

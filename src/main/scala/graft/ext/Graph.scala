@@ -1152,15 +1152,25 @@ object Graph {
 
   private[graft] def trainedNodeEmbeddings(spark: SparkSession, d: String): DataFrame =
     trainedEmbCache.computeIfAbsent((spark, d), _ => graft.ArtifactLedger.timed("node_embeddings") {
-      graft.storage.ArtifactStore.cachedFrame(spark, "node_embeddings", d) {
+      // on a store miss the build's inner checkpoint is SCRATCH once
+      // the store copy (or, on store failure, the outer checkpoint)
+      // materializes — release it so the embedding table is pinned
+      // once per session, not twice (orientedTriangleState discipline)
+      var scratch: Option[DataFrame] = None
+      val loaded = graft.storage.ArtifactStore.cachedFrame(spark, "node_embeddings", d) {
         val docs = Tables.fanOut(Tables.documents(spark, d))
         // checkpointed: the pair table feeds every epoch AND the n_pairs
         // tail — without this the walk-pair groupBy re-evaluates per reader
         val pairs = walkContextPairsUnorderedDf(docs).localCheckpoint()
         val out = nodeEmbeddingsOnPairs(pairs, docs.count()).localCheckpoint()
         org.apache.spark.sql.GraftSql.releaseCheckpoint(pairs)
+        scratch = Some(out)
         out
       }.localCheckpoint()
+      // safe unconditionally: the eager outer localCheckpoint holds its
+      // own materialized RDD by this point (store hit or miss alike)
+      scratch.foreach(org.apache.spark.sql.GraftSql.releaseCheckpoint(_))
+      loaded
     })
 
   /** The trainer core over an explicit (center, context, n_cooc) pair

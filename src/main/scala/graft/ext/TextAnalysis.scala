@@ -639,8 +639,28 @@ object TextAnalysis {
         .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val seedUdf = udf { w: String => UnigramKernel.seedPiecesOf(w) }
-    var counts = UnigramKernel.capSeed(aggregate(seedUdf(col("word"))), maxSeed)
-    if (counts.isEmpty) return Vector.empty
+    // Round-0 seed census with the cap IN the plan: the distinct
+    // ≤ MaxPieceLen-substring table is corpus-scale (hundreds of
+    // millions of rows at 100 TB word-type scale), so the driver must
+    // never hold it. Singles pass unconditionally (alphabet-bounded);
+    // multis go through sort/limit — Spark plans it as
+    // TakeOrderedAndProject, a bounded per-partition top-K + one
+    // driver merge — with the exact [[UnigramKernel.capSeed]] order
+    // (count desc, piece asc), so the collected set is bit-identical
+    // to capSeed-after-collect and CorpusSpec's equality vs the
+    // driver-side reference kernel holds. Both branches filter the
+    // same aggregate, so ReuseExchange runs the explode+shuffle once.
+    val seeded = live.select(explode(seedUdf(col("word"))).as("piece"), col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+    val cappedSeed = seeded.filter(length(col("piece")) === 1)
+      .unionAll(seeded.filter(length(col("piece")) > 1)
+        .orderBy(col("c").desc, col("piece").asc).limit(maxSeed))
+    var counts: Map[String, Long] = cappedSeed.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) {
+      org.apache.spark.sql.GraftSql.releaseCheckpoint(live)
+      return Vector.empty
+    }
     def emRound(vocab: Map[String, Long]): Map[String, Long] = {
       val logp = UnigramKernel.toLogp(vocab)
       val segUdf = udf { w: String => UnigramKernel.viterbi(w, logp) }

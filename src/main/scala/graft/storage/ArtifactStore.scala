@@ -53,16 +53,25 @@ object ArtifactStore {
   }
 
   /** Metadata fingerprint of a corpus directory: md5 over the sorted
-    * (name, length, mtime) triples of its plain files. Missing/empty
-    * dirs fingerprint to a constant (they still key
-    * deterministically).
+    * (relative path, length, mtime) triples of its files, RECURSIVE —
+    * a corpus laid out as Spark-style parquet directories (part files
+    * under per-table subdirs) must fingerprint its leaf files, or a
+    * content change inside a subdirectory would silently serve stale
+    * artifacts. Missing/empty dirs fingerprint to a constant (they
+    * still key deterministically).
     */
   def fingerprint(dir: String): String = {
     val d = new File(dir)
-    val files = Option(d.listFiles()).getOrElse(Array.empty[File])
-      .filter(_.isFile).sortBy(_.getName)
-    md5hex(files.map(f => f.getName + "|" + f.length + "|" + f.lastModified)
-      .mkString("\n"))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(f: File): Unit =
+      Option(f.listFiles()).getOrElse(Array.empty[File])
+        .sortBy(_.getName).foreach { k =>
+          if (k.isDirectory) walk(k)
+          else rows += (k.getPath.stripPrefix(d.getPath) + "|" + k.length +
+            "|" + k.lastModified)
+        }
+    walk(d)
+    md5hex(rows.sorted.mkString("\n"))
   }
 
   /** Fingerprint of the CODE that computes artifacts: md5 over the
@@ -170,18 +179,33 @@ object ArtifactStore {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Minimum age (ms since last modification) before a superseded
+    * fp-dir may be pruned. The within-process safety argument (call
+    * sites eagerly checkpoint before handing out the scan) does not
+    * cover a DIFFERENT concurrent JVM that passed `isComplete` and is
+    * mid-load, or holds a disk-persisted scan whose evicted blocks
+    * would recompute from the pruned path — the grace window gives
+    * such a reader a full session to finish before its files can
+    * disappear (the r18 judge/advice concurrent-reader exposure).
+    */
+  private[storage] val PruneGraceMs: Long = 6L * 60 * 60 * 1000
+
   /** Bound disk growth across recompiles/rounds: keep the `keep` most
     * recently MODIFIED fp-dirs per artifact name, delete the rest
-    * (stale code stamps and superseded corpora). Safe against live
-    * readers because every call site eagerly checkpoints/persists the
-    * returned scan before handing it out, and pruning only reaches a
-    * dir after `keep` NEWER keys exist for the same name.
+    * (stale code stamps and superseded corpora) — but never a dir
+    * modified within [[PruneGraceMs]], so a concurrent session that
+    * saw `isComplete` and is still reading cannot lose files under
+    * it. Within one process the call sites additionally eagerly
+    * checkpoint/persist the returned scan before handing it out.
     */
-  private def prune(nameDir: File, keep: Int): Unit = {
+  private[storage] def prune(nameDir: File, keep: Int,
+                             nowMs: Long = System.currentTimeMillis()): Unit = {
     val fps = Option(nameDir.listFiles()).getOrElse(Array.empty[File])
       .filter(f => f.isDirectory && f.getName.startsWith("fp-"))
       .sortBy(-_.lastModified)
-    fps.drop(keep).foreach(deleteRecursively)
+    fps.drop(keep)
+      .filter(f => nowMs - f.lastModified > PruneGraceMs)
+      .foreach(deleteRecursively)
   }
 
   private def deleteRecursively(f: File): Unit = {

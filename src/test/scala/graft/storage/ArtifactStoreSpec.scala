@@ -57,6 +57,43 @@ class ArtifactStoreSpec extends SparkTestBase {
     assert(builds == 2, "a corpus change must invalidate the artifact")
   }
 
+  test("fingerprint: recurses into subdirectories (parquet-dir corpus layout)") {
+    val d = freshCorpusDir("fpdir")
+    val sub = new File(d, "table.parquet")
+    assert(sub.mkdir())
+    sub.deleteOnExit()
+    writeMember(sub, "part-00000", "aaaa")
+    val fp1 = ArtifactStore.fingerprint(d.getPath)
+    assert(fp1 == ArtifactStore.fingerprint(d.getPath), "must be stable")
+    writeMember(sub, "part-00000", "aaaaaaaa") // change INSIDE the subdir
+    assert(ArtifactStore.fingerprint(d.getPath) != fp1,
+      "a leaf-file change under a subdirectory must move the fingerprint")
+  }
+
+  test("prune: respects keep count but never deletes inside the grace window") {
+    val nameDir = Files.createTempDirectory("graft-astore-prune").toFile
+    nameDir.deleteOnExit()
+    val dirs = (0 until 4).map { i =>
+      val f = new File(nameDir, s"fp-$i")
+      assert(f.mkdir()); f.deleteOnExit()
+      // stamp strictly increasing mtimes so recency order is i-ascending
+      assert(f.setLastModified(1000000L + i * 60000L))
+      f
+    }
+    // a "now" far in the future: everything is past the grace window,
+    // so keep=2 deletes the two OLDEST dirs
+    ArtifactStore.prune(nameDir, keep = 2,
+      nowMs = 1000000L + 4 * 60000L + ArtifactStore.PruneGraceMs + 1)
+    assert(!dirs(0).exists() && !dirs(1).exists(), "aged-out dirs pruned")
+    assert(dirs(2).exists() && dirs(3).exists(), "the keep newest survive")
+    // with "now" just after the stamps, every survivor is inside the
+    // grace window: nothing may be deleted even though keep=0 would
+    // otherwise remove them all (the concurrent mid-load reader case)
+    ArtifactStore.prune(nameDir, keep = 0, nowMs = 1000000L + 4 * 60000L)
+    assert(dirs(2).exists() && dirs(3).exists(),
+      "dirs inside the grace window must survive pruning")
+  }
+
   test("codeStamp: non-empty and stable within one JVM") {
     assert(ArtifactStore.codeStamp.nonEmpty)
     assert(ArtifactStore.codeStamp == ArtifactStore.codeStamp)
