@@ -27,6 +27,15 @@ object LocalSession {
       // lets a 32-file artifact split per file naturally. Cluster
       // deployments keep the default — this is the LOCAL recipe.
       .config("spark.sql.files.openCostInBytes", "65536")
+      // Spark 4's DisableUnnecessaryBucketedScan drops bucket-aware
+      // reads even when an In filter on the bucket key could PRUNE
+      // buckets (no optionalBucketSet spare in the rule) — which
+      // defeats the whole point of the bucketed ANN serve state
+      // (Similarity.bucketedAnnState: a bounded candidate gather must
+      // read bounded buckets). This repo only reads bucketed tables
+      // where bucket-awareness is wanted (co-located joins, pruned
+      // gathers), so auto-disable is turned off.
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

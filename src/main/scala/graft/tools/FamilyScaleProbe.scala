@@ -84,6 +84,11 @@ object FamilyScaleProbe {
     // prepare each replica input ONCE (checkpointed), time only the
     // operator chain over it (min-of-2), release before the next R —
     // the probeTriangleFamily leak lesson (ADVICE r17)
+    // SPARK_GRAFT_PROBE_FAMILIES=substring,gann_bucket narrows a run
+    // to the named families (re-probing one family need not pay all)
+    val famFilter = sys.env.get("SPARK_GRAFT_PROBE_FAMILIES")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(n: String): Boolean = famFilter.forall(_.contains(n))
     case class Family(name: String, prepare: Int => DataFrame,
                       op: DataFrame => DataFrame)
     val families = Seq(
@@ -95,7 +100,7 @@ object FamilyScaleProbe {
       Family("graph_ann", r => embReplicas(r),
         in => graft.ext.Similarity.graphAnnTopKDf(in)))
     println(f"${"family"}%-12s ${"R"}%4s ${"rows"}%10s ${"sec"}%8s ${"ratio"}%8s")
-    families.foreach { fam =>
+    families.filter(f => want(f.name)).foreach { fam =>
       var base = -1.0
       reps.foreach { r =>
         val in = fam.prepare(r)
@@ -104,6 +109,35 @@ object FamilyScaleProbe {
         if (base < 0) base = sec
         println(f"${fam.name}%-12s $r%4d $rows%10d $sec%8.2f ${sec / base}%8.2f")
       }
+    }
+    // graph-ANN BUCKETED SERVE (the r18 structure finding's fix): a
+    // FIXED 8-query beam served against an R×-corpus id-bucketed
+    // snapshot, buckets ∝ R so bucket SIZE stays constant (the 100 TB
+    // sizing rule — at scale buckets are ~128 MB and bucket count
+    // grows with data). Snapshot build (kNN graph + bucketed write) is
+    // PREPARE cost; only the serve call is timed. Sublinear wall at
+    // fixed query count = the gather reads bounded buckets, closing
+    // the "gather scans the corpus frame" finding.
+    if (want("gann_bucket")) {
+      val entry0 = emb.agg(min(col("vec_id"))).head().getLong(0)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+        .localCheckpoint()
+      var base = -1.0
+      reps.foreach { r =>
+        val in = embReplicas(r)
+        val prefix = s"probe_gann_r$r"
+        val (embT, edgesT) =
+          graft.ext.Similarity.bucketedAnnState(spark, in, prefix, buckets = 8 * r)
+        val (sec, rows) = minOf2(graft.ext.Similarity.graphAnnServeOnceOn(
+          queries, embT, edgesT, entry = Some(entry0)))
+        org.apache.spark.sql.GraftSql.releaseCheckpoint(in)
+        spark.sql(s"DROP TABLE IF EXISTS ${prefix}_emb")
+        spark.sql(s"DROP TABLE IF EXISTS ${prefix}_edges")
+        if (base < 0) base = sec
+        println(f"${"gann_bucket"}%-12s $r%4d $rows%10d $sec%8.2f ${sec / base}%8.2f")
+      }
+      org.apache.spark.sql.GraftSql.releaseCheckpoint(queries)
     }
     org.apache.spark.sql.GraftSql.releaseCheckpoint(docs)
     org.apache.spark.sql.GraftSql.releaseCheckpoint(emb)

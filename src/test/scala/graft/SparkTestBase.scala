@@ -12,6 +12,9 @@ object SparkTestBase {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
+    // bucket pruning on the ANN serve gathers needs bucket-aware scans
+    // not auto-disabled (the LocalSession recipe — keep in sync)
+    .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   graft.ext.Freeze.autoRelease(spark)

@@ -1284,4 +1284,38 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
   }
 
+  test("graph-ANN bucketed serve state: bit-parity with the checkpoint path, gather prunes buckets") {
+    import spark.implicits._
+    val base = graft.Tables.embeddings(spark, sfDir)
+    val queries = base.filter(col("vec_id") < 3)
+      .select(col("vec_id") + 1000, col("embedding"))
+      .toDF("vec_id", "embedding")
+    val prefix = s"gann_state_${System.nanoTime()}"
+    val (embT, edgesT) = Similarity.bucketedAnnState(spark, base, prefix)
+    try {
+      // 1) the gather plan over the bucketed store PRUNES: an In filter
+      // on the bucket key selects fewer buckets than the table has
+      val gather = embT.filter(col("vec_id").isin(0L, 1L, 2L))
+      val plan = gather.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined, s"bucketed scan must report bucket pruning:\n$plan")
+      val (hit, total) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+      assert(hit <= 3 && hit < total,
+        s"3 candidate ids must read <= 3 of $total buckets, read $hit")
+      // 2) serve over the bucketed state is BIT-identical to the
+      // localCheckpoint one-shot kernel on the same queries
+      val bucketed = Similarity.graphAnnServeOnceOn(queries, embT, edgesT, k = 3)
+        .collect().map(_.toSeq).toSet
+      val checkpointed = Similarity.graphAnnServeOnce(queries, base, k = 3)
+        .collect().map(_.toSeq).toSet
+      assert(bucketed == checkpointed,
+        s"bucketed serve diverged: $bucketed vs $checkpointed")
+      assert(bucketed.nonEmpty)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_emb")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_edges")
+    }
+  }
+
 }
