@@ -3263,11 +3263,12 @@ object SparkEntry {
       (s"$mediaPairsCtesSql SELECT id_a, id_b, hamming FROM mp " +
         "WHERE hamming <= 3 ORDER BY id_a, id_b"),
     // audio fingerprint near-dups: frames, 4-byte band energies,
-    // Haitsma-Kalker sign bits, 28-bit windowed keys, stop-key cap and
-    // the shared-key threshold — all integer math replayed from the
-    // SAME UTF-8 payload bytes via BIT extraction (the media-dHash
-    // byte-parity precedent); planted one-hop-shifted copies replay as
-    // a byte-index offset over the same bit string (no blob surgery)
+    // Haitsma-Kalker sign bits on the CLOSED band ring (8 bits/frame),
+    // 32-bit windowed keys, stop-key cap and the shared-key
+    // threshold — all integer math replayed from the SAME UTF-8
+    // payload bytes via BIT extraction (the media-dHash byte-parity
+    // precedent); planted one-hop-shifted copies replay as a
+    // byte-index offset over the same bit string (no blob surgery)
     "q_audio_neardup_pairs" -> {
       val fl = ext.Multimodal.AudioFrameLen
       val hop = ext.Multimodal.AudioHop
@@ -3278,6 +3279,16 @@ object SparkEntry {
       val shift = ext.Multimodal.AudioPlantShift
       val minShared = ext.Multimodal.AudioMinSharedKeys
       val freqCap = ext.Multimodal.AudioKeyFreqCap
+      val subfps = ext.Multimodal.AudioKeySubfps
+      // the 56-bit windowed key: lead(fp, j) columns and the shifted
+      // big-endian sum, both generated from AudioKeySubfps so the key
+      // window has ONE definition
+      val audioLeadColsSql = (1 until subfps)
+        .map(j => s"lead(fp, $j) OVER w AS l$j").mkString(", ")
+      val audioKeyExprSql = ("fp" +: (1 until subfps).map(j => s"l$j"))
+        .zipWithIndex
+        .map { case (c, i) => s"$c*${1L << (8 * (subfps - 1 - i))}" }
+        .mkString(" + ")
       // byte value at byte index J of a media's bit string
       def byteVal(j: String): String =
         (0 to 7).map(k => s"get_bit(m.bits, ($j)*8 + $k)*${1 << (7 - k)}").mkString(" + ")
@@ -3298,15 +3309,14 @@ object SparkEntry {
         "WHERE ff.f < v.nf GROUP BY 1, 2, 3), " +
         "aud AS (SELECT c.media_id, c.f, c.b, c.e - n.e AS dd " +
         "FROM aue c JOIN aue n ON n.media_id = c.media_id AND n.f = c.f " +
-        s"AND n.b = c.b + 1 WHERE c.b <= ${bands - 2}), " +
+        s"AND n.b = (c.b + 1) % $bands), " +
         "ausf AS (SELECT c.media_id, c.f, " +
         "CAST(SUM(CASE WHEN c.dd - p.dd > 0 THEN (1 << c.b) ELSE 0 END) AS BIGINT) AS fp " +
         "FROM aud c JOIN aud p ON p.media_id = c.media_id AND p.f = c.f - 1 " +
         "AND p.b = c.b WHERE c.f >= 1 GROUP BY 1, 2), " +
-        "auk AS (SELECT DISTINCT media_id, fp*2097152 + l1*16384 + l2*128 + l3 AS fp_key " +
-        "FROM (SELECT media_id, fp, lead(fp, 1) OVER w AS l1, lead(fp, 2) OVER w AS l2, " +
-        "lead(fp, 3) OVER w AS l3 FROM ausf " +
-        "WINDOW w AS (PARTITION BY media_id ORDER BY f)) WHERE l3 IS NOT NULL), " +
+        s"auk AS (SELECT DISTINCT media_id, $audioKeyExprSql AS fp_key " +
+        s"FROM (SELECT media_id, fp, $audioLeadColsSql FROM ausf " +
+        s"WINDOW w AS (PARTITION BY media_id ORDER BY f)) WHERE l${subfps - 1} IS NOT NULL), " +
         s"aukk AS (SELECT fp_key FROM auk GROUP BY fp_key HAVING COUNT(*) <= $freqCap), " +
         "auks AS MATERIALIZED (SELECT auk.media_id, auk.fp_key FROM auk JOIN aukk USING (fp_key)) " +
         "SELECT a.media_id AS id_a, b.media_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_keys " +

@@ -224,21 +224,31 @@ object Multimodal {
   private[graft] val AudioBands = 8          // 4-byte energy bands
   private[graft] val AudioMaxBytes = 400     // prefix cap: <= 24 frames
                                              // (chromaprint fingerprints a prefix window too)
-  private[graft] val AudioKeySubfps = 4      // subfingerprints per key (28-bit keys)
+  private[graft] val AudioKeySubfps = 7      // subfingerprints per key (56-bit keys)
   private[graft] val AudioMinSharedKeys = 3  // match threshold (distinct keys)
   private[graft] val AudioKeyFreqCap = 64    // stop-key cap: drop corpus-hot keys
   private[graft] val AudioPlantShift = AudioHop // planted copies drop ONE hop
-  private[graft] val AudioPlantMinBytes = 160   // >= 9 frames -> >= 3 shared keys
+  private[graft] val AudioPlantMinBytes = 192   // >= 11 frames -> >= 4 keys
+                                                // -> >= 3 shared after one hop
 
   /** The per-payload fingerprint-key kernel: frame the (prefix-capped)
     * byte stream, sum 8 band energies per frame, take the
     * Haitsma-Kalker sign bit of the time-delta of each adjacent-band
-    * energy difference (7 bits per frame transition), and slide a
-    * 4-subfingerprint window into 28-bit keys. Deterministic integer
-    * math only — the DuckDB oracle replays it byte for byte from the
-    * same UTF-8 payload.
+    * energy difference with the band ring CLOSED (band 7 compares
+    * against band 0 — 8 bits per frame transition, the chromaprint
+    * circular-filter shape), and slide a 7-subfingerprint window into
+    * 56-bit keys held in a BIGINT. The r18/r19 100× probes taught the
+    * geometry lesson in two steps: the 28-bit key census saturated at
+    * replica scale, and a 32-bit lane-width bump alone barely moved
+    * the accidental pair mass — on low-entropy text-as-PCM payloads
+    * the 4-subfp sign patterns CONCENTRATE regardless of lane width,
+    * so the fix is LONGER windows (more frames per key = more entropy
+    * per key, the chromaprint production shape), measured ~linear
+    * pair mass in the r19 ledger. Deterministic integer math only —
+    * the DuckDB oracle replays it byte for byte from the same UTF-8
+    * payload.
     */
-  private[graft] def audioKeys(payload: Array[Byte]): Seq[Int] = {
+  private[graft] def audioKeys(payload: Array[Byte]): Seq[Long] = {
     if (payload == null) return Nil
     val nBytes = math.min(payload.length, AudioMaxBytes)
     if (nBytes < AudioFrameLen) return Nil
@@ -260,8 +270,9 @@ object Multimodal {
     f = 1
     while (f < nFrames) {
       var v = 0; var b = 0
-      while (b < AudioBands - 1) {
-        val d = (e(f)(b) - e(f)(b + 1)) - (e(f - 1)(b) - e(f - 1)(b + 1))
+      while (b < AudioBands) {
+        val b2 = (b + 1) % AudioBands // closed band ring: 8 bits/frame
+        val d = (e(f)(b) - e(f)(b2)) - (e(f - 1)(b) - e(f - 1)(b2))
         if (d > 0) v |= 1 << b
         b += 1
       }
@@ -270,7 +281,13 @@ object Multimodal {
     val nSub = nFrames - 1 // subfp indices 1..nFrames-1
     if (nSub < AudioKeySubfps) return Nil
     (1 to nSub - AudioKeySubfps + 1).map { s =>
-      (fp(s) << 21) | (fp(s + 1) << 14) | (fp(s + 2) << 7) | fp(s + 3)
+      var key = 0L
+      var j = 0
+      while (j < AudioKeySubfps) {
+        key = (key << 8) | fp(s + j).toLong
+        j += 1
+      }
+      key
     }
   }
 

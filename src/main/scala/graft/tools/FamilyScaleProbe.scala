@@ -72,6 +72,48 @@ object FamilyScaleProbe {
               x => concat(x, lit(s"_$k")))))
       }.reduce(_ unionAll _).localCheckpoint()
 
+    // AUDIO replicas need LENGTH-PRESERVING byte disjointness: the
+    // suffix-tagging docReplicas INSERTS ~2 bytes per token, so a
+    // replica is the same byte stream at small cumulative offsets —
+    // stretches where the insert total ≡ 0 (mod hop) frame-align with
+    // the original and cross-match (the r18 prepended-pad lesson in
+    // per-token form; measured 165× pair mass at R=10 before this
+    // fix). A per-replica AFFINE SUBSTITUTION over printable ASCII
+    // (multiplier coprime to the 94-char range) keeps every byte
+    // position fixed while scrambling byte values non-uniformly, so
+    // band-energy deltas decorrelate across replicas and the planted
+    // shift structure replicates exactly R×.
+    // ... with a PER-POSITION stride: only φ(94)=46 affine multipliers
+    // exist, so beyond 46 replicas two replicas must share one — and
+    // same-multiplier replicas differ by a uniform additive shift that
+    // band-energy DELTAS are invariant to (measured as 1.34× pair
+    // excess at R=100 before the stride). A replica-keyed stride per
+    // character position makes the byte difference position-dependent,
+    // which no delta cancellation survives.
+    val audioScramble = udf { (s: String, k: Int) =>
+      if (k == 0 || s == null) s
+      else {
+        val a0 = (2 * k + 1) % 94
+        val a = if (a0 % 47 == 0) a0 + 2 else a0
+        val stride = 1 + k % 89
+        val out = new StringBuilder(s.length)
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          out += (if (c >= 0x21 && c <= 0x7e)
+            (0x21 + ((c - 0x21) * a + k + i * stride) % 94).toChar
+          else c)
+          i += 1
+        }
+        out.toString
+      }
+    }
+    def audioReplicas(r: Int): DataFrame =
+      (0 until r).map { k =>
+        docs.select((col("doc_id") + k * dOff).as("doc_id"), col("source"),
+          audioScramble(col("text"), lit(k)).as("text"))
+      }.reduce(_ unionAll _).localCheckpoint()
+
     def embReplicas(r: Int): DataFrame =
       (0 until r).map { k =>
         val rot = 7 * k % dim
@@ -94,7 +136,7 @@ object FamilyScaleProbe {
     val families = Seq(
       Family("substring", r => docReplicas(r),
         in => graft.ext.Cleaning.substringDedupDf(in)),
-      Family("audio", r => docReplicas(r),
+      Family("audio", r => audioReplicas(r),
         in => graft.ext.Multimodal.audioNearDupPairs(
           graft.ext.Multimodal.plantedShiftedAudio(in, offset = 100000000L))),
       Family("graph_ann", r => embReplicas(r),
