@@ -261,6 +261,11 @@ object SparkEntry {
     "q_unigram_vocab"     -> ((s: SparkSession, d: String) => TextAnalysis.unigramVocab(s, d)),
     "q_unigram_tokenizer" -> ((s: SparkSession, d: String) => TextAnalysis.unigramStats(s, d)),
     "q_unigram_fertility" -> ((s: SparkSession, d: String) => TextAnalysis.unigramFertility(s, d)),
+    // rows-only (r19): the BPE×unigram comparison join — both trained
+    // vocabularies carry the adjudications above; the join itself is
+    // reconciled bit-for-bit vs its two halves in CorpusSpec and
+    // raises in-plan on word-count drift between the scoring halves
+    "q_tokenizer_bakeoff" -> ((s: SparkSession, d: String) => TextAnalysis.tokenizerBakeoff(s, d)),
     "q_shuffle_mix"       -> ((s: SparkSession, d: String) => ext.Corpus.shuffleMixAudit(s, d)),
     "q_repeat_schedule"   -> ((s: SparkSession, d: String) => ext.Corpus.repeatSchedule(s, d)),
     "q_truncation_loss"   -> ((s: SparkSession, d: String) => ext.Corpus.truncationLoss(s, d)),

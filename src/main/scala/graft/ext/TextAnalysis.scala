@@ -754,6 +754,49 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** The tokenizer BAKE-OFF — [[bpeFertility]] and [[unigramFertility]]
+    * joined into ONE per-source comparison table (the reason the two
+    * fertility frames deliberately share a schema): for every source,
+    * both schemes' token counts, fertilities, and chars-per-subword
+    * side by side plus their ratio, so "which tokenizer shreds this
+    * source less" is a one-scan read before freezing a vocabulary.
+    * Both halves tokenize the same corpus with the same word kernel,
+    * so their per-source word counts must agree EXACTLY — the join
+    * raises (not filters) on drift, making the invariant
+    * self-checking in every run.
+    *
+    * Rows-only check (SURVEY §8.4): both vocabularies come from the
+    * adjudicated iterative trainers (BPE merge loop, unigram hard-EM);
+    * the frozen-vocab scoring halves they feed ARE deterministic and
+    * the bake-off join is reconciled against the two independently
+    * computed fertility frames bit-for-bit in CorpusSpec.
+    */
+  def tokenizerBakeoff(spark: SparkSession, d: String): DataFrame = {
+    val b = bpeFertility(spark, d).select(col("source"), col("n_words"),
+      col("n_bpe_tokens"),
+      col("fertility").as("bpe_fertility"),
+      col("chars_per_subword").as("bpe_chars_per_subword"))
+    val u = unigramFertility(spark, d).select(col("source"),
+      col("n_words").as("n_words_u"),
+      col("n_subword_tokens").as("n_unigram_tokens"),
+      col("fertility").as("unigram_fertility"),
+      col("chars_per_subword").as("unigram_chars_per_subword"))
+    b.join(u, Seq("source"))
+      .withColumn("n_words",
+        when(col("n_words") === col("n_words_u"), col("n_words"))
+          .otherwise(raise_error(concat(
+            lit("tokenizer bake-off: word-count drift between the two "),
+            lit("scoring halves on source "), col("source")))))
+      .drop("n_words_u")
+      .select(col("source"), col("n_words"),
+        col("n_bpe_tokens"), col("n_unigram_tokens"),
+        col("bpe_fertility"), col("unigram_fertility"),
+        round(col("unigram_fertility") / col("bpe_fertility"), 6)
+          .as("fertility_ratio"),
+        col("bpe_chars_per_subword"), col("unigram_chars_per_subword"))
+      .orderBy(col("source"))
+  }
+
   /** Streaming BPE subword audit (foreachBatch stage): merges are
     * trained ONCE from the static base corpus before the stream starts
     * (`trainBase` is consumed eagerly — the rank map is a driver-side

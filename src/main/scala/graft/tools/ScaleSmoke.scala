@@ -86,7 +86,8 @@ object ScaleSmoke {
     "q_substring_excised" /* anchor chain + doc-keyed cut/rejoin; grows with duplicated mass */,
     "q_substring_incremental" /* delta anchors semi-join the frozen base gram index */,
     "q_moore_lewis" /* two vocab-keyed LM chains + gram-keyed scoring; linear in tokens */,
-    "q_filter_attribution" /* ensemble matrix + ONE stacked global aggregate */)
+    "q_filter_attribution" /* ensemble matrix + ONE stacked global aggregate */,
+    "q_tokenizer_bakeoff" /* both subword trainers + two source-keyed rollups; grows with word types */)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

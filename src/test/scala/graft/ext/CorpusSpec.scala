@@ -454,6 +454,32 @@ class CorpusSpec extends SparkTestBase {
     }, "vocab must be sorted by logprob desc")
   }
 
+  test("tokenizer bake-off: joins the two fertility frames bit-for-bit, ratio exact") {
+    val bake = TextAnalysis.tokenizerBakeoff(spark, sfDir).collect()
+    assert(bake.nonEmpty)
+    assert(TextAnalysis.tokenizerBakeoff(spark, sfDir).columns.toSeq == Seq(
+      "source", "n_words", "n_bpe_tokens", "n_unigram_tokens",
+      "bpe_fertility", "unigram_fertility", "fertility_ratio",
+      "bpe_chars_per_subword", "unigram_chars_per_subword"))
+    // the independently computed halves ARE the bake-off's cells
+    val bpe = TextAnalysis.bpeFertility(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val uni = TextAnalysis.unigramFertility(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(bake.map(_.getString(0)).toSet == bpe.keySet.intersect(uni.keySet))
+    bake.foreach { r =>
+      val src = r.getString(0)
+      val (bw, bt, bf, bc) = bpe(src)
+      val (uw, ut, uf, uc) = uni(src)
+      assert(bw == uw && r.getLong(1) == bw, s"word counts must agree: $r")
+      assert(r.getLong(2) == bt && r.getLong(3) == ut, s"token counts: $r")
+      assert(r.getDouble(4) == bf && r.getDouble(5) == uf, s"fertilities: $r")
+      assert(r.getDouble(7) == bc && r.getDouble(8) == uc, s"chars/subword: $r")
+      assert(r.getDouble(6) ==
+        math.floor(uf / bf * 1e6 + 0.5) / 1e6, s"ratio snap: $r")
+    }
+  }
+
   test("shuffle mix: hash order sits on the no-replacement baseline in aggregate") {
     val rows = Corpus.shuffleMixAudit(spark, sfDir).collect()
     assert(rows.nonEmpty)
