@@ -185,8 +185,10 @@ object Dedup {
   }
 
   /** MinHash signatures for the whole corpus: one row per doc with a
-    * `numHashes`-element array `sig` where sig[s] = min over shingles of
-    * xxhash64(shingle, s).
+    * `numHashes`-element array `sig` where sig[s] = min over shingles
+    * of the universal hash (a_s·h + b_s) mod P of the 28-bit
+    * md5-prefix shingle hash h (see [[minhashSigUdf]] — md5, not
+    * xxhash64, is what makes the family DuckDB-oracle-checkable).
     *
     * Shape matters at scale: shingles are materialized ONCE (explode), and
     * all `numHashes` min-hashes are computed in a single hash aggregate
