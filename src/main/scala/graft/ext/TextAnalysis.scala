@@ -476,17 +476,44 @@ object TextAnalysis {
       .toDF("rank", "left", "right", "merged")
   }
 
+  /** Session-cached trained subword tables (driver-side, ≤ maxVocab
+    * rows each) — both trainers are DETERMINISTIC functions of
+    * (corpus, params), so a cache hit is bit-identical to a retrain
+    * (the trainedNodeEmbeddings adjudication). Four registered
+    * queries consume each trained table (merges/vocab, stats,
+    * fertility, and the r19 bake-off which pays BOTH); before r19
+    * every one of them re-ran its full training (the unigram EM is 5
+    * distributed rounds) for an identical result. Builds bill to the
+    * `artifact_builds` sidecar; [[clearSessionCaches]] drops them so
+    * the cold bench still prices true first-pass training.
+    */
+  private val mergesCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int, Int), Vector[(String, String)]]()
+  private val unigramCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int, Int), Vector[(String, Double)]]()
+
   private def trainedMerges(spark: SparkSession, d: String, nMerges: Int,
-                            maxSampleDocs: Int, maxVocab: Int): Vector[(String, String)] = {
-    val freqs = Tables.documents(spark, d)
-      .filter(col("text").isNotNull && col("doc_id") < maxSampleDocs)
-      .select(explode(tokens(col("text"))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("word"))
-      .limit(maxVocab)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    graft.functions.BpeKernel.train(freqs, nMerges)
-  }
+                            maxSampleDocs: Int, maxVocab: Int): Vector[(String, String)] =
+    mergesCache.computeIfAbsent((spark, d, nMerges, maxSampleDocs, maxVocab), _ =>
+      graft.ArtifactLedger.timed("bpe_merges") {
+        val freqs = Tables.documents(spark, d)
+          .filter(col("text").isNotNull && col("doc_id") < maxSampleDocs)
+          .select(explode(tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("word"))
+          .limit(maxVocab)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        graft.functions.BpeKernel.train(freqs, nMerges)
+      })
+
+  /** The session unigram-LM piece table (trained once per (session,
+    * dir, targetVocab) — see [[mergesCache]]'s scaladoc).
+    */
+  private def sessionUnigramPieces(spark: SparkSession, d: String,
+                                   targetVocab: Int): Vector[(String, Double)] =
+    unigramCache.computeIfAbsent((spark, d, targetVocab, 3, 8192), _ =>
+      graft.ArtifactLedger.timed("unigram_pieces")(
+        trainUnigramDistributed(unigramWordFreqs(spark, d), targetVocab)))
 
   /** Per-document subword statistics under the trained BPE merges — the
     * token-budget audit a pipeline runs before paying for a training
@@ -598,7 +625,7 @@ object TextAnalysis {
     */
   def unigramVocab(spark: SparkSession, d: String,
                    targetVocab: Int = 2048): DataFrame = {
-    val pieces = trainUnigramDistributed(unigramWordFreqs(spark, d), targetVocab)
+    val pieces = sessionUnigramPieces(spark, d, targetVocab)
     import spark.implicits._
     pieces.zipWithIndex.map { case ((p, lp), i) =>
       (i.toLong, p, math.floor(lp * 1e6 + 0.5).toLong / 1e6)
@@ -687,7 +714,7 @@ object TextAnalysis {
     */
   def unigramStats(spark: SparkSession, d: String,
                    targetVocab: Int = 2048): DataFrame = {
-    val logp = trainUnigramDistributed(unigramWordFreqs(spark, d), targetVocab).toMap
+    val logp = sessionUnigramPieces(spark, d, targetVocab).toMap
     unigramStatsWithVocab(Tables.fanOut(Tables.documents(spark, d)), logp)
   }
 
@@ -731,7 +758,7 @@ object TextAnalysis {
     */
   def unigramFertility(spark: SparkSession, d: String,
                        targetVocab: Int = 2048): DataFrame = {
-    val logp = trainUnigramDistributed(unigramWordFreqs(spark, d), targetVocab).toMap
+    val logp = sessionUnigramPieces(spark, d, targetVocab).toMap
     val segLen = udf { w: String =>
       graft.functions.UnigramKernel.viterbi(w, logp).length.toLong
     }
@@ -1269,6 +1296,9 @@ object TextAnalysis {
     dropSession(c5Cache, spark)(releaseFrame)
     dropSession(cnts5Cache, spark)(releaseFrame)
     dropSession(smoothCache, spark)(releaseFrame)
+    // driver-side trained tables: nothing to release, just drop
+    dropSession(mergesCache, spark)(_ => ())
+    dropSession(unigramCache, spark)(_ => ())
   }
 
   private def sessionBigramCounts(spark: SparkSession, d: String): DataFrame =

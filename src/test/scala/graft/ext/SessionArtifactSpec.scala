@@ -133,4 +133,18 @@ class SessionArtifactSpec extends SparkTestBase {
     assert(rows(Search.bm25BlockMaxBounds(spark, sfDir)) ==
       rows(Search.bm25BlockMaxBoundsDf(docs)))
   }
+
+  test("trained subword tables: session cache hit is bit-identical to a retrain (r19)") {
+    // both trainers are deterministic functions of (corpus, params), so
+    // cached-vs-cleared results must match bit for bit — the trainer
+    // caches joined the session-artifact program in r19
+    val cached = (rows(TextAnalysis.unigramVocab(spark, sfDir)),
+      rows(TextAnalysis.bpeMerges(spark, sfDir)),
+      rows(TextAnalysis.tokenizerBakeoff(spark, sfDir)))
+    graft.SessionCaches.clearAll(spark)
+    val retrained = (rows(TextAnalysis.unigramVocab(spark, sfDir)),
+      rows(TextAnalysis.bpeMerges(spark, sfDir)),
+      rows(TextAnalysis.tokenizerBakeoff(spark, sfDir)))
+    assert(cached == retrained, "trainer cache must be result-invisible")
+  }
 }
