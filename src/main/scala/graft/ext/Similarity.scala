@@ -2512,6 +2512,36 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")))
     val edges = Freeze.scoped(checkpoint, undirectedEdges(knnGraphDf(baseEmb)))
     val entry = emb.agg(min(col("vec_id"))).head().getLong(0)
+    graphAnnServeWriter(queryStream, emb, edges, entry, outPath, checkpoint,
+      k, beamWidth, rounds, triggerMs)
+  }
+
+  /** [[graphAnnServeSink]] over EXPLICIT pre-built serve state — the
+    * [[bucketedAnnState]] consumer for a LONG-LIVED serving stream:
+    * the bucketed on-disk snapshot replaces the session-frozen
+    * localCheckpoints (nothing to pin or release; the In-filter
+    * gathers prune to the candidates' buckets on every trigger — the
+    * 100 TB shape, where the snapshot outlives any one driver).
+    * Same [[graphAnnCore]] recurrence, so per-batch outputs union to
+    * [[graphAnnServeOnceOn]] on the same queries (StreamingSpec
+    * parity). `entry` pins the snapshot's entry point (derive it once
+    * at snapshot build with `min(vec_id)`).
+    */
+  def graphAnnServeSinkOn(queryStream: DataFrame, emb: DataFrame,
+                          edges: DataFrame, entry: Long,
+                          outPath: String, checkpoint: String,
+                          k: Int = 5, beamWidth: Int = GraphAnnBeamWidth,
+                          rounds: Int = GraphAnnRounds, triggerMs: Long = 10000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    graphAnnServeWriter(queryStream, emb, edges, entry, outPath, checkpoint,
+      k, beamWidth, rounds, triggerMs)
+
+  private def graphAnnServeWriter(queryStream: DataFrame, emb: DataFrame,
+                                  edges: DataFrame, entry: Long,
+                                  outPath: String, checkpoint: String,
+                                  k: Int, beamWidth: Int, rounds: Int,
+                                  triggerMs: Long)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queryStream.writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
@@ -2529,7 +2559,6 @@ object Similarity {
             .write.mode("append").parquet(outPath)
         }
       }
-  }
 
   /** One-shot serve-mode parity reference for [[graphAnnServeSink]]
     * (external queries, no self-exclusion) — what the union of the

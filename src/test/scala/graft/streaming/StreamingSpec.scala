@@ -781,6 +781,30 @@ class StreamingSpec extends SparkTestBase {
     val top1 = split.toSeq.filter(_(1) == 1).map(r => r(0) -> r(2)).toMap
     assert(top1 == Map(100L -> 0L, 101L -> 2L, 102L -> 4L),
       s"wrong nearest neighbors: $top1")
+    // BUCKETED serve state drives the same stream to the same results
+    // (the long-lived-snapshot deployment shape; nothing frozen/pinned)
+    val prefix = s"gann_sink_state_${System.nanoTime()}"
+    val (embT, edgesT) =
+      graft.ext.Similarity.bucketedAnnState(spark, base, prefix, buckets = 4)
+    try {
+      val input = MemoryStream[(Long, Array[Float])]
+      val out = Files.createTempDirectory("gannb_out").toString
+      val ckpt = Files.createTempDirectory("gannb_ckpt").toString
+      val query = graft.ext.Similarity.graphAnnServeSinkOn(
+        input.toDF().toDF("vec_id", "embedding"), embT, edgesT, entry = 0L,
+        out, ckpt, k = 2, triggerMs = 50L).start()
+      try {
+        Seq(batch1, batch2).foreach { b =>
+          input.addData(b: _*); query.processAllAvailable() }
+      } finally query.stop()
+      val bucketed = spark.read.parquet(out).drop("batch_id")
+        .collect().map(_.toSeq).toSet
+      assert(bucketed == split,
+        s"bucketed-state sink diverged from the frozen-state sink: $bucketed vs $split")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_emb")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_edges")
+    }
   }
 
   test("streaming semantic decontamination: frozen eval slice, per-batch parity") {
