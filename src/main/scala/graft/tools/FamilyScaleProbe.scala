@@ -136,6 +136,12 @@ object FamilyScaleProbe {
     val families = Seq(
       Family("substring", r => docReplicas(r),
         in => graft.ext.Cleaning.substringDedupDf(in)),
+      // minhash: token-suffix replicas are exactly right here (shingle
+      // identities scatter per replica — no byte-alignment concern,
+      // shingles are token-level), so true near-dup mass replicates R×
+      // and the banded self-join's wall should track it
+      Family("minhash", r => docReplicas(r),
+        in => graft.ext.Dedup.minhashCandidatePairsDf(in)),
       Family("audio", r => audioReplicas(r),
         in => graft.ext.Multimodal.audioNearDupPairs(
           graft.ext.Multimodal.plantedShiftedAudio(in, offset = 100000000L))),
