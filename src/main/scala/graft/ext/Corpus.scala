@@ -1584,18 +1584,27 @@ object Corpus {
     val spans = filter(
       zip_with(starts, ends, (s, e) => struct(s.as("s"), e.as("e"))),
       p => p("s") <= p("e"))
+    // fingerprint INSIDE the array domain, then explode only the
+    // finished 4-field structs: the earlier posexplode-then-project
+    // form carried the doc's FULL token array on every generated chunk
+    // row (the md5 projection read `t` after the generate), so the
+    // explode intermediate was token-array × n_chunks — measured as a
+    // 58× wall cliff at 100× replicas (spill) where the output mass
+    // was linear; this form re-probed at-most-linear (BASELINE r19)
+    val chunks = transform(spans, (p, i) => struct(
+      i.cast("long").as("chunk_id"),
+      p("s").cast("long").as("start_tok"),
+      (p("e") - p("s") + 1).cast("long").as("n_tokens"),
+      md5(concat_ws(" ", slice(t, p("s"), p("e") - p("s") + 1)).cast("binary"))
+        .as("chunk_md5")))
     docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
       .withColumn("n", size(t))
       .withColumn("b", bounds)
-      .select(col("doc_id"), t, posexplode(spans).as(Seq("chunk_id", "p")))
-      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-        col("p.s").cast("long").as("start_tok"),
-        (col("p.e") - col("p.s") + 1).cast("long").as("n_tokens"),
-        md5(concat_ws(" ",
-          slice(t, col("p.s"), col("p.e") - col("p.s") + 1)).cast("binary"))
-          .as("chunk_md5"))
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.start_tok"),
+        col("c.n_tokens"), col("c.chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 

@@ -801,8 +801,16 @@ object Dedup {
   /** SimHash near-dup pairs: bucket by each of four 16-bit chunks
     * (pigeonhole guarantee for Hamming distance ≤ 3), verify exactly.
     */
-  def simhashNearDups(spark: SparkSession, d: String, maxDist: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(spark, d)
+  def simhashNearDups(spark: SparkSession, d: String, maxDist: Int = 3): DataFrame =
+    simhashNearDupsOn(simhashSignatures(spark, d), maxDist)
+
+  /** DataFrame form (docs must have doc_id + text) — the probe/fixture
+    * entry point, same chunk-keyed kernel.
+    */
+  def simhashNearDupsDf(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    simhashNearDupsOn(simhashSignaturesDf(docs), maxDist)
+
+  private def simhashNearDupsOn(sigs: DataFrame, maxDist: Int): DataFrame = {
     // 4 pigeonhole chunks of 15 bits each (60-bit signature): hamming
     // <= 3 implies at least one chunk is untouched, so the chunk-keyed
     // bucket join is an EXACT candidate generator for maxDist <= 3

@@ -142,6 +142,10 @@ object FamilyScaleProbe {
       // and the banded self-join's wall should track it
       Family("minhash", r => docReplicas(r),
         in => graft.ext.Dedup.minhashCandidatePairsDf(in)),
+      Family("simhash", r => docReplicas(r),
+        in => graft.ext.Dedup.simhashNearDupsDf(in)),
+      Family("cdc", r => docReplicas(r),
+        in => graft.ext.Corpus.cdcChunkDedupDf(in)),
       Family("audio", r => audioReplicas(r),
         in => graft.ext.Multimodal.audioNearDupPairs(
           graft.ext.Multimodal.plantedShiftedAudio(in, offset = 100000000L))),
