@@ -1522,19 +1522,26 @@ object Corpus {
     val nChunks = when(col("n") <= chunk, lit(1L))
       .otherwise(floor((col("n") - chunk + (stride - 1)).cast("double") / stride)
         .cast("long") + 1)
-    val start = (col("chunk_id") * stride + 1)
-    val nTok = least(lit(chunk.toLong), col("n") - col("chunk_id") * stride)
+    // fingerprint inside the array domain, explode finished structs —
+    // the cdcChunksDf spill-cliff lesson (BASELINE r19): the earlier
+    // explode(sequence)-then-project form carried the full token array
+    // on every chunk row
+    val chunksArr = transform(sequence(lit(0L), nChunks - 1), cid => {
+      val start = cid * stride + 1
+      val nTok = least(lit(chunk.toLong), col("n") - cid * stride)
+      struct(cid.as("chunk_id"), start.as("start_tok"),
+        nTok.as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("t"), start.cast("int"), nTok.cast("int"))).cast("binary"))
+          .as("chunk_md5"))
+    })
     docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), t.as("t"))
       .withColumn("n", size(col("t")).cast("long"))
-      .select(col("doc_id"), col("t"), col("n"),
-        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
-      .select(col("doc_id"), col("chunk_id"),
-        start.as("start_tok"), nTok.as("n_tokens"),
-        md5(concat_ws(" ",
-          slice(col("t"), start.cast("int"), nTok.cast("int"))).cast("binary"))
-          .as("chunk_md5"))
+      .select(col("doc_id"), explode(chunksArr).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.start_tok"),
+        col("c.n_tokens"), col("c.chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 

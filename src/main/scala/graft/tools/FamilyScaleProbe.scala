@@ -146,6 +146,8 @@ object FamilyScaleProbe {
         in => graft.ext.Dedup.simhashNearDupsDf(in)),
       Family("cdc", r => docReplicas(r),
         in => graft.ext.Corpus.cdcChunkDedupDf(in)),
+      Family("docchunks", r => docReplicas(r),
+        in => graft.ext.Corpus.docChunksDf(in, 64, 48)),
       Family("audio", r => audioReplicas(r),
         in => graft.ext.Multimodal.audioNearDupPairs(
           graft.ext.Multimodal.plantedShiftedAudio(in, offset = 100000000L))),
