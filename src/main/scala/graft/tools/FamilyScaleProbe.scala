@@ -148,6 +148,14 @@ object FamilyScaleProbe {
         in => graft.ext.Corpus.cdcChunkDedupDf(in)),
       Family("docchunks", r => docReplicas(r),
         in => graft.ext.Corpus.docChunksDf(in, 64, 48)),
+      Family("spandedup", r => docReplicas(r),
+        in => graft.ext.Cleaning.spanDedupStatsDf(in)),
+      Family("paragraph", r => docReplicas(r),
+        in => graft.ext.Cleaning.paragraphDedupStatsDf(in)),
+      Family("winnow", r => docReplicas(r),
+        in => graft.ext.Cleaning.winnowSpanDedupStatsDf(in)),
+      Family("containment", r => docReplicas(r),
+        in => graft.ext.Dedup.ngramContainmentCorpusDf(in)),
       Family("audio", r => audioReplicas(r),
         in => graft.ext.Multimodal.audioNearDupPairs(
           graft.ext.Multimodal.plantedShiftedAudio(in, offset = 100000000L))),
