@@ -150,21 +150,33 @@ object Graph {
     dropSession(triCache, spark) { case (a, b) => releaseFrame(a); releaseFrame(b) }
   }
 
+  // Both shared tables checkpoint KEYED on src (GraftSql.
+  // localCheckpointKeyedBy): plain localCheckpoint reports
+  // UnknownPartitioning under AQE (measured on 4.1.2 — the textrank
+  // repartition-before-checkpoint comment's premise no longer holds),
+  // so every iterative consumer re-exchanged the edge table on src
+  // once per round. The keyed checkpoint pays ONE exchange+sort at
+  // build and stamps the layout into the plan, so each round's
+  // src-keyed join co-partitions against it with no edge-side exchange
+  // and no edge-side sort at any scale (the session-lifetime form of a
+  // bucketed table).
   private[ext] def sessionEdges(spark: SparkSession, d: String): DataFrame =
     edgeCache.computeIfAbsent((spark, d), _ =>
       graft.ArtifactLedger.timed("graph_edges")(
-        graft.storage.ArtifactStore.cachedFrame(spark, "graph_edges", d)(
-          linkEdgesDf(Tables.fanOut(Tables.documents(spark, d))))
-          .localCheckpoint()))
+        org.apache.spark.sql.GraftSql.localCheckpointKeyedBy(
+          graft.storage.ArtifactStore.cachedFrame(spark, "graph_edges", d)(
+            linkEdgesDf(Tables.fanOut(Tables.documents(spark, d)))),
+          Seq("src"))))
 
   private[ext] def sessionUndirected(spark: SparkSession, d: String): DataFrame =
     undCache.computeIfAbsent((spark, d), _ => graft.ArtifactLedger.timed("graph_undirected") {
-      graft.storage.ArtifactStore.cachedFrame(spark, "graph_undirected", d) {
-        val e = sessionEdges(spark, d)
-        e.select(col("src"), col("dst"))
-          .union(e.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct()
-      }.localCheckpoint()
+      org.apache.spark.sql.GraftSql.localCheckpointKeyedBy(
+        graft.storage.ArtifactStore.cachedFrame(spark, "graph_undirected", d) {
+          val e = sessionEdges(spark, d)
+          e.select(col("src"), col("dst"))
+            .union(e.select(col("dst").as("src"), col("src").as("dst")))
+            .distinct()
+        }, Seq("src"))
     })
 
   /** Per-node degree table over the full frontier: (doc_id, out_deg,
@@ -1602,10 +1614,15 @@ object Graph {
     var anyLeft = true
     while (anyLeft && p < peels) {
       val un = state.filter(col("scc_id").isNull).select(col("doc_id"))
-      val e = edges
-        .join(un.withColumnRenamed("doc_id", "src"), Seq("src"), "left_semi")
-        .join(un.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi")
-        .localCheckpoint()
+      // keyed on src (the forward loop's per-round join key; stamped
+      // layout — see sessionEdges): the live subgraph is re-joined
+      // `rounds` times per peel, the backward loop re-keys on dst as
+      // before
+      val e = org.apache.spark.sql.GraftSql.localCheckpointKeyedBy(
+        edges
+          .join(un.withColumnRenamed("doc_id", "src"), Seq("src"), "left_semi")
+          .join(un.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi"),
+        Seq("src"))
       // forward min-label over the live subgraph, early-exit at fixpoint
       var f = un.select(col("doc_id"), col("doc_id").as("flabel"))
         .localCheckpoint()
@@ -1811,12 +1828,30 @@ object Graph {
     */
   def kcoreMembership(spark: SparkSession, d: String,
                       rounds: Int = KcoreRounds): DataFrame =
-    kcoreMembershipDf(Tables.fanOut(Tables.documents(spark, d)), rounds)
+    // the registered query peels the SHARED src-keyed undirected
+    // artifact (the labelPropagation discipline) — building a private
+    // copy per query re-ran the corpus-sized union+distinct every run,
+    // and the r19 keyed-checkpoint build made that per-query cost
+    // visible (+0.9 s at sf0.1); the session artifact amortizes it and
+    // its stamped src layout makes the degree aggregate exchange-free
+    kcoreMembershipOn(Tables.fanOut(Tables.documents(spark, d)),
+      sessionUndirected(spark, d), rounds, releaseUnd = false)
 
   def kcoreMembershipDf(docs: DataFrame, rounds: Int = KcoreRounds): DataFrame = {
+    val (und, _) = undirectedWithDegrees(docs)
+    kcoreMembershipOn(docs, und, rounds, releaseUnd = true)
+  }
+
+  /** The peel loop over an ALREADY-CHECKPOINTED undirected table — the
+    * registered query passes the shared [[sessionUndirected]] with
+    * `releaseUnd = false` (cached frames are read-only).
+    */
+  private def kcoreMembershipOn(docs: DataFrame, und: DataFrame, rounds: Int,
+                                releaseUnd: Boolean): DataFrame = {
     require(rounds >= 1, s"kcore needs >= 1 round, got $rounds")
-    val (und, udeg0) = undirectedWithDegrees(docs, bySrc = true)
-    val udeg = udeg0.localCheckpoint()
+    val udeg = und.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("udeg"))
+      .localCheckpoint()
     // k = floor(5 * sum / (8 * count)) — both products exact in
     // doubles (sums < 2^50), one IEEE division, identical in DuckDB
     val kRow = udeg.agg(
@@ -1858,7 +1893,7 @@ object Graph {
       alive = next
       r += 1
     }
-    org.apache.spark.sql.GraftSql.releaseCheckpoint(und)
+    if (releaseUnd) org.apache.spark.sql.GraftSql.releaseCheckpoint(und)
     docs.select(col("doc_id"))
       .join(udeg, Seq("doc_id"), "left")
       .join(alive.withColumn("in_kcore", lit(true)), Seq("doc_id"), "left")
@@ -1952,18 +1987,15 @@ object Graph {
     * Returns (und, udeg) with und checkpointed; the caller owns the
     * release.
     */
-  private def undirectedWithDegrees(docs: DataFrame,
-                                    bySrc: Boolean = false): (DataFrame, DataFrame) = {
+  private def undirectedWithDegrees(docs: DataFrame): (DataFrame, DataFrame) = {
     val e = linkEdgesDf(docs).localCheckpoint()
-    // bySrc: checkpoint PRE-PARTITIONED on src for ITERATING consumers
-    // (the k-core peel re-reads the table src-keyed every round — the
-    // big side crosses the wire once here, only the small alive set
-    // moves per round); single-pass consumers (triangles) skip the
-    // extra exchange
-    val und0 = e.select(col("src"), col("dst"))
+    // (the former bySrc repartition-before-checkpoint variant is gone:
+    // its premise — checkpoint preserves outputPartitioning — does not
+    // hold under AQE on 4.1.2, and its only consumer, the k-core peel,
+    // now iterates the shared src-KEYED sessionUndirected artifact)
+    val und = e.select(col("src"), col("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    val und = (if (bySrc) und0.repartition(col("src")) else und0)
       .localCheckpoint()
     org.apache.spark.sql.GraftSql.releaseCheckpoint(e)
     val udeg = und.groupBy(col("src").as("doc_id"))

@@ -306,15 +306,20 @@ object TextAnalysis {
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
       .filter(length(col("a")) >= minLen && length(col("b")) >= minLen &&
         col("a") =!= col("b"))
-    // the distinct's exchange hashes (doc_id, a, b); repartitioning on
-    // the ITERATION join key (doc_id, a) before the checkpoint lets all
-    // `iters` contribution joins reuse the stored partitioning instead
-    // of re-shuffling the edge table every round (checkpoint preserves
-    // outputPartitioning)
+    // plain checkpoint, and no repartition: the old
+    // repartition(doc_id, a) was built on "checkpoint preserves
+    // outputPartitioning", which no longer holds under AQE (measured
+    // on 4.1.2 — the checkpoint reports UnknownPartitioning), so it
+    // was a pure extra exchange; and the STAMPED keyed checkpoint
+    // (GraftSql.localCheckpointKeyedBy, the sessionEdges discipline)
+    // was measured SLOWER here — this frame is per-QUERY, so its extra
+    // materialization+sort pass is in the timed path every run and the
+    // few per-round exchange savings do not recoup it (4.36 vs 3.66 s;
+    // session-SHARED artifacts amortize that build, per-query frames
+    // do not)
     val edges = pairs
       .union(pairs.select(col("doc_id"), col("b").as("a"), col("a").as("b")))
       .distinct()
-      .repartition(col("doc_id"), col("a"))
       .localCheckpoint()
     val nodes = toksed
       .select(col("doc_id"), explode(col("t")).as("tok"))
