@@ -290,85 +290,150 @@ object TextAnalysis {
                        minLen: Int = TextrankMinLen): DataFrame =
     textrankKeywordsDf(sessionTokens(spark, d), iters, topK, minLen)
 
-  /** DataFrame form (docs must have doc_id + text). */
+  /** One keyword row of the per-doc kernel's result array. */
+  private[graft] case class TextrankKeyword(rk: Int, term: String,
+                                            rank_nano: Long)
+
+  /** DataFrame form (docs must have doc_id + text).
+    *
+    * Execution shape (r19): the recurrence is PER-DOCUMENT
+    * self-contained — every join and aggregate of the former
+    * distributed form keyed on (doc_id, term), no cross-document
+    * state — so the whole iteration runs as a per-doc kernel over the
+    * token array in ONE narrow pass: no co-occurrence edge frame, no
+    * per-round shuffles, no `iters` × 3 join jobs (the former shape
+    * paid ~40 Spark jobs per query and was the most expensive bench
+    * resident at 5.5 s; the optimization guide's first rule — fix the
+    * distributed algorithm before the per-task work — lands here as
+    * "don't distribute what never crosses documents"). At 100 TB the
+    * operator is now scan-bound with zero exchanges before the final
+    * presentation sort; per-task memory is one document's distinct
+    * tokens + edges, the same order as the row being read.
+    *
+    * The kernel replays the exact-integer nano-rank recurrence
+    * BIT-FOR-BIT (same snap() floor arithmetic, same IEEE-754 double
+    * divisions, Long inflow/dangling sums are order-free, top-K
+    * tie-break on UTF-8 byte order = Spark/DuckDB binary collation),
+    * so the DuckDB oracle unroll — unchanged — still hash-matches;
+    * equivalence is asserted by the tri-scale oracle gate and the
+    * kernel edge-case spec rather than trusted.
+    */
   def textrankKeywordsDf(docs: DataFrame, iters: Int = Graph.RankIters,
                          topK: Int = TextrankTopK,
                          minLen: Int = TextrankMinLen): DataFrame = {
     require(iters >= 1, s"textrank needs >= 1 iteration, got $iters")
     val toksed = nonNullText(docs)
       .select(col("doc_id"), toksOf(docs).as("t"))
-    // adjacent co-occurrence pairs over the ORIGINAL sequence, then
-    // the length floor and self-loop drop; undirected = both directions
-    val pairs = toksed.filter(size(col("t")) >= 2)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(1, size(t) - 1), " +
-          "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))")).as("p"))
-      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-      .filter(length(col("a")) >= minLen && length(col("b")) >= minLen &&
-        col("a") =!= col("b"))
-    // plain checkpoint, and no repartition: the old
-    // repartition(doc_id, a) was built on "checkpoint preserves
-    // outputPartitioning", which no longer holds under AQE (measured
-    // on 4.1.2 — the checkpoint reports UnknownPartitioning), so it
-    // was a pure extra exchange; and the STAMPED keyed checkpoint
-    // (GraftSql.localCheckpointKeyedBy, the sessionEdges discipline)
-    // was measured SLOWER here — this frame is per-QUERY, so its extra
-    // materialization+sort pass is in the timed path every run and the
-    // few per-round exchange savings do not recoup it (4.36 vs 3.66 s;
-    // session-SHARED artifacts amortize that build, per-query frames
-    // do not)
-    val edges = pairs
-      .union(pairs.select(col("doc_id"), col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .localCheckpoint()
-    val nodes = toksed
-      .select(col("doc_id"), explode(col("t")).as("tok"))
-      .filter(length(col("tok")) >= minLen)
-      .distinct()
-    val nn = nodes.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val dg = edges.groupBy(col("doc_id"), col("a").as("tok"))
-      .agg(count(lit(1)).as("deg"))
-    // per-node state: (doc_id, tok, deg, n, rank_nano); r0 = snap(1e9/n)
-    var state = nodes.join(nn, Seq("doc_id"))
-      .join(dg, Seq("doc_id", "tok"), "left")
-      .select(col("doc_id"), col("tok"),
-        coalesce(col("deg"), lit(0L)).as("deg"), col("n"),
-        Graph.snap(lit(1e9) / col("n")).as("rank_nano"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val contribs = state.filter(col("deg") > 0)
-        .select(col("doc_id"), col("tok").as("a"),
-          Graph.snap(col("rank_nano").cast("double") / col("deg")).as("c"))
-        .join(edges, Seq("doc_id", "a"))
-        .groupBy(col("doc_id"), col("b").as("tok"))
-        .agg(sum(col("c")).as("inflow"))
-      val dang = state.groupBy(col("doc_id"))
-        .agg(coalesce(sum(when(col("deg") === 0, col("rank_nano"))), lit(0L))
-          .as("dang"))
-      val next = state.select(col("doc_id"), col("tok"), col("deg"), col("n"))
-        .join(contribs, Seq("doc_id", "tok"), "left")
-        .join(dang, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("tok"), col("deg"), col("n"),
-          (Graph.snap(lit((1.0 - Graph.Damping) * 1e9) / col("n")) +
-            Graph.snap(lit(Graph.Damping) *
-              (coalesce(col("inflow"), lit(0L)) +
-                Graph.snap(coalesce(col("dang"), lit(0L)).cast("double") / col("n")))
-                .cast("double"))).as("rank_nano"))
-        .localCheckpoint()
-      org.apache.spark.sql.GraftSql.releaseCheckpoint(state)
-      state = next
+    val kern = udf { toks: scala.collection.Seq[String] =>
+      textrankKernel(toks, iters, topK, minLen)
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("rank_nano").desc, col("term"))
-    val out = state
-      .select(col("doc_id"), col("tok").as("term"), col("rank_nano"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
-      .select(col("doc_id"), col("rk"), col("term"), col("rank_nano"))
+    toksed
+      .select(col("doc_id"), explode(kern(col("t"))).as("kw"))
+      .select(col("doc_id"), col("kw.rk").as("rk"),
+        col("kw.term").as("term"), col("kw.rank_nano").as("rank_nano"))
       .orderBy(col("doc_id"), col("rk"))
-    org.apache.spark.sql.GraftSql.releaseCheckpoint(edges)
-    out
+  }
+
+  /** floor(x + 0.5) — [[Graph.snap]]'s column arithmetic verbatim. */
+  @inline private def snapD(x: Double): Long = math.floor(x + 0.5).toLong
+
+  /** Character (code point) count — Spark `length()` semantics on a
+    * string column (UTF8String.numChars), not UTF-16 code units.
+    */
+  @inline private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
+  /** The per-document TextRank recurrence (Mihalcea & Tarau) over one
+    * token array — the distributed form's arithmetic, replayed
+    * locally:
+    *
+    *  - nodes: distinct tokens with >= `minLen` characters
+    *  - edges: DISTINCT adjacent (a, b) pairs of qualifying tokens,
+    *    a != b, both directions; deg(a) = distinct neighbors
+    *  - r0 = snap(1e9 / n); per round:
+    *    contrib(a) = snap(rank(a) / deg(a)) per out-edge,
+    *    inflow(v) = Σ contrib over in-edges  (exact Long sum),
+    *    dang = Σ rank(u) over deg(u) = 0     (exact Long sum),
+    *    rank'(v) = snap((1-d)·1e9 / n)
+    *             + snap(d · (inflow(v) + snap(dang / n)))
+    *  - output: top `topK` by (rank_nano DESC, term ASC in UTF-8 byte
+    *    order — the binary collation Spark and DuckDB sort strings by)
+    *
+    * Returns an empty result when the document has no qualifying
+    * token (the former frame simply had no rows for that doc).
+    */
+  private[graft] def textrankKernel(toks: scala.collection.Seq[String],
+                                    iters: Int, topK: Int,
+                                    minLen: Int): Array[TextrankKeyword] = {
+    val nToks = toks.length
+    val id = new java.util.HashMap[String, Integer](nToks * 2)
+    val terms = new scala.collection.mutable.ArrayBuffer[String]()
+    def idOf(s: String): Int = {
+      val e = id.get(s)
+      if (e != null) e.intValue()
+      else { id.put(s, terms.length); terms += s; terms.length - 1 }
+    }
+    var i = 0
+    while (i < nToks) {
+      if (cpLen(toks(i)) >= minLen) idOf(toks(i))
+      i += 1
+    }
+    val n = terms.length
+    if (n == 0) return Array.empty
+    // distinct undirected edges as packed (src << 32 | dst) int pairs
+    val edgeSet = new java.util.HashSet[java.lang.Long]()
+    i = 0
+    while (i < nToks - 1) {
+      val a = toks(i); val b = toks(i + 1)
+      if (a != b && cpLen(a) >= minLen && cpLen(b) >= minLen) {
+        val ia = idOf(a).toLong; val ib = idOf(b).toLong
+        edgeSet.add((ia << 32) | ib)
+        edgeSet.add((ib << 32) | ia)
+      }
+      i += 1
+    }
+    val deg = new Array[Long](n)
+    val m = edgeSet.size()
+    val eSrc = new Array[Int](m); val eDst = new Array[Int](m)
+    var k = 0
+    val it = edgeSet.iterator()
+    while (it.hasNext) {
+      val e = it.next().longValue()
+      val s = (e >>> 32).toInt
+      eSrc(k) = s; eDst(k) = (e & 0xFFFFFFFFL).toInt
+      deg(s) += 1L; k += 1
+    }
+    var rank = Array.fill(n)(snapD(1e9 / n))
+    val teleport = snapD((1.0 - Graph.Damping) * 1e9 / n)
+    var r = 0
+    while (r < iters) {
+      val inflow = new Array[Long](n)
+      var dang = 0L
+      var v = 0
+      while (v < n) { if (deg(v) == 0L) dang += rank(v); v += 1 }
+      k = 0
+      while (k < m) {
+        inflow(eDst(k)) += snapD(rank(eSrc(k)).toDouble / deg(eSrc(k)))
+        k += 1
+      }
+      val dShare = snapD(dang.toDouble / n)
+      val next = new Array[Long](n)
+      v = 0
+      while (v < n) {
+        next(v) = teleport +
+          snapD(Graph.Damping * (inflow(v) + dShare).toDouble)
+        v += 1
+      }
+      rank = next; r += 1
+    }
+    val byRank = Array.range(0, n).sortWith { (x, y) =>
+      if (rank(x) != rank(y)) rank(x) > rank(y)
+      else java.util.Arrays.compareUnsigned(
+        terms(x).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        terms(y).getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    }
+    Array.tabulate(math.min(topK, n)) { j =>
+      TextrankKeyword(j + 1, terms(byRank(j)), rank(byRank(j)))
+    }
   }
 
   /** Streaming form of [[textrankKeywordsDf]] (foreachBatch stage):

@@ -212,6 +212,24 @@ class CleaningSpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq && a.nonEmpty)
   }
 
+  test("textrank kernel: exact nano arithmetic, self-loop drop, UTF-8 tiebreak") {
+    import graft.ext.TextAnalysis.textrankKernel
+    // two mutually-adjacent words: deg 1 each, n = 2, fixpoint at
+    // r0 = snap(1e9/2) = 5e8 every round (teleport 75000000 +
+    // snap(0.85 * 5e8) = 425000000); 'mill' < 'wind' in byte order
+    val two = textrankKernel(Seq("wind", "mill", "wind", "mill"), 4, 3, 4)
+    assert(two.toSeq.map(kw => (kw.rk, kw.term, kw.rank_nano)) ==
+      Seq((1, "mill", 500000000L), (2, "wind", 500000000L)), two.toSeq)
+    // adjacent IDENTICAL tokens open no edge: one isolated node keeps
+    // the full teleport+dangling mass, rank stays snap(1e9/1) = 1e9
+    val solo = textrankKernel(Seq("solitude", "solitude"), 4, 3, 4)
+    assert(solo.toSeq.map(kw => (kw.rk, kw.term, kw.rank_nano)) ==
+      Seq((1, "solitude", 1000000000L)), solo.toSeq)
+    // no qualifying token -> empty result (doc absent downstream)
+    assert(textrankKernel(Seq("a", "of", "it"), 4, 3, 4).isEmpty)
+    assert(textrankKernel(Nil, 4, 3, 4).isEmpty)
+  }
+
   test("winnowing stats and matches: planted passage must surface; density in band") {
     val passage = (1 to 12).map(i => s"shared$i").mkString(" ") // 12 tokens >= w+n-1 = 8
     val df = docsDf(
