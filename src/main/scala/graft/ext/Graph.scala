@@ -2152,11 +2152,27 @@ object Graph {
     * edges — no joins beyond the orientation's.
     */
   def degreeAssortativity(spark: SparkSession, d: String): DataFrame =
-    degreeAssortativityDf(Tables.fanOut(Tables.documents(spark, d)))
+    // the session-cached oriented edge table carries both endpoint
+    // degrees — the whole query is ONE map-side-combined aggregate over
+    // it (the same (oe, udeg) artifact clusteringCoefficient and
+    // graphTransitivity replay; building a private copy per run was the
+    // only remaining per-run edge derivation in the family). Lazy: the
+    // tail is a single agg over the checkpointed scan, nothing to pin.
+    degreeAssortativityOn(orientedTriangleState(spark, d)._1)
 
   def degreeAssortativityDf(docs: DataFrame): DataFrame = {
     val (und, udeg) = undirectedWithDegrees(docs)
     val oe = orientEdges(und, udeg)
+    val out = degreeAssortativityOn(oe).localCheckpoint()
+    org.apache.spark.sql.GraftSql.releaseCheckpoint(und)
+    out
+  }
+
+  /** The scalar tail over an ALREADY-MATERIALIZED oriented edge table —
+    * shared by the standalone Df form and the session-cached registered
+    * query (the graphTransitivityOn pattern).
+    */
+  private def degreeAssortativityOn(oe: DataFrame): DataFrame = {
     val agg = oe.agg(
       count(lit(1)).as("n_und_edges"),
       sum(col("sdeg") * col("ddeg")).as("sum_jk"),
@@ -2167,14 +2183,11 @@ object Graph {
     val b = col("sum_j_plus_k").cast("double") / (lit(2.0) * m)
     val r = (col("sum_jk").cast("double") / m - b * b) /
       (col("sum_j2_plus_k2").cast("double") / (lit(2.0) * m) - b * b)
-    val out = agg.select(col("n_und_edges"), col("sum_jk"),
-        col("sum_j_plus_k"), col("sum_j2_plus_k2"),
-        when(col("n_und_edges") > 0,
-          floor(r * lit(1e6) + lit(0.5)) / lit(1e6))
-          .otherwise(lit(0.0)).as("assortativity"))
-      .localCheckpoint()
-    org.apache.spark.sql.GraftSql.releaseCheckpoint(und)
-    out
+    agg.select(col("n_und_edges"), col("sum_jk"),
+      col("sum_j_plus_k"), col("sum_j2_plus_k2"),
+      when(col("n_und_edges") > 0,
+        floor(r * lit(1e6) + lit(0.5)) / lit(1e6))
+        .otherwise(lit(0.0)).as("assortativity"))
   }
 
   /** Global transitivity of the link graph — one row:
