@@ -2096,35 +2096,37 @@ object Graph {
       (oe, udeg)
     })
 
-  def clusteringCoefficient(spark: SparkSession, d: String): DataFrame =
-    clusteringCoefficientOn(Tables.fanOut(Tables.documents(spark, d)),
-      orientedTriangleState(spark, d)._1)
-
-  def clusteringCoefficientDf(docs: DataFrame): DataFrame = {
-    val (und, udeg) = undirectedWithDegrees(docs)
-    val oe = orientEdges(und, udeg).localCheckpoint()
-    org.apache.spark.sql.GraftSql.releaseCheckpoint(und)
-    clusteringCoefficientOn(docs, oe)
+  def clusteringCoefficient(spark: SparkSession, d: String): DataFrame = {
+    val (oe, udeg) = orientedTriangleState(spark, d)
+    clusteringCoefficientOn(Tables.fanOut(Tables.documents(spark, d)), oe, udeg)
   }
 
-  /** The per-node tail over an ALREADY-CHECKPOINTED oriented edge
-    * table — shared by the standalone Df form and the session-cached
-    * registered query.
+  def clusteringCoefficientDf(docs: DataFrame): DataFrame = {
+    // the graphTransitivityDf pattern: udeg must be materialized before
+    // the und release — the returned frame reads it directly now
+    val (und, udeg0) = undirectedWithDegrees(docs)
+    val udeg = udeg0.localCheckpoint()
+    val oe = orientEdges(und, udeg).localCheckpoint()
+    org.apache.spark.sql.GraftSql.releaseCheckpoint(und)
+    clusteringCoefficientOn(docs, oe, udeg)
+  }
+
+  /** The per-node tail over the ALREADY-CHECKPOINTED (oriented edges,
+    * undirected degrees) pair — shared by the standalone Df form and
+    * the session-cached registered query. `udeg` is the degree table
+    * the orientation was built from: every node with degree >= 1
+    * appears in it (and carries the same value the oriented table's
+    * endpoint columns carry), so reading it directly replaces the
+    * former 2|E|-row endpoint explode + max re-aggregation.
     */
-  private def clusteringCoefficientOn(docs: DataFrame, oe: DataFrame): DataFrame = {
+  private def clusteringCoefficientOn(docs: DataFrame, oe: DataFrame,
+                                      udeg: DataFrame): DataFrame = {
     val perNode = triangleRows(oe)
       .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_triangles"))
-    // degrees re-derive from the oriented table (the undirected copy is
-    // dead): each endpoint carries its full undirected degree
-    val deg = oe.select(explode(array(
-        struct(col("src").as("doc_id"), col("sdeg").as("k")),
-        struct(col("dst").as("doc_id"), col("ddeg").as("k")))).as("x"))
-      .select(col("x.doc_id").as("doc_id"), col("x.k").as("k"))
-      .groupBy(col("doc_id")).agg(max(col("k")).as("udeg"))
     docs.select(col("doc_id"))
-      .join(deg, Seq("doc_id"), "left")
+      .join(udeg.select(col("doc_id"), col("udeg")), Seq("doc_id"), "left")
       .join(perNode, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("udeg"), lit(0L)).as("und_deg"),
@@ -2261,7 +2263,7 @@ object Graph {
     val udeg = und.groupBy(col("src").as("doc_id"))
       .agg(count(lit(1)).as("udeg")).localCheckpoint()
     val oe = orientEdges(und, udeg).localCheckpoint()
-    (graphTransitivityOn(docs, oe, udeg), clusteringCoefficientOn(docs, oe),
+    (graphTransitivityOn(docs, oe, udeg), clusteringCoefficientOn(docs, oe, udeg),
       Seq(udeg, oe))
   }
 
